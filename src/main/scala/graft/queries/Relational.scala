@@ -1,0 +1,716 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Encoder, Encoders}
+
+import graft.Tables
+import QueryDef.dsum
+
+/** The relational battery — SURVEY.md §2B Q1..Q26, every query a total
+  * ORDER BY (or single row) so the DuckDB oracle compare is
+  * deterministic. Spark side is DataFrame API (Catalyst plans the
+  * physical strategy); oracle side is DuckDB 1.0 SQL over the same
+  * parquet files.
+  *
+  * Determinism contract (see QueryDef): money aggregates go through
+  * DECIMAL(18,6), per-row arithmetic is IEEE-identical across engines,
+  * and any ORDER BY on a computed double happens on values both engines
+  * compute bit-identically (or after round(,6) on both sides).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  // ---------------------------------------------------------------- Q1
+  private val q01 = QueryDef(
+    "q01_project_filter",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+               col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+            l_extendedprice * (1.0 - l_discount) AS rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity > 30
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  // ---------------------------------------------------------------- Q2
+  private val q02 = QueryDef(
+    "q02_predicates",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus").isin("F", "O") &&
+               col("o_totalprice").between(50000.0, 200000.0) &&
+               col("o_orderpriority").like("1%") &&
+               col("o_custkey").isNotNull)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders
+            WHERE o_orderstatus IN ('F','O')
+              AND o_totalprice BETWEEN 50000.0 AND 200000.0
+              AND o_orderpriority LIKE '1%'
+              AND o_custkey IS NOT NULL
+            ORDER BY o_orderkey"""))
+
+  // ---------------------------------------------------------------- Q3
+  private val q03 = QueryDef(
+    "q03_agg_pricing_summary",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+               (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          avg("l_quantity").as("avg_qty"),
+          avg("l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+            CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+            CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+            AVG(l_quantity) AS avg_qty,
+            AVG(l_discount) AS avg_disc,
+            COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  // ---------------------------------------------------------------- Q4
+  private val q04 = QueryDef(
+    "q04_count_distinct",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+             dsum(col("o_totalprice")).as("sum_price"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+            COUNT(*) AS n
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  // ---------------------------------------------------------------- Q5
+  // HLL sketch can't hash-match an exact engine; the deterministic claim
+  // is the error bound itself (rsd=0.01, asserted within 5%).
+  private val q05 = QueryDef(
+    "q05_approx_distinct",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
+            countDistinct(col("l_partkey")).as("exact"))
+        .select((abs(col("approx") - col("exact")) / col("exact") <= 0.05)
+          .as("within_5pct"))
+    },
+    Some("SELECT true AS within_5pct"))
+
+  // ---------------------------------------------------------------- Q6
+  private val q06 = QueryDef(
+    "q06_rollup",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  // ---------------------------------------------------------------- Q7
+  // Dim tables are tiny at any SF — broadcast them explicitly so the
+  // plan is a pair of BroadcastHashJoins with zero shuffle of customer.
+  private val q07 = QueryDef(
+    "q07_broadcast_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name, COUNT(*) AS n_cust,
+            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  // ---------------------------------------------------------------- Q8
+  // TPC-H Q3 shape: the big fact-fact shuffle join. Revenue is a
+  // decimal sum so the DESC ordering key is bit-identical cross-engine.
+  private val q08 = QueryDef(
+    "q08_shuffle_join_topk",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp_ntz"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp_ntz"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate")
+    },
+    Some("""SELECT o_orderkey,
+            CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+            o_orderdate
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
+
+  // ---------------------------------------------------------------- Q9
+  private val q09 = QueryDef(
+    "q09_outer_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_big_orders"),
+             coalesce(dsum(col("o_totalprice")), lit(0.0)).as("sum_big"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,
+            COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS sum_big
+            FROM customer
+            LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+              ON c_custkey = o_custkey
+            GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  // --------------------------------------------------------------- Q10
+  private val q10semi = QueryDef(
+    "q10_semi_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+            ORDER BY c_custkey"""))
+
+  private val q10anti = QueryDef(
+    "q10_anti_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+            ORDER BY c_custkey"""))
+
+  // --------------------------------------------------------------- Q11
+  private val q11 = QueryDef(
+    "q11_theta_join",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey") &&
+                col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+            FROM lineitem JOIN orders
+              ON l_orderkey = o_orderkey
+             AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  // --------------------------------------------------------------- Q12
+  // As-of join, the scalable way: union both sides tagged, one window
+  // pass per key ordered by (time, tag, orderkey), last_value(ignoreNulls)
+  // carries the latest prior order onto each event. O(n log n), no
+  // candidate explosion — this survives 100 TB where the naive
+  // join-then-rank (which the oracle uses) would not.
+  private val q12 = QueryDef(
+    "q12_asof_join",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val o = t(s, dir, "orders")
+      val nCust = t(s, dir, "customer").count()
+      val ev = e.select(
+        (col("user_id") % nCust).as("k"), col("ts").as("tm"),
+        lit(1).as("tag"), col("event_id"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("timestamp_ntz").as("o_orderdate"))
+      val or = o.select(
+        col("o_custkey").as("k"), col("o_orderdate").as("tm"),
+        lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey"), col("o_orderdate"))
+      val w = Window.partitionBy("k")
+        .orderBy(col("tm").asc, col("tag").asc, col("o_orderkey").asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(or)
+        .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+        .withColumn("asof_orderdate", last(col("o_orderdate"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("asof_orderkey"), col("asof_orderdate"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+            FROM (
+              SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                     row_number() OVER (PARTITION BY e.event_id
+                                        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e
+              LEFT JOIN orders o
+                ON o.o_custkey = e.user_id % (SELECT COUNT(*) FROM customer)
+               AND o.o_orderdate <= e.ts)
+            WHERE rn = 1 ORDER BY event_id"""))
+
+  // --------------------------------------------------------------- Q13
+  private val q13 = QueryDef(
+    "q13_cross_join",
+    (s, dir) => {
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+            ORDER BY r_name, n_name"""))
+
+  // --------------------------------------------------------------- Q14
+  private val q14 = QueryDef(
+    "q14_window_rank",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                     rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+                     dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS drk
+              FROM orders)
+            WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  // --------------------------------------------------------------- Q15
+  // Analytic frames over daily revenue. Every windowed aggregate runs on
+  // DECIMAL(18,6) so running sums are exact in both engines; divisions
+  // happen after casting the exact sums to double.
+  private val q15 = QueryDef(
+    "q15_window_frames",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val daily = l.groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).as("rev_dec"))
+      val w = Window.orderBy("day")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val m3 = w.rowsBetween(-2, Window.currentRow)
+      daily.select(
+          col("day"),
+          col("rev_dec").cast("double").as("rev"),
+          sum(col("rev_dec")).over(run).cast("double").as("running"),
+          (sum(col("rev_dec")).over(m3).cast("double") /
+            count(lit(1)).over(m3)).as("mov3"),
+          (col("rev_dec") - lag(col("rev_dec"), 1).over(w)).cast("double").as("delta"),
+          (lead(col("rev_dec"), 1).over(w) - col("rev_dec")).cast("double").as("next_delta"))
+        .orderBy("day")
+    },
+    Some("""WITH d AS (
+              SELECT CAST(l_shipdate AS DATE) AS day,
+                     SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS rev_dec
+              FROM lineitem GROUP BY 1)
+            SELECT day,
+              CAST(rev_dec AS DOUBLE) AS rev,
+              CAST(SUM(rev_dec) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+              CAST(SUM(rev_dec) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3,
+              CAST(rev_dec - lag(rev_dec) OVER (ORDER BY day) AS DOUBLE) AS delta,
+              CAST(lead(rev_dec) OVER (ORDER BY day) - rev_dec AS DOUBLE) AS next_delta
+            FROM d ORDER BY day"""))
+
+  // --------------------------------------------------------------- Q16
+  private val q16 = QueryDef(
+    "q16_sort_topk",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"""))
+
+  // --------------------------------------------------------------- Q17
+  private val q17union = QueryDef(
+    "q17_union",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.union(su).groupBy("nationkey").agg(count(lit(1)).as("n")).orderBy("nationkey")
+    },
+    Some("""SELECT nationkey, COUNT(*) AS n FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              UNION ALL
+              SELECT s_nationkey AS nationkey FROM supplier)
+            GROUP BY nationkey ORDER BY nationkey"""))
+
+  private val q17intersect = QueryDef(
+    "q17_intersect",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersect(su).orderBy("nationkey")
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+            ORDER BY nationkey"""))
+
+  private val q17except = QueryDef(
+    "q17_except",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.except(su).orderBy("nationkey")
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey AS nationkey FROM supplier
+            ORDER BY nationkey"""))
+
+  // --------------------------------------------------------------- Q18
+  // Deterministic dedup-by-key: the row_number()=1 keeper pattern, never
+  // bare dropDuplicates (whose survivor is partitioning-dependent).
+  private val q18 = QueryDef(
+    "q18_dedup_keeper",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, event_id, ts FROM (
+              SELECT user_id, event_type, event_id, ts,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events)
+            WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  // --------------------------------------------------------------- Q19
+  private val q19 = QueryDef(
+    "q19_string_funcs",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      p.select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 5).as("sub5"),
+          length(col("p_name")).as("len"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("tr"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+          regexp_replace(col("p_name"), "[aeiou]", "*").as("rep"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("ext"),
+          lpad(col("p_brand"), 12, "#").as("lp"),
+          element_at(split(col("p_name"), " "), 1).as("first_word"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey,
+              upper(p_name) AS up,
+              lower(p_brand) AS lo,
+              substr(p_name, 1, 5) AS sub5,
+              length(p_name) AS len,
+              trim('  ' || p_name || '  ') AS tr,
+              p_brand || '|' || p_type AS cat,
+              regexp_replace(p_name, '[aeiou]', '*', 'g') AS rep,
+              regexp_extract(p_name, '([a-z]+)', 1) AS ext,
+              lpad(p_brand, 12, '#') AS lp,
+              string_split(p_name, ' ')[1] AS first_word
+            FROM part ORDER BY p_partkey"""))
+
+  // --------------------------------------------------------------- Q20
+  // Cross-dialect traps: Spark dayofweek is 1=Sunday, DuckDB 0=Sunday
+  // (oracle adds 1); derived dates are rendered as strings so DATE vs
+  // TIMESTAMP rendering can't diverge.
+  private val q20 = QueryDef(
+    "q20_date_funcs",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dd"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mstart"),
+          datediff(to_date(lit("2002-01-01")), col("o_orderdate").cast("date")).as("days_to_2002"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+          unix_timestamp(col("o_orderdate").cast("timestamp")).as("epoch_s"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+              year(o_orderdate) AS yr,
+              month(o_orderdate) AS mo,
+              day(o_orderdate) AS dd,
+              dayofweek(o_orderdate) + 1 AS dow,
+              strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mstart,
+              datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+              strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+              CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+            FROM orders ORDER BY o_orderkey"""))
+
+  // --------------------------------------------------------------- Q21
+  private val q21 = QueryDef(
+    "q21_math_conditional",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25.0).as("absq"),
+          sqrt(col("l_extendedprice")).as("sq"),
+          log(col("l_extendedprice")).as("lg"),
+          pow(lit(1.0) + col("l_discount"), 3).as("p3"),
+          floor(col("l_extendedprice") / 100.0).as("fl"),
+          ceil(col("l_extendedprice") / 100.0).as("ce"),
+          when(col("l_quantity") > 30, "H")
+            .when(col("l_quantity") > 10, "M")
+            .otherwise("L").as("bucket"),
+          greatest(col("l_tax"), col("l_discount")).as("gmax"),
+          least(col("l_tax"), col("l_discount")).as("lmin"),
+          coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_or_neg"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+              abs(l_quantity - 25.0) AS absq,
+              sqrt(l_extendedprice) AS sq,
+              ln(l_extendedprice) AS lg,
+              pow(1.0 + l_discount, 3) AS p3,
+              floor(l_extendedprice / 100.0) AS fl,
+              ceil(l_extendedprice / 100.0) AS ce,
+              CASE WHEN l_quantity > 30 THEN 'H'
+                   WHEN l_quantity > 10 THEN 'M' ELSE 'L' END AS bucket,
+              greatest(l_tax, l_discount) AS gmax,
+              least(l_tax, l_discount) AS lmin,
+              coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_neg
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  // --------------------------------------------------------------- Q22
+  // Array + higher-order functions over 64-dim float embeddings. All
+  // folds are left-to-right with double accumulators — identical
+  // sequential float→double arithmetic in both engines.
+  private val q22 = QueryDef(
+    "q22_array_funcs",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      e.select(
+          col("vec_id"),
+          size(col("embedding")).as("n"),
+          element_at(col("embedding"), 1).cast("double").as("e1"),
+          array_max(col("embedding")).cast("double").as("mx"),
+          array_min(col("embedding")).cast("double").as("mn"),
+          expr("aggregate(embedding, cast(0.0 as double), (acc, x) -> acc + cast(x as double))").as("ssum"),
+          expr("aggregate(embedding, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))").as("ssq"),
+          expr("size(filter(embedding, x -> x > 0))").as("n_pos"))
+        .orderBy("vec_id")
+    },
+    Some("""SELECT vec_id,
+              len(embedding) AS n,
+              CAST(embedding[1] AS DOUBLE) AS e1,
+              CAST(list_max(embedding) AS DOUBLE) AS mx,
+              CAST(list_min(embedding) AS DOUBLE) AS mn,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (acc, x) -> acc + x) AS ssum,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x) AS ssq,
+              len(list_filter(embedding, x -> x > 0)) AS n_pos
+            FROM embeddings ORDER BY vec_id"""))
+
+  private val q22b = QueryDef(
+    "q22_array_explode",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(avg(col("x").cast("double")).as("avg_x"),
+             max(col("x").cast("double")).as("max_x"),
+             min(col("x").cast("double")).as("min_x"),
+             count(lit(1)).as("n"))
+        .orderBy("pos")
+    },
+    Some("""SELECT i - 1 AS pos,
+              AVG(CAST(x AS DOUBLE)) AS avg_x,
+              MAX(CAST(x AS DOUBLE)) AS max_x,
+              MIN(CAST(x AS DOUBLE)) AS min_x,
+              COUNT(*) AS n
+            FROM (SELECT unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings)
+            GROUP BY i ORDER BY pos"""))
+
+  // --------------------------------------------------------------- Q23
+  // Map construction + access. The oracle states the semantically
+  // expected values directly (DuckDB's MAP type renders differently, so
+  // the check is on extracted scalars, not the map itself).
+  private val q23 = QueryDef(
+    "q23_map_funcs",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      val m = map(lit("brand"), col("p_brand"), lit("type"), col("p_type"))
+      val m2 = map_concat(m, map(lit("size"), col("p_size").cast("string")))
+      p.select(
+          col("p_partkey"),
+          element_at(m, "brand").as("brand_val"),
+          size(m).as("n_keys"),
+          array_join(map_keys(m), ",").as("keys"),
+          concat_ws(",", map_values(m)).as("vals"),
+          size(m2).as("n_keys2"),
+          element_at(m2, "size").as("size_val"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey,
+              p_brand AS brand_val,
+              2 AS n_keys,
+              'brand,type' AS keys,
+              p_brand || ',' || p_type AS vals,
+              3 AS n_keys2,
+              CAST(p_size AS VARCHAR) AS size_val
+            FROM part ORDER BY p_partkey"""))
+
+  // --------------------------------------------------------------- Q24
+  private val q24 = QueryDef(
+    "q24_json_funcs",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      e.select(
+          col("event_id"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k_from_json"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+          to_json(struct(col("event_id").as("id"), col("event_type").as("t"))).as("j"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+              CAST(props->>'$.k' AS INTEGER) AS k_from_json,
+              CAST(props->>'$.k' AS INTEGER) AS k_path,
+              '{"id":' || event_id || ',"t":"' || event_type || '"}' AS j
+            FROM events ORDER BY event_id"""))
+
+  // --------------------------------------------------------------- Q25
+  private val q25udf = QueryDef(
+    "q25_udf",
+    (s, dir) => {
+      val rev = udf((x: String) => if (x == null) null else x.reverse)
+      val vowels = udf((x: String) => if (x == null) 0 else x.count("aeiou".contains(_)))
+      val p = t(s, dir, "part")
+      p.select(col("p_partkey"),
+               rev(col("p_name")).as("rev_name"),
+               vowels(col("p_name")).as("n_vowels"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, reverse(p_name) AS rev_name,
+              CAST(length(p_name) - length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS INTEGER) AS n_vowels
+            FROM part ORDER BY p_partkey"""))
+
+  /** Typed UDAF: geometric mean of l_quantity (log-sum buffer). */
+  private object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), a: Double): (Double, Long) = (b._1 + math.log(a), b._2 + 1)
+    def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) = (x._1 + y._1, x._2 + y._2)
+    def finish(r: (Double, Long)): Double = math.exp(r._1 / r._2)
+    def bufferEncoder: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  private val q25udaf = QueryDef(
+    "q25_udaf_geomean",
+    (s, dir) => {
+      val geo = udaf(GeoMean, Encoders.scalaDouble)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(geo(col("l_quantity")).as("geo_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, exp(avg(ln(l_quantity))) AS geo_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  private val q25gen = QueryDef(
+    "q25_generator",
+    (s, dir) => {
+      t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy("word")
+    },
+    Some("""SELECT word, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+            GROUP BY word ORDER BY word"""))
+
+  // --------------------------------------------------------------- Q26
+  // Same result as q03, but through the full SQL path:
+  // parse → analyze → optimize → execute over temp views.
+  private val q26 = QueryDef(
+    "q26_sql_entry",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+               AVG(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+               FROM lineitem
+               WHERE l_shipdate <= '1998-09-02'
+               GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+            AVG(l_discount) AS avg_disc,
+            COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10semi, q10anti,
+    q11, q12, q13, q14, q15, q16, q17union, q17intersect, q17except,
+    q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26)
+}
