@@ -6,7 +6,8 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def registries: Seq[QueryDef] = Relational.all
+  private def registries: Seq[QueryDef] =
+    Relational.all ++ StreamingBatch.all ++ Llm.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,422 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import QueryDef.sha60
+
+/** LLM-data-pipeline operators over `documents` / `embeddings`
+  * (SURVEY.md §2B L1–L5 plus the training-data-pipeline set: exact +
+  * MinHash/LSH + SimHash dedup, kNN / LSH-bucketed similarity search,
+  * language-ID / quality / token / fingerprint text analysis, binary
+  * payload handling).
+  *
+  * Scale notes (100 TB posture):
+  *  - near-dup never goes O(n²): `l2_jaccard_pairs` uses prefix
+  *    filtering (exact), `l2_minhash_lsh` banding (sub-quadratic
+  *    candidate generation), `l2_simhash` bit-chunk banding with a
+  *    pigeonhole guarantee for hamming ≤ 9.
+  *  - every pipeline is shuffle-on-key (shingle / band / chunk / dim)
+  *    with only aggregated or candidate-pair-sized intermediates.
+  */
+object Llm {
+
+  private val T = 0.8 // Jaccard near-dup threshold
+  private val P = 1000000007L
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, sh). Docs with
+    * fewer than 3 words contribute their whole text as one shingle. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(
+        when(size(col("ws")) >= 3,
+          expr("transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+          .otherwise(array(col("text"))))).as("sh"))
+
+  private val shinglesSql =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |s AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+      |    THEN list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |    ELSE [array_to_string(ws, ' ')] END) AS sh FROM w)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id)""".stripMargin
+
+  /** Exact Jaccard for candidate pairs: count shared shingles, join doc
+    * sizes, filter >= T. Shared by the prefix-filter and MinHash paths. */
+  private def verifiedJaccard(cand: DataFrame, sh: DataFrame, sz: DataFrame): DataFrame = {
+    val inter = cand
+      .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("d2") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.as("za"), col("d1") === col("za.doc_id"))
+      .join(sz.as("zb"), col("d2") === col("zb.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / (col("za.sz") + col("zb.sz") - col("inter"))).as("j"))
+      .filter(col("j") >= T)
+      .orderBy("d1", "d2")
+  }
+
+  /** The exact near-dup pair set as DuckDB SQL (prefix-filter algorithm,
+    * independently spelled in SQL) — oracle for both l2 variants. */
+  private val jaccardOracle =
+    s"""WITH $shinglesSql,
+       |pr AS (SELECT doc_id, sh FROM (
+       |  SELECT s.doc_id, sh, row_number() OVER (PARTITION BY s.doc_id ORDER BY sh) AS rn, sz.sz
+       |  FROM s JOIN sz ON s.doc_id = sz.doc_id)
+       |  WHERE rn <= sz - ceil(sz * $T) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |i AS (SELECT c.d1, c.d2, count(*) AS i
+       |  FROM cand c JOIN s a ON a.doc_id = c.d1
+       |  JOIN s b ON b.doc_id = c.d2 AND b.sh = a.sh GROUP BY c.d1, c.d2)
+       |SELECT d1, d2, CAST(i AS DOUBLE) / (x.sz + y.sz - i) AS j
+       |FROM i JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       |WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= $T
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------- L1
+  private val l1 = QueryDef(
+    "l1_exact_dedup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+        .orderBy("h")
+    },
+    Some("""SELECT sha256(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+            FROM documents GROUP BY sha256(text) ORDER BY h"""))
+
+  // ---------------------------------------------------------------- L2
+  // Exact n-gram-Jaccard near-dup via prefix filtering: a pair with
+  // J >= T must share one of each doc's first |S|-ceil(T*|S|)+1
+  // shingles (global lexicographic order) — candidates stay
+  // sub-quadratic, and the result is EXACT, not approximate.
+  private val l2 = QueryDef(
+    "l2_jaccard_pairs",
+    (s, dir) => {
+      val sh = shingles(t(s, dir, "documents")).cache()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val w = Window.partitionBy("doc_id").orderBy("sh")
+      val pref = sh.withColumn("rn", row_number().over(w))
+        .join(sz, "doc_id")
+        .filter(col("rn") <= col("sz") - ceil(col("sz") * T) + 1)
+        .select("doc_id", "sh")
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      verifiedJaccard(cand, sh, sz)
+    },
+    Some(jaccardOracle))
+
+  // MinHash + banded LSH: 64 permutations ((a_k*h + b_k) mod P over the
+  // portable sha-60 shingle hash), 16 bands x 4 rows, bucket-join for
+  // candidates, then exact-Jaccard verification. The oracle is the
+  // exact pair set — so this also checks LSH recall, not just shape.
+  private val NPERM = 64
+  private def permA(k: Int): Long = (1103515245L * k + 12345L) % P
+  private def permB(k: Int): Long = (69069L * k + 1L) % P
+
+  private val l2minhash = QueryDef(
+    "l2_minhash_lsh",
+    (s, dir) => {
+      val sh = shingles(t(s, dir, "documents")).cache()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val hm = sh.withColumn("hm", sha60(col("sh")) % P)
+      val mins = (0 until NPERM).map(k =>
+        min((col("hm") * permA(k) + permB(k)) % P).as(s"mh$k"))
+      val sig = hm.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val bands = (0 until NPERM / 4).map(bd => struct(
+        lit(bd).as("band"),
+        concat_ws(",", (0 until 4).map(r => col(s"mh${bd * 4 + r}")): _*).as("bsig")))
+      val buckets = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+      val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bsig"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+      verifiedJaccard(cand, sh, sz)
+    },
+    Some(jaccardOracle))
+
+  // SimHash: 60-bit signature from sha-60 shingle hashes; banding into
+  // 10 chunks of 6 bits guarantees (pigeonhole) every pair with
+  // hamming <= 9 shares a chunk. Output: pairs with hamming <= 9
+  // (empirically: planted near-dups land at 1..9, background >= 20).
+  private val l2simhash = QueryDef(
+    "l2_simhash",
+    (s, dir) => {
+      val h = shingles(t(s, dir, "documents")).withColumn("h", sha60(col("sh")))
+      val bitSums = (0 until 60).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+      val sigExpr = (0 until 60).map(i =>
+        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)).reduce(_ + _)
+      val sig = h.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), sigExpr.as("sig"))
+      val chunks = (0 until 10).map(c => struct(
+        lit(c).as("c"), shiftright(col("sig"), c * 6).bitwiseAND(63).as("v")))
+      val bu = sig.select(col("doc_id"), col("sig"), explode(array(chunks: _*)).as("ck"))
+        .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
+      bu.as("x").join(bu.as("y"), Seq("c", "v"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("x.sig").as("s1"),
+                col("y.doc_id").as("d2"), col("y.sig").as("s2"))
+        .distinct()
+        .select(col("d1"), col("d2"),
+          expr("cast(bit_count(s1 ^ s2) as int)").as("hamming"))
+        .filter(col("hamming") <= 9)
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH $shinglesSql,
+            |h AS (SELECT doc_id, CAST(concat('0x', substr(sha256(sh),1,15)) AS BIGINT) AS h FROM s),
+            |bits AS (SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS bs
+            |         FROM h, (SELECT unnest(range(0,60)) AS i) t GROUP BY doc_id, i),
+            |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bs > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
+            |        FROM bits GROUP BY doc_id),
+            |ch AS (SELECT doc_id, sig, c, (sig >> (c*6)) & 63 AS v
+            |       FROM sig, (SELECT unnest(range(0,10)) AS c) t),
+            |cand AS (SELECT DISTINCT x.doc_id AS d1, x.sig AS s1, y.doc_id AS d2, y.sig AS s2
+            |         FROM ch x JOIN ch y ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id)
+            |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+            |FROM cand WHERE bit_count(xor(s1, s2)) <= 9 ORDER BY d1, d2""".stripMargin))
+
+  // ---------------------------------------------------------------- L3
+  // Brute-force cosine top-10 for query vectors 0,1,2. Query side is
+  // broadcast; the scan side never shuffles (per-partition dot products,
+  // then a global top-k). Ranking happens on round(sim, 6) in BOTH
+  // engines so float summation order can't reorder ranks.
+  private val dotExpr =
+    "aggregate(zip_with(qe, ve, (a, b) -> cast(a as double) * cast(b as double)), cast(0.0 as double), (acc, x) -> acc + x)"
+  private val normExpr = (c: String) =>
+    s"sqrt(aggregate($c, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+
+  private val l3 = QueryDef(
+    "l3_knn_bruteforce",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      val sims = c.join(broadcast(q), col("vid") =!= col("qid"))
+        .withColumn("sim", expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ve"))))
+        .select(col("qid"), col("vid"), round(col("sim"), 6).as("simr"))
+      val w = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("qid", "rn", "vid", "simr")
+        .orderBy("qid", "rn")
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, unnest(embedding) AS qx,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings WHERE vec_id IN (0, 1, 2)),
+            e AS (SELECT vec_id AS vid, unnest(embedding) AS ex,
+                       generate_subscripts(embedding, 1) AS i FROM embeddings),
+            d AS (SELECT qid, vid, SUM(CAST(qx AS DOUBLE) * CAST(ex AS DOUBLE)) AS dot
+                  FROM q JOIN e USING (i) WHERE vid != qid GROUP BY qid, vid),
+            n AS (SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+                  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+            sdf AS (SELECT qid, vid, round(dot / (nq.nrm * nv.nrm), 6) AS simr
+                   FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid),
+            r AS (SELECT qid, vid, simr,
+                         row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+                  FROM sdf)
+            SELECT qid, rn, vid, simr FROM r WHERE rn <= 10 ORDER BY qid, rn"""))
+
+  // LSH-bucketed ANN (the 100 TB scale path): 8 tables x 6 random
+  // hyperplanes (deterministic pseudo-random components), candidates =
+  // any shared 6-bit code, exact cosine re-rank within candidates.
+  // 6 bits/table keeps per-table candidate rate ~1/64 of the corpus
+  // while 8 independent tables recover recall on weakly-similar data.
+  // Approximate by construction → rows-only driver check; recall vs
+  // brute force is asserted in AnnSpec.
+  private val l3ann = QueryDef(
+    "l3_ann_lsh",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // component of hyperplane p at dim d, in [-1, 1), deterministic
+      def planeVal(p: Int, d: Int): Double =
+        (((p * 64 + d) * 2654435761L + 1013904223L) % 2147483647L).toDouble / 2147483647.0 * 2 - 1
+      def codeCol(table: Int): Column =
+        (0 until 6).map { bit =>
+          val p = table * 6 + bit
+          val dot = (0 until 64).map(d => element_at(col("embedding"), d + 1).cast("double") * planeVal(p, d)).reduce(_ + _)
+          when(dot > 0, 1 << bit).otherwise(0)
+        }.reduce(_ + _)
+      val coded = e.select(
+        col("vec_id"), col("embedding"),
+        explode(array((0 until 8).map(t0 => struct(lit(t0).as("tb"), codeCol(t0).as("code"))): _*)).as("tc"))
+        .select(col("vec_id"), col("embedding"), col("tc.tb").as("tb"), col("tc.code").as("code"))
+      val q = coded.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("tb"), col("code"))
+      val cand = coded.join(q, Seq("tb", "code"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qe"), col("vec_id").as("vid"), col("embedding").as("ve"))
+        .distinct()
+      val sims = cand
+        .withColumn("sim", expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ve"))))
+        .select(col("qid"), col("vid"), round(col("sim"), 6).as("simr"))
+      val w = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("qid", "rn", "vid", "simr")
+        .orderBy("qid", "rn")
+    },
+    None)
+
+  // ---------------------------------------------------------------- L4
+  private def stopCount(langWords: Seq[String]): String =
+    s"size(filter(ws, x -> x in (${langWords.map(w => s"'$w'").mkString(", ")})))"
+  private def stopCountDuck(langWords: Seq[String]): String =
+    s"len(list_filter(ws, x -> x IN (${langWords.map(w => s"'$w'").mkString(", ")})))"
+
+  private val enS = Seq("the", "a", "and", "of")
+  private val deS = Seq("der", "die", "das", "und")
+  private val esS = Seq("el", "la", "los", "y")
+  private val frS = Seq("le", "les", "et", "des")
+
+  private val l4lang = QueryDef(
+    "l4_langid",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"),
+          expr(stopCount(enS)).as("en_n"), expr(stopCount(deS)).as("de_n"),
+          expr(stopCount(esS)).as("es_n"), expr(stopCount(frS)).as("fr_n"))
+        .withColumn("pred",
+          when(greatest(col("en_n"), col("de_n"), col("es_n"), col("fr_n")) === 0, "und")
+            .when(col("en_n") >= greatest(col("de_n"), col("es_n"), col("fr_n")), "en")
+            .when(col("de_n") >= greatest(col("es_n"), col("fr_n")), "de")
+            .when(col("es_n") >= col("fr_n"), "es")
+            .otherwise("fr"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            |x AS (SELECT doc_id,
+            |  ${stopCountDuck(enS)} AS en_n, ${stopCountDuck(deS)} AS de_n,
+            |  ${stopCountDuck(esS)} AS es_n, ${stopCountDuck(frS)} AS fr_n FROM w)
+            |SELECT doc_id, en_n, de_n, es_n, fr_n,
+            |  CASE WHEN greatest(en_n, de_n, es_n, fr_n) = 0 THEN 'und'
+            |       WHEN en_n >= greatest(de_n, es_n, fr_n) THEN 'en'
+            |       WHEN de_n >= greatest(es_n, fr_n) THEN 'de'
+            |       WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END AS pred
+            |FROM x ORDER BY doc_id""".stripMargin))
+
+  private val l4quality = QueryDef(
+    "l4_quality",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_tok", size(col("ws")))
+        .withColumn("stop_n", expr(stopCount(enS)))
+        .select(col("doc_id"), col("n_tok"),
+          ((length(col("text")) - col("n_tok") + 1).cast("double") / col("n_tok")).as("avg_wlen"),
+          (col("stop_n").cast("double") / col("n_tok")).as("stop_ratio"),
+          round(
+            lit(0.4) * least(col("n_tok").cast("double") / 100.0, lit(1.0)) +
+            lit(0.3) * least(col("stop_n").cast("double") / col("n_tok") * 5.0, lit(1.0)) +
+            lit(0.3), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+            x AS (SELECT doc_id, len(ws) AS n_tok,
+                    len(list_filter(ws, t -> t IN ('the','a','and','of'))) AS stop_n,
+                    length(text) AS n_ch FROM w)
+            SELECT doc_id, n_tok,
+              CAST(n_ch - n_tok + 1 AS DOUBLE) / n_tok AS avg_wlen,
+              CAST(stop_n AS DOUBLE) / n_tok AS stop_ratio,
+              round(0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+                  + 0.3 * least(CAST(stop_n AS DOUBLE) / n_tok * 5.0, 1.0)
+                  + 0.3, 6) AS quality
+            FROM x ORDER BY doc_id"""))
+
+  private val l4tokens = QueryDef(
+    "l4_tokens",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws"),
+          size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_re"),
+          size(array_distinct(split(col("text"), " "))).as("n_uniq"),
+          size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).as("n_sub"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              len(string_split(text, ' ')) AS n_ws,
+              len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re,
+              len(list_distinct(string_split(text, ' '))) AS n_uniq,
+              len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_sub
+            FROM documents ORDER BY doc_id"""))
+
+  private val l4tfidf = QueryDef(
+    "l4_tfidf",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val nDocs = d.count()
+      val tok = d.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      val tf = tok.groupBy("lang", "word").agg(count(lit(1)).as("tf"))
+      val df = tok.select("doc_id", "word").distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, "word")
+        .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      val w = Window.partitionBy("lang").orderBy(col("tfidf").desc, col("word").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("rn"), col("word"), round(col("tfidf"), 6).as("score"))
+        .orderBy("lang", "rn")
+    },
+    Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+            tf AS (SELECT lang, word, count(*) AS tf FROM tok GROUP BY lang, word),
+            df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM tok) GROUP BY word),
+            scored AS (SELECT lang, word, tf,
+                tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df) AS tfidf
+              FROM tf JOIN df USING (word)),
+            r AS (SELECT lang, word, tfidf,
+                         row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, word) AS rn
+                  FROM scored)
+            SELECT lang, rn, word, round(tfidf, 6) AS score
+            FROM r WHERE rn <= 5 ORDER BY lang, rn"""))
+
+  // Rolling polynomial hash over the raw characters (mod 1e9+7), the
+  // classic document fingerprint; plus a sha-prefix content id.
+  private val l4fp = QueryDef(
+    "l4_fingerprint",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("aggregate(transform(split(text, ''), c -> cast(ascii(c) as bigint)), 0L, (a, b) -> (a * 31 + b) % 1000000007)").as("fp"),
+          substring(sha2(col("text"), 256), 1, 16).as("content_id"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              list_reduce(list_prepend(0::BIGINT,
+                list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+              substr(sha256(text), 1, 16) AS content_id
+            FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- L5
+  private val l5 = QueryDef(
+    "l5_binary_payload",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          sha2(col("text"), 256).as("sha"),
+          md5(col("text")).as("md5h"),
+          upper(substring(hex(col("text")), 1, 16)).as("hex16"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              octet_length(encode(text)) AS n_bytes,
+              sha256(text) AS sha,
+              md5(text) AS md5h,
+              upper(substr(hex(encode(text)), 1, 16)) AS hex16
+            FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(
+    l1, l2, l2minhash, l2simhash, l3, l3ann,
+    l4lang, l4quality, l4tokens, l4tfidf, l4fp, l5)
+}
