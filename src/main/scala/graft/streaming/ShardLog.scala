@@ -1,0 +1,93 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.model.{Message, Provider}
+
+/** One durable, totally-ordered, append-only shard — the engine's
+  * in-memory equivalent of a Kinesis shard, with simulator parity:
+  * zero-padded 12-digit decimal sequence numbers starting at
+  * "000000000000" (`simulator/KinesisShardStream.java:30-50`), arrival
+  * timestamps, timestamp→sequence linear scan (`:76-86`), and
+  * injectable throttling for retry tests
+  * (`simulator/KinesisAsyncClientSimulator.java:39-254`).
+  *
+  * Read-side enrichment happens here, exactly like
+  * `KinesisStreamingBuffer.java:178-207`: `firstProvider` is set iff
+  * absent; `provider` is ALWAYS overwritten with this read's stamp.
+  */
+final class ShardLog(val shardId: String = "shardId-000000000000") {
+
+  final case class Record(sequenceNumber: String, arrivalMillis: Long, message: Message)
+
+  private val records = ArrayBuffer.empty[Record]
+  @volatile private var failPutsRemaining: Int = 0
+
+  def size: Int = synchronized(records.size)
+
+  /** Next sequence number that WILL be assigned (exclusive end offset). */
+  def endSequence: String = synchronized(ShardLog.formatSeq(records.size.toLong))
+
+  /** Simulate N throttled put batches (rate-limit recovery tests). */
+  def injectPutFailures(n: Int): Unit = synchronized { failPutsRemaining = n }
+
+  /** Append a batch; returns assigned sequence numbers. Throws
+    * [[ThrottledException]] while injected failures remain — the
+    * producer's retry loop must re-send (only) the failed entries.
+    */
+  def putRecords(msgs: Seq[Message],
+                 arrivalMillis: Long = System.currentTimeMillis()): Seq[String] = synchronized {
+    if (failPutsRemaining > 0) {
+      failPutsRemaining -= 1
+      throw new ThrottledException(s"injected throttle, ${failPutsRemaining} remaining")
+    }
+    msgs.map { m =>
+      val seq = ShardLog.formatSeq(records.size.toLong)
+      records += Record(seq, arrivalMillis, m)
+      seq
+    }
+  }
+
+  /** Read up to `limit` records strictly ordered, starting at
+    * `fromSeq` (inclusive or exclusive). `fromSeq=None` = TRIM_HORIZON.
+    * Returns enriched messages with their sequence numbers.
+    */
+  def read(fromSeq: Option[String], inclusive: Boolean, limit: Int): Seq[(String, Message)] = synchronized {
+    val startIdx = fromSeq match {
+      case None => 0
+      case Some(seq) =>
+        val i = ShardLog.parseSeq(seq).toInt
+        if (inclusive) i else i + 1
+    }
+    records.iterator.slice(startIdx, math.min(records.size, startIdx + math.max(limit, 0)))
+      .map(r => r.sequenceNumber -> enrich(r)).toSeq
+  }
+
+  /** First sequence with arrival timestamp >= ts (AT_TIMESTAMP
+    * semantics, linear scan like the simulator). None = past the end. */
+  def sequenceAtTimestamp(epochMillis: Long): Option[String] = synchronized {
+    records.find(_.arrivalMillis >= epochMillis).map(_.sequenceNumber)
+  }
+
+  private def enrich(r: Record): Message = {
+    val stamp = Provider("graft", r.arrivalMillis, shardId, r.sequenceNumber)
+    val first = r.message.firstProvider.orElse(Some(stamp))
+    r.message.copy(firstProvider = first, provider = Some(stamp))
+  }
+}
+
+final class ThrottledException(msg: String) extends RuntimeException(msg)
+
+object ShardLog {
+  def formatSeq(n: Long): String = f"$n%012d"
+  def parseSeq(s: String): Long = s.toLong
+
+  /** Global registry so DataSource V2 instances (created reflectively
+    * by Spark from options) can resolve a log by name within the JVM —
+    * the test-double wiring, like the reference's simulator SPI alias.
+    */
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, ShardLog]()
+  def getOrCreate(name: String): ShardLog =
+    registry.computeIfAbsent(name, _ => new ShardLog())
+  def remove(name: String): Unit = registry.remove(name)
+}

@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkFixture, SparkEntry}
+
+/** Cheap structural guards — the value-level check is the external
+  * DuckDB oracle compare (tools/check_oracle.py, driver t2). */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("every declared query runs and returns rows on sf0.001") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, SparkFixture.sfDir).count()
+      if (n == 0 && name != "q17_except") Some(name) else None
+    }
+    assert(empty.isEmpty, s"queries with zero rows: $empty")
+  }
+
+  test("oracle map only references declared queries; flagship entry works") {
+    val undeclared = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(undeclared.isEmpty, s"oracles without queries: $undeclared")
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("ann lsh recall vs brute force stays above the data-limited floor") {
+    val bf = SparkEntry.queries("l3_knn_bruteforce")(spark, SparkFixture.sfDir)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SparkEntry.queries("l3_ann_lsh")(spark, SparkFixture.sfDir)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ann).size.toDouble / bf.size
+    // fixture embeddings are near-random (top-10 cosine ~0.37), which
+    // bounds any bucketed ANN; 8x6-bit hyperplane tables land ~0.2-0.4
+    assert(recall >= 0.1, s"recall collapsed: $recall")
+  }
+}

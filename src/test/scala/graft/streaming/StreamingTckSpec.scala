@@ -1,0 +1,221 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.model._
+
+/** Structured Streaming behavior suite — SURVEY.md §2B T1–T8 plus the
+  * custom DataSource V2 source/offset semantics (§2A rows 1,4,10) and
+  * the stateful cursor gate (§2A-13 online).
+  */
+class StreamingTckSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  private def msg(extId: String): Message = Message.simple("pk1", extId)
+
+  import StreamingTckSpec._
+
+  // ------------------------------------------------------------ source
+  test("DSv2 source streams published messages; offset json is the cursor checkpoint format") {
+    val logName = "t-src-" + System.nanoTime()
+    val log = ShardLog.getOrCreate(logName)
+    new Producer(log, seed = 1).publish(msg("a"), msg("b"))
+
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val stream = spark.readStream.format("graft-messages").option("log", logName).load()
+    val seen = StreamingTckSpec.sink(logName)
+    def start() = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("externalId").as[String](org.apache.spark.sql.Encoders.STRING)
+          .collect().foreach(seen.add)
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q = start()
+    q.processAllAvailable()
+    new Producer(log, seed = 2).publish(msg("c"))
+    q.processAllAvailable()
+    assert(seen.toArray.toSeq == Seq("a", "b", "c"))
+    // offsets in the checkpoint log use the reference's cursor JSON
+    val last = q.lastProgress.sources.head.endOffset
+    assert(last.contains("\"shardId\"") && last.contains("\"sequenceNumber\"")
+      && last.contains("\"inclusive\""))
+    q.stop()
+
+    // restart from the same checkpoint: only NEW messages are read (T8)
+    seen.clear()
+    new Producer(log, seed = 3).publish(msg("d"), msg("e"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.toArray.toSeq == Seq("d", "e"))
+  }
+
+  test("source startingPosition: latest skips history; checkpoint json resumes; maxRecordsPerBatch paces") {
+    val logName = "t-pos-" + System.nanoTime()
+    val log = ShardLog.getOrCreate(logName)
+    new Producer(log, seed = 1).publish(msg("a"), msg("b"), msg("c"))
+
+    // latest: nothing until new data arrives
+    val qLatest = spark.readStream.format("graft-messages")
+      .option("log", logName).option("startingPosition", "latest").load()
+      .writeStream.format("memory").queryName("pos_latest")
+      .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+    qLatest.processAllAvailable()
+    new Producer(log, seed = 2).publish(msg("d"))
+    qLatest.processAllAvailable()
+    qLatest.stop()
+    assert(spark.table("pos_latest").select("externalId").as[String].collect().toSeq == Seq("d"))
+
+    // explicit cursor checkpoint: start after "a" (sequence 0, exclusive)
+    val ck = Cursor.atSequence(log.shardId, "000000000000", inclusive = false).checkpoint
+    val qCk = spark.readStream.format("graft-messages")
+      .option("log", logName).option("startingPosition", ck)
+      .option("maxRecordsPerBatch", "1").load()
+      .writeStream.format("memory").queryName("pos_ck")
+      .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+    qCk.processAllAvailable()
+    qCk.stop()
+    assert(spark.table("pos_ck").select("externalId").as[String].collect().toSeq
+      == Seq("b", "c", "d"))
+  }
+
+  test("batch read of a shard log + distributed publishDataset round-trip") {
+    val logName = "t-batch-" + System.nanoTime()
+    val data = (1 to 50).map(i => Message.simple("pk" + (i % 4), "e" + i))
+    Producer.publishDataset(logName, spark.createDataset(data)(Message.encoder).repartition(4))
+    val back = spark.read.format("graft-messages").option("log", logName).load()
+    assert(back.count() == 50)
+    // every message got a ULID and a provider stamp at read
+    assert(back.filter(col("ulid").isNull || col("provider").isNull).count() == 0)
+    // per-partition ULID monotonicity -> within a partitionKey all ULIDs unique
+    assert(back.select("ulid.msb", "ulid.lsb").distinct().count() == 50)
+  }
+
+  // ------------------------------------------------------------ T1, T4
+  test("T1/T4: tumbling window agg with watermark drops late data in append mode") {
+    val in = MemoryStream[(Timestamp, String, Double)](spark)
+    val agg = in.toDF().toDF("ts", "k", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .select(col("window.start").as("ws"), col("k"), col("n"), col("s"))
+    val q = agg.writeStream.format("memory").queryName("t1_out").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+
+    in.addData((ts(0), "a", 1.0), (ts(2), "a", 2.0), (ts(4, 59), "b", 5.0))
+    q.processAllAvailable()
+    in.addData((ts(30), "a", 1.0)) // watermark -> 10:20: closes the 10:00 window
+    q.processAllAvailable()
+    in.addData((ts(1), "a", 100.0)) // LATE: before watermark, must be dropped
+    q.processAllAvailable()
+    in.addData((ts(59), "z", 0.0)) // push watermark past everything
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t1_out").orderBy("ws", "k")
+      .select("ws", "k", "n", "s").collect().toSeq.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // the late (10:01, a, 100.0) row is NOT in the 10:00 window
+    assert(rows.contains((ts(0), "a", 2L, 3.0)))
+    assert(rows.contains((ts(0), "b", 1L, 5.0)))
+    assert(!rows.exists { case (_, k, _, s) => k == "a" && s == 103.0 })
+  }
+
+  // ---------------------------------------------------------------- T5
+  test("T5: dropDuplicatesWithinWatermark dedups by event id") {
+    val in = MemoryStream[(Timestamp, Long)](spark)
+    val dedup = in.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dedup.writeStream.format("memory").queryName("t5_out").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+    in.addData((ts(0), 1L), (ts(1), 2L), (ts(1, 30), 1L))
+    q.processAllAvailable()
+    in.addData((ts(2), 2L), (ts(3), 3L))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("t5_out").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  // ---------------------------------------------------------------- T7
+  test("T7: stream-static join enriches a message stream with a dimension table") {
+    val logName = "t-join-" + System.nanoTime()
+    val log = ShardLog.getOrCreate(logName)
+    new Producer(log, seed = 1).publish(
+      msg("a").copy(attributes = Map("nation" -> "0")),
+      msg("b").copy(attributes = Map("nation" -> "3")))
+    val nation = graft.Tables(spark, SparkFixture.sfDir, "nation")
+    val joined = spark.readStream.format("graft-messages").option("log", logName).load()
+      .withColumn("nk", element_at(col("attributes"), "nation").cast("int"))
+      .join(nation, col("nk") === col("n_nationkey"))
+      .select("externalId", "n_name")
+    val q = joined.writeStream.format("memory").queryName("t7_out")
+      .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t7_out").as[(String, String)].collect().toMap
+    assert(got.keySet == Set("a", "b") && got.values.toSet.size == 2)
+  }
+
+  // ---------------------------------------------------------------- T6
+  test("T6: CursorGate opens at the matching externalId and stays open") {
+    val logName = "t-gate-" + System.nanoTime()
+    val log = ShardLog.getOrCreate(logName)
+    new Producer(log, seed = 1).publish(msg("a"), msg("b"), msg("c"))
+    val cursor = Cursor(log.shardId,
+      StartingPoint.AtExternalId("b", 0L, toleranceMillis = Long.MaxValue / 4))
+    val stream = spark.readStream.format("graft-messages").option("log", logName).load()
+      .as[Message](Message.encoder)
+    val gated = CursorGate(stream, cursor)
+    val q = gated.writeStream.format("memory").queryName("t6_out").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+    q.processAllAvailable()
+    new Producer(log, seed = 2).publish(msg("d")) // arrives after gate opened
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("t6_out").select("externalId").as[String].collect().toSeq
+      == Seq("b", "c", "d"))
+  }
+
+  // ---------------------------------------------------------------- T2/T3 streaming-mode
+  test("T2/T3: sliding and session windows run in streaming mode") {
+    val in = MemoryStream[(Timestamp, Long)](spark)
+    val sliding = in.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"))
+      .agg(count(lit(1)).as("n"))
+    val q1 = sliding.writeStream.format("memory").queryName("t2_out").outputMode("complete").start()
+    in.addData((ts(0), 1L), (ts(2), 1L))
+    q1.processAllAvailable()
+    assert(spark.table("t2_out").count() >= 5) // each event lands in 5 sliding windows
+    q1.stop()
+
+    val in3 = MemoryStream[(Timestamp, Long)](spark)
+    val sessions = in3.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("uid"))
+      .agg(count(lit(1)).as("n"))
+    val q3 = sessions.writeStream.format("memory").queryName("t3_out").outputMode("complete").start()
+    in3.addData((ts(0), 1L), (ts(10), 1L), (ts(59), 1L)) // gap > 30m -> 2 sessions
+    q3.processAllAvailable()
+    assert(spark.table("t3_out").count() == 2)
+    q3.stop()
+  }
+}
+
+/** Static sinks so foreachBatch closures survive query restarts. */
+object StreamingTckSpec {
+  private val sinks = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
+  def sink(name: String): java.util.concurrent.ConcurrentLinkedQueue[String] =
+    sinks.computeIfAbsent(name, _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+}
