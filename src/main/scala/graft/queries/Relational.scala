@@ -137,6 +137,20 @@ object Relational {
             FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
 
+  private val q06cube = QueryDef(
+    "q06_cube",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
   // ---------------------------------------------------------------- Q7
   // Dim tables are tiny at any SF — broadcast them explicitly so the
   // plan is a pair of BroadcastHashJoins with zero shuffle of customer.
@@ -204,6 +218,26 @@ object Relational {
             LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
               ON c_custkey = o_custkey
             GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  // Full outer: per-nation customer vs supplier counts; nations with
+  // only one side present keep nulls on the other.
+  private val q09full = QueryDef(
+    "q09_full_outer_join",
+    (s, dir) => {
+      val cn = t(s, dir, "customer").groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("c_cnt"))
+      val sn = t(s, dir, "supplier").groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("s_cnt"))
+      cn.join(sn, col("ck") === col("sk"), "full_outer")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+                col("c_cnt"), col("s_cnt"))
+        .orderBy("nationkey")
+    },
+    Some("""SELECT COALESCE(ck, sk) AS nationkey, c_cnt, s_cnt
+            FROM (SELECT c_nationkey AS ck, COUNT(*) AS c_cnt FROM customer GROUP BY 1) cn
+            FULL OUTER JOIN (SELECT s_nationkey AS sk, COUNT(*) AS s_cnt FROM supplier GROUP BY 1) sn
+              ON ck = sk
+            ORDER BY nationkey"""))
 
   // --------------------------------------------------------------- Q10
   private val q10semi = QueryDef(
@@ -710,7 +744,8 @@ object Relational {
             ORDER BY l_returnflag, l_linestatus"""))
 
   val all: Seq[QueryDef] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10semi, q10anti,
-    q11, q12, q13, q14, q15, q16, q17union, q17intersect, q17except,
+    q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
+    q10semi, q10anti, q11, q12, q13, q14, q15, q16,
+    q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26)
 }

@@ -3,38 +3,41 @@ package graft.streaming
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoder, ExpressionEncoder}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.model.{Cursor, Message, StartingPoint}
 
-/** Kinesis-shaped Structured Streaming source (DataSource V2) over a
-  * [[ShardLog]] — the Spark re-expression of the reference's consume
+/** Kinesis-shaped Structured Streaming source (DataSource V2) over
+  * [[ShardLog]]s — the Spark re-expression of the reference's consume
   * loop (SURVEY.md §3.2): `latestOffset`/`planInputPartitions` replace
   * GetShardIterator, `PartitionReader` replaces GetRecords + decode +
   * provider-enrich, the trigger interval replaces pollIntervalMs, and
-  * the checkpointed offset log replaces the cursor JSON — with the SAME
-  * wire format: this source's Offset serializes to
+  * the checkpointed offset log replaces cursor persistence — with the
+  * SAME wire format: a single-shard offset serializes to
   * `{"shardId": ..., "sequenceNumber": ..., "inclusive": ...}`
-  * (`KinesisMessiCursor.java:58-68`).
+  * (`KinesisMessiCursor.java:58-68`); multi-shard topics nest one such
+  * object per shard under `"offsets"`.
   *
   * Options:
-  *  - `log`       (required) registry name of the shard log
+  *  - `log` one registry shard log, or `topic` a multi-shard topic
   *  - `startingPosition` "earliest" (default) | "latest" |
   *     "at_timestamp:<epochMillis>" | a cursor checkpoint JSON
-  *  - `maxRecordsPerBatch` admission control per micro-batch (the
-  *     reference's GetRecords LIMIT=1000 pacing)
+  *  - `maxRecordsPerBatch` per-shard admission control per micro-batch
+  *     (the reference's GetRecords LIMIT=1000 pacing,
+  *     `KinesisStreamingBuffer.java:41,100`)
   *
-  * At 100 TB the same shape holds: one `InputPartition` per shard
-  * (`planInputPartitions` = shard discovery, §2A-12), offsets per
-  * shard, executor-side sequential reads per shard — swap ShardLog for
-  * the Kinesis SDK and nothing else changes.
+  * Scale shape: shard discovery happens on the driver
+  * (`planInputPartitions` = §2A-12), each shard becomes ONE
+  * InputPartition read sequentially by an executor — per-shard order
+  * preserved, shards read in parallel, offsets tracked per shard. Swap
+  * ShardLog for the Kinesis SDK and nothing else changes.
   */
 class MessageTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-messages"
@@ -42,46 +45,52 @@ class MessageTableProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new MessageTable(opts.get("log"), Option(opts.get("startingPosition")),
+    val logNames: Seq[String] =
+      (Option(opts.get("topic")), Option(opts.get("log"))) match {
+        case (Some(topic), _) =>
+          val t = Topics.get(topic).getOrElse(
+            throw new IllegalArgumentException(s"unknown topic '$topic' — create it with Topics.create"))
+          (0 until t.numShards).map(i => s"$topic#$i")
+        case (None, Some(log)) => Seq(log)
+        case _ => throw new IllegalArgumentException("option 'log' or 'topic' is required")
+      }
+    new MessageTable(logNames, Option(opts.get("startingPosition")),
       Option(opts.get("maxRecordsPerBatch")).map(_.toInt).getOrElse(1000))
   }
 }
 
-final class MessageTable(logName: String, startingPosition: Option[String], maxPerBatch: Int)
+final class MessageTable(logNames: Seq[String], startingPosition: Option[String], maxPerBatch: Int)
     extends Table with SupportsRead {
-  require(logName != null, "option 'log' is required")
-  override def name(): String = s"graft-messages/$logName"
+  override def name(): String = s"graft-messages/${logNames.mkString(",")}"
   override def schema(): StructType = Message.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new MessageScan(logName, startingPosition, maxPerBatch)
+    () => new MessageScan(logNames, startingPosition, maxPerBatch)
 }
 
-final class MessageScan(logName: String, startingPosition: Option[String], maxPerBatch: Int)
+final class MessageScan(logNames: Seq[String], startingPosition: Option[String], maxPerBatch: Int)
     extends Scan {
   override def readSchema(): StructType = Message.schema
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MessageMicroBatchStream(logName, startingPosition, maxPerBatch)
+    new MessageMicroBatchStream(logNames, startingPosition, maxPerBatch)
 
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] = {
-      val log = ShardLog.getOrCreate(logName)
-      Array(MessagePartition(logName, 0L, ShardLog.parseSeq(log.endSequence)))
-    }
+    override def planInputPartitions(): Array[InputPartition] =
+      logNames.map { n =>
+        val log = ShardLog.getOrCreate(n)
+        MessagePartition(n, 0L, ShardLog.parseSeq(log.endSequence)): InputPartition
+      }.toArray
     override def createReaderFactory(): PartitionReaderFactory = new MessageReaderFactory
   }
 }
 
-/** Offset = the reference's cursor checkpoint. `sequenceNumber` +
-  * `inclusive` identify the NEXT record to read (canonical form:
-  * next-index, inclusive=true).
-  */
-final case class ShardOffset(shardId: String, sequenceNumber: String, inclusive: Boolean)
-    extends Offset {
+/** Per-shard offset = the reference's cursor checkpoint (canonical
+  * form: next-index, inclusive=true). */
+final case class ShardOffset(shardId: String, sequenceNumber: String, inclusive: Boolean) {
   def nextIndex: Long = ShardLog.parseSeq(sequenceNumber) + (if (inclusive) 0 else 1)
-  override def json(): String =
+  def json: String =
     s"""{"shardId": ${Cursor.jsonStr(shardId)}, "sequenceNumber": ${Cursor.jsonStr(sequenceNumber)}, "inclusive": $inclusive}"""
 }
 
@@ -93,28 +102,33 @@ object ShardOffset {
   }
 }
 
-final class MessageMicroBatchStream(logName: String, startingPosition: Option[String],
+/** Composite offset over all shards of the subscription. Single-shard
+  * topics serialize as the bare cursor JSON (reference wire parity). */
+final case class TopicOffset(offsets: Seq[ShardOffset]) extends Offset {
+  override def json(): String =
+    if (offsets.size == 1) offsets.head.json
+    else offsets.map(_.json).mkString("""{"offsets": [""", ", ", "]}")
+}
+
+object TopicOffset {
+  def fromJson(s: String): TopicOffset =
+    if (s.contains("\"offsets\"")) {
+      val objs = "\\{[^{}]*\\}".r.findAllIn(s.substring(s.indexOf('['))).toSeq
+      TopicOffset(objs.map(ShardOffset.fromJson))
+    } else TopicOffset(Seq(ShardOffset.fromJson(s)))
+}
+
+final class MessageMicroBatchStream(logNames: Seq[String], startingPosition: Option[String],
                                     maxPerBatch: Int)
-    extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
-  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    extends MicroBatchStream with SupportsAdmissionControl {
 
-  private def log: ShardLog = ShardLog.getOrCreate(logName)
+  private def logs: Seq[ShardLog] = logNames.map(ShardLog.getOrCreate)
 
-  // Admission control: the reference's GetRecords LIMIT pacing
-  // (`KinesisStreamingBuffer.java:41,100`) — each micro-batch admits at
-  // most maxPerBatch records, the engine loops until caught up.
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerBatch)
+  // Admission control: each micro-batch admits at most maxPerBatch
+  // records PER SHARD; the engine loops batches until caught up.
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerBatch.toLong)
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[ShardOffset].nextIndex
-    val end = ShardLog.parseSeq(log.endSequence)
-    ShardOffset(log.shardId, ShardLog.formatSeq(math.min(end, s + maxPerBatch)), inclusive = true)
-  }
-
-  override def reportLatestOffset(): Offset = latestOffset()
-
-  override def initialOffset(): Offset = {
+  override def initialOffset(): Offset = TopicOffset(logs.map { log =>
     val idx: Long = startingPosition.map(_.trim) match {
       case None | Some("earliest") => 0L
       case Some("latest") => ShardLog.parseSeq(log.endSequence)
@@ -122,22 +136,39 @@ final class MessageMicroBatchStream(logName: String, startingPosition: Option[St
         val ts = sp.stripPrefix("at_timestamp:").toLong
         log.sequenceAtTimestamp(ts).map(ShardLog.parseSeq)
           .getOrElse(ShardLog.parseSeq(log.endSequence))
-      case Some(json) => ShardOffset.fromJson(json).nextIndex
+      case Some(json) =>
+        TopicOffset.fromJson(json).offsets.find(_.shardId == log.shardId)
+          .map(_.nextIndex).getOrElse(0L)
     }
     ShardOffset(log.shardId, ShardLog.formatSeq(idx), inclusive = true)
+  })
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val starts = start.asInstanceOf[TopicOffset].offsets.map(o => o.shardId -> o.nextIndex).toMap
+    TopicOffset(logs.map { log =>
+      val s = starts.getOrElse(log.shardId, 0L)
+      val end = ShardLog.parseSeq(log.endSequence)
+      ShardOffset(log.shardId, ShardLog.formatSeq(math.min(end, s + maxPerBatch)), inclusive = true)
+    })
   }
 
-  override def latestOffset(): Offset = {
-    val end = ShardLog.parseSeq(log.endSequence)
-    ShardOffset(log.shardId, ShardLog.formatSeq(end), inclusive = true)
-  }
+  override def latestOffset(): Offset =
+    TopicOffset(logs.map(log =>
+      ShardOffset(log.shardId, log.endSequence, inclusive = true)))
 
-  override def deserializeOffset(json: String): Offset = ShardOffset.fromJson(json)
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def deserializeOffset(json: String): Offset = TopicOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[ShardOffset].nextIndex
-    val e = end.asInstanceOf[ShardOffset].nextIndex
-    if (e <= s) Array.empty else Array(MessagePartition(logName, s, e))
+    val starts = start.asInstanceOf[TopicOffset].offsets.map(o => o.shardId -> o.nextIndex).toMap
+    val ends = end.asInstanceOf[TopicOffset].offsets.map(o => o.shardId -> o.nextIndex).toMap
+    logNames.flatMap { n =>
+      val log = ShardLog.getOrCreate(n)
+      val s = starts.getOrElse(log.shardId, 0L)
+      val e = ends.getOrElse(log.shardId, s)
+      if (e <= s) None else Some(MessagePartition(n, s, e): InputPartition)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new MessageReaderFactory
@@ -152,9 +183,8 @@ final class MessageReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MessagePartition]
     new PartitionReader[InternalRow] {
-      private val serializer = ExpressionEncoder(
-        Message.encoder.asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[Message]]
-      ).createSerializer()
+      private val serializer =
+        ExpressionEncoder(Message.encoder.asInstanceOf[AgnosticEncoder[Message]]).createSerializer()
       private val log = ShardLog.getOrCreate(p.logName)
       private var idx = p.startIdx
       private var current: Message = _

@@ -89,5 +89,7 @@ object ShardLog {
   private val registry = new java.util.concurrent.ConcurrentHashMap[String, ShardLog]()
   def getOrCreate(name: String): ShardLog =
     registry.computeIfAbsent(name, _ => new ShardLog())
+  def getOrCreate(name: String, shardId: String): ShardLog =
+    registry.computeIfAbsent(name, _ => new ShardLog(shardId))
   def remove(name: String): Unit = registry.remove(name)
 }
