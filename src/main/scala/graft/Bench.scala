@@ -50,9 +50,58 @@ object Bench {
           name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val streamSec = streamingThroughput(spark)
+    val all = results :+ ("stream_100k_msgs" -> streamSec)
+    val qs = all.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val total = all.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** End-to-end messaging throughput: publish 100k messages through the
+    * distributed producer (4-shard topic, key routing), then stream
+    * them all through the DSv2 source into a count. The reference's
+    * ceiling for the same work is the Kinesis service limit
+    * (1k rec/s/shard write -> 25 s for 4 shards); this path measures
+    * the engine's own overhead instead.
+    */
+  private def streamingThroughput(spark: SparkSession): Double = {
+    import graft.model.Message
+    import graft.streaming._
+    try {
+      val name = "bench-topic-" + System.nanoTime()
+      val n = 100000
+      val t0 = System.nanoTime()
+      val msgs = spark.range(n).selectExpr(
+        "named_struct('msb', id, 'lsb', id) as ulid",
+        "concat('user-', cast(id % 1000 as string)) as partitionKey",
+        "cast(id as string) as externalId",
+        "map('body', cast(concat('payload-', id) as binary)) as data",
+        "map() as attributes",
+        "cast(null as timestamp) as timestamp",
+        "cast(null as struct<group: string, sequenceNumber: bigint>) as ordering",
+        "cast(null as struct<technology: string, publishedTimestamp: bigint, shardId: string, sequenceNumber: string>) as firstProvider",
+        "cast(null as struct<technology: string, publishedTimestamp: bigint, shardId: string, sequenceNumber: string>) as provider",
+        "cast(null as struct<clientSourceId: string>) as source")
+        .as[Message](Message.encoder)
+      Topics.create(name, 4)
+      Producer.publishDataset(name + "#0", msgs.filter("ulid.msb % 4 = 0"))
+      Producer.publishDataset(name + "#1", msgs.filter("ulid.msb % 4 = 1"))
+      Producer.publishDataset(name + "#2", msgs.filter("ulid.msb % 4 = 2"))
+      Producer.publishDataset(name + "#3", msgs.filter("ulid.msb % 4 = 3"))
+      val q = spark.readStream.format("graft-messages").option("topic", name)
+        .option("maxRecordsPerBatch", "25000").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("bench-ck").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      (System.nanoTime() - t0) / 1e9
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming throughput failed: ${e.getMessage}")
+        -1.0
+    }
   }
 }

@@ -28,6 +28,13 @@ object Llm {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** The shingle-frequency table is vocabulary-sized (distinct
+    * shingles), not corpus-sized — broadcast it so the frequency join
+    * adds no shuffle of the big shingle table. At open-vocabulary
+    * 100 TB scale drop the hint and let AQE pick (the join key is
+    * already the shuffle key of the downstream candidate join). */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
   /** Distinct word-3-gram shingles per doc: (doc_id, sh). Docs with
     * fewer than 3 words contribute their whole text as one shingle. */
   private def shingles(docs: DataFrame): DataFrame =
@@ -94,15 +101,22 @@ object Llm {
   // ---------------------------------------------------------------- L2
   // Exact n-gram-Jaccard near-dup via prefix filtering: a pair with
   // J >= T must share one of each doc's first |S|-ceil(T*|S|)+1
-  // shingles (global lexicographic order) — candidates stay
+  // shingles under ANY global total order — candidates stay
   // sub-quadratic, and the result is EXACT, not approximate.
+  // The Spark side orders by (global document frequency, shingle) —
+  // rarest-first prefixes collide far less than lexicographic ones, so
+  // the candidate join shrinks by an order of magnitude (ppjoin-style);
+  // the oracle uses plain lexicographic order: both are exact, so the
+  // final pair set is identical.
   private val l2 = QueryDef(
     "l2_jaccard_pairs",
     (s, dir) => {
       val sh = shingles(t(s, dir, "documents")).cache()
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val w = Window.partitionBy("doc_id").orderBy("sh")
-      val pref = sh.withColumn("rn", row_number().over(w))
+      val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy("df", "sh")
+      val pref = sh.join(broadcastIfSmall(freq), "sh")
+        .withColumn("rn", row_number().over(w))
         .join(sz, "doc_id")
         .filter(col("rn") <= col("sz") - ceil(col("sz") * T) + 1)
         .select("doc_id", "sh")
