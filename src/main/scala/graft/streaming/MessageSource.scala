@@ -45,31 +45,83 @@ class MessageTableProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    val logNames: Seq[String] =
-      (Option(opts.get("topic")), Option(opts.get("log"))) match {
-        case (Some(topic), _) =>
-          val t = Topics.get(topic).getOrElse(
-            throw new IllegalArgumentException(s"unknown topic '$topic' — create it with Topics.create"))
-          (0 until t.numShards).map(i => s"$topic#$i")
-        case (None, Some(log)) => Seq(log)
-        case _ => throw new IllegalArgumentException("option 'log' or 'topic' is required")
-      }
-    new MessageTable(logNames, Option(opts.get("startingPosition")),
+    val topicOpt = Option(opts.get("topic"))
+    val logOpt = Option(opts.get("log"))
+    require(topicOpt.isDefined || logOpt.isDefined, "option 'log' or 'topic' is required")
+    new MessageTable(topicOpt, logOpt, Option(opts.get("startingPosition")),
       Option(opts.get("maxRecordsPerBatch")).map(_.toInt).getOrElse(1000))
   }
 }
 
-final class MessageTable(logNames: Seq[String], startingPosition: Option[String], maxPerBatch: Int)
-    extends Table with SupportsRead {
-  override def name(): String = s"graft-messages/${logNames.mkString(",")}"
+final class MessageTable(topicOpt: Option[String], logOpt: Option[String],
+                         startingPosition: Option[String], maxPerBatch: Int)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  /** Shard-log registry names backing this subscription. */
+  private def logNames: Seq[String] = topicOpt match {
+    case Some(topic) =>
+      val t = Topics.get(topic).getOrElse(
+        throw new IllegalArgumentException(s"unknown topic '$topic' — create it with Topics.create"))
+      (0 until t.numShards).map(i => s"$topic#$i")
+    case None => Seq(logOpt.get)
+  }
+
+  override def name(): String = s"graft-messages/${topicOpt.orElse(logOpt).get}"
   override def schema(): StructType = Message.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new MessageScan(logNames, startingPosition, maxPerBatch)
+    new MessageScanBuilder(logNames, startingPosition, maxPerBatch)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new MessageWriteBuilder(topicOpt, logOpt)
 }
 
-final class MessageScan(logNames: Seq[String], startingPosition: Option[String], maxPerBatch: Int)
+/** Scan builder with replay pruning (SURVEY.md §4.2-5): a pushed
+  * `provider.publishedTimestamp >= ts` predicate becomes a per-shard
+  * timestamp SEEK — the declarative equivalent of the reference's
+  * server-side `AT_TIMESTAMP` shard iterator
+  * (`KinesisStreamingBuffer.java:258-262`). Sound because arrival
+  * timestamps are monotone within a shard. All predicates stay
+  * residual (Spark re-applies them); the seek only prunes the scan.
+  */
+final class MessageScanBuilder(logNames: Seq[String], startingPosition: Option[String],
+                               maxPerBatch: Int)
+    extends ScanBuilder with SupportsPushDownV2Filters {
+  import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private var pushed: Array[Predicate] = Array.empty
+  private var minArrival: Option[Long] = None
+
+  private def lowerBound(p: Predicate): Option[Long] = {
+    val inclusive = p.name == ">="
+    if (!inclusive && p.name != ">") return None
+    p.children() match {
+      case Array(f: NamedReference, l: V2Literal[_])
+          if f.fieldNames.toSeq == Seq("provider", "publishedTimestamp") =>
+        l.value() match {
+          case v: java.lang.Long => Some(if (inclusive) v.longValue else v.longValue + 1)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+    pushed = predicates.filter(p => lowerBound(p).isDefined)
+    minArrival = pushed.flatMap(lowerBound).maxOption
+    predicates // everything stays residual; the seek is purely a prune
+  }
+  override def pushedPredicates(): Array[Predicate] = pushed
+
+  override def build(): Scan = new MessageScan(logNames, startingPosition, maxPerBatch, minArrival)
+}
+
+final class MessageScan(logNames: Seq[String], startingPosition: Option[String],
+                        maxPerBatch: Int, minArrival: Option[Long] = None)
     extends Scan {
   override def readSchema(): StructType = Message.schema
 
@@ -80,7 +132,12 @@ final class MessageScan(logNames: Seq[String], startingPosition: Option[String],
     override def planInputPartitions(): Array[InputPartition] =
       logNames.map { n =>
         val log = ShardLog.getOrCreate(n)
-        MessagePartition(n, 0L, ShardLog.parseSeq(log.endSequence)): InputPartition
+        val start = minArrival match {
+          case Some(ts) => log.sequenceAtTimestamp(ts).map(ShardLog.parseSeq)
+            .getOrElse(ShardLog.parseSeq(log.endSequence))
+          case None => 0L
+        }
+        MessagePartition(n, start, ShardLog.parseSeq(log.endSequence)): InputPartition
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory = new MessageReaderFactory
   }

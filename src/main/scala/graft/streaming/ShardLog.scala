@@ -52,6 +52,9 @@ final class ShardLog(val shardId: String = "shardId-000000000000") {
     * `fromSeq` (inclusive or exclusive). `fromSeq=None` = TRIM_HORIZON.
     * Returns enriched messages with their sequence numbers.
     */
+  /** Records served since creation — lets tests observe scan pruning. */
+  val recordsRead = new java.util.concurrent.atomic.AtomicLong()
+
   def read(fromSeq: Option[String], inclusive: Boolean, limit: Int): Seq[(String, Message)] = synchronized {
     val startIdx = fromSeq match {
       case None => 0
@@ -59,8 +62,10 @@ final class ShardLog(val shardId: String = "shardId-000000000000") {
         val i = ShardLog.parseSeq(seq).toInt
         if (inclusive) i else i + 1
     }
-    records.iterator.slice(startIdx, math.min(records.size, startIdx + math.max(limit, 0)))
+    val out = records.iterator.slice(startIdx, math.min(records.size, startIdx + math.max(limit, 0)))
       .map(r => r.sequenceNumber -> enrich(r)).toSeq
+    recordsRead.addAndGet(out.size)
+    out
   }
 
   /** First sequence with arrival timestamp >= ts (AT_TIMESTAMP
