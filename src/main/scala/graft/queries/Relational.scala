@@ -743,7 +743,55 @@ object Relational {
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus"""))
 
+  // ------------------------------------------------- subqueries (Q26+)
+  // Catalyst's subquery machinery (scalar, IN, correlated EXISTS with
+  // decorrelation) — all through the SQL entry point.
+  private val q27 = QueryDef(
+    "q27_scalar_subquery",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_custkey, c_acctbal FROM customer
+               WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+               ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+            ORDER BY c_custkey"""))
+
+  private val q28 = QueryDef(
+    "q28_in_subquery",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+                 AND o_totalprice > 250000.0
+               ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+              AND o_totalprice > 250000.0
+            ORDER BY o_orderkey"""))
+
+  private val q29 = QueryDef(
+    "q29_correlated_exists",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_custkey, c_name FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 2.0 * c.c_acctbal
+                               AND c.c_acctbal > 0)
+               ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 2.0 * c.c_acctbal
+                            AND c.c_acctbal > 0)
+            ORDER BY c_custkey"""))
+
   val all: Seq[QueryDef] = Seq(
+    q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
     q10semi, q10anti, q11, q12, q13, q14, q15, q16,
     q17union, q17intersect, q17except,
