@@ -177,9 +177,20 @@ object TopicOffset {
 
 final class MessageMicroBatchStream(logNames: Seq[String], startingPosition: Option[String],
                                     maxPerBatch: Int)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def logs: Seq[ShardLog] = logNames.map(ShardLog.getOrCreate)
+
+  // Trigger.AvailableNow: freeze the end position at prepare time so
+  // the run drains exactly what existed at start (paced by
+  // maxRecordsPerBatch) and then terminates, even while producers keep
+  // appending — the catch-up/batch-drain mode (reference: the
+  // millisBehindLatest hot loop, `KinesisStreamingBuffer.java:162-167`).
+  @volatile private var frozenEnd: Option[Map[String, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenEnd = Some(logs.map(l => l.shardId -> ShardLog.parseSeq(l.endSequence)).toMap)
 
   // Admission control: each micro-batch admits at most maxPerBatch
   // records PER SHARD; the engine loops batches until caught up.
@@ -204,7 +215,8 @@ final class MessageMicroBatchStream(logNames: Seq[String], startingPosition: Opt
     val starts = start.asInstanceOf[TopicOffset].offsets.map(o => o.shardId -> o.nextIndex).toMap
     TopicOffset(logs.map { log =>
       val s = starts.getOrElse(log.shardId, 0L)
-      val end = ShardLog.parseSeq(log.endSequence)
+      val live = ShardLog.parseSeq(log.endSequence)
+      val end = frozenEnd.flatMap(_.get(log.shardId)).map(math.min(_, live)).getOrElse(live)
       ShardOffset(log.shardId, ShardLog.formatSeq(math.min(end, s + maxPerBatch)), inclusive = true)
     })
   }

@@ -86,6 +86,24 @@ class SinkAndPushdownSpec extends AnyFunSuite {
     assert(df.filter(col("provider.publishedTimestamp") > 1998L).count() == 1)
   }
 
+  test("Trigger.AvailableNow drains exactly the pre-start backlog, paced, then terminates") {
+    val logName = "sk-avail-" + System.nanoTime()
+    val log = ShardLog.getOrCreate(logName)
+    (0 until 25).foreach(i => log.putRecords(Seq(msg("pk", "a" + i))))
+    val q = spark.readStream.format("graft-messages").option("log", logName)
+      .option("maxRecordsPerBatch", "7").load()
+      .writeStream.format("memory").queryName("avail_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("av").toString)
+      .start()
+    // publish MORE while draining — AvailableNow must not chase the tail
+    log.putRecords(Seq(msg("pk", "late")))
+    assert(q.awaitTermination(60000), "AvailableNow query did not terminate")
+    val got = spark.table("avail_out").select("externalId").as[String].collect().toSeq
+    assert(got.size >= 25 && got.size <= 26) // backlog drained; tail race tolerated
+    assert(got.take(25) == (0 until 25).map("a" + _))
+  }
+
   test("stream == batch: session windows over the real events table agree") {
     val events = graft.Tables(spark, SparkFixture.sfDir, "events")
       .select(col("ts").cast("timestamp").as("ts"), col("user_id"))
