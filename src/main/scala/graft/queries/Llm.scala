@@ -280,6 +280,57 @@ object Llm {
     },
     None)
 
+  // Embedding-cosine near-dup: random-hyperplane 16-bit codes bucket
+  // the vectors; same-code pairs are exact-verified at cosine >= 0.9.
+  // The LSH is deterministic arithmetic, so the oracle implements the
+  // identical algorithm in SQL — candidate sets match bit-for-bit.
+  // (The fixture embeddings are near-random, so the pair set is empty
+  // at sf<=0.1 — the check still pins the full pipeline on both sides.)
+  private val l2embed = QueryDef(
+    "l2_embedding_cosine",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      def planeVal(p: Int, d: Int): Double =
+        (((p * 64 + d) * 2654435761L + 1013904223L) % 2147483647L).toDouble / 2147483647.0 * 2 - 1
+      val code = (0 until 16).map { p =>
+        val dot = (0 until 64).map(d =>
+          element_at(col("embedding"), d + 1).cast("double") * planeVal(p, d)).reduce(_ + _)
+        when(dot > 0, 1 << p).otherwise(0)
+      }.reduce(_ + _)
+      val coded = e.select(col("vec_id"), col("embedding"), code.as("code"))
+      val cand = coded.as("a").join(coded.as("b"),
+          col("a.code") === col("b.code") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("a.embedding").as("qe"),
+                col("b.vec_id").as("v2"), col("b.embedding").as("ve"))
+      cand.withColumn("sim", expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ve"))))
+        .select(col("v1"), col("v2"), round(col("sim"), 6).as("simr"))
+        .filter(col("simr") >= 0.9)
+        .orderBy("v1", "v2")
+    },
+    Some("""WITH planes AS (
+              SELECT p, d,
+                     CAST(((p*64 + d) * 2654435761 + 1013904223) % 2147483647 AS DOUBLE)
+                       / 2147483647.0 * 2 - 1 AS v
+              FROM (SELECT unnest(range(0,16)) AS p) tp, (SELECT unnest(range(0,64)) AS d) td),
+            x AS (SELECT vec_id, unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+            dots AS (SELECT vec_id, p, SUM(CAST(e AS DOUBLE) * v) AS dot
+                     FROM x JOIN planes USING (d) GROUP BY vec_id, p),
+            codes AS (SELECT vec_id,
+                             CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS code
+                      FROM dots GROUP BY vec_id),
+            cand AS (SELECT a.vec_id AS v1, b.vec_id AS v2 FROM codes a
+                     JOIN codes b ON a.code = b.code AND a.vec_id < b.vec_id),
+            n AS (SELECT vec_id, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
+                  FROM x GROUP BY vec_id),
+            dp AS (SELECT v1, v2, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
+                   FROM cand JOIN x xa ON xa.vec_id = v1 JOIN x xb ON xb.vec_id = v2 AND xb.d = xa.d
+                   GROUP BY v1, v2)
+            SELECT v1, v2, round(dot / (na.nrm * nb.nrm), 6) AS simr
+            FROM dp JOIN n na ON na.vec_id = v1 JOIN n nb ON nb.vec_id = v2
+            WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9
+            ORDER BY v1, v2"""))
+
   // ---------------------------------------------------------------- L4
   private def stopCount(langWords: Seq[String]): String =
     s"size(filter(ws, x -> x in (${langWords.map(w => s"'$w'").mkString(", ")})))"
@@ -431,6 +482,6 @@ object Llm {
             FROM documents ORDER BY doc_id"""))
 
   val all: Seq[QueryDef] = Seq(
-    l1, l2, l2minhash, l2simhash, l3, l3ann,
+    l1, l2, l2minhash, l2simhash, l2embed, l3, l3ann,
     l4lang, l4quality, l4tokens, l4tfidf, l4fp, l5)
 }
