@@ -331,6 +331,50 @@ object Llm {
             WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9
             ORDER BY v1, v2"""))
 
+  // IVF-lite ANN (the other scale path): 32 deterministic centroids
+  // (the first 32 vectors — honest about being init-only, no k-means
+  // iterations to keep it SQL-deterministic), every vector assigned to
+  // its nearest centroid, queries probe their nprobe=4 closest
+  // centroids, exact cosine re-rank within the probed lists. At scale
+  // the inverted lists are the partitioning: candidates touch
+  // nprobe/k of the corpus. Approximate → rows-only check; recall
+  // asserted in QueriesSpec.
+  private val l3ivf = QueryDef(
+    "l3_ann_ivf",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("cid"), col("embedding").as("qe"))
+      def cos(df: DataFrame): DataFrame =
+        df.withColumn("sim", expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ve"))))
+      // nearest centroid per vector (inverted-list assignment)
+      val wAssign = Window.partitionBy("vid").orderBy(col("sim").desc, col("cid").asc)
+      val assign = cos(e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+          .crossJoin(broadcast(cents)))
+        .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+        .select(col("vid"), col("cid"))
+      // queries probe their 4 closest centroids
+      val wProbe = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+      val probes = cos(e.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("qid"), col("embedding").as("ve"))
+          .crossJoin(broadcast(cents)))
+        .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 4)
+        .select(col("qid"), col("cid"))
+      val qvec = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val cand = probes.join(assign, "cid")
+        .filter(col("vid") =!= col("qid"))
+        .select("qid", "vid").distinct()
+        .join(qvec, "qid")
+        .join(e.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
+      val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+      cos(cand).select(col("qid"), col("vid"), round(col("sim"), 6).as("simr"))
+        .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 10)
+        .select("qid", "rn", "vid", "simr")
+        .orderBy("qid", "rn")
+    },
+    None)
+
   // ---------------------------------------------------------------- L4
   private def stopCount(langWords: Seq[String]): String =
     s"size(filter(ws, x -> x in (${langWords.map(w => s"'$w'").mkString(", ")})))"
@@ -482,6 +526,6 @@ object Llm {
             FROM documents ORDER BY doc_id"""))
 
   val all: Seq[QueryDef] = Seq(
-    l1, l2, l2minhash, l2simhash, l2embed, l3, l3ann,
+    l1, l2, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf,
     l4lang, l4quality, l4tokens, l4tfidf, l4fp, l5)
 }

@@ -12,7 +12,9 @@ class QueriesSpec extends AnyFunSuite {
   test("every declared query runs and returns rows on sf0.001") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, SparkFixture.sfDir).count()
-      if (n == 0 && name != "q17_except") Some(name) else None
+      // q17_except: all nationkeys have suppliers at some SFs;
+      // l2_embedding_cosine: fixture embeddings have no >=0.9 pairs
+      if (n == 0 && name != "q17_except" && name != "l2_embedding_cosine") Some(name) else None
     }
     assert(empty.isEmpty, s"queries with zero rows: $empty")
   }
@@ -23,14 +25,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("ann lsh recall vs brute force stays above the data-limited floor") {
+  test("ann (lsh + ivf) recall vs brute force stays above the data-limited floor") {
     val bf = SparkEntry.queries("l3_knn_bruteforce")(spark, SparkFixture.sfDir)
       .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = SparkEntry.queries("l3_ann_lsh")(spark, SparkFixture.sfDir)
-      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (bf & ann).size.toDouble / bf.size
+    def recall(name: String): Double = {
+      val ann = SparkEntry.queries(name)(spark, SparkFixture.sfDir)
+        .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf & ann).size.toDouble / bf.size
+    }
+    val lsh = recall("l3_ann_lsh")
+    val ivf = recall("l3_ann_ivf")
+    info(s"recall@10: lsh=$lsh ivf=$ivf")
     // fixture embeddings are near-random (top-10 cosine ~0.37), which
-    // bounds any bucketed ANN; 8x6-bit hyperplane tables land ~0.2-0.4
-    assert(recall >= 0.1, s"recall collapsed: $recall")
+    // bounds any bucketed/probed ANN on this data
+    assert(lsh >= 0.1, s"lsh recall collapsed: $lsh")
+    assert(ivf >= 0.1, s"ivf recall collapsed: $ivf")
   }
 }
