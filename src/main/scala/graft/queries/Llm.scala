@@ -52,18 +52,22 @@ object Llm {
       |    ELSE [array_to_string(ws, ' ')] END) AS sh FROM w)),
       |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id)""".stripMargin
 
-  /** Exact Jaccard for candidate pairs: count shared shingles, join doc
-    * sizes, filter >= T. Shared by the prefix-filter and MinHash paths. */
+  /** Exact Jaccard for candidate pairs. The candidate set is tiny after
+    * filtering, so intersection counting joins each pair against ONE
+    * row per doc (collected shingle arrays) and intersects in-memory —
+    * two small hash joins instead of a row-level join against the full
+    * corpus-sized shingle table. Shared by the prefix-filter and
+    * MinHash paths.
+    */
   private def verifiedJaccard(cand: DataFrame, sh: DataFrame, sz: DataFrame): DataFrame = {
-    val inter = cand
-      .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("d2") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.as("za"), col("d1") === col("za.doc_id"))
-      .join(sz.as("zb"), col("d2") === col("zb.doc_id"))
+    val arrs = sh.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("arr"), count(lit(1)).as("sz"))
+    cand
+      .join(arrs.select(col("doc_id").as("d1"), col("arr").as("arr1"), col("sz").as("sz1")), "d1")
+      .join(arrs.select(col("doc_id").as("d2"), col("arr").as("arr2"), col("sz").as("sz2")), "d2")
+      .withColumn("inter", size(array_intersect(col("arr1"), col("arr2"))))
       .select(col("d1"), col("d2"),
-        (col("inter").cast("double") / (col("za.sz") + col("zb.sz") - col("inter"))).as("j"))
+        (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("j"))
       .filter(col("j") >= T)
       .orderBy("d1", "d2")
   }
