@@ -86,6 +86,34 @@ class SinkAndPushdownSpec extends AnyFunSuite {
     assert(df.filter(col("provider.publishedTimestamp") > 1998L).count() == 1)
   }
 
+  test("rate source (S3) feeds the message write path end-to-end") {
+    val name = "sk-rate-" + System.nanoTime()
+    Topics.create(name, 2)
+    val q = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+      .selectExpr(
+        "cast(null as struct<msb: bigint, lsb: bigint>) as ulid",
+        "concat('rate-', cast(value % 5 as string)) as partitionKey",
+        "cast(value as string) as externalId",
+        "map('ts', cast(cast(timestamp as string) as binary)) as data",
+        "map() as attributes",
+        "timestamp",
+        "cast(null as struct<group: string, sequenceNumber: bigint>) as ordering",
+        "cast(null as struct<technology: string, publishedTimestamp: bigint, shardId: string, sequenceNumber: string>) as firstProvider",
+        "cast(null as struct<technology: string, publishedTimestamp: bigint, shardId: string, sequenceNumber: string>) as provider",
+        "cast(null as struct<clientSourceId: string>) as source")
+      .writeStream.format("graft-messages").option("topic", name)
+      .option("checkpointLocation", Files.createTempDirectory("rate").toString)
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.read.format("graft-messages").option("topic", name).load().count() < 10
+             && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q.stop()
+    val back = spark.read.format("graft-messages").option("topic", name).load()
+    assert(back.count() >= 10)
+    assert(back.filter(col("ulid").isNull).count() == 0) // writer assigned ULIDs
+  }
+
   test("Trigger.AvailableNow drains exactly the pre-start backlog, paced, then terminates") {
     val logName = "sk-avail-" + System.nanoTime()
     val log = ShardLog.getOrCreate(logName)
