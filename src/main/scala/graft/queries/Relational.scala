@@ -584,7 +584,8 @@ object Relational {
           array_min(col("embedding")).cast("double").as("mn"),
           expr("aggregate(embedding, cast(0.0 as double), (acc, x) -> acc + cast(x as double))").as("ssum"),
           expr("aggregate(embedding, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))").as("ssq"),
-          expr("size(filter(embedding, x -> x > 0))").as("n_pos"))
+          expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+          expr("aggregate(slice(embedding, 1, 3), cast(0.0 as double), (acc, x) -> acc + cast(x as double))").as("head3_sum"))
         .orderBy("vec_id")
     },
     Some("""SELECT vec_id,
@@ -594,7 +595,8 @@ object Relational {
               CAST(list_min(embedding) AS DOUBLE) AS mn,
               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (acc, x) -> acc + x) AS ssum,
               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x) AS ssq,
-              len(list_filter(embedding, x -> x > 0)) AS n_pos
+              len(list_filter(embedding, x -> x > 0)) AS n_pos,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))), (acc, x) -> acc + x) AS head3_sum
             FROM embeddings ORDER BY vec_id"""))
 
   private val q22b = QueryDef(
@@ -657,13 +659,16 @@ object Relational {
           col("event_id"),
           from_json(col("props"), lit("k INT")).getField("k").as("k_from_json"),
           get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+          expr("json_tuple(props, 'k')").as("kt"),
           to_json(struct(col("event_id").as("id"), col("event_type").as("t"))).as("j"))
+        .withColumn("k_tuple", col("kt").cast("int")).drop("kt")
         .orderBy("event_id")
     },
     Some("""SELECT event_id,
               CAST(props->>'$.k' AS INTEGER) AS k_from_json,
               CAST(props->>'$.k' AS INTEGER) AS k_path,
-              '{"id":' || event_id || ',"t":"' || event_type || '"}' AS j
+              '{"id":' || event_id || ',"t":"' || event_type || '"}' AS j,
+              CAST(props->>'$.k' AS INTEGER) AS k_tuple
             FROM events ORDER BY event_id"""))
 
   // --------------------------------------------------------------- Q25
