@@ -559,8 +559,8 @@ object Relational {
               sqrt(l_extendedprice) AS sq,
               ln(l_extendedprice) AS lg,
               pow(1.0 + l_discount, 3) AS p3,
-              floor(l_extendedprice / 100.0) AS fl,
-              ceil(l_extendedprice / 100.0) AS ce,
+              CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS fl,
+              CAST(ceil(l_extendedprice / 100.0) AS BIGINT) AS ce,
               CASE WHEN l_quantity > 30 THEN 'H'
                    WHEN l_quantity > 10 THEN 'M' ELSE 'L' END AS bucket,
               greatest(l_tax, l_discount) AS gmax,

@@ -54,7 +54,7 @@ object StreamingBatch {
     },
     Some("""WITH x AS (SELECT user_id, ts,
                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                      <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+                      < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
                FROM events),
             y AS (SELECT user_id, ts,
                  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts

@@ -7,27 +7,33 @@ import graft.model.{Cursor, Message, StartingPoint}
 
 /** Online scan-to-match gate (SURVEY.md §2A-13 / T6): the streaming
   * equivalent of the consumer's AT_ULID / AT_EXTERNAL_ID resolution,
-  * as a stateful operator. Per shard, rows are dropped until the
-  * matching message flows past; from there on everything is emitted
-  * (inclusive keeps the match itself, exclusive starts after it).
+  * as a stateful operator. A cursor addresses ONE shard (the
+  * reference's GetShardIterator is per-shard:
+  * KinesisMessiShard.java:65, KinesisMessiStreamingConsumer.java:108),
+  * so the gate first filters the stream to `cursor.shardId`, then
+  * within that shard drops rows until the matching message flows
+  * past; from there on everything is emitted (inclusive keeps the
+  * match itself, exclusive starts after it). To read several shards,
+  * union one gate per cursor — same as the reference, where a
+  * consumer holds one cursor per shard.
   *
-  * State is one boolean per shard — constant size, safe at any scale.
-  * Rows within a shard group arrive in source order because the source
-  * plans one partition per shard (ordering guarantee mirrors the
-  * reference's per-shard contract, SURVEY.md §2A note).
+  * State is one boolean for the single gated shard — constant size,
+  * safe at any scale. Rows within the shard group arrive in source
+  * order because the source plans one partition per shard (ordering
+  * guarantee mirrors the reference's per-shard contract, SURVEY.md
+  * §2A note).
   */
 object CursorGate {
 
   def apply(ds: Dataset[Message], cursor: Cursor): Dataset[Message] = {
     val (matches, inclusive) = predicate(cursor)
-    ds.groupByKey(m => m.provider.map(_.shardId).getOrElse(""))(Encoders.STRING)
+    ds.filter(m => m.provider.map(_.shardId).contains(cursor.shardId))
+      .groupByKey(m => m.provider.map(_.shardId).getOrElse(""))(Encoders.STRING)
       .flatMapGroupsWithState[Boolean, Message](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (shard: String, rows: Iterator[Message], state: GroupState[Boolean]) =>
           val opened = state.getOption.getOrElse(false)
-          if (shard != cursor.shardId) {
-            if (opened) rows else Iterator.empty
-          } else if (opened) rows
+          if (opened) rows
           else {
             val buf = rows.toVector
             val hit = buf.indexWhere(matches)

@@ -211,13 +211,32 @@ final class MessageMicroBatchStream(logNames: Seq[String], startingPosition: Opt
     ShardOffset(log.shardId, ShardLog.formatSeq(idx), inclusive = true)
   })
 
+  /** The engine-supplied ReadLimit, unwrapped to a per-batch row cap.
+    * ReadMaxRows carries the cap directly; a CompositeReadLimit (e.g.
+    * under Trigger.AvailableNow) takes the tightest row component;
+    * ReadAllAvailable / anything row-less means unbounded.
+    */
+  private def rowCap(limit: ReadLimit): Long = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxRows}
+    limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case c: CompositeReadLimit =>
+        val rows = c.getReadLimits.collect { case r: ReadMaxRows => r.maxRows() }
+        if (rows.isEmpty) Long.MaxValue else rows.min
+      case _: ReadAllAvailable => Long.MaxValue
+      case _ => Long.MaxValue
+    }
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val starts = start.asInstanceOf[TopicOffset].offsets.map(o => o.shardId -> o.nextIndex).toMap
+    val cap = rowCap(limit)
     TopicOffset(logs.map { log =>
       val s = starts.getOrElse(log.shardId, 0L)
       val live = ShardLog.parseSeq(log.endSequence)
       val end = frozenEnd.flatMap(_.get(log.shardId)).map(math.min(_, live)).getOrElse(live)
-      ShardOffset(log.shardId, ShardLog.formatSeq(math.min(end, s + maxPerBatch)), inclusive = true)
+      val capped = if (cap == Long.MaxValue) end else math.min(end, s + cap)
+      ShardOffset(log.shardId, ShardLog.formatSeq(capped), inclusive = true)
     })
   }
 

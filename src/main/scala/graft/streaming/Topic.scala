@@ -29,11 +29,17 @@ final class Topic private[streaming] (val name: String, val numShards: Int) {
     shards.find(_.shardId == shardId)
       .getOrElse(throw new IllegalArgumentException(s"no shard $shardId in topic $name"))
 
-  /** Kinesis-style routing: md5 of the partition key picks the shard. */
+  /** Kinesis hash-range routing: the full 128-bit md5 of the partition
+    * key, placed into one of N evenly-split hash ranges
+    * [i*2^128/N, (i+1)*2^128/N) — the same shard a real Kinesis stream
+    * with an even N-way split would pick for this key.
+    */
   def shardFor(partitionKey: String): ShardLog = {
     val d = MessageDigest.getInstance("MD5").digest(partitionKey.getBytes("UTF-8"))
-    val h = java.lang.Math.floorMod(new java.math.BigInteger(1, d).intValue(), numShards)
-    shards(h)
+    val h = new java.math.BigInteger(1, d) // unsigned 128-bit
+    val idx = h.multiply(java.math.BigInteger.valueOf(numShards))
+      .shiftRight(128).intValueExact()
+    shards(idx)
   }
 
   def producer(seed: Long = System.nanoTime()): TopicProducer = {

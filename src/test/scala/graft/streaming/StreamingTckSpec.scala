@@ -187,6 +187,35 @@ class StreamingTckSpec extends AnyFunSuite {
       == Seq("b", "c", "d"))
   }
 
+  // ---------------------------------------------------------------- T6b
+  test("T6b: CursorGate on a multi-shard topic reads ONLY the cursor's shard") {
+    // A cursor addresses one shard (per-shard GetShardIterator in the
+    // reference); the gate must filter to it, not silently drop or leak
+    // other shards.
+    val topic = Topics.create("t-gate-multi-" + System.nanoTime(), 2)
+    // pick two keys that land on different shards under hash-range routing
+    val keys = (0 until 64).map("k" + _)
+    val k1 = keys.find(k => topic.shardFor(k) == topic.shards(0)).get
+    val k2 = keys.find(k => topic.shardFor(k) == topic.shards(1)).get
+    val p = topic.producer(seed = 1)
+    p.publish(Message.simple(k1, "a0"), Message.simple(k2, "b0"),
+              Message.simple(k1, "a1"), Message.simple(k2, "b1"))
+    val target = topic.shardFor(k1)
+    val cursor = Cursor(target.shardId,
+      StartingPoint.AtExternalId("a1", 0L, toleranceMillis = Long.MaxValue / 4))
+    val stream = spark.readStream.format("graft-messages").option("topic", topic.name).load()
+      .as[Message](Message.encoder)
+    val gated = CursorGate(stream, cursor)
+    val q = gated.writeStream.format("memory").queryName("t6b_out").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+    q.processAllAvailable()
+    p.publish(Message.simple(k1, "a2"), Message.simple(k2, "b2")) // after gate opened
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("t6b_out").select("externalId").as[String].collect().toSeq
+      == Seq("a1", "a2")) // match + later target-shard rows; other shard excluded
+  }
+
   // ---------------------------------------------------------------- T2/T3 streaming-mode
   test("T2/T3: sliding and session windows run in streaming mode") {
     val in = MemoryStream[(Timestamp, Long)](spark)

@@ -92,18 +92,29 @@ class TopicSpec extends AnyFunSuite {
     var now = 0L
     val f = Files.createTempFile("progress", ".json")
     Files.delete(f)
-    val tr = new FileProgressTracker(f, flushIntervalMs = 5000, clock = () => now)
+    val tr = new FileProgressTracker(f, "sh", flushIntervalMs = 5000, clock = () => now)
     assert(tr.safeCursor().isEmpty) // no file yet
     now = 10000
-    tr.registerProgress("sh", "000000000003") // first flush (10000 - 0 >= 5000)
+    tr.registerProgress("000000000003") // first flush (10000 - 0 >= 5000)
     assert(tr.safeCursor().contains(Cursor.atSequence("sh", "000000000003", inclusive = false)))
     now = 12000
-    tr.registerProgress("sh", "000000000007") // within 5s -> NOT flushed
+    tr.registerProgress("000000000007") // within 5s -> NOT flushed
     assert(tr.safeCursor().contains(Cursor.atSequence("sh", "000000000003", inclusive = false)))
     now = 15001
     tr.registerTimePassed() // cadence reached -> flushed
     assert(tr.safeCursor().contains(Cursor.atSequence("sh", "000000000007", inclusive = false)))
     Files.write(f, "garbage{{{".getBytes)
     assert(tr.safeCursor().isEmpty) // corrupt -> restart from TRIM_HORIZON
+  }
+
+  test("file progress tracker reads the reference's on-disk format") {
+    // byte-shape of FileBasedProgressTracker.java:28-49 (Jackson pretty print)
+    val f = Files.createTempFile("progress-ref", ".json")
+    Files.write(f,
+      "{\n  \"timestamp\" : \"2026-08-12T07:00:00.123Z\",\n  \"sequence\" : \"49590338271490256608559692538361571095921575989136588898\"\n}".getBytes)
+    val tr = new FileProgressTracker(f, "shardId-000000000001")
+    assert(tr.safeCursor().contains(Cursor.atSequence(
+      "shardId-000000000001",
+      "49590338271490256608559692538361571095921575989136588898", inclusive = false)))
   }
 }

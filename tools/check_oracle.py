@@ -30,7 +30,9 @@ def canon(rows, cols):
                 v = str(v)
             elif isinstance(v, bool):
                 v = bool(v)
-            vals.append(v)
+            # type-tag so int 10 != float 10.0 (the driver hashes values,
+            # so cross-engine type skew fails there even when == passes)
+            vals.append((v.__class__.__name__, v))
         out.append(tuple(vals))
     return [cols[i] for i in order], out
 
