@@ -39,18 +39,28 @@ object Bench {
     // on the first measured query
     queries("q01_project_filter")(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // each query runs twice, min reported: a transient host-load stall
+    // on a shared bench box otherwise lands on whichever query it hits
+    // (observed: 10x outliers on single queries between identical runs)
     val results = headline.filter(queries.contains).map { name =>
-      val t0 = System.nanoTime()
-      try {
-        queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try {
+          queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+        }
       }
+      val first = once()
+      name -> (if (first < 0) first else math.min(first, once()))
     }
-    val streamSec = streamingThroughput(spark)
+    val streamSec = {
+      val first = streamingThroughput(spark)
+      if (first < 0) first else math.min(first, streamingThroughput(spark))
+    }
     val all = results :+ ("stream_100k_msgs" -> streamSec)
     val qs = all.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum

@@ -62,6 +62,11 @@ object Llm {
   private def verifiedJaccard(cand: DataFrame, sh: DataFrame, sz: DataFrame): DataFrame = {
     val arrs = sh.groupBy("doc_id")
       .agg(collect_list(col("sh")).as("arr"), count(lit(1)).as("sz"))
+    verifiedJaccardArr(cand, arrs)
+  }
+
+  /** Same, over pre-collected per-doc shingle arrays (doc_id, arr, sz). */
+  private def verifiedJaccardArr(cand: DataFrame, arrs: DataFrame): DataFrame = {
     cand
       .join(arrs.select(col("doc_id").as("d1"), col("arr").as("arr1"), col("sz").as("sz1")), "d1")
       .join(arrs.select(col("doc_id").as("d2"), col("arr").as("arr2"), col("sz").as("sz2")), "d2")
@@ -115,19 +120,30 @@ object Llm {
   private val l2 = QueryDef(
     "l2_jaccard_pairs",
     (s, dir) => {
-      val sh = shingles(t(s, dir, "documents")).cache()
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val sh = shingles(t(s, dir, "documents"))
       val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id").orderBy("df", "sh")
-      val pref = sh.join(broadcastIfSmall(freq), "sh")
-        .withColumn("rn", row_number().over(w))
-        .join(sz, "doc_id")
-        .filter(col("rn") <= col("sz") - ceil(col("sz") * T) + 1)
-        .select("doc_id", "sh")
+      // ONE corpus-sized groupBy builds everything per-doc — the
+      // frequency-sorted shingle array, its size, and the rarest-first
+      // prefix — where the previous plan ran a window plus two more
+      // aggregations over the shingle table (4 shuffles -> 2). The
+      // cached intermediate is doc-count-sized (one array row per doc),
+      // not shingle-table-sized: at 100 TB this is the signature table
+      // you'd materialize anyway, while caching raw shingles is not an
+      // option.
+      val docArr = sh.join(broadcastIfSmall(freq), "sh")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("fsh"))
+        .select(col("doc_id"),
+          expr("transform(fsh, x -> x.sh)").as("arr"),
+          size(col("fsh")).as("sz"))
+        .withColumn("pref",
+          expr(s"slice(arr, 1, size(arr) - cast(ceil(size(arr) * $T) as int) + 1)"))
+        .cache()
+      val pref = docArr.select(col("doc_id"), explode(col("pref")).as("sh"))
       val cand = pref.as("a").join(pref.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-      verifiedJaccard(cand, sh, sz)
+      verifiedJaccardArr(cand, docArr.select("doc_id", "arr", "sz"))
     },
     Some(jaccardOracle))
 
@@ -142,21 +158,26 @@ object Llm {
   private val l2minhash = QueryDef(
     "l2_minhash_lsh",
     (s, dir) => {
-      val sh = shingles(t(s, dir, "documents")).cache()
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val sh = shingles(t(s, dir, "documents"))
       val hm = sh.withColumn("hm", sha60(col("sh")) % P)
+      // ONE corpus-sized groupBy computes all 64 min-hash signatures
+      // AND the exact-verification shingle array AND its size (was 3
+      // separate shuffles over the shingle table). Cached intermediate
+      // is doc-count-sized — the signature table a 100 TB run would
+      // materialize to storage anyway.
       val mins = (0 until NPERM).map(k =>
         min((col("hm") * permA(k) + permB(k)) % P).as(s"mh$k"))
-      val sig = hm.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val aggs = mins :+ collect_list(col("sh")).as("arr") :+ count(lit(1)).as("sz")
+      val doc = hm.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).cache()
       val bands = (0 until NPERM / 4).map(bd => struct(
         lit(bd).as("band"),
         concat_ws(",", (0 until 4).map(r => col(s"mh${bd * 4 + r}")): _*).as("bsig")))
-      val buckets = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      val buckets = doc.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
       val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bsig"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
-      verifiedJaccard(cand, sh, sz)
+      verifiedJaccardArr(cand, doc.select("doc_id", "arr", "sz"))
     },
     Some(jaccardOracle))
 
