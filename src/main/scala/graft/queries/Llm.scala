@@ -269,8 +269,10 @@ object Llm {
   // any shared 6-bit code, exact cosine re-rank within candidates.
   // 6 bits/table keeps per-table candidate rate ~1/64 of the corpus
   // while 8 independent tables recover recall on weakly-similar data.
-  // Approximate by construction → rows-only driver check; recall vs
-  // brute force is asserted in AnnSpec.
+  // The hyperplanes are deterministic arithmetic, so the oracle
+  // replays the identical algorithm in SQL — bucket codes, candidate
+  // set, and the 6dp-rounded re-rank all match bit-for-bit (recall vs
+  // brute force is additionally asserted in AnnSpec).
   private val l3ann = QueryDef(
     "l3_ann_lsh",
     (s, dir) => {
@@ -303,7 +305,142 @@ object Llm {
         .select("qid", "rn", "vid", "simr")
         .orderBy("qid", "rn")
     },
-    None)
+    Some("""WITH planes AS (
+              SELECT p, d,
+                     CAST(((p*64 + d) * 2654435761 + 1013904223) % 2147483647 AS DOUBLE)
+                       / 2147483647.0 * 2 - 1 AS v
+              FROM (SELECT unnest(range(0,48)) AS p) tp, (SELECT unnest(range(0,64)) AS d) td),
+            x AS (SELECT vec_id, unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+            dots AS (SELECT vec_id, p, SUM(CAST(e AS DOUBLE) * v) AS dot
+                     FROM x JOIN planes USING (d) GROUP BY vec_id, p),
+            codes AS (SELECT vec_id, p // 6 AS tb,
+                             SUM(CASE WHEN dot > 0 THEN (1 << (p % 6)) ELSE 0 END) AS code
+                      FROM dots GROUP BY vec_id, p // 6),
+            q AS (SELECT vec_id AS qid, tb, code FROM codes WHERE vec_id IN (0, 1, 2)),
+            cand AS (SELECT DISTINCT q.qid, c.vec_id AS vid
+                     FROM codes c JOIN q ON c.tb = q.tb AND c.code = q.code
+                     WHERE c.vec_id != q.qid),
+            n AS (SELECT vec_id, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
+                  FROM x GROUP BY vec_id),
+            dp AS (SELECT qid, vid, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
+                   FROM cand JOIN x xa ON xa.vec_id = qid
+                   JOIN x xb ON xb.vec_id = vid AND xb.d = xa.d
+                   GROUP BY qid, vid),
+            sdf AS (SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS simr
+                    FROM dp JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid),
+            r AS (SELECT qid, vid, simr,
+                         row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+                  FROM sdf)
+            SELECT qid, rn, vid, simr FROM r WHERE rn <= 10 ORDER BY qid, rn"""))
+
+  // IVF with k-means training: 2 Lloyd iterations from the same
+  // deterministic init (first 32 vectors), then the l3_ann_ivf
+  // assign/probe/re-rank. Everything runs in long format
+  // (vec_id, dim, value) — the shape a 100 TB pipeline keeps columnar —
+  // with every ranking on round(sim, 6), so the oracle replays the
+  // identical algorithm: same assignments, same trained centroids
+  // (per-dim AVG is order-insensitive to 1e-15, absorbed by rounding),
+  // same final top-k. Centroid updates are per-(cluster, dim)
+  // aggregations: k*dim-sized shuffles, never corpus-sized state.
+  private val l3ivfKmeans = QueryDef(
+    "l3_ann_ivf_kmeans",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val x = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "e0")))
+        .select(col("vec_id"), col("d"), col("e0").cast("double").as("x"))
+        .cache()
+      val n = x.groupBy("vec_id").agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+      def sims(cents: DataFrame): DataFrame = {
+        val cn = cents.groupBy("cid").agg(sqrt(sum(col("v") * col("v"))).as("cnrm"))
+        x.join(cents, "d")
+          .groupBy("vec_id", "cid").agg(sum(col("x") * col("v")).as("dot"))
+          .join(n, "vec_id").join(cn, "cid")
+          .select(col("vec_id").as("vid"), col("cid"),
+                  round(col("dot") / (col("nrm") * col("cnrm")), 6).as("simr"))
+      }
+      def assignOf(sm: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
+        sm.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).select("vid", "cid")
+      }
+      def lloyd(cents: DataFrame): DataFrame =
+        assignOf(sims(cents))
+          .join(x.withColumnRenamed("vec_id", "vid"), "vid")
+          .groupBy("cid", "d").agg(avg(col("x")).as("v"))
+      val c0 = x.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("cid"), col("d"), col("x").as("v"))
+      val s3 = sims(lloyd(lloyd(c0))).cache()
+      val assign = assignOf(s3)
+      val wProbe = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
+      val probes = s3.filter(col("vid").isin(0, 1, 2))
+        .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 4)
+        .select(col("vid").as("qid"), col("cid"))
+      val qvec = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val cand = probes.join(assign, "cid")
+        .filter(col("vid") =!= col("qid"))
+        .select("qid", "vid").distinct()
+        .join(qvec, "qid")
+        .join(e.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
+      val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+      cand.withColumn("sim", expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ve"))))
+        .select(col("qid"), col("vid"), round(col("sim"), 6).as("simr"))
+        .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 10)
+        .select("qid", "rn", "vid", "simr")
+        .orderBy("qid", "rn")
+    },
+    Some("""WITH x AS (SELECT vec_id, unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+            n AS (SELECT vec_id, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
+                  FROM x GROUP BY vec_id),
+            c0 AS (SELECT vec_id AS cid, d, CAST(e AS DOUBLE) AS v FROM x WHERE vec_id < 32),
+            cn0 AS (SELECT cid, sqrt(SUM(v*v)) AS cnrm FROM c0 GROUP BY cid),
+            s1 AS (SELECT x.vec_id AS vid, c.cid,
+                          round(SUM(CAST(x.e AS DOUBLE) * c.v) / (n.nrm * cn0.cnrm), 6) AS simr
+                   FROM x JOIN c0 c ON c.d = x.d
+                   JOIN n ON n.vec_id = x.vec_id JOIN cn0 ON cn0.cid = c.cid
+                   GROUP BY x.vec_id, c.cid, n.nrm, cn0.cnrm),
+            a1 AS (SELECT vid, cid FROM (
+                   SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
+                   FROM s1) WHERE rn = 1),
+            c1 AS (SELECT a1.cid, x.d, AVG(CAST(x.e AS DOUBLE)) AS v
+                   FROM a1 JOIN x ON x.vec_id = a1.vid GROUP BY a1.cid, x.d),
+            cn1 AS (SELECT cid, sqrt(SUM(v*v)) AS cnrm FROM c1 GROUP BY cid),
+            s2 AS (SELECT x.vec_id AS vid, c.cid,
+                          round(SUM(CAST(x.e AS DOUBLE) * c.v) / (n.nrm * cn1.cnrm), 6) AS simr
+                   FROM x JOIN c1 c ON c.d = x.d
+                   JOIN n ON n.vec_id = x.vec_id JOIN cn1 ON cn1.cid = c.cid
+                   GROUP BY x.vec_id, c.cid, n.nrm, cn1.cnrm),
+            a2 AS (SELECT vid, cid FROM (
+                   SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
+                   FROM s2) WHERE rn = 1),
+            c2 AS (SELECT a2.cid, x.d, AVG(CAST(x.e AS DOUBLE)) AS v
+                   FROM a2 JOIN x ON x.vec_id = a2.vid GROUP BY a2.cid, x.d),
+            cn2 AS (SELECT cid, sqrt(SUM(v*v)) AS cnrm FROM c2 GROUP BY cid),
+            s3 AS (SELECT x.vec_id AS vid, c.cid,
+                          round(SUM(CAST(x.e AS DOUBLE) * c.v) / (n.nrm * cn2.cnrm), 6) AS simr
+                   FROM x JOIN c2 c ON c.d = x.d
+                   JOIN n ON n.vec_id = x.vec_id JOIN cn2 ON cn2.cid = c.cid
+                   GROUP BY x.vec_id, c.cid, n.nrm, cn2.cnrm),
+            assign AS (SELECT vid, cid FROM (
+                   SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
+                   FROM s3) WHERE rn = 1),
+            probes AS (SELECT vid AS qid, cid FROM (
+                   SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
+                   FROM s3 WHERE vid IN (0, 1, 2)) WHERE rn <= 4),
+            cand AS (SELECT DISTINCT p.qid, a.vid
+                     FROM probes p JOIN assign a ON a.cid = p.cid
+                     WHERE a.vid != p.qid),
+            dp AS (SELECT qid, vid, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
+                   FROM cand JOIN x xa ON xa.vec_id = qid
+                   JOIN x xb ON xb.vec_id = vid AND xb.d = xa.d
+                   GROUP BY qid, vid),
+            sdf AS (SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS simr
+                    FROM dp JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid),
+            r AS (SELECT qid, vid, simr,
+                         row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+                  FROM sdf)
+            SELECT qid, rn, vid, simr FROM r WHERE rn <= 10 ORDER BY qid, rn"""))
 
   // Embedding-cosine near-dup: random-hyperplane 16-bit codes bucket
   // the vectors; same-code pairs are exact-verified at cosine >= 0.9.
@@ -357,13 +494,14 @@ object Llm {
             ORDER BY v1, v2"""))
 
   // IVF-lite ANN (the other scale path): 32 deterministic centroids
-  // (the first 32 vectors — honest about being init-only, no k-means
-  // iterations to keep it SQL-deterministic), every vector assigned to
-  // its nearest centroid, queries probe their nprobe=4 closest
-  // centroids, exact cosine re-rank within the probed lists. At scale
-  // the inverted lists are the partitioning: candidates touch
-  // nprobe/k of the corpus. Approximate → rows-only check; recall
-  // asserted in QueriesSpec.
+  // (the first 32 vectors — honest about being init-only; see
+  // l3_ann_ivf_kmeans for the Lloyd-iterated variant), every vector
+  // assigned to its nearest centroid, queries probe their nprobe=4
+  // closest centroids, exact cosine re-rank within the probed lists.
+  // At scale the inverted lists are the partitioning: candidates touch
+  // nprobe/k of the corpus. All rankings happen on round(sim, 6) so
+  // the SQL oracle — the identical algorithm — matches bit-for-bit;
+  // recall vs brute force is additionally asserted in AnnSpec.
   private val l3ivf = QueryDef(
     "l3_ann_ivf",
     (s, dir) => {
@@ -372,17 +510,21 @@ object Llm {
         .select(col("vec_id").as("cid"), col("embedding").as("qe"))
       def cos(df: DataFrame): DataFrame =
         df.withColumn("sim", expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ve"))))
-      // nearest centroid per vector (inverted-list assignment)
-      val wAssign = Window.partitionBy("vid").orderBy(col("sim").desc, col("cid").asc)
+      // nearest centroid per vector (inverted-list assignment); rank on
+      // the ROUNDED similarity so cross-engine float-sum order can't
+      // reorder near-ties differently than the oracle
+      val wAssign = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
       val assign = cos(e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
           .crossJoin(broadcast(cents)))
+        .withColumn("simr", round(col("sim"), 6))
         .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
         .select(col("vid"), col("cid"))
       // queries probe their 4 closest centroids
-      val wProbe = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+      val wProbe = Window.partitionBy("qid").orderBy(col("simr").desc, col("cid").asc)
       val probes = cos(e.filter(col("vec_id").isin(0, 1, 2))
           .select(col("vec_id").as("qid"), col("embedding").as("ve"))
           .crossJoin(broadcast(cents)))
+        .withColumn("simr", round(col("sim"), 6))
         .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 4)
         .select(col("qid"), col("cid"))
       val qvec = e.filter(col("vec_id").isin(0, 1, 2))
@@ -398,7 +540,36 @@ object Llm {
         .select("qid", "rn", "vid", "simr")
         .orderBy("qid", "rn")
     },
-    None)
+    Some("""WITH x AS (SELECT vec_id, unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+            n AS (SELECT vec_id, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
+                  FROM x GROUP BY vec_id),
+            cd AS (SELECT xv.vec_id AS vid, xc.vec_id AS cid,
+                          round(SUM(CAST(xv.e AS DOUBLE) * CAST(xc.e AS DOUBLE))
+                                / (nv.nrm * nc.nrm), 6) AS simr
+                   FROM x xv JOIN x xc ON xc.d = xv.d AND xc.vec_id < 32
+                   JOIN n nv ON nv.vec_id = xv.vec_id
+                   JOIN n nc ON nc.vec_id = xc.vec_id
+                   GROUP BY xv.vec_id, xc.vec_id, nv.nrm, nc.nrm),
+            assign AS (SELECT vid, cid FROM (
+                  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
+                  FROM cd) WHERE rn = 1),
+            probes AS (SELECT vid AS qid, cid FROM (
+                  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
+                  FROM cd WHERE vid IN (0, 1, 2)) WHERE rn <= 4),
+            cand AS (SELECT DISTINCT p.qid, a.vid
+                     FROM probes p JOIN assign a ON a.cid = p.cid
+                     WHERE a.vid != p.qid),
+            dp AS (SELECT qid, vid, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
+                   FROM cand JOIN x xa ON xa.vec_id = qid
+                   JOIN x xb ON xb.vec_id = vid AND xb.d = xa.d
+                   GROUP BY qid, vid),
+            sdf AS (SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS simr
+                    FROM dp JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid),
+            r AS (SELECT qid, vid, simr,
+                         row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+                  FROM sdf)
+            SELECT qid, rn, vid, simr FROM r WHERE rn <= 10 ORDER BY qid, rn"""))
 
   // ---------------------------------------------------------------- L4
   private def stopCount(langWords: Seq[String]): String =
@@ -551,6 +722,6 @@ object Llm {
             FROM documents ORDER BY doc_id"""))
 
   val all: Seq[QueryDef] = Seq(
-    l1, l2, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf,
+    l1, l2, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans,
     l4lang, l4quality, l4tokens, l4tfidf, l4fp, l5)
 }

@@ -35,10 +35,12 @@ class QueriesSpec extends AnyFunSuite {
     }
     val lsh = recall("l3_ann_lsh")
     val ivf = recall("l3_ann_ivf")
-    info(s"recall@10: lsh=$lsh ivf=$ivf")
+    val km = recall("l3_ann_ivf_kmeans")
+    info(s"recall@10: lsh=$lsh ivf=$ivf ivf_kmeans=$km")
     // fixture embeddings are near-random (top-10 cosine ~0.37), which
     // bounds any bucketed/probed ANN on this data
     assert(lsh >= 0.1, s"lsh recall collapsed: $lsh")
     assert(ivf >= 0.1, s"ivf recall collapsed: $ivf")
+    assert(km >= 0.1, s"ivf_kmeans recall collapsed: $km")
   }
 }
