@@ -117,9 +117,9 @@ object Llm {
   // the candidate join shrinks by an order of magnitude (ppjoin-style);
   // the oracle uses plain lexicographic order: both are exact, so the
   // final pair set is identical.
-  private val l2 = QueryDef(
-    "l2_jaccard_pairs",
-    (s, dir) => {
+  /** The exact near-dup pair set (d1, d2, j), unordered — shared by
+    * l2_jaccard_pairs and the l6 cleanup pipeline. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
       val sh = shingles(t(s, dir, "documents"))
       val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       // ONE corpus-sized groupBy builds everything per-doc — the
@@ -144,7 +144,11 @@ object Llm {
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
       verifiedJaccardArr(cand, docArr.select("doc_id", "arr", "sz"))
-    },
+  }
+
+  private val l2 = QueryDef(
+    "l2_jaccard_pairs",
+    (s, dir) => jaccardPairs(s, dir),
     Some(jaccardOracle))
 
   // MinHash + banded LSH: 64 permutations ((a_k*h + b_k) mod P over the
@@ -702,6 +706,100 @@ object Llm {
               substr(sha256(text), 1, 16) AS content_id
             FROM documents ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- L6
+  // End-to-end corpus cleanup — the composition a training-data
+  // pipeline actually runs: quality gate (>= 0.6), language-ID
+  // annotation, exact-dup keeper (min doc_id per sha256), and
+  // near-dup removal (drop the larger id of every exact-Jaccard >= 0.8
+  // pair from the prefix-filter pipeline). All four stages are
+  // corpus-parallel: two shuffles for the near-dup pair set, one
+  // hash-agg for exact dedup, zero for the row-local stages.
+  private val l6clean = QueryDef(
+    "l6_corpus_clean",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val annotated = docs
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_tok", size(col("ws")))
+        .withColumn("stop_n", expr(stopCount(enS)))
+        .withColumn("quality", round(
+          lit(0.4) * least(col("n_tok").cast("double") / 100.0, lit(1.0)) +
+          lit(0.3) * least(col("stop_n").cast("double") / col("n_tok") * 5.0, lit(1.0)) +
+          lit(0.3), 6))
+        .withColumn("en_n", expr(stopCount(enS))).withColumn("de_n", expr(stopCount(deS)))
+        .withColumn("es_n", expr(stopCount(esS))).withColumn("fr_n", expr(stopCount(frS)))
+        .withColumn("pred",
+          when(greatest(col("en_n"), col("de_n"), col("es_n"), col("fr_n")) === 0, "und")
+            .when(col("en_n") >= greatest(col("de_n"), col("es_n"), col("fr_n")), "en")
+            .when(col("de_n") >= greatest(col("es_n"), col("fr_n")), "de")
+            .when(col("es_n") >= col("fr_n"), "es")
+            .otherwise("fr"))
+      val wKeep = Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
+      val keepers = annotated.withColumn("rn", row_number().over(wKeep))
+      val dropNearDups = jaccardPairs(s, dir).select(col("d2").as("doc_id")).distinct()
+      keepers
+        .filter(col("quality") >= 0.6 && col("rn") === 1)
+        .join(dropNearDups, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("pred").as("lang_pred"), col("n_tok"), col("quality"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH pairs AS ($jaccardOracle),
+            |q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+            |        len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of'))) AS stop_n
+            |      FROM documents),
+            |qual AS (SELECT doc_id, n_tok,
+            |        round(0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+            |            + 0.3 * least(CAST(stop_n AS DOUBLE) / n_tok * 5.0, 1.0)
+            |            + 0.3, 6) AS quality FROM q),
+            |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            |lg AS (SELECT doc_id,
+            |        ${stopCountDuck(enS)} AS en_n, ${stopCountDuck(deS)} AS de_n,
+            |        ${stopCountDuck(esS)} AS es_n, ${stopCountDuck(frS)} AS fr_n FROM w),
+            |lp AS (SELECT doc_id,
+            |        CASE WHEN greatest(en_n, de_n, es_n, fr_n) = 0 THEN 'und'
+            |             WHEN en_n >= greatest(de_n, es_n, fr_n) THEN 'en'
+            |             WHEN de_n >= greatest(es_n, fr_n) THEN 'de'
+            |             WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END AS lang_pred FROM lg),
+            |keep AS (SELECT doc_id,
+            |        row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+            |      FROM documents)
+            |SELECT qual.doc_id, lp.lang_pred, qual.n_tok, qual.quality
+            |FROM qual JOIN lp USING (doc_id) JOIN keep ON keep.doc_id = qual.doc_id
+            |WHERE quality >= 0.6 AND keep.rn = 1
+            |  AND qual.doc_id NOT IN (SELECT d2 FROM pairs)
+            |ORDER BY doc_id""".stripMargin))
+
+  // Token-budget shard packing — deterministic sequence packing for
+  // training shards: per language, docs in doc_id order accumulate
+  // into shards of ~2048 tokens (cumulative-sum chunking, the standard
+  // streaming-pack rule). Packing is per-partition-key (lang), so it
+  // parallelizes across groups; at 100 TB you'd sub-salt each language
+  // into (lang, hash-bucket) groups and pack within each — same plan,
+  // finer keys. Integer cumulative sums -> exact in both engines.
+  private val l6pack = QueryDef(
+    "l6_pack_shards",
+    (s, dir) => {
+      val budget = 2048
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("shard", floor((col("cum") - col("n_tok")) / budget))
+        .groupBy("lang", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"),
+             min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("lang", "shard")
+    },
+    Some("""WITH x AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+            c AS (SELECT lang, doc_id, n_tok,
+                    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum FROM x)
+            SELECT lang, CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS shard,
+                   COUNT(*) AS n_docs, SUM(n_tok) AS tok_sum,
+                   MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+            FROM c GROUP BY lang, shard ORDER BY lang, shard"""))
+
   // ---------------------------------------------------------------- L5
   private val l5 = QueryDef(
     "l5_binary_payload",
@@ -723,5 +821,5 @@ object Llm {
 
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans,
-    l4lang, l4quality, l4tokens, l4tfidf, l4fp, l5)
+    l4lang, l4quality, l4tokens, l4tfidf, l4fp, l5, l6clean, l6pack)
 }
