@@ -800,6 +800,56 @@ object Llm {
                    MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
             FROM c GROUP BY lang, shard ORDER BY lang, shard"""))
 
+  // ---------------------------------------------------------------- L5b
+  // Multimodal pipeline through the oracle gate: documents become
+  // media rows with a REAL binary payload (16-byte header + text
+  // bytes, built row-side), which the graft.multimodal module then
+  // decodes per-partition (mapPartitions, one codec per partition),
+  // resize-plans (maxSide=256) and frame-samples (stride 2, explode +
+  // re-agg). Every output is integer-derived metadata arithmetic, so
+  // the oracle computes the same values without touching binary —
+  // the Spark side still exercises the full encode -> decode ->
+  // typed-Dataset -> explode path the stubbed codec wraps.
+  private val l5media = QueryDef(
+    "l5_media_pipeline",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      val enc = udf((id: Long, text: String) =>
+        Multimodal.MediaCodec.encodeHeader(
+          (id % 640 + 16).toInt, (id % 480 + 16).toInt, (id % 10 + 1).toInt,
+          text.getBytes("UTF-8")))
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+        lit("grft").as("fmt"),
+        enc(col("doc_id"), col("text")).as("payload"))
+      val feats = Multimodal.extractFeatures(media)
+      val resize = Multimodal.resizePlan(feats, maxSide = 256)
+      val sampled = Multimodal.sampleFrames(feats, stride = 2)
+        .groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
+      feats.toDF().select("media_id", "kind", "n_bytes", "width", "height", "n_frames")
+        .join(resize.select("media_id", "out_w", "out_h", "scale"), "media_id")
+        .join(sampled, "media_id")
+        .orderBy("media_id")
+    },
+    Some("""WITH m AS (SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(16 + octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+                   CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+                   CAST(doc_id % 10 + 1 AS INTEGER) AS n_frames
+                 FROM documents),
+            r AS (SELECT media_id,
+                   least(1.0, 256.0 / greatest(width, height)) AS scale FROM m)
+            SELECT m.media_id, m.kind, m.n_bytes, m.width, m.height, m.n_frames,
+                   CAST(ceil(m.width * r.scale) AS INTEGER) AS out_w,
+                   CAST(ceil(m.height * r.scale) AS INTEGER) AS out_h,
+                   r.scale,
+                   CAST((m.n_frames - 1) // 2 + 1 AS BIGINT) AS n_sampled
+            FROM m JOIN r USING (media_id) ORDER BY media_id"""))
+
   // ---------------------------------------------------------------- L5
   private val l5 = QueryDef(
     "l5_binary_payload",
@@ -821,5 +871,5 @@ object Llm {
 
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans,
-    l4lang, l4quality, l4tokens, l4tfidf, l4fp, l5, l6clean, l6pack)
+    l4lang, l4quality, l4tokens, l4tfidf, l4fp, l5, l5media, l6clean, l6pack)
 }
