@@ -231,10 +231,16 @@ object Llm {
   // broadcast; the scan side never shuffles (per-partition dot products,
   // then a global top-k). Ranking happens on round(sim, 6) in BOTH
   // engines so float summation order can't reorder ranks.
-  private val dotExpr =
-    "aggregate(zip_with(qe, ve, (a, b) -> cast(a as double) * cast(b as double)), cast(0.0 as double), (acc, x) -> acc + x)"
-  private val normExpr = (c: String) =>
-    s"sqrt(aggregate($c, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+  // Cosine kernel: native codegen'd expressions (graft.functions
+  // VecDot/VecNorm) with the same sequential float→double fold the
+  // DuckDB oracle computes — numerically identical to the former
+  // `aggregate(zip_with(...))` HOF spelling, but inside whole-stage
+  // codegen with a primitive loop (the HOF is an interpreted per-row
+  // closure).
+  private def cosSim(qe: Column, ve: Column): Column = {
+    import graft.functions.VectorExprs.{vec_dot, vec_norm}
+    vec_dot(qe, ve) / (vec_norm(qe) * vec_norm(ve))
+  }
 
   private val l3 = QueryDef(
     "l3_knn_bruteforce",
@@ -244,7 +250,7 @@ object Llm {
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val c = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
       val sims = c.join(broadcast(q), col("vid") =!= col("qid"))
-        .withColumn("sim", expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ve"))))
+        .withColumn("sim", cosSim(col("qe"), col("ve")))
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("simr"))
       val w = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
       sims.withColumn("rn", row_number().over(w))
@@ -301,7 +307,7 @@ object Llm {
         .select(col("qid"), col("qe"), col("vec_id").as("vid"), col("embedding").as("ve"))
         .distinct()
       val sims = cand
-        .withColumn("sim", expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ve"))))
+        .withColumn("sim", cosSim(col("qe"), col("ve")))
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("simr"))
       val w = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
       sims.withColumn("rn", row_number().over(w))
@@ -387,7 +393,7 @@ object Llm {
         .join(qvec, "qid")
         .join(e.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
       val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
-      cand.withColumn("sim", expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ve"))))
+      cand.withColumn("sim", cosSim(col("qe"), col("ve")))
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("simr"))
         .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 10)
         .select("qid", "rn", "vid", "simr")
@@ -468,7 +474,7 @@ object Llm {
           col("a.code") === col("b.code") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("v1"), col("a.embedding").as("qe"),
                 col("b.vec_id").as("v2"), col("b.embedding").as("ve"))
-      cand.withColumn("sim", expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ve"))))
+      cand.withColumn("sim", cosSim(col("qe"), col("ve")))
         .select(col("v1"), col("v2"), round(col("sim"), 6).as("simr"))
         .filter(col("simr") >= 0.9)
         .orderBy("v1", "v2")
@@ -513,7 +519,7 @@ object Llm {
       val cents = e.filter(col("vec_id") < 32)
         .select(col("vec_id").as("cid"), col("embedding").as("qe"))
       def cos(df: DataFrame): DataFrame =
-        df.withColumn("sim", expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ve"))))
+        df.withColumn("sim", cosSim(col("qe"), col("ve")))
       // nearest centroid per vector (inverted-list assignment); rank on
       // the ROUNDED similarity so cross-engine float-sum order can't
       // reorder near-ties differently than the oracle

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class VectorExprSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(0.5f, -0.25f, 0.125f), Array(-1.0f, 2.0f, -4.0f)),
+    (3L, Array(1e-3f, 2e3f, -7.5f), Array(3.25f, 1e-2f, 9.0f))
+  ).toDF("id", "a", "b")
+
+  test("vec_dot / vec_norm are bit-identical to the HOF fold they replace") {
+    val hofDot =
+      expr("aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, x) -> acc + x)")
+    val hofNorm =
+      expr("sqrt(aggregate(a, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))")
+    val rows = vecs.select(
+      VectorExprs.vec_dot(col("a"), col("b")).as("nd"), hofDot.as("hd"),
+      VectorExprs.vec_norm(col("a")).as("nn"), hofNorm.as("hn")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(1)), "dot differs")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(3)), "norm differs")
+    }
+  }
+
+  test("vec_dot participates in whole-stage codegen (no fallback)") {
+    // range source (not a LocalRelation, which gets constant-folded);
+    // arrays built with array() — a transform() HOF here would itself
+    // block codegen for the whole projection, which is exactly the
+    // failure mode vec_dot exists to avoid
+    val df = spark.range(100)
+      .withColumn("a", array((0 until 64).map(i => (col("id") + i).cast("float")): _*))
+      .withColumn("b", array((0 until 64).map(i => lit(i * 2).cast("float")): _*))
+      .select(VectorExprs.vec_dot(col("a"), col("b")).as("d"))
+    val plan = df.queryExecution.executedPlan
+    val codegenSpans = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    // the vec_dot projection must sit INSIDE a codegen span ("*(n)")
+    assert(codegenSpans.exists(_.toString().contains("vec_dot")),
+      s"vec_dot not inside a WholeStageCodegen span:\n$plan")
+    assert(df.count() == 100)
+  }
+
+  test("extensions register vec_dot/vec_norm for SQL text") {
+    vecs.createOrReplaceTempView("vx")
+    val r = spark.sql(
+      "SELECT id, round(vec_dot(a, b), 6) AS d, round(vec_norm(a), 6) AS n FROM vx ORDER BY id")
+      .collect()
+    assert(r.length == 3)
+    assert(math.abs(r(0).getDouble(1) - 32.0) < 1e-9) // 1*4 + 2*5 + 3*6
+  }
+
+  test("null vector yields null, not a crash") {
+    val withNull = Seq((1L, Array(1.0f), Option(Array(2.0f))), (2L, Array(1.0f), None))
+      .toDF("id", "a", "b")
+    val out = withNull.select(VectorExprs.vec_dot(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(Some(2.0), None))
+  }
+}
