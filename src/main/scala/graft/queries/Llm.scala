@@ -8,10 +8,11 @@ import graft.Tables
 import QueryDef.sha60
 
 /** LLM-data-pipeline operators over `documents` / `embeddings`
-  * (SURVEY.md §2B L1–L5 plus the training-data-pipeline set: exact +
-  * MinHash/LSH + SimHash dedup, kNN / LSH-bucketed similarity search,
-  * language-ID / quality / token / fingerprint text analysis, binary
-  * payload handling).
+  * (SURVEY.md §2B L1–L7: exact + MinHash/LSH + SimHash +
+  * embedding-cosine dedup, kNN / LSH / IVF / IVF-k-means similarity
+  * search, language-ID / quality / token / fingerprint text analysis,
+  * binary payloads, media pipeline, corpus-cleanup composite,
+  * token-budget shard packing).
   *
   * Scale notes (100 TB posture):
   *  - near-dup never goes O(n²): `l2_jaccard_pairs` uses prefix

@@ -17,8 +17,7 @@ import graft.model.{Message, Provider}
   * absent; `provider` is ALWAYS overwritten with this read's stamp.
   */
 final class ShardLog(val shardId: String = "shardId-000000000000") {
-
-  final case class Record(sequenceNumber: String, arrivalMillis: Long, message: Message)
+  import ShardLog.Record
 
   private val records = ArrayBuffer.empty[Record]
   @volatile private var failPutsRemaining: Int = 0
@@ -84,6 +83,7 @@ final class ShardLog(val shardId: String = "shardId-000000000000") {
 final class ThrottledException(msg: String) extends RuntimeException(msg)
 
 object ShardLog {
+  final case class Record(sequenceNumber: String, arrivalMillis: Long, message: Message)
   def formatSeq(n: Long): String = f"$n%012d"
   def parseSeq(s: String): Long = s.toLong
 
