@@ -49,12 +49,14 @@ class MessageTableProvider extends TableProvider with DataSourceRegister {
     val logOpt = Option(opts.get("log"))
     require(topicOpt.isDefined || logOpt.isDefined, "option 'log' or 'topic' is required")
     new MessageTable(topicOpt, logOpt, Option(opts.get("startingPosition")),
-      Option(opts.get("maxRecordsPerBatch")).map(_.toInt).getOrElse(1000))
+      Option(opts.get("maxRecordsPerBatch")).map(_.toInt).getOrElse(1000),
+      Option(opts.get("pollIntervalMs")).map(_.toLong).getOrElse(1000L))
   }
 }
 
 final class MessageTable(topicOpt: Option[String], logOpt: Option[String],
-                         startingPosition: Option[String], maxPerBatch: Int)
+                         startingPosition: Option[String], maxPerBatch: Int,
+                         pollIntervalMs: Long = 1000L)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -70,10 +72,10 @@ final class MessageTable(topicOpt: Option[String], logOpt: Option[String],
   override def name(): String = s"graft-messages/${topicOpt.orElse(logOpt).get}"
   override def schema(): StructType = Message.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.CONTINUOUS_READ,
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MessageScanBuilder(logNames, startingPosition, maxPerBatch)
+    new MessageScanBuilder(logNames, startingPosition, maxPerBatch, pollIntervalMs)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new MessageWriteBuilder(topicOpt, logOpt)
@@ -88,7 +90,7 @@ final class MessageTable(topicOpt: Option[String], logOpt: Option[String],
   * residual (Spark re-applies them); the seek only prunes the scan.
   */
 final class MessageScanBuilder(logNames: Seq[String], startingPosition: Option[String],
-                               maxPerBatch: Int)
+                               maxPerBatch: Int, pollIntervalMs: Long = 1000L)
     extends ScanBuilder with SupportsPushDownV2Filters {
   import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -117,16 +119,22 @@ final class MessageScanBuilder(logNames: Seq[String], startingPosition: Option[S
   }
   override def pushedPredicates(): Array[Predicate] = pushed
 
-  override def build(): Scan = new MessageScan(logNames, startingPosition, maxPerBatch, minArrival)
+  override def build(): Scan =
+    new MessageScan(logNames, startingPosition, maxPerBatch, minArrival, pollIntervalMs)
 }
 
 final class MessageScan(logNames: Seq[String], startingPosition: Option[String],
-                        maxPerBatch: Int, minArrival: Option[Long] = None)
+                        maxPerBatch: Int, minArrival: Option[Long] = None,
+                        pollIntervalMs: Long = 1000L)
     extends Scan {
   override def readSchema(): StructType = Message.schema
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MessageMicroBatchStream(logNames, startingPosition, maxPerBatch)
+
+  override def toContinuousStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
+    new MessageContinuousStream(logNames, startingPosition, pollIntervalMs)
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
@@ -196,20 +204,8 @@ final class MessageMicroBatchStream(logNames: Seq[String], startingPosition: Opt
   // records PER SHARD; the engine loops batches until caught up.
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerBatch.toLong)
 
-  override def initialOffset(): Offset = TopicOffset(logs.map { log =>
-    val idx: Long = startingPosition.map(_.trim) match {
-      case None | Some("earliest") => 0L
-      case Some("latest") => ShardLog.parseSeq(log.endSequence)
-      case Some(sp) if sp.startsWith("at_timestamp:") =>
-        val ts = sp.stripPrefix("at_timestamp:").toLong
-        log.sequenceAtTimestamp(ts).map(ShardLog.parseSeq)
-          .getOrElse(ShardLog.parseSeq(log.endSequence))
-      case Some(json) =>
-        TopicOffset.fromJson(json).offsets.find(_.shardId == log.shardId)
-          .map(_.nextIndex).getOrElse(0L)
-    }
-    ShardOffset(log.shardId, ShardLog.formatSeq(idx), inclusive = true)
-  })
+  override def initialOffset(): Offset =
+    MessageStartingPosition.resolve(logs, startingPosition)
 
   /** The engine-supplied ReadLimit, unwrapped to a per-batch row cap.
     * ReadMaxRows carries the cap directly; a CompositeReadLimit (e.g.
@@ -285,6 +281,111 @@ final class MessageReaderFactory extends PartitionReaderFactory {
         }
       }
       override def get(): InternalRow = serializer(current).copy()
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Shared starting-position resolution for micro-batch and continuous
+  * streams: "earliest" | "latest" | "at_timestamp:<ms>" | cursor JSON.
+  */
+object MessageStartingPosition {
+  def resolve(logs: Seq[ShardLog], startingPosition: Option[String]): TopicOffset =
+    TopicOffset(logs.map { log =>
+      val idx: Long = startingPosition.map(_.trim) match {
+        case None | Some("earliest") => 0L
+        case Some("latest") => ShardLog.parseSeq(log.endSequence)
+        case Some(sp) if sp.startsWith("at_timestamp:") =>
+          val ts = sp.stripPrefix("at_timestamp:").toLong
+          log.sequenceAtTimestamp(ts).map(ShardLog.parseSeq)
+            .getOrElse(ShardLog.parseSeq(log.endSequence))
+        case Some(json) =>
+          TopicOffset.fromJson(json).offsets.find(_.shardId == log.shardId)
+            .map(_.nextIndex).getOrElse(0L)
+      }
+      ShardOffset(log.shardId, ShardLog.formatSeq(idx), inclusive = true)
+    })
+}
+
+/** Continuous-processing path (Trigger.Continuous): the closest Spark
+  * analogue to the reference's always-on poll loop
+  * (`KinesisStreamingBuffer.java:150-170`). One long-running reader per
+  * shard polls its log: while records are available it emits them
+  * back-to-back (the reference's immediate re-poll while
+  * `millisBehindLatest >= pollInterval`); when caught up it sleeps
+  * `pollIntervalMs` (reference default 1000 ms,
+  * `KinesisMessiClientFactory.java:64`) — giving record-level, not
+  * micro-batch, latency. Offsets remain the cursor-JSON wire format.
+  */
+final case class MessageContinuousPartition(logName: String, startIdx: Long)
+    extends InputPartition
+
+final case class ShardPartitionOffset(shardId: String, nextIdx: Long)
+    extends org.apache.spark.sql.connector.read.streaming.PartitionOffset
+
+final class MessageContinuousStream(logNames: Seq[String], startingPosition: Option[String],
+                                    pollIntervalMs: Long)
+    extends org.apache.spark.sql.connector.read.streaming.ContinuousStream {
+  import org.apache.spark.sql.connector.read.streaming.PartitionOffset
+
+  private def logs: Seq[ShardLog] = logNames.map(ShardLog.getOrCreate)
+
+  override def initialOffset(): Offset =
+    MessageStartingPosition.resolve(logs, startingPosition)
+
+  override def deserializeOffset(json: String): Offset = TopicOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset): Array[InputPartition] = {
+    val starts = start.asInstanceOf[TopicOffset].offsets.map(o => o.shardId -> o.nextIndex).toMap
+    logNames.map { n =>
+      val log = ShardLog.getOrCreate(n)
+      MessageContinuousPartition(n, starts.getOrElse(log.shardId, 0L)): InputPartition
+    }.toArray
+  }
+
+  override def createContinuousReaderFactory()
+      : org.apache.spark.sql.connector.read.streaming.ContinuousPartitionReaderFactory =
+    new MessageContinuousReaderFactory(pollIntervalMs)
+
+  override def mergeOffsets(offsets: Array[PartitionOffset]): Offset =
+    TopicOffset(offsets.toSeq.map { case ShardPartitionOffset(sid, next) =>
+      ShardOffset(sid, ShardLog.formatSeq(next), inclusive = true)
+    })
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final class MessageContinuousReaderFactory(pollIntervalMs: Long)
+    extends org.apache.spark.sql.connector.read.streaming.ContinuousPartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.streaming.{ContinuousPartitionReader, PartitionOffset}
+
+  override def createReader(partition: InputPartition): ContinuousPartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[MessageContinuousPartition]
+    new ContinuousPartitionReader[InternalRow] {
+      private val serializer =
+        ExpressionEncoder(Message.encoder.asInstanceOf[AgnosticEncoder[Message]]).createSerializer()
+      private val log = ShardLog.getOrCreate(p.logName)
+      private var idx = p.startIdx
+      private var current: Message = _
+
+      /** Blocks until the next record lands (the engine polls this from
+        * a dedicated data-reader thread and interrupts it on stop). */
+      override def next(): Boolean = {
+        while (!Thread.currentThread().isInterrupted) {
+          val recs = log.read(Some(ShardLog.formatSeq(idx)), inclusive = true, limit = 1)
+          if (recs.nonEmpty) { current = recs.head._2; idx += 1; return true }
+          try Thread.sleep(pollIntervalMs)
+          catch {
+            case _: InterruptedException =>
+              Thread.currentThread().interrupt()
+              return false
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = serializer(current).copy()
+      override def getOffset: PartitionOffset = ShardPartitionOffset(log.shardId, idx)
       override def close(): Unit = ()
     }
   }

@@ -216,6 +216,35 @@ class StreamingTckSpec extends AnyFunSuite {
       == Seq("a1", "a2")) // match + later target-shard rows; other shard excluded
   }
 
+  // ---------------------------------------------------------------- T9 continuous
+  test("T9: Trigger.Continuous streams records without micro-batch boundaries") {
+    val srcName = "t-cont-src-" + System.nanoTime()
+    val dstName = "t-cont-dst-" + System.nanoTime()
+    val src = ShardLog.getOrCreate(srcName)
+    ShardLog.getOrCreate(dstName)
+    new Producer(src, seed = 1).publish(msg("a"), msg("b"), msg("c"))
+    val q = spark.readStream.format("graft-messages")
+      .option("log", srcName).option("pollIntervalMs", "50").load()
+      .writeStream.format("graft-messages").option("log", dstName)
+      .option("checkpointLocation", Files.createTempDirectory("g").toString)
+      .trigger(Trigger.Continuous("200 milliseconds"))
+      .start()
+    def awaitCount(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (ShardLog.getOrCreate(dstName).size < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(ShardLog.getOrCreate(dstName).size >= n,
+        s"continuous sink saw ${ShardLog.getOrCreate(dstName).size}/$n records")
+    }
+    awaitCount(3)
+    new Producer(src, seed = 2).publish(msg("d")) // lands mid-epoch, no restart
+    awaitCount(4)
+    q.stop()
+    val got = ShardLog.getOrCreate(dstName)
+      .read(None, inclusive = true, limit = Int.MaxValue).map(_._2).flatMap(_.externalId)
+    assert(got.take(4) == Seq("a", "b", "c", "d"))
+  }
+
   // ---------------------------------------------------------------- T2/T3 streaming-mode
   test("T2/T3: sliding and session windows run in streaming mode") {
     val in = MemoryStream[(Timestamp, Long)](spark)
