@@ -795,10 +795,89 @@ object Relational {
                             AND c.c_acctbal > 0)
             ORDER BY c_custkey"""))
 
+  // --------------------------------------------------------------- Q30
+  // Exact percentiles (sort-based linear interpolation — Spark's
+  // `percentile` and DuckDB's `quantile_cont` share the definition
+  // p*(n-1) index + linear interpolation, so values match exactly).
+  // The approximate path (approx_percentile/GK sketch) is NOT
+  // cross-engine comparable and is covered by q05's HLL pattern:
+  // bound-check, don't hash.
+  private val q30 = QueryDef(
+    "q30_percentiles",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          expr("percentile(l_extendedprice, 0.9)").as("price_p90"),
+          min("l_quantity").as("mn"), max("l_quantity").as("mx"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.25) AS p25,
+              quantile_cont(l_quantity, 0.5) AS p50,
+              quantile_cont(l_quantity, 0.75) AS p75,
+              quantile_cont(l_extendedprice, 0.9) AS price_p90,
+              MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // --------------------------------------------------------------- Q31
+  // Pivot (groupBy().pivot() with explicit value list — the explicit
+  // list keeps the plan a single pass with no distinct-values
+  // pre-query, which is the 100 TB-safe spelling). Oracle: FILTERed
+  // aggregates. Money sums go through the DECIMAL(18,6) rule.
+  private val q31 = QueryDef(
+    "q31_pivot",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("rev"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+              COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F_cnt,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS F_rev,
+              COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O_cnt,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS O_rev,
+              COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P_cnt,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS P_rev
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  // --------------------------------------------------------------- Q32
+  // Distribution window functions: percent_rank / cume_dist (exact
+  // rationals (rank-1)/(n-1), rank/n — identical doubles in both
+  // engines), ntile, nth_value. The full (price, orderkey) order makes
+  // peers singletons, so RANGE/ROWS framing differences can't bite.
+  private val q32 = QueryDef(
+    "q32_window_distribution",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).as("quartile"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey,
+              percent_rank() OVER w AS pr,
+              cume_dist() OVER w AS cd,
+              ntile(4) OVER w AS quartile,
+              nth_value(o_orderkey, 2) OVER w AS second_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderpriority, o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
     q10semi, q10anti, q11, q12, q13, q14, q15, q16,
     q17union, q17intersect, q17except,
-    q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26)
+    q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
+    q30, q31, q32)
 }
