@@ -216,6 +216,22 @@ class StreamingTckSpec extends AnyFunSuite {
       == Seq("a1", "a2")) // match + later target-shard rows; other shard excluded
   }
 
+  // ------------------------------------------------------- ReadLimit
+  test("latestOffset honors the engine-supplied ReadLimit, including composites") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val logName = "t-limit-" + System.nanoTime()
+    val log = ShardLog.getOrCreate(logName)
+    new Producer(log, seed = 1).publish((0 until 9).map(i => msg("e" + i)): _*)
+    val stream = new MessageMicroBatchStream(Seq(logName), None, maxPerBatch = 1000)
+    val start = stream.initialOffset()
+    def endIdx(limit: ReadLimit): Long =
+      stream.latestOffset(start, limit).asInstanceOf[TopicOffset].offsets.head.nextIndex
+    assert(endIdx(ReadLimit.maxRows(4L)) == 4L) // engine limit wins over maxPerBatch
+    assert(endIdx(ReadLimit.allAvailable()) == 9L)
+    assert(endIdx(ReadLimit.compositeLimit(
+      Array(ReadLimit.allAvailable(), ReadLimit.maxRows(3L)))) == 3L) // tightest row cap
+  }
+
   // ---------------------------------------------------------------- T9 continuous
   test("T9: Trigger.Continuous streams records without micro-batch boundaries") {
     val srcName = "t-cont-src-" + System.nanoTime()
@@ -243,6 +259,39 @@ class StreamingTckSpec extends AnyFunSuite {
     val got = ShardLog.getOrCreate(dstName)
       .read(None, inclusive = true, limit = Int.MaxValue).map(_._2).flatMap(_.externalId)
     assert(got.take(4) == Seq("a", "b", "c", "d"))
+  }
+
+  // ---------------------------------------------------------------- T9b
+  test("T9b: continuous mode over a multi-shard topic merges per-shard offsets") {
+    val topic = Topics.create("t-cont-multi-" + System.nanoTime(), 2)
+    val keys = (0 until 64).map("k" + _)
+    val k1 = keys.find(k => topic.shardFor(k) == topic.shards(0)).get
+    val k2 = keys.find(k => topic.shardFor(k) == topic.shards(1)).get
+    val dstName = "t-cont-multi-dst-" + System.nanoTime()
+    ShardLog.getOrCreate(dstName)
+    val p = topic.producer(seed = 1)
+    p.publish(Message.simple(k1, "a0"), Message.simple(k2, "b0"),
+              Message.simple(k1, "a1"))
+    val q = spark.readStream.format("graft-messages")
+      .option("topic", topic.name).option("pollIntervalMs", "50").load()
+      .writeStream.format("graft-messages").option("log", dstName)
+      .option("checkpointLocation", Files.createTempDirectory("g").toString)
+      .trigger(Trigger.Continuous("200 milliseconds"))
+      .start()
+    def awaitCount(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (ShardLog.getOrCreate(dstName).size < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(ShardLog.getOrCreate(dstName).size >= n,
+        s"saw ${ShardLog.getOrCreate(dstName).size}/$n")
+    }
+    awaitCount(3)
+    p.publish(Message.simple(k2, "b1"))
+    awaitCount(4)
+    q.stop()
+    val got = ShardLog.getOrCreate(dstName)
+      .read(None, inclusive = true, limit = Int.MaxValue).map(_._2).flatMap(_.externalId).toSet
+    assert(got == Set("a0", "a1", "b0", "b1"))
   }
 
   // ---------------------------------------------------------------- T2/T3 streaming-mode
