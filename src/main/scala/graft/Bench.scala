@@ -18,9 +18,11 @@ object Bench {
     "q06_rollup", "q07_broadcast_join", "q08_shuffle_join_topk",
     "q12_asof_join", "q14_window_rank", "q15_window_frames", "q16_sort_topk",
     "q18_dedup_keeper", "q21_math_conditional", "q22_array_funcs",
-    "q24_json_funcs", "t1_window_tumbling", "t3_window_session",
+    "q24_json_funcs", "q30_percentiles", "q31_pivot",
+    "t1_window_tumbling", "t3_window_session",
     "l1_exact_dedup", "l2_jaccard_pairs", "l2_minhash_lsh",
-    "l3_knn_bruteforce", "l4_tfidf", "l4_fingerprint")
+    "l3_knn_bruteforce", "l3_ann_lsh", "l4_tfidf", "l4_fingerprint",
+    "l6_corpus_clean", "l6_pack_shards")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

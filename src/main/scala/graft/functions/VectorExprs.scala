@@ -25,27 +25,38 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elem(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true; case _ => false
-    })) TypeCheckResult.TypeCheckSuccess
+    if (elem(left).isDefined && elem(right).isDefined) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vec_dot expects (array<float>, array<float>), got (${left.dataType.sql}, ${right.dataType.sql})")
+      s"vec_dot expects float/double arrays, got (${left.dataType.sql}, ${right.dataType.sql})")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+
+  private def read(x: ArrayData, t: DataType, i: Int): Double =
+    if (t == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (tl, tr) = (elem(left).get, elem(right).get)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc += read(x, tl, i) * read(y, tr, i)
       i += 1
     }
     acc
   }
+
+  private def getter(t: DataType, arr: String, i: String): String =
+    if (t == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -56,7 +67,7 @@ case class VecDot(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc += ${getter(elem(left).get, a, i)} * ${getter(elem(right).get, b, i)};
          |}
          |${ev.value} = $acc;
        """.stripMargin

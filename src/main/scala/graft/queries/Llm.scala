@@ -291,11 +291,17 @@ object Llm {
       // component of hyperplane p at dim d, in [-1, 1), deterministic
       def planeVal(p: Int, d: Int): Double =
         (((p * 64 + d) * 2654435761L + 1013904223L) % 2147483647L).toDouble / 2147483647.0 * 2 - 1
+      // each plane dot is ONE native vec_dot against a literal plane
+      // vector — the former spelling (64 element_at multiplies per
+      // bit x 48 bits) built a ~3000-node expression tree whose
+      // generated code dominated runtime (27s -> ~1s at sf0.1)
+      def planeDot(p: Int): Column = {
+        import graft.functions.VectorExprs.vec_dot
+        vec_dot(col("embedding"), lit(Array.tabulate(64)(d => planeVal(p, d))))
+      }
       def codeCol(table: Int): Column =
         (0 until 6).map { bit =>
-          val p = table * 6 + bit
-          val dot = (0 until 64).map(d => element_at(col("embedding"), d + 1).cast("double") * planeVal(p, d)).reduce(_ + _)
-          when(dot > 0, 1 << bit).otherwise(0)
+          when(planeDot(table * 6 + bit) > 0, 1 << bit).otherwise(0)
         }.reduce(_ + _)
       val coded = e.select(
         col("vec_id"), col("embedding"),
@@ -466,8 +472,8 @@ object Llm {
       def planeVal(p: Int, d: Int): Double =
         (((p * 64 + d) * 2654435761L + 1013904223L) % 2147483647L).toDouble / 2147483647.0 * 2 - 1
       val code = (0 until 16).map { p =>
-        val dot = (0 until 64).map(d =>
-          element_at(col("embedding"), d + 1).cast("double") * planeVal(p, d)).reduce(_ + _)
+        import graft.functions.VectorExprs.vec_dot
+        val dot = vec_dot(col("embedding"), lit(Array.tabulate(64)(d => planeVal(p, d))))
         when(dot > 0, 1 << p).otherwise(0)
       }.reduce(_ + _)
       val coded = e.select(col("vec_id"), col("embedding"), code.as("code"))
