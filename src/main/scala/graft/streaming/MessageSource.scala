@@ -130,7 +130,7 @@ final class MessageScan(logNames: Seq[String], startingPosition: Option[String],
   override def readSchema(): StructType = Message.schema
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MessageMicroBatchStream(logNames, startingPosition, maxPerBatch)
+    new MessageMicroBatchStream(logNames, startingPosition, maxPerBatch, pollIntervalMs)
 
   override def toContinuousStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
@@ -147,7 +147,8 @@ final class MessageScan(logNames: Seq[String], startingPosition: Option[String],
         }
         MessagePartition(n, start, ShardLog.parseSeq(log.endSequence)): InputPartition
       }.toArray
-    override def createReaderFactory(): PartitionReaderFactory = new MessageReaderFactory
+    override def createReaderFactory(): PartitionReaderFactory =
+      new MessageReaderFactory(pollIntervalMs)
   }
 }
 
@@ -184,7 +185,7 @@ object TopicOffset {
 }
 
 final class MessageMicroBatchStream(logNames: Seq[String], startingPosition: Option[String],
-                                    maxPerBatch: Int)
+                                    maxPerBatch: Int, pollIntervalMs: Long = 1000L)
     extends MicroBatchStream with SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -255,7 +256,8 @@ final class MessageMicroBatchStream(logNames: Seq[String], startingPosition: Opt
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new MessageReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MessageReaderFactory(pollIntervalMs)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -263,7 +265,33 @@ final class MessageMicroBatchStream(logNames: Seq[String], startingPosition: Opt
 final case class MessagePartition(logName: String, startIdx: Long, endIdx: Long)
     extends InputPartition
 
-final class MessageReaderFactory extends PartitionReaderFactory {
+/** Read-side error recovery — reference policy
+  * (`KinesisStreamingBuffer.java:121-148`, §2A-14..16): throttling
+  * (ProvisionedThroughputExceeded analogue) backs off 3x the poll
+  * interval, any other failure 1x, then retry — indefinitely, like the
+  * reference's fill loop. Spark task retry is NOT the mechanism: in
+  * local mode task maxFailures=1, and on a cluster a task re-run
+  * re-reads the whole partition; absorbing transient service errors
+  * belongs at the source.
+  */
+object ReadRetry {
+  def readWithRetry(log: ShardLog, fromSeq: Option[String], inclusive: Boolean,
+                    limit: Int, pollIntervalMs: Long): Seq[(String, Message)] = {
+    while (true) {
+      try return log.read(fromSeq, inclusive, limit)
+      catch {
+        case _: ThrottledException =>
+          Thread.sleep(3 * pollIntervalMs) // reference: 3x poll-interval
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft-source] read failed (${e.getMessage}); retrying in ${pollIntervalMs}ms")
+          Thread.sleep(pollIntervalMs)
+      }
+    }
+    Nil // unreachable
+  }
+}
+
+final class MessageReaderFactory(pollIntervalMs: Long = 1000L) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MessagePartition]
     new PartitionReader[InternalRow] {
@@ -275,7 +303,8 @@ final class MessageReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean = {
         if (idx >= p.endIdx) false
         else {
-          val recs = log.read(Some(ShardLog.formatSeq(idx)), inclusive = true, limit = 1)
+          val recs = ReadRetry.readWithRetry(
+            log, Some(ShardLog.formatSeq(idx)), inclusive = true, limit = 1, pollIntervalMs)
           if (recs.isEmpty) false
           else { current = recs.head._2; idx += 1; true }
         }
@@ -373,7 +402,8 @@ final class MessageContinuousReaderFactory(pollIntervalMs: Long)
         * a dedicated data-reader thread and interrupts it on stop). */
       override def next(): Boolean = {
         while (!Thread.currentThread().isInterrupted) {
-          val recs = log.read(Some(ShardLog.formatSeq(idx)), inclusive = true, limit = 1)
+          val recs = ReadRetry.readWithRetry(
+            log, Some(ShardLog.formatSeq(idx)), inclusive = true, limit = 1, pollIntervalMs)
           if (recs.nonEmpty) { current = recs.head._2; idx += 1; return true }
           try Thread.sleep(pollIntervalMs)
           catch {

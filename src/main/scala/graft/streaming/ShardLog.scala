@@ -30,6 +30,18 @@ final class ShardLog(val shardId: String = "shardId-000000000000") {
   /** Simulate N throttled put batches (rate-limit recovery tests). */
   def injectPutFailures(n: Int): Unit = synchronized { failPutsRemaining = n }
 
+  @volatile private var failReadsRemaining: Int = 0
+  @volatile private var failReadsGeneric: Boolean = false
+
+  /** Simulate N failed reads: throttles (ProvisionedThroughputExceeded
+    * analogue) or generic errors — the reader's backoff-retry loop
+    * (reference rows §2A-15/16) must absorb them.
+    */
+  def injectReadFailures(n: Int, generic: Boolean = false): Unit = synchronized {
+    failReadsRemaining = n
+    failReadsGeneric = generic
+  }
+
   /** Append a batch; returns assigned sequence numbers. Throws
     * [[ThrottledException]] while injected failures remain — the
     * producer's retry loop must re-send (only) the failed entries.
@@ -55,6 +67,11 @@ final class ShardLog(val shardId: String = "shardId-000000000000") {
   val recordsRead = new java.util.concurrent.atomic.AtomicLong()
 
   def read(fromSeq: Option[String], inclusive: Boolean, limit: Int): Seq[(String, Message)] = synchronized {
+    if (failReadsRemaining > 0) {
+      failReadsRemaining -= 1
+      if (failReadsGeneric) throw new RuntimeException(s"injected read error, $failReadsRemaining remaining")
+      else throw new ThrottledException(s"injected read throttle, $failReadsRemaining remaining")
+    }
     val startIdx = fromSeq match {
       case None => 0
       case Some(seq) =>

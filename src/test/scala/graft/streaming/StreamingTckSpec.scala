@@ -216,6 +216,22 @@ class StreamingTckSpec extends AnyFunSuite {
       == Seq("a1", "a2")) // match + later target-shard rows; other shard excluded
   }
 
+  // ------------------------------------------------- error recovery
+  test("read-side recovery: throttles and generic errors absorbed with backoff (2A-14..16)") {
+    val logName = "t-retry-" + System.nanoTime()
+    val log = ShardLog.getOrCreate(logName)
+    new Producer(log, seed = 1).publish(msg("a"), msg("b"), msg("c"))
+    def readAll(): Set[String] =
+      spark.read.format("graft-messages").option("log", logName)
+        .option("pollIntervalMs", "10").load()
+        .select("externalId").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSet
+    log.injectReadFailures(2) // throttle: 3x poll-interval backoff, then retry
+    assert(readAll() == Set("a", "b", "c"))
+    log.injectReadFailures(1, generic = true) // generic: 1x backoff, then retry
+    assert(readAll() == Set("a", "b", "c"))
+  }
+
   // ------------------------------------------------------- ReadLimit
   test("latestOffset honors the engine-supplied ReadLimit, including composites") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
