@@ -873,11 +873,32 @@ object Relational {
             WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
             ORDER BY o_orderpriority, o_orderkey"""))
 
+  // --------------------------------------------------------------- Q33
+  // Salted two-phase aggregation through the correctness gate:
+  // l_returnflag has only 3 values over 600k rows — the textbook
+  // hot-key shuffle AQE cannot split (one hash-agg key is atomic).
+  // SkewTools.saltedSum spreads each key over 8 salt buckets
+  // (partial agg on (key, salt), final on key). DECIMAL partials make
+  // the result EXACTLY equal to the unsalted plain GROUP BY the
+  // oracle runs, independent of salt assignment or partitioning.
+  private val q33 = QueryDef(
+    "q33_salted_skew_agg",
+    (s, dir) => {
+      graft.ops.SkewTools.saltedSum(
+          t(s, dir, "lineitem"), "l_returnflag",
+          col("l_extendedprice").cast("decimal(18,6)"), buckets = 8, "rev")
+        .select(col("l_returnflag"), col("rev").cast("double").as("rev"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
     q10semi, q10anti, q11, q12, q13, q14, q15, q16,
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
-    q30, q31, q32)
+    q30, q31, q32, q33)
 }
