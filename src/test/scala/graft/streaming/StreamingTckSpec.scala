@@ -310,6 +310,36 @@ class StreamingTckSpec extends AnyFunSuite {
     assert(got == Set("a0", "a1", "b0", "b1"))
   }
 
+  // ---------------------------------------------------------------- T9c
+  test("T9c: continuous query restarts from its checkpoint (at-least-once)") {
+    val srcName = "t-cont-ck-src-" + System.nanoTime()
+    val dstName = "t-cont-ck-dst-" + System.nanoTime()
+    val src = ShardLog.getOrCreate(srcName)
+    ShardLog.getOrCreate(dstName)
+    val ckpt = Files.createTempDirectory("g").toString
+    def start() = spark.readStream.format("graft-messages")
+      .option("log", srcName).option("pollIntervalMs", "50").load()
+      .writeStream.format("graft-messages").option("log", dstName)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.Continuous("200 milliseconds"))
+      .start()
+    def awaitIds(want: Set[String]): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      def ids() = ShardLog.getOrCreate(dstName)
+        .read(None, inclusive = true, limit = Int.MaxValue).map(_._2).flatMap(_.externalId).toSet
+      while (!want.subsetOf(ids()) && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(want.subsetOf(ids()), s"missing ${want -- ids()}")
+    }
+    new Producer(src, seed = 1).publish(msg("a"), msg("b"))
+    val q1 = start()
+    awaitIds(Set("a", "b"))
+    q1.stop()
+    new Producer(src, seed = 2).publish(msg("c"), msg("d")) // while down
+    val q2 = start()
+    awaitIds(Set("a", "b", "c", "d")) // resumed; re-delivery allowed (at-least-once)
+    q2.stop()
+  }
+
   // ---------------------------------------------------------------- T2/T3 streaming-mode
   test("T2/T3: sliding and session windows run in streaming mode") {
     val in = MemoryStream[(Timestamp, Long)](spark)
