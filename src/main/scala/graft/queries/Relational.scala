@@ -894,11 +894,34 @@ object Relational {
               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // --------------------------------------------------------------- Q34
+  // Approximate-sketch battery, q05-style bound check (sketch values
+  // are engine-specific — GK/KLL quantiles, HLL registers — so the
+  // deterministic output is "approx within tolerance of exact", per
+  // group, which hashes identically when the sketches behave).
+  private val q34 = QueryDef(
+    "q34_approx_sketch_bounds",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("ad"),
+          countDistinct(col("l_suppkey")).as("d"))
+        .select(col("l_returnflag"),
+          (abs(col("ap50") - col("p50")) / col("p50") <= 0.05).as("p50_within_5pct"),
+          (abs(col("ad") - col("d")) / col("d") <= 0.05).as("nd_within_5pct"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, true AS p50_within_5pct, true AS nd_within_5pct
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
     q10semi, q10anti, q11, q12, q13, q14, q15, q16,
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
-    q30, q31, q32, q33)
+    q30, q31, q32, q33, q34)
 }

@@ -340,6 +340,28 @@ class StreamingTckSpec extends AnyFunSuite {
     q2.stop()
   }
 
+  // ---------------------------------------------------------------- T10
+  test("T10: stream-stream interval join matches clicks to impressions within 5 minutes") {
+    val imps = MemoryStream[(Timestamp, Long)](spark)
+    val clks = MemoryStream[(Timestamp, Long)](spark)
+    val joined = imps.toDF().toDF("its", "imp_id").withWatermark("its", "10 minutes")
+      .join(
+        clks.toDF().toDF("cts", "clk_imp").withWatermark("cts", "10 minutes"),
+        expr("imp_id = clk_imp AND cts BETWEEN its AND its + interval 5 minutes"))
+      .select("imp_id", "its", "cts")
+    val q = joined.writeStream.format("memory").queryName("t10_out").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+    imps.addData((ts(0), 1L), (ts(1), 2L), (ts(2), 3L))
+    clks.addData((ts(3), 1L))  // 3 min after imp 1 -> match
+    clks.addData((ts(9), 2L))  // 8 min after imp 2 -> outside interval, no match
+    q.processAllAvailable()
+    clks.addData((ts(4), 3L))  // 2 min after imp 3 -> match
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t10_out").select("imp_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 3L))
+  }
+
   // ---------------------------------------------------------------- T2/T3 streaming-mode
   test("T2/T3: sliding and session windows run in streaming mode") {
     val in = MemoryStream[(Timestamp, Long)](spark)
