@@ -42,9 +42,14 @@ object Bench {
     // on the first measured query
     queries("q01_project_filter")(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // each query runs twice, min reported: a transient host-load stall
-    // on a shared bench box otherwise lands on whichever query it hits
-    // (observed: 10x outliers on single queries between identical runs)
+    // each query runs twice, min over the SUCCESSFUL runs reported: a
+    // transient host-load stall on a shared bench box otherwise lands
+    // on whichever query it hits (observed: 10x outliers on single
+    // queries between identical runs); -1 only when both runs fail
+    def minOf2(run: () => Double): Double = {
+      val times = Seq(run(), run()).filter(_ >= 0)
+      if (times.isEmpty) -1.0 else times.min
+    }
     val results = headline.filter(queries.contains).map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -55,15 +60,15 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
+        } finally {
+          // queries cache doc-sized intermediates; drop them so runs
+          // don't accumulate dead storage that skews later timings
+          spark.sharedState.cacheManager.clearCache()
         }
       }
-      val first = once()
-      name -> (if (first < 0) first else math.min(first, once()))
+      name -> minOf2(() => once())
     }
-    val streamSec = {
-      val first = streamingThroughput(spark)
-      if (first < 0) first else math.min(first, streamingThroughput(spark))
-    }
+    val streamSec = minOf2(() => streamingThroughput(spark))
     val all = results :+ ("stream_100k_msgs" -> streamSec)
     val qs = all.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum

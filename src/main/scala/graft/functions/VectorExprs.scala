@@ -38,17 +38,24 @@ case class VecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  override def nullable: Boolean = true
+
   private def read(x: ArrayData, t: DataType, i: Int): Double =
     if (t == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
 
+  /** HOF-fold parity: `aggregate(zip_with(a, b, ...))` yields NULL when
+    * the lengths differ (zip_with null-pads) or any element is null —
+    * so does this. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (tl, tr) = (elem(left).get, elem(right).get)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += read(x, tl, i) * read(y, tr, i)
       i += 1
     }
@@ -64,10 +71,15 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${getter(elem(left).get, a, i)} * ${getter(elem(right).get, b, i)};
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${getter(elem(left).get, a, i)} * ${getter(elem(right).get, b, i)};
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -90,12 +102,15 @@ case class VecNorm(child: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_norm"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var acc = 0.0
     var i = 0
     val n = x.numElements()
     while (i < n) {
+      if (x.isNullAt(i)) return null
       val v = x.getFloat(i).toDouble
       acc += v * v
       i += 1
@@ -113,6 +128,7 @@ case class VecNorm(child: Expression)
          |final int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  final double $v = (double) $a.getFloat($i);
          |  $acc += $v * $v;
          |}

@@ -599,6 +599,30 @@ object Llm {
   private val esS = Seq("el", "la", "los", "y")
   private val frS = Seq("le", "les", "et", "des")
 
+  /** Quality score shared by l4_quality and l6_corpus_clean — one
+    * definition per engine so the oracles can never drift apart. */
+  private def qualityCol(nTok: Column, stopN: Column): Column = round(
+    lit(0.4) * least(nTok.cast("double") / 100.0, lit(1.0)) +
+    lit(0.3) * least(stopN.cast("double") / nTok * 5.0, lit(1.0)) +
+    lit(0.3), 6)
+
+  private def qualityDuck(nTok: String, stopN: String): String =
+    s"""round(0.4 * least(CAST($nTok AS DOUBLE) / 100.0, 1.0) + 0.3 * least(CAST($stopN AS DOUBLE) / $nTok * 5.0, 1.0) + 0.3, 6)"""
+
+  /** Language pick over the four stopword counts — shared likewise. */
+  private val langPredCol: Column =
+    when(greatest(col("en_n"), col("de_n"), col("es_n"), col("fr_n")) === 0, "und")
+      .when(col("en_n") >= greatest(col("de_n"), col("es_n"), col("fr_n")), "en")
+      .when(col("de_n") >= greatest(col("es_n"), col("fr_n")), "de")
+      .when(col("es_n") >= col("fr_n"), "es")
+      .otherwise("fr")
+
+  private val langPredDuck: String =
+    """CASE WHEN greatest(en_n, de_n, es_n, fr_n) = 0 THEN 'und'
+      |     WHEN en_n >= greatest(de_n, es_n, fr_n) THEN 'en'
+      |     WHEN de_n >= greatest(es_n, fr_n) THEN 'de'
+      |     WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END""".stripMargin
+
   private val l4lang = QueryDef(
     "l4_langid",
     (s, dir) => {
@@ -607,12 +631,7 @@ object Llm {
         .select(col("doc_id"),
           expr(stopCount(enS)).as("en_n"), expr(stopCount(deS)).as("de_n"),
           expr(stopCount(esS)).as("es_n"), expr(stopCount(frS)).as("fr_n"))
-        .withColumn("pred",
-          when(greatest(col("en_n"), col("de_n"), col("es_n"), col("fr_n")) === 0, "und")
-            .when(col("en_n") >= greatest(col("de_n"), col("es_n"), col("fr_n")), "en")
-            .when(col("de_n") >= greatest(col("es_n"), col("fr_n")), "de")
-            .when(col("es_n") >= col("fr_n"), "es")
-            .otherwise("fr"))
+        .withColumn("pred", langPredCol)
         .orderBy("doc_id")
     },
     Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -620,10 +639,7 @@ object Llm {
             |  ${stopCountDuck(enS)} AS en_n, ${stopCountDuck(deS)} AS de_n,
             |  ${stopCountDuck(esS)} AS es_n, ${stopCountDuck(frS)} AS fr_n FROM w)
             |SELECT doc_id, en_n, de_n, es_n, fr_n,
-            |  CASE WHEN greatest(en_n, de_n, es_n, fr_n) = 0 THEN 'und'
-            |       WHEN en_n >= greatest(de_n, es_n, fr_n) THEN 'en'
-            |       WHEN de_n >= greatest(es_n, fr_n) THEN 'de'
-            |       WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END AS pred
+            |  $langPredDuck AS pred
             |FROM x ORDER BY doc_id""".stripMargin))
 
   private val l4quality = QueryDef(
@@ -636,22 +652,17 @@ object Llm {
         .select(col("doc_id"), col("n_tok"),
           ((length(col("text")) - col("n_tok") + 1).cast("double") / col("n_tok")).as("avg_wlen"),
           (col("stop_n").cast("double") / col("n_tok")).as("stop_ratio"),
-          round(
-            lit(0.4) * least(col("n_tok").cast("double") / 100.0, lit(1.0)) +
-            lit(0.3) * least(col("stop_n").cast("double") / col("n_tok") * 5.0, lit(1.0)) +
-            lit(0.3), 6).as("quality"))
+          qualityCol(col("n_tok"), col("stop_n")).as("quality"))
         .orderBy("doc_id")
     },
-    Some("""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+    Some(s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
             x AS (SELECT doc_id, len(ws) AS n_tok,
                     len(list_filter(ws, t -> t IN ('the','a','and','of'))) AS stop_n,
                     length(text) AS n_ch FROM w)
             SELECT doc_id, n_tok,
               CAST(n_ch - n_tok + 1 AS DOUBLE) / n_tok AS avg_wlen,
               CAST(stop_n AS DOUBLE) / n_tok AS stop_ratio,
-              round(0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
-                  + 0.3 * least(CAST(stop_n AS DOUBLE) / n_tok * 5.0, 1.0)
-                  + 0.3, 6) AS quality
+              ${qualityDuck("n_tok", "stop_n")} AS quality
             FROM x ORDER BY doc_id"""))
 
   private val l4tokens = QueryDef(
@@ -734,19 +745,10 @@ object Llm {
       val annotated = docs
         .withColumn("ws", split(col("text"), " "))
         .withColumn("n_tok", size(col("ws")))
-        .withColumn("stop_n", expr(stopCount(enS)))
-        .withColumn("quality", round(
-          lit(0.4) * least(col("n_tok").cast("double") / 100.0, lit(1.0)) +
-          lit(0.3) * least(col("stop_n").cast("double") / col("n_tok") * 5.0, lit(1.0)) +
-          lit(0.3), 6))
         .withColumn("en_n", expr(stopCount(enS))).withColumn("de_n", expr(stopCount(deS)))
         .withColumn("es_n", expr(stopCount(esS))).withColumn("fr_n", expr(stopCount(frS)))
-        .withColumn("pred",
-          when(greatest(col("en_n"), col("de_n"), col("es_n"), col("fr_n")) === 0, "und")
-            .when(col("en_n") >= greatest(col("de_n"), col("es_n"), col("fr_n")), "en")
-            .when(col("de_n") >= greatest(col("es_n"), col("fr_n")), "de")
-            .when(col("es_n") >= col("fr_n"), "es")
-            .otherwise("fr"))
+        .withColumn("quality", qualityCol(col("n_tok"), col("en_n"))) // en stopwords = quality stoplist
+        .withColumn("pred", langPredCol)
       val wKeep = Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
       val keepers = annotated.withColumn("rn", row_number().over(wKeep))
       val dropNearDups = jaccardPairs(s, dir).select(col("d2").as("doc_id")).distinct()
@@ -761,18 +763,12 @@ object Llm {
             |        len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of'))) AS stop_n
             |      FROM documents),
             |qual AS (SELECT doc_id, n_tok,
-            |        round(0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
-            |            + 0.3 * least(CAST(stop_n AS DOUBLE) / n_tok * 5.0, 1.0)
-            |            + 0.3, 6) AS quality FROM q),
+            |        ${qualityDuck("n_tok", "stop_n")} AS quality FROM q),
             |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
             |lg AS (SELECT doc_id,
             |        ${stopCountDuck(enS)} AS en_n, ${stopCountDuck(deS)} AS de_n,
             |        ${stopCountDuck(esS)} AS es_n, ${stopCountDuck(frS)} AS fr_n FROM w),
-            |lp AS (SELECT doc_id,
-            |        CASE WHEN greatest(en_n, de_n, es_n, fr_n) = 0 THEN 'und'
-            |             WHEN en_n >= greatest(de_n, es_n, fr_n) THEN 'en'
-            |             WHEN de_n >= greatest(es_n, fr_n) THEN 'de'
-            |             WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END AS lang_pred FROM lg),
+            |lp AS (SELECT doc_id, $langPredDuck AS lang_pred FROM lg),
             |keep AS (SELECT doc_id,
             |        row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
             |      FROM documents)

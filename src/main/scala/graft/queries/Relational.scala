@@ -831,10 +831,17 @@ object Relational {
   private val q31 = QueryDef(
     "q31_pivot",
     (s, dir) => {
-      t(s, dir, "orders")
+      val p = t(s, dir, "orders")
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("rev"))
+      // pivot leaves NULL in a cell with no rows; the oracle's
+      // COUNT(*) FILTER gives 0 — align the counts (revenue stays
+      // NULL-on-empty in both engines)
+      p.select(col("o_orderpriority") +:
+          Seq("F", "O", "P").flatMap(v => Seq(
+            coalesce(col(s"${v}_cnt"), lit(0L)).as(s"${v}_cnt"),
+            col(s"${v}_rev"))): _*)
         .orderBy("o_orderpriority")
     },
     Some("""SELECT o_orderpriority,

@@ -275,14 +275,23 @@ final case class MessagePartition(logName: String, startIdx: Long, endIdx: Long)
   * belongs at the source.
   */
 object ReadRetry {
+  /** Attempts for non-throttle errors before giving up — a permanent
+    * failure (corrupt state, bug) must surface, not hang the task.
+    * Throttles retry indefinitely like the reference's fill loop:
+    * backpressure is expected to clear. */
+  private val MaxGenericAttempts = 20
+
   def readWithRetry(log: ShardLog, fromSeq: Option[String], inclusive: Boolean,
                     limit: Int, pollIntervalMs: Long): Seq[(String, Message)] = {
+    var genericFailures = 0
     while (true) {
       try return log.read(fromSeq, inclusive, limit)
       catch {
         case _: ThrottledException =>
           Thread.sleep(3 * pollIntervalMs) // reference: 3x poll-interval
         case scala.util.control.NonFatal(e) =>
+          genericFailures += 1
+          if (genericFailures >= MaxGenericAttempts) throw e
           System.err.println(s"[graft-source] read failed (${e.getMessage}); retrying in ${pollIntervalMs}ms")
           Thread.sleep(pollIntervalMs)
       }
@@ -402,11 +411,14 @@ final class MessageContinuousReaderFactory(pollIntervalMs: Long)
         * a dedicated data-reader thread and interrupts it on stop). */
       override def next(): Boolean = {
         while (!Thread.currentThread().isInterrupted) {
-          val recs = ReadRetry.readWithRetry(
-            log, Some(ShardLog.formatSeq(idx)), inclusive = true, limit = 1, pollIntervalMs)
-          if (recs.nonEmpty) { current = recs.head._2; idx += 1; return true }
-          try Thread.sleep(pollIntervalMs)
-          catch {
+          try {
+            val recs = ReadRetry.readWithRetry(
+              log, Some(ShardLog.formatSeq(idx)), inclusive = true, limit = 1, pollIntervalMs)
+            if (recs.nonEmpty) { current = recs.head._2; idx += 1; return true }
+            Thread.sleep(pollIntervalMs)
+          } catch {
+            // engine stop interrupts the data-reader thread — also mid
+            // ReadRetry backoff sleep; clean end-of-stream, not an error
             case _: InterruptedException =>
               Thread.currentThread().interrupt()
               return false

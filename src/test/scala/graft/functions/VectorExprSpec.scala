@@ -60,6 +60,23 @@ class VectorExprSpec extends AnyFunSuite {
     assert(math.abs(r(0).getDouble(1) - 32.0) < 1e-9) // 1*4 + 2*5 + 3*6
   }
 
+  test("null element or mismatched length yields null, matching zip_with/aggregate") {
+    val df = Seq(
+      (1L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f, 4.0f)),
+      (2L, Array[java.lang.Float](1.0f, null), Array[java.lang.Float](3.0f, 4.0f)),
+      (3L, Array[java.lang.Float](1.0f), Array[java.lang.Float](3.0f, 4.0f))
+    ).toDF("id", "a", "b")
+    val hof =
+      expr("aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, x) -> acc + x)")
+    val rows = df.select(col("id"), VectorExprs.vec_dot(col("a"), col("b")).as("nd"), hof.as("hd"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2),
+        s"id=${r.getLong(0)}: native null=${r.isNullAt(1)} hof null=${r.isNullAt(2)}")
+      if (!r.isNullAt(1)) assert(r.getDouble(1) == r.getDouble(2))
+    }
+  }
+
   test("null vector yields null, not a crash") {
     val withNull = Seq((1L, Array(1.0f), Option(Array(2.0f))), (2L, Array(1.0f), None))
       .toDF("id", "a", "b")
