@@ -36,17 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("ulid"),
       new ExpressionInfo(classOf[UlidExpression].getName, "ulid"),
-      exprs => UlidExpression(if (exprs.isEmpty) 42L else exprs.head match {
-        // seed must be a literal: widen int literals, reject non-foldable
-        case e if e.foldable => e.eval(null) match {
-          case i: java.lang.Integer => i.longValue
-          case l: java.lang.Long => l.longValue
-          case other => throw new IllegalArgumentException(
-            s"ulid(seed) expects an integer literal, got $other")
-        }
-        case _ => throw new IllegalArgumentException(
-          "ulid(seed) expects a literal seed")
-      })))
+      graft.functions.UlidExprs.ulidBuilder))
     ext.injectFunction((
       FunctionIdentifier("ulid_timestamp"),
       new ExpressionInfo(classOf[UlidTimestamp].getName, "ulid_timestamp"),

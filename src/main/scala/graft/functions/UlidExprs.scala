@@ -64,10 +64,27 @@ object UlidExprs {
   def ulid_timestamp(msb: Column): Column =
     ColumnBridge.column(UlidTimestamp(ColumnBridge.expression(msb)))
 
+  /** Shared SQL builder: zero args -> default seed; an integer LITERAL
+    * seed is widened; anything non-foldable is rejected (a column seed
+    * would silently freeze one value per query otherwise). Used by both
+    * the temp-function registration below and [[graft.GraftExtensions]].
+    */
+  def ulidBuilder(exprs: Seq[Expression]): Expression =
+    UlidExpression(if (exprs.isEmpty) 42L else exprs.head match {
+      case e if e.foldable => e.eval(null) match {
+        case i: java.lang.Integer => i.longValue
+        case l: java.lang.Long => l.longValue
+        case other => throw new IllegalArgumentException(
+          s"ulid(seed) expects an integer literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "ulid(seed) expects a literal seed")
+    })
+
   /** SQL registration: `SELECT ulid(), ulid_timestamp(u.msb) ...`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ulid", _ => UlidExpression(42L), "built-in")
+      "ulid", ulidBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ulid_timestamp", exprs => UlidTimestamp(exprs.head), "built-in")
   }

@@ -51,7 +51,9 @@ object Llm {
       |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
       |    THEN list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
       |    ELSE [array_to_string(ws, ' ')] END) AS sh FROM w)),
-      |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id)""".stripMargin
+      |sh2 AS (SELECT DISTINCT doc_id,
+      |  CAST(concat('0x', substr(sha256(sh), 1, 15)) AS BIGINT) AS h FROM s),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id)""".stripMargin
 
   /** Exact Jaccard for candidate pairs. The candidate set is tiny after
     * filtering, so intersection counting joins each pair against ONE
@@ -82,15 +84,15 @@ object Llm {
     * independently spelled in SQL) — oracle for both l2 variants. */
   private val jaccardOracle =
     s"""WITH $shinglesSql,
-       |pr AS (SELECT doc_id, sh FROM (
-       |  SELECT s.doc_id, sh, row_number() OVER (PARTITION BY s.doc_id ORDER BY sh) AS rn, sz.sz
-       |  FROM s JOIN sz ON s.doc_id = sz.doc_id)
+       |pr AS (SELECT doc_id, h FROM (
+       |  SELECT sh2.doc_id, h, row_number() OVER (PARTITION BY sh2.doc_id ORDER BY h) AS rn, sz.sz
+       |  FROM sh2 JOIN sz ON sh2.doc_id = sz.doc_id)
        |  WHERE rn <= sz - ceil(sz * $T) + 1),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |  FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id),
        |i AS (SELECT c.d1, c.d2, count(*) AS i
-       |  FROM cand c JOIN s a ON a.doc_id = c.d1
-       |  JOIN s b ON b.doc_id = c.d2 AND b.sh = a.sh GROUP BY c.d1, c.d2)
+       |  FROM cand c JOIN sh2 a ON a.doc_id = c.d1
+       |  JOIN sh2 b ON b.doc_id = c.d2 AND b.h = a.h GROUP BY c.d1, c.d2)
        |SELECT d1, d2, CAST(i AS DOUBLE) / (x.sz + y.sz - i) AS j
        |FROM i JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
        |WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= $T
@@ -121,28 +123,34 @@ object Llm {
   /** The exact near-dup pair set (d1, d2, j), unordered — shared by
     * l2_jaccard_pairs and the l6 cleanup pipeline. */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-      val sh = shingles(t(s, dir, "documents"))
-      val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      // ONE corpus-sized groupBy builds everything per-doc — the
-      // frequency-sorted shingle array, its size, and the rarest-first
-      // prefix — where the previous plan ran a window plus two more
-      // aggregations over the shingle table (4 shuffles -> 2). The
-      // cached intermediate is doc-count-sized (one array row per doc),
-      // not shingle-table-sized: at 100 TB this is the signature table
-      // you'd materialize anyway, while caching raw shingles is not an
-      // option.
-      val docArr = sh.join(broadcastIfSmall(freq), "sh")
+      // Shingles hash to 60-bit longs IMMEDIATELY (portable sha-60,
+      // identical in DuckDB) — everything downstream shuffles,
+      // bucket-joins, and intersects 8-byte longs instead of ~26-byte
+      // strings: ~3x less shuffle volume and long-vs-string compares in
+      // the verification intersects. The 10x stress harness
+      // (graft.Stress) showed the string spelling going super-linear on
+      // a dup-heavy corpus; both engines hash the same way, so the pair
+      // set still matches the oracle bit-for-bit.
+      val sh = shingles(t(s, dir, "documents")).select(col("doc_id"), sha60(col("sh")).as("h"))
+      val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      // ONE corpus-sized groupBy builds everything per-doc: the
+      // frequency-sorted hash SET (collect_set dedupes any intra-doc
+      // 60-bit collision, matching the oracle's DISTINCT), its size,
+      // and the rarest-first prefix. Cached intermediate stays
+      // doc-count-sized — the signature table a 100 TB run would
+      // materialize anyway.
+      val docArr = sh.join(broadcastIfSmall(freq), "h")
         .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("fsh"))
+        .agg(sort_array(collect_set(struct(col("df"), col("h")))).as("fsh"))
         .select(col("doc_id"),
-          expr("transform(fsh, x -> x.sh)").as("arr"),
+          expr("transform(fsh, x -> x.h)").as("arr"),
           size(col("fsh")).as("sz"))
         .withColumn("pref",
           expr(s"slice(arr, 1, size(arr) - cast(ceil(size(arr) * $T) as int) + 1)"))
         .cache()
-      val pref = docArr.select(col("doc_id"), explode(col("pref")).as("sh"))
+      val pref = docArr.select(col("doc_id"), explode(col("pref")).as("h"))
       val cand = pref.as("a").join(pref.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
       verifiedJaccardArr(cand, docArr.select("doc_id", "arr", "sz"))
   }
@@ -163,8 +171,8 @@ object Llm {
   private val l2minhash = QueryDef(
     "l2_minhash_lsh",
     (s, dir) => {
-      val sh = shingles(t(s, dir, "documents"))
-      val hm = sh.withColumn("hm", sha60(col("sh")) % P)
+      val sh = shingles(t(s, dir, "documents")).select(col("doc_id"), sha60(col("sh")).as("h"))
+      val hm = sh.withColumn("hm", col("h") % P)
       // ONE corpus-sized groupBy computes all 64 min-hash signatures
       // AND the exact-verification shingle array AND its size (was 3
       // separate shuffles over the shingle table). Cached intermediate
@@ -172,8 +180,10 @@ object Llm {
       // materialize to storage anyway.
       val mins = (0 until NPERM).map(k =>
         min((col("hm") * permA(k) + permB(k)) % P).as(s"mh$k"))
-      val aggs = mins :+ collect_list(col("sh")).as("arr") :+ count(lit(1)).as("sz")
-      val doc = hm.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).cache()
+      val aggs = mins :+ sort_array(collect_set(col("h"))).as("arr")
+      val doc = hm.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .withColumn("sz", size(col("arr"))) // distinct-hash count, no extra agg pass
+        .cache()
       val bands = (0 until NPERM / 4).map(bd => struct(
         lit(bd).as("band"),
         concat_ws(",", (0 until 4).map(r => col(s"mh${bd * 4 + r}")): _*).as("bsig")))

@@ -45,4 +45,15 @@ class UlidExprSpec extends AnyFunSuite {
       .select("u.msb", "u.lsb").distinct().count()
     assert(n == 100)
   }
+
+  test("ulid(seed) via extensions accepts int literals and rejects non-literals") {
+    // extensions-registered path (GraftExtensions) — int literal widens
+    val n = spark.sql("SELECT ulid(7) AS u FROM range(10)")
+      .select("u.msb", "u.lsb").distinct().count()
+    assert(n == 10)
+    val err = intercept[Exception] {
+      spark.sql("SELECT ulid(id) FROM range(1)").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
 }
