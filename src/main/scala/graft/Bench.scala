@@ -26,16 +26,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchSession.build()
 
     val queries = SparkEntry.queries
     // one warm-up action so JIT/codegen/parquet-footer costs don't land
@@ -51,22 +42,7 @@ object Bench {
       if (times.isEmpty) -1.0 else times.min
     }
     val results = headline.filter(queries.contains).map { name =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0
-        } finally {
-          // queries cache doc-sized intermediates; drop them so runs
-          // don't accumulate dead storage that skews later timings
-          spark.sharedState.cacheManager.clearCache()
-        }
-      }
-      name -> minOf2(() => once())
+      name -> minOf2(() => BenchSession.timeQuery(spark, name, sfDir))
     }
     val streamSec = minOf2(() => streamingThroughput(spark))
     val all = results :+ ("stream_100k_msgs" -> streamSec)

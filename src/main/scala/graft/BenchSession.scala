@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One SparkSession recipe for the measurement mains (Bench, Stress) —
+  * keeps their methodology from drifting apart. */
+object BenchSession {
+  def build(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Time one query through the noop sink; cache cleanup happens
+    * OUTSIDE the measured window. Returns -1 on failure. */
+  def timeQuery(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    val elapsed = try {
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+    }
+    spark.sharedState.cacheManager.clearCache() // after timing, not inside it
+    elapsed
+  }
+}

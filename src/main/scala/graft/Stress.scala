@@ -26,28 +26,17 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchSession.build()
 
     val scaledDir = java.nio.file.Files.createTempDirectory("graft-stress").toString
     buildScaled(spark, sfDir, scaledDir, factor)
 
-    def timeAll(dir: String): Seq[(String, Double)] = queriesUnderTest.map { name =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-      spark.sharedState.cacheManager.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    def timeAll(dir: String): Seq[(String, Double)] =
+      queriesUnderTest.map(name => name -> BenchSession.timeQuery(spark, name, dir))
 
-    timeAll(sfDir) // warm-up: JIT + codegen caches, so base isn't penalized
+    // warm-up BOTH corpora (JIT, codegen, parquet footers) so neither
+    // side's first query absorbs one-time costs the other skips
+    timeAll(sfDir); timeAll(scaledDir)
     val base = timeAll(sfDir)
     val scaled = timeAll(scaledDir)
     def js(rs: Seq[(String, Double)]): String =
@@ -63,7 +52,14 @@ object Stress {
   private def buildScaled(spark: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {
     val docs = Tables(spark, sfDir, "documents")
     val maxDoc = 10000000L
-    val pad = (i: Int) => ('a' to 't').map(c => s"$c$i").mkString(" ") + " "
+    // 40 pad words: a copy of an n-word doc shares n-2 shingles and
+    // adds ~40, so J = (n-2)/(n+38) < 0.8 needs n < 162 — true for the
+    // whole fixture (max 100 tokens). A 20-word pad would leave docs
+    // with >= 82 tokens ABOVE the threshold and flood the corpus with
+    // synthetic near-dup pairs.
+    val pad = (i: Int) =>
+      (('a' to 't').map(c => s"$c$i") ++ ('a' to 't').map(c => s"$c${i + 1000}"))
+        .mkString(" ") + " "
     (0 until factor).map { i =>
       docs.select(
         (col("doc_id") + i * maxDoc).as("doc_id"),

@@ -55,20 +55,13 @@ object Llm {
       |  CAST(concat('0x', substr(sha256(sh), 1, 15)) AS BIGINT) AS h FROM s),
       |sz AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id)""".stripMargin
 
-  /** Exact Jaccard for candidate pairs. The candidate set is tiny after
-    * filtering, so intersection counting joins each pair against ONE
-    * row per doc (collected shingle arrays) and intersects in-memory —
-    * two small hash joins instead of a row-level join against the full
-    * corpus-sized shingle table. Shared by the prefix-filter and
-    * MinHash paths.
+  /** Exact Jaccard over candidate pairs and pre-collected per-doc
+    * DISTINCT-hash arrays (doc_id, arr, sz). The candidate set is tiny
+    * after filtering, so intersection counting joins each pair against
+    * ONE row per doc and intersects in-memory — two small hash joins
+    * instead of a row-level join against the corpus-sized shingle
+    * table. Shared by the prefix-filter and MinHash paths.
     */
-  private def verifiedJaccard(cand: DataFrame, sh: DataFrame, sz: DataFrame): DataFrame = {
-    val arrs = sh.groupBy("doc_id")
-      .agg(collect_list(col("sh")).as("arr"), count(lit(1)).as("sz"))
-    verifiedJaccardArr(cand, arrs)
-  }
-
-  /** Same, over pre-collected per-doc shingle arrays (doc_id, arr, sz). */
   private def verifiedJaccardArr(cand: DataFrame, arrs: DataFrame): DataFrame = {
     cand
       .join(arrs.select(col("doc_id").as("d1"), col("arr").as("arr1"), col("sz").as("sz1")), "d1")

@@ -284,10 +284,14 @@ object ReadRetry {
   def readWithRetry(log: ShardLog, fromSeq: Option[String], inclusive: Boolean,
                     limit: Int, pollIntervalMs: Long): Seq[(String, Message)] = {
     var genericFailures = 0
+    var throttles = 0
     while (true) {
       try return log.read(fromSeq, inclusive, limit)
       catch {
         case _: ThrottledException =>
+          throttles += 1
+          if (throttles % 10 == 0) // periodic heartbeat: backpressure, not a hang
+            System.err.println(s"[graft-source] still throttled after $throttles attempts on ${log.shardId}")
           Thread.sleep(3 * pollIntervalMs) // reference: 3x poll-interval
         case scala.util.control.NonFatal(e) =>
           genericFailures += 1
