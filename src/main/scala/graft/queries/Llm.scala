@@ -115,7 +115,10 @@ object Llm {
   // final pair set is identical.
   /** The exact near-dup pair set (d1, d2, j), unordered — shared by
     * l2_jaccard_pairs and the l6 cleanup pipeline. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsOf(t(s, dir, "documents"))
+
+  private def jaccardPairsOf(docs: DataFrame): DataFrame = {
       // Shingles hash to 60-bit longs IMMEDIATELY (portable sha-60,
       // identical in DuckDB) — everything downstream shuffles,
       // bucket-joins, and intersects 8-byte longs instead of ~26-byte
@@ -124,7 +127,7 @@ object Llm {
       // (graft.Stress) showed the string spelling going super-linear on
       // a dup-heavy corpus; both engines hash the same way, so the pair
       // set still matches the oracle bit-for-bit.
-      val sh = shingles(t(s, dir, "documents")).select(col("doc_id"), sha60(col("sh")).as("h"))
+      val sh = shingles(docs).select(col("doc_id"), sha60(col("sh")).as("h"))
       val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
       // ONE corpus-sized groupBy builds everything per-doc: the
       // frequency-sorted hash SET (collect_set dedupes any intra-doc
@@ -754,7 +757,15 @@ object Llm {
         .withColumn("pred", langPredCol)
       val wKeep = Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
       val keepers = annotated.withColumn("rn", row_number().over(wKeep))
-      val dropNearDups = jaccardPairs(s, dir).select(col("d2").as("doc_id")).distinct()
+      // Near-dup pairs are computed over exact-KEEPERS only — provably
+      // the same drop set as full-corpus pairs (exact dups share an
+      // identical shingle set, so any pair (d1, d2) with a non-keeper
+      // d1 is witnessed by (keeper(d1), d2), keeper(d1) <= d1 < d2),
+      // while the most expensive stage skips every exact-dup clique.
+      // At 100 TB dup rates this ordering, not the join plan, is the
+      // scaling lever.
+      val keeperDocs = keepers.filter(col("rn") === 1).select("doc_id", "text")
+      val dropNearDups = jaccardPairsOf(keeperDocs).select(col("d2").as("doc_id")).distinct()
       keepers
         .filter(col("quality") >= 0.6 && col("rn") === 1)
         .join(dropNearDups, Seq("doc_id"), "left_anti")
