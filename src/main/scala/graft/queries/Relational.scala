@@ -808,11 +808,17 @@ object Relational {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          expr("percentile(l_quantity, 0.25)").as("p25"),
-          expr("percentile(l_quantity, 0.5)").as("p50"),
-          expr("percentile(l_quantity, 0.75)").as("p75"),
+          // array form: ONE sort buffer per group serves all three
+          // quantiles (three scalar percentile aggs would each buffer
+          // the column independently)
+          expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("ps"),
           expr("percentile(l_extendedprice, 0.9)").as("price_p90"),
           min("l_quantity").as("mn"), max("l_quantity").as("mx"))
+        .select(col("l_returnflag"),
+          element_at(col("ps"), 1).as("p25"),
+          element_at(col("ps"), 2).as("p50"),
+          element_at(col("ps"), 3).as("p75"),
+          col("price_p90"), col("mn"), col("mx"))
         .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag,
