@@ -764,7 +764,13 @@ object Llm {
       // while the most expensive stage skips every exact-dup clique.
       // At 100 TB dup rates this ordering, not the join plan, is the
       // scaling lever.
-      val keeperDocs = keepers.filter(col("rn") === 1).select("doc_id", "text")
+      // keeper ids via a partial-aggregatable hash-agg, NOT by re-running
+      // the rn=1 window (that would compute the text-carrying sort
+      // shuffle twice — once here, once for the output filter); texts
+      // within a sha2 group are identical, so any_value is exact
+      val keeperDocs = docs.groupBy(sha2(col("text"), 256))
+        .agg(min(col("doc_id")).as("doc_id"), any_value(col("text")).as("text"))
+        .select("doc_id", "text")
       val dropNearDups = jaccardPairsOf(keeperDocs).select(col("d2").as("doc_id")).distinct()
       keepers
         .filter(col("quality") >= 0.6 && col("rn") === 1)
