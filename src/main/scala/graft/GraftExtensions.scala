@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{UlidExpression, UlidTimestamp, VecDot, VecNorm}
+import graft.functions.{ShingleSha60, UlidExpression, UlidTimestamp, VecDot, VecNorm}
 
 /** Session-extension entry point: registers the engine's native
   * Catalyst expressions into the function registry, so SQL text can
@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ulid"),
       new ExpressionInfo(classOf[UlidExpression].getName, "ulid"),
       graft.functions.UlidExprs.ulidBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_sha60"),
+      new ExpressionInfo(classOf[ShingleSha60].getName, "shingle_sha60"),
+      exprs => ShingleSha60(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("ulid_timestamp"),
       new ExpressionInfo(classOf[UlidTimestamp].getName, "ulid_timestamp"),

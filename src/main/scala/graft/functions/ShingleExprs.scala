@@ -1,0 +1,92 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `shingle_sha60(text)` — the near-dup scan kernel: DISTINCT 60-bit
+  * sha-256 prefix hashes of the word-3-gram shingles of `text`, in one
+  * native pass. Replaces the interpreted HOF chain
+  * `split → transform(sequence) → concat_ws → array_distinct →
+  * explode → sha2 → conv` that previously materialized a string array
+  * per row before hashing.
+  *
+  * Semantics are EXACTLY the composed built-ins (so the DuckDB oracles
+  * are untouched):
+  *  - words = split on single spaces, trailing empties kept
+  *    (Spark `split(text, " ")` regex semantics, limit -1);
+  *  - >= 3 words → 3-grams joined with one space; fewer → the whole
+  *    raw text as the single shingle;
+  *  - hash = first 15 hex chars of sha256 (== top 60 bits of the first
+  *    8 digest bytes), the portable sha-60 both engines share;
+  *  - distinct at the hash level (matches the oracle's DISTINCT over
+  *    hashed shingles).
+  */
+object ShingleHashes {
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-256")
+  }
+
+  private def h60(md: MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    var acc = 0L
+    var i = 0
+    while (i < 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    acc >>> 4 // top 60 bits == first 15 hex chars parsed base 16
+  }
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(text: UTF8String): ArrayData = {
+    val md = digest.get()
+    val ws = text.toString.split(" ", -1)
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (ws.length >= 3) {
+      var i = 0
+      while (i <= ws.length - 3) {
+        out.add(h60(md, ws(i) + " " + ws(i + 1) + " " + ws(i + 2)))
+        i += 1
+      }
+    } else out.add(h60(md, text.toString))
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    ArrayData.toArrayData(arr)
+  }
+}
+
+case class ShingleSha60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_sha60 expects a string, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_sha60"
+
+  override def nullSafeEval(s: Any): Any =
+    ShingleHashes.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSha60 =
+    copy(child = newChild)
+}
+
+object ShingleExprs {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def shingle_sha60(text: Column): Column =
+    ColumnBridge.column(ShingleSha60(ColumnBridge.expression(text)))
+}

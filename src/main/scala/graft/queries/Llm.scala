@@ -127,7 +127,11 @@ object Llm {
       // (graft.Stress) showed the string spelling going super-linear on
       // a dup-heavy corpus; both engines hash the same way, so the pair
       // set still matches the oracle bit-for-bit.
-      val sh = shingles(docs).select(col("doc_id"), sha60(col("sh")).as("h"))
+      // native one-pass shingle kernel (graft.functions.ShingleSha60):
+      // distinct 60-bit hashes straight from the text, no string-array
+      // materialization, no interpreted HOFs in the corpus scan
+      val sh = docs.select(col("doc_id"),
+        explode(graft.functions.ShingleExprs.shingle_sha60(col("text"))).as("h"))
       val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
       // ONE corpus-sized groupBy builds everything per-doc: the
       // frequency-sorted hash SET (collect_set dedupes any intra-doc
@@ -167,7 +171,8 @@ object Llm {
   private val l2minhash = QueryDef(
     "l2_minhash_lsh",
     (s, dir) => {
-      val sh = shingles(t(s, dir, "documents")).select(col("doc_id"), sha60(col("sh")).as("h"))
+      val sh = t(s, dir, "documents").select(col("doc_id"),
+        explode(graft.functions.ShingleExprs.shingle_sha60(col("text"))).as("h"))
       val hm = sh.withColumn("hm", col("h") % P)
       // ONE corpus-sized groupBy computes all 64 min-hash signatures
       // AND the exact-verification shingle array AND its size (was 3
