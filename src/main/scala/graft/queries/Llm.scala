@@ -830,7 +830,7 @@ object Llm {
                     SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
                                      ROWS UNBOUNDED PRECEDING) AS cum FROM x)
             SELECT lang, CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS shard,
-                   COUNT(*) AS n_docs, SUM(n_tok) AS tok_sum,
+                   COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
                    MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
             FROM c GROUP BY lang, shard ORDER BY lang, shard"""))
 

@@ -7,34 +7,63 @@ Reads <verifyOutDir>/oracle_sql.json, runs each oracle in DuckDB over
 views on <sfDir>/*.parquet, loads the engine result from
 <verifyOutDir>/<name>/*.parquet, canonicalizes (columns sorted by name,
 doubles rounded to 6 decimals, timestamps → str) and diffs.
+
+Both sides are fetched through Arrow (the driver's fetch path), NOT
+fetchall(): cursor.fetchall() collapses DuckDB INTEGER/BIGINT/HUGEINT
+to Python int, hiding integer-width skew that the driver's type-strict
+hash fails on (that's how the round-2 l6_pack_shards HUGEINT skew
+shipped "green"). With Arrow, HUGEINT surfaces as decimal128 and gets
+a non-int type tag, so the skew fails locally too.
 """
 import sys, json, glob, math, os
 import duckdb
+import pyarrow as pa
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v): v = "nan"
-                else: v = round(v, 6)
-                # normalize -0.0
-                if v == 0: v = 0.0
-            elif v.__class__.__name__ in ("datetime", "date", "Timestamp"):
-                v = str(v)
-            elif isinstance(v, bool):
-                v = bool(v)
-            # type-tag so int 10 != float 10.0 (the driver hashes values,
-            # so cross-engine type skew fails there even when == passes)
-            vals.append((v.__class__.__name__, v))
-        out.append(tuple(vals))
-    return [cols[i] for i in order], out
+def type_tag(t):
+    """Coarse type tag mirroring the driver's type-strict hash: every
+    integer width is 'int', but float/decimal/bool/etc. are distinct —
+    so DuckDB HUGEINT (decimal128 in Arrow) vs Spark BIGINT fails."""
+    if pa.types.is_integer(t): return "int"
+    if pa.types.is_floating(t): return "float"
+    if pa.types.is_decimal(t): return "decimal"
+    if pa.types.is_boolean(t): return "bool"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t): return "ts"
+    if pa.types.is_string(t) or pa.types.is_large_string(t): return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "bytes"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list<" + type_tag(t.value_type) + ">"
+    return str(t)
+
+def norm(v, tg):
+    if v is None:
+        return None
+    if tg == "float":
+        if isinstance(v, float) and math.isnan(v): return "nan"
+        v = round(v, 6)
+        if v == 0: v = 0.0  # normalize -0.0
+        return v
+    if tg == "ts":
+        return str(v)
+    if tg.startswith("list<"):
+        inner = tg[5:-1]
+        return tuple(norm(x, inner) for x in v)
+    return v
+
+def canon(tbl):
+    """Arrow table → (sorted col names, list of row tuples of (tag, value))."""
+    names = list(tbl.column_names)
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    cols, tags = [], []
+    for i in order:
+        cols.append(tbl.column(i).to_pylist())
+        tags.append(type_tag(tbl.schema.field(i).type))
+    rows = []
+    for r in range(tbl.num_rows):
+        rows.append(tuple((tags[c], norm(cols[c][r], tags[c])) for c in range(len(cols))))
+    return [names[i] for i in order], [tags[c] for c in range(len(cols))], rows
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -53,18 +82,20 @@ def main():
         if not files:
             print(f"FAIL {name}: engine output missing"); n_fail += 1; continue
         try:
-            cur = con.execute(sql)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            otbl = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:200]}"); n_fail += 1; continue
-        cur = con.execute(f"SELECT * FROM read_parquet({files})")
-        ecols = [d[0] for d in cur.description]
-        erows = cur.fetchall()
-        oc, orows = canon(orows, ocols)
-        ec, erows = canon(erows, ecols)
+        etbl = con.execute(f"SELECT * FROM read_parquet({files})").fetch_arrow_table()
+        oc, otags, orows = canon(otbl)
+        ec, etags, erows = canon(etbl)
         if oc != ec:
             print(f"FAIL {name}: columns differ oracle={oc} engine={ec}"); n_fail += 1; continue
+        if otags != etags:
+            print(f"FAIL {name}: column TYPES differ (driver hash would fail)")
+            print(f"  cols:   {oc}")
+            print(f"  oracle: {otags}")
+            print(f"  engine: {etags}")
+            n_fail += 1; continue
         if len(orows) != len(erows):
             print(f"FAIL {name}: rowcount oracle={len(orows)} engine={len(erows)}")
             n_fail += 1; continue
