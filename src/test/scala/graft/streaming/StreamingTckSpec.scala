@@ -216,6 +216,70 @@ class StreamingTckSpec extends AnyFunSuite {
       == Seq("a1", "a2")) // match + later target-shard rows; other shard excluded
   }
 
+  // ---------------------------------------------------------------- T6c
+  test("T6c: CursorGate no-match overshoot replays from the tolerance lower bound") {
+    // Mirrors the reference's lookahead-replay fallback
+    // (KinesisMessiStreamingConsumer.java:93-102, TCK no-match branches
+    // MessiClientTck.java:302-384): the target ULID never appears; rows
+    // inside the window buffer across micro-batches; the first row past
+    // the upper bound opens the gate and the buffer is replayed.
+    val logName = "t-gate-nomatch-" + System.nanoTime()
+    val log = ShardLog.getOrCreate(logName)
+    val base = 1700000000000L
+    def at(extId: String, tsMillis: Long): Message =
+      msg(extId).copy(ulid = Some(Ulid(tsMillis, new java.util.Random(extId.hashCode.toLong))))
+    val target = Ulid(base, new java.util.Random(12345L)) // never published
+    val p = new Producer(log, seed = 1)
+    p.publish(
+      at("early", base - 1000),  // before the lower bound: dropped
+      at("w1", base + 1000),     // in window: buffered
+      at("w2", base + 30000))    // in window: buffered
+    val cursor = Cursor(log.shardId,
+      StartingPoint.AtUlid(target, inclusive = true, toleranceMillis = 60000L))
+    val stream = spark.readStream.format("graft-messages").option("log", logName).load()
+      .as[Message](Message.encoder)
+    val q = CursorGate(stream, cursor)
+      .writeStream.format("memory").queryName("t6c_out").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+    q.processAllAvailable()
+    assert(spark.table("t6c_out").isEmpty) // still scanning: buffer held in state
+    p.publish(at("late", base + 61000)) // overshoots: open + replay buffer
+    q.processAllAvailable()
+    p.publish(at("after", base + 62000)) // gate already open
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("t6c_out").select("externalId").as[String].collect().toSeq
+      == Seq("w1", "w2", "late", "after"))
+  }
+
+  // ---------------------------------------------------------------- T6d
+  test("T6d: CursorGate discards the lookahead buffer when the match arrives late") {
+    // Buffered pre-match rows are NOT emitted once the exact match is
+    // found in a later micro-batch (buffer.clear() on match,
+    // KinesisMessiStreamingConsumer.java:110-117).
+    val logName = "t-gate-latematch-" + System.nanoTime()
+    val log = ShardLog.getOrCreate(logName)
+    val base = 1700000000000L
+    def at(extId: String, tsMillis: Long): Message =
+      msg(extId).copy(ulid = Some(Ulid(tsMillis, new java.util.Random(extId.hashCode.toLong))))
+    val p = new Producer(log, seed = 1)
+    p.publish(at("w1", base + 1000), at("w2", base + 2000)) // in window, no match yet
+    val cursor = Cursor(log.shardId,
+      StartingPoint.AtExternalId("m", base, toleranceMillis = 60000L))
+    val stream = spark.readStream.format("graft-messages").option("log", logName).load()
+      .as[Message](Message.encoder)
+    val q = CursorGate(stream, cursor)
+      .writeStream.format("memory").queryName("t6d_out").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+    q.processAllAvailable()
+    assert(spark.table("t6d_out").isEmpty)
+    p.publish(at("m", base + 3000), at("after", base + 4000))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("t6d_out").select("externalId").as[String].collect().toSeq
+      == Seq("m", "after")) // w1/w2 discarded: emission starts at the match
+  }
+
   // ------------------------------------------------- error recovery
   test("read-side recovery: throttles and generic errors absorbed with backoff (2A-14..16)") {
     val logName = "t-retry-" + System.nanoTime()
