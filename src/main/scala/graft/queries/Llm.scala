@@ -29,13 +29,6 @@ object Llm {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  /** The shingle-frequency table is vocabulary-sized (distinct
-    * shingles), not corpus-sized — broadcast it so the frequency join
-    * adds no shuffle of the big shingle table. At open-vocabulary
-    * 100 TB scale drop the hint and let AQE pick (the join key is
-    * already the shuffle key of the downstream candidate join). */
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
-
   /** Distinct word-3-gram shingles per doc: (doc_id, sh). Docs with
     * fewer than 3 words contribute their whole text as one shingle. */
   private def shingles(docs: DataFrame): DataFrame =
@@ -139,7 +132,14 @@ object Llm {
       // and the rarest-first prefix. Cached intermediate stays
       // doc-count-sized — the signature table a 100 TB run would
       // materialize anyway.
-      val docArr = sh.join(broadcastIfSmall(freq), "h")
+      // NO broadcast hint on freq: it is vocabulary-sized (distinct
+      // shingles — an open vocabulary grows with the corpus, ~45M rows
+      // already at the 10x stress scale), so an unconditional broadcast
+      // is a driver OOM at 100 TB. Both sides of this join come off the
+      // same shuffle key (h) — freq is sh.groupBy(h) — so the join adds
+      // no extra corpus shuffle, and AQE still turns it into a runtime
+      // broadcast when the vocabulary actually fits.
+      val docArr = sh.join(freq, "h")
         .groupBy("doc_id")
         .agg(sort_array(collect_set(struct(col("df"), col("h")))).as("fsh"))
         .select(col("doc_id"),

@@ -51,6 +51,25 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"corpus side shuffled for the join:\n$plan")
   }
 
+  test("l2/l6: shingle-frequency join carries no unconditional broadcast hint") {
+    // The frequency table is vocabulary-sized (grows with the corpus) —
+    // an unconditional broadcast() hint there is a driver OOM at 100 TB.
+    // Catalyst/AQE may still broadcast from SIZE ESTIMATES at fixture
+    // scale (desired — that decision reverses itself as data grows);
+    // what must never appear is a hint forcing it regardless of size.
+    // Checked on the ANALYZED plan: hints inside .cache()d subtrees are
+    // swapped behind InMemoryRelation before optimization, so the
+    // optimized/physical plan cannot see them.
+    for (name <- Seq("l2_jaccard_pairs", "l6_corpus_clean")) {
+      val hints = SparkEntry.queries(name)(spark, SparkFixture.sfDir)
+        .queryExecution.analyzed.collect {
+          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+        }
+      assert(hints.isEmpty,
+        s"$name carries join hints — vocabulary-sized side must be size-decided: $hints")
+    }
+  }
+
   test("source batch scan prunes via pushed timestamp seek (behavioral)") {
     // assert the PRUNING, not explain text: only records at/after the
     // seek timestamp may be read from the log
