@@ -312,20 +312,32 @@ final class MessageReaderFactory(pollIntervalMs: Long = 1000L) extends Partition
         ExpressionEncoder(Message.encoder.asInstanceOf[AgnosticEncoder[Message]]).createSerializer()
       private val log = ShardLog.getOrCreate(p.logName)
       private var idx = p.startIdx
+      private var buf: Iterator[Message] = Iterator.empty
       private var current: Message = _
+      // One read per ReadChunk-sized range, not per record: against a
+      // real provider each read() is one GetRecords RPC — per-record
+      // reads would be 1000x the RPC volume of the reference's batched
+      // LIMIT=1000 fills (KinesisStreamingBuffer.java:41,100).
       override def next(): Boolean = {
-        if (idx >= p.endIdx) false
-        else {
+        if (!buf.hasNext && idx < p.endIdx) {
+          val want = math.min(MessageReaderFactory.ReadChunk.toLong, p.endIdx - idx).toInt
           val recs = ReadRetry.readWithRetry(
-            log, Some(ShardLog.formatSeq(idx)), inclusive = true, limit = 1, pollIntervalMs)
-          if (recs.isEmpty) false
-          else { current = recs.head._2; idx += 1; true }
+            log, Some(ShardLog.formatSeq(idx)), inclusive = true, limit = want, pollIntervalMs)
+          idx += recs.size
+          buf = recs.iterator.map(_._2)
         }
+        if (buf.hasNext) { current = buf.next(); true } else false
       }
       override def get(): InternalRow = serializer(current).copy()
       override def close(): Unit = ()
     }
   }
+}
+
+object MessageReaderFactory {
+  /** Records per read — the reference's GetRecords fill size
+    * (`KinesisStreamingBuffer.java:41`). */
+  val ReadChunk: Int = 1000
 }
 
 /** Shared starting-position resolution for micro-batch and continuous
@@ -408,18 +420,26 @@ final class MessageContinuousReaderFactory(pollIntervalMs: Long)
       private val serializer =
         ExpressionEncoder(Message.encoder.asInstanceOf[AgnosticEncoder[Message]]).createSerializer()
       private val log = ShardLog.getOrCreate(p.logName)
-      private var idx = p.startIdx
+      private var idx = p.startIdx // next index to EMIT — getOffset contract
+      private var buf: Iterator[Message] = Iterator.empty
       private var current: Message = _
 
       /** Blocks until the next record lands (the engine polls this from
-        * a dedicated data-reader thread and interrupts it on stop). */
+        * a dedicated data-reader thread and interrupts it on stop).
+        * Fills a ReadChunk-sized buffer per read() — one GetRecords RPC
+        * per chunk, not per record (KinesisStreamingBuffer.java:41,100);
+        * `idx` advances per EMITTED row so getOffset never claims
+        * prefetched-but-unemitted records.
+        */
       override def next(): Boolean = {
         while (!Thread.currentThread().isInterrupted) {
+          if (buf.hasNext) { current = buf.next(); idx += 1; return true }
           try {
             val recs = ReadRetry.readWithRetry(
-              log, Some(ShardLog.formatSeq(idx)), inclusive = true, limit = 1, pollIntervalMs)
-            if (recs.nonEmpty) { current = recs.head._2; idx += 1; return true }
-            Thread.sleep(pollIntervalMs)
+              log, Some(ShardLog.formatSeq(idx)), inclusive = true,
+              limit = MessageReaderFactory.ReadChunk, pollIntervalMs)
+            if (recs.nonEmpty) buf = recs.iterator.map(_._2)
+            else Thread.sleep(pollIntervalMs)
           } catch {
             // engine stop interrupts the data-reader thread — also mid
             // ReadRetry backoff sleep; clean end-of-stream, not an error

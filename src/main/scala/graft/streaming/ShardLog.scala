@@ -66,7 +66,12 @@ final class ShardLog(val shardId: String = "shardId-000000000000") {
   /** Records served since creation — lets tests observe scan pruning. */
   val recordsRead = new java.util.concurrent.atomic.AtomicLong()
 
+  /** read() invocations since creation — each one models one GetRecords
+    * RPC against a real provider; tests assert readers batch them. */
+  val readCalls = new java.util.concurrent.atomic.AtomicLong()
+
   def read(fromSeq: Option[String], inclusive: Boolean, limit: Int): Seq[(String, Message)] = synchronized {
+    readCalls.incrementAndGet()
     if (failReadsRemaining > 0) {
       failReadsRemaining -= 1
       if (failReadsGeneric) throw new RuntimeException(s"injected read error, $failReadsRemaining remaining")

@@ -90,4 +90,23 @@ class PlanContractSpec extends AnyFunSuite {
       assert(read <= 20, s"seek did not prune: read $read of 100 records for 20 hits")
     } finally graft.streaming.ShardLog.remove(logName)
   }
+
+  test("source reader batches log reads: <= ceil(n/chunk) read calls per partition") {
+    // Each ShardLog.read models one GetRecords RPC; a per-record read
+    // loop would be 1000x the reference's batched LIMIT=1000 fills
+    // (KinesisStreamingBuffer.java:41,100) against a real provider.
+    val logName = "plan-batchread-" + System.nanoTime()
+    val log = graft.streaming.ShardLog.getOrCreate(logName)
+    try {
+      val msgs = (0 until 100).map(i => graft.model.Message.simple("k", "m" + i))
+      new graft.streaming.Producer(log, seed = 1).publish(msgs: _*)
+      val before = log.readCalls.get()
+      val n = spark.read.format("graft-messages").option("log", logName).load().count()
+      assert(n == 100)
+      val calls = log.readCalls.get() - before
+      val chunk = graft.streaming.MessageReaderFactory.ReadChunk
+      val allowed = (100 + chunk - 1) / chunk
+      assert(calls <= allowed, s"reader issued $calls read calls for 100 records (chunk=$chunk)")
+    } finally graft.streaming.ShardLog.remove(logName)
+  }
 }
