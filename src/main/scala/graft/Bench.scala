@@ -33,22 +33,26 @@ object Bench {
     // on the first measured query
     queries("q01_project_filter")(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // each query runs twice, min over the SUCCESSFUL runs reported: a
-    // transient host-load stall on a shared bench box otherwise lands
-    // on whichever query it hits (observed: 10x outliers on single
-    // queries between identical runs); -1 only when both runs fail
-    def minOf2(run: () => Double): Double = {
-      val times = Seq(run(), run()).filter(_ >= 0)
-      if (times.isEmpty) -1.0 else times.min
-    }
+    // each query runs three times, min over the SUCCESSFUL runs
+    // reported: a transient host-load stall on a shared bench box
+    // otherwise lands on whichever query it hits (observed: 10x
+    // outliers on single queries between identical runs — two driver
+    // rounds generated false regression signals this way). The spread
+    // (max-min) is emitted per query so a reader can tell genuine
+    // regressions from host-load variance; a query whose runs all
+    // failed reports -1 in both fields.
+    def runs3(run: () => Double): Seq[Double] = (1 to 3).map(_ => run()).filter(_ >= 0)
     val results = headline.filter(queries.contains).map { name =>
-      name -> minOf2(() => BenchSession.timeQuery(spark, name, sfDir))
+      name -> runs3(() => BenchSession.timeQuery(spark, name, sfDir))
     }
-    val streamSec = minOf2(() => streamingThroughput(spark))
-    val all = results :+ ("stream_100k_msgs" -> streamSec)
-    val qs = all.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
-    val total = all.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val all = results :+ ("stream_100k_msgs" -> runs3(() => streamingThroughput(spark)))
+    def field(f: Seq[Double] => Double) =
+      all.map { case (k, ts) => "\"" + k + f"""\":${if (ts.isEmpty) -1.0 else f(ts)}%.3f""" }
+        .mkString("{", ",", "}")
+    val qs = field(_.min)
+    val spread = field(ts => ts.max - ts.min)
+    val total = all.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 
