@@ -29,6 +29,16 @@ object Llm {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Smallest b with 2^b >= m (0 for m <= 1). Integer-only on purpose:
+    * the banding widths below derive from it on BOTH engines, and a
+    * float log2 landing exactly on a power-of-two boundary could round
+    * differently between engines and change the banding structure. */
+  private def ceilLog2(m: Long): Int = {
+    var b = 0
+    while ((1L << b) < m && b < 62) b += 1
+    b
+  }
+
   /** Distinct word-3-gram shingles per doc: (doc_id, sh). Docs with
     * fewer than 3 words contribute their whole text as one shingle. */
   private def shingles(docs: DataFrame): DataFrame =
@@ -198,21 +208,41 @@ object Llm {
     Some(jaccardOracle))
 
   // SimHash: 60-bit signature from sha-60 shingle hashes; banding into
-  // 10 chunks of 6 bits guarantees (pigeonhole) every pair with
-  // hamming <= 9 shares a chunk. Output: pairs with hamming <= 9
-  // (empirically: planted near-dups land at 1..9, background >= 20).
+  // k chunks of w bits guarantees (pigeonhole) every pair with
+  // hamming <= k-1 shares a chunk. The chunk width is SCALE-
+  // PARAMETERIZED: w = max(6, ceil(log2(n/512))) keeps expected bucket
+  // occupancy ~512 docs, so background candidates stay ~k*n*512/2 —
+  // LINEAR in n — instead of the quadratic k*n^2/2^(w+1) a fixed width
+  // degenerates to (formula in docs/PERF.md). The price at huge n is a
+  // narrower guaranteed radius (k-1 shrinks as w grows — the
+  // production simhash tradeoff; Manku et al. WWW'07 run 64-bit
+  // fingerprints at radius 3): the emitted threshold is
+  // min(9, k-1), exact for the radius the width budget affords. At
+  // every test scale (n <= 262144) w stays 6, k = 10, threshold 9.
+  // The oracle derives the identical w/k from count(*), so the banding
+  // structure matches bit-for-bit at any sf. Output: pairs with
+  // hamming <= min(9, k-1) (empirically: planted near-dups land at
+  // 1..9, background >= 20). n comes from a parquet count() at plan
+  // build — metadata-only, and unavoidable: the chunk count is the
+  // arity of an explode, fixed at planning like AQE's stats.
   private val l2simhash = QueryDef(
     "l2_simhash",
     (s, dir) => {
-      val h = shingles(t(s, dir, "documents")).withColumn("h", sha60(col("sh")))
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val w = math.max(6, ceilLog2((n + 511) / 512))
+      val k = (60 + w - 1) / w
+      val radius = math.min(9, k - 1)
+      val h = shingles(docs).withColumn("h", sha60(col("sh")))
       val bitSums = (0 until 60).map(i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
       val sigExpr = (0 until 60).map(i =>
         when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)).reduce(_ + _)
       val sig = h.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"), sigExpr.as("sig"))
-      val chunks = (0 until 10).map(c => struct(
-        lit(c).as("c"), shiftright(col("sig"), c * 6).bitwiseAND(63).as("v")))
+      val chunks = (0 until k).map(c => struct(
+        lit(c).as("c"),
+        shiftright(col("sig"), c * w).bitwiseAND((1L << math.min(w, 60 - c * w)) - 1).as("v")))
       val bu = sig.select(col("doc_id"), col("sig"), explode(array(chunks: _*)).as("ck"))
         .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
       bu.as("x").join(bu.as("y"), Seq("c", "v"))
@@ -222,7 +252,7 @@ object Llm {
         .distinct()
         .select(col("d1"), col("d2"),
           expr("cast(bit_count(s1 ^ s2) as int)").as("hamming"))
-        .filter(col("hamming") <= 9)
+        .filter(col("hamming") <= radius)
         .orderBy("d1", "d2")
     },
     Some(s"""WITH $shinglesSql,
@@ -231,12 +261,19 @@ object Llm {
             |         FROM h, (SELECT unnest(range(0,60)) AS i) t GROUP BY doc_id, i),
             |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bs > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
             |        FROM bits GROUP BY doc_id),
-            |ch AS (SELECT doc_id, sig, c, (sig >> (c*6)) & 63 AS v
-            |       FROM sig, (SELECT unnest(range(0,10)) AS c) t),
+            |nn AS (SELECT count(*) AS n FROM documents),
+            |prm AS (SELECT GREATEST(6, (SELECT MIN(b) FROM (SELECT unnest(range(0,62)) AS b)
+            |        WHERE (1::BIGINT << b) >= (SELECT (n + 511) // 512 FROM nn))) AS w),
+            |prm2 AS (SELECT w, CAST((60 + w - 1) // w AS INT) AS k FROM prm),
+            |ch AS (SELECT doc_id, sig, c,
+            |        (sig >> (c * (SELECT w FROM prm2))) &
+            |        ((1::BIGINT << LEAST((SELECT w FROM prm2), 60 - c * (SELECT w FROM prm2))) - 1) AS v
+            |       FROM sig, (SELECT unnest(range(0, (SELECT k FROM prm2))) AS c) t),
             |cand AS (SELECT DISTINCT x.doc_id AS d1, x.sig AS s1, y.doc_id AS d2, y.sig AS s2
             |         FROM ch x JOIN ch y ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id)
             |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
-            |FROM cand WHERE bit_count(xor(s1, s2)) <= 9 ORDER BY d1, d2""".stripMargin))
+            |FROM cand WHERE bit_count(xor(s1, s2)) <= LEAST(9, (SELECT k - 1 FROM prm2))
+            |ORDER BY d1, d2""".stripMargin))
 
   // ---------------------------------------------------------------- L3
   // Brute-force cosine top-10 for query vectors 0,1,2. Query side is
@@ -310,9 +347,12 @@ object Llm {
         import graft.functions.VectorExprs.vec_dot
         vec_dot(col("embedding"), lit(Array.tabulate(64)(d => planeVal(p, d))))
       }
+      // sign test on the 6dp-ROUNDED dot (round-before-rank rule): the
+      // oracle's SUM order is not Spark's sequential fold, and an
+      // ulp-of-zero dot would otherwise flip a bucket between engines
       def codeCol(table: Int): Column =
         (0 until 6).map { bit =>
-          when(planeDot(table * 6 + bit) > 0, 1 << bit).otherwise(0)
+          when(round(planeDot(table * 6 + bit), 6) > 0, 1 << bit).otherwise(0)
         }.reduce(_ + _)
       val coded = e.select(
         col("vec_id"), col("embedding"),
@@ -343,7 +383,7 @@ object Llm {
             dots AS (SELECT vec_id, p, SUM(CAST(e AS DOUBLE) * v) AS dot
                      FROM x JOIN planes USING (d) GROUP BY vec_id, p),
             codes AS (SELECT vec_id, p // 6 AS tb,
-                             SUM(CASE WHEN dot > 0 THEN (1 << (p % 6)) ELSE 0 END) AS code
+                             SUM(CASE WHEN round(dot, 6) > 0 THEN (1 << (p % 6)) ELSE 0 END) AS code
                       FROM dots GROUP BY vec_id, p // 6),
             q AS (SELECT vec_id AS qid, tb, code FROM codes WHERE vec_id IN (0, 1, 2)),
             cand AS (SELECT DISTINCT q.qid, c.vec_id AS vid
@@ -391,10 +431,13 @@ object Llm {
         val w = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
         sm.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).select("vid", "cid")
       }
+      // centroid components ROUNDED at 6dp (round-before-rank rule):
+      // unrounded AVGs differ between engines by sum-order ulps, and a
+      // downstream simr rounding boundary could flip an assignment
       def lloyd(cents: DataFrame): DataFrame =
         assignOf(sims(cents))
           .join(x.withColumnRenamed("vec_id", "vid"), "vid")
-          .groupBy("cid", "d").agg(avg(col("x")).as("v"))
+          .groupBy("cid", "d").agg(round(avg(col("x")), 6).as("v"))
       val c0 = x.filter(col("vec_id") < 32)
         .select(col("vec_id").as("cid"), col("d"), col("x").as("v"))
       val s3 = sims(lloyd(lloyd(c0))).cache()
@@ -431,7 +474,7 @@ object Llm {
             a1 AS (SELECT vid, cid FROM (
                    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
                    FROM s1) WHERE rn = 1),
-            c1 AS (SELECT a1.cid, x.d, AVG(CAST(x.e AS DOUBLE)) AS v
+            c1 AS (SELECT a1.cid, x.d, round(AVG(CAST(x.e AS DOUBLE)), 6) AS v
                    FROM a1 JOIN x ON x.vec_id = a1.vid GROUP BY a1.cid, x.d),
             cn1 AS (SELECT cid, sqrt(SUM(v*v)) AS cnrm FROM c1 GROUP BY cid),
             s2 AS (SELECT x.vec_id AS vid, c.cid,
@@ -442,7 +485,7 @@ object Llm {
             a2 AS (SELECT vid, cid FROM (
                    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
                    FROM s2) WHERE rn = 1),
-            c2 AS (SELECT a2.cid, x.d, AVG(CAST(x.e AS DOUBLE)) AS v
+            c2 AS (SELECT a2.cid, x.d, round(AVG(CAST(x.e AS DOUBLE)), 6) AS v
                    FROM a2 JOIN x ON x.vec_id = a2.vid GROUP BY a2.cid, x.d),
             cn2 AS (SELECT cid, sqrt(SUM(v*v)) AS cnrm FROM c2 GROUP BY cid),
             s3 AS (SELECT x.vec_id AS vid, c.cid,
@@ -470,22 +513,34 @@ object Llm {
                   FROM sdf)
             SELECT qid, rn, vid, simr FROM r WHERE rn <= 10 ORDER BY qid, rn"""))
 
-  // Embedding-cosine near-dup: random-hyperplane 16-bit codes bucket
-  // the vectors; same-code pairs are exact-verified at cosine >= 0.9.
-  // The LSH is deterministic arithmetic, so the oracle implements the
-  // identical algorithm in SQL — candidate sets match bit-for-bit.
-  // (The fixture embeddings are near-random, so the pair set is empty
-  // at sf<=0.1 — the check still pins the full pipeline on both sides.)
+  // Embedding-cosine near-dup: random-hyperplane codes bucket the
+  // vectors; same-code pairs are exact-verified at cosine >= 0.9.
+  // The code width is SCALE-PARAMETERIZED: nb = max(16, ceil(log2 n))
+  // keeps expected bucket occupancy ~1 vector, so background
+  // candidates stay ~n/2 — linear — instead of the n^2/2^(nb+1) a
+  // fixed width degenerates to (formula in docs/PERF.md; wider codes
+  // trade recall on merely-similar pairs, which the cosine >= 0.9
+  // exact verification already bounds). At every test scale
+  // (n <= 65536) nb stays 16. Plane dots are ROUNDED to 6dp before the
+  // sign test (repo round-before-rank rule): DuckDB's aggregation
+  // order need not match vec_dot's sequential fold, and an
+  // ulp-of-zero dot would otherwise flip a bucket code between
+  // engines. The LSH is deterministic arithmetic, so the oracle
+  // implements the identical algorithm in SQL — candidate sets match
+  // bit-for-bit. (The fixture embeddings are near-random, so the pair
+  // set is empty at sf<=0.1 — the check still pins the full pipeline
+  // on both sides.)
   private val l2embed = QueryDef(
     "l2_embedding_cosine",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
+      val nbits = math.max(16, ceilLog2(e.count()))
       def planeVal(p: Int, d: Int): Double =
         (((p * 64 + d) * 2654435761L + 1013904223L) % 2147483647L).toDouble / 2147483647.0 * 2 - 1
-      val code = (0 until 16).map { p =>
+      val code = (0 until nbits).map { p =>
         import graft.functions.VectorExprs.vec_dot
         val dot = vec_dot(col("embedding"), lit(Array.tabulate(64)(d => planeVal(p, d))))
-        when(dot > 0, 1 << p).otherwise(0)
+        when(round(dot, 6) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
       val coded = e.select(col("vec_id"), col("embedding"), code.as("code"))
       val cand = coded.as("a").join(coded.as("b"),
@@ -497,17 +552,21 @@ object Llm {
         .filter(col("simr") >= 0.9)
         .orderBy("v1", "v2")
     },
-    Some("""WITH planes AS (
+    Some("""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+            prm AS (SELECT GREATEST(16, (SELECT MIN(b) FROM (SELECT unnest(range(0,62)) AS b)
+                    WHERE (1::BIGINT << b) >= (SELECT n FROM nn))) AS nb),
+            planes AS (
               SELECT p, d,
                      CAST(((p*64 + d) * 2654435761 + 1013904223) % 2147483647 AS DOUBLE)
                        / 2147483647.0 * 2 - 1 AS v
-              FROM (SELECT unnest(range(0,16)) AS p) tp, (SELECT unnest(range(0,64)) AS d) td),
+              FROM (SELECT unnest(range(0, (SELECT nb FROM prm))) AS p) tp,
+                   (SELECT unnest(range(0,64)) AS d) td),
             x AS (SELECT vec_id, unnest(embedding) AS e,
                          generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
             dots AS (SELECT vec_id, p, SUM(CAST(e AS DOUBLE) * v) AS dot
                      FROM x JOIN planes USING (d) GROUP BY vec_id, p),
             codes AS (SELECT vec_id,
-                             CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS code
+                             CAST(SUM(CASE WHEN round(dot, 6) > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS code
                       FROM dots GROUP BY vec_id),
             cand AS (SELECT a.vec_id AS v1, b.vec_id AS v2 FROM codes a
                      JOIN codes b ON a.code = b.code AND a.vec_id < b.vec_id),
