@@ -23,16 +23,17 @@ import graft.functions.{ShingleSha60, UlidExpression, UlidTimestamp, VecDot, Vec
   * `createOrReplaceTempFunction`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.arity
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VecDot(exprs(0), exprs(1))))
+      exprs => { arity("vec_dot", 2, exprs); VecDot(exprs(0), exprs(1)) }))
     ext.injectFunction((
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
-      exprs => VecNorm(exprs.head)))
+      exprs => { arity("vec_norm", 1, exprs); VecNorm(exprs.head) }))
     ext.injectFunction((
       FunctionIdentifier("ulid"),
       new ExpressionInfo(classOf[UlidExpression].getName, "ulid"),
@@ -40,10 +41,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("shingle_sha60"),
       new ExpressionInfo(classOf[ShingleSha60].getName, "shingle_sha60"),
-      exprs => ShingleSha60(exprs.head)))
+      exprs => { arity("shingle_sha60", 1, exprs); ShingleSha60(exprs.head) }))
     ext.injectFunction((
       FunctionIdentifier("ulid_timestamp"),
       new ExpressionInfo(classOf[UlidTimestamp].getName, "ulid_timestamp"),
-      exprs => UlidTimestamp(exprs.head)))
+      exprs => { arity("ulid_timestamp", 1, exprs); UlidTimestamp(exprs.head) }))
   }
+}
+
+object GraftExtensions {
+  /** Wrong-arity SQL must fail analysis with a message naming the
+    * function and expected count — not an IndexOutOfBoundsException
+    * from the builder indexing into exprs. */
+  private[graft] def arity(
+      name: String, expected: Int,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
+    if (exprs.length != expected)
+      throw new IllegalArgumentException(
+        s"$name expects $expected argument${if (expected == 1) "" else "s"}, got ${exprs.length}")
 }

@@ -69,7 +69,9 @@ object UlidExprs {
     * would silently freeze one value per query otherwise). Used by both
     * the temp-function registration below and [[graft.GraftExtensions]].
     */
-  def ulidBuilder(exprs: Seq[Expression]): Expression =
+  def ulidBuilder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length > 1) throw new IllegalArgumentException(
+      s"ulid expects 0 or 1 arguments (optional integer seed), got ${exprs.length}")
     UlidExpression(if (exprs.isEmpty) 42L else exprs.head match {
       case e if e.foldable => e.eval(null) match {
         case i: java.lang.Integer => i.longValue
@@ -80,12 +82,16 @@ object UlidExprs {
       case _ => throw new IllegalArgumentException(
         "ulid(seed) expects a literal seed")
     })
+  }
 
   /** SQL registration: `SELECT ulid(), ulid_timestamp(u.msb) ...`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ulid", ulidBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ulid_timestamp", exprs => UlidTimestamp(exprs.head), "built-in")
+      "ulid_timestamp", exprs => {
+        graft.GraftExtensions.arity("ulid_timestamp", 1, exprs)
+        UlidTimestamp(exprs.head)
+      }, "built-in")
   }
 }

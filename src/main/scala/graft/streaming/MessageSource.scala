@@ -282,12 +282,21 @@ object ReadRetry {
   private val MaxGenericAttempts = 20
 
   def readWithRetry(log: ShardLog, fromSeq: Option[String], inclusive: Boolean,
-                    limit: Int, pollIntervalMs: Long): Seq[(String, Message)] = {
+                    limit: Int, pollIntervalMs: Long,
+                    reacquire: () => Unit = () => ()): Seq[(String, Message)] = {
     var genericFailures = 0
     var throttles = 0
     while (true) {
       try return log.read(fromSeq, inclusive, limit)
       catch {
+        case e: IteratorExpiredException =>
+          // distinct recovery class (KinesisStreamingBuffer.java:121-127):
+          // re-acquire the iterator from the original cursor and retry on
+          // the next poll tick — no failure budget consumed; an expired
+          // iterator is expected lifecycle, not an error
+          System.err.println(s"[graft-source] iterator expired on ${log.shardId} (${e.getMessage}); re-acquiring")
+          reacquire()
+          Thread.sleep(pollIntervalMs)
         case _: ThrottledException =>
           throttles += 1
           if (throttles % 10 == 0) // periodic heartbeat: backpressure, not a hang
@@ -322,7 +331,8 @@ final class MessageReaderFactory(pollIntervalMs: Long = 1000L) extends Partition
         if (!buf.hasNext && idx < p.endIdx) {
           val want = math.min(MessageReaderFactory.ReadChunk.toLong, p.endIdx - idx).toInt
           val recs = ReadRetry.readWithRetry(
-            log, Some(ShardLog.formatSeq(idx)), inclusive = true, limit = want, pollIntervalMs)
+            log, Some(ShardLog.formatSeq(idx)), inclusive = true, limit = want, pollIntervalMs,
+            reacquire = () => log.reacquireIterator())
           idx += recs.size
           buf = recs.iterator.map(_._2)
         }
@@ -437,7 +447,8 @@ final class MessageContinuousReaderFactory(pollIntervalMs: Long)
           try {
             val recs = ReadRetry.readWithRetry(
               log, Some(ShardLog.formatSeq(idx)), inclusive = true,
-              limit = MessageReaderFactory.ReadChunk, pollIntervalMs)
+              limit = MessageReaderFactory.ReadChunk, pollIntervalMs,
+              reacquire = () => log.reacquireIterator())
             if (recs.nonEmpty) buf = recs.iterator.map(_._2)
             else Thread.sleep(pollIntervalMs)
           } catch {

@@ -42,6 +42,25 @@ final class ShardLog(val shardId: String = "shardId-000000000000") {
     failReadsGeneric = generic
   }
 
+  @volatile private var expireItersRemaining: Int = 0
+
+  /** Simulate N expired-iterator reads (ExpiredIteratorException
+    * analogue, `KinesisStreamingBuffer.java:121-127`): the reader must
+    * re-acquire its iterator from the original cursor and continue —
+    * distinct from throttle/generic retry, no failure budget consumed.
+    */
+  def injectIteratorExpiry(n: Int): Unit = synchronized { expireItersRemaining = n }
+
+  /** GetShardIterator calls observed (re-acquisitions after expiry) —
+    * the in-memory log is positional, so re-acquisition is only
+    * bookkeeping here; a real-Kinesis adapter supplies a live
+    * nextShardIteratorSupplier through the same seam. */
+  val iteratorReacquisitions = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The re-acquisition seam ([[ReadRetry.readWithRetry]]'s `reacquire`
+    * callback): reconstruct the read position from the cursor. */
+  def reacquireIterator(): Unit = iteratorReacquisitions.incrementAndGet()
+
   /** Append a batch; returns assigned sequence numbers. Throws
     * [[ThrottledException]] while injected failures remain — the
     * producer's retry loop must re-send (only) the failed entries.
@@ -72,6 +91,10 @@ final class ShardLog(val shardId: String = "shardId-000000000000") {
 
   def read(fromSeq: Option[String], inclusive: Boolean, limit: Int): Seq[(String, Message)] = synchronized {
     readCalls.incrementAndGet()
+    if (expireItersRemaining > 0) {
+      expireItersRemaining -= 1
+      throw new IteratorExpiredException(s"injected iterator expiry, $expireItersRemaining remaining")
+    }
     if (failReadsRemaining > 0) {
       failReadsRemaining -= 1
       if (failReadsGeneric) throw new RuntimeException(s"injected read error, $failReadsRemaining remaining")
@@ -103,6 +126,11 @@ final class ShardLog(val shardId: String = "shardId-000000000000") {
 }
 
 final class ThrottledException(msg: String) extends RuntimeException(msg)
+
+/** The ExpiredIteratorException analogue: the read position handle went
+  * stale; recover by re-acquiring from the original cursor, not by
+  * generic retry (`KinesisStreamingBuffer.java:121-127`). */
+final class IteratorExpiredException(msg: String) extends RuntimeException(msg)
 
 object ShardLog {
   final case class Record(sequenceNumber: String, arrivalMillis: Long, message: Message)

@@ -84,4 +84,20 @@ class VectorExprSpec extends AnyFunSuite {
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
     assert(out.toSeq == Seq(Some(2.0), None))
   }
+
+  test("wrong-arity SQL calls fail analysis with the expected arity, not an index error") {
+    vecs.createOrReplaceTempView("arity_vecs")
+    def analysisMessage(sql: String): String =
+      intercept[Exception](spark.sql(sql).queryExecution.analyzed).getMessage
+    assert(analysisMessage("SELECT vec_dot(a) FROM arity_vecs")
+      .contains("vec_dot expects 2 arguments, got 1"))
+    assert(analysisMessage("SELECT vec_norm() FROM arity_vecs")
+      .contains("vec_norm expects 1 argument, got 0"))
+    assert(analysisMessage("SELECT shingle_sha60() FROM arity_vecs")
+      .contains("shingle_sha60 expects 1 argument, got 0"))
+    assert(analysisMessage("SELECT ulid_timestamp() FROM arity_vecs")
+      .contains("ulid_timestamp expects 1 argument, got 0"))
+    assert(analysisMessage("SELECT ulid(1, 2) FROM arity_vecs")
+      .contains("ulid expects 0 or 1 arguments"))
+  }
 }

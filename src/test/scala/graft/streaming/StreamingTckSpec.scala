@@ -281,6 +281,24 @@ class StreamingTckSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------- error recovery
+  test("expired-iterator recovery: reader re-acquires from the cursor, task does not retry (2A-14)") {
+    // Distinct class from throttle/generic (KinesisStreamingBuffer
+    // .java:121-127): the reader re-acquires its position handle and
+    // continues; local-mode maxFailures=1, so success proves the
+    // recovery happened inside the source, not via Spark task retry.
+    val logName = "t-expire-" + System.nanoTime()
+    val log = ShardLog.getOrCreate(logName)
+    new Producer(log, seed = 1).publish(msg("a"), msg("b"), msg("c"))
+    log.injectIteratorExpiry(2)
+    val got = spark.read.format("graft-messages").option("log", logName)
+      .option("pollIntervalMs", "10").load()
+      .select("externalId").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSet
+    assert(got == Set("a", "b", "c"))
+    assert(log.iteratorReacquisitions.get() == 2,
+      s"expected 2 re-acquisitions, got ${log.iteratorReacquisitions.get()}")
+  }
+
   test("read-side recovery: throttles and generic errors absorbed with backoff (2A-14..16)") {
     val logName = "t-retry-" + System.nanoTime()
     val log = ShardLog.getOrCreate(logName)
