@@ -757,13 +757,15 @@ object Llm {
     "l4_tfidf",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val nDocs = d.count()
+      // corpus size as a broadcast 1-row aggregate (scalar-subquery
+      // shape): construction stays action-free
+      val nd = broadcast(d.agg(count(lit(1)).cast("double").as("n_docs")))
       val tok = d.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
       val tf = tok.groupBy("lang", "word").agg(count(lit(1)).as("tf"))
       val df = tok.select("doc_id", "word").distinct()
         .groupBy("word").agg(count(lit(1)).as("df"))
-      val scored = tf.join(df, "word")
-        .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      val scored = tf.join(df, "word").crossJoin(nd)
+        .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
       val w = Window.partitionBy("lang").orderBy(col("tfidf").desc, col("word").asc)
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)

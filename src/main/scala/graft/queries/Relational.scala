@@ -298,9 +298,12 @@ object Relational {
     (s, dir) => {
       val e = t(s, dir, "events")
       val o = t(s, dir, "orders")
-      val nCust = t(s, dir, "customer").count()
-      val ev = e.select(
-        (col("user_id") % nCust).as("k"), col("ts").as("tm"),
+      // customer count as a broadcast 1-row aggregate (scalar-subquery
+      // shape): query CONSTRUCTION stays action-free — no Spark job
+      // runs until the query itself does
+      val nCust = broadcast(t(s, dir, "customer").agg(count(lit(1)).as("n_cust")))
+      val ev = e.crossJoin(nCust).select(
+        (col("user_id") % col("n_cust")).as("k"), col("ts").as("tm"),
         lit(1).as("tag"), col("event_id"),
         lit(null).cast("long").as("o_orderkey"),
         lit(null).cast("timestamp_ntz").as("o_orderdate"))

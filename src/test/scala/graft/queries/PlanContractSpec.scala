@@ -91,6 +91,49 @@ class PlanContractSpec extends AnyFunSuite {
     } finally graft.streaming.ShardLog.remove(logName)
   }
 
+  test("query construction is action-free: building every query runs no Spark job") {
+    // A count()/collect() at plan-build time is a driver-side job per
+    // construction — harmless at fixture scale, a scheduling stall when
+    // a 100 TB pipeline assembles hundreds of plans. Accounting is by
+    // job GROUP (withThreadLocalCaptured propagates it through AQE's
+    // thread-pool submissions): construction runs under one group, a
+    // sentinel job under another; once the sentinel's event arrives,
+    // event ordering guarantees every construction job was recorded.
+    // Spark's own parquet metadata job (schema inference / listing on
+    // spark.read.parquet — stage "parquet at Tables.scala") fires for
+    // ANY table load and scans no data, so it is allowed; the two
+    // adaptive banding widths run real counts and are exempted
+    // (documented in docs/PERF.md).
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]() // (group, stages)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        seen.add((Option(js.properties.getProperty("spark.jobGroup.id")).getOrElse(""),
+          js.stageInfos.map(_.name).mkString(" | "))); ()
+      }
+    }
+    val exempt = Set("l2_simhash", "l2_embedding_cosine") // adaptive banding widths
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      for ((name, q) <- SparkEntry.queries if !exempt(name)) {
+        spark.sparkContext.setJobGroup(s"construct-$name", null)
+        q(spark, SparkFixture.sfDir)
+        spark.sparkContext.setJobGroup(s"sentinel-$name", null)
+        spark.range(1).count()
+        val deadline = System.currentTimeMillis() + 30000
+        while (!seen.toArray(Array.empty[(String, String)]).exists(_._1 == s"sentinel-$name")
+               && System.currentTimeMillis() < deadline) Thread.sleep(10)
+        val constructionJobs = seen.toArray(Array.empty[(String, String)])
+          .filter(_._1 == s"construct-$name")
+          .filterNot(_._2.contains("parquet at Tables.scala")) // metadata-only table load
+        assert(constructionJobs.isEmpty,
+          s"$name ran Spark job(s) at construction: ${constructionJobs.map(_._2).mkString("; ")}")
+      }
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("source reader batches log reads: <= ceil(n/chunk) read calls per partition") {
     // Each ShardLog.read models one GetRecords RPC; a per-record read
     // loop would be 1000x the reference's batched LIMIT=1000 fills
