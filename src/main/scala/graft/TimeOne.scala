@@ -1,0 +1,21 @@
+package graft
+
+/** Time a single named query: `runMain graft.TimeOne <sfDir> <name> [runs]`.
+  * Cold per run (clearCache), prints each run and the min — the quick
+  * iteration loop Bench is too coarse for.
+  */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val name = args(1)
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val spark = BenchSession.build()
+    val times = (1 to runs).map { i =>
+      val t = BenchSession.timeQuery(spark, name, dir)
+      println(f"[timeone] $name run $i: $t%.3f s")
+      t
+    }
+    println(f"[timeone] $name min: ${times.filter(_ >= 0).min}%.3f s")
+    spark.stop()
+  }
+}

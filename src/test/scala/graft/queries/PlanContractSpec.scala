@@ -56,17 +56,20 @@ class PlanContractSpec extends AnyFunSuite {
     // an unconditional broadcast() hint there is a driver OOM at 100 TB.
     // Catalyst/AQE may still broadcast from SIZE ESTIMATES at fixture
     // scale (desired — that decision reverses itself as data grows);
-    // what must never appear is a hint forcing it regardless of size.
+    // what must never appear is a hint forcing a DRIVER-RESIDENT build
+    // regardless of size. SHUFFLE_HASH is allowed: its build side is
+    // one partition's shard, which scales out with the partition count.
     // Checked on the ANALYZED plan: hints inside .cache()d subtrees are
     // swapped behind InMemoryRelation before optimization, so the
     // optimized/physical plan cannot see them.
     for (name <- Seq("l2_jaccard_pairs", "l6_corpus_clean")) {
       val hints = SparkEntry.queries(name)(spark, SparkFixture.sfDir)
         .queryExecution.analyzed.collect {
-          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+            if h.hints.strategy.contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
         }
       assert(hints.isEmpty,
-        s"$name carries join hints — vocabulary-sized side must be size-decided: $hints")
+        s"$name carries a broadcast hint — vocabulary-sized side must be size-decided: $hints")
     }
   }
 
