@@ -1071,8 +1071,114 @@ object Llm {
             FROM p, (SELECT unnest(range(0, 1000)) AS i) t
             WHERE i < nchunks ORDER BY doc_id, chunk_id"""))
 
+  // Repetition filter (the Gopher/MassiveText repetition rules, word-
+  // level): per doc, the fraction of tokens that are the single most
+  // frequent word, the fraction of 2-gram occurrences that are repeats
+  // of an earlier 2-gram, and the distinct-word ratio; `keep` applies
+  // the thresholds to the ROUNDED values so the cut is identical on
+  // both engines. Scale shape: explode -> (doc_id, word) groupBy ->
+  // per-doc agg, both partial-aggregatable; the 2-gram repeat stats
+  // come from linear per-doc array ops (no second explode). Per-doc
+  // constants ride through the aggs as first()/any_value().
+  private val l8repetition = QueryDef(
+    "l8_repetition",
+    (s, dir) => {
+      val w = t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("g2", when(size(col("ws")) >= 2,
+          expr("transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))"))
+          .otherwise(expr("slice(ws, 1, 0)")))
+        .select(col("doc_id"), size(col("g2")).as("t2"),
+          size(array_distinct(col("g2"))).as("d2"), explode(col("ws")).as("w"))
+      w.groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("c"), first(col("t2")).as("t2"), first(col("d2")).as("d2"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_uniq"),
+          max(col("c")).as("top_c"), first(col("t2")).as("t2"), first(col("d2")).as("d2"))
+        .select(col("doc_id"),
+          round(col("top_c").cast("double") / col("n_tok"), 6).as("top_word_frac"),
+          round(when(col("t2") === 0, 0.0)
+            .otherwise((col("t2") - col("d2")).cast("double") / col("t2")), 6).as("dup_2gram_frac"),
+          round(col("n_uniq").cast("double") / col("n_tok"), 6).as("uniq_ratio"))
+        .withColumn("keep", col("top_word_frac") <= 0.12 && col("dup_2gram_frac") <= 0.05)
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            |g AS (SELECT doc_id, ws, CASE WHEN len(ws) >= 2
+            |        THEN list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])
+            |        ELSE ws[1:0] END AS g2 FROM w),
+            |m AS (SELECT doc_id, len(g2) AS t2, len(list_distinct(g2)) AS d2, unnest(ws) AS w FROM g),
+            |pw AS (SELECT doc_id, w, count(*) AS c, any_value(t2) AS t2, any_value(d2) AS d2
+            |       FROM m GROUP BY doc_id, w),
+            |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS n_uniq,
+            |              max(c) AS top_c, any_value(t2) AS t2, any_value(d2) AS d2
+            |       FROM pw GROUP BY doc_id),
+            |f AS (SELECT doc_id,
+            |        round(CAST(top_c AS DOUBLE) / n_tok, 6) AS top_word_frac,
+            |        round(CASE WHEN t2 = 0 THEN 0.0 ELSE CAST(t2 - d2 AS DOUBLE) / t2 END, 6) AS dup_2gram_frac,
+            |        round(CAST(n_uniq AS DOUBLE) / n_tok, 6) AS uniq_ratio FROM pd)
+            |SELECT doc_id, top_word_frac, dup_2gram_frac, uniq_ratio,
+            |       (top_word_frac <= 0.12 AND dup_2gram_frac <= 0.05) AS keep
+            |FROM f ORDER BY doc_id""".stripMargin))
+
+  // Identifier scrubbing: mask numeric identifiers in semi-structured
+  // event payloads before they reach a training corpus (the PII-
+  // redaction plumbing; the fixture has no emails/phones, so digit
+  // runs stand in for the pattern set). Embarrassingly parallel map —
+  // no shuffle until the output sort; the regex is evaluated once per
+  // row inside codegen'd string expressions.
+  private val l8scrub = QueryDef(
+    "l8_scrub_ids",
+    (s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long").as("n_scrubbed"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("scrubbed"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+              CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_scrubbed,
+              regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed
+            FROM events ORDER BY event_id"""))
+
+  // Mixture planning: per-stratum (lang) sampling weights for
+  // temperature-balanced training (tau = 2, i.e. weight ~ sqrt(share):
+  // sqrt is IEEE-exactly-rounded on both engines, unlike pow). The
+  // normalizer folds the ROUNDED per-stratum weights in lang order on
+  // both engines (sorted left-fold — cross-stratum float SUM order is
+  // engine-dependent, a sorted fold is not). repeat_factor is the
+  // integer epoch count that levels each stratum up to the largest.
+  // Scale shape: one tiny per-stratum agg; the 1-row totals/normalizer
+  // frames broadcast-crossJoin back in (action-free construction).
+  private val l8mixture = QueryDef(
+    "l8_mixture_plan",
+    (s, dir) => {
+      val byLang = t(s, dir, "documents").groupBy("lang").agg(count(lit(1)).as("n"))
+      val totals = byLang.agg(sum(col("n")).as("total"), max(col("n")).as("max_n"))
+      val withW = byLang.crossJoin(broadcast(totals))
+        .withColumn("share", round(col("n").cast("double") / col("total"), 6))
+        .withColumn("w", round(sqrt(col("n").cast("double") / col("total")), 6))
+      val norm = withW.agg(expr(
+        "aggregate(sort_array(collect_list(struct(lang, w))), cast(0.0 as double), (acc, x) -> acc + x.w)").as("norm"))
+      withW.crossJoin(broadcast(norm))
+        .select(col("lang"), col("n"), col("share"),
+          round(col("w") / col("norm"), 6).as("mix_share"),
+          expr("(max_n + n - 1) div n").as("repeat_factor"))
+        .orderBy("lang")
+    },
+    Some("""WITH bl AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, max(n) AS max_n FROM bl),
+            |ww AS (SELECT lang, n,
+            |         round(CAST(n AS DOUBLE) / total, 6) AS share,
+            |         round(sqrt(CAST(n AS DOUBLE) / total), 6) AS w,
+            |         max_n FROM bl, t),
+            |nrm AS (SELECT list_aggregate(list(w ORDER BY lang), 'sum') AS norm FROM ww)
+            |SELECT lang, n, share, round(w / norm, 6) AS mix_share,
+            |       (max_n + n - 1) // n AS repeat_factor
+            |FROM ww, nrm ORDER BY lang""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans,
     l4lang, l4quality, l4tokens, l4tfidf, l4fp, l5, l5media, l6clean, l6pack,
-    l8decontam, l8sample, l8chunk)
+    l8decontam, l8sample, l8chunk, l8repetition, l8scrub, l8mixture)
 }
