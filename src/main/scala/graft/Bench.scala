@@ -22,7 +22,8 @@ object Bench {
     "t1_window_tumbling", "t3_window_session",
     "l1_exact_dedup", "l2_jaccard_pairs", "l2_minhash_lsh",
     "l3_knn_bruteforce", "l3_ann_lsh", "l4_tfidf", "l4_fingerprint",
-    "l6_corpus_clean", "l6_pack_shards")
+    "l6_corpus_clean", "l6_pack_shards",
+    "l8_decontaminate", "l8_repetition", "l8_chunk_windows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -21,7 +21,8 @@ object Stress {
 
   private val queriesUnderTest = Seq(
     "l2_jaccard_pairs", "l2_minhash_lsh", "l2_simhash", "l2_embedding_cosine",
-    "l3_ann_lsh", "l6_corpus_clean", "l6_pack_shards")
+    "l3_ann_lsh", "l6_corpus_clean", "l6_pack_shards",
+    "l8_decontaminate", "l8_repetition", "l8_chunk_windows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

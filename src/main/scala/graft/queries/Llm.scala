@@ -1088,8 +1088,14 @@ object Llm {
         .withColumn("g2", when(size(col("ws")) >= 2,
           expr("transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))"))
           .otherwise(expr("slice(ws, 1, 0)")))
-        .select(col("doc_id"), size(col("g2")).as("t2"),
-          size(array_distinct(col("g2"))).as("d2"), explode(col("ws")).as("w"))
+        // t2/d2 MUST become scalars in a projection BELOW the explode:
+        // inlined into the explode's select they evaluate per exploded
+        // TOKEN (array_distinct over the 2-gram array once per word,
+        // ~word-count x more work, and the whole array rides through
+        // the Generate). Measured 3.5 s -> sub-second at sf0.1.
+        .withColumn("t2", size(col("g2")))
+        .withColumn("d2", size(array_distinct(col("g2"))))
+        .select(col("doc_id"), col("t2"), col("d2"), explode(col("ws")).as("w"))
       w.groupBy("doc_id", "w")
         .agg(count(lit(1)).as("c"), first(col("t2")).as("t2"), first(col("d2")).as("d2"))
         .groupBy("doc_id")

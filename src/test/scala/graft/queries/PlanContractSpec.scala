@@ -73,6 +73,46 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  private def countNodes(plan: String, node: String): Int =
+    ("""(?m)^\(\d+\) """ + node + "$").r.findAllIn(plan).size
+
+  test("l8_chunk: chunking is explode-only — the output sort is the only shuffle") {
+    val plan = formatted("l8_chunk_windows")
+    assert(countNodes(plan, "Exchange") == 1,
+      s"chunking gained a shuffle before the output sort:\n$plan")
+    assert(plan.contains("struct<doc_id:bigint,text:string>"),
+      s"documents scan reads more than (doc_id, text):\n$plan")
+  }
+
+  test("l8_scrub: regex scrub is a shuffle-free map over a 2-column scan") {
+    val plan = formatted("l8_scrub_ids")
+    assert(countNodes(plan, "Exchange") == 1,
+      s"scrub gained a shuffle before the output sort:\n$plan")
+    assert(plan.contains("struct<event_id:bigint,props:string>"),
+      s"events scan reads more than (event_id, props):\n$plan")
+  }
+
+  test("l8_sample: both window passes share the single stratum shuffle") {
+    // quota is data-dependent (ceil(n/10) per stratum), so no literal
+    // WindowGroupLimit applies — the contract is that rank and count
+    // ride ONE exchange on lang, plus only the final range sort.
+    val plan = formatted("l8_sample_stratified")
+    assert(countNodes(plan, "Window") == 2, s"window passes changed:\n$plan")
+    assert(countNodes(plan, "Exchange") == 2,
+      s"rank/quota windows no longer share one stratum shuffle:\n$plan")
+  }
+
+  test("l8_decontaminate: eval side is size-decided, never hint-forced") {
+    // The eval gram-hash set is benchmark-sized today; a hint would
+    // freeze that assumption into the plan. Size-estimate/AQE decisions
+    // reverse themselves if an eval set ever outgrows the threshold.
+    val hints = SparkEntry.queries("l8_decontaminate")(spark, SparkFixture.sfDir)
+      .queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    assert(hints.isEmpty, s"l8_decontaminate carries join hints: $hints")
+  }
+
   test("source batch scan prunes via pushed timestamp seek (behavioral)") {
     // assert the PRUNING, not explain text: only records at/after the
     // seek timestamp may be read from the log
