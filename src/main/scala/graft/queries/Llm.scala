@@ -24,7 +24,9 @@ import QueryDef.sha60
   */
 object Llm {
 
-  private val T = 0.8 // Jaccard near-dup threshold
+  private val T = 0.8 // Jaccard near-dup threshold (= 4/5: the ppjoin
+  // positional filter in jaccardPairsOf encodes T/(1+T) as the exact
+  // integer ratio 4/9 — keep them in sync if T ever changes)
   private val P = 1000000007L
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
@@ -160,9 +162,25 @@ object Llm {
         .withColumn("pref",
           expr(s"slice(arr, 1, size(arr) - cast(ceil(size(arr) * $T) as int) + 1)"))
         .cache()
-      val pref = docArr.select(col("doc_id"), explode(col("pref")).as("h"))
+      // ppjoin-style positional filter on the prefix match (exact, so
+      // the pair set is unchanged — the oracle still pins it): at a
+      // match on token h at 0-based prefix positions (p1, p2), tokens
+      // before the FIRST common token are disjoint between the docs
+      // (both arrays share one global (df, h) sort), so overlap
+      // <= min(sz1-p1, sz2-p2) + c where c = commons before h; for the
+      // first in-prefix match c <= min(p1, p2). J >= T needs overlap
+      // * (1+T) >= T * (sz1+sz2); with T = 4/5 that is the INTEGER test
+      // 9 * ubound >= 4 * (sz1+sz2) — no float threshold arithmetic, so
+      // no cross-engine rounding hazard. A true pair always survives
+      // through its first in-prefix match row; everything pruned here
+      // skips the candidate distinct AND both verification joins.
+      val pref = docArr.select(col("doc_id"), col("sz"),
+        posexplode(col("pref")).as(Seq("p", "h")))
+      val ubound = least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) +
+        least(col("a.p"), col("b.p"))
       val cand = pref.as("a").join(pref.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          ubound * 9 >= (col("a.sz") + col("b.sz")) * 4)
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
       verifiedJaccardArr(cand, docArr.select("doc_id", "arr", "sz"))
   }
@@ -1042,6 +1060,30 @@ object Llm {
             SELECT lang, doc_id, rn FROM rr WHERE rn <= (n + 9) // 10
             ORDER BY lang, rn"""))
 
+  // The scale-out companion to l8_sample_stratified: hash-THRESHOLD
+  // sampling. Keep a doc iff its 60-bit id-hash falls under a fixed
+  // integer cutoff (2^60 / 10) — same determinism and ~10% rate, but
+  // no rank, no window, no shuffle at all (petabyte strata never sort;
+  // the quota is binomial-approximate instead of exact, which is the
+  // production trade). The cutoff is integer arithmetic on both
+  // engines; the hash is the same sha-60 the exact-quota variant ranks
+  // by, so the two samplers are directly comparable.
+  private val hashCutoff: Long = (1L << 60) / 10
+  private val l8sampleHash = QueryDef(
+    "l8_sample_hash",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          sha60(col("doc_id").cast("string")).as("hk"))
+        .filter(col("hk") < hashCutoff)
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT lang, doc_id, hk FROM (
+            |  SELECT lang, doc_id,
+            |    CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+            |  FROM documents)
+            |WHERE hk < $hashCutoff ORDER BY doc_id""".stripMargin))
+
   // Context-window chunking: split each doc into 32-word windows with
   // stride 24 (8-word overlap) — the standard prep for fixed-context
   // training. nchunks = 1 + ceil(max(0, len-32)/24) in INTEGER
@@ -1186,5 +1228,5 @@ object Llm {
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans,
     l4lang, l4quality, l4tokens, l4tfidf, l4fp, l5, l5media, l6clean, l6pack,
-    l8decontam, l8sample, l8chunk, l8repetition, l8scrub, l8mixture)
+    l8decontam, l8sample, l8sampleHash, l8chunk, l8repetition, l8scrub, l8mixture)
 }

@@ -468,6 +468,47 @@ class StreamingTckSpec extends AnyFunSuite {
     assert(spark.table("t3_out").count() == 2)
     q3.stop()
   }
+
+  // ------------------------------------------- L-ops over the stream
+  test("corpus ingest: quality gate + in-stream exact dedup over the message source") {
+    // The L-battery's cleanup stages composed onto the streaming layer:
+    // documents arrive as message payloads through the DSv2 source, get
+    // the L4 stopword quality gate and L1 content-hash exact dedup IN
+    // the stream, and only clean, first-seen docs reach the sink. Same
+    // operators, same expressions — batch/streaming parity is the
+    // point (a 100 TB backfill and its live tail share one pipeline).
+    val logName = "t-ingest-" + System.nanoTime()
+    val log = ShardLog.getOrCreate(logName)
+    try {
+      val docs = Seq(
+        "d0" -> "the a and of the table scan fast",  // clean
+        "d1" -> "zz zz zz zz zz zz zz zz",           // no stopwords: gated out
+        "d2" -> "the a and of the table scan fast",  // exact dup of d0: dropped
+        "d3" -> "the of a value row merge and key")  // clean
+      new Producer(log, seed = 1).publish(docs.map { case (id, text) =>
+        Message.simple("pk", id, "text" -> text.getBytes("UTF-8")) }: _*)
+
+      val cleaned = spark.readStream.format("graft-messages").option("log", logName).load()
+        .select(col("externalId").as("doc_id"),
+          decode(element_at(col("data"), "text"), "UTF-8").as("text"))
+        .withColumn("ws", split(col("text"), " "))
+        .filter(expr("size(filter(ws, x -> x in ('the','a','and','of')))") > 0)
+        .withColumn("h", sha2(col("text"), 256))
+        .dropDuplicates("h")
+        .select("doc_id")
+      val q = cleaned.writeStream.format("memory").queryName("ingest_out")
+        .outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+      q.processAllAvailable()
+      // late re-publish of a duplicate: dedup state persists across batches
+      new Producer(log, seed = 2).publish(
+        Message.simple("pk", "d4", "text" -> "the a and of the table scan fast".getBytes("UTF-8")))
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table("ingest_out").select("doc_id").as[String].collect().sorted.toSeq
+        == Seq("d0", "d3"))
+    } finally ShardLog.remove(logName)
+  }
 }
 
 /** Static sinks so foreachBatch closures survive query restarts. */
