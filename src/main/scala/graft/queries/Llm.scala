@@ -27,7 +27,6 @@ object Llm {
   private val T = 0.8 // Jaccard near-dup threshold (= 4/5: the ppjoin
   // positional filter in jaccardPairsOf encodes T/(1+T) as the exact
   // integer ratio 4/9 — keep them in sync if T ever changes)
-  private val P = 1000000007L
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
@@ -194,34 +193,43 @@ object Llm {
   // portable sha-60 shingle hash), 16 bands x 4 rows, bucket-join for
   // candidates, then exact-Jaccard verification. The oracle is the
   // exact pair set — so this also checks LSH recall, not just shape.
-  private val NPERM = 64
-  private def permA(k: Int): Long = (1103515245L * k + 12345L) % P
-  private def permB(k: Int): Long = (69069L * k + 1L) % P
+  private val NPERM = graft.functions.MinHashes.NPERM // perms live in the native kernel
 
   private val l2minhash = QueryDef(
     "l2_minhash_lsh",
     (s, dir) => {
-      val sh = t(s, dir, "documents").select(col("doc_id"),
-        explode(graft.functions.ShingleExprs.shingle_sha60(col("text"))).as("h"))
-      val hm = sh.withColumn("hm", col("h") % P)
-      // ONE corpus-sized groupBy computes all 64 min-hash signatures
-      // AND the exact-verification shingle array AND its size (was 3
-      // separate shuffles over the shingle table). Cached intermediate
-      // is doc-count-sized — the signature table a 100 TB run would
-      // materialize to storage anyway.
-      val mins = (0 until NPERM).map(k =>
-        min((col("hm") * permA(k) + permB(k)) % P).as(s"mh$k"))
-      val aggs = mins :+ sort_array(collect_set(col("h"))).as("arr")
-      val doc = hm.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-        .withColumn("sz", size(col("arr"))) // distinct-hash count, no extra agg pass
+      // ZERO corpus-sized shuffles before banding: the native shingle
+      // kernel already returns each doc's DISTINCT 60-bit hash array in
+      // the scan, and the native minhash_sig kernel folds all 64
+      // signature minima from it in one pass — the earlier spelling
+      // exploded the shingle table and ran 64 min() aggs through a
+      // corpus-wide groupBy, shuffling every (doc_id, h) row for what
+      // is per-doc arithmetic (58x ratio at the 10x stress). Same
+      // ((h % P) * a_k + b_k) % P family over the same distinct set ->
+      // bit-identical signatures, candidates, and pair set. Cached
+      // intermediate is doc-count-sized — the signature table a 100 TB
+      // run would materialize to storage anyway.
+      val doc = t(s, dir, "documents").select(col("doc_id"),
+          graft.functions.ShingleExprs.shingle_sha60(col("text")).as("arr"))
+        .withColumn("sig", graft.functions.MinHashExprs.minhash_sig(col("arr")))
+        .withColumn("sz", size(col("arr")))
         .cache()
       val bands = (0 until NPERM / 4).map(bd => struct(
         lit(bd).as("band"),
-        concat_ws(",", (0 until 4).map(r => col(s"mh${bd * 4 + r}")): _*).as("bsig")))
-      val buckets = doc.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
-      val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bsig"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
+        concat_ws(",", (0 until 4).map(r => col("sig")(bd * 4 + r)): _*).as("bsig")))
+      val buckets = doc.select(col("doc_id"), col("sz"), explode(array(bands: _*)).as("bk"))
+        .select(col("doc_id"), col("sz"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+      // length filter inside the bucket join (same exact integer form
+      // as the jaccard path: J >= 4/5 forces 5*min(sz) >= 4*max(sz)) —
+      // bands collide heavily on merely-similar pairs (a 4-row band
+      // matches with prob J^4, ~13% per band at J = 0.6), and pairs
+      // that cannot pass the threshold shouldn't reach the candidate
+      // distinct or the verification joins. Provably lossless, so the
+      // exact-pair-set oracle is unchanged.
+      val cand = buckets.as("x").join(buckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.sz"), col("y.sz")) * 5 >= greatest(col("x.sz"), col("y.sz")) * 4)
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
       verifiedJaccardArr(cand, doc.select("doc_id", "arr", "sz"))
     },
