@@ -686,6 +686,37 @@ object Llm {
                   FROM sdf)
             SELECT qid, rn, vid, simr FROM r WHERE rn <= 10 ORDER BY qid, rn"""))
 
+  // Symmetric int8 quantization of the embedding column — the storage
+  // side of similarity search at scale (a 100 TB vector corpus ships
+  // its ANN index quantized; 4x smaller + SIMD-friendly dot products).
+  // Determinism: the per-vector scale is ROUNDED to 6dp before use, so
+  // both engines divide by the identical double; round-half on the
+  // quantized value is away-from-zero on both engines, and a halfway
+  // x/scale is measure-zero for real embeddings. The clamp bounds the
+  // rounding slack the 6dp scale introduces at |q| near 127.
+  // Scale shape: shuffle-free per-row map over a 2-column pruned scan.
+  private val l3quant = QueryDef(
+    "l3_quantize_int8",
+    (s, dir) => {
+      t(s, dir, "embeddings")
+        .withColumn("scale", round(
+          expr("array_max(transform(embedding, x -> abs(cast(x as double))))") / 127.0, 6))
+        .select(col("vec_id"), col("scale"),
+          expr("""transform(embedding, x -> CASE WHEN scale = 0.0d THEN 0
+                    ELSE cast(least(127.0d, greatest(-127.0d,
+                           round(cast(x as double) / scale, 0))) as int) END)""").as("q"))
+        .orderBy("vec_id")
+    },
+    Some("""SELECT vec_id, scale,
+              list_transform(embedding, x -> CASE WHEN scale = 0.0 THEN 0
+                ELSE CAST(LEAST(127.0, GREATEST(-127.0,
+                       round(CAST(x AS DOUBLE) / scale))) AS INTEGER) END) AS q
+            FROM (SELECT vec_id, embedding,
+                    round(list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0, 6) AS scale
+                  FROM embeddings)
+            ORDER BY vec_id"""))
+
   // ---------------------------------------------------------------- L4
   private def stopCount(langWords: Seq[String]): String =
     s"size(filter(ws, x -> x in (${langWords.map(w => s"'$w'").mkString(", ")})))"
@@ -1234,7 +1265,7 @@ object Llm {
             |FROM ww, nrm ORDER BY lang""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    l1, l2, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans,
+    l1, l2, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans, l3quant,
     l4lang, l4quality, l4tokens, l4tfidf, l4fp, l5, l5media, l6clean, l6pack,
     l8decontam, l8sample, l8sampleHash, l8chunk, l8repetition, l8scrub, l8mixture)
 }
