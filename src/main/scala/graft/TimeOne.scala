@@ -15,7 +15,9 @@ object TimeOne {
       println(f"[timeone] $name run $i: $t%.3f s")
       t
     }
-    println(f"[timeone] $name min: ${times.filter(_ >= 0).min}%.3f s")
+    val ok = times.filter(_ >= 0)
+    if (ok.isEmpty) println(s"[timeone] $name: every run failed (unknown query name?)")
+    else println(f"[timeone] $name min: ${ok.min}%.3f s")
     spark.stop()
   }
 }

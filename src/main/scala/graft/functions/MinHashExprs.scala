@@ -49,9 +49,12 @@ object MinHashes {
 case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull must be false: compute() reads slots with getLong,
+    // which would fold an undefined value from a null slot into the
+    // minima instead of failing loudly
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_sig expects array<bigint>, got ${other.sql}")
+      s"minhash_sig expects array<bigint> without nulls, got ${other.sql}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"

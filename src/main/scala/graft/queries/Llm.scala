@@ -40,14 +40,19 @@ object Llm {
     b
   }
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, sh). Docs with
-    * fewer than 3 words contribute their whole text as one shingle. */
-  private def shingles(docs: DataFrame): DataFrame =
+  /** Distinct word-n-grams per doc: (doc_id, <out>). Docs with fewer
+    * than n words contribute their whole text as one gram — the one
+    * n-gram builder behind both the 3-gram shingles (near-dup) and the
+    * 8-gram decontamination windows, so the tokenization and short-doc
+    * fallback can never drift between them. */
+  private def wordNgrams(docs: DataFrame, n: Int, out: String): DataFrame =
     docs.withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(array_distinct(
-        when(size(col("ws")) >= 3,
-          expr("transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
-          .otherwise(array(col("text"))))).as("sh"))
+        when(size(col("ws")) >= n,
+          expr(s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', slice(ws, i+1, $n)))"))
+          .otherwise(array(col("text"))))).as(out))
+
+  private def shingles(docs: DataFrame): DataFrame = wordNgrams(docs, 3, "sh")
 
   private val shinglesSql =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1030,18 +1035,13 @@ object Llm {
 
   // Decontamination: flag train docs sharing word-8-grams with a held-
   // out eval set (the GPT-3/Llama-report train-test overlap check).
-  // Eval set = doc_id % 100 == 0 (deterministic pseudo-benchmark).
+  // Eval set = doc_id % 10 == 0 (deterministic pseudo-benchmark).
   // Scale shape: grams hash to 60-bit longs at the source, the eval
   // side aggregates to DISTINCT gram hashes (eval sets are tiny next
   // to the corpus), and the overlap is one hash join on longs + a
   // per-doc count — no hint on the eval side, AQE broadcasts it when
   // it fits. Output-sensitive: only contaminated docs emit rows.
-  private def grams8(docs: DataFrame): DataFrame =
-    docs.withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(array_distinct(
-        when(size(col("ws")) >= 8,
-          expr("transform(sequence(0, size(ws)-8), i -> concat_ws(' ', slice(ws, i+1, 8)))"))
-          .otherwise(array(col("text"))))).as("g"))
+  private def grams8(docs: DataFrame): DataFrame = wordNgrams(docs, 8, "g")
 
   private val grams8Sql =
     """w8 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1057,15 +1057,15 @@ object Llm {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val hashed = grams8(docs).select(col("doc_id"), sha60(col("g")).as("h")).distinct()
-      val ev = hashed.filter(col("doc_id") % 100 === 0).select("h").distinct()
-      val tr = hashed.filter(col("doc_id") % 100 =!= 0)
+      val ev = hashed.filter(col("doc_id") % 10 === 0).select("h").distinct()
+      val tr = hashed.filter(col("doc_id") % 10 =!= 0)
       tr.join(ev, "h")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
         .orderBy("doc_id")
     },
     Some(s"""WITH $grams8Sql,
-            |ev AS (SELECT DISTINCT h FROM h8 WHERE doc_id % 100 = 0),
-            |tr AS (SELECT doc_id, h FROM h8 WHERE doc_id % 100 != 0)
+            |ev AS (SELECT DISTINCT h FROM h8 WHERE doc_id % 10 = 0),
+            |tr AS (SELECT doc_id, h FROM h8 WHERE doc_id % 10 != 0)
             |SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (h)
             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
@@ -1074,8 +1074,10 @@ object Llm {
   // hash of the doc id — reproducible across runs/engines, no RNG.
   // Quota arithmetic is INTEGER ((n+9)/10): n*0.1 in doubles is
   // inexact at multiples of 10 and could ceil differently per engine.
-  // Scale shape: one shuffle on the stratum key; the rank filter is
-  // WindowGroupLimit-eligible so each partition keeps only its head.
+  // Scale shape: one shuffle on the stratum key; the quota is data-
+  // dependent so no literal-limit window pushdown applies — rank and
+  // count share the single stratum exchange (PlanContractSpec pins
+  // this), and petabyte strata would swap to l8_sample_hash.
   private val l8sample = QueryDef(
     "l8_sample_stratified",
     (s, dir) => {
@@ -1149,7 +1151,7 @@ object Llm {
             SELECT doc_id, i AS chunk_id,
                    len(ws[i*24+1 : i*24+32]) AS n_tok,
                    array_to_string(ws[i*24+1 : i*24+32], ' ') AS chunk
-            FROM p, (SELECT unnest(range(0, 1000)) AS i) t
+            FROM p, (SELECT unnest(range(0, (SELECT max(nchunks) FROM p))) AS i) t
             WHERE i < nchunks ORDER BY doc_id, chunk_id"""))
 
   // Repetition filter (the Gopher/MassiveText repetition rules, word-
