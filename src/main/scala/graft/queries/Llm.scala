@@ -266,13 +266,16 @@ object Llm {
       val w = math.max(6, ceilLog2((n + 511) / 512))
       val k = (60 + w - 1) / w
       val radius = math.min(9, k - 1)
-      val h = shingles(docs).withColumn("h", sha60(col("sh")))
-      val bitSums = (0 until 60).map(i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
-      val sigExpr = (0 until 60).map(i =>
-        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)).reduce(_ + _)
-      val sig = h.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"), sigExpr.as("sig"))
+      // signature per doc in ONE native pass over the shingle kernel's
+      // distinct-hash array (bit i set iff strictly more hashes have it
+      // set than clear — the same SUM(+/-1) > 0 rule the oracle spells
+      // in SQL, so signatures are bit-identical). The earlier spelling
+      // exploded the shingle table and pushed it through a corpus-wide
+      // groupBy with 60 conditional SUMs — the same shuffle-what-is-
+      // per-doc-arithmetic shape the minhash path had.
+      val sig = docs.select(col("doc_id"),
+        graft.functions.SimHashExprs.simhash_sig(
+          graft.functions.ShingleExprs.shingle_sha60(col("text"))).as("sig"))
       val chunks = (0 until k).map(c => struct(
         lit(c).as("c"),
         shiftright(col("sig"), c * w).bitwiseAND((1L << math.min(w, 60 - c * w)) - 1).as("v")))

@@ -70,6 +70,22 @@ class PropertySpec extends AnyFunSuite {
     }, "minhash kernel")
   }
 
+  // independent reference: per-bit majority vote re-derived from the
+  // documented rule (strictly-more-set-than-clear sets the bit)
+  private def simhashRef(hs: Seq[Long]): Long =
+    (0 until 60).map { b =>
+      val set = hs.count(h => ((h >>> b) & 1L) == 1L)
+      if (set > hs.size - set) 1L << b else 0L
+    }.sum
+
+  test("simhash kernel equals the majority-vote reference on arbitrary hash sets") {
+    val hashes = Gen.nonEmptyListOf(Gen.chooseNum(0L, (1L << 60) - 1))
+    check(Prop.forAll(hashes) { hs =>
+      graft.functions.SimHashes.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hs.toArray)) == simhashRef(hs)
+    }, "simhash kernel")
+  }
+
   // independent reference: sliding(3) + sha-256 hex prefix, written
   // against the documented semantics (not the kernel's byte loop)
   private def shingleRef(text: String): Seq[Long] = {
