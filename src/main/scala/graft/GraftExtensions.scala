@@ -41,7 +41,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("shingle_sha60"),
       new ExpressionInfo(classOf[ShingleSha60].getName, "shingle_sha60"),
-      exprs => { arity("shingle_sha60", 1, exprs); ShingleSha60(exprs.head) }))
+      exprs => exprs match {
+        // 1-arg = 3-gram shingles; optional 2nd arg = literal gram width
+        case Seq(text) => ShingleSha60(text)
+        case Seq(text, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+          ShingleSha60(text, n)
+        case _ => throw new IllegalArgumentException(
+          s"shingle_sha60 expects (string) or (string, <int literal gram width>), got ${exprs.length} args")
+      }))
     ext.injectFunction((
       FunctionIdentifier("ulid_timestamp"),
       new ExpressionInfo(classOf[UlidTimestamp].getName, "ulid_timestamp"),

@@ -43,15 +43,24 @@ object ShingleHashes {
     acc >>> 4 // top 60 bits == first 15 hex chars parsed base 16
   }
 
-  /** Called from both interpreted eval and generated code. */
-  def compute(text: UTF8String): ArrayData = {
+  /** Called from both interpreted eval and generated code. `n` is the
+    * gram width (3 for near-dup shingles, 8 for decontamination). */
+  def compute(text: UTF8String, n: Int): ArrayData = {
     val md = digest.get()
     val ws = text.toString.split(" ", -1)
     val out = new java.util.LinkedHashSet[java.lang.Long]()
-    if (ws.length >= 3) {
+    if (ws.length >= n) {
+      val sb = new java.lang.StringBuilder
       var i = 0
-      while (i <= ws.length - 3) {
-        out.add(h60(md, ws(i) + " " + ws(i + 1) + " " + ws(i + 2)))
+      while (i <= ws.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j))
+          j += 1
+        }
+        out.add(h60(md, sb.toString))
         i += 1
       }
     } else out.add(h60(md, text.toString))
@@ -63,10 +72,12 @@ object ShingleHashes {
   }
 }
 
-case class ShingleSha60(child: Expression) extends UnaryExpression {
+case class ShingleSha60(child: Expression, n: Int = 3) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"shingle_sha60 gram width must be >= 1, got $n")
     case other => TypeCheckResult.TypeCheckFailure(
       s"shingle_sha60 expects a string, got ${other.sql}")
   }
@@ -74,11 +85,11 @@ case class ShingleSha60(child: Expression) extends UnaryExpression {
   override def prettyName: String = "shingle_sha60"
 
   override def nullSafeEval(s: Any): Any =
-    ShingleHashes.compute(s.asInstanceOf[UTF8String])
+    ShingleHashes.compute(s.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ShingleHashes.compute($c);")
+      s"${ev.value} = graft.functions.ShingleHashes.compute($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleSha60 =
     copy(child = newChild)
@@ -87,6 +98,6 @@ case class ShingleSha60(child: Expression) extends UnaryExpression {
 object ShingleExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  def shingle_sha60(text: Column): Column =
-    ColumnBridge.column(ShingleSha60(ColumnBridge.expression(text)))
+  def shingle_sha60(text: Column, n: Int = 3): Column =
+    ColumnBridge.column(ShingleSha60(ColumnBridge.expression(text), n))
 }

@@ -40,19 +40,11 @@ object Llm {
     b
   }
 
-  /** Distinct word-n-grams per doc: (doc_id, <out>). Docs with fewer
-    * than n words contribute their whole text as one gram — the one
-    * n-gram builder behind both the 3-gram shingles (near-dup) and the
-    * 8-gram decontamination windows, so the tokenization and short-doc
-    * fallback can never drift between them. */
-  private def wordNgrams(docs: DataFrame, n: Int, out: String): DataFrame =
-    docs.withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(array_distinct(
-        when(size(col("ws")) >= n,
-          expr(s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', slice(ws, i+1, $n)))"))
-          .otherwise(array(col("text"))))).as(out))
-
-  private def shingles(docs: DataFrame): DataFrame = wordNgrams(docs, 3, "sh")
+  // (word n-grams are produced by the native kernel
+  // graft.functions.ShingleExprs.shingle_sha60(text, n) — 3-gram
+  // shingles for near-dup, 8-gram windows for decontamination; the
+  // oracle-side SQL spellings live in shinglesSql / grams8Sql and
+  // ShingleExprSpec pins the kernel against the composed built-ins)
 
   private val shinglesSql =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1044,7 +1036,6 @@ object Llm {
   // to the corpus), and the overlap is one hash join on longs + a
   // per-doc count — no hint on the eval side, AQE broadcasts it when
   // it fits. Output-sensitive: only contaminated docs emit rows.
-  private def grams8(docs: DataFrame): DataFrame = wordNgrams(docs, 8, "g")
 
   private val grams8Sql =
     """w8 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1059,7 +1050,11 @@ object Llm {
     "l8_decontaminate",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val hashed = grams8(docs).select(col("doc_id"), sha60(col("g")).as("h")).distinct()
+      // 8-gram hashes straight from the native kernel (one pass, no
+      // gram-string array materialization); its output is already
+      // per-doc distinct, so no pre-join distinct shuffle is needed
+      val hashed = docs.select(col("doc_id"),
+        explode(graft.functions.ShingleExprs.shingle_sha60(col("text"), 8)).as("h"))
       val ev = hashed.filter(col("doc_id") % 10 === 0).select("h").distinct()
       val tr = hashed.filter(col("doc_id") % 10 =!= 0)
       tr.join(ev, "h")

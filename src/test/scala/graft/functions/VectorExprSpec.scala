@@ -94,7 +94,7 @@ class VectorExprSpec extends AnyFunSuite {
     assert(analysisMessage("SELECT vec_norm() FROM arity_vecs")
       .contains("vec_norm expects 1 argument, got 0"))
     assert(analysisMessage("SELECT shingle_sha60() FROM arity_vecs")
-      .contains("shingle_sha60 expects 1 argument, got 0"))
+      .contains("shingle_sha60 expects (string) or (string, <int literal gram width>)"))
     assert(analysisMessage("SELECT ulid_timestamp() FROM arity_vecs")
       .contains("ulid_timestamp expects 1 argument, got 0"))
     assert(analysisMessage("SELECT ulid(1, 2) FROM arity_vecs")

@@ -88,7 +88,7 @@ class PropertySpec extends AnyFunSuite {
 
   // independent reference: sliding(3) + sha-256 hex prefix, written
   // against the documented semantics (not the kernel's byte loop)
-  private def shingleRef(text: String): Seq[Long] = {
+  private def shingleRef(text: String, n: Int): Seq[Long] = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def h(s: String): Long = {
       val hex = md.digest(s.getBytes("UTF-8")).take(8)
@@ -96,17 +96,18 @@ class PropertySpec extends AnyFunSuite {
       java.lang.Long.parseLong(hex, 16)
     }
     val ws = text.split(" ", -1)
-    val gs = if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSeq else Seq(text)
+    val gs = if (ws.length >= n) ws.sliding(n).map(_.mkString(" ")).toSeq else Seq(text)
     gs.map(h).distinct
   }
 
-  test("shingle kernel equals the sliding/sha-256 reference on arbitrary word soup") {
+  test("shingle kernel equals the sliding/sha-256 reference at any gram width") {
     val word = Gen.frequency(8 -> Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString),
       1 -> Gen.const("")) // empty words = double spaces in the text
     val text = Gen.listOf(word).map(_.mkString(" "))
-    check(Prop.forAll(text) { t =>
-      ShingleHashes.compute(org.apache.spark.unsafe.types.UTF8String.fromString(t))
-        .toLongArray().toSeq == shingleRef(t)
+    check(Prop.forAll(text, Gen.oneOf(1, 2, 3, 8, 13)) { (t, n) =>
+      ShingleHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), n)
+        .toLongArray().toSeq == shingleRef(t, n)
     }, "shingle kernel")
   }
 }
