@@ -880,8 +880,14 @@ object Llm {
         .withColumn("es_n", expr(stopCount(esS))).withColumn("fr_n", expr(stopCount(frS)))
         .withColumn("quality", qualityCol(col("n_tok"), col("en_n"))) // en stopwords = quality stoplist
         .withColumn("pred", langPredCol)
-      val wKeep = Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
-      val keepers = annotated.withColumn("rn", row_number().over(wKeep))
+      // keeper selection is a SEMI JOIN on the hash-agg'd keeper ids,
+      // not a row_number window over sha2(text): the window would
+      // shuffle every annotated column (including the split-word
+      // array) partitioned by content hash just to pick min(doc_id)
+      // per group — the semi join shuffles doc_ids only, and the
+      // keeper-id table is computed below anyway for the near-dup
+      // stage. rn = 1 under (partitionBy sha2 orderBy doc_id) is
+      // exactly doc_id = min(doc_id) within the sha2 group.
       // Near-dup pairs are computed over exact-KEEPERS only — provably
       // the same drop set as full-corpus pairs (exact dups share an
       // identical shingle set, so any pair (d1, d2) with a non-keeper
@@ -896,9 +902,11 @@ object Llm {
       val keeperDocs = docs.groupBy(sha2(col("text"), 256))
         .agg(min(col("doc_id")).as("doc_id"), any_value(col("text")).as("text"))
         .select("doc_id", "text")
+        .cache() // feeds BOTH the near-dup stage and the keeper semi join
       val dropNearDups = jaccardPairsOf(keeperDocs).select(col("d2").as("doc_id")).distinct()
-      keepers
-        .filter(col("quality") >= 0.6 && col("rn") === 1)
+      annotated
+        .filter(col("quality") >= 0.6)
+        .join(keeperDocs.select("doc_id"), Seq("doc_id"), "semi")
         .join(dropNearDups, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("pred").as("lang_pred"), col("n_tok"), col("quality"))
         .orderBy("doc_id")
