@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ShingleSha60, UlidExpression, UlidTimestamp, VecDot, VecNorm}
+import graft.functions.{MinHashSig, ShingleSha60, SimHashSig, UlidExpression, UlidTimestamp, VecDot, VecNorm}
 
 /** Session-extension entry point: registers the engine's native
   * Catalyst expressions into the function registry, so SQL text can
@@ -49,6 +49,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           s"shingle_sha60 expects (string) or (string, <int literal gram width>), got ${exprs.length} args")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      exprs => { arity("minhash_sig", 1, exprs); MinHashSig(exprs.head) }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      exprs => { arity("simhash_sig", 1, exprs); SimHashSig(exprs.head) }))
     ext.injectFunction((
       FunctionIdentifier("ulid_timestamp"),
       new ExpressionInfo(classOf[UlidTimestamp].getName, "ulid_timestamp"),

@@ -60,6 +60,19 @@ class VectorExprSpec extends AnyFunSuite {
     assert(math.abs(r(0).getDouble(1) - 32.0) < 1e-9) // 1*4 + 2*5 + 3*6
   }
 
+  test("extensions register the text kernels for SQL text") {
+    val r = spark.sql(
+      """SELECT size(shingle_sha60('a b c d')) AS n3,
+                size(shingle_sha60('a b c d', 2)) AS n2,
+                size(minhash_sig(shingle_sha60('a b c d'))) AS nsig,
+                simhash_sig(shingle_sha60('a b c d')) AS sig""").collect().head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 3)
+    assert(r.getInt(2) == graft.functions.MinHashes.NPERM)
+    assert(r.getLong(3) ==
+      graft.functions.SimHashes.compute(graft.functions.ShingleHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a b c d"), 3)))
+  }
+
   test("null element or mismatched length yields null, matching zip_with/aggregate") {
     val df = Seq(
       (1L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f, 4.0f)),
@@ -97,6 +110,10 @@ class VectorExprSpec extends AnyFunSuite {
       .contains("shingle_sha60 expects (string) or (string, <int literal gram width>)"))
     assert(analysisMessage("SELECT ulid_timestamp() FROM arity_vecs")
       .contains("ulid_timestamp expects 1 argument, got 0"))
+    assert(analysisMessage("SELECT minhash_sig() FROM arity_vecs")
+      .contains("minhash_sig expects 1 argument, got 0"))
+    assert(analysisMessage("SELECT simhash_sig() FROM arity_vecs")
+      .contains("simhash_sig expects 1 argument, got 0"))
     assert(analysisMessage("SELECT ulid(1, 2) FROM arity_vecs")
       .contains("ulid expects 0 or 1 arguments"))
   }
