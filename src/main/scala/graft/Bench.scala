@@ -20,7 +20,7 @@ object Bench {
     "q18_dedup_keeper", "q21_math_conditional", "q22_array_funcs",
     "q24_json_funcs", "q30_percentiles", "q31_pivot",
     "t1_window_tumbling", "t3_window_session",
-    "l1_exact_dedup", "l2_jaccard_pairs", "l2_minhash_lsh",
+    "l1_exact_dedup", "l2_jaccard_pairs", "l2_minhash_lsh", "l2_simhash",
     "l3_knn_bruteforce", "l3_ann_lsh", "l4_tfidf", "l4_fingerprint",
     "l6_corpus_clean", "l6_pack_shards",
     "l8_decontaminate", "l8_repetition", "l8_chunk_windows")
