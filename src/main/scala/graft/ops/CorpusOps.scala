@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef.sha60
+
+/** The training-data pipeline operators as reusable
+  * `DataFrame => DataFrame` transforms (SURVEY §7's design stance:
+  * operators are functions over DataFrames, no new IR). The oracle-
+  * checked queries in [[graft.queries.Llm]] are thin wrappers over
+  * these — library users compose them directly:
+  *
+  * {{{
+  * val pairs   = CorpusOps.nearDupPairs(docs)          // exact J >= 0.8
+  * val keepers = CorpusOps.exactDedupKeepers(docs)
+  * val flagged = CorpusOps.decontaminate(docs, col("doc_id") % 10 === 0)
+  * }}}
+  *
+  * Every transform expects a `doc_id` column plus the columns named in
+  * its doc; none runs a Spark job at construction (plan-build is
+  * action-free, asserted by PlanContractSpec's sweep over the query
+  * wrappers).
+  */
+object CorpusOps {
+
+  /** Jaccard near-dup threshold, fixed at 4/5: the ppjoin positional
+    * filter and the LSH length filter below encode T/(1+T) = 4/9 and
+    * T = 4/5 as exact integer ratios — keep them in sync if T ever
+    * changes. */
+  val JaccardThreshold = 0.8
+
+  private val T = JaccardThreshold
+
+  /** Exact Jaccard over candidate pairs and pre-collected per-doc
+    * DISTINCT-hash arrays (doc_id, arr, sz). The candidate set is tiny
+    * after filtering, so intersection counting joins each pair against
+    * ONE row per doc and intersects in-memory — two small hash joins
+    * instead of a row-level join against the corpus-sized shingle
+    * table. Shared by the prefix-filter and MinHash paths. */
+  private[graft] def verifiedJaccard(cand: DataFrame, arrs: DataFrame): DataFrame = {
+    cand
+      .join(arrs.select(col("doc_id").as("d1"), col("arr").as("arr1"), col("sz").as("sz1")), "d1")
+      .join(arrs.select(col("doc_id").as("d2"), col("arr").as("arr2"), col("sz").as("sz2")), "d2")
+      .withColumn("inter", size(array_intersect(col("arr1"), col("arr2"))))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("j"))
+      .filter(col("j") >= T)
+      .orderBy("d1", "d2")
+  }
+
+  /** EXACT word-3-gram-Jaccard near-duplicate pairs (d1 < d2, j) with
+    * J >= [[JaccardThreshold]] — prefix filtering, not approximation.
+    *
+    * Scale shape (the 100 TB posture, audited in docs/PLANS.md):
+    *  - shingles hash to 60-bit longs in the scan projection (native
+    *    `shingle_sha60` kernel — no string-array materialization);
+    *  - ONE corpus-sized groupBy builds each doc's frequency-sorted
+    *    hash set, size, and rarest-first prefix; the frequency join is
+    *    SHUFFLE_HASH (vocabulary shards per partition, never
+    *    driver-resident — an unconditional broadcast would be a driver
+    *    OOM at open-vocabulary scale);
+    *  - the prefix self-join applies the ppjoin positional filter as
+    *    an exact integer test (at a match on positions (p1, p2):
+    *    tokens before the first common token are disjoint, so overlap
+    *    <= min(sz1-p1, sz2-p2) + min(p1, p2); J >= 4/5 requires
+    *    9 * that >= 4 * (sz1 + sz2)), so pairs that cannot reach the
+    *    threshold never hit the candidate distinct or verification;
+    *  - output is candidate-sensitive, never corpus².
+    */
+  def nearDupPairs(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleExprs.shingle_sha60(col("text"))).as("h"))
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val docArr = sh.join(freq.hint("shuffle_hash"), "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(struct(col("df"), col("h")))).as("fsh"))
+      .select(col("doc_id"),
+        expr("transform(fsh, x -> x.h)").as("arr"),
+        size(col("fsh")).as("sz"))
+      .withColumn("pref",
+        expr(s"slice(arr, 1, size(arr) - cast(ceil(size(arr) * $T) as int) + 1)"))
+      .cache()
+    val pref = docArr.select(col("doc_id"), col("sz"),
+      posexplode(col("pref")).as(Seq("p", "h")))
+    val ubound = least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) +
+      least(col("a.p"), col("b.p"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+        ubound * 9 >= (col("a.sz") + col("b.sz")) * 4)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    verifiedJaccard(cand, docArr.select("doc_id", "arr", "sz"))
+  }
+
+  /** One row per distinct text: (doc_id = min over the duplicate
+    * clique, text). Partial-aggregatable hash-agg — the scaling lever
+    * for cleanup pipelines is running this BEFORE near-dup so exact-dup
+    * cliques never reach the expensive stage. */
+  def exactDedupKeepers(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id"), any_value(col("text")).as("text"))
+      .select("doc_id", "text")
+
+  /** Train/eval word-n-gram overlap (the GPT-3/Llama train-test
+    * contamination check): rows (doc_id, n_shared) for every NON-eval
+    * doc sharing at least one n-gram with the eval slice. The eval
+    * side aggregates to DISTINCT gram hashes before the join (eval
+    * sets are benchmark-sized; size estimates/AQE decide the build
+    * side — no hint). Gram hashing is one native kernel pass and
+    * already per-doc distinct. */
+  def decontaminate(docs: DataFrame, isEval: Column, n: Int = 8): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleExprs.shingle_sha60(col("text"), n)).as("h"),
+      isEval.as("is_eval"))
+    val ev = hashed.filter(col("is_eval")).select("h").distinct()
+    hashed.filter(!col("is_eval")).join(ev, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Fixed-context chunking: (doc_id, chunk_id, n_tok, chunk) windows
+    * of `window` words advancing by `stride` (trailing window clamps).
+    * Embarrassingly parallel per doc — explode only, no shuffle. */
+  def chunkWindows(docs: DataFrame, window: Int = 32, stride: Int = 24): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("nchunks",
+        expr(s"1 + greatest(0, (size(ws) - $window + ${stride - 1}) div $stride)"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(0, nchunks - 1)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(expr(s"slice(ws, chunk_id * $stride + 1, $window)")).cast("long").as("n_tok"),
+        expr(s"concat_ws(' ', slice(ws, chunk_id * $stride + 1, $window))").as("chunk"))
+
+  /** Deterministic exact-quota stratified sample: per stratum, the
+    * ceil(1/denom) fraction ranking lowest by a content-independent
+    * 60-bit id-hash. Integer quota arithmetic (no float ceil). One
+    * stratum shuffle; the quota is data-dependent, so rank+count share
+    * the exchange (no literal-limit pushdown applies). For petabyte
+    * strata use [[hashSample]] instead — no sort at all. */
+  def stratifiedSample(docs: DataFrame, stratum: String, denom: Int = 10): DataFrame = {
+    val ranked = docs.select(col(stratum), col("doc_id"),
+      sha60(col("doc_id").cast("string")).as("hk"))
+    val w = Window.partitionBy(stratum).orderBy(col("hk").asc, col("doc_id").asc)
+    ranked
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(stratum)))
+      .filter(expr(s"rn <= (n + ${denom - 1}) div $denom"))
+  }
+
+  /** Deterministic approximate-rate sample: keep docs whose 60-bit
+    * id-hash falls under the integer cutoff 2^60/denom. Shuffle-free,
+    * reproducible across runs and engines; the quota is binomial-
+    * approximate — the production trade at corpus scale. */
+  def hashSample(docs: DataFrame, denom: Int = 10): DataFrame =
+    docs.withColumn("hk", sha60(col("doc_id").cast("string")))
+      .filter(col("hk") < (1L << 60) / denom)
+
+  /** Symmetric int8 quantization of a vector column: per-vector
+    * scale = round(max|x|/127, 6) — rounded BEFORE use so both engines
+    * divide by the identical double — and values clamped to ±127.
+    * Shuffle-free per-row map; the storage side of ANN at scale. */
+  def quantizeInt8(vecs: DataFrame, vecCol: String = "embedding"): DataFrame =
+    vecs
+      .withColumn("scale", round(
+        expr(s"array_max(transform($vecCol, x -> abs(cast(x as double))))") / 127.0, 6))
+      .withColumn("q",
+        expr(s"""transform($vecCol, x -> CASE WHEN scale = 0.0d THEN 0
+                  ELSE cast(least(127.0d, greatest(-127.0d,
+                         round(cast(x as double) / scale, 0))) as int) END)"""))
+}

@@ -63,16 +63,8 @@ object Llm {
     * instead of a row-level join against the corpus-sized shingle
     * table. Shared by the prefix-filter and MinHash paths.
     */
-  private def verifiedJaccardArr(cand: DataFrame, arrs: DataFrame): DataFrame = {
-    cand
-      .join(arrs.select(col("doc_id").as("d1"), col("arr").as("arr1"), col("sz").as("sz1")), "d1")
-      .join(arrs.select(col("doc_id").as("d2"), col("arr").as("arr2"), col("sz").as("sz2")), "d2")
-      .withColumn("inter", size(array_intersect(col("arr1"), col("arr2"))))
-      .select(col("d1"), col("d2"),
-        (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("j"))
-      .filter(col("j") >= T)
-      .orderBy("d1", "d2")
-  }
+  private def verifiedJaccardArr(cand: DataFrame, arrs: DataFrame): DataFrame =
+    graft.ops.CorpusOps.verifiedJaccard(cand, arrs)
 
   /** The exact near-dup pair set as DuckDB SQL (prefix-filter algorithm,
     * independently spelled in SQL) — oracle for both l2 variants. */
@@ -119,67 +111,8 @@ object Llm {
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardPairsOf(t(s, dir, "documents"))
 
-  private def jaccardPairsOf(docs: DataFrame): DataFrame = {
-      // Shingles hash to 60-bit longs IMMEDIATELY (portable sha-60,
-      // identical in DuckDB) — everything downstream shuffles,
-      // bucket-joins, and intersects 8-byte longs instead of ~26-byte
-      // strings: ~3x less shuffle volume and long-vs-string compares in
-      // the verification intersects. The 10x stress harness
-      // (graft.Stress) showed the string spelling going super-linear on
-      // a dup-heavy corpus; both engines hash the same way, so the pair
-      // set still matches the oracle bit-for-bit.
-      // native one-pass shingle kernel (graft.functions.ShingleSha60):
-      // distinct 60-bit hashes straight from the text, no string-array
-      // materialization, no interpreted HOFs in the corpus scan
-      val sh = docs.select(col("doc_id"),
-        explode(graft.functions.ShingleExprs.shingle_sha60(col("text"))).as("h"))
-      val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      // ONE corpus-sized groupBy builds everything per-doc: the
-      // frequency-sorted hash SET (collect_set dedupes any intra-doc
-      // 60-bit collision, matching the oracle's DISTINCT), its size,
-      // and the rarest-first prefix. Cached intermediate stays
-      // doc-count-sized — the signature table a 100 TB run would
-      // materialize anyway.
-      // NO broadcast hint on freq: it is vocabulary-sized (distinct
-      // shingles — an open vocabulary grows with the corpus, ~45M rows
-      // already at the 10x stress scale), so an unconditional broadcast
-      // is a driver OOM at 100 TB. SHUFFLE_HASH instead: the build side
-      // is one vocabulary SHARD per partition (scales out with the
-      // partition count — never driver-resident), and unlike the
-      // sort-merge default it skips sorting the corpus-sized shingle
-      // stream (measured 5x slower at sf0.1, 74x-ratio at the 10x
-      // stress when left to SMJ).
-      val docArr = sh.join(freq.hint("shuffle_hash"), "h")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_set(struct(col("df"), col("h")))).as("fsh"))
-        .select(col("doc_id"),
-          expr("transform(fsh, x -> x.h)").as("arr"),
-          size(col("fsh")).as("sz"))
-        .withColumn("pref",
-          expr(s"slice(arr, 1, size(arr) - cast(ceil(size(arr) * $T) as int) + 1)"))
-        .cache()
-      // ppjoin-style positional filter on the prefix match (exact, so
-      // the pair set is unchanged — the oracle still pins it): at a
-      // match on token h at 0-based prefix positions (p1, p2), tokens
-      // before the FIRST common token are disjoint between the docs
-      // (both arrays share one global (df, h) sort), so overlap
-      // <= min(sz1-p1, sz2-p2) + c where c = commons before h; for the
-      // first in-prefix match c <= min(p1, p2). J >= T needs overlap
-      // * (1+T) >= T * (sz1+sz2); with T = 4/5 that is the INTEGER test
-      // 9 * ubound >= 4 * (sz1+sz2) — no float threshold arithmetic, so
-      // no cross-engine rounding hazard. A true pair always survives
-      // through its first in-prefix match row; everything pruned here
-      // skips the candidate distinct AND both verification joins.
-      val pref = docArr.select(col("doc_id"), col("sz"),
-        posexplode(col("pref")).as(Seq("p", "h")))
-      val ubound = least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) +
-        least(col("a.p"), col("b.p"))
-      val cand = pref.as("a").join(pref.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-          ubound * 9 >= (col("a.sz") + col("b.sz")) * 4)
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-      verifiedJaccardArr(cand, docArr.select("doc_id", "arr", "sz"))
-  }
+  private def jaccardPairsOf(docs: DataFrame): DataFrame =
+    graft.ops.CorpusOps.nearDupPairs(docs)
 
   private val l2 = QueryDef(
     "l2_jaccard_pairs",
@@ -698,13 +631,8 @@ object Llm {
   private val l3quant = QueryDef(
     "l3_quantize_int8",
     (s, dir) => {
-      t(s, dir, "embeddings")
-        .withColumn("scale", round(
-          expr("array_max(transform(embedding, x -> abs(cast(x as double))))") / 127.0, 6))
-        .select(col("vec_id"), col("scale"),
-          expr("""transform(embedding, x -> CASE WHEN scale = 0.0d THEN 0
-                    ELSE cast(least(127.0d, greatest(-127.0d,
-                           round(cast(x as double) / scale, 0))) as int) END)""").as("q"))
+      graft.ops.CorpusOps.quantizeInt8(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("scale"), col("q"))
         .orderBy("vec_id")
     },
     Some("""SELECT vec_id, scale,
@@ -899,9 +827,7 @@ object Llm {
       // the rn=1 window (that would compute the text-carrying sort
       // shuffle twice — once here, once for the output filter); texts
       // within a sha2 group are identical, so any_value is exact
-      val keeperDocs = docs.groupBy(sha2(col("text"), 256))
-        .agg(min(col("doc_id")).as("doc_id"), any_value(col("text")).as("text"))
-        .select("doc_id", "text")
+      val keeperDocs = graft.ops.CorpusOps.exactDedupKeepers(docs)
         .cache() // feeds BOTH the near-dup stage and the keeper semi join
       val dropNearDups = jaccardPairsOf(keeperDocs).select(col("d2").as("doc_id")).distinct()
       annotated
@@ -1058,15 +984,7 @@ object Llm {
     "l8_decontaminate",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      // 8-gram hashes straight from the native kernel (one pass, no
-      // gram-string array materialization); its output is already
-      // per-doc distinct, so no pre-join distinct shuffle is needed
-      val hashed = docs.select(col("doc_id"),
-        explode(graft.functions.ShingleExprs.shingle_sha60(col("text"), 8)).as("h"))
-      val ev = hashed.filter(col("doc_id") % 10 === 0).select("h").distinct()
-      val tr = hashed.filter(col("doc_id") % 10 =!= 0)
-      tr.join(ev, "h")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      graft.ops.CorpusOps.decontaminate(docs, col("doc_id") % 10 === 0)
         .orderBy("doc_id")
     },
     Some(s"""WITH $grams8Sql,
@@ -1087,14 +1005,7 @@ object Llm {
   private val l8sample = QueryDef(
     "l8_sample_stratified",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val ranked = docs.select(col("lang"), col("doc_id"),
-        sha60(col("doc_id").cast("string")).as("hk"))
-      val w = Window.partitionBy("lang").orderBy(col("hk").asc, col("doc_id").asc)
-      ranked
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
-        .filter(expr("rn <= (n + 9) div 10")) // div: integer quota, like the oracle's //
+      graft.ops.CorpusOps.stratifiedSample(t(s, dir, "documents"), "lang")
         .select(col("lang"), col("doc_id"), col("rn").cast("long").as("rn"))
         .orderBy("lang", "rn")
     },
@@ -1119,10 +1030,8 @@ object Llm {
   private val l8sampleHash = QueryDef(
     "l8_sample_hash",
     (s, dir) => {
-      t(s, dir, "documents")
-        .select(col("lang"), col("doc_id"),
-          sha60(col("doc_id").cast("string")).as("hk"))
-        .filter(col("hk") < hashCutoff)
+      graft.ops.CorpusOps.hashSample(t(s, dir, "documents"))
+        .select(col("lang"), col("doc_id"), col("hk"))
         .orderBy("doc_id")
     },
     Some(s"""SELECT lang, doc_id, hk FROM (
@@ -1140,15 +1049,7 @@ object Llm {
   private val l8chunk = QueryDef(
     "l8_chunk_windows",
     (s, dir) => {
-      t(s, dir, "documents")
-        .withColumn("ws", split(col("text"), " "))
-        .withColumn("nchunks",
-          expr("1 + greatest(0, (size(ws) - 32 + 23) div 24)"))
-        .select(col("doc_id"), col("ws"),
-          explode(expr("sequence(0, nchunks - 1)")).as("chunk_id"))
-        .select(col("doc_id"), col("chunk_id"),
-          size(expr("slice(ws, chunk_id * 24 + 1, 32)")).cast("long").as("n_tok"),
-          expr("concat_ws(' ', slice(ws, chunk_id * 24 + 1, 32))").as("chunk"))
+      graft.ops.CorpusOps.chunkWindows(t(s, dir, "documents"))
         .orderBy("doc_id", "chunk_id")
     },
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
