@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Direct checks on the CorpusOps library surface with NON-default
+  * parameters — the oracle gate pins the defaults through the query
+  * wrappers, but the parameterized paths (gram width, window/stride,
+  * sample denominators) need their own expectations.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("chunkWindows with window=4, stride=2 covers every word and clamps the tail") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
+    val rows = CorpusOps.chunkWindows(docs, window = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1: 7 words -> 1 + ceil(3/2) = 3 chunks; final clamps to 3 words
+    assert(rows.filter(_._1 == 1L).map(r => (r._2, r._4)) ==
+      Seq((0L, "a b c d"), (1L, "c d e f"), (2L, "e f g")))
+    assert(rows.filter(_._1 == 1L).map(_._3) == Seq(4L, 4L, 3L))
+    // doc 2: shorter than one window -> a single clamped chunk
+    assert(rows.filter(_._1 == 2L).map(r => (r._2, r._3, r._4)) == Seq((0L, 2L, "x y")))
+  }
+
+  test("decontaminate with n=2 flags exactly the docs sharing a word bigram with eval") {
+    val docs = Seq(
+      (1L, "red green blue"),   // eval
+      (2L, "green blue yellow"),// shares "green blue" -> flagged, 1 gram
+      (3L, "purple orange"),    // nothing shared
+      (4L, "red green blue")    // identical to eval: 2 shared bigrams
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.decontaminate(docs, col("doc_id") === 1, n = 2)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 1L), (4L, 2L)))
+  }
+
+  test("stratifiedSample quota is exact per stratum at any denominator") {
+    val docs = (0L until 30L).map(i => (i, if (i % 3 == 0) "a" else "b", s"t$i"))
+      .toDF("doc_id", "lang", "text")
+    val out = CorpusOps.stratifiedSample(docs, "lang", denom = 4)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // strata: a = 10 docs -> ceil(10/4) = 3; b = 20 -> 5
+    assert(out == Map("a" -> 3L, "b" -> 5L))
+  }
+
+  test("hashSample is deterministic and rate-plausible") {
+    val docs = (0L until 2000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = CorpusOps.hashSample(docs, denom = 5).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val b = CorpusOps.hashSample(docs, denom = 5).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    assert(math.abs(a.size - 400) < 120, s"~20% of 2000 expected, got ${a.size}")
+  }
+
+  test("quantizeInt8 hits +/-127 at the extremes and roundtrips within one scale step") {
+    val vecs = Seq((1L, Array(0.5f, -0.25f, 0.125f, -0.5f))).toDF("vec_id", "embedding")
+    val r = CorpusOps.quantizeInt8(vecs).select("scale", "q")
+      .as[(Double, Seq[Int])].collect().head
+    assert(r._2.head == 127 && r._2(3) == -127) // |x| = amax quantizes to the rails
+    val recon = r._2.map(_ * r._1)
+    Seq(0.5, -0.25, 0.125, -0.5).zip(recon).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= r._1 / 2 + 1e-9, s"$x vs $y")
+    }
+  }
+
+  test("nearDupPairs finds planted near-dups and nothing else on a clean corpus") {
+    val base = (0 until 40).map(i => s"w${i}a w${i}b w${i}c w${i}d w${i}e").toSeq
+    val near = base.head.split(" ").dropRight(0).mkString(" ") // identical text
+    val docs = (base :+ near).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val pairs = CorpusOps.nearDupPairs(docs).as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((0L, 40L, 1.0)))
+  }
+}
