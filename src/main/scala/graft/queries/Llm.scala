@@ -175,8 +175,10 @@ object Llm {
   // narrower guaranteed radius (k-1 shrinks as w grows — the
   // production simhash tradeoff; Manku et al. WWW'07 run 64-bit
   // fingerprints at radius 3): the emitted threshold is
-  // min(9, k-1), exact for the radius the width budget affords. At
-  // every test scale (n <= 262144) w stays 6, k = 10, threshold 9.
+  // min(9, k-1), exact for the radius the width budget affords. For
+  // n <= 32768 w stays 6, k = 10, threshold 9 (every sf fixture is
+  // well under that); past it the width budget tightens the radius —
+  // at n = 262144, w = 9, k = 7, radius 6.
   // The oracle derives the identical w/k from count(*), so the banding
   // structure matches bit-for-bit at any sf. Output: pairs with
   // hamming <= min(9, k-1) (empirically: planted near-dups land at
@@ -628,22 +630,36 @@ object Llm {
   // x/scale is measure-zero for real embeddings. The clamp bounds the
   // rounding slack the 6dp scale introduces at |q| near 127.
   // Scale shape: shuffle-free per-row map over a 2-column pruned scan.
+  // The oracle output carries the quantized vector as SCALARS (length,
+  // element sum, 60-bit checksum of the comma-joined elements) — the
+  // driver's comparer canonicalizes rows through pandas, which cannot
+  // sort/hash array cells; the checksum still pins every element
+  // byte-for-byte. Library users get the real array from
+  // [[graft.ops.CorpusOps.quantizeInt8]].
   private val l3quant = QueryDef(
     "l3_quantize_int8",
     (s, dir) => {
       graft.ops.CorpusOps.quantizeInt8(t(s, dir, "embeddings"))
-        .select(col("vec_id"), col("scale"), col("q"))
+        .select(col("vec_id"), col("scale"),
+          size(col("q")).as("q_len"),
+          expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+          QueryDef.sha60(expr("array_join(transform(q, x -> cast(x as string)), ',')"))
+            .as("q_csum"))
         .orderBy("vec_id")
     },
-    Some("""SELECT vec_id, scale,
+    Some("""WITH qz AS (SELECT vec_id, scale,
               list_transform(embedding, x -> CASE WHEN scale = 0.0 THEN 0
                 ELSE CAST(LEAST(127.0, GREATEST(-127.0,
                        round(CAST(x AS DOUBLE) / scale))) AS INTEGER) END) AS q
-            FROM (SELECT vec_id, embedding,
-                    round(list_max(list_transform(embedding,
-                      x -> abs(CAST(x AS DOUBLE)))) / 127.0, 6) AS scale
-                  FROM embeddings)
-            ORDER BY vec_id"""))
+              FROM (SELECT vec_id, embedding,
+                      round(list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) / 127.0, 6) AS scale
+                    FROM embeddings))
+            SELECT vec_id, scale, len(q) AS q_len,
+              CAST(list_sum(q) AS BIGINT) AS q_sum,
+              CAST('0x' || substr(sha256(array_to_string(
+                list_transform(q, x -> CAST(x AS VARCHAR)), ',')), 1, 15) AS BIGINT) AS q_csum
+            FROM qz ORDER BY vec_id"""))
 
   // ---------------------------------------------------------------- L4
   private def stopCount(langWords: Seq[String]): String =

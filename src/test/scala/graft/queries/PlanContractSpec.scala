@@ -177,6 +177,26 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("oracle-gated query outputs are flat: no array/map/struct columns") {
+    // The driver's comparer canonicalizes both sides through pandas
+    // sort_values, which raises "unhashable type: numpy.ndarray" on an
+    // array cell — that is exactly how l3_quantize_int8 passed the
+    // local gate and shipped red in round 4. Pin every oracle-gated
+    // output to scalar columns; vector-valued results carry a
+    // len/sum/sha60-checksum triple instead.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    for ((name, _) <- SparkEntry.oracleSql) {
+      val schema = SparkEntry.queries(name)(spark, SparkFixture.sfDir).schema
+      val nested = schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] => f.name
+      }
+      assert(nested.isEmpty,
+        s"$name emits nested columns ${nested.mkString(",")} — the driver comparer cannot hash them")
+    }
+  }
+
   test("source reader batches log reads: <= ceil(n/chunk) read calls per partition") {
     // Each ShardLog.read models one GetRecords RPC; a per-record read
     // loop would be 1000x the reference's batched LIMIT=1000 fills

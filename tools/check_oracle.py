@@ -88,6 +88,15 @@ def main():
         etbl = con.execute(f"SELECT * FROM read_parquet({files})").fetch_arrow_table()
         oc, otags, orows = canon(otbl)
         ec, etags, erows = canon(etbl)
+        nested = [c for c, t in zip(ec, etags) if "list<" in t or "struct" in t or "map" in t]
+        if nested:
+            # The driver canonicalizes through pandas sort_values, which
+            # raises "unhashable type: numpy.ndarray" on array cells
+            # (that is how l3_quantize_int8 shipped green locally and
+            # red in round 4). Reject nested output columns outright.
+            print(f"FAIL {name}: nested output columns {nested} — driver comparer "
+                  f"cannot sort/hash array cells; emit scalars (len/sum/checksum)")
+            n_fail += 1; continue
         if oc != ec:
             print(f"FAIL {name}: columns differ oracle={oc} engine={ec}"); n_fail += 1; continue
         if otags != etags:
