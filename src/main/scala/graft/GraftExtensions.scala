@@ -42,10 +42,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_sha60"),
       new ExpressionInfo(classOf[ShingleSha60].getName, "shingle_sha60"),
       exprs => exprs match {
-        // 1-arg = 3-gram shingles; optional 2nd arg = literal gram width
+        // 1-arg = 3-gram shingles; optional 2nd arg = constant gram
+        // width at any integral width (SQL text integer literals can
+        // parse as TINYINT..BIGINT, and an explicit CAST arrives here
+        // unfolded — the builder runs before constant folding, so
+        // accept any foldable integral expression and eval it)
         case Seq(text) => ShingleSha60(text)
-        case Seq(text, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
-          ShingleSha60(text, n)
+        case Seq(text, width) if width.foldable && (width.dataType match {
+              case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+              case _ => false
+            }) =>
+          width.eval() match {
+            case n: Number => ShingleSha60(text, java.lang.Math.toIntExact(n.longValue()))
+            case _ => throw new IllegalArgumentException(
+              s"shingle_sha60 gram width must be a non-null integer constant, got ${width.sql}")
+          }
+        case Seq(_, other) => throw new IllegalArgumentException(
+          s"shingle_sha60 gram width must be an integer literal, got ${other.sql}")
         case _ => throw new IllegalArgumentException(
           s"shingle_sha60 expects (string) or (string, <int literal gram width>), got ${exprs.length} args")
       }))

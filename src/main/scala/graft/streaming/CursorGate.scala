@@ -46,6 +46,15 @@ object CursorGate {
     * `buffering` latches when a row's timestamp first enters the
     * tolerance window (`initialBufferingEnabled` in the reference);
     * `lookahead` holds the buffered rows for no-match replay.
+    *
+    * Checkpoint compatibility: this state schema replaced the plain
+    * Boolean used before the no-match fallback landed. Streaming
+    * checkpoints written by the Boolean-state build are NOT
+    * forward-compatible — a restarted gate query must use a fresh
+    * checkpoint location (gates re-resolve their cursor from the
+    * source on a fresh start, so nothing is lost beyond the warm-up
+    * scan). Future state-schema changes should bump a version field
+    * here rather than reshaping silently.
     */
   final case class GateState(opened: Boolean, buffering: Boolean, lookahead: Seq[Message])
 

@@ -281,28 +281,46 @@ object ReadRetry {
     * backpressure is expected to clear. */
   private val MaxGenericAttempts = 20
 
+  /** Consecutive iterator expiries (with no successful read between)
+    * before the reader stops spinning. Expiry is expected lifecycle and
+    * costs no generic-failure budget, but a reacquire() that can never
+    * refresh the handle — shard closed, permanent auth loss — would
+    * otherwise loop forever logging once per poll tick. 100 ticks is
+    * minutes of wall-clock: far beyond any transient, cheap to hit
+    * before a human notices a wedged stream. */
+  private val MaxConsecutiveExpiries = 100
+
   def readWithRetry(log: ShardLog, fromSeq: Option[String], inclusive: Boolean,
                     limit: Int, pollIntervalMs: Long,
                     reacquire: () => Unit = () => ()): Seq[(String, Message)] = {
     var genericFailures = 0
     var throttles = 0
+    var consecutiveExpiries = 0
     while (true) {
       try return log.read(fromSeq, inclusive, limit)
       catch {
         case e: IteratorExpiredException =>
           // distinct recovery class (KinesisStreamingBuffer.java:121-127):
           // re-acquire the iterator from the original cursor and retry on
-          // the next poll tick — no failure budget consumed; an expired
-          // iterator is expected lifecycle, not an error
+          // the next poll tick — no generic-failure budget consumed; an
+          // expired iterator is expected lifecycle, not an error. Only a
+          // long unbroken run of expiries (reacquire never helps) fails.
+          consecutiveExpiries += 1
+          if (consecutiveExpiries >= MaxConsecutiveExpiries)
+            throw new IllegalStateException(
+              s"iterator on ${log.shardId} expired $consecutiveExpiries times in a row; " +
+              "reacquire() is not refreshing the handle (shard closed?)", e)
           System.err.println(s"[graft-source] iterator expired on ${log.shardId} (${e.getMessage}); re-acquiring")
           reacquire()
           Thread.sleep(pollIntervalMs)
         case _: ThrottledException =>
+          consecutiveExpiries = 0 // a different signal: the handle reached the service
           throttles += 1
           if (throttles % 10 == 0) // periodic heartbeat: backpressure, not a hang
             System.err.println(s"[graft-source] still throttled after $throttles attempts on ${log.shardId}")
           Thread.sleep(3 * pollIntervalMs) // reference: 3x poll-interval
         case scala.util.control.NonFatal(e) =>
+          consecutiveExpiries = 0
           genericFailures += 1
           if (genericFailures >= MaxGenericAttempts) throw e
           System.err.println(s"[graft-source] read failed (${e.getMessage}); retrying in ${pollIntervalMs}ms")

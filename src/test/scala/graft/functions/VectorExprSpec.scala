@@ -117,4 +117,20 @@ class VectorExprSpec extends AnyFunSuite {
     assert(analysisMessage("SELECT ulid(1, 2) FROM arity_vecs")
       .contains("ulid expects 0 or 1 arguments"))
   }
+
+  test("shingle_sha60 gram width accepts any integral literal; non-int gets a type message") {
+    // SQL text integer literals can parse as TINYINT..BIGINT depending
+    // on context — the builder must not key on IntegerType alone.
+    val widths = spark.sql(
+      """SELECT size(shingle_sha60('a b c d', CAST(2 AS TINYINT))) AS t,
+                size(shingle_sha60('a b c d', CAST(2 AS SMALLINT))) AS s,
+                size(shingle_sha60('a b c d', CAST(2 AS BIGINT))) AS b""").collect().head
+    assert(widths.getInt(0) == 3 && widths.getInt(1) == 3 && widths.getInt(2) == 3)
+    def analysisMessage(sql: String): String =
+      intercept[Exception](spark.sql(sql).queryExecution.analyzed).getMessage
+    // correct arity, wrong type: the message must name the type problem,
+    // not report 'got 2 args'
+    assert(analysisMessage("SELECT shingle_sha60('a b', 'x') FROM arity_vecs")
+      .contains("gram width must be an integer literal"))
+  }
 }

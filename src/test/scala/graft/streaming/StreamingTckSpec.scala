@@ -299,6 +299,29 @@ class StreamingTckSpec extends AnyFunSuite {
       s"expected 2 re-acquisitions, got ${log.iteratorReacquisitions.get()}")
   }
 
+  test("a permanent iterator-expiry loop fails after the consecutive-expiry cap, not never") {
+    // reacquire() that can never refresh the handle (shard closed) must
+    // surface as a failure instead of spinning forever once per poll
+    // tick (ADVICE r4). Injected expiries outnumber the cap; readWithRetry
+    // is driven directly so the 100 ticks run at pollIntervalMs=0.
+    val logName = "t-expire-forever-" + System.nanoTime()
+    val log = ShardLog.getOrCreate(logName)
+    try {
+      new Producer(log, seed = 1).publish(msg("a"))
+      log.injectIteratorExpiry(1000)
+      val e = intercept[IllegalStateException] {
+        ReadRetry.readWithRetry(log, None, inclusive = true, limit = 10, pollIntervalMs = 0L)
+      }
+      assert(e.getMessage.contains("expired 100 times in a row"))
+      // a successful read in between resets the budget: inject just under
+      // the cap twice over — both reads recover
+      log.injectIteratorExpiry(99)
+      assert(ReadRetry.readWithRetry(log, None, inclusive = true, limit = 10, pollIntervalMs = 0L).nonEmpty)
+      log.injectIteratorExpiry(99)
+      assert(ReadRetry.readWithRetry(log, None, inclusive = true, limit = 10, pollIntervalMs = 0L).nonEmpty)
+    } finally ShardLog.remove(logName)
+  }
+
   test("read-side recovery: throttles and generic errors absorbed with backoff (2A-14..16)") {
     val logName = "t-retry-" + System.nanoTime()
     val log = ShardLog.getOrCreate(logName)
