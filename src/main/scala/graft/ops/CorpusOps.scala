@@ -156,6 +156,58 @@ object CorpusOps {
     docs.withColumn("hk", sha60(col("doc_id").cast("string")))
       .filter(col("hk") < (1L << 60) / denom)
 
+  /** Connected components over a near-dup pair graph: every doc that
+    * appears in a pair is assigned `cluster_id` = the smallest doc_id
+    * reachable through pairs (transitive closure — A~B, B~C puts A, B,
+    * C in one cluster even when A~C was never emitted). The step
+    * between pair listing and keeper selection in a dedup pipeline:
+    * keep `doc_id == cluster_id`, drop the rest.
+    *
+    * Algorithm: min-label propagation with pointer doubling, a FIXED
+    * number of declarative rounds (no driver-side convergence loop —
+    * plan construction stays action-free). Each round every node takes
+    * the min of its neighbors' labels and of its label's label (the
+    * doubling step — which also dominates the node's own label, since
+    * labels only shrink and every label is itself a node), so label
+    * distance doubles per round: `rounds` = r covers components of
+    * diameter <= 2^(r-1) — the default 6 covers diameter 32, far past
+    * any near-dup clique (merely-chained dups rarely exceed single
+    * digits; raise `rounds` for pathological graphs — each extra round
+    * triples the ANALYZED plan's leaf count, which is why the loop is
+    * not unbounded). Each round is two joins + one agg on the
+    * PAIR-graph-sized table, not the corpus, so cost at 100 TB is
+    * bounded by the dup volume.
+    *
+    * Output: (cluster_id, doc_id, cluster_size), one row per distinct
+    * doc in the pair set.
+    */
+  def dupClusters(pairs: DataFrame, rounds: Int = 6): DataFrame = {
+    // Lineage MUST break between rounds: each round references the
+    // previous label table three times (edge side + both pointer-join
+    // sides), so an unbroken fold re-plans and re-executes 3^rounds
+    // copies of the upstream pair pipeline. cache() registers the edge
+    // set for physical reuse; the LAZY localCheckpoint truncates each
+    // round's logical plan to an RDD leaf without running a job at
+    // construction (plan-build stays action-free). Same pattern as
+    // GraphX/GraphFrames checkpointing between Pregel iterations.
+    val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .cache()
+    val init = e.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    val converged = (1 to rounds).foldLeft(init) { (l, _) =>
+      val viaEdge = e.join(l, e("b") === l("node")).select(e("a").as("node"), l("lbl"))
+      val viaPtr = l.as("x").join(l.as("y"), col("x.lbl") === col("y.node"))
+        .select(col("x.node").as("node"), col("y.lbl").as("lbl"))
+      viaEdge.union(viaPtr).groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint(false)
+    }
+    converged
+      .select(col("lbl").as("cluster_id"), col("node").as("doc_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+  }
+
   /** Symmetric int8 quantization of a vector column: per-vector
     * scale = round(max|x|/127, 6) — rounded BEFORE use so both engines
     * divide by the identical double — and values clamped to ±127.

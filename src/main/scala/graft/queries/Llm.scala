@@ -66,10 +66,11 @@ object Llm {
   private def verifiedJaccardArr(cand: DataFrame, arrs: DataFrame): DataFrame =
     graft.ops.CorpusOps.verifiedJaccard(cand, arrs)
 
-  /** The exact near-dup pair set as DuckDB SQL (prefix-filter algorithm,
-    * independently spelled in SQL) — oracle for both l2 variants. */
-  private val jaccardOracle =
-    s"""WITH $shinglesSql,
+  /** CTE chain ending in `pairs(d1, d2, j)` — the exact near-dup pair
+    * set (prefix-filter algorithm, independently spelled in SQL).
+    * Shared by the l2 pair oracles and the cluster oracle. */
+  private val jaccardPairsCte =
+    s"""$shinglesSql,
        |pr AS (SELECT doc_id, h FROM (
        |  SELECT sh2.doc_id, h, row_number() OVER (PARTITION BY sh2.doc_id ORDER BY h) AS rn, sz.sz
        |  FROM sh2 JOIN sz ON sh2.doc_id = sz.doc_id)
@@ -78,11 +79,15 @@ object Llm {
        |  FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id),
        |i AS (SELECT c.d1, c.d2, count(*) AS i
        |  FROM cand c JOIN sh2 a ON a.doc_id = c.d1
-       |  JOIN sh2 b ON b.doc_id = c.d2 AND b.h = a.h GROUP BY c.d1, c.d2)
-       |SELECT d1, d2, CAST(i AS DOUBLE) / (x.sz + y.sz - i) AS j
-       |FROM i JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
-       |WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= $T
-       |ORDER BY d1, d2""".stripMargin
+       |  JOIN sh2 b ON b.doc_id = c.d2 AND b.h = a.h GROUP BY c.d1, c.d2),
+       |pairs AS (SELECT d1, d2, CAST(i AS DOUBLE) / (x.sz + y.sz - i) AS j
+       |  FROM i JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= $T)""".stripMargin
+
+  /** The exact near-dup pair set as DuckDB SQL — oracle for both l2
+    * pair variants. */
+  private val jaccardOracle =
+    s"WITH $jaccardPairsCte SELECT d1, d2, j FROM pairs ORDER BY d1, d2"
 
   // ---------------------------------------------------------------- L1
   private val l1 = QueryDef(
@@ -164,6 +169,29 @@ object Llm {
       verifiedJaccardArr(cand, doc.select("doc_id", "arr", "sz"))
     },
     Some(jaccardOracle))
+
+  // Duplicate-cluster assignment: connected components over the exact
+  // near-dup pair graph — the step between pair listing and keeper
+  // selection (A~B, B~C must put A, B, C in ONE cluster even though
+  // A~C was never emitted; pairwise keeper rules split such chains).
+  // cluster_id = the smallest reachable doc_id: pure integer min, so
+  // both engines agree bit-for-bit. Spark runs fixed-round min-label
+  // propagation with pointer doubling over the pair-graph-sized label
+  // table (CorpusOps.dupClusters — no corpus-sized shuffle, no driver
+  // loop); the oracle computes the true transitive closure with a
+  // recursive CTE, so the fixed rounds' convergence is itself checked.
+  private val l2clusters = QueryDef(
+    "l2_dup_clusters",
+    (s, dir) => graft.ops.CorpusOps.dupClusters(jaccardPairs(s, dir))
+      .orderBy("cluster_id", "doc_id"),
+    Some(s"""WITH RECURSIVE $jaccardPairsCte,
+            |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2 AS a, d1 AS b FROM pairs),
+            |reach AS (SELECT a, b FROM e
+            |  UNION SELECT r.a AS a, e.b AS b FROM reach r JOIN e ON e.a = r.b),
+            |comp AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
+            |SELECT cluster_id, doc_id,
+            |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            |FROM comp ORDER BY cluster_id, doc_id""".stripMargin))
 
   // SimHash: 60-bit signature from sha-60 shingle hashes; banding into
   // k chunks of w bits guarantees (pigeonhole) every pair with
@@ -1190,7 +1218,7 @@ object Llm {
             |FROM ww, nrm ORDER BY lang""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    l1, l2, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans, l3quant,
+    l1, l2, l2clusters, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans, l3quant,
     l4lang, l4quality, l4tokens, l4tfidf, l4fp, l5, l5media, l6clean, l6pack,
     l8decontam, l8sample, l8sampleHash, l8chunk, l8repetition, l8scrub, l8mixture)
 }

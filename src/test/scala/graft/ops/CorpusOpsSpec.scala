@@ -70,6 +70,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dupClusters computes transitive components: chain, clique, and isolated pair") {
+    // chain 1-2-3-4 (no 1~3, 1~4, 2~4 pairs), clique {10,11,12}, pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("d1", "d2")
+    val out = CorpusOps.dupClusters(pairs).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 4L), (1L, 2L, 4L), (1L, 3L, 4L), (1L, 4L, 4L),
+      (10L, 10L, 3L), (10L, 11L, 3L), (10L, 12L, 3L),
+      (20L, 20L, 2L), (20L, 21L, 2L)))
+  }
+
+  test("dupClusters converges on a path of diameter 2^(rounds-1) at the documented bound") {
+    // path 0-1-2-...-32: diameter 32 is exactly what rounds=6 covers
+    val pairs = (0L until 32L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val lbls = CorpusOps.dupClusters(pairs, rounds = 6).select("cluster_id")
+      .distinct().as[Long].collect().toSeq
+    assert(lbls == Seq(0L), s"path did not converge to one cluster: $lbls")
+  }
+
   test("nearDupPairs finds planted near-dups and nothing else on a clean corpus") {
     val base = (0 until 40).map(i => s"w${i}a w${i}b w${i}c w${i}d w${i}e").toSeq
     val near = base.head.split(" ").dropRight(0).mkString(" ") // identical text
