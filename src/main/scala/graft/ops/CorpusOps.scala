@@ -208,6 +208,86 @@ object CorpusOps {
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
   }
 
+  /** Corpus-level LINE deduplication (the CCNet/RefinedWeb boilerplate
+    * pass): documents split into lines, a line kept iff its corpus-wide
+    * document frequency is <= `maxDf`, documents reassembled in line
+    * order. The fixture text has no newlines, so "lines" come from a
+    * deterministic `lineWords`-word chunker; with real data pre-split
+    * on '\n' instead — everything from the explode down is identical.
+    *
+    * Scale shape: lines cross partitions only as 60-bit hashes — the
+    * frequency agg shuffles (lh, doc_id) longs with a partial
+    * distinct-within-partition, and the dup-line table after
+    * `df > maxDf` is boilerplate-sized (AQE broadcasts it at any
+    * realistic scale, so no second corpus shuffle for the join); the
+    * corpus-sized side shuffles exactly once, by doc_id, for
+    * reassembly. Output: (doc_id, clean_text, n_kept, n_dropped). */
+  def lineDedup(docs: DataFrame, lineWords: Int = 10, maxDf: Long = 1): DataFrame = {
+    val lined = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(ws) + ${lineWords - 1}) div $lineWords - 1),
+             |  k -> concat_ws(' ', slice(ws, k * $lineWords + 1, $lineWords)))""".stripMargin))
+          .as(Seq("line_no", "line")))
+      .withColumn("lh", sha60(col("line")))
+    val dup = lined.groupBy("lh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+    lined.join(dup, Seq("lh"), "left_outer")
+      .withColumn("keep", col("df").isNull)
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(when(col("keep"), struct(col("line_no"), col("line")))))
+          .as("kept"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        count(when(!col("keep"), lit(1))).as("n_dropped"))
+      .select(col("doc_id"),
+        array_join(expr("transform(kept, x -> x.line)"), " ").as("clean_text"),
+        col("n_kept"), col("n_dropped"))
+  }
+
+  /** SemDeDup-style semantic deduplication over an embedding column:
+    * every vector is assigned to its nearest of `k` deterministic seed
+    * centroids (the k smallest vec_ids), and within each cluster a
+    * vector is DROPPED iff some smaller-id vector in the same cluster
+    * has cosine >= `tau` with it — the parallel, order-free superset
+    * of the sequential greedy keep rule (a vector dropped by an
+    * already-dropped neighbor stays dropped), deterministic under any
+    * execution order. All comparisons on round(cos, 6) (the repo
+    * round-before-rank rule).
+    *
+    * Scale shape: pairwise work is CLUSTER-bounded, never corpus² —
+    * grow k ∝ n to hold per-cluster size ~B and the candidate volume
+    * stays ~B·n (the SemDeDup paper runs k = 50k at web scale; the
+    * fixture uses k = 32). The centroid table is k rows by
+    * construction, hence the explicit broadcast. Cluster-size skew
+    * lands on the cid-keyed self-join — salt or split hot clusters if
+    * a real corpus collapses onto few centroids.
+    * Output: (vec_id, cid, keep, dup_of) — dup_of = the smallest
+    * qualifying smaller id, null for kept vectors. */
+  def semDedup(vecs: DataFrame, k: Int = 32, tau: Double = 0.35): DataFrame = {
+    import graft.functions.VectorExprs.{vec_dot, vec_norm}
+    def cos(a: Column, b: Column) = vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+    val cents = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val wAssign = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
+    val assign = vecs.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      .crossJoin(broadcast(cents))
+      .withColumn("simr", round(cos(col("ve"), col("ce")), 6))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vid"), col("cid"), col("ve"))
+    val dropped = assign.as("a").join(assign.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vid") < col("b.vid"))
+      .withColumn("simr", round(cos(col("a.ve"), col("b.ve")), 6))
+      .filter(col("simr") >= tau)
+      .groupBy(col("b.vid").as("vid"))
+      .agg(min(col("a.vid")).as("dup_of"))
+    assign.join(dropped, Seq("vid"), "left_outer")
+      .select(col("vid").as("vec_id"), col("cid"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+  }
+
   /** Symmetric int8 quantization of a vector column: per-vector
     * scale = round(max|x|/127, 6) — rounded BEFORE use so both engines
     * divide by the identical double — and values clamped to ±127.

@@ -689,6 +689,45 @@ object Llm {
                 list_transform(q, x -> CAST(x AS VARCHAR)), ',')), 1, 15) AS BIGINT) AS q_csum
             FROM qz ORDER BY vec_id"""))
 
+  // SemDeDup-style semantic dedup: nearest-centroid clustering (same
+  // deterministic first-32 seed centroids as l3_ann_ivf), then within
+  // each cluster a vector is dropped iff a smaller-id cluster-mate has
+  // round(cos, 6) >= tau with it — the parallel, order-free superset
+  // of the paper's sequential greedy rule (see CorpusOps.semDedup).
+  // tau = 0.35 sits where the near-random fixture embeddings have
+  // mass (47/500 drops at sf0.01); the algorithm is threshold-
+  // agnostic. Pairwise work is cluster-bounded (grow k with n), never
+  // corpus². The oracle replays the identical algorithm in SQL.
+  private val l3semdedup = QueryDef(
+    "l3_semdedup",
+    (s, dir) => graft.ops.CorpusOps.semDedup(t(s, dir, "embeddings"))
+      .orderBy("vec_id"),
+    Some("""WITH x AS (SELECT vec_id, unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+            n AS (SELECT vec_id, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
+                  FROM x GROUP BY vec_id),
+            c0 AS (SELECT vec_id AS cid, d, CAST(e AS DOUBLE) AS v FROM x WHERE vec_id < 32),
+            cn AS (SELECT cid, sqrt(SUM(v * v)) AS cnrm FROM c0 GROUP BY cid),
+            s AS (SELECT x.vec_id AS vid, c.cid,
+                         round(SUM(CAST(x.e AS DOUBLE) * c.v) / (n.nrm * cn.cnrm), 6) AS simr
+                  FROM x JOIN c0 c ON c.d = x.d
+                  JOIN n ON n.vec_id = x.vec_id JOIN cn ON cn.cid = c.cid
+                  GROUP BY x.vec_id, c.cid, n.nrm, cn.cnrm),
+            assign AS (SELECT vid, cid FROM (
+                  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
+                  FROM s) WHERE rn = 1),
+            p AS (SELECT a.vid AS v1, b.vid AS v2
+                  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vid < b.vid),
+            dp AS (SELECT v1, v2, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
+                   FROM p JOIN x xa ON xa.vec_id = v1
+                   JOIN x xb ON xb.vec_id = v2 AND xb.d = xa.d GROUP BY v1, v2),
+            sims AS (SELECT v1, v2, round(dot / (na.nrm * nb.nrm), 6) AS simr
+                     FROM dp JOIN n na ON na.vec_id = v1 JOIN n nb ON nb.vec_id = v2),
+            dropped AS (SELECT v2 AS vid, MIN(v1) AS dup_of FROM sims
+                        WHERE simr >= 0.35 GROUP BY v2)
+            SELECT a.vid AS vec_id, a.cid, d.dup_of IS NULL AS keep, d.dup_of
+            FROM assign a LEFT JOIN dropped d ON d.vid = a.vid ORDER BY vec_id"""))
+
   // ---------------------------------------------------------------- L4
   private def stopCount(langWords: Seq[String]): String =
     s"size(filter(ws, x -> x in (${langWords.map(w => s"'$w'").mkString(", ")})))"
@@ -1084,6 +1123,33 @@ object Llm {
             |  FROM documents)
             |WHERE hk < $hashCutoff ORDER BY doc_id""".stripMargin))
 
+  // Line-level dedup (the CCNet/RefinedWeb boilerplate pass): lines
+  // whose corpus-wide document frequency exceeds 1 are stripped and
+  // docs reassembled in line order (fixture text has no newlines, so
+  // lines come from a deterministic 10-word chunker — see
+  // CorpusOps.lineDedup). Spark keys the frequency agg by the 60-bit
+  // line hash (lines cross partitions only as longs); the oracle
+  // groups by the line text itself — identical output unless sha-60
+  // collides, which the gate would surface. Reassembly sorts the
+  // collected (line_no, line) structs, so the nondeterministic
+  // collect_list order cannot leak into the output.
+  private val l8lineDedup = QueryDef(
+    "l8_line_dedup",
+    (s, dir) => graft.ops.CorpusOps.lineDedup(t(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                         generate_subscripts(string_split(text, ' '), 1) AS i FROM documents),
+            l AS (SELECT doc_id, (i - 1) // 10 AS line_no,
+                         string_agg(word, ' ' ORDER BY i) AS line
+                  FROM w GROUP BY doc_id, (i - 1) // 10),
+            lf AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+            j AS (SELECT l.doc_id, l.line_no, l.line, lf.df FROM l JOIN lf ON lf.line = l.line)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN df <= 1 THEN line END, ' ' ORDER BY line_no), '') AS clean_text,
+                   count(CASE WHEN df <= 1 THEN 1 END) AS n_kept,
+                   count(CASE WHEN df > 1 THEN 1 END) AS n_dropped
+            FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
   // Context-window chunking: split each doc into 32-word windows with
   // stride 24 (8-word overlap) — the standard prep for fixed-context
   // training. nchunks = 1 + ceil(max(0, len-32)/24) in INTEGER
@@ -1219,6 +1285,6 @@ object Llm {
 
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2clusters, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans, l3quant,
-    l4lang, l4quality, l4tokens, l4tfidf, l4fp, l5, l5media, l6clean, l6pack,
-    l8decontam, l8sample, l8sampleHash, l8chunk, l8repetition, l8scrub, l8mixture)
+    l3semdedup, l4lang, l4quality, l4tokens, l4tfidf, l4fp, l5, l5media, l6clean, l6pack,
+    l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture)
 }

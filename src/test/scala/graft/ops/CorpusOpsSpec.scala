@@ -90,6 +90,63 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(lbls == Seq(0L), s"path did not converge to one cluster: $lbls")
   }
 
+  test("lineDedup strips only the cross-doc duplicate lines and keeps order") {
+    // with lineWords=2 the docs chunk into 2-word lines; "dup line" is
+    // shared by docs 1 and 2, everything else is unique
+    val docs = Seq(
+      (1L, "dup line one uno tail"),   // lines: "dup line" | "one uno" | "tail"
+      (2L, "two dos dup line"),        // lines: "two dos" | "dup line"
+      (3L, "three tres clean")         // lines: "three tres" | "clean"
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.lineDedup(docs, lineWords = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "one uno tail", 2L, 1L),
+      (2L, "two dos", 1L, 1L),
+      (3L, "three tres clean", 2L, 0L)))
+  }
+
+  test("lineDedup with maxDf=2 keeps lines shared by up to two docs") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "z q"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.lineDedup(docs, lineWords = 2, maxDf = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    // "a b" appears in 3 docs > maxDf=2 -> stripped everywhere
+    assert(out == Seq((1L, "", 0L, 1L), (2L, "", 0L, 1L), (3L, "", 0L, 1L),
+      (4L, "z q", 1L, 0L)))
+  }
+
+  test("semDedup drops the higher-id member of a same-cluster near-identical pair") {
+    // centroids = vecs 0 and 1 (k=2). vec 2 ~ vec 0 (same direction,
+    // different norm -> cos = 1); vec 3 is orthogonal to everything.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)),    // duplicate of 0, cluster 0
+      (3L, Array(0f, 0f, 1f, 0f))     // alone in whatever cluster it lands
+    ).toDF("vec_id", "embedding")
+    val out = CorpusOps.semDedup(vecs, k = 2, tau = 0.9)
+      .orderBy("vec_id")
+      .select("vec_id", "keep", "dup_of")
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (0L, true, None), (1L, true, None), (2L, false, Some(0L)), (3L, true, None)))
+  }
+
+  test("semDedup exists-any-smaller rule drops a chain entirely, not alternately") {
+    // 0, 1, 2 mutually near-identical in one cluster: 1 dropped by 0,
+    // 2 dropped by 0 (dup_of = min qualifying smaller id, not 1)
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0.01f, 0f, 0f)),
+      (2L, Array(1f, -0.01f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = CorpusOps.semDedup(vecs, k = 1, tau = 0.99)
+      .orderBy("vec_id").select("vec_id", "keep", "dup_of")
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    assert(out == Seq((0L, true, None), (1L, false, Some(0L)), (2L, false, Some(0L))))
+  }
+
   test("nearDupPairs finds planted near-dups and nothing else on a clean corpus") {
     val base = (0 until 40).map(i => s"w${i}a w${i}b w${i}c w${i}d w${i}e").toSeq
     val near = base.head.split(" ").dropRight(0).mkString(" ") // identical text
