@@ -532,6 +532,48 @@ class StreamingTckSpec extends AnyFunSuite {
         == Seq("d0", "d3"))
     } finally ShardLog.remove(logName)
   }
+
+  test("streaming decontamination: eval n-gram filter gates the live ingest") {
+    // The L8 decontamination semantic on the stream: a FIXED eval suite
+    // (benchmark-sized, so its distinct gram-hash set broadcasts — the
+    // same posture as CorpusOps.decontaminate's aggregated eval side)
+    // filters arriving docs that share any word 2-gram with it. The
+    // gram hashing is the same native shingle_sha60 kernel batch uses;
+    // arrays_overlap keeps the check per-row and stateless, so the
+    // stream needs no shuffle, no watermark, and no state store.
+    import graft.functions.ShingleExprs.shingle_sha60
+    val logName = "t-decon-" + System.nanoTime()
+    val log = ShardLog.getOrCreate(logName)
+    try {
+      val evalGrams = Seq("alpha beta gamma delta").toDF("text")
+        .select(explode(shingle_sha60(col("text"), 2)).as("h"))
+        .distinct().as[Long].collect()
+      val docs = Seq(
+        "d0" -> "clean words only here",
+        "d1" -> "stray beta gamma leak",   // shares eval 2-gram "beta gamma"
+        "d2" -> "another clean doc")
+      new Producer(log, seed = 1).publish(docs.map { case (id, text) =>
+        Message.simple("pk", id, "text" -> text.getBytes("UTF-8")) }: _*)
+
+      val clean = spark.readStream.format("graft-messages").option("log", logName).load()
+        .select(col("externalId").as("doc_id"),
+          decode(element_at(col("data"), "text"), "UTF-8").as("text"))
+        .filter(!arrays_overlap(shingle_sha60(col("text"), 2), typedlit(evalGrams)))
+        .select("doc_id")
+      val q = clean.writeStream.format("memory").queryName("decon_out")
+        .outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+      q.processAllAvailable()
+      // a later batch is gated by the same eval set
+      new Producer(log, seed = 2).publish(
+        Message.simple("pk", "d3", "text" -> "gamma delta tail end".getBytes("UTF-8")),
+        Message.simple("pk", "d4", "text" -> "fresh clean tail".getBytes("UTF-8")))
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table("decon_out").select("doc_id").as[String].collect().sorted.toSeq
+        == Seq("d0", "d2", "d4"))
+    } finally ShardLog.remove(logName)
+  }
 }
 
 /** Static sinks so foreachBatch closures survive query restarts. */
