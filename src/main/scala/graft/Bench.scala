@@ -21,9 +21,9 @@ object Bench {
     "q24_json_funcs", "q30_percentiles", "q31_pivot",
     "t1_window_tumbling", "t3_window_session",
     "l1_exact_dedup", "l2_jaccard_pairs", "l2_minhash_lsh", "l2_simhash",
-    "l3_knn_bruteforce", "l3_ann_lsh", "l4_tfidf", "l4_fingerprint",
-    "l6_corpus_clean", "l6_pack_shards",
-    "l8_decontaminate", "l8_repetition", "l8_chunk_windows")
+    "l2_dup_clusters", "l3_knn_bruteforce", "l3_ann_lsh", "l3_semdedup",
+    "l4_tfidf", "l4_fingerprint", "l6_corpus_clean", "l6_pack_shards",
+    "l8_decontaminate", "l8_repetition", "l8_chunk_windows", "l8_line_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -247,8 +247,17 @@ object CorpusOps {
         col("n_kept"), col("n_dropped"))
   }
 
+  /** Smallest b with 2^b >= m (0 for m <= 1) — integer-only so banding
+    * and cluster-count derivations can never round differently between
+    * engines (same rationale as the Llm copy). */
+  private def ceilLog2(m: Long): Int = {
+    var b = 0
+    while ((1L << b) < m && b < 62) b += 1
+    b
+  }
+
   /** SemDeDup-style semantic deduplication over an embedding column:
-    * every vector is assigned to its nearest of `k` deterministic seed
+    * every vector is assigned to its nearest of k deterministic seed
     * centroids (the k smallest vec_ids), and within each cluster a
     * vector is DROPPED iff some smaller-id vector in the same cluster
     * has cosine >= `tau` with it — the parallel, order-free superset
@@ -258,18 +267,26 @@ object CorpusOps {
     * round-before-rank rule).
     *
     * Scale shape: pairwise work is CLUSTER-bounded, never corpus² —
-    * grow k ∝ n to hold per-cluster size ~B and the candidate volume
-    * stays ~B·n (the SemDeDup paper runs k = 50k at web scale; the
-    * fixture uses k = 32). The centroid table is k rows by
-    * construction, hence the explicit broadcast. Cluster-size skew
-    * lands on the cid-keyed self-join — salt or split hot clusters if
-    * a real corpus collapses onto few centroids.
+    * and the cluster count is SCALE-PARAMETERIZED: with `k <= 0`
+    * (default) it becomes max(32, 2^ceil(log2(ceil(n/64)))), holding
+    * mean cluster size ~64 so the candidate volume stays ~64·n,
+    * linear, instead of the n²/k a fixed k degenerates to (the
+    * SemDeDup paper's k = 50k at web scale is the same rule; the
+    * count() this costs at plan build is the same trade the adaptive
+    * banding widths make — pass k explicitly for action-free builds).
+    * The centroid table is k rows by construction, hence the explicit
+    * broadcast. Cluster-size skew lands on the cid-keyed self-join —
+    * salt or split hot clusters if a real corpus collapses onto few
+    * centroids.
     * Output: (vec_id, cid, keep, dup_of) — dup_of = the smallest
     * qualifying smaller id, null for kept vectors. */
-  def semDedup(vecs: DataFrame, k: Int = 32, tau: Double = 0.35): DataFrame = {
+  def semDedup(vecs: DataFrame, k: Int = 0, tau: Double = 0.35): DataFrame = {
+    val kk =
+      if (k > 0) k
+      else math.max(32, 1L << ceilLog2((vecs.count() + 63) / 64)).toInt
     import graft.functions.VectorExprs.{vec_dot, vec_norm}
     def cos(a: Column, b: Column) = vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
-    val cents = vecs.filter(col("vec_id") < k)
+    val cents = vecs.filter(col("vec_id") < kk)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val wAssign = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
     val assign = vecs.select(col("vec_id").as("vid"), col("embedding").as("ve"))

@@ -689,24 +689,33 @@ object Llm {
                 list_transform(q, x -> CAST(x AS VARCHAR)), ',')), 1, 15) AS BIGINT) AS q_csum
             FROM qz ORDER BY vec_id"""))
 
-  // SemDeDup-style semantic dedup: nearest-centroid clustering (same
-  // deterministic first-32 seed centroids as l3_ann_ivf), then within
-  // each cluster a vector is dropped iff a smaller-id cluster-mate has
-  // round(cos, 6) >= tau with it — the parallel, order-free superset
-  // of the paper's sequential greedy rule (see CorpusOps.semDedup).
-  // tau = 0.35 sits where the near-random fixture embeddings have
-  // mass (47/500 drops at sf0.01); the algorithm is threshold-
-  // agnostic. Pairwise work is cluster-bounded (grow k with n), never
-  // corpus². The oracle replays the identical algorithm in SQL.
+  // SemDeDup-style semantic dedup: nearest-centroid clustering
+  // (deterministic smallest-vec_id seed centroids, same family as
+  // l3_ann_ivf), then within each cluster a vector is dropped iff a
+  // smaller-id cluster-mate has round(cos, 6) >= tau with it — the
+  // parallel, order-free superset of the paper's sequential greedy
+  // rule (see CorpusOps.semDedup). The cluster count is SCALE-
+  // PARAMETERIZED: k = max(32, 2^ceil(log2(ceil(n/64)))) holds mean
+  // cluster size ~64, keeping pairwise candidates ~64·n (linear)
+  // instead of the n²/k a fixed k degenerates to; at every fixture
+  // scale (n <= 2000) k stays 32. Both engines derive k with the same
+  // integer-only arithmetic. tau = 0.35 sits where the near-random
+  // fixture embeddings have mass (47/500 drops at sf0.01); the
+  // algorithm is threshold-agnostic.
   private val l3semdedup = QueryDef(
     "l3_semdedup",
     (s, dir) => graft.ops.CorpusOps.semDedup(t(s, dir, "embeddings"))
       .orderBy("vec_id"),
-    Some("""WITH x AS (SELECT vec_id, unnest(embedding) AS e,
+    Some("""WITH prm AS (SELECT GREATEST(32, (SELECT MIN(1::BIGINT << b)
+                    FROM (SELECT unnest(range(0, 62)) AS b)
+                    WHERE (1::BIGINT << b) >= (nn + 63) // 64)) AS k
+                  FROM (SELECT count(*) AS nn FROM embeddings)),
+            x AS (SELECT vec_id, unnest(embedding) AS e,
                          generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
             n AS (SELECT vec_id, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
                   FROM x GROUP BY vec_id),
-            c0 AS (SELECT vec_id AS cid, d, CAST(e AS DOUBLE) AS v FROM x WHERE vec_id < 32),
+            c0 AS (SELECT vec_id AS cid, d, CAST(e AS DOUBLE) AS v FROM x
+                   WHERE vec_id < (SELECT k FROM prm)),
             cn AS (SELECT cid, sqrt(SUM(v * v)) AS cnrm FROM c0 GROUP BY cid),
             s AS (SELECT x.vec_id AS vid, c.cid,
                          round(SUM(CAST(x.e AS DOUBLE) * c.v) / (n.nrm * cn.cnrm), 6) AS simr

@@ -113,6 +113,32 @@ class PlanContractSpec extends AnyFunSuite {
     assert(hints.isEmpty, s"l8_decontaminate carries join hints: $hints")
   }
 
+  test("l8_line_dedup: dup-line side is size-decided and the scan is pruned") {
+    // The dup-line table (df > maxDf survivors) is boilerplate-sized in
+    // practice but corpus-derived — like the shingle-frequency join, it
+    // must be AQE/size-decided, never hint-forced into the driver.
+    val hints = SparkEntry.queries("l8_line_dedup")(spark, SparkFixture.sfDir)
+      .queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    assert(hints.isEmpty, s"l8_line_dedup carries join hints: $hints")
+    val plan = formatted("l8_line_dedup")
+    assert(plan.contains("struct<doc_id:bigint,text:string>"),
+      s"documents scan reads more than (doc_id, text):\n$plan")
+  }
+
+  test("l3_semdedup: centroid assignment broadcasts the k-row side; scan pruned") {
+    // cents is k rows by construction, and k grows only as n/64 (the
+    // adaptive rule), so the explicit broadcast is sound at any corpus
+    // size — pin it; and the embeddings scan must not read the unused
+    // label column.
+    val plan = formatted("l3_semdedup")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid cross join no longer broadcasts:\n$plan")
+    assert(plan.contains("struct<vec_id:bigint,embedding:array<float>>"),
+      s"embeddings scan reads more than (vec_id, embedding):\n$plan")
+  }
+
   test("source batch scan prunes via pushed timestamp seek (behavioral)") {
     // assert the PRUNING, not explain text: only records at/after the
     // seek timestamp may be read from the log
@@ -154,13 +180,14 @@ class PlanContractSpec extends AnyFunSuite {
           js.stageInfos.map(_.name).mkString(" | "))); ()
       }
     }
-    // Exemptions: the two adaptive banding widths run a count() to
-    // parameterize the plan, and the cluster query's per-round
-    // localCheckpoint materializes each label-propagation round at
-    // build (AQE finalizes the round's stages to hand back an RDD) —
-    // inherent to iterative graph algorithms, same as GraphX Pregel
-    // checkpointing, and bounded by the pair graph, not the corpus.
-    val exempt = Set("l2_simhash", "l2_embedding_cosine", "l2_dup_clusters")
+    // Exemptions: the adaptive banding widths and the adaptive
+    // semdedup cluster count run a count() to parameterize the plan,
+    // and the cluster query's per-round localCheckpoint materializes
+    // each label-propagation round at build (AQE finalizes the round's
+    // stages to hand back an RDD) — inherent to iterative graph
+    // algorithms, same as GraphX Pregel checkpointing, and bounded by
+    // the pair graph, not the corpus.
+    val exempt = Set("l2_simhash", "l2_embedding_cosine", "l2_dup_clusters", "l3_semdedup")
     spark.sparkContext.addSparkListener(listener)
     try {
       for ((name, q) <- SparkEntry.queries if !exempt(name)) {
