@@ -863,6 +863,58 @@ object Llm {
             SELECT lang, rn, word, round(tfidf, 6) AS score
             FROM r WHERE rn <= 5 ORDER BY lang, rn"""))
 
+  // Bigram language-model scoring (the CCNet/perplexity-filter
+  // semantic): an add-one-smoothed bigram LM with counts from the
+  // corpus itself scores every doc's cross-entropy
+  // avg(-ln((c(w1 w2)+1)/(c(w1 .)+V))) and perplexity exp(xent) —
+  // low = fluent/common, high = atypical (a production pipeline
+  // trains the LM on a reference corpus instead; the plumbing is
+  // identical). Scale shape: the count tables and vocab scalar are
+  // aggregate-sized and join AGGREGATE-side first (cb ⋈ cu is
+  // vocab²-bounded), so the occurrence-level table shuffles once for
+  // the probability lookup and once for the per-doc avg — same class
+  // as tf-idf. Determinism: counts are exact integers, the division
+  // is one IEEE op, and ln differs across engines by <= 1 ulp —
+  // absorbed by round 6 on the per-doc average (the l4_tfidf
+  // precedent).
+  private val l4lm = QueryDef(
+    "l4_lm_score",
+    (s, dir) => {
+      val bi = t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(0, size(ws)-2), i -> struct(ws[i] as w1, ws[i+1] as w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val cu = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+      val v = broadcast(bi.agg(countDistinct(col("w2")).cast("double").as("v")))
+      val prob = cb.join(cu, "w1").crossJoin(v)
+        .select(col("w1"), col("w2"),
+          (-log((col("cb") + 1) / (col("cu") + col("v")))).as("nlp"))
+      bi.join(prob, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), avg(col("nlp")).as("x"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("x"), 6).as("xent"), round(exp(col("x")), 6).as("ppl"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            bi AS (SELECT doc_id,
+                     string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+                   FROM (SELECT doc_id, unnest(list_transform(
+                           generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])) AS bg
+                         FROM w WHERE len(ws) >= 2)),
+            cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+            cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY w1),
+            v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bi),
+            sc AS (SELECT doc_id, -ln((cb + 1) / (cu + v.v)) AS nlp
+                   FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1), v),
+            agg AS (SELECT doc_id, count(*) AS n_bigrams, avg(nlp) AS x
+                    FROM sc GROUP BY doc_id)
+            SELECT doc_id, n_bigrams, round(x, 6) AS xent, round(exp(x), 6) AS ppl
+            FROM agg ORDER BY doc_id"""))
+
   // Rolling polynomial hash over the raw characters (mod 1e9+7), the
   // classic document fingerprint; plus a sha-prefix content id.
   private val l4fp = QueryDef(
@@ -1294,6 +1346,6 @@ object Llm {
 
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2clusters, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans, l3quant,
-    l3semdedup, l4lang, l4quality, l4tokens, l4tfidf, l4fp, l5, l5media, l6clean, l6pack,
+    l3semdedup, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l5, l5media, l6clean, l6pack,
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture)
 }
