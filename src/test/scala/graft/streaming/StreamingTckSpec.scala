@@ -533,6 +533,44 @@ class StreamingTckSpec extends AnyFunSuite {
     } finally ShardLog.remove(logName)
   }
 
+  test("streaming near-dup: minhash-signature dedup holds state across batches") {
+    // The L2 near-dup semantic in-stream: each arriving doc gets its
+    // 64-perm minhash signature from the same native kernel batch
+    // uses, and dropDuplicates on the signature suppresses near-
+    // identical re-publications (identical shingle sets -> identical
+    // signatures; J < 1 dups are a banding policy on top of the same
+    // kernel). State is signature-keyed — bytes per doc, not the doc.
+    import graft.functions.{MinHashExprs, ShingleExprs}
+    val logName = "t-ndup-" + System.nanoTime()
+    val log = ShardLog.getOrCreate(logName)
+    try {
+      val doc = "alpha beta gamma delta epsilon zeta eta theta"
+      new Producer(log, seed = 1).publish(
+        Message.simple("pk", "d0", "text" -> doc.getBytes("UTF-8")),
+        Message.simple("pk", "d1", "text" -> "totally different words here now".getBytes("UTF-8")))
+      val uniq = spark.readStream.format("graft-messages").option("log", logName).load()
+        .select(col("externalId").as("doc_id"),
+          decode(element_at(col("data"), "text"), "UTF-8").as("text"))
+        .withColumn("sig",
+          MinHashExprs.minhash_sig(ShingleExprs.shingle_sha60(col("text"))))
+        .dropDuplicates("sig")
+        .select("doc_id")
+      val q = uniq.writeStream.format("memory").queryName("ndup_out")
+        .outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+      q.processAllAvailable()
+      // a later batch republishes the same content under a new id: the
+      // signature state suppresses it; fresh content passes
+      new Producer(log, seed = 2).publish(
+        Message.simple("pk", "d2", "text" -> doc.getBytes("UTF-8")),
+        Message.simple("pk", "d3", "text" -> "yet more fresh content words".getBytes("UTF-8")))
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table("ndup_out").select("doc_id").as[String].collect().sorted.toSeq
+        == Seq("d0", "d1", "d3"))
+    } finally ShardLog.remove(logName)
+  }
+
   test("streaming decontamination: eval n-gram filter gates the live ingest") {
     // The L8 decontamination semantic on the stream: a FIXED eval suite
     // (benchmark-sized, so its distinct gram-hash set broadcasts — the
