@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{MinHashSig, ShingleSha60, SimHashSig, UlidExpression, UlidTimestamp, VecDot, VecNorm}
+import graft.functions.{MinHashSig, ShingleSha60, SimHashSig, UlidExpression, UlidTimestamp, VecDot, VecL2Sq, VecNorm}
 
 /** Session-extension entry point: registers the engine's native
   * Catalyst expressions into the function registry, so SQL text can
@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
       exprs => { arity("vec_norm", 1, exprs); VecNorm(exprs.head) }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_l2sq"),
+      new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
+      exprs => { arity("vec_l2sq", 2, exprs); VecL2Sq(exprs(0), exprs(1)) }))
     ext.injectFunction((
       FunctionIdentifier("ulid"),
       new ExpressionInfo(classOf[UlidExpression].getName, "ulid"),

@@ -140,6 +140,82 @@ case class VecNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** `vec_l2sq(a, b)` — squared Euclidean distance, the product-
+  * quantization kernel: sequential fold of (a_i - b_i)^2 with each
+  * element widened float→double BEFORE the subtract, mirroring the
+  * oracle's long-format SUM((a-b)*(a-b)) term-for-term. The PQ
+  * encode/ADC hot path runs this once per (vector, subspace,
+  * centroid) — at 100 TB that is the innermost loop of the whole
+  * quantized index build, so it lives in whole-stage codegen like
+  * vec_dot, not in an interpreted HOF. */
+case class VecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elem(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elem(left).isDefined && elem(right).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_l2sq expects float/double arrays, got (${left.dataType.sql}, ${right.dataType.sql})")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_l2sq"
+
+  override def nullable: Boolean = true
+
+  private def read(x: ArrayData, t: DataType, i: Int): Double =
+    if (t == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+
+  /** Same null/length contract as vec_dot (HOF zip_with parity). */
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (tl, tr) = (elem(left).get, elem(right).get)
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = read(x, tl, i) - read(y, tr, i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  private def getter(t: DataType, arr: String, i: String): String =
+    if (t == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = $a.numElements();
+         |double $acc = 0.0;
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $d = ${getter(elem(left).get, a, i)} - ${getter(elem(right).get, b, i)};
+         |    $acc += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -147,4 +223,6 @@ object VectorExprs {
     ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def vec_norm(a: Column): Column =
     ColumnBridge.column(VecNorm(ColumnBridge.expression(a)))
+  def vec_l2sq(a: Column, b: Column): Column =
+    ColumnBridge.column(VecL2Sq(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

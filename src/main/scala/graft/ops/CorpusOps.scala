@@ -305,6 +305,76 @@ object CorpusOps {
         col("dup_of").isNull.as("keep"), col("dup_of"))
   }
 
+  /** Contiguous subspace split for product quantization: one row per
+    * (vec_id, sub) with the subDim-dim subvector. Pure projection —
+    * the explode stays inside codegen, no shuffle. */
+  private def subVectors(vecs: DataFrame, m: Int, subDim: Int): DataFrame =
+    vecs.select(col("vec_id"),
+      explode(array((0 until m).map(s0 =>
+        struct(lit(s0).as("sub"),
+          expr(s"slice(embedding, ${s0 * subDim + 1}, $subDim)").as("sv"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+
+  /** Product-quantization codebook: the space split into `m`
+    * contiguous `subDim`-dim subspaces; per subspace, `k` deterministic
+    * seed centroids = the subvectors of the k smallest vec_ids (the
+    * same seed rule as the IVF family — swap in Lloyd-refined
+    * centroids for real corpora, the encode/ADC machinery below is
+    * training-agnostic). Output (sub, cid, cv): m*k rows,
+    * broadcast-sized by construction. */
+  def pqCodebook(vecs: DataFrame, m: Int = 8, subDim: Int = 8, k: Int = 16): DataFrame =
+    subVectors(vecs, m, subDim).filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").cast("int").as("cid"), col("sv").as("cv"))
+
+  /** PQ encode: each (vector, subspace) → id of the nearest codebook
+    * centroid by round(L2², 6), ties to the smallest cid. m codes of
+    * ⌈log2 k⌉ bits replace subDim·4 bytes — 16× compression at the
+    * default 8×16-over-float32 parameterization; the residual detail
+    * ANN needs survives, unlike scalar int8 (see [[quantizeInt8]]).
+    *
+    * Scale shape: the m*k codebook is broadcast; the L2² inner loop is
+    * the native codegen'd `vec_l2sq` kernel; argmin is a
+    * partial-aggregatable min-of-struct — the shuffle carries one
+    * combined row per (vec_id, sub), never the ×k candidate fan-out.
+    * Output (vec_id, sub, code). */
+  def pqEncode(vecs: DataFrame, codebook: DataFrame,
+               m: Int = 8, subDim: Int = 8): DataFrame =
+    subVectors(vecs, m, subDim)
+      .join(broadcast(codebook), "sub")
+      .withColumn("d2r",
+        round(graft.functions.VectorExprs.vec_l2sq(col("sv"), col("cv")), 6))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2r"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.cid").as("code"))
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: per query, the
+    * exact L2² from the query subvector to every centroid forms an
+    * m×k lookup table (queries×m×k rows — broadcast); approximate
+    * distance to a database vector = the sum of its m coded entries;
+    * rank ascending on round(sum, 6) with vec_id tie-break. The
+    * per-(query, vector) sum is partial-aggregatable, so the shuffle
+    * is |queries|·n pairs of doubles — the scan side never moves raw
+    * vectors, which is the point of PQ at 100 TB: the index is codes +
+    * a constant-size codebook. */
+  def pqTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+             m: Int = 8, subDim: Int = 8, topK: Int = 10): DataFrame = {
+    val lut = subVectors(
+        queries.select(col("qid").as("vec_id"), col("embedding")), m, subDim)
+      .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qsv"))
+      .join(codebook, "sub")
+      .withColumn("qd2", graft.functions.VectorExprs.vec_l2sq(col("qsv"), col("cv")))
+      .select(col("qid"), col("sub"), col("cid"), col("qd2"))
+    val w = Window.partitionBy("qid").orderBy(col("adr").asc, col("vid").asc)
+    codes.as("c").join(broadcast(lut).as("l"),
+        col("c.sub") === col("l.sub") && col("c.code") === col("l.cid") &&
+        col("c.vec_id") =!= col("l.qid"))
+      .groupBy(col("l.qid").as("qid"), col("c.vec_id").as("vid"))
+      .agg(round(sum(col("qd2")), 6).as("adr"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select("qid", "rn", "vid", "adr")
+  }
+
   /** Symmetric int8 quantization of a vector column: per-vector
     * scale = round(max|x|/127, 6) — rounded BEFORE use so both engines
     * divide by the identical double — and values clamped to ±127.

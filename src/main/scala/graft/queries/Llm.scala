@@ -737,6 +737,51 @@ object Llm {
             SELECT a.vid AS vec_id, a.cid, d.dup_of IS NULL AS keep, d.dup_of
             FROM assign a LEFT JOIN dropped d ON d.vid = a.vid ORDER BY vec_id"""))
 
+  // Product-quantization ANN (IVF-PQ's storage half): codebook = per
+  // 8-dim subspace the 16 seed subvectors (deterministic smallest
+  // vec_ids, same seed rule as the IVF family), every vector encoded
+  // as 8 nearest-centroid codes (argmin on round(L2²,6), cid
+  // tie-break), queries ranked by the ADC sum of codebook distances —
+  // round(sum, 6) ascending, vec_id tie-break. The L2² inner loop is
+  // the native codegen'd vec_l2sq kernel; the oracle replays the
+  // identical algorithm in long format (per-element CAST to DOUBLE
+  // before the subtract, matching the kernel's widening order).
+  // At 100 TB this is THE index layout: codes (8 bytes/vector here)
+  // plus a constant-size codebook move through the cluster; raw
+  // vectors never shuffle. Recall floor vs brute force is asserted in
+  // AnnSpec alongside the other ANN variants.
+  private val l3pq = QueryDef(
+    "l3_ann_pq",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = graft.ops.CorpusOps.pqCodebook(e)
+      val codes = graft.ops.CorpusOps.pqEncode(e, cb)
+      val q = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.ops.CorpusOps.pqTopK(codes, cb, q).orderBy("qid", "rn")
+    },
+    Some("""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                              CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+            sv AS (SELECT vec_id, d // 8 AS sub, d % 8 AS sd, v FROM x),
+            cb AS (SELECT sub, vec_id AS cid, sd, v AS cv FROM sv WHERE vec_id < 16),
+            d2 AS (SELECT s.vec_id, s.sub, c.cid,
+                          SUM((s.v - c.cv) * (s.v - c.cv)) AS qd2,
+                          round(SUM((s.v - c.cv) * (s.v - c.cv)), 6) AS d2r
+                   FROM sv s JOIN cb c ON c.sub = s.sub AND c.sd = s.sd
+                   GROUP BY s.vec_id, s.sub, c.cid),
+            codes AS (SELECT vec_id, sub, cid AS code FROM (
+                   SELECT vec_id, sub, cid,
+                          row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2r, cid) AS rn
+                   FROM d2) WHERE rn = 1),
+            adc AS (SELECT l.vec_id AS qid, c.vec_id AS vid, round(SUM(l.qd2), 6) AS adr
+                    FROM codes c JOIN d2 l ON l.sub = c.sub AND l.cid = c.code
+                    WHERE l.vec_id IN (0, 1, 2) AND c.vec_id != l.vec_id
+                    GROUP BY l.vec_id, c.vec_id),
+            r AS (SELECT qid, vid, adr,
+                         row_number() OVER (PARTITION BY qid ORDER BY adr, vid) AS rn
+                  FROM adc)
+            SELECT qid, rn, vid, adr FROM r WHERE rn <= 10 ORDER BY qid, rn"""))
+
   // ---------------------------------------------------------------- L4
   private def stopCount(langWords: Seq[String]): String =
     s"size(filter(ws, x -> x in (${langWords.map(w => s"'$w'").mkString(", ")})))"
@@ -932,6 +977,44 @@ object Llm {
                 (a, b) -> (a * 31 + b) % 1000000007) AS fp,
               substr(sha256(text), 1, 16) AS content_id
             FROM documents ORDER BY doc_id"""))
+
+  // Character-entropy quality signal (bits/char): low entropy flags
+  // repeated-character/boilerplate garbage, high entropy flags
+  // random-byte/encoding noise — the distribution-level complement to
+  // the word-level l8_repetition filter and the ratio-based
+  // l4_quality score. H = log2(n) - Σ c·log2(c) / n over per-doc
+  // char counts — the identity keeps the aggregation two-stage and
+  // partial-aggregatable (no per-row n needed inside the inner agg).
+  // Scale shape: the exploded char rows combine map-side to one row
+  // per (doc, distinct char) — the shuffle carries ~alphabet-size
+  // rows per doc (longs), the l4_tokens word-count class, not the
+  // raw character volume. (A single-pass native kernel à la
+  // shingle_sha60 would make it shuffle-free; the agg spelling is
+  // kept because it is partial-aggregatable and oracle-mirrored
+  // term-for-term.) Rounding to 6dp absorbs float-summation-order
+  // differences per the repo determinism rule.
+  private val l4entropy = QueryDef(
+    "l4_entropy",
+    (s, dir) => {
+      val cc = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      cc.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_ch"),
+             count(lit(1)).as("n_distinct"),
+             sum(col("c").cast("double") * log2(col("c").cast("double"))).as("sc"))
+        .select(col("doc_id"), col("n_ch"), col("n_distinct"),
+          round(log2(col("n_ch").cast("double")) - col("sc") / col("n_ch"), 6).as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH cc AS (SELECT doc_id, ch, count(*) AS c FROM (
+              SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents) GROUP BY 1, 2),
+            e AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ch, count(*) AS n_distinct,
+                         SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS sc
+                  FROM cc GROUP BY doc_id)
+            SELECT doc_id, n_ch, n_distinct,
+                   round(log2(CAST(n_ch AS DOUBLE)) - sc / n_ch, 6) AS entropy
+            FROM e ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- L6
   // End-to-end corpus cleanup — the composition a training-data
@@ -1346,6 +1429,7 @@ object Llm {
 
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2clusters, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans, l3quant,
-    l3semdedup, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l5, l5media, l6clean, l6pack,
+    l3semdedup, l3pq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4entropy, l5, l5media,
+    l6clean, l6pack,
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture)
 }

@@ -32,6 +32,24 @@ class VectorExprSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_l2sq is bit-identical to the HOF fold it replaces") {
+    val hofL2 =
+      expr("aggregate(zip_with(a, b, (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), cast(0.0 as double), (acc, x) -> acc + x)")
+    val rows = vecs.select(
+      VectorExprs.vec_l2sq(col("a"), col("b")).as("nd"), hofL2.as("hd")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(1)), "l2sq differs")
+    }
+    // null/length contract matches vec_dot's zip_with parity
+    val edge = Seq(
+      (1L, Array[java.lang.Float](1.0f, null), Array[java.lang.Float](3.0f, 4.0f)),
+      (2L, Array[java.lang.Float](1.0f), Array[java.lang.Float](3.0f, 4.0f))
+    ).toDF("id", "a", "b")
+    assert(edge.select(VectorExprs.vec_l2sq(col("a"), col("b")))
+      .collect().forall(_.isNullAt(0)))
+  }
+
   test("vec_dot participates in whole-stage codegen (no fallback)") {
     // range source (not a LocalRelation, which gets constant-folded);
     // arrays built with array() — a transform() HOF here would itself
@@ -54,10 +72,11 @@ class VectorExprSpec extends AnyFunSuite {
   test("extensions register vec_dot/vec_norm for SQL text") {
     vecs.createOrReplaceTempView("vx")
     val r = spark.sql(
-      "SELECT id, round(vec_dot(a, b), 6) AS d, round(vec_norm(a), 6) AS n FROM vx ORDER BY id")
+      "SELECT id, round(vec_dot(a, b), 6) AS d, round(vec_norm(a), 6) AS n, round(vec_l2sq(a, b), 6) AS l2 FROM vx ORDER BY id")
       .collect()
     assert(r.length == 3)
     assert(math.abs(r(0).getDouble(1) - 32.0) < 1e-9) // 1*4 + 2*5 + 3*6
+    assert(math.abs(r(0).getDouble(3) - 27.0) < 1e-9) // 3^2 + 3^2 + 3^2
   }
 
   test("extensions register the text kernels for SQL text") {
@@ -106,6 +125,8 @@ class VectorExprSpec extends AnyFunSuite {
       .contains("vec_dot expects 2 arguments, got 1"))
     assert(analysisMessage("SELECT vec_norm() FROM arity_vecs")
       .contains("vec_norm expects 1 argument, got 0"))
+    assert(analysisMessage("SELECT vec_l2sq(a) FROM arity_vecs")
+      .contains("vec_l2sq expects 2 arguments, got 1"))
     assert(analysisMessage("SELECT shingle_sha60() FROM arity_vecs")
       .contains("shingle_sha60 expects (string) or (string, <int literal gram width>)"))
     assert(analysisMessage("SELECT ulid_timestamp() FROM arity_vecs")

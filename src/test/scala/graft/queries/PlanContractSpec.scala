@@ -139,6 +139,36 @@ class PlanContractSpec extends AnyFunSuite {
       s"embeddings scan reads more than (vec_id, embedding):\n$plan")
   }
 
+  test("l3_ann_pq: codebook seed is pushed to the scan; codebook/LUT broadcast") {
+    // The codebook is m*k rows by construction (constant in corpus
+    // size), so its vec_id < 16 seed filter must reach parquet and
+    // both the encode join and the ADC LUT join must broadcast — raw
+    // vectors shuffling for either join would defeat the PQ layout.
+    val plan = formatted("l3_ann_pq")
+    assert(plan.contains("LessThan(vec_id,16)"),
+      s"codebook seed filter not pushed to the scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook/LUT joins no longer broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a PQ join shuffles the corpus side:\n$plan")
+    // the unused label column must never be read
+    assert(plan.contains("struct<vec_id:bigint,embedding:array<float>>"),
+      s"embeddings scan reads more than (vec_id, embedding):\n$plan")
+  }
+
+  test("l4_entropy: both aggregations are partial (map-side combine before each exchange)") {
+    // The char explode must collapse to (doc, distinct char) rows
+    // BEFORE the first shuffle — a final-only aggregate would move the
+    // raw character volume.
+    val plan = formatted("l4_entropy")
+    assert(plan.contains("struct<doc_id:bigint,text:string>"),
+      s"documents scan reads more than (doc_id, text):\n$plan")
+    // each of the two agg stages shows a partial_ function list before
+    // its exchange in formatted explain
+    assert("partial_".r.findAllIn(plan).size >= 2,
+      s"aggregates are not two-stage partial:\n$plan")
+  }
+
   test("source batch scan prunes via pushed timestamp seek (behavioral)") {
     // assert the PRUNING, not explain text: only records at/after the
     // seek timestamp may be read from the log

@@ -43,4 +43,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(ivf >= 0.1, s"ivf recall collapsed: $ivf")
     assert(km >= 0.1, s"ivf_kmeans recall collapsed: $km")
   }
+
+  test("pq adc recall vs exact L2 top-10 stays above the quantization floor") {
+    // PQ ranks by (approximate) L2, so its honest reference is the
+    // EXACT L2 top-10, not the cosine brute force the other ANN
+    // variants share.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.Tables(spark, SparkFixture.sfDir, "embeddings")
+    val q = e.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("d2r").asc, col("vid").asc)
+    val exact = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      .join(broadcast(q), col("vid") =!= col("qid"))
+      .withColumn("d2r", round(graft.functions.VectorExprs.vec_l2sq(col("qe"), col("ve")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SparkEntry.queries("l3_ann_pq")(spark, SparkFixture.sfDir)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(s"pq recall@10 vs exact L2: $recall")
+    // 8 subspaces x 16 seed centroids on near-random fixture vectors —
+    // coarse, but ADC must still beat random top-10 by a wide margin
+    assert(recall >= 0.1, s"pq recall collapsed: $recall")
+  }
 }

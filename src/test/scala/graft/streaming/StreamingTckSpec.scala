@@ -612,6 +612,53 @@ class StreamingTckSpec extends AnyFunSuite {
         == Seq("d0", "d2", "d4"))
     } finally ShardLog.remove(logName)
   }
+
+  test("incremental ingest: stream-static anti join dedups against the historical corpus") {
+    // The production shape of L1 at 100 TB: the corpus already exists
+    // (static keeper-hash table from CorpusOps.exactDedupKeepers), and
+    // the live tail ingests only content NOT already present — a
+    // stream-static LEFT ANTI join on the content hash, composed with
+    // the in-stream dropDuplicates so a batch that carries its own
+    // dups also collapses. The static side re-evaluates per
+    // micro-batch; at scale it is a parquet keeper table whose hash
+    // column joins broadcast-or-shuffle by size, same as any
+    // stream-static dim join (T7).
+    val logName = "t-histdedup-" + System.nanoTime()
+    val log = ShardLog.getOrCreate(logName)
+    try {
+      val historical = Seq(
+        (10L, "seen before once"),
+        (11L, "archived corpus doc")).toDF("doc_id", "text")
+      val keeperHashes = graft.ops.CorpusOps.exactDedupKeepers(historical)
+        .select(sha2(col("text"), 256).as("h"))
+
+      new Producer(log, seed = 1).publish(
+        Message.simple("pk", "d0", "text" -> "seen before once".getBytes("UTF-8")), // in corpus
+        Message.simple("pk", "d1", "text" -> "genuinely new doc".getBytes("UTF-8")),
+        Message.simple("pk", "d2", "text" -> "genuinely new doc".getBytes("UTF-8"))) // in-batch dup
+
+      val fresh = spark.readStream.format("graft-messages").option("log", logName).load()
+        .select(col("externalId").as("doc_id"),
+          decode(element_at(col("data"), "text"), "UTF-8").as("text"))
+        .withColumn("h", sha2(col("text"), 256))
+        .join(keeperHashes, Seq("h"), "left_anti")
+        .dropDuplicates("h")
+        .select("doc_id")
+      val q = fresh.writeStream.format("memory").queryName("hist_out")
+        .outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+      q.processAllAvailable()
+      // a later batch replays both classes: historical and already-ingested
+      new Producer(log, seed = 2).publish(
+        Message.simple("pk", "d3", "text" -> "archived corpus doc".getBytes("UTF-8")),
+        Message.simple("pk", "d4", "text" -> "genuinely new doc".getBytes("UTF-8")),
+        Message.simple("pk", "d5", "text" -> "late but new".getBytes("UTF-8")))
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table("hist_out").select("doc_id").as[String].collect().sorted.toSeq
+        == Seq("d1", "d5"))
+    } finally ShardLog.remove(logName)
+  }
 }
 
 /** Static sinks so foreachBatch closures survive query restarts. */
