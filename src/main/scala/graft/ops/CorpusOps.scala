@@ -357,22 +357,62 @@ object CorpusOps {
     * vectors, which is the point of PQ at 100 TB: the index is codes +
     * a constant-size codebook. */
   def pqTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
-             m: Int = 8, subDim: Int = 8, topK: Int = 10): DataFrame = {
+             m: Int = 8, subDim: Int = 8, topK: Int = 10,
+             candidates: Option[DataFrame] = None): DataFrame = {
     val lut = subVectors(
         queries.select(col("qid").as("vec_id"), col("embedding")), m, subDim)
       .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qsv"))
       .join(codebook, "sub")
       .withColumn("qd2", graft.functions.VectorExprs.vec_l2sq(col("qsv"), col("cv")))
-      .select(col("qid"), col("sub"), col("cid"), col("qd2"))
+      .select(col("qid"), col("sub"), col("cid").as("code"), col("qd2"))
+    val coded = codes.select(col("vec_id").as("vid"), col("sub"), col("code"))
+    // with a candidate set (e.g. IVF probe survivors — IVFADC), only
+    // its (qid, vid) pairs are scored: codes join candidates first, so
+    // the ADC volume is candidate-bounded, not corpus×queries
+    val scored = candidates match {
+      case Some(cand) =>
+        coded.join(cand.select("qid", "vid"), Seq("vid"))
+          .join(broadcast(lut), Seq("qid", "sub", "code"))
+      case None =>
+        coded.join(broadcast(lut), Seq("sub", "code"))
+          .filter(col("vid") =!= col("qid"))
+    }
     val w = Window.partitionBy("qid").orderBy(col("adr").asc, col("vid").asc)
-    codes.as("c").join(broadcast(lut).as("l"),
-        col("c.sub") === col("l.sub") && col("c.code") === col("l.cid") &&
-        col("c.vec_id") =!= col("l.qid"))
-      .groupBy(col("l.qid").as("qid"), col("c.vec_id").as("vid"))
+    scored
+      .groupBy(col("qid"), col("vid"))
       .agg(round(sum(col("qd2")), 6).as("adr"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
       .select("qid", "rn", "vid", "adr")
+  }
+
+  /** IVFADC candidate generation (the FAISS IVF-PQ coarse half): every
+    * vector assigned to its nearest of `nlist` deterministic seed
+    * centroids by round(L2², 6) (partial-agg argmin — one combined row
+    * per vector crosses the wire), queries probe their `nprobe`
+    * closest lists, candidates = list co-membership. At scale the
+    * probe side is queries×nlist (tiny) and the candidate volume is
+    * ~nprobe/nlist of the corpus — the knob that trades recall for
+    * scan fraction. Output (qid, vid), distinct. */
+  def ivfCandidates(vecs: DataFrame, queries: DataFrame,
+                    nlist: Int = 32, nprobe: Int = 4): DataFrame = {
+    import graft.functions.VectorExprs.vec_l2sq
+    val cents = vecs.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val assign = vecs.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2c", round(vec_l2sq(col("ve"), col("ce")), 6))
+      .groupBy("vid").agg(min(struct(col("d2c"), col("cid"))).as("b"))
+      .select(col("vid"), col("b.cid").as("cid"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("d2c").asc, col("cid").asc)
+    val probes = queries.select(col("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2c", round(vec_l2sq(col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cid"))
+    probes.join(assign, "cid")
+      .filter(col("vid") =!= col("qid"))
+      .select("qid", "vid").distinct()
   }
 
   /** Symmetric int8 quantization of a vector column: per-vector

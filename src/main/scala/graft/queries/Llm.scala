@@ -782,6 +782,62 @@ object Llm {
                   FROM adc)
             SELECT qid, rn, vid, adr FROM r WHERE rn <= 10 ORDER BY qid, rn"""))
 
+  // IVF-PQ (the FAISS IVFADC composite — THE 100 TB ANN architecture):
+  // an L2 coarse quantizer assigns every vector to its nearest of 32
+  // seed lists (partial-agg argmin over the broadcast centroids) and
+  // queries probe their 4 closest lists; only list co-members reach
+  // the ADC re-rank over the 8×16 PQ codes. Candidate volume ~
+  // nprobe/nlist of the corpus; the re-rank touches codes + the
+  // constant codebook only — at scale neither stage ever moves a raw
+  // vector, and both knobs (nprobe, code width) trade recall for
+  // scan fraction explicitly. All distances on round(d², 6) with id
+  // tie-breaks; the oracle replays the identical two-stage algorithm.
+  private val l3ivfpq = QueryDef(
+    "l3_ann_ivfpq",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val cand = graft.ops.CorpusOps.ivfCandidates(e, q)
+      val cb = graft.ops.CorpusOps.pqCodebook(e)
+      val codes = graft.ops.CorpusOps.pqEncode(e, cb)
+      graft.ops.CorpusOps.pqTopK(codes, cb, q, candidates = Some(cand))
+        .orderBy("qid", "rn")
+    },
+    Some("""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                              CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+            cd AS (SELECT a.vec_id AS vid, c.vec_id AS cid,
+                          round(SUM((a.v - c.v) * (a.v - c.v)), 6) AS d2c
+                   FROM x a JOIN x c ON c.d = a.d AND c.vec_id < 32
+                   GROUP BY a.vec_id, c.vec_id),
+            assign AS (SELECT vid, cid FROM (
+                   SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2c, cid) AS rn
+                   FROM cd) WHERE rn = 1),
+            probes AS (SELECT vid AS qid, cid FROM (
+                   SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2c, cid) AS rn
+                   FROM cd WHERE vid IN (0, 1, 2)) WHERE rn <= 4),
+            cand AS (SELECT DISTINCT p.qid, a.vid FROM probes p JOIN assign a ON a.cid = p.cid
+                     WHERE a.vid != p.qid),
+            sv AS (SELECT vec_id, d // 8 AS sub, d % 8 AS sd, v FROM x),
+            cb AS (SELECT sub, vec_id AS cid, sd, v AS cv FROM sv WHERE vec_id < 16),
+            d2 AS (SELECT s.vec_id, s.sub, c.cid,
+                          SUM((s.v - c.cv) * (s.v - c.cv)) AS qd2,
+                          round(SUM((s.v - c.cv) * (s.v - c.cv)), 6) AS d2r
+                   FROM sv s JOIN cb c ON c.sub = s.sub AND c.sd = s.sd
+                   GROUP BY s.vec_id, s.sub, c.cid),
+            codes AS (SELECT vec_id, sub, cid AS code FROM (
+                   SELECT vec_id, sub, cid,
+                          row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2r, cid) AS rn
+                   FROM d2) WHERE rn = 1),
+            adc AS (SELECT cn.qid, cn.vid, round(SUM(l.qd2), 6) AS adr
+                    FROM cand cn JOIN codes k ON k.vec_id = cn.vid
+                    JOIN d2 l ON l.vec_id = cn.qid AND l.sub = k.sub AND l.cid = k.code
+                    GROUP BY cn.qid, cn.vid),
+            r AS (SELECT qid, vid, adr,
+                         row_number() OVER (PARTITION BY qid ORDER BY adr, vid) AS rn
+                  FROM adc)
+            SELECT qid, rn, vid, adr FROM r WHERE rn <= 10 ORDER BY qid, rn"""))
+
   // ---------------------------------------------------------------- L4
   private def stopCount(langWords: Seq[String]): String =
     s"size(filter(ws, x -> x in (${langWords.map(w => s"'$w'").mkString(", ")})))"
@@ -1429,7 +1485,7 @@ object Llm {
 
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2clusters, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans, l3quant,
-    l3semdedup, l3pq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4entropy, l5, l5media,
+    l3semdedup, l3pq, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4entropy, l5, l5media,
     l6clean, l6pack,
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture)
 }

@@ -59,12 +59,18 @@ class QueriesSpec extends AnyFunSuite {
       .withColumn("d2r", round(graft.functions.VectorExprs.vec_l2sq(col("qe"), col("ve")), 6))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
       .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pq = SparkEntry.queries("l3_ann_pq")(spark, SparkFixture.sfDir)
-      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & pq).size.toDouble / exact.size
-    info(s"pq recall@10 vs exact L2: $recall")
+    def recallOf(name: String): Double = {
+      val got = SparkEntry.queries(name)(spark, SparkFixture.sfDir)
+        .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val pq = recallOf("l3_ann_pq")
+    val ivfpq = recallOf("l3_ann_ivfpq")
+    info(s"recall@10 vs exact L2: pq=$pq ivfpq=$ivfpq")
     // 8 subspaces x 16 seed centroids on near-random fixture vectors —
-    // coarse, but ADC must still beat random top-10 by a wide margin
-    assert(recall >= 0.1, s"pq recall collapsed: $recall")
+    // coarse, but ADC must still beat random top-10 by a wide margin;
+    // ivfpq additionally pays the 4/32-list probe coverage
+    assert(pq >= 0.1, s"pq recall collapsed: $pq")
+    assert(ivfpq >= 0.05, s"ivfpq recall collapsed: $ivfpq")
   }
 }
