@@ -1483,9 +1483,76 @@ object Llm {
             |       (max_n + n - 1) // n AS repeat_factor
             |FROM ww, nrm ORDER BY lang""".stripMargin))
 
+  // Deterministic corpus shuffle + sharding — the reproducible
+  // "global shuffle before sequence packing" every training run needs:
+  // shard = 60-bit id-hash mod nshards, position = rank of (hash,
+  // doc_id) within the shard. Identical output on every engine, every
+  // run, every partitioning — which is what makes training-data
+  // orders auditable. Scale shape: one corpus shuffle keyed by shard,
+  // then per-shard local sorts; nshards grows with the corpus
+  // (shards ~ corpus / target-shard-size), so each sort stays
+  // executor-sized and there is NO global window. 16 shards at
+  // fixture scale keeps every shard non-trivially populated.
+  private val l8shuffle = QueryDef(
+    "l8_shuffle_order",
+    (s, dir) => {
+      val w = Window.partitionBy("shard").orderBy(col("hk").asc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("doc_id"), sha60(col("doc_id").cast("string")).as("hk"))
+        .withColumn("shard", pmod(col("hk"), lit(16L)))
+        .withColumn("pos", row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    },
+    Some("""WITH h AS (SELECT doc_id,
+              CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+            FROM documents)
+            SELECT doc_id, hk % 16 AS shard,
+                   row_number() OVER (PARTITION BY hk % 16 ORDER BY hk, doc_id) AS pos
+            FROM h ORDER BY shard, pos"""))
+
+  // Per-source corpus card — the observability aggregate a pipeline
+  // publishes with every snapshot: doc/token counts, how much of the
+  // source is exact-duplicated (docs whose content hash appears more
+  // than once corpus-WIDE — cross-source dups count in both sources),
+  // and mean quality (the shared l4 score). Scale shape: one
+  // hash-agg'd dup-count table joined back on the content hash (the
+  // corpus shuffles once, by h — AQE sizes the join), then a
+  // source-keyed aggregate that is sources-sized. No windows, no
+  // per-row state.
+  private val l8stats = QueryDef(
+    "l8_source_stats",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_tok", size(col("ws")))
+        .withColumn("stop_n", expr(stopCount(enS)))
+        .withColumn("h", sha2(col("text"), 256))
+        .select("doc_id", "source", "n_tok", "stop_n", "h")
+      val dupDocs = d.groupBy("h").agg(count(lit(1)).as("cnt"))
+      d.join(dupDocs, "h")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tok").cast("long")).as("n_tokens"),
+             count(when(col("cnt") > 1, lit(1))).as("dup_docs"),
+             round(avg(qualityCol(col("n_tok"), col("stop_n"))), 6).as("mean_quality"))
+        .orderBy("source")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents),
+            |x AS (SELECT doc_id, source, len(ws) AS n_tok,
+            |        len(list_filter(ws, t -> t IN ('the','a','and','of'))) AS stop_n,
+            |        sha256(text) AS h FROM w),
+            |dc AS (SELECT h, count(*) AS cnt FROM x GROUP BY h)
+            |SELECT source, count(*) AS n_docs,
+            |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+            |       count(CASE WHEN cnt > 1 THEN 1 END) AS dup_docs,
+            |       round(AVG(${qualityDuck("n_tok", "stop_n")}), 6) AS mean_quality
+            |FROM x JOIN dc USING (h) GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2clusters, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans, l3quant,
     l3semdedup, l3pq, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4entropy, l5, l5media,
     l6clean, l6pack,
-    l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture)
+    l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
+    l8shuffle, l8stats)
 }
