@@ -93,6 +93,47 @@ object CorpusOps {
     verifiedJaccard(cand, docArr.select("doc_id", "arr", "sz"))
   }
 
+  /** EXACT shingle-containment near-dup pairs (a, b, c): directional —
+    * c = |S(a) ∩ S(b)| / |S(a)| >= `t` means doc a's shingles are
+    * (nearly) a subset of doc b's. This is the SUB-DOCUMENT
+    * duplication case symmetric Jaccard structurally misses: a
+    * paragraph quoted inside a much larger page has J ≈ |a|/|b| (tiny)
+    * but containment ≈ 1. Same prefix-filter machinery as
+    * [[nearDupPairs]], with the containment-specific candidate rule:
+    * a pair with C(a→b) >= t must share one of a's first
+    * |S(a)| − ceil(t·|S(a)|) + 1 shingles under ANY global order — so
+    * only the a-side explodes its (rarest-first) prefix; the b side
+    * indexes its FULL shingle set. Candidates stay bounded because
+    * rarest-first prefixes pick low-df shingles; verification is exact
+    * on the per-doc arrays. Both directions of a mutual near-dup
+    * appear (c is directional by design). */
+  def containmentPairs(docs: DataFrame, t: Double = 0.9): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleExprs.shingle_sha60(col("text"))).as("h"))
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val docArr = sh.join(freq.hint("shuffle_hash"), "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(struct(col("df"), col("h")))).as("fsh"))
+      .select(col("doc_id"),
+        expr("transform(fsh, x -> x.h)").as("arr"),
+        size(col("fsh")).as("sz"))
+      .withColumn("pref",
+        expr(s"slice(arr, 1, size(arr) - cast(ceil(size(arr) * $t) as int) + 1)"))
+      .cache()
+    val pref = docArr.select(col("doc_id").as("a"), explode(col("pref")).as("h"))
+    val full = docArr.select(col("doc_id").as("b"), explode(col("arr")).as("h"))
+    val cand = pref.join(full, Seq("h")).filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(docArr.select(col("doc_id").as("a"), col("arr").as("arrA"), col("sz").as("szA")), "a")
+      .join(docArr.select(col("doc_id").as("b"), col("arr").as("arrB")), "b")
+      .withColumn("inter", size(array_intersect(col("arrA"), col("arrB"))))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / col("szA")).as("c"))
+      .filter(col("c") >= t)
+      .orderBy("a", "b")
+  }
+
   /** One row per distinct text: (doc_id = min over the duplicate
     * clique, text). Partial-aggregatable hash-agg — the scaling lever
     * for cleanup pipelines is running this BEFORE near-dup so exact-dup

@@ -124,6 +124,32 @@ object Llm {
     (s, dir) => jaccardPairs(s, dir),
     Some(jaccardOracle))
 
+  // Directional shingle-CONTAINMENT near-dup — the sub-document case
+  // symmetric Jaccard structurally misses (a paragraph quoted inside a
+  // much larger page has J ≈ |a|/|b| but containment ≈ 1). Exact
+  // prefix-filter algorithm (see CorpusOps.containmentPairs); the
+  // oracle replays it with a lexicographic prefix order — any global
+  // total order yields the same exact pair set, as with
+  // l2_jaccard_pairs.
+  private val l2contain = QueryDef(
+    "l2_containment",
+    (s, dir) => graft.ops.CorpusOps.containmentPairs(t(s, dir, "documents")),
+    Some(s"""WITH $shinglesSql,
+            |pr AS (SELECT doc_id, h FROM (
+            |  SELECT sh2.doc_id, h, row_number() OVER (PARTITION BY sh2.doc_id ORDER BY h) AS rn, sz.sz
+            |  FROM sh2 JOIN sz ON sh2.doc_id = sz.doc_id)
+            |  WHERE rn <= sz - ceil(sz * 0.9) + 1),
+            |cand AS (SELECT DISTINCT p.doc_id AS a, f.doc_id AS b
+            |         FROM pr p JOIN sh2 f ON f.h = p.h AND p.doc_id != f.doc_id),
+            |i AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+            |      JOIN sh2 x ON x.doc_id = c.a
+            |      JOIN sh2 y ON y.doc_id = c.b AND y.h = x.h
+            |      GROUP BY c.a, c.b),
+            |pairs AS (SELECT i.a, i.b, CAST(i.i AS DOUBLE) / sa.sz AS c
+            |          FROM i JOIN sz sa ON sa.doc_id = i.a
+            |          WHERE CAST(i.i AS DOUBLE) / sa.sz >= 0.9)
+            |SELECT a, b, c FROM pairs ORDER BY a, b""".stripMargin))
+
   // MinHash + banded LSH: 64 permutations ((a_k*h + b_k) mod P over the
   // portable sha-60 shingle hash), 16 bands x 4 rows, bucket-join for
   // candidates, then exact-Jaccard verification. The oracle is the
@@ -1550,7 +1576,7 @@ object Llm {
             |FROM x JOIN dc USING (h) GROUP BY source ORDER BY source""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    l1, l2, l2clusters, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans, l3quant,
+    l1, l2, l2contain, l2clusters, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans, l3quant,
     l3semdedup, l3pq, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4entropy, l5, l5media,
     l6clean, l6pack,
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
