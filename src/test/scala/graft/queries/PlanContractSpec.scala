@@ -62,7 +62,7 @@ class PlanContractSpec extends AnyFunSuite {
     // Checked on the ANALYZED plan: hints inside .cache()d subtrees are
     // swapped behind InMemoryRelation before optimization, so the
     // optimized/physical plan cannot see them.
-    for (name <- Seq("l2_jaccard_pairs", "l6_corpus_clean")) {
+    for (name <- Seq("l2_jaccard_pairs", "l2_containment", "l6_corpus_clean")) {
       val hints = SparkEntry.queries(name)(spark, SparkFixture.sfDir)
         .queryExecution.analyzed.collect {
           case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
