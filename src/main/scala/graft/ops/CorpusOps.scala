@@ -69,19 +69,32 @@ object CorpusOps {
     *    threshold never hit the candidate distinct or verification;
     *  - output is candidate-sensitive, never corpus².
     */
-  def nearDupPairs(docs: DataFrame): DataFrame = {
+  /** Shared prefix-filter scaffold: per-doc frequency-sorted
+    * (rarest-first) DISTINCT-shingle arrays with the threshold-`t`
+    * prefix — (doc_id, arr, sz, pref), CACHED (reused >= 2× by every
+    * caller). ONE corpus-sized groupBy; the vocabulary-sized frequency
+    * join is SHUFFLE_HASH (partition-sharded build side, never a
+    * driver-resident broadcast). The prefix length |S| − ceil(t·|S|)
+    * + 1 is the pigeonhole bound both the Jaccard and containment
+    * candidate rules share — keep the formula in ONE place so it can
+    * never drift between them. */
+  private def docArrWithPrefix(docs: DataFrame, t: Double): DataFrame = {
     val sh = docs.select(col("doc_id"),
       explode(graft.functions.ShingleExprs.shingle_sha60(col("text"))).as("h"))
     val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val docArr = sh.join(freq.hint("shuffle_hash"), "h")
+    sh.join(freq.hint("shuffle_hash"), "h")
       .groupBy("doc_id")
       .agg(sort_array(collect_set(struct(col("df"), col("h")))).as("fsh"))
       .select(col("doc_id"),
         expr("transform(fsh, x -> x.h)").as("arr"),
         size(col("fsh")).as("sz"))
       .withColumn("pref",
-        expr(s"slice(arr, 1, size(arr) - cast(ceil(size(arr) * $T) as int) + 1)"))
+        expr(s"slice(arr, 1, size(arr) - cast(ceil(size(arr) * $t) as int) + 1)"))
       .cache()
+  }
+
+  def nearDupPairs(docs: DataFrame): DataFrame = {
+    val docArr = docArrWithPrefix(docs, T)
     val pref = docArr.select(col("doc_id"), col("sz"),
       posexplode(col("pref")).as(Seq("p", "h")))
     val ubound = least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) +
@@ -108,18 +121,7 @@ object CorpusOps {
     * on the per-doc arrays. Both directions of a mutual near-dup
     * appear (c is directional by design). */
   def containmentPairs(docs: DataFrame, t: Double = 0.9): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(graft.functions.ShingleExprs.shingle_sha60(col("text"))).as("h"))
-    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val docArr = sh.join(freq.hint("shuffle_hash"), "h")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(struct(col("df"), col("h")))).as("fsh"))
-      .select(col("doc_id"),
-        expr("transform(fsh, x -> x.h)").as("arr"),
-        size(col("fsh")).as("sz"))
-      .withColumn("pref",
-        expr(s"slice(arr, 1, size(arr) - cast(ceil(size(arr) * $t) as int) + 1)"))
-      .cache()
+    val docArr = docArrWithPrefix(docs, t)
     val pref = docArr.select(col("doc_id").as("a"), explode(col("pref")).as("h"))
     val full = docArr.select(col("doc_id").as("b"), explode(col("arr")).as("h"))
     val cand = pref.join(full, Seq("h")).filter(col("a") =!= col("b"))
