@@ -1060,6 +1060,73 @@ object Llm {
               substr(sha256(text), 1, 16) AS content_id
             FROM documents ORDER BY doc_id"""))
 
+  // Winnowing fingerprints (the MOSS local-sketch algorithm): over
+  // each doc's POSITIONAL word-3-gram hash sequence, every window of
+  // w=4 consecutive hashes contributes its minimum (ties → rightmost
+  // position, per the paper), and the distinct selected (pos, hash)
+  // set is the sketch. The winnowing guarantee: any shared run of
+  // >= w+k-1 words between two docs yields at least one shared sketch
+  // entry — substring-granularity dedup/attribution that whole-doc
+  // hashing (l4_fingerprint) and set-Jaccard (l2) both miss.
+  // Row-local HOF pipeline (positions matter, so the DISTINCT-set
+  // shingle kernel does not apply): shuffle-free except the output
+  // sort; the sketch leaves the row as scalars (size + 60-bit
+  // checksum over the position-sorted entries) per the flat-output
+  // contract. A native one-pass kernel is the codegen upgrade if
+  // sketching ever dominates a profile.
+  private val l4winnow = {
+    def sha60Sql(s: String) = s"cast(conv(substr(sha2($s, 256), 1, 15), 16, 10) as bigint)"
+    QueryDef(
+      "l4_winnow",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("gs", expr(s"""
+            CASE WHEN size(ws) >= 3
+              THEN transform(sequence(0, size(ws) - 3),
+                     i -> ${sha60Sql("concat_ws(' ', slice(ws, i + 1, 3))")})
+              ELSE array(${sha60Sql("concat_ws(' ', ws)")})
+            END"""))
+          .withColumn("pg", expr("transform(gs, (h, i) -> named_struct('h', h, 'p', i))"))
+          .withColumn("mins", expr(s"""
+            transform(sequence(0, greatest(1, size(gs) - 3) - 1), j ->
+              aggregate(slice(pg, j + 1, 4),
+                named_struct('h', ${Long.MaxValue}L, 'p', -1),
+                (acc, x) -> CASE WHEN x.h < acc.h OR (x.h = acc.h AND x.p > acc.p)
+                            THEN x ELSE acc END))"""))
+          .withColumn("sel", expr(
+            "array_sort(transform(array_distinct(mins), x -> named_struct('p', x.p, 'h', x.h)))"))
+          .select(col("doc_id"),
+            size(col("gs")).as("n_grams"),
+            size(col("sel")).as("sketch_size"),
+            sha60(expr("array_join(transform(sel, x -> concat(x.p, ':', x.h)), ',')"))
+              .as("sketch_csum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+             |        THEN list_transform(generate_series(1, len(ws) - 2),
+             |             i -> CAST(concat('0x', substr(sha256(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15)) AS BIGINT))
+             |        ELSE [CAST(concat('0x', substr(sha256(array_to_string(ws, ' ')), 1, 15)) AS BIGINT)] END AS gs
+             |      FROM w),
+             |p AS (SELECT doc_id, gs,
+             |        list_transform(generate_series(1, len(gs)), i -> {'h': gs[i], 'p': i - 1}) AS pg,
+             |        GREATEST(1, len(gs) - 3) AS nw FROM g),
+             |m AS (SELECT doc_id, gs, list_transform(generate_series(0, nw - 1), j ->
+             |        list_reduce(list_concat([{'h': 9223372036854775807, 'p': -1}], pg[j+1:j+4]),
+             |          (acc, x) -> CASE WHEN x.h < acc.h OR (x.h = acc.h AND x.p > acc.p)
+             |                      THEN x ELSE acc END)) AS mins
+             |      FROM p),
+             |u AS (SELECT doc_id, unnest(mins) AS x FROM m),
+             |d AS (SELECT DISTINCT doc_id, x.p AS p, x.h AS h FROM u),
+             |a AS (SELECT doc_id, count(*) AS sketch_size,
+             |        list(concat(p, ':', h) ORDER BY p) AS parts FROM d GROUP BY doc_id),
+             |n AS (SELECT doc_id, len(gs) AS n_grams FROM g)
+             |SELECT n.doc_id, n.n_grams, a.sketch_size,
+             |  CAST(concat('0x', substr(sha256(array_to_string(a.parts, ',')), 1, 15)) AS BIGINT) AS sketch_csum
+             |FROM n JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin))
+  }
+
   // Character-entropy quality signal (bits/char): low entropy flags
   // repeated-character/boilerplate garbage, high entropy flags
   // random-byte/encoding noise — the distribution-level complement to
@@ -1577,7 +1644,8 @@ object Llm {
 
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2contain, l2clusters, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans, l3quant,
-    l3semdedup, l3pq, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4entropy, l5, l5media,
+    l3semdedup, l3pq, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4winnow,
+    l4entropy, l5, l5media,
     l6clean, l6pack,
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
     l8shuffle, l8stats)
