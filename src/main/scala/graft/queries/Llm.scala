@@ -1074,32 +1074,14 @@ object Llm {
   // checksum over the position-sorted entries) per the flat-output
   // contract. A native one-pass kernel is the codegen upgrade if
   // sketching ever dominates a profile.
-  private val l4winnow = {
-    def sha60Sql(s: String) = s"cast(conv(substr(sha2($s, 256), 1, 15), 16, 10) as bigint)"
+  private val l4winnow =
     QueryDef(
       "l4_winnow",
       (s, dir) => {
-        t(s, dir, "documents")
-          .withColumn("ws", split(col("text"), " "))
-          .withColumn("gs", expr(s"""
-            CASE WHEN size(ws) >= 3
-              THEN transform(sequence(0, size(ws) - 3),
-                     i -> ${sha60Sql("concat_ws(' ', slice(ws, i + 1, 3))")})
-              ELSE array(${sha60Sql("concat_ws(' ', ws)")})
-            END"""))
-          .withColumn("pg", expr("transform(gs, (h, i) -> named_struct('h', h, 'p', i))"))
-          .withColumn("mins", expr(s"""
-            transform(sequence(0, greatest(1, size(gs) - 3) - 1), j ->
-              aggregate(slice(pg, j + 1, 4),
-                named_struct('h', ${Long.MaxValue}L, 'p', -1),
-                (acc, x) -> CASE WHEN x.h < acc.h OR (x.h = acc.h AND x.p > acc.p)
-                            THEN x ELSE acc END))"""))
-          .withColumn("sel", expr(
-            "array_sort(transform(array_distinct(mins), x -> named_struct('p', x.p, 'h', x.h)))"))
-          .select(col("doc_id"),
-            size(col("gs")).as("n_grams"),
-            size(col("sel")).as("sketch_size"),
-            sha60(expr("array_join(transform(sel, x -> concat(x.p, ':', x.h)), ',')"))
+        graft.ops.CorpusOps.winnowSketches(t(s, dir, "documents"))
+          .select(col("doc_id"), col("n_grams"),
+            size(col("sketch")).as("sketch_size"),
+            sha60(expr("array_join(transform(sketch, x -> concat(x.p, ':', x.h)), ',')"))
               .as("sketch_csum"))
           .orderBy("doc_id")
       },
@@ -1125,7 +1107,6 @@ object Llm {
              |SELECT n.doc_id, n.n_grams, a.sketch_size,
              |  CAST(concat('0x', substr(sha256(array_to_string(a.parts, ',')), 1, 15)) AS BIGINT) AS sketch_csum
              |FROM n JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin))
-  }
 
   // Character-entropy quality signal (bits/char): low entropy flags
   // repeated-character/boilerplate garbage, high entropy flags

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Brute-force cross-checks for the sub-quadratic/sketch operators on
+  * SYNTHETIC corpora with planted structure: the DuckDB oracle gate
+  * pins each operator on the fixtures, but these assert the
+  * algorithm-level contracts (prefix filtering loses no pair,
+  * quantization argmin is exact, the winnowing guarantee holds)
+  * against a naive O(n²) reference computed in plain Scala — on data
+  * deliberately shaped to stress the candidate rules.
+  */
+class CrossCheckSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private val words =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon".split(' ')
+
+  /** Deterministic doc corpus with planted containment/near-dup
+    * structure: bases of 8–20 words, some docs = a base's text
+    * embedded in longer padding, some exact copies. */
+  private def corpus: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(42)
+    def sent(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+    val bases = (0 until 20).map(i => (i.toLong, sent(8 + rnd.nextInt(12))))
+    val contained = (0 until 6).map { i =>
+      val (_, base) = bases(rnd.nextInt(bases.length))
+      (100L + i, s"${sent(2)} $base ${sent(2)}") // base text inside padding
+    }
+    val copies = (0 until 3).map(i => (200L + i, bases(i)._2))
+    bases ++ contained ++ copies
+  }
+
+  /** Reference shingle sets via the same native kernel (the kernel
+    * itself is pinned against composed built-ins in ShingleExprSpec). */
+  private def shingleSets(docs: Seq[(Long, String)]): Map[Long, Set[Long]] = {
+    val df = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.ShingleExprs.shingle_sha60(col("text")).as("sh"))
+    df.as[(Long, Seq[Long])].collect().map { case (id, sh) => id -> sh.toSet }.toMap
+  }
+
+  test("containmentPairs equals the all-pairs brute force on a planted corpus") {
+    val docs = corpus
+    val sets = shingleSets(docs)
+    val expected = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b
+      c = (sa & sb).size.toDouble / sa.size
+      if c >= 0.9
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "planted corpus produced no containment pairs — test is vacuous")
+    val got = CorpusOps.containmentPairs(docs.toDF("doc_id", "text"))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missed: ${expected -- got}; spurious: ${got -- expected}")
+  }
+
+  test("nearDupPairs equals the all-pairs brute force on the same corpus") {
+    val docs = corpus
+    val sets = shingleSets(docs)
+    val expected = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a < b
+      j = (sa & sb).size.toDouble / (sa ++ sb).size
+      if j >= CorpusOps.JaccardThreshold
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "planted corpus produced no near-dup pairs — test is vacuous")
+    val got = CorpusOps.nearDupPairs(docs.toDF("doc_id", "text"))
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missed: ${expected -- got}; spurious: ${got -- expected}")
+  }
+
+  test("pqEncode codes equal the brute-force argmin over the codebook") {
+    val e = graft.Tables(spark, SparkFixture.sfDir, "embeddings")
+    val cb = CorpusOps.pqCodebook(e)
+    val cbRows = cb.select("sub", "cid", "cv").as[(Int, Int, Seq[Float])]
+      .collect().groupBy(_._1)
+    val vecs = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().take(50)
+    val got = CorpusOps.pqEncode(e, cb)
+      .select("vec_id", "sub", "code").as[(Long, Int, Int)]
+      .collect().map { case (v, s, c) => (v, s) -> c }.toMap
+    for ((vid, emb) <- vecs; sub <- 0 until 8) {
+      val sv = emb.slice(sub * 8, sub * 8 + 8)
+      val best = cbRows(sub).map { case (_, cid, cv) =>
+        val d2 = sv.zip(cv).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+        (BigDecimal(d2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, cid)
+      }.min
+      assert(got((vid, sub)) == best._2,
+        s"vec $vid sub $sub: engine code ${got((vid, sub))} != brute-force ${best._2}")
+    }
+  }
+
+  test("winnowing guarantee: docs sharing a >= w+k-1 word run share a sketch hash") {
+    val rnd = new scala.util.Random(7)
+    def sent(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+    // 20 pairs: a shared 6-word run (w+k-1 = 4+3-1) embedded at
+    // different offsets inside otherwise-unrelated docs
+    val docs = (0 until 20).flatMap { i =>
+      val run = sent(6)
+      Seq((i * 2L, s"${sent(3 + i % 5)} $run ${sent(4)}"),
+          (i * 2L + 1, s"${sent(9 - i % 5)} $run ${sent(2)}"))
+    }
+    val sk = CorpusOps.winnowSketches(docs.toDF("doc_id", "text"))
+      .select(col("doc_id"), expr("transform(sketch, x -> x.h)").as("hs"))
+      .as[(Long, Seq[Long])].collect().map { case (id, hs) => id -> hs.toSet }.toMap
+    for (i <- 0 until 20)
+      assert((sk(i * 2L) & sk(i * 2L + 1)).nonEmpty,
+        s"pair $i shares a 6-word run but no sketch hash")
+  }
+}
