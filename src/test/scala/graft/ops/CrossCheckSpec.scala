@@ -97,6 +97,42 @@ class CrossCheckSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified/shuffle contracts: shuffle order is a permutation with dense per-shard ranks") {
+    val docs = (0L until 137L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // inline spelling (same as the l8_shuffle_order query, 16 shards)
+    // over a synthetic id set — the query itself is fixture-bound
+    import graft.queries.QueryDef.sha60
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("hk").asc, col("doc_id").asc)
+    val rows = docs
+      .select(col("doc_id"), sha60(col("doc_id").cast("string")).as("hk"))
+      .withColumn("shard", pmod(col("hk"), lit(16L)))
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(rows.map(_._1).sorted == (0L until 137L), "not a permutation of the corpus")
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted == (1 to rs.size), s"shard $shard ranks not dense")
+    }
+  }
+
+  test("lineDedup strips exactly the shared blocks and reassembles the rest in order") {
+    // 10-word lines (the default chunker): doc 1 and 2 share their
+    // SECOND line; doc 3 is untouched
+    def line(seed: Int) = (0 until 10).map(i => s"w${seed}_$i").mkString(" ")
+    val shared = line(99)
+    val docs = Seq(
+      (1L, s"${line(1)} $shared ${line(2)}"),
+      (2L, s"${line(3)} $shared"),
+      (3L, s"${line(4)} ${line(5)}")).toDF("doc_id", "text")
+    val out = CorpusOps.lineDedup(docs)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, s"${line(1)} ${line(2)}", 2L, 1L),
+      (2L, line(3), 1L, 1L),
+      (3L, s"${line(4)} ${line(5)}", 2L, 0L)))
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 word run share a sketch hash") {
     val rnd = new scala.util.Random(7)
     def sent(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
