@@ -20,9 +20,10 @@ object Bench {
     "q18_dedup_keeper", "q21_math_conditional", "q22_array_funcs",
     "q24_json_funcs", "q30_percentiles", "q31_pivot",
     "t1_window_tumbling", "t3_window_session",
-    "l1_exact_dedup", "l2_jaccard_pairs", "l2_minhash_lsh", "l2_simhash",
+    "l1_exact_dedup", "l2_jaccard_pairs", "l2_containment", "l2_minhash_lsh", "l2_simhash",
     "l2_dup_clusters", "l3_knn_bruteforce", "l3_ann_lsh", "l3_semdedup", "l3_ann_pq",
-    "l4_tfidf", "l4_fingerprint", "l4_lm_score", "l4_entropy",
+    "l3_ann_ivfpq",
+    "l4_tfidf", "l4_fingerprint", "l4_lm_score", "l4_entropy", "l4_winnow",
     "l6_corpus_clean", "l6_pack_shards",
     "l8_decontaminate", "l8_repetition", "l8_chunk_windows", "l8_line_dedup")
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{MinHashSig, ShingleSha60, SimHashSig, UlidExpression, UlidTimestamp, VecDot, VecL2Sq, VecNorm}
+import graft.functions.{MinHashSig, ShingleSha60, SimHashSig, UlidExpression, UlidTimestamp, VecDot, VecL2Sq, VecNorm, WinnowSketch}
 
 /** Session-extension entry point: registers the engine's native
   * Catalyst expressions into the function registry, so SQL text can
@@ -75,6 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
       exprs => { arity("simhash_sig", 1, exprs); SimHashSig(exprs.head) }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_sketch"),
+      new ExpressionInfo(classOf[WinnowSketch].getName, "winnow_sketch"),
+      exprs => { arity("winnow_sketch", 1, exprs); WinnowSketch(exprs.head) }))
     ext.injectFunction((
       FunctionIdentifier("ulid_timestamp"),
       new ExpressionInfo(classOf[UlidTimestamp].getName, "ulid_timestamp"),

@@ -34,7 +34,7 @@ object ShingleHashes {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-256")
   }
 
-  private def h60(md: MessageDigest, s: String): Long = {
+  private[functions] def h60(md: MessageDigest, s: String): Long = {
     md.reset()
     val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
     var acc = 0L
@@ -100,4 +100,95 @@ object ShingleExprs {
 
   def shingle_sha60(text: Column, n: Int = 3): Column =
     ColumnBridge.column(ShingleSha60(ColumnBridge.expression(text), n))
+
+  def winnow_sketch(text: Column, k: Int = 3, w: Int = 4): Column =
+    ColumnBridge.column(WinnowSketch(ColumnBridge.expression(text), k, w))
+}
+
+/** One-pass winnowing (MOSS) sketch kernel — the codegen upgrade the
+  * HOF spelling's plan audit promised: POSITIONAL word-`k`-gram
+  * sha-60 hashes, per-`w`-window rightmost-minimum selection,
+  * distinct winners position-sorted. Bit-identical to the composed
+  * HOF chain (split → positional transform/sha2 → windowed
+  * rightmost-min aggregate → array_distinct → sort), pinned by
+  * CrossCheckSpec's parity test; the DuckDB oracle replays the same
+  * algorithm independently. Short docs (< k words) sketch the whole
+  * text as one gram at position 0. */
+object WinnowHashes {
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-256")
+  }
+
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val md = digest.get()
+    val ws = text.toString.split(" ", -1)
+    val m = if (ws.length >= k) ws.length - k + 1 else 1
+    val hs = new Array[Long](m)
+    if (ws.length >= k) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j))
+          j += 1
+        }
+        hs(i) = ShingleHashes.h60(md, sb.toString)
+        i += 1
+      }
+    } else hs(0) = ShingleHashes.h60(md, text.toString)
+    // per window: min hash, ties -> rightmost position (the paper's rule)
+    val winners = new java.util.TreeSet[Integer]()
+    val nw = math.max(1, m - w + 1)
+    var j = 0
+    while (j < nw) {
+      var best = j
+      var i = j + 1
+      val end = math.min(j + w, m)
+      while (i < end) {
+        if (hs(i) < hs(best) || (hs(i) == hs(best) && i > best)) best = i
+        i += 1
+      }
+      winners.add(best)
+      j += 1
+    }
+    val rows = new Array[Any](winners.size)
+    val it = winners.iterator()
+    var r = 0
+    while (it.hasNext) {
+      val p = it.next().intValue()
+      rows(r) = org.apache.spark.sql.catalyst.InternalRow(p, hs(p))
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
+case class WinnowSketch(child: Expression, k: Int = 3, w: Int = 4) extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 && w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"winnow_sketch gram width and window must be >= 1, got (k=$k, w=$w)")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_sketch expects a string, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("p", IntegerType, nullable = false),
+                   StructField("h", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_sketch"
+
+  override def nullSafeEval(s: Any): Any =
+    WinnowHashes.compute(s.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowHashes.compute($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSketch =
+    copy(child = newChild)
 }

@@ -143,32 +143,17 @@ object CorpusOps {
     * distinct selected (p, h) set, position-sorted. Guarantee: any
     * shared run of >= w+k-1 words between two docs yields at least one
     * shared sketch HASH — substring-granularity dedup/attribution that
-    * whole-doc hashing and set-Jaccard both miss. Row-local HOF
-    * pipeline (positions matter, so the DISTINCT-set shingle kernel
-    * does not apply); docs shorter than k words sketch their whole
-    * text as one gram. Output (doc_id, n_grams, sketch:
+    * whole-doc hashing and set-Jaccard both miss. One native codegen'd
+    * pass per row (`winnow_sketch`, graft.functions.WinnowHashes —
+    * positions matter, so the DISTINCT-set shingle kernel does not
+    * apply; CrossCheckSpec pins the kernel against the composed HOF
+    * spelling); docs shorter than k words sketch their whole text as
+    * one gram. Output (doc_id, n_grams, sketch:
     * array<struct<p int, h long>>). */
-  def winnowSketches(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
-    def sha60Sql(s: String) = s"cast(conv(substr(sha2($s, 256), 1, 15), 16, 10) as bigint)"
-    docs
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("gs", expr(s"""
-        CASE WHEN size(ws) >= $k
-          THEN transform(sequence(0, size(ws) - $k),
-                 i -> ${sha60Sql(s"concat_ws(' ', slice(ws, i + 1, $k))")})
-          ELSE array(${sha60Sql("concat_ws(' ', ws)")})
-        END"""))
-      .withColumn("pg", expr("transform(gs, (h, i) -> named_struct('h', h, 'p', i))"))
-      .withColumn("mins", expr(s"""
-        transform(sequence(0, greatest(1, size(gs) - ${w - 1}) - 1), j ->
-          aggregate(slice(pg, j + 1, $w),
-            named_struct('h', ${Long.MaxValue}L, 'p', -1),
-            (acc, x) -> CASE WHEN x.h < acc.h OR (x.h = acc.h AND x.p > acc.p)
-                        THEN x ELSE acc END))"""))
-      .select(col("doc_id"), size(col("gs")).as("n_grams"),
-        expr("array_sort(transform(array_distinct(mins), x -> named_struct('p', x.p, 'h', x.h)))")
-          .as("sketch"))
-  }
+  def winnowSketches(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      greatest(lit(1), size(split(col("text"), " ")) - (k - 1)).as("n_grams"),
+      graft.functions.ShingleExprs.winnow_sketch(col("text"), k, w).as("sketch"))
 
   /** One row per distinct text: (doc_id = min over the duplicate
     * clique, text). Partial-aggregatable hash-agg — the scaling lever

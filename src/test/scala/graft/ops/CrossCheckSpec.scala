@@ -133,6 +133,36 @@ class CrossCheckSpec extends AnyFunSuite {
       (3L, s"${line(4)} ${line(5)}", 2L, 0L)))
   }
 
+  test("winnow_sketch kernel is identical to the composed HOF spelling") {
+    def sha60Sql(s: String) = s"cast(conv(substr(sha2($s, 256), 1, 15), 16, 10) as bigint)"
+    val docs = (corpus ++ Seq((900L, "one two"), (901L, "x"), (902L, "a b c d")))
+      .toDF("doc_id", "text")
+    val hof = docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("gs", expr(s"""
+        CASE WHEN size(ws) >= 3
+          THEN transform(sequence(0, size(ws) - 3),
+                 i -> ${sha60Sql("concat_ws(' ', slice(ws, i + 1, 3))")})
+          ELSE array(${sha60Sql("concat_ws(' ', ws)")})
+        END"""))
+      .withColumn("pg", expr("transform(gs, (h, i) -> named_struct('h', h, 'p', i))"))
+      .withColumn("mins", expr(s"""
+        transform(sequence(0, greatest(1, size(gs) - 3) - 1), j ->
+          aggregate(slice(pg, j + 1, 4),
+            named_struct('h', ${Long.MaxValue}L, 'p', -1),
+            (acc, x) -> CASE WHEN x.h < acc.h OR (x.h = acc.h AND x.p > acc.p)
+                        THEN x ELSE acc END))"""))
+      .select(col("doc_id"), expr(
+        "array_sort(transform(array_distinct(mins), x -> named_struct('p', x.p, 'h', x.h)))")
+        .as("sketch"))
+      .select(col("doc_id"), expr("transform(sketch, x -> concat(x.p, ':', x.h))").as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    val kernel = CorpusOps.winnowSketches(docs)
+      .select(col("doc_id"), expr("transform(sketch, x -> concat(x.p, ':', x.h))").as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(kernel == hof)
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 word run share a sketch hash") {
     val rnd = new scala.util.Random(7)
     def sent(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
