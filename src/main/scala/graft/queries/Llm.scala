@@ -1245,6 +1245,78 @@ object Llm {
                    MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
             FROM c GROUP BY lang, shard ORDER BY lang, shard"""))
 
+  // Filter FUNNEL — per-stage removal accounting for the l6 cleanup
+  // cascade (quality gate -> exact-dup keeper -> near-dup drop), the
+  // observability table a production pipeline publishes with every
+  // run: each stage's input count, removals, survivors, and removal
+  // fraction, in cascade order (stage N sees only stage N-1's
+  // survivors, exactly as l6_corpus_clean composes them). One pass:
+  // per-doc flags are computed corpus-parallel (the keeper and
+  // near-dup sides are the same tables l6 builds), collapsed by a
+  // single partial-aggregatable conditional-count aggregate, and the
+  // three stage rows come from exploding a 3-element literal over the
+  // 1-row result — no per-stage rescan, no driver-side counting. The
+  // near-dup drop set is computed over exact-keepers only; the oracle
+  // uses full-corpus pairs — provably the same set (see l6 notes).
+  private val l6funnel = QueryDef(
+    "l6_filter_funnel",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val flagged = docs
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_tok", size(col("ws")))
+        .withColumn("stop_n", expr(stopCount(enS)))
+        .select(col("doc_id"), (qualityCol(col("n_tok"), col("stop_n")) >= 0.6).as("q_ok"))
+      val keepers = graft.ops.CorpusOps.exactDedupKeepers(docs).cache()
+      val nearDrop = jaccardPairsOf(keepers)
+        .select(col("d2").as("doc_id")).distinct()
+        .withColumn("is_near", lit(true))
+      val c = flagged
+        .join(keepers.select(col("doc_id"), lit(true).as("is_keeper")), Seq("doc_id"), "left")
+        .join(nearDrop, Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("c0"),
+          count(when(col("q_ok"), 1)).as("c1"),
+          count(when(col("q_ok") && col("is_keeper").isNotNull, 1)).as("c2"),
+          count(when(col("q_ok") && col("is_keeper").isNotNull && col("is_near").isNull, 1)).as("c3"))
+      c.select(explode(array(
+          struct(lit(1).as("stage_id"), lit("quality_gate").as("stage"),
+            col("c0").as("docs_in"), (col("c0") - col("c1")).as("removed"), col("c1").as("docs_out")),
+          struct(lit(2).as("stage_id"), lit("exact_dedup").as("stage"),
+            col("c1").as("docs_in"), (col("c1") - col("c2")).as("removed"), col("c2").as("docs_out")),
+          struct(lit(3).as("stage_id"), lit("near_dedup").as("stage"),
+            col("c2").as("docs_in"), (col("c2") - col("c3")).as("removed"), col("c3").as("docs_out"))))
+          .as("st"))
+        .select(col("st.*"))
+        .withColumn("removal_frac", round(col("removed").cast("double") / col("docs_in"), 6))
+        .orderBy("stage_id")
+    },
+    Some(s"""WITH $jaccardPairsCte,
+            |q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+            |        len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of'))) AS stop_n
+            |      FROM documents),
+            |fl AS (SELECT doc_id, (${qualityDuck("n_tok", "stop_n")} >= 0.6) AS q_ok FROM q),
+            |keep AS (SELECT doc_id,
+            |        row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+            |      FROM documents),
+            |nd AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
+            |ff AS (SELECT fl.doc_id, q_ok, keep.rn = 1 AS is_keeper,
+            |              nd.doc_id IS NOT NULL AS is_near
+            |       FROM fl JOIN keep ON keep.doc_id = fl.doc_id
+            |       LEFT JOIN nd ON nd.doc_id = fl.doc_id),
+            |c AS (SELECT count(*) AS c0,
+            |             count(CASE WHEN q_ok THEN 1 END) AS c1,
+            |             count(CASE WHEN q_ok AND is_keeper THEN 1 END) AS c2,
+            |             count(CASE WHEN q_ok AND is_keeper AND NOT is_near THEN 1 END) AS c3
+            |      FROM ff)
+            |SELECT stage_id, stage, docs_in, removed, docs_out,
+            |       round(CAST(removed AS DOUBLE) / docs_in, 6) AS removal_frac
+            |FROM (
+            |  SELECT 1 AS stage_id, 'quality_gate' AS stage, c0 AS docs_in, c0 - c1 AS removed, c1 AS docs_out FROM c
+            |  UNION ALL SELECT 2, 'exact_dedup', c1, c1 - c2, c2 FROM c
+            |  UNION ALL SELECT 3, 'near_dedup', c2, c2 - c3, c3 FROM c)
+            |ORDER BY stage_id""".stripMargin))
+
   // ---------------------------------------------------------------- L5b
   // Multimodal pipeline through the oracle gate: documents become
   // media rows with a REAL binary payload (16-byte header + text
@@ -1530,32 +1602,86 @@ object Llm {
   // integer epoch count that levels each stratum up to the largest.
   // Scale shape: one tiny per-stratum agg; the 1-row totals/normalizer
   // frames broadcast-crossJoin back in (action-free construction).
+  /** The temperature-balanced plan (lang, n, share, mix_share,
+    * repeat_factor), unordered — shared by l8_mixture_plan and its
+    * realization l8_mixture_apply so the two can never disagree on the
+    * quota arithmetic. Construction is action-free (the totals and
+    * normalizer are broadcast 1-row aggregates, not collected). */
+  private def mixturePlanOf(docs: DataFrame): DataFrame = {
+    val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val totals = byLang.agg(sum(col("n")).as("total"), max(col("n")).as("max_n"))
+    val withW = byLang.crossJoin(broadcast(totals))
+      .withColumn("share", round(col("n").cast("double") / col("total"), 6))
+      .withColumn("w", round(sqrt(col("n").cast("double") / col("total")), 6))
+    val norm = withW.agg(expr(
+      "aggregate(sort_array(collect_list(struct(lang, w))), cast(0.0 as double), (acc, x) -> acc + x.w)").as("norm"))
+    withW.crossJoin(broadcast(norm))
+      .select(col("lang"), col("n"), col("share"),
+        round(col("w") / col("norm"), 6).as("mix_share"),
+        expr("(max_n + n - 1) div n").as("repeat_factor"))
+  }
+
+  /** CTE chain ending in `plan(lang, n, share, mix_share,
+    * repeat_factor)` — DuckDB spelling of mixturePlanOf, shared by the
+    * plan and apply oracles. (`bl` stays visible for the budget CTE.) */
+  private val mixturePlanCte =
+    """bl AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |tt AS (SELECT CAST(sum(n) AS BIGINT) AS total, max(n) AS max_n FROM bl),
+      |ww AS (SELECT lang, n,
+      |         round(CAST(n AS DOUBLE) / total, 6) AS share,
+      |         round(sqrt(CAST(n AS DOUBLE) / total), 6) AS w,
+      |         max_n FROM bl, tt),
+      |nrm AS (SELECT list_aggregate(list(w ORDER BY lang), 'sum') AS norm FROM ww),
+      |plan AS (SELECT lang, n, share, round(w / norm, 6) AS mix_share,
+      |                (max_n + n - 1) // n AS repeat_factor FROM ww, nrm)""".stripMargin
+
   private val l8mixture = QueryDef(
     "l8_mixture_plan",
+    (s, dir) => mixturePlanOf(t(s, dir, "documents")).orderBy("lang"),
+    Some(s"""WITH $mixturePlanCte
+            |SELECT lang, n, share, mix_share, repeat_factor
+            |FROM plan ORDER BY lang""".stripMargin))
+
+  // Mixture REALIZATION — the other half of mixture planning: turn the
+  // temperature-balanced shares into an actual sampled dataset. Budget
+  // = 40% of the corpus (integer arithmetic); per-language quota =
+  // min(n, max(1, floor(mix_share * budget))) — floor of a double
+  // product whose factors are bit-identical on both engines (mix_share
+  // is rounded to 6dp upstream), so the quotas are too; selection is
+  // the same content-independent sha-60 id-hash rank the stratified
+  // sampler uses (reproducible, no RNG). Scale shape: the plan and
+  // budget sides are langs-sized/1-row broadcasts; the corpus shuffles
+  // once on the stratum key for the rank window — and a petabyte
+  // stratum would swap the rank for the l8_sample_hash threshold with
+  // a rate of quota/n, exactly as documented there.
+  private val l8mixtureApply = QueryDef(
+    "l8_mixture_apply",
     (s, dir) => {
-      val byLang = t(s, dir, "documents").groupBy("lang").agg(count(lit(1)).as("n"))
-      val totals = byLang.agg(sum(col("n")).as("total"), max(col("n")).as("max_n"))
-      val withW = byLang.crossJoin(broadcast(totals))
-        .withColumn("share", round(col("n").cast("double") / col("total"), 6))
-        .withColumn("w", round(sqrt(col("n").cast("double") / col("total")), 6))
-      val norm = withW.agg(expr(
-        "aggregate(sort_array(collect_list(struct(lang, w))), cast(0.0 as double), (acc, x) -> acc + x.w)").as("norm"))
-      withW.crossJoin(broadcast(norm))
-        .select(col("lang"), col("n"), col("share"),
-          round(col("w") / col("norm"), 6).as("mix_share"),
-          expr("(max_n + n - 1) div n").as("repeat_factor"))
-        .orderBy("lang")
+      val docs = t(s, dir, "documents")
+      val budget = broadcast(docs.agg(expr("count(1) * 2 div 5").as("budget")))
+      val quotas = mixturePlanOf(docs).crossJoin(budget)
+        .select(col("lang"),
+          least(col("n"), greatest(lit(1L), floor(col("mix_share") * col("budget")))).as("quota"))
+      val w = Window.partitionBy("lang").orderBy(col("hk").asc, col("doc_id").asc)
+      docs.select(col("lang"), col("doc_id"), sha60(col("doc_id").cast("string")).as("hk"))
+        .withColumn("pos", row_number().over(w))
+        .join(broadcast(quotas), Seq("lang"))
+        .filter(col("pos") <= col("quota"))
+        .select(col("lang"), col("pos").cast("long").as("pos"), col("doc_id"), col("quota"))
+        .orderBy("lang", "pos")
     },
-    Some("""WITH bl AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-            |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, max(n) AS max_n FROM bl),
-            |ww AS (SELECT lang, n,
-            |         round(CAST(n AS DOUBLE) / total, 6) AS share,
-            |         round(sqrt(CAST(n AS DOUBLE) / total), 6) AS w,
-            |         max_n FROM bl, t),
-            |nrm AS (SELECT list_aggregate(list(w ORDER BY lang), 'sum') AS norm FROM ww)
-            |SELECT lang, n, share, round(w / norm, 6) AS mix_share,
-            |       (max_n + n - 1) // n AS repeat_factor
-            |FROM ww, nrm ORDER BY lang""".stripMargin))
+    Some(s"""WITH $mixturePlanCte,
+            |bud AS (SELECT (CAST(sum(n) AS BIGINT) * 2) // 5 AS budget FROM bl),
+            |q AS (SELECT lang, least(n, greatest(1, CAST(floor(mix_share * budget) AS BIGINT))) AS quota
+            |      FROM plan, bud),
+            |r AS (SELECT lang, doc_id,
+            |        CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+            |      FROM documents),
+            |rr AS (SELECT lang, doc_id,
+            |         row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS pos FROM r)
+            |SELECT rr.lang, CAST(pos AS BIGINT) AS pos, doc_id, quota
+            |FROM rr JOIN q ON q.lang = rr.lang WHERE pos <= quota
+            |ORDER BY rr.lang, pos""".stripMargin))
 
   // Deterministic corpus shuffle + sharding — the reproducible
   // "global shuffle before sequence packing" every training run needs:
@@ -1627,7 +1753,7 @@ object Llm {
     l1, l2, l2contain, l2clusters, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans, l3quant,
     l3semdedup, l3pq, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4winnow,
     l4entropy, l5, l5media,
-    l6clean, l6pack,
+    l6clean, l6pack, l6funnel,
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
-    l8shuffle, l8stats)
+    l8mixtureApply, l8shuffle, l8stats)
 }

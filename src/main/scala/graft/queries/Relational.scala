@@ -933,11 +933,38 @@ object Relational {
     Some("""SELECT l_returnflag, true AS p50_within_5pct, true AS nd_within_5pct
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // --------------------------------------------------------------- Q35
+  // LATERAL correlated derived table — top-2 orders per customer via a
+  // per-row correlated subquery with ORDER BY + LIMIT, the remaining
+  // subquery class after Q27-Q29 (scalar / IN / EXISTS). Catalyst
+  // decorrelates the limit into a single window pass over one
+  // customer-key shuffle (no per-row re-execution — `.explain` shows
+  // WindowGroupLimit + one join, the same physical shape as Q14's
+  // rank-filter, arrived at from the declarative per-row spelling), so
+  // the plan is corpus-parallel at any scale.
+  private val q35 = QueryDef(
+    "q35_lateral_topk",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+               FROM customer c, LATERAL (
+                 SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+               ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    },
+    Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+            FROM customer c, LATERAL (
+              SELECT o_orderkey, o_totalprice FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+            ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
     q10semi, q10anti, q11, q12, q13, q14, q15, q16,
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
-    q30, q31, q32, q33, q34)
+    q30, q31, q32, q33, q34, q35)
 }
