@@ -18,14 +18,15 @@ object Bench {
     "q06_rollup", "q07_broadcast_join", "q08_shuffle_join_topk",
     "q12_asof_join", "q14_window_rank", "q15_window_frames", "q16_sort_topk",
     "q18_dedup_keeper", "q21_math_conditional", "q22_array_funcs",
-    "q24_json_funcs", "q30_percentiles", "q31_pivot",
+    "q24_json_funcs", "q30_percentiles", "q31_pivot", "q35_lateral_topk",
     "t1_window_tumbling", "t3_window_session",
-    "l1_exact_dedup", "l2_jaccard_pairs", "l2_containment", "l2_minhash_lsh", "l2_simhash",
+    "l1_exact_dedup", "l2_jaccard_pairs", "l2_containment", "l2_winnow_pairs", "l2_minhash_lsh", "l2_simhash",
     "l2_dup_clusters", "l3_knn_bruteforce", "l3_ann_lsh", "l3_semdedup", "l3_ann_pq",
     "l3_ann_ivfpq",
     "l4_tfidf", "l4_fingerprint", "l4_lm_score", "l4_entropy", "l4_winnow",
     "l6_corpus_clean", "l6_pack_shards",
-    "l8_decontaminate", "l8_repetition", "l8_chunk_windows", "l8_line_dedup")
+    "l8_decontaminate", "l8_repetition", "l8_chunk_windows", "l8_line_dedup",
+    "l8_mixture_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -155,6 +155,35 @@ object CorpusOps {
       greatest(lit(1), size(split(col("text"), " ")) - (k - 1)).as("n_grams"),
       graft.functions.ShingleExprs.winnow_sketch(col("text"), k, w).as("sketch"))
 
+  /** Substring-overlap near-dup pairs from winnow sketches: (d1, d2,
+    * n_shared) for every pair sharing >= minShared distinct sketch
+    * hashes — the pairwise form of the MOSS guarantee (each shared
+    * entry witnesses a shared >= k+w-1-word run), i.e. substring-level
+    * duplication listing where set-Jaccard sees nothing. Inverted-index
+    * shape: sketch entries explode to (doc_id, h) longs, hashes with
+    * document frequency above maxDf are dropped before the self-join
+    * (boilerplate grams otherwise make candidate volume Σ df² —
+    * the same cap discipline as the LSH bucket-length and line-dedup
+    * maxDf guards), so candidates are bounded by maxDf × the rare-entry
+    * count. The pair aggregate is partial-aggregatable. */
+  def winnowPairs(docs: DataFrame, minShared: Int = 3, maxDf: Int = 16): DataFrame = {
+    // cached: the sha-heavy sketch kernel would otherwise re-run for
+    // the df aggregate and BOTH self-join sides (the entry table is
+    // (long, long) rows — sketch-sized, far smaller than the corpus)
+    val entries = winnowSketches(docs)
+      .select(col("doc_id"), explode(col("sketch.h")).as("h"))
+      .distinct()
+      .cache()
+    val rareH = entries.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val rare = entries.join(rareH, "h")
+    rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** One row per distinct text: (doc_id = min over the duplicate
     * clique, text). Partial-aggregatable hash-agg — the scaling lever
     * for cleanup pipelines is running this BEFORE near-dup so exact-dup

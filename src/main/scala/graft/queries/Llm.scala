@@ -1074,6 +1074,28 @@ object Llm {
   // checksum over the position-sorted entries) per the flat-output
   // contract. A native one-pass kernel is the codegen upgrade if
   // sketching ever dominates a profile.
+  /** CTE chain ending in `d(doc_id, p, h)` — the distinct winnow
+    * sketch entries per doc (and `g` with the positional gram arrays).
+    * Shared by the l4_winnow sketch oracle and the l2_winnow_pairs
+    * oracle. */
+  private val winnowEntriesCte =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+      |        THEN list_transform(generate_series(1, len(ws) - 2),
+      |             i -> CAST(concat('0x', substr(sha256(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15)) AS BIGINT))
+      |        ELSE [CAST(concat('0x', substr(sha256(array_to_string(ws, ' ')), 1, 15)) AS BIGINT)] END AS gs
+      |      FROM w),
+      |p AS (SELECT doc_id, gs,
+      |        list_transform(generate_series(1, len(gs)), i -> {'h': gs[i], 'p': i - 1}) AS pg,
+      |        GREATEST(1, len(gs) - 3) AS nw FROM g),
+      |m AS (SELECT doc_id, gs, list_transform(generate_series(0, nw - 1), j ->
+      |        list_reduce(list_concat([{'h': 9223372036854775807, 'p': -1}], pg[j+1:j+4]),
+      |          (acc, x) -> CASE WHEN x.h < acc.h OR (x.h = acc.h AND x.p > acc.p)
+      |                      THEN x ELSE acc END)) AS mins
+      |      FROM p),
+      |u AS (SELECT doc_id, unnest(mins) AS x FROM m),
+      |d AS (SELECT DISTINCT doc_id, x.p AS p, x.h AS h FROM u)""".stripMargin
+
   private val l4winnow =
     QueryDef(
       "l4_winnow",
@@ -1085,28 +1107,36 @@ object Llm {
               .as("sketch_csum"))
           .orderBy("doc_id")
       },
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-             |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
-             |        THEN list_transform(generate_series(1, len(ws) - 2),
-             |             i -> CAST(concat('0x', substr(sha256(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15)) AS BIGINT))
-             |        ELSE [CAST(concat('0x', substr(sha256(array_to_string(ws, ' ')), 1, 15)) AS BIGINT)] END AS gs
-             |      FROM w),
-             |p AS (SELECT doc_id, gs,
-             |        list_transform(generate_series(1, len(gs)), i -> {'h': gs[i], 'p': i - 1}) AS pg,
-             |        GREATEST(1, len(gs) - 3) AS nw FROM g),
-             |m AS (SELECT doc_id, gs, list_transform(generate_series(0, nw - 1), j ->
-             |        list_reduce(list_concat([{'h': 9223372036854775807, 'p': -1}], pg[j+1:j+4]),
-             |          (acc, x) -> CASE WHEN x.h < acc.h OR (x.h = acc.h AND x.p > acc.p)
-             |                      THEN x ELSE acc END)) AS mins
-             |      FROM p),
-             |u AS (SELECT doc_id, unnest(mins) AS x FROM m),
-             |d AS (SELECT DISTINCT doc_id, x.p AS p, x.h AS h FROM u),
+      Some(s"""WITH $winnowEntriesCte,
              |a AS (SELECT doc_id, count(*) AS sketch_size,
              |        list(concat(p, ':', h) ORDER BY p) AS parts FROM d GROUP BY doc_id),
              |n AS (SELECT doc_id, len(gs) AS n_grams FROM g)
              |SELECT n.doc_id, n.n_grams, a.sketch_size,
              |  CAST(concat('0x', substr(sha256(array_to_string(a.parts, ',')), 1, 15)) AS BIGINT) AS sketch_csum
              |FROM n JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin))
+
+  // Winnow-sketch PAIR listing — substring-level near-dup pairs: every
+  // pair of docs sharing >= 3 distinct sketch hashes (each shared
+  // entry witnesses a shared >= 6-word run, the MOSS guarantee). This
+  // is the duplication class set-Jaccard (l2_jaccard_pairs) and whole-
+  // doc hashing (l1) both structurally miss: a paragraph copied
+  // between two otherwise-different docs. Inverted-index join with a
+  // df <= 16 boilerplate cap (see CorpusOps.winnowPairs for the
+  // candidate-volume argument). The oracle replays sketch + index +
+  // pair count in SQL off the shared winnow CTE.
+  private val l2winnowPairs = QueryDef(
+    "l2_winnow_pairs",
+    (s, dir) => graft.ops.CorpusOps.winnowPairs(t(s, dir, "documents"))
+      .orderBy("d1", "d2"),
+    Some(s"""WITH $winnowEntriesCte,
+            |dh AS (SELECT DISTINCT doc_id, h FROM d),
+            |rare AS (SELECT doc_id, h FROM dh
+            |         WHERE h IN (SELECT h FROM dh GROUP BY h HAVING count(*) <= 16)),
+            |pp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+            |       FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+            |       GROUP BY a.doc_id, b.doc_id)
+            |SELECT d1, d2, n_shared FROM pp WHERE n_shared >= 3
+            |ORDER BY d1, d2""".stripMargin))
 
   // Character-entropy quality signal (bits/char): low entropy flags
   // repeated-character/boilerplate garbage, high entropy flags
@@ -1750,7 +1780,7 @@ object Llm {
             |FROM x JOIN dc USING (h) GROUP BY source ORDER BY source""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    l1, l2, l2contain, l2clusters, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans, l3quant,
+    l1, l2, l2contain, l2clusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans, l3quant,
     l3semdedup, l3pq, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4winnow,
     l4entropy, l5, l5media,
     l6clean, l6pack, l6funnel,

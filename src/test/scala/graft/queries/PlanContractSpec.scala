@@ -169,6 +169,34 @@ class PlanContractSpec extends AnyFunSuite {
       s"aggregates are not two-stage partial:\n$plan")
   }
 
+  test("q35: lateral limit decorrelates — partial WindowGroupLimit before the shuffle, no per-row loop") {
+    // The correlated ORDER BY + LIMIT must become ONE orders shuffle
+    // with a map-side group limit (so the exchange carries ~2 rows per
+    // customer, not the whole orders table), and the customer side must
+    // broadcast. A CartesianProduct / nested-loop shape would mean the
+    // lateral subquery failed to decorrelate.
+    val plan = formatted("q35_lateral_topk")
+    assert(countNodes(plan, "WindowGroupLimit") >= 2,
+      s"no partial+final group limit — lateral limit not decorrelated:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"customer side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral executed as a product join:\n$plan")
+  }
+
+  test("l8_mixture_apply: quotas broadcast; corpus shuffles only on the stratum key") {
+    // The plan/budget side is langs-sized and must never shuffle the
+    // corpus a second time: exactly one corpus-sized exchange (lang,
+    // for the rank window) plus the output sort's range exchange.
+    // (the quota subtree also holds a handful of langs-sized/1-row
+    // aggregate exchanges — those carry ~|langs| rows and don't matter)
+    val plan = formatted("l8_mixture_apply")
+    assert(plan.contains("BroadcastHashJoin"), s"quota join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffle-joined against the langs-sized quota side:\n$plan")
+    assert(plan.contains("hashpartitioning(lang"),
+      s"rank window not shuffled on the stratum key:\n$plan")
+  }
+
   test("source batch scan prunes via pushed timestamp seek (behavioral)") {
     // assert the PRUNING, not explain text: only records at/after the
     // seek timestamp may be read from the log
