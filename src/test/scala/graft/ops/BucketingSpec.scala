@@ -26,12 +26,11 @@ class BucketingSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
 
-    Tables(spark, SparkFixture.sfDir, "orders")
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("b_orders")
-    Tables(spark, SparkFixture.sfDir, "lineitem")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("b_lineitem")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    Bucketing.writeBucketed(Tables(spark, SparkFixture.sfDir, "orders"),
+      s"$dir/o", "b_orders", "o_orderkey", buckets = 8)
+    Bucketing.writeBucketed(Tables(spark, SparkFixture.sfDir, "lineitem"),
+      s"$dir/l", "b_lineitem", "l_orderkey", buckets = 8)
 
     val joined = spark.table("b_lineitem")
       .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
