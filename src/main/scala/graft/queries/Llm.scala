@@ -419,6 +419,38 @@ object Llm {
                   FROM sdf)
             SELECT qid, rn, vid, simr FROM r WHERE rn <= 10 ORDER BY qid, rn"""))
 
+  // ANN recall evaluation — the index-quality gate a pipeline runs on
+  // every ANN build: recall@10 of the LSH index against the exact
+  // brute-force top-10, per query. Pure composition of the two audited
+  // subplans (their oracles compose the same way), plus a
+  // top-k-sized join — the eval itself adds ~30-row work regardless of
+  // corpus size, so measuring recall is never the expensive part.
+  // (QueriesSpec separately asserts a recall FLOOR; this op makes the
+  // measurement itself a first-class, oracle-checked output.)
+  private val l3recall = QueryDef(
+    "l3_ann_recall",
+    (s, dir) => {
+      val knn = l3.run(s, dir).select(col("qid"), col("vid"))
+      val ann = l3ann.run(s, dir).select(col("qid"), col("vid"))
+      val hits = knn.join(ann, Seq("qid", "vid"), "semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      knn.select("qid").distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / 10.0, 6).as("recall"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH knn AS (SELECT qid, vid FROM (${l3.oracle.get})),
+            |lsh AS (SELECT qid, vid FROM (${l3ann.oracle.get})),
+            |h AS (SELECT knn.qid, count(*) AS n_hit
+            |      FROM knn JOIN lsh ON lsh.qid = knn.qid AND lsh.vid = knn.vid
+            |      GROUP BY knn.qid),
+            |qs AS (SELECT DISTINCT qid FROM knn)
+            |SELECT qs.qid, coalesce(h.n_hit, 0) AS n_hit,
+            |       round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall
+            |FROM qs LEFT JOIN h ON h.qid = qs.qid ORDER BY qs.qid""".stripMargin))
+
   // IVF with k-means training: 2 Lloyd iterations from the same
   // deterministic init (first 32 vectors), then the l3_ann_ivf
   // assign/probe/re-rank. Everything runs in long format
@@ -1780,7 +1812,7 @@ object Llm {
             |FROM x JOIN dc USING (h) GROUP BY source ORDER BY source""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    l1, l2, l2contain, l2clusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3ivf, l3ivfKmeans, l3quant,
+    l1, l2, l2contain, l2clusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3recall, l3ivf, l3ivfKmeans, l3quant,
     l3semdedup, l3pq, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4winnow,
     l4entropy, l5, l5media,
     l6clean, l6pack, l6funnel,
