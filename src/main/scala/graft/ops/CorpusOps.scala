@@ -299,6 +299,44 @@ object CorpusOps {
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
   }
 
+  /** Action-driven variant of [[dupClusters]] for pipeline (library)
+    * use: runs propagation rounds until NO label changes, then stops —
+    * on the common shallow pair graph (dup cliques, short chains) this
+    * converges in 2-3 rounds instead of paying the fixed worst-case
+    * schedule. Each round costs one extra existence-check job (a
+    * limit-1 anti-match on the changed labels), which is why this
+    * variant cannot back the oracle-gated query: query CONSTRUCTION
+    * must stay action-free (PlanContractSpec), while a pipeline calling
+    * this function is already in action context. Fixed point of
+    * min-label propagation + pointer doubling = per-component minimum,
+    * i.e. exactly [[dupClusters]]'s output (spec-pinned); `maxRounds`
+    * (diameter cover 2^maxRounds) is a runaway bound, not a tuning
+    * knob. */
+  def dupClustersConverged(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .cache()
+    var l = e.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(false)
+    var round = 0
+    var changed = true
+    while (round < maxRounds && changed) {
+      val viaEdge = e.join(l, e("b") === l("node")).select(e("a").as("node"), l("lbl"))
+      val viaPtr = l.as("x").join(l.as("y"), col("x.lbl") === col("y.node"))
+        .select(col("x.node").as("node"), col("y.lbl").as("lbl"))
+      val next = viaEdge.union(viaPtr).groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint(false)
+      changed = !next.as("n").join(l.as("p"), col("n.node") === col("p.node"))
+        .filter(col("n.lbl") =!= col("p.lbl")).isEmpty
+      l = next
+      round += 1
+    }
+    l.select(col("lbl").as("cluster_id"), col("node").as("doc_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+  }
+
   /** Corpus-level LINE deduplication (the CCNet/RefinedWeb boilerplate
     * pass): documents split into lines, a line kept iff its corpus-wide
     * document frequency is <= `maxDf`, documents reassembled in line

@@ -90,6 +90,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(lbls == Seq(0L), s"path did not converge to one cluster: $lbls")
   }
 
+  test("dupClustersConverged matches the fixed-round labels on chain + clique + deep path") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("d1", "d2")
+    val fixed = CorpusOps.dupClusters(pairs).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val conv = CorpusOps.dupClustersConverged(pairs).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(conv == fixed)
+    // a diameter-32 path needs the extra rounds the shallow case skips
+    val deep = (0L until 32L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val lbls = CorpusOps.dupClustersConverged(deep).select("cluster_id")
+      .distinct().as[Long].collect().toSeq
+    assert(lbls == Seq(0L), s"deep path did not converge: $lbls")
+  }
+
   test("lineDedup strips only the cross-doc duplicate lines and keeps order") {
     // with lineWords=2 the docs chunk into 2-word lines; "dup line" is
     // shared by docs 1 and 2, everything else is unique
