@@ -960,11 +960,55 @@ object Relational {
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
             ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""))
 
+  // --------------------------------------------------------------- Q36
+  // Batch sessionization (gaps-and-islands): a new session starts when
+  // a user's inter-event gap exceeds 12 h — lag for the gap, a
+  // conditional-break flag, and a running sum for the session id, then
+  // one aggregate per (user, session). The BATCH counterpart of T3's
+  // streaming session windows, and the canonical lag+cumsum pattern.
+  // All three window passes share the single user_id exchange (same
+  // key, compatible orderings); time arithmetic runs in integer
+  // MICROSECONDS on both engines (events.ts is nanos floored to µs on
+  // read in both — see Tables.scala), and the oracle CASTs its session
+  // sum to BIGINT (DuckDB integer-SUM is HUGEINT, the l6_pack lesson).
+  private val q36 = QueryDef(
+    "q36_sessionize",
+    (s, dir) => {
+      val gapUs = 12L * 3600 * 1000000
+      val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+             min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+        .withColumn("duration_sec", expr("(end_us - start_us) div 1000000"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+            |x AS (SELECT user_id, event_id, us,
+            |        lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+            |b AS (SELECT user_id, event_id, us,
+            |        CASE WHEN prev IS NULL OR us - prev > 43200000000 THEN 1 ELSE 0 END AS brk FROM x),
+            |s AS (SELECT user_id, us,
+            |        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+            |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM b)
+            |SELECT user_id, session_id, count(*) AS n_events,
+            |       min(us) AS start_us, max(us) AS end_us,
+            |       (max(us) - min(us)) // 1000000 AS duration_sec
+            |FROM s GROUP BY user_id, session_id
+            |ORDER BY user_id, session_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
     q10semi, q10anti, q11, q12, q13, q14, q15, q16,
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
-    q30, q31, q32, q33, q34, q35)
+    q30, q31, q32, q33, q34, q35, q36)
 }
