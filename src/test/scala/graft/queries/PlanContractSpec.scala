@@ -197,6 +197,18 @@ class PlanContractSpec extends AnyFunSuite {
       s"rank window not shuffled on the stratum key:\n$plan")
   }
 
+  test("q36: lag, session-sum, and the session aggregate share one user_id exchange") {
+    // Gaps-and-islands must not re-shuffle between its window passes:
+    // the lag window, the running-sum window, and the final
+    // (user, session) aggregate all key by user_id with compatible
+    // orderings — one hash exchange total (plus the output sort's
+    // range exchange).
+    val plan = formatted("q36_sessionize")
+    val userExchanges = "(?m)hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userExchanges == 1,
+      s"expected exactly 1 user_id exchange, found $userExchanges:\n$plan")
+  }
+
   test("source batch scan prunes via pushed timestamp seek (behavioral)") {
     // assert the PRUNING, not explain text: only records at/after the
     // seek timestamp may be read from the log
