@@ -88,8 +88,15 @@ object CorpusOps {
       .select(col("doc_id"),
         expr("transform(fsh, x -> x.h)").as("arr"),
         size(col("fsh")).as("sz"))
+      // threshold enters as a TYPED double literal (lit(t)), not a SQL
+      // string interpolation: an interpolated non-terminating decimal
+      // parses as exact decimal and can exceed the binary double the
+      // verification divides by, shortening the prefix by one and
+      // dropping a boundary pair — lit(t) makes candidate generation
+      // and verification share the identical double
       .withColumn("pref",
-        expr(s"slice(arr, 1, size(arr) - cast(ceil(size(arr) * $t) as int) + 1)"))
+        slice(col("arr"), lit(1),
+          size(col("arr")) - ceil(size(col("arr")) * lit(t)).cast("int") + 1))
       .cache()
   }
 
@@ -497,15 +504,17 @@ object CorpusOps {
     val coded = codes.select(col("vec_id").as("vid"), col("sub"), col("code"))
     // with a candidate set (e.g. IVF probe survivors — IVFADC), only
     // its (qid, vid) pairs are scored: codes join candidates first, so
-    // the ADC volume is candidate-bounded, not corpus×queries
-    val scored = candidates match {
+    // the ADC volume is candidate-bounded, not corpus×queries.
+    // The self-pair exclusion applies to BOTH branches — a caller whose
+    // candidate set contains (q, q) must not get the query back ranked
+    // first at distance ~0.
+    val scored = (candidates match {
       case Some(cand) =>
         coded.join(cand.select("qid", "vid"), Seq("vid"))
           .join(broadcast(lut), Seq("qid", "sub", "code"))
       case None =>
         coded.join(broadcast(lut), Seq("sub", "code"))
-          .filter(col("vid") =!= col("qid"))
-    }
+    }).filter(col("vid") =!= col("qid"))
     val w = Window.partitionBy("qid").orderBy(col("adr").asc, col("vid").asc)
     scored
       .groupBy(col("qid"), col("vid"))

@@ -369,6 +369,18 @@ object Relational {
   // Analytic frames over daily revenue. Every windowed aggregate runs on
   // DECIMAL(18,6) so running sums are exact in both engines; divisions
   // happen after casting the exact sums to double.
+  //
+  // SCALE BOUND (deliberate, do not inherit): the frames run over an
+  // UNPARTITIONED Window.orderBy("day") — a single-partition sort. That
+  // is sound HERE because the input is the day-grained aggregate of
+  // lineitem, whose cardinality is calendar-bounded (~2,500 rows at any
+  // corpus size: one row per ship date, and TPC-H ships span ~7 years;
+  // 100 years is still <37k rows), so the "partition" is a constant-
+  // sized table no matter how large lineitem grows. A variant of this
+  // query over a FACT-grained input (per-order or per-line frames) must
+  // NOT reuse this shape — partition the window by a key (customer,
+  // part, ...) or pre-aggregate first, or the whole fact table funnels
+  // through one task. PlanContractSpec pins the cardinality argument.
   private val q15 = QueryDef(
     "q15_window_frames",
     (s, dir) => {
