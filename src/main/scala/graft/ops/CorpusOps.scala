@@ -78,7 +78,8 @@ object CorpusOps {
     * + 1 is the pigeonhole bound both the Jaccard and containment
     * candidate rules share — keep the formula in ONE place so it can
     * never drift between them. */
-  private def docArrWithPrefix(docs: DataFrame, t: Double): DataFrame = {
+  private def docArrWithPrefix(docs: DataFrame, t: Double)
+                              (implicit scope: CacheScope): DataFrame = {
     val sh = docs.select(col("doc_id"),
       explode(graft.functions.ShingleExprs.shingle_sha60(col("text"))).as("h"))
     val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
@@ -97,10 +98,11 @@ object CorpusOps {
       .withColumn("pref",
         slice(col("arr"), lit(1),
           size(col("arr")) - ceil(size(col("arr")) * lit(t)).cast("int") + 1))
-      .cache()
+      .transform(scope.cached)
   }
 
-  def nearDupPairs(docs: DataFrame): DataFrame = {
+  def nearDupPairs(docs: DataFrame)
+                  (implicit scope: CacheScope): DataFrame = {
     val docArr = docArrWithPrefix(docs, T)
     val pref = docArr.select(col("doc_id"), col("sz"),
       posexplode(col("pref")).as(Seq("p", "h")))
@@ -127,7 +129,8 @@ object CorpusOps {
     * rarest-first prefixes pick low-df shingles; verification is exact
     * on the per-doc arrays. Both directions of a mutual near-dup
     * appear (c is directional by design). */
-  def containmentPairs(docs: DataFrame, t: Double = 0.9): DataFrame = {
+  def containmentPairs(docs: DataFrame, t: Double = 0.9)
+                      (implicit scope: CacheScope): DataFrame = {
     val docArr = docArrWithPrefix(docs, t)
     val pref = docArr.select(col("doc_id").as("a"), explode(col("pref")).as("h"))
     val full = docArr.select(col("doc_id").as("b"), explode(col("arr")).as("h"))
@@ -173,14 +176,14 @@ object CorpusOps {
     * the same cap discipline as the LSH bucket-length and line-dedup
     * maxDf guards), so candidates are bounded by maxDf × the rare-entry
     * count. The pair aggregate is partial-aggregatable. */
-  def winnowPairs(docs: DataFrame, minShared: Int = 3, maxDf: Int = 16): DataFrame = {
+  def winnowPairs(docs: DataFrame, minShared: Int = 3, maxDf: Int = 16)
+                 (implicit scope: CacheScope): DataFrame = {
     // cached: the sha-heavy sketch kernel would otherwise re-run for
     // the df aggregate and BOTH self-join sides (the entry table is
     // (long, long) rows — sketch-sized, far smaller than the corpus)
-    val entries = winnowSketches(docs)
+    val entries = scope.cached(winnowSketches(docs)
       .select(col("doc_id"), explode(col("sketch.h")).as("h"))
-      .distinct()
-      .cache()
+      .distinct())
     val rareH = entries.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
     val rare = entries.join(rareH, "h")
@@ -263,42 +266,119 @@ object CorpusOps {
     *
     * Algorithm: min-label propagation with pointer doubling, a FIXED
     * number of declarative rounds (no driver-side convergence loop —
-    * plan construction stays action-free). Each round every node takes
-    * the min of its neighbors' labels and of its label's label (the
-    * doubling step — which also dominates the node's own label, since
-    * labels only shrink and every label is itself a node), so label
-    * distance doubles per round: `rounds` = r covers components of
-    * diameter <= 2^(r-1) — the default 6 covers diameter 32, far past
-    * any near-dup clique (merely-chained dups rarely exceed single
-    * digits; raise `rounds` for pathological graphs — each extra round
-    * triples the ANALYZED plan's leaf count, which is why the loop is
-    * not unbounded). Each round is two joins + one agg on the
-    * PAIR-graph-sized table, not the corpus, so cost at 100 TB is
+    * plan construction stays action-free). Each round relaxes labels
+    * across edges and applies the pointer jump lbl := lbl(lbl) TWICE
+    * (see [[propagateRound]]), so label reach quadruples per round:
+    * `rounds` = r covers components of diameter <= 2^(2r-1) — the
+    * default 3 covers diameter 32, far past any near-dup clique
+    * (merely-chained dups rarely exceed single digits; raise `rounds`
+    * for pathological graphs). Each round is two joins + one agg on
+    * the PAIR-graph-sized table, not the corpus, so cost at 100 TB is
     * bounded by the dup volume.
     *
     * Output: (cluster_id, doc_id, cluster_size), one row per distinct
     * doc in the pair set.
     */
-  def dupClusters(pairs: DataFrame, rounds: Int = 6): DataFrame = {
+  /** Run `body` — the propagation-round plan construction — with
+    * adaptive execution OFF and `spark.sql.shuffle.partitions` set to
+    * the (data-adaptive) `parts`. The label tables are PAIR-GRAPH-
+    * sized: AQE's per-stage runtime replanning adds fixed latency per
+    * exchange that dominates these tiny rounds (measured ~1.5 s/round
+    * at sf0.1 with AQE vs sub-second static rounds, identical
+    * results), and without AQE's coalescing the static planner must be
+    * told a sane width — `parts` comes from the checkpointed edge
+    * RDD's partition count, i.e. whatever width AQE itself chose for
+    * the pair-pipeline output, so it grows with the dup volume exactly
+    * like the data. Both flags are restored before returning: the
+    * corpus-sized upstream and the caller's terminal query keep their
+    * session settings. */
+  private def withRoundConf[A](spark: org.apache.spark.sql.SparkSession, parts: Int)
+                              (body: => A): A = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val oldAqe = spark.conf.get(aqeKey, "true")
+    val oldParts = spark.conf.get(partKey)
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(partKey, math.max(parts, 1).toString)
+    try body finally {
+      spark.conf.set(aqeKey, oldAqe)
+      spark.conf.set(partKey, oldParts)
+    }
+  }
+
+  /** One propagation ROUND = a relax-and-double join plus a second
+    * pointer-jump join — label reach QUADRUPLES per round.
+    *
+    * Step 1 (relax + double, one join + one agg): the graph edges
+    * unioned with the pointer edges (node → lbl) both look up the
+    * right side's current label, so
+    * next(a) = min( {lbl(b) : (a,b) ∈ E} ∪ {lbl(lbl(a))} ) — the
+    * classic viaEdge ∪ viaPtr formulation in a single join. Every node
+    * appears in its own pointer edge, so coverage is total; labels
+    * only shrink, and lbl(lbl(a)) <= lbl(a) keeps the min dominated by
+    * the doubling step. Reach d → max(2d, d+1).
+    * Step 2 (pure pointer jump, one agg-free join): lbl := lbl(lbl)
+    * doubles again, 2d → 4d. Two doublings per round halve the round
+    * count for the same diameter cover — and round COUNT (sequential
+    * stage scheduling + checkpoint materialization), not row volume,
+    * is what dominates this operator, because the label table is
+    * pair-graph-sized. After r rounds the cover is diameter
+    * <= 2^(2r-1): r=1 -> 2, r=2 -> 8, r=3 -> 32. */
+  private def propagateRound(e: DataFrame, l: DataFrame, reliable: Boolean)
+                            (implicit scope: CacheScope): DataFrame = {
+    val adj = e.union(l.select(col("node").as("a"), col("lbl").as("b")))
+    // checkpointed (lazily): the jump self-join below references the
+    // relax output TWICE (by lbl, by node) — without a lineage break
+    // both sides recompute the whole relax pipeline. A lazy local
+    // checkpoint is a single shared RDD (one computation + persist)
+    // and a plan LEAF, so round plans never grow — and it avoids the
+    // cache-manager's per-round plan normalization/locking that a
+    // cache() here costs on the construction path.
+    val relaxed = scope.checkpointed(
+      adj.as("adj").join(l.as("lt"), col("adj.b") === col("lt.node"))
+        .select(col("adj.a").as("node"), col("lt.lbl").as("lbl"))
+        .groupBy("node").agg(min("lbl").as("lbl")), reliable)
+    // second doubling hop, aggregate-free: lbl is functional (one row
+    // per node) and every label is itself a node in the table, so the
+    // inner self-join emits exactly one row per node — a pointer jump
+    // lbl := lbl(lbl) costing one small join, no shuffle-heavy agg
+    relaxed.as("x").join(relaxed.as("y"), col("x.lbl") === col("y.node"))
+      .select(col("x.node").as("node"), col("y.lbl").as("lbl"))
+  }
+
+  /** @param reliable checkpoint rounds to `SparkContext.setCheckpointDir`
+    *   storage instead of executor-local blocks. Local checkpoints have
+    *   NO lineage to recompute from: on a 1000-executor cluster, losing
+    *   one executor mid-job kills the query unrecoverably — reliable
+    *   mode trades one re-computation per checkpointed round (the RDD
+    *   checkpoint job) for executor-loss tolerance. Set a durable
+    *   checkpoint dir (HDFS/S3) before calling with reliable = true;
+    *   see docs/SCALING.md. */
+  def dupClusters(pairs: DataFrame, rounds: Int = 3, reliable: Boolean = false)
+                 (implicit scope: CacheScope): DataFrame = {
     // Lineage MUST break between rounds: each round references the
-    // previous label table three times (edge side + both pointer-join
-    // sides), so an unbroken fold re-plans and re-executes 3^rounds
-    // copies of the upstream pair pipeline. cache() registers the edge
-    // set for physical reuse; the LAZY localCheckpoint truncates each
-    // round's logical plan to an RDD leaf without running a job at
-    // construction (plan-build stays action-free). Same pattern as
-    // GraphX/GraphFrames checkpointing between Pregel iterations.
-    val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .cache()
-    val init = e.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-    val converged = (1 to rounds).foldLeft(init) { (l, _) =>
-      val viaEdge = e.join(l, e("b") === l("node")).select(e("a").as("node"), l("lbl"))
-      val viaPtr = l.as("x").join(l.as("y"), col("x.lbl") === col("y.node"))
-        .select(col("x.node").as("node"), col("y.lbl").as("lbl"))
-      viaEdge.union(viaPtr).groupBy("node").agg(min("lbl").as("lbl"))
-        .localCheckpoint(false)
+    // previous label table twice (pointer-edge union + join side) and
+    // its own relax output twice (the jump self-join), so an unbroken
+    // fold re-plans 4^rounds copies of the upstream pair pipeline.
+    // cache() registers the edge set for physical reuse; the LAZY
+    // checkpoint truncates each round's logical plan to an RDD leaf.
+    // Same pattern as GraphX/GraphFrames checkpointing between Pregel
+    // iterations.
+    // the edge table is CHECKPOINTED, not cached: every round's plan
+    // would otherwise embed (and the optimizer re-walk) the full
+    // upstream pair pipeline twice per round — as an RDD leaf the
+    // rounds plan over a pair-graph-sized scan. Built under the
+    // session's AQE setting so the corpus-sized upstream keeps its
+    // adaptive benefits; only the tiny rounds opt out (see withoutAqe).
+    val e = scope.checkpointed(
+      pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b"))), reliable)
+    val converged = withRoundConf(pairs.sparkSession, e.rdd.getNumPartitions) {
+      val init = e.select(col("a").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      (1 to rounds).foldLeft(init) { (l, r) =>
+        scope.checkpointed(propagateRound(e, l, reliable), reliable)
+      }
     }
     converged
       .select(col("lbl").as("cluster_id"), col("node").as("doc_id"))
@@ -317,28 +397,36 @@ object CorpusOps {
     * this function is already in action context. Fixed point of
     * min-label propagation + pointer doubling = per-component minimum,
     * i.e. exactly [[dupClusters]]'s output (spec-pinned); `maxRounds`
-    * (diameter cover 2^maxRounds) is a runaway bound, not a tuning
-    * knob. */
-  def dupClustersConverged(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .cache()
-    var l = e.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint(false)
+    * (diameter cover 2^(2*maxRounds-1) — ~2^19 at the default) is a
+    * runaway bound, not a tuning knob, and exhausting it without
+    * convergence logs a WARN instead of failing silently. */
+  def dupClustersConverged(pairs: DataFrame, maxRounds: Int = 10,
+                           reliable: Boolean = false)
+                          (implicit scope: CacheScope): DataFrame = {
+    val e = scope.cached(pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+    var l = scope.checkpointed(e.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node")), reliable)
     var round = 0
     var changed = true
     while (round < maxRounds && changed) {
-      val viaEdge = e.join(l, e("b") === l("node")).select(e("a").as("node"), l("lbl"))
-      val viaPtr = l.as("x").join(l.as("y"), col("x.lbl") === col("y.node"))
-        .select(col("x.node").as("node"), col("y.lbl").as("lbl"))
-      val next = viaEdge.union(viaPtr).groupBy("node").agg(min("lbl").as("lbl"))
-        .localCheckpoint(false)
+      val next = scope.checkpointed(propagateRound(e, l, reliable), reliable)
       changed = !next.as("n").join(l.as("p"), col("n.node") === col("p.node"))
         .filter(col("n.lbl") =!= col("p.lbl")).isEmpty
+      // the existence check just materialized `next`'s checkpoint, so
+      // the SUPERSEDED round's blocks are dead weight from here on —
+      // release them now instead of letting a long convergence run
+      // stack one label table per round (reliable-checkpoint files
+      // follow the cluster's cleanCheckpoints policy instead)
+      if (!reliable) CacheScope.unpersistPlanRdds(l)
       l = next
       round += 1
     }
+    if (changed)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"dupClustersConverged exhausted maxRounds=$maxRounds without " +
+          "convergence — labels may split true components (graph diameter " +
+          s"exceeds 2^$maxRounds); raise maxRounds")
     l.select(col("lbl").as("cluster_id"), col("node").as("doc_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))

@@ -82,12 +82,18 @@ class CorpusOpsSpec extends AnyFunSuite {
       (20L, 20L, 2L), (20L, 21L, 2L)))
   }
 
-  test("dupClusters converges on a path of diameter 2^(rounds-1) at the documented bound") {
-    // path 0-1-2-...-32: diameter 32 is exactly what rounds=6 covers
+  test("dupClusters converges on a path of diameter 2^(2*rounds-1) at the documented bound") {
+    // path 0-1-2-...-32: diameter 32 is exactly what rounds=3 covers
+    // (each round relaxes across edges and doubles the pointer twice)
     val pairs = (0L until 32L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val lbls = CorpusOps.dupClusters(pairs, rounds = 6).select("cluster_id")
+    val lbls = CorpusOps.dupClusters(pairs, rounds = 3).select("cluster_id")
       .distinct().as[Long].collect().toSeq
     assert(lbls == Seq(0L), s"path did not converge to one cluster: $lbls")
+    // one round short must NOT cover it — pins that the bound is tight,
+    // i.e. the cover really is 2^(2r-1) and the default is not padded
+    val short = CorpusOps.dupClusters(pairs, rounds = 2).select("cluster_id")
+      .distinct().as[Long].collect().toSeq
+    assert(short.size > 1, "rounds=2 unexpectedly covered diameter 32 — bound drifted")
   }
 
   test("dupClustersConverged matches the fixed-round labels on chain + clique + deep path") {
