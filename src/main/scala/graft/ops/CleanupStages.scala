@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The EXPENSIVE shared stages of a corpus-cleanup pipeline, built
+  * once and reused by every consumer: the exact-dedup keeper table and
+  * the near-dup pair set computed over keepers (provably the same drop
+  * set as full-corpus pairs — exact dups share an identical shingle
+  * set, so any pair (d1, d2) with a non-keeper d1 is witnessed by
+  * (keeper(d1), d2), keeper(d1) <= d1 < d2 — while the most expensive
+  * stage skips every exact-dup clique; at 100 TB dup rates this
+  * ordering, not the join plan, is the scaling lever).
+  *
+  * Why a product: the cleaned-corpus query and its filter-funnel
+  * accounting need the SAME keepers and the SAME pair set — a pipeline
+  * publishing both (the realistic shape: clean + observability table
+  * per run) must not pay the shingle/verify pipeline twice. Both
+  * tables are cached under the given [[CacheScope]]; the pair pipeline
+  * therefore appears exactly ONCE across however many queries derive
+  * from one instance (plan-contract-pinned), and the scope's owner
+  * releases the storage after the terminal actions.
+  *
+  * {{{
+  * implicit val scope: CacheScope = CacheScope.owned()
+  * val stages  = CleanupStages(docs)
+  * val cleaned = Llm.corpusClean(docs, stages)
+  * val funnel  = Llm.filterFunnel(docs, stages)
+  * cleaned.write.parquet(...); funnel.write.parquet(...)
+  * scope.close()
+  * }}}
+  *
+  * @param keepers        one row per distinct text (doc_id = clique min, text)
+  * @param nearDupPairs   exact-Jaccard pairs (d1, d2, j) over keepers
+  * @param nearDupDropIds distinct d2 of the pair set — the docs a
+  *                       keep-the-smaller-id near-dup rule removes
+  */
+final case class CleanupStages(
+    keepers: DataFrame,
+    nearDupPairs: DataFrame,
+    nearDupDropIds: DataFrame)
+
+object CleanupStages {
+
+  def apply(docs: DataFrame)(implicit scope: CacheScope): CleanupStages = {
+    val keepers = scope.cached(CorpusOps.exactDedupKeepers(docs))
+    // the pair table is candidate-sensitive (tiny next to the corpus)
+    // — caching it is what makes the whole shingle/prefix/verify
+    // pipeline physically run once across every derived query
+    val pairs = scope.cached(CorpusOps.nearDupPairs(keepers))
+    CleanupStages(keepers, pairs,
+      pairs.select(col("d2").as("doc_id")).distinct())
+  }
+}

@@ -1216,45 +1216,41 @@ object Llm {
   // pair from the prefix-filter pipeline). All four stages are
   // corpus-parallel: two shuffles for the near-dup pair set, one
   // hash-agg for exact dedup, zero for the row-local stages.
+  /** The cleaned corpus derived from a shared [[graft.ops.CleanupStages]]
+    * — public so a pipeline publishing BOTH the cleaned table and its
+    * funnel accounting (see [[filterFunnel]]) builds the expensive
+    * stages once (the realistic run shape; plan-contract-pinned).
+    *
+    * keeper selection is a SEMI JOIN on the hash-agg'd keeper ids, not
+    * a row_number window over sha2(text): the window would shuffle
+    * every annotated column (including the split-word array)
+    * partitioned by content hash just to pick min(doc_id) per group —
+    * the semi join shuffles doc_ids only, and the keeper table is in
+    * the stages product anyway for the near-dup stage. rn = 1 under
+    * (partitionBy sha2 orderBy doc_id) is exactly doc_id = min(doc_id)
+    * within the sha2 group; texts within a group are identical, so the
+    * hash-agg's any_value is exact. */
+  def corpusClean(docs: DataFrame, stages: graft.ops.CleanupStages): DataFrame = {
+    val annotated = docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_tok", size(col("ws")))
+      .withColumn("en_n", expr(stopCount(enS))).withColumn("de_n", expr(stopCount(deS)))
+      .withColumn("es_n", expr(stopCount(esS))).withColumn("fr_n", expr(stopCount(frS)))
+      .withColumn("quality", qualityCol(col("n_tok"), col("en_n"))) // en stopwords = quality stoplist
+      .withColumn("pred", langPredCol)
+    annotated
+      .filter(col("quality") >= 0.6)
+      .join(stages.keepers.select("doc_id"), Seq("doc_id"), "semi")
+      .join(stages.nearDupDropIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("pred").as("lang_pred"), col("n_tok"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   private val l6clean = QueryDef(
     "l6_corpus_clean",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val annotated = docs
-        .withColumn("ws", split(col("text"), " "))
-        .withColumn("n_tok", size(col("ws")))
-        .withColumn("en_n", expr(stopCount(enS))).withColumn("de_n", expr(stopCount(deS)))
-        .withColumn("es_n", expr(stopCount(esS))).withColumn("fr_n", expr(stopCount(frS)))
-        .withColumn("quality", qualityCol(col("n_tok"), col("en_n"))) // en stopwords = quality stoplist
-        .withColumn("pred", langPredCol)
-      // keeper selection is a SEMI JOIN on the hash-agg'd keeper ids,
-      // not a row_number window over sha2(text): the window would
-      // shuffle every annotated column (including the split-word
-      // array) partitioned by content hash just to pick min(doc_id)
-      // per group — the semi join shuffles doc_ids only, and the
-      // keeper-id table is computed below anyway for the near-dup
-      // stage. rn = 1 under (partitionBy sha2 orderBy doc_id) is
-      // exactly doc_id = min(doc_id) within the sha2 group.
-      // Near-dup pairs are computed over exact-KEEPERS only — provably
-      // the same drop set as full-corpus pairs (exact dups share an
-      // identical shingle set, so any pair (d1, d2) with a non-keeper
-      // d1 is witnessed by (keeper(d1), d2), keeper(d1) <= d1 < d2),
-      // while the most expensive stage skips every exact-dup clique.
-      // At 100 TB dup rates this ordering, not the join plan, is the
-      // scaling lever.
-      // keeper ids via a partial-aggregatable hash-agg, NOT by re-running
-      // the rn=1 window (that would compute the text-carrying sort
-      // shuffle twice — once here, once for the output filter); texts
-      // within a sha2 group are identical, so any_value is exact
-      val keeperDocs = graft.ops.CorpusOps.exactDedupKeepers(docs)
-        .cache() // feeds BOTH the near-dup stage and the keeper semi join
-      val dropNearDups = jaccardPairsOf(keeperDocs).select(col("d2").as("doc_id")).distinct()
-      annotated
-        .filter(col("quality") >= 0.6)
-        .join(keeperDocs.select("doc_id"), Seq("doc_id"), "semi")
-        .join(dropNearDups, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("pred").as("lang_pred"), col("n_tok"), col("quality"))
-        .orderBy("doc_id")
+      corpusClean(docs, graft.ops.CleanupStages(docs))
     },
     Some(s"""WITH pairs AS ($jaccardOracle),
             |q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
@@ -1320,21 +1316,18 @@ object Llm {
   // 1-row result — no per-stage rescan, no driver-side counting. The
   // near-dup drop set is computed over exact-keepers only; the oracle
   // uses full-corpus pairs — provably the same set (see l6 notes).
-  private val l6funnel = QueryDef(
-    "l6_filter_funnel",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
+  /** Per-stage removal accounting over the SAME shared stages as
+    * [[corpusClean]] — one [[graft.ops.CleanupStages]] instance serves
+    * both outputs, so the pair pipeline runs once per pipeline run. */
+  def filterFunnel(docs: DataFrame, stages: graft.ops.CleanupStages): DataFrame = {
       val flagged = docs
         .withColumn("ws", split(col("text"), " "))
         .withColumn("n_tok", size(col("ws")))
         .withColumn("stop_n", expr(stopCount(enS)))
         .select(col("doc_id"), (qualityCol(col("n_tok"), col("stop_n")) >= 0.6).as("q_ok"))
-      val keepers = graft.ops.CorpusOps.exactDedupKeepers(docs).cache()
-      val nearDrop = jaccardPairsOf(keepers)
-        .select(col("d2").as("doc_id")).distinct()
-        .withColumn("is_near", lit(true))
+      val nearDrop = stages.nearDupDropIds.withColumn("is_near", lit(true))
       val c = flagged
-        .join(keepers.select(col("doc_id"), lit(true).as("is_keeper")), Seq("doc_id"), "left")
+        .join(stages.keepers.select(col("doc_id"), lit(true).as("is_keeper")), Seq("doc_id"), "left")
         .join(nearDrop, Seq("doc_id"), "left")
         .agg(
           count(lit(1)).as("c0"),
@@ -1352,6 +1345,13 @@ object Llm {
         .select(col("st.*"))
         .withColumn("removal_frac", round(col("removed").cast("double") / col("docs_in"), 6))
         .orderBy("stage_id")
+  }
+
+  private val l6funnel = QueryDef(
+    "l6_filter_funnel",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      filterFunnel(docs, graft.ops.CleanupStages(docs))
     },
     Some(s"""WITH $jaccardPairsCte,
             |q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,

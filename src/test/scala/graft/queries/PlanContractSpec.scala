@@ -209,6 +209,51 @@ class PlanContractSpec extends AnyFunSuite {
       s"expected exactly 1 user_id exchange, found $userExchanges:\n$plan")
   }
 
+  test("shared CleanupStages: clean + funnel reference ONE cached pair pipeline") {
+    // A pipeline publishing the cleaned corpus AND its funnel
+    // accounting (the realistic run shape) must not pay the
+    // shingle/prefix/verify pipeline twice: both queries derive from
+    // one CleanupStages whose keeper and pair tables are cached, so
+    // after cache substitution NEITHER query plan contains the shingle
+    // kernel inline — the pair pipeline lives only inside the single
+    // shared InMemoryRelation.
+    val docs = graft.Tables(spark, SparkFixture.sfDir, "documents")
+    val scope = graft.ops.CacheScope.owned()
+    try {
+      val stages = graft.ops.CleanupStages(docs)(scope)
+      for ((name, df) <- Seq(
+          "corpusClean" -> graft.queries.Llm.corpusClean(docs, stages),
+          "filterFunnel" -> graft.queries.Llm.filterFunnel(docs, stages))) {
+        // structural, not textual: InMemoryRelation is a LEAF, so a
+        // collect over the substituted plan sees inline work only —
+        // the kernel may appear INSIDE the shared cache, nowhere else
+        val wcd = df.queryExecution.withCachedData
+        val hitsCache = wcd.collect {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+        }
+        assert(hitsCache.nonEmpty, s"$name does not hit the shared stage caches:\n$wcd")
+        val inlineShingle = wcd.collect {
+          case p if p.expressions.exists(
+              _.find(_.toString.contains("shingle_sha60")).isDefined) => p
+        }
+        assert(inlineShingle.isEmpty,
+          s"$name re-runs the shingle pipeline outside the shared cache:\n$wcd")
+      }
+    } finally scope.close()
+  }
+
+  test("q15: the frame window runs over the day-aggregate, never the fact table") {
+    // The unpartitioned Window.orderBy(day) is sound ONLY because its
+    // input is calendar-bounded (one row per ship date — see the q15
+    // scaladoc's cardinality argument). Pin that the aggregate sits
+    // below the window so a fact-grained variant cannot silently
+    // inherit the single-partition shape.
+    val plan = formatted("q15_window_frames")
+    assert(countNodes(plan, "Window") == 1, s"q15 window count changed:\n$plan")
+    assert("partial_sum".r.findAllIn(plan).nonEmpty,
+      s"day aggregate below the window lost its partial phase:\n$plan")
+  }
+
   test("source batch scan prunes via pushed timestamp seek (behavioral)") {
     // assert the PRUNING, not explain text: only records at/after the
     // seek timestamp may be read from the log
