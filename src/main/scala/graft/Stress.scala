@@ -49,7 +49,45 @@ object Stress {
     val ratios = base.zip(scaled).map { case ((k, b), (_, s0)) => k -> s0 / b }
     val ratioBody = ratios.map { case (k, r) => f""""$k":$r%.1f""" }.mkString(",")
     println("{\"stress\":\"ratio_at_" + factor + "x_data\",\"ratios\":{" + ratioBody + "}}")
+
+    // SKEWED semdedup: the uniform replicas above spread evenly over
+    // the adaptive centroids, so they never exercise the hot-cluster
+    // guard. This corpus collapses 80% of its vectors onto one seed
+    // direction — the shape real embedding corpora take — and the
+    // ratio shows the guard keeps the pairwise stage ~linear (~cap·n
+    // candidates) instead of quadratic in the hot cluster (n²·0.64).
+    def timeSkewedSemDedup(n: Int): Double = {
+      val vecs = skewedEmbeddings(spark, n)
+      val t0 = System.nanoTime()
+      graft.ops.CorpusOps.semDedup(vecs, k = 32, tau = 0.5)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      dt
+    }
+    timeSkewedSemDedup(2000) // warm-up
+    val skewBase = timeSkewedSemDedup(2000)
+    val skewScaled = timeSkewedSemDedup(2000 * factor)
+    println(f"""{"stress":"semdedup_skew","base_n":2000,"base":$skewBase%.3f,"scaled_n":${2000 * factor},"scaled":$skewScaled%.3f,"ratio":${skewScaled / skewBase}%.1f}""")
     spark.stop()
+  }
+
+  /** 32 deterministic seed directions; 80% of the remaining vectors on
+    * seed 0's direction + noise (ONE hot cluster), 20% uniform. */
+  private def skewedEmbeddings(spark: SparkSession, n: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val u = Array.fill(64)(1.0f / 8.0f)
+    val seeds = (0L until 32L).map { i =>
+      (i, if (i == 0) u
+          else Array.tabulate(64)(d => if (d == i.toInt % 64) 1.0f else 0.0f))
+    }
+    val rest = (32 until n).map { i =>
+      (i.toLong,
+        if (i % 5 != 0) Array.tabulate(64)(d => u(d) + (0.06 * (rnd.nextDouble() * 2 - 1)).toFloat)
+        else Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    (seeds ++ rest).toDF("vec_id", "embedding")
   }
 
   private def buildScaled(spark: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {

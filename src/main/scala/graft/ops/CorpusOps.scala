@@ -480,6 +480,74 @@ object CorpusOps {
     b
   }
 
+  /** Sub-bucket width budget for the hot-cluster guard: clusters split
+    * into at most 2^16 sub-buckets (cap × 65536 vectors per cluster
+    * before the guard saturates — far past any real centroid load). */
+  private val MaxSubBits = 16
+
+  /** Deterministic hyperplane component — the same public LCG-style
+    * arithmetic the embedding-LSH family uses, so oracles replay it. */
+  private def subPlaneVal(p: Int, d: Int): Double =
+    (((p * 64 + d) * 2654435761L + 1013904223L) % 2147483647L).toDouble / 2147483647.0 * 2 - 1
+
+  private def subPlaneLit(p: Int): Column =
+    lit(Array.tabulate(64)(d => subPlaneVal(p, d)))
+
+  /** Per-cluster sub-bucket plane choice for the hot-cluster guard.
+    * Input: the k-row centroid table (cid, ce) and per-cluster sizes
+    * (cid, csz). A cluster of size csz splits into 2^nbits sub-buckets
+    * with nbits = ceilLog2(ceil(csz / cap)) (0 when csz <= cap), and
+    * its nbits planes are the ones with the SMALLEST |round(ce·plane,
+    * 6)| (tie → plane index): a tight cluster straddles a hyperplane
+    * only where the plane passes near its direction, so ranking by the
+    * centroid dot picks exactly the planes most likely to cut it —
+    * fixed plane indices would leave a tight cluster whole. All
+    * integer/6dp-rounded arithmetic, so both engines derive identical
+    * choices. Output (cid, p, bit): bit = rank position, <= nbits rows
+    * per cluster, k*nbits rows total — broadcast-sized. */
+  private def chosenSubPlanes(cents: DataFrame, sizes: DataFrame, cap: Int): DataFrame = {
+    import graft.functions.VectorExprs.vec_dot
+    val nb = sizes
+      .withColumn("m", expr(s"(csz + ${cap - 1}) div $cap"))
+      .withColumn("nbits", expr(
+        s"IF(m <= 1, 0, aggregate(sequence(1, $MaxSubBits), 0, " +
+          "(acc, b) -> IF(shiftleft(CAST(1 AS BIGINT), b - 1) < m, b, acc)))"))
+      .select(col("cid"), col("nbits"))
+    val cpd = cents.select(col("cid"),
+        explode(array((0 until MaxSubBits).map(p =>
+          struct(lit(p).as("p"),
+            round(vec_dot(col("ce"), subPlaneLit(p)), 6).as("cd"))): _*)).as("x"))
+      .select(col("cid"), col("x.p").as("p"), col("x.cd").as("cd"))
+    val wPl = Window.partitionBy("cid").orderBy(abs(col("cd")).asc, col("p").asc)
+    cpd.join(nb, "cid")
+      .withColumn("rk", row_number().over(wPl))
+      .filter(col("rk") <= col("nbits"))
+      .select(col("cid"), col("p"), (col("rk") - 1).as("bit"))
+  }
+
+  /** Sub-bucket codes for rows (id, cid, vec) under a plane choice from
+    * [[chosenSubPlanes]]: bit `b` set iff round(vec · plane, 6) > 0 for
+    * the cluster's rank-`b` plane. Rows in unsplit clusters (no chosen
+    * rows) keep sub = 0. The explode is corpus×MaxSubBits rows but the
+    * broadcast join prunes to hot-cluster rows BEFORE any shuffle, so
+    * the aggregate moves only split-cluster content. One output row per
+    * input row: (id, cid, sub). */
+  private def subCodes(rows: DataFrame, idCol: String, vecCol: String,
+                       chosen: DataFrame): DataFrame = {
+    import graft.functions.VectorExprs.vec_dot
+    val vpd = rows.select(col(idCol), col("cid"),
+        explode(array((0 until MaxSubBits).map(p =>
+          struct(lit(p).as("p"),
+            round(vec_dot(col(vecCol), subPlaneLit(p)), 6).as("vd"))): _*)).as("x"))
+      .select(col(idCol), col("cid"), col("x.p").as("p"), col("x.vd").as("vd"))
+    val hot = vpd.join(broadcast(chosen), Seq("cid", "p"))
+      .groupBy(col(idCol), col("cid"))
+      .agg(sum(expr("IF(vd > 0, shiftleft(CAST(1 AS BIGINT), bit), CAST(0 AS BIGINT))")).as("sub"))
+    rows.select(col(idCol), col("cid"))
+      .join(hot, Seq(idCol, "cid"), "left")
+      .withColumn("sub", coalesce(col("sub"), lit(0L)))
+  }
+
   /** SemDeDup-style semantic deduplication over an embedding column:
     * every vector is assigned to its nearest of k deterministic seed
     * centroids (the k smallest vec_ids), and within each cluster a
@@ -499,12 +567,49 @@ object CorpusOps {
     * count() this costs at plan build is the same trade the adaptive
     * banding widths make — pass k explicitly for action-free builds).
     * The centroid table is k rows by construction, hence the explicit
-    * broadcast. Cluster-size skew lands on the cid-keyed self-join —
-    * salt or split hot clusters if a real corpus collapses onto few
-    * centroids.
+    * broadcast.
+    *
+    * HOT-CLUSTER GUARD: real embedding corpora (unlike uniform
+    * fixtures) collapse onto few centroids, and the cid-keyed
+    * self-join is quadratic in the hottest cluster. Clusters larger
+    * than `maxCluster` therefore split into 2^ceilLog2(ceil(csz/cap))
+    * sub-buckets by secondary-hyperplane sign bits ([[chosenSubPlanes]]
+    * picks each cluster's best-cutting planes from the centroid dots;
+    * [[subCodes]] codes the members), and the pairwise rule compares
+    * only within (cid, sub). This bounds candidates at ~cap²/2 per
+    * sub-bucket at the cost of missing cross-sub-bucket pairs — the
+    * standard LSH recall trade, explicit in the knob; `maxCluster =
+    * Int.MaxValue` restores the exact cluster-wide rule. The fixture
+    * scales never trigger the guard (mean cluster ~64 << 256), and the
+    * DuckDB oracle replays the identical guard arithmetic, so the gate
+    * stays bit-for-bit at ANY skew.
     * Output: (vec_id, cid, keep, dup_of) — dup_of = the smallest
     * qualifying smaller id, null for kept vectors. */
-  def semDedup(vecs: DataFrame, k: Int = 0, tau: Double = 0.35): DataFrame = {
+  def semDedup(vecs: DataFrame, k: Int = 0, tau: Double = 0.35,
+               maxCluster: Int = 256)
+              (implicit scope: CacheScope): DataFrame = {
+    import graft.functions.VectorExprs.{vec_dot, vec_norm}
+    def cos(a: Column, b: Column) = vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+    val assignB = semDedupAssignments(vecs, k, maxCluster)
+    val dropped = assignB.as("a").join(assignB.as("b"),
+        col("a.cid") === col("b.cid") && col("a.sub") === col("b.sub") &&
+        col("a.vid") < col("b.vid"))
+      .withColumn("simr", round(cos(col("a.ve"), col("b.ve")), 6))
+      .filter(col("simr") >= tau)
+      .groupBy(col("b.vid").as("vid"))
+      .agg(min(col("a.vid")).as("dup_of"))
+    assignB.join(dropped, Seq("vid"), "left_outer")
+      .select(col("vid").as("vec_id"), col("cid"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+  }
+
+  /** The (vid, cid, sub, ve) assignment table [[semDedup]] compares
+    * within — exposed package-private so specs can audit the candidate
+    * volume the guard admits. CACHED: the pairwise self-join and the
+    * keep-join reference it three times. */
+  private[graft] def semDedupAssignments(vecs: DataFrame, k: Int,
+                                         maxCluster: Int)
+                                        (implicit scope: CacheScope): DataFrame = {
     val kk =
       if (k > 0) k
       else math.max(32, 1L << ceilLog2((vecs.count() + 63) / 64)).toInt
@@ -518,15 +623,10 @@ object CorpusOps {
       .withColumn("simr", round(cos(col("ve"), col("ce")), 6))
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
       .select(col("vid"), col("cid"), col("ve"))
-    val dropped = assign.as("a").join(assign.as("b"),
-        col("a.cid") === col("b.cid") && col("a.vid") < col("b.vid"))
-      .withColumn("simr", round(cos(col("a.ve"), col("b.ve")), 6))
-      .filter(col("simr") >= tau)
-      .groupBy(col("b.vid").as("vid"))
-      .agg(min(col("a.vid")).as("dup_of"))
-    assign.join(dropped, Seq("vid"), "left_outer")
-      .select(col("vid").as("vec_id"), col("cid"),
-        col("dup_of").isNull.as("keep"), col("dup_of"))
+    val sizes = assign.groupBy("cid").agg(count(lit(1)).as("csz"))
+    val chosen = chosenSubPlanes(cents, sizes, maxCluster)
+    scope.cached(
+      assign.join(subCodes(assign, "vid", "ve", chosen), Seq("vid", "cid")))
   }
 
   /** Contiguous subspace split for product quantization: one row per
@@ -619,9 +719,20 @@ object CorpusOps {
     * closest lists, candidates = list co-membership. At scale the
     * probe side is queries×nlist (tiny) and the candidate volume is
     * ~nprobe/nlist of the corpus — the knob that trades recall for
-    * scan fraction. Output (qid, vid), distinct. */
+    * scan fraction.
+    *
+    * HOT-LIST GUARD (`maxList`, off by default so the default oracle
+    * stays byte-stable): a skewed corpus can collapse onto few
+    * inverted lists, and probing a hot list scans its whole
+    * membership. With `maxList` set, lists above it split into
+    * sub-buckets by the same secondary-hyperplane machinery as
+    * [[semDedup]] ([[chosenSubPlanes]] / [[subCodes]]), and a probe
+    * reaches only the sub-bucket matching the QUERY's own sign bits —
+    * per-probe scan volume drops to ~csz/2^nbits at the usual LSH
+    * recall trade. Output (qid, vid), distinct. */
   def ivfCandidates(vecs: DataFrame, queries: DataFrame,
-                    nlist: Int = 32, nprobe: Int = 4): DataFrame = {
+                    nlist: Int = 32, nprobe: Int = 4,
+                    maxList: Int = Int.MaxValue): DataFrame = {
     import graft.functions.VectorExprs.vec_l2sq
     val cents = vecs.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
@@ -635,10 +746,22 @@ object CorpusOps {
       .crossJoin(broadcast(cents))
       .withColumn("d2c", round(vec_l2sq(col("qe"), col("ce")), 6))
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
-      .select(col("qid"), col("cid"))
-    probes.join(assign, "cid")
-      .filter(col("vid") =!= col("qid"))
-      .select("qid", "vid").distinct()
+      .select(col("qid"), col("cid"), col("qe"))
+    if (maxList == Int.MaxValue) {
+      probes.join(assign, "cid")
+        .filter(col("vid") =!= col("qid"))
+        .select("qid", "vid").distinct()
+    } else {
+      val sizes = assign.groupBy("cid").agg(count(lit(1)).as("csz"))
+      val chosen = chosenSubPlanes(cents, sizes, maxList)
+      val assignV = assign
+        .join(vecs.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
+      val vSub = subCodes(assignV, "vid", "ve", chosen)
+      val qSub = subCodes(probes, "qid", "qe", chosen)
+      qSub.join(vSub, Seq("cid", "sub"))
+        .filter(col("vid") =!= col("qid"))
+        .select("qid", "vid").distinct()
+    }
   }
 
   /** Symmetric int8 quantization of a vector column: per-vector

@@ -759,11 +759,19 @@ object Llm {
   // scale (n <= 2000) k stays 32. Both engines derive k with the same
   // integer-only arithmetic. tau = 0.35 sits where the near-random
   // fixture embeddings have mass (47/500 drops at sf0.01); the
-  // algorithm is threshold-agnostic.
+  // algorithm is threshold-agnostic. Clusters above 256 members would
+  // additionally split into secondary-hyperplane sub-buckets (the
+  // hot-cluster guard — see CorpusOps.semDedup; SkewSpec drives it on
+  // a synthetic hot cluster), and the oracle replays that arithmetic
+  // too, so the gate holds at any skew, not just the uniform fixture.
   private val l3semdedup = QueryDef(
     "l3_semdedup",
     (s, dir) => graft.ops.CorpusOps.semDedup(t(s, dir, "embeddings"))
       .orderBy("vec_id"),
+    // the hot-cluster guard (cap 256, <= 16 sub-bits, centroid-ranked
+    // planes) is replayed IDENTICALLY below — at fixture skew every
+    // nbits is 0 and sub collapses to 0, but the oracle carries the
+    // full arithmetic so the gate would stay bit-for-bit on ANY skew
     Some("""WITH prm AS (SELECT GREATEST(32, (SELECT MIN(1::BIGINT << b)
                     FROM (SELECT unnest(range(0, 62)) AS b)
                     WHERE (1::BIGINT << b) >= (nn + 63) // 64)) AS k
@@ -783,8 +791,36 @@ object Llm {
             assign AS (SELECT vid, cid FROM (
                   SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
                   FROM s) WHERE rn = 1),
+            csz AS (SELECT cid, count(*) AS csz FROM assign GROUP BY cid),
+            nb AS (SELECT cid, CASE WHEN m <= 1 THEN 0 ELSE COALESCE(
+                     (SELECT MIN(b) FROM (SELECT unnest(range(0, 17)) AS b)
+                      WHERE (1::BIGINT << b) >= m), 16) END AS nbits
+                   FROM (SELECT cid, (csz + 255) // 256 AS m FROM csz)),
+            pl AS (SELECT p, d,
+                     CAST(((p*64 + d) * 2654435761 + 1013904223) % 2147483647 AS DOUBLE)
+                       / 2147483647.0 * 2 - 1 AS v
+                   FROM (SELECT unnest(range(0, 16)) AS p) tp,
+                        (SELECT unnest(range(0, 64)) AS d) td),
+            cdot AS (SELECT c0.cid, pl.p, round(SUM(c0.v * pl.v), 6) AS cd
+                     FROM c0 JOIN pl ON pl.d = c0.d GROUP BY c0.cid, pl.p),
+            chosen AS (SELECT cid, p, rk - 1 AS bit FROM (
+                     SELECT cdot.cid, cdot.p, nb.nbits,
+                            row_number() OVER (PARTITION BY cdot.cid
+                                               ORDER BY abs(cdot.cd), cdot.p) AS rk
+                     FROM cdot JOIN nb ON nb.cid = cdot.cid) WHERE rk <= nbits),
+            vd AS (SELECT x.vec_id AS vid, pl.p,
+                          round(SUM(CAST(x.e AS DOUBLE) * pl.v), 6) AS vdot
+                   FROM x JOIN pl ON pl.d = x.d GROUP BY x.vec_id, pl.p),
+            sub AS (SELECT a.vid, COALESCE(SUM(CASE WHEN vd.vdot > 0
+                             THEN (1::BIGINT << ch.bit) ELSE 0 END), 0) AS sub
+                    FROM assign a
+                    LEFT JOIN chosen ch ON ch.cid = a.cid
+                    LEFT JOIN vd ON vd.vid = a.vid AND vd.p = ch.p
+                    GROUP BY a.vid),
             p AS (SELECT a.vid AS v1, b.vid AS v2
-                  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vid < b.vid),
+                  FROM assign a JOIN sub sa ON sa.vid = a.vid
+                  JOIN assign b ON a.cid = b.cid AND a.vid < b.vid
+                  JOIN sub sb ON sb.vid = b.vid AND sb.sub = sa.sub),
             dp AS (SELECT v1, v2, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
                    FROM p JOIN x xa ON xa.vec_id = v1
                    JOIN x xb ON xb.vec_id = v2 AND xb.d = xa.d GROUP BY v1, v2),
