@@ -650,6 +650,45 @@ object CorpusOps {
     subVectors(vecs, m, subDim).filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").cast("int").as("cid"), col("sv").as("cv"))
 
+  /** Lloyd-TRAINED PQ codebook: per subspace, `iters` k-means
+    * iterations from the deterministic seed init ([[pqCodebook]]'s k
+    * smallest vec_ids) — assignment by round(L2², 6) with cid
+    * tie-break, centroid update = per-dim AVG rounded to 6dp, the same
+    * determinism rules as the IVF k-means query, so an engine replay
+    * (or the DuckDB oracle) reproduces the codebook bit-for-bit.
+    * A centroid that loses every member simply drops out (both engines
+    * derive the same survivor set).
+    *
+    * Scale shape: everything runs in long format (vec_id, sub, sd, v);
+    * each iteration is one shuffle on (vec_id, sub) for the argmin and
+    * one k*m*subDim-sized aggregate for the update — the codebook
+    * stays broadcast-sized throughout, and the corpus never moves raw
+    * vectors more than the seed variant does. Output (sub, cid,
+    * cv: array<double>) — [[pqEncode]]/[[pqTopK]] accept it unchanged
+    * (the native kernels widen float/double per element). */
+  def pqCodebookTrained(vecs: DataFrame, m: Int = 8, subDim: Int = 8,
+                        k: Int = 16, iters: Int = 2): DataFrame = {
+    val long = subVectors(vecs, m, subDim)
+      .select(col("vec_id"), col("sub"), posexplode(col("sv")).as(Seq("sd", "v0")))
+      .select(col("vec_id"), col("sub"), col("sd"), col("v0").cast("double").as("v"))
+    val init = long.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").cast("int").as("cid"), col("sd"), col("v").as("cv"))
+    val trained = (1 to iters).foldLeft(init) { (cb, _) =>
+      val d2 = long.join(cb, Seq("sub", "sd"))
+        .groupBy(col("vec_id"), col("sub"), col("cid"))
+        .agg(round(sum((col("v") - col("cv")) * (col("v") - col("cv"))), 6).as("d2r"))
+      val assign = d2.groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2r"), col("cid"))).as("b"))
+        .select(col("vec_id"), col("sub"), col("b.cid").as("cid"))
+      assign.join(long, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("cid"), col("sd"))
+        .agg(round(avg(col("v")), 6).as("cv"))
+    }
+    trained.groupBy(col("sub"), col("cid"))
+      .agg(sort_array(collect_list(struct(col("sd"), col("cv")))).as("a"))
+      .select(col("sub"), col("cid"), expr("transform(a, x -> x.cv)").as("cv"))
+  }
+
   /** PQ encode: each (vector, subspace) → id of the nearest codebook
     * centroid by round(L2², 6), ties to the smallest cid. m codes of
     * ⌈log2 k⌉ bits replace subDim·4 bytes — 16× compression at the

@@ -345,10 +345,18 @@ object Llm {
   // any shared 6-bit code, exact cosine re-rank within candidates.
   // 6 bits/table keeps per-table candidate rate ~1/64 of the corpus
   // while 8 independent tables recover recall on weakly-similar data.
-  // The hyperplanes are deterministic arithmetic, so the oracle
-  // replays the identical algorithm in SQL — bucket codes, candidate
-  // set, and the 6dp-rounded re-rank all match bit-for-bit (recall vs
-  // brute force is additionally asserted in AnnSpec).
+  // MULTI-PROBE (Lv et al., VLDB'07): each query additionally probes
+  // the Hamming-1 flips of its 3 LOWEST-|dot| bits per table — the
+  // bits most likely to have landed on the wrong side of their
+  // hyperplane. 4 probes/table quadruple the candidate rate (still
+  // bucket-bounded — the corpus side is untouched, only the 3-row
+  // query side fans out) and lift recall without more tables or wider
+  // codes. Probe order is deterministic: bits rank by (abs(round(dot,
+  // 6)), bit). The hyperplanes are deterministic arithmetic, so the
+  // oracle replays the identical algorithm in SQL — bucket codes,
+  // probe set, candidates, and the 6dp-rounded re-rank all match
+  // bit-for-bit (recall vs brute force is additionally asserted in
+  // QueriesSpec).
   private val l3ann = QueryDef(
     "l3_ann_lsh",
     (s, dir) => {
@@ -375,8 +383,25 @@ object Llm {
         col("vec_id"), col("embedding"),
         explode(array((0 until 8).map(t0 => struct(lit(t0).as("tb"), codeCol(t0).as("code"))): _*)).as("tc"))
         .select(col("vec_id"), col("embedding"), col("tc.tb").as("tb"), col("tc.code").as("code"))
-      val q = coded.filter(col("vec_id").isin(0, 1, 2))
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("tb"), col("code"))
+      // query side: base code + per-table bit ranking by |rounded dot|
+      // (sort_array on struct<ad, bit> = (ad, bit) lexicographic), then
+      // explode the 4 deterministic probes
+      val q0 = e.filter(col("vec_id").isin(0, 1, 2)).select(
+        col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(array((0 until 8).map(t0 => struct(
+          lit(t0).as("tb"),
+          codeCol(t0).as("code"),
+          sort_array(array((0 until 6).map(b => struct(
+            abs(round(planeDot(t0 * 6 + b), 6)).as("ad"),
+            lit(b).as("bit"))): _*)).as("rank"))): _*)).as("tc"))
+        .select(col("qid"), col("qe"), col("tc.tb").as("tb"),
+          col("tc.code").as("code"), col("tc.rank").as("rank"))
+      val q = q0.select(col("qid"), col("qe"), col("tb"),
+        explode(expr(
+          """array(code,
+            |      cast(code ^ shiftleft(1, rank[0].bit) as int),
+            |      cast(code ^ shiftleft(1, rank[1].bit) as int),
+            |      cast(code ^ shiftleft(1, rank[2].bit) as int))""".stripMargin)).as("code"))
       val cand = coded.join(q, Seq("tb", "code"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("qe"), col("vec_id").as("vid"), col("embedding").as("ve"))
@@ -403,9 +428,17 @@ object Llm {
                              SUM(CASE WHEN round(dot, 6) > 0 THEN (1 << (p % 6)) ELSE 0 END) AS code
                       FROM dots GROUP BY vec_id, p // 6),
             q AS (SELECT vec_id AS qid, tb, code FROM codes WHERE vec_id IN (0, 1, 2)),
-            cand AS (SELECT DISTINCT q.qid, c.vec_id AS vid
-                     FROM codes c JOIN q ON c.tb = q.tb AND c.code = q.code
-                     WHERE c.vec_id != q.qid),
+            brank AS (SELECT vec_id AS qid, p // 6 AS tb, p % 6 AS bit,
+                             row_number() OVER (PARTITION BY vec_id, p // 6
+                                                ORDER BY abs(round(dot, 6)), p % 6) AS rk
+                      FROM dots WHERE vec_id IN (0, 1, 2)),
+            qp AS (SELECT qid, tb, code FROM q
+                   UNION
+                   SELECT q.qid, q.tb, CAST(xor(q.code, 1 << r.bit) AS BIGINT) AS code
+                   FROM q JOIN brank r ON r.qid = q.qid AND r.tb = q.tb AND r.rk <= 3),
+            cand AS (SELECT DISTINCT qp.qid, c.vec_id AS vid
+                     FROM codes c JOIN qp ON c.tb = qp.tb AND c.code = qp.code
+                     WHERE c.vec_id != qp.qid),
             n AS (SELECT vec_id, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
                   FROM x GROUP BY vec_id),
             dp AS (SELECT qid, vid, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
@@ -420,36 +453,85 @@ object Llm {
             SELECT qid, rn, vid, simr FROM r WHERE rn <= 10 ORDER BY qid, rn"""))
 
   // ANN recall evaluation — the index-quality gate a pipeline runs on
-  // every ANN build: recall@10 of the LSH index against the exact
-  // brute-force top-10, per query. Pure composition of the two audited
-  // subplans (their oracles compose the same way), plus a
-  // top-k-sized join — the eval itself adds ~30-row work regardless of
-  // corpus size, so measuring recall is never the expensive part.
-  // (QueriesSpec separately asserts a recall FLOOR; this op makes the
-  // measurement itself a first-class, oracle-checked output.)
-  private val l3recall = QueryDef(
+  // every ANN build: recall@10 per (variant, query) for the WHOLE
+  // index family. Cosine-ranking variants (lsh, ivf, ivf_kmeans)
+  // measure against the exact cosine brute force; the ADC family (pq,
+  // pq_trained, ivfpq) ranks by L2, so its honest reference is the
+  // exact L2 top-10 — mixing the references would misattribute the
+  // metric-mismatch error to the index. Pure composition of the
+  // audited subplans (their oracles compose the same way) plus
+  // top-k-sized joins — the eval itself adds ~30-row work per variant
+  // regardless of corpus size, so measuring recall is never the
+  // expensive part. (QueriesSpec separately asserts recall FLOORS;
+  // this op makes the measurement itself a first-class, oracle-checked
+  // output.)
+  private lazy val l3recall = QueryDef(
     "l3_ann_recall",
     (s, dir) => {
-      val knn = l3.run(s, dir).select(col("qid"), col("vid"))
-      val ann = l3ann.run(s, dir).select(col("qid"), col("vid"))
-      val hits = knn.join(ann, Seq("qid", "vid"), "semi")
-        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
-      knn.select("qid").distinct()
-        .join(hits, Seq("qid"), "left")
-        .select(col("qid"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          round(coalesce(col("n_hit"), lit(0L)) / 10.0, 6).as("recall"))
-        .orderBy("qid")
+      val cosRef = l3.run(s, dir).select(col("qid"), col("vid"))
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val wL2 = Window.partitionBy("qid").orderBy(col("d2r").asc, col("vid").asc)
+      val l2Ref = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+        .join(broadcast(q), col("vid") =!= col("qid"))
+        .withColumn("d2r",
+          round(graft.functions.VectorExprs.vec_l2sq(col("qe"), col("ve")), 6))
+        .withColumn("rn", row_number().over(wL2)).filter(col("rn") <= 10)
+        .select("qid", "vid")
+      val variants: Seq[(String, DataFrame, DataFrame)] = Seq(
+        ("ivf", l3ivf.run(s, dir), cosRef),
+        ("ivf_kmeans", l3ivfKmeans.run(s, dir), cosRef),
+        ("ivfpq", l3ivfpq.run(s, dir), l2Ref),
+        ("lsh", l3ann.run(s, dir), cosRef),
+        ("pq", l3pq.run(s, dir), l2Ref),
+        ("pq_trained", l3pqTrained.run(s, dir), l2Ref))
+      variants.map { case (name, ann, ref) =>
+        val hits = ref.join(ann.select("qid", "vid"), Seq("qid", "vid"), "semi")
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        ref.select("qid").distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(lit(name).as("variant"), col("qid"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            round(coalesce(col("n_hit"), lit(0L)) / 10.0, 6).as("recall"))
+      }.reduce(_ union _).orderBy("variant", "qid")
     },
-    Some(s"""WITH knn AS (SELECT qid, vid FROM (${l3.oracle.get})),
-            |lsh AS (SELECT qid, vid FROM (${l3ann.oracle.get})),
-            |h AS (SELECT knn.qid, count(*) AS n_hit
-            |      FROM knn JOIN lsh ON lsh.qid = knn.qid AND lsh.vid = knn.vid
-            |      GROUP BY knn.qid),
-            |qs AS (SELECT DISTINCT qid FROM knn)
-            |SELECT qs.qid, coalesce(h.n_hit, 0) AS n_hit,
-            |       round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall
-            |FROM qs LEFT JOIN h ON h.qid = qs.qid ORDER BY qs.qid""".stripMargin))
+    Some {
+      def recallCte(name: String, ref: String): String =
+        s"""r_$name AS (SELECT '$name' AS variant, q0.qid, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit
+           |  FROM (SELECT DISTINCT qid FROM $ref) q0
+           |  LEFT JOIN (SELECT r0.qid, count(*) AS n FROM $ref r0
+           |             JOIN v_$name s0 ON s0.qid = r0.qid AND s0.vid = r0.vid
+           |             GROUP BY r0.qid) h ON h.qid = q0.qid)""".stripMargin
+      s"""WITH knn AS (SELECT qid, vid FROM (${l3.oracle.get})),
+         |xx AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+         |              generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+         |l2d AS (SELECT q.vec_id AS qid, v.vec_id AS vid,
+         |               round(SUM((q.e - v.e) * (q.e - v.e)), 6) AS d2r
+         |        FROM xx q JOIN xx v ON v.d = q.d AND v.vec_id != q.vec_id
+         |        WHERE q.vec_id IN (0, 1, 2)
+         |        GROUP BY q.vec_id, v.vec_id),
+         |l2ref AS (SELECT qid, vid FROM (
+         |        SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY d2r, vid) AS rn
+         |        FROM l2d) WHERE rn <= 10),
+         |v_lsh AS (SELECT qid, vid FROM (${l3ann.oracle.get})),
+         |v_ivf AS (SELECT qid, vid FROM (${l3ivf.oracle.get})),
+         |v_ivf_kmeans AS (SELECT qid, vid FROM (${l3ivfKmeans.oracle.get})),
+         |v_pq AS (SELECT qid, vid FROM (${l3pq.oracle.get})),
+         |v_pq_trained AS (SELECT qid, vid FROM (${l3pqTrained.oracle.get})),
+         |v_ivfpq AS (SELECT qid, vid FROM (${l3ivfpq.oracle.get})),
+         |${recallCte("lsh", "knn")},
+         |${recallCte("ivf", "knn")},
+         |${recallCte("ivf_kmeans", "knn")},
+         |${recallCte("pq", "l2ref")},
+         |${recallCte("pq_trained", "l2ref")},
+         |${recallCte("ivfpq", "l2ref")}
+         |SELECT variant, qid, n_hit, round(n_hit / 10.0, 6) AS recall
+         |FROM (SELECT * FROM r_ivf UNION ALL SELECT * FROM r_ivf_kmeans
+         |      UNION ALL SELECT * FROM r_ivfpq UNION ALL SELECT * FROM r_lsh
+         |      UNION ALL SELECT * FROM r_pq UNION ALL SELECT * FROM r_pq_trained)
+         |ORDER BY variant, qid""".stripMargin
+    })
 
   // IVF with k-means training: 2 Lloyd iterations from the same
   // deterministic init (first 32 vectors), then the l3_ann_ivf
@@ -862,6 +944,69 @@ object Llm {
                           SUM((s.v - c.cv) * (s.v - c.cv)) AS qd2,
                           round(SUM((s.v - c.cv) * (s.v - c.cv)), 6) AS d2r
                    FROM sv s JOIN cb c ON c.sub = s.sub AND c.sd = s.sd
+                   GROUP BY s.vec_id, s.sub, c.cid),
+            codes AS (SELECT vec_id, sub, cid AS code FROM (
+                   SELECT vec_id, sub, cid,
+                          row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2r, cid) AS rn
+                   FROM d2) WHERE rn = 1),
+            adc AS (SELECT l.vec_id AS qid, c.vec_id AS vid, round(SUM(l.qd2), 6) AS adr
+                    FROM codes c JOIN d2 l ON l.sub = c.sub AND l.cid = c.code
+                    WHERE l.vec_id IN (0, 1, 2) AND c.vec_id != l.vec_id
+                    GROUP BY l.vec_id, c.vec_id),
+            r AS (SELECT qid, vid, adr,
+                         row_number() OVER (PARTITION BY qid ORDER BY adr, vid) AS rn
+                  FROM adc)
+            SELECT qid, rn, vid, adr FROM r WHERE rn <= 10 ORDER BY qid, rn"""))
+
+  // PQ with a Lloyd-TRAINED codebook: 2 k-means iterations per
+  // subspace from the same deterministic seed init (CorpusOps.
+  // pqCodebookTrained), then the identical encode/ADC machinery as
+  // l3_ann_pq. Training adapts each subspace's 16 centroids to the
+  // data distribution, tightening the ADC distance estimates — recall
+  // vs exact L2 rises above the seed codebook's (floor-asserted in
+  // QueriesSpec; both appear in l3_ann_recall). Assignment on
+  // round(L2², 6) with cid tie-break, centroid update = per-dim AVG
+  // rounded 6dp — the oracle replays both iterations bit-for-bit.
+  private val l3pqTrained = QueryDef(
+    "l3_ann_pq_trained",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = graft.ops.CorpusOps.pqCodebookTrained(e)
+      val codes = graft.ops.CorpusOps.pqEncode(e, cb)
+      val q = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.ops.CorpusOps.pqTopK(codes, cb, q).orderBy("qid", "rn")
+    },
+    Some("""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                              CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+            sv AS (SELECT vec_id, d // 8 AS sub, d % 8 AS sd, v FROM x),
+            cb0 AS (SELECT sub, vec_id AS cid, sd, v AS cv FROM sv WHERE vec_id < 16),
+            d2a AS (SELECT s.vec_id, s.sub, c.cid,
+                           round(SUM((s.v - c.cv) * (s.v - c.cv)), 6) AS d2r
+                    FROM sv s JOIN cb0 c ON c.sub = s.sub AND c.sd = s.sd
+                    GROUP BY s.vec_id, s.sub, c.cid),
+            as1 AS (SELECT vec_id, sub, cid FROM (
+                    SELECT vec_id, sub, cid,
+                           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2r, cid) AS rn
+                    FROM d2a) WHERE rn = 1),
+            cb1 AS (SELECT s.sub, a.cid, s.sd, round(AVG(s.v), 6) AS cv
+                    FROM as1 a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+                    GROUP BY s.sub, a.cid, s.sd),
+            d2b AS (SELECT s.vec_id, s.sub, c.cid,
+                           round(SUM((s.v - c.cv) * (s.v - c.cv)), 6) AS d2r
+                    FROM sv s JOIN cb1 c ON c.sub = s.sub AND c.sd = s.sd
+                    GROUP BY s.vec_id, s.sub, c.cid),
+            as2 AS (SELECT vec_id, sub, cid FROM (
+                    SELECT vec_id, sub, cid,
+                           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2r, cid) AS rn
+                    FROM d2b) WHERE rn = 1),
+            cb2 AS (SELECT s.sub, a.cid, s.sd, round(AVG(s.v), 6) AS cv
+                    FROM as2 a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+                    GROUP BY s.sub, a.cid, s.sd),
+            d2 AS (SELECT s.vec_id, s.sub, c.cid,
+                          SUM((s.v - c.cv) * (s.v - c.cv)) AS qd2,
+                          round(SUM((s.v - c.cv) * (s.v - c.cv)), 6) AS d2r
+                   FROM sv s JOIN cb2 c ON c.sub = s.sub AND c.sd = s.sd
                    GROUP BY s.vec_id, s.sub, c.cid),
             codes AS (SELECT vec_id, sub, cid AS code FROM (
                    SELECT vec_id, sub, cid,
@@ -1849,7 +1994,7 @@ object Llm {
 
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2contain, l2clusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3recall, l3ivf, l3ivfKmeans, l3quant,
-    l3semdedup, l3pq, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4winnow,
+    l3semdedup, l3pq, l3pqTrained, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4winnow,
     l4entropy, l5, l5media,
     l6clean, l6pack, l6funnel,
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,

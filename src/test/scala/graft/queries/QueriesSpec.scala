@@ -38,8 +38,9 @@ class QueriesSpec extends AnyFunSuite {
     val km = recall("l3_ann_ivf_kmeans")
     info(s"recall@10: lsh=$lsh ivf=$ivf ivf_kmeans=$km")
     // fixture embeddings are near-random (top-10 cosine ~0.37), which
-    // bounds any bucketed/probed ANN on this data
-    assert(lsh >= 0.1, s"lsh recall collapsed: $lsh")
+    // bounds any bucketed/probed ANN on this data; multi-probe (3
+    // Hamming-1 flips/table) lifted lsh from 0.27 to 0.53 on this seed
+    assert(lsh >= 0.4, s"lsh recall collapsed: $lsh")
     assert(ivf >= 0.1, s"ivf recall collapsed: $ivf")
     assert(km >= 0.1, s"ivf_kmeans recall collapsed: $km")
   }
@@ -72,5 +73,33 @@ class QueriesSpec extends AnyFunSuite {
     // ivfpq additionally pays the 4/32-list probe coverage
     assert(pq >= 0.1, s"pq recall collapsed: $pq")
     assert(ivfpq >= 0.05, s"ivfpq recall collapsed: $ivfpq")
+  }
+
+  test("Lloyd-trained PQ codebook beats the seed codebook once data feeds the centroids") {
+    // at sf0.001 (200 vectors / 16 centroids per subspace) Lloyd is
+    // data-starved and can lose to the seed init — the honest claim is
+    // at sf0.01+, where training lifted recall 0.267 -> 0.367 on this
+    // seed; pin the lift there
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("d2r").asc, col("vid").asc)
+    val exact = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      .join(broadcast(q), col("vid") =!= col("qid"))
+      .withColumn("d2r", round(graft.functions.VectorExprs.vec_l2sq(col("qe"), col("ve")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(name: String): Double = {
+      val got = SparkEntry.queries(name)(spark, dir)
+        .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val pq = recallOf("l3_ann_pq")
+    val pqTrained = recallOf("l3_ann_pq_trained")
+    info(s"recall@10 vs exact L2 at sf0.01: pq=$pq pq_trained=$pqTrained")
+    assert(pqTrained > pq, s"training did not lift pq recall at sf0.01: $pqTrained <= $pq")
   }
 }
