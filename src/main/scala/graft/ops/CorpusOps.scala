@@ -432,6 +432,55 @@ object CorpusOps {
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
   }
 
+  /** Per-document n-gram NOVELTY (the dedup-aware sampling signal):
+    * for each doc, the fraction of its distinct word-`n`-grams whose
+    * corpus-wide FIRST occurrence (min doc_id) is this doc. High
+    * novelty = mostly-new content; low = mostly material already seen
+    * in smaller-id docs — the score a curation pipeline samples by
+    * (or thresholds) to favor fresh text without running full
+    * pairwise dedup.
+    *
+    * Scale shape: grams cross partitions only as 60-bit hashes; the
+    * first-seen table is ONE partial-aggregatable min per hash; the
+    * join back is hash-keyed (AQE-sized); the per-doc ratio is a
+    * partial-aggregatable conditional count. Two shuffles total,
+    * everything corpus-linear. Output (doc_id, n_grams, n_novel,
+    * novelty), novelty rounded 6dp for cross-engine stability. */
+  def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleExprs.shingle_sha60(col("text"), n)).as("h"))
+    val firstSeen = hashed.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    hashed.join(firstSeen, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+  }
+
+  /** Cross-source CONTENT OVERLAP matrix: for every source pair
+    * (src_a < src_b), the number of distinct word-`n`-gram hashes both
+    * sources contain — the dataset-curation table that answers "which
+    * of my sources are re-crawls / mirrors of each other" before any
+    * doc-level dedup runs. Exact-duplicate docs rarely cross sources;
+    * shared GRAMS (quotes, boilerplate, syndicated text) do.
+    *
+    * Scale shape: one distinct (hash, source) projection — its row
+    * count is bounded by grams × |sources|, and |sources| is a
+    * catalog-sized dimension, so the hash-keyed self-join emits at
+    * most |sources|²/2 pairs PER HASH (tiny, fixed) — never a
+    * corpus-quadratic shape; the final aggregate is |sources|²-sized.
+    * Output (src_a, src_b, n_shared). */
+  def sourceOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
+    val hs = docs.select(col("source"),
+      explode(graft.functions.ShingleExprs.shingle_sha60(col("text"), n)).as("h"))
+      .distinct()
+    hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Corpus-level LINE deduplication (the CCNet/RefinedWeb boilerplate
     * pass): documents split into lines, a line kept iff its corpus-wide
     * document frequency is <= `maxDf`, documents reassembled in line

@@ -1992,11 +1992,50 @@ object Llm {
             |       round(AVG(${qualityDuck("n_tok", "stop_n")}), 6) AS mean_quality
             |FROM x JOIN dc USING (h) GROUP BY source ORDER BY source""".stripMargin))
 
+  // Per-doc n-gram novelty — the dedup-aware sampling signal: the
+  // fraction of a doc's distinct 8-grams first seen (min doc_id) in
+  // THIS doc. One partial-agg min per hash + one hash join + one
+  // per-doc conditional count; grams cross partitions only as 60-bit
+  // longs (CorpusOps.ngramNovelty).
+  private val l8novelty = QueryDef(
+    "l8_ngram_novelty",
+    (s, dir) => graft.ops.CorpusOps.ngramNovelty(t(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some(s"""WITH $grams8Sql,
+            |fs AS (SELECT h, MIN(doc_id) AS first_doc FROM h8 GROUP BY h)
+            |SELECT h8.doc_id, count(*) AS n_grams,
+            |       count(CASE WHEN fs.first_doc = h8.doc_id THEN 1 END) AS n_novel,
+            |       round(count(CASE WHEN fs.first_doc = h8.doc_id THEN 1 END)
+            |             / CAST(count(*) AS DOUBLE), 6) AS novelty
+            |FROM h8 JOIN fs USING (h)
+            |GROUP BY h8.doc_id ORDER BY doc_id""".stripMargin))
+
+  // Cross-source content-overlap matrix — which sources mirror /
+  // syndicate each other, measured in shared distinct 8-gram hashes
+  // (exact-dup docs rarely cross sources; shared grams do). The
+  // (hash, source) projection bounds the self-join at |sources|²/2
+  // pairs per hash — catalog-sized, never corpus² (CorpusOps.
+  // sourceOverlap).
+  private val l8overlap = QueryDef(
+    "l8_source_overlap",
+    (s, dir) => graft.ops.CorpusOps.sourceOverlap(t(s, dir, "documents"))
+      .orderBy("src_a", "src_b"),
+    Some("""WITH w8 AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+            g8 AS (SELECT DISTINCT source, g FROM (
+              SELECT source, unnest(CASE WHEN len(ws) >= 8
+                THEN list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))
+                ELSE [array_to_string(ws, ' ')] END) AS g FROM w8)),
+            hs AS (SELECT DISTINCT source,
+              CAST(concat('0x', substr(sha256(g), 1, 15)) AS BIGINT) AS h FROM g8)
+            SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+            FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2contain, l2clusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3recall, l3ivf, l3ivfKmeans, l3quant,
     l3semdedup, l3pq, l3pqTrained, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4winnow,
     l4entropy, l5, l5media,
     l6clean, l6pack, l6funnel,
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
-    l8mixtureApply, l8shuffle, l8stats)
+    l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap)
 }

@@ -168,6 +168,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == Seq((0L, true, None), (1L, false, Some(0L)), (2L, false, Some(0L))))
   }
 
+  test("ngramNovelty scores first-seen grams to the smallest doc_id") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y")).toDF("doc_id", "text")
+    val out = CorpusOps.ngramNovelty(docs, n = 2).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // d1: {ab, bc} both first here -> 1.0; d2: {ab (seen in 1), bd} -> 0.5;
+    // d3: {xy} -> 1.0
+    assert(out == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 1L, 1L, 1.0)))
+  }
+
+  test("sourceOverlap counts distinct shared grams per source pair, ordered") {
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "a b d", "s2"), (3L, "x y", "s2"),
+      (4L, "a b e", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.sourceOverlap(docs, n = 2)
+      .orderBy("src_a", "src_b").as[(String, String, Long)].collect().toSeq
+    // "a b" is the only cross-source bigram, shared by all three sources
+    assert(out == Seq(("s1", "s2", 1L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
+  }
+
   test("nearDupPairs finds planted near-dups and nothing else on a clean corpus") {
     val base = (0 until 40).map(i => s"w${i}a w${i}b w${i}c w${i}d w${i}e").toSeq
     val near = base.head.split(" ").dropRight(0).mkString(" ") // identical text
