@@ -47,6 +47,16 @@ final class CacheScope private[ops] (track: Boolean) {
     c
   }
 
+  /** Cache only in OWNED scopes — for tables whose reuse is ACROSS
+    * queries (the CleanupStages pair table): a one-shot query
+    * references such a table once, so the session-owned default would
+    * pay the columnar cache build without ever reading it back
+    * (measured ~0.3 s of pure cost on l6_corpus_clean at sf0.1). A
+    * pipeline that declares ownership is exactly the caller that will
+    * read it a second time. */
+  private[graft] def cachedIfShared(df: DataFrame): DataFrame =
+    if (track) cached(df) else df
+
   /** Lineage-truncating checkpoint between iterative rounds — local
     * (executor-resident blocks, fast, NOT fault-tolerant) or reliable
     * (`SparkContext.setCheckpointDir` storage, survives executor loss;

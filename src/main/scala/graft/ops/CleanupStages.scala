@@ -46,8 +46,11 @@ object CleanupStages {
     val keepers = scope.cached(CorpusOps.exactDedupKeepers(docs))
     // the pair table is candidate-sensitive (tiny next to the corpus)
     // — caching it is what makes the whole shingle/prefix/verify
-    // pipeline physically run once across every derived query
-    val pairs = scope.cached(CorpusOps.nearDupPairs(keepers))
+    // pipeline physically run once across every derived query. Cached
+    // only under an OWNED scope: a one-shot query reads it once, so
+    // the cache build would be pure cost there (a pipeline session is
+    // exactly the caller that reads it twice).
+    val pairs = scope.cachedIfShared(CorpusOps.nearDupPairs(keepers))
     CleanupStages(keepers, pairs,
       pairs.select(col("d2").as("doc_id")).distinct())
   }
