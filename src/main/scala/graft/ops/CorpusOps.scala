@@ -39,14 +39,15 @@ object CorpusOps {
     * ONE row per doc and intersects in-memory — two small hash joins
     * instead of a row-level join against the corpus-sized shingle
     * table. Shared by the prefix-filter and MinHash paths. */
-  private[graft] def verifiedJaccard(cand: DataFrame, arrs: DataFrame): DataFrame = {
+  private[graft] def verifiedJaccard(cand: DataFrame, arrs: DataFrame,
+                                     t: Double = T): DataFrame = {
     cand
       .join(arrs.select(col("doc_id").as("d1"), col("arr").as("arr1"), col("sz").as("sz1")), "d1")
       .join(arrs.select(col("doc_id").as("d2"), col("arr").as("arr2"), col("sz").as("sz2")), "d2")
       .withColumn("inter", size(array_intersect(col("arr1"), col("arr2"))))
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("j"))
-      .filter(col("j") >= T)
+      .filter(col("j") >= t)
       .orderBy("d1", "d2")
   }
 
@@ -192,6 +193,58 @@ object CorpusOps {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** INCREMENTAL near-dup pairs — a NEW BATCH against an existing
+    * corpus: (d1 ∈ batch, d2 ∈ corpus, j) with exact Jaccard >= `t`.
+    * The production ingestion pattern: the corpus is already clean, so
+    * only batch-vs-corpus pairs matter — never corpus-vs-corpus (the
+    * expensive part of a full-corpus rerun). Same prefix-filter
+    * pigeonhole as [[nearDupPairs]] but under the LEXICOGRAPHIC hash
+    * order (frequency ranking would need a corpus-wide df pass per
+    * ingest — lexicographic needs none and both sides derive it
+    * row-locally from the sorted kernel output). Candidates =
+    * batch-prefix ⋈ corpus-prefix on the 60-bit hash; verification is
+    * exact on the per-doc arrays. doc_ids must be unique across both
+    * sides. */
+  def nearDupPairsAgainst(corpus: DataFrame, batch: DataFrame,
+                          t: Double = T): DataFrame = {
+    def prep(d: DataFrame): DataFrame = d.select(col("doc_id"),
+        array_sort(graft.functions.ShingleExprs.shingle_sha60(col("text"))).as("arr"))
+      .withColumn("sz", size(col("arr")))
+      .withColumn("pref", slice(col("arr"), lit(1),
+        size(col("arr")) - ceil(size(col("arr")) * lit(t)).cast("int") + 1))
+    val b = prep(batch)
+    val c = prep(corpus)
+    val cand = b.select(col("doc_id").as("d1"), explode(col("pref")).as("h"))
+      .join(c.select(col("doc_id").as("d2"), explode(col("pref")).as("h")), "h")
+      .select("d1", "d2").distinct()
+    verifiedJaccard(cand,
+      b.select("doc_id", "arr", "sz").union(c.select("doc_id", "arr", "sz")), t)
+  }
+
+  /** Incremental-ingest dedup verdicts for a new batch against an
+    * existing corpus: one row per batch doc — (doc_id, exact_dup,
+    * near_dup, keep). Exact duplication is a hash semi-comparison
+    * against the corpus content-hash set (at scale that set is the
+    * PERSISTED index an ingestion pipeline maintains — here derived
+    * from the corpus table); near duplication comes from
+    * [[nearDupPairsAgainst]]. keep = neither. The batch never compares
+    * against itself — run [[exactDedupKeepers]]/[[nearDupPairs]]
+    * WITHIN the batch first if intra-batch dups matter. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+                       t: Double = T): DataFrame = {
+    val corpusHashes = corpus.select(sha2(col("text"), 256).as("ch")).distinct()
+      .withColumn("exact_dup", lit(true))
+    val exactFlag = batch.select(col("doc_id"), sha2(col("text"), 256).as("bh"))
+      .join(corpusHashes, col("bh") === col("ch"), "left")
+      .select(col("doc_id"), coalesce(col("exact_dup"), lit(false)).as("exact_dup"))
+    val nearIds = nearDupPairsAgainst(corpus, batch, t)
+      .select(col("d1").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    exactFlag.join(nearIds, Seq("doc_id"), "left")
+      .withColumn("near_dup", coalesce(col("near_dup"), lit(false)))
+      .withColumn("keep", !col("exact_dup") && !col("near_dup"))
   }
 
   /** One row per distinct text: (doc_id = min over the duplicate

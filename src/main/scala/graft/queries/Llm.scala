@@ -1992,6 +1992,51 @@ object Llm {
             |       round(AVG(${qualityDuck("n_tok", "stop_n")}), 6) AS mean_quality
             |FROM x JOIN dc USING (h) GROUP BY source ORDER BY source""".stripMargin))
 
+  // Incremental-ingest dedup — the production pattern the full-corpus
+  // queries don't cover: a new batch (doc_id % 20 == 0, ~5%) arrives
+  // against an already-clean corpus (the rest); each batch doc gets
+  // exact/near-dup verdicts AGAINST THE CORPUS ONLY (never
+  // corpus-vs-corpus — that work is already paid). The near-dup side
+  // uses the lexicographic-prefix filter (no corpus-wide frequency
+  // pass per ingest — see CorpusOps.nearDupPairsAgainst); the oracle
+  // replays the identical candidate rule, and verification is exact,
+  // so the gate is bit-for-bit.
+  private val l2incr = QueryDef(
+    "l2_incremental_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.CorpusOps.incrementalDedup(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+            |sh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(sha256(s), 1, 15)) AS BIGINT) AS h
+            |       FROM (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+            |         THEN list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+            |         ELSE [array_to_string(ws, ' ')] END) AS s FROM w)),
+            |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            |pr AS (SELECT doc_id, h FROM (
+            |  SELECT sh.doc_id, h, row_number() OVER (PARTITION BY sh.doc_id ORDER BY h) AS rn, sz.sz
+            |  FROM sh JOIN sz ON sh.doc_id = sz.doc_id)
+            |  WHERE rn <= sz - ceil(sz * 0.8) + 1),
+            |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            |  FROM pr a JOIN pr b ON a.h = b.h
+            |  WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 != 0),
+            |i AS (SELECT c.d1, c.d2, count(*) AS i
+            |  FROM cand c JOIN sh a ON a.doc_id = c.d1
+            |  JOIN sh b ON b.doc_id = c.d2 AND b.h = a.h GROUP BY c.d1, c.d2),
+            |nd AS (SELECT DISTINCT d1 FROM i
+            |  JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+            |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.8),
+            |ch AS (SELECT DISTINCT sha256(text) AS h FROM w WHERE doc_id % 20 != 0)
+            |SELECT doc_id,
+            |  sha256(text) IN (SELECT h FROM ch) AS exact_dup,
+            |  doc_id IN (SELECT d1 FROM nd) AS near_dup,
+            |  NOT (sha256(text) IN (SELECT h FROM ch))
+            |    AND NOT (doc_id IN (SELECT d1 FROM nd)) AS keep
+            |FROM w WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin))
+
   // Per-doc n-gram novelty — the dedup-aware sampling signal: the
   // fraction of a doc's distinct 8-grams first seen (min doc_id) in
   // THIS doc. One partial-agg min per hash + one hash join + one
@@ -2037,5 +2082,5 @@ object Llm {
     l4entropy, l5, l5media,
     l6clean, l6pack, l6funnel,
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
-    l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap)
+    l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr)
 }

@@ -168,6 +168,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == Seq((0L, true, None), (1L, false, Some(0L)), (2L, false, Some(0L))))
   }
 
+  test("incrementalDedup flags batch docs against the corpus only") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "alpha beta gamma delta epsilon"),            // exact dup of 1
+      (101L, "one two three four five six seven"),         // near dup of 2 (J = 4/5)
+      (102L, "completely different content here"),         // clean
+      (103L, "completely different content here"))         // intra-BATCH dup: stays keep=true
+      .toDF("doc_id", "text")
+    val out = CorpusOps.incrementalDedup(corpus, batch).orderBy("doc_id")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (100L, true, true, false),   // identical text: exact AND trivially near
+      (101L, false, true, false),
+      (102L, false, false, true),
+      (103L, false, false, true))) // batch-internal dups are out of scope by contract
+  }
+
   test("ngramNovelty scores first-seen grams to the smallest doc_id") {
     val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y")).toDF("doc_id", "text")
     val out = CorpusOps.ngramNovelty(docs, n = 2).orderBy("doc_id")
