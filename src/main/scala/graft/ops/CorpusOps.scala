@@ -272,6 +272,52 @@ object CorpusOps {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** SPAN-LEVEL decontamination (the FineWeb/Pile refinement of
+    * [[decontaminate]]): instead of flagging whole train docs, REMOVE
+    * the contaminated lines and keep the rest — a doc quoting one
+    * benchmark passage keeps its other 99 paragraphs. Non-eval docs
+    * split into `lineWords`-word lines (the [[lineDedup]] chunker;
+    * real data pre-splits on newlines); a line is dropped iff it
+    * shares a word-`n`-gram with the eval slice. Granularity contract:
+    * line-LOCAL grams only — an n-gram spanning two lines is not
+    * checked (the eval side hashes its full texts, so nothing is lost
+    * to eval-side splitting). Output mirrors [[lineDedup]]:
+    * (doc_id, clean_text, n_kept, n_dropped).
+    *
+    * Scale shape: grams cross partitions only as 60-bit hashes; the
+    * eval gram set is benchmark-sized (AQE broadcasts it); the only
+    * corpus-sized shuffle is the doc_id reassembly. */
+  def decontaminateLines(docs: DataFrame, isEval: Column, n: Int = 8,
+                         lineWords: Int = 10): DataFrame = {
+    val evalGrams = docs.filter(isEval)
+      .select(explode(graft.functions.ShingleExprs.shingle_sha60(col("text"), n)).as("h"))
+      .distinct()
+    val lined = docs.filter(!isEval)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(ws) + ${lineWords - 1}) div $lineWords - 1),
+             |  k -> concat_ws(' ', slice(ws, k * $lineWords + 1, $lineWords)))""".stripMargin))
+          .as(Seq("line_no", "line")))
+    val contaminated = lined
+      .select(col("doc_id"), col("line_no"),
+        explode(graft.functions.ShingleExprs.shingle_sha60(col("line"), n)).as("h"))
+      .join(evalGrams, "h")
+      .select("doc_id", "line_no").distinct()
+      .withColumn("bad", lit(true))
+    lined.join(contaminated, Seq("doc_id", "line_no"), "left")
+      .withColumn("keep", col("bad").isNull)
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(when(col("keep"), struct(col("line_no"), col("line")))))
+          .as("kept"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        count(when(!col("keep"), lit(1))).as("n_dropped"))
+      .select(col("doc_id"),
+        array_join(expr("transform(kept, x -> x.line)"), " ").as("clean_text"),
+        col("n_kept"), col("n_dropped"))
+  }
+
   /** Fixed-context chunking: (doc_id, chunk_id, n_tok, chunk) windows
     * of `window` words advancing by `stride` (trailing window clamps).
     * Embarrassingly parallel per doc — explode only, no shuffle. */

@@ -1992,6 +1992,43 @@ object Llm {
             |       round(AVG(${qualityDuck("n_tok", "stop_n")}), 6) AS mean_quality
             |FROM x JOIN dc USING (h) GROUP BY source ORDER BY source""".stripMargin))
 
+  // Span-level decontamination — l8_decontaminate's refinement: drop
+  // only the CONTAMINATED LINES of a train doc (a doc quoting one
+  // benchmark passage keeps everything else). Line-local 8-grams vs
+  // the eval slice's full-text gram set (eval = doc_id % 10 == 0, the
+  // same pseudo-benchmark as l8_decontaminate); the oracle replays
+  // the chunker + gram rule exactly.
+  private val l8decontamScrub = QueryDef(
+    "l8_decontam_scrub",
+    (s, dir) => graft.ops.CorpusOps.decontaminateLines(
+        t(s, dir, "documents"), col("doc_id") % 10 === 0)
+      .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                         generate_subscripts(string_split(text, ' '), 1) AS i
+                  FROM documents WHERE doc_id % 10 != 0),
+            l AS (SELECT doc_id, (i - 1) // 10 AS line_no,
+                         string_agg(word, ' ' ORDER BY i) AS line
+                  FROM w GROUP BY doc_id, (i - 1) // 10),
+            we AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 10 = 0),
+            ev AS (SELECT DISTINCT CAST(concat('0x', substr(sha256(g), 1, 15)) AS BIGINT) AS h FROM (
+                  SELECT unnest(CASE WHEN len(ws) >= 8
+                    THEN list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' '))
+                    ELSE [array_to_string(ws, ' ')] END) AS g FROM we)),
+            lg AS (SELECT doc_id, line_no,
+                          CAST(concat('0x', substr(sha256(g), 1, 15)) AS BIGINT) AS h FROM (
+                  SELECT doc_id, line_no, unnest(CASE WHEN len(lws) >= 8
+                    THEN list_transform(generate_series(1, len(lws)-7), i -> array_to_string(lws[i:i+7], ' '))
+                    ELSE [array_to_string(lws, ' ')] END) AS g
+                  FROM (SELECT doc_id, line_no, string_split(line, ' ') AS lws FROM l))),
+            bad AS (SELECT DISTINCT lg.doc_id, lg.line_no FROM lg JOIN ev USING (h))
+            SELECT l.doc_id,
+                   coalesce(string_agg(CASE WHEN bad.line_no IS NULL THEN l.line END,
+                                       ' ' ORDER BY l.line_no), '') AS clean_text,
+                   count(CASE WHEN bad.line_no IS NULL THEN 1 END) AS n_kept,
+                   count(CASE WHEN bad.line_no IS NOT NULL THEN 1 END) AS n_dropped
+            FROM l LEFT JOIN bad ON bad.doc_id = l.doc_id AND bad.line_no = l.line_no
+            GROUP BY l.doc_id ORDER BY l.doc_id"""))
+
   // Incremental-ingest dedup — the production pattern the full-corpus
   // queries don't cover: a new batch (doc_id % 20 == 0, ~5%) arrives
   // against an already-clean corpus (the rest); each batch doc gets
@@ -2082,5 +2119,5 @@ object Llm {
     l4entropy, l5, l5media,
     l6clean, l6pack, l6funnel,
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
-    l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr)
+    l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr, l8decontamScrub)
 }

@@ -168,6 +168,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == Seq((0L, true, None), (1L, false, Some(0L)), (2L, false, Some(0L))))
   }
 
+  test("decontaminateLines drops only the lines sharing grams with eval") {
+    val docs = Seq(
+      (1L, "x y"),              // eval
+      (2L, "a b x y c d"),      // lines: "a b" | "x y" (contaminated) | "c d"
+      (3L, "p q")               // clean
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.decontaminateLines(docs, col("doc_id") === 1,
+        n = 2, lineWords = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq((2L, "a b c d", 2L, 1L), (3L, "p q", 1L, 0L)))
+  }
+
   test("incrementalDedup flags batch docs against the corpus only") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),
