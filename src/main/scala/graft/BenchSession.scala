@@ -32,6 +32,11 @@ object BenchSession {
         -1.0
     }
     spark.sharedState.cacheManager.clearCache() // after timing, not inside it
+    // local-checkpoint RDD blocks (the dup-cluster rounds) live at the
+    // RDD level, invisible to the SQL cache manager — release whatever
+    // the cleared caches left behind so repeated cold runs measure the
+    // same storage baseline instead of accumulating dead round tables
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     elapsed
   }
 }

@@ -18,10 +18,14 @@ import org.apache.spark.sql.execution.LogicalRDD
   * it at fixture scale; at 100 TB it evicts the caches you wanted).
   *
   * Ownership contract:
-  *  - Default ([[CacheScope.sessionOwned]]): the SESSION owns cleanup —
-  *    blocks live until `spark.sharedState.cacheManager.clearCache()`
-  *    or session end. This is what the one-shot oracle queries use
-  *    (the driver clears caches between timed runs).
+  *  - Default ([[CacheScope.sessionOwned]]): the SESSION owns cleanup.
+  *    `cache()`d tables clear with
+  *    `spark.sharedState.cacheManager.clearCache()`; local-CHECKPOINT
+  *    blocks are RDD-level persistence the SQL cache manager never
+  *    sees — under the default they live until the RDDs are
+  *    unpersisted (`sparkContext.getPersistentRDDs`) or the session
+  *    ends. One-shot oracle queries run this way; the bench harness
+  *    releases both kinds between timed runs (BenchSession.timeQuery).
   *  - Pipelines call `CacheScope.owned()`, pass it to each transform,
   *    run their terminal actions, then `scope.close()` — every scaffold
   *    cached or locally-checkpointed under the scope is unpersisted.

@@ -90,17 +90,22 @@ object CorpusOps {
       .select(col("doc_id"),
         expr("transform(fsh, x -> x.h)").as("arr"),
         size(col("fsh")).as("sz"))
-      // threshold enters as a TYPED double literal (lit(t)), not a SQL
-      // string interpolation: an interpolated non-terminating decimal
-      // parses as exact decimal and can exceed the binary double the
-      // verification divides by, shortening the prefix by one and
-      // dropping a boundary pair — lit(t) makes candidate generation
-      // and verification share the identical double
-      .withColumn("pref",
-        slice(col("arr"), lit(1),
-          size(col("arr")) - ceil(size(col("arr")) * lit(t)).cast("int") + 1))
+      .withColumn("pref", slice(col("arr"), lit(1), prefixLen(t)))
       .transform(scope.cached)
   }
+
+  /** The pigeonhole prefix bound |S| − ceil(t·|S|) + 1 over an `arr`
+    * column — THE single definition every candidate rule (Jaccard,
+    * containment, incremental batch-vs-corpus) derives from, so the
+    * completeness-critical formula can never drift between paths. The
+    * threshold enters as a TYPED double literal (lit(t)), not a SQL
+    * string interpolation: an interpolated non-terminating decimal
+    * parses as exact decimal and can exceed the binary double the
+    * verification divides by, shortening the prefix by one and
+    * dropping a boundary pair — lit(t) makes candidate generation and
+    * verification share the identical double. */
+  private def prefixLen(t: Double): Column =
+    size(col("arr")) - ceil(size(col("arr")) * lit(t)).cast("int") + 1
 
   def nearDupPairs(docs: DataFrame)
                   (implicit scope: CacheScope): DataFrame = {
@@ -208,12 +213,16 @@ object CorpusOps {
     * exact on the per-doc arrays. doc_ids must be unique across both
     * sides. */
   def nearDupPairsAgainst(corpus: DataFrame, batch: DataFrame,
-                          t: Double = T): DataFrame = {
-    def prep(d: DataFrame): DataFrame = d.select(col("doc_id"),
+                          t: Double = T)
+                         (implicit scope: CacheScope): DataFrame = {
+    // cached: each side is referenced twice (prefix-explode candidate
+    // side + verification array side) — uncached, the sha-heavy
+    // shingle kernel and the sort would re-run over the FULL CORPUS
+    // per ingest, doubling the operator's dominant cost
+    def prep(d: DataFrame): DataFrame = scope.cached(d.select(col("doc_id"),
         array_sort(graft.functions.ShingleExprs.shingle_sha60(col("text"))).as("arr"))
       .withColumn("sz", size(col("arr")))
-      .withColumn("pref", slice(col("arr"), lit(1),
-        size(col("arr")) - ceil(size(col("arr")) * lit(t)).cast("int") + 1))
+      .withColumn("pref", slice(col("arr"), lit(1), prefixLen(t))))
     val b = prep(batch)
     val c = prep(corpus)
     val cand = b.select(col("doc_id").as("d1"), explode(col("pref")).as("h"))
@@ -233,7 +242,8 @@ object CorpusOps {
     * against itself — run [[exactDedupKeepers]]/[[nearDupPairs]]
     * WITHIN the batch first if intra-batch dups matter. */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
-                       t: Double = T): DataFrame = {
+                       t: Double = T)
+                      (implicit scope: CacheScope): DataFrame = {
     val corpusHashes = corpus.select(sha2(col("text"), 256).as("ch")).distinct()
       .withColumn("exact_dup", lit(true))
     val exactFlag = batch.select(col("doc_id"), sha2(col("text"), 256).as("bh"))
@@ -378,31 +388,32 @@ object CorpusOps {
     * Output: (cluster_id, doc_id, cluster_size), one row per distinct
     * doc in the pair set.
     */
-  /** Run `body` — the propagation-round plan construction — with
-    * adaptive execution OFF and `spark.sql.shuffle.partitions` set to
-    * the (data-adaptive) `parts`. The label tables are PAIR-GRAPH-
-    * sized: AQE's per-stage runtime replanning adds fixed latency per
-    * exchange that dominates these tiny rounds (measured ~1.5 s/round
-    * at sf0.1 with AQE vs sub-second static rounds, identical
-    * results), and without AQE's coalescing the static planner must be
-    * told a sane width — `parts` comes from the checkpointed edge
-    * RDD's partition count, i.e. whatever width AQE itself chose for
-    * the pair-pipeline output, so it grows with the dup volume exactly
-    * like the data. Both flags are restored before returning: the
-    * corpus-sized upstream and the caller's terminal query keep their
-    * session settings. */
-  private def withRoundConf[A](spark: org.apache.spark.sql.SparkSession, parts: Int)
-                              (body: => A): A = {
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val partKey = "spark.sql.shuffle.partitions"
-    val oldAqe = spark.conf.get(aqeKey, "true")
-    val oldParts = spark.conf.get(partKey)
-    spark.conf.set(aqeKey, "false")
-    spark.conf.set(partKey, math.max(parts, 1).toString)
-    try body finally {
-      spark.conf.set(aqeKey, oldAqe)
-      spark.conf.set(partKey, oldParts)
-    }
+  /** Build the propagation rounds in a CHILD SESSION
+    * (`SparkSession.newSession()` — same SparkContext, its own conf)
+    * with adaptive execution OFF and shuffle width `parts`. The label
+    * tables are PAIR-GRAPH-sized: AQE's per-stage runtime replanning
+    * adds fixed latency per exchange that dominates these tiny rounds
+    * (measured ~1.5 s/round at sf0.1 with AQE vs sub-second static
+    * rounds, identical results), and without AQE's coalescing the
+    * static planner must be told a sane width — `parts` comes from
+    * the edge RDD's partition count, i.e. whatever width AQE itself
+    * chose for the pair-pipeline output, so it grows with the dup
+    * volume like the data. The child session means the CALLER's conf
+    * is NEVER touched — a temporary set/restore on the shared session
+    * would silently disable AQE for any query another thread plans
+    * inside the window (a library must not mutate shared conf).
+    * Datasets cross the boundary as (RDD[Row], schema) — pair-graph-
+    * sized rows, so the conversion at the two crossings is noise. */
+  private def inRoundSession(spark: org.apache.spark.sql.SparkSession, parts: Int)
+                            (body: org.apache.spark.sql.SparkSession => DataFrame): DataFrame = {
+    val rs = spark.newSession()
+    rs.conf.set("spark.sql.adaptive.enabled", "false")
+    rs.conf.set("spark.sql.shuffle.partitions", math.max(parts, 1).toString)
+    val out = body(rs)
+    // back to the caller's session: .rdd PLANS under the child conf
+    // (lazy — AQE-off plans run no jobs) and the wrapper stays lazy
+    // over that RDD, executing with the caller's terminal action
+    spark.createDataFrame(out.rdd, out.schema)
   }
 
   /** One propagation ROUND = a relax-and-double join plus a second
@@ -472,11 +483,12 @@ object CorpusOps {
     val e = scope.checkpointed(
       pairs.select(col("d1").as("a"), col("d2").as("b"))
         .union(pairs.select(col("d2").as("a"), col("d1").as("b"))), reliable)
-    val converged = withRoundConf(pairs.sparkSession, e.rdd.getNumPartitions) {
-      val init = e.select(col("a").as("node")).distinct()
+    val converged = inRoundSession(pairs.sparkSession, e.rdd.getNumPartitions) { rs =>
+      val eR = rs.createDataFrame(e.rdd, e.schema)
+      val init = eR.select(col("a").as("node")).distinct()
         .withColumn("lbl", col("node"))
       (1 to rounds).foldLeft(init) { (l, r) =>
-        scope.checkpointed(propagateRound(e, l, reliable), reliable)
+        scope.checkpointed(propagateRound(eR, l, reliable), reliable)
       }
     }
     converged
@@ -509,14 +521,20 @@ object CorpusOps {
     var round = 0
     var changed = true
     while (round < maxRounds && changed) {
-      val next = scope.checkpointed(propagateRound(e, l, reliable), reliable)
+      // the per-round RELAX intermediate (checkpointed inside
+      // propagateRound) is dead as soon as `next` materializes — give
+      // it a round-local scope and close it after the existence check,
+      // alongside the superseded label table: a long convergence run
+      // must not stack two block sets per round (reliable-checkpoint
+      // files follow the cluster's cleanCheckpoints policy instead)
+      val roundScope = CacheScope.owned()
+      val next = scope.checkpointed(
+        propagateRound(e, l, reliable)(roundScope), reliable)
       changed = !next.as("n").join(l.as("p"), col("n.node") === col("p.node"))
         .filter(col("n.lbl") =!= col("p.lbl")).isEmpty
       // the existence check just materialized `next`'s checkpoint, so
-      // the SUPERSEDED round's blocks are dead weight from here on —
-      // release them now instead of letting a long convergence run
-      // stack one label table per round (reliable-checkpoint files
-      // follow the cluster's cleanCheckpoints policy instead)
+      // both the relax scrap and the superseded round are releasable
+      roundScope.close()
       if (!reliable) CacheScope.unpersistPlanRdds(l)
       l = next
       round += 1
@@ -525,7 +543,8 @@ object CorpusOps {
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"dupClustersConverged exhausted maxRounds=$maxRounds without " +
           "convergence — labels may split true components (graph diameter " +
-          s"exceeds 2^$maxRounds); raise maxRounds")
+          s"exceeds 2^(2*$maxRounds-1), two pointer doublings per round); " +
+          "raise maxRounds")
     l.select(col("lbl").as("cluster_id"), col("node").as("doc_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
