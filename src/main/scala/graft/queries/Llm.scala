@@ -1217,43 +1217,55 @@ object Llm {
   // is one IEEE op, and ln differs across engines by <= 1 ulp —
   // absorbed by round 6 on the per-doc average (the l4_tfidf
   // precedent).
+  /** (doc_id, n_bigrams, x) — the add-one-smoothed bigram-LM per-doc
+    * cross-entropy over `docs` (counts from the corpus itself; see the
+    * l4_lm_score notes above). Shared by l4_lm_score and
+    * l8_ppl_bucket. */
+  private def lmXent(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(ws)-2), i -> struct(ws[i] as w1, ws[i+1] as w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val v = broadcast(bi.agg(countDistinct(col("w2")).cast("double").as("v")))
+    val prob = cb.join(cu, "w1").crossJoin(v)
+      .select(col("w1"), col("w2"),
+        (-log((col("cb") + 1) / (col("cu") + col("v")))).as("nlp"))
+    bi.join(prob, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("nlp")).as("x"))
+  }
+
+  /** CTE chain ending in `agg(doc_id, n_bigrams, x)` — the bigram-LM
+    * per-doc cross-entropy, independently spelled in DuckDB SQL.
+    * Shared by the l4_lm_score and l8_ppl_bucket oracles. */
+  private val lmCte =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bi AS (SELECT doc_id,
+      |         string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+      |       FROM (SELECT doc_id, unnest(list_transform(
+      |               generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])) AS bg
+      |             FROM w WHERE len(ws) >= 2)),
+      |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+      |cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY w1),
+      |v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bi),
+      |sc AS (SELECT doc_id, -ln((cb + 1) / (cu + v.v)) AS nlp
+      |       FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1), v),
+      |agg AS (SELECT doc_id, count(*) AS n_bigrams, avg(nlp) AS x
+      |        FROM sc GROUP BY doc_id)""".stripMargin
+
   private val l4lm = QueryDef(
     "l4_lm_score",
-    (s, dir) => {
-      val bi = t(s, dir, "documents")
-        .withColumn("ws", split(col("text"), " "))
-        .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), explode(
-          expr("transform(sequence(0, size(ws)-2), i -> struct(ws[i] as w1, ws[i+1] as w2))")).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-      val cu = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
-      val v = broadcast(bi.agg(countDistinct(col("w2")).cast("double").as("v")))
-      val prob = cb.join(cu, "w1").crossJoin(v)
-        .select(col("w1"), col("w2"),
-          (-log((col("cb") + 1) / (col("cu") + col("v")))).as("nlp"))
-      bi.join(prob, Seq("w1", "w2"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), avg(col("nlp")).as("x"))
-        .select(col("doc_id"), col("n_bigrams"),
-          round(col("x"), 6).as("xent"), round(exp(col("x")), 6).as("ppl"))
-        .orderBy("doc_id")
-    },
-    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-            bi AS (SELECT doc_id,
-                     string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
-                   FROM (SELECT doc_id, unnest(list_transform(
-                           generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])) AS bg
-                         FROM w WHERE len(ws) >= 2)),
-            cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
-            cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY w1),
-            v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bi),
-            sc AS (SELECT doc_id, -ln((cb + 1) / (cu + v.v)) AS nlp
-                   FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1), v),
-            agg AS (SELECT doc_id, count(*) AS n_bigrams, avg(nlp) AS x
-                    FROM sc GROUP BY doc_id)
-            SELECT doc_id, n_bigrams, round(x, 6) AS xent, round(exp(x), 6) AS ppl
-            FROM agg ORDER BY doc_id"""))
+    (s, dir) => lmXent(t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("x"), 6).as("xent"), round(exp(col("x")), 6).as("ppl"))
+      .orderBy("doc_id"),
+    Some(s"""WITH $lmCte
+            |SELECT doc_id, n_bigrams, round(x, 6) AS xent, round(exp(x), 6) AS ppl
+            |FROM agg ORDER BY doc_id""".stripMargin))
 
   // Rolling polynomial hash over the raw characters (mod 1e9+7), the
   // classic document fingerprint; plus a sha-prefix content id.
@@ -2113,11 +2125,144 @@ object Llm {
             FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // Fixed-length sequence packing — the actual token-layout step of
+  // training prep (the GPT-style pack): within each deterministic
+  // shard (60-bit id-hash mod 16, the l8_shuffle_order rule), docs
+  // concatenate in (hash, doc_id) order and SPLIT across fixed
+  // 256-token sequence boundaries; the output is the
+  // (shard, seq, doc_id, off, len) piece table — the exact layout a
+  // dataloader replays, and the audit trail for "which doc fed which
+  // training sequence". Complements l6_pack_shards (greedy
+  // whole-doc shards) and l8_chunk_windows (per-doc windows): this is
+  // the boundary-splitting global layout. Scale shape: one corpus
+  // shuffle keyed by shard + per-shard sort (nshards grows with the
+  // corpus, so the cumulative-sum windows stay executor-sized — no
+  // global window), then a row-local explode of each doc's overlapped
+  // sequence range (a doc yields ceil(n_tok/256)+1 pieces at most).
+  // Integer arithmetic end-to-end -> the gate is bit-for-bit.
+  private val l8packSeq = QueryDef(
+    "l8_pack_sequences",
+    (s, dir) => {
+      val L = 256L
+      val w = Window.partitionBy("shard").orderBy(col("hk").asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"),
+          sha60(col("doc_id").cast("string")).as("hk"))
+        .withColumn("shard", pmod(col("hk"), lit(16L)))
+        .withColumn("en", sum(col("n_tok")).over(w))
+        .withColumn("st", col("en") - col("n_tok"))
+        .withColumn("seq", explode(sequence(expr(s"st DIV $L"), expr(s"(en - 1) DIV $L"))))
+        .select(col("shard"), col("seq"), col("doc_id"),
+          (greatest(col("st"), col("seq") * L) - col("seq") * L).as("off"),
+          (least(col("en"), (col("seq") + 1L) * L)
+            - greatest(col("st"), col("seq") * L)).as("len"))
+        .orderBy("shard", "seq", "off")
+    },
+    Some("""WITH h AS (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+            FROM documents),
+            c AS (SELECT doc_id, hk % 16 AS shard, n_tok,
+                    CAST(SUM(n_tok) OVER (PARTITION BY hk % 16 ORDER BY hk, doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS en
+                  FROM h),
+            u AS (SELECT doc_id, shard, en - n_tok AS st, en,
+                    unnest(generate_series((en - n_tok) // 256, (en - 1) // 256)) AS seq
+                  FROM c)
+            SELECT shard, seq, doc_id,
+                   GREATEST(st, seq * 256) - seq * 256 AS off,
+                   LEAST(en, (seq + 1) * 256) - GREATEST(st, seq * 256) AS len
+            FROM u ORDER BY shard, seq, off"""))
+
+  // CCNet-style perplexity bucketing — the curation step between LM
+  // scoring and mixture planning: per language, docs rank by their
+  // bigram-LM cross-entropy (the shared l4_lm_score signal) into
+  // head/middle/tail terciles; tail (most atypical third) is dropped.
+  // Ordering is by the 6-dp-ROUNDED cross-entropy with a doc_id
+  // tiebreak, so both engines rank the identical keys (the raw double
+  // differs by ulps of ln/avg reassociation — the l4 rounding
+  // precedent). Scale shape: the LM pipeline (two corpus shuffles, see
+  // l4_lm_score) plus one lang-keyed window; languages are a catalog,
+  // and at 100 TB you'd sub-bucket the rank window by (lang,
+  // hash-range) and merge quantile boundaries — documented, not
+  // needed at fixture scale. ntile is the standard SQL bucket rule on
+  // both engines.
+  private val l8pplBucket = QueryDef(
+    "l8_ppl_bucket",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = Window.partitionBy("lang").orderBy(round(col("x"), 6).asc, col("doc_id").asc)
+      lmXent(docs).join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), round(exp(col("x")), 6).as("ppl"),
+          col("bucket"), (col("bucket") <= 2).as("keep"))
+        .orderBy("lang", "bucket", "doc_id")
+    },
+    Some(s"""WITH $lmCte,
+            |b AS (SELECT a.doc_id, d.lang, a.x FROM agg a JOIN documents d USING (doc_id)),
+            |r AS (SELECT doc_id, lang, x,
+            |        ntile(3) OVER (PARTITION BY lang ORDER BY round(x, 6), doc_id) AS bucket
+            |      FROM b)
+            |SELECT doc_id, lang, round(exp(x), 6) AS ppl, bucket, bucket <= 2 AS keep
+            |FROM r ORDER BY lang, bucket, doc_id""".stripMargin))
+
+  // Hashed-n-gram linear classifier scoring — the fasttext-shaped
+  // quality/toxicity classifier every production pipeline runs: word
+  // unigram + bigram features hash into D=1024 buckets (60-bit sha
+  // mod D), a bucket->weight table joins in (broadcast: the model is
+  // KB-sized however big the corpus), and the doc score is
+  // sigmoid(mean weight). Weights here are a deterministic
+  // hash-derived fixture standing in for trained parameters — the
+  // pipeline shape (feature hashing, broadcast model join,
+  // partial-aggregatable mean, link function) is the real thing.
+  // Determinism: weights are integer numerators in [-1000, 1000];
+  // the per-doc SUM is an exact integer, the mean is ONE IEEE
+  // division, and exp ulps are absorbed by round-6 — bit-for-bit.
+  // Scale shape: explode + one doc_id-keyed partial agg; features
+  // cross partitions only as (doc_id, bucket) ints.
+  private val l4classifier = QueryDef(
+    "l4_classifier",
+    (s, dir) => {
+      val D = 1024L
+      val docs = t(s, dir, "documents").withColumn("ws", split(col("text"), " "))
+      val uni = docs.select(col("doc_id"), explode(col("ws")).as("f"))
+      val big = docs.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))")).as("f"))
+      val feats = uni.union(big).select(col("doc_id"), pmod(sha60(col("f")), lit(D)).as("b"))
+      val weights = broadcast(s.range(D).select(col("id").as("b"),
+        (pmod(sha60(concat(lit("w"), col("id").cast("string"))), lit(2001L)) - 1000L).as("num")))
+      feats.join(weights, "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feat"), sum(col("num")).as("snum"))
+        .select(col("doc_id"), col("n_feat"),
+          round(lit(1.0) / (lit(1.0) +
+            exp(-(col("snum") / (lit(1000.0) * col("n_feat"))))), 6).as("score"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            fe AS (SELECT doc_id, CAST(concat('0x', substr(sha256(f), 1, 15)) AS BIGINT) % 1024 AS b FROM (
+                SELECT doc_id, unnest(ws) AS f FROM w
+                UNION ALL
+                SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                                                     i -> ws[i] || ' ' || ws[i+1])) AS f
+                FROM w WHERE len(ws) >= 2)),
+            wt AS (SELECT g AS b,
+                     CAST(concat('0x', substr(sha256('w' || CAST(g AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000 AS num
+                   FROM generate_series(0, 1023) t(g)),
+            a AS (SELECT doc_id, count(*) AS n_feat, CAST(SUM(num) AS BIGINT) AS snum
+                  FROM fe JOIN wt USING (b) GROUP BY doc_id)
+            SELECT doc_id, n_feat,
+                   round(1.0 / (1.0 + exp(-(snum / (1000.0 * n_feat)))), 6) AS score
+            FROM a ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2contain, l2clusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3recall, l3ivf, l3ivfKmeans, l3quant,
     l3semdedup, l3pq, l3pqTrained, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4winnow,
     l4entropy, l5, l5media,
     l6clean, l6pack, l6funnel,
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
-    l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr, l8decontamScrub)
+    l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr, l8decontamScrub,
+    l8packSeq, l8pplBucket, l4classifier)
 }

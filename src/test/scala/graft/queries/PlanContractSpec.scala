@@ -84,6 +84,26 @@ class PlanContractSpec extends AnyFunSuite {
       s"documents scan reads more than (doc_id, text):\n$plan")
   }
 
+  test("l8_pack_sequences: one shard shuffle + the output sort — explode adds none") {
+    val plan = formatted("l8_pack_sequences")
+    // hash exchange for the per-shard cumulative window, range exchange
+    // for the output sort; the piece explode and all arithmetic are
+    // row-local — a third exchange means the layout stopped scaling
+    assert(countNodes(plan, "Exchange") == 2,
+      s"sequence packing gained a shuffle:\n$plan")
+    assert(plan.contains("struct<doc_id:bigint,text:string>"),
+      s"documents scan reads more than (doc_id, text):\n$plan")
+  }
+
+  test("l4_classifier: the weight model joins as a broadcast, never a shuffle") {
+    // the bucket->weight table is model-sized (KB) however big the
+    // corpus — it must broadcast; a sort-merge join here would shuffle
+    // the exploded feature stream a second time
+    val plan = formatted("l4_classifier")
+    assert(plan.contains("BroadcastHashJoin"), s"weight join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"feature stream shuffled for the model join:\n$plan")
+  }
+
   test("l8_scrub: regex scrub is a shuffle-free map over a 2-column scan") {
     val plan = formatted("l8_scrub_ids")
     assert(countNodes(plan, "Exchange") == 1,

@@ -75,6 +75,53 @@ class QueriesSpec extends AnyFunSuite {
     assert(ivfpq >= 0.05, s"ivfpq recall collapsed: $ivfpq")
   }
 
+  test("pack_sequences pieces tile every non-final sequence exactly") {
+    import org.apache.spark.sql.functions._
+    val p = SparkEntry.queries("l8_pack_sequences")(spark, SparkFixture.sfDir)
+    // sum(len)==256 && span [0,256) per (shard, seq) implies gapless,
+    // overlap-free tiling (overlap would push sum above the span)
+    val per = p.groupBy("shard", "seq")
+      .agg(sum("len").as("tot"), min("off").as("mn"),
+           max(col("off") + col("len")).as("mx"))
+    val last = p.groupBy("shard").agg(max("seq").as("lastSeq"))
+    val bad = per.join(last, "shard").filter(col("seq") < col("lastSeq"))
+      .filter(col("tot") =!= 256 || col("mn") =!= 0 || col("mx") =!= 256)
+    assert(bad.count() == 0, "non-final sequence not exactly tiled")
+    // conservation: every corpus token lands in exactly one piece
+    val docsTok = graft.Tables(spark, SparkFixture.sfDir, "documents")
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    val packed = p.agg(sum("len")).collect()(0).getLong(0)
+    assert(packed == docsTok, s"packed $packed tokens vs corpus $docsTok")
+  }
+
+  test("ppl buckets are balanced per language, ordered by perplexity, keep = head+middle") {
+    import org.apache.spark.sql.functions._
+    val b = SparkEntry.queries("l8_ppl_bucket")(spark, SparkFixture.sfDir)
+    val skew = b.groupBy("lang", "bucket").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("d"))
+      .filter(col("d") > 1)
+    assert(skew.count() == 0, "ntile bucket sizes differ by more than 1 within a language")
+    val bounds = b.groupBy("lang", "bucket").agg(min("ppl").as("lo"), max("ppl").as("hi"))
+    val inverted = bounds.as("a").join(bounds.as("b"),
+        col("a.lang") === col("b.lang") && col("a.bucket") + 1 === col("b.bucket"))
+      .filter(col("a.hi") > col("b.lo"))
+    assert(inverted.count() == 0, "bucket k holds higher perplexity than bucket k+1")
+    assert(b.filter((col("bucket") <= 2) =!= col("keep")).count() == 0)
+  }
+
+  test("classifier scores are sigmoid-bounded with the exact feature count") {
+    import org.apache.spark.sql.functions._
+    val c = SparkEntry.queries("l4_classifier")(spark, SparkFixture.sfDir)
+    assert(c.filter(col("score") <= 0 || col("score") >= 1).count() == 0)
+    // n_feat = words + bigrams = 2w-1 for w >= 2, else w
+    val docs = graft.Tables(spark, SparkFixture.sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nw"))
+    val bad = c.join(docs, "doc_id")
+      .filter(col("n_feat") =!=
+        when(col("nw") >= 2, col("nw") * 2 - 1).otherwise(col("nw")))
+    assert(bad.count() == 0, "feature count drifted from 2w-1")
+  }
+
   test("Lloyd-trained PQ codebook beats the seed codebook once data feeds the centroids") {
     // at sf0.001 (200 vectors / 16 centroids per subspace) Lloyd is
     // data-starved and can lose to the seed init — the honest claim is
