@@ -24,7 +24,8 @@ object Stress {
     "l2_dup_clusters", "l3_ann_lsh", "l3_semdedup", "l3_ann_pq", "l3_ann_ivfpq",
     "l6_corpus_clean",
     "l6_pack_shards", "l8_decontaminate", "l8_repetition", "l8_chunk_windows",
-    "l8_line_dedup", "l4_entropy", "l8_mixture_apply")
+    "l8_line_dedup", "l4_entropy", "l8_mixture_apply",
+    "l8_pack_sequences", "l4_classifier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
