@@ -1641,6 +1641,78 @@ object Llm {
               upper(substr(hex(encode(text)), 1, 16)) AS hex16
             FROM documents ORDER BY doc_id"""))
 
+  // Binary near-dup — the multimodal dedup class exact hashing (l5)
+  // misses: two payloads differing by a small edit (re-encoded header,
+  // retouched region, appended metadata) share most byte 4-grams, so
+  // their byte-level SimHash signatures sit within a small Hamming
+  // radius. Pipeline: payload bytes -> overlapping byte-4-gram strings
+  // over the hex encoding (row-local HOFs) -> distinct-gram 60-bit
+  // hashes -> the native simhash_sig kernel -> the l2_simhash
+  // chunk-banding join (w scale-parameterized the same way, so
+  // background candidates stay linear as the corpus grows). The
+  // fixture payload is the UTF-8 text bytes — real media payloads flow
+  // through the identical plan (the signature never looks inside the
+  // gram strings). Candidates are banded, never all-pairs; signatures
+  // are the only corpus-crossing state (media_id, long).
+  private val l5neardup = QueryDef(
+    "l5_binary_neardup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val w = math.max(6, ceilLog2((n + 511) / 512))
+      val k = (60 + w - 1) / w
+      val radius = math.min(9, k - 1)
+      val sig = docs
+        .select(col("doc_id").as("media_id"), upper(hex(col("text").cast("binary"))).as("hx"))
+        .withColumn("gs", expr(
+          """array_distinct(CASE WHEN length(hx) >= 8
+            | THEN transform(sequence(0, CAST(length(hx) / 2 AS INT) - 4), i -> substring(hx, 2*i+1, 8))
+            | ELSE array(hx) END)""".stripMargin))
+        .select(col("media_id"),
+          graft.functions.SimHashExprs.simhash_sig(expr(
+            // coalesce keeps the lambda non-nullable (conv is nullable
+            // to Catalyst) so the array satisfies the kernel's
+            // containsNull=false contract; the 0L arm never fires
+            "transform(gs, g -> coalesce(cast(conv(substring(sha2(g, 256), 1, 15), 16, 10) as bigint), 0L))")).as("sig"))
+      val chunks = (0 until k).map(c => struct(
+        lit(c).as("c"),
+        shiftright(col("sig"), c * w).bitwiseAND((1L << math.min(w, 60 - c * w)) - 1).as("v")))
+      val bu = sig.select(col("media_id"), col("sig"), explode(array(chunks: _*)).as("ck"))
+        .select(col("media_id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
+      bu.as("x").join(bu.as("y"), Seq("c", "v"))
+        .filter(col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("m1"), col("x.sig").as("s1"),
+                col("y.media_id").as("m2"), col("y.sig").as("s2"))
+        .distinct()
+        .select(col("m1"), col("m2"),
+          expr("cast(bit_count(s1 ^ s2) as int)").as("hamming"))
+        .filter(col("hamming") <= radius)
+        .orderBy("m1", "m2")
+    },
+    Some("""WITH bn AS (SELECT doc_id AS media_id, upper(hex(encode(text))) AS hx FROM documents),
+            g AS (SELECT media_id, CASE WHEN len(hx) >= 8
+                    THEN list_distinct(list_transform(generate_series(0, len(hx) // 2 - 4), i -> substr(hx, 2*i+1, 8)))
+                    ELSE [hx] END AS gs FROM bn),
+            h AS (SELECT media_id, CAST(concat('0x', substr(sha256(gg), 1, 15)) AS BIGINT) AS h
+                  FROM (SELECT media_id, unnest(gs) AS gg FROM g)),
+            bits AS (SELECT media_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS bs
+                     FROM h, (SELECT unnest(range(0,60)) AS i) t GROUP BY media_id, i),
+            sig AS (SELECT media_id, CAST(SUM(CASE WHEN bs > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
+                    FROM bits GROUP BY media_id),
+            nn AS (SELECT count(*) AS n FROM documents),
+            prm AS (SELECT GREATEST(6, (SELECT MIN(b) FROM (SELECT unnest(range(0,62)) AS b)
+                    WHERE (1::BIGINT << b) >= (SELECT (n + 511) // 512 FROM nn))) AS w),
+            prm2 AS (SELECT w, CAST((60 + w - 1) // w AS INT) AS k FROM prm),
+            ch AS (SELECT media_id, sig, c,
+                    (sig >> (c * (SELECT w FROM prm2))) &
+                    ((1::BIGINT << LEAST((SELECT w FROM prm2), 60 - c * (SELECT w FROM prm2))) - 1) AS v
+                   FROM sig, (SELECT unnest(range(0, (SELECT k FROM prm2))) AS c) t),
+            cand AS (SELECT DISTINCT x.media_id AS m1, x.sig AS s1, y.media_id AS m2, y.sig AS s2
+                     FROM ch x JOIN ch y ON x.c = y.c AND x.v = y.v AND x.media_id < y.media_id)
+            SELECT m1, m2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+            FROM cand WHERE bit_count(xor(s1, s2)) <= LEAST(9, (SELECT k - 1 FROM prm2))
+            ORDER BY m1, m2"""))
+
   // ---------------------------------------------------------------- L8
   // Training-data hygiene/prep operators beyond SURVEY §2 (graded as
   // first-class pipeline components): eval-set decontamination,
@@ -2264,5 +2336,5 @@ object Llm {
     l6clean, l6pack, l6funnel,
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
     l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr, l8decontamScrub,
-    l8packSeq, l8pplBucket, l4classifier)
+    l8packSeq, l8pplBucket, l4classifier, l5neardup)
 }
