@@ -1641,6 +1641,47 @@ object Llm {
               upper(substr(hex(encode(text)), 1, 16)) AS hex16
             FROM documents ORDER BY doc_id"""))
 
+  // Cluster-keeper selection — the ACTION step after dup clustering:
+  // per connected near-dup cluster, the highest-quality doc (shared l4
+  // score, doc_id tiebreak) is the canonical keeper and the rest are
+  // drop verdicts — the curation rule production dedup actually ships
+  // (min-id keeper rules discard the best-written copy). One
+  // cluster-keyed window over the cluster-sized table (pair-graph
+  // rows, never the corpus) joined to the corpus-parallel quality
+  // score. The oracle re-derives clusters from a true recursive-CTE
+  // closure, so keeper verdicts are checked against exact connected
+  // components, not the engine's own labels.
+  private val l6keeper = QueryDef(
+    "l6_cluster_keeper",
+    (s, dir) => {
+      val q = t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_tok", size(col("ws")))
+        .withColumn("stop_n", expr(stopCount(enS)))
+        .select(col("doc_id"), qualityCol(col("n_tok"), col("stop_n")).as("quality"))
+      val w = Window.partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id").asc)
+      graft.ops.CorpusOps.dupClusters(jaccardPairs(s, dir))
+        .join(q, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .select(col("cluster_id"), col("doc_id"), col("quality"),
+          (col("rn") === 1).as("is_keeper"))
+        .orderBy("cluster_id", "doc_id")
+    },
+    Some(s"""WITH RECURSIVE $jaccardPairsCte,
+            |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2 AS a, d1 AS b FROM pairs),
+            |reach AS (SELECT a, b FROM e
+            |  UNION SELECT r.a AS a, e.b AS b FROM reach r JOIN e ON e.a = r.b),
+            |comp AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+            |qq AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            |qn AS (SELECT doc_id, len(ws) AS n_tok, ${stopCountDuck(enS)} AS stop_n FROM qq),
+            |ql AS (SELECT doc_id, ${qualityDuck("n_tok", "stop_n")} AS quality FROM qn),
+            |r AS (SELECT comp.cluster_id, comp.doc_id, ql.quality,
+            |        row_number() OVER (PARTITION BY cluster_id
+            |                           ORDER BY quality DESC, comp.doc_id) AS rn
+            |      FROM comp JOIN ql ON ql.doc_id = comp.doc_id)
+            |SELECT cluster_id, doc_id, quality, rn = 1 AS is_keeper
+            |FROM r ORDER BY cluster_id, doc_id""".stripMargin))
+
   // Binary near-dup — the multimodal dedup class exact hashing (l5)
   // misses: two payloads differing by a small edit (re-encoded header,
   // retouched region, appended metadata) share most byte 4-grams, so
@@ -2336,5 +2377,5 @@ object Llm {
     l6clean, l6pack, l6funnel,
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
     l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr, l8decontamScrub,
-    l8packSeq, l8pplBucket, l4classifier, l5neardup)
+    l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper)
 }

@@ -323,7 +323,8 @@ class PlanContractSpec extends AnyFunSuite {
     // algorithms, same as GraphX Pregel checkpointing, and bounded by
     // the pair graph, not the corpus.
     val exempt = Set("l2_simhash", "l2_embedding_cosine", "l2_dup_clusters", "l3_semdedup",
-      "l5_binary_neardup") // same adaptive banding-width count() as l2_simhash
+      "l5_binary_neardup", // same adaptive banding-width count() as l2_simhash
+      "l6_cluster_keeper") // builds dupClusters (the l2_dup_clusters exemption)
     spark.sparkContext.addSparkListener(listener)
     try {
       for ((name, q) <- SparkEntry.queries if !exempt(name)) {

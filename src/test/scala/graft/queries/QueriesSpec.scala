@@ -122,6 +122,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad.count() == 0, "feature count drifted from 2w-1")
   }
 
+  test("cluster keeper: exactly one keeper per cluster, and it has the top quality") {
+    import org.apache.spark.sql.functions._
+    val k = SparkEntry.queries("l6_cluster_keeper")(spark, SparkFixture.sfDir)
+    val perCluster = k.groupBy("cluster_id")
+      .agg(sum(when(col("is_keeper"), 1).otherwise(0)).as("nk"),
+           max("quality").as("qmax"),
+           max(when(col("is_keeper"), col("quality"))).as("qkeep"))
+    assert(perCluster.filter(col("nk") =!= 1).count() == 0, "cluster without exactly one keeper")
+    assert(perCluster.filter(col("qkeep") =!= col("qmax")).count() == 0,
+      "keeper is not the highest-quality member")
+  }
+
   test("Lloyd-trained PQ codebook beats the seed codebook once data feeds the centroids") {
     // at sf0.001 (200 vectors / 16 centroids per subspace) Lloyd is
     // data-starved and can lose to the seed init — the honest claim is
