@@ -196,6 +196,48 @@ object Llm {
     },
     Some(jaccardOracle))
 
+  // MinHash estimator accuracy as an oracle-checked OUTPUT (the
+  // l3_ann_recall pattern applied to dedup): for every verified
+  // near-dup pair, the fraction of matching signature components
+  // (j_est = matches/64) sits next to the exact Jaccard, with the
+  // absolute error — the sketch-quality eval a pipeline publishes
+  // before trusting banding parameters at scale (expected sigma =
+  // sqrt(J(1-J)/64) ~ 0.05 at J = 0.8). The oracle replays the native
+  // kernel's LCG permutation family component-for-component in SQL,
+  // so the signatures themselves are cross-checked, not just the pair
+  // set. Cost: pair-set-sized joins against the signature table the
+  // LSH path already materializes.
+  private val l2minhashEst = QueryDef(
+    "l2_minhash_estimate",
+    (s, dir) => {
+      val doc = t(s, dir, "documents").select(col("doc_id"),
+          graft.functions.ShingleExprs.shingle_sha60(col("text")).as("arr"))
+        .withColumn("sig", graft.functions.MinHashExprs.minhash_sig(col("arr")))
+      jaccardPairs(s, dir)
+        .join(doc.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+        .join(doc.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+        .withColumn("n_match",
+          expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))"))
+        .select(col("d1"), col("d2"), col("j"), col("n_match"),
+          (col("n_match") / lit(64.0)).as("j_est"),
+          round(abs(col("j") - col("n_match") / lit(64.0)), 6).as("abs_err"))
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH $jaccardPairsCte,
+            |perm AS (SELECT k, (1103515245 * k + 12345) % 1000000007 AS a,
+            |                (69069 * k + 1) % 1000000007 AS b
+            |         FROM (SELECT unnest(range(0, 64)) AS k)),
+            |sg AS (SELECT doc_id, k, MIN(((h % 1000000007) * a + b) % 1000000007) AS mh
+            |       FROM sh2, perm GROUP BY doc_id, k),
+            |m AS (SELECT p.d1, p.d2, p.j,
+            |        count(CASE WHEN s1.mh = s2.mh THEN 1 END) AS n_match
+            |      FROM pairs p JOIN sg s1 ON s1.doc_id = p.d1
+            |      JOIN sg s2 ON s2.doc_id = p.d2 AND s2.k = s1.k
+            |      GROUP BY p.d1, p.d2, p.j)
+            |SELECT d1, d2, j, n_match, n_match / 64.0 AS j_est,
+            |       round(abs(j - n_match / 64.0), 6) AS abs_err
+            |FROM m ORDER BY d1, d2""".stripMargin))
+
   // Duplicate-cluster assignment: connected components over the exact
   // near-dup pair graph — the step between pair listing and keeper
   // selection (A~B, B~C must put A, B, C in ONE cluster even though
@@ -2377,5 +2419,5 @@ object Llm {
     l6clean, l6pack, l6funnel,
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
     l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr, l8decontamScrub,
-    l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper)
+    l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst)
 }
