@@ -342,6 +342,32 @@ object CorpusOps {
         size(expr(s"slice(ws, chunk_id * $stride + 1, $window)")).cast("long").as("n_tok"),
         expr(s"concat_ws(' ', slice(ws, chunk_id * $stride + 1, $window))").as("chunk"))
 
+  /** Fixed-length training-sequence layout (the GPT-style pack): within
+    * each deterministic shard (60-bit id-hash mod `nshards`, the
+    * shuffle-order rule), docs concatenate in (hash, doc_id) order and
+    * SPLIT across `seqLen`-token boundaries. Output one row per
+    * (sequence, doc) overlap: (shard, seq, doc_id, off, len) — the
+    * exact layout a dataloader replays. One shuffle keyed by shard +
+    * per-shard cumulative window (nshards grows with the corpus, so
+    * sorts stay executor-sized); the piece explode is row-local and a
+    * doc emits at most ceil(n_tok/seqLen)+1 pieces. Integer arithmetic
+    * end-to-end. */
+  def packSequences(docs: DataFrame, seqLen: Long = 256L, nshards: Long = 16L): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("hk").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"),
+        sha60(col("doc_id").cast("string")).as("hk"))
+      .withColumn("shard", pmod(col("hk"), lit(nshards)))
+      .withColumn("en", sum(col("n_tok")).over(w))
+      .withColumn("st", col("en") - col("n_tok"))
+      .withColumn("seq", explode(expr(s"sequence(st DIV $seqLen, (en - 1) DIV $seqLen)")))
+      .select(col("shard"), col("seq"), col("doc_id"),
+        (greatest(col("st"), col("seq") * seqLen) - col("seq") * seqLen).as("off"),
+        (least(col("en"), (col("seq") + 1L) * seqLen)
+          - greatest(col("st"), col("seq") * seqLen)).as("len"))
+  }
+
   /** Deterministic exact-quota stratified sample: per stratum, the
     * ceil(1/denom) fraction ranking lowest by a content-independent
     * 60-bit id-hash. Integer quota arithmetic (no float ceil). One

@@ -2297,23 +2297,8 @@ object Llm {
   // Integer arithmetic end-to-end -> the gate is bit-for-bit.
   private val l8packSeq = QueryDef(
     "l8_pack_sequences",
-    (s, dir) => {
-      val L = 256L
-      val w = Window.partitionBy("shard").orderBy(col("hk").asc, col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
-        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"),
-          sha60(col("doc_id").cast("string")).as("hk"))
-        .withColumn("shard", pmod(col("hk"), lit(16L)))
-        .withColumn("en", sum(col("n_tok")).over(w))
-        .withColumn("st", col("en") - col("n_tok"))
-        .withColumn("seq", explode(sequence(expr(s"st DIV $L"), expr(s"(en - 1) DIV $L"))))
-        .select(col("shard"), col("seq"), col("doc_id"),
-          (greatest(col("st"), col("seq") * L) - col("seq") * L).as("off"),
-          (least(col("en"), (col("seq") + 1L) * L)
-            - greatest(col("st"), col("seq") * L)).as("len"))
-        .orderBy("shard", "seq", "off")
-    },
+    (s, dir) => graft.ops.CorpusOps.packSequences(t(s, dir, "documents"))
+      .orderBy("shard", "seq", "off"),
     Some("""WITH h AS (SELECT doc_id,
               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
               CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk

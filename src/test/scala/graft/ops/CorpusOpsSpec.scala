@@ -15,6 +15,39 @@ class CorpusOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   import spark.implicits._
 
+  test("packSequences splits a long doc across 3+ sequences with full middle pieces") {
+    // fixture docs are ~100 tokens, so multi-sequence spans (the
+    // greatest/least middle-piece arithmetic) never fire through the
+    // oracle gate — drive them with a 700-token doc at seqLen=256:
+    // spans sequences 0..2 with a FULL 256-token middle piece
+    val docs = Seq(
+      (1L, (1 to 700).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 100).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val p = CorpusOps.packSequences(docs, seqLen = 256L, nshards = 1L)
+      .orderBy("seq", "off")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq // shard, seq, doc, off, len
+    // conservation: 800 tokens total, every one in exactly one piece
+    assert(p.map(_._5).sum == 800L)
+    // the long doc emits one piece per overlapped sequence, offsets 0
+    val oneDocPieces = p.filter(_._3 == 1L)
+    assert(oneDocPieces.length == 3, s"expected 3 pieces, got $oneDocPieces")
+    // whichever doc packs first, every non-final sequence tiles to 256
+    val bySeq = p.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    val lastSeq = bySeq.keys.max
+    assert(bySeq.filter(_._1 != lastSeq).values.forall(_ == 256L), s"non-final sequence not full: $bySeq")
+    // middle piece of the long doc is a full untrimmed sequence
+    assert(oneDocPieces.map(_._5).sorted.reverse.head == 256L)
+    // piece offsets within each sequence start at 0 and are contiguous
+    for ((_, pieces) <- p.groupBy(x => (x._1, x._2))) {
+      val sorted = pieces.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      assert(sorted.sliding(2).forall {
+        case Seq(a, b) => a._4 + a._5 == b._4
+        case _ => true
+      })
+    }
+  }
+
   test("chunkWindows with window=4, stride=2 covers every word and clamps the tail") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
     val rows = CorpusOps.chunkWindows(docs, window = 4, stride = 2)
