@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-call corpus curation — the composed pipeline a production run
+  * executes per snapshot: quality gate → exact-dedup keepers →
+  * near-dup removal → eval-set decontamination → deterministic
+  * fixed-length sequence packing, plus the per-stage funnel table the
+  * run publishes. This is the "switch from ad-hoc scripts" entry
+  * point: every stage is one of the individually oracle-gated library
+  * ops, composed under the rules they were designed for.
+  *
+  * Composition rules:
+  *  - the expensive keeper/pair stages build ONCE ([[CleanupStages]])
+  *    and serve the curated set and the funnel alike;
+  *  - every scaffold caches under the caller's [[CacheScope]] — a
+  *    pipeline session passes `CacheScope.owned()` and `close()`s it
+  *    after its terminal actions (storage returns to baseline,
+  *    spec-pinned);
+  *  - every stage is deterministic (hash keepers, 6-dp-rounded quality
+  *    gate, integer packing), so two runs — or two engines — produce
+  *    identical curated sets, layouts, and funnels.
+  *
+  * Scale shape: the stages add NO plan shapes beyond their audited
+  * standalone forms (docs/PLANS.md); the composition shares, never
+  * multiplies, the corpus-sized work.
+  */
+object TrainDataPipeline {
+
+  /** curated: surviving docs (original columns).
+    * packed:  (shard, seq, doc_id, off, len) sequence layout over them.
+    * funnel:  (stage_id, stage, docs_in, removed, docs_out). */
+  final case class Output(curated: DataFrame, packed: DataFrame, funnel: DataFrame)
+
+  def run(docs: DataFrame, isEval: Column, minQuality: Double = 0.6,
+          seqLen: Long = 256L, nshards: Long = 16L)
+         (implicit scope: CacheScope): Output = {
+    val train = docs.filter(!isEval)
+    val flagged = train
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_tok", size(col("ws")))
+      .withColumn("stop_n", TextScores.stopCountEn(col("ws")))
+      .withColumn("q_ok",
+        TextScores.quality(col("n_tok"), col("stop_n")) >= minQuality)
+    val gated = flagged.filter(col("q_ok")).select(train.columns.map(col): _*)
+    val stages = CleanupStages(gated)
+    // contaminated ids are read by the curated set AND the funnel —
+    // cache the (tiny, output-sensitive) id table, not the gram join
+    val contaminated = scope.cached(
+      CorpusOps.decontaminate(docs, isEval).select(col("doc_id")))
+    val survivors = stages.keepers.select("doc_id")
+      .join(stages.nearDupDropIds, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val curated = gated.join(survivors, Seq("doc_id"), "left_semi")
+    val packed = CorpusOps.packSequences(curated, seqLen, nshards)
+
+    // single-pass funnel: per-doc stage flags fold into one aggregate
+    // row, the four stage rows explode from a literal array — no
+    // per-stage rescan (the filterFunnel pattern, one stage longer)
+    val flags = flagged.select(col("doc_id"), col("q_ok"))
+      .join(stages.keepers.select(col("doc_id"), lit(true).as("is_keeper")),
+        Seq("doc_id"), "left")
+      .join(stages.nearDupDropIds.withColumn("is_near", lit(true)),
+        Seq("doc_id"), "left")
+      .join(contaminated.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
+    val c = flags.agg(
+      count(lit(1)).as("c0"),
+      count(when(col("q_ok"), lit(1))).as("c1"),
+      count(when(col("q_ok") && col("is_keeper").isNotNull, lit(1))).as("c2"),
+      count(when(col("q_ok") && col("is_keeper").isNotNull &&
+        col("is_near").isNull, lit(1))).as("c3"),
+      count(when(col("q_ok") && col("is_keeper").isNotNull &&
+        col("is_near").isNull && col("is_contam").isNull, lit(1))).as("c4"))
+    def stageRow(id: Int, name: String, in: Column, out: Column) = struct(
+      lit(id).as("stage_id"), lit(name).as("stage"),
+      in.as("docs_in"), (in - out).as("removed"), out.as("docs_out"))
+    val funnel = c.select(explode(array(
+        stageRow(1, "quality_gate", col("c0"), col("c1")),
+        stageRow(2, "exact_dedup", col("c1"), col("c2")),
+        stageRow(3, "near_dedup", col("c2"), col("c3")),
+        stageRow(4, "decontaminate", col("c3"), col("c4")))).as("s"))
+      .select(col("s.stage_id").as("stage_id"), col("s.stage").as("stage"),
+        col("s.docs_in").as("docs_in"), col("s.removed").as("removed"),
+        col("s.docs_out").as("docs_out"))
+
+    Output(curated, packed, funnel)
+  }
+}

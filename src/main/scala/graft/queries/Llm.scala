@@ -1125,17 +1125,16 @@ object Llm {
   private def stopCountDuck(langWords: Seq[String]): String =
     s"len(list_filter(ws, x -> x IN (${langWords.map(w => s"'$w'").mkString(", ")})))"
 
-  private val enS = Seq("the", "a", "and", "of")
+  private val enS = graft.ops.TextScores.enStopwords
   private val deS = Seq("der", "die", "das", "und")
   private val esS = Seq("el", "la", "los", "y")
   private val frS = Seq("le", "les", "et", "des")
 
-  /** Quality score shared by l4_quality and l6_corpus_clean — one
-    * definition per engine so the oracles can never drift apart. */
-  private def qualityCol(nTok: Column, stopN: Column): Column = round(
-    lit(0.4) * least(nTok.cast("double") / 100.0, lit(1.0)) +
-    lit(0.3) * least(stopN.cast("double") / nTok * 5.0, lit(1.0)) +
-    lit(0.3), 6)
+  /** Quality score shared by l4_quality, l6_corpus_clean, and the
+    * TrainDataPipeline gate — one definition per engine
+    * (graft.ops.TextScores) so the oracles can never drift apart. */
+  private def qualityCol(nTok: Column, stopN: Column): Column =
+    graft.ops.TextScores.quality(nTok, stopN)
 
   private def qualityDuck(nTok: String, stopN: String): String =
     s"""round(0.4 * least(CAST($nTok AS DOUBLE) / 100.0, 1.0) + 0.3 * least(CAST($stopN AS DOUBLE) / $nTok * 5.0, 1.0) + 0.3, 6)"""
