@@ -1016,11 +1016,89 @@ object Relational {
             |FROM s GROUP BY user_id, session_id
             |ORDER BY user_id, session_id""".stripMargin))
 
+  // --------------------------------------------------------------- Q37
+  // Range (interval) join WITHOUT an equi key — the join class Spark
+  // would otherwise execute as a BroadcastNestedLoopJoin (O(n·m) and
+  // driver-bounded). The scalable decomposition: pick the bucket width
+  // EQUAL to the interval width, so every interval [start, end) spans
+  // at most 2 fixed-width time buckets; explode the interval side onto
+  // its (≤2, distinct) bucket keys, map each probe row to its single
+  // bucket, hash-join on the bucket key, and apply the exact BETWEEN
+  // residual after the equi match. The nested loop becomes one
+  // shuffle-on-bucket equi join: cost is O(pairs + data), partitioned
+  // by time — the plan that survives 100× (hot buckets are the only
+  // skew axis; widen the bucket or salt if a burst concentrates).
+  // Semantics: every high-value error event opens a 30-minute window;
+  // count and DECIMAL-sum the events inside each window. Times run in
+  // integer MICROSECONDS on both engines (the q36 contract); bucket
+  // arithmetic is integer `div`, never double division (epoch-µs
+  // magnitudes would round under a double floor).
+  private val q37 = QueryDef(
+    "q37_range_join",
+    (s, dir) => {
+      val winUs = 30L * 60 * 1000000
+      val e = t(s, dir, "events").select(
+        col("event_id"), expr("unix_micros(cast(ts as timestamp))").as("us"),
+        col("event_type"), col("value"))
+      val trig = e.filter(col("event_type") === "error" && col("value") > 200)
+        .select(col("event_id").as("trigger_id"), col("us").as("start_us"),
+                (col("us") + winUs).as("end_us"))
+      // ≤2 bucket keys per interval (width == window width), distinct
+      // collapses the boundary-aligned degenerate case
+      val tb = trig.withColumn("bkt",
+        explode(array_distinct(array(
+          expr(s"start_us div ${winUs}L"), expr(s"(end_us - 1) div ${winUs}L")))))
+      val pb = e.select(col("event_id"), col("us"), col("value"),
+        expr(s"us div ${winUs}L").as("bkt"))
+      tb.join(pb, Seq("bkt"))
+        .filter(col("us") >= col("start_us") && col("us") < col("end_us"))
+        .groupBy("trigger_id")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("trigger_id")
+    },
+    Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS us, event_type, value FROM events),
+            |t AS (SELECT event_id AS trigger_id, us AS start_us, us + 1800000000 AS end_us
+            |      FROM e WHERE event_type = 'error' AND value > 200)
+            |SELECT trigger_id, count(*) AS n_events,
+            |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            |FROM t JOIN e ON e.us >= t.start_us AND e.us < t.end_us
+            |GROUP BY trigger_id ORDER BY trigger_id""".stripMargin))
+
+  // --------------------------------------------------------------- Q38
+  // GROUPING SETS — the arbitrary-sets form Q6's rollup/cube can't
+  // spell (here: by (flag, status), by (status) alone, and the grand
+  // total — NOT a rollup prefix chain). One pass, one shuffle: Spark
+  // expands the sets map-side and aggregates all three groupings in a
+  // single hash aggregate (same Expand shape as cube, minus the unused
+  // combinations). The grouping-id is computed EXPLICITLY as
+  // grouping(flag)*2 + grouping(status) on both engines, because the
+  // engines' built-in grouping_id bit orders are theirs, not ANSI's.
+  private val q38 = QueryDef(
+    "q38_grouping_sets",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_linestatus")), Seq.empty[org.apache.spark.sql.Column]),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg((grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).as("gid"),
+             count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+            |       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+            |       count(*) AS n,
+            |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+            |FROM lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+            |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
     q10semi, q10anti, q11, q12, q13, q14, q15, q16,
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
-    q30, q31, q32, q33, q34, q35, q36)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }

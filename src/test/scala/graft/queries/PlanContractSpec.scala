@@ -229,6 +229,32 @@ class PlanContractSpec extends AnyFunSuite {
       s"expected exactly 1 user_id exchange, found $userExchanges:\n$plan")
   }
 
+  test("q37: interval join runs as a bucket equi-join, never a nested loop") {
+    // The whole point of the bucket decomposition: a non-equi interval
+    // join planned as BroadcastNestedLoopJoin is O(n·m) and pins one
+    // side on the driver — at 100 TB either property is fatal. The
+    // bucket key must surface as a real equi join (hash or sort-merge,
+    // size-decided), with the BETWEEN residual as the join filter.
+    val plan = formatted("q37_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join fell back to a nested loop:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin")
+        || plan.contains("BroadcastHashJoin"),
+      s"no equi join on the bucket key:\n$plan")
+  }
+
+  test("q38: grouping sets run in ONE aggregate pass over one Expand") {
+    // Three grouping sets must not become three scans or three
+    // shuffles: Spark expands the sets map-side (one Expand node) and
+    // aggregates them in a single partial+final hash aggregate — one
+    // grouping-key exchange total (plus the output sort).
+    val plan = formatted("q38_grouping_sets")
+    assert(countNodes(plan, "Expand") == 1, s"expected one Expand:\n$plan")
+    val aggExchanges = "(?m)hashpartitioning\\(l_returnflag".r.findAllIn(plan).size
+    assert(aggExchanges == 1,
+      s"expected exactly 1 grouping exchange, found $aggExchanges:\n$plan")
+  }
+
   test("shared CleanupStages: clean + funnel reference ONE cached pair pipeline") {
     // A pipeline publishing the cleaned corpus AND its funnel
     // accounting (the realistic run shape) must not pay the
