@@ -2396,6 +2396,114 @@ object Llm {
                    round(1.0 / (1.0 + exp(-(snum / (1000.0 * n_feat)))), 6) AS score
             FROM a ORDER BY doc_id"""))
 
+  // k-NN GRAPH over the whole embedding corpus — every vector's top-5
+  // neighbors, the input shape for graph-based curation (semantic
+  // clustering, connected-component dedup, diversity sampling). Brute
+  // force is n² and dies first at scale; this is the IVF bound applied
+  // to ALL queries: one pass computes every vector's similarity to the
+  // 32 deterministic centroids, and that SINGLE table serves both
+  // sides — rn=1 is the inverted-list assignment, rn≤4 are the probe
+  // lists (same window spec, two filters, no recompute). Candidates =
+  // probes ⋈ assignment on cid, so each query touches nprobe/nlist of
+  // the corpus (linear total candidate volume at fixed fan-out);
+  // assignment is unique per vector, so the pair set needs no
+  // DISTINCT. Exact cosine re-rank on round(sim,6) keeps both engines
+  // bit-identical. Hot inverted lists are the one skew axis — the
+  // semDedup size-capped sub-bucket guard (CorpusOps.semDedup) is the
+  // documented remedy when real embeddings collapse onto few lists.
+  private val l3knnGraph = QueryDef(
+    "l3_knn_graph",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("cid"), col("embedding").as("qe"))
+      // one centroid-similarity pass shared by assignment and probes
+      val w = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
+      val cd = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+        .crossJoin(broadcast(cents))
+        .withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
+        .withColumn("rn", row_number().over(w))
+        .select("vid", "cid", "rn").cache()
+      val assign = cd.filter(col("rn") === 1).select(col("vid"), col("cid"))
+      val probes = cd.filter(col("rn") <= 4).select(col("vid").as("qid"), col("cid"))
+      val cand = probes.join(assign, "cid")
+        .filter(col("vid") =!= col("qid"))
+        .select("qid", "vid")
+        .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+        .join(e.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
+      val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+      cand.withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
+        .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 5)
+        .select("qid", "rn", "vid", "simr")
+        .orderBy("qid", "rn")
+    },
+    Some("""WITH x AS (SELECT vec_id, unnest(embedding) AS e,
+            |             generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+            |n AS (SELECT vec_id, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
+            |      FROM x GROUP BY vec_id),
+            |cd AS (SELECT xv.vec_id AS vid, xc.vec_id AS cid,
+            |              round(SUM(CAST(xv.e AS DOUBLE) * CAST(xc.e AS DOUBLE))
+            |                    / (nv.nrm * nc.nrm), 6) AS simr
+            |       FROM x xv JOIN x xc ON xc.d = xv.d AND xc.vec_id < 32
+            |       JOIN n nv ON nv.vec_id = xv.vec_id
+            |       JOIN n nc ON nc.vec_id = xc.vec_id
+            |       GROUP BY xv.vec_id, xc.vec_id, nv.nrm, nc.nrm),
+            |r0 AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
+            |       FROM cd),
+            |assign AS (SELECT vid, cid FROM r0 WHERE rn = 1),
+            |probes AS (SELECT vid AS qid, cid FROM r0 WHERE rn <= 4),
+            |cand AS (SELECT p.qid, a.vid FROM probes p JOIN assign a ON a.cid = p.cid
+            |         WHERE a.vid != p.qid),
+            |dp AS (SELECT qid, vid, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
+            |       FROM cand JOIN x xa ON xa.vec_id = qid
+            |       JOIN x xb ON xb.vec_id = vid AND xb.d = xa.d
+            |       GROUP BY qid, vid),
+            |sdf AS (SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS simr
+            |        FROM dp JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid),
+            |r AS (SELECT qid, vid, simr,
+            |             row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+            |      FROM sdf)
+            |SELECT qid, rn, vid, simr FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin))
+
+  // Vocabulary coverage / OOV rate — the tokenizer-training prep step:
+  // build the top-V vocabulary by corpus frequency (V=256 here; fixed,
+  // so the vocab side is CONSTANT-sized however big the corpus — the
+  // broadcast that stays legal at 100 TB, unlike a full frequency
+  // table), then score every doc's out-of-vocabulary token rate. The
+  // corpus-side cost is one word-count aggregate plus one explode +
+  // doc-keyed partial agg; the global top-V rank runs on the
+  // vocabulary-sized count table (aggregate output, single-partition
+  // window is bounded by distinct-word count, documented). Ties in the
+  // frequency cut break by word ASC on both engines.
+  private val l4vocab = QueryDef(
+    "l4_vocab_oov",
+    (s, dir) => {
+      val V = 256
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val wc = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val vocab = broadcast(wc
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("word").asc)))
+        .filter(col("rn") <= V).select(col("word"), lit(1).as("in_v")))
+      tok.join(vocab, Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+             count(when(col("in_v").isNull, 1)).as("n_oov"))
+        .select(col("doc_id"), col("n_tok"), col("n_oov"),
+          round(col("n_oov") / col("n_tok").cast("double"), 6).as("oov_rate"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+            |wc AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+            |v AS (SELECT word FROM (SELECT word, row_number() OVER (ORDER BY cnt DESC, word) AS rn
+            |                        FROM wc) WHERE rn <= 256)
+            |SELECT doc_id, count(*) AS n_tok,
+            |       count(CASE WHEN v.word IS NULL THEN 1 END) AS n_oov,
+            |       round(count(CASE WHEN v.word IS NULL THEN 1 END) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+            |FROM tok LEFT JOIN v ON tok.word = v.word
+            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2contain, l2clusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3recall, l3ivf, l3ivfKmeans, l3quant,
     l3semdedup, l3pq, l3pqTrained, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4winnow,
@@ -2403,5 +2511,6 @@ object Llm {
     l6clean, l6pack, l6funnel,
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
     l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr, l8decontamScrub,
-    l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst)
+    l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
+    l4vocab, l3knnGraph)
 }

@@ -45,6 +45,34 @@ class QueriesSpec extends AnyFunSuite {
     assert(km >= 0.1, s"ivf_kmeans recall collapsed: $km")
   }
 
+  test("knn graph: every vector gets exactly 5 ranked neighbors, none itself") {
+    val g = SparkEntry.queries("l3_knn_graph")(spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = SparkEntry.queries("l3_knn_bruteforce")(spark, SparkFixture.sfDir)
+      .select("qid").distinct().count() // 3 — just to touch the fixture
+    assert(n == 3)
+    val perQ = g.groupBy(_._1)
+    // the IVF candidate bound (4 of 32 lists over 500 vectors) always
+    // yields ≥5 candidates on the fixture; each query's ranks are 1..5
+    assert(perQ.values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5)),
+      "a query is missing ranks")
+    assert(g.forall { case (q, _, v) => q != v }, "self-edge in the knn graph")
+    assert(perQ.size == 500, s"expected 500 query vectors, got ${perQ.size}")
+  }
+
+  test("vocab oov: rates are [0,1], and the top-256 vocab covers most tokens") {
+    val rows = SparkEntry.queries("l4_vocab_oov")(spark, SparkFixture.sfDir).collect()
+    assert(rows.forall { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      rate >= 0.0 && rate <= 1.0 && r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tok")
+    })
+    val tot = rows.map(_.getAs[Long]("n_tok")).sum.toDouble
+    val oov = rows.map(_.getAs[Long]("n_oov")).sum.toDouble
+    // the fixture vocabulary is small; a 256-word vocab must cover the
+    // bulk of the token stream or the frequency cut is broken
+    assert(oov / tot < 0.5, s"top-256 vocab covers only ${1 - oov / tot} of tokens")
+  }
+
   test("pq adc recall vs exact L2 top-10 stays above the quantization floor") {
     // PQ ranks by (approximate) L2, so its honest reference is the
     // EXACT L2 top-10, not the cosine brute force the other ANN
