@@ -19,17 +19,18 @@ object Bench {
     "q12_asof_join", "q14_window_rank", "q15_window_frames", "q16_sort_topk",
     "q18_dedup_keeper", "q21_math_conditional", "q22_array_funcs",
     "q24_json_funcs", "q30_percentiles", "q31_pivot", "q35_lateral_topk",
+    "q37_range_join", "q38_grouping_sets",
     "t1_window_tumbling", "t3_window_session",
     "l1_exact_dedup", "l2_jaccard_pairs", "l2_containment", "l2_winnow_pairs", "l2_minhash_lsh", "l2_simhash",
     "l2_dup_clusters", "l3_knn_bruteforce", "l3_ann_lsh", "l3_semdedup", "l3_ann_pq",
-    "l3_ann_ivfpq",
+    "l3_ann_ivfpq", "l3_knn_graph",
     "l4_tfidf", "l4_fingerprint", "l4_lm_score", "l4_entropy", "l4_winnow",
     "l6_corpus_clean", "l6_pack_shards",
     "l8_decontaminate", "l8_repetition", "l8_chunk_windows", "l8_line_dedup",
     "l8_mixture_apply", "l8_ngram_novelty",
     // l8_ppl_bucket is deliberately absent: its cost IS the
     // l4_lm_score pipeline (already measured) + one catalog-sized window
-    "l8_pack_sequences", "l4_classifier")
+    "l8_pack_sequences", "l4_classifier", "l4_vocab_oov")
 
   /** 1-minute system load average, -1.0 where the platform can't say.
     * Recorded at both ends of the run so the record SELF-ADJUDICATES:

@@ -2401,21 +2401,27 @@ object Llm {
   // clustering, connected-component dedup, diversity sampling). Brute
   // force is n² and dies first at scale; this is the IVF bound applied
   // to ALL queries: one pass computes every vector's similarity to the
-  // 32 deterministic centroids, and that SINGLE table serves both
+  // nlist deterministic centroids, and that SINGLE table serves both
   // sides — rn=1 is the inverted-list assignment, rn≤4 are the probe
   // lists (same window spec, two filters, no recompute). Candidates =
-  // probes ⋈ assignment on cid, so each query touches nprobe/nlist of
-  // the corpus (linear total candidate volume at fixed fan-out);
-  // assignment is unique per vector, so the pair set needs no
-  // DISTINCT. Exact cosine re-rank on round(sim,6) keeps both engines
-  // bit-identical. Hot inverted lists are the one skew axis — the
-  // semDedup size-capped sub-bucket guard (CorpusOps.semDedup) is the
-  // documented remedy when real embeddings collapse onto few lists.
+  // probes ⋈ assignment on cid; assignment is unique per vector, so
+  // the pair set needs no DISTINCT. nlist is SCALE-PARAMETERIZED at
+  // max(32, ceil(√n)) — a fixed list count would make the total
+  // candidate volume n·nprobe·(n/nlist) quadratic; √n centroids give
+  // the standard IVF O(n^1.5) graph build (assignment n·√n dots,
+  // candidates 4·√n per query), computed action-free as a broadcast
+  // 1-row aggregate the centroid filter joins against. Exact cosine
+  // re-rank on round(sim,6) keeps both engines bit-identical. Hot
+  // inverted lists are the one skew axis — the semDedup size-capped
+  // sub-bucket guard (CorpusOps.semDedup) is the documented remedy
+  // when real embeddings collapse onto few lists.
   private val l3knnGraph = QueryDef(
     "l3_knn_graph",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = e.filter(col("vec_id") < 32)
+      val nlist = broadcast(e.agg(
+        greatest(lit(32L), ceil(sqrt(count(lit(1)))).cast("long")).as("nlist")))
+      val cents = e.crossJoin(nlist).filter(col("vec_id") < col("nlist"))
         .select(col("vec_id").as("cid"), col("embedding").as("qe"))
       // one centroid-similarity pass shared by assignment and probes
       val w = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
@@ -2441,10 +2447,12 @@ object Llm {
             |             generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
             |n AS (SELECT vec_id, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
             |      FROM x GROUP BY vec_id),
+            |nl AS (SELECT GREATEST(32, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS nlist
+            |       FROM embeddings),
             |cd AS (SELECT xv.vec_id AS vid, xc.vec_id AS cid,
             |              round(SUM(CAST(xv.e AS DOUBLE) * CAST(xc.e AS DOUBLE))
             |                    / (nv.nrm * nc.nrm), 6) AS simr
-            |       FROM x xv JOIN x xc ON xc.d = xv.d AND xc.vec_id < 32
+            |       FROM x xv JOIN x xc ON xc.d = xv.d AND xc.vec_id < (SELECT nlist FROM nl)
             |       JOIN n nv ON nv.vec_id = xv.vec_id
             |       JOIN n nc ON nc.vec_id = xc.vec_id
             |       GROUP BY xv.vec_id, xc.vec_id, nv.nrm, nc.nrm),
