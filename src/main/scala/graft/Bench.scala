@@ -27,7 +27,7 @@ object Bench {
     "l4_tfidf", "l4_fingerprint", "l4_lm_score", "l4_entropy", "l4_winnow",
     "l6_corpus_clean", "l6_pack_shards",
     "l8_decontaminate", "l8_repetition", "l8_chunk_windows", "l8_line_dedup",
-    "l8_mixture_apply", "l8_ngram_novelty",
+    "l8_mixture_apply", "l8_ngram_novelty", "l8_span_dedup",
     // l8_ppl_bucket is deliberately absent: its cost IS the
     // l4_lm_score pipeline (already measured) + one catalog-sized window
     "l8_pack_sequences", "l4_classifier", "l4_vocab_oov")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{MinHashSig, ShingleSha60, SimHashSig, UlidExpression, UlidTimestamp, VecDot, VecL2Sq, VecNorm, WinnowSketch}
+import graft.functions.{GramSha60Pos, MinHashSig, ShingleSha60, SimHashSig, UlidExpression, UlidTimestamp, VecDot, VecL2Sq, VecNorm, WinnowSketch}
 
 /** Session-extension entry point: registers the engine's native
   * Catalyst expressions into the function registry, so SQL text can
@@ -79,6 +79,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnow_sketch"),
       new ExpressionInfo(classOf[WinnowSketch].getName, "winnow_sketch"),
       exprs => { arity("winnow_sketch", 1, exprs); WinnowSketch(exprs.head) }))
+    ext.injectFunction((
+      FunctionIdentifier("gram_sha60_pos"),
+      new ExpressionInfo(classOf[GramSha60Pos].getName, "gram_sha60_pos"),
+      exprs => exprs match {
+        // same foldable-integral-width contract as shingle_sha60
+        case Seq(text) => GramSha60Pos(text)
+        case Seq(text, width) if width.foldable && (width.dataType match {
+              case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+              case _ => false
+            }) =>
+          width.eval() match {
+            case n: Number => GramSha60Pos(text, java.lang.Math.toIntExact(n.longValue()))
+            case _ => throw new IllegalArgumentException(
+              s"gram_sha60_pos gram width must be a non-null integer constant, got ${width.sql}")
+          }
+        case Seq(_, other) => throw new IllegalArgumentException(
+          s"gram_sha60_pos gram width must be an integer literal, got ${other.sql}")
+        case _ => throw new IllegalArgumentException(
+          s"gram_sha60_pos expects (string) or (string, <int literal gram width>), got ${exprs.length} args")
+      }))
     ext.injectFunction((
       FunctionIdentifier("ulid_timestamp"),
       new ExpressionInfo(classOf[UlidTimestamp].getName, "ulid_timestamp"),

@@ -43,6 +43,32 @@ object ShingleHashes {
     acc >>> 4 // top 60 bits == first 15 hex chars parsed base 16
   }
 
+  /** Positional variant for span-level exact dedup: the hash of EVERY
+    * gram start in position order, duplicates preserved (ownership and
+    * cover tests are positional), empty array when the doc has fewer
+    * than `n` words. Same 60-bit sha60 as [[compute]], so SQL oracles
+    * replay it as first-15-hex-of-sha256. */
+  def computePositional(text: UTF8String, n: Int): ArrayData = {
+    val md = digest.get()
+    val ws = text.toString.split(" ", -1)
+    if (ws.length < n) return ArrayData.toArrayData(Array.emptyLongArray)
+    val out = new Array[Long](ws.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= ws.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws(i + j))
+        j += 1
+      }
+      out(i) = h60(md, sb.toString)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Called from both interpreted eval and generated code. `n` is the
     * gram width (3 for near-dup shingles, 8 for decontamination). */
   def compute(text: UTF8String, n: Int): ArrayData = {
@@ -95,11 +121,41 @@ case class ShingleSha60(child: Expression, n: Int = 3) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Positional word-gram sha-60 hashes — [[ShingleSha60]]'s ordered,
+  * duplicate-preserving sibling (that one emits the DISTINCT hash set
+  * for set-similarity; this one keeps position alignment for the
+  * span-dedup cover test). */
+case class GramSha60Pos(child: Expression, n: Int = 8) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"gram_sha60_pos gram width must be >= 1, got $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_sha60_pos expects a string, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_sha60_pos"
+
+  override def nullSafeEval(s: Any): Any =
+    ShingleHashes.computePositional(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.computePositional($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramSha60Pos =
+    copy(child = newChild)
+}
+
 object ShingleExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   def shingle_sha60(text: Column, n: Int = 3): Column =
     ColumnBridge.column(ShingleSha60(ColumnBridge.expression(text), n))
+
+  def gram_sha60_pos(text: Column, n: Int = 8): Column =
+    ColumnBridge.column(GramSha60Pos(ColumnBridge.expression(text), n))
 
   def winnow_sketch(text: Column, k: Int = 3, w: Int = 4): Column =
     ColumnBridge.column(WinnowSketch(ColumnBridge.expression(text), k, w))

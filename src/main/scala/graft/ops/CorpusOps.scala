@@ -664,6 +664,55 @@ object CorpusOps {
         col("n_kept"), col("n_dropped"))
   }
 
+  /** Exact substring-SPAN deduplication (the "Deduplicating Training
+    * Data Makes Language Models Better" semantic, Lee et al. 2022):
+    * any run of >= `g` tokens that already appears in an EARLIER doc
+    * (smaller doc_id — keep-first) is removed token-exactly from the
+    * later doc. Line dedup misses runs that straddle line boundaries;
+    * winnow pairs only REPORTS substring sharing — this op performs
+    * the removal.
+    *
+    * Mechanism (no pairwise join anywhere): positional g-gram 60-bit
+    * hashes -> min-doc_id ownership per hash (partial-aggregatable) ->
+    * a gram START is duplicated iff its doc is not the owner -> token
+    * j is removed iff ANY gram covering it is duplicated, which is a
+    * window MAX over the last g gram-start flags (ROWS g-1 PRECEDING),
+    * not an interval join -> docs reassembled from kept tokens.
+    *
+    * Scale shape: grams cross partitions once as (h, doc_id) longs for
+    * the min-doc agg, the gram stream joins the ownership table on h
+    * (both corpus-linear), and the token pass is one doc_id exchange
+    * with two window/agg steps. Linear end to end; no df cap needed
+    * because nothing is pairwise. Within-doc repeats whose owner is
+    * the doc itself are kept (ownership is doc-level, keep-first).
+    * Output: (doc_id, clean_text, n_kept, n_removed). */
+  def spanDedup(docs: DataFrame, g: Int = 8): DataFrame = {
+    val ws = docs.withColumn("ws", split(col("text"), " "))
+    // native one-pass positional kernel — the composed spelling
+    // (transform + slice + concat_ws + sha2-hex + conv) pays a string
+    // materialization and a hex round-trip PER GRAM; the kernel hashes
+    // in place (empty array below g words, so no length filter needed)
+    val grams = docs.select(col("doc_id"),
+      posexplode(graft.functions.ShingleExprs.gram_sha60_pos(col("text"), g))
+        .as(Seq("i", "h")))
+    val own = grams.groupBy("h").agg(min(col("doc_id")).as("min_doc"))
+    val dupStarts = grams.join(own, "h")
+      .select(col("doc_id"), col("i").as("j"), (col("doc_id") > col("min_doc")).as("dup"))
+    val tok = ws.select(col("doc_id"), posexplode(col("ws")).as(Seq("j", "word")))
+    val w = Window.partitionBy("doc_id").orderBy(col("j"))
+      .rowsBetween(-(g - 1), Window.currentRow)
+    tok.join(dupStarts, Seq("doc_id", "j"), "left_outer")
+      .withColumn("rm", max(when(col("dup"), 1).otherwise(0)).over(w) === 1)
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(when(!col("rm"), struct(col("j"), col("word"))))).as("kept"),
+        count(when(!col("rm"), lit(1))).as("n_kept"),
+        count(when(col("rm"), lit(1))).as("n_removed"))
+      .select(col("doc_id"),
+        array_join(expr("transform(kept, x -> x.word)"), " ").as("clean_text"),
+        col("n_kept"), col("n_removed"))
+  }
+
   /** Smallest b with 2^b >= m (0 for m <= 1) — integer-only so banding
     * and cluster-count derivations can never round differently between
     * engines (same rationale as the Llm copy). */

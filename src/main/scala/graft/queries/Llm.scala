@@ -2473,6 +2473,40 @@ object Llm {
             |      FROM sdf)
             |SELECT qid, rn, vid, simr FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin))
 
+  // Exact substring-SPAN dedup (Lee et al. 2022) — any >=8-token run
+  // already present in an earlier doc is removed token-exactly from
+  // the later one. The duplication class LINE dedup misses (runs that
+  // straddle line boundaries) and winnow only reports. No pairwise
+  // join anywhere: positional gram hashes -> min-doc ownership
+  // (partial-agg) -> dup flags -> the cover test is a window MAX over
+  // the last 8 gram-start flags (an interval join collapsed into ROWS
+  // 7 PRECEDING), -> reassembly. Corpus-linear; see
+  // CorpusOps.spanDedup for the full scale argument.
+  private val l8spanDedup = QueryDef(
+    "l8_span_dedup",
+    (s, dir) => graft.ops.CorpusOps.spanDedup(t(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            |g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 7),
+            |         i -> {'i': i - 1,
+            |               'h': CAST(concat('0x', substr(sha256(array_to_string(ws[i:i+7], ' ')), 1, 15)) AS BIGINT)})) AS x
+            |       FROM w WHERE len(ws) >= 8),
+            |g AS (SELECT doc_id, x.i AS i, x.h AS h FROM g0),
+            |own AS (SELECT h, min(doc_id) AS min_doc FROM g GROUP BY h),
+            |d AS (SELECT g.doc_id, g.i, g.doc_id > own.min_doc AS dup FROM g JOIN own USING (h)),
+            |tok AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) - 1 AS j FROM w),
+            |f AS (SELECT t.doc_id, t.j, t.word, coalesce(d.dup, FALSE) AS dup
+            |      FROM tok t LEFT JOIN d ON d.doc_id = t.doc_id AND d.i = t.j),
+            |m AS (SELECT doc_id, j, word,
+            |        max(CASE WHEN dup THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY j
+            |          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 1 AS rm
+            |      FROM f)
+            |SELECT doc_id,
+            |       coalesce(string_agg(CASE WHEN NOT rm THEN word END, ' ' ORDER BY j), '') AS clean_text,
+            |       count(CASE WHEN NOT rm THEN 1 END) AS n_kept,
+            |       count(CASE WHEN rm THEN 1 END) AS n_removed
+            |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   // Vocabulary coverage / OOV rate — the tokenizer-training prep step:
   // build the top-V vocabulary by corpus frequency (V=256 here; fixed,
   // so the vocab side is CONSTANT-sized however big the corpus — the
@@ -2520,5 +2554,5 @@ object Llm {
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
     l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr, l8decontamScrub,
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
-    l4vocab, l3knnGraph)
+    l4vocab, l3knnGraph, l8spanDedup)
 }

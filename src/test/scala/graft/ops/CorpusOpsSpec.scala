@@ -160,6 +160,38 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, "three tres clean", 2L, 0L)))
   }
 
+  test("spanDedup removes a mid-doc copied run token-exactly, keep-first") {
+    // g=3: doc 2 copies the 4-token run "a b c d" from doc 1 between
+    // unique words. Dup gram STARTS in doc 2: "a b c", "b c d" — the
+    // window-max cover test must remove exactly a,b,c,d (4 tokens) and
+    // keep the flanks. Doc 1 owns the grams (min doc_id) and is
+    // untouched; doc 3's WITHIN-doc repeat is owned by itself -> kept.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x1 x2 a b c d y1 y2"),
+      (3L, "p q r s p q r s")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.spanDedup(docs, g = 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a b c d e", 5L, 0L),
+      (2L, "x1 x2 y1 y2", 4L, 4L),
+      (3L, "p q r s p q r s", 8L, 0L)))
+  }
+
+  test("spanDedup leaves sub-g overlaps alone; shorter-than-g docs pass through") {
+    // the shared run "a b" is only 2 tokens < g=3 -> no shared gram ->
+    // nothing removed; the 2-token doc generates no grams at all
+    val docs = Seq(
+      (1L, "a b u v w"),
+      (2L, "m n a b o"),
+      (3L, "t u")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.spanDedup(docs, g = 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out.forall(r => r._4 == 0L), s"unexpected removal: $out")
+  }
+
   test("lineDedup with maxDf=2 keeps lines shared by up to two docs") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "z q"))
       .toDF("doc_id", "text")
