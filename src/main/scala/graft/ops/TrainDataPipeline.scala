@@ -28,13 +28,18 @@ import org.apache.spark.sql.functions._
   */
 object TrainDataPipeline {
 
-  /** curated: surviving docs (original columns).
+  /** curated: surviving docs (original columns; with `spanDedup` on,
+    *          `text` is the span-cleaned rewrite and fully-emptied docs
+    *          are dropped).
     * packed:  (shard, seq, doc_id, off, len) sequence layout over them.
-    * funnel:  (stage_id, stage, docs_in, removed, docs_out). */
+    * funnel:  (stage_id, stage, docs_in, removed, docs_out) — 4 rows,
+    *          5 with the span stage (its `removed` counts docs whose
+    *          every token was a duplicated-run member). */
   final case class Output(curated: DataFrame, packed: DataFrame, funnel: DataFrame)
 
   def run(docs: DataFrame, isEval: Column, minQuality: Double = 0.6,
-          seqLen: Long = 256L, nshards: Long = 16L)
+          seqLen: Long = 256L, nshards: Long = 16L,
+          spanDedup: Boolean = false)
          (implicit scope: CacheScope): Output = {
     val train = docs.filter(!isEval)
     val flagged = train
@@ -52,18 +57,38 @@ object TrainDataPipeline {
     val survivors = stages.keepers.select("doc_id")
       .join(stages.nearDupDropIds, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
-    val curated = gated.join(survivors, Seq("doc_id"), "left_semi")
+    val survived = gated.join(survivors, Seq("doc_id"), "left_semi")
+    // optional stage 5: residual cross-doc >=8-token runs removed
+    // token-exactly (CorpusOps.spanDedup — runs AFTER doc-level dedup,
+    // so it only sees the boilerplate runs doc dedup can't reach);
+    // docs emptied by the rewrite drop out of the curated set. The
+    // rewrite table is survivor-sized (it carries the cleaned text)
+    // and is read by the curated join AND the funnel — scope-cached so
+    // the span pipeline runs once, released with the session's scope.
+    val spanned = if (!spanDedup) None else Some(scope.cached(
+      CorpusOps.spanDedup(survived).select(col("doc_id"), col("clean_text"), col("n_kept"))))
+    val curated = spanned match {
+      case None => survived
+      case Some(sd) =>
+        survived.join(sd.filter(col("n_kept") > 0), Seq("doc_id"), "inner")
+          .select(survived.columns.map(c =>
+            if (c == "text") col("clean_text").as("text") else col(c)): _*)
+    }
     val packed = CorpusOps.packSequences(curated, seqLen, nshards)
 
     // single-pass funnel: per-doc stage flags fold into one aggregate
     // row, the four stage rows explode from a literal array — no
     // per-stage rescan (the filterFunnel pattern, one stage longer)
-    val flags = flagged.select(col("doc_id"), col("q_ok"))
+    val flags0 = flagged.select(col("doc_id"), col("q_ok"))
       .join(stages.keepers.select(col("doc_id"), lit(true).as("is_keeper")),
         Seq("doc_id"), "left")
       .join(stages.nearDupDropIds.withColumn("is_near", lit(true)),
         Seq("doc_id"), "left")
       .join(contaminated.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
+    val flags = spanned match {
+      case None => flags0.withColumn("n_kept", lit(null).cast("long"))
+      case Some(sd) => flags0.join(sd.select("doc_id", "n_kept"), Seq("doc_id"), "left")
+    }
     val c = flags.agg(
       count(lit(1)).as("c0"),
       count(when(col("q_ok"), lit(1))).as("c1"),
@@ -71,15 +96,20 @@ object TrainDataPipeline {
       count(when(col("q_ok") && col("is_keeper").isNotNull &&
         col("is_near").isNull, lit(1))).as("c3"),
       count(when(col("q_ok") && col("is_keeper").isNotNull &&
-        col("is_near").isNull && col("is_contam").isNull, lit(1))).as("c4"))
+        col("is_near").isNull && col("is_contam").isNull, lit(1))).as("c4"),
+      count(when(col("q_ok") && col("is_keeper").isNotNull &&
+        col("is_near").isNull && col("is_contam").isNull &&
+        coalesce(col("n_kept"), lit(1L)) > 0, lit(1))).as("c5"))
     def stageRow(id: Int, name: String, in: Column, out: Column) = struct(
       lit(id).as("stage_id"), lit(name).as("stage"),
       in.as("docs_in"), (in - out).as("removed"), out.as("docs_out"))
-    val funnel = c.select(explode(array(
+    val stageRows = Seq(
         stageRow(1, "quality_gate", col("c0"), col("c1")),
         stageRow(2, "exact_dedup", col("c1"), col("c2")),
         stageRow(3, "near_dedup", col("c2"), col("c3")),
-        stageRow(4, "decontaminate", col("c3"), col("c4")))).as("s"))
+        stageRow(4, "decontaminate", col("c3"), col("c4"))) ++
+      (if (spanDedup) Seq(stageRow(5, "span_dedup", col("c4"), col("c5"))) else Nil)
+    val funnel = c.select(explode(array(stageRows: _*)).as("s"))
       .select(col("s.stage_id").as("stage_id"), col("s.stage").as("stage"),
         col("s.docs_in").as("docs_in"), col("s.removed").as("removed"),
         col("s.docs_out").as("docs_out"))

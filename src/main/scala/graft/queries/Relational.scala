@@ -1094,11 +1094,45 @@ object Relational {
             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
             |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
 
+  // --------------------------------------------------------------- Q39
+  // RECURSIVE CTE (new in Spark 4) — the iterative-closure class the
+  // battery lacked: walk a digit-shrinking parent hierarchy
+  // (parent(c) = c div 10, a deterministic forest of depth ~log10 n
+  // derived from the customer table itself) from every customer to its
+  // single-digit root, emitting (custkey, root, depth). Spark executes
+  // the recursion as an iterative UnionLoop — each step is a fully
+  // distributed plan over the previous step's frontier, so a step
+  // never leaves the cluster; total work is edges-walked = n·depth.
+  // The same SQL text runs on both engines (integer `div` spelled per
+  // dialect). Depth is bounded by the key width (~7 at 100 TB scale),
+  // far under the recursion limit.
+  private val q39 = QueryDef(
+    "q39_recursive_cte",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""WITH RECURSIVE walk AS (
+                 SELECT c_custkey, c_custkey AS node, 0 AS depth FROM customer
+                 UNION ALL
+                 SELECT c_custkey, node div 10 AS node, depth + 1 AS depth
+                 FROM walk WHERE node >= 10)
+               SELECT c_custkey, node AS root, depth
+               FROM walk WHERE node < 10
+               ORDER BY c_custkey""")
+    },
+    Some("""WITH RECURSIVE walk AS (
+            |  SELECT c_custkey, c_custkey AS node, 0 AS depth FROM customer
+            |  UNION ALL
+            |  SELECT c_custkey, node // 10 AS node, depth + 1 AS depth
+            |  FROM walk WHERE node >= 10)
+            |SELECT c_custkey, node AS root, depth
+            |FROM walk WHERE node < 10
+            |ORDER BY c_custkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
     q10semi, q10anti, q11, q12, q13, q14, q15, q16,
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }

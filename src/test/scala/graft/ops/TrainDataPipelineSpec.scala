@@ -49,4 +49,48 @@ class TrainDataPipelineSpec extends AnyFunSuite {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(leaked.isEmpty, s"pipeline leaked cached RDDs: $leaked")
   }
+
+  test("span stage rewrites boilerplate runs, drops emptied docs, extends the funnel") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // quality-passing base text (enough stopwords/length for the gate);
+    // doc 2 embeds doc 1's 8-token run mid-text; doc 3 IS the run
+    // verbatim (fully emptied by the rewrite -> dropped); doc 4 clean
+    val base = "the quick brown fox jumps over the lazy dog and then it runs back home to rest for a while now"
+    val run8 = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"$base $run8"),
+      (2L, s"$run8 $base padding words here"),
+      (3L, run8),
+      (4L, s"$base again differently phrased tail")
+    ).toDF("doc_id", "text")
+
+    implicit val scope: CacheScope = CacheScope.owned()
+    val out = TrainDataPipeline.run(docs, lit(false), minQuality = 0.0,
+      seqLen = 16L, nshards = 2L, spanDedup = true)
+    val funnel = out.funnel.orderBy("stage_id").collect()
+    assert(funnel.length == 5 && funnel.last.getAs[String]("stage") == "span_dedup")
+    for (Array(a, b) <- funnel.sliding(2))
+      assert(a.getAs[Long]("docs_out") == b.getAs[Long]("docs_in"))
+
+    val curated = out.curated.orderBy("doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // doc 1 owns both runs (min doc_id, untouched); doc 2 duplicates
+    // BOTH the 8-token run and the 21-token base run — both removed,
+    // only its unique tail survives; doc 3 empties out and is dropped
+    assert(curated.map(_._1) == Seq(1L, 2L, 4L))
+    assert(curated(0)._2 == s"$base $run8")
+    assert(curated(1)._2 == "padding words here")
+    assert(funnel.last.getAs[Long]("removed") == 1L, "doc 3 should be the one emptied doc")
+
+    // packing ran over the REWRITTEN text: token conservation holds
+    val curTok = out.curated
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    val packedTok = out.packed.agg(sum("len")).collect()(0).getLong(0)
+    assert(packedTok == curTok, s"packed $packedTok tokens vs curated $curTok")
+
+    scope.close()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty, s"span-stage pipeline leaked cached RDDs: $leaked")
+  }
 }
