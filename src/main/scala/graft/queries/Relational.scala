@@ -1128,11 +1128,41 @@ object Relational {
             |FROM walk WHERE node < 10
             |ORDER BY c_custkey""".stripMargin))
 
+  // --------------------------------------------------------------- Q40
+  // Ordered-set aggregates — listagg WITHIN GROUP (new in Spark 4),
+  // the last classic SQL aggregate family the battery lacked. Per
+  // nation: supplier roster in name order and in balance order
+  // (deterministic total orders: acctbal DESC with name tiebreak; the
+  // doubles are identical per-row values in both engines, so the sort
+  // can't diverge). Scale: an ordered agg sorts WITHIN each group
+  // after one grouping exchange — group cardinality is the bound
+  // (catalog-sized here); a corpus-sized group would call for the
+  // collect_list+array_sort spelling on a pre-bucketed layout instead.
+  private val q40 = QueryDef(
+    "q40_listagg",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT n.n_name,
+                 count(*) AS n_supp,
+                 listagg(s.s_name, ',') WITHIN GROUP (ORDER BY s.s_name) AS roster,
+                 listagg(s.s_name, ',') WITHIN GROUP (ORDER BY s.s_acctbal DESC, s.s_name) AS by_balance
+               FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+               GROUP BY n.n_name
+               ORDER BY n.n_name""")
+    },
+    Some("""SELECT n.n_name,
+            |  count(*) AS n_supp,
+            |  string_agg(s.s_name, ',' ORDER BY s.s_name) AS roster,
+            |  string_agg(s.s_name, ',' ORDER BY s.s_acctbal DESC, s.s_name) AS by_balance
+            |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            |GROUP BY n.n_name
+            |ORDER BY n.n_name""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
     q10semi, q10anti, q11, q12, q13, q14, q15, q16,
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
 }
