@@ -255,6 +255,23 @@ class PlanContractSpec extends AnyFunSuite {
       s"expected exactly 1 grouping exchange, found $aggExchanges:\n$plan")
   }
 
+  test("q39: recursion executes as a distributed UnionLoop, not driver iteration") {
+    // Spark 4 recursive CTEs plan as UnionLoop + UnionLoopRef — each
+    // iteration a distributed job over the previous frontier. If a
+    // future rewrite collapsed this to collect()-and-loop, the node
+    // would vanish; pin it.
+    val plan = formatted("q39_recursive_cte")
+    assert(plan.contains("UnionLoop"), s"recursive CTE not planned as UnionLoop:\n$plan")
+  }
+
+  test("q40: ordered-set aggregates run with map-side partial aggregation") {
+    // listagg WITHIN GROUP still partial-aggregates (partial_listagg
+    // before the grouping exchange) — per-partition rosters combine,
+    // the corpus does not funnel unaggregated through one exchange.
+    val plan = formatted("q40_listagg")
+    assert(plan.contains("partial_listagg"), s"listagg lost partial aggregation:\n$plan")
+  }
+
   test("shared CleanupStages: clean + funnel reference ONE cached pair pipeline") {
     // A pipeline publishing the cleaned corpus AND its funnel
     // accounting (the realistic run shape) must not pay the
