@@ -2507,6 +2507,62 @@ object Llm {
             |       count(CASE WHEN rm THEN 1 END) AS n_removed
             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // Cluster-balanced DIVERSITY sampling — cap each semantic cluster's
+  // contribution to the curated set (the anti-over-representation
+  // pass: web corpora collapse onto a few dense semantic regions, and
+  // uniform sampling inherits that skew). Assignment reuses the IVF
+  // machinery (32 deterministic centroids, nearest by round-6 cosine);
+  // within each cluster, members rank in HASH order (sha60 of vec_id —
+  // an unbiased deterministic shuffle, the l8_sample_hash idiom) and
+  // rank <= quota survives. Scale: one centroid pass + one
+  // cluster-keyed window; the quota makes the output per-cluster
+  // bounded while hash order keeps the subset independent of vec_id
+  // assignment order. Hot clusters are exactly the ones the cap
+  // truncates — that is the point, not a skew hazard.
+  private val l3clusterSample = QueryDef(
+    "l3_cluster_sample",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("cid"), col("embedding").as("qe"))
+      val wAssign = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
+      val assign = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+        .crossJoin(broadcast(cents))
+        .withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
+        .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+        .select(col("vid"), col("cid"))
+      val wQuota = Window.partitionBy("cid")
+        .orderBy(col("hk").asc, col("vid").asc)
+      assign
+        .withColumn("hk", pmod(sha60(col("vid").cast("string")), lit(1000000007L)))
+        .withColumn("rank", row_number().over(wQuota))
+        .select(col("vid"), col("cid"), col("rank"),
+          (col("rank") <= 8).as("kept"))
+        .orderBy("cid", "rank")
+    },
+    Some("""WITH x AS (SELECT vec_id, unnest(embedding) AS e,
+            |             generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+            |n AS (SELECT vec_id, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
+            |      FROM x GROUP BY vec_id),
+            |cd AS (SELECT xv.vec_id AS vid, xc.vec_id AS cid,
+            |              round(SUM(CAST(xv.e AS DOUBLE) * CAST(xc.e AS DOUBLE))
+            |                    / (nv.nrm * nc.nrm), 6) AS simr
+            |       FROM x xv JOIN x xc ON xc.d = xv.d AND xc.vec_id < 32
+            |       JOIN n nv ON nv.vec_id = xv.vec_id
+            |       JOIN n nc ON nc.vec_id = xc.vec_id
+            |       GROUP BY xv.vec_id, xc.vec_id, nv.nrm, nc.nrm),
+            |assign AS (SELECT vid, cid FROM (
+            |      SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
+            |      FROM cd) WHERE rn = 1),
+            |h AS (SELECT vid, cid,
+            |        CAST(concat('0x', substr(sha256(CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007 AS hk
+            |      FROM assign),
+            |r AS (SELECT vid, cid,
+            |             row_number() OVER (PARTITION BY cid ORDER BY hk, vid) AS rank
+            |      FROM h)
+            |SELECT vid, cid, rank, rank <= 8 AS kept
+            |FROM r ORDER BY cid, rank""".stripMargin))
+
   // Vocabulary coverage / OOV rate — the tokenizer-training prep step:
   // build the top-V vocabulary by corpus frequency (V=256 here; fixed,
   // so the vocab side is CONSTANT-sized however big the corpus — the
@@ -2554,5 +2610,5 @@ object Llm {
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
     l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr, l8decontamScrub,
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
-    l4vocab, l3knnGraph, l8spanDedup)
+    l4vocab, l3knnGraph, l8spanDedup, l3clusterSample)
 }
