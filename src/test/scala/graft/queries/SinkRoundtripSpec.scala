@@ -7,10 +7,19 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkFixture, Tables}
 
-/** S2 sink coverage: query results survive parquet/CSV/JSON round
+/** S2 sink coverage: query results survive parquet/CSV/JSON/ORC round
   * trips (schema-aware re-read equals the original). */
 class SinkRoundtripSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
+
+  test("orc sink round-trips a query result (native ORC, no extra deps)") {
+    val df = Tables(spark, SparkFixture.sfDir, "region")
+      .select("r_regionkey", "r_name").orderBy("r_regionkey")
+    val expected = df.collect().toSeq
+    val base = Files.createTempDirectory("sink-orc").toString
+    df.write.mode("overwrite").orc(s"$base/o")
+    assert(spark.read.orc(s"$base/o").orderBy("r_regionkey").collect().toSeq == expected)
+  }
 
   test("parquet / csv / json sinks round-trip a query result") {
     val df = Tables(spark, SparkFixture.sfDir, "nation")
