@@ -467,6 +467,43 @@ class StreamingTckSpec extends AnyFunSuite {
     assert(got == Seq(1L, 3L))
   }
 
+  test("T10b: LEFT OUTER stream-stream join emits unmatched rows after watermark expiry") {
+    // The state-expiry semantic the inner join never exercises: an
+    // impression with no click inside its interval must surface WITH
+    // NULL click columns — but only once the watermark proves no
+    // matching click can still arrive. Matched rows emit immediately;
+    // the unmatched row emits on a later trigger after the watermark
+    // passes its interval end.
+    val imps = MemoryStream[(Timestamp, Long)](spark)
+    val clks = MemoryStream[(Timestamp, Long)](spark)
+    val joined = imps.toDF().toDF("its", "imp_id").withWatermark("its", "2 minutes")
+      .join(
+        clks.toDF().toDF("cts", "clk_imp").withWatermark("cts", "2 minutes"),
+        expr("imp_id = clk_imp AND cts BETWEEN its AND its + interval 5 minutes"),
+        "leftOuter")
+      .select("imp_id", "its", "cts")
+    val q = joined.writeStream.format("memory").queryName("t10b_out").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+    imps.addData((ts(0), 1L), (ts(0), 2L))
+    clks.addData((ts(3), 1L)) // inside imp 1's interval -> inner match
+    q.processAllAvailable()
+    // advance BOTH watermarks far past imp 2's interval end (t=5) +
+    // delay (2): t=30 makes the engine certain imp 2 is unmatched
+    imps.addData((ts(30), 99L))
+    clks.addData((ts(30), 98L))
+    q.processAllAvailable()
+    imps.addData((ts(31), 97L)) // one more trigger to flush expired state
+    clks.addData((ts(31), 96L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t10b_out")
+      .select("imp_id", "cts").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(rows(1L).isDefined, "matched impression must carry its click time")
+    assert(rows.contains(2L) && rows(2L).isEmpty,
+      s"unmatched impression must emit with NULL click after expiry: $rows")
+  }
+
   // ---------------------------------------------------------------- T2/T3 streaming-mode
   test("T2/T3: sliding and session windows run in streaming mode") {
     val in = MemoryStream[(Timestamp, Long)](spark)
