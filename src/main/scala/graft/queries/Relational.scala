@@ -1158,11 +1158,44 @@ object Relational {
             |GROUP BY n.n_name
             |ORDER BY n.n_name""".stripMargin))
 
+  // --------------------------------------------------------------- Q41
+  // RANGE window frames — the value-extent frame class q15's ROWS
+  // frames don't cover: per user, each event's trailing-1-hour count
+  // and DECIMAL sum (RANGE BETWEEN 3.6e9 µs PRECEDING AND CURRENT
+  // ROW over integer epoch-µs). RANGE frames include peers (equal
+  // ORDER BY values) — identical semantics on both engines because
+  // the frame is defined on the same integer microsecond axis. One
+  // user_id exchange; the frame scan is sorted-run-local per user.
+  private val q41 = QueryDef(
+    "q41_range_frames",
+    (s, dir) => {
+      val hourUs = 3600L * 1000000
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-hourUs, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"),
+          col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double"))
+        .select("user_id", "event_id", "us", "n_1h", "sum_1h")
+        .orderBy("user_id", "us", "event_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+            |SELECT user_id, event_id, us,
+            |  count(*) OVER w AS n_1h,
+            |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+            |FROM e
+            |WINDOW w AS (PARTITION BY user_id ORDER BY us
+            |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            |ORDER BY user_id, us, event_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
     q10semi, q10anti, q11, q12, q13, q14, q15, q16,
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }
