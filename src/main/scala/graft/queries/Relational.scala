@@ -1191,11 +1191,43 @@ object Relational {
             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
             |ORDER BY user_id, us, event_id""".stripMargin))
 
+  // --------------------------------------------------------------- Q42
+  // UNPIVOT/melt — Q31's inverse, closing the reshape pair: the four
+  // lineitem measures fold into (metric, value) rows, then one
+  // aggregate per (returnflag, metric). Spark's Dataset.unpivot plans
+  // an Expand (4 rows out per row in, map-side — the same node family
+  // as grouping sets, no shuffle to reshape); the oracle spells the
+  // identical relation as a UNION ALL stack. DECIMAL sums per the
+  // money contract.
+  private val q42 = QueryDef(
+    "q42_unpivot",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "v")
+        .groupBy("l_returnflag", "metric")
+        .agg(count(lit(1)).as("n"), dsum(col("v")).as("total"))
+        .orderBy("l_returnflag", "metric")
+    },
+    Some("""WITH u AS (
+            |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+            |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+            |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+            |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+            |SELECT l_returnflag, metric, count(*) AS n,
+            |       CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS total
+            |FROM u GROUP BY l_returnflag, metric
+            |ORDER BY l_returnflag, metric""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
     q10semi, q10anti, q11, q12, q13, q14, q15, q16,
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
 }
