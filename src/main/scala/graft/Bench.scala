@@ -20,6 +20,7 @@ object Bench {
     "q18_dedup_keeper", "q21_math_conditional", "q22_array_funcs",
     "q24_json_funcs", "q30_percentiles", "q31_pivot", "q35_lateral_topk",
     "q37_range_join", "q38_grouping_sets", "q39_recursive_cte",
+    "q41_range_frames", "q42_unpivot",
     "t1_window_tumbling", "t3_window_session",
     "l1_exact_dedup", "l2_jaccard_pairs", "l2_containment", "l2_winnow_pairs", "l2_minhash_lsh", "l2_simhash",
     "l2_dup_clusters", "l3_knn_bruteforce", "l3_ann_lsh", "l3_semdedup", "l3_ann_pq",

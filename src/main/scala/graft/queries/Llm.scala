@@ -2563,6 +2563,79 @@ object Llm {
             |SELECT vid, cid, rank, rank <= 8 AS kept
             |FROM r ORDER BY cid, rank""".stripMargin))
 
+  // Single-pass dataset PROFILING — the data-quality report every
+  // pipeline publishes before training: per column, row/null/distinct
+  // counts plus a numeric min/max envelope (string columns profile
+  // their LENGTHS — engine-portable where raw string min/max
+  // formatting is not; timestamps profile as epoch-µs). The whole
+  // report is ONE corpus pass: a single aggregate row of 6×5
+  // expressions, melted map-side into (column, stat...) rows — the
+  // oracle spells the same numbers as six single-column aggregates
+  // UNION ALL'd, so the compare also pins that the fused pass equals
+  // the per-column spelling. Exact distincts (the profile is a
+  // correctness artifact; q05/q34 are the sketch-bounded variants).
+  private val l8profile = QueryDef(
+    "l8_profile",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_id"), expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      def num(c: String) = Seq(
+        count(col(c)).as(s"${c}_n"),
+        count(when(col(c).isNull, 1)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).cast("double").as(s"${c}_mn"),
+        max(col(c)).cast("double").as(s"${c}_mx"))
+      def str(c: String) = Seq(
+        count(col(c)).as(s"${c}_n"),
+        count(when(col(c).isNull, 1)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(length(col(c))).cast("double").as(s"${c}_mn"),
+        max(length(col(c))).cast("double").as(s"${c}_mx"))
+      val aggs = num("event_id") ++ num("ts_us") ++ num("user_id") ++
+        str("event_type") ++ num("value") ++ str("props")
+      val one = e.agg(aggs.head, aggs.tail: _*)
+      val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      one.select(explode(array(cols.map(c => struct(
+          lit(c).as("column"), col(s"${c}_n").as("n_rows"),
+          col(s"${c}_nn").as("n_null"), col(s"${c}_nd").as("n_distinct"),
+          col(s"${c}_mn").as("mn"), col(s"${c}_mx").as("mx"))): _*)).as("p"))
+        .select(col("p.column").as("column"), col("p.n_rows").as("n_rows"),
+          col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"),
+          round(col("p.mn"), 6).as("mn"), round(col("p.mx"), 6).as("mx"))
+        .orderBy("column")
+    },
+    Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events)
+            |SELECT * FROM (
+            |  SELECT 'event_id' AS "column", count(event_id) AS n_rows,
+            |         count(CASE WHEN event_id IS NULL THEN 1 END) AS n_null,
+            |         count(DISTINCT event_id) AS n_distinct,
+            |         round(CAST(min(event_id) AS DOUBLE), 6) AS mn,
+            |         round(CAST(max(event_id) AS DOUBLE), 6) AS mx FROM e
+            |  UNION ALL
+            |  SELECT 'ts_us', count(ts_us), count(CASE WHEN ts_us IS NULL THEN 1 END),
+            |         count(DISTINCT ts_us),
+            |         round(CAST(min(ts_us) AS DOUBLE), 6), round(CAST(max(ts_us) AS DOUBLE), 6) FROM e
+            |  UNION ALL
+            |  SELECT 'user_id', count(user_id), count(CASE WHEN user_id IS NULL THEN 1 END),
+            |         count(DISTINCT user_id),
+            |         round(CAST(min(user_id) AS DOUBLE), 6), round(CAST(max(user_id) AS DOUBLE), 6) FROM e
+            |  UNION ALL
+            |  SELECT 'event_type', count(event_type), count(CASE WHEN event_type IS NULL THEN 1 END),
+            |         count(DISTINCT event_type),
+            |         round(CAST(min(len(event_type)) AS DOUBLE), 6),
+            |         round(CAST(max(len(event_type)) AS DOUBLE), 6) FROM e
+            |  UNION ALL
+            |  SELECT 'value', count(value), count(CASE WHEN value IS NULL THEN 1 END),
+            |         count(DISTINCT value),
+            |         round(CAST(min(value) AS DOUBLE), 6), round(CAST(max(value) AS DOUBLE), 6) FROM e
+            |  UNION ALL
+            |  SELECT 'props', count(props), count(CASE WHEN props IS NULL THEN 1 END),
+            |         count(DISTINCT props),
+            |         round(CAST(min(len(props)) AS DOUBLE), 6),
+            |         round(CAST(max(len(props)) AS DOUBLE), 6) FROM e)
+            |ORDER BY "column" """.stripMargin))
+
   // Vocabulary coverage / OOV rate — the tokenizer-training prep step:
   // build the top-V vocabulary by corpus frequency (V=256 here; fixed,
   // so the vocab side is CONSTANT-sized however big the corpus — the
@@ -2610,5 +2683,5 @@ object Llm {
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
     l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr, l8decontamScrub,
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
-    l4vocab, l3knnGraph, l8spanDedup, l3clusterSample)
+    l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l8profile)
 }
