@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Near-dup detection AT INGEST — the dedup a 100 TB pipeline wants to
+  * run BEFORE paying to store a document: MinHash-LSH banding applied
+  * to the arriving stream, with each band bucket's first-seen owner
+  * held in keyed streaming state.
+  *
+  * Shape: signatures are row-local (the same native `shingle_sha60` +
+  * `minhash_sig` kernels as batch `l2_minhash_lsh`, 16 bands × 4
+  * rows); the only shuffle keys by band bucket, where a
+  * `flatMapGroupsWithState` keeps min(doc_id) seen per bucket. The
+  * emitted stream is one record per (doc, band) with its collision
+  * verdict — collision events are tiny (candidate-sized, not
+  * corpus-sized), and the per-doc rollup (`dup = ANY band collided`,
+  * an LSH candidate in the batch path's sense) composes downstream: a
+  * second hop over the message bus, or a batch rollup over the sink
+  * (IngestDedupSpec drives both the stream and the rollup).
+  *
+  * Determinism: keep-first is by doc_id, not arrival order — a batch's
+  * verdicts depend only on min(doc_id) across state ∪ batch, so two
+  * docs of one micro-batch race deterministically (smaller id owns the
+  * bucket) and replays reproduce identical verdicts.
+  *
+  * State size: one long per live band bucket. At scale the state store
+  * is RocksDB-backed and the bucket space is bounded by distinct band
+  * signatures seen; production runs age buckets out with an event-time
+  * timeout (the CursorGate pattern) when the dedup horizon is bounded.
+  */
+object IngestDedup {
+
+  /** (doc_id, band, dup) per arriving (doc_id, band) — `dup` iff the
+    * bucket has (or this batch contains) a smaller doc_id. */
+  final case class BandHit(doc_id: Long, band: Int, dup: Boolean)
+
+  def bandCollisions(docs: DataFrame, nBands: Int = 16, rowsPerBand: Int = 4): Dataset[BandHit] = {
+    val sigs = docs.select(col("doc_id"),
+        graft.functions.MinHashExprs.minhash_sig(
+          graft.functions.ShingleExprs.shingle_sha60(col("text"))).as("sig"))
+    val bands = (0 until nBands).map(bd => struct(
+      lit(bd).as("band"),
+      concat_ws(",", (0 until rowsPerBand).map(r => col("sig")(bd * rowsPerBand + r)): _*).as("bsig")))
+    implicit val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.STRING)
+    implicit val hitEnc = Encoders.product[BandHit]
+    implicit val stateEnc = Encoders.scalaLong
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+      .as[(Long, Int, String)]
+      .groupByKey { case (_, band, bsig) => s"$band|$bsig" }(Encoders.STRING)
+      .flatMapGroupsWithState[Long, BandHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(Long, Int, String)], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val batch = rows.toVector
+          val batchMin = batch.iterator.map(_._1).min
+          val seenMin = state.getOption.fold(batchMin)(math.min(_, batchMin))
+          state.update(seenMin)
+          batch.iterator.map { case (d, band, _) => BandHit(d, band, d > seenMin) }
+      }
+  }
+}
