@@ -76,6 +76,39 @@ class CrossCheckSpec extends AnyFunSuite {
       s"missed: ${expected -- got}; spurious: ${got -- expected}")
   }
 
+  test("bucketed range join equals the naive theta join on random intervals") {
+    // q37's decomposition contract: equi-join on width-W buckets +
+    // BETWEEN residual must equal the plain non-equi join for ANY
+    // interval placement, including boundary-aligned starts and
+    // events exactly at start/end. Random fixture + planted edges.
+    val rnd = new scala.util.Random(7)
+    val W = 100L
+    val events = ((0 until 300).map(i => (i.toLong, rnd.nextInt(5000).toLong)) ++
+      Seq((900L, 1000L), (901L, 1099L), (902L, 1100L))) // exact boundaries
+    val trigs = ((0 until 40).map(i => (1000L + i, rnd.nextInt(5000).toLong)) ++
+      Seq((2000L, 1000L))) // boundary-aligned interval [1000, 1100)
+    val e = events.toDF("event_id", "us")
+    val t = trigs.toDF("trigger_id", "start_us")
+      .withColumn("end_us", col("start_us") + W)
+
+    val naive = t.join(e, col("us") >= col("start_us") && col("us") < col("end_us"))
+      .select("trigger_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val tb = t.withColumn("bkt", explode(array_distinct(array(
+        expr(s"start_us div ${W}L"), expr(s"(end_us - 1) div ${W}L")))))
+    val pb = e.withColumn("bkt", expr(s"us div ${W}L"))
+    val bucketed = tb.join(pb, Seq("bkt"))
+      .filter(col("us") >= col("start_us") && col("us") < col("end_us"))
+      .select("trigger_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(bucketed == naive,
+      s"missing: ${naive -- bucketed}, extra: ${bucketed -- naive}")
+    assert(naive.contains((2000L, 900L)) && naive.contains((2000L, 901L)) &&
+      !naive.contains((2000L, 902L)), "planted boundary semantics")
+  }
+
   test("pqEncode codes equal the brute-force argmin over the codebook") {
     val e = graft.Tables(spark, SparkFixture.sfDir, "embeddings")
     val cb = CorpusOps.pqCodebook(e)
