@@ -529,6 +529,55 @@ class StreamingTckSpec extends AnyFunSuite {
     q3.stop()
   }
 
+  test("T3b: session windows with a DYNAMIC per-event gap") {
+    // session_window accepts a gap EXPRESSION: purchases hold sessions
+    // open 30 minutes, other events only 5 — the per-row gap the fixed
+    // T3 form can't express. Events at t=0 ('view') and t=10 fall in
+    // ONE session only if the first gap is the long one.
+    val in = MemoryStream[(Timestamp, Long, String)](spark)
+    val sessions = in.toDF().toDF("ts", "uid", "etype")
+      .withWatermark("ts", "1 minute")
+      .groupBy(
+        session_window(col("ts"),
+          when(col("etype") === "purchase", "30 minutes").otherwise("5 minutes")),
+        col("uid"))
+      .agg(count(lit(1)).as("n"))
+    val q = sessions.writeStream.format("memory").queryName("t3b_out")
+      .outputMode("complete").start()
+    // uid 1: view at 0 (5m gap) then event at 10 -> gap closed -> 2 sessions
+    // uid 2: purchase at 0 (30m gap) then event at 10 -> same session
+    in.addData((ts(0), 1L, "view"), (ts(10), 1L, "view"),
+               (ts(0), 2L, "purchase"), (ts(10), 2L, "view"))
+    q.processAllAvailable()
+    val perUid = spark.table("t3b_out").groupBy("uid").count()
+      .as[(Long, Long)].collect().toMap
+    q.stop()
+    assert(perUid(1L) == 2L, s"short gap must split uid 1: $perUid")
+    assert(perUid(2L) == 1L, s"long purchase gap must hold uid 2 open: $perUid")
+  }
+
+  test("S2-streaming: parquet file sink is exactly-once across a restart") {
+    // The streaming file sink commits files through the checkpoint's
+    // manifest: restarting the query against the SAME checkpoint and
+    // output dir must not duplicate already-committed batches, and a
+    // batch read of the directory sees each record exactly once.
+    val in = MemoryStream[(Long, String)](spark)
+    val out = Files.createTempDirectory("fsink-out").toString
+    val ck = Files.createTempDirectory("fsink-ck").toString
+    def start() = in.toDF().toDF("id", "payload")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).start()
+    val q1 = start()
+    in.addData((1L, "a"), (2L, "b"))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start() // restart from the same checkpoint
+    in.addData((3L, "c"))
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out).as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"file sink must be exactly-once across restart: $got")
+  }
+
   // ------------------------------------------- L-ops over the stream
   test("corpus ingest: quality gate + in-stream exact dedup over the message source") {
     // The L-battery's cleanup stages composed onto the streaming layer:
