@@ -2423,15 +2423,19 @@ object Llm {
         greatest(lit(32L), ceil(sqrt(count(lit(1)))).cast("long")).as("nlist")))
       val cents = e.crossJoin(nlist).filter(col("vec_id") < col("nlist"))
         .select(col("vec_id").as("cid"), col("embedding").as("qe"))
-      // one centroid-similarity pass shared by assignment and probes
+      // one centroid-similarity pass shared by assignment and probes;
+      // only the rn<=4 slice materializes (4n rows — LINEAR; assign =
+      // rn=1 is a subset of the probe lists, so caching the full
+      // n x nlist table would store n^1.5 rows for nothing)
       val w = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
-      val cd = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      val cdTop = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
         .crossJoin(broadcast(cents))
         .withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
         .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 4)
         .select("vid", "cid", "rn").cache()
-      val assign = cd.filter(col("rn") === 1).select(col("vid"), col("cid"))
-      val probes = cd.filter(col("rn") <= 4).select(col("vid").as("qid"), col("cid"))
+      val assign = cdTop.filter(col("rn") === 1).select(col("vid"), col("cid"))
+      val probes = cdTop.select(col("vid").as("qid"), col("cid"))
       val cand = probes.join(assign, "cid")
         .filter(col("vid") =!= col("qid"))
         .select("qid", "vid")
