@@ -2646,10 +2646,12 @@ object Llm {
   // broadcast that stays legal at 100 TB, unlike a full frequency
   // table), then score every doc's out-of-vocabulary token rate. The
   // corpus-side cost is one word-count aggregate plus one explode +
-  // doc-keyed partial agg; the global top-V rank runs on the
-  // vocabulary-sized count table (aggregate output, single-partition
-  // window is bounded by distinct-word count, documented). Ties in the
-  // frequency cut break by word ASC on both engines.
+  // doc-keyed partial agg; the global top-V cut runs as a DISTRIBUTED
+  // TakeOrderedAndProject over the count table (per-partition top-256
+  // then a 256-row merge — a single-partition row_number window here
+  // would funnel the full distinct-word table, billions of rows at
+  // corpus scale, through one task). Ties in the frequency cut break
+  // by word ASC on both engines.
   private val l4vocab = QueryDef(
     "l4_vocab_oov",
     (s, dir) => {
@@ -2658,9 +2660,8 @@ object Llm {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       val wc = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
       val vocab = broadcast(wc
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("cnt").desc, col("word").asc)))
-        .filter(col("rn") <= V).select(col("word"), lit(1).as("in_v")))
+        .orderBy(col("cnt").desc, col("word").asc).limit(V)
+        .select(col("word"), lit(1).as("in_v")))
       tok.join(vocab, Seq("word"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"),
