@@ -272,6 +272,15 @@ class PlanContractSpec extends AnyFunSuite {
     assert(plan.contains("partial_listagg"), s"listagg lost partial aggregation:\n$plan")
   }
 
+  test("l4_vocab_oov: the top-V cut is a distributed TakeOrderedAndProject") {
+    // A global row_number window here would funnel the whole
+    // distinct-word count table through ONE partition to pick 256
+    // rows; the partial-top-k + tiny-merge shape must survive.
+    val plan = formatted("l4_vocab_oov")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab cut lost the distributed top-k shape:\n$plan")
+  }
+
   test("shared CleanupStages: clean + funnel reference ONE cached pair pipeline") {
     // A pipeline publishing the cleaned corpus AND its funnel
     // accounting (the realistic run shape) must not pay the
