@@ -76,6 +76,50 @@ class CrossCheckSpec extends AnyFunSuite {
       s"missed: ${expected -- got}; spurious: ${got -- expected}")
   }
 
+  test("spanDedup conserves tokens and matches a brute-force cover on random corpora") {
+    // Random 30-doc corpora with planted copied runs: for every doc,
+    // n_kept + n_removed == token count, clean_text has exactly n_kept
+    // tokens, and the removed set equals a brute-force cover computed
+    // in plain Scala (gram ownership by min doc_id, token covered iff
+    // some owned-elsewhere gram start within the last g positions).
+    val g = 4
+    val rnd = new scala.util.Random(13)
+    def sent(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+    val bases = (0 until 20).map(i => (i.toLong, sent(6 + rnd.nextInt(10))))
+    val copiers = (0 until 10).map { i =>
+      val (_, base) = bases(rnd.nextInt(bases.length))
+      (500L + i, s"${sent(3)} $base ${sent(3)}")
+    }
+    val docs = (bases ++ copiers)
+    val out = CorpusOps.spanDedup(docs.toDF("doc_id", "text"), g = g)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+
+    // brute-force reference
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+    val owner = scala.collection.mutable.Map[String, Long]()
+    for ((id, ws) <- docs.sortBy(_._1); i <- 0 to ws.split(" ").length - g) {
+      val k = ws.split(" ").slice(i, i + g).mkString(" ")
+      if (!owner.contains(k) || owner(k) > id) owner(k) = id
+    }
+    def removedSet(id: Long): Set[Int] = {
+      val ws = toks(id)
+      val dupStart = (0 to ws.length - g).filter { i =>
+        owner(ws.slice(i, i + g).mkString(" ")) < id
+      }.toSet
+      ws.indices.filter(j => (math.max(0, j - g + 1) to j).exists(dupStart)).toSet
+    }
+    for ((id, clean, nKept, nRemoved) <- out) {
+      val ws = toks(id)
+      assert(nKept + nRemoved == ws.length, s"doc $id conservation")
+      val cleanToks = if (clean.isEmpty) Vector.empty else clean.split(" ").toVector
+      assert(cleanToks.length == nKept, s"doc $id clean length")
+      val ref = removedSet(id)
+      assert(nRemoved == ref.size, s"doc $id removed count vs brute force")
+      assert(cleanToks == ws.indices.filterNot(ref).map(ws), s"doc $id kept tokens")
+    }
+    assert(out.count(_._4 > 0) >= 8, "most copier docs should lose their planted run")
+  }
+
   test("bucketed range join equals the naive theta join on random intervals") {
     // q37's decomposition contract: equi-join on width-W buckets +
     // BETWEEN residual must equal the plain non-equi join for ANY
