@@ -49,6 +49,37 @@ class IngestDedupSpec extends AnyFunSuite {
     assert(counts.values.forall(_ == 16L))
   }
 
+  test("TTL horizon: bucket state expires; a post-horizon duplicate is first-seen again") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp((min + 100) * 60000L) // offset: epoch-0 events are late vs the initial watermark
+    val text = "identical payload text repeated verbatim across the docs " +
+      "so every band signature matches exactly between the copies"
+    val in = MemoryStream[(Timestamp, Long, String)](spark)
+    val q = IngestDedup.bandCollisionsTtl(
+        in.toDF().toDF("ts", "doc_id", "text").withWatermark("ts", "1 minute"),
+        horizonMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("ingest_ttl").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("g").toString)
+      .start()
+    in.addData((ts(0), 1L, text))         // owner at t=0
+    q.processAllAvailable()
+    in.addData((ts(5), 2L, text))         // inside the 10-min horizon -> dup
+    q.processAllAvailable()
+    // advance the watermark far past t=5 + 10min so the buckets expire
+    in.addData((ts(60), 50L, "unrelated filler content advancing the watermark clock forward"))
+    q.processAllAvailable()
+    in.addData((ts(61), 3L, text))        // post-horizon copy -> state forgotten
+    q.processAllAvailable()
+    q.stop()
+    val verdicts = spark.table("ingest_ttl")
+      .groupBy("doc_id").agg(max(col("dup")).as("is_dup"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(verdicts(1L) == false)
+    assert(verdicts(2L) == true, s"in-horizon duplicate must collide: $verdicts")
+    assert(verdicts(3L) == false,
+      s"post-horizon duplicate must be first-seen after state expiry: $verdicts")
+  }
+
   test("same-batch race resolves keep-first by doc_id, not arrival order") {
     val text = "identical payload text repeated verbatim across both docs " +
       "so every band signature matches exactly between the pair"
