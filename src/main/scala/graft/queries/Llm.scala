@@ -30,6 +30,15 @@ object Llm {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Query-internal caches route through [[graft.ops.CacheScope]]: under
+    * the default implicit ([[graft.ops.CacheScope.sessionOwned]]) this is
+    * plain cache() — Verify/BenchSession clear it between queries — but a
+    * pipeline that lifts a query body into a context with an OWNED scope
+    * in implicit scope inherits the unpersist-on-close lifecycle instead
+    * of an unreleasable corpus-sized cache. */
+  private def cached(df: DataFrame)(implicit scope: graft.ops.CacheScope): DataFrame =
+    scope.cached(df)
+
   /** Smallest b with 2^b >= m (0 for m <= 1). Integer-only on purpose:
     * the banding widths below derive from it on BOTH engines, and a
     * float log2 landing exactly on a power-of-two boundary could round
@@ -170,11 +179,10 @@ object Llm {
       // bit-identical signatures, candidates, and pair set. Cached
       // intermediate is doc-count-sized — the signature table a 100 TB
       // run would materialize to storage anyway.
-      val doc = t(s, dir, "documents").select(col("doc_id"),
+      val doc = cached(t(s, dir, "documents").select(col("doc_id"),
           graft.functions.ShingleExprs.shingle_sha60(col("text")).as("arr"))
         .withColumn("sig", graft.functions.MinHashExprs.minhash_sig(col("arr")))
-        .withColumn("sz", size(col("arr")))
-        .cache()
+        .withColumn("sz", size(col("arr"))))
       val bands = (0 until NPERM / 4).map(bd => struct(
         lit(bd).as("band"),
         concat_ws(",", (0 until 4).map(r => col("sig")(bd * 4 + r)): _*).as("bsig")))
@@ -588,9 +596,8 @@ object Llm {
     "l3_ann_ivf_kmeans",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      val x = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "e0")))
-        .select(col("vec_id"), col("d"), col("e0").cast("double").as("x"))
-        .cache()
+      val x = cached(e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "e0")))
+        .select(col("vec_id"), col("d"), col("e0").cast("double").as("x")))
       val n = x.groupBy("vec_id").agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
       def sims(cents: DataFrame): DataFrame = {
         val cn = cents.groupBy("cid").agg(sqrt(sum(col("v") * col("v"))).as("cnrm"))
@@ -613,7 +620,7 @@ object Llm {
           .groupBy("cid", "d").agg(round(avg(col("x")), 6).as("v"))
       val c0 = x.filter(col("vec_id") < 32)
         .select(col("vec_id").as("cid"), col("d"), col("x").as("v"))
-      val s3 = sims(lloyd(lloyd(c0))).cache()
+      val s3 = cached(sims(lloyd(lloyd(c0))))
       val assign = assignOf(s3)
       val wProbe = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
       val probes = s3.filter(col("vid").isin(0, 1, 2))
@@ -2428,12 +2435,12 @@ object Llm {
       // rn=1 is a subset of the probe lists, so caching the full
       // n x nlist table would store n^1.5 rows for nothing)
       val w = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
-      val cdTop = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      val cdTop = cached(e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
         .crossJoin(broadcast(cents))
         .withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 4)
-        .select("vid", "cid", "rn").cache()
+        .select("vid", "cid", "rn"))
       val assign = cdTop.filter(col("rn") === 1).select(col("vid"), col("cid"))
       val probes = cdTop.select(col("vid").as("qid"), col("cid"))
       val cand = probes.join(assign, "cid")

@@ -55,11 +55,20 @@ object IngestDedup {
 
   /** [[bandCollisions]] with a bounded dedup horizon: bucket state ages
     * out once the watermark passes last-arrival + `horizonMs` — a
-    * duplicate arriving AFTER the horizon is treated as first-seen (by
-    * then the original has been curated/compacted; unbounded keep-first
-    * needs the batch dedup pass anyway). Caller must supply an event
-    * time column `ts` WITH a watermark (the timeout clock IS the
-    * watermark). Live state is bounded by distinct buckets per horizon.
+    * duplicate arriving after the horizon BUT AHEAD of the watermark is
+    * treated as first-seen (by then the original has been
+    * curated/compacted; unbounded keep-first needs the batch dedup pass
+    * anyway). Caller must supply an event time column `ts` WITH a
+    * watermark (the timeout clock IS the watermark). Live state is
+    * bounded by distinct buckets per horizon.
+    *
+    * Late data: a row whose event time is already BEHIND the current
+    * watermark is dropped by Spark's EventTimeTimeout late-data filter
+    * before it reaches the state function — it emits NO BandHit verdict
+    * at all (not a first-seen one), so downstream rollups see the doc
+    * vanish. A caller that needs a verdict for every doc must bound
+    * arrival lateness via the watermark delay (or run the unbounded
+    * [[bandCollisions]], which carries no event-time filter).
     */
   def bandCollisionsTtl(docs: DataFrame, horizonMs: Long,
                         nBands: Int = 16, rowsPerBand: Int = 4): Dataset[BandHit] = {

@@ -53,6 +53,30 @@ class CacheScopeSpec extends AnyFunSuite {
     scope.close() // second close: no-op, no throw
   }
 
+  test("no raw .cache() in src/main outside CacheScope itself") {
+    // The lifecycle contract only holds if EVERY cache in the library
+    // routes through CacheScope (scope.cached / Llm.cached). A raw
+    // .cache() in a query or transform body silently opts out: a user
+    // lifting that body into a long-lived pipeline inherits an
+    // unreleasable corpus-sized cache. CacheScope.scala is the one
+    // legitimate call site.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    assume(java.nio.file.Files.isDirectory(root), "run from the repo root")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filterNot(_.toString.endsWith("ops/CacheScope.scala"))
+      .flatMap { p =>
+        java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.collect {
+          case (line, i) if line.contains(".cache()") && !line.trim.startsWith("//") &&
+            !line.trim.startsWith("*") =>
+            s"$p:${i + 1}: ${line.trim}"
+        }
+      }.toList
+    assert(offenders.isEmpty,
+      s"raw .cache() outside CacheScope:\n${offenders.mkString("\n")}")
+  }
+
   test("reliable mode checkpoints to durable storage and matches local-mode labels") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ck").toString
     spark.sparkContext.setCheckpointDir(dir)
