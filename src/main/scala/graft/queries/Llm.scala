@@ -2522,57 +2522,98 @@ object Llm {
   // contribution to the curated set (the anti-over-representation
   // pass: web corpora collapse onto a few dense semantic regions, and
   // uniform sampling inherits that skew). Assignment reuses the IVF
-  // machinery (32 deterministic centroids, nearest by round-6 cosine);
-  // within each cluster, members rank in HASH order (sha60 of vec_id —
-  // an unbiased deterministic shuffle, the l8_sample_hash idiom) and
-  // rank <= quota survives. Scale: one centroid pass + one
-  // cluster-keyed window; the quota makes the output per-cluster
-  // bounded while hash order keeps the subset independent of vec_id
-  // assignment order. Hot clusters are exactly the ones the cap
-  // truncates — that is the point, not a skew hazard.
+  // machinery: k SCALE-PARAMETERIZED at max(32, ceil(√n)) — the same
+  // action-free broadcast-aggregate idiom as l3_knn_graph's nlist; a
+  // FIXED k would rank the whole corpus inside k window partitions
+  // (max k-way parallelism, ~n/k rows per sort partition — the
+  // fixed-parameter trap this project hit with banding widths and
+  // nlist before). √n clusters keep each quota partition ~√n rows at
+  // any corpus size. Within each cluster, members rank in HASH order
+  // (sha60 of vec_id — an unbiased deterministic shuffle, the
+  // l8_sample_hash idiom) and rank <= quota survives; this diagnostic
+  // variant emits EVERY row with its kept verdict (rank is
+  // output-pinned), so the window must materialize all ranks —
+  // l3_cluster_sample_kept below is the production shape whose rank
+  // filter compiles to a partial per-partition WindowGroupLimit.
+  private def clusterAssign(e: DataFrame): DataFrame = {
+    val k = broadcast(e.agg(
+      greatest(lit(32L), ceil(sqrt(count(lit(1)))).cast("long")).as("kk")))
+    val cents = e.crossJoin(k).filter(col("vec_id") < col("kk"))
+      .select(col("vec_id").as("cid"), col("embedding").as("qe"))
+    val wAssign = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
+    e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      .crossJoin(broadcast(cents))
+      .withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vid"), col("cid"))
+      .withColumn("hk", pmod(sha60(col("vid").cast("string")), lit(1000000007L)))
+  }
+
+  private val clusterSampleOracle =
+    """WITH x AS (SELECT vec_id, unnest(embedding) AS e,
+      |             generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+      |n AS (SELECT vec_id, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
+      |      FROM x GROUP BY vec_id),
+      |nk AS (SELECT GREATEST(32, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS kk
+      |       FROM embeddings),
+      |cd AS (SELECT xv.vec_id AS vid, xc.vec_id AS cid,
+      |              round(SUM(CAST(xv.e AS DOUBLE) * CAST(xc.e AS DOUBLE))
+      |                    / (nv.nrm * nc.nrm), 6) AS simr
+      |       FROM x xv JOIN x xc ON xc.d = xv.d AND xc.vec_id < (SELECT kk FROM nk)
+      |       JOIN n nv ON nv.vec_id = xv.vec_id
+      |       JOIN n nc ON nc.vec_id = xc.vec_id
+      |       GROUP BY xv.vec_id, xc.vec_id, nv.nrm, nc.nrm),
+      |assign AS (SELECT vid, cid FROM (
+      |      SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
+      |      FROM cd) WHERE rn = 1),
+      |h AS (SELECT vid, cid,
+      |        CAST(concat('0x', substr(sha256(CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007 AS hk
+      |      FROM assign),
+      |r AS (SELECT vid, cid,
+      |             row_number() OVER (PARTITION BY cid ORDER BY hk, vid) AS rank
+      |      FROM h)""".stripMargin
+
   private val l3clusterSample = QueryDef(
     "l3_cluster_sample",
     (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val cents = e.filter(col("vec_id") < 32)
-        .select(col("vec_id").as("cid"), col("embedding").as("qe"))
-      val wAssign = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
-      val assign = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
-        .crossJoin(broadcast(cents))
-        .withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
-        .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-        .select(col("vid"), col("cid"))
       val wQuota = Window.partitionBy("cid")
         .orderBy(col("hk").asc, col("vid").asc)
-      assign
-        .withColumn("hk", pmod(sha60(col("vid").cast("string")), lit(1000000007L)))
+      clusterAssign(t(s, dir, "embeddings"))
         .withColumn("rank", row_number().over(wQuota))
         .select(col("vid"), col("cid"), col("rank"),
           (col("rank") <= 8).as("kept"))
         .orderBy("cid", "rank")
     },
-    Some("""WITH x AS (SELECT vec_id, unnest(embedding) AS e,
-            |             generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
-            |n AS (SELECT vec_id, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
-            |      FROM x GROUP BY vec_id),
-            |cd AS (SELECT xv.vec_id AS vid, xc.vec_id AS cid,
-            |              round(SUM(CAST(xv.e AS DOUBLE) * CAST(xc.e AS DOUBLE))
-            |                    / (nv.nrm * nc.nrm), 6) AS simr
-            |       FROM x xv JOIN x xc ON xc.d = xv.d AND xc.vec_id < 32
-            |       JOIN n nv ON nv.vec_id = xv.vec_id
-            |       JOIN n nc ON nc.vec_id = xc.vec_id
-            |       GROUP BY xv.vec_id, xc.vec_id, nv.nrm, nc.nrm),
-            |assign AS (SELECT vid, cid FROM (
-            |      SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
-            |      FROM cd) WHERE rn = 1),
-            |h AS (SELECT vid, cid,
-            |        CAST(concat('0x', substr(sha256(CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007 AS hk
-            |      FROM assign),
-            |r AS (SELECT vid, cid,
-            |             row_number() OVER (PARTITION BY cid ORDER BY hk, vid) AS rank
-            |      FROM h)
-            |SELECT vid, cid, rank, rank <= 8 AS kept
-            |FROM r ORDER BY cid, rank""".stripMargin))
+    Some(clusterSampleOracle +
+      """
+        |SELECT vid, cid, rank, rank <= 8 AS kept
+        |FROM r ORDER BY cid, rank""".stripMargin))
+
+  // The production shape of the same sample: emit ONLY the kept rows,
+  // so the rank predicate sits directly on the quota window and
+  // Catalyst's InferWindowGroupLimit turns it into a partial
+  // per-partition top-quota BEFORE the cid exchange (plus the final
+  // limit after) — the shuffle carries <= quota rows per (input
+  // partition, cid) instead of the whole corpus, and the full ranking
+  // never materializes. Same adaptive k, same hash order, same kept
+  // set as l3_cluster_sample (the diagnostic variant's `kept` column
+  // pins that equivalence through the shared CTE pipeline).
+  // Plan-pinned in PlanContractSpec (partial+final WindowGroupLimit).
+  private val l3clusterSampleKept = QueryDef(
+    "l3_cluster_sample_kept",
+    (s, dir) => {
+      val wQuota = Window.partitionBy("cid")
+        .orderBy(col("hk").asc, col("vid").asc)
+      clusterAssign(t(s, dir, "embeddings"))
+        .withColumn("rank", row_number().over(wQuota))
+        .filter(col("rank") <= 8)
+        .select(col("vid"), col("cid"), col("rank"))
+        .orderBy("cid", "rank")
+    },
+    Some(clusterSampleOracle +
+      """
+        |SELECT vid, cid, rank
+        |FROM r WHERE rank <= 8 ORDER BY cid, rank""".stripMargin))
 
   // Single-pass dataset PROFILING — the data-quality report every
   // pipeline publishes before training: per column, row/null/distinct
@@ -2695,5 +2736,5 @@ object Llm {
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
     l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr, l8decontamScrub,
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
-    l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l8profile)
+    l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile)
 }

@@ -42,6 +42,29 @@ class PlanContractSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"window group limit missing:\n$plan")
   }
 
+  test("l3_cluster_sample_kept: quota filter becomes partial+final WindowGroupLimit") {
+    // The kept-only sample must NEVER rank the whole corpus through the
+    // cid exchange: the rank <= quota predicate compiles to a map-side
+    // per-partition top-quota (partial WindowGroupLimit) before the
+    // shuffle and the final limit after — so the exchange carries at
+    // most quota rows per (input partition, cid). Two windows in the
+    // pipeline (assignment rn=1, quota rank): both must group-limit,
+    // hence >= 4 nodes (partial+final each).
+    val plan = formatted("l3_cluster_sample_kept")
+    assert(countNodes(plan, "WindowGroupLimit") >= 4,
+      s"quota/assign rank filters not pushed as group limits:\n$plan")
+  }
+
+  test("l3_cluster_sample: centroid count scales with the corpus (no fixed k)") {
+    // k = max(32, ceil(sqrt(n))) via an action-free broadcast
+    // aggregate: the plan must derive the centroid filter from an
+    // aggregate subtree, not a literal 32 — a fixed k caps parallelism
+    // at k window partitions with ~n/k rows each as the corpus grows.
+    val plan = formatted("l3_cluster_sample_kept")
+    assert(plan.contains("sqrt") || plan.contains("SQRT"),
+      s"centroid count is not derived from corpus size:\n$plan")
+  }
+
   test("l3_knn: non-equi join runs as broadcast nested-loop, never sort-merge") {
     // (at fixture scale the 3-row query side would auto-broadcast even
     // without the hint, so this pins the join STRATEGY; the no-shuffle-

@@ -60,6 +60,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(perQ.size == 500, s"expected 500 query vectors, got ${perQ.size}")
   }
 
+  test("cluster sample: centroid count adapts to corpus size, quota holds per cluster") {
+    // k = max(32, ceil(sqrt(n))): at n = 2000 that is 45 centroids, and
+    // each centroid vector assigns to itself (cos = 1.0 maximum), so
+    // exactly 45 clusters appear in the kept output — a fixed k = 32
+    // would cap this at 32 and fail here.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csample").toString
+    val rnd = new scala.util.Random(7)
+    (0L until 2000L).map(i => (i, Array.fill(8)(rnd.nextFloat()), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+    val kept = SparkEntry.queries("l3_cluster_sample_kept")(spark, dir)
+    val byCid = kept.groupBy("cid").count().collect()
+    assert(byCid.length == 45,
+      s"expected 45 adaptive clusters at n=2000, got ${byCid.length}")
+    assert(byCid.forall(_.getLong(1) <= 8), "a cluster exceeded its quota")
+  }
+
   test("vocab oov: rates are [0,1], and the top-256 vocab covers most tokens") {
     val rows = SparkEntry.queries("l4_vocab_oov")(spark, SparkFixture.sfDir).collect()
     assert(rows.forall { r =>
