@@ -24,7 +24,8 @@ object Bench {
     "t1_window_tumbling", "t3_window_session",
     "l1_exact_dedup", "l2_jaccard_pairs", "l2_containment", "l2_winnow_pairs", "l2_minhash_lsh", "l2_simhash",
     "l2_dup_clusters", "l3_knn_bruteforce", "l3_ann_lsh", "l3_semdedup", "l3_ann_pq",
-    "l3_ann_ivfpq", "l3_knn_graph", "l3_cluster_sample",
+    "l3_ann_ivfpq", "l3_ann_ivfpq_residual", "l3_ann_refined",
+    "l3_knn_graph", "l3_cluster_sample",
     "l4_tfidf", "l4_fingerprint", "l4_lm_score", "l4_entropy", "l4_winnow",
     "l6_corpus_clean", "l6_pack_shards",
     "l8_decontaminate", "l8_repetition", "l8_chunk_windows", "l8_line_dedup",

@@ -22,6 +22,9 @@ object Stress {
   private val queriesUnderTest = Seq(
     "l2_jaccard_pairs", "l2_containment", "l2_winnow_pairs", "l2_minhash_lsh", "l2_simhash", "l2_embedding_cosine",
     "l2_dup_clusters", "l3_ann_lsh", "l3_semdedup", "l3_ann_pq", "l3_ann_ivfpq",
+    "l3_ann_ivfpq_residual", "l3_ann_refined",
+    // l8_profile_approx is absent: it profiles `events`, which this
+    // harness does not scale (only documents/embeddings replicate)
     "l6_corpus_clean",
     "l6_pack_shards", "l8_decontaminate", "l8_repetition", "l8_chunk_windows",
     "l8_line_dedup", "l4_entropy", "l8_mixture_apply",

@@ -1045,6 +1045,157 @@ object CorpusOps {
     }
   }
 
+  /** Residual-encoding IVF-PQ top-k (the full FAISS IVFADC,
+    * Jégou et al. TPAMI'11 §IV): instead of PQ-coding raw vectors, each
+    * vector is coded as its RESIDUAL against its coarse-list centroid —
+    * residual magnitudes are a fraction of vector magnitudes, so the
+    * same 8×16 code budget spends its precision on the part the coarse
+    * quantizer didn't explain, tightening ADC estimates over the
+    * raw-vector composite ([[ivfCandidates]]+[[pqTopK]]).
+    *
+    * Stages, all deterministic (round(·,6) before every rank, id
+    * tie-breaks) so the DuckDB oracle replays them bit-for-bit:
+    *  1. coarse assign: nearest of `nlist` seed centroids by
+    *     round(L2²,6), cid tie-break (the [[ivfCandidates]] rule);
+    *  2. residual r = v − centroid(assign(v)), element-wise in double
+    *     (float−float is exact in double — no rounding needed);
+    *  3. PQ codebook Lloyd-TRAINED ON THE RESIDUALS
+    *     ([[pqCodebookTrained]] composition) and codes via
+    *     [[pqEncode]];
+    *  4. query side: probe the `nprobe` closest lists; PER PROBED LIST
+    *     build the LUT from the QUERY'S residual against that list's
+    *     centroid (the LUT is (qid, cid)-keyed — queries×nprobe×m×k
+    *     rows, broadcast-sized);
+    *  5. ADC = Σ lut[(qid, cid, sub, code)] over a candidate's codes,
+    *     candidates = probed-list co-membership, rank on round(Σ,6)
+    *     with vid tie-break.
+    *
+    * Scale shape: identical to the raw composite — codes + a constant
+    * codebook move, raw vectors never shuffle, candidate volume is
+    * ~nprobe/nlist of the corpus — plus one broadcast-sized LUT join
+    * keyed by (qid, cid). The residual step itself is one broadcast
+    * join against the nlist centroids, shuffle-free. Output
+    * (qid, rn, vid, adr). */
+  def ivfpqResidualTopK(vecs: DataFrame, queries: DataFrame,
+                        nlist: Int = 32, nprobe: Int = 4,
+                        m: Int = 8, subDim: Int = 8, k: Int = 16,
+                        iters: Int = 2, topK: Int = 10): DataFrame = {
+    import graft.functions.VectorExprs.vec_l2sq
+    val cents = vecs.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val assign = vecs.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2c", round(vec_l2sq(col("ve"), col("ce")), 6))
+      .groupBy("vid").agg(min(struct(col("d2c"), col("cid"))).as("b"))
+      .select(col("vid"), col("b.cid").as("cid"))
+    // residual corpus, shaped (vec_id, embedding) so the PQ machinery
+    // composes unchanged; assignment cid rides along for the ADC join
+    val res = assign
+      .join(vecs.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
+      .join(broadcast(cents), "cid")
+      .select(col("vid").as("vec_id"), col("cid"),
+        expr("zip_with(ve, ce, (a, b) -> cast(a as double) - cast(b as double))")
+          .as("embedding"))
+    val cb = pqCodebookTrained(res, m, subDim, k, iters)
+    val codes = pqEncode(res, cb, m, subDim)
+    val wProbe = Window.partitionBy("qid").orderBy(col("d2c").asc, col("cid").asc)
+    val probes = queries.select(col("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2c", round(vec_l2sq(col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cid"), col("qe"), col("ce"))
+    // per-(query, probed list) residual LUT against the residual codebook
+    val qsub = probes
+      .withColumn("qr",
+        expr("zip_with(qe, ce, (a, b) -> cast(a as double) - cast(b as double))"))
+      .select(col("qid"), col("cid"),
+        explode(array((0 until m).map(s0 => struct(lit(s0).as("sub"),
+          expr(s"slice(qr, ${s0 * subDim + 1}, $subDim)").as("qsv"))): _*)).as("x"))
+      .select(col("qid"), col("cid"), col("x.sub").as("sub"), col("x.qsv").as("qsv"))
+    val lut = qsub
+      .join(broadcast(cb.select(col("sub"), col("cid").as("code"), col("cv"))), "sub")
+      .withColumn("qd2", vec_l2sq(col("qsv"), col("cv")))
+      .select(col("qid"), col("cid"), col("sub"), col("code"), col("qd2"))
+    // a vector lives in exactly one list, so probed-list co-membership
+    // already yields distinct (qid, vid) pairs — no dedup needed
+    val cand = probes.select(col("qid"), col("cid"))
+      .join(assign, "cid")
+      .filter(col("vid") =!= col("qid"))
+    val w = Window.partitionBy("qid").orderBy(col("adr").asc, col("vid").asc)
+    cand
+      .join(codes.select(col("vec_id").as("vid"), col("sub"), col("code")), "vid")
+      .join(broadcast(lut), Seq("qid", "cid", "sub", "code"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(round(sum(col("qd2")), 6).as("adr"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select("qid", "rn", "vid", "adr")
+  }
+
+  /** Exact re-rank refine — the recall-restoring final hop every
+    * production ANN serves (FAISS IndexRefine): take the top-R
+    * candidate set from ANY index (R·|queries| rows — candidate-
+    * bounded by construction), re-score each candidate with EXACT
+    * cosine on the raw vectors, emit the top `topK`. The index's only
+    * job becomes "don't miss" (coverage at R), and the refine fixes
+    * the ordering — approximation error survives only when a true
+    * neighbor is missing from all R candidates.
+    *
+    * Scale shape: the corpus-sized side is touched once, by the
+    * (R·queries)-row candidate join on vid; the query side broadcasts.
+    * Rank on round(cos,6) desc with vid tie-break — composes with any
+    * candidate source that emits (qid, vid). */
+  def refine(candidates: DataFrame, vecs: DataFrame, queries: DataFrame,
+             topK: Int = 10): DataFrame = {
+    import graft.functions.VectorExprs.{vec_dot, vec_norm}
+    val w = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+    candidates.select("qid", "vid").distinct()
+      .join(vecs.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
+      .join(broadcast(queries.select(col("qid"), col("embedding").as("qe"))), "qid")
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("simr", round(
+        vec_dot(col("qe"), col("ve")) / (vec_norm(col("qe")) * vec_norm(col("ve"))), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select("qid", "rn", "vid", "simr")
+  }
+
+  /** Single-pass APPROXIMATE dataset profile — the 100 TB shape of
+    * the l8_profile report: per column, exact row/null counts and a
+    * numeric min/max envelope (string columns profile their lengths),
+    * but distincts via `approx_count_distinct` (HLL++, `rsd`
+    * relative error). The exact profile's 4 `countDistinct`s in one
+    * aggregate compile to an Expand that multiplies every input row
+    * ~6× inside the single shuffle; this variant's plan has NO Expand
+    * (pinned in PlanContractSpec) — one genuinely single-pass,
+    * partial-aggregatable shuffle whose combined state is a handful
+    * of HLL sketches per column. Output
+    * (column, n_rows, n_null, n_distinct_approx, mn, mx). */
+  def profileApprox(df: DataFrame, numCols: Seq[String], strCols: Seq[String],
+                    rsd: Double = 0.01): DataFrame = {
+    def base(c: String) = Seq(
+      count(col(c)).as(s"${c}_n"),
+      count(when(col(c).isNull, 1)).as(s"${c}_nn"),
+      approx_count_distinct(col(c), rsd).as(s"${c}_nd"))
+    def num(c: String) = base(c) ++ Seq(
+      min(col(c)).cast("double").as(s"${c}_mn"),
+      max(col(c)).cast("double").as(s"${c}_mx"))
+    def str(c: String) = base(c) ++ Seq(
+      min(length(col(c))).cast("double").as(s"${c}_mn"),
+      max(length(col(c))).cast("double").as(s"${c}_mx"))
+    val cols = numCols ++ strCols
+    val aggs = numCols.flatMap(num) ++ strCols.flatMap(str)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"), col(s"${c}_n").as("n_rows"),
+        col(s"${c}_nn").as("n_null"), col(s"${c}_nd").as("n_distinct_approx"),
+        col(s"${c}_mn").as("mn"), col(s"${c}_mx").as("mx"))): _*)).as("p"))
+      .select(col("p.column").as("column"), col("p.n_rows").as("n_rows"),
+        col("p.n_null").as("n_null"),
+        col("p.n_distinct_approx").as("n_distinct_approx"),
+        round(col("p.mn"), 6).as("mn"), round(col("p.mx"), 6).as("mx"))
+  }
+
   /** Symmetric int8 quantization of a vector column: per-vector
     * scale = round(max|x|/127, 6) — rounded BEFORE use so both engines
     * divide by the identical double — and values clamped to ±127.

@@ -533,9 +533,11 @@ object Llm {
         ("ivf", l3ivf.run(s, dir), cosRef),
         ("ivf_kmeans", l3ivfKmeans.run(s, dir), cosRef),
         ("ivfpq", l3ivfpq.run(s, dir), l2Ref),
+        ("ivfpq_residual", l3ivfpqRes.run(s, dir), l2Ref),
         ("lsh", l3ann.run(s, dir), cosRef),
         ("pq", l3pq.run(s, dir), l2Ref),
-        ("pq_trained", l3pqTrained.run(s, dir), l2Ref))
+        ("pq_trained", l3pqTrained.run(s, dir), l2Ref),
+        ("refined", l3refined.run(s, dir), cosRef))
       variants.map { case (name, ann, ref) =>
         val hits = ref.join(ann.select("qid", "vid"), Seq("qid", "vid"), "semi")
           .groupBy("qid").agg(count(lit(1)).as("n_hit"))
@@ -570,16 +572,22 @@ object Llm {
          |v_pq AS (SELECT qid, vid FROM (${l3pq.oracle.get})),
          |v_pq_trained AS (SELECT qid, vid FROM (${l3pqTrained.oracle.get})),
          |v_ivfpq AS (SELECT qid, vid FROM (${l3ivfpq.oracle.get})),
+         |v_ivfpq_residual AS (SELECT qid, vid FROM (${l3ivfpqRes.oracle.get})),
+         |v_refined AS (SELECT qid, vid FROM (${l3refined.oracle.get})),
          |${recallCte("lsh", "knn")},
          |${recallCte("ivf", "knn")},
          |${recallCte("ivf_kmeans", "knn")},
          |${recallCte("pq", "l2ref")},
          |${recallCte("pq_trained", "l2ref")},
-         |${recallCte("ivfpq", "l2ref")}
+         |${recallCte("ivfpq", "l2ref")},
+         |${recallCte("ivfpq_residual", "l2ref")},
+         |${recallCte("refined", "knn")}
          |SELECT variant, qid, n_hit, round(n_hit / 10.0, 6) AS recall
          |FROM (SELECT * FROM r_ivf UNION ALL SELECT * FROM r_ivf_kmeans
-         |      UNION ALL SELECT * FROM r_ivfpq UNION ALL SELECT * FROM r_lsh
-         |      UNION ALL SELECT * FROM r_pq UNION ALL SELECT * FROM r_pq_trained)
+         |      UNION ALL SELECT * FROM r_ivfpq UNION ALL SELECT * FROM r_ivfpq_residual
+         |      UNION ALL SELECT * FROM r_lsh
+         |      UNION ALL SELECT * FROM r_pq UNION ALL SELECT * FROM r_pq_trained
+         |      UNION ALL SELECT * FROM r_refined)
          |ORDER BY variant, qid""".stripMargin
     })
 
@@ -1125,6 +1133,133 @@ object Llm {
                          row_number() OVER (PARTITION BY qid ORDER BY adr, vid) AS rn
                   FROM adc)
             SELECT qid, rn, vid, adr FROM r WHERE rn <= 10 ORDER BY qid, rn"""))
+
+  // Residual-encoding IVF-PQ (the full FAISS IVFADC, Jégou et al.
+  // TPAMI'11 §IV): vectors PQ-coded as residuals against their coarse
+  // centroid, codebook Lloyd-trained ON the residuals, and the query
+  // LUT built per probed list from the QUERY's residual — the code
+  // budget spends its 8 bytes on what the coarse quantizer didn't
+  // explain, so ADC estimates tighten over the raw-vector composite
+  // (l3_ann_ivfpq); l3_ann_recall carries both so the lift is an
+  // oracle-checked output, and QueriesSpec floors it above the raw
+  // composite's. All stages deterministic (round(·,6) ranks, id
+  // tie-breaks); the oracle replays coarse assign → residuals → 2
+  // Lloyd iterations → encode → per-probe LUT → ADC bit-for-bit.
+  // At scale: same shape as l3_ann_ivfpq (codes + constant codebook
+  // move, raw vectors never shuffle) plus one broadcast residual join.
+  private val l3ivfpqRes = QueryDef(
+    "l3_ann_ivfpq_residual",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.ops.CorpusOps.ivfpqResidualTopK(e, q).orderBy("qid", "rn")
+    },
+    Some("""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                              CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+            cd AS (SELECT a.vec_id AS vid, c.vec_id AS cid,
+                          round(SUM((a.v - c.v) * (a.v - c.v)), 6) AS d2c
+                   FROM x a JOIN x c ON c.d = a.d AND c.vec_id < 32
+                   GROUP BY a.vec_id, c.vec_id),
+            assign AS (SELECT vid, cid FROM (
+                   SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2c, cid) AS rn
+                   FROM cd) WHERE rn = 1),
+            probes AS (SELECT vid AS qid, cid FROM (
+                   SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2c, cid) AS rn
+                   FROM cd WHERE vid IN (0, 1, 2)) WHERE rn <= 4),
+            res AS (SELECT a.vid AS vec_id, xa.d, xa.v - xc.v AS v
+                    FROM assign a JOIN x xa ON xa.vec_id = a.vid
+                    JOIN x xc ON xc.vec_id = a.cid AND xc.d = xa.d),
+            sv AS (SELECT vec_id, d // 8 AS sub, d % 8 AS sd, v FROM res),
+            cb0 AS (SELECT sub, vec_id AS cid, sd, v AS cv FROM sv WHERE vec_id < 16),
+            d2a AS (SELECT s.vec_id, s.sub, c.cid,
+                           round(SUM((s.v - c.cv) * (s.v - c.cv)), 6) AS d2r
+                    FROM sv s JOIN cb0 c ON c.sub = s.sub AND c.sd = s.sd
+                    GROUP BY s.vec_id, s.sub, c.cid),
+            as1 AS (SELECT vec_id, sub, cid FROM (
+                    SELECT vec_id, sub, cid,
+                           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2r, cid) AS rn
+                    FROM d2a) WHERE rn = 1),
+            cb1 AS (SELECT s.sub, a.cid, s.sd, round(AVG(s.v), 6) AS cv
+                    FROM as1 a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+                    GROUP BY s.sub, a.cid, s.sd),
+            d2b AS (SELECT s.vec_id, s.sub, c.cid,
+                           round(SUM((s.v - c.cv) * (s.v - c.cv)), 6) AS d2r
+                    FROM sv s JOIN cb1 c ON c.sub = s.sub AND c.sd = s.sd
+                    GROUP BY s.vec_id, s.sub, c.cid),
+            as2 AS (SELECT vec_id, sub, cid FROM (
+                    SELECT vec_id, sub, cid,
+                           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2r, cid) AS rn
+                    FROM d2b) WHERE rn = 1),
+            cb2 AS (SELECT s.sub, a.cid, s.sd, round(AVG(s.v), 6) AS cv
+                    FROM as2 a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+                    GROUP BY s.sub, a.cid, s.sd),
+            d2 AS (SELECT s.vec_id, s.sub, c.cid,
+                          round(SUM((s.v - c.cv) * (s.v - c.cv)), 6) AS d2r
+                   FROM sv s JOIN cb2 c ON c.sub = s.sub AND c.sd = s.sd
+                   GROUP BY s.vec_id, s.sub, c.cid),
+            codes AS (SELECT vec_id, sub, cid AS code FROM (
+                   SELECT vec_id, sub, cid,
+                          row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2r, cid) AS rn
+                   FROM d2) WHERE rn = 1),
+            qres AS (SELECT p.qid, p.cid, xa.d, xa.v - xc.v AS v
+                     FROM probes p JOIN x xa ON xa.vec_id = p.qid
+                     JOIN x xc ON xc.vec_id = p.cid AND xc.d = xa.d),
+            qsv AS (SELECT qid, cid, d // 8 AS sub, d % 8 AS sd, v FROM qres),
+            lut AS (SELECT q.qid, q.cid, q.sub, c.cid AS code,
+                           SUM((q.v - c.cv) * (q.v - c.cv)) AS qd2
+                    FROM qsv q JOIN cb2 c ON c.sub = q.sub AND c.sd = q.sd
+                    GROUP BY q.qid, q.cid, q.sub, c.cid),
+            cand AS (SELECT p.qid, p.cid, a.vid FROM probes p JOIN assign a ON a.cid = p.cid
+                     WHERE a.vid != p.qid),
+            adc AS (SELECT cn.qid, cn.vid, round(SUM(l.qd2), 6) AS adr
+                    FROM cand cn JOIN codes k ON k.vec_id = cn.vid
+                    JOIN lut l ON l.qid = cn.qid AND l.cid = cn.cid
+                               AND l.sub = k.sub AND l.code = k.code
+                    GROUP BY cn.qid, cn.vid),
+            r AS (SELECT qid, vid, adr,
+                         row_number() OVER (PARTITION BY qid ORDER BY adr, vid) AS rn
+                  FROM adc)
+            SELECT qid, rn, vid, adr FROM r WHERE rn <= 10 ORDER BY qid, rn"""))
+
+  // Exact re-rank REFINE (FAISS IndexRefine — the recall-restoring
+  // final hop every production ANN serves): the trained-PQ full ADC
+  // scan nominates top-R=100 candidates (R·|queries| rows, candidate-
+  // bounded however big the corpus), then CorpusOps.refine re-scores
+  // each with EXACT cosine on the raw vectors and keeps the top 10.
+  // The index's only job becomes coverage at R; the refine fixes the
+  // ordering — so recall@10 jumps from the ADC family's ~0.37 to the
+  // candidate-coverage ceiling (floored at 0.9 in QueriesSpec, and an
+  // oracle-checked row per variant in l3_ann_recall). At scale the
+  // re-rank touches R·queries raw vectors — the ONLY stage that ever
+  // reads them — via one candidate join; everything upstream moves
+  // codes. All ranks on round(·,6) with vid tie-breaks.
+  private val l3refined = QueryDef(
+    "l3_ann_refined",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = graft.ops.CorpusOps.pqCodebookTrained(e)
+      val codes = graft.ops.CorpusOps.pqEncode(e, cb)
+      val q = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val cand = graft.ops.CorpusOps.pqTopK(codes, cb, q, topK = 100)
+      graft.ops.CorpusOps.refine(cand, e, q).orderBy("qid", "rn")
+    },
+    Some(s"""WITH cand AS (SELECT qid, vid FROM (${l3pqTrained.oracle.get
+               .replace("WHERE rn <= 10 ORDER BY qid, rn", "WHERE rn <= 100")})),
+            |x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+            |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+            |n AS (SELECT vec_id, sqrt(SUM(e * e)) AS nrm FROM x GROUP BY vec_id),
+            |dp AS (SELECT c.qid, c.vid, SUM(xa.e * xb.e) AS dot
+            |       FROM cand c JOIN x xa ON xa.vec_id = c.qid
+            |       JOIN x xb ON xb.vec_id = c.vid AND xb.i = xa.i
+            |       GROUP BY c.qid, c.vid),
+            |sdf AS (SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS simr
+            |        FROM dp JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid),
+            |rr AS (SELECT qid, vid, simr,
+            |              row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+            |       FROM sdf)
+            |SELECT qid, rn, vid, simr FROM rr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin))
 
   // ---------------------------------------------------------------- L4
   private def stopCount(langWords: Seq[String]): String =
@@ -2688,6 +2823,67 @@ object Llm {
             |         round(CAST(max(len(props)) AS DOUBLE), 6) FROM e)
             |ORDER BY "column" """.stripMargin))
 
+  // The 100 TB shape of the profile report: distincts via HLL++
+  // (approx_count_distinct, rsd=0.01) so the single aggregate pass has
+  // NO Expand — the exact profile's 4 countDistincts in one plan
+  // multiply every input row ~6× inside its shuffle; this one's
+  // combined state is a handful of HLL sketches (PlanContractSpec pins
+  // the no-Expand claim). HLL values can't hash-match an exact engine,
+  // so — the q05/q34 pattern — the deterministic claim is the error
+  // bound itself: each column reports |approx−exact|/exact <= 5%
+  // (5× the 1% rsd), alongside the exact-matched row/null/min/max
+  // stats. The exact-distinct pass here exists only to VERIFY the
+  // sketch; a production pipeline runs the approx pass alone.
+  private val l8profileApprox = QueryDef(
+    "l8_profile_approx",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_id"), expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      val numC = Seq("event_id", "ts_us", "user_id", "value")
+      val strC = Seq("event_type", "props")
+      val cols = numC ++ strC
+      val rep = graft.ops.CorpusOps.profileApprox(e, numC, strC)
+      val exact = e.agg(
+        countDistinct(col(cols.head)).as(s"${cols.head}_xd"),
+        cols.tail.map(c => countDistinct(col(c)).as(s"${c}_xd")): _*)
+      val exactMelt = exact.select(
+        explode(array(cols.map(c => struct(
+          lit(c).as("column"), col(s"${c}_xd").as("xd"))): _*)).as("p"))
+        .select(col("p.column").as("column"), col("p.xd").as("xd"))
+      rep.join(broadcast(exactMelt), "column")
+        .select(col("column"), col("n_rows"), col("n_null"),
+          (abs(col("n_distinct_approx") - col("xd")) / col("xd") <= 0.05)
+            .as("nd_within_5pct"),
+          col("mn"), col("mx"))
+        .orderBy("column")
+    },
+    Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events)
+            |SELECT * FROM (
+            |  SELECT 'event_id' AS "column", count(event_id) AS n_rows,
+            |         count(CASE WHEN event_id IS NULL THEN 1 END) AS n_null,
+            |         true AS nd_within_5pct,
+            |         round(CAST(min(event_id) AS DOUBLE), 6) AS mn,
+            |         round(CAST(max(event_id) AS DOUBLE), 6) AS mx FROM e
+            |  UNION ALL
+            |  SELECT 'ts_us', count(ts_us), count(CASE WHEN ts_us IS NULL THEN 1 END),
+            |         true, round(CAST(min(ts_us) AS DOUBLE), 6), round(CAST(max(ts_us) AS DOUBLE), 6) FROM e
+            |  UNION ALL
+            |  SELECT 'user_id', count(user_id), count(CASE WHEN user_id IS NULL THEN 1 END),
+            |         true, round(CAST(min(user_id) AS DOUBLE), 6), round(CAST(max(user_id) AS DOUBLE), 6) FROM e
+            |  UNION ALL
+            |  SELECT 'event_type', count(event_type), count(CASE WHEN event_type IS NULL THEN 1 END),
+            |         true, round(CAST(min(len(event_type)) AS DOUBLE), 6),
+            |         round(CAST(max(len(event_type)) AS DOUBLE), 6) FROM e
+            |  UNION ALL
+            |  SELECT 'value', count(value), count(CASE WHEN value IS NULL THEN 1 END),
+            |         true, round(CAST(min(value) AS DOUBLE), 6), round(CAST(max(value) AS DOUBLE), 6) FROM e
+            |  UNION ALL
+            |  SELECT 'props', count(props), count(CASE WHEN props IS NULL THEN 1 END),
+            |         true, round(CAST(min(len(props)) AS DOUBLE), 6),
+            |         round(CAST(max(len(props)) AS DOUBLE), 6) FROM e)
+            |ORDER BY "column" """.stripMargin))
+
   // Vocabulary coverage / OOV rate — the tokenizer-training prep step:
   // build the top-V vocabulary by corpus frequency (V=256 here; fixed,
   // so the vocab side is CONSTANT-sized however big the corpus — the
@@ -2736,5 +2932,6 @@ object Llm {
     l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
     l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr, l8decontamScrub,
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
-    l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile)
+    l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
+    l3ivfpqRes, l3refined, l8profileApprox)
 }

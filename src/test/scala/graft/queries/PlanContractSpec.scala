@@ -278,6 +278,23 @@ class PlanContractSpec extends AnyFunSuite {
       s"expected exactly 1 grouping exchange, found $aggExchanges:\n$plan")
   }
 
+  test("l8_profile_approx: the sketch report aggregates without an Expand") {
+    // The exact profile's 4 countDistincts in one aggregate compile to
+    // an Expand that multiplies every input row ~6x inside its shuffle;
+    // the approx variant's whole point is that HLL sketches keep the
+    // pass genuinely single-width. The report subplan must have NO
+    // Expand (the query's exact-distinct VERIFICATION side is built
+    // separately and may; pin the operator, not the harness).
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables(spark, SparkFixture.sfDir, "events").select(
+      col("event_id"), expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+    val plan = graft.ops.CorpusOps.profileApprox(
+        e, Seq("event_id", "ts_us", "user_id", "value"), Seq("event_type", "props"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(countNodes(plan, "Expand") == 0, s"approx profile grew an Expand:\n$plan")
+  }
+
   test("q39: recursion executes as a distributed UnionLoop, not driver iteration") {
     // Spark 4 recursive CTEs plan as UnionLoop + UnionLoopRef — each
     // iteration a distributed job over the previous frontier. If a

@@ -207,4 +207,57 @@ class QueriesSpec extends AnyFunSuite {
     info(s"recall@10 vs exact L2 at sf0.01: pq=$pq pq_trained=$pqTrained")
     assert(pqTrained > pq, s"training did not lift pq recall at sf0.01: $pqTrained <= $pq")
   }
+
+  test("residual encoding lifts IVF-PQ recall over the raw-vector composite at sf0.01") {
+    // the IVFADC refinement: coding residuals against the coarse
+    // centroid spends the 8-byte budget on what the coarse quantizer
+    // didn't explain (measured 0.267 -> 0.333 on this fixture)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("d2r").asc, col("vid").asc)
+    val exact = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      .join(broadcast(q), col("vid") =!= col("qid"))
+      .withColumn("d2r", round(graft.functions.VectorExprs.vec_l2sq(col("qe"), col("ve")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(name: String): Double = {
+      val got = SparkEntry.queries(name)(spark, dir)
+        .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val raw = recallOf("l3_ann_ivfpq")
+    val res = recallOf("l3_ann_ivfpq_residual")
+    info(s"recall@10 vs exact L2 at sf0.01: ivfpq=$raw ivfpq_residual=$res")
+    assert(res > raw, s"residual encoding did not lift ivfpq recall: $res <= $raw")
+  }
+
+  test("exact re-rank refine restores recall@10 to >= 0.9 at sf0.01") {
+    // the refine contract: with top-R=100 candidate coverage, the
+    // exact cosine re-rank recovers the true neighbors the ADC
+    // ordering scrambles (measured 0.967 on this fixture)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+    val exact = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      .join(broadcast(q), col("vid") =!= col("qid"))
+      .withColumn("simr", round(
+        graft.functions.VectorExprs.vec_dot(col("qe"), col("ve")) /
+          (graft.functions.VectorExprs.vec_norm(col("qe")) *
+           graft.functions.VectorExprs.vec_norm(col("ve"))), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("l3_ann_refined")(spark, dir)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"refined recall@10 vs exact cosine at sf0.01: $recall")
+    assert(recall >= 0.9, s"refine failed to restore recall: $recall < 0.9")
+  }
 }
