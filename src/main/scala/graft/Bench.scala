@@ -22,7 +22,7 @@ object Bench {
     "q37_range_join", "q38_grouping_sets", "q39_recursive_cte",
     "q40_listagg", "q41_range_frames", "q42_unpivot",
     "t1_window_tumbling", "t3_window_session",
-    "l1_exact_dedup", "l2_jaccard_pairs", "l2_containment", "l2_winnow_pairs", "l2_minhash_lsh", "l2_simhash",
+    "l1_exact_dedup", "l1_bloom_dedup", "l2_jaccard_pairs", "l2_containment", "l2_winnow_pairs", "l2_minhash_lsh", "l2_simhash",
     "l2_dup_clusters", "l3_knn_bruteforce", "l3_ann_lsh", "l3_semdedup", "l3_ann_pq",
     "l3_ann_ivfpq", "l3_ann_ivfpq_residual", "l3_ann_refined",
     "l3_knn_graph", "l3_cluster_sample",

@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
 object Stress {
 
   private val queriesUnderTest = Seq(
+    "l1_bloom_dedup",
     "l2_jaccard_pairs", "l2_containment", "l2_winnow_pairs", "l2_minhash_lsh", "l2_simhash", "l2_embedding_cosine",
     "l2_dup_clusters", "l3_ann_lsh", "l3_semdedup", "l3_ann_pq", "l3_ann_ivfpq",
     "l3_ann_ivfpq_residual", "l3_ann_refined",

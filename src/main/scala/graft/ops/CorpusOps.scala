@@ -257,6 +257,43 @@ object CorpusOps {
       .withColumn("keep", !col("exact_dup") && !col("near_dup"))
   }
 
+  /** Bloom-GATED incremental exact dedup — the at-scale shape of the
+    * [[incrementalDedup]] exact check: ONE map-side-combined corpus
+    * pass builds a broadcast-sized bloom sketch over the corpus
+    * content-hash set (Spark's own `BloomFilterAggregate` — per-
+    * partition blooms OR together, so only sketches cross the wire),
+    * each batch row is pruned ROW-LOCALLY by `might_contain` against
+    * the broadcast sketch, and only bloom-positive rows pay the exact
+    * confirm join. Bloom filters have NO false negatives and the
+    * confirm join removes the false positives, so the verdicts are
+    * BIT-IDENTICAL to the plain exact join (the oracle spells the
+    * plain semantics; CorpusOpsSpec pins bloom == exact) — the sketch
+    * changes the COST shape only: in the append-mostly-new case the
+    * confirm join input is ~(dup_rate + fpp)·|batch| rows instead of
+    * |batch|.
+    *
+    * `expectedItems` sizes the sketch (must be a plan-time constant —
+    * Spark folds it into the aggregate — so size it to the persisted
+    * index cardinality an ingestion pipeline tracks anyway). An
+    * UNDERSIZED sketch only raises the false-positive rate, i.e.
+    * admits more rows to the confirm join; results never change.
+    * Output (doc_id, exact_dup), one row per batch doc. */
+  def bloomIncrementalDedup(corpus: DataFrame, batch: DataFrame,
+                            expectedItems: Long = 1L << 20): DataFrame = {
+    import graft.functions.BloomExprs.{bloom_filter_agg, might_contain}
+    val ch = corpus.select(sha2(col("text"), 256).as("ch")).distinct()
+    // might_contain requires its sketch side CONSTANT at execution —
+    // a scalar subquery, not a joined column (Spark evaluates the
+    // subquery once and folds the sketch into the filter)
+    val bloom = ch.agg(bloom_filter_agg(xxhash64(col("ch")), expectedItems)).scalar()
+    val gated = batch.select(col("doc_id"), sha2(col("text"), 256).as("bh"))
+      .filter(might_contain(bloom, xxhash64(col("bh"))))
+    val dup = gated.join(ch, col("bh") === col("ch"), "left_semi")
+      .select(col("doc_id"), lit(true).as("exact_dup"))
+    batch.select("doc_id").join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("exact_dup"), lit(false)).as("exact_dup"))
+  }
+
   /** One row per distinct text: (doc_id = min over the duplicate
     * clique, text). Partial-aggregatable hash-agg — the scaling lever
     * for cleanup pipelines is running this BEFORE near-dup so exact-dup

@@ -2382,6 +2382,31 @@ object Llm {
             |    AND NOT (doc_id IN (SELECT d1 FROM nd)) AS keep
             |FROM w WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin))
 
+  // Bloom-GATED incremental exact dedup — the at-scale ingest
+  // primitive: one map-side-combined corpus pass builds a broadcast
+  // bloom sketch over the corpus content-hash set (Spark's own
+  // BloomFilterAggregate), each batch row is pruned ROW-LOCALLY by
+  // might_contain, and only bloom-positive rows pay the exact confirm
+  // join. No false negatives + exact confirm ⇒ verdicts BIT-IDENTICAL
+  // to the plain exact join, which is exactly what the oracle spells —
+  // the sketch changes the cost shape only (append-mostly-new batches
+  // join ~(dup_rate+fpp)·|batch| rows, not |batch|). Plan-pinned in
+  // PlanContractSpec (partial bloom agg, might_contain filter before
+  // the confirm join); CorpusOpsSpec pins bloom == exact verdicts.
+  private val l1bloom = QueryDef(
+    "l1_bloom_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.CorpusOps.bloomIncrementalDedup(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ch AS (SELECT DISTINCT sha256(text) AS h
+            |            FROM documents WHERE doc_id % 20 != 0)
+            |SELECT doc_id, sha256(text) IN (SELECT h FROM ch) AS exact_dup
+            |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin))
+
   // Per-doc n-gram novelty — the dedup-aware sampling signal: the
   // fraction of a doc's distinct 8-grams first seen (min doc_id) in
   // THIS doc. One partial-agg min per hash + one hash join + one
@@ -2933,5 +2958,5 @@ object Llm {
     l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr, l8decontamScrub,
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
-    l3ivfpqRes, l3refined, l8profileApprox)
+    l3ivfpqRes, l3refined, l8profileApprox, l1bloom)
 }

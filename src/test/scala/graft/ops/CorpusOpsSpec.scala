@@ -264,6 +264,28 @@ class CorpusOpsSpec extends AnyFunSuite {
       (103L, false, false, true))) // batch-internal dups are out of scope by contract
   }
 
+  test("bloomIncrementalDedup verdicts are bit-identical to the plain exact join") {
+    // the bloom gate is a COST optimization: no false negatives + an
+    // exact confirm join means results can never differ from the
+    // unfiltered exact check — pin that, including under a sketch
+    // sized far too small (expectedItems=4 for a 500-doc corpus →
+    // high fpp → more confirm work, same verdicts)
+    val docs = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val batch = docs.filter(col("doc_id") % 20 === 0)
+    val plain = batch.select(col("doc_id"), sha2(col("text"), 256).as("bh"))
+      .join(corpus.select(sha2(col("text"), 256).as("ch")).distinct()
+              .withColumn("d", lit(true)),
+            col("bh") === col("ch"), "left")
+      .select(col("doc_id"), coalesce(col("d"), lit(false)).as("exact_dup"))
+      .orderBy("doc_id").as[(Long, Boolean)].collect().toSeq
+    for (items <- Seq(4L, 1L << 20)) {
+      val bloomed = CorpusOps.bloomIncrementalDedup(corpus, batch, items)
+        .orderBy("doc_id").as[(Long, Boolean)].collect().toSeq
+      assert(bloomed == plain, s"bloom-gated verdicts drifted at expectedItems=$items")
+    }
+  }
+
   test("ngramNovelty scores first-seen grams to the smallest doc_id") {
     val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y")).toDF("doc_id", "text")
     val out = CorpusOps.ngramNovelty(docs, n = 2).orderBy("doc_id")

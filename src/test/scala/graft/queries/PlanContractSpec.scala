@@ -295,6 +295,22 @@ class PlanContractSpec extends AnyFunSuite {
     assert(countNodes(plan, "Expand") == 0, s"approx profile grew an Expand:\n$plan")
   }
 
+  test("l1_bloom_dedup: partial bloom aggregate; might_contain prunes before the confirm join") {
+    // The sketch build must be map-side combined (per-partition blooms
+    // OR together — only sketches cross the wire, never the key set),
+    // and the batch side must be might_contain-FILTERED before any
+    // join: the whole point is that non-candidate rows never shuffle.
+    val plan = formatted("l1_bloom_dedup")
+    assert(plan.contains("partial_bloom_filter_agg"),
+      s"bloom sketch lost map-side partial aggregation:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"bloom gate vanished from the plan:\n$plan")
+    // the gate runs as a row-local Filter, not a join condition
+    val filterRegion = plan.split("\n").filter(_.contains("Condition"))
+      .exists(_.contains("might_contain"))
+    assert(filterRegion, s"might_contain is not a Filter condition:\n$plan")
+  }
+
   test("q39: recursion executes as a distributed UnionLoop, not driver iteration") {
     // Spark 4 recursive CTEs plan as UnionLoop + UnionLoopRef — each
     // iteration a distributed job over the previous frontier. If a
