@@ -35,13 +35,18 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
+    // optional 3rd+ args: restrict to named queries — a shorter run is
+    // less exposed to co-tenant load waves when re-adjudicating a few
+    // entries (a full pass stays the default)
+    val only = args.drop(2).toSet
     val spark = BenchSession.build()
 
     val scaledDir = java.nio.file.Files.createTempDirectory("graft-stress").toString
     buildScaled(spark, sfDir, scaledDir, factor)
 
     def timeAll(dir: String): Seq[(String, Double)] =
-      queriesUnderTest.map(name => name -> BenchSession.timeQuery(spark, name, dir))
+      queriesUnderTest.filter(n => only.isEmpty || only(n))
+        .map(name => name -> BenchSession.timeQuery(spark, name, dir))
 
     // warm-up BOTH corpora (JIT, codegen, parquet footers) so neither
     // side's first query absorbs one-time costs the other skips
@@ -71,10 +76,12 @@ object Stress {
       spark.sharedState.cacheManager.clearCache()
       dt
     }
-    timeSkewedSemDedup(2000) // warm-up
-    val skewBase = timeSkewedSemDedup(2000)
-    val skewScaled = timeSkewedSemDedup(2000 * factor)
-    println(f"""{"stress":"semdedup_skew","base_n":2000,"base":$skewBase%.3f,"scaled_n":${2000 * factor},"scaled":$skewScaled%.3f,"ratio":${skewScaled / skewBase}%.1f}""")
+    if (only.isEmpty || only("semdedup_skew")) {
+      timeSkewedSemDedup(2000) // warm-up
+      val skewBase = timeSkewedSemDedup(2000)
+      val skewScaled = timeSkewedSemDedup(2000 * factor)
+      println(f"""{"stress":"semdedup_skew","base_n":2000,"base":$skewBase%.3f,"scaled_n":${2000 * factor},"scaled":$skewScaled%.3f,"ratio":${skewScaled / skewBase}%.1f}""")
+    }
     spark.stop()
   }
 

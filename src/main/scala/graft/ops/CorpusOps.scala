@@ -946,10 +946,14 @@ object CorpusOps {
     * cv: array<double>) — [[pqEncode]]/[[pqTopK]] accept it unchanged
     * (the native kernels widen float/double per element). */
   def pqCodebookTrained(vecs: DataFrame, m: Int = 8, subDim: Int = 8,
-                        k: Int = 16, iters: Int = 2): DataFrame = {
-    val long = subVectors(vecs, m, subDim)
+                        k: Int = 16, iters: Int = 2)
+                       (implicit scope: CacheScope): DataFrame = {
+    // cached: referenced 2x per Lloyd iteration (assignment join +
+    // centroid update) plus the seed init — uncached, the subvector
+    // explode re-runs over the corpus ~2·iters+1 times
+    val long = scope.cached(subVectors(vecs, m, subDim)
       .select(col("vec_id"), col("sub"), posexplode(col("sv")).as(Seq("sd", "v0")))
-      .select(col("vec_id"), col("sub"), col("sd"), col("v0").cast("double").as("v"))
+      .select(col("vec_id"), col("sub"), col("sd"), col("v0").cast("double").as("v")))
     val init = long.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").cast("int").as("cid"), col("sd"), col("v").as("cv"))
     val trained = (1 to iters).foldLeft(init) { (cb, _) =>
@@ -1116,24 +1120,32 @@ object CorpusOps {
   def ivfpqResidualTopK(vecs: DataFrame, queries: DataFrame,
                         nlist: Int = 32, nprobe: Int = 4,
                         m: Int = 8, subDim: Int = 8, k: Int = 16,
-                        iters: Int = 2, topK: Int = 10): DataFrame = {
+                        iters: Int = 2, topK: Int = 10)
+                       (implicit scope: CacheScope): DataFrame = {
     import graft.functions.VectorExprs.vec_l2sq
     val cents = vecs.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val assign = vecs.select(col("vec_id").as("vid"), col("embedding").as("ve"))
-      .crossJoin(broadcast(cents))
-      .withColumn("d2c", round(vec_l2sq(col("ve"), col("ce")), 6))
-      .groupBy("vid").agg(min(struct(col("d2c"), col("cid"))).as("b"))
-      .select(col("vid"), col("b.cid").as("cid"))
+    // cached: the coarse assignment feeds BOTH the residual corpus and
+    // the candidate join — uncached, the nlist-way argmin crossJoin
+    // re-runs over the corpus twice
+    val assign = scope.cached(
+      vecs.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+        .crossJoin(broadcast(cents))
+        .withColumn("d2c", round(vec_l2sq(col("ve"), col("ce")), 6))
+        .groupBy("vid").agg(min(struct(col("d2c"), col("cid"))).as("b"))
+        .select(col("vid"), col("b.cid").as("cid")))
     // residual corpus, shaped (vec_id, embedding) so the PQ machinery
-    // composes unchanged; assignment cid rides along for the ADC join
-    val res = assign
+    // composes unchanged; cached — codebook training and encode both
+    // read it, and each would otherwise rebuild assignment + residuals
+    val res = scope.cached(assign
       .join(vecs.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
       .join(broadcast(cents), "cid")
       .select(col("vid").as("vec_id"), col("cid"),
         expr("zip_with(ve, ce, (a, b) -> cast(a as double) - cast(b as double))")
-          .as("embedding"))
-    val cb = pqCodebookTrained(res, m, subDim, k, iters)
+          .as("embedding")))
+    // cached: the k·m-row codebook is tiny, but its BUILD is the
+    // Lloyd-iteration chain — encode and the LUT both consume it
+    val cb = scope.cached(pqCodebookTrained(res, m, subDim, k, iters))
     val codes = pqEncode(res, cb, m, subDim)
     val wProbe = Window.partitionBy("qid").orderBy(col("d2c").asc, col("cid").asc)
     val probes = queries.select(col("qid"), col("embedding").as("qe"))

@@ -1028,7 +1028,9 @@ object Llm {
     "l3_ann_pq_trained",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cb = graft.ops.CorpusOps.pqCodebookTrained(e)
+      // cached: encode + the ADC LUT both consume the codebook, whose
+      // build is the 2-iteration Lloyd chain over the corpus
+      val cb = cached(graft.ops.CorpusOps.pqCodebookTrained(e))
       val codes = graft.ops.CorpusOps.pqEncode(e, cb)
       val q = e.filter(col("vec_id").isin(0, 1, 2))
         .select(col("vec_id").as("qid"), col("embedding"))
@@ -1238,7 +1240,9 @@ object Llm {
     "l3_ann_refined",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cb = graft.ops.CorpusOps.pqCodebookTrained(e)
+      // cached: encode + the ADC LUT both consume the codebook, whose
+      // build is the 2-iteration Lloyd chain over the corpus
+      val cb = cached(graft.ops.CorpusOps.pqCodebookTrained(e))
       val codes = graft.ops.CorpusOps.pqEncode(e, cb)
       val q = e.filter(col("vec_id").isin(0, 1, 2))
         .select(col("vec_id").as("qid"), col("embedding"))
