@@ -2953,6 +2953,130 @@ object Llm {
             |FROM tok LEFT JOIN v ON tok.word = v.word
             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // Edit-distance VERIFICATION over the near-dup pair set — the
+  // character-level second opinion a curation pipeline runs before
+  // destructive dedup: shingle Jaccard is word-level and can score two
+  // docs 0.8+ while their surfaces differ (reordered sentences), so
+  // each surviving pair gets a bounded Levenshtein check. Cost
+  // control is structural: the DP is O(P²) per pair on a P=64-char
+  // prefix (never the full document), and it runs ONLY on the
+  // candidate-pair-sized near-dup set — the corpus contributes one
+  // 3-column projection. Both engines compute classic single-char-edit
+  // Levenshtein (Spark's codegen'd expression / DuckDB's builtin), an
+  // exact integer, so only the normalized similarity needs round(·,6).
+  private val l2edit = QueryDef(
+    "l2_edit_distance",
+    (s, dir) => {
+      val px = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("p"))
+      jaccardPairs(s, dir)
+        .join(px.select(col("doc_id").as("d1"), col("p").as("p1")), "d1")
+        .join(px.select(col("doc_id").as("d2"), col("p").as("p2")), "d2")
+        .select(col("d1"), col("d2"), col("j"),
+          levenshtein(col("p1"), col("p2")).as("lev"),
+          round(lit(1.0) - levenshtein(col("p1"), col("p2")) /
+            greatest(length(col("p1")), length(col("p2"))).cast("double"), 6).as("lev_sim"))
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH $jaccardPairsCte,
+            |px AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents)
+            |SELECT pr.d1, pr.d2, pr.j,
+            |       levenshtein(a.p, b.p) AS lev,
+            |       round(1.0 - levenshtein(a.p, b.p) /
+            |             CAST(greatest(length(a.p), length(b.p)) AS DOUBLE), 6) AS lev_sim
+            |FROM pairs pr JOIN px a ON a.doc_id = pr.d1 JOIN px b ON b.doc_id = pr.d2
+            |ORDER BY pr.d1, pr.d2""".stripMargin))
+
+  // Real BPE merge training (the byte-pair-encoding vocabulary learner,
+  // Sennrich et al. ACL'16 §3) — K=3 greedy merges learned on the
+  // corpus WORD VOCABULARY weighted by word frequency. This is the
+  // classic distributed-BPE scale shape: the corpus is scanned ONCE
+  // (word counts), and every iteration after that runs over the
+  // distinct-word table — zipfian-small next to the corpus — so at
+  // 100 TB each merge costs one vocab-sized groupBy, not a corpus
+  // rescan. Symbol sequences are encoded as -sentinel strings
+  // (single sentinel at the ends, doubled BETWEEN symbols), which
+  // makes the merge of pair (a,b) a plain literal replace of
+  // "ab" — both engines scan left-to-right
+  // non-overlapping, which IS greedy BPE merge order including the
+  // a-a-a self-adjacency case. The per-iteration argmax (count desc,
+  // pair lexicographic) collects exactly ONE row — the adaptive-
+  // parameter exemption in PlanContractSpec, same family as
+  // l2_simhash's banding-width count. The oracle unrolls the
+  // identical 3 iterations; counts are exact integer sums, so the
+  // learned merge table is bit-deterministic.
+  private val bpeSep = ""
+
+  private def bpeSymstr(word: Column): Column = {
+    val s = concat(lit(bpeSep), regexp_replace(word, "(.)", "$1" + bpeSep + bpeSep))
+    s.substr(lit(1), length(s) - 1)
+  }
+
+  private def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(split(expr("substring(s, 2, length(s) - 2)"), bpeSep + bpeSep).as("syms"), col("c"))
+      .where(size(col("syms")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS s1, syms[i + 1] AS s2))")).as("p"),
+        col("c"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(sum("c").as("cnt"))
+
+  private val l4bpe = QueryDef(
+    "l4_bpe_merges",
+    (s, dir) => {
+      import s.implicits._
+      val vocab = cached(t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w")).where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .select(bpeSymstr(col("w")).as("s"), col("c")))
+      var cur = vocab
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      for (it <- 1 to 3) {
+        val top = bpePairCounts(cur)
+          .orderBy(desc("cnt"), asc("s1"), asc("s2")).limit(1).collect()(0)
+        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((it, a, b, a + b, cnt))
+        cur = cur.select(
+          replace(col("s"), lit(bpeSep + a + bpeSep + bpeSep + b + bpeSep),
+            lit(bpeSep + a + b + bpeSep)).as("s"), col("c"))
+      }
+      merges.toSeq.toDF("it", "s1", "s2", "merged", "cnt").orderBy("it")
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+            |wc AS (SELECT w, count(*) AS c FROM tok WHERE w != '' GROUP BY w),
+            |v0 AS (SELECT substr(s0, 1, length(s0) - 1) AS s, c FROM (
+            |        SELECT chr(1) || regexp_replace(w, '(.)', '\1' || chr(1) || chr(1), 'g') AS s0, c
+            |        FROM wc)),
+            |y0 AS (SELECT string_split(substr(s, 2, length(s) - 2), chr(1) || chr(1)) AS syms, c FROM v0),
+            |p0 AS (SELECT s1, s2, SUM(c) AS cnt FROM (
+            |        SELECT unnest(syms[1 : len(syms) - 1]) AS s1,
+            |               unnest(syms[2 : len(syms)]) AS s2, c FROM y0)
+            |       GROUP BY s1, s2),
+            |b0 AS (SELECT s1, s2, cnt FROM p0 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+            |v1 AS (SELECT replace(v.s, chr(1) || b.s1 || chr(1) || chr(1) || b.s2 || chr(1),
+            |                      chr(1) || b.s1 || b.s2 || chr(1)) AS s, v.c
+            |       FROM v0 v, b0 b),
+            |y1 AS (SELECT string_split(substr(s, 2, length(s) - 2), chr(1) || chr(1)) AS syms, c FROM v1),
+            |p1 AS (SELECT s1, s2, SUM(c) AS cnt FROM (
+            |        SELECT unnest(syms[1 : len(syms) - 1]) AS s1,
+            |               unnest(syms[2 : len(syms)]) AS s2, c FROM y1)
+            |       GROUP BY s1, s2),
+            |b1 AS (SELECT s1, s2, cnt FROM p1 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+            |v2 AS (SELECT replace(v.s, chr(1) || b.s1 || chr(1) || chr(1) || b.s2 || chr(1),
+            |                      chr(1) || b.s1 || b.s2 || chr(1)) AS s, v.c
+            |       FROM v1 v, b1 b),
+            |y2 AS (SELECT string_split(substr(s, 2, length(s) - 2), chr(1) || chr(1)) AS syms, c FROM v2),
+            |p2 AS (SELECT s1, s2, SUM(c) AS cnt FROM (
+            |        SELECT unnest(syms[1 : len(syms) - 1]) AS s1,
+            |               unnest(syms[2 : len(syms)]) AS s2, c FROM y2)
+            |       GROUP BY s1, s2),
+            |b2 AS (SELECT s1, s2, cnt FROM p2 ORDER BY cnt DESC, s1, s2 LIMIT 1)
+            |SELECT it, s1, s2, s1 || s2 AS merged, CAST(cnt AS BIGINT) AS cnt FROM (
+            |  SELECT 1 AS it, s1, s2, cnt FROM b0
+            |  UNION ALL SELECT 2, s1, s2, cnt FROM b1
+            |  UNION ALL SELECT 3, s1, s2, cnt FROM b2)
+            |ORDER BY it""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2contain, l2clusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3recall, l3ivf, l3ivfKmeans, l3quant,
     l3semdedup, l3pq, l3pqTrained, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4winnow,
@@ -2962,5 +3086,5 @@ object Llm {
     l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr, l8decontamScrub,
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
-    l3ivfpqRes, l3refined, l8profileApprox, l1bloom)
+    l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe)
 }

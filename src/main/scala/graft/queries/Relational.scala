@@ -1223,11 +1223,109 @@ object Relational {
             |FROM u GROUP BY l_returnflag, metric
             |ORDER BY l_returnflag, metric""".stripMargin))
 
+  // ARGMIN/ARGMAX aggregates (min_by/max_by) — "the row-attribute at
+  // the extremum" without a self-join or a window: one hash aggregate,
+  // map-side partial like any other agg (vs the window/rank spelling,
+  // which shuffles the whole input into per-group sorts — q18's shape,
+  // needed only when ALL columns of the extremum row are wanted).
+  // Ordering key is the UNIQUE o_orderkey, so ties cannot arise and
+  // both engines agree deterministically (Spark max_by on tied keys is
+  // free to pick either row — never give it that freedom in an
+  // oracle-gated query).
+  private val q43 = QueryDef(
+    "q43_minmax_by",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          max_by(col("o_orderstatus"), col("o_orderkey")).as("last_status"),
+          min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"),
+          max(col("o_totalprice")).as("max_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+            |       arg_max(o_orderstatus, o_orderkey) AS last_status,
+            |       arg_min(o_totalprice, o_orderkey) AS first_price,
+            |       max(o_totalprice) AS max_price,
+            |       count(*) AS n
+            |FROM orders GROUP BY o_orderpriority
+            |ORDER BY o_orderpriority""".stripMargin))
+
+  // PageRank over the customer–supplier transaction graph (Pregel-by-
+  // join): nodes are the customers and suppliers linked by any order
+  // line, edges undirected (both directions materialized, so no
+  // dangling-mass correction is needed — every node has degree >= 1).
+  // Three power iterations, each ONE shuffle join (edges x ranks on
+  // src) + ONE aggregate (sum of pr/deg into dst) — the classic
+  // distributed-graph shape where per-iteration cost is edge-linear
+  // and the rank/degree tables are node-sized. The node count reaches
+  // the plan as an action-free broadcast aggregate (the l3_knn_graph
+  // idiom), never a collect. At 100 TB the only addition is a
+  // checkpoint per iteration to cut lineage (exactly what
+  // CorpusOps.dupClusters does for its label-propagation rounds);
+  // three unrolled iterations keep the plan shallow enough not to
+  // need it. Ranks round to 9 decimals per iteration on BOTH engines,
+  // pinning cross-engine equality before double sum-order can drift;
+  // output ranks round to 6 with node-id tie-breaks.
+  private val q44 = QueryDef(
+    "q44_pagerank",
+    (s, dir) => {
+      val ed = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+        .distinct()
+      val edges = ed.union(ed.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+      val n = deg.agg(count(lit(1)).as("n"))
+      var pr = deg.crossJoin(broadcast(n))
+        .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("pr"))
+      for (_ <- 1 to 3) {
+        val in = edges.join(pr, edges("src") === pr("node"))
+          .select(col("dst"), (col("pr") / col("deg")).as("w"))
+          .groupBy("dst").agg(sum("w").as("sw"))
+        pr = in.join(deg, in("dst") === deg("node")).crossJoin(broadcast(n))
+          .select(col("node"), col("deg"),
+            round(lit(0.15) / col("n") + lit(0.85) * col("sw"), 9).as("pr"))
+      }
+      val fin = pr.select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy(desc("pr"), asc("node")).limit(20)
+      fin.withColumn("rnk",
+          row_number().over(Window.orderBy(desc("pr"), asc("node"))))
+        .select(col("rnk"), col("node"), col("pr"))
+        .orderBy("rnk")
+    },
+    Some("""WITH ed AS (SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+            |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            |e AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+            |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+            |n AS (SELECT count(*) AS n FROM deg),
+            |p0 AS (SELECT node, deg, 1.0 / (SELECT n FROM n) AS pr FROM deg),
+            |p1 AS (SELECT d.node, d.deg,
+            |              round(0.15 / (SELECT n FROM n) + 0.85 * SUM(p.pr / p.deg), 9) AS pr
+            |       FROM e JOIN p0 p ON p.node = e.src JOIN deg d ON d.node = e.dst
+            |       GROUP BY d.node, d.deg),
+            |p2 AS (SELECT d.node, d.deg,
+            |              round(0.15 / (SELECT n FROM n) + 0.85 * SUM(p.pr / p.deg), 9) AS pr
+            |       FROM e JOIN p1 p ON p.node = e.src JOIN deg d ON d.node = e.dst
+            |       GROUP BY d.node, d.deg),
+            |p3 AS (SELECT d.node, d.deg,
+            |              round(0.15 / (SELECT n FROM n) + 0.85 * SUM(p.pr / p.deg), 9) AS pr
+            |       FROM e JOIN p2 p ON p.node = e.src JOIN deg d ON d.node = e.dst
+            |       GROUP BY d.node, d.deg),
+            |fin AS (SELECT node, round(pr, 6) AS pr FROM p3
+            |        ORDER BY pr DESC, node LIMIT 20),
+            |r AS (SELECT row_number() OVER (ORDER BY pr DESC, node) AS rnk, node, pr FROM fin)
+            |SELECT rnk, node, pr FROM r ORDER BY rnk""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
     q10semi, q10anti, q11, q12, q13, q14, q15, q16,
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }

@@ -260,4 +260,56 @@ class QueriesSpec extends AnyFunSuite {
     info(s"refined recall@10 vs exact cosine at sf0.01: $recall")
     assert(recall >= 0.9, s"refine failed to restore recall: $recall < 0.9")
   }
+
+  test("pagerank: top-20 ranks are a contiguous descending probability list") {
+    val rows = SparkEntry.queries("q44_pagerank")(spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(rows.length == 20)
+    assert(rows.map(_._1).toSeq == (1 to 20), "ranks must be 1..20 in order")
+    assert(rows.forall { case (_, _, pr) => pr > 0.0 && pr < 1.0 },
+      "every rank is a probability strictly inside (0,1)")
+    assert(rows.sliding(2).forall { case Array(a, b) => a._3 >= b._3 },
+      "ranks must be non-increasing down the list")
+    assert(rows.forall { case (_, node, _) => node.startsWith("s") || node.startsWith("c") })
+  }
+
+  test("bpe merges: 3 well-formed merges with non-increasing weighted counts") {
+    val rows = SparkEntry.queries("l4_bpe_merges")(spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(rows.length == 3)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(rows.forall { case (_, s1, s2, merged, _) => merged == s1 + s2 },
+      "merged token must be the concatenation of the pair")
+    // a merge can only destroy or preserve pair occurrences, never add
+    // more than it had — so the greedy max is non-increasing
+    assert(rows.sliding(2).forall { case Array(a, b) => a._5 >= b._5 },
+      s"max pair count increased across merges: ${rows.map(_._5).mkString(",")}")
+    assert(rows.forall(_._5 > 0))
+  }
+
+  test("edit distance runs over exactly the near-dup pair set with bounded similarity") {
+    val pairs = SparkEntry.queries("l2_jaccard_pairs")(spark, SparkFixture.sfDir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ed = SparkEntry.queries("l2_edit_distance")(spark, SparkFixture.sfDir).collect()
+    assert(ed.map(r => (r.getLong(0), r.getLong(1))).toSet == pairs,
+      "edit-distance verification must cover the near-dup pair set exactly")
+    assert(ed.forall { r =>
+      val (lev, sim) = (r.getInt(3), r.getDouble(4))
+      lev >= 0 && sim >= 0.0 && sim <= 1.0
+    }, "lev >= 0 and normalized similarity in [0,1]")
+  }
+
+  test("min_by/max_by agree with the window spelling of the same extremum") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val o = graft.Tables(spark, SparkFixture.sfDir, "orders")
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_orderkey").desc)
+    val viaWindow = o.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val got = SparkEntry.queries("q43_minmax_by")(spark, SparkFixture.sfDir)
+      .select("o_orderpriority", "last_status")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == viaWindow, "max_by(status, orderkey) must equal the rank-1 window row")
+  }
 }
