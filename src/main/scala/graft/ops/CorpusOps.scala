@@ -948,28 +948,36 @@ object CorpusOps {
   def pqCodebookTrained(vecs: DataFrame, m: Int = 8, subDim: Int = 8,
                         k: Int = 16, iters: Int = 2)
                        (implicit scope: CacheScope): DataFrame = {
+    import graft.functions.VectorExprs.vec_l2sq
     // cached: referenced 2x per Lloyd iteration (assignment join +
     // centroid update) plus the seed init — uncached, the subvector
-    // explode re-runs over the corpus ~2·iters+1 times
-    val long = scope.cached(subVectors(vecs, m, subDim)
-      .select(col("vec_id"), col("sub"), posexplode(col("sv")).as(Seq("sd", "v0")))
-      .select(col("vec_id"), col("sub"), col("sd"), col("v0").cast("double").as("v")))
-    val init = long.filter(col("vec_id") < k)
-      .select(col("sub"), col("vec_id").cast("int").as("cid"), col("sd"), col("v").as("cv"))
-    val trained = (1 to iters).foldLeft(init) { (cb, _) =>
-      val d2 = long.join(cb, Seq("sub", "sd"))
-        .groupBy(col("vec_id"), col("sub"), col("cid"))
-        .agg(round(sum((col("v") - col("cv")) * (col("v") - col("cv"))), 6).as("d2r"))
-      val assign = d2.groupBy(col("vec_id"), col("sub"))
+    // explode re-runs over the corpus ~2·iters+1 times.
+    // Assignment runs at (vec_id, sub) granularity against the
+    // broadcast ARRAY-form codebook with the native vec_l2sq kernel —
+    // the pqEncode shape: n·m·k kernel rows instead of the earlier
+    // n·m·k·subDim scalar-long join (a subDim× larger shuffle for the
+    // same round(L2², 6); the kernel widens float/double per element
+    // exactly as the scalar spelling did, and the oracle's SUM-then-
+    // round replay is unchanged). Only the centroid update, which
+    // genuinely needs per-dimension averages, explodes to (sd, v).
+    val subs = scope.cached(subVectors(vecs, m, subDim))
+    val init = subs.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").cast("int").as("cid"),
+        expr("transform(sv, x -> cast(x as double))").as("cv"))
+    (1 to iters).foldLeft(init) { (cb, _) =>
+      val assign = subs.join(broadcast(cb), Seq("sub"))
+        .withColumn("d2r", round(vec_l2sq(col("sv"), col("cv")), 6))
+        .groupBy(col("vec_id"), col("sub"))
         .agg(min(struct(col("d2r"), col("cid"))).as("b"))
         .select(col("vec_id"), col("sub"), col("b.cid").as("cid"))
-      assign.join(long, Seq("vec_id", "sub"))
+      assign.join(subs, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("sd", "v0")))
         .groupBy(col("sub"), col("cid"), col("sd"))
-        .agg(round(avg(col("v")), 6).as("cv"))
+        .agg(round(avg(col("v0").cast("double")), 6).as("cv"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(sort_array(collect_list(struct(col("sd"), col("cv")))).as("a"))
+        .select(col("sub"), col("cid"), expr("transform(a, x -> x.cv)").as("cv"))
     }
-    trained.groupBy(col("sub"), col("cid"))
-      .agg(sort_array(collect_list(struct(col("sd"), col("cv")))).as("a"))
-      .select(col("sub"), col("cid"), expr("transform(a, x -> x.cv)").as("cv"))
   }
 
   /** PQ encode: each (vector, subspace) → id of the nearest codebook
