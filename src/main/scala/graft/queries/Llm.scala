@@ -2024,6 +2024,48 @@ object Llm {
             |  FROM documents)
             |WHERE hk < $hashCutoff ORDER BY doc_id""".stripMargin))
 
+  // QUALITY-WEIGHTED sampling without replacement (Efraimidis-
+  // Spirakis A-ES keys): each doc draws a deterministic uniform
+  // u ∈ (0,1) from its 60-bit id-hash and competes with key = u^(1/q)
+  // — a single global top-k by key IS an exact weighted sample
+  // without replacement, the standard trick for "prefer high-quality
+  // docs but keep diversity" subset selection. No rejection loop, no
+  // state: keys are row-local arithmetic, the top-k compiles to the
+  // distributed TakeOrderedAndProject (partial per-partition top-100
+  // before one tiny gather — the l4_vocab_oov cut shape), so a
+  // petabyte corpus pays one scan + k rows of shuffle. The quality
+  // weight is the SHARED TextScores.quality (floor 0.3, so 1/q is
+  // bounded); keys round to 6dp with doc_id tie-breaks, and the
+  // oracle replays hash → u → pow bit-for-bit (pow's last-ulp risk
+  // sits behind the same round(·,6) contract every double rank in
+  // the battery uses).
+  private val l8weighted = QueryDef(
+    "l8_weighted_sample",
+    (s, dir) => {
+      val M = 1000003L
+      val keyed = t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_tok", size(col("ws")))
+        .withColumn("stop_n", expr(stopCount(enS)))
+        .select(col("doc_id"), qualityCol(col("n_tok"), col("stop_n")).as("quality"))
+        .withColumn("u", ((sha60(col("doc_id").cast("string")) % M) + 0.5) / M)
+        .withColumn("key", round(pow(col("u"), lit(1.0) / col("quality")), 6))
+      keyed.orderBy(desc("key"), asc("doc_id")).limit(100)
+        .withColumn("rank", row_number().over(Window.orderBy(desc("key"), asc("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("quality"), col("key"))
+        .orderBy("rank")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            |x AS (SELECT doc_id, len(ws) AS n_tok, ${stopCountDuck(enS)} AS stop_n FROM w),
+            |q AS (SELECT doc_id, ${qualityDuck("n_tok", "stop_n")} AS quality FROM x),
+            |k AS (SELECT doc_id, quality,
+            |        round(pow(((CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            |                    % 1000003) + 0.5) / 1000003, 1.0 / quality), 6) AS key
+            |      FROM q),
+            |top AS (SELECT doc_id, quality, key FROM k ORDER BY key DESC, doc_id LIMIT 100)
+            |SELECT row_number() OVER (ORDER BY key DESC, doc_id) AS rank, doc_id, quality, key
+            |FROM top ORDER BY rank""".stripMargin))
+
   // Line-level dedup (the CCNet/RefinedWeb boilerplate pass): lines
   // whose corpus-wide document frequency exceeds 1 are stripped and
   // docs reassembled in line order (fixture text has no newlines, so
@@ -3021,70 +3063,129 @@ object Llm {
       .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(sum("c").as("cnt"))
 
+  /** Shared 3-merge trainer: the corpus is scanned once for weighted
+    * word counts; each merge is a vocab-sized pair-count aggregate, a
+    * 1-row argmax collect, and a row-local literal replace. Returns
+    * the post-merge vocab (w, s, c) and the merge table. */
+  private def bpeTrain(s: SparkSession, dir: String)
+                      (implicit scope: graft.ops.CacheScope)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    val vocab = scope.cached(t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w")).where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("w"), bpeSymstr(col("w")).as("s"), col("c")))
+    var cur = vocab
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (it <- 1 to 3) {
+      val top = bpePairCounts(cur)
+        .orderBy(desc("cnt"), asc("s1"), asc("s2")).limit(1).collect()(0)
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((it, a, b, a + b, cnt))
+      cur = cur.select(col("w"),
+        replace(col("s"), lit(bpeSep + a + bpeSep + bpeSep + b + bpeSep),
+          lit(bpeSep + a + b + bpeSep)).as("s"), col("c"))
+    }
+    (cur, merges.toSeq)
+  }
+
+  /** The unrolled 3-iteration chain both BPE oracles share: v0..v2 are
+    * the vocab before each merge, b0..b2 the merges, v3 the trained
+    * vocab. DuckDB leaves unreferenced CTEs unexecuted, so each oracle
+    * pays only for the stages it reads. */
+  private val bpeChainSql =
+    """tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT w, count(*) AS c FROM tok WHERE w != '' GROUP BY w),
+      |v0 AS (SELECT w, substr(s0, 1, length(s0) - 1) AS s, c FROM (
+      |        SELECT w, chr(1) || regexp_replace(w, '(.)', '\1' || chr(1) || chr(1), 'g') AS s0, c
+      |        FROM wc)),
+      |y0 AS (SELECT string_split(substr(s, 2, length(s) - 2), chr(1) || chr(1)) AS syms, c FROM v0),
+      |p0 AS (SELECT s1, s2, SUM(c) AS cnt FROM (
+      |        SELECT unnest(syms[1 : len(syms) - 1]) AS s1,
+      |               unnest(syms[2 : len(syms)]) AS s2, c FROM y0)
+      |       GROUP BY s1, s2),
+      |b0 AS (SELECT s1, s2, cnt FROM p0 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+      |v1 AS (SELECT v.w, replace(v.s, chr(1) || b.s1 || chr(1) || chr(1) || b.s2 || chr(1),
+      |                      chr(1) || b.s1 || b.s2 || chr(1)) AS s, v.c
+      |       FROM v0 v, b0 b),
+      |y1 AS (SELECT string_split(substr(s, 2, length(s) - 2), chr(1) || chr(1)) AS syms, c FROM v1),
+      |p1 AS (SELECT s1, s2, SUM(c) AS cnt FROM (
+      |        SELECT unnest(syms[1 : len(syms) - 1]) AS s1,
+      |               unnest(syms[2 : len(syms)]) AS s2, c FROM y1)
+      |       GROUP BY s1, s2),
+      |b1 AS (SELECT s1, s2, cnt FROM p1 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+      |v2 AS (SELECT v.w, replace(v.s, chr(1) || b.s1 || chr(1) || chr(1) || b.s2 || chr(1),
+      |                      chr(1) || b.s1 || b.s2 || chr(1)) AS s, v.c
+      |       FROM v1 v, b1 b),
+      |y2 AS (SELECT string_split(substr(s, 2, length(s) - 2), chr(1) || chr(1)) AS syms, c FROM v2),
+      |p2 AS (SELECT s1, s2, SUM(c) AS cnt FROM (
+      |        SELECT unnest(syms[1 : len(syms) - 1]) AS s1,
+      |               unnest(syms[2 : len(syms)]) AS s2, c FROM y2)
+      |       GROUP BY s1, s2),
+      |b2 AS (SELECT s1, s2, cnt FROM p2 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+      |v3 AS (SELECT v.w, replace(v.s, chr(1) || b.s1 || chr(1) || chr(1) || b.s2 || chr(1),
+      |                      chr(1) || b.s1 || b.s2 || chr(1)) AS s, v.c
+      |       FROM v2 v, b2 b)""".stripMargin
+
   private val l4bpe = QueryDef(
     "l4_bpe_merges",
     (s, dir) => {
       import s.implicits._
-      val vocab = cached(t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w")).where(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("c"))
-        .select(bpeSymstr(col("w")).as("s"), col("c")))
-      var cur = vocab
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-      for (it <- 1 to 3) {
-        val top = bpePairCounts(cur)
-          .orderBy(desc("cnt"), asc("s1"), asc("s2")).limit(1).collect()(0)
-        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-        merges += ((it, a, b, a + b, cnt))
-        cur = cur.select(
-          replace(col("s"), lit(bpeSep + a + bpeSep + bpeSep + b + bpeSep),
-            lit(bpeSep + a + b + bpeSep)).as("s"), col("c"))
-      }
-      merges.toSeq.toDF("it", "s1", "s2", "merged", "cnt").orderBy("it")
+      bpeTrain(s, dir)._2.toDF("it", "s1", "s2", "merged", "cnt").orderBy("it")
     },
-    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-            |wc AS (SELECT w, count(*) AS c FROM tok WHERE w != '' GROUP BY w),
-            |v0 AS (SELECT substr(s0, 1, length(s0) - 1) AS s, c FROM (
-            |        SELECT chr(1) || regexp_replace(w, '(.)', '\1' || chr(1) || chr(1), 'g') AS s0, c
-            |        FROM wc)),
-            |y0 AS (SELECT string_split(substr(s, 2, length(s) - 2), chr(1) || chr(1)) AS syms, c FROM v0),
-            |p0 AS (SELECT s1, s2, SUM(c) AS cnt FROM (
-            |        SELECT unnest(syms[1 : len(syms) - 1]) AS s1,
-            |               unnest(syms[2 : len(syms)]) AS s2, c FROM y0)
-            |       GROUP BY s1, s2),
-            |b0 AS (SELECT s1, s2, cnt FROM p0 ORDER BY cnt DESC, s1, s2 LIMIT 1),
-            |v1 AS (SELECT replace(v.s, chr(1) || b.s1 || chr(1) || chr(1) || b.s2 || chr(1),
-            |                      chr(1) || b.s1 || b.s2 || chr(1)) AS s, v.c
-            |       FROM v0 v, b0 b),
-            |y1 AS (SELECT string_split(substr(s, 2, length(s) - 2), chr(1) || chr(1)) AS syms, c FROM v1),
-            |p1 AS (SELECT s1, s2, SUM(c) AS cnt FROM (
-            |        SELECT unnest(syms[1 : len(syms) - 1]) AS s1,
-            |               unnest(syms[2 : len(syms)]) AS s2, c FROM y1)
-            |       GROUP BY s1, s2),
-            |b1 AS (SELECT s1, s2, cnt FROM p1 ORDER BY cnt DESC, s1, s2 LIMIT 1),
-            |v2 AS (SELECT replace(v.s, chr(1) || b.s1 || chr(1) || chr(1) || b.s2 || chr(1),
-            |                      chr(1) || b.s1 || b.s2 || chr(1)) AS s, v.c
-            |       FROM v1 v, b1 b),
-            |y2 AS (SELECT string_split(substr(s, 2, length(s) - 2), chr(1) || chr(1)) AS syms, c FROM v2),
-            |p2 AS (SELECT s1, s2, SUM(c) AS cnt FROM (
-            |        SELECT unnest(syms[1 : len(syms) - 1]) AS s1,
-            |               unnest(syms[2 : len(syms)]) AS s2, c FROM y2)
-            |       GROUP BY s1, s2),
-            |b2 AS (SELECT s1, s2, cnt FROM p2 ORDER BY cnt DESC, s1, s2 LIMIT 1)
+    Some(s"""WITH $bpeChainSql
             |SELECT it, s1, s2, s1 || s2 AS merged, CAST(cnt AS BIGINT) AS cnt FROM (
             |  SELECT 1 AS it, s1, s2, cnt FROM b0
             |  UNION ALL SELECT 2, s1, s2, cnt FROM b1
             |  UNION ALL SELECT 3, s1, s2, cnt FROM b2)
             |ORDER BY it""".stripMargin))
 
+  // BPE ENCODE — the trained tokenizer applied back to the corpus:
+  // per document, the token count under the learned merge table and
+  // the chars-per-token compression it bought. Token counting is a
+  // VOCAB join, not a re-tokenization: every corpus word's symbol
+  // count after K merges is already in the trained vocab (w -> s), so
+  // the corpus pays one word explode + one join on the word key +
+  // one per-doc aggregate — the same shape however many merges were
+  // learned. This is the l4_tokens row upgraded from a whitespace
+  // heuristic to a real learned subword vocabulary.
+  private val l4bpeEnc = QueryDef(
+    "l4_bpe_encode",
+    (s, dir) => {
+      val (v3, _) = bpeTrain(s, dir)
+      val ns = v3.select(col("w"),
+        size(split(expr("substring(s, 2, length(s) - 2)"), bpeSep + bpeSep)).as("n_sym"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .join(ns, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).as("n_chars"),
+          sum(col("n_sym")).as("n_tokens"))
+        .withColumn("compression", round(col("n_chars") / col("n_tokens").cast("double"), 6))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $bpeChainSql,
+            |ns AS (SELECT w, len(string_split(substr(s, 2, length(s) - 2), chr(1) || chr(1))) AS n_sym
+            |       FROM v3),
+            |d AS (SELECT doc_id, w FROM (
+            |       SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+            |      WHERE w != '')
+            |SELECT d.doc_id, count(*) AS n_words,
+            |       CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
+            |       CAST(SUM(ns.n_sym) AS BIGINT) AS n_tokens,
+            |       round(SUM(length(d.w)) / CAST(SUM(ns.n_sym) AS DOUBLE), 6) AS compression
+            |FROM d JOIN ns ON ns.w = d.w
+            |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2contain, l2clusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3recall, l3ivf, l3ivfKmeans, l3quant,
     l3semdedup, l3pq, l3pqTrained, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4winnow,
     l4entropy, l5, l5media,
     l6clean, l6pack, l6funnel,
-    l8decontam, l8sample, l8sampleHash, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
+    l8decontam, l8sample, l8sampleHash, l8weighted, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
     l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr, l8decontamScrub,
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
-    l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe)
+    l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc)
 }

@@ -433,7 +433,7 @@ class PlanContractSpec extends AnyFunSuite {
     val exempt = Set("l2_simhash", "l2_embedding_cosine", "l2_dup_clusters", "l3_semdedup",
       "l5_binary_neardup", // same adaptive banding-width count() as l2_simhash
       "l6_cluster_keeper", // builds dupClusters (the l2_dup_clusters exemption)
-      "l4_bpe_merges") // greedy vocab learner: each of the 3 merge
+      "l4_bpe_merges", "l4_bpe_encode") // greedy vocab learner: each of the 3 merge
       // iterations collects exactly ONE row (the weighted pair-count
       // argmax) to parameterize the next iteration's literal replace —
       // the same adaptive-parameter class as the banding widths, and

@@ -299,6 +299,26 @@ class QueriesSpec extends AnyFunSuite {
     }, "lev >= 0 and normalized similarity in [0,1]")
   }
 
+  test("bpe encode: per doc, words <= tokens <= chars and compression >= 1") {
+    val rows = SparkEntry.queries("l4_bpe_encode")(spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (nw, nc, nt, _) => nw <= nt && nt <= nc },
+      "every word is >= 1 token, every token >= 1 char")
+    assert(rows.forall(_._4 >= 1.0), "compression = chars/tokens >= 1")
+  }
+
+  test("weighted sample: 100 contiguous ranks with descending in-(0,1) keys") {
+    val rows = SparkEntry.queries("l8_weighted_sample")(spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 100)
+    assert(rows.map(_._1).toSeq == (1 to 100))
+    assert(rows.forall { case (_, q, k) => q >= 0.3 && k > 0.0 && k < 1.0 },
+      "quality floor 0.3; keys strictly inside (0,1)")
+    assert(rows.sliding(2).forall { case Array(a, b) => a._3 >= b._3 },
+      "keys non-increasing down the ranks")
+  }
+
   test("min_by/max_by agree with the window spelling of the same extremum") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

@@ -280,6 +280,67 @@ class StreamingTckSpec extends AnyFunSuite {
       == Seq("m", "after")) // w1/w2 discarded: emission starts at the match
   }
 
+  // ---------------------------------------------------------------- T6e
+  test("T6e: CursorGate lookahead buffer survives a restart under RocksDB state") {
+    // The gate's scale posture says its per-shard scan buffer lives in
+    // the state store, so at 100 TB it is RocksDB-backed and restart-
+    // durable. Prove both at once: run the T6c no-match scenario under
+    // RocksDBStateStoreProvider with a query RESTART while rows are
+    // still buffered (no output yet) — the overshoot row after the
+    // restart must replay w1/w2 from RECOVERED RocksDB state, not JVM
+    // memory. Memory sink can't recover a checkpoint, so output goes
+    // through the static foreachBatch sink (the T8/T9c pattern).
+    val logName = "t-gate-rocks-" + System.nanoTime()
+    val log = ShardLog.getOrCreate(logName)
+    val base = 1700000000000L
+    def at(extId: String, tsMillis: Long): Message =
+      msg(extId).copy(ulid = Some(Ulid(tsMillis, new java.util.Random(extId.hashCode.toLong))))
+    val target = Ulid(base, new java.util.Random(12345L)) // never published
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val p = new Producer(log, seed = 1)
+      p.publish(
+        at("early", base - 1000),  // before the lower bound: dropped
+        at("w1", base + 1000),     // in window: buffered
+        at("w2", base + 30000))    // in window: buffered
+      val cursor = Cursor(log.shardId,
+        StartingPoint.AtUlid(target, inclusive = true, toleranceMillis = 60000L))
+      val ckpt = Files.createTempDirectory("g").toString
+      val out = sink("t6e")
+      out.clear()
+      def start() = {
+        val stream = spark.readStream.format("graft-messages").option("log", logName).load()
+          .as[Message](Message.encoder)
+        CursorGate(stream, cursor)
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[Message], _: Long) =>
+            df.select("externalId").collect().foreach(r => out.add(r.getString(0)))
+          }
+          .option("checkpointLocation", ckpt).start()
+      }
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop()
+      assert(out.isEmpty, "still scanning: buffer must be held in state, nothing emitted")
+      val q2 = start()                     // restart: buffer recovered from RocksDB
+      p.publish(at("late", base + 61000))  // overshoots: open + replay buffer
+      q2.processAllAvailable()
+      p.publish(at("after", base + 62000)) // gate already open
+      q2.processAllAvailable()
+      q2.stop()
+      import scala.jdk.CollectionConverters._
+      assert(out.asScala.toSeq == Seq("w1", "w2", "late", "after"),
+        s"replay after restart must come from recovered state: ${out.asScala.toSeq}")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None    => spark.conf.unset(key) }
+      ShardLog.remove(logName)
+    }
+  }
+
   // ------------------------------------------------- error recovery
   test("expired-iterator recovery: reader re-acquires from the cursor, task does not retry (2A-14)") {
     // Distinct class from throttle/generic (KinesisStreamingBuffer
