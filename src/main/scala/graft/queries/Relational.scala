@@ -24,6 +24,14 @@ object Relational {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Query-internal caches route through [[graft.ops.CacheScope]] —
+    * the Llm lifecycle contract: plain cache() under the default
+    * session-owned implicit (Verify/BenchSession clear between
+    * queries), unpersist-on-close when a pipeline supplies an OWNED
+    * scope. */
+  private def cached(df: DataFrame)(implicit scope: graft.ops.CacheScope): DataFrame =
+    scope.cached(df)
+
   // ---------------------------------------------------------------- Q1
   private val q01 = QueryDef(
     "q01_project_filter",
@@ -1271,34 +1279,66 @@ object Relational {
   private val q44 = QueryDef(
     "q44_pagerank",
     (s, dir) => {
-      val ed = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+      // The WHOLE query plans in an AQE-off CHILD session (the
+      // dupClusters round discipline, CorpusOps.inRoundSession): the
+      // iteration tables are node-sized, and AQE's per-exchange
+      // runtime replanning adds fixed latency that dominates ~12 tiny
+      // sequential stages. The edge build rides along as one static
+      // 32-wide join+distinct — at 100 TB you'd split phases exactly
+      // like dupClusters (corpus-sized edge build under AQE, rounds
+      // static) at the cost of an eager stage materialization at the
+      // seam; a fixture-sized artifact keeps construction action-free
+      // instead by returning the child-session plan DIRECTLY — same
+      // SparkContext and sharedState (caches, catalog), so the
+      // caller's actions and cache clears work unchanged, and an
+      // (rdd, schema) seam would eagerly execute the plan's broadcast
+      // exchanges at construction. The caller's conf is never touched.
+      val rs = s.newSession()
+      rs.conf.set("spark.sql.adaptive.enabled", "false")
+      rs.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions", "32"))
+      // integer node ids end-to-end (supplier s → 2s, customer c →
+      // 2c+1): every join, distinct, and aggregate below keys on a
+      // long, not a concatenated string — the display label is
+      // materialized once, on the 20 output rows
+      val ed = t(rs, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(rs, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
-          concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
         .distinct()
-      val edges = ed.union(ed.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .select(col("src").as("node"), col("deg"))
-      val n = deg.agg(count(lit(1)).as("n"))
-      var pr = deg.crossJoin(broadcast(n))
+      // cached: the edge table feeds all 3 iteration joins and the
+      // degree aggregate; the degree table joins back per iteration —
+      // uncached, the lineitem⋈orders+distinct subtree re-executes
+      // once per iteration (at scale these are the persisted graph
+      // tables a real PageRank job reads, not recomputed lineage)
+      val edgesC = cached(
+        ed.union(ed.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      val degC = cached(edgesC.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg")))
+      val nC = degC.agg(count(lit(1)).as("n"))
+      var pr = degC.crossJoin(broadcast(nC))
         .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("pr"))
       for (_ <- 1 to 3) {
-        val in = edges.join(pr, edges("src") === pr("node"))
+        val in = edgesC.join(pr, edgesC("src") === pr("node"))
           .select(col("dst"), (col("pr") / col("deg")).as("w"))
           .groupBy("dst").agg(sum("w").as("sw"))
-        pr = in.join(deg, in("dst") === deg("node")).crossJoin(broadcast(n))
+        pr = in.join(degC, in("dst") === degC("node")).crossJoin(broadcast(nC))
           .select(col("node"), col("deg"),
             round(lit(0.15) / col("n") + lit(0.85) * col("sw"), 9).as("pr"))
       }
+      // rank on the integer node id; label the 20 survivors only
       val fin = pr.select(col("node"), round(col("pr"), 6).as("pr"))
         .orderBy(desc("pr"), asc("node")).limit(20)
-      fin.withColumn("rnk",
+        .withColumn("rnk",
           row_number().over(Window.orderBy(desc("pr"), asc("node"))))
-        .select(col("rnk"), col("node"), col("pr"))
-        .orderBy("rnk")
+        .select(col("rnk"),
+          when(col("node") % 2 === 0, concat(lit("s"), expr("cast(node div 2 as string)")))
+            .otherwise(concat(lit("c"), expr("cast(node div 2 as string)"))).as("node"),
+          col("pr"))
+      fin.orderBy("rnk")
     },
-    Some("""WITH ed AS (SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+    Some("""WITH ed AS (SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
             |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
             |e AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
             |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
@@ -1319,7 +1359,10 @@ object Relational {
             |fin AS (SELECT node, round(pr, 6) AS pr FROM p3
             |        ORDER BY pr DESC, node LIMIT 20),
             |r AS (SELECT row_number() OVER (ORDER BY pr DESC, node) AS rnk, node, pr FROM fin)
-            |SELECT rnk, node, pr FROM r ORDER BY rnk""".stripMargin))
+            |SELECT rnk,
+            |       CASE WHEN node % 2 = 0 THEN 's' || (node // 2)
+            |            ELSE 'c' || (node // 2) END AS node, pr
+            |FROM r ORDER BY rnk""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
