@@ -1295,8 +1295,12 @@ object Relational {
       // exchanges at construction. The caller's conf is never touched.
       val rs = s.newSession()
       rs.conf.set("spark.sql.adaptive.enabled", "false")
-      rs.conf.set("spark.sql.shuffle.partitions",
-        s.conf.get("spark.sql.shuffle.partitions", "32"))
+      // static width 8: the iteration tables are node-sized and the
+      // edge table ~1M rows — at the session's 32 the ~15 sequential
+      // stages schedule ~500 near-empty tasks of pure overhead (the
+      // dupClusters lesson: round width should track the data, and
+      // here the data is small by construction)
+      rs.conf.set("spark.sql.shuffle.partitions", "8")
       // integer node ids end-to-end (supplier s → 2s, customer c →
       // 2c+1): every join, distinct, and aggregate below keys on a
       // long, not a concatenated string — the display label is
@@ -1317,14 +1321,18 @@ object Relational {
       val degC = cached(edgesC.groupBy("src").agg(count(lit(1)).as("deg"))
         .select(col("src").as("node"), col("deg")))
       val nC = degC.agg(count(lit(1)).as("n"))
+      // n broadcasts ONCE into the rank seed and rides the iterations
+      // as a constant column (max() through each aggregate) — a per-
+      // iteration rejoin of the 1-row table would add a serial
+      // broadcast stage per round for a value that never changes
       var pr = degC.crossJoin(broadcast(nC))
-        .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("pr"))
+        .select(col("node"), col("deg"), col("n"), (lit(1.0) / col("n")).as("pr"))
       for (_ <- 1 to 3) {
         val in = edgesC.join(pr, edgesC("src") === pr("node"))
-          .select(col("dst"), (col("pr") / col("deg")).as("w"))
-          .groupBy("dst").agg(sum("w").as("sw"))
-        pr = in.join(degC, in("dst") === degC("node")).crossJoin(broadcast(nC))
-          .select(col("node"), col("deg"),
+          .select(col("dst"), (col("pr") / col("deg")).as("w"), col("n"))
+          .groupBy("dst").agg(sum("w").as("sw"), max("n").as("n"))
+        pr = in.join(degC, in("dst") === degC("node"))
+          .select(col("node"), col("deg"), col("n"),
             round(lit(0.15) / col("n") + lit(0.85) * col("sw"), 9).as("pr"))
       }
       // rank on the integer node id; label the 20 survivors only
