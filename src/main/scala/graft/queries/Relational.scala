@@ -1311,30 +1311,12 @@ object Relational {
         .select((col("l_suppkey") * 2).as("src"),
           (col("o_custkey") * 2 + 1).as("dst"))
         .distinct()
-      // cached: the edge table feeds all 3 iteration joins and the
-      // degree aggregate; the degree table joins back per iteration —
-      // uncached, the lineitem⋈orders+distinct subtree re-executes
-      // once per iteration (at scale these are the persisted graph
-      // tables a real PageRank job reads, not recomputed lineage)
-      val edgesC = cached(
-        ed.union(ed.select(col("dst").as("src"), col("src").as("dst"))).distinct())
-      val degC = cached(edgesC.groupBy("src").agg(count(lit(1)).as("deg"))
-        .select(col("src").as("node"), col("deg")))
-      val nC = degC.agg(count(lit(1)).as("n"))
-      // n broadcasts ONCE into the rank seed and rides the iterations
-      // as a constant column (max() through each aggregate) — a per-
-      // iteration rejoin of the 1-row table would add a serial
-      // broadcast stage per round for a value that never changes
-      var pr = degC.crossJoin(broadcast(nC))
-        .select(col("node"), col("deg"), col("n"), (lit(1.0) / col("n")).as("pr"))
-      for (_ <- 1 to 3) {
-        val in = edgesC.join(pr, edgesC("src") === pr("node"))
-          .select(col("dst"), (col("pr") / col("deg")).as("w"), col("n"))
-          .groupBy("dst").agg(sum("w").as("sw"), max("n").as("n"))
-        pr = in.join(degC, in("dst") === degC("node"))
-          .select(col("node"), col("deg"), col("n"),
-            round(lit(0.15) / col("n") + lit(0.85) * col("sw"), 9).as("pr"))
-      }
+      // the iterations themselves are the reusable op
+      // (graft.ops.GraphOps.pageRank — edge/degree tables scope-cached,
+      // node count as ONE action-free broadcast aggregate riding the
+      // iterations as a constant column); undirecting the edge list
+      // gives every node outdeg >= 1, so no dangling-mass correction
+      val pr = graft.ops.GraphOps.pageRank(graft.ops.GraphOps.undirect(ed))
       // rank on the integer node id; label the 20 survivors only
       val fin = pr.select(col("node"), round(col("pr"), 6).as("pr"))
         .orderBy(desc("pr"), asc("node")).limit(20)
