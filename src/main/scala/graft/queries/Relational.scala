@@ -1354,11 +1354,49 @@ object Relational {
             |            ELSE 'c' || (node // 2) END AS node, pr
             |FROM r ORDER BY rnk""".stripMargin))
 
+  // Equal-width value HISTOGRAM per event_type — the distribution
+  // profile q30/q32's rank-based views don't give (bin populations at
+  // a glance, the classic data-profiling artifact). The global [min,
+  // max] envelope enters as an action-free broadcast aggregate (the
+  // q44/l3_knn_graph idiom — no collect), binning is row-local
+  // arithmetic ((v−lo)/w, floored, top edge clamped into the last
+  // bin), and the only shuffle is the final (type, bin) aggregate —
+  // corpus-linear with a ~types×10-row result at any scale. Bin
+  // arithmetic is identical IEEE double ops on both engines (same
+  // expression tree), so bin assignment matches bit-for-bit; edge
+  // values round(·,6) for the hash.
+  private val q45 = QueryDef(
+    "q45_histogram",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"), col("value"))
+      val mm = e.agg(min("value").as("lo"), max("value").as("hi"))
+      e.crossJoin(broadcast(mm))
+        .withColumn("w", (col("hi") - col("lo")) / 10.0)
+        .withColumn("bin",
+          least(floor((col("value") - col("lo")) / col("w")), lit(9L)).cast("int"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"), max("lo").as("lo"), max("w").as("w"))
+        .select(col("event_type"), col("bin"), col("n"),
+          round(col("lo") + col("bin") * col("w"), 6).as("bin_lo"),
+          round(col("lo") + (col("bin") + 1) * col("w"), 6).as("bin_hi"))
+        .orderBy("event_type", "bin")
+    },
+    Some("""WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+            |b AS (SELECT event_type,
+            |             least(CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS INTEGER), 9) AS bin,
+            |             lo, (hi - lo) / 10.0 AS w
+            |      FROM events, mm)
+            |SELECT event_type, bin, count(*) AS n,
+            |       round(lo + bin * w, 6) AS bin_lo,
+            |       round(lo + (bin + 1) * w, 6) AS bin_hi
+            |FROM b GROUP BY event_type, bin, lo, w
+            |ORDER BY event_type, bin""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
     q10semi, q10anti, q11, q12, q13, q14, q15, q16,
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
 }
