@@ -67,6 +67,46 @@ object GraphOps {
     pr.select(col("node"), col("deg"), col("pr"))
   }
 
+  /** PERSONALIZED PageRank: teleport mass restarts at a SEED SET
+    * instead of uniformly — pr₀(v) = 1/|S| for seeds else 0;
+    * prₜ₊₁(v) = teleport·[v∈S]/|S| + damping · Σ prₜ(u)/outdeg(u).
+    * The "relevance to the seeds" ranking (seeded trust/quality
+    * propagation in a curation pipeline: seed the trusted sources,
+    * rank everything else by received mass). Same plan shape and
+    * determinism contract as [[pageRank]]; the per-node restart mass
+    * is computed ONCE (node-sized, scope-cached — `teleport/|S|` as a
+    * SINGLE division so a SQL replay's `0.15/ns` matches bit-for-bit)
+    * and rides the iterations like the degree. Returns
+    * (node, deg, pr); non-seed nodes unreachable from any seed hold
+    * pr = 0.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
+                           damping: Double = 0.85, teleport: Double = 0.15,
+                           scale: Int = 9)
+                          (implicit scope: CacheScope): DataFrame = {
+    val e = scope.cached(edges.select(col("src"), col("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+    val sd = seeds.select(col("node")).distinct()
+    val ns = sd.agg(count(lit(1)).as("ns"))
+    val nodes = scope.cached(
+      deg.join(sd.withColumn("is_seed", lit(1)), Seq("node"), "left")
+        .crossJoin(broadcast(ns))
+        .select(col("node"), col("deg"),
+          when(col("is_seed").isNotNull, lit(1.0) / col("ns")).otherwise(lit(0.0)).as("pr0"),
+          when(col("is_seed").isNotNull, lit(teleport) / col("ns")).otherwise(lit(0.0)).as("base")))
+    var pr = nodes.select(col("node"), col("deg"), col("base"), col("pr0").as("pr"))
+    for (_ <- 1 to iters) {
+      val in = e.join(pr, e("src") === pr("node"))
+        .select(col("dst"), (col("pr") / col("deg")).as("w"))
+        .groupBy("dst").agg(sum("w").as("sw"))
+      pr = in.join(nodes, in("dst") === nodes("node"))
+        .select(col("node"), col("deg"), col("base"),
+          round(col("base") + lit(damping) * col("sw"), scale).as("pr"))
+    }
+    pr.select(col("node"), col("deg"), col("pr"))
+  }
+
   /** Both directions of an edge list, distinct — the undirected form
     * [[pageRank]] wants when dangling-mass correction should vanish. */
   def undirect(edges: DataFrame): DataFrame = {

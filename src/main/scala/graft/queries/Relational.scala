@@ -1354,6 +1354,64 @@ object Relational {
             |            ELSE 'c' || (node // 2) END AS node, pr
             |FROM r ORDER BY rnk""".stripMargin))
 
+  // PERSONALIZED PageRank (q44's seeded variant): teleport mass
+  // restarts at the SUPPLIER nodes only, so the stationary mass over
+  // customer nodes ranks "which customers sit closest to the supplier
+  // side of the transaction graph" — the seeded trust/relevance
+  // propagation a curation pipeline runs from trusted sources. Same
+  // integer-node/AQE-off/unrolled-oracle discipline as q44; the
+  // restart mass is ONE division (teleport/|S|) so the oracle's
+  // 0.15/ns matches bit-for-bit; output = top-20 CUSTOMER nodes.
+  private val q46 = QueryDef(
+    "q46_ppr",
+    (s, dir) => {
+      val rs = s.newSession()
+      rs.conf.set("spark.sql.adaptive.enabled", "false")
+      rs.conf.set("spark.sql.shuffle.partitions", "8")
+      val ed = t(rs, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(rs, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = graft.ops.GraphOps.undirect(ed)
+      val seeds = edges.select(col("src").as("node"))
+        .where(col("node") % 2 === 0).distinct()
+      val pr = graft.ops.GraphOps.personalizedPageRank(edges, seeds)
+      val fin = pr.where(col("node") % 2 === 1)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy(desc("pr"), asc("node")).limit(20)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(desc("pr"), asc("node"))))
+        .select(col("rnk"),
+          concat(lit("c"), expr("cast(node div 2 as string)")).as("node"),
+          col("pr"))
+      fin.orderBy("rnk")
+    },
+    Some("""WITH ed AS (SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+            |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            |e AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+            |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+            |ns AS (SELECT count(*) AS ns FROM deg WHERE node % 2 = 0),
+            |b AS (SELECT node, deg,
+            |             CASE WHEN node % 2 = 0 THEN 1.0 / (SELECT ns FROM ns) ELSE 0.0 END AS pr0,
+            |             CASE WHEN node % 2 = 0 THEN 0.15 / (SELECT ns FROM ns) ELSE 0.0 END AS bs
+            |      FROM deg),
+            |p0 AS (SELECT node, deg, bs, pr0 AS pr FROM b),
+            |p1 AS (SELECT b.node, b.deg, b.bs, round(b.bs + 0.85 * SUM(p.pr / p.deg), 9) AS pr
+            |       FROM e JOIN p0 p ON p.node = e.src JOIN b ON b.node = e.dst
+            |       GROUP BY b.node, b.deg, b.bs),
+            |p2 AS (SELECT b.node, b.deg, b.bs, round(b.bs + 0.85 * SUM(p.pr / p.deg), 9) AS pr
+            |       FROM e JOIN p1 p ON p.node = e.src JOIN b ON b.node = e.dst
+            |       GROUP BY b.node, b.deg, b.bs),
+            |p3 AS (SELECT b.node, b.deg, b.bs, round(b.bs + 0.85 * SUM(p.pr / p.deg), 9) AS pr
+            |       FROM e JOIN p2 p ON p.node = e.src JOIN b ON b.node = e.dst
+            |       GROUP BY b.node, b.deg, b.bs),
+            |fin AS (SELECT node, round(pr, 6) AS pr FROM p3 WHERE node % 2 = 1
+            |        ORDER BY pr DESC, node LIMIT 20),
+            |r AS (SELECT row_number() OVER (ORDER BY pr DESC, node) AS rnk, node, pr FROM fin)
+            |SELECT rnk, 'c' || (node // 2) AS node, pr FROM r ORDER BY rnk""".stripMargin))
+
   // Equal-width value HISTOGRAM per event_type — the distribution
   // profile q30/q32's rank-based views don't give (bin populations at
   // a glance, the classic data-profiling artifact). The global [min,
@@ -1398,5 +1456,5 @@ object Relational {
     q10semi, q10anti, q11, q12, q13, q14, q15, q16,
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46)
 }

@@ -51,6 +51,36 @@ class GraphOpsSpec extends AnyFunSuite {
       s"mass not conserved: sum(pr) = $total over $n nodes")
   }
 
+  test("personalized PageRank matches the hand-computed seeded iteration and conserves mass") {
+    // path 1-2-3, seed {1}: all restart mass returns to node 1, the
+    // rest ranks by proximity to it. Replicate the exact arithmetic
+    // (single-division base, round(9) per iteration) and demand
+    // bit-equality; total mass stays 1 (teleport + damping·1 fixpoint).
+    val edges = GraphOps.undirect(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = GraphOps.personalizedPageRank(edges, seeds).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+
+    def rnd(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val base = Map(1L -> 0.15, 2L -> 0.0, 3L -> 0.0)
+    val deg = Map(1L -> 1.0, 2L -> 2.0, 3L -> 1.0)
+    var p = Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0)
+    for (_ <- 1 to 3) {
+      val contrib = Map(
+        1L -> p(2L) / deg(2L),
+        2L -> (p(1L) / deg(1L) + p(3L) / deg(3L)),
+        3L -> p(2L) / deg(2L))
+      p = contrib.map { case (v, s) => v -> rnd(base(v) + 0.85 * s) }
+    }
+    assert(got == p, s"got $got, expected $p")
+    assert(math.abs(got.values.sum - 1.0) < 1e-8, "seeded mass must stay 1")
+    // 3 iterations on a path oscillate (1's mass sloshes through 2),
+    // so no monotone-proximity claim — but the seed's NEIGHBOR must
+    // outrank the far end at every odd+even mix, and the far end can
+    // only hold what passed through 2 twice
+    assert(got(2L) > got(3L), "the seed's neighbor must outrank the far end")
+  }
+
   test("lazy checkpointEvery cuts lineage without running jobs at build") {
     val edges = GraphOps.undirect(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"))
     val plain = GraphOps.pageRank(edges, iters = 4)
