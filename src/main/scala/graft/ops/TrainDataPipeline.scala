@@ -34,12 +34,14 @@ object TrainDataPipeline {
     * packed:  (shard, seq, doc_id, off, len) sequence layout over them.
     * funnel:  (stage_id, stage, docs_in, removed, docs_out) — 4 rows,
     *          5 with the span stage (its `removed` counts docs whose
-    *          every token was a duplicated-run member). */
+    *          every token was a duplicated-run member), 6 with a
+    *          `sampleBudget` (quality-weighted downsample). */
   final case class Output(curated: DataFrame, packed: DataFrame, funnel: DataFrame)
 
   def run(docs: DataFrame, isEval: Column, minQuality: Double = 0.6,
           seqLen: Long = 256L, nshards: Long = 16L,
-          spanDedup: Boolean = false)
+          spanDedup: Boolean = false,
+          sampleBudget: Option[Long] = None)
          (implicit scope: CacheScope): Output = {
     val train = docs.filter(!isEval)
     val flagged = train
@@ -67,13 +69,36 @@ object TrainDataPipeline {
     // the span pipeline runs once, released with the session's scope.
     val spanned = if (!spanDedup) None else Some(scope.cached(
       CorpusOps.spanDedup(survived).select(col("doc_id"), col("clean_text"), col("n_kept"))))
-    val curated = spanned match {
+    val afterSpan = spanned match {
       case None => survived
       case Some(sd) =>
         survived.join(sd.filter(col("n_kept") > 0), Seq("doc_id"), "inner")
           .select(survived.columns.map(c =>
             if (c == "text") col("clean_text").as("text") else col(c)): _*)
     }
+    // optional stage 6: quality-WEIGHTED downsample to a doc budget —
+    // the l8_weighted_sample semantics (Efraimidis-Spirakis keys
+    // u^(1/q) over the deterministic id-hash, q = the SAME TextScores
+    // quality the gate scored on the ORIGINAL text) as a pipeline
+    // stage: "prefer the best-written survivors but keep diversity"
+    // when the curated set still exceeds the training budget. A global
+    // top-k (TakeOrderedAndProject — partial per-partition), so the
+    // stage adds one scan + budget rows of shuffle; the selected-id
+    // table is budget-sized and cached (curated join + funnel both
+    // read it). Deterministic: same corpus, same budget -> same ids.
+    val sampledIds = sampleBudget.map { budget =>
+      val m = 1000003L
+      scope.cached(afterSpan.select(col("doc_id"))
+        .join(flagged.select(col("doc_id"),
+          TextScores.quality(col("n_tok"), col("stop_n")).as("qw")), Seq("doc_id"))
+        .withColumn("u",
+          ((graft.queries.QueryDef.sha60(col("doc_id").cast("string")) % m) + 0.5) / m)
+        .withColumn("k", pow(col("u"), lit(1.0) / col("qw")))
+        .orderBy(desc("k"), asc("doc_id")).limit(budget.toInt)
+        .select(col("doc_id")))
+    }
+    val curated = sampledIds.fold(afterSpan)(ids =>
+      afterSpan.join(ids, Seq("doc_id"), "left_semi"))
     val packed = CorpusOps.packSequences(curated, seqLen, nshards)
 
     // single-pass funnel: per-doc stage flags fold into one aggregate
@@ -85,9 +110,14 @@ object TrainDataPipeline {
       .join(stages.nearDupDropIds.withColumn("is_near", lit(true)),
         Seq("doc_id"), "left")
       .join(contaminated.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
-    val flags = spanned match {
+    val flags1 = spanned match {
       case None => flags0.withColumn("n_kept", lit(null).cast("long"))
       case Some(sd) => flags0.join(sd.select("doc_id", "n_kept"), Seq("doc_id"), "left")
+    }
+    val flags = sampledIds match {
+      case None => flags1.withColumn("is_sampled", lit(null).cast("boolean"))
+      case Some(ids) =>
+        flags1.join(ids.withColumn("is_sampled", lit(true)), Seq("doc_id"), "left")
     }
     val c = flags.agg(
       count(lit(1)).as("c0"),
@@ -99,16 +129,23 @@ object TrainDataPipeline {
         col("is_near").isNull && col("is_contam").isNull, lit(1))).as("c4"),
       count(when(col("q_ok") && col("is_keeper").isNotNull &&
         col("is_near").isNull && col("is_contam").isNull &&
-        coalesce(col("n_kept"), lit(1L)) > 0, lit(1))).as("c5"))
+        coalesce(col("n_kept"), lit(1L)) > 0, lit(1))).as("c5"),
+      count(when(col("q_ok") && col("is_keeper").isNotNull &&
+        col("is_near").isNull && col("is_contam").isNull &&
+        coalesce(col("n_kept"), lit(1L)) > 0 &&
+        col("is_sampled").isNotNull, lit(1))).as("c6"))
     def stageRow(id: Int, name: String, in: Column, out: Column) = struct(
       lit(id).as("stage_id"), lit(name).as("stage"),
       in.as("docs_in"), (in - out).as("removed"), out.as("docs_out"))
+    val lastPreSample = if (spanDedup) col("c5") else col("c4")
     val stageRows = Seq(
         stageRow(1, "quality_gate", col("c0"), col("c1")),
         stageRow(2, "exact_dedup", col("c1"), col("c2")),
         stageRow(3, "near_dedup", col("c2"), col("c3")),
         stageRow(4, "decontaminate", col("c3"), col("c4"))) ++
-      (if (spanDedup) Seq(stageRow(5, "span_dedup", col("c4"), col("c5"))) else Nil)
+      (if (spanDedup) Seq(stageRow(5, "span_dedup", col("c4"), col("c5"))) else Nil) ++
+      (if (sampleBudget.isDefined)
+        Seq(stageRow(6, "weighted_sample", lastPreSample, col("c6"))) else Nil)
     val funnel = c.select(explode(array(stageRows: _*)).as("s"))
       .select(col("s.stage_id").as("stage_id"), col("s.stage").as("stage"),
         col("s.docs_in").as("docs_in"), col("s.removed").as("removed"),

@@ -93,4 +93,48 @@ class TrainDataPipelineSpec extends AnyFunSuite {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(leaked.isEmpty, s"span-stage pipeline leaked cached RDDs: $leaked")
   }
+
+  test("weighted-sample stage respects the budget, extends the funnel, and is deterministic") {
+    val docs = graft.Tables(spark, SparkFixture.sfDir, "documents")
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+    implicit val scope: CacheScope = CacheScope.owned()
+    // unsampled baseline for the budget/no-op comparisons
+    val base = TrainDataPipeline.run(docs, col("doc_id") % 10 === 0)
+    val baseN = base.curated.count()
+    assert(baseN > 50, s"fixture should curate >50 docs, got $baseN")
+
+    val budget = 50L
+    val out = TrainDataPipeline.run(docs, col("doc_id") % 10 === 0,
+      sampleBudget = Some(budget))
+    val funnel = out.funnel.orderBy("stage_id").collect()
+    assert(funnel.length == 5 &&
+      funnel.last.getAs[String]("stage") == "weighted_sample")
+    for (Array(a, b) <- funnel.sliding(2))
+      assert(a.getAs[Long]("docs_out") == b.getAs[Long]("docs_in"))
+    assert(funnel.last.getAs[Long]("docs_out") == budget)
+    assert(out.curated.count() == budget)
+
+    // deterministic: a second run selects the identical id set
+    val ids1 = out.curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    val out2 = TrainDataPipeline.run(docs, col("doc_id") % 10 === 0,
+      sampleBudget = Some(budget))
+    val ids2 = out2.curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "same corpus + budget must select the same docs")
+
+    // a budget at or above the curated size is a no-op
+    val noop = TrainDataPipeline.run(docs, col("doc_id") % 10 === 0,
+      sampleBudget = Some(baseN))
+    assert(noop.curated.count() == baseN)
+
+    // packing ran over the SAMPLED set: token conservation holds
+    val curTok = out.curated
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    val packedTok = out.packed.agg(sum("len")).collect()(0).getLong(0)
+    assert(packedTok == curTok)
+
+    scope.close()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty, s"sample-stage pipeline leaked cached RDDs: $leaked")
+  }
 }
