@@ -1,16 +1,128 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Distributed graph algorithms over plain (src, dst) edge lists —
+/** Distributed graph algorithms over plain (src, dst[, w]) edge lists —
   * the Pregel-by-join family (connected components live in
   * [[CorpusOps.dupClusters]]; this module holds the rank/centrality
   * side). Everything is declarative DataFrame code: per iteration one
-  * edge-sized shuffle join plus one node-sized aggregate, so cost is
-  * edge-linear per round and the rank/degree tables stay node-sized.
+  * edge-sized shuffle join plus one node-sized aggregate plus one
+  * node-sized outer join, so cost is edge-linear per round and the
+  * rank tables stay node-sized.
+  *
+  * Round discipline (shared with [[CorpusOps.dupClusters]]): the edge
+  * table is lineage-cut ONCE (lazy local checkpoint — an RDD leaf, so
+  * round plans never re-walk the upstream edge pipeline), and the
+  * iterations plan in an AQE-off CHILD session whose static shuffle
+  * width is the edge table's own partition count — i.e. whatever width
+  * AQE chose for the edge-build output, so the rounds' width GROWS
+  * with the graph instead of being pinned to a fixture-tuned literal.
+  * AQE stays off inside the rounds because its per-exchange runtime
+  * replanning adds fixed latency that dominates the many small
+  * sequential stages (the dupClusters measurement: ~1.5 s/round with
+  * AQE vs sub-second static). The child session means the caller's
+  * conf is never touched. Cost of the seam: materializing the edge
+  * checkpoint executes the upstream build's stages at CONSTRUCTION
+  * (same as dupClusters — the documented action-free-construction
+  * exemption class for iterative graph ops).
   */
 object GraphOps {
+
+  /** AQE-off child session planning the rounds at a width that tracks
+    * the edge table. Same SparkContext and sharedState as the caller's
+    * session, so caches, catalog, and cache clears work unchanged. */
+  private def roundSession(spark: SparkSession, parts: Int): SparkSession = {
+    val rs = spark.newSession()
+    rs.conf.set("spark.sql.adaptive.enabled", "false")
+    rs.conf.set("spark.sql.shuffle.partitions", math.max(parts, 1).toString)
+    rs
+  }
+
+  /** Lineage-cut `df` in the caller's session and re-root it in `rs`
+    * as an RDD leaf (graph-sized rows — the row/InternalRow conversion
+    * at the seam is noise next to the rounds). */
+  private def intoSession(rs: SparkSession, df: DataFrame)
+                         (implicit scope: CacheScope): DataFrame = {
+    val ck = scope.checkpointed(df, reliable = false)
+    rs.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  /** Shared setup for every rank variant: child session at edge-derived
+    * width, edge leaf `e`, and the scope-cached per-node constants
+    * table `nodes` = (node, deg, pr0, base) where `deg` is out-degree
+    * (or total out-weight), `pr0` the initial mass and `base` the
+    * per-round restart mass. Both `pr0` and `base` are computed as a
+    * SINGLE division so a SQL replay's `1.0/n` / `0.15/ns` matches
+    * bit-for-bit.
+    */
+  private def prSetup(edges: DataFrame, weightCol: Option[String],
+                      seeds: Option[DataFrame], teleport: Double)
+                     (implicit scope: CacheScope): (DataFrame, DataFrame) = {
+    val cols = Seq(col("src"), col("dst")) ++ weightCol.map(col)
+    val eck = scope.checkpointed(edges.select(cols: _*), reliable = false)
+    val rs = roundSession(edges.sparkSession, eck.rdd.getNumPartitions)
+    val e = rs.createDataFrame(eck.rdd, eck.schema)
+    val deg = e.groupBy("src")
+      .agg(weightCol.map(w => sum(col(w))).getOrElse(count(lit(1))).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+    val nodes = scope.cached(seeds match {
+      case None =>
+        val n = deg.agg(count(lit(1)).as("n"))
+        deg.crossJoin(broadcast(n))
+          .select(col("node"), col("deg"),
+            (lit(1.0) / col("n")).as("pr0"),
+            (lit(teleport) / col("n")).as("base"))
+      case Some(sd0) =>
+        val sd = intoSession(rs, sd0.select(col("node")).distinct())
+        val ns = sd.agg(count(lit(1)).as("ns"))
+        deg.join(sd.withColumn("is_seed", lit(1)), Seq("node"), "left")
+          .crossJoin(broadcast(ns))
+          .select(col("node"), col("deg"),
+            when(col("is_seed").isNotNull, lit(1.0) / col("ns"))
+              .otherwise(lit(0.0)).as("pr0"),
+            when(col("is_seed").isNotNull, lit(teleport) / col("ns"))
+              .otherwise(lit(0.0)).as("base"))
+    })
+    (e, nodes)
+  }
+
+  /** One power-iteration round: edge-sized contribution join + dst
+    * aggregate, then a node-sized LEFT join back onto the constants
+    * table — the left join (vs the inner join a naive formulation
+    * writes) is what keeps teleport/restart mass alive on nodes with
+    * no in-edges: on a DIRECTED graph a pure source would otherwise
+    * drop out of the rank table after one round and its mass would
+    * stop propagating. coalesce(sw, 0) makes the arithmetic identical
+    * to the inner join wherever an in-sum exists. */
+  private def prStep(e: DataFrame, nodes: DataFrame, pr: DataFrame,
+                     weightCol: Option[String], damping: Double,
+                     scale: Int): DataFrame = {
+    val contrib: Column = weightCol match {
+      case None    => col("pr") / col("deg")
+      case Some(w) => col("pr") * col(w) / col("deg")
+    }
+    val in = e.join(pr, e("src") === pr("node"))
+      .select(col("dst"), contrib.as("m"))
+      .groupBy("dst").agg(sum("m").as("sw"))
+    nodes.join(in, nodes("node") === in("dst"), "left")
+      .select(nodes("node").as("node"), nodes("deg").as("deg"), col("base"),
+        round(col("base") + lit(damping) * coalesce(col("sw"), lit(0.0)),
+          scale).as("pr"))
+  }
+
+  private def prLoop(e: DataFrame, nodes: DataFrame, weightCol: Option[String],
+                     iters: Int, damping: Double, scale: Int,
+                     checkpointEvery: Int): DataFrame = {
+    var pr = nodes.select(col("node"), col("deg"), col("base"),
+      col("pr0").as("pr"))
+    for (it <- 1 to iters) {
+      pr = prStep(e, nodes, pr, weightCol, damping, scale)
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters)
+        pr = pr.localCheckpoint(false) // lazy: lineage cut, no job at build
+    }
+    pr.select(col("node"), col("deg"), col("pr"))
+  }
 
   /** Power-iteration PageRank over a DIRECTED edge list.
     *
@@ -18,53 +130,58 @@ object GraphOps {
     * Σ_{u→v} prₜ(u)/outdeg(u), each iteration's ranks rounded to
     * `scale` decimals — the same determinism contract as the query
     * battery (a replay, or a SQL oracle, reproduces the ranks
-    * bit-for-bit; double sum-order drift dies at the round). Callers
-    * wanting no dangling-mass correction should materialize both edge
-    * directions (an undirected graph — every node then has
-    * outdeg ≥ 1); [[undirect]] does exactly that.
+    * bit-for-bit; double sum-order drift dies at the round).
+    *
+    * Node universe: every node with >= 1 OUTGOING edge gets a row and
+    * keeps its teleport mass every round even with no in-edges (the
+    * left-join step). DANGLING nodes (in-edges only, outdeg 0) are not
+    * ranked and the mass they receive leaks — the classic
+    * uncorrected-power-iteration trade; materialize both edge
+    * directions when that should vanish ([[undirect]] does exactly
+    * that, and then total mass is conserved to the rounding).
     *
     * `teleport` and `damping` are SEPARATE parameters on purpose:
     * computing 1.0 − damping in doubles lands on 0.15000000000000002,
     * not the 0.15 a SQL oracle spells — pass both literals so the
     * engine and any replay agree bit-for-bit.
     *
-    * Plan shape (PLANS.md q44): the edge and degree tables are
-    * scope-cached (every iteration reads both); the node count enters
-    * as ONE action-free broadcast aggregate and rides the iterations
-    * as a constant column (max() through each aggregate) — no
-    * per-round broadcast stage. Construction is action-free. At scale:
-    * run the rounds at a width that tracks the node table (the
-    * dupClusters round discipline — q44 plans them in an AQE-off
-    * child session), and cut lineage with `checkpointEvery` on deep
-    * iteration counts (lazy localCheckpoint: no job at build, the
-    * round materializes at first action — executor-local, so pair it
-    * with a durable checkpoint dir on clusters, the
-    * dupClusters(reliable) trade).
+    * Plan shape (PLANS.md q44): rounds in an AQE-off child session at
+    * edge-derived width (object scaladoc); per-node constants (degree,
+    * restart mass, with the node count entering as ONE action-free
+    * broadcast aggregate) are scope-cached and ride every round — no
+    * per-round broadcast or collect. Deep iteration counts cut lineage
+    * with `checkpointEvery` (lazy localCheckpoint: no job at build —
+    * executor-local, so pair it with a durable checkpoint dir on
+    * clusters, the dupClusters(reliable) trade).
     *
-    * Returns (node, deg, pr) for every node with at least one
-    * outgoing edge.
+    * Returns (node, deg, pr), deg = outdeg as a count.
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
                damping: Double = 0.85, teleport: Double = 0.15,
                scale: Int = 9, checkpointEvery: Int = 0)
               (implicit scope: CacheScope): DataFrame = {
-    val e = scope.cached(edges.select(col("src"), col("dst")))
-    val deg = scope.cached(e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("node"), col("deg")))
-    val n = deg.agg(count(lit(1)).as("n"))
-    var pr = deg.crossJoin(broadcast(n))
-      .select(col("node"), col("deg"), col("n"), (lit(1.0) / col("n")).as("pr"))
-    for (it <- 1 to iters) {
-      val in = e.join(pr, e("src") === pr("node"))
-        .select(col("dst"), (col("pr") / col("deg")).as("w"), col("n"))
-        .groupBy("dst").agg(sum("w").as("sw"), max("n").as("n"))
-      pr = in.join(deg, in("dst") === deg("node"))
-        .select(col("node"), col("deg"), col("n"),
-          round(lit(teleport) / col("n") + lit(damping) * col("sw"), scale).as("pr"))
-      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters)
-        pr = pr.localCheckpoint(false) // lazy: lineage cut, no job at build
-    }
-    pr.select(col("node"), col("deg"), col("pr"))
+    val (e, nodes) = prSetup(edges, None, None, teleport)
+    prLoop(e, nodes, None, iters, damping, scale, checkpointEvery)
+  }
+
+  /** WEIGHTED PageRank: out-mass splits proportionally to edge weight
+    * instead of uniformly — prₜ₊₁(v) = teleport/N + damping ·
+    * Σ_{u→v} prₜ(u) · w(u,v) / Σ_out w(u) — the mass-weighted
+    * trust/relevance propagation a transaction or co-occurrence graph
+    * wants (q44's `distinct()`ed edges discard multiplicity; here the
+    * multiplicity IS the weight). Same round discipline, determinism
+    * contract, and left-join mass retention as [[pageRank]]; `deg` in
+    * the output is the total out-WEIGHT (a double). Contribution is
+    * computed as pr · w / Σw in that exact operation order — spell a
+    * SQL replay the same way (`p.pr * e.w / p.deg`).
+    */
+  def pageRankWeighted(edges: DataFrame, weightCol: String = "w",
+                       iters: Int = 3, damping: Double = 0.85,
+                       teleport: Double = 0.15, scale: Int = 9,
+                       checkpointEvery: Int = 0)
+                      (implicit scope: CacheScope): DataFrame = {
+    val (e, nodes) = prSetup(edges, Some(weightCol), None, teleport)
+    prLoop(e, nodes, Some(weightCol), iters, damping, scale, checkpointEvery)
   }
 
   /** PERSONALIZED PageRank: teleport mass restarts at a SEED SET
@@ -72,43 +189,73 @@ object GraphOps {
     * prₜ₊₁(v) = teleport·[v∈S]/|S| + damping · Σ prₜ(u)/outdeg(u).
     * The "relevance to the seeds" ranking (seeded trust/quality
     * propagation in a curation pipeline: seed the trusted sources,
-    * rank everything else by received mass). Same plan shape and
-    * determinism contract as [[pageRank]]; the per-node restart mass
-    * is computed ONCE (node-sized, scope-cached — `teleport/|S|` as a
-    * SINGLE division so a SQL replay's `0.15/ns` matches bit-for-bit)
-    * and rides the iterations like the degree. Returns
-    * (node, deg, pr); non-seed nodes unreachable from any seed hold
-    * pr = 0.
+    * rank everything else by received mass). Same round discipline
+    * and determinism contract as [[pageRank]]; the per-node restart
+    * mass is computed ONCE (node-sized, scope-cached — `teleport/|S|`
+    * as a SINGLE division so a SQL replay's `0.15/ns` matches
+    * bit-for-bit) and rides the iterations like the degree; a seed
+    * with no in-edges keeps its base mass every round (left-join
+    * step). Returns (node, deg, pr); non-seed nodes unreachable from
+    * any seed hold pr = 0.
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
                            damping: Double = 0.85, teleport: Double = 0.15,
-                           scale: Int = 9)
+                           scale: Int = 9, checkpointEvery: Int = 0)
                           (implicit scope: CacheScope): DataFrame = {
-    val e = scope.cached(edges.select(col("src"), col("dst")))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("node"), col("deg"))
-    val sd = seeds.select(col("node")).distinct()
-    val ns = sd.agg(count(lit(1)).as("ns"))
-    val nodes = scope.cached(
-      deg.join(sd.withColumn("is_seed", lit(1)), Seq("node"), "left")
-        .crossJoin(broadcast(ns))
-        .select(col("node"), col("deg"),
-          when(col("is_seed").isNotNull, lit(1.0) / col("ns")).otherwise(lit(0.0)).as("pr0"),
-          when(col("is_seed").isNotNull, lit(teleport) / col("ns")).otherwise(lit(0.0)).as("base")))
-    var pr = nodes.select(col("node"), col("deg"), col("base"), col("pr0").as("pr"))
-    for (_ <- 1 to iters) {
-      val in = e.join(pr, e("src") === pr("node"))
-        .select(col("dst"), (col("pr") / col("deg")).as("w"))
-        .groupBy("dst").agg(sum("w").as("sw"))
-      pr = in.join(nodes, in("dst") === nodes("node"))
-        .select(col("node"), col("deg"), col("base"),
-          round(col("base") + lit(damping) * col("sw"), scale).as("pr"))
+    val (e, nodes) = prSetup(edges, None, Some(seeds), teleport)
+    prLoop(e, nodes, None, iters, damping, scale, checkpointEvery)
+  }
+
+  /** Convergence-driven PageRank for pipeline (library) use: iterate
+    * until max|Δpr| <= `tol` (checked every `checkEvery` rounds — each
+    * check is one node-sized join + a 1-row aggregate action), up to
+    * `maxIters`. This is how production PageRank actually terminates;
+    * the fixed-round [[pageRank]] backs the oracle-gated queries
+    * because query CONSTRUCTION there must not run per-round actions.
+    * Each round is materialized through a lazy local checkpoint (the
+    * convergence action forces it), so plan depth stays bounded
+    * regardless of round count. With per-round round(·, scale), a
+    * converged graph reaches Δ = 0 EXACTLY, so `tol = 0` is a
+    * legitimate (and the default) stopping rule. Exhausting `maxIters`
+    * without convergence logs a WARN rather than failing. Returns
+    * (node, deg, pr) exactly as [[pageRank]] would after the same
+    * number of rounds.
+    */
+  def pageRankConverged(edges: DataFrame, maxIters: Int = 20,
+                        tol: Double = 0.0, checkEvery: Int = 1,
+                        damping: Double = 0.85, teleport: Double = 0.15,
+                        scale: Int = 9)
+                       (implicit scope: CacheScope): DataFrame = {
+    require(maxIters >= 1 && checkEvery >= 1,
+      s"maxIters/checkEvery must be >= 1 (got $maxIters/$checkEvery)")
+    val (e, nodes) = prSetup(edges, None, None, teleport)
+    var pr = scope.checkpointed(
+      nodes.select(col("node"), col("deg"), col("base"), col("pr0").as("pr")),
+      reliable = false)
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val next = scope.checkpointed(
+        prStep(e, nodes, pr, None, damping, scale), reliable = false)
+      it += 1
+      if (it % checkEvery == 0 || it == maxIters) {
+        val delta = next.as("n").join(pr.as("p"), col("n.node") === col("p.node"))
+          .agg(max(abs(col("n.pr") - col("p.pr"))).as("d"))
+          .first().getDouble(0)
+        converged = delta <= tol
+      }
+      CacheScope.unpersistPlanRdds(pr)
+      pr = next
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"pageRankConverged exhausted maxIters=$maxIters with " +
+          s"max|delta| still above tol=$tol — returning the last iterate")
     pr.select(col("node"), col("deg"), col("pr"))
   }
 
   /** Both directions of an edge list, distinct — the undirected form
-    * [[pageRank]] wants when dangling-mass correction should vanish. */
+    * [[pageRank]] wants when dangling-mass leakage should vanish. */
   def undirect(edges: DataFrame): DataFrame = {
     val ed = edges.select(col("src"), col("dst"))
     ed.union(ed.select(col("dst").as("src"), col("src").as("dst"))).distinct()

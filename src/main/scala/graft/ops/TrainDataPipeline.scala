@@ -43,6 +43,13 @@ object TrainDataPipeline {
           spanDedup: Boolean = false,
           sampleBudget: Option[Long] = None)
          (implicit scope: CacheScope): Output = {
+    // the budget feeds limit(budget.toInt): a Long above Int.MaxValue
+    // would silently truncate (possibly negative -> runtime throw) —
+    // fail loudly at entry instead. A >2^31-doc KEEP budget also means
+    // the top-k shuffle shape is wrong for the job (take a fraction,
+    // not a limit), so the bound is semantic, not just arithmetic.
+    sampleBudget.foreach(b => require(b > 0 && b <= Int.MaxValue,
+      s"sampleBudget must be in [1, ${Int.MaxValue}] (got $b)"))
     val train = docs.filter(!isEval)
     val flagged = train
       .withColumn("ws", split(col("text"), " "))

@@ -1269,44 +1269,33 @@ object Relational {
   // distributed-graph shape where per-iteration cost is edge-linear
   // and the rank/degree tables are node-sized. The node count reaches
   // the plan as an action-free broadcast aggregate (the l3_knn_graph
-  // idiom), never a collect. At 100 TB the only addition is a
-  // checkpoint per iteration to cut lineage (exactly what
-  // CorpusOps.dupClusters does for its label-propagation rounds);
-  // three unrolled iterations keep the plan shallow enough not to
-  // need it. Ranks round to 9 decimals per iteration on BOTH engines,
+  // idiom), never a collect. At 100 TB the same code holds: GraphOps
+  // lineage-cuts the edge table once and plans the rounds at a width
+  // derived from the edge table's own partition count, so the
+  // per-iteration shuffle widens with the graph; deep iteration
+  // counts add checkpointEvery to cut lineage (three unrolled
+  // iterations keep the plan shallow enough not to need it).
+  // Ranks round to 9 decimals per iteration on BOTH engines,
   // pinning cross-engine equality before double sum-order can drift;
   // output ranks round to 6 with node-id tie-breaks.
   private val q44 = QueryDef(
     "q44_pagerank",
     (s, dir) => {
-      // The WHOLE query plans in an AQE-off CHILD session (the
-      // dupClusters round discipline, CorpusOps.inRoundSession): the
-      // iteration tables are node-sized, and AQE's per-exchange
-      // runtime replanning adds fixed latency that dominates ~12 tiny
-      // sequential stages. The edge build rides along as one static
-      // 32-wide join+distinct — at 100 TB you'd split phases exactly
-      // like dupClusters (corpus-sized edge build under AQE, rounds
-      // static) at the cost of an eager stage materialization at the
-      // seam; a fixture-sized artifact keeps construction action-free
-      // instead by returning the child-session plan DIRECTLY — same
-      // SparkContext and sharedState (caches, catalog), so the
-      // caller's actions and cache clears work unchanged, and an
-      // (rdd, schema) seam would eagerly execute the plan's broadcast
-      // exchanges at construction. The caller's conf is never touched.
-      val rs = s.newSession()
-      rs.conf.set("spark.sql.adaptive.enabled", "false")
-      // static width 8: the iteration tables are node-sized and the
-      // edge table ~1M rows — at the session's 32 the ~15 sequential
-      // stages schedule ~500 near-empty tasks of pure overhead (the
-      // dupClusters lesson: round width should track the data, and
-      // here the data is small by construction)
-      rs.conf.set("spark.sql.shuffle.partitions", "8")
+      // The edge build runs in the CALLER's session under its normal
+      // AQE conf (corpus-sized work keeps its adaptive benefits); the
+      // ITERATIONS plan inside GraphOps under the dupClusters round
+      // discipline — edge table lineage-cut to an RDD leaf, rounds in
+      // an AQE-off child session whose static width is the edge
+      // table's own AQE-chosen partition count, so round width tracks
+      // the graph instead of a fixture-tuned literal. The seam
+      // materializes the edge build's stages at construction (the
+      // documented iterative-graph exemption, same as dupClusters).
       // integer node ids end-to-end (supplier s → 2s, customer c →
       // 2c+1): every join, distinct, and aggregate below keys on a
       // long, not a concatenated string — the display label is
       // materialized once, on the 20 output rows
-      val ed = t(rs, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-        .join(t(rs, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+      val ed = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select((col("l_suppkey") * 2).as("src"),
           (col("o_custkey") * 2 + 1).as("dst"))
@@ -1365,11 +1354,10 @@ object Relational {
   private val q46 = QueryDef(
     "q46_ppr",
     (s, dir) => {
-      val rs = s.newSession()
-      rs.conf.set("spark.sql.adaptive.enabled", "false")
-      rs.conf.set("spark.sql.shuffle.partitions", "8")
-      val ed = t(rs, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-        .join(t(rs, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+      // same round discipline as q44: edge build in the caller's
+      // session, iterations under GraphOps' edge-width child session
+      val ed = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select((col("l_suppkey") * 2).as("src"),
           (col("o_custkey") * 2 + 1).as("dst"))
@@ -1412,6 +1400,69 @@ object Relational {
             |r AS (SELECT row_number() OVER (ORDER BY pr DESC, node) AS rnk, node, pr FROM fin)
             |SELECT rnk, 'c' || (node // 2) AS node, pr FROM r ORDER BY rnk""".stripMargin))
 
+  // WEIGHTED PageRank (q44 keeps the graph, drops the distinct): the
+  // customer–supplier edge WEIGHT is the transaction multiplicity
+  // (how many order lines link the pair), and out-mass splits
+  // proportionally to weight — pr·w/Σw instead of pr/outdeg. That is
+  // the mass-weighted trust/relevance propagation a real transaction
+  // graph wants: a supplier moving 100 lines to one customer pushes
+  // 100× the rank a one-line relationship does. Same integer-node /
+  // unrolled-oracle / round(9)-per-iteration discipline as q44;
+  // contribution is spelled pr * w / deg in BOTH engines (operation
+  // order pins IEEE equality). Undirection materializes both
+  // directions carrying the same weight — src parity differs from
+  // dst parity, so the union cannot collide and needs no distinct.
+  private val q47 = QueryDef(
+    "q47_pagerank_weighted",
+    (s, dir) => {
+      val ed = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val edges = ed.union(
+        ed.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val pr = graft.ops.GraphOps.pageRankWeighted(edges, "w")
+      val fin = pr.select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy(desc("pr"), asc("node")).limit(20)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(desc("pr"), asc("node"))))
+        .select(col("rnk"),
+          when(col("node") % 2 === 0, concat(lit("s"), expr("cast(node div 2 as string)")))
+            .otherwise(concat(lit("c"), expr("cast(node div 2 as string)"))).as("node"),
+          col("pr"))
+      fin.orderBy("rnk")
+    },
+    Some("""WITH ed AS (SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst,
+            |                  count(*) AS w
+            |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |            GROUP BY 1, 2),
+            |e AS (SELECT src, dst, w FROM ed
+            |      UNION ALL SELECT dst AS src, src AS dst, w FROM ed),
+            |deg AS (SELECT src AS node, sum(w) AS deg FROM e GROUP BY src),
+            |n AS (SELECT count(*) AS n FROM deg),
+            |p0 AS (SELECT node, deg, 1.0 / (SELECT n FROM n) AS pr FROM deg),
+            |p1 AS (SELECT d.node, d.deg,
+            |              round(0.15 / (SELECT n FROM n) + 0.85 * SUM(p.pr * e.w / p.deg), 9) AS pr
+            |       FROM e JOIN p0 p ON p.node = e.src JOIN deg d ON d.node = e.dst
+            |       GROUP BY d.node, d.deg),
+            |p2 AS (SELECT d.node, d.deg,
+            |              round(0.15 / (SELECT n FROM n) + 0.85 * SUM(p.pr * e.w / p.deg), 9) AS pr
+            |       FROM e JOIN p1 p ON p.node = e.src JOIN deg d ON d.node = e.dst
+            |       GROUP BY d.node, d.deg),
+            |p3 AS (SELECT d.node, d.deg,
+            |              round(0.15 / (SELECT n FROM n) + 0.85 * SUM(p.pr * e.w / p.deg), 9) AS pr
+            |       FROM e JOIN p2 p ON p.node = e.src JOIN deg d ON d.node = e.dst
+            |       GROUP BY d.node, d.deg),
+            |fin AS (SELECT node, round(pr, 6) AS pr FROM p3
+            |        ORDER BY pr DESC, node LIMIT 20),
+            |r AS (SELECT row_number() OVER (ORDER BY pr DESC, node) AS rnk, node, pr FROM fin)
+            |SELECT rnk,
+            |       CASE WHEN node % 2 = 0 THEN 's' || (node // 2)
+            |            ELSE 'c' || (node // 2) END AS node, pr
+            |FROM r ORDER BY rnk""".stripMargin))
+
   // Equal-width value HISTOGRAM per event_type — the distribution
   // profile q30/q32's rank-based views don't give (bin populations at
   // a glance, the classic data-profiling artifact). The global [min,
@@ -1430,8 +1481,14 @@ object Relational {
       val mm = e.agg(min("value").as("lo"), max("value").as("hi"))
       e.crossJoin(broadcast(mm))
         .withColumn("w", (col("hi") - col("lo")) / 10.0)
+        // degenerate envelope guard: a constant column makes w = 0 and
+        // (v-lo)/w = 0/0 = NaN, where Spark's floor(NaN) and DuckDB's
+        // division semantics are free to disagree — pin every such
+        // value to bin 0 on BOTH engines (legal input, one bin)
         .withColumn("bin",
-          least(floor((col("value") - col("lo")) / col("w")), lit(9L)).cast("int"))
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(floor((col("value") - col("lo")) / col("w")), lit(9L)))
+            .cast("int"))
         .groupBy("event_type", "bin")
         .agg(count(lit(1)).as("n"), max("lo").as("lo"), max("w").as("w"))
         .select(col("event_type"), col("bin"), col("n"),
@@ -1441,7 +1498,9 @@ object Relational {
     },
     Some("""WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
             |b AS (SELECT event_type,
-            |             least(CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS INTEGER), 9) AS bin,
+            |             CASE WHEN hi = lo THEN 0
+            |                  ELSE least(CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS INTEGER), 9)
+            |             END AS bin,
             |             lo, (hi - lo) / 10.0 AS w
             |      FROM events, mm)
             |SELECT event_type, bin, count(*) AS n,
@@ -1456,5 +1515,5 @@ object Relational {
     q10semi, q10anti, q11, q12, q13, q14, q15, q16,
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
 }

@@ -81,12 +81,129 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got(2L) > got(3L), "the seed's neighbor must outrank the far end")
   }
 
-  test("lazy checkpointEvery cuts lineage without running jobs at build") {
-    val edges = GraphOps.undirect(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"))
-    val plain = GraphOps.pageRank(edges, iters = 4)
-      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
-    val ckpt = GraphOps.pageRank(edges, iters = 4, checkpointEvery = 2)
-      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
-    assert(ckpt == plain, "checkpointed rounds must not change ranks")
+  test("deep iteration: checkpointEvery bounds plan depth and preserves ranks") {
+    // 12 rounds is the regime the scaladoc promises checkpointEvery
+    // for: the uncut plan unrolls all 12 rounds (plan size grows
+    // linearly and the optimizer re-walks the whole chain), the cut
+    // plan bottoms out at the latest checkpoint leaf — assert BOTH the
+    // lineage bound (structurally: the final plan string is strictly
+    // smaller, and carries an RDD checkpoint leaf) and bit-identical
+    // ranks (a lazy localCheckpoint must be a pure materialization
+    // boundary, never an arithmetic change).
+    val edges = GraphOps.undirect(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+      .toDF("src", "dst"))
+    val plainDf = GraphOps.pageRank(edges, iters = 12)
+    val plain = plainDf.collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    val cutDf = GraphOps.pageRank(edges, iters = 12, checkpointEvery = 3)
+    val cut = cutDf.collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(cut == plain, "checkpointed rounds must not change ranks")
+    val plainPlan = plainDf.queryExecution.optimizedPlan.numberedTreeString
+    val cutPlan = cutDf.queryExecution.optimizedPlan.numberedTreeString
+    assert(cutPlan.linesIterator.size < plainPlan.linesIterator.size,
+      s"lineage cut did not bound plan depth: cut ${cutPlan.linesIterator.size} " +
+        s">= plain ${plainPlan.linesIterator.size} lines")
+  }
+
+  test("directed graph: a pure source keeps teleport mass and keeps propagating it") {
+    // The ADVICE-flagged case: node 4 has out-edges but NO in-edges.
+    // The left-join step must hold its teleport mass at 0.15/n every
+    // round (an inner-join formulation drops the node after round 1
+    // and its mass stops flowing into the graph). Nodes 2 and 1 form a
+    // cycle; 4 feeds 1. Replicate the exact arithmetic.
+    val edges = Seq((1L, 2L), (2L, 1L), (4L, 1L)).toDF("src", "dst")
+    val got = GraphOps.pageRank(edges).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+
+    def rnd(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var p = Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 4L -> 1.0 / 3)
+    for (_ <- 1 to 3) {
+      val sw = Map(
+        1L -> (p(2L) / 1.0 + p(4L) / 1.0), // 2→1 and 4→1
+        2L -> p(1L) / 1.0,                 // 1→2
+        4L -> 0.0)                          // no in-edges
+      p = sw.map { case (v, s) => v -> rnd(0.15 / 3 + 0.85 * s) }
+    }
+    assert(got == p, s"got $got, expected $p")
+    assert(got(4L) == rnd(0.15 / 3), "a no-in-edge source must hold exactly its teleport mass")
+  }
+
+  test("personalized PageRank: a seed with no in-edges holds base mass and feeds the graph") {
+    // Seed 1 points into a 2↔3 cycle and nothing points back at it:
+    // its restart mass must persist (0.15 every round) and keep
+    // feeding node 2 — the exact scenario where the old inner-join
+    // formulation lost the seed entirely after round 1.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = GraphOps.personalizedPageRank(edges, seeds).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+
+    def rnd(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val base = Map(1L -> 0.15, 2L -> 0.0, 3L -> 0.0)
+    var p = Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0)
+    for (_ <- 1 to 3) {
+      val sw = Map(
+        1L -> 0.0,
+        2L -> (p(1L) / 1.0 + p(3L) / 1.0),
+        3L -> p(2L) / 1.0)
+      p = sw.map { case (v, s) => v -> rnd(base(v) + 0.85 * s) }
+    }
+    assert(got == p, s"got $got, expected $p")
+    assert(got(1L) == 0.15, "a no-in-edge seed must hold exactly its base mass")
+  }
+
+  test("weighted PageRank splits out-mass by edge weight (hand-computed)") {
+    // 1 sends 3/4 of its mass to 2 and 1/4 to 3; both return all mass
+    // to 1. Contribution order pr * w / deg replicated exactly.
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val got = GraphOps.pageRankWeighted(edges, "w").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+
+    def rnd(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var p = Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3)
+    for (_ <- 1 to 3) {
+      val sw = Map(
+        1L -> (p(2L) * 1.0 / 1.0 + p(3L) * 1.0 / 1.0),
+        2L -> p(1L) * 3.0 / 4.0,
+        3L -> p(1L) * 1.0 / 4.0)
+      p = sw.map { case (v, s) => v -> rnd(0.15 / 3 + 0.85 * s) }
+    }
+    assert(got == p, s"got $got, expected $p")
+    // heavier edge -> more rank at the destination
+    assert(got(2L) > got(3L), "the 3x-weighted destination must outrank the 1x one")
+  }
+
+  test("pageRankConverged stops early on an already-converged graph with identical ranks") {
+    // A 4-clique is at its stationary distribution immediately: every
+    // node holds 1/4 and round(0.15/4 + 0.85*0.25, 9) = 0.25 again, so
+    // delta = 0 EXACTLY after the first check — the run must stop
+    // after ~1 round (job count bounds it: far fewer jobs than the 50
+    // rounds maxIters allows) and the ranks must equal the fixed-round
+    // variant's bit-for-bit.
+    val edges = GraphOps.undirect(
+      (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)).toDF("src", "dst"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try GraphOps.pageRankConverged(edges, maxIters = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+      finally {
+        // listener events post asynchronously; a short drain keeps the
+        // job-count bound honest (an undercount only loosens it)
+        Thread.sleep(500)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(got == Map(1L -> 0.25, 2L -> 0.25, 3L -> 0.25, 4L -> 0.25),
+      s"converged ranks drifted: $got")
+    val fixed = GraphOps.pageRank(edges, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got == fixed, "converged result must match the fixed-round variant")
+    assert(jobs.get() < 40,
+      s"convergence did not stop early: ${jobs.get()} jobs for a 1-round fixpoint")
   }
 }

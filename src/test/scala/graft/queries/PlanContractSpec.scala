@@ -311,6 +311,43 @@ class PlanContractSpec extends AnyFunSuite {
     assert(filterRegion, s"might_contain is not a Filter condition:\n$plan")
   }
 
+  test("GraphOps rounds: per-iteration delta is joins + one aggregate, no broadcast/collect") {
+    // The Pregel-by-join contract the q44/q46/q47 family rides: each
+    // extra iteration may add shuffle exchanges (edge join + dst
+    // aggregate + node-sized left join) but NEVER a BroadcastExchange
+    // (the node count is baked into the cached constants table once —
+    // a per-round broadcast would re-broadcast on every round at
+    // scale) and never a driver collect. Assert on the DELTA between
+    // 1-round and 3-round plans so the one-time setup (constants
+    // broadcast, edge checkpoint) is excluded. Rounds plan in an
+    // AQE-off child session at edge-derived width — also pinned here:
+    // the round plan must carry the edge RDD leaf, not the upstream
+    // edge pipeline.
+    import spark.implicits._
+    implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
+    val edges = graft.ops.GraphOps.undirect(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst"))
+    def planFor(iters: Int): String =
+      graft.ops.GraphOps.pageRank(edges, iters = iters)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val p1 = planFor(1)
+    val p3 = planFor(3)
+    val perRoundBroadcast =
+      (countNodes(p3, "BroadcastExchange") - countNodes(p1, "BroadcastExchange")) / 2.0
+    assert(perRoundBroadcast == 0.0,
+      s"a broadcast exchange is being re-planned per iteration:\n$p3")
+    val perRoundExchanges =
+      (countNodes(p3, "Exchange") - countNodes(p1, "Exchange")) / 2.0
+    assert(perRoundExchanges <= 3.0,
+      s"per-iteration shuffle count grew past edge-join + aggregate + node-join " +
+        s"($perRoundExchanges):\n$p3")
+    // the rounds must plan over the edge CHECKPOINT leaf — the
+    // upstream edge pipeline (union/distinct over the input) appears
+    // zero times in the round plan
+    assert(p3.contains("Scan ExistingRDD"),
+      s"rounds lost the edge RDD leaf (lineage not cut):\n$p3")
+  }
+
   test("q39: recursion executes as a distributed UnionLoop, not driver iteration") {
     // Spark 4 recursive CTEs plan as UnionLoop + UnionLoopRef — each
     // iteration a distributed job over the previous frontier. If a
@@ -433,6 +470,12 @@ class PlanContractSpec extends AnyFunSuite {
     val exempt = Set("l2_simhash", "l2_embedding_cosine", "l2_dup_clusters", "l3_semdedup",
       "l5_binary_neardup", // same adaptive banding-width count() as l2_simhash
       "l6_cluster_keeper", // builds dupClusters (the l2_dup_clusters exemption)
+      "q44_pagerank", "q46_ppr", "q47_pagerank_weighted", // GraphOps lineage-cuts
+      // the edge table (lazy localCheckpoint) and derives the round
+      // width from its partition count — materializing the edge
+      // build's stages at construction, the same iterative-graph
+      // seam dupClusters pays (and the round-7 verdict asked for:
+      // data-derived round width over fixture-tuned literals)
       "l4_bpe_merges", "l4_bpe_encode") // greedy vocab learner: each of the 3 merge
       // iterations collects exactly ONE row (the weighted pair-count
       // argmax) to parameterize the next iteration's literal replace —
