@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * no full materialization — the only shape that works when the binary
   * column is 100 TB of images).
   *
-  * The actual codec step (JPEG decode, audio resample, video frame
-  * extraction) is STUBBED — this container has no image/audio
-  * libraries — behind [[MediaCodec]]: a deterministic fake that parses
-  * our own 16-byte header. The Spark-side plumbing (schema, batch
-  * iteration, partition preservation, feature schema) is real and
-  * tested; swapping the stub for javacv/ImageIO changes one function.
+  * [[MediaCodec]] carries REAL pure-JVM parsers for one image format
+  * (BMP — BITMAPFILEHEADER + BITMAPINFOHEADER per the Windows spec)
+  * and one audio format (WAV — RIFF chunk walk, fmt/data chunks), so
+  * image and audio metadata is decoded from actual bytes with no
+  * native libraries. Formats needing a heavy codec (JPEG, MP3, video
+  * frame extraction) remain STUBBED behind the `grft` fake header —
+  * this container ships no media libraries — and swapping the stub for
+  * javacv/ImageIO changes one function. The Spark-side plumbing
+  * (schema, batch iteration, partition preservation, feature schema)
+  * is identical for real and stubbed formats.
   */
 object Multimodal {
 
@@ -26,9 +30,15 @@ object Multimodal {
       n_bytes: Int, width: Int, height: Int, n_frames: Int,
       sha: String)
 
-  /** STUB codec: a real implementation would decode payload bytes with
-    * an image/audio library. The fake reads our deterministic 16-byte
-    * header: [magic(4) | width(4) | height(4) | frames(4)], big-endian.
+  /** Per-format byte codecs. `decodeDims(fmt, bytes)` is the single
+    * dispatch the pipeline calls; (width, height, frames) semantics
+    * per format:
+    *  - `bmp`: pixel dimensions, frames = 1.
+    *  - `wav`: width = sample rate (Hz), height = channel count,
+    *    frames = sample-frame count (data bytes / block align) — the
+    *    natural "temporal frames" reading for audio.
+    *  - `grft`: the deterministic stub header standing in for formats
+    *    that need a real media library (JPEG/MP3/video).
     */
   object MediaCodec {
     val Magic = 0x47524654 // "GRFT"
@@ -39,13 +49,91 @@ object Multimodal {
       bb.array()
     }
 
-    /** (width, height, frames) — ??? territory in a real deployment:
-      * replace with ImageIO/javacv. Deterministic fake for tests. */
-    def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
+    /** Minimal valid 24-bpp bottom-up BMP: 14-byte BITMAPFILEHEADER +
+      * 40-byte BITMAPINFOHEADER + zeroed pixel array with rows padded
+      * to 4 bytes (the spec's row stride). Any BMP reader opens it. */
+    def encodeBmp(width: Int, height: Int): Array[Byte] = {
+      val rowSize = ((3 * width + 3) / 4) * 4
+      val imageSize = rowSize * height
+      val bb = java.nio.ByteBuffer.allocate(54 + imageSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte)
+        .putInt(54 + imageSize).putShort(0).putShort(0).putInt(54) // file header
+      bb.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+        .putInt(0).putInt(imageSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      bb.array()
+    }
+
+    /** BITMAPINFOHEADER parse: 'BM' magic, little-endian i32 width at
+      * offset 18 / height at 22 (negative height = top-down row order,
+      * dimensions unaffected). Frames = 1: BMP is single-image. */
+    def decodeBmp(payload: Array[Byte]): (Int, Int, Int) = {
+      require(payload.length >= 54 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+        "not a BMP payload")
+      val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (bb.getInt(18), math.abs(bb.getInt(22)), 1)
+    }
+
+    /** Minimal canonical PCM WAV: RIFF header, 16-byte `fmt ` chunk
+      * (format 1 = PCM, 16-bit), zeroed `data` chunk of
+      * `frames * channels * 2` bytes. */
+    def encodeWav(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+      val blockAlign = channels * 2
+      val dataSize = frames * blockAlign
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+        .putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      bb.array()
+    }
+
+    /** RIFF chunk WALK (not fixed offsets — real WAV files carry LIST/
+      * fact chunks before `data`): find `fmt ` for channels + sample
+      * rate + block align, `data` for the payload size; frames =
+      * dataSize / blockAlign. */
+    def decodeWav(payload: Array[Byte]): (Int, Int, Int) = {
+      val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+      require(payload.length >= 44 && tag() == "RIFF", "not a RIFF payload")
+      bb.getInt() // riff size
+      require(tag() == "WAVE", "not a WAVE payload")
+      var rate = -1; var channels = -1; var blockAlign = -1; var dataSize = -1
+      while (bb.remaining() >= 8 && (rate < 0 || dataSize < 0)) {
+        val id = tag(); val size = bb.getInt(); val next = bb.position() + size + (size & 1)
+        if (id == "fmt ") {
+          bb.getShort() // audio format
+          channels = bb.getShort().toInt
+          rate = bb.getInt()
+          bb.getInt() // byte rate
+          blockAlign = bb.getShort().toInt
+        } else if (id == "data") dataSize = size
+        bb.position(math.min(next, payload.length))
+      }
+      require(rate > 0 && blockAlign > 0 && dataSize >= 0, "WAV missing fmt/data chunk")
+      (rate, channels, dataSize / blockAlign)
+    }
+
+    /** Stub header for formats that need a real media library. */
+    def decodeGrft(payload: Array[Byte]): (Int, Int, Int) = {
       val bb = java.nio.ByteBuffer.wrap(payload)
       require(bb.remaining >= 16 && bb.getInt() == Magic, "not a GRFT payload")
       (bb.getInt(), bb.getInt(), bb.getInt())
     }
+
+    /** (width, height, frames) by declared format — `bmp` and `wav`
+      * parse REAL bytes; `grft` is the documented deterministic stub. */
+    def decodeDims(fmt: String, payload: Array[Byte]): (Int, Int, Int) = fmt match {
+      case "bmp" => decodeBmp(payload)
+      case "wav" => decodeWav(payload)
+      case _     => decodeGrft(payload)
+    }
+
+    /** Back-compat single-format entry (the stub header). */
+    def decodeDims(payload: Array[Byte]): (Int, Int, Int) = decodeGrft(payload)
   }
 
   /** Feature extraction over the binary column, per-partition (the
@@ -60,7 +148,7 @@ object Multimodal {
       .mapPartitions { it =>
         val digest = java.security.MessageDigest.getInstance("SHA-256")
         it.map { case (id, kind, fmt, payload) =>
-          val (w, h, f) = MediaCodec.decodeDims(payload)
+          val (w, h, f) = MediaCodec.decodeDims(fmt, payload)
           digest.reset()
           val sha = digest.digest(payload).take(8).map("%02x".format(_)).mkString
           MediaFeature(id, kind, fmt, payload.length, w, h, f, sha)

@@ -1761,27 +1761,38 @@ object Llm {
 
   // ---------------------------------------------------------------- L5b
   // Multimodal pipeline through the oracle gate: documents become
-  // media rows with a REAL binary payload (16-byte header + text
-  // bytes, built row-side), which the graft.multimodal module then
-  // decodes per-partition (mapPartitions, one codec per partition),
-  // resize-plans (maxSide=256) and frame-samples (stride 2, explode +
-  // re-agg). Every output is integer-derived metadata arithmetic, so
-  // the oracle computes the same values without touching binary —
-  // the Spark side still exercises the full encode -> decode ->
-  // typed-Dataset -> explode path the stubbed codec wraps.
+  // media rows whose payloads are REAL format bytes for image and
+  // audio — spec-valid BMP files (BITMAPFILEHEADER+BITMAPINFOHEADER +
+  // padded pixel array) and canonical PCM WAV files (RIFF chunk
+  // layout) built row-side, then DECODED from those actual bytes by
+  // the pure-JVM parsers in MediaCodec (little-endian header fields
+  // for BMP, a chunk walk for WAV). Video keeps the documented `grft`
+  // stub header (frame extraction needs a real codec library this
+  // container doesn't ship). Decode runs per-partition (mapPartitions,
+  // one codec per partition), then resize-plan (maxSide=256) and
+  // frame-sampling (stride 2, explode + re-agg). The oracle reproduces
+  // the same metadata arithmetically (BMP row stride ((3w+3)//4)*4,
+  // WAV data size frames*channels*2) — so a parser bug that misreads
+  // actual bytes hash-fails the row.
   private val l5media = QueryDef(
     "l5_media_pipeline",
     (s, dir) => {
       import graft.multimodal.Multimodal
-      val enc = udf((id: Long, text: String) =>
-        Multimodal.MediaCodec.encodeHeader(
+      val enc = udf((id: Long, text: String) => (id % 3) match {
+        case 0 => Multimodal.MediaCodec.encodeBmp(
+          (id % 64 + 16).toInt, (id % 48 + 16).toInt)
+        case 1 => Multimodal.MediaCodec.encodeWav(
+          (8000 + (id % 8) * 1000).toInt, (1 + id % 2).toInt, (id % 100 + 10).toInt)
+        case _ => Multimodal.MediaCodec.encodeHeader(
           (id % 640 + 16).toInt, (id % 480 + 16).toInt, (id % 10 + 1).toInt,
-          text.getBytes("UTF-8")))
+          text.getBytes("UTF-8"))
+      })
       val media = t(s, dir, "documents").select(
         col("doc_id").as("media_id"),
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
-        lit("grft").as("fmt"),
+        when(col("doc_id") % 3 === 0, "bmp")
+          .when(col("doc_id") % 3 === 1, "wav").otherwise("grft").as("fmt"),
         enc(col("doc_id"), col("text")).as("payload"))
       val feats = Multimodal.extractFeatures(media)
       val resize = Multimodal.resizePlan(feats, maxSide = 256)
@@ -1795,10 +1806,23 @@ object Llm {
     Some("""WITH m AS (SELECT doc_id AS media_id,
                    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-                   CAST(16 + octet_length(encode(text)) AS INTEGER) AS n_bytes,
-                   CAST(doc_id % 640 + 16 AS INTEGER) AS width,
-                   CAST(doc_id % 480 + 16 AS INTEGER) AS height,
-                   CAST(doc_id % 10 + 1 AS INTEGER) AS n_frames
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN CAST(54 + ((3 * (doc_id % 64 + 16) + 3) // 4) * 4
+                                              * (doc_id % 48 + 16) AS INTEGER)
+                        WHEN 1 THEN CAST(44 + (doc_id % 100 + 10) * (1 + doc_id % 2) * 2 AS INTEGER)
+                        ELSE CAST(16 + octet_length(encode(text)) AS INTEGER) END AS n_bytes,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN CAST(doc_id % 64 + 16 AS INTEGER)
+                        WHEN 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS INTEGER)
+                        ELSE CAST(doc_id % 640 + 16 AS INTEGER) END AS width,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN CAST(doc_id % 48 + 16 AS INTEGER)
+                        WHEN 1 THEN CAST(1 + doc_id % 2 AS INTEGER)
+                        ELSE CAST(doc_id % 480 + 16 AS INTEGER) END AS height,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN 1
+                        WHEN 1 THEN CAST(doc_id % 100 + 10 AS INTEGER)
+                        ELSE CAST(doc_id % 10 + 1 AS INTEGER) END AS n_frames
                  FROM documents),
             r AS (SELECT media_id,
                    least(1.0, 256.0 / greatest(width, height)) AS scale FROM m)
@@ -3063,30 +3087,111 @@ object Llm {
       .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(sum("c").as("cnt"))
 
-  /** Shared 3-merge trainer: the corpus is scanned once for weighted
-    * word counts; each merge is a vocab-sized pair-count aggregate, a
-    * 1-row argmax collect, and a row-local literal replace. Returns
-    * the post-merge vocab (w, s, c) and the merge table. */
-  private def bpeTrain(s: SparkSession, dir: String)
-                      (implicit scope: graft.ops.CacheScope)
-      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
-    val vocab = scope.cached(t(s, dir, "documents")
+  /** Frequency-weighted word vocabulary with sentinel symbol strings —
+    * the one corpus scan every BPE trainer variant shares. */
+  private def bpeVocab(docs: DataFrame)
+                      (implicit scope: graft.ops.CacheScope): DataFrame =
+    scope.cached(docs
       .select(explode(split(col("text"), " ")).as("w")).where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
       .select(col("w"), bpeSymstr(col("w")).as("s"), col("c")))
-    var cur = vocab
+
+  private def bpeApply(cur: DataFrame, a: String, b: String): DataFrame =
+    cur.select(col("w"),
+      replace(col("s"), lit(bpeSep + a + bpeSep + bpeSep + b + bpeSep),
+        lit(bpeSep + a + b + bpeSep)).as("s"), col("c"))
+
+  /** Sequential greedy trainer: each merge is a vocab-sized pair-count
+    * aggregate, a 1-row argmax collect, and a row-local literal
+    * replace. Returns the post-merge vocab (w, s, c) and the merge
+    * table. */
+  private[queries] def bpeLearn(docs: DataFrame, k: Int = 3)
+                               (implicit scope: graft.ops.CacheScope)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    var cur = bpeVocab(docs)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    for (it <- 1 to 3) {
+    for (it <- 1 to k) {
       val top = bpePairCounts(cur)
         .orderBy(desc("cnt"), asc("s1"), asc("s2")).limit(1).collect()(0)
       val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((it, a, b, a + b, cnt))
-      cur = cur.select(col("w"),
-        replace(col("s"), lit(bpeSep + a + bpeSep + bpeSep + b + bpeSep),
-          lit(bpeSep + a + b + bpeSep)).as("s"), col("c"))
+      cur = bpeApply(cur, a, b)
+      if (it % 8 == 0 && it < k) cur = scope.checkpointed(cur, reliable = false)
     }
     (cur, merges.toSeq)
   }
+
+  /** BATCHED trainer — the scale fix for the driver-round-trip-per-
+    * merge cost of [[bpeLearn]] (a production vocabulary is 10⁴–10⁵
+    * merges; one aggregate + one collect PER merge makes the driver
+    * loop the bottleneck). Per round: ONE vocab-sized pair-count
+    * aggregate + one lookahead-bounded collect learns up to `batch`
+    * merges, so K merges cost ~K/batch aggregates.
+    *
+    * Exactness (pinned to the sequential result, not approximate):
+    * accept ranked pairs (cnt desc, s1, s2) while they are mutually
+    * SYMBOL-DISJOINT — merging (a,b) cannot change the count of any
+    * pair touching neither a nor b, so disjoint counts carry over
+    * unchanged — and STOP at the first conflict; then keep only
+    * accepted pairs whose count is STRICTLY above the stop boundary
+    * (first conflict's count, or the lookahead floor when no conflict
+    * surfaced). Every pair a sequential run could prefer instead —
+    * a decreased conflicting pair, or a NEW pair created by an
+    * accepted merge (its count is bounded by an old conflicting
+    * pair's) — sits at or below that boundary, so no tie-break can
+    * reorder the accepted prefix. Rank 1 is always sequential-exact
+    * (it IS the argmax), so every round learns >= 1 merge and the loop
+    * terminates. The replace chain is lineage-cut every 4 rounds
+    * (lazy local checkpoint) so deep vocabularies keep a bounded plan.
+    */
+  private[queries] def bpeLearnBatched(docs: DataFrame, k: Int = 3, batch: Int = 8)
+                                      (implicit scope: graft.ops.CacheScope)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    require(k >= 1 && batch >= 1, s"k/batch must be >= 1 (got $k/$batch)")
+    var cur = bpeVocab(docs)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (merges.length < k && !exhausted) {
+      round += 1
+      val lookahead = math.max(4 * batch, 16)
+      val top = bpePairCounts(cur)
+        .orderBy(desc("cnt"), asc("s1"), asc("s2")).limit(lookahead).collect()
+      if (top.isEmpty) exhausted = true // every word fully merged
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val prefix = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var conflictCnt = -1L
+        for (r <- top if conflictCnt < 0) {
+          val (a, b, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
+          if (used(a) || used(b)) conflictCnt = cnt
+          else { prefix += ((a, b, cnt)); used += a; used += b }
+        }
+        // boundary below which sequential tie-breaks could reorder:
+        // the first conflict, or (lookahead truncated) the unseen tail
+        val boundary =
+          if (conflictCnt >= 0) conflictCnt
+          else if (top.length == lookahead) top.last.getLong(2)
+          else Long.MinValue // full pair table collected, no conflict
+        val safe = prefix.takeWhile(_._3 > boundary)
+        val accepted = (if (safe.isEmpty) prefix.take(1) else safe)
+          .take(math.min(batch, k - merges.length))
+        for ((a, b, cnt) <- accepted) {
+          merges += ((merges.length + 1, a, b, a + b, cnt))
+          cur = bpeApply(cur, a, b)
+        }
+        if (round % 4 == 0 && merges.length < k)
+          cur = scope.checkpointed(cur, reliable = false)
+      }
+    }
+    (cur, merges.toSeq)
+  }
+
+  /** Fixture-bound wrapper both BPE oracle queries share. */
+  private def bpeTrain(s: SparkSession, dir: String)
+                      (implicit scope: graft.ops.CacheScope)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) =
+    bpeLearn(t(s, dir, "documents"))
 
   /** The unrolled 3-iteration chain both BPE oracles share: v0..v2 are
     * the vocab before each merge, b0..b2 the merges, v3 the trained
@@ -3131,6 +3236,27 @@ object Llm {
     (s, dir) => {
       import s.implicits._
       bpeTrain(s, dir)._2.toDF("it", "s1", "s2", "merged", "cnt").orderBy("it")
+    },
+    Some(s"""WITH $bpeChainSql
+            |SELECT it, s1, s2, s1 || s2 AS merged, CAST(cnt AS BIGINT) AS cnt FROM (
+            |  SELECT 1 AS it, s1, s2, cnt FROM b0
+            |  UNION ALL SELECT 2, s1, s2, cnt FROM b1
+            |  UNION ALL SELECT 3, s1, s2, cnt FROM b2)
+            |ORDER BY it""".stripMargin))
+
+  // BATCHED BPE merge learning — the same K merges as l4_bpe_merges
+  // learned in ~K/B rounds instead of K (see bpeLearnBatched for the
+  // exactness argument: symbol-disjoint ranked prefix, stop at the
+  // first conflict, strict-count boundary kills tie-break reordering).
+  // The oracle is the SEQUENTIAL unrolled chain — the whole point is
+  // that the batched schedule is pinned bit-equal to the greedy
+  // trainer's output, not "close to it".
+  private val l4bpeBatch = QueryDef(
+    "l4_bpe_merges_batched",
+    (s, dir) => {
+      import s.implicits._
+      bpeLearnBatched(t(s, dir, "documents"))._2
+        .toDF("it", "s1", "s2", "merged", "cnt").orderBy("it")
     },
     Some(s"""WITH $bpeChainSql
             |SELECT it, s1, s2, s1 || s2 AS merged, CAST(cnt AS BIGINT) AS cnt FROM (
@@ -3187,5 +3313,6 @@ object Llm {
     l8mixtureApply, l8shuffle, l8stats, l8novelty, l8overlap, l2incr, l8decontamScrub,
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
-    l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc)
+    l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
+    l4bpeBatch)
 }

@@ -53,4 +53,54 @@ class MultimodalSpec extends AnyFunSuite {
     val e = intercept[org.apache.spark.SparkException](extractFeatures(bad).collect())
     assert(e.getMessage.contains("GRFT") || Option(e.getCause).exists(_.getMessage.contains("GRFT")))
   }
+
+  test("BMP codec: encode produces a spec-valid file the parser reads back") {
+    val bytes = MediaCodec.encodeBmp(33, 21) // odd width exercises row padding
+    // file structure per spec: magic, little-endian sizes, pixel offset
+    assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val rowSize = ((3 * 33 + 3) / 4) * 4 // 100: 99 pixel bytes padded to 4
+    assert(bb.getInt(2) == bytes.length, "file-size field must match the payload")
+    assert(bytes.length == 54 + rowSize * 21)
+    assert(bb.getInt(10) == 54, "pixel array offset")
+    assert(bb.getInt(14) == 40, "BITMAPINFOHEADER size")
+    assert(MediaCodec.decodeBmp(bytes) == ((33, 21, 1)))
+    // top-down BMPs store negative height — dimensions must not
+    bb.putInt(22, -21)
+    assert(MediaCodec.decodeBmp(bb.array()) == ((33, 21, 1)))
+  }
+
+  test("WAV codec: chunk walk finds fmt/data regardless of extra chunks") {
+    val bytes = MediaCodec.encodeWav(16000, 2, 120)
+    assert(MediaCodec.decodeWav(bytes) == ((16000, 2, 120)))
+    assert(bytes.length == 44 + 120 * 2 * 2)
+    // splice a LIST chunk between fmt and data (real recorders do
+    // this) — a fixed-offset reader breaks, the chunk walk must not
+    val head = bytes.take(36) // RIFF..WAVE + fmt chunk
+    val tail = bytes.drop(36) // data chunk
+    val list = java.nio.ByteBuffer.allocate(14).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(6).put("INFOab".getBytes("US-ASCII"))
+      .array()
+    val spliced = java.nio.ByteBuffer.allocate(head.length + list.length + tail.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(head).put(list).put(tail).array()
+    // fix the RIFF size field for the inserted bytes
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8)
+    assert(MediaCodec.decodeWav(spliced) == ((16000, 2, 120)))
+  }
+
+  test("mixed-format extraction decodes real BMP and WAV bytes per row") {
+    val rows = Seq(
+      (0L, "image", "bmp", MediaCodec.encodeBmp(64, 48)),
+      (1L, "audio", "wav", MediaCodec.encodeWav(8000, 1, 50)),
+      (2L, "video", "grft", MediaCodec.encodeHeader(320, 240, 5, Array[Byte](1))))
+      .toDF("media_id", "kind", "fmt", "payload")
+    val got = extractFeatures(rows).collect().sortBy(_.media_id)
+    assert(got(0).width == 64 && got(0).height == 48 && got(0).n_frames == 1)
+    assert(got(0).n_bytes == 54 + ((3 * 64 + 3) / 4) * 4 * 48)
+    assert(got(1).width == 8000 && got(1).height == 1 && got(1).n_frames == 50)
+    assert(got(1).n_bytes == 44 + 50 * 2)
+    assert(got(2).width == 320 && got(2).height == 240 && got(2).n_frames == 5)
+  }
 }

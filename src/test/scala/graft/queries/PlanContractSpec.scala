@@ -476,7 +476,8 @@ class PlanContractSpec extends AnyFunSuite {
       // build's stages at construction, the same iterative-graph
       // seam dupClusters pays (and the round-7 verdict asked for:
       // data-derived round width over fixture-tuned literals)
-      "l4_bpe_merges", "l4_bpe_encode") // greedy vocab learner: each of the 3 merge
+      "l4_bpe_merges", "l4_bpe_encode", // greedy vocab learner: each of the 3 merge
+      "l4_bpe_merges_batched") // same class: ONE ranked lookahead collect per ROUND
       // iterations collects exactly ONE row (the weighted pair-count
       // argmax) to parameterize the next iteration's literal replace —
       // the same adaptive-parameter class as the banding widths, and
