@@ -34,7 +34,8 @@ object Bench {
     // l4_lm_score pipeline (already measured) + one catalog-sized window
     "l8_pack_sequences", "l4_classifier", "l4_vocab_oov", "l8_profile",
     "q43_minmax_by", "q44_pagerank", "l2_edit_distance", "l4_bpe_merges",
-    "l4_bpe_encode", "l8_weighted_sample", "q45_histogram", "q46_ppr")
+    "l4_bpe_encode", "l8_weighted_sample", "q45_histogram", "q46_ppr",
+    "q47_pagerank_weighted")
 
   /** 1-minute system load average, -1.0 where the platform can't say.
     * Recorded at both ends of the run so the record SELF-ADJUDICATES:
@@ -45,6 +46,45 @@ object Bench {
     * core count before trusting a cross-round delta. */
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Per-entry measurement that DEFENDS itself against co-tenant host
+    * load instead of leaving adjudication to PERF.md archaeology:
+    * three of the last four driver records were load-contaminated
+    * (loadavg 3.5–3.9 at start, every family uniformly 1.2–2×
+    * inflated). Three base runs; if the spread blows its envelope
+    * WHILE the host is loaded, the cell re-runs (bounded by a global
+    * retry budget) — a stall is transient, so extra runs usually
+    * recover a clean min. The reported spread is over the three
+    * FASTEST runs (the best clean measurement achieved); a cell whose
+    * spread still exceeds the envelope lands in `contaminated[]` so a
+    * reader knows exactly which numbers not to trust. */
+  private final case class Cell(runs: Seq[Double], load: Double, retried: Int) {
+    def min: Double = if (runs.isEmpty) -1.0 else runs.min
+    /** spread of the 3 fastest successful runs — the best clean
+      * re-measurement (a recovered stall stops polluting the record,
+      * but the raw run count is still visible via `retried`). */
+    def spread: Double = {
+      if (runs.isEmpty) -1.0
+      else { val best = runs.sorted.take(3); best.max - best.min }
+    }
+  }
+
+  /** A spread above max(50% of min, 0.8 s) is not steady-state noise
+    * on this workload — calibrated against the committed clean record
+    * (loadavg 0.44 at start), where first-run plan compilation + GC
+    * put ~half the battery over tighter envelopes like (25%, 0.3 s)
+    * but only ~1/7 of entries (the documented contention-sensitive
+    * families) over this one. */
+  private def overEnvelope(c: Cell): Boolean =
+    c.runs.nonEmpty && c.spread > math.max(0.5 * c.min, 0.8)
+
+  /** 1-min loadavg above which a bad spread is blamed on the host (the
+    * clean committed records ran at < 0.7; driver contamination showed
+    * at 3.5+). Between the two: retries are cheap, trust is not. A bad
+    * spread on a QUIET host is the normal min-of-N story — the min is
+    * still trustworthy — so both the retry trigger and the
+    * contaminated verdict require high load. */
+  private val loadSuspect = 1.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,24 +100,37 @@ object Bench {
     // reported: a transient host-load stall on a shared bench box
     // otherwise lands on whichever query it hits (observed: 10x
     // outliers on single queries between identical runs — two driver
-    // rounds generated false regression signals this way). The spread
-    // (max-min) is emitted per query so a reader can tell genuine
-    // regressions from host-load variance; a query whose runs all
-    // failed reports -1 in both fields.
-    def runs3(run: () => Double): Seq[Double] = (1 to 3).map(_ => run()).filter(_ >= 0)
-    val results = headline.filter(queries.contains).map { name =>
-      name -> runs3(() => BenchSession.timeQuery(spark, name, sfDir))
+    // rounds generated false regression signals this way). See Cell
+    // for the load-defense retry layer on top.
+    var retryBudget = 12 // total EXTRA runs across the whole record
+    def measure(run: () => Double): Cell = {
+      var cell = Cell((1 to 3).map(_ => run()).filter(_ >= 0), loadAvg(), 0)
+      while (overEnvelope(cell) && cell.load >= loadSuspect && retryBudget > 0) {
+        retryBudget -= 1
+        val extra = run()
+        cell = Cell(cell.runs ++ Some(extra).filter(_ >= 0),
+          loadAvg(), cell.retried + 1)
+      }
+      cell
     }
-    val all = results :+ ("stream_100k_msgs" -> runs3(() => streamingThroughput(spark)))
-    def field(f: Seq[Double] => Double) =
-      all.map { case (k, ts) => "\"" + k + f"""\":${if (ts.isEmpty) -1.0 else f(ts)}%.3f""" }
+    val results = headline.filter(queries.contains).map { name =>
+      name -> measure(() => BenchSession.timeQuery(spark, name, sfDir))
+    }
+    val all = results :+ ("stream_100k_msgs" -> measure(() => streamingThroughput(spark)))
+    def field(f: Cell => Double) =
+      all.map { case (k, c) => "\"" + k + f"""\":${f(c)}%.3f""" }
         .mkString("{", ",", "}")
     val qs = field(_.min)
-    val spread = field(ts => ts.max - ts.min)
-    val total = all.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
+    val spread = field(_.spread)
+    val loads = field(_.load)
+    val contaminated = all.collect {
+      case (k, c) if overEnvelope(c) && c.load >= loadSuspect => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val nRetries = all.map(_._2.retried).sum
+    val total = all.collect { case (_, c) if c.runs.nonEmpty => c.min }.sum
     val loadEnd = loadAvg()
     val nproc = Runtime.getRuntime.availableProcessors
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"nproc":$nproc,"n_entries":${all.size},"sf":"$sfDir"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"load":$loads,"contaminated":$contaminated,"n_retries":$nRetries,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"nproc":$nproc,"n_entries":${all.size},"sf":"$sfDir"}"""
     println(json)
     writeRecord(json)
     spark.stop()
