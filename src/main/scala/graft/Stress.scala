@@ -31,7 +31,8 @@ object Stress {
     "l8_line_dedup", "l4_entropy", "l8_mixture_apply",
     "l8_pack_sequences", "l4_classifier", "l4_vocab_oov", "l3_knn_graph", "l8_span_dedup",
     "l3_cluster_sample_kept", "l2_edit_distance", "l4_bpe_merges",
-    "l4_bpe_encode", "l4_bpe_merges_batched", "l8_weighted_sample")
+    "l4_bpe_encode", "l4_bpe_merges_batched", "l8_weighted_sample",
+    "l3_ann_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

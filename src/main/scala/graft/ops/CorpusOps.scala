@@ -1189,6 +1189,84 @@ object CorpusOps {
       .select("qid", "rn", "vid", "adr")
   }
 
+  /** INCREMENTAL index maintenance — the vector-side analogue of
+    * [[bloomIncrementalDedup]]'s batch-vs-corpus shape: a production
+    * ANN index is not rebuilt per ingest batch; new vectors are
+    * ASSIGNED into the existing inverted lists and residual-coded with
+    * the FROZEN trained codebook, and a drift statistic decides when a
+    * re-train is actually due (FAISS `add` vs `train` split).
+    *
+    * Frozen state = the `nlist` seed centroids + the Lloyd-trained
+    * residual codebook from `train` (both deterministic —
+    * [[ivfpqResidualTopK]]'s exact rules, so batch codes are
+    * bit-identical to what a full rebuild over train∪batch would
+    * assign THOSE vectors given the same centroids; what a rebuild
+    * would change is only the codebook, which is precisely the
+    * re-train the drift signal gates). Per new vector: coarse assign
+    * by round(L2²,6) with cid tie-break, residual against the list
+    * centroid, per-subspace code by the frozen codebook, emitted as a
+    * positional checksum (Σ code·16^sub — flat-output contract).
+    *
+    * Drift = mean distance-to-centroid of the batch over the same
+    * mean for the training corpus, both under the frozen centroids,
+    * means as DECIMAL(18,6) sums over the rounded per-vector
+    * distances (cross-engine exact). A ratio near 1 says the batch
+    * lives where the index was trained; a climbing ratio says the
+    * coarse quantizer no longer explains the data — re-train.
+    *
+    * Scale shape: one broadcast argmin + one broadcast codebook join
+    * over the BATCH (batch-sized, the cheap path that runs per
+    * ingest); the train side contributes the frozen state build (paid
+    * once, amortized across batches — here rebuilt because the oracle
+    * query is self-contained) and a batch-independent 1-row mean.
+    * Raw vectors never shuffle; only codes and 1-row aggregates do.
+    * Output (vec_id, cid, d2c, code_sum, drift) for the batch.
+    */
+  def ivfpqIncremental(train: DataFrame, batch: DataFrame,
+                       nlist: Int = 32, m: Int = 8, subDim: Int = 8,
+                       k: Int = 16, iters: Int = 2)
+                      (implicit scope: CacheScope): DataFrame = {
+    import graft.functions.VectorExprs.vec_l2sq
+    val cents = train.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    def assignOf(v: DataFrame): DataFrame =
+      v.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+        .crossJoin(broadcast(cents))
+        .withColumn("d2c", round(vec_l2sq(col("ve"), col("ce")), 6))
+        .groupBy("vid").agg(min(struct(col("d2c"), col("cid"))).as("b"))
+        .select(col("vid"), col("b.cid").as("cid"), col("b.d2c").as("d2c"))
+    def residualsOf(v: DataFrame, assign: DataFrame): DataFrame =
+      assign
+        .join(v.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
+        .join(broadcast(cents), "cid")
+        .select(col("vid").as("vec_id"),
+          expr("zip_with(ve, ce, (a, b) -> cast(a as double) - cast(b as double))")
+            .as("embedding"))
+    // frozen state: train assignment (cached — codebook build + drift
+    // mean both read it) and the residual-trained codebook
+    val tAssign = scope.cached(assignOf(train))
+    val cb = scope.cached(
+      pqCodebookTrained(residualsOf(train, tAssign), m, subDim, k, iters))
+    // the per-batch path: assign, residual-encode, checksum
+    val bAssign = scope.cached(assignOf(batch))
+    val bCodes = pqEncode(residualsOf(batch, bAssign), cb, m, subDim)
+      .groupBy("vec_id")
+      .agg(sum(expr("code * cast(pow(16, sub) as bigint)")).as("code_sum"))
+    // DECIMAL(18,6) sums over the rounded distances: bit-stable under
+    // any summation order, so an engine replay lands the same mean
+    def dmean(c: Column): Column =
+      (sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
+        / count(lit(1)))
+    val drift = tAssign.agg(dmean(col("d2c")).as("t_mean"))
+      .crossJoin(bAssign.agg(dmean(col("d2c")).as("b_mean")))
+      .select(round(col("b_mean") / col("t_mean"), 6).as("drift"))
+    bAssign
+      .join(bCodes, bAssign("vid") === bCodes("vec_id"))
+      .crossJoin(broadcast(drift))
+      .select(col("vid").as("vec_id"), col("cid"), col("d2c"),
+        col("code_sum"), col("drift"))
+  }
+
   /** Exact re-rank refine — the recall-restoring final hop every
     * production ANN serves (FAISS IndexRefine): take the top-R
     * candidate set from ANY index (R·|queries| rows — candidate-

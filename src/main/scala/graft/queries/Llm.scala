@@ -1265,6 +1265,86 @@ object Llm {
             |       FROM sdf)
             |SELECT qid, rn, vid, simr FROM rr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin))
 
+  // INCREMENTAL index maintenance (CorpusOps.ivfpqIncremental): the
+  // corpus splits into a training prefix (vec_id < 400 — builds the
+  // frozen coarse centroids + Lloyd-trained residual codebook) and an
+  // ingest batch (vec_id >= 400) that is assigned into the EXISTING
+  // lists and coded with the FROZEN codebook — no re-train — plus the
+  // drift ratio (batch mean distance-to-centroid over train mean,
+  // DECIMAL-summed) that tells a pipeline when re-training is due.
+  // The oracle replays the whole thing: same Lloyd chain as
+  // l3_ann_ivfpq_residual restricted to the train split, then the
+  // batch assignment/encode against the frozen state. Codes emit as a
+  // positional checksum (flat-output contract).
+  private val l3incr = QueryDef(
+    "l3_ann_incremental",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.CorpusOps.ivfpqIncremental(
+        e.filter(col("vec_id") < 400), e.filter(col("vec_id") >= 400))
+        .orderBy("vec_id")
+    },
+    Some("""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                              CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+            cd AS (SELECT a.vec_id AS vid, c.vec_id AS cid,
+                          round(SUM((a.v - c.v) * (a.v - c.v)), 6) AS d2c
+                   FROM x a JOIN x c ON c.d = a.d AND c.vec_id < 32
+                   GROUP BY a.vec_id, c.vec_id),
+            asg AS (SELECT vid, cid, d2c FROM (
+                   SELECT vid, cid, d2c,
+                          row_number() OVER (PARTITION BY vid ORDER BY d2c, cid) AS rn
+                   FROM cd) WHERE rn = 1),
+            ta AS (SELECT * FROM asg WHERE vid < 400),
+            ba AS (SELECT * FROM asg WHERE vid >= 400),
+            res AS (SELECT a.vid AS vec_id, xa.d, xa.v - xc.v AS v
+                    FROM ta a JOIN x xa ON xa.vec_id = a.vid
+                    JOIN x xc ON xc.vec_id = a.cid AND xc.d = xa.d),
+            sv AS (SELECT vec_id, d // 8 AS sub, d % 8 AS sd, v FROM res),
+            cb0 AS (SELECT sub, vec_id AS cid, sd, v AS cv FROM sv WHERE vec_id < 16),
+            d2a AS (SELECT s.vec_id, s.sub, c.cid,
+                           round(SUM((s.v - c.cv) * (s.v - c.cv)), 6) AS d2r
+                    FROM sv s JOIN cb0 c ON c.sub = s.sub AND c.sd = s.sd
+                    GROUP BY s.vec_id, s.sub, c.cid),
+            as1 AS (SELECT vec_id, sub, cid FROM (
+                    SELECT vec_id, sub, cid,
+                           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2r, cid) AS rn
+                    FROM d2a) WHERE rn = 1),
+            cb1 AS (SELECT s.sub, a.cid, s.sd, round(AVG(s.v), 6) AS cv
+                    FROM as1 a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+                    GROUP BY s.sub, a.cid, s.sd),
+            d2b AS (SELECT s.vec_id, s.sub, c.cid,
+                           round(SUM((s.v - c.cv) * (s.v - c.cv)), 6) AS d2r
+                    FROM sv s JOIN cb1 c ON c.sub = s.sub AND c.sd = s.sd
+                    GROUP BY s.vec_id, s.sub, c.cid),
+            as2 AS (SELECT vec_id, sub, cid FROM (
+                    SELECT vec_id, sub, cid,
+                           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2r, cid) AS rn
+                    FROM d2b) WHERE rn = 1),
+            cb2 AS (SELECT s.sub, a.cid, s.sd, round(AVG(s.v), 6) AS cv
+                    FROM as2 a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+                    GROUP BY s.sub, a.cid, s.sd),
+            bres AS (SELECT a.vid AS vec_id, xa.d, xa.v - xc.v AS v
+                     FROM ba a JOIN x xa ON xa.vec_id = a.vid
+                     JOIN x xc ON xc.vec_id = a.cid AND xc.d = xa.d),
+            bsv AS (SELECT vec_id, d // 8 AS sub, d % 8 AS sd, v FROM bres),
+            bd2 AS (SELECT s.vec_id, s.sub, c.cid,
+                           round(SUM((s.v - c.cv) * (s.v - c.cv)), 6) AS d2r
+                    FROM bsv s JOIN cb2 c ON c.sub = s.sub AND c.sd = s.sd
+                    GROUP BY s.vec_id, s.sub, c.cid),
+            bcodes AS (SELECT vec_id, sub, cid AS code FROM (
+                    SELECT vec_id, sub, cid,
+                           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2r, cid) AS rn
+                    FROM bd2) WHERE rn = 1),
+            csum AS (SELECT vec_id,
+                            CAST(SUM(code * CAST(power(16, sub) AS BIGINT)) AS BIGINT) AS code_sum
+                     FROM bcodes GROUP BY vec_id),
+            dr AS (SELECT round(bm.m / tm.m, 6) AS drift FROM
+                   (SELECT CAST(SUM(CAST(d2c AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m FROM ba) bm,
+                   (SELECT CAST(SUM(CAST(d2c AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m FROM ta) tm)
+            SELECT b.vid AS vec_id, b.cid, b.d2c, c.code_sum, dr.drift
+            FROM ba b JOIN csum c ON c.vec_id = b.vid, dr
+            ORDER BY vec_id"""))
+
   // ---------------------------------------------------------------- L4
   private def stopCount(langWords: Seq[String]): String =
     s"size(filter(ws, x -> x in (${langWords.map(w => s"'$w'").mkString(", ")})))"
@@ -3314,5 +3394,5 @@ object Llm {
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
-    l4bpeBatch)
+    l4bpeBatch, l3incr)
 }

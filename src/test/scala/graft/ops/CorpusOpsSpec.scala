@@ -306,6 +306,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == Seq(("s1", "s2", 1L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
   }
 
+  test("ivfpqIncremental assignments equal a full rebuild's for the same vectors") {
+    // The incremental path's contract: given the SAME frozen centroids,
+    // assigning the batch alone must land every vector in exactly the
+    // list a full-corpus rebuild would assign it (assignment is
+    // per-vector); drift of an in-distribution batch stays near 1.
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorExprs.vec_l2sq
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val train = e.filter(col("vec_id") < 400)
+    val batch = e.filter(col("vec_id") >= 400)
+    val inc = CorpusOps.ivfpqIncremental(train, batch)(CacheScope.sessionOwned)
+      .select("vec_id", "cid", "drift").collect()
+    // full rebuild of the assignment over the WHOLE corpus, same seeds
+    val cents = train.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val full = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2c", round(vec_l2sq(col("ve"), col("ce")), 6))
+      .groupBy("vid").agg(min(struct(col("d2c"), col("cid"))).as("b"))
+      .select(col("vid"), col("b.cid").as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc.nonEmpty)
+    for (r <- inc)
+      assert(r.getLong(1) == full(r.getLong(0)),
+        s"vec ${r.getLong(0)} assigned ${r.getLong(1)} incrementally vs full ${full(r.getLong(0))}")
+    val drift = inc.head.getDouble(2)
+    assert(drift > 0.5 && drift < 2.0,
+      s"in-distribution batch should not signal re-train (drift $drift)")
+  }
+
   test("nearDupPairs finds planted near-dups and nothing else on a clean corpus") {
     val base = (0 until 40).map(i => s"w${i}a w${i}b w${i}c w${i}d w${i}e").toSeq
     val near = base.head.split(" ").dropRight(0).mkString(" ") // identical text
