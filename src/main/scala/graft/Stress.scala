@@ -84,6 +84,36 @@ object Stress {
       val skewScaled = timeSkewedSemDedup(2000 * factor)
       println(f"""{"stress":"semdedup_skew","base_n":2000,"base":$skewBase%.3f,"scaled_n":${2000 * factor},"scaled":$skewScaled%.3f,"ratio":${skewScaled / skewBase}%.1f}""")
     }
+
+    // GRAPH family: the fixture tables don't scale here (only
+    // documents/embeddings replicate), so the edge-linear claim for
+    // the GraphOps rounds gets its own synthetic corpus — a
+    // deterministic preferential-attachment-ish multigraph at E and
+    // E·factor edges. What this pins: per-iteration cost tracks the
+    // EDGE table (ratio ~ factor), and the data-derived round width
+    // (edge partition count) does not leave the 10× graph stuck at
+    // the 1× width.
+    def timePageRank(nEdges: Int): Double = {
+      val edges = graft.ops.GraphOps.undirect(
+        spark.range(nEdges.toLong).selectExpr(
+          "cast(id % 20000 as bigint) as src",
+          // hub-skewed destinations: id*2654435761 mod fans out with a
+          // bias to small ids, the shape real interaction graphs take
+          "cast((id * 2654435761) % (1 + id % 997) as bigint) as dst"))
+      val t0 = System.nanoTime()
+      graft.ops.GraphOps.pageRank(edges)(graft.ops.CacheScope.sessionOwned)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      dt
+    }
+    if (only.isEmpty || only("graph_pagerank")) {
+      timePageRank(100000) // warm-up
+      val gBase = timePageRank(100000)
+      val gScaled = timePageRank(100000 * factor)
+      println(f"""{"stress":"graph_pagerank","base_edges":100000,"base":$gBase%.3f,"scaled_edges":${100000 * factor},"scaled":$gScaled%.3f,"ratio":${gScaled / gBase}%.1f}""")
+    }
     spark.stop()
   }
 
