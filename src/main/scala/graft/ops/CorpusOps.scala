@@ -473,10 +473,11 @@ object CorpusOps {
     rs.conf.set("spark.sql.adaptive.enabled", "false")
     rs.conf.set("spark.sql.shuffle.partitions", math.max(parts, 1).toString)
     val out = body(rs)
-    // back to the caller's session: .rdd PLANS under the child conf
-    // (lazy — AQE-off plans run no jobs) and the wrapper stays lazy
-    // over that RDD, executing with the caller's terminal action
-    spark.createDataFrame(out.rdd, out.schema)
+    // back to the caller's session via the same global-temp-view
+    // crossing (the body's result is a checkpointed RDD leaf, so the
+    // view resolves to it directly — no Row conversion, and the
+    // wrapper stays lazy, executing with the caller's terminal action)
+    GraphOps.crossView(spark, out)
   }
 
   /** One propagation ROUND = a relax-and-double join plus a second
@@ -547,7 +548,11 @@ object CorpusOps {
       pairs.select(col("d1").as("a"), col("d2").as("b"))
         .union(pairs.select(col("d2").as("a"), col("d1").as("b"))), reliable)
     val converged = inRoundSession(pairs.sparkSession, e.rdd.getNumPartitions) { rs =>
-      val eR = rs.createDataFrame(e.rdd, e.schema)
+      // global-temp-view crossing (GraphOps.crossView): the rounds
+      // read the checkpoint's InternalRow leaf directly — an
+      // (rdd, schema) re-root would deserialize to Row and re-encode
+      // on every round's edge scan
+      val eR = GraphOps.crossView(rs, e)
       val init = eR.select(col("a").as("node")).distinct()
         .withColumn("lbl", col("node"))
       (1 to rounds).foldLeft(init) { (l, r) =>

@@ -30,23 +30,48 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   /** AQE-off child session planning the rounds at a width that tracks
-    * the edge table. Same SparkContext and sharedState as the caller's
-    * session, so caches, catalog, and cache clears work unchanged. */
+    * the edge table — floored at a quarter of the cluster's default
+    * parallelism. The floor matters on BOTH ends of the scale: AQE
+    * coalesces a fixture-sized edge table to 1-2 partitions (its
+    * 128 MB advisory target is tuned for scan throughput, not
+    * CPU-bound join rounds — measured: width-1 rounds serialize the
+    * per-iteration edge join onto one core), while on a large cluster
+    * the edge table's own partition count dominates the floor and the
+    * width grows with the data. Same SparkContext and sharedState as
+    * the caller's session, so caches, catalog, and cache clears work
+    * unchanged. */
   private def roundSession(spark: SparkSession, parts: Int): SparkSession = {
     val rs = spark.newSession()
     rs.conf.set("spark.sql.adaptive.enabled", "false")
-    rs.conf.set("spark.sql.shuffle.partitions", math.max(parts, 1).toString)
+    val floor = math.max(1, spark.sparkContext.defaultParallelism / 4)
+    rs.conf.set("spark.sql.shuffle.partitions", math.max(parts, floor).toString)
     rs
   }
 
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong
+
   /** Lineage-cut `df` in the caller's session and re-root it in `rs`
-    * as an RDD leaf (graph-sized rows — the row/InternalRow conversion
-    * at the seam is noise next to the rounds). */
-  private def intoSession(rs: SparkSession, df: DataFrame)
-                         (implicit scope: CacheScope): DataFrame = {
-    val ck = scope.checkpointed(df, reliable = false)
-    rs.createDataFrame(ck.rdd, ck.schema)
+    * as an RDD leaf. The crossing is a GLOBAL temp view (shared
+    * catalog): `rs.table` resolves it to the checkpoint's InternalRow
+    * leaf at analysis time, so the rounds read checkpoint blocks
+    * directly — an (rdd, schema) re-root would instead deserialize to
+    * Row and re-encode EVERY TIME a round scans the edge table
+    * (measured ~15% of q44 at sf0.1). The view is dropped immediately
+    * after analysis; the resolved plans keep the leaf. */
+  private[ops] def crossView(rs: SparkSession, ck: DataFrame): DataFrame = {
+    val name = "graft_graph_rounds_" + viewSeq.incrementAndGet()
+    ck.createOrReplaceGlobalTempView(name)
+    try {
+      val db = rs.conf.get("spark.sql.globalTempDatabase", "global_temp")
+      val out = rs.table(db + "." + name)
+      out.queryExecution.analyzed // resolve to the leaf before the drop
+      out
+    } finally rs.catalog.dropGlobalTempView(name)
   }
+
+  private def intoSession(rs: SparkSession, df: DataFrame)
+                         (implicit scope: CacheScope): DataFrame =
+    crossView(rs, scope.checkpointed(df, reliable = false))
 
   /** Shared setup for every rank variant: child session at edge-derived
     * width, edge leaf `e`, and the scope-cached per-node constants
@@ -61,8 +86,10 @@ object GraphOps {
                      (implicit scope: CacheScope): (DataFrame, DataFrame) = {
     val cols = Seq(col("src"), col("dst")) ++ weightCol.map(col)
     val eck = scope.checkpointed(edges.select(cols: _*), reliable = false)
+    // .rdd here is metadata-only: partition COUNT reads the DAG, the
+    // deserializing Row RDD itself never executes
     val rs = roundSession(edges.sparkSession, eck.rdd.getNumPartitions)
-    val e = rs.createDataFrame(eck.rdd, eck.schema)
+    val e = crossView(rs, eck)
     val deg = e.groupBy("src")
       .agg(weightCol.map(w => sum(col(w))).getOrElse(count(lit(1))).as("deg"))
       .select(col("src").as("node"), col("deg"))
@@ -204,6 +231,19 @@ object GraphOps {
                           (implicit scope: CacheScope): DataFrame = {
     val (e, nodes) = prSetup(edges, None, Some(seeds), teleport)
     prLoop(e, nodes, None, iters, damping, scale, checkpointEvery)
+  }
+
+  /** Weighted AND seeded: personalized restart mass with
+    * weight-proportional out-mass splitting — seeded trust propagation
+    * over a multigraph whose multiplicity is the weight. Semantics
+    * compose exactly as the two parents document. */
+  def personalizedPageRankWeighted(edges: DataFrame, seeds: DataFrame,
+                                   weightCol: String = "w", iters: Int = 3,
+                                   damping: Double = 0.85, teleport: Double = 0.15,
+                                   scale: Int = 9, checkpointEvery: Int = 0)
+                                  (implicit scope: CacheScope): DataFrame = {
+    val (e, nodes) = prSetup(edges, Some(weightCol), Some(seeds), teleport)
+    prLoop(e, nodes, Some(weightCol), iters, damping, scale, checkpointEvery)
   }
 
   /** Convergence-driven PageRank for pipeline (library) use: iterate

@@ -1304,8 +1304,14 @@ object Relational {
       // (graft.ops.GraphOps.pageRank — edge/degree tables scope-cached,
       // node count as ONE action-free broadcast aggregate riding the
       // iterations as a constant column); undirecting the edge list
-      // gives every node outdeg >= 1, so no dangling-mass correction
-      val pr = graft.ops.GraphOps.pageRank(graft.ops.GraphOps.undirect(ed))
+      // gives every node outdeg >= 1, so no dangling-mass correction.
+      // Both directions union WITHOUT the generic undirect()'s second
+      // distinct: src parity (even) differs from dst parity (odd), so
+      // the reversed copy cannot collide with the forward one — one
+      // fewer corpus-sized shuffle, identical edge set (the oracle's
+      // UNION dedup sees disjoint inputs)
+      val edges = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      val pr = graft.ops.GraphOps.pageRank(edges)
       // rank on the integer node id; label the 20 survivors only
       val fin = pr.select(col("node"), round(col("pr"), 6).as("pr"))
         .orderBy(desc("pr"), asc("node")).limit(20)
@@ -1362,9 +1368,16 @@ object Relational {
         .select((col("l_suppkey") * 2).as("src"),
           (col("o_custkey") * 2 + 1).as("dst"))
         .distinct()
-      val edges = graft.ops.GraphOps.undirect(ed)
-      val seeds = edges.select(col("src").as("node"))
-        .where(col("node") % 2 === 0).distinct()
+      // parity-disjoint undirection, one distinct (see q44)
+      val edges = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      // seed set = the supplier nodes — derived from lineitem DIRECTLY
+      // (every order line names a supplier with at least one edge, so
+      // the set equals "even-parity nodes of the edge list"): deriving
+      // it FROM `edges` would re-run the whole join+distinct edge
+      // build a second time at GraphOps' seed checkpoint seam —
+      // measured +3 s at sf0.1 for byte-identical output
+      val seeds = t(s, dir, "lineitem")
+        .select((col("l_suppkey") * 2).as("node")).distinct()
       val pr = graft.ops.GraphOps.personalizedPageRank(edges, seeds)
       val fin = pr.where(col("node") % 2 === 1)
         .select(col("node"), round(col("pr"), 6).as("pr"))

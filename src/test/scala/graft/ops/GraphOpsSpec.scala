@@ -173,6 +173,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got(2L) > got(3L), "the 3x-weighted destination must outrank the 1x one")
   }
 
+  test("weighted + seeded PageRank composes both semantics (hand-computed)") {
+    // seed {1}; 1 splits mass 3:1 between 2 and 3; 2 and 3 return it.
+    // Restart mass stays on the seed; out-mass splits by weight.
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = GraphOps.personalizedPageRankWeighted(edges, seeds).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+
+    def rnd(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val base = Map(1L -> 0.15, 2L -> 0.0, 3L -> 0.0)
+    var p = Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0)
+    for (_ <- 1 to 3) {
+      val sw = Map(
+        1L -> (p(2L) * 1.0 / 1.0 + p(3L) * 1.0 / 1.0),
+        2L -> p(1L) * 3.0 / 4.0,
+        3L -> p(1L) * 1.0 / 4.0)
+      p = sw.map { case (v, s) => v -> rnd(base(v) + 0.85 * s) }
+    }
+    assert(got == p, s"got $got, expected $p")
+    assert(got(2L) > got(3L), "the 3x-weighted branch must carry more seed mass")
+  }
+
   test("pageRankConverged stops early on an already-converged graph with identical ranks") {
     // A 4-clique is at its stationary distribution immediately: every
     // node holds 1/4 and round(0.15/4 + 0.85*0.25, 9) = 0.25 again, so
