@@ -7,7 +7,7 @@ import graft.queries._
 object SparkEntry {
 
   private def registries: Seq[QueryDef] =
-    Relational.all ++ StreamingBatch.all ++ Llm.all
+    Relational.all ++ Graph.all ++ StreamingBatch.all ++ Llm.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

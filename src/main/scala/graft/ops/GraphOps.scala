@@ -300,4 +300,106 @@ object GraphOps {
     val ed = edges.select(col("src"), col("dst"))
     ed.union(ed.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
+
+  /** Connected components over an UNDIRECTED edge list (src, dst) —
+    * the generic-graph face of [[CorpusOps.dupClusters]]'s min-label
+    * propagation + pointer doubling (diameter cover 2^(2·rounds−1);
+    * the default 3 rounds covers 32). Returns (node, component,
+    * component_size) where `component` is the minimum node id of the
+    * component — deterministic, so a SQL replay of the same rounds
+    * matches exactly. All the scale discipline (edge checkpoint,
+    * AQE-off rounds at edge-derived width, per-round lineage cuts,
+    * `reliable` for executor-loss tolerance) is dupClusters'. */
+  def connectedComponents(edges: DataFrame, rounds: Int = 3,
+                          reliable: Boolean = false)
+                         (implicit scope: CacheScope): DataFrame =
+    CorpusOps.dupClusters(
+      edges.select(col("src").as("d1"), col("dst").as("d2")), rounds, reliable)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"),
+        col("cluster_size").as("component_size"))
+
+  /** Multi-source BFS hop distance over a DIRECTED edge list: the
+    * minimum number of edges from any node in `sources` (distance 0)
+    * to each reachable node, explored to `maxHops` rounds. Undirect
+    * the edge list first for undirected reachability ([[undirect]]).
+    *
+    * Shape per round (the Pregel-by-join discipline of [[pageRank]]):
+    * one frontier-sized edge join + a dst-side min aggregate + a
+    * node-sized full outer merge `coalesce(least(dist, nd), dist, nd)`
+    * — distances only ever shrink, so the merge is monotone and the
+    * result after k rounds is EXACTLY min(true distance, explored
+    * prefix), independent of join order. The distance table is
+    * lineage-cut every round (it feeds the next round twice: edge
+    * join + merge). All values are exact longs — a SQL replay of the
+    * same rounds matches bit-for-bit, no rounding contract needed.
+    *
+    * Rounds run in the AQE-off child session at edge-derived width
+    * (object scaladoc). Unreached nodes are ABSENT from the result
+    * (never materialized — the output stays reachable-set-sized, not
+    * node-universe-sized). Returns (node, dist). */
+  def hopDistance(edges: DataFrame, sources: DataFrame, maxHops: Int = 4,
+                  reliable: Boolean = false)
+                 (implicit scope: CacheScope): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1 (got $maxHops)")
+    val eck = scope.checkpointed(edges.select(col("src"), col("dst")), reliable)
+    val rs = roundSession(edges.sparkSession, eck.rdd.getNumPartitions)
+    val e = crossView(rs, eck)
+    var dist = scope.checkpointed(
+      intoSession(rs, sources.select(col("node")).distinct())
+        .withColumn("dist", lit(0L)), reliable)
+    for (_ <- 1 to maxHops) {
+      val nd = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("nd"))
+        .groupBy("node").agg(min("nd").as("nd"))
+      // coalesce(least(d, nd), d, nd) is correct under BOTH null
+      // semantics of least() (skip-null and propagate-null) — the
+      // form a SQL oracle can copy verbatim on any engine
+      dist = scope.checkpointed(
+        dist.join(nd, Seq("node"), "full")
+          .select(col("node"),
+            coalesce(least(col("dist"), col("nd")), col("dist"), col("nd"))
+              .as("dist")), reliable)
+    }
+    dist
+  }
+
+  /** Exact per-node triangle counts over an UNDIRECTED graph given in
+    * canonical form (each edge ONCE, src < dst). Returns
+    * (node, triangles) for nodes in >= 1 triangle.
+    *
+    * Scale shape — degree orientation: every edge is directed from its
+    * (degree, id)-smaller endpoint to the larger, which makes the
+    * orientation acyclic with max out-degree O(√E); the wedge
+    * self-join (e1.v = e2.u) is therefore bounded by Σ outdeg² =
+    * O(E^1.5) — the optimal triangle-enumeration bound — instead of
+    * Σ deg² which a hub node makes quadratic. Each triangle is
+    * enumerated exactly ONCE (its unique (deg,id)-minimal corner emits
+    * the wedge, closed by the third oriented edge), so per-node counts
+    * are a plain explode of the three corners. A SQL oracle can
+    * instead enumerate with the a<b<c id-order join — same triangle
+    * set, same counts — while the engine keeps the skew-bounded
+    * orientation. All integers: no rounding contract. */
+  def triangles(edges: DataFrame)(implicit scope: CacheScope): DataFrame = {
+    val ed = edges.select(col("src"), col("dst"))
+    val deg = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val lower = ed.join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
+      .select(
+        when(col("ds") < col("dd") ||
+             (col("ds") === col("dd") && col("src") < col("dst")),
+          struct(col("src").as("u"), col("dst").as("v")))
+          .otherwise(struct(col("dst").as("u"), col("src").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // reused three times (two wedge sides + the closing probe)
+    val or = scope.cached(lower)
+    val wedges = or.as("e1").join(or.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val tri = wedges.join(or.as("e3"),
+      col("a") === col("e3.u") && col("c") === col("e3.v"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
 }

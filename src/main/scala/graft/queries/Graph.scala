@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph-analytics battery over the part CO-PURCHASE graph: nodes are
+  * parts, an undirected edge connects two parts that appear in the
+  * SAME order at least `MinSupport` times. The support threshold is
+  * what makes the graph analytically interesting (the raw co-purchase
+  * graph is near-complete at every scale — ~116k edges over 2k parts
+  * at sf0.01); at support >= 2 the graph fractures into real
+  * components with real structure (~3.4k edges, 61 triangles at
+  * sf0.01).
+  *
+  * Edge-build scale shape (shared by all three queries): the
+  * within-order self-join is bounded by lines-per-order² — a
+  * DATA-MODEL constant (TPC-H ~7 lines/order), so pair volume is
+  * corpus-LINEAR, not quadratic; the join keys on l_orderkey so both
+  * sides shuffle-partition together, and the `p1 < p2` predicate
+  * halves the output and canonicalizes in the same pass. The support
+  * filter is a partial-aggregatable groupBy — map-side combine eats
+  * the duplicate-pair mass before it crosses the wire.
+  *
+  * The iterative/propagation queries delegate to [[graft.ops.GraphOps]]
+  * / [[graft.ops.CorpusOps.dupClusters]] and inherit their round
+  * discipline (AQE-off child session at edge-derived width, lineage
+  * cuts between rounds). Every value in this battery is an exact
+  * integer — no rounding contract is needed anywhere.
+  */
+object Graph {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Canonical (p1 < p2) co-purchase edges with support >= 2. */
+  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+    val op = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
+    op.as("a").join(op.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("p1"), col("p2"))
+  }
+
+  /** The same edge table as a SQL CTE prefix (`pe(p1, p2)`). */
+  private val coEdgesCte =
+    """pe AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      |       FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      |       JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |       GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  // CONNECTED COMPONENTS (q48): which parts form co-purchase
+  // "product families"? GraphOps.connectedComponents = dupClusters'
+  // min-label propagation + pointer doubling (2 doublings/round,
+  // 3 rounds covers diameter 32); component id = the component's
+  // minimum part key — deterministic, so the oracle REPLAYS the same
+  // three rounds unrolled (relax-and-double via the edge∪pointer
+  // union join, then the pointer-jump self-join) and matches
+  // exactly even where a component's true diameter exceeds the cover.
+  private val q48 = QueryDef(
+    "q48_components",
+    (s, dir) => {
+      val comp = graft.ops.GraphOps.connectedComponents(
+        coEdges(s, dir).toDF("src", "dst"))
+      comp.select(col("node").as("part"), col("component"),
+          col("component_size"))
+        .orderBy("component", "part")
+    },
+    Some(s"""WITH $coEdgesCte,
+            |e AS (SELECT p1 AS a, p2 AS b FROM pe
+            |      UNION ALL SELECT p2, p1 FROM pe),
+            |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
+            |r1a AS (SELECT t.a AS node, min(lt.lbl) AS lbl
+            |        FROM (SELECT a, b FROM e
+            |              UNION ALL SELECT node, lbl FROM l0) t
+            |        JOIN l0 lt ON t.b = lt.node GROUP BY t.a),
+            |r1 AS (SELECT x.node, y.lbl FROM r1a x JOIN r1a y ON x.lbl = y.node),
+            |r2a AS (SELECT t.a AS node, min(lt.lbl) AS lbl
+            |        FROM (SELECT a, b FROM e
+            |              UNION ALL SELECT node, lbl FROM r1) t
+            |        JOIN r1 lt ON t.b = lt.node GROUP BY t.a),
+            |r2 AS (SELECT x.node, y.lbl FROM r2a x JOIN r2a y ON x.lbl = y.node),
+            |r3a AS (SELECT t.a AS node, min(lt.lbl) AS lbl
+            |        FROM (SELECT a, b FROM e
+            |              UNION ALL SELECT node, lbl FROM r2) t
+            |        JOIN r2 lt ON t.b = lt.node GROUP BY t.a),
+            |r3 AS (SELECT x.node, y.lbl FROM r3a x JOIN r3a y ON x.lbl = y.node)
+            |SELECT node AS part, lbl AS component,
+            |       count(*) OVER (PARTITION BY lbl) AS component_size
+            |FROM r3 ORDER BY component, part""".stripMargin))
+
+  // MULTI-SOURCE BFS (q49): hop distance from the 10 smallest part
+  // keys in the graph to everything reachable within 4 hops —
+  // GraphOps.hopDistance's monotone min-merge rounds over the
+  // undirected (both-directions) edge list. The oracle unrolls the
+  // same 4 rounds; the merge is spelled coalesce(least(d, nd), d, nd)
+  // in BOTH engines, which is null-correct under either least()
+  // semantic. Unreached parts are absent on both sides.
+  private val q49 = QueryDef(
+    "q49_bfs",
+    (s, dir) => {
+      val pe = coEdges(s, dir)
+      val edges = pe.union(pe.select(col("p2").as("p1"), col("p1").as("p2")))
+        .toDF("src", "dst")
+      val seeds = edges.select(col("src").as("node"))
+        .distinct().orderBy("node").limit(10)
+      val d = graft.ops.GraphOps.hopDistance(edges, seeds, maxHops = 4)
+      d.select(col("node").as("part"), col("dist")).orderBy("dist", "part")
+    },
+    Some(s"""WITH $coEdgesCte,
+            |e AS (SELECT p1 AS src, p2 AS dst FROM pe
+            |      UNION ALL SELECT p2, p1 FROM pe),
+            |d0 AS (SELECT node, 0 AS dist FROM
+            |       (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 10)),
+            |n1 AS (SELECT e.dst AS node, min(d.dist) + 1 AS nd
+            |       FROM e JOIN d0 d ON e.src = d.node GROUP BY e.dst),
+            |d1 AS (SELECT coalesce(d.node, n.node) AS node,
+            |              coalesce(least(d.dist, n.nd), d.dist, n.nd) AS dist
+            |       FROM d0 d FULL JOIN n1 n ON d.node = n.node),
+            |n2 AS (SELECT e.dst AS node, min(d.dist) + 1 AS nd
+            |       FROM e JOIN d1 d ON e.src = d.node GROUP BY e.dst),
+            |d2 AS (SELECT coalesce(d.node, n.node) AS node,
+            |              coalesce(least(d.dist, n.nd), d.dist, n.nd) AS dist
+            |       FROM d1 d FULL JOIN n2 n ON d.node = n.node),
+            |n3 AS (SELECT e.dst AS node, min(d.dist) + 1 AS nd
+            |       FROM e JOIN d2 d ON e.src = d.node GROUP BY e.dst),
+            |d3 AS (SELECT coalesce(d.node, n.node) AS node,
+            |              coalesce(least(d.dist, n.nd), d.dist, n.nd) AS dist
+            |       FROM d2 d FULL JOIN n3 n ON d.node = n.node),
+            |n4 AS (SELECT e.dst AS node, min(d.dist) + 1 AS nd
+            |       FROM e JOIN d3 d ON e.src = d.node GROUP BY e.dst),
+            |d4 AS (SELECT coalesce(d.node, n.node) AS node,
+            |              coalesce(least(d.dist, n.nd), d.dist, n.nd) AS dist
+            |       FROM d3 d FULL JOIN n4 n ON d.node = n.node)
+            |SELECT node AS part, dist FROM d4 ORDER BY dist, part""".stripMargin))
+
+  // TRIANGLE COUNTS (q50): per-part triangle participation —
+  // GraphOps.triangles' degree-oriented enumeration (acyclic
+  // orientation, out-degree O(√E), wedge join bounded by E^1.5). The
+  // oracle enumerates the SAME triangle set with the id-order a<b<c
+  // join — the canonical-form edges make that a three-way self-join —
+  // and explodes the three corners identically.
+  private val q50 = QueryDef(
+    "q50_triangles",
+    (s, dir) => {
+      val tri = graft.ops.GraphOps.triangles(
+        coEdges(s, dir).toDF("src", "dst"))
+      tri.select(col("node").as("part"), col("triangles")).orderBy("part")
+    },
+    Some(s"""WITH $coEdgesCte,
+            |tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+            |        FROM pe e1
+            |        JOIN pe e2 ON e1.p2 = e2.p1
+            |        JOIN pe e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+            |corners AS (SELECT a AS node FROM tri
+            |            UNION ALL SELECT b FROM tri
+            |            UNION ALL SELECT c FROM tri)
+            |SELECT node AS part, count(*) AS triangles
+            |FROM corners GROUP BY node ORDER BY part""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q48, q49, q50)
+}

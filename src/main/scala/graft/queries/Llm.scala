@@ -2170,6 +2170,66 @@ object Llm {
             |SELECT row_number() OVER (ORDER BY key DESC, doc_id) AS rank, doc_id, quality, key
             |FROM top ORDER BY rank""".stripMargin))
 
+  // DSIR-style IMPORTANCE WEIGHTING (Xie et al. 2023, "Data Selection
+  // for Language Models via Importance Resampling"): score every
+  // out-of-domain doc by how target-domain-like its token
+  // distribution is — per-word log-ratio of add-one-smoothed unigram
+  // probabilities between the target slice (lang = 'en') and the raw
+  // rest, doc score = mean log-ratio over its tokens, keep the top
+  // docs. (The paper hashes n-gram features into buckets; the unigram
+  // table IS that feature space un-hashed — hashing is a memory
+  // optimization the fixture vocabulary doesn't need, and the scoring
+  // algebra is identical.) Scale shape: the count table needs NO
+  // target⋈raw join — one tokenize pass with an is-target flag and
+  // conditional sums produces both sides in a single
+  // partial-aggregatable groupBy; the totals enter as ONE broadcast
+  // 1-row aggregate; scoring is the vocab-sized weight table joined
+  // back to the occurrence stream (the tf-idf shuffle class). One
+  // ln() per WORD (vocab-sized), never per occurrence. Determinism:
+  // counts exact, ln differs across engines <= 1 ulp, absorbed by
+  // round 6 on the per-doc mean (the l4_lm_score contract); ranks
+  // tie-break on doc_id.
+  private val l8importance = QueryDef(
+    "l8_importance",
+    (s, dir) => {
+      val tok = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      val wc = cached(tok.groupBy("word").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cr")))
+      val tot = broadcast(wc.agg(count(lit(1)).cast("double").as("v"),
+        sum("ct").cast("double").as("nt"), sum("cr").cast("double").as("nr")))
+      val w = wc.crossJoin(tot).select(col("word"),
+        log(((col("ct") + 1.0) / (col("nt") + col("v"))) /
+            ((col("cr") + 1.0) / (col("nr") + col("v")))).as("lw"))
+      val ds = tok.filter(col("lang") =!= "en").select("doc_id", "word")
+        .join(w, "word")
+        .groupBy("doc_id").agg(round(avg("lw"), 6).as("score"))
+      ds.orderBy(desc("score"), asc("doc_id")).limit(50)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("score"))
+        .orderBy("rank")
+    },
+    Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+            |            FROM documents),
+            |wc AS (SELECT word,
+            |              count(*) FILTER (lang = 'en') AS ct,
+            |              count(*) FILTER (lang != 'en') AS cr
+            |       FROM tok GROUP BY word),
+            |tot AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+            |               CAST(sum(ct) AS DOUBLE) AS nt,
+            |               CAST(sum(cr) AS DOUBLE) AS nr FROM wc),
+            |w AS (SELECT word,
+            |             ln(((ct + 1.0) / (nt + v)) / ((cr + 1.0) / (nr + v))) AS lw
+            |      FROM wc, tot),
+            |ds AS (SELECT t.doc_id, round(avg(w.lw), 6) AS score
+            |       FROM tok t JOIN w USING (word)
+            |       WHERE t.lang != 'en' GROUP BY t.doc_id),
+            |top AS (SELECT doc_id, score FROM ds ORDER BY score DESC, doc_id LIMIT 50)
+            |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+            |FROM top ORDER BY rank""".stripMargin))
+
   // Line-level dedup (the CCNet/RefinedWeb boilerplate pass): lines
   // whose corpus-wide document frequency exceeds 1 are stripped and
   // docs reassembled in line order (fixture text has no newlines, so
@@ -3394,5 +3454,5 @@ object Llm {
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
-    l4bpeBatch, l3incr)
+    l4bpeBatch, l3incr, l8importance)
 }

@@ -1522,11 +1522,96 @@ object Relational {
             |FROM b GROUP BY event_type, bin, lo, w
             |ORDER BY event_type, bin""".stripMargin))
 
+  // STATISTICAL AGGREGATE battery (corr / covar / variance / linear
+  // regression): the co-moment family every profiling and
+  // feature-engineering pass leans on, computed by the engines' NATIVE
+  // streaming-merge aggregates (Spark's Corr/CovSample/CentralMomentAgg
+  // and the regr_* family — single-pass, partial-aggregatable, so the
+  // 100 TB shape is one scan + a groups-sized shuffle; never a
+  // mean-subtraction second pass). Cross-engine determinism: both
+  // engines stream mathematically-equal co-moment updates whose
+  // float drift is ~1e-12 relative under reassociation; every output
+  // is rounded well above that drift but far below the data's signal
+  // (corr/r2 round 6 on |x| <= 1, slope 3, covar/intercept/stddev 2).
+  // regr_count casts to long on both sides.
+  private val q51 = QueryDef(
+    "q51_stats_agg",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covs_qp"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covp_qp"),
+          round(var_samp(col("l_quantity")), 4).as("var_q"),
+          round(stddev_pop(col("l_extendedprice")), 2).as("sd_p"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 3).as("slope_pq"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("icept_pq"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2_pq"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).cast("long").as("rn"))
+        .orderBy("flag")
+    },
+    Some("""SELECT l_returnflag AS flag, count(*) AS n,
+            |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+            |       round(covar_samp(l_quantity, l_extendedprice), 2) AS covs_qp,
+            |       round(covar_pop(l_quantity, l_extendedprice), 2) AS covp_qp,
+            |       round(var_samp(l_quantity), 4) AS var_q,
+            |       round(stddev_pop(l_extendedprice), 2) AS sd_p,
+            |       round(regr_slope(l_extendedprice, l_quantity), 3) AS slope_pq,
+            |       round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept_pq,
+            |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2_pq,
+            |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS rn
+            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // Z-ORDER clustering key (q52): the Morton interleave of
+  // (l_partkey, l_suppkey) — graft.ops.Layout.mortonKey's shift/mask
+  // ladder, pure codegen'd bit arithmetic on both engines (the oracle
+  // spells the identical ladder with decimal mask literals). The query
+  // surfaces the first 50 rows in Z-order: exactly what a
+  // Layout.clusterByMorton write lays on disk, so the oracle pins the
+  // KEY ARITHMETIC AND the induced order. Integers end-to-end;
+  // distributed shape is a TakeOrderedAndProject (partial per-partition
+  // top-50, one tiny gather), never a global sort.
+  private val q52 = QueryDef(
+    "q52_zorder",
+    (s, dir) => {
+      val z = graft.ops.Layout.mortonKey(
+        col("l_partkey") % 65536, col("l_suppkey") % 65536)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), z.as("zkey"))
+        .orderBy("zkey", "l_orderkey", "l_linenumber").limit(50)
+        .withColumn("rn", row_number().over(
+          Window.orderBy("zkey", "l_orderkey", "l_linenumber")))
+        .select(col("rn"), col("l_partkey"), col("l_suppkey"), col("zkey"))
+        .orderBy("rn")
+    },
+    Some("""WITH b AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+            |                 l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+            |          FROM lineitem),
+            |s1 AS (SELECT *, ((x | (x << 8)) & 16711935) AS xa,
+            |                 ((y | (y << 8)) & 16711935) AS ya FROM b),
+            |s2 AS (SELECT *, ((xa | (xa << 4)) & 252645135) AS xb,
+            |                 ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+            |s3 AS (SELECT *, ((xb | (xb << 2)) & 858993459) AS xc,
+            |                 ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+            |s4 AS (SELECT *, ((xc | (xc << 1)) & 1431655765) AS xs,
+            |                 ((yc | (yc << 1)) & 1431655765) AS ys FROM s3),
+            |k AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+            |             (xs | (ys << 1)) AS zkey FROM s4),
+            |top AS (SELECT * FROM k
+            |        ORDER BY zkey, l_orderkey, l_linenumber LIMIT 50)
+            |SELECT row_number() OVER (ORDER BY zkey, l_orderkey, l_linenumber) AS rn,
+            |       l_partkey, l_suppkey, zkey
+            |FROM top ORDER BY rn""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
     q10semi, q10anti, q11, q12, q13, q14, q15, q16,
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
+    q51, q52)
 }

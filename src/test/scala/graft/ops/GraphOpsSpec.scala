@@ -229,4 +229,46 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(jobs.get() < 40,
       s"convergence did not stop early: ${jobs.get()} jobs for a 1-round fixpoint")
   }
+
+  test("hopDistance: multi-source BFS matches hand-computed levels, bounded by maxHops") {
+    // two chains off two sources plus an unreachable island:
+    //   10 -> 11 -> 12 -> 13 -> 14   (source 10)
+    //   20 -> 12                     (source 20: 12 is 1 hop this way)
+    //   90 -> 91                     (unreachable from any source)
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (20L, 12L), (90L, 91L))
+      .toDF("src", "dst")
+    val sources = Seq(10L, 20L).map(Tuple1(_)).toDF("node")
+    val got = GraphOps.hopDistance(edges, sources, maxHops = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // dist(12) = 1 via 20 (not 2 via 10); 13 = 2; 14 needs 3 hops ->
+    // absent at maxHops = 2; the island never appears
+    assert(got == Map(10L -> 0L, 20L -> 0L, 11L -> 1L, 12L -> 1L, 13L -> 2L))
+    val full = GraphOps.hopDistance(edges, sources, maxHops = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(full == Map(10L -> 0L, 20L -> 0L, 11L -> 1L, 12L -> 1L, 13L -> 2L, 14L -> 3L))
+  }
+
+  test("triangles: degree-oriented enumeration counts each triangle once per corner") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant
+    // edge 4-5 (degree skew: node 4 has deg 4) and a triangle-free
+    // path 6-7-8. Canonical src < dst input form.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L), (7L, 8L)).toDF("src", "dst")
+    val got = GraphOps.triangles(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 corners must each sit in 3 triangles, pendant/path in none: $got")
+  }
+
+  test("connectedComponents labels every node with its component minimum") {
+    // components {1,2,3} (path), {10,11} (edge), island pair {20,21}
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L)).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      10L -> (10L, 2L), 11L -> (10L, 2L),
+      20L -> (20L, 2L), 21L -> (20L, 2L)))
+  }
 }
