@@ -644,6 +644,38 @@ object CorpusOps {
         round(col("n_novel").cast("double") / col("n_grams"), 6))
   }
 
+  /** Sketch-gated BOILERPLATE gram detector (heavy hitters): every
+    * word-`n`-gram hash appearing in at least `minDf` distinct docs,
+    * with its exact document frequency — the "find the repeated
+    * header/footer/license text" pass that feeds line/span dedup.
+    *
+    * Scale shape — the count-min analogue of [[bloomIncrementalDedup]]'s
+    * bloom gate: one `count_min_sketch` aggregate over the gram stream
+    * (per-partition sketches merge map-side; one ~MB sketch per
+    * partition crosses the wire, never the gram stream), folded to a
+    * scalar; then every occurrence probes the sketch ROW-LOCALLY
+    * ([[graft.functions.CmsExprs.cms_estimate]], a native codegen'd
+    * expression) and the long tail — the overwhelming mass of a real
+    * corpus — dies before the exact-count shuffle. CMS only
+    * OVER-estimates, so the gate has no false negatives, and the final
+    * exact aggregate + HAVING over the survivors returns exactly the
+    * true heavy hitters with exact counts: the sketch buys the prune,
+    * never the answer. `eps` trades sketch width for survivor count —
+    * size width ~ stream/minDf so collision inflation stays well under
+    * the threshold (the 100 TB tuning rule; the default suits
+    * fixture-to-10× streams). */
+  def heavyGrams(docs: DataFrame, minDf: Long = 2, n: Int = 8,
+                 eps: Double = 0.00003): DataFrame = {
+    import graft.functions.CmsExprs.cms_estimate
+    val h = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleExprs.shingle_sha60(col("text"), n)).as("h"))
+    val cms = h.agg(
+      expr(s"count_min_sketch(h, ${eps}d, 0.99d, 42)")).scalar()
+    h.filter(cms_estimate(cms, col("h")) >= minDf)
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+  }
+
   /** Cross-source CONTENT OVERLAP matrix: for every source pair
     * (src_a < src_b), the number of distinct word-`n`-gram hashes both
     * sources contain — the dataset-curation table that answers "which

@@ -2617,6 +2617,26 @@ object Llm {
             |SELECT doc_id, sha256(text) IN (SELECT h FROM ch) AS exact_dup
             |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin))
 
+  // Sketch-gated HEAVY-HITTER grams (CorpusOps.heavyGrams): the
+  // boilerplate detector — every 8-gram hash in >= 2 docs with its
+  // EXACT document frequency. The engine path builds Spark's own
+  // count_min_sketch over the gram stream (map-side-merged partial
+  // sketches), folds it to a scalar, and prunes the occurrence stream
+  // row-locally with the native cms_estimate probe BEFORE the exact
+  // count shuffle — no false negatives (CMS over-estimates only), so
+  // the oracle is the PLAIN exact SQL: group, count, HAVING. The
+  // sketch buys the prune, never the answer.
+  private val l8heavy = QueryDef(
+    "l8_heavy_hitters",
+    (s, dir) => {
+      graft.ops.CorpusOps.heavyGrams(t(s, dir, "documents"))
+        .orderBy(desc("df"), asc("h"))
+    },
+    Some(s"""WITH $grams8Sql
+            |SELECT h, count(*) AS df FROM h8
+            |GROUP BY h HAVING count(*) >= 2
+            |ORDER BY df DESC, h""".stripMargin))
+
   // Per-doc n-gram novelty — the dedup-aware sampling signal: the
   // fraction of a doc's distinct 8-grams first seen (min doc_id) in
   // THIS doc. One partial-agg min per hash + one hash join + one
@@ -3454,5 +3474,5 @@ object Llm {
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
-    l4bpeBatch, l3incr, l8importance)
+    l4bpeBatch, l3incr, l8importance, l8heavy)
 }

@@ -471,6 +471,8 @@ class PlanContractSpec extends AnyFunSuite {
       "l5_binary_neardup", // same adaptive banding-width count() as l2_simhash
       "l6_cluster_keeper", // builds dupClusters (the l2_dup_clusters exemption)
       "q44_pagerank", "q46_ppr", "q47_pagerank_weighted", // GraphOps lineage-cuts
+      "q48_components", "q49_bfs", // same iterative-graph seam: dupClusters
+      // rounds / hopDistance rounds lineage-cut through localCheckpoint
       // the edge table (lazy localCheckpoint) and derives the round
       // width from its partition count — materializing the edge
       // build's stages at construction, the same iterative-graph
@@ -541,5 +543,39 @@ class PlanContractSpec extends AnyFunSuite {
       val allowed = (100 + chunk - 1) / chunk
       assert(calls <= allowed, s"reader issued $calls read calls for 100 records (chunk=$chunk)")
     } finally graft.streaming.ShardLog.remove(logName)
+  }
+
+  test("l8_heavy_hitters: partial CMS aggregate; cms_estimate prunes before the exact count") {
+    // The sketch build must be map-side combined (per-partition
+    // sketches merge — one sketch per partition crosses the wire,
+    // never the gram stream), and the probe must run as a row-local
+    // Filter BEFORE the exact-count exchange: the point is that the
+    // long tail never shuffles.
+    val plan = formatted("l8_heavy_hitters")
+    assert(plan.contains("partial_count_min_sketch"),
+      s"CMS build lost map-side partial aggregation:\n$plan")
+    val filterRegion = plan.split("\n").filter(_.contains("Condition"))
+      .exists(_.contains("cms_estimate"))
+    assert(filterRegion, s"cms_estimate is not a Filter condition:\n$plan")
+  }
+
+  test("q50_triangles: wedge joins are hash joins on a reused orientation table, never a loop join") {
+    // Degree orientation only bounds the wedge join if the join is an
+    // equi hash join (e1.v = e2.u); a BroadcastNestedLoopJoin or
+    // CartesianProduct would mean the equi keys were lost. The
+    // oriented edge table feeds three join sides — it must come from
+    // ONE cached scan, not three rebuilds of the edge pipeline.
+    val plan = formatted("q50_triangles")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle enumeration lost its equi-join shape:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"orientation table is rebuilt per wedge side instead of cached:\n$plan")
+  }
+
+  test("q52_zorder: morton top-50 is a TakeOrderedAndProject, never a global sort") {
+    val plan = formatted("q52_zorder")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"z-order top-k planned as a global sort:\n$plan")
   }
 }
