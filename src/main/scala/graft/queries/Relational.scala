@@ -1606,6 +1606,122 @@ object Relational {
             |       l_partkey, l_suppkey, zkey
             |FROM top ORDER BY rn""".stripMargin))
 
+  // TPC-H COMPOSITES (q53/q54/q55): the multi-join analytics classics
+  // run end-to-end, not just their operator shapes — the judge of a
+  // 100 TB engine is a 6-table star join, and these pin the whole
+  // pipeline: selective dim filters FIRST (pushed to the scans),
+  // catalog dims broadcast, fact-fact joins shuffled on their keys,
+  // partial-agg revenue roll-ups through the battery's DECIMAL-exact
+  // dsum (bit-identical regardless of aggregation order, so ORDER BY
+  // revenue is cross-engine safe), deterministic tie-breaks on keys.
+
+  // TPC-H Q3 — shipping priority: top-10 urgent-revenue orders for one
+  // market segment still open at the cutoff date.
+  private val q53 = QueryDef(
+    "q53_tpch_q3",
+    (s, dir) => {
+      val cut = lit("1998-06-15").cast("timestamp_ntz")
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    },
+    Some("""SELECT l_orderkey,
+            |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+            |  o_orderdate, o_orderpriority
+            |FROM customer, orders, lineitem
+            |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+            |  AND l_orderkey = o_orderkey
+            |  AND o_orderdate < TIMESTAMP '1998-06-15'
+            |  AND l_shipdate > TIMESTAMP '1998-06-15'
+            |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin))
+
+  // TPC-H Q5 — local supplier volume: revenue per nation where the
+  // customer and the supplier share the nation, one region, one year.
+  private val q54 = QueryDef(
+    "q54_tpch_q5",
+    (s, dir) => {
+      val lo = lit("1997-01-01").cast("timestamp_ntz")
+      val hi = lit("1998-01-01").cast("timestamp_ntz")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      // region/nation are catalog constants — broadcast unconditionally;
+      // supplier/customer stay size-decided (they grow with the data)
+      val n = t(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val su = t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+    Some("""SELECT n_name,
+            |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            |FROM customer, orders, lineitem, supplier, nation, region
+            |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+            |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+            |  AND r_name = 'ASIA'
+            |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+            |  AND o_orderdate < TIMESTAMP '1998-01-01'
+            |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin))
+
+  // TPC-H Q10 — returned-item reporting: the top-20 customers by
+  // revenue lost to returns in one quarter, with their nation.
+  private val q55 = QueryDef(
+    "q55_tpch_q10",
+    (s, dir) => {
+      val lo = lit("1997-07-01").cast("timestamp_ntz")
+      val hi = lit("1997-10-01").cast("timestamp_ntz")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey")
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val c = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    },
+    Some("""SELECT c_custkey, c_name,
+            |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+            |  c_acctbal, n_name
+            |FROM customer, orders, lineitem, nation
+            |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+            |  AND o_orderdate >= TIMESTAMP '1997-07-01'
+            |  AND o_orderdate < TIMESTAMP '1997-10-01'
+            |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            |GROUP BY c_custkey, c_name, c_acctbal, n_name
+            |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -1613,5 +1729,5 @@ object Relational {
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q51, q52)
+    q51, q52, q53, q54, q55)
 }

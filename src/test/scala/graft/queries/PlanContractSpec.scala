@@ -578,4 +578,29 @@ class PlanContractSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"z-order top-k planned as a global sort:\n$plan")
   }
+
+  test("TPC-H composites: dim filters reach the scans, top-k partial, no loop joins") {
+    // q53: the segment filter must hit the customer scan and the date
+    // filters their fact scans (selectivity belongs at the leaves);
+    // the top-10 must be a distributed partial top-k.
+    val p53 = formatted("q53_tpch_q3")
+    assert(p53.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed to the customer scan:\n$p53")
+    assert(p53.contains("GreaterThan(l_shipdate"),
+      s"ship-date filter not pushed to the lineitem scan:\n$p53")
+    assert(p53.contains("TakeOrderedAndProject"), s"q53 top-10 is a global sort:\n$p53")
+    // q54: the 6-table star must stay equi-join shaped — the
+    // c_nationkey = s_nationkey constraint rides the supplier join as
+    // a key, never degenerates into a cartesian/loop filter.
+    val p54 = formatted("q54_tpch_q5")
+    assert(!p54.contains("CartesianProduct") && !p54.contains("BroadcastNestedLoopJoin"),
+      s"q54 lost its equi-join shape:\n$p54")
+    assert(p54.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date window not pushed to the orders scan:\n$p54")
+    // q55: returnflag on the lineitem scan, top-20 partial
+    val p55 = formatted("q55_tpch_q10")
+    assert(p55.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed to the lineitem scan:\n$p55")
+    assert(p55.contains("TakeOrderedAndProject"), s"q55 top-20 is a global sort:\n$p55")
+  }
 }
