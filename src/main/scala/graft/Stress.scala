@@ -32,7 +32,7 @@ object Stress {
     "l8_pack_sequences", "l4_classifier", "l4_vocab_oov", "l3_knn_graph", "l8_span_dedup",
     "l3_cluster_sample_kept", "l2_edit_distance", "l4_bpe_merges",
     "l4_bpe_encode", "l4_bpe_merges_batched", "l8_weighted_sample",
-    "l3_ann_incremental")
+    "l3_ann_incremental", "l8_importance", "l8_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -113,6 +113,37 @@ object Stress {
       val gBase = timePageRank(100000)
       val gScaled = timePageRank(100000 * factor)
       println(f"""{"stress":"graph_pagerank","base_edges":100000,"base":$gBase%.3f,"scaled_edges":${100000 * factor},"scaled":$gScaled%.3f,"ratio":${gScaled / gBase}%.1f}""")
+    }
+
+    // TRIANGLES under a HUB: the quadratic trap degree orientation
+    // defuses. The graph is a star (one hub wired to n/10 spokes — a
+    // naive wedge join would emit (n/10)² hub wedges) plus hash-chord
+    // edges. With orientation the hub, being the HIGHEST-degree node,
+    // emits NO wedges (all its edges point at it), so cost tracks the
+    // chord count — the measured ratio at factor× edges should stay
+    // near the edge ratio, not its square.
+    def timeTriangles(nEdges: Int): Double = {
+      val nodes = nEdges / 2L
+      val spokes = spark.range(1, nodes / 5)
+        .selectExpr("cast(0 as bigint) as src", "id as dst")
+      val chords = spark.range(nEdges.toLong)
+        .selectExpr(s"1 + (id * 6364136223) % $nodes as a",
+          s"1 + (id * 2654435761) % $nodes as b")
+        .selectExpr("least(a, b) as src", "greatest(a, b) as dst")
+        .filter("src < dst").distinct()
+      val t0 = System.nanoTime()
+      graft.ops.GraphOps.triangles(spokes.union(chords).distinct())(
+        graft.ops.CacheScope.sessionOwned)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      dt
+    }
+    if (only.isEmpty || only("graph_triangles")) {
+      timeTriangles(100000) // warm-up
+      val tBase = timeTriangles(100000)
+      val tScaled = timeTriangles(100000 * factor)
+      println(f"""{"stress":"graph_triangles","base_edges":100000,"base":$tBase%.3f,"scaled_edges":${100000 * factor},"scaled":$tScaled%.3f,"ratio":${tScaled / tBase}%.1f}""")
     }
     spark.stop()
   }

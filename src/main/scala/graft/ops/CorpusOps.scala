@@ -1380,4 +1380,52 @@ object CorpusOps {
         expr(s"""transform($vecCol, x -> CASE WHEN scale = 0.0d THEN 0
                   ELSE cast(least(127.0d, greatest(-127.0d,
                          round(cast(x as double) / scale, 0))) as int) END)"""))
+
+  /** TOP PRINCIPAL DIRECTION of an embedding corpus by distributed
+    * power iteration — the first step of "All-but-the-Top" embedding
+    * postprocessing (Mu & Viswanath 2018: subtract the mean, remove
+    * the dominant direction(s)) and of any PCA-whitening prep.
+    *
+    * Never materializes the d×d covariance: each iteration computes
+    * C·v as Σᵢ xᵢ(xᵢ·v)/n directly on the (vec_id, d, x) long layout —
+    * two corpus-sized shuffles per round (a per-vector dot join + a
+    * per-dimension weighted sum), both partial-aggregatable, nothing
+    * driver-side. d is a schema constant, so the v table is d rows —
+    * broadcast-sized at every corpus scale.
+    *
+    * Determinism contract (the PageRank discipline): the per-dim mean
+    * uses the DECIMAL-exact sum (cast(x as decimal(18,6)), exact under
+    * any aggregation order) over one IEEE division; every aggregated
+    * double (dot products, weighted sums, the norm) rounds to `scale`
+    * decimals BEFORE further use, so float reassociation drift and the
+    * ≤1-ulp cross-engine sqrt both die at the round. Sign follows the
+    * all-ones start vector. Returns (d, v) — `iters` power iterations,
+    * not a convergence guarantee (fixed rounds = replayable oracle,
+    * the q44 trade). */
+  def topPrincipalDirection(vecs: DataFrame, iters: Int = 3, scale: Int = 9)
+                           (implicit cscope: CacheScope): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val x = vecs.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("vec_id"), col("d"), col("xf").cast("double").as("x"))
+    val mean = x.groupBy("d").agg(
+      (sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double") / count(lit(1))).as("m"))
+    val xc = cscope.cached(x.join(mean, "d")
+      .select(col("vec_id"), col("d"), (col("x") - col("m")).as("x")))
+    // v0 = all-ones on the dimension table the mean already built —
+    // NO driver action (the q44 action-free-construction rule); the
+    // first iteration's normalization makes the start scale irrelevant
+    var v = mean.select(col("d"), lit(1.0).as("v"))
+    for (_ <- 1 to iters) {
+      val dots = xc.join(v, "d")
+        .groupBy("vec_id").agg(round(sum(col("x") * col("v")), scale).as("dot"))
+      val w = xc.join(dots, "vec_id")
+        .groupBy("d").agg(round(sum(col("x") * col("dot")), scale).as("w"))
+      val n2 = w.agg(round(sum(col("w") * col("w")), scale).as("n2"))
+      v = cscope.cached(w.crossJoin(broadcast(n2))
+        .select(col("d"), round(col("w") / sqrt(col("n2")), scale).as("v")))
+    }
+    v
+  }
 }

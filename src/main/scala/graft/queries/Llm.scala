@@ -886,6 +886,49 @@ object Llm {
                 list_transform(q, x -> CAST(x AS VARCHAR)), ',')), 1, 15) AS BIGINT) AS q_csum
             FROM qz ORDER BY vec_id"""))
 
+  // TOP PRINCIPAL DIRECTION by distributed power iteration
+  // (CorpusOps.topPrincipalDirection) — the first step of
+  // All-but-the-Top embedding postprocessing (Mu & Viswanath 2018):
+  // mean-center, find the dominant direction, (downstream) project it
+  // out. The covariance matrix is NEVER materialized: each of the 3
+  // rounds computes C·v = Σ xᵢ(xᵢ·v)/n as a per-vector dot join + a
+  // per-dimension weighted sum on the long (vec_id, d, x) layout —
+  // two partial-aggregatable corpus shuffles per round, v stays a
+  // d-row table. Determinism is the q44 contract: DECIMAL-exact mean,
+  // every aggregated double rounded to 9dp before reuse (drift and
+  // the 1-ulp sqrt die at the round), sign pinned by the all-ones
+  // start; the oracle unrolls the same 3 rounds.
+  private val l3pca = QueryDef(
+    "l3_pca_top",
+    (s, dir) => {
+      graft.ops.CorpusOps.topPrincipalDirection(t(s, dir, "embeddings"))
+        .select(col("d"), round(col("v"), 6).as("v"))
+        .orderBy("d")
+    },
+    Some("""WITH x AS (SELECT vec_id,
+            |            unnest(generate_series(1, len(embedding))) - 1 AS d,
+            |            CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+            |mn AS (SELECT d, CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+            |       FROM x GROUP BY d),
+            |xc AS (SELECT vec_id, x.d, x.x - mn.m AS x FROM x JOIN mn ON x.d = mn.d),
+            |v0 AS (SELECT d, 1.0 AS v FROM mn),
+            |dt1 AS (SELECT vec_id, round(SUM(x * v), 9) AS dot
+            |        FROM xc JOIN v0 USING (d) GROUP BY vec_id),
+            |w1 AS (SELECT d, round(SUM(x * dot), 9) AS w
+            |       FROM xc JOIN dt1 USING (vec_id) GROUP BY d),
+            |v1 AS (SELECT d, round(w / sqrt((SELECT round(SUM(w * w), 9) FROM w1)), 9) AS v FROM w1),
+            |dt2 AS (SELECT vec_id, round(SUM(x * v), 9) AS dot
+            |        FROM xc JOIN v1 USING (d) GROUP BY vec_id),
+            |w2 AS (SELECT d, round(SUM(x * dot), 9) AS w
+            |       FROM xc JOIN dt2 USING (vec_id) GROUP BY d),
+            |v2 AS (SELECT d, round(w / sqrt((SELECT round(SUM(w * w), 9) FROM w2)), 9) AS v FROM w2),
+            |dt3 AS (SELECT vec_id, round(SUM(x * v), 9) AS dot
+            |        FROM xc JOIN v2 USING (d) GROUP BY vec_id),
+            |w3 AS (SELECT d, round(SUM(x * dot), 9) AS w
+            |       FROM xc JOIN dt3 USING (vec_id) GROUP BY d),
+            |v3 AS (SELECT d, round(w / sqrt((SELECT round(SUM(w * w), 9) FROM w3)), 9) AS v FROM w3)
+            |SELECT d, round(v, 6) AS v FROM v3 ORDER BY d""".stripMargin))
+
   // SemDeDup-style semantic dedup: nearest-centroid clustering
   // (deterministic smallest-vec_id seed centroids, same family as
   // l3_ann_ivf), then within each cluster a vector is dropped iff a
@@ -3474,5 +3517,5 @@ object Llm {
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
-    l4bpeBatch, l3incr, l8importance, l8heavy)
+    l4bpeBatch, l3incr, l8importance, l8heavy, l3pca)
 }

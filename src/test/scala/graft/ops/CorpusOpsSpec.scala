@@ -344,4 +344,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     val pairs = CorpusOps.nearDupPairs(docs).as[(Long, Long, Double)].collect().toSeq
     assert(pairs == Seq((0L, 40L, 1.0)))
   }
+
+  test("topPrincipalDirection recovers a planted dominant direction") {
+    implicit val scope: CacheScope = CacheScope.sessionOwned
+    // 200 vectors in R^8: strong variance along the planted unit
+    // direction (dims 0 and 1, equal weight), small deterministic
+    // noise elsewhere — the top eigenvector of the sample covariance
+    // is ~the planted direction, and 3 power iterations from all-ones
+    // must land within cos >= 0.99 of it
+    val planted = Array(1.0, 1.0, 0, 0, 0, 0, 0, 0).map(_ / math.sqrt(2.0))
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val a = (i % 21) - 10.0 // strong signal in [-10, 10]
+      (i.toLong, Array.tabulate(8)(d =>
+        (a * planted(d) + 0.05 * (rnd.nextDouble() * 2 - 1)).toFloat))
+    }
+    val v = CorpusOps.topPrincipalDirection(rows.toDF("vec_id", "embedding"))
+      .orderBy("d").collect().map(_.getDouble(1))
+    val cos = v.zip(planted).map { case (a, b) => a * b }.sum /
+      math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(cos) >= 0.99, s"direction missed the planted axis: cos = $cos")
+    // unit norm (up to the per-component 9dp rounding)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-6)
+  }
 }
