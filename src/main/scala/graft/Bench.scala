@@ -38,7 +38,8 @@ object Bench {
     "q47_pagerank_weighted", "l3_ann_incremental", "l4_bpe_merges_batched",
     "q48_components", "q49_bfs", "q50_triangles", "q51_stats_agg",
     "l8_importance", "q52_zorder", "l8_heavy_hitters",
-    "q53_tpch_q3", "q54_tpch_q5", "q55_tpch_q10")
+    "q53_tpch_q3", "q54_tpch_q5", "q55_tpch_q10", "l3_pca_top",
+    "q56_sssp", "q57_kcore")
 
   /** 1-minute system load average, -1.0 where the platform can't say.
     * Recorded at both ends of the run so the record SELF-ADJUDICATES:

@@ -339,17 +339,40 @@ object GraphOps {
     * node-universe-sized). Returns (node, dist). */
   def hopDistance(edges: DataFrame, sources: DataFrame, maxHops: Int = 4,
                   reliable: Boolean = false)
-                 (implicit scope: CacheScope): DataFrame = {
-    require(maxHops >= 1, s"maxHops must be >= 1 (got $maxHops)")
-    val eck = scope.checkpointed(edges.select(col("src"), col("dst")), reliable)
+                 (implicit scope: CacheScope): DataFrame =
+    relaxLoop(edges.select(col("src"), col("dst")), sources, lit(1L),
+      maxHops, reliable)
+
+  /** WEIGHTED shortest paths (distributed Bellman-Ford): minimum
+    * total edge weight from any source to each node reachable within
+    * `rounds` relaxations — [[hopDistance]] with the step cost
+    * `weightCol` instead of 1. Weights must be NON-NEGATIVE (the
+    * min-merge is only monotone then; negative edges need the full
+    * V−1-round Bellman-Ford and a cycle check). After k rounds the
+    * result is exactly min over paths of <= k edges — the anytime
+    * semantics a bounded exploration wants; integer weights replay
+    * bit-for-bit in a SQL oracle. Same per-round shape, lineage cuts,
+    * and child-session width discipline as [[hopDistance]]. */
+  def shortestPaths(edges: DataFrame, sources: DataFrame,
+                    weightCol: String = "w", rounds: Int = 4,
+                    reliable: Boolean = false)
+                   (implicit scope: CacheScope): DataFrame =
+    relaxLoop(edges.select(col("src"), col("dst"), col(weightCol).as("_w")),
+      sources, col("_w"), rounds, reliable)
+
+  private def relaxLoop(edges: DataFrame, sources: DataFrame, step: Column,
+                        rounds: Int, reliable: Boolean)
+                       (implicit scope: CacheScope): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val eck = scope.checkpointed(edges, reliable)
     val rs = roundSession(edges.sparkSession, eck.rdd.getNumPartitions)
     val e = crossView(rs, eck)
     var dist = scope.checkpointed(
       intoSession(rs, sources.select(col("node")).distinct())
         .withColumn("dist", lit(0L)), reliable)
-    for (_ <- 1 to maxHops) {
+    for (_ <- 1 to rounds) {
       val nd = e.join(dist, e("src") === dist("node"))
-        .select(col("dst").as("node"), (col("dist") + 1).as("nd"))
+        .select(col("dst").as("node"), (col("dist") + step).as("nd"))
         .groupBy("node").agg(min("nd").as("nd"))
       // coalesce(least(d, nd), d, nd) is correct under BOTH null
       // semantics of least() (skip-null and propagate-null) — the
@@ -361,6 +384,38 @@ object GraphOps {
               .as("dist")), reliable)
     }
     dist
+  }
+
+  /** K-CORE approximation by fixed-round peeling: repeatedly drop
+    * nodes with degree < k (degree over the surviving subgraph) for
+    * `rounds` rounds; the fixpoint of this peel IS the k-core, and a
+    * fixed round count makes the query replayable (both engines run
+    * the same rounds — the q44/dupClusters trade; on most graphs the
+    * peel converges in a few rounds). Input: UNDIRECTED canonical
+    * edges (each edge once, src < dst). Returns the surviving
+    * (node, deg) table after the last peel — deg is the node's degree
+    * in the surviving subgraph, >= k wherever a further peel would
+    * change nothing. Per round: one edge-sized degree aggregate + two
+    * semi joins filtering the edge table; edge table lineage-cut per
+    * round. All integers. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 4,
+            reliable: Boolean = false)
+           (implicit scope: CacheScope): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k/rounds must be >= 1 (got $k/$rounds)")
+    val eck = scope.checkpointed(edges.select(col("src"), col("dst")), reliable)
+    val rs = roundSession(edges.sparkSession, eck.rdd.getNumPartitions)
+    var e = crossView(rs, eck)
+    def degrees(ed: DataFrame): DataFrame =
+      ed.select(col("src").as("node")).union(ed.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select("node")
+      e = scope.checkpointed(
+        e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .select("src", "dst"), reliable)
+    }
+    degrees(e).filter(col("deg") >= k)
   }
 
   /** Exact per-node triangle counts over an UNDIRECTED graph given in

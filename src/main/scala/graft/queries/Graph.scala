@@ -45,6 +45,25 @@ object Graph {
       .select(col("p1"), col("p2"))
   }
 
+  /** [[coEdges]] keeping the support count as the edge weight. */
+  private def coEdgesW(s: SparkSession, dir: String): DataFrame = {
+    val op = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
+    op.as("a").join(op.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+  }
+
+  /** The weighted edge table as a SQL CTE prefix (`pe(p1, p2, c)`). */
+  private val coEdgesWCte =
+    """pe AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS c
+      |       FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      |       JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |       GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
   /** The same edge table as a SQL CTE prefix (`pe(p1, p2)`). */
   private val coEdgesCte =
     """pe AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
@@ -162,5 +181,91 @@ object Graph {
             |SELECT node AS part, count(*) AS triangles
             |FROM corners GROUP BY node ORDER BY part""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q48, q49, q50)
+  // WEIGHTED SHORTEST PATHS (q56): Bellman-Ford relaxation rounds with
+  // the co-purchase SUPPORT as the edge cost — min total support from
+  // the seed parts within 4 relaxations (GraphOps.shortestPaths; the
+  // anytime bounded-exploration semantics). Same monotone-merge
+  // spelling as q49, step = dist + w instead of dist + 1; exact longs.
+  // The oracle MATERIALIZEs each round's distance table — each is
+  // referenced twice (relax join + merge), and inlined CTEs would
+  // re-expand the whole prefix exponentially.
+  private val q56 = QueryDef(
+    "q56_sssp",
+    (s, dir) => {
+      val pe = coEdgesW(s, dir)
+      val edges = pe.union(
+        pe.select(col("p2").as("p1"), col("p1").as("p2"), col("c")))
+        .toDF("src", "dst", "w")
+      val seeds = edges.select(col("src").as("node"))
+        .distinct().orderBy("node").limit(10)
+      val d = graft.ops.GraphOps.shortestPaths(edges, seeds, "w", rounds = 4)
+      d.select(col("node").as("part"), col("dist")).orderBy("dist", "part")
+    },
+    Some(s"""WITH $coEdgesWCte,
+            |e AS (SELECT p1 AS src, p2 AS dst, c AS w FROM pe
+            |      UNION ALL SELECT p2, p1, c FROM pe),
+            |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM
+            |       (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 10)),
+            |n1 AS (SELECT e.dst AS node, min(d.dist + e.w) AS nd
+            |       FROM e JOIN d0 d ON e.src = d.node GROUP BY e.dst),
+            |d1 AS MATERIALIZED (SELECT coalesce(d.node, n.node) AS node,
+            |              coalesce(least(d.dist, n.nd), d.dist, n.nd) AS dist
+            |       FROM d0 d FULL JOIN n1 n ON d.node = n.node),
+            |n2 AS (SELECT e.dst AS node, min(d.dist + e.w) AS nd
+            |       FROM e JOIN d1 d ON e.src = d.node GROUP BY e.dst),
+            |d2 AS MATERIALIZED (SELECT coalesce(d.node, n.node) AS node,
+            |              coalesce(least(d.dist, n.nd), d.dist, n.nd) AS dist
+            |       FROM d1 d FULL JOIN n2 n ON d.node = n.node),
+            |n3 AS (SELECT e.dst AS node, min(d.dist + e.w) AS nd
+            |       FROM e JOIN d2 d ON e.src = d.node GROUP BY e.dst),
+            |d3 AS MATERIALIZED (SELECT coalesce(d.node, n.node) AS node,
+            |              coalesce(least(d.dist, n.nd), d.dist, n.nd) AS dist
+            |       FROM d2 d FULL JOIN n3 n ON d.node = n.node),
+            |n4 AS (SELECT e.dst AS node, min(d.dist + e.w) AS nd
+            |       FROM e JOIN d3 d ON e.src = d.node GROUP BY e.dst),
+            |d4 AS (SELECT coalesce(d.node, n.node) AS node,
+            |              coalesce(least(d.dist, n.nd), d.dist, n.nd) AS dist
+            |       FROM d3 d FULL JOIN n4 n ON d.node = n.node)
+            |SELECT node AS part, dist FROM d4 ORDER BY dist, part""".stripMargin))
+
+  // K-CORE (q57): the 3-core of the co-purchase graph by 4 fixed peel
+  // rounds (GraphOps.kCore) — drop degree-<3 nodes, recompute degrees
+  // over the survivors, repeat; the fixpoint is the true 3-core and
+  // fixed rounds make it replayable. Output = surviving (node, deg).
+  // Every peel's degree table and edge filter replays identically in
+  // the oracle (MATERIALIZED for the same exponential-inline reason).
+  private val q57 = QueryDef(
+    "q57_kcore",
+    (s, dir) => {
+      val core = graft.ops.GraphOps.kCore(
+        coEdges(s, dir).toDF("src", "dst"), k = 3)
+      core.select(col("node").as("part"), col("deg")).orderBy("part")
+    },
+    Some(s"""WITH $coEdgesCte,
+            |e0 AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM pe),
+            |d1 AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+            |  (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0) GROUP BY node),
+            |e1 AS MATERIALIZED (SELECT src, dst FROM e0
+            |  WHERE src IN (SELECT node FROM d1 WHERE deg >= 3)
+            |    AND dst IN (SELECT node FROM d1 WHERE deg >= 3)),
+            |d2 AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+            |  (SELECT src AS node FROM e1 UNION ALL SELECT dst FROM e1) GROUP BY node),
+            |e2 AS MATERIALIZED (SELECT src, dst FROM e1
+            |  WHERE src IN (SELECT node FROM d2 WHERE deg >= 3)
+            |    AND dst IN (SELECT node FROM d2 WHERE deg >= 3)),
+            |d3 AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+            |  (SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2) GROUP BY node),
+            |e3 AS MATERIALIZED (SELECT src, dst FROM e2
+            |  WHERE src IN (SELECT node FROM d3 WHERE deg >= 3)
+            |    AND dst IN (SELECT node FROM d3 WHERE deg >= 3)),
+            |d4 AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+            |  (SELECT src AS node FROM e3 UNION ALL SELECT dst FROM e3) GROUP BY node),
+            |e4 AS MATERIALIZED (SELECT src, dst FROM e3
+            |  WHERE src IN (SELECT node FROM d4 WHERE deg >= 3)
+            |    AND dst IN (SELECT node FROM d4 WHERE deg >= 3)),
+            |fd AS (SELECT node, count(*) AS deg FROM
+            |  (SELECT src AS node FROM e4 UNION ALL SELECT dst FROM e4) GROUP BY node)
+            |SELECT node AS part, deg FROM fd WHERE deg >= 3 ORDER BY part""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57)
 }

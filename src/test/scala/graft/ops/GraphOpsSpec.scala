@@ -261,6 +261,36 @@ class GraphOpsSpec extends AnyFunSuite {
       s"K4 corners must each sit in 3 triangles, pendant/path in none: $got")
   }
 
+  test("shortestPaths relaxes by edge weight and honors the round bound") {
+    //   1 -(5)-> 2 -(1)-> 3      direct 1->3 costs 10, via 2 costs 6
+    //   1 -(10)-> 3
+    //   3 -(1)-> 4 -(1)-> 5      5 needs 4 relaxations via the cheap path
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, 1L), (4L, 5L, 1L))
+      .toDF("src", "dst", "w")
+    val sources = Seq(Tuple1(1L)).toDF("node")
+    val two = GraphOps.shortestPaths(edges, sources, "w", rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // after 2 rounds: 3 is reachable at min(10, 5+1) = 6; 4 at 10+1 = 11
+    // (the cheap path to 4 needs 3 edges); 5 not yet reached
+    assert(two == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 11L))
+    val four = GraphOps.shortestPaths(edges, sources, "w", rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(four == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 7L, 5L -> 8L))
+  }
+
+  test("kCore peels to the exact k-core on a hand-built graph") {
+    // K4 on {1,2,3,4} (the 3-core) + a tail 4-5-6 and a pendant 1-7:
+    // peel 1 drops 7 and 6, peel 2 drops 5, leaving exactly the K4
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (1L, 7L)).toDF("src", "dst")
+    val got = GraphOps.kCore(edges, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the max core -> empty, not an error
+    assert(GraphOps.kCore(edges, k = 4).isEmpty)
+  }
+
   test("connectedComponents labels every node with its component minimum") {
     // components {1,2,3} (path), {10,11} (edge), island pair {20,21}
     val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L)).toDF("src", "dst")
