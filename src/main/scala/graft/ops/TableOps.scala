@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lakehouse TABLE-MAINTENANCE primitives — the batch forms of MERGE /
+  * CDC-apply / slowly-changing-dimension history that keep a curated
+  * corpus or feature table current between full rebuilds. All plain
+  * declarative plans: one key-partitioned exchange each (join or
+  * window), partial-aggregation/AQE friendly, nothing driver-side —
+  * at 100 TB these are the shapes a nightly maintenance job runs.
+  */
+object TableOps {
+
+  /** MERGE (upsert) with whole-ROW semantics: where a key exists in
+    * `updates` the update row WINS ENTIRELY (including its nulls —
+    * this is row replacement, not per-column coalesce); keys only in
+    * `base` pass through; keys only in `updates` insert. Both inputs
+    * must share `base`'s schema; key columns must be non-null.
+    *
+    * Shape: ONE full-outer shuffle join on the keys — both sides
+    * partition together; with a bucketed base table the exchange on
+    * the base side disappears entirely ([[Bucketing]]). */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val cols = base.columns.toSeq
+    // string aliases (not Dataset column refs): updates commonly
+    // DERIVE from the base table, and attribute-identity resolution
+    // would make every key reference ambiguous in that self-join
+    val b = base.alias("_ub")
+    val u = updates.select(cols.map(col): _*)
+      .withColumn("_present", lit(1)).alias("_uu")
+    val cond = keys.map(k => col(s"_ub.$k") === col(s"_uu.$k")).reduce(_ && _)
+    b.join(u, cond, "full_outer")
+      .select(cols.map { c =>
+        when(col("_uu._present").isNotNull, col(s"_uu.$c"))
+          .otherwise(col(s"_ub.$c")).as(c)
+      }: _*)
+  }
+
+  /** Apply a CDC CHANGELOG to obtain final state: per key, the row
+    * with the highest `seqCol` wins; a winning row whose `opCol` is
+    * `"delete"` erases the key. `seqCol` (with `tieBreak` columns
+    * appended) must totally order each key's changes — the usual
+    * commit-LSN / kafka-offset contract.
+    *
+    * Shape: one key-partitioned window (rank by seq desc) + a filter —
+    * the rank predicate compiles to WindowGroupLimit, so each input
+    * partition forwards at most one row per key into the exchange. */
+  def cdcApply(changelog: DataFrame, keys: Seq[String], seqCol: String,
+               opCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (Seq(seqCol) ++ tieBreak).map(c => col(c).desc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    changelog.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(opCol) =!= "delete")
+      .drop("_rn")
+  }
+
+  /** Build SCD TYPE-2 history from a change stream: per key (ordered
+    * by `tsCol`, then `tieBreak`), collapse runs of the UNCHANGED
+    * `valueCol` and emit one row per run with `valid_from` /
+    * `valid_to` (null = current) — the dimension-table shape
+    * point-in-time joins consume.
+    *
+    * Shape: two window passes (lag for run starts, lead for interval
+    * ends) sharing ONE key exchange — the second window's
+    * partitioning/order prefix matches the first, so Catalyst plans a
+    * single sort. */
+  def scd2(changes: DataFrame, key: String, tsCol: String, valueCol: String,
+           tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (Seq(tsCol) ++ tieBreak).map(col)
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    val starts = changes
+      .withColumn("_prev", lag(col(valueCol), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(valueCol))
+    starts
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(key), col(valueCol), col(tsCol).as("valid_from"),
+        col("valid_to"))
+  }
+}

@@ -1722,6 +1722,99 @@ object Relational {
             |GROUP BY c_custkey, c_name, c_acctbal, n_name
             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
 
+  // LAKEHOUSE MAINTENANCE trio (q58/q59/q60) — the batch forms of
+  // MERGE, CDC-apply, and SCD2 history via graft.ops.TableOps. Each
+  // is one key-partitioned exchange (join or window); the synthetic
+  // update/changelog inputs derive deterministically from the fixture
+  // tables so both engines build identical inputs.
+
+  // MERGE/upsert (q58): whole-ROW update semantics — every 7th doc
+  // gets a revised text, plus a batch of brand-new ids; update rows
+  // win entirely, base-only rows pass through, new keys insert. ONE
+  // full-outer shuffle join on the key.
+  private val q58 = QueryDef(
+    "q58_upsert",
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+      val upd = base.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val ins = base.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new "), col("doc_id").cast("string")).as("text"),
+          lit("xx").as("lang"), lit("ins").as("source"),
+          length(concat(lit("new "), col("doc_id").cast("string"))).cast("long").as("n_chars"))
+      val merged = graft.ops.TableOps.upsert(base, upd.unionByName(ins), Seq("doc_id"))
+      merged.select(col("doc_id"), QueryDef.sha60(col("text")).as("th"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH u AS (
+            |  SELECT doc_id, text || ' v2' AS text, lang, source,
+            |         length(text || ' v2') AS n_chars
+            |  FROM documents WHERE doc_id % 7 = 0
+            |  UNION ALL
+            |  SELECT doc_id + 1000000, 'new ' || CAST(doc_id AS VARCHAR), 'xx', 'ins',
+            |         length('new ' || CAST(doc_id AS VARCHAR))
+            |  FROM documents WHERE doc_id % 97 = 0),
+            |m AS (SELECT
+            |  CASE WHEN u.doc_id IS NOT NULL THEN u.doc_id ELSE b.doc_id END AS doc_id,
+            |  CASE WHEN u.doc_id IS NOT NULL THEN u.text ELSE b.text END AS text,
+            |  CASE WHEN u.doc_id IS NOT NULL THEN u.lang ELSE b.lang END AS lang,
+            |  CASE WHEN u.doc_id IS NOT NULL THEN u.source ELSE b.source END AS source,
+            |  CASE WHEN u.doc_id IS NOT NULL THEN u.n_chars ELSE b.n_chars END AS n_chars
+            |  FROM documents b FULL JOIN u ON b.doc_id = u.doc_id)
+            |SELECT doc_id,
+            |  CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT) AS th,
+            |  lang, source, n_chars
+            |FROM m ORDER BY doc_id""".stripMargin))
+
+  // CDC changelog apply (q59): events replayed as a change stream —
+  // per user the highest-sequence change wins, every 11th event is a
+  // tombstone that erases the key if it wins. The rank-1 predicate
+  // compiles to WindowGroupLimit: each input partition forwards at
+  // most one row per key into the exchange.
+  private val q59 = QueryDef(
+    "q59_cdc_apply",
+    (s, dir) => {
+      val log = t(s, dir, "events").select(
+        col("user_id"), col("event_id").as("seq"),
+        when(col("event_id") % 11 === 0, "delete").otherwise("upsert").as("op"),
+        col("event_type"), round(col("value"), 6).as("value"))
+      graft.ops.TableOps.cdcApply(log, Seq("user_id"), "seq", "op")
+        .orderBy("user_id")
+    },
+    Some("""WITH log AS (SELECT user_id, event_id AS seq,
+            |    CASE WHEN event_id % 11 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+            |    event_type, round(value, 6) AS value
+            |  FROM events),
+            |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+            |      FROM log)
+            |SELECT user_id, seq, op, event_type, value
+            |FROM r WHERE rn = 1 AND op != 'delete' ORDER BY user_id""".stripMargin))
+
+  // SCD2 history (q60): each user's event_type change stream collapsed
+  // to type-2 intervals — runs of the unchanged value become one row
+  // with valid_from/valid_to (null = current). Two window passes (lag
+  // run-start filter, lead interval end) over ONE key exchange.
+  private val q60 = QueryDef(
+    "q60_scd2",
+    (s, dir) => {
+      graft.ops.TableOps.scd2(
+        t(s, dir, "events").select("user_id", "ts", "event_type", "event_id"),
+        key = "user_id", tsCol = "ts", valueCol = "event_type",
+        tieBreak = Seq("event_id"))
+        .orderBy("user_id", "valid_from")
+    },
+    Some("""WITH s AS (SELECT user_id, ts, event_type, event_id,
+            |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            |  FROM events),
+            |st AS (SELECT user_id, ts, event_type, event_id FROM s
+            |       WHERE prev IS NULL OR prev != event_type)
+            |SELECT user_id, event_type, ts AS valid_from,
+            |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+            |FROM st ORDER BY user_id, valid_from""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -1729,5 +1822,5 @@ object Relational {
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q51, q52, q53, q54, q55)
+    q51, q52, q53, q54, q55, q58, q59, q60)
 }

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class TableOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("upsert: update row wins entirely (including nulls), inserts and pass-throughs keep") {
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "s", "n")
+    val updates = Seq((2L, null.asInstanceOf[String], 99), (4L, "d", 40)).toDF("k", "s", "n")
+    val got = TableOps.upsert(base, updates, Seq("k"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2))).toSet
+    // whole-row semantics: key 2's null s REPLACES "b" (row replacement,
+    // not per-column coalesce)
+    assert(got == Set((1L, Some("a"), 10), (2L, None, 99), (3L, Some("c"), 30),
+      (4L, Some("d"), 40)))
+  }
+
+  test("upsert works when updates derive from the base table (self-join lineage)") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val updates = base.filter(col("k") === 2).withColumn("s", lit("b2"))
+    val got = TableOps.upsert(base, updates, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b2")))
+  }
+
+  test("cdcApply: highest sequence wins; a winning tombstone erases the key") {
+    val log = Seq(
+      (1L, 1L, "upsert", "x"), (1L, 3L, "upsert", "y"), (1L, 2L, "delete", ""),
+      (2L, 1L, "upsert", "a"), (2L, 2L, "delete", ""),
+      (3L, 5L, "upsert", "z")).toDF("k", "seq", "op", "v")
+    val got = TableOps.cdcApply(log, Seq("k"), "seq", "op")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // key 1: seq 3 upsert outranks the earlier delete; key 2: delete wins -> gone
+    assert(got == Set((1L, "y"), (3L, "z")))
+  }
+
+  test("scd2 collapses unchanged runs into intervals with an open current row") {
+    val ch = Seq(
+      (1L, 10L, "A", 1L), (1L, 20L, "A", 2L), (1L, 30L, "B", 3L), (1L, 40L, "A", 4L),
+      (2L, 10L, "C", 5L)).toDF("k", "ts", "v", "id")
+    val got = TableOps.scd2(ch, "k", "ts", "v", tieBreak = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // run A[10,30) -> B[30,40) -> A[40,current); the ts=20 no-change row vanishes
+    assert(got == Set((1L, "A", 10L, 30L), (1L, "B", 30L, 40L), (1L, "A", 40L, -1L),
+      (2L, "C", 10L, -1L)))
+  }
+}

@@ -579,6 +579,19 @@ class PlanContractSpec extends AnyFunSuite {
       s"z-order top-k planned as a global sort:\n$plan")
   }
 
+  test("q59/q60: CDC rank-1 pushes as WindowGroupLimit; SCD2 windows share one exchange") {
+    // cdcApply's rank = 1 must group-limit (each input partition
+    // forwards at most one row per key into the exchange); scd2's two
+    // window passes share the key exchange (one hash exchange + the
+    // output range sort only).
+    val p59 = formatted("q59_cdc_apply")
+    assert(p59.contains("WindowGroupLimit"),
+      s"cdc latest-wins rank not pushed as a group limit:\n$p59")
+    val p60 = formatted("q60_scd2")
+    assert(countNodes(p60, "Exchange") == 2,
+      s"scd2 windows stopped sharing the key exchange:\n$p60")
+  }
+
   test("TPC-H composites: dim filters reach the scans, top-k partial, no loop joins") {
     // q53: the segment filter must hit the customer scan and the date
     // filters their fact scans (selectivity belongs at the leaves);
