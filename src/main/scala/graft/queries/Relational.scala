@@ -1815,6 +1815,51 @@ object Relational {
             |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
             |FROM st ORDER BY user_id, valid_from""".stripMargin))
 
+  // TIME-SERIES RESAMPLE + FORWARD FILL (q61): the gap-filling shape
+  // every metrics/feature pipeline needs — per-user DAILY grid over
+  // the global envelope, observed days carry the day's mean value,
+  // missing days forward-fill from the last observation (leading gaps
+  // stay null), `filled` marks imputed rows. Scale shape: the grid is
+  // users × days (generated row-locally from a broadcast 1-row
+  // envelope — no join against a calendar table), the fill is ONE
+  // key-partitioned window with last(ignoreNulls) over a running
+  // frame; per-day means are DECIMAL-exact sums over one IEEE
+  // division, so values match the oracle bit-for-bit before the
+  // round(6).
+  private val q61 = QueryDef(
+    "q61_resample",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val obs = e.groupBy(col("user_id"),
+          to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(round(dsum(col("value")) / count(lit(1)), 6).as("v"))
+      val mm = obs.agg(min("day").as("lo"), max("day").as("hi"))
+      val grid = e.select("user_id").distinct()
+        .crossJoin(broadcast(mm))
+        .select(col("user_id"),
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("v"), ignoreNulls = true).over(w).as("v"),
+          col("v").isNull.as("filled"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH obs AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+            |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS v
+            |  FROM events GROUP BY 1, 2),
+            |mm AS (SELECT min(day) AS lo, max(day) AS hi FROM obs),
+            |grid AS (SELECT u.user_id, unnest(generate_series(mm.lo, mm.hi, INTERVAL 1 DAY)) AS day
+            |         FROM (SELECT DISTINCT user_id FROM events) u, mm),
+            |j AS (SELECT g.user_id, CAST(g.day AS DATE) AS day, o.v FROM grid g
+            |      LEFT JOIN obs o ON g.user_id = o.user_id AND CAST(g.day AS DATE) = o.day)
+            |SELECT user_id, day,
+            |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+            |  v IS NULL AS filled
+            |FROM j ORDER BY user_id, day""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -1822,5 +1867,5 @@ object Relational {
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q51, q52, q53, q54, q55, q58, q59, q60)
+    q51, q52, q53, q54, q55, q58, q59, q60, q61)
 }
