@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   * (BMP — BITMAPFILEHEADER + BITMAPINFOHEADER per the Windows spec)
   * and one audio format (WAV — RIFF chunk walk, fmt/data chunks), so
   * image and audio metadata is decoded from actual bytes with no
-  * native libraries. Formats needing a heavy codec (JPEG, MP3, video
+  * native libraries — and a REAL pixel-level nearest-neighbor BMP
+  * resize ([[resizeBmp]]/[[resizeMedia]]: the actual pixel array is
+  * resampled, spec-pinned against hand-placed pixel colors). Formats
+  * needing a heavy codec (JPEG, MP3, video
   * frame extraction) remain STUBBED behind the `grft` fake header —
   * this container ships no media libraries — and swapping the stub for
   * javacv/ImageIO changes one function. The Spark-side plumbing
@@ -172,4 +175,59 @@ object Multimodal {
       .withColumn("out_w", ceil(col("width") * col("scale")).cast("int"))
       .withColumn("out_h", ceil(col("height") * col("scale")).cast("int"))
       .select("media_id", "width", "height", "out_w", "out_h", "scale")
+
+  /** REAL nearest-neighbor resize of a 24-bpp BMP payload: reads the
+    * actual pixel array (row stride padded to 4, bottom-up or top-down
+    * alike — the mapping is symmetric), emits a spec-valid BMP at the
+    * target dimensions. Integer source mapping sx = x·w/outW — exact,
+    * deterministic, no float. */
+  def resizeBmp(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    require(outW >= 1 && outH >= 1, s"target dims must be >= 1 (got $outW x $outH)")
+    val (w, h, _) = MediaCodec.decodeBmp(payload)
+    val inStride = ((3 * w + 3) / 4) * 4
+    val outStride = ((3 * outW + 3) / 4) * 4
+    val out = MediaCodec.encodeBmp(outW, outH)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * h / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * w / outW).toInt
+        System.arraycopy(payload, 54 + sy * inStride + 3 * sx,
+          out, 54 + y * outStride + 3 * x, 3)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Pixel-level media resize over the binary column: BMP payloads are
+    * ACTUALLY resampled (nearest-neighbor, longest side capped at
+    * `maxSide`, aspect preserved, never upscaled); other formats pass
+    * through unchanged (a real deployment drops its JPEG/video kernel
+    * into this same per-partition seam). Output schema = input with
+    * payload/fmt preserved — partition-preserving mapPartitions, one
+    * codec dispatch per row, no row buffering. */
+  def resizeMedia(media: DataFrame, maxSide: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "fmt", "payload")
+      .as[(Long, String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, fmt, payload) =>
+          val resized =
+            if (fmt != "bmp") payload
+            else {
+              val (w, h, _) = MediaCodec.decodeBmp(payload)
+              val side = math.max(w, h)
+              if (side <= maxSide) payload
+              else resizeBmp(payload,
+                math.max(1, (w.toLong * maxSide / side).toInt),
+                math.max(1, (h.toLong * maxSide / side).toInt))
+            }
+          (id, kind, fmt, resized)
+        }
+      }.toDF("media_id", "kind", "fmt", "payload")
+  }
 }

@@ -103,4 +103,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1).n_bytes == 44 + 50 * 2)
     assert(got(2).width == 320 && got(2).height == 240 && got(2).n_frames == 5)
   }
+
+  test("resizeBmp resamples REAL pixels nearest-neighbor, not just the header") {
+    // 4x2 source with a distinct color per pixel: pixel (x, y) holds
+    // (B, G, R) = (10x, 10y, 77). Downscale to 2x1: nearest mapping
+    // sx = x*4/2 picks source pixels (0,0) and (2,0).
+    val src = MediaCodec.encodeBmp(4, 2)
+    val inStride = ((3 * 4 + 3) / 4) * 4
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val off = 54 + y * inStride + 3 * x
+      src(off) = (10 * x).toByte; src(off + 1) = (10 * y).toByte; src(off + 2) = 77.toByte
+    }
+    val out = resizeBmp(src, 2, 1)
+    assert(MediaCodec.decodeBmp(out) == ((2, 1, 1)))
+    val outStride = ((3 * 2 + 3) / 4) * 4
+    def px(x: Int): (Int, Int, Int) = {
+      val off = 54 + 3 * x
+      (out(off) & 0xff, out(off + 1) & 0xff, out(off + 2) & 0xff)
+    }
+    assert(px(0) == ((0, 0, 77)), s"pixel 0 wrong: ${px(0)}")
+    assert(px(1) == ((20, 0, 77)), s"pixel 1 must come from source x=2: ${px(1)}")
+    assert(outStride == 8 && out.length == 54 + outStride * 1)
+  }
+
+  test("resizeMedia caps the longest side, preserves aspect, passes non-BMP through") {
+    val rows = Seq(
+      (0L, "image", "bmp", MediaCodec.encodeBmp(100, 40)), // downscale 100 -> 10
+      (1L, "image", "bmp", MediaCodec.encodeBmp(8, 6)),    // under the cap: untouched
+      (2L, "audio", "wav", MediaCodec.encodeWav(8000, 1, 50)))
+      .toDF("media_id", "kind", "fmt", "payload")
+    val out = resizeMedia(rows, maxSide = 10).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getAs[Array[Byte]](3))).sortBy(_._1)
+    assert(MediaCodec.decodeBmp(out(0)._3) == ((10, 4, 1)))
+    assert(MediaCodec.decodeBmp(out(1)._3) == ((8, 6, 1)), "small image must pass through")
+    assert(out(2)._3.sameElements(MediaCodec.encodeWav(8000, 1, 50)), "wav must pass through")
+  }
 }
