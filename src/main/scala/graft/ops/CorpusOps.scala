@@ -1405,24 +1405,45 @@ object CorpusOps {
   def topPrincipalDirection(vecs: DataFrame, iters: Int = 3, scale: Int = 9)
                            (implicit cscope: CacheScope): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    // vector-NATIVE layout: the corpus stays one array column; the
+    // d-row direction rides each round as a broadcast 1-row array
+    // (sort_array(collect_list(struct(d, v))) — deterministic order,
+    // action-free). Per round the corpus is touched twice ROW-LOCALLY
+    // (dot fold, per-dim contribution explode) but shuffles ONCE (the
+    // d-key per-dim aggregate, map-side combined) — half the
+    // exchanges of a d-keyed join formulation. Determinism is
+    // STRICTER than order-insensitive-to-rounding: the dot product is
+    // an in-array LEFT FOLD (a fixed summation order both engines
+    // replay bit-for-bit — DuckDB's list_reduce computes the same
+    // fold, since 0 + p1 == p1 exactly), and the per-dim / norm sums
+    // run over per-term DECIMAL(28,12) casts — exact under ANY
+    // aggregation order — so no aggregate anywhere depends on shuffle
+    // order even at the last ulp.
+    def asRow(dt: DataFrame, valCol: String): DataFrame =
+      dt.agg(expr(s"transform(sort_array(collect_list(struct(d, $valCol))), p -> p.$valCol)").as("arr"))
+    def dsum28(c: Column): Column =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 12))).cast("double")
     val x = vecs.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("d", "xf")))
-      .select(col("vec_id"), col("d"), col("xf").cast("double").as("x"))
-    val mean = x.groupBy("d").agg(
-      (sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-        .cast("double") / count(lit(1))).as("m"))
-    val xc = cscope.cached(x.join(mean, "d")
-      .select(col("vec_id"), col("d"), (col("x") - col("m")).as("x")))
+      expr("transform(embedding, e -> cast(e as double))").as("xs"))
+    val mean = x.select(col("vec_id"), posexplode(col("xs")).as(Seq("d", "xd")))
+      .groupBy("d").agg(
+        (sum(col("xd").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("m"))
+    val xc = cscope.cached(
+      x.crossJoin(broadcast(asRow(mean, "m")))
+        .select(col("vec_id"), expr("zip_with(xs, arr, (a, b) -> a - b)").as("xs")))
     // v0 = all-ones on the dimension table the mean already built —
     // NO driver action (the q44 action-free-construction rule); the
     // first iteration's normalization makes the start scale irrelevant
     var v = mean.select(col("d"), lit(1.0).as("v"))
     for (_ <- 1 to iters) {
-      val dots = xc.join(v, "d")
-        .groupBy("vec_id").agg(round(sum(col("x") * col("v")), scale).as("dot"))
-      val w = xc.join(dots, "vec_id")
-        .groupBy("d").agg(round(sum(col("x") * col("dot")), scale).as("w"))
-      val n2 = w.agg(round(sum(col("w") * col("w")), scale).as("n2"))
+      val dotted = xc.crossJoin(broadcast(asRow(v, "v")))
+        .select(col("xs"),
+          round(expr("aggregate(zip_with(xs, arr, (a, b) -> a * b), 0d, (acc, p) -> acc + p)"),
+            scale).as("dot"))
+      val w = dotted.select(posexplode(col("xs")).as(Seq("d", "xd")), col("dot"))
+        .groupBy("d").agg(round(dsum28(col("xd") * col("dot")), scale).as("w"))
+      val n2 = w.agg(round(dsum28(col("w") * col("w")), scale).as("n2"))
       v = cscope.cached(w.crossJoin(broadcast(n2))
         .select(col("d"), round(col("w") / sqrt(col("n2")), scale).as("v")))
     }

@@ -906,28 +906,47 @@ object Llm {
         .orderBy("d")
     },
     Some("""WITH x AS (SELECT vec_id,
-            |            unnest(generate_series(1, len(embedding))) - 1 AS d,
-            |            CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
-            |mn AS (SELECT d, CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
-            |       FROM x GROUP BY d),
-            |xc AS (SELECT vec_id, x.d, x.x - mn.m AS x FROM x JOIN mn ON x.d = mn.d),
-            |v0 AS (SELECT d, 1.0 AS v FROM mn),
-            |dt1 AS (SELECT vec_id, round(SUM(x * v), 9) AS dot
-            |        FROM xc JOIN v0 USING (d) GROUP BY vec_id),
-            |w1 AS (SELECT d, round(SUM(x * dot), 9) AS w
-            |       FROM xc JOIN dt1 USING (vec_id) GROUP BY d),
-            |v1 AS (SELECT d, round(w / sqrt((SELECT round(SUM(w * w), 9) FROM w1)), 9) AS v FROM w1),
-            |dt2 AS (SELECT vec_id, round(SUM(x * v), 9) AS dot
-            |        FROM xc JOIN v1 USING (d) GROUP BY vec_id),
-            |w2 AS (SELECT d, round(SUM(x * dot), 9) AS w
-            |       FROM xc JOIN dt2 USING (vec_id) GROUP BY d),
-            |v2 AS (SELECT d, round(w / sqrt((SELECT round(SUM(w * w), 9) FROM w2)), 9) AS v FROM w2),
-            |dt3 AS (SELECT vec_id, round(SUM(x * v), 9) AS dot
-            |        FROM xc JOIN v2 USING (d) GROUP BY vec_id),
-            |w3 AS (SELECT d, round(SUM(x * dot), 9) AS w
-            |       FROM xc JOIN dt3 USING (vec_id) GROUP BY d),
-            |v3 AS (SELECT d, round(w / sqrt((SELECT round(SUM(w * w), 9) FROM w3)), 9) AS v FROM w3)
-            |SELECT d, round(v, 6) AS v FROM v3 ORDER BY d""".stripMargin))
+            |            list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xs
+            |          FROM embeddings),
+            |xl AS (SELECT vec_id, unnest(generate_series(1, len(xs))) AS i, unnest(xs) AS xd FROM x),
+            |mn AS (SELECT i, CAST(SUM(CAST(xd AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+            |       FROM xl GROUP BY i),
+            |ma AS (SELECT list(m ORDER BY i) AS marr FROM mn),
+            |xc AS MATERIALIZED (SELECT vec_id,
+            |        list_transform(generate_series(1, len(xs)), i -> xs[i] - marr[i]) AS xs
+            |      FROM x, ma),
+            |v0 AS (SELECT list_transform(marr, m -> 1.0) AS varr FROM ma),
+            |dt1 AS (SELECT vec_id, xs,
+            |          round(list_reduce(list_transform(generate_series(1, len(xs)),
+            |            i -> xs[i] * varr[i]), (a, b) -> a + b), 9) AS dot
+            |        FROM xc, v0),
+            |w1 AS MATERIALIZED (SELECT i,
+            |        round(CAST(SUM(CAST(xd * dot AS DECIMAL(28,12))) AS DOUBLE), 9) AS w
+            |      FROM (SELECT unnest(generate_series(1, len(xs))) AS i, unnest(xs) AS xd, dot
+            |            FROM dt1) GROUP BY i),
+            |v1 AS (SELECT list(round(w / sqrt((SELECT round(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE), 9) FROM w1)), 9)
+            |              ORDER BY i) AS varr FROM w1),
+            |dt2 AS (SELECT vec_id, xs,
+            |          round(list_reduce(list_transform(generate_series(1, len(xs)),
+            |            i -> xs[i] * varr[i]), (a, b) -> a + b), 9) AS dot
+            |        FROM xc, v1),
+            |w2 AS MATERIALIZED (SELECT i,
+            |        round(CAST(SUM(CAST(xd * dot AS DECIMAL(28,12))) AS DOUBLE), 9) AS w
+            |      FROM (SELECT unnest(generate_series(1, len(xs))) AS i, unnest(xs) AS xd, dot
+            |            FROM dt2) GROUP BY i),
+            |v2 AS (SELECT list(round(w / sqrt((SELECT round(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE), 9) FROM w2)), 9)
+            |              ORDER BY i) AS varr FROM w2),
+            |dt3 AS (SELECT vec_id, xs,
+            |          round(list_reduce(list_transform(generate_series(1, len(xs)),
+            |            i -> xs[i] * varr[i]), (a, b) -> a + b), 9) AS dot
+            |        FROM xc, v2),
+            |w3 AS MATERIALIZED (SELECT i,
+            |        round(CAST(SUM(CAST(xd * dot AS DECIMAL(28,12))) AS DOUBLE), 9) AS w
+            |      FROM (SELECT unnest(generate_series(1, len(xs))) AS i, unnest(xs) AS xd, dot
+            |            FROM dt3) GROUP BY i)
+            |SELECT i - 1 AS d,
+            |       round(round(w / sqrt((SELECT round(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE), 9) FROM w3)), 9), 6) AS v
+            |FROM w3 ORDER BY d""".stripMargin))
 
   // SemDeDup-style semantic dedup: nearest-centroid clustering
   // (deterministic smallest-vec_id seed centroids, same family as
