@@ -167,6 +167,42 @@ class StreamingTckSpec extends AnyFunSuite {
     assert(got.keySet == Set("a", "b") && got.values.toSet.size == 2)
   }
 
+  test("T7b: stream enrichment with an SCD2 dimension is point-in-time correct") {
+    // The TableOps.scd2 output joined to a live stream on
+    // key + [valid_from, valid_to) — the point-in-time lookup a
+    // feature/metrics stream needs so late or replayed events pick the
+    // dimension value that was CURRENT AT EVENT TIME, not today's.
+    val logName = "t-scd2-" + System.nanoTime()
+    val log = ShardLog.getOrCreate(logName)
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // dimension history for entity "u1": status A from t=0, B from t=100
+    val dim = graft.ops.TableOps.scd2(
+      Seq(("u1", 0L, "A", 1L), ("u1", 50L, "A", 2L), ("u1", 100L, "B", 3L))
+        .toDF("ent", "cts", "status", "cid"),
+      key = "ent", tsCol = "cts", valueCol = "status", tieBreak = Seq("cid"))
+    new Producer(log, seed = 1).publish(
+      msg("early").copy(attributes = Map("ent" -> "u1"), timestamp = Some(ts(10))),
+      msg("late").copy(attributes = Map("ent" -> "u1"), timestamp = Some(ts(150))))
+    // event time arrives as a sub-second java.sql.Timestamp — recover
+    // the raw millis for the interval compare
+    val enriched = spark.readStream.format("graft-messages").option("log", logName).load()
+      .select(col("externalId"), element_at(col("attributes"), "ent").as("sent"),
+        (col("timestamp").cast("double") * 1000).cast("long").as("evt_ms"))
+      .join(dim, col("sent") === dim("ent") &&
+        col("evt_ms") >= col("valid_from") &&
+        (col("valid_to").isNull || col("evt_ms") < col("valid_to")))
+      .select("externalId", "status")
+    val q = enriched.writeStream.format("memory").queryName("t7b_out")
+      .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t7b_out").as[(String, String)].collect().toMap
+    // the t=10 event sees status A (the interval current THEN), the
+    // t=150 event sees B; the collapsed no-change row at t=50 never
+    // duplicates the early event
+    assert(got == Map("early" -> "A", "late" -> "B"), s"got $got")
+  }
+
   // ---------------------------------------------------------------- T6
   test("T6: CursorGate opens at the matching externalId and stays open") {
     val logName = "t-gate-" + System.nanoTime()
