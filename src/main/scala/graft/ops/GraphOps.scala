@@ -409,7 +409,10 @@ object GraphOps {
       ed.select(col("src").as("node")).union(ed.select(col("dst").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
     for (_ <- 1 to rounds) {
-      val keep = degrees(e).filter(col("deg") >= k).select("node")
+      // the survivor set feeds BOTH semi joins — lineage-cut it so the
+      // per-round degree aggregate runs once, not once per join side
+      val keep = scope.checkpointed(
+        degrees(e).filter(col("deg") >= k).select("node"), reliable)
       e = scope.checkpointed(
         e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
