@@ -1403,8 +1403,23 @@ object CorpusOps {
     * not a convergence guarantee (fixed rounds = replayable oracle,
     * the q44 trade). */
   def topPrincipalDirection(vecs: DataFrame, iters: Int = 3, scale: Int = 9)
-                           (implicit cscope: CacheScope): DataFrame = {
+                           (implicit cscope: CacheScope): DataFrame =
+    topPrincipalDirections(vecs, 1, iters, scale).drop("component")
+
+  /** Top-`k` principal directions by power iteration with DEFLATION:
+    * after each recovered direction the corpus is projected onto its
+    * orthogonal complement (xs := xs − (xs·v)·v, row-local) and the
+    * iteration repeats — the standard sequential eigendecomposition,
+    * each deflation one cached corpus-sized map. Returns
+    * (component ∈ 1..k, d, v) under [[topPrincipalDirection]]'s exact
+    * determinism contract. k is small by construction (the
+    * All-but-the-Top prescription removes a handful of directions);
+    * cost is k × the single-direction rounds. */
+  def topPrincipalDirections(vecs: DataFrame, k: Int, iters: Int = 3,
+                             scale: Int = 9)
+                            (implicit cscope: CacheScope): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    require(k >= 1, s"k must be >= 1 (got $k)")
     // vector-NATIVE layout: the corpus stays one array column; the
     // d-row direction rides each round as a broadcast 1-row array
     // (sort_array(collect_list(struct(d, v))) — deterministic order,
@@ -1432,21 +1447,71 @@ object CorpusOps {
     val xc = cscope.cached(
       x.crossJoin(broadcast(asRow(mean, "m")))
         .select(col("vec_id"), expr("zip_with(xs, arr, (a, b) -> a - b)").as("xs")))
-    // v0 = all-ones on the dimension table the mean already built —
-    // NO driver action (the q44 action-free-construction rule); the
-    // first iteration's normalization makes the start scale irrelevant
-    var v = mean.select(col("d"), lit(1.0).as("v"))
-    for (_ <- 1 to iters) {
-      val dotted = xc.crossJoin(broadcast(asRow(v, "v")))
-        .select(col("xs"),
-          round(expr("aggregate(zip_with(xs, arr, (a, b) -> a * b), 0d, (acc, p) -> acc + p)"),
-            scale).as("dot"))
-      val w = dotted.select(posexplode(col("xs")).as(Seq("d", "xd")), col("dot"))
-        .groupBy("d").agg(round(dsum28(col("xd") * col("dot")), scale).as("w"))
-      val n2 = w.agg(round(dsum28(col("w") * col("w")), scale).as("n2"))
-      v = cscope.cached(w.crossJoin(broadcast(n2))
-        .select(col("d"), round(col("w") / sqrt(col("n2")), scale).as("v")))
+    def powerRounds(corpus: DataFrame): DataFrame = {
+      // v0 = all-ones on the dimension table the mean already built —
+      // NO driver action (the q44 action-free-construction rule); the
+      // first iteration's normalization makes the start scale irrelevant
+      var v = mean.select(col("d"), lit(1.0).as("v"))
+      for (_ <- 1 to iters) {
+        val dotted = corpus.crossJoin(broadcast(asRow(v, "v")))
+          .select(col("xs"),
+            round(expr("aggregate(zip_with(xs, arr, (a, b) -> a * b), 0d, (acc, p) -> acc + p)"),
+              scale).as("dot"))
+        val w = dotted.select(posexplode(col("xs")).as(Seq("d", "xd")), col("dot"))
+          .groupBy("d").agg(round(dsum28(col("xd") * col("dot")), scale).as("w"))
+        val n2 = w.agg(round(dsum28(col("w") * col("w")), scale).as("n2"))
+        v = cscope.cached(w.crossJoin(broadcast(n2))
+          .select(col("d"), round(col("w") / sqrt(col("n2")), scale).as("v")))
+      }
+      v
     }
-    v
+    /** xs := xs − (xs·v)·v, row-local against the broadcast direction. */
+    def deflate(corpus: DataFrame, v: DataFrame): DataFrame =
+      cscope.cached(corpus.crossJoin(broadcast(asRow(v, "v")))
+        .withColumn("dot",
+          round(expr("aggregate(zip_with(xs, arr, (a, b) -> a * b), 0d, (acc, p) -> acc + p)"),
+            scale))
+        .select(col("vec_id"),
+          expr("zip_with(xs, arr, (x, vv) -> x - dot * vv)").as("xs")))
+    var cur = xc
+    val comps = (1 to k).map { c =>
+      val v = powerRounds(cur)
+      if (c < k) cur = deflate(cur, v)
+      v.withColumn("component", lit(c))
+    }
+    comps.reduce(_ unionByName _).select(col("component"), col("d"), col("v"))
+  }
+
+  /** All-but-the-Top application (Mu & Viswanath 2018): mean-center
+    * and remove the projections onto the top-`k` principal
+    * directions — the post-processing that measurably improves
+    * embedding isotropy before similarity search. One corpus-sized
+    * row-local map per removed direction; directions come from
+    * [[topPrincipalDirections]] on the same corpus. Returns
+    * (vec_id, corrected ARRAY<double>). */
+  def removeDominantDirections(vecs: DataFrame, k: Int = 1, iters: Int = 3,
+                               scale: Int = 9)
+                              (implicit cscope: CacheScope): DataFrame = {
+    val dirs = topPrincipalDirections(vecs, k, iters, scale)
+    val x = vecs.select(col("vec_id"),
+      expr("transform(embedding, e -> cast(e as double))").as("xs"))
+    val mean = x.select(posexplode(col("xs")).as(Seq("d", "xd")))
+      .groupBy("d").agg(
+        (sum(col("xd").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("m"))
+    val meanArr = mean.agg(
+      expr("transform(sort_array(collect_list(struct(d, m))), p -> p.m)").as("arr"))
+    var cur = x.crossJoin(broadcast(meanArr))
+      .select(col("vec_id"), expr("zip_with(xs, arr, (a, b) -> a - b)").as("xs"))
+    for (c <- 1 to k) {
+      val vArr = dirs.filter(col("component") === c)
+        .agg(expr("transform(sort_array(collect_list(struct(d, v))), p -> p.v)").as("arr"))
+      cur = cur.crossJoin(broadcast(vArr))
+        .withColumn("dot",
+          round(expr("aggregate(zip_with(xs, arr, (a, b) -> a * b), 0d, (acc, p) -> acc + p)"),
+            scale))
+        .select(col("vec_id"), expr("zip_with(xs, arr, (x, vv) -> x - dot * vv)").as("xs"))
+    }
+    cur.select(col("vec_id"), col("xs").as("corrected"))
   }
 }

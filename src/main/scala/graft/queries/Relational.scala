@@ -1860,6 +1860,43 @@ object Relational {
             |  v IS NULL AS filled
             |FROM j ORDER BY user_id, day""".stripMargin))
 
+  // COHORT RETENTION (q62): the product-analytics classic — users
+  // grouped by first-activity week, retention = the share of each
+  // cohort still active N weeks later. Week index is EXPLICIT integer
+  // arithmetic (days-since-epoch-anchor div 7) rather than the
+  // engines' date_trunc('week') so no week-start convention can ever
+  // skew parity. Shapes: one distinct (user, week) projection, a
+  // per-user min, one matrix aggregate — all partial-aggregatable;
+  // the matrix is weeks²-sized however large the event log. The rate
+  // divides two exact counts (one IEEE division, round 6).
+  private val q62 = QueryDef(
+    "q62_retention",
+    (s, dir) => {
+      val act = t(s, dir, "events")
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7).as("wk"))
+        .distinct()
+      val coh = act.groupBy("user_id").agg(min("wk").as("cw"))
+      val ret = act.join(coh, "user_id")
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("off"))
+        .agg(countDistinct("user_id").as("n"))
+      val size = ret.filter(col("off") === 0)
+        .select(col("cw"), col("n").as("cohort_size"))
+      ret.join(size, "cw")
+        .select(col("cw"), col("off"), col("n"),
+          round(col("n") / col("cohort_size"), 6).as("rate"))
+        .orderBy("cw", "off")
+    },
+    Some("""WITH act AS (SELECT DISTINCT user_id,
+            |    CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS wk
+            |  FROM events),
+            |coh AS (SELECT user_id, min(wk) AS cw FROM act GROUP BY user_id),
+            |ret AS (SELECT c.cw, a.wk - c.cw AS off, count(DISTINCT a.user_id) AS n
+            |        FROM act a JOIN coh c USING (user_id) GROUP BY 1, 2),
+            |sz AS (SELECT cw, n AS cohort_size FROM ret WHERE off = 0)
+            |SELECT r.cw, r.off, r.n, round(r.n / s.cohort_size, 6) AS rate
+            |FROM ret r JOIN sz s USING (cw) ORDER BY cw, off""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -1867,5 +1904,5 @@ object Relational {
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q51, q52, q53, q54, q55, q58, q59, q60, q61)
+    q51, q52, q53, q54, q55, q58, q59, q60, q61, q62)
 }

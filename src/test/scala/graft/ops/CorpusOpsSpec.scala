@@ -367,4 +367,48 @@ class CorpusOpsSpec extends AnyFunSuite {
     // unit norm (up to the per-component 9dp rounding)
     assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-6)
   }
+
+  test("topPrincipalDirections deflation recovers two planted orthogonal axes in variance order") {
+    implicit val scope: CacheScope = CacheScope.sessionOwned
+    val a1 = Array(1.0, 1.0, 0, 0, 0, 0, 0, 0).map(_ / math.sqrt(2.0)) // strong axis
+    val a2 = Array(0, 0, 1.0, -1.0, 0, 0, 0, 0).map(_ / math.sqrt(2.0)) // weaker, orthogonal
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 300).map { i =>
+      val s1 = (i % 21) - 10.0          // variance ~36
+      val s2 = ((i % 7) - 3.0)          // variance ~4
+      (i.toLong, Array.tabulate(8)(d =>
+        (s1 * a1(d) + s2 * a2(d) + 0.03 * (rnd.nextDouble() * 2 - 1)).toFloat))
+    }
+    val dirs = CorpusOps.topPrincipalDirections(rows.toDF("vec_id", "embedding"), k = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    def comp(c: Int): Array[Double] =
+      dirs.filter(_._1 == c).sortBy(_._2).map(_._3)
+    def cos(u: Array[Double], w: Array[Double]): Double =
+      u.zip(w).map { case (a, b) => a * b }.sum /
+        (math.sqrt(u.map(x => x * x).sum) * math.sqrt(w.map(x => x * x).sum))
+    assert(math.abs(cos(comp(1), a1)) >= 0.99, "component 1 must be the high-variance axis")
+    assert(math.abs(cos(comp(2), a2)) >= 0.99, "component 2 must be the deflated second axis")
+    assert(math.abs(cos(comp(1), comp(2))) <= 0.05, "components must be near-orthogonal")
+  }
+
+  test("removeDominantDirections kills the dominant axis variance (All-but-the-Top)") {
+    implicit val scope: CacheScope = CacheScope.sessionOwned
+    val planted = Array(1.0, 1.0, 0, 0, 0, 0, 0, 0).map(_ / math.sqrt(2.0))
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 200).map { i =>
+      val s = (i % 21) - 10.0
+      (i.toLong, Array.tabulate(8)(d =>
+        (s * planted(d) + 0.05 * (rnd.nextDouble() * 2 - 1)).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val corrected = CorpusOps.removeDominantDirections(df, k = 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    // projection of every corrected vector onto the planted axis must
+    // be noise-sized (the signal spanned [-10, 10] before)
+    val maxProj = corrected.values
+      .map(xs => math.abs(xs.zip(planted).map { case (a, b) => a * b }.sum)).max
+    assert(maxProj <= 0.2, s"dominant-axis projection survives: $maxProj")
+    // and the corrected corpus still differs row-to-row (not zeroed)
+    assert(corrected.values.map(xs => xs.map(x => x * x).sum).max > 1e-4)
+  }
 }
