@@ -33,21 +33,27 @@ object CmsExprs {
 
 /** Deserialize-once cache behind [[CmsEstimate]]: the sketch child is
   * a literal after Catalyst folds the scalar subquery, so every row of
-  * a task evaluates it to the SAME byte-array reference — an
-  * identity-keyed map turns per-row deserialization into one parse per
-  * sketch per executor. Called from both interpreted and generated
-  * code. */
+  * a task evaluates it to the SAME byte-array reference. The cache is
+  * a per-THREAD (= per running task slot) single entry keyed on that
+  * reference: a task pays one parse on its first row and identity hits
+  * afterwards, a new query's sketch simply REPLACES the slot's entry,
+  * and total retention is bounded by live task slots × one sketch —
+  * a global map keyed on per-task array instances would instead pin
+  * every task's multi-MB sketch copy (plus its key bytes) on the
+  * executor heap for the JVM lifetime. Called from both interpreted
+  * and generated code. */
 object CmsProbe {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Array[Byte], CountMinSketch]()
+  private val slot = new ThreadLocal[(Array[Byte], CountMinSketch)]
 
   def estimate(sketchBytes: Array[Byte], value: Long): Long = {
-    var cms = cache.get(sketchBytes)
-    if (cms == null) {
-      if (cache.size > 64) cache.clear() // runaway guard; re-parse is cheap
-      cms = CountMinSketch.readFrom(sketchBytes)
-      cache.putIfAbsent(sketchBytes, cms)
-    }
+    val cached = slot.get()
+    val cms =
+      if (cached != null && (cached._1 eq sketchBytes)) cached._2
+      else {
+        val parsed = CountMinSketch.readFrom(sketchBytes)
+        slot.set((sketchBytes, parsed))
+        parsed
+      }
     cms.estimateCount(java.lang.Long.valueOf(value))
   }
 }

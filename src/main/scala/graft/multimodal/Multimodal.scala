@@ -107,6 +107,11 @@ object Multimodal {
       var rate = -1; var channels = -1; var blockAlign = -1; var dataSize = -1
       while (bb.remaining() >= 8 && (rate < 0 || dataSize < 0)) {
         val id = tag(); val size = bb.getInt(); val next = bb.position() + size + (size & 1)
+        // a corrupt negative chunk size would move the cursor BACKWARDS
+        // and spin this walk forever inside an executor task (size 0
+        // still advances past the 8 header bytes) — malformed input
+        // must FAIL like every other parse error
+        require(size >= 0, s"corrupt RIFF chunk '$id' with negative size $size")
         if (id == "fmt ") {
           bb.getShort() // audio format
           channels = bb.getShort().toInt
@@ -184,16 +189,31 @@ object Multimodal {
   def resizeBmp(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
     require(outW >= 1 && outH >= 1, s"target dims must be >= 1 (got $outW x $outH)")
     val (w, h, _) = MediaCodec.decodeBmp(payload)
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // pixel resampling reads raw rows — validate the layout assumptions
+    // decode-only paths don't need: 24 bpp, pixels at the offset the
+    // file header declares (a 32-bpp or V4/V5-header file would
+    // otherwise resample at wrong offsets into garbage)
+    val bitCount = bb.getShort(28).toInt
+    require(bitCount == 24, s"resizeBmp supports 24-bpp BMPs only (got $bitCount bpp)")
+    val pixBase = bb.getInt(10)
+    require(pixBase >= 54 && pixBase < payload.length,
+      s"BMP pixel offset out of range: $pixBase")
+    // negative biHeight = TOP-DOWN row storage; emit the (bottom-up)
+    // canonical output by mirroring the source row index, so the image
+    // content is preserved either way
+    val topDown = bb.getInt(22) < 0
     val inStride = ((3 * w + 3) / 4) * 4
     val outStride = ((3 * outW + 3) / 4) * 4
     val out = MediaCodec.encodeBmp(outW, outH)
     var y = 0
     while (y < outH) {
-      val sy = (y.toLong * h / outH).toInt
+      val sy0 = (y.toLong * h / outH).toInt // bottom-up source index
+      val sy = if (topDown) h - 1 - sy0 else sy0
       var x = 0
       while (x < outW) {
         val sx = (x.toLong * w / outW).toInt
-        System.arraycopy(payload, 54 + sy * inStride + 3 * sx,
+        System.arraycopy(payload, pixBase + sy * inStride + 3 * sx,
           out, 54 + y * outStride + 3 * x, 3)
         x += 1
       }

@@ -1440,10 +1440,13 @@ object CorpusOps {
       sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 12))).cast("double")
     val x = vecs.select(col("vec_id"),
       expr("transform(embedding, e -> cast(e as double))").as("xs"))
-    val mean = x.select(col("vec_id"), posexplode(col("xs")).as(Seq("d", "xd")))
-      .groupBy("d").agg(
-        (sum(col("xd").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .cast("double") / count(lit(1))).as("m"))
+    // cached: the d-row mean seeds v0 once per COMPONENT — uncached,
+    // every powerRounds call would re-run this corpus-sized aggregate
+    val mean = cscope.cached(
+      x.select(col("vec_id"), posexplode(col("xs")).as(Seq("d", "xd")))
+        .groupBy("d").agg(
+          (sum(col("xd").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double") / count(lit(1))).as("m")))
     val xc = cscope.cached(
       x.crossJoin(broadcast(asRow(mean, "m")))
         .select(col("vec_id"), expr("zip_with(xs, arr, (a, b) -> a - b)").as("xs")))
@@ -1495,10 +1498,11 @@ object CorpusOps {
     val dirs = topPrincipalDirections(vecs, k, iters, scale)
     val x = vecs.select(col("vec_id"),
       expr("transform(embedding, e -> cast(e as double))").as("xs"))
-    val mean = x.select(posexplode(col("xs")).as(Seq("d", "xd")))
-      .groupBy("d").agg(
-        (sum(col("xd").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .cast("double") / count(lit(1))).as("m"))
+    val mean = cscope.cached(
+      x.select(posexplode(col("xs")).as(Seq("d", "xd")))
+        .groupBy("d").agg(
+          (sum(col("xd").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double") / count(lit(1))).as("m")))
     val meanArr = mean.agg(
       expr("transform(sort_array(collect_list(struct(d, m))), p -> p.m)").as("arr"))
     var cur = x.crossJoin(broadcast(meanArr))

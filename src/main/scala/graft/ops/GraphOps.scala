@@ -274,17 +274,30 @@ object GraphOps {
       reliable = false)
     var it = 0
     var converged = false
+    // iterates between delta checks are LAZY local checkpoints whose
+    // lineage still reads the previous checkpoint's blocks — releasing
+    // a predecessor before the chain materializes would make the next
+    // delta action fail with missing checkpoint blocks (real with
+    // checkEvery > 1). So predecessors accumulate here and release
+    // only AFTER a delta action has materialized everything up to
+    // `next`.
+    var pending = List.empty[DataFrame]
     while (it < maxIters && !converged) {
       val next = scope.checkpointed(
         prStep(e, nodes, pr, None, damping, scale), reliable = false)
       it += 1
+      pending ::= pr
       if (it % checkEvery == 0 || it == maxIters) {
-        val delta = next.as("n").join(pr.as("p"), col("n.node") === col("p.node"))
-          .agg(max(abs(col("n.pr") - col("p.pr"))).as("d"))
-          .first().getDouble(0)
-        converged = delta <= tol
+        val delta = Option(
+          next.as("n").join(pr.as("p"), col("n.node") === col("p.node"))
+            .agg(max(abs(col("n.pr") - col("p.pr"))).as("d"))
+            .first().get(0))
+        // empty graph -> empty join -> null max: trivially converged,
+        // same empty rank table pageRank returns for the same input
+        converged = delta.forall(_.asInstanceOf[Double] <= tol)
+        pending.foreach(CacheScope.unpersistPlanRdds)
+        pending = Nil
       }
-      CacheScope.unpersistPlanRdds(pr)
       pr = next
     }
     if (!converged)
@@ -438,7 +451,12 @@ object GraphOps {
     * set, same counts — while the engine keeps the skew-bounded
     * orientation. All integers: no rounding contract. */
   def triangles(edges: DataFrame)(implicit scope: CacheScope): DataFrame = {
-    val ed = edges.select(col("src"), col("dst"))
+    // the edge table feeds three scans before the cached orientation
+    // exists (both endpoints of the degree union + the orientation
+    // join) — lineage-cut it once so an expensive upstream edge build
+    // runs once, not three times
+    val ed = scope.checkpointed(edges.select(col("src"), col("dst")),
+      reliable = false)
     val deg = ed.select(col("src").as("node"))
       .union(ed.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))

@@ -34,16 +34,8 @@ object Graph {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
   /** Canonical (p1 < p2) co-purchase edges with support >= 2. */
-  private def coEdges(s: SparkSession, dir: String): DataFrame = {
-    val op = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
-    op.as("a").join(op.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2)
-      .select(col("p1"), col("p2"))
-  }
+  private def coEdges(s: SparkSession, dir: String): DataFrame =
+    coEdgesW(s, dir).select(col("p1"), col("p2"))
 
   /** [[coEdges]] keeping the support count as the edge weight. */
   private def coEdgesW(s: SparkSession, dir: String): DataFrame = {
@@ -122,7 +114,12 @@ object Graph {
   private val q49 = QueryDef(
     "q49_bfs",
     (s, dir) => {
-      val pe = coEdges(s, dir)
+      // seeds derive from the SAME pipeline as the edges — lineage-cut
+      // the pair build once so the seed checkpoint seam inside the
+      // rounds reads this leaf instead of re-running the whole
+      // co-purchase build (the q46 seed-seam lesson, +3 s at sf0.1)
+      val pe = graft.ops.CacheScope.sessionOwned
+        .checkpointed(coEdges(s, dir), reliable = false)
       val edges = pe.union(pe.select(col("p2").as("p1"), col("p1").as("p2")))
         .toDF("src", "dst")
       val seeds = edges.select(col("src").as("node"))
@@ -192,7 +189,10 @@ object Graph {
   private val q56 = QueryDef(
     "q56_sssp",
     (s, dir) => {
-      val pe = coEdgesW(s, dir)
+      // same seed-seam discipline as q49: one lineage cut feeds both
+      // the weighted edge table and the seed set
+      val pe = graft.ops.CacheScope.sessionOwned
+        .checkpointed(coEdgesW(s, dir), reliable = false)
       val edges = pe.union(
         pe.select(col("p2").as("p1"), col("p1").as("p2"), col("c")))
         .toDF("src", "dst", "w")

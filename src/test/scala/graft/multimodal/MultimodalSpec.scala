@@ -126,6 +126,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(outStride == 8 && out.length == 54 + outStride * 1)
   }
 
+  test("resizeBmp preserves image content for TOP-DOWN (negative height) BMPs") {
+    // 2x2 bottom-up reference: bottom row red-ish (R=200), top row
+    // blue-ish (B=200). The TOP-DOWN encoding of the same image stores
+    // the top row first with biHeight = -2; a 2x2 -> 2x1 downscale
+    // keeps the BOTTOM row (sy = 0) in both encodings.
+    def put(b: Array[Byte], off: Int, bgr: (Int, Int, Int)): Unit = {
+      b(off) = bgr._1.toByte; b(off + 1) = bgr._2.toByte; b(off + 2) = bgr._3.toByte
+    }
+    val stride = ((3 * 2 + 3) / 4) * 4
+    val bottomUp = MediaCodec.encodeBmp(2, 2)
+    put(bottomUp, 54, (0, 0, 200)); put(bottomUp, 54 + 3, (0, 0, 200))          // bottom row
+    put(bottomUp, 54 + stride, (200, 0, 0)); put(bottomUp, 54 + stride + 3, (200, 0, 0)) // top row
+    val topDown = MediaCodec.encodeBmp(2, 2)
+    java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -2) // declare top-down
+    put(topDown, 54, (200, 0, 0)); put(topDown, 54 + 3, (200, 0, 0))            // TOP row stored first
+    put(topDown, 54 + stride, (0, 0, 200)); put(topDown, 54 + stride + 3, (0, 0, 200))
+    val a = resizeBmp(bottomUp, 2, 1)
+    val b = resizeBmp(topDown, 2, 1)
+    assert(a.toSeq == b.toSeq, "top-down input must resize to the same image, not a mirror")
+    assert((a(54 + 2) & 0xff) == 200, "the kept row must be the image's BOTTOM (red) row")
+  }
+
+  test("resizeBmp rejects non-24-bpp payloads instead of resampling garbage") {
+    val bmp = MediaCodec.encodeBmp(4, 4)
+    java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(28, 32) // declare 32 bpp
+    val e = intercept[IllegalArgumentException](resizeBmp(bmp, 2, 2))
+    assert(e.getMessage.contains("24-bpp"))
+  }
+
+  test("decodeWav fails fast on a corrupt negative chunk size instead of spinning") {
+    val wav = MediaCodec.encodeWav(8000, 1, 10)
+    java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, -8) // corrupt the fmt chunk size
+    val e = intercept[IllegalArgumentException](MediaCodec.decodeWav(wav))
+    assert(e.getMessage.contains("negative size"))
+  }
+
   test("resizeMedia caps the longest side, preserves aspect, passes non-BMP through") {
     val rows = Seq(
       (0L, "image", "bmp", MediaCodec.encodeBmp(100, 40)), // downscale 100 -> 10

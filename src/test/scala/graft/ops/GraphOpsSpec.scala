@@ -230,6 +230,25 @@ class GraphOpsSpec extends AnyFunSuite {
       s"convergence did not stop early: ${jobs.get()} jobs for a 1-round fixpoint")
   }
 
+  test("pageRankConverged with checkEvery > 1 survives the between-check iterates") {
+    // regression: predecessors' local-checkpoint blocks were released
+    // while the NEXT iterate was still a lazy checkpoint depending on
+    // them — the following delta action crashed with missing blocks.
+    // tol = -1 can never be reached (delta >= 0), forcing the loop
+    // through all 6 iterates with checks only every 2.
+    val edges = GraphOps.undirect(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"))
+    val got = GraphOps.pageRankConverged(edges, maxIters = 6, tol = -1.0, checkEvery = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val fixed = GraphOps.pageRank(edges, iters = 6).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got == fixed, "6 checked-every-2 iterates must equal 6 fixed rounds")
+  }
+
+  test("pageRankConverged returns an empty rank table for an empty edge list") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.pageRankConverged(empty, maxIters = 3).isEmpty)
+  }
+
   test("hopDistance: multi-source BFS matches hand-computed levels, bounded by maxHops") {
     // two chains off two sources plus an unreachable island:
     //   10 -> 11 -> 12 -> 13 -> 14   (source 10)
