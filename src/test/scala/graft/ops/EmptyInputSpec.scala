@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Degenerate-input contracts: a 100 TB pipeline's stages regularly
+  * receive EMPTY slices (a filter that matched nothing, a quiet
+  * ingest window) — every operator must return its empty shape, not
+  * throw or hang. */
+class EmptyInputSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private implicit val scope: CacheScope = CacheScope.sessionOwned
+
+  private def noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+  private def noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("graph ops return empty results on an empty edge list") {
+    assert(GraphOps.pageRank(noEdges).isEmpty)
+    assert(GraphOps.triangles(noEdges).isEmpty)
+    assert(GraphOps.kCore(noEdges, k = 2).isEmpty)
+    assert(GraphOps.connectedComponents(noEdges).isEmpty)
+    assert(GraphOps.hopDistance(noEdges, Seq(Tuple1(1L)).toDF("node")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)),
+      "seeds with no edges keep their distance-0 row")
+  }
+
+  test("hopDistance with an empty source set explores nothing") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    assert(GraphOps.hopDistance(edges, Seq.empty[Tuple1[Long]].toDF("node")).isEmpty)
+  }
+
+  test("TableOps degenerate sides: empty updates pass the base; empty changelog applies to nothing") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val got = TableOps.upsert(base, Seq.empty[(Long, String)].toDF("k", "s"), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+    assert(TableOps.cdcApply(Seq.empty[(Long, Long, String)].toDF("k", "seq", "op"),
+      Seq("k"), "seq", "op").isEmpty)
+    assert(TableOps.scd2(Seq.empty[(Long, Long, String)].toDF("k", "ts", "v"),
+      "k", "ts", "v").isEmpty)
+  }
+
+  test("heavyGrams on an empty corpus returns no heavy hitters (null sketch is null-safe)") {
+    // the CMS scalar subquery over zero rows evaluates to NULL;
+    // cms_estimate must null-propagate so the gate filter drops
+    // everything instead of throwing at deserialization
+    assert(CorpusOps.heavyGrams(noDocs).isEmpty)
+  }
+
+  test("topPrincipalDirection on an empty corpus returns an empty direction table") {
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(CorpusOps.topPrincipalDirection(noVecs).isEmpty)
+  }
+}
