@@ -399,6 +399,46 @@ object GraphOps {
     dist
   }
 
+  /** LABEL PROPAGATION communities (synchronous LPA, Raghavan et al.
+    * 2007): every node starts as its own label; each round a node
+    * adopts the most frequent label among its NEIGHBORS, ties broken
+    * toward the smaller label — fully deterministic, so a SQL oracle
+    * replays the same fixed rounds (the replayability-over-convergence
+    * trade every iterative query here makes; synchronous LPA can
+    * oscillate, which fixed rounds render moot). Communities are FINER
+    * than connected components: a bridge edge between two dense
+    * clusters does not merge their labels the way min-label
+    * propagation would.
+    *
+    * Input: undirected edge list given BOTH directions (use
+    * [[undirect]]). Per round: one edge-sized join + a (node, label)
+    * count + a node-sized max_by aggregate — no sort, no window; the
+    * label table is lineage-cut per round. Returns (node, community)
+    * with community = the surviving label. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3,
+                       reliable: Boolean = false)
+                      (implicit scope: CacheScope): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val eck = scope.checkpointed(edges.select(col("src"), col("dst")), reliable)
+    val rs = roundSession(edges.sparkSession, eck.rdd.getNumPartitions)
+    val e = crossView(rs, eck)
+    var lbl = scope.checkpointed(
+      e.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")), reliable)
+    for (_ <- 1 to rounds) {
+      val counts = e.join(lbl, e("src") === lbl("node"))
+        .select(col("dst").as("node"), col("lbl"))
+        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+      // (c, -lbl) is unique per (node, lbl), so max_by is deterministic:
+      // highest count wins, ties to the SMALLER label
+      lbl = scope.checkpointed(
+        counts.groupBy("node").agg(
+          max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("t"))).as("lbl")),
+        reliable)
+    }
+    lbl.select(col("node"), col("lbl").as("community"))
+  }
+
   /** K-CORE approximation by fixed-round peeling: repeatedly drop
     * nodes with degree < k (degree over the surviving subgraph) for
     * `rounds` rounds; the fixpoint of this peel IS the k-core, and a

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -267,5 +268,48 @@ object Graph {
             |  (SELECT src AS node FROM e4 UNION ALL SELECT dst FROM e4) GROUP BY node)
             |SELECT node AS part, deg FROM fd WHERE deg >= 3 ORDER BY part""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57)
+  // LABEL-PROPAGATION COMMUNITIES (q64): synchronous LPA over the
+  // co-purchase graph — nodes adopt their neighbors' most frequent
+  // label, ties toward the smaller label (GraphOps.labelPropagation).
+  // FINER than q48's components: bridges between dense regions don't
+  // merge labels. The engine's max_by((c, -lbl)) argmax and the
+  // oracle's row_number() OVER (ORDER BY c DESC, lbl) pick the same
+  // row per node (the key is unique), so three unrolled rounds match
+  // exactly — all integers.
+  private val q64 = QueryDef(
+    "q64_lpa",
+    (s, dir) => {
+      val pe = coEdges(s, dir)
+      val edges = pe.union(pe.select(col("p2").as("p1"), col("p1").as("p2")))
+        .toDF("src", "dst")
+      val com = graft.ops.GraphOps.labelPropagation(edges)
+      com.select(col("node").as("part"), col("community"))
+        .withColumn("community_size",
+          count(lit(1)).over(Window.partitionBy(col("community"))))
+        .orderBy("community", "part")
+    },
+    Some(s"""WITH $coEdgesCte,
+            |e AS (SELECT p1 AS src, p2 AS dst FROM pe
+            |      UNION ALL SELECT p2, p1 FROM pe),
+            |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+            |c1 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+            |       FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+            |l1 AS MATERIALIZED (SELECT node, lbl FROM (
+            |  SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+            |  FROM c1) WHERE rn = 1),
+            |c2 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+            |       FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+            |l2 AS MATERIALIZED (SELECT node, lbl FROM (
+            |  SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+            |  FROM c2) WHERE rn = 1),
+            |c3 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+            |       FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+            |l3 AS (SELECT node, lbl FROM (
+            |  SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+            |  FROM c3) WHERE rn = 1)
+            |SELECT node AS part, lbl AS community,
+            |       count(*) OVER (PARTITION BY lbl) AS community_size
+            |FROM l3 ORDER BY community, part""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64)
 }

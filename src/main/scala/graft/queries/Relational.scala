@@ -1897,6 +1897,66 @@ object Relational {
             |SELECT r.cw, r.off, r.n, round(r.n / s.cohort_size, 6) AS rate
             |FROM ret r JOIN sz s USING (cw) ORDER BY cw, off""".stripMargin))
 
+  // WEIGHTED + PERSONALIZED PageRank (q63): q46's seeded restart mass
+  // COMPOSED with q47's weight-proportional out-mass splitting —
+  // seeded trust propagation over the transaction multigraph where
+  // multiplicity is the weight, the closest shape to how a curation
+  // pipeline actually propagates trust from vetted sources through
+  // weighted interactions. Closes GraphOps' last library-only variant
+  // (personalizedPageRankWeighted) behind an oracle; the same
+  // integer-node / unrolled-oracle / round(9) discipline as both
+  // parents. Output: top-20 customers by received mass.
+  private val q63 = QueryDef(
+    "q63_wppr",
+    (s, dir) => {
+      val ed = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val edges = ed.union(
+        ed.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seeds = t(s, dir, "lineitem")
+        .select((col("l_suppkey") * 2).as("node")).distinct()
+      val pr = graft.ops.GraphOps.personalizedPageRankWeighted(edges, seeds, "w")
+      pr.filter(col("node") % 2 === 1)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy(desc("pr"), asc("node")).limit(20)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(desc("pr"), asc("node"))))
+        .select(col("rnk"),
+          concat(lit("c"), expr("cast(node div 2 as string)")).as("node"),
+          col("pr"))
+        .orderBy("rnk")
+    },
+    Some("""WITH ed AS (SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst,
+            |                  count(*) AS w
+            |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |            GROUP BY 1, 2),
+            |e AS (SELECT src, dst, w FROM ed
+            |      UNION ALL SELECT dst AS src, src AS dst, w FROM ed),
+            |deg AS (SELECT src AS node, sum(w) AS deg FROM e GROUP BY src),
+            |ns AS (SELECT count(*) AS ns FROM deg WHERE node % 2 = 0),
+            |b AS (SELECT node, deg,
+            |             CASE WHEN node % 2 = 0 THEN 1.0 / (SELECT ns FROM ns) ELSE 0.0 END AS pr0,
+            |             CASE WHEN node % 2 = 0 THEN 0.15 / (SELECT ns FROM ns) ELSE 0.0 END AS bs
+            |      FROM deg),
+            |p0 AS (SELECT node, deg, bs, pr0 AS pr FROM b),
+            |p1 AS (SELECT b.node, b.deg, b.bs, round(b.bs + 0.85 * SUM(p.pr * e.w / p.deg), 9) AS pr
+            |       FROM e JOIN p0 p ON p.node = e.src JOIN b ON b.node = e.dst
+            |       GROUP BY b.node, b.deg, b.bs),
+            |p2 AS (SELECT b.node, b.deg, b.bs, round(b.bs + 0.85 * SUM(p.pr * e.w / p.deg), 9) AS pr
+            |       FROM e JOIN p1 p ON p.node = e.src JOIN b ON b.node = e.dst
+            |       GROUP BY b.node, b.deg, b.bs),
+            |p3 AS (SELECT b.node, b.deg, b.bs, round(b.bs + 0.85 * SUM(p.pr * e.w / p.deg), 9) AS pr
+            |       FROM e JOIN p2 p ON p.node = e.src JOIN b ON b.node = e.dst
+            |       GROUP BY b.node, b.deg, b.bs),
+            |fin AS (SELECT node, round(pr, 6) AS pr FROM p3 WHERE node % 2 = 1
+            |        ORDER BY pr DESC, node LIMIT 20),
+            |r AS (SELECT row_number() OVER (ORDER BY pr DESC, node) AS rnk, node, pr FROM fin)
+            |SELECT rnk, 'c' || (node // 2) AS node, pr FROM r ORDER BY rnk""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -1904,5 +1964,5 @@ object Relational {
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q51, q52, q53, q54, q55, q58, q59, q60, q61, q62)
+    q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63)
 }

@@ -310,6 +310,28 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.kCore(edges, k = 4).isEmpty)
   }
 
+  test("labelPropagation matches a local replay of the synchronous LPA rule") {
+    // two triangles joined by one bridge + a pendant — communities
+    // should be FINER than the single connected component
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L), (12L, 99L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // local synchronous replay: most frequent neighbor label, ties to
+    // the smaller label
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3)
+      lbl = adj.map { case (n, nbrs) =>
+        val freq = nbrs.groupBy(lbl).view.mapValues(_.size)
+        n -> freq.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+    assert(got == lbl, s"engine $got vs replay $lbl")
+    assert(got.values.toSet.size > 1, "bridged dense clusters must keep distinct labels")
+  }
+
   test("connectedComponents labels every node with its component minimum") {
     // components {1,2,3} (path), {10,11} (edge), island pair {20,21}
     val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L)).toDF("src", "dst")
