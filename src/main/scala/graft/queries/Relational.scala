@@ -1957,6 +1957,89 @@ object Relational {
             |r AS (SELECT row_number() OVER (ORDER BY pr DESC, node) AS rnk, node, pr FROM fin)
             |SELECT rnk, 'c' || (node // 2) AS node, pr FROM r ORDER BY rnk""".stripMargin))
 
+  // HITS hubs & authorities (q65): Kleinberg's mutually-reinforcing
+  // centrality pair over the DIRECTED supplier→customer transaction
+  // graph — hubs rank the supplier side, authorities the customer
+  // side (the complementary view to q44's undirected PageRank).
+  // GraphOps.hits: per round two edge joins + two node aggregates +
+  // two 1-row L2 norms, all sums DECIMAL(28,12)-exact (any shuffle
+  // order), scores round(9) per round — the oracle unrolls the same
+  // three rounds CTE-for-CTE. Output: top-10 per role.
+  private val q65 = QueryDef(
+    "q65_hits",
+    (s, dir) => {
+      val edges = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
+        .distinct()
+      val ha = graft.ops.GraphOps.hits(edges)
+      def top(scoreCol: String, role: String) = ha
+        .select(col("node"), round(col(scoreCol), 6).as("score"))
+        .orderBy(desc("score"), asc("node")).limit(10)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(desc("score"), asc("node"))))
+        .select(lit(role).as("role"), col("rnk"),
+          when(col("node") % 2 === 0, concat(lit("s"), expr("cast(node div 2 as string)")))
+            .otherwise(concat(lit("c"), expr("cast(node div 2 as string)"))).as("node"),
+          col("score"))
+      top("hub", "hub").unionByName(top("auth", "auth")).orderBy("role", "rnk")
+    },
+    Some("""WITH ed AS (SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+            |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+            |h0 AS (SELECT node, 1.0 AS h FROM nodes),
+            |ap1 AS (SELECT e.dst AS node, CAST(SUM(CAST(h.h AS DECIMAL(28,12))) AS DOUBLE) AS raw
+            |        FROM ed e JOIN h0 h ON e.src = h.node GROUP BY e.dst),
+            |an1 AS (SELECT round(CAST(SUM(CAST(raw * raw AS DECIMAL(28,12))) AS DOUBLE), 9) AS n2 FROM ap1),
+            |a1 AS MATERIALIZED (SELECT n.node, CASE WHEN (SELECT n2 FROM an1) > 0
+            |        THEN round(coalesce(ap.raw, 0.0) / sqrt((SELECT n2 FROM an1)), 9) ELSE 0.0 END AS a
+            |      FROM nodes n LEFT JOIN ap1 ap ON n.node = ap.node),
+            |hp1 AS (SELECT e.src AS node, CAST(SUM(CAST(a.a AS DECIMAL(28,12))) AS DOUBLE) AS raw
+            |        FROM ed e JOIN a1 a ON e.dst = a.node GROUP BY e.src),
+            |hn1 AS (SELECT round(CAST(SUM(CAST(raw * raw AS DECIMAL(28,12))) AS DOUBLE), 9) AS n2 FROM hp1),
+            |h1 AS MATERIALIZED (SELECT n.node, CASE WHEN (SELECT n2 FROM hn1) > 0
+            |        THEN round(coalesce(hp.raw, 0.0) / sqrt((SELECT n2 FROM hn1)), 9) ELSE 0.0 END AS h
+            |      FROM nodes n LEFT JOIN hp1 hp ON n.node = hp.node),
+            |ap2 AS (SELECT e.dst AS node, CAST(SUM(CAST(h.h AS DECIMAL(28,12))) AS DOUBLE) AS raw
+            |        FROM ed e JOIN h1 h ON e.src = h.node GROUP BY e.dst),
+            |an2 AS (SELECT round(CAST(SUM(CAST(raw * raw AS DECIMAL(28,12))) AS DOUBLE), 9) AS n2 FROM ap2),
+            |a2 AS MATERIALIZED (SELECT n.node, CASE WHEN (SELECT n2 FROM an2) > 0
+            |        THEN round(coalesce(ap.raw, 0.0) / sqrt((SELECT n2 FROM an2)), 9) ELSE 0.0 END AS a
+            |      FROM nodes n LEFT JOIN ap2 ap ON n.node = ap.node),
+            |hp2 AS (SELECT e.src AS node, CAST(SUM(CAST(a.a AS DECIMAL(28,12))) AS DOUBLE) AS raw
+            |        FROM ed e JOIN a2 a ON e.dst = a.node GROUP BY e.src),
+            |hn2 AS (SELECT round(CAST(SUM(CAST(raw * raw AS DECIMAL(28,12))) AS DOUBLE), 9) AS n2 FROM hp2),
+            |h2 AS MATERIALIZED (SELECT n.node, CASE WHEN (SELECT n2 FROM hn2) > 0
+            |        THEN round(coalesce(hp.raw, 0.0) / sqrt((SELECT n2 FROM hn2)), 9) ELSE 0.0 END AS h
+            |      FROM nodes n LEFT JOIN hp2 hp ON n.node = hp.node),
+            |ap3 AS (SELECT e.dst AS node, CAST(SUM(CAST(h.h AS DECIMAL(28,12))) AS DOUBLE) AS raw
+            |        FROM ed e JOIN h2 h ON e.src = h.node GROUP BY e.dst),
+            |an3 AS (SELECT round(CAST(SUM(CAST(raw * raw AS DECIMAL(28,12))) AS DOUBLE), 9) AS n2 FROM ap3),
+            |a3 AS MATERIALIZED (SELECT n.node, CASE WHEN (SELECT n2 FROM an3) > 0
+            |        THEN round(coalesce(ap.raw, 0.0) / sqrt((SELECT n2 FROM an3)), 9) ELSE 0.0 END AS a
+            |      FROM nodes n LEFT JOIN ap3 ap ON n.node = ap.node),
+            |hp3 AS (SELECT e.src AS node, CAST(SUM(CAST(a.a AS DECIMAL(28,12))) AS DOUBLE) AS raw
+            |        FROM ed e JOIN a3 a ON e.dst = a.node GROUP BY e.src),
+            |hn3 AS (SELECT round(CAST(SUM(CAST(raw * raw AS DECIMAL(28,12))) AS DOUBLE), 9) AS n2 FROM hp3),
+            |h3 AS MATERIALIZED (SELECT n.node, CASE WHEN (SELECT n2 FROM hn3) > 0
+            |        THEN round(coalesce(hp.raw, 0.0) / sqrt((SELECT n2 FROM hn3)), 9) ELSE 0.0 END AS h
+            |      FROM nodes n LEFT JOIN hp3 hp ON n.node = hp.node),
+            |th AS (SELECT node, round(h, 6) AS score FROM h3
+            |       ORDER BY score DESC, node LIMIT 10),
+            |ta AS (SELECT node, round(a, 6) AS score FROM a3
+            |       ORDER BY score DESC, node LIMIT 10),
+            |rh AS (SELECT 'hub' AS role, row_number() OVER (ORDER BY score DESC, node) AS rnk,
+            |              node, score FROM th),
+            |ra AS (SELECT 'auth' AS role, row_number() OVER (ORDER BY score DESC, node) AS rnk,
+            |              node, score FROM ta),
+            |u AS (SELECT * FROM rh UNION ALL SELECT * FROM ra)
+            |SELECT role, rnk,
+            |       CASE WHEN node % 2 = 0 THEN 's' || (node // 2)
+            |            ELSE 'c' || (node // 2) END AS node, score
+            |FROM u ORDER BY role, rnk""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -1964,5 +2047,5 @@ object Relational {
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63)
+    q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65)
 }

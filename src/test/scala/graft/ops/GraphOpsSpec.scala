@@ -310,6 +310,23 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.kCore(edges, k = 4).isEmpty)
   }
 
+  test("hits: hubs and authorities reinforce on a bipartite graph, both sides unit-normalized") {
+    // s1 -> {c1, c2}, s2 -> {c2}: s1 is the stronger hub (two
+    // authorities), c2 the stronger authority (two hubs); the bipartite
+    // shape keeps customer hubs and supplier authorities at exactly 0
+    val edges = Seq((2L, 11L), (2L, 13L), (4L, 13L)).toDF("src", "dst")
+    val ha = GraphOps.hits(edges).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    assert(ha(2L)._1 > ha(4L)._1, "two-authority hub must outrank the one-authority hub")
+    assert(ha(13L)._2 > ha(11L)._2, "two-hub authority must outrank the one-hub authority")
+    assert(ha(11L)._1 == 0.0 && ha(13L)._1 == 0.0, "sinks have hub 0")
+    assert(ha(2L)._2 == 0.0 && ha(4L)._2 == 0.0, "sources have authority 0")
+    val hubN2 = ha.values.map(_._1).map(x => x * x).sum
+    val authN2 = ha.values.map(_._2).map(x => x * x).sum
+    assert(math.abs(hubN2 - 1.0) < 1e-6 && math.abs(authN2 - 1.0) < 1e-6,
+      s"both score vectors must be unit-L2 (hub $hubN2, auth $authN2)")
+  }
+
   test("labelPropagation matches a local replay of the synchronous LPA rule") {
     // two triangles joined by one bridge + a pendant — communities
     // should be FINER than the single connected component
