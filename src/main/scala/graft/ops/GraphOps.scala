@@ -307,6 +307,45 @@ object GraphOps {
     pr.select(col("node"), col("deg"), col("pr"))
   }
 
+  /** ADAMIC-ADAR link prediction over an UNDIRECTED graph in canonical
+    * form (each edge once, src < dst): for every NON-adjacent node
+    * pair sharing >= 1 neighbor, score = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z)
+    * — common neighbors weighted inversely by how promiscuous they
+    * are, the classic "which edges are missing" feature (Adamic &
+    * Adar 2003). A common neighbor is adjacent to both endpoints, so
+    * deg(z) >= 2 and ln never hits 0.
+    *
+    * Scale shape: candidate pairs come from the wedge self-join
+    * through each shared neighbor — Σ deg² work, which ONE hub makes
+    * quadratic. `hubCap` excludes centers with deg > cap from wedge
+    * GENERATION (their AA weight 1/ln(deg) is near-noise anyway) — the
+    * df-cap discipline the near-dup family uses for boilerplate
+    * shingles; a SQL replay applies the same cap, so results stay
+    * engine-exact. Existing edges are anti-joined away. Returns
+    * (a, b, score), a < b, unrounded (callers round for ranking). */
+  def adamicAdar(edges: DataFrame, hubCap: Int = 64)
+                (implicit scope: CacheScope): DataFrame = {
+    val ed = scope.checkpointed(edges.select(col("src"), col("dst")),
+      reliable = false)
+    val e2 = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = e2.groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
+    // wedge through LOW-degree centers only; weight rides the center.
+    // deg >= 2: a deg-1 center cannot form a wedge anyway, and its
+    // 1/ln(1) weight would divide by zero under ANSI before the wedge
+    // join ever filtered it
+    val zw = e2.join(deg.filter(col("deg") >= 2 && col("deg") <= hubCap),
+        col("src") === col("z"))
+      .select(col("src").as("z2"), col("dst").as("n"),
+        (lit(1.0) / log(col("deg").cast("double"))).as("w"))
+    val pairs = zw.as("l").join(zw.as("r"),
+        col("l.z2") === col("r.z2") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("a"), col("r.n").as("b"), col("l.w").as("w"))
+    val scored = pairs.groupBy("a", "b").agg(sum("w").as("score"))
+    scored.join(ed, scored("a") === ed("src") && scored("b") === ed("dst"),
+        "left_anti")
+      .select(col("a"), col("b"), col("score"))
+  }
+
   /** Both directions of an edge list, distinct — the undirected form
     * [[pageRank]] wants when dangling-mass leakage should vanish. */
   def undirect(edges: DataFrame): DataFrame = {

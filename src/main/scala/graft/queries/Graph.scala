@@ -311,5 +311,41 @@ object Graph {
             |       count(*) OVER (PARTITION BY lbl) AS community_size
             |FROM l3 ORDER BY community, part""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64)
+  // ADAMIC-ADAR link prediction (q66): which co-purchase edges are
+  // "missing"? Non-adjacent part pairs scored by Σ 1/ln(deg) over
+  // shared neighbors (GraphOps.adamicAdar; hub centers above deg 64
+  // excluded from wedge generation — the df-cap discipline, replayed
+  // by the oracle). Scores are sums of per-center doubles whose
+  // shuffle-order drift (~1e-13) dies at round(6); ranking ties break
+  // on (a, b). Top-50 predicted links.
+  private val q66 = QueryDef(
+    "q66_adamic_adar",
+    (s, dir) => {
+      val aa = graft.ops.GraphOps.adamicAdar(coEdges(s, dir).toDF("src", "dst"))
+      aa.select(col("a"), col("b"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("a"), asc("b")).limit(50)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(desc("score"), asc("a"), asc("b"))))
+        .select(col("rnk"), col("a"), col("b"), col("score"))
+        .orderBy("rnk")
+    },
+    Some(s"""WITH $coEdgesCte,
+            |e2 AS (SELECT p1 AS src, p2 AS dst FROM pe
+            |       UNION ALL SELECT p2, p1 FROM pe),
+            |deg AS (SELECT src AS z, count(*) AS deg FROM e2 GROUP BY src),
+            |zw AS (SELECT e2.src AS z2, e2.dst AS n,
+            |              1.0 / ln(CAST(deg.deg AS DOUBLE)) AS w
+            |       FROM e2 JOIN deg ON e2.src = deg.z WHERE deg.deg BETWEEN 2 AND 64),
+            |pairs AS (SELECT l.n AS a, r.n AS b, l.w
+            |          FROM zw l JOIN zw r ON l.z2 = r.z2 AND l.n < r.n),
+            |scored AS (SELECT a, b, SUM(w) AS score FROM pairs GROUP BY a, b),
+            |nonadj AS (SELECT s.a, s.b, s.score FROM scored s
+            |           LEFT JOIN pe ON s.a = pe.p1 AND s.b = pe.p2
+            |           WHERE pe.p1 IS NULL),
+            |top AS (SELECT a, b, round(score, 6) AS score FROM nonadj
+            |        ORDER BY score DESC, a, b LIMIT 50)
+            |SELECT row_number() OVER (ORDER BY score DESC, a, b) AS rnk, a, b, score
+            |FROM top ORDER BY rnk""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66)
 }

@@ -327,6 +327,20 @@ class GraphOpsSpec extends AnyFunSuite {
       s"both score vectors must be unit-L2 (hub $hubN2, auth $authN2)")
   }
 
+  test("adamicAdar scores non-adjacent pairs by shared neighbors, skipping existing edges") {
+    // square 1-2-3-4-1: the two diagonals are the only predictions,
+    // each with two common neighbors of degree 2 -> score 2/ln(2);
+    // adjacent pairs are anti-joined away
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphOps.adamicAdar(edges).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val expect = 2.0 / math.log(2.0)
+    assert(got.keySet == Set((1L, 3L), (2L, 4L)), s"got ${got.keySet}")
+    got.values.foreach(v => assert(math.abs(v - expect) < 1e-12))
+    // hub cap: capping at deg 1 excludes every center -> no predictions
+    assert(GraphOps.adamicAdar(edges, hubCap = 1).isEmpty)
+  }
+
   test("labelPropagation matches a local replay of the synchronous LPA rule") {
     // two triangles joined by one bridge + a pendant — communities
     // should be FINER than the single connected component
