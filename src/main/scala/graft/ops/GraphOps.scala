@@ -439,57 +439,58 @@ object GraphOps {
   }
 
   /** HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
-    * list: per round auth(v) = Σ_{u→v} hub(u) and hub(u) = Σ_{u→v}
-    * auth(v), each side L2-normalized — the mutually-reinforcing
-    * centrality pair (on a bipartite source→consumer graph, hubs score
-    * the source side and authorities the consumer side). Fixed
-    * `iters` rounds for oracle replayability (the battery's standard
-    * trade).
-    *
-    * Determinism is the PCA contract, not rounding-luck: every
-    * aggregated sum (the mass pulls AND the L2 norms) runs over
-    * per-term DECIMAL(28,12) casts — exact under any shuffle order —
-    * and each normalized score rounds to `scale` before reuse, so the
-    * ≤1-ulp sqrt drift dies at the round. Nodes keep 0-valued rows via
-    * left joins onto the node universe (a one-sided node would
-    * otherwise drop out and poison the next pull). Per round: two
-    * edge-sized joins + two node aggregates + two 1-row norms.
+    * list: auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v),
+    * iterated `iters` times, both score vectors L2-normalized at the
+    * END — a single deferred normalization leaves the direction
+    * identical to per-round normalization while keeping every
+    * intermediate an exact INTEGER-valued double (bit-exact under any
+    * shuffle order, no rounding contract inside the rounds; only the
+    * final divide rounds to `scale` to absorb the 1-ulp sqrt). On a
+    * bipartite source→consumer graph hubs score the source side and
+    * authorities the consumer side. Nodes keep 0-valued rows via
+    * node-universe left joins (a dropped row would poison the next
+    * pull). Per round: two edge-sized joins + two node aggregates.
     * Returns (node, hub, auth). */
   def hits(edges: DataFrame, iters: Int = 3, scale: Int = 9)
           (implicit scope: CacheScope): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
-    def dsum28(c: Column): Column =
-      sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 12))).cast("double")
     val eck = scope.checkpointed(edges.select(col("src"), col("dst")), reliable = false)
     val rs = roundSession(edges.sparkSession, eck.rdd.getNumPartitions)
     val e = crossView(rs, eck)
     val nodes = scope.cached(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    // UNNORMALIZED pulls: normalization is a per-round scalar factor,
+    // so deferring it to ONE final division leaves the direction
+    // identical while every intermediate stays an INTEGER-valued
+    // double (sums of 1s, then sums of integers — exact in IEEE up to
+    // 2^53, far above deg^iters at any sane depth). That makes the
+    // rounds bit-exact under ANY aggregation order with no decimal
+    // casts and no per-round rounding contract at all; only the final
+    // normalize needs round(scale) to kill the 1-ulp sqrt.
     var hub = nodes.withColumn("h", lit(1.0))
-    var auth = nodes.withColumn("a", lit(1.0))
+    var auth = nodes.withColumn("a", lit(0.0))
     for (_ <- 1 to iters) {
       val aPull = e.join(hub, e("src") === hub("node"))
-        .groupBy(col("dst").as("node")).agg(dsum28(col("h")).as("raw"))
-      val aN2 = aPull.agg(round(dsum28(col("raw") * col("raw")), scale).as("n2"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("raw"))
       auth = scope.checkpointed(
-        nodes.join(aPull, Seq("node"), "left").crossJoin(broadcast(aN2))
-          .select(col("node"),
-            when(col("n2") > 0,
-              round(coalesce(col("raw"), lit(0.0)) / sqrt(col("n2")), scale))
-              .otherwise(lit(0.0)).as("a")), reliable = false)
+        nodes.join(aPull, Seq("node"), "left")
+          .select(col("node"), coalesce(col("raw"), lit(0.0)).as("a")),
+        reliable = false)
       val hPull = e.join(auth, e("dst") === auth("node"))
-        .groupBy(col("src").as("node")).agg(dsum28(col("a")).as("raw"))
-      val hN2 = hPull.agg(round(dsum28(col("raw") * col("raw")), scale).as("n2"))
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("raw"))
       hub = scope.checkpointed(
-        nodes.join(hPull, Seq("node"), "left").crossJoin(broadcast(hN2))
-          .select(col("node"),
-            when(col("n2") > 0,
-              round(coalesce(col("raw"), lit(0.0)) / sqrt(col("n2")), scale))
-              .otherwise(lit(0.0)).as("h")), reliable = false)
+        nodes.join(hPull, Seq("node"), "left")
+          .select(col("node"), coalesce(col("raw"), lit(0.0)).as("h")),
+        reliable = false)
     }
-    nodes.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
-      .select(col("node"), coalesce(col("h"), lit(0.0)).as("hub"),
-        coalesce(col("a"), lit(0.0)).as("auth"))
+    val n2 = broadcast(hub.join(auth, "node").agg(
+      sum(col("h") * col("h")).as("hn2"), sum(col("a") * col("a")).as("an2")))
+    hub.join(auth, "node").crossJoin(n2)
+      .select(col("node"),
+        when(col("hn2") > 0, round(col("h") / sqrt(col("hn2")), scale))
+          .otherwise(lit(0.0)).as("hub"),
+        when(col("an2") > 0, round(col("a") / sqrt(col("an2")), scale))
+          .otherwise(lit(0.0)).as("auth"))
   }
 
   /** LABEL PROPAGATION communities (synchronous LPA, Raghavan et al.

@@ -1990,45 +1990,35 @@ object Relational {
             |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
             |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
             |h0 AS (SELECT node, 1.0 AS h FROM nodes),
-            |ap1 AS (SELECT e.dst AS node, CAST(SUM(CAST(h.h AS DECIMAL(28,12))) AS DOUBLE) AS raw
-            |        FROM ed e JOIN h0 h ON e.src = h.node GROUP BY e.dst),
-            |an1 AS (SELECT round(CAST(SUM(CAST(raw * raw AS DECIMAL(28,12))) AS DOUBLE), 9) AS n2 FROM ap1),
-            |a1 AS MATERIALIZED (SELECT n.node, CASE WHEN (SELECT n2 FROM an1) > 0
-            |        THEN round(coalesce(ap.raw, 0.0) / sqrt((SELECT n2 FROM an1)), 9) ELSE 0.0 END AS a
-            |      FROM nodes n LEFT JOIN ap1 ap ON n.node = ap.node),
-            |hp1 AS (SELECT e.src AS node, CAST(SUM(CAST(a.a AS DECIMAL(28,12))) AS DOUBLE) AS raw
-            |        FROM ed e JOIN a1 a ON e.dst = a.node GROUP BY e.src),
-            |hn1 AS (SELECT round(CAST(SUM(CAST(raw * raw AS DECIMAL(28,12))) AS DOUBLE), 9) AS n2 FROM hp1),
-            |h1 AS MATERIALIZED (SELECT n.node, CASE WHEN (SELECT n2 FROM hn1) > 0
-            |        THEN round(coalesce(hp.raw, 0.0) / sqrt((SELECT n2 FROM hn1)), 9) ELSE 0.0 END AS h
-            |      FROM nodes n LEFT JOIN hp1 hp ON n.node = hp.node),
-            |ap2 AS (SELECT e.dst AS node, CAST(SUM(CAST(h.h AS DECIMAL(28,12))) AS DOUBLE) AS raw
-            |        FROM ed e JOIN h1 h ON e.src = h.node GROUP BY e.dst),
-            |an2 AS (SELECT round(CAST(SUM(CAST(raw * raw AS DECIMAL(28,12))) AS DOUBLE), 9) AS n2 FROM ap2),
-            |a2 AS MATERIALIZED (SELECT n.node, CASE WHEN (SELECT n2 FROM an2) > 0
-            |        THEN round(coalesce(ap.raw, 0.0) / sqrt((SELECT n2 FROM an2)), 9) ELSE 0.0 END AS a
-            |      FROM nodes n LEFT JOIN ap2 ap ON n.node = ap.node),
-            |hp2 AS (SELECT e.src AS node, CAST(SUM(CAST(a.a AS DECIMAL(28,12))) AS DOUBLE) AS raw
-            |        FROM ed e JOIN a2 a ON e.dst = a.node GROUP BY e.src),
-            |hn2 AS (SELECT round(CAST(SUM(CAST(raw * raw AS DECIMAL(28,12))) AS DOUBLE), 9) AS n2 FROM hp2),
-            |h2 AS MATERIALIZED (SELECT n.node, CASE WHEN (SELECT n2 FROM hn2) > 0
-            |        THEN round(coalesce(hp.raw, 0.0) / sqrt((SELECT n2 FROM hn2)), 9) ELSE 0.0 END AS h
-            |      FROM nodes n LEFT JOIN hp2 hp ON n.node = hp.node),
-            |ap3 AS (SELECT e.dst AS node, CAST(SUM(CAST(h.h AS DECIMAL(28,12))) AS DOUBLE) AS raw
-            |        FROM ed e JOIN h2 h ON e.src = h.node GROUP BY e.dst),
-            |an3 AS (SELECT round(CAST(SUM(CAST(raw * raw AS DECIMAL(28,12))) AS DOUBLE), 9) AS n2 FROM ap3),
-            |a3 AS MATERIALIZED (SELECT n.node, CASE WHEN (SELECT n2 FROM an3) > 0
-            |        THEN round(coalesce(ap.raw, 0.0) / sqrt((SELECT n2 FROM an3)), 9) ELSE 0.0 END AS a
-            |      FROM nodes n LEFT JOIN ap3 ap ON n.node = ap.node),
-            |hp3 AS (SELECT e.src AS node, CAST(SUM(CAST(a.a AS DECIMAL(28,12))) AS DOUBLE) AS raw
-            |        FROM ed e JOIN a3 a ON e.dst = a.node GROUP BY e.src),
-            |hn3 AS (SELECT round(CAST(SUM(CAST(raw * raw AS DECIMAL(28,12))) AS DOUBLE), 9) AS n2 FROM hp3),
-            |h3 AS MATERIALIZED (SELECT n.node, CASE WHEN (SELECT n2 FROM hn3) > 0
-            |        THEN round(coalesce(hp.raw, 0.0) / sqrt((SELECT n2 FROM hn3)), 9) ELSE 0.0 END AS h
-            |      FROM nodes n LEFT JOIN hp3 hp ON n.node = hp.node),
-            |th AS (SELECT node, round(h, 6) AS score FROM h3
+            |a1 AS MATERIALIZED (SELECT n.node, coalesce(p.raw, 0.0) AS a FROM nodes n LEFT JOIN
+            |  (SELECT e.dst AS node, SUM(h.h) AS raw FROM ed e JOIN h0 h ON e.src = h.node
+            |   GROUP BY e.dst) p ON n.node = p.node),
+            |h1 AS MATERIALIZED (SELECT n.node, coalesce(p.raw, 0.0) AS h FROM nodes n LEFT JOIN
+            |  (SELECT e.src AS node, SUM(a.a) AS raw FROM ed e JOIN a1 a ON e.dst = a.node
+            |   GROUP BY e.src) p ON n.node = p.node),
+            |a2 AS MATERIALIZED (SELECT n.node, coalesce(p.raw, 0.0) AS a FROM nodes n LEFT JOIN
+            |  (SELECT e.dst AS node, SUM(h.h) AS raw FROM ed e JOIN h1 h ON e.src = h.node
+            |   GROUP BY e.dst) p ON n.node = p.node),
+            |h2 AS MATERIALIZED (SELECT n.node, coalesce(p.raw, 0.0) AS h FROM nodes n LEFT JOIN
+            |  (SELECT e.src AS node, SUM(a.a) AS raw FROM ed e JOIN a2 a ON e.dst = a.node
+            |   GROUP BY e.src) p ON n.node = p.node),
+            |a3 AS MATERIALIZED (SELECT n.node, coalesce(p.raw, 0.0) AS a FROM nodes n LEFT JOIN
+            |  (SELECT e.dst AS node, SUM(h.h) AS raw FROM ed e JOIN h2 h ON e.src = h.node
+            |   GROUP BY e.dst) p ON n.node = p.node),
+            |h3 AS MATERIALIZED (SELECT n.node, coalesce(p.raw, 0.0) AS h FROM nodes n LEFT JOIN
+            |  (SELECT e.src AS node, SUM(a.a) AS raw FROM ed e JOIN a3 a ON e.dst = a.node
+            |   GROUP BY e.src) p ON n.node = p.node),
+            |n2 AS (SELECT SUM(h.h * h.h) AS hn2, SUM(a.a * a.a) AS an2
+            |       FROM h3 h JOIN a3 a USING (node)),
+            |fin AS (SELECT h.node,
+            |  CASE WHEN (SELECT hn2 FROM n2) > 0
+            |       THEN round(h.h / sqrt((SELECT hn2 FROM n2)), 9) ELSE 0.0 END AS hub,
+            |  CASE WHEN (SELECT an2 FROM n2) > 0
+            |       THEN round(a.a / sqrt((SELECT an2 FROM n2)), 9) ELSE 0.0 END AS auth
+            |  FROM h3 h JOIN a3 a USING (node)),
+            |th AS (SELECT node, round(hub, 6) AS score FROM fin
             |       ORDER BY score DESC, node LIMIT 10),
-            |ta AS (SELECT node, round(a, 6) AS score FROM a3
+            |ta AS (SELECT node, round(auth, 6) AS score FROM fin
             |       ORDER BY score DESC, node LIMIT 10),
             |rh AS (SELECT 'hub' AS role, row_number() OVER (ORDER BY score DESC, node) AS rnk,
             |              node, score FROM th),
