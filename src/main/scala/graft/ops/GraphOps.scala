@@ -73,6 +73,17 @@ object GraphOps {
                          (implicit scope: CacheScope): DataFrame =
     crossView(rs, scope.checkpointed(df, reliable = false))
 
+  /** The round preamble every iterative op shares: lineage-cut the
+    * edge projection, open the AQE-off child session at edge-derived
+    * width, re-root the leaf there. ONE definition so the round-width
+    * / lineage-cut discipline cannot drift between operators. */
+  private def roundSetup(edges: DataFrame, reliable: Boolean)
+                        (implicit scope: CacheScope): (SparkSession, DataFrame) = {
+    val eck = scope.checkpointed(edges, reliable)
+    val rs = roundSession(edges.sparkSession, eck.rdd.getNumPartitions)
+    (rs, crossView(rs, eck))
+  }
+
   /** Shared setup for every rank variant: child session at edge-derived
     * width, edge leaf `e`, and the scope-cached per-node constants
     * table `nodes` = (node, deg, pr0, base) where `deg` is out-degree
@@ -416,9 +427,7 @@ object GraphOps {
                         rounds: Int, reliable: Boolean)
                        (implicit scope: CacheScope): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
-    val eck = scope.checkpointed(edges, reliable)
-    val rs = roundSession(edges.sparkSession, eck.rdd.getNumPartitions)
-    val e = crossView(rs, eck)
+    val (rs, e) = roundSetup(edges, reliable)
     var dist = scope.checkpointed(
       intoSession(rs, sources.select(col("node")).distinct())
         .withColumn("dist", lit(0L)), reliable)
@@ -454,9 +463,7 @@ object GraphOps {
   def hits(edges: DataFrame, iters: Int = 3, scale: Int = 9)
           (implicit scope: CacheScope): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
-    val eck = scope.checkpointed(edges.select(col("src"), col("dst")), reliable = false)
-    val rs = roundSession(edges.sparkSession, eck.rdd.getNumPartitions)
-    val e = crossView(rs, eck)
+    val (rs, e) = roundSetup(edges.select(col("src"), col("dst")), reliable = false)
     val nodes = scope.cached(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
     // UNNORMALIZED pulls: normalization is a per-round scalar factor,
@@ -513,9 +520,7 @@ object GraphOps {
                        reliable: Boolean = false)
                       (implicit scope: CacheScope): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
-    val eck = scope.checkpointed(edges.select(col("src"), col("dst")), reliable)
-    val rs = roundSession(edges.sparkSession, eck.rdd.getNumPartitions)
-    val e = crossView(rs, eck)
+    val (rs, e) = roundSetup(edges.select(col("src"), col("dst")), reliable)
     var lbl = scope.checkpointed(
       e.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node")), reliable)
@@ -549,9 +554,9 @@ object GraphOps {
             reliable: Boolean = false)
            (implicit scope: CacheScope): DataFrame = {
     require(k >= 1 && rounds >= 1, s"k/rounds must be >= 1 (got $k/$rounds)")
-    val eck = scope.checkpointed(edges.select(col("src"), col("dst")), reliable)
-    val rs = roundSession(edges.sparkSession, eck.rdd.getNumPartitions)
-    var e = crossView(rs, eck)
+    val setup = roundSetup(edges.select(col("src"), col("dst")), reliable)
+    val rs = setup._1
+    var e = setup._2
     def degrees(ed: DataFrame): DataFrame =
       ed.select(col("src").as("node")).union(ed.select(col("dst").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))

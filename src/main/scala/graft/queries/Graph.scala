@@ -279,7 +279,10 @@ object Graph {
   private val q64 = QueryDef(
     "q64_lpa",
     (s, dir) => {
-      val pe = coEdges(s, dir)
+      // same lineage-cut discipline as q49/q56: the pair build is
+      // referenced by both union branches — cut it once
+      val pe = graft.ops.CacheScope.sessionOwned
+        .checkpointed(coEdges(s, dir), reliable = false)
       val edges = pe.union(pe.select(col("p2").as("p1"), col("p1").as("p2")))
         .toDF("src", "dst")
       val com = graft.ops.GraphOps.labelPropagation(edges)

@@ -1961,10 +1961,13 @@ object Relational {
   // centrality pair over the DIRECTED supplier→customer transaction
   // graph — hubs rank the supplier side, authorities the customer
   // side (the complementary view to q44's undirected PageRank).
-  // GraphOps.hits: per round two edge joins + two node aggregates +
-  // two 1-row L2 norms, all sums DECIMAL(28,12)-exact (any shuffle
-  // order), scores round(9) per round — the oracle unrolls the same
-  // three rounds CTE-for-CTE. Output: top-10 per role.
+  // GraphOps.hits defers L2 normalization to ONE final divide, so
+  // every pull stays an INTEGER-valued double — bit-exact under any
+  // shuffle order with no rounding contract inside the rounds; only
+  // the final normalize rounds (9) to absorb the 1-ulp sqrt. Per
+  // round: two edge joins + two node aggregates. The oracle unrolls
+  // the same three integer pull pairs + the single normalize.
+  // Output: top-10 per role.
   private val q65 = QueryDef(
     "q65_hits",
     (s, dir) => {

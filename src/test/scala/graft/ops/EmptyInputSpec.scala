@@ -23,6 +23,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(GraphOps.triangles(noEdges).isEmpty)
     assert(GraphOps.kCore(noEdges, k = 2).isEmpty)
     assert(GraphOps.connectedComponents(noEdges).isEmpty)
+    assert(GraphOps.hits(noEdges).isEmpty)
+    assert(GraphOps.labelPropagation(noEdges).isEmpty)
+    assert(GraphOps.adamicAdar(noEdges).isEmpty)
     assert(GraphOps.hopDistance(noEdges, Seq(Tuple1(1L)).toDF("node")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)),
       "seeds with no edges keep their distance-0 row")
