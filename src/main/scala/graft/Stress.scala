@@ -32,7 +32,8 @@ object Stress {
     "l8_pack_sequences", "l4_classifier", "l4_vocab_oov", "l3_knn_graph", "l8_span_dedup",
     "l3_cluster_sample_kept", "l2_edit_distance", "l4_bpe_merges",
     "l4_bpe_encode", "l4_bpe_merges_batched", "l8_weighted_sample",
-    "l3_ann_incremental", "l8_importance", "l8_heavy_hitters")
+    "l3_ann_incremental", "l8_importance", "l8_heavy_hitters",
+    "l2_incremental_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -144,6 +145,49 @@ object Stress {
       val tBase = timeTriangles(100000)
       val tScaled = timeTriangles(100000 * factor)
       println(f"""{"stress":"graph_triangles","base_edges":100000,"base":$tBase%.3f,"scaled_edges":${100000 * factor},"scaled":$tScaled%.3f,"ratio":${tScaled / tBase}%.1f}""")
+    }
+
+    // INCREMENTAL CLUSTER ASSIGNMENT: the batch-sized-work claim. The
+    // stored cluster table grows factor× (persisted to parquet first —
+    // assignment must not re-pay the corpus propagation), the ingest
+    // batch stays FIXED, and only incrementalClusters is timed: the
+    // delta rounds are batch-sized, untouched clusters pass through one
+    // broadcast remap join (a corpus-linear SCAN, no shuffle), so the
+    // ratio should sit far below factor — unlike l2_dup_clusters in the
+    // table above, whose full recompute tracks the corpus.
+    def timeIncrementalClusters(nClusters: Int, storedDir: String): Double = {
+      // synthetic stored state: nClusters pair-clusters of size 2
+      // (ids 2i ~ 2i+1), persisted like the production table
+      val corpusPairs = spark.range(nClusters.toLong)
+        .selectExpr("id * 2 as d1", "id * 2 + 1 as d2")
+      graft.ops.CorpusOps.dupClusters(corpusPairs)(
+        graft.ops.CacheScope.sessionOwned)
+        .write.mode("overwrite").parquet(storedDir)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      val stored = spark.read.parquet(storedDir)
+      // fixed batch: 1000 docs, each bridging two neighboring stored
+      // clusters (the merge path) + intra-batch chain pairs
+      val batchPairs = spark.range(500L)
+        .selectExpr("1000000000 + id * 2 as d1", "1000000001 + id * 2 as d2")
+      val crossPairs = spark.range(1000L)
+        .selectExpr("1000000000 + id as d1", s"(id * 4) % ${2L * nClusters} as d2")
+      val t0 = System.nanoTime()
+      graft.ops.CorpusOps.incrementalClusters(stored, batchPairs, crossPairs)(
+        graft.ops.CacheScope.sessionOwned)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      dt
+    }
+    if (only.isEmpty || only("incremental_clusters")) {
+      val d1 = java.nio.file.Files.createTempDirectory("graft-incr1").toString
+      val dN = java.nio.file.Files.createTempDirectory("graft-incrN").toString
+      timeIncrementalClusters(50000, d1) // warm-up
+      val iBase = timeIncrementalClusters(50000, d1)
+      val iScaled = timeIncrementalClusters(50000 * factor, dN)
+      println(f"""{"stress":"incremental_clusters","base_clusters":50000,"base":$iBase%.3f,"scaled_clusters":${50000 * factor},"scaled":$iScaled%.3f,"ratio":${iScaled / iBase}%.1f}""")
     }
     spark.stop()
   }

@@ -469,9 +469,13 @@ object CorpusOps {
     * sized rows, so the conversion at the two crossings is noise. */
   private def inRoundSession(spark: org.apache.spark.sql.SparkSession, parts: Int)
                             (body: org.apache.spark.sql.SparkSession => DataFrame): DataFrame = {
-    val rs = spark.newSession()
-    rs.conf.set("spark.sql.adaptive.enabled", "false")
-    rs.conf.set("spark.sql.shuffle.partitions", math.max(parts, 1).toString)
+    // ONE width rule for every iterative op: GraphOps.roundSession —
+    // edge-derived width FLOORED at defaultParallelism/4 (AQE coalesces
+    // a small pair graph to 1-2 partitions, and width-1 rounds
+    // serialize the per-round join onto one core — the measured
+    // GraphOps finding; the floor was previously missing here, so
+    // dupClusters-based paths could still plan width-1 rounds)
+    val rs = GraphOps.roundSession(spark, parts)
     val out = body(rs)
     // back to the caller's session via the same global-temp-view
     // crossing (the body's result is a checkpointed RDD leaf, so the
@@ -616,6 +620,99 @@ object CorpusOps {
     l.select(col("lbl").as("cluster_id"), col("node").as("doc_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+  }
+
+  /** INCREMENTAL duplicate-CLUSTER maintenance — assign a new batch's
+    * docs into EXISTING cluster ids without re-running the corpus pair
+    * graph: the missing member of the incremental-ingest family (exact
+    * verdicts [[incrementalDedup]], bloom gate [[bloomIncrementalDedup]],
+    * ANN index [[ivfpqIncremental]] — clusters previously recomputed
+    * from scratch per corpus).
+    *
+    * Inputs:
+    *  - `clusters`: the STORED table a previous [[dupClusters]] run
+    *    produced over the corpus — (cluster_id, doc_id, cluster_size),
+    *    cluster_id = min doc_id of the cluster's members.
+    *  - `batchPairs` (d1, d2): near-dup pairs WITHIN the batch
+    *    ([[nearDupPairs]] over the batch).
+    *  - `crossPairs` (d1 ∈ batch, d2 ∈ corpus): batch-vs-corpus pairs
+    *    ([[nearDupPairsAgainst]]); doc ids must be unique across both
+    *    sides — that op's existing contract.
+    *
+    * Why the work is batch-sized, not corpus-sized: corpus endpoints
+    * of `crossPairs` CONTRACT to their stored representative (a corpus
+    * doc outside every stored cluster represents itself), so the DELTA
+    * graph the propagation rounds run on is (batch pairs) ∪ (batch doc
+    * → touched rep) — pair-delta-sized, never the corpus pair graph.
+    * Only components touched by the batch re-resolve; untouched
+    * clusters pass through ONE remap join whose build side is the
+    * batch-sized touched-rep map (AQE broadcasts it — the stored table
+    * is a single scan, no shuffle), and merged-component sizes come
+    * from batch-sized aggregates (touched members counted through the
+    * same broadcast map + direct delta members), never a corpus-wide
+    * window.
+    *
+    * EXACTNESS (the full-recompute pin, oracle-checked): connected
+    * components are invariant under contracting already-connected
+    * subsets, so delta components = the merge structure a full rerun
+    * would find; and because every stored cluster_id is ALREADY the
+    * minimum doc_id of its members, the delta component's min over
+    * {batch ids, touched rep ids} equals the min doc_id over the fully
+    * merged member set — labels AND sizes match
+    * `dupClusters(allPairs)` exactly. Output: the new full cluster
+    * table (cluster_id, doc_id, cluster_size) over corpus ∪ batch.
+    * Batch docs in no pair are absent, the [[dupClusters]] contract
+    * (run [[incrementalDedup]] for per-doc keep verdicts as usual). */
+  def incrementalClusters(clusters: DataFrame, batchPairs: DataFrame,
+                          crossPairs: DataFrame, rounds: Int = 3,
+                          reliable: Boolean = false)
+                         (implicit scope: CacheScope): DataFrame = {
+    // the stored table feeds three consumers (rep contraction, member
+    // remap, touched-size count) — at scale it is a PERSISTED table a
+    // pipeline reads, so cache only when a pipeline declares ownership
+    val cl = scope.cachedIfShared(
+      clusters.select(col("cluster_id"), col("doc_id"), col("cluster_size")))
+    val cx = crossPairs.select(col("d1"), col("d2"))
+      .join(cl.select(col("doc_id").as("d2"), col("cluster_id").as("rep")),
+        Seq("d2"), "left")
+      .select(col("d1"), coalesce(col("rep"), col("d2")).as("d2"))
+    // CACHED, not checkpointed: the delta table is read by four
+    // downstream consumers (rep split ×2, direct rows, sizes) and is
+    // pair-delta-sized; dupClusters already lineage-cut its rounds
+    val delta = scope.cached(
+      dupClusters(batchPairs.select(col("d1"), col("d2")).union(cx),
+        rounds, reliable)
+        .select(col("cluster_id").as("new_id"), col("doc_id").as("node")))
+    // delta nodes that are stored representatives expand to their
+    // members; every other node (batch doc, corpus singleton rep) IS
+    // its own member row
+    val reps = cl.select(col("cluster_id")).distinct()
+    val remap = delta.join(reps, delta("node") === reps("cluster_id"))
+      .select(col("node").as("old_id"), col("new_id"))
+    val direct = delta.join(reps, delta("node") === reps("cluster_id"),
+      "left_anti")
+    // merged-component sizes: stored members of touched clusters are
+    // COUNTED through the broadcast-sized remap (no trust in the
+    // stored cluster_size for merged components), plus the direct
+    // delta members — both aggregates are batch-sized
+    val touchedSz = cl.join(remap, cl("cluster_id") === remap("old_id"))
+      .groupBy(col("new_id")).agg(count(lit(1)).as("n_old"))
+    val directSz = direct.groupBy("new_id").agg(count(lit(1)).as("n_new"))
+    val sz = touchedSz.join(directSz, Seq("new_id"), "full")
+      .select(col("new_id"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+          .as("new_size"))
+    // untouched clusters keep id and stored size; touched members take
+    // the merged id, direct members join the table — one pass over the
+    // stored table, batch-sized build sides everywhere
+    val members = cl.join(remap, cl("cluster_id") === remap("old_id"), "left")
+      .select(coalesce(col("new_id"), col("cluster_id")).as("cid"),
+        col("doc_id"), col("cluster_size").as("old_size"))
+      .union(direct.select(col("new_id").as("cid"), col("node").as("doc_id"),
+        lit(null).cast("long").as("old_size")))
+    members.join(sz, members("cid") === sz("new_id"), "left")
+      .select(col("cid").as("cluster_id"), col("doc_id"),
+        coalesce(col("new_size"), col("old_size")).as("cluster_size"))
   }
 
   /** Per-document n-gram NOVELTY (the dedup-aware sampling signal):

@@ -40,7 +40,7 @@ object GraphOps {
     * width grows with the data. Same SparkContext and sharedState as
     * the caller's session, so caches, catalog, and cache clears work
     * unchanged. */
-  private def roundSession(spark: SparkSession, parts: Int): SparkSession = {
+  private[ops] def roundSession(spark: SparkSession, parts: Int): SparkSession = {
     val rs = spark.newSession()
     rs.conf.set("spark.sql.adaptive.enabled", "false")
     val floor = math.max(1, spark.sparkContext.defaultParallelism / 4)

@@ -269,6 +269,41 @@ object Llm {
             |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
             |FROM comp ORDER BY cluster_id, doc_id""".stripMargin))
 
+  // INCREMENTAL cluster maintenance (l2_incremental_clusters): the
+  // production ingest shape for duplicate-CLUSTER ids — docs split
+  // 90/10 into an existing corpus and a new batch; the corpus's stored
+  // cluster table (dupClusters over corpus-only pairs) absorbs the
+  // batch WITHOUT re-running the corpus pair graph: batch-vs-corpus
+  // candidates come from the same prefix-filter index incremental
+  // dedup uses, corpus endpoints contract to their stored cluster rep,
+  // and only the delta graph (batch pairs ∪ batch→rep edges)
+  // propagates (CorpusOps.incrementalClusters — untouched clusters
+  // pass through one broadcast remap join unchanged). The ORACLE is
+  // the full recompute: DuckDB's true transitive closure over the
+  // WHOLE corpus∪batch pair set — so the oracle gate itself pins
+  // incremental == from-scratch, ids and sizes both (min-doc-id
+  // cluster ids make the equality exact, see the op's scaladoc).
+  private val l2incrClusters = QueryDef(
+    "l2_incremental_clusters",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val stored = graft.ops.CorpusOps.dupClusters(jaccardPairsOf(corpus))
+      val bp = graft.ops.CorpusOps.nearDupPairs(batch)
+      val cp = graft.ops.CorpusOps.nearDupPairsAgainst(corpus, batch)
+      graft.ops.CorpusOps.incrementalClusters(stored, bp, cp)
+        .orderBy("cluster_id", "doc_id")
+    },
+    Some(s"""WITH RECURSIVE $jaccardPairsCte,
+            |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2 AS a, d1 AS b FROM pairs),
+            |reach AS (SELECT a, b FROM e
+            |  UNION SELECT r.a AS a, e.b AS b FROM reach r JOIN e ON e.a = r.b),
+            |comp AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
+            |SELECT cluster_id, doc_id,
+            |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            |FROM comp ORDER BY cluster_id, doc_id""".stripMargin))
+
   // SimHash: 60-bit signature from sha-60 shingle hashes; banding into
   // k chunks of w bits guarantees (pigeonhole) every pair with
   // hamming <= k-1 shares a chunk. The chunk width is SCALE-
@@ -3527,7 +3562,7 @@ object Llm {
             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    l1, l2, l2contain, l2clusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3recall, l3ivf, l3ivfKmeans, l3quant,
+    l1, l2, l2contain, l2clusters, l2incrClusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3recall, l3ivf, l3ivfKmeans, l3quant,
     l3semdedup, l3pq, l3pqTrained, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4winnow,
     l4entropy, l5, l5media,
     l6clean, l6pack, l6funnel,

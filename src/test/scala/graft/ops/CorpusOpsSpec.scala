@@ -144,6 +144,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(lbls == Seq(0L), s"deep path did not converge: $lbls")
   }
 
+  test("incrementalClusters merges two stored clusters through a batch bridge") {
+    // stored corpus state: clusters {1,2,3} (id 1), {5,6} (id 5),
+    // {10,11} (id 10, untouched by the batch); corpus doc 4 is in no
+    // stored cluster. Batch docs 100-102 arrive with: an intra-batch
+    // pair (100,101); cross pairs wiring 100→3 and 101→5 (which MERGES
+    // stored clusters 1 and 5 through the batch), and 102→4 (a corpus
+    // SINGLETON representative entering a cluster for the first time).
+    val corpusPairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L)).toDF("d1", "d2")
+    val stored = CorpusOps.dupClusters(corpusPairs)
+    val batchPairs = Seq((100L, 101L)).toDF("d1", "d2")
+    val crossPairs = Seq((100L, 3L), (101L, 5L), (102L, 4L)).toDF("d1", "d2")
+    val out = CorpusOps.incrementalClusters(stored, batchPairs, crossPairs)
+      .orderBy("cluster_id", "doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 7L), (1L, 2L, 7L), (1L, 3L, 7L), (1L, 5L, 7L), (1L, 6L, 7L),
+      (1L, 100L, 7L), (1L, 101L, 7L),
+      (4L, 4L, 2L), (4L, 102L, 2L),
+      (10L, 10L, 2L), (10L, 11L, 2L)))
+    // the exactness pin: identical to a full recompute over the union
+    // pair set (ids AND sizes)
+    val full = CorpusOps.dupClusters(
+        corpusPairs.union(batchPairs).union(crossPairs))
+      .orderBy("cluster_id", "doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == full)
+  }
+
+  test("incrementalClusters with an empty delta returns the stored table unchanged") {
+    val corpusPairs = Seq((1L, 2L), (10L, 11L)).toDF("d1", "d2")
+    val stored = CorpusOps.dupClusters(corpusPairs)
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    val out = CorpusOps.incrementalClusters(stored, empty, empty)
+      .orderBy("cluster_id", "doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 2L), (1L, 2L, 2L), (10L, 10L, 2L), (10L, 11L, 2L)))
+  }
+
   test("lineDedup strips only the cross-doc duplicate lines and keeps order") {
     // with lineWords=2 the docs chunk into 2-word lines; "dup line" is
     // shared by docs 1 and 2, everything else is unique

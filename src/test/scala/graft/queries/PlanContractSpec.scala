@@ -470,6 +470,8 @@ class PlanContractSpec extends AnyFunSuite {
     val exempt = Set("l2_simhash", "l2_embedding_cosine", "l2_dup_clusters", "l3_semdedup",
       "l5_binary_neardup", // same adaptive banding-width count() as l2_simhash
       "l6_cluster_keeper", // builds dupClusters (the l2_dup_clusters exemption)
+      "l2_incremental_clusters", // builds the stored corpus table AND the
+      // delta rounds through dupClusters — twice in the same exemption class
       "q44_pagerank", "q46_ppr", "q47_pagerank_weighted", // GraphOps lineage-cuts
       "q48_components", "q49_bfs", "q56_sssp", "q57_kcore", "q50_triangles",
       "q63_wppr", "q64_lpa", "q65_hits", "q66_adamic_adar", // same iterative-graph seam: dupClusters
