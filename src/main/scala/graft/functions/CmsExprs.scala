@@ -34,28 +34,40 @@ object CmsExprs {
 /** Deserialize-once cache behind [[CmsEstimate]]: the sketch child is
   * a literal after Catalyst folds the scalar subquery, so every row of
   * a task evaluates it to the SAME byte-array reference. The cache is
-  * a per-THREAD (= per running task slot) single entry keyed on that
-  * reference: a task pays one parse on its first row and identity hits
-  * afterwards, a new query's sketch simply REPLACES the slot's entry,
-  * and total retention is bounded by live task slots × one sketch —
-  * a global map keyed on per-task array instances would instead pin
-  * every task's multi-MB sketch copy (plus its key bytes) on the
-  * executor heap for the JVM lifetime. Called from both interpreted
-  * and generated code. */
+  * per-THREAD (= per running task slot) with FOUR identity-keyed
+  * entries in a ring: a task pays one parse per distinct sketch and
+  * identity-hits afterwards — a SINGLE slot would thrash (re-parse a
+  * multi-MB sketch per row per probe) the moment one projection
+  * evaluates cms_estimate against two different sketches, which a
+  * two-sketch comparison query legitimately does. Ring eviction keeps
+  * total retention bounded by live task slots × 4 sketches — a global
+  * map keyed on per-task array instances would instead pin every
+  * task's sketch copy on the executor heap for the JVM lifetime.
+  * Called from both interpreted and generated code; each thread owns
+  * its ring, so no synchronization. */
 object CmsProbe {
-  private val slot = new ThreadLocal[(Array[Byte], CountMinSketch)]
+  private final val Entries = 4
 
-  def estimate(sketchBytes: Array[Byte], value: Long): Long = {
-    val cached = slot.get()
-    val cms =
-      if (cached != null && (cached._1 eq sketchBytes)) cached._2
-      else {
-        val parsed = CountMinSketch.readFrom(sketchBytes)
-        slot.set((sketchBytes, parsed))
-        parsed
+  private final class Ring {
+    private val keys = new Array[Array[Byte]](Entries)
+    private val vals = new Array[CountMinSketch](Entries)
+    private var next = 0
+    def get(k: Array[Byte]): CountMinSketch = {
+      var i = 0
+      while (i < Entries) {
+        if (keys(i) eq k) return vals(i)
+        i += 1
       }
-    cms.estimateCount(java.lang.Long.valueOf(value))
+      val parsed = CountMinSketch.readFrom(k)
+      keys(next) = k; vals(next) = parsed; next = (next + 1) % Entries
+      parsed
+    }
   }
+
+  private val slot = ThreadLocal.withInitial[Ring](() => new Ring)
+
+  def estimate(sketchBytes: Array[Byte], value: Long): Long =
+    slot.get().get(sketchBytes).estimateCount(java.lang.Long.valueOf(value))
 }
 
 case class CmsEstimate(left: Expression, right: Expression)

@@ -318,6 +318,21 @@ object GraphOps {
     pr.select(col("node"), col("deg"), col("pr"))
   }
 
+  /** Action-driven connected components for pipeline use: propagate
+    * until NO label changes ([[CorpusOps.dupClustersConverged]] under
+    * the generic-graph column names) — the production form when the
+    * component diameter is unknown; the fixed-round
+    * [[connectedComponents]] backs the oracle-gated queries. Superseded
+    * rounds release their checkpoint blocks as the convergence checks
+    * materialize them. */
+  def connectedComponentsConverged(edges: DataFrame, maxRounds: Int = 10,
+                                   reliable: Boolean = false)
+                                  (implicit scope: CacheScope): DataFrame =
+    CorpusOps.dupClustersConverged(
+      edges.select(col("src").as("d1"), col("dst").as("d2")), maxRounds, reliable)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"),
+        col("cluster_size").as("component_size"))
+
   /** ADAMIC-ADAR link prediction over an UNDIRECTED graph in canonical
     * form (each edge once, src < dst): for every NON-adjacent node
     * pair sharing >= 1 neighbor, score = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z)
@@ -423,6 +438,12 @@ object GraphOps {
     relaxLoop(edges.select(col("src"), col("dst"), col(weightCol).as("_w")),
       sources, col("_w"), rounds, reliable)
 
+  // Block lifetime (shared by every fixed-round loop here): per-round
+  // lazy checkpoints materialize at the caller's terminal action and
+  // hold blocks until the CacheScope closes — mid-loop release is only
+  // possible in the action-driven converged variants, where each
+  // convergence probe materializes a round before its predecessor is
+  // unpersisted. Callers iterating DEEP should use those.
   private def relaxLoop(edges: DataFrame, sources: DataFrame, step: Column,
                         rounds: Int, reliable: Boolean)
                        (implicit scope: CacheScope): DataFrame = {
@@ -454,7 +475,11 @@ object GraphOps {
     * identical to per-round normalization while keeping every
     * intermediate an exact INTEGER-valued double (bit-exact under any
     * shuffle order, no rounding contract inside the rounds; only the
-    * final divide rounds to `scale` to absorb the 1-ulp sqrt). On a
+    * final divide rounds to `scale` to absorb the 1-ulp sqrt). The
+    * exactness holds while pulls stay <= 2^53 — magnitudes grow
+    * ~deg^iters, so hub-heavy/deep runs CAN cross it; a guard on the
+    * final normalization aggregate raises an error (not silent drift)
+    * past 2^52, see the in-body comment. On a
     * bipartite source→consumer graph hubs score the source side and
     * authorities the consumer side. Nodes keep 0-valued rows via
     * node-universe left joins (a dropped row would poison the next
@@ -470,7 +495,8 @@ object GraphOps {
     // so deferring it to ONE final division leaves the direction
     // identical while every intermediate stays an INTEGER-valued
     // double (sums of 1s, then sums of integers — exact in IEEE up to
-    // 2^53, far above deg^iters at any sane depth). That makes the
+    // 2^53; pulls grow ~deg^iters, and the guard below fails loudly
+    // when a graph actually crosses the bound). That makes the
     // rounds bit-exact under ANY aggregation order with no decimal
     // casts and no per-round rounding contract at all; only the final
     // normalize needs round(scale) to kill the 1-ulp sqrt.
@@ -490,14 +516,40 @@ object GraphOps {
           .select(col("node"), coalesce(col("raw"), lit(0.0)).as("h")),
         reliable = false)
     }
+    // MAGNITUDE GUARD on the integer-exactness contract: the deferred
+    // normalization is bit-exact only while every pull stays <= 2^53
+    // (pull values are sums of non-negative integers, so partial sums
+    // are bounded by the final value — checking each side's MAX output
+    // covers every partial). Pull magnitudes grow ~deg^iters: a hub
+    // degree around 10^6 crosses 2^53 at iters = 3, at which point the
+    // contract would otherwise degrade SILENTLY to shuffle-order last
+    // ulps. An overflow at an earlier round forces a >= as-large value
+    // on some node in every later round (each overflowed node's value
+    // feeds a neighbor's non-negative sum), so guarding the FINAL max
+    // of both sides catches intermediate overflow too; the threshold is
+    // 2^52 for headroom. The guard rides the one aggregate the
+    // normalization already runs — no extra pass, and it fails LOUDLY
+    // (raise_error) instead of returning drifting ranks. Remedies: fewer
+    // iters, or pre-aggregate parallel edges (multiplicity inflates
+    // pulls fastest).
+    val maxExactPull = math.pow(2, 52)
     val n2 = broadcast(hub.join(auth, "node").agg(
-      sum(col("h") * col("h")).as("hn2"), sum(col("a") * col("a")).as("an2")))
+      sum(col("h") * col("h")).as("hn2"), sum(col("a") * col("a")).as("an2"),
+      greatest(max(col("h")), max(col("a"))).as("maxpull")))
+    val guarded = when(col("maxpull") > maxExactPull,
+      raise_error(concat(lit("hits(): pull magnitude "), col("maxpull"),
+        lit(s" exceeded 2^52 after $iters iterations — the deferred-" +
+          "normalization integer-exactness contract no longer holds on " +
+          "this graph (hub degree too large for this depth); reduce " +
+          "iters or pre-aggregate parallel edges"))).cast("double"))
     hub.join(auth, "node").crossJoin(n2)
       .select(col("node"),
-        when(col("hn2") > 0, round(col("h") / sqrt(col("hn2")), scale))
-          .otherwise(lit(0.0)).as("hub"),
-        when(col("an2") > 0, round(col("a") / sqrt(col("an2")), scale))
-          .otherwise(lit(0.0)).as("auth"))
+        coalesce(guarded,
+          when(col("hn2") > 0, round(col("h") / sqrt(col("hn2")), scale))
+            .otherwise(lit(0.0))).as("hub"),
+        coalesce(guarded,
+          when(col("an2") > 0, round(col("a") / sqrt(col("an2")), scale))
+            .otherwise(lit(0.0))).as("auth"))
   }
 
   /** LABEL PROPAGATION communities (synchronous LPA, Raghavan et al.
@@ -516,6 +568,18 @@ object GraphOps {
     * count + a node-sized max_by aggregate — no sort, no window; the
     * label table is lineage-cut per round. Returns (node, community)
     * with community = the surviving label. */
+  /** One synchronous-LPA round: edge join + (node, label) count + the
+    * deterministic max_by argmax — (c, -lbl) is unique per (node, lbl),
+    * so the highest count wins with ties to the SMALLER label. Shared
+    * by the fixed-round and converged variants so the tie-break rule
+    * cannot drift between them. */
+  private def lpaStep(e: DataFrame, lbl: DataFrame): DataFrame =
+    e.join(lbl, e("src") === lbl("node"))
+      .select(col("dst").as("node"), col("lbl"))
+      .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+      .groupBy("node").agg(
+        max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("t"))).as("lbl"))
+
   def labelPropagation(edges: DataFrame, rounds: Int = 3,
                        reliable: Boolean = false)
                       (implicit scope: CacheScope): DataFrame = {
@@ -524,17 +588,53 @@ object GraphOps {
     var lbl = scope.checkpointed(
       e.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node")), reliable)
-    for (_ <- 1 to rounds) {
-      val counts = e.join(lbl, e("src") === lbl("node"))
-        .select(col("dst").as("node"), col("lbl"))
-        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
-      // (c, -lbl) is unique per (node, lbl), so max_by is deterministic:
-      // highest count wins, ties to the SMALLER label
-      lbl = scope.checkpointed(
-        counts.groupBy("node").agg(
-          max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("t"))).as("lbl")),
-        reliable)
+    for (_ <- 1 to rounds)
+      lbl = scope.checkpointed(lpaStep(e, lbl), reliable)
+    lbl.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** Action-driven LPA for pipeline use: iterate [[lpaStep]] until NO
+    * label changes, up to `maxRounds` — the production termination rule
+    * ([[labelPropagation]]'s fixed rounds back the oracle-gated query:
+    * construction must stay action-free). Each round's change check is
+    * one node-sized join existence probe; it materializes the round's
+    * checkpoint, after which the SUPERSEDED round's blocks are released
+    * — so a long run holds two label tables, not `rounds` of them (the
+    * fixed-round loop cannot release mid-construction: its checkpoints
+    * are lazy and unpersisting an unmaterialized lazy local checkpoint
+    * would invalidate the terminal action; its blocks live until the
+    * scope closes, which is why deep iteration belongs HERE).
+    *
+    * Synchronous LPA can OSCILLATE (a 2-cycle of label swaps — the
+    * classic bipartite failure mode), in which case `maxRounds` is
+    * exhausted and a WARN is logged; the returned table is the last
+    * iterate, exactly what the fixed-round form at `maxRounds` rounds
+    * would produce. Returns (node, community). */
+  def labelPropagationConverged(edges: DataFrame, maxRounds: Int = 20,
+                                reliable: Boolean = false)
+                               (implicit scope: CacheScope): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
+    val (rs, e) = roundSetup(edges.select(col("src"), col("dst")), reliable)
+    var lbl = scope.checkpointed(
+      e.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")), reliable)
+    var round = 0
+    var changed = true
+    while (round < maxRounds && changed) {
+      val next = scope.checkpointed(lpaStep(e, lbl), reliable)
+      // the existence probe materializes `next` (its plan reads lbl's
+      // blocks), so the superseded round is releasable right after
+      changed = !next.as("n").join(lbl.as("p"), col("n.node") === col("p.node"))
+        .filter(col("n.lbl") =!= col("p.lbl")).isEmpty
+      if (!reliable) CacheScope.unpersistPlanRdds(lbl)
+      lbl = next
+      round += 1
     }
+    if (changed)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"labelPropagationConverged exhausted maxRounds=$maxRounds " +
+          "without a fixpoint — synchronous LPA oscillates on some graphs " +
+          "(label 2-cycles); returning the last iterate")
     lbl.select(col("node"), col("lbl").as("community"))
   }
 
@@ -549,7 +649,16 @@ object GraphOps {
     * in the surviving subgraph, >= k wherever a further peel would
     * change nothing. Per round: one edge-sized degree aggregate + two
     * semi joins filtering the edge table; edge table lineage-cut per
-    * round. All integers. */
+    * round. All integers.
+    *
+    * Block lifetime: the per-round checkpoints are LAZY — they
+    * materialize together at the caller's terminal action and their
+    * blocks live until the [[CacheScope]] closes (they cannot be
+    * released mid-construction: unpersisting an unmaterialized lazy
+    * local checkpoint invalidates the terminal action). Two tables per
+    * round × a LARGE `rounds` is real storage — deep or unknown-depth
+    * peels belong on [[kCoreConverged]], which releases superseded
+    * rounds as its convergence actions materialize them. */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 4,
             reliable: Boolean = false)
            (implicit scope: CacheScope): DataFrame = {
@@ -570,6 +679,64 @@ object GraphOps {
           .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
           .select("src", "dst"), reliable)
     }
+    degrees(e).filter(col("deg") >= k)
+  }
+
+  /** Action-driven k-core for pipeline use: peel until the SURVIVOR
+    * COUNT stops changing — the survivor set only ever shrinks, so an
+    * unchanged count means an unchanged set, i.e. the true k-core
+    * fixpoint (this closes the fixed-round form's silent under-peel: at
+    * an unknown depth, [[kCore]]'s `rounds` rounds return a SUPERSET of
+    * the k-core — fine for the replayable oracle query, wrong for a
+    * pipeline that acts on the result). Each round's survivor count is
+    * one node-sized aggregate action that also materializes the round's
+    * checkpoints, after which the superseded edge/survivor tables
+    * release their blocks — a deep peel holds one round of state, not
+    * `rounds` of it (the fixed-round loop cannot release
+    * mid-construction: lazy checkpoints materialize only at the
+    * caller's terminal action). Exhausting `maxRounds` logs a WARN and
+    * returns the last (possibly under-peeled) iterate. Returns the
+    * surviving (node, deg) table exactly as [[kCore]] would at the
+    * convergence depth. */
+  def kCoreConverged(edges: DataFrame, k: Int, maxRounds: Int = 20,
+                     reliable: Boolean = false)
+                    (implicit scope: CacheScope): DataFrame = {
+    require(k >= 1 && maxRounds >= 1,
+      s"k/maxRounds must be >= 1 (got $k/$maxRounds)")
+    val setup = roundSetup(edges.select(col("src"), col("dst")), reliable)
+    var e = setup._2
+    def degrees(ed: DataFrame): DataFrame =
+      ed.select(col("src").as("node")).union(ed.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var survivors = -1L
+    var stable = false
+    var round = 0
+    var pending = List.empty[DataFrame]
+    while (round < maxRounds && !stable) {
+      val keep = scope.checkpointed(
+        degrees(e).filter(col("deg") >= k).select("node"), reliable)
+      val n = keep.count() // materializes keep AND the current e leaf
+      if (!reliable) { pending.foreach(CacheScope.unpersistPlanRdds) }
+      pending = Nil
+      stable = n == survivors
+      survivors = n
+      round += 1
+      if (!stable) {
+        val prevE = e
+        e = scope.checkpointed(
+          e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+            .select("src", "dst"), reliable)
+        // the new e is LAZY — the next round's count materializes it;
+        // only then are its inputs (old e, keep) safe to release
+        pending = List(keep, prevE)
+      }
+    }
+    if (!stable)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"kCoreConverged exhausted maxRounds=$maxRounds before the " +
+          "peel reached its fixpoint — the result is a SUPERSET of the " +
+          s"$k-core; raise maxRounds")
     degrees(e).filter(col("deg") >= k)
   }
 

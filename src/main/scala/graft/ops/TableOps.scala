@@ -45,6 +45,12 @@ object TableOps {
     * appended) must totally order each key's changes — the usual
     * commit-LSN / kafka-offset contract.
     *
+    * Null-op contract: `opCol` must be NON-NULL on a winning row — a
+    * null op is a malformed changelog record, and the plain
+    * `op != 'delete'` filter would silently treat it as a DELETE
+    * (null predicate → row dropped), losing the key. The filter raises
+    * an error instead; losing rows never have their op inspected.
+    *
     * Shape: one key-partitioned window (rank by seq desc) + a filter —
     * the rank predicate compiles to WindowGroupLimit, so each input
     * partition forwards at most one row per key into the exchange. */
@@ -52,8 +58,14 @@ object TableOps {
                opCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
     val order = (Seq(seqCol) ++ tieBreak).map(c => col(c).desc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val opOk = when(col(opCol).isNull,
+      raise_error(concat(lit(s"cdcApply: NULL $opCol on the winning row for key ("),
+        concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+        lit(") — a null op would silently act as a delete; fix the changelog")))
+        .cast("boolean"))
+      .otherwise(col(opCol) =!= "delete")
     changelog.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && col(opCol) =!= "delete")
+      .filter(col("_rn") === 1 && opOk)
       .drop("_rn")
   }
 

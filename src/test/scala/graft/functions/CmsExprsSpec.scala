@@ -36,6 +36,26 @@ class CmsExprsSpec extends AnyFunSuite {
     (1 to 20).foreach(k => assert(rows(k.toLong) >= k))
   }
 
+  test("cms_estimate against two different sketches in one projection stays correct") {
+    // the probe cache is a per-thread identity ring: a projection
+    // evaluating TWO sketches per row must hit the right parse for
+    // each (a single-entry cache would thrash but stay correct; a
+    // buggy ring could return the wrong sketch's counts)
+    val a = (1 to 50).flatMap(k => Seq.fill(k)(k.toLong)).toDF("v")
+    val b = (1 to 50).flatMap(k => Seq.fill(2 * k)(k.toLong)).toDF("v")
+    val sa = a.agg(expr("count_min_sketch(v, 0.00003d, 0.99d, 42)")).scalar()
+    val sb = b.agg(expr("count_min_sketch(v, 0.00003d, 0.99d, 43)")).scalar()
+    val est = a.distinct()
+      .select(col("v"),
+        CmsExprs.cms_estimate(sa, col("v")).as("ea"),
+        CmsExprs.cms_estimate(sb, col("v")).as("eb"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    (1 to 50).foreach { k =>
+      assert(est(k.toLong) == ((k.toLong, 2L * k)),
+        s"two-sketch probe mixed results at $k: ${est(k.toLong)}")
+    }
+  }
+
   test("heavyGrams equals the ungated exact computation (gate prunes work, not answers)") {
     val docs = graft.Tables(spark, SparkFixture.sfDir, "documents")
     val gated = graft.ops.CorpusOps.heavyGrams(docs)

@@ -373,4 +373,93 @@ class GraphOpsSpec extends AnyFunSuite {
       10L -> (10L, 2L), 11L -> (10L, 2L),
       20L -> (20L, 2L), 21L -> (20L, 2L)))
   }
+
+  test("kCoreConverged reaches the fixpoint a shallow fixed-round peel misses") {
+    // path 0-1-...-12 with k = 2: every peel only removes the two
+    // current endpoints, so the 2-core (empty) needs 6+ rounds — the
+    // fixed 4-round default under-peels (returns a non-empty SUPERSET),
+    // the converged variant peels to empty and stops
+    val path = (0L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val fixed = GraphOps.kCore(path, k = 2, rounds = 4)
+    assert(!fixed.isEmpty, "fixture drift: 4 rounds should under-peel this path")
+    assert(GraphOps.kCoreConverged(path, k = 2).isEmpty,
+      "converged peel must reach the (empty) 2-core fixpoint")
+    // fixpoint equality with the fixed-round form on a graph where the
+    // peel terminates fast: the K4 + tail fixture from the kCore test
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (1L, 7L)).toDF("src", "dst")
+    val conv = GraphOps.kCoreConverged(edges, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fx = GraphOps.kCore(edges, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(conv == fx && conv == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // empty input: empty result, no error
+    assert(GraphOps.kCoreConverged(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), k = 2).isEmpty)
+  }
+
+  test("labelPropagationConverged stops at the fixpoint and matches fixed rounds") {
+    // a triangle with one pendant converges in a few rounds: after the
+    // labels stabilize, the change probe stops the loop, and the result
+    // equals the fixed-round form run to the same depth (replay the
+    // local rule far past convergence to find the fixpoint)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 9L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val conv = GraphOps.labelPropagationConverged(edges, maxRounds = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    var prev = lbl.map { case (k, _) => k -> -1L }
+    var n = 0
+    while (lbl != prev && n < 10) {
+      prev = lbl
+      lbl = adj.map { case (node, nbrs) =>
+        val freq = nbrs.groupBy(lbl).view.mapValues(_.size)
+        node -> freq.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+      n += 1
+    }
+    assert(lbl == prev, "replay fixture must converge inside 10 rounds")
+    assert(conv == lbl, s"engine $conv vs replay fixpoint $lbl")
+  }
+
+  test("labelPropagationConverged on an oscillating 2-cycle returns the last iterate") {
+    // a single undirected edge swaps labels forever (the synchronous-
+    // LPA 2-cycle): the loop must exhaust maxRounds, WARN, and return
+    // exactly what the fixed-round form produces at the same depth
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val conv = GraphOps.labelPropagationConverged(edges, maxRounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fixed = GraphOps.labelPropagation(edges, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(conv == fixed, s"oscillating last iterate drifted: $conv vs $fixed")
+    assert(conv == Map(1L -> 2L, 2L -> 1L), "odd round count must show the swap")
+  }
+
+  test("connectedComponentsConverged matches the fixed-round components") {
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L)).toDF("src", "dst")
+    val conv = GraphOps.connectedComponentsConverged(edges).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val fixed = GraphOps.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(conv == fixed)
+  }
+
+  test("hits raises loudly when pull magnitudes cross the 2^52 exactness bound") {
+    // star 0 -> {1..100}: hub(0) multiplies by 100 per iteration, so 9
+    // iterations reach 1e18 > 2^52 — the guard must fail the action
+    // with the documented message instead of returning drifting ranks
+    val star = (1L to 100L).map(i => (0L, i)).toDF("src", "dst")
+    val ex = intercept[Exception] {
+      GraphOps.hits(star, iters = 9).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("2^52")),
+      s"expected the magnitude-guard error, got: $ex")
+    // the same star within bounds still evaluates (3 iters -> 1e6 pulls)
+    assert(GraphOps.hits(star, iters = 3).count() == 101L)
+  }
 }

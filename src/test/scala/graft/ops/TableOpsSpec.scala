@@ -39,6 +39,28 @@ class TableOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, "y"), (3L, "z")))
   }
 
+  test("cdcApply: a NULL op on the winning row fails loudly; on a losing row it is ignored") {
+    // losing null op (key 1, seq 1): never inspected — the upsert wins
+    val ok = Seq(
+      (1L, 1L, null.asInstanceOf[String], "x"), (1L, 2L, "upsert", "y"))
+      .toDF("k", "seq", "op", "v")
+    val got = TableOps.cdcApply(ok, Seq("k"), "seq", "op")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "y")))
+    // winning null op: the plain op != 'delete' filter would silently
+    // DROP the key (null predicate) — the contract is to fail instead
+    val bad = Seq(
+      (2L, 1L, "upsert", "a"), (2L, 2L, null.asInstanceOf[String], "b"))
+      .toDF("k", "seq", "op", "v")
+    val ex = intercept[Exception] {
+      TableOps.cdcApply(bad, Seq("k"), "seq", "op").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("NULL op")),
+      s"expected the null-op contract error, got: $ex")
+  }
+
   test("scd2 collapses unchanged runs into intervals with an open current row") {
     val ch = Seq(
       (1L, 10L, "A", 1L), (1L, 20L, "A", 2L), (1L, 30L, "B", 3L), (1L, 40L, "A", 4L),
