@@ -147,6 +147,37 @@ object Stress {
       println(f"""{"stress":"graph_triangles","base_edges":100000,"base":$tBase%.3f,"scaled_edges":${100000 * factor},"scaled":$tScaled%.3f,"ratio":${tScaled / tBase}%.1f}""")
     }
 
+    // ADAMIC-ADAR under a hub: the derived cap (~sqrt(2E)) keeps wedge
+    // volume (2E)^1.5-bounded at ANY size — the star hub (highest
+    // degree) exceeds the cap at both scales and generates no wedges,
+    // while the cap GROWS with the graph so mid-degree centers are not
+    // silently dropped at 10x. Measured ratio should track the edge
+    // ratio, not its square. Same star+chords graph as graph_triangles.
+    def timeAdamicAdar(nEdges: Int): Double = {
+      val nodes = nEdges / 2L
+      val spokes = spark.range(1, nodes / 5)
+        .selectExpr("cast(0 as bigint) as src", "id as dst")
+      val chords = spark.range(nEdges.toLong)
+        .selectExpr(s"1 + (id * 6364136223) % $nodes as a",
+          s"1 + (id * 2654435761) % $nodes as b")
+        .selectExpr("least(a, b) as src", "greatest(a, b) as dst")
+        .filter("src < dst").distinct()
+      val t0 = System.nanoTime()
+      graft.ops.GraphOps.adamicAdar(spokes.union(chords).distinct())(
+        graft.ops.CacheScope.sessionOwned)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      dt
+    }
+    if (only.isEmpty || only("graph_adamic")) {
+      timeAdamicAdar(100000) // warm-up
+      val aBase = timeAdamicAdar(100000)
+      val aScaled = timeAdamicAdar(100000 * factor)
+      println(f"""{"stress":"graph_adamic","base_edges":100000,"base":$aBase%.3f,"scaled_edges":${100000 * factor},"scaled":$aScaled%.3f,"ratio":${aScaled / aBase}%.1f}""")
+    }
+
     // INCREMENTAL CLUSTER ASSIGNMENT: the batch-sized-work claim. The
     // stored cluster table grows factor× (persisted to parquet first —
     // assignment must not re-pay the corpus propagation), the ingest

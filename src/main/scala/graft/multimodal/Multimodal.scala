@@ -125,6 +125,76 @@ object Multimodal {
       (rate, channels, dataSize / blockAlign)
     }
 
+    /** Minimal structurally-valid baseline JPEG: SOI, an APP0/JFIF
+      * segment, a COM segment carrying `comment`, the SOF0 frame
+      * header (8-bit precision, 3 components, big-endian u16 dims),
+      * EOI. No entropy-coded data — this is the header surface a
+      * dimension parser walks; total size = 45 + comment bytes. */
+    def encodeJpeg(width: Int, height: Int, comment: Array[Byte]): Array[Byte] = {
+      require(width >= 1 && width <= 0xFFFF && height >= 1 && height <= 0xFFFF,
+        s"JPEG dims must fit u16 (got $width x $height)")
+      val bb = java.nio.ByteBuffer.allocate(45 + comment.length) // big-endian
+      bb.putShort(0xFFD8.toShort) // SOI
+      bb.putShort(0xFFE0.toShort).putShort(16) // APP0, len 16
+        .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+        .putShort(0x0101.toShort).put(0.toByte) // v1.1, aspect-ratio units
+        .putShort(1).putShort(1).put(0.toByte).put(0.toByte) // density, no thumb
+      bb.putShort(0xFFFE.toShort).putShort((2 + comment.length).toShort)
+        .put(comment) // COM
+      bb.putShort(0xFFC0.toShort).putShort(17).put(8.toByte) // SOF0, precision 8
+        .putShort(height.toShort).putShort(width.toShort).put(3.toByte)
+      for (c <- 1 to 3) // component id, sampling 1x1, quant table 0
+        bb.put(c.toByte).put(0x11.toByte).put(0.toByte)
+      bb.putShort(0xFFD9.toShort) // EOI
+      bb.array()
+    }
+
+    /** SOF marker classes carrying a frame header (baseline 0xC0
+      * through lossless, EXCLUDING the non-frame C-row markers DHT C4,
+      * JPG C8, DAC CC). */
+    private def isSofMarker(m: Int): Boolean =
+      m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+
+    /** Real JPEG dimension parse: walk the marker segments from SOI to
+      * the first SOF frame header (any SOF class — baseline SOF0,
+      * progressive SOF2, ...) and read the big-endian u16 dimensions;
+      * standalone markers (RST, TEM) have no length field and fill
+      * bytes (FF FF ...) are skipped per the spec. Reaching SOS or EOI
+      * without a SOF, losing marker sync, or a height of 0 (the
+      * DNL-deferred case a header-only parser cannot resolve) FAILS
+      * like every other malformed parse. Frames = 1: still image. */
+    def decodeJpeg(payload: Array[Byte]): (Int, Int, Int) = {
+      require(payload.length >= 4 &&
+        (payload(0) & 0xFF) == 0xFF && (payload(1) & 0xFF) == 0xD8,
+        "not a JPEG payload (missing SOI)")
+      var i = 2
+      while (i + 1 < payload.length) {
+        require((payload(i) & 0xFF) == 0xFF, s"JPEG marker sync lost at offset $i")
+        var j = i + 1
+        while ((payload(j) & 0xFF) == 0xFF && j + 1 < payload.length) j += 1 // fill bytes
+        val m = payload(j) & 0xFF
+        val seg = j + 1
+        if (isSofMarker(m)) {
+          require(seg + 7 <= payload.length, "truncated SOF segment")
+          val h = ((payload(seg + 3) & 0xFF) << 8) | (payload(seg + 4) & 0xFF)
+          val w = ((payload(seg + 5) & 0xFF) << 8) | (payload(seg + 6) & 0xFF)
+          require(w > 0 && h > 0, "JPEG SOF carries zero dimensions (DNL-deferred height)")
+          return (w, h, 1)
+        } else if (m == 0xD9 || m == 0xDA) {
+          throw new IllegalArgumentException(
+            "JPEG reached " + (if (m == 0xDA) "SOS" else "EOI") + " without a SOF frame header")
+        } else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+          i = seg // TEM/RST: standalone, no length
+        } else {
+          require(seg + 2 <= payload.length, "truncated JPEG segment length")
+          val len = ((payload(seg) & 0xFF) << 8) | (payload(seg + 1) & 0xFF)
+          require(len >= 2, s"corrupt JPEG segment length $len at offset $seg")
+          i = seg + len
+        }
+      }
+      throw new IllegalArgumentException("JPEG ended without a SOF frame header")
+    }
+
     /** Stub header for formats that need a real media library. */
     def decodeGrft(payload: Array[Byte]): (Int, Int, Int) = {
       val bb = java.nio.ByteBuffer.wrap(payload)
@@ -132,12 +202,15 @@ object Multimodal {
       (bb.getInt(), bb.getInt(), bb.getInt())
     }
 
-    /** (width, height, frames) by declared format — `bmp` and `wav`
-      * parse REAL bytes; `grft` is the documented deterministic stub. */
+    /** (width, height, frames) by declared format — `bmp`, `wav`, and
+      * `jpg`/`jpeg` parse REAL bytes; `grft` is the documented
+      * deterministic stub (MP3/video need codec libraries this
+      * container does not ship). */
     def decodeDims(fmt: String, payload: Array[Byte]): (Int, Int, Int) = fmt match {
-      case "bmp" => decodeBmp(payload)
-      case "wav" => decodeWav(payload)
-      case _     => decodeGrft(payload)
+      case "bmp"          => decodeBmp(payload)
+      case "wav"          => decodeWav(payload)
+      case "jpg" | "jpeg" => decodeJpeg(payload)
+      case _              => decodeGrft(payload)
     }
 
     /** Back-compat single-format entry (the stub header). */

@@ -348,18 +348,39 @@ object GraphOps {
     * df-cap discipline the near-dup family uses for boilerplate
     * shingles; a SQL replay applies the same cap, so results stay
     * engine-exact. Existing edges are anti-joined away. Returns
-    * (a, b, score), a < b, unrounded (callers round for ranking). */
-  def adamicAdar(edges: DataFrame, hubCap: Int = 64)
+    * (a, b, score), a < b, unrounded (callers round for ranking).
+    *
+    * `hubCap` <= 0 (the default) DERIVES the cap from the graph:
+    * cap = max(64, the smallest power of two whose SQUARE is >= 2E) —
+    * i.e. ~√(2E) — which bounds wedge volume Σ_{deg<=cap} deg² <=
+    * cap·2E ≈ (2E)^1.5, the same E^1.5 discipline the triangle count
+    * gets from degree orientation, at ANY graph size (a fixed literal
+    * is only right at one scale: too tight on big graphs — silently
+    * dropping meaningful mid-degree centers — too loose on none). The
+    * derivation is integer-only (power-of-two search, no float sqrt)
+    * so a SQL replay lands on the identical cap, and costs one count
+    * of the already-checkpointed edge leaf at construction (the
+    * adaptive-parameter class l2_simhash documents; this op is already
+    * in the checkpoint-at-construction exemption family). */
+  def adamicAdar(edges: DataFrame, hubCap: Int = 0)
                 (implicit scope: CacheScope): DataFrame = {
     val ed = scope.checkpointed(edges.select(col("src"), col("dst")),
       reliable = false)
+    val cap: Long =
+      if (hubCap > 0) hubCap.toLong
+      else {
+        val e = ed.count()
+        var b = 0
+        while (b < 31 && (1L << b) * (1L << b) < 2 * e) b += 1
+        math.max(64L, 1L << b)
+      }
     val e2 = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
     val deg = e2.groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
     // wedge through LOW-degree centers only; weight rides the center.
     // deg >= 2: a deg-1 center cannot form a wedge anyway, and its
     // 1/ln(1) weight would divide by zero under ANSI before the wedge
     // join ever filtered it
-    val zw = e2.join(deg.filter(col("deg") >= 2 && col("deg") <= hubCap),
+    val zw = e2.join(deg.filter(col("deg") >= 2 && col("deg") <= cap),
         col("src") === col("z"))
       .select(col("src").as("z2"), col("dst").as("n"),
         (lit(1.0) / log(col("deg").cast("double"))).as("w"))
@@ -370,6 +391,57 @@ object GraphOps {
     scored.join(ed, scored("a") === ed("src") && scored("b") === ed("dst"),
         "left_anti")
       .select(col("a"), col("b"), col("score"))
+  }
+
+  /** MODULARITY of a community assignment (Newman & Girvan): per
+    * community c over an UNDIRECTED canonical edge list (each edge
+    * once, src < dst), with m = |E|, e_c = intra-community edges and
+    * d_c = Σ degrees of c's members,
+    *   contribution(c) = e_c/m − (d_c/2m)²
+    * and Q = Σ_c contribution — the standard "are these communities
+    * real" score for grading [[labelPropagation]] output (Q near 0:
+    * no better than random given the degree sequence; dense real
+    * communities land well above).
+    *
+    * Determinism: e_c, d_c, m are exact integers; the contribution is
+    * computed as ONE division of exact integer terms,
+    * (4·m·e_c − d_c²) / (4·m²), rounded to `scale` — a SQL replay of
+    * the same spelling matches bit-for-bit. (At extreme scale note
+    * d_c² and 4m² must fit a long: fine until 2m approaches 3·10⁹
+    * edge-endpoints per community — cast the terms to double past
+    * that, trading the last-ulp contract.)
+    *
+    * Cost shape: one edge-sized double label join + two edge-sized
+    * partial-aggregatable counts + node-sized community sizes; the
+    * edge count enters as one broadcast 1-row aggregate. `communities`
+    * must cover every edge endpoint ([[labelPropagation]] output
+    * does); uncovered endpoints would drop their edges from the score.
+    * Returns (community, n_nodes, deg_sum, e_in, contribution). */
+  def modularity(edges: DataFrame, communities: DataFrame, scale: Int = 9)
+                (implicit scope: CacheScope): DataFrame = {
+    val ed = edges.select(col("src"), col("dst"))
+    val cm = scope.cached(communities.select(col("node"), col("community")))
+    val m = ed.agg(count(lit(1)).as("m"))
+    val lab = ed
+      .join(cm.select(col("node").as("src"), col("community").as("c1")), "src")
+      .join(cm.select(col("node").as("dst"), col("community").as("c2")), "dst")
+    val degSum = lab.select(explode(array(col("c1"), col("c2"))).as("community"))
+      .groupBy("community").agg(count(lit(1)).as("deg_sum"))
+    val eIn = lab.filter(col("c1") === col("c2"))
+      .groupBy(col("c1").as("community")).agg(count(lit(1)).as("e_in"))
+    cm.groupBy("community").agg(count(lit(1)).as("n_nodes"))
+      .join(degSum, Seq("community"), "left")
+      .join(eIn, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("m"))
+      .select(col("community"), col("n_nodes"), col("deg_sum"), col("e_in"),
+        when(col("m") > 0, round(
+          (lit(4L) * col("m") * col("e_in") - col("deg_sum") * col("deg_sum"))
+            .cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double"), scale))
+          .otherwise(lit(0.0)).as("contribution"))
   }
 
   /** Both directions of an edge list, distinct — the undirected form

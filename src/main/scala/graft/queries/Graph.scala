@@ -316,11 +316,15 @@ object Graph {
 
   // ADAMIC-ADAR link prediction (q66): which co-purchase edges are
   // "missing"? Non-adjacent part pairs scored by Σ 1/ln(deg) over
-  // shared neighbors (GraphOps.adamicAdar; hub centers above deg 64
-  // excluded from wedge generation — the df-cap discipline, replayed
-  // by the oracle). Scores are sums of per-center doubles whose
-  // shuffle-order drift (~1e-13) dies at round(6); ranking ties break
-  // on (a, b). Top-50 predicted links.
+  // shared neighbors (GraphOps.adamicAdar). Hub centers are excluded
+  // from wedge generation above a SCALE-DERIVED cap — max(64, the
+  // smallest power of two whose square is >= 2E), ~√(2E), bounding
+  // wedge volume at (2E)^1.5 at any graph size; the derivation is
+  // integer-only and the oracle re-derives the identical cap from
+  // count(*) (the l2_simhash adaptive-parameter pattern). Scores are
+  // sums of per-center doubles whose shuffle-order drift (~1e-13)
+  // dies at round(6); ranking ties break on (a, b). Top-50 predicted
+  // links.
   private val q66 = QueryDef(
     "q66_adamic_adar",
     (s, dir) => {
@@ -333,12 +337,17 @@ object Graph {
         .orderBy("rnk")
     },
     Some(s"""WITH $coEdgesCte,
+            |prm AS (SELECT GREATEST(64, (SELECT MIN(1::BIGINT << b)
+            |        FROM (SELECT unnest(range(0, 31)) AS b)
+            |        WHERE (1::BIGINT << b) * (1::BIGINT << b) >=
+            |              2 * (SELECT count(*) FROM pe))) AS cap),
             |e2 AS (SELECT p1 AS src, p2 AS dst FROM pe
             |       UNION ALL SELECT p2, p1 FROM pe),
             |deg AS (SELECT src AS z, count(*) AS deg FROM e2 GROUP BY src),
             |zw AS (SELECT e2.src AS z2, e2.dst AS n,
             |              1.0 / ln(CAST(deg.deg AS DOUBLE)) AS w
-            |       FROM e2 JOIN deg ON e2.src = deg.z WHERE deg.deg BETWEEN 2 AND 64),
+            |       FROM e2 JOIN deg ON e2.src = deg.z
+            |       WHERE deg.deg >= 2 AND deg.deg <= (SELECT cap FROM prm)),
             |pairs AS (SELECT l.n AS a, r.n AS b, l.w
             |          FROM zw l JOIN zw r ON l.z2 = r.z2 AND l.n < r.n),
             |scored AS (SELECT a, b, SUM(w) AS score FROM pairs GROUP BY a, b),
@@ -350,5 +359,63 @@ object Graph {
             |SELECT row_number() OVER (ORDER BY score DESC, a, b) AS rnk, a, b, score
             |FROM top ORDER BY rnk""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66)
+  // MODULARITY (q69): grade q64's LPA communities with the standard
+  // "are these communities real" score — per community c, with
+  // m = |canonical edges|, e_c intra-community edges, d_c the degree
+  // sum, contribution = e_c/m − (d_c/2m)², Q = Σ contributions
+  // (Newman-Girvan; GraphOps.modularity). The contribution is ONE
+  // division of exact integer terms, (4·m·e_c − d_c²)/(4m²), rounded
+  // to 9 — both engines divide the identical longs, so the round is
+  // pure belt-and-suspenders. The oracle replays q64's three LPA
+  // rounds then the same integer aggregates.
+  private val q69 = QueryDef(
+    "q69_modularity",
+    (s, dir) => {
+      val pe = graft.ops.CacheScope.sessionOwned
+        .checkpointed(coEdges(s, dir), reliable = false)
+      val edges = pe.union(pe.select(col("p2").as("p1"), col("p1").as("p2")))
+        .toDF("src", "dst")
+      val com = graft.ops.GraphOps.labelPropagation(edges)
+      graft.ops.GraphOps.modularity(pe.toDF("src", "dst"), com)
+        .orderBy("community")
+    },
+    Some(s"""WITH $coEdgesCte,
+            |e AS (SELECT p1 AS src, p2 AS dst FROM pe
+            |      UNION ALL SELECT p2, p1 FROM pe),
+            |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+            |c1 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+            |       FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+            |l1 AS MATERIALIZED (SELECT node, lbl FROM (
+            |  SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+            |  FROM c1) WHERE rn = 1),
+            |c2 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+            |       FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+            |l2 AS MATERIALIZED (SELECT node, lbl FROM (
+            |  SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+            |  FROM c2) WHERE rn = 1),
+            |c3 AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+            |       FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+            |l3 AS MATERIALIZED (SELECT node, lbl FROM (
+            |  SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+            |  FROM c3) WHERE rn = 1),
+            |cm AS (SELECT node, lbl AS community FROM l3),
+            |mm AS (SELECT count(*) AS m FROM pe),
+            |lab AS (SELECT x.community AS ca, y.community AS cb
+            |        FROM pe JOIN cm x ON pe.p1 = x.node JOIN cm y ON pe.p2 = y.node),
+            |degsum AS (SELECT community, count(*) AS deg_sum FROM
+            |           (SELECT ca AS community FROM lab
+            |            UNION ALL SELECT cb FROM lab) GROUP BY community),
+            |ein AS (SELECT ca AS community, count(*) AS e_in FROM lab
+            |        WHERE ca = cb GROUP BY ca),
+            |nn AS (SELECT community, count(*) AS n_nodes FROM cm GROUP BY community)
+            |SELECT nn.community, nn.n_nodes,
+            |       coalesce(degsum.deg_sum, 0) AS deg_sum,
+            |       coalesce(ein.e_in, 0) AS e_in,
+            |       round(CAST(4 * (SELECT m FROM mm) * coalesce(ein.e_in, 0)
+            |                  - coalesce(degsum.deg_sum, 0) * coalesce(degsum.deg_sum, 0) AS DOUBLE)
+            |             / CAST(4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS DOUBLE), 9) AS contribution
+            |FROM nn LEFT JOIN degsum USING (community) LEFT JOIN ein USING (community)
+            |ORDER BY community""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66, q69)
 }

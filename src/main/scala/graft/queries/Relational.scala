@@ -2033,6 +2033,110 @@ object Relational {
             |            ELSE 'c' || (node // 2) END AS node, score
             |FROM u ORDER BY role, rnk""".stripMargin))
 
+  // TPC-H Q18 (q67) — large-volume customers: orders whose TOTAL line
+  // quantity exceeds 300, with customer and order detail. The shape
+  // under test is the group-HAVING-IN decorrelation over a FACT-FACT
+  // aggregate: the naive spelling re-aggregates lineitem per order row
+  // (`WHERE o_orderkey IN (SELECT .. HAVING ..)` evaluated row-at-a-
+  // time); the one-pass plan aggregates lineitem ONCE (partial-agg,
+  // map-side combined), filters the order-sized result, and drives the
+  // orders/customer joins from that filtered qualifier — the qualifier
+  // side is tiny after HAVING, so AQE broadcasts it and the fact scan
+  // never shuffles twice. Quantity sums are DECIMAL-exact (dsum), so
+  // ORDER BY total_qty is engine-stable; top-100 by (qty desc, key).
+  private val q67 = QueryDef(
+    "q67_tpch_q18",
+    (s, dir) => {
+      val big = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 300.0)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("total_qty"))
+        .orderBy(desc("total_qty"), asc("o_orderkey")).limit(100)
+    },
+    Some("""WITH big AS (
+            |  SELECT l_orderkey,
+            |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+            |  FROM lineitem GROUP BY l_orderkey
+            |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 300.0)
+            |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+            |       round(o_totalprice, 2) AS o_totalprice, total_qty
+            |FROM big JOIN orders ON o_orderkey = l_orderkey
+            |JOIN customer ON c_custkey = o_custkey
+            |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin))
+
+  // TPC-H Q21 (q68) — suppliers who kept orders waiting: for FINALIZED
+  // orders, count per supplier the orders where THIS supplier shipped
+  // late and (a) at least one OTHER supplier participated (EXISTS) but
+  // (b) no OTHER supplier was also late (NOT EXISTS) — the hardest
+  // decorrelation shape in the TPC-H suite: a double-correlated
+  // exists/not-exists over the fact table at fact scale. ("Late" is
+  // ship lag > 60 days past the order date — the fixture carries no
+  // commit/receipt dates, so the lag predicate stands in; the
+  // subquery STRUCTURE is unchanged.) Decorrelation: both correlated
+  // predicates collapse onto per-order supplier-grain counts —
+  // EXISTS(other supplier) = n_supp > 1, NOT EXISTS(other LATE
+  // supplier) = n_late = 1 (the qualifying supplier is itself late, so
+  // "exactly one late" = "no OTHER late"), and n_late = 1 makes the
+  // qualifying supplier UNIQUE per order, so it rides out of the same
+  // aggregate as min(late supplier). Plan: ONE fact scan → two
+  // partial-aggregatable shuffles of shrinking grain ((order,supplier)
+  // then order) — no per-row re-execution, no second fact scan for the
+  // semi/anti pair, no count-distinct Expand. Supplier/nation dims are
+  // joined after the fact side has collapsed to qualifying orders;
+  // nation is a broadcast catalog constant. Output: top-100
+  // (numwait desc, s_name) — integer counts, no rounding contract.
+  private val q68 = QueryDef(
+    "q68_tpch_q21",
+    (s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .as("late"))
+      val perSupp = l.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(col("late")).as("late"))
+      val waits = perSupp.groupBy("l_orderkey").agg(
+          count(lit(1)).as("n_supp"),
+          sum(when(col("late"), 1).otherwise(0)).as("n_late"),
+          min(when(col("late"), col("l_suppkey"))).as("l_suppkey"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .select("l_orderkey", "l_suppkey")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      waits.join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name")).limit(100)
+    },
+    Some("""WITH l AS (
+            |  SELECT l_orderkey, l_suppkey,
+            |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |  WHERE o_orderstatus = 'F'),
+            |per_supp AS (
+            |  SELECT l_orderkey, l_suppkey, max(late) AS late
+            |  FROM l GROUP BY l_orderkey, l_suppkey),
+            |waits AS (
+            |  SELECT l_orderkey, min(CASE WHEN late THEN l_suppkey END) AS l_suppkey
+            |  FROM per_supp GROUP BY l_orderkey
+            |  HAVING count(*) > 1 AND sum(CASE WHEN late THEN 1 ELSE 0 END) = 1)
+            |SELECT s_name, n_name, count(*) AS numwait
+            |FROM waits JOIN supplier ON s_suppkey = l_suppkey
+            |JOIN nation ON n_nationkey = s_nationkey
+            |GROUP BY s_name, n_name
+            |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -2040,5 +2144,5 @@ object Relational {
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65)
+    q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68)
 }

@@ -70,6 +70,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.decodeBmp(bb.array()) == ((33, 21, 1)))
   }
 
+  test("JPEG codec: marker walk finds SOF0 past APP0/COM and reads u16 dims") {
+    // dims past 255 exercise the big-endian u16 split across bytes
+    val bytes = MediaCodec.encodeJpeg(517, 389, "a comment".getBytes("UTF-8"))
+    assert((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8, "SOI first")
+    assert(bytes.length == 45 + 9, "documented 45 + comment size")
+    assert(MediaCodec.decodeJpeg(bytes) == ((517, 389, 1)))
+    // an extra APPn segment before SOF0 must be walked over, not
+    // tripped over (real files carry EXIF/ICC blocks there)
+    val extra = java.nio.ByteBuffer.allocate(bytes.length + 8)
+    extra.put(bytes, 0, 2) // SOI
+      .putShort(0xFFE1.toShort).putShort(6).putInt(0x45786966) // APP1 "Exif"
+      .put(bytes, 2, bytes.length - 2)
+    assert(MediaCodec.decodeJpeg(extra.array()) == ((517, 389, 1)))
+    // progressive SOF2 is a frame header too
+    val prog = bytes.clone()
+    val sofAt = bytes.length - 21 // SOF0 marker offset (19 SOF + 2 EOI from the end)
+    assert((prog(sofAt) & 0xFF) == 0xFF && (prog(sofAt + 1) & 0xFF) == 0xC0)
+    prog(sofAt + 1) = 0xC2.toByte
+    assert(MediaCodec.decodeJpeg(prog) == ((517, 389, 1)))
+  }
+
+  test("JPEG codec: malformed streams fail loudly") {
+    // not a JPEG at all
+    intercept[IllegalArgumentException](MediaCodec.decodeJpeg(Array[Byte](1, 2, 3, 4)))
+    // SOI + EOI with no frame header
+    val noSof = Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)
+    intercept[IllegalArgumentException](MediaCodec.decodeJpeg(noSof))
+    // DHT (C4) must NOT be mistaken for a SOF frame header: a stream
+    // with only DHT then EOI has no dims
+    val dht = java.nio.ByteBuffer.allocate(10)
+    dht.putShort(0xFFD8.toShort).putShort(0xFFC4.toShort).putShort(4)
+      .putShort(0).putShort(0xFFD9.toShort)
+    intercept[IllegalArgumentException](MediaCodec.decodeJpeg(dht.array()))
+    // zero height (DNL-deferred) is a parse failure, not a 0-dim image
+    val z = MediaCodec.encodeJpeg(10, 1, Array.empty[Byte])
+    val zsof = z.length - 21
+    z(zsof + 5) = 0; z(zsof + 6) = 0 // height u16 -> 0
+    intercept[IllegalArgumentException](MediaCodec.decodeJpeg(z))
+  }
+
   test("WAV codec: chunk walk finds fmt/data regardless of extra chunks") {
     val bytes = MediaCodec.encodeWav(16000, 2, 120)
     assert(MediaCodec.decodeWav(bytes) == ((16000, 2, 120)))

@@ -447,6 +447,50 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(conv == fixed)
   }
 
+  test("modularity scores two clean triangle communities (hand-computed)") {
+    // two triangles bridged by one edge, communities = the triangles:
+    // m = 7; each community: e_in = 3, deg_sum = 7 ->
+    // contribution = (4*7*3 - 49) / (4*49) = 35/196 = 0.178571429
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val com = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "community")
+    val got = GraphOps.modularity(edges, com).orderBy("community")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 7L, 3L, 0.178571429),
+      (4L, 3L, 7L, 3L, 0.178571429)))
+    // the degenerate one-community assignment scores ~0 (e_in = m,
+    // deg_sum = 2m -> 4m*m - 4m^2 = 0 exactly)
+    val one = com.select(col("node"), lit(1L).as("community"))
+    val q1 = GraphOps.modularity(edges, one).collect()
+    assert(q1.length == 1 && q1(0).getDouble(4) == 0.0)
+  }
+
+  test("adamicAdar derives a scale-dependent hub cap: mid-degree centers survive past 64") {
+    // 2100-edge chain + a deg-100 center wired to nodes 0..99:
+    // E = 2200 -> derived cap = 128 (smallest power of two whose
+    // square >= 2E = 4400), so the deg-100 center still GENERATES
+    // wedges — the old fixed 64 would silently drop it. Nodes 0 and
+    // 99 share ONLY that center.
+    val chain = (0L until 2100L).map(i => (i, i + 1)).toDF("src", "dst")
+    val spokes = (0L until 100L).map(i => (i, 5000L)).toDF("src", "dst")
+    val edges = chain.union(spokes)
+    val derived = GraphOps.adamicAdar(edges)
+      .filter(col("a") === 0L && col("b") === 99L)
+    assert(!derived.isEmpty,
+      "derived cap (128) must keep the deg-100 wedge center")
+    val fixed = GraphOps.adamicAdar(edges, hubCap = 64)
+      .filter(col("a") === 0L && col("b") === 99L)
+    assert(fixed.isEmpty, "explicit cap 64 must drop the deg-100 center")
+    // below the floor the derived cap IS 64: small graphs are unchanged
+    val square = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L)).toDF("src", "dst")
+    val a = GraphOps.adamicAdar(square).orderBy("a", "b").collect().toSeq
+    val b = GraphOps.adamicAdar(square, hubCap = 64).orderBy("a", "b").collect().toSeq
+    assert(a == b)
+  }
+
   test("hits raises loudly when pull magnitudes cross the 2^52 exactness bound") {
     // star 0 -> {1..100}: hub(0) multiplies by 100 per iteration, so 9
     // iterations reach 1e18 > 2^52 — the guard must fail the action
