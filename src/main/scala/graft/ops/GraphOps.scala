@@ -374,7 +374,17 @@ object GraphOps {
         while (b < 31 && (1L << b) * (1L << b) < 2 * e) b += 1
         math.max(64L, 1L << b)
       }
-    val e2 = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+    // both directions via ONE explode, not a flip-aliased self-union:
+    // one pass over the checkpoint blocks instead of two, and it
+    // sidesteps a Spark union-constraint-rewrite crash ("key not
+    // found: dst#…" in UnionBase.rewriteConstraints) that the
+    // swapped-alias projection over the same leaf triggers when the
+    // input's origin constraints survive into the LogicalRDD (seen
+    // with a literal-valued edge column upstream)
+    val e2 = ed.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
     val deg = e2.groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
     // wedge through LOW-degree centers only; weight rides the center.
     // deg >= 2: a deg-1 center cannot form a wedge anyway, and its
