@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
   * no full materialization — the only shape that works when the binary
   * column is 100 TB of images).
   *
-  * [[MediaCodec]] carries REAL pure-JVM parsers for one image format
-  * (BMP — BITMAPFILEHEADER + BITMAPINFOHEADER per the Windows spec)
+  * [[MediaCodec]] carries REAL pure-JVM parsers for two image formats
+  * (BMP — BITMAPFILEHEADER + BITMAPINFOHEADER per the Windows spec —
+  * and JPEG headers: a marker-segment walk to the SOF frame header)
   * and one audio format (WAV — RIFF chunk walk, fmt/data chunks), so
   * image and audio metadata is decoded from actual bytes with no
   * native libraries — and a REAL pixel-level nearest-neighbor BMP
   * resize ([[resizeBmp]]/[[resizeMedia]]: the actual pixel array is
   * resampled, spec-pinned against hand-placed pixel colors). Formats
-  * needing a heavy codec (JPEG, MP3, video
+  * needing a heavy codec (JPEG PIXEL decode, MP3, video
   * frame extraction) remain STUBBED behind the `grft` fake header —
   * this container ships no media libraries — and swapping the stub for
   * javacv/ImageIO changes one function. The Spark-side plumbing
@@ -40,8 +41,10 @@ object Multimodal {
     *  - `wav`: width = sample rate (Hz), height = channel count,
     *    frames = sample-frame count (data bytes / block align) — the
     *    natural "temporal frames" reading for audio.
+    *  - `jpg`/`jpeg`: pixel dimensions from the SOF frame header
+    *    (marker walk), frames = 1.
     *  - `grft`: the deterministic stub header standing in for formats
-    *    that need a real media library (JPEG/MP3/video).
+    *    that need a real media library (MP3/video; JPEG pixel decode).
     */
   object MediaCodec {
     val Magic = 0x47524654 // "GRFT"
@@ -133,6 +136,11 @@ object Multimodal {
     def encodeJpeg(width: Int, height: Int, comment: Array[Byte]): Array[Byte] = {
       require(width >= 1 && width <= 0xFFFF && height >= 1 && height <= 0xFFFF,
         s"JPEG dims must fit u16 (got $width x $height)")
+      // the COM length field is u16 INCLUDING itself: an unchecked
+      // (2 + len).toShort would wrap past 65533 bytes and emit a
+      // structurally corrupt stream the walker desyncs inside
+      require(comment.length <= 0xFFFD,
+        s"JPEG comment must fit one COM segment (${comment.length} > 65533 bytes)")
       val bb = java.nio.ByteBuffer.allocate(45 + comment.length) // big-endian
       bb.putShort(0xFFD8.toShort) // SOI
       bb.putShort(0xFFE0.toShort).putShort(16) // APP0, len 16

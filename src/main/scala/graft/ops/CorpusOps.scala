@@ -685,11 +685,13 @@ object CorpusOps {
         .select(col("cluster_id").as("new_id"), col("doc_id").as("node")))
     // delta nodes that are stored representatives expand to their
     // members; every other node (batch doc, corpus singleton rep) IS
-    // its own member row
-    val reps = cl.select(col("cluster_id")).distinct()
-    val remap = delta.join(reps, delta("node") === reps("cluster_id"))
+    // its own member row. Semi/anti joins of the batch-sized delta
+    // DIRECTLY against the stored table (delta nodes are unique and
+    // semi/anti never multiply rows) — a distinct() rep set first
+    // would add a corpus-wide aggregate pass for nothing
+    val remap = delta.join(cl, delta("node") === cl("cluster_id"), "left_semi")
       .select(col("node").as("old_id"), col("new_id"))
-    val direct = delta.join(reps, delta("node") === reps("cluster_id"),
+    val direct = delta.join(cl, delta("node") === cl("cluster_id"),
       "left_anti")
     // merged-component sizes: stored members of touched clusters are
     // COUNTED through the broadcast-sized remap (no trust in the

@@ -704,10 +704,21 @@ object GraphOps {
     var changed = true
     while (round < maxRounds && changed) {
       val next = scope.checkpointed(lpaStep(e, lbl), reliable)
-      // the existence probe materializes `next` (its plan reads lbl's
-      // blocks), so the superseded round is releasable right after
-      changed = !next.as("n").join(lbl.as("p"), col("n.node") === col("p.node"))
-        .filter(col("n.lbl") =!= col("p.lbl")).isEmpty
+      // FULL-outer change probe: with both-direction input the node
+      // sets are invariant round-to-round and this degenerates to the
+      // inner comparison — but on a single-direction edge list (the
+      // documented contract violated) nodes APPEAR and DISAPPEAR
+      // between rounds, and an inner-join probe is blind to that: it
+      // can declare a false fixpoint while labels are still moving.
+      // The full join makes a node-set delta count as "changed", so a
+      // contract-violating input still iterates to ITS relaxation's
+      // true fixpoint instead of silently stopping early. The probe
+      // materializes `next` (its plan reads lbl's blocks), so the
+      // superseded round is releasable right after.
+      changed = !next.as("n").join(lbl.as("p"),
+          col("n.node") === col("p.node"), "full")
+        .filter(col("n.lbl").isNull || col("p.lbl").isNull ||
+          col("n.lbl") =!= col("p.lbl")).isEmpty
       if (!reliable) CacheScope.unpersistPlanRdds(lbl)
       lbl = next
       round += 1

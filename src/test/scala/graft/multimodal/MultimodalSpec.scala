@@ -108,6 +108,13 @@ class MultimodalSpec extends AnyFunSuite {
     val zsof = z.length - 21
     z(zsof + 5) = 0; z(zsof + 6) = 0 // height u16 -> 0
     intercept[IllegalArgumentException](MediaCodec.decodeJpeg(z))
+    // a comment that cannot fit the u16 COM length must be rejected at
+    // ENCODE time — a wrapped length would emit a corrupt stream
+    intercept[IllegalArgumentException](
+      MediaCodec.encodeJpeg(8, 8, new Array[Byte](0xFFFE)))
+    // the boundary itself still round-trips
+    assert(MediaCodec.decodeJpeg(
+      MediaCodec.encodeJpeg(8, 8, new Array[Byte](0xFFFD))) == ((8, 8, 1)))
   }
 
   test("WAV codec: chunk walk finds fmt/data regardless of extra chunks") {

@@ -438,6 +438,23 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(conv == Map(1L -> 2L, 2L -> 1L), "odd round count must show the swap")
   }
 
+  test("labelPropagationConverged is not fooled by node churn on single-direction input") {
+    // a DIRECTED edge list (contract says both directions, but the
+    // probe must not silently mis-converge on a violation): with
+    // edges {1->2, 3->2, 3->3}, round 1 moves the node set from
+    // {1,3} to {2,3} — an inner-join change probe sees only node 3
+    // (unchanged) and would declare a FALSE fixpoint at {2->1,3->3};
+    // the full-outer probe counts the churn as change and iterates to
+    // the true fixpoint of this relaxation, {2->3, 3->3}
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 3L)).toDF("src", "dst")
+    val conv = GraphOps.labelPropagationConverged(edges, maxRounds = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val deep = GraphOps.labelPropagation(edges, rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(conv == deep, s"converged $conv must match the deep fixed-round $deep")
+    assert(conv == Map(2L -> 3L, 3L -> 3L), s"true fixpoint expected, got $conv")
+  }
+
   test("connectedComponentsConverged matches the fixed-round components") {
     val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L)).toDF("src", "dst")
     val conv = GraphOps.connectedComponentsConverged(edges).collect()
