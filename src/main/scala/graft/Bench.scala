@@ -41,7 +41,8 @@ object Bench {
     "q53_tpch_q3", "q54_tpch_q5", "q55_tpch_q10", "l3_pca_top",
     "q56_sssp", "q57_kcore", "q58_upsert", "q59_cdc_apply", "q60_scd2", "q61_resample", "q62_retention",
     "q63_wppr", "q64_lpa", "q65_hits", "q66_adamic_adar",
-    "l2_incremental_clusters", "q67_tpch_q18", "q68_tpch_q21", "q69_modularity")
+    "l2_incremental_clusters", "q67_tpch_q18", "q68_tpch_q21", "q69_modularity",
+    "q70_louvain")
 
   /** 1-minute system load average, -1.0 where the platform can't say.
     * Recorded at both ends of the run so the record SELF-ADJUDICATES:

@@ -403,6 +403,83 @@ object GraphOps {
       .select(col("a"), col("b"), col("score"))
   }
 
+  /** LOUVAIN local-move community detection (Blondel et al. 2008,
+    * phase 1) over an UNDIRECTED canonical edge list (each edge once,
+    * src < dst), distributed as SEMI-SYNCHRONOUS rounds: on round r,
+    * nodes with node % 2 == r % 2 simultaneously move to the
+    * neighboring community with the highest modularity gain (staying
+    * is a candidate; ties break toward the smaller community id), the
+    * others hold — the red/black gating that kills the 2-cycle label
+    * chase plain synchronous moves suffer (two nodes endlessly
+    * swapping into each other's community; the same failure mode
+    * synchronous LPA has, here eliminated rather than tolerated
+    * because Louvain's WHOLE POINT is the score it would oscillate
+    * around). Fixed `rounds` keeps the query replayable (the q44/q64
+    * trade); each even+odd pair of rounds is one full move sweep.
+    *
+    * Determinism: with m = |E|, deg_i, Σtot(c) and k_{i,c} (edges
+    * from i into c) all exact integers, the argmax ranks candidates
+    * by the modularity gain ΔQ(i→c) ∝ 2m·k_{i,c} − deg_i·Σtot(c∖{i})
+    * — the constant terms of ΔQ not depending on c are dropped, the
+    * rest is scaled by 2m² > 0, so the ORDER is exactly ΔQ's — an
+    * integer SCORE both engines compute bit-identically (fits a long
+    * until 2m·k approaches 2^63 — beyond any real corpus's edge
+    * count; the [[modularity]] caveat class). max_by on
+    * (score, −community) is unique per candidate, so picks are
+    * deterministic and a SQL replay (row_number over score DESC,
+    * community ASC) lands on identical labels.
+    *
+    * Per round: one edge-sized neighbor-community count (k_{i,c}),
+    * one node-sized community-weight aggregate (Σtot), the candidate
+    * scoring join (edge-bounded), one argmax aggregate — all
+    * partial-aggregatable; label table lineage-cut per round; rounds
+    * plan at edge-derived width (object scaladoc). Returns
+    * (node, community). */
+  def louvain(edges: DataFrame, rounds: Int = 4, reliable: Boolean = false)
+             (implicit scope: CacheScope): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val (rs, e) = roundSetup(edges.select(col("src"), col("dst")), reliable)
+    // both directions via ONE explode (the adamicAdar discipline)
+    val e2 = scope.checkpointed(e.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("x"))
+      .select(col("x.s").as("src"), col("x.d").as("dst")), reliable)
+    val deg = scope.cached(
+      e2.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+    val m2 = deg.agg(sum(col("deg")).as("m2")) // = 2m, rides as broadcast
+    var lbl = scope.checkpointed(
+      deg.select(col("node")).withColumn("c", col("node")), reliable)
+    for (r <- 1 to rounds) {
+      val tot = lbl.join(deg, "node").groupBy("c").agg(sum(col("deg")).as("tot"))
+      // neighbor-community edge counts for the MOVABLE half only —
+      // the gate halves the candidate volume, it doesn't just mask
+      val kic = e2.join(lbl.select(col("node").as("dst"), col("c")), "dst")
+        .filter(col("src") % 2 === lit(r % 2))
+        .groupBy(col("src").as("node"), col("c")).agg(count(lit(1)).as("k"))
+      // staying is ALWAYS a candidate, even with no same-community
+      // neighbor: union a zero-k row and keep the max k per (node, c)
+      val stay = lbl.filter(col("node") % 2 === lit(r % 2))
+        .select(col("node"), col("c"), lit(0L).as("k"))
+      val cand = kic.union(stay).groupBy("node", "c").agg(max(col("k")).as("k"))
+      val scored = cand
+        .join(lbl.select(col("node"), col("c").as("c0")), "node")
+        .join(deg, "node")
+        .join(tot, "c")
+        .crossJoin(broadcast(m2))
+        .select(col("node"), col("c"),
+          (col("m2") * col("k") - col("deg") *
+            (col("tot") - when(col("c") === col("c0"), col("deg"))
+              .otherwise(lit(0L)))).as("score"))
+      val best = scored.groupBy("node").agg(
+        max_by(col("c"), struct(col("score"), (-col("c")).as("t"))).as("cn"))
+      lbl = scope.checkpointed(
+        lbl.join(best, Seq("node"), "left")
+          .select(col("node"), coalesce(col("cn"), col("c")).as("c")),
+        reliable)
+    }
+    lbl.select(col("node"), col("c").as("community"))
+  }
+
   /** MODULARITY of a community assignment (Newman & Girvan): per
     * community c over an UNDIRECTED canonical edge list (each edge
     * once, src < dst), with m = |E|, e_c = intra-community edges and

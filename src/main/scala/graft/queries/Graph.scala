@@ -417,5 +417,59 @@ object Graph {
             |FROM nn LEFT JOIN degsum USING (community) LEFT JOIN ein USING (community)
             |ORDER BY community""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66, q69)
+  // LOUVAIN communities (q70): modularity-OPTIMIZING local moves over
+  // the co-purchase graph (GraphOps.louvain) — the step past q64's
+  // LPA (frequency-following) and q69's scoring: nodes greedily move
+  // to the neighbor community with the highest modularity gain,
+  // semi-synchronously (odd ids move on odd rounds, evens on even —
+  // the red/black gate that kills the synchronous label chase). The
+  // gain argmax ranks by the exact integer score
+  // 2m·k_{i,c} − deg_i·Σtot(c∖{i}), ties to the smaller community id,
+  // so the oracle's four unrolled rounds (row_number over score DESC,
+  // c ASC) land on identical labels — no rounding contract anywhere.
+  private val q70 = QueryDef(
+    "q70_louvain",
+    (s, dir) => {
+      val com = graft.ops.GraphOps.louvain(coEdges(s, dir).toDF("src", "dst"))
+      com.select(col("node").as("part"), col("community"))
+        .withColumn("community_size",
+          count(lit(1)).over(Window.partitionBy(col("community"))))
+        .orderBy("community", "part")
+    },
+    Some {
+      val roundCtes = (1 to 4).map { r =>
+        val p = r - 1
+        s"""tot$r AS (SELECT l.c, sum(d.deg) AS tot
+           |        FROM l$p l JOIN deg d ON d.node = l.node GROUP BY l.c),
+           |kic$r AS (SELECT e.src AS node, l.c, count(*) AS k
+           |        FROM e2 e JOIN l$p l ON e.dst = l.node
+           |        WHERE e.src % 2 = ${r % 2} GROUP BY 1, 2),
+           |cand$r AS (SELECT node, c, max(k) AS k FROM (
+           |        SELECT node, c, k FROM kic$r
+           |        UNION ALL SELECT node, c, 0 FROM l$p WHERE node % 2 = ${r % 2})
+           |        GROUP BY node, c),
+           |sc$r AS (SELECT cd.node, cd.c,
+           |        (SELECT m2 FROM m2t) * cd.k - d.deg *
+           |        (t.tot - CASE WHEN cd.c = l.c THEN d.deg ELSE 0 END) AS score
+           |        FROM cand$r cd JOIN l$p l ON l.node = cd.node
+           |        JOIN deg d ON d.node = cd.node JOIN tot$r t ON t.c = cd.c),
+           |b$r AS (SELECT node, c FROM (SELECT node, c,
+           |        row_number() OVER (PARTITION BY node ORDER BY score DESC, c) AS rn
+           |        FROM sc$r) WHERE rn = 1),
+           |l$r AS MATERIALIZED (SELECT l.node, coalesce(b.c, l.c) AS c
+           |        FROM l$p l LEFT JOIN b$r b ON b.node = l.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $coEdgesCte,
+         |e2 AS (SELECT p1 AS src, p2 AS dst FROM pe
+         |       UNION ALL SELECT p2, p1 FROM pe),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e2 GROUP BY src),
+         |m2t AS (SELECT sum(deg) AS m2 FROM deg),
+         |l0 AS (SELECT node, node AS c FROM deg),
+         |$roundCtes
+         |SELECT node AS part, c AS community,
+         |       count(*) OVER (PARTITION BY c) AS community_size
+         |FROM l4 ORDER BY community, part""".stripMargin
+    })
+
+  val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66, q69, q70)
 }

@@ -508,6 +508,30 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("louvain merges two bridged triangles into their communities (hand-traced)") {
+    // triangles {1,2,3} and {4,5,6} + bridge 3-4. Semi-synchronous
+    // rounds (odd nodes move on odd rounds): hand-tracing the integer
+    // gain scores gives R1 {1->2,3->1,5->6}, R2 {4->6}, R3 {3->2},
+    // R4 no moves — each triangle one community, labels 2 and 6 (the
+    // surviving ids are members, not minima — Louvain labels are
+    // arbitrary). The trace IS the spec: every score is exact.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphOps.louvain(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 6L, 5L -> 6L, 6L -> 6L),
+      s"hand-traced communities expected, got $got")
+    // and the result grades well: modularity = 2 * (3/7 - (7/14)^2)
+    val q = GraphOps.modularity(edges, got.toSeq.toDF("node", "community"))
+      .agg(sum("contribution")).first().getDouble(0)
+    assert(math.abs(q - 0.357142858) < 1e-9, s"Q = $q")
+    // one round moves only the odd half: evens keep their own label
+    val one = GraphOps.louvain(edges, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 4L, 5L -> 6L, 6L -> 6L),
+      s"round-1 gate drifted: $one")
+  }
+
   test("hits raises loudly when pull magnitudes cross the 2^52 exactness bound") {
     // star 0 -> {1..100}: hub(0) multiplies by 100 per iteration, so 9
     // iterations reach 1e18 > 2^52 — the guard must fail the action
