@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
   * [[MediaCodec]] carries REAL pure-JVM parsers for two image formats
   * (BMP — BITMAPFILEHEADER + BITMAPINFOHEADER per the Windows spec —
   * and JPEG headers: a marker-segment walk to the SOF frame header)
-  * and one audio format (WAV — RIFF chunk walk, fmt/data chunks), so
-  * image and audio metadata is decoded from actual bytes with no
-  * native libraries — and a REAL pixel-level nearest-neighbor BMP
+  * and two audio formats (WAV — RIFF chunk walk, fmt/data chunks —
+  * and MP3: an ID3-aware MPEG-1 Layer III frame-header walk with the
+  * spec bitrate/rate tables), so image and audio metadata is decoded
+  * from actual bytes with no native libraries — and a REAL
+  * pixel-level nearest-neighbor BMP
   * resize ([[resizeBmp]]/[[resizeMedia]]: the actual pixel array is
-  * resampled, spec-pinned against hand-placed pixel colors). Formats
-  * needing a heavy codec (JPEG PIXEL decode, MP3, video
-  * frame extraction) remain STUBBED behind the `grft` fake header —
+  * resampled, spec-pinned against hand-placed pixel colors). Only
+  * PIXEL/PCM decode of compressed formats and video frame extraction
+  * remain STUBBED behind the `grft` fake header —
   * this container ships no media libraries — and swapping the stub for
   * javacv/ImageIO changes one function. The Spark-side plumbing
   * (schema, batch iteration, partition preservation, feature schema)
@@ -43,8 +45,11 @@ object Multimodal {
     *    natural "temporal frames" reading for audio.
     *  - `jpg`/`jpeg`: pixel dimensions from the SOF frame header
     *    (marker walk), frames = 1.
+    *  - `mp3`: width = sample rate, height = channels, frames = frame
+    *    count from the MPEG-1 Layer III header walk.
     *  - `grft`: the deterministic stub header standing in for formats
-    *    that need a real media library (MP3/video; JPEG pixel decode).
+    *    that need a real media library (video; compressed-payload
+    *    pixel/PCM decode).
     */
   object MediaCodec {
     val Magic = 0x47524654 // "GRFT"
@@ -203,6 +208,82 @@ object Multimodal {
       throw new IllegalArgumentException("JPEG ended without a SOF frame header")
     }
 
+    /** MPEG-1 Layer III bitrate table (kbit/s) indexed by the header's
+      * 4-bit bitrate field; 0 = "free" and 15 = reserved, both
+      * rejected. Public values from the MPEG-1 audio spec (ISO 11172-3). */
+    private val Mp3Bitrates =
+      Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+
+    /** MPEG-1 sample rates by the header's 2-bit field; index 3 reserved. */
+    private val Mp3Rates = Array(44100, 48000, 32000, -1)
+
+    /** Minimal CBR MPEG-1 Layer III stream: `frames` frame headers at
+      * 128 kbit/s with zeroed payloads (no padding bit). Frame size =
+      * 144·bitrate/rate bytes (integer division, per the spec) — the
+      * whole stream is `frames` · that, deterministic for the oracle. */
+    def encodeMp3(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+      val rateIdx = Mp3Rates.indexOf(sampleRate)
+      require(rateIdx >= 0 && rateIdx < 3,
+        s"encodeMp3 supports MPEG-1 rates ${Mp3Rates.take(3).mkString("/")} (got $sampleRate)")
+      require(channels == 1 || channels == 2, s"channels must be 1 or 2 (got $channels)")
+      require(frames >= 1, s"frames must be >= 1 (got $frames)")
+      val frameLen = 144 * 128000 / sampleRate
+      val out = new Array[Byte](frames * frameLen)
+      var f = 0
+      while (f < frames) {
+        val o = f * frameLen
+        out(o) = 0xFF.toByte
+        out(o + 1) = 0xFB.toByte // sync + MPEG1(11) + LayerIII(01) + no-CRC
+        out(o + 2) = ((9 << 4) | (rateIdx << 2)).toByte // 128k idx 9, no padding
+        out(o + 3) = (if (channels == 1) 0xC0 else 0x00).toByte // mode
+        f += 1
+      }
+      out
+    }
+
+    /** Real MP3 metadata parse: skip an ID3v2 tag if present
+      * (syncsafe size), then WALK the MPEG-1 Layer III frame headers —
+      * sync check, bitrate/rate table lookups, per-frame length
+      * 144·bitrate/rate + padding — counting frames to the end of the
+      * payload. Width = sample rate (Hz), height = channel count,
+      * frames = frame count (the [[decodeWav]] audio convention).
+      * MPEG-2/2.5 or Layer I/II streams, reserved table indexes, lost
+      * sync, or a truncated final frame all FAIL loudly — this is a
+      * header walker, not a decoder, and it must never guess. */
+    def decodeMp3(payload: Array[Byte]): (Int, Int, Int) = {
+      var i = 0
+      if (payload.length >= 10 && payload(0) == 'I'.toByte &&
+          payload(1) == 'D'.toByte && payload(2) == '3'.toByte) {
+        // ID3v2: 10-byte header, then a 28-bit syncsafe size
+        val sz = ((payload(6) & 0x7F) << 21) | ((payload(7) & 0x7F) << 14) |
+          ((payload(8) & 0x7F) << 7) | (payload(9) & 0x7F)
+        i = 10 + sz
+      }
+      require(payload.length - i >= 4, "not an MP3 payload (no room for a frame header)")
+      var rate = -1; var channels = -1; var frames = 0
+      while (i < payload.length) {
+        require(i + 4 <= payload.length, s"truncated MP3 frame header at offset $i")
+        require((payload(i) & 0xFF) == 0xFF && (payload(i + 1) & 0xE0) == 0xE0,
+          s"MP3 frame sync lost at offset $i")
+        require((payload(i + 1) & 0x18) == 0x18,
+          "only MPEG-1 streams are parsed (MPEG-2/2.5 needs the full codec tables)")
+        require((payload(i + 1) & 0x06) == 0x02,
+          "only Layer III frames are parsed")
+        val br = Mp3Bitrates((payload(i + 2) & 0xFF) >> 4)
+        val r = Mp3Rates((payload(i + 2) >> 2) & 3)
+        require(br > 0 && r > 0, s"reserved/free bitrate or rate index at offset $i")
+        val ch = if (((payload(i + 3) & 0xFF) >> 6) == 3) 1 else 2
+        require(rate < 0 || (rate == r && channels == ch),
+          "variable rate/mode streams are not parsed")
+        rate = r; channels = ch; frames += 1
+        val len = 144 * br * 1000 / r + ((payload(i + 2) >> 1) & 1)
+        require(len > 4, s"corrupt MP3 frame length $len")
+        require(i + len <= payload.length, s"truncated MP3 frame at offset $i")
+        i += len
+      }
+      (rate, channels, frames)
+    }
+
     /** Stub header for formats that need a real media library. */
     def decodeGrft(payload: Array[Byte]): (Int, Int, Int) = {
       val bb = java.nio.ByteBuffer.wrap(payload)
@@ -218,6 +299,7 @@ object Multimodal {
       case "bmp"          => decodeBmp(payload)
       case "wav"          => decodeWav(payload)
       case "jpg" | "jpeg" => decodeJpeg(payload)
+      case "mp3"          => decodeMp3(payload)
       case _              => decodeGrft(payload)
     }
 

@@ -429,12 +429,16 @@ object GraphOps {
     * deterministic and a SQL replay (row_number over score DESC,
     * community ASC) lands on identical labels.
     *
-    * Per round: one edge-sized neighbor-community count (k_{i,c}),
-    * one node-sized community-weight aggregate (Σtot), the candidate
-    * scoring join (edge-bounded), one argmax aggregate — all
-    * partial-aggregatable; label table lineage-cut per round; rounds
-    * plan at edge-derived width (object scaladoc). Returns
-    * (node, community). */
+    * Per round: one edge-sized neighbor-community count (k_{i,c})
+    * over the MOVABLE half, one node-sized community-weight aggregate
+    * (Σtot — the degree rides INSIDE the label table, so no per-round
+    * deg join), the candidate scoring join, one argmax aggregate —
+    * all partial-aggregatable; the zero-k "stay" row unions straight
+    * into the argmax WITHOUT a dedup aggregate (when a real k_{i,c₀}
+    * row exists it strictly dominates the zero row — same community,
+    * score larger by 2m·k — so the duplicate can never win); label
+    * table lineage-cut per round; rounds plan at edge-derived width
+    * (object scaladoc). Returns (node, community). */
   def louvain(edges: DataFrame, rounds: Int = 4, reliable: Boolean = false)
              (implicit scope: CacheScope): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
@@ -444,26 +448,26 @@ object GraphOps {
         struct(col("src").as("s"), col("dst").as("d")),
         struct(col("dst").as("s"), col("src").as("d")))).as("x"))
       .select(col("x.s").as("src"), col("x.d").as("dst")), reliable)
-    val deg = scope.cached(
-      e2.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+    val deg = e2.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val m2 = deg.agg(sum(col("deg")).as("m2")) // = 2m, rides as broadcast
-    var lbl = scope.checkpointed(
-      deg.select(col("node")).withColumn("c", col("node")), reliable)
+    // label table carries (node, deg, c): deg is loop-invariant and
+    // node-sized, so carrying it through the per-round lineage cut is
+    // free and saves a deg join in BOTH the Σtot and scoring paths
+    var lbl = scope.checkpointed(deg.withColumn("c", col("node")), reliable)
     for (r <- 1 to rounds) {
-      val tot = lbl.join(deg, "node").groupBy("c").agg(sum(col("deg")).as("tot"))
+      val tot = lbl.groupBy("c").agg(sum(col("deg")).as("tot"))
       // neighbor-community edge counts for the MOVABLE half only —
       // the gate halves the candidate volume, it doesn't just mask
-      val kic = e2.join(lbl.select(col("node").as("dst"), col("c")), "dst")
-        .filter(col("src") % 2 === lit(r % 2))
+      val kic = e2.filter(col("src") % 2 === lit(r % 2))
+        .join(lbl.select(col("node").as("dst"), col("c")), "dst")
         .groupBy(col("src").as("node"), col("c")).agg(count(lit(1)).as("k"))
       // staying is ALWAYS a candidate, even with no same-community
-      // neighbor: union a zero-k row and keep the max k per (node, c)
+      // neighbor: the zero-k row is dominated wherever a real c₀ row
+      // exists, so no dedup aggregate is needed before the argmax
       val stay = lbl.filter(col("node") % 2 === lit(r % 2))
         .select(col("node"), col("c"), lit(0L).as("k"))
-      val cand = kic.union(stay).groupBy("node", "c").agg(max(col("k")).as("k"))
-      val scored = cand
-        .join(lbl.select(col("node"), col("c").as("c0")), "node")
-        .join(deg, "node")
+      val scored = kic.union(stay)
+        .join(lbl.select(col("node"), col("c").as("c0"), col("deg")), "node")
         .join(tot, "c")
         .crossJoin(broadcast(m2))
         .select(col("node"), col("c"),
@@ -474,7 +478,7 @@ object GraphOps {
         max_by(col("c"), struct(col("score"), (-col("c")).as("t"))).as("cn"))
       lbl = scope.checkpointed(
         lbl.join(best, Seq("node"), "left")
-          .select(col("node"), coalesce(col("cn"), col("c")).as("c")),
+          .select(col("node"), col("deg"), coalesce(col("cn"), col("c")).as("c")),
         reliable)
     }
     lbl.select(col("node"), col("c").as("community"))

@@ -444,10 +444,8 @@ object Graph {
            |kic$r AS (SELECT e.src AS node, l.c, count(*) AS k
            |        FROM e2 e JOIN l$p l ON e.dst = l.node
            |        WHERE e.src % 2 = ${r % 2} GROUP BY 1, 2),
-           |cand$r AS (SELECT node, c, max(k) AS k FROM (
-           |        SELECT node, c, k FROM kic$r
-           |        UNION ALL SELECT node, c, 0 FROM l$p WHERE node % 2 = ${r % 2})
-           |        GROUP BY node, c),
+           |cand$r AS (SELECT node, c, k FROM kic$r
+           |        UNION ALL SELECT node, c, 0 FROM l$p WHERE node % 2 = ${r % 2}),
            |sc$r AS (SELECT cd.node, cd.c,
            |        (SELECT m2 FROM m2t) * cd.k - d.deg *
            |        (t.tot - CASE WHEN cd.c = l.c THEN d.deg ELSE 0 END) AS score

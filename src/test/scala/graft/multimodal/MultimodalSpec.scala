@@ -117,6 +117,29 @@ class MultimodalSpec extends AnyFunSuite {
       MediaCodec.encodeJpeg(8, 8, new Array[Byte](0xFFFD))) == ((8, 8, 1)))
   }
 
+  test("MP3 codec: frame-header walk counts frames and reads rate/channels") {
+    // 44100 Hz: frame length 144*128000/44100 = 417 (integer division)
+    val bytes = MediaCodec.encodeMp3(44100, 2, 7)
+    assert(bytes.length == 7 * 417)
+    assert(MediaCodec.decodeMp3(bytes) == ((44100, 2, 7)))
+    // mono at 32000: frameLen 576, mode bits 11
+    assert(MediaCodec.decodeMp3(MediaCodec.encodeMp3(32000, 1, 3)) == ((32000, 1, 3)))
+    // an ID3v2 tag (syncsafe size) is skipped, not parsed as frames
+    val id3 = new Array[Byte](10 + 200)
+    id3(0) = 'I'; id3(1) = 'D'; id3(2) = '3'
+    id3(8) = 1; id3(9) = 72 // syncsafe 200 = (1 << 7) | 72
+    val tagged = id3 ++ MediaCodec.encodeMp3(48000, 2, 4)
+    assert(MediaCodec.decodeMp3(tagged) == ((48000, 2, 4)))
+    // truncated final frame and lost sync both fail loudly
+    intercept[IllegalArgumentException](
+      MediaCodec.decodeMp3(bytes.take(bytes.length - 10)))
+    val desync = bytes.clone(); desync(417) = 0
+    intercept[IllegalArgumentException](MediaCodec.decodeMp3(desync))
+    // MPEG-2 (version bits 10) is refused, not misparsed
+    val v2 = bytes.clone(); v2(1) = 0xF3.toByte
+    intercept[IllegalArgumentException](MediaCodec.decodeMp3(v2))
+  }
+
   test("WAV codec: chunk walk finds fmt/data regardless of extra chunks") {
     val bytes = MediaCodec.encodeWav(16000, 2, 120)
     assert(MediaCodec.decodeWav(bytes) == ((16000, 2, 120)))
