@@ -220,6 +220,35 @@ object Stress {
       val iScaled = timeIncrementalClusters(50000 * factor, dN)
       println(f"""{"stress":"incremental_clusters","base_clusters":50000,"base":$iBase%.3f,"scaled_clusters":${50000 * factor},"scaled":$iScaled%.3f,"ratio":${iScaled / iBase}%.1f}""")
     }
+
+    // SCC at the fixed schedule: the round count never moves, and each
+    // round is one edge-sized join at edge-derived width — so 10x
+    // edges must cost ~10x, never edge². Base graph: disjoint 4-cycles
+    // (guaranteed SCC structure at both scales) plus one-way hash
+    // chords for edge mass.
+    def timeScc(nCycles: Int): Double = {
+      val n = 4L * nCycles
+      val cycles = spark.range(n)
+        .selectExpr("id as src", "(id div 4) * 4 + (id + 1) % 4 as dst")
+      val chords = spark.range(nCycles.toLong)
+        .selectExpr(s"(id * 6364136223) % $n as src",
+          s"(id * 2654435761) % $n as dst")
+        .filter("src <> dst")
+      val t0 = System.nanoTime()
+      graft.ops.GraphOps.scc(cycles.union(chords).distinct())(
+        graft.ops.CacheScope.sessionOwned)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      dt
+    }
+    if (only.isEmpty || only("graph_scc")) {
+      timeScc(20000) // warm-up
+      val sBase = timeScc(20000)
+      val sScaled = timeScc(20000 * factor)
+      println(f"""{"stress":"graph_scc","base_cycles":20000,"base":$sBase%.3f,"scaled_cycles":${20000 * factor},"scaled":$sScaled%.3f,"ratio":${sScaled / sBase}%.1f}""")
+    }
     spark.stop()
   }
 

@@ -333,6 +333,200 @@ object GraphOps {
       .select(col("doc_id").as("node"), col("cluster_id").as("component"),
         col("cluster_size").as("component_size"))
 
+  /** Strongly connected components over a DIRECTED edge list
+    * (src, dst) — min-label "coloring" peeling (the Orzan scheme
+    * re-expressed as joins): each OUTER round computes, over the
+    * still-unassigned subgraph, fmin(u) = the minimum node id
+    * forward-reachable from u (u included) and bmin(u) = the same
+    * over REVERSED edges, each by `inner` rounds of one-hop min-label
+    * pull; every node with fmin = bmin = m is assigned component m
+    * and leaves the graph. Soundness: fmin(u) = bmin(u) = m means
+    * u ⇝ m and m ⇝ u, so u ∈ SCC(m); progress: SCC-mates share both
+    * closures, so whole SCCs assign together, and the SCC containing
+    * the smallest remaining id always satisfies the test — every
+    * outer round peels >= 1 SCC (on real graphs many resolve in
+    * parallel; the trade-graph fixture needs two outer rounds).
+    *
+    * FIXED `schedule` (one entry per outer round = that round's inner
+    * pull count) so a SQL oracle replays the exact rounds — all
+    * labels exact integers, no rounding contract. Anytime semantics:
+    * nodes still unassigned after the schedule are ABSENT from the
+    * result; each inner round is a one-hop PULL followed by a STALE
+    * POINTER JUMP — lab := min(lab, prevRound(lab)): a label is the
+    * id of a reachable node, so composing with the PREVIOUS round's
+    * label of that node is still a reachability (the dupClusters
+    * acceleration, one round stale so the round stays a single
+    * lineage cut — a fresh-label jump would need a second leaf per
+    * round, and the measured checkpoint latency costs more than the
+    * extra round the staleness admits); the default Seq(5, 2)
+    * reaches the closure fixpoint on the fixture at every SF with a
+    * round to spare per outer round (spec-pinned: a deeper schedule
+    * changes nothing). Unknown-depth graphs belong on
+    * [[sccConverged]].
+    *
+    * Scale shape per inner round: ONE edge-sized join + min
+    * aggregate + a node-sized left-join merge + a node-sized jump
+    * join against the previous round's leaf — forward and backward
+    * propagate through the SAME join via a direction-tagged two-way
+    * edge table (one explode, the no-self-union discipline; 2E
+    * rows), labels keyed (node, dir); ONE checkpoint per round.
+    * Outer round 1 runs on the full edge table (the live set is
+    * every node — a semi-join restriction would be two edge-sized
+    * shuffles of pure overhead); later rounds semi-join the shrunken
+    * live set and anti-join assignments out. The label init and the
+    * fmin=bmin assignment are narrow maps/aggregates over leaves and
+    * are recomputed per use instead of checkpointed. Rounds run in
+    * the AQE-off child session at edge-derived width (object
+    * scaladoc). Returns (node, component, component_size). */
+  /** One SCC closure round: min-label pull along the tagged edges,
+    * then the stale pointer jump against the round's INPUT labels —
+    * one lineage cut's worth of plan (see [[scc]]). */
+  private def sccRound(el: DataFrame, lbl: DataFrame): DataFrame = {
+    val pulled = el
+      .join(lbl.select(col("node").as("dst"), col("dir"), col("lab")),
+        Seq("dst", "dir"))
+      .groupBy(col("src").as("node"), col("dir")).agg(min("lab").as("nl"))
+    lbl.join(pulled, Seq("node", "dir"), "left")
+      .select(col("node"), col("dir"),
+        coalesce(least(col("lab"), col("nl")), col("lab")).as("lab1"))
+      .join(lbl.select(col("node").as("jn"), col("dir").as("jd"),
+          col("lab").as("jl")),
+        col("lab1") === col("jn") && col("dir") === col("jd"), "left")
+      .select(col("node"), col("dir"),
+        coalesce(least(col("lab1"), col("jl")), col("lab1")).as("lab"))
+  }
+
+  /** fmin = bmin assignment over a closure's label table. */
+  private def sccFound(lbl: DataFrame): DataFrame =
+    lbl.groupBy("node").agg(
+        min(when(col("dir") === "f", col("lab"))).as("fmin"),
+        min(when(col("dir") === "b", col("lab"))).as("bmin"))
+      .filter(col("fmin") === col("bmin"))
+      .select(col("node"), col("fmin").as("component"))
+
+  def scc(edges: DataFrame, schedule: Seq[Int] = Seq(5, 2),
+          reliable: Boolean = false)
+         (implicit scope: CacheScope): DataFrame = {
+    require(schedule.nonEmpty && schedule.forall(_ >= 1),
+      s"schedule must be non-empty positive inner-round counts (got $schedule)")
+    val (rs, e0) = roundSetup(edges.select(col("src"), col("dst")), reliable)
+    // 'f' rows pull labels along u→w onto u; 'b' rows are the reversal.
+    // NOT checkpointed: the explode is a narrow map over the e0 leaf —
+    // recomputing it per round scan is free, materializing 2E rows is
+    // a job plus blocks
+    val e2 =
+      e0.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d"), lit("f").as("dir")),
+        struct(col("dst").as("s"), col("src").as("d"), lit("b").as("dir")))).as("x"))
+        .select(col("x.s").as("src"), col("x.d").as("dst"), col("x.dir").as("dir"))
+    var live = scope.checkpointed(
+      e0.select(col("src").as("node")).union(e0.select(col("dst").as("node")))
+        .distinct(), reliable)
+    var out: Option[DataFrame] = None
+    for ((inner, idx) <- schedule.zipWithIndex) {
+      val el =
+        if (idx == 0) e2
+        else scope.checkpointed(
+          e2.join(live.select(col("node").as("src")), Seq("src"), "left_semi")
+            .join(live.select(col("node").as("dst")), Seq("dst"), "left_semi"),
+          reliable)
+      var lbl = live
+        .select(col("node"), explode(array(lit("f"), lit("b"))).as("dir"))
+        .withColumn("lab", col("node"))
+      for (_ <- 1 to inner)
+        lbl = scope.checkpointed(sccRound(el, lbl), reliable)
+      val found = sccFound(lbl)
+      out = Some(out.fold(found)(_.unionByName(found)))
+      if (idx < schedule.size - 1)
+        live = scope.checkpointed(
+          live.join(found, Seq("node"), "left_anti"), reliable)
+    }
+    val comp = out.get
+    comp.join(
+      comp.groupBy("component").agg(count(lit(1)).as("component_size")),
+      "component")
+      .select(col("node"), col("component"), col("component_size"))
+  }
+
+  /** Action-driven SCC for pipeline use: outer rounds peel until the
+    * live set is EMPTY (every node assigned — the completeness
+    * [[scc]]'s fixed schedule can only pin per-fixture), each closure
+    * iterating its min-label pulls until a fixpoint probe sees no
+    * label change; superseded rounds release their checkpoint blocks
+    * as the probes materialize them. `maxRounds` bounds BOTH loop
+    * depths as a runaway backstop (a WARN logs if it exhausts —
+    * unlike LPA the peel cannot oscillate, labels are monotone, so
+    * exhaustion means the bound was simply too small for the graph).
+    * Returns (node, component, component_size). */
+  def sccConverged(edges: DataFrame, maxRounds: Int = 20,
+                   reliable: Boolean = false)
+                  (implicit scope: CacheScope): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
+    val (rs, e0) = roundSetup(edges.select(col("src"), col("dst")), reliable)
+    // narrow map over the e0 leaf, not checkpointed (see [[scc]])
+    val e2 =
+      e0.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d"), lit("f").as("dir")),
+        struct(col("dst").as("s"), col("src").as("d"), lit("b").as("dir")))).as("x"))
+        .select(col("x.s").as("src"), col("x.d").as("dst"), col("x.dir").as("dir"))
+    var live = scope.checkpointed(
+      e0.select(col("src").as("node")).union(e0.select(col("dst").as("node")))
+        .distinct(), reliable)
+    var out: Option[DataFrame] = None
+    var outerRound = 0
+    var liveCount = live.count()
+    while (liveCount > 0 && outerRound < maxRounds) {
+      val el =
+        if (outerRound == 0) e2
+        else scope.checkpointed(
+          e2.join(live.select(col("node").as("src")), Seq("src"), "left_semi")
+            .join(live.select(col("node").as("dst")), Seq("dst"), "left_semi"),
+          reliable)
+      var lbl = scope.checkpointed(
+        live.select(col("node"), explode(array(lit("f"), lit("b"))).as("dir"))
+          .withColumn("lab", col("node")), reliable)
+      var changed = true
+      var innerRound = 0
+      while (changed && innerRound < maxRounds) {
+        val next = scope.checkpointed(sccRound(el, lbl), reliable)
+        // labels are monotone non-increasing over an invariant
+        // (node, dir) key set, so an inner probe suffices — and it
+        // materializes `next`, making the superseded round (a
+        // checkpoint leaf, including the init) releasable
+        changed = !next.as("n").join(lbl.as("p"),
+            col("n.node") === col("p.node") && col("n.dir") === col("p.dir"))
+          .filter(col("n.lab") =!= col("p.lab")).isEmpty
+        if (!reliable) CacheScope.unpersistPlanRdds(lbl)
+        lbl = next
+        innerRound += 1
+      }
+      val found = scope.checkpointed(
+        lbl.groupBy("node").agg(
+            min(when(col("dir") === "f", col("lab"))).as("fmin"),
+            min(when(col("dir") === "b", col("lab"))).as("bmin"))
+          .filter(col("fmin") === col("bmin"))
+          .select(col("node"), col("fmin").as("component")), reliable)
+      out = Some(out.fold(found)(_.unionByName(found)))
+      val nextLive = scope.checkpointed(
+        live.join(found, Seq("node"), "left_anti"), reliable)
+      liveCount = nextLive.count() // materializes found + nextLive
+      if (!reliable) CacheScope.unpersistPlanRdds(live)
+      live = nextLive
+      outerRound += 1
+    }
+    if (liveCount > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"sccConverged exhausted maxRounds=$maxRounds with $liveCount " +
+          "nodes unassigned — raise maxRounds for this graph")
+    // an empty edge list never enters the loop: synthesize the empty frame
+    val comp = out.getOrElse(
+      live.select(col("node"), col("node").as("component")).limit(0))
+    comp.join(
+      comp.groupBy("component").agg(count(lit(1)).as("component_size")),
+      "component")
+      .select(col("node"), col("component"), col("component_size"))
+  }
+
   /** ADAMIC-ADAR link prediction over an UNDIRECTED graph in canonical
     * form (each edge once, src < dst): for every NON-adjacent node
     * pair sharing >= 1 neighbor, score = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z)

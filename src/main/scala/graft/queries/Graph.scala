@@ -469,5 +469,166 @@ object Graph {
          |FROM l4 ORDER BY community, part""".stripMargin
     })
 
-  val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66, q69, q70)
+  // STRONGLY CONNECTED COMPONENTS (q72): over the DIRECTED trade
+  // graph — supplier → customer for delivered lineitems, customer →
+  // supplier for returns (l_returnflag = 'R'), nodes coded s*2 /
+  // c*2+1 like q65 — which suppliers and customers sit in mutual
+  // sale/return cycles? GraphOps.scc's min-label coloring peel at the
+  // fixed Seq(5, 2) schedule; the oracle REPLAYS the exact schedule
+  // (generated CTEs: per outer round the live-restricted edge table —
+  // outer 1 runs on the full table, live = every node — then per
+  // inner round ONE CTE holding the min-label pull-merge AND the
+  // stale pointer jump against the round's input labels,
+  // forward+backward in one direction-tagged pass, then
+  // the fmin=bmin assignment and the live anti join). All values
+  // exact integers. GraphOpsSpec pins the fixture fully assigned AND
+  // at its fixpoint (a deeper schedule changes nothing), so the
+  // fixed schedule is not hiding an unconverged closure.
+  private val q72 = QueryDef(
+    "q72_scc",
+    (s, dir) => {
+      val de = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          when(col("l_returnflag") =!= "R", col("l_suppkey") * 2)
+            .otherwise(col("o_custkey") * 2 + 1).as("src"),
+          when(col("l_returnflag") =!= "R", col("o_custkey") * 2 + 1)
+            .otherwise(col("l_suppkey") * 2).as("dst"))
+        .distinct()
+      graft.ops.GraphOps.scc(de)
+        .orderBy("component", "node")
+    },
+    Some {
+      val schedule = Seq(5, 2)
+      val outerCtes = schedule.zipWithIndex.map { case (inner, idx) =>
+        val o = idx + 1
+        val p = o - 1
+        val pulls = (1 to inner).map { i =>
+          s"""l${o}_$i AS MATERIALIZED (
+             |  SELECT m.node, m.dir, coalesce(least(m.lab1, j.lab), m.lab1) AS lab
+             |  FROM (SELECT l.node, l.dir,
+             |               coalesce(least(l.lab, p.nl), l.lab) AS lab1
+             |        FROM l${o}_${i - 1} l LEFT JOIN (
+             |          SELECT el.src AS node, el.dir, min(l2.lab) AS nl
+             |          FROM el$o el JOIN l${o}_${i - 1} l2
+             |            ON el.dst = l2.node AND el.dir = l2.dir
+             |          GROUP BY 1, 2) p
+             |          ON l.node = p.node AND l.dir = p.dir) m
+             |  LEFT JOIN l${o}_${i - 1} j
+             |    ON m.lab1 = j.node AND m.dir = j.dir)""".stripMargin
+        }.mkString(",\n")
+        val elCte =
+          if (o == 1) s"el$o AS (SELECT src, dst, dir FROM e2)"
+          else
+            s"""el$o AS MATERIALIZED (
+               |  SELECT e2.src, e2.dst, e2.dir FROM e2
+               |  JOIN live$p ls ON e2.src = ls.node
+               |  JOIN live$p ld ON e2.dst = ld.node)""".stripMargin
+        s"""$elCte,
+           |l${o}_0 AS (SELECT node, dir, node AS lab FROM live$p
+           |            CROSS JOIN (SELECT 'f' AS dir UNION ALL SELECT 'b')),
+           |$pulls,
+           |found$o AS MATERIALIZED (
+           |  SELECT node, fmin AS component FROM (
+           |    SELECT node, min(CASE WHEN dir = 'f' THEN lab END) AS fmin,
+           |                 min(CASE WHEN dir = 'b' THEN lab END) AS bmin
+           |    FROM l${o}_$inner GROUP BY node) WHERE fmin = bmin),
+           |live$o AS MATERIALIZED (
+           |  SELECT l.node FROM live$p l LEFT JOIN found$o f ON l.node = f.node
+           |  WHERE f.node IS NULL)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH de AS (
+         |  SELECT DISTINCT
+         |    CASE WHEN l_returnflag <> 'R' THEN l_suppkey * 2
+         |         ELSE o_custkey * 2 + 1 END AS src,
+         |    CASE WHEN l_returnflag <> 'R' THEN o_custkey * 2 + 1
+         |         ELSE l_suppkey * 2 END AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e2 AS (SELECT src, dst, 'f' AS dir FROM de
+         |       UNION ALL SELECT dst, src, 'b' FROM de),
+         |live0 AS (SELECT DISTINCT node FROM
+         |          (SELECT src AS node FROM de UNION ALL SELECT dst FROM de)),
+         |$outerCtes,
+         |allf AS (SELECT * FROM found1 UNION ALL SELECT * FROM found2)
+         |SELECT a.node, a.component, s.component_size
+         |FROM allf a JOIN (SELECT component, count(*) AS component_size
+         |                  FROM allf GROUP BY 1) s USING (component)
+         |ORDER BY component, node""".stripMargin
+    })
+
+  // DETERMINISTIC RANDOM WALKS (q73): the DeepWalk/node2vec corpus
+  // prep — one walk per node, 3 steps, each step choosing the
+  // neighbor whose rank (row_number over neighbor id, per source)
+  // equals sha60(walk ‖ ':' ‖ step) mod degree. The "randomness" is
+  // the portable 60-bit hash both engines compute identically, so
+  // the whole walk corpus is exactly replayable — the property a
+  // training pipeline needs for reproducible embedding runs.
+  // Scale shape: NO edge-sized intermediates — each step is a
+  // walk-sized join onto the degree table (compute the rank) and a
+  // (src, rnk)-keyed equi-join onto the ranked adjacency (one row
+  // per walk); the adjacency ranking is one per-source window pass,
+  // built once. L fixed ⇒ L·2 walk-sized joins total.
+  private val q73 = QueryDef(
+    "q73_random_walks",
+    (s, dir) => {
+      import graft.queries.QueryDef.sha60
+      // lineage-cut the pair build once (the q49 seam), then CACHE the
+      // ranked adjacency and degree tables — each of the 3 steps joins
+      // both, and replaying the window per step would re-rank the
+      // whole edge table L times
+      val pe = graft.ops.CacheScope.sessionOwned
+        .checkpointed(coEdges(s, dir), reliable = false)
+      val e2 = pe.select(col("p1").as("src"), col("p2").as("dst"))
+        .union(pe.select(col("p2").as("src"), col("p1").as("dst")))
+      val scope = graft.ops.CacheScope.sessionOwned
+      val adj = scope.cached(e2.withColumn("rnk",
+        row_number().over(Window.partitionBy("src").orderBy("dst")) - 1))
+      val deg = scope.cached(
+        e2.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+      var pos = deg.select(col("node").as("walk"), col("node").as("cur"))
+      val steps = scala.collection.mutable.ArrayBuffer(
+        pos.select(col("walk"), lit(0).as("step"), col("cur").as("node")))
+      for (st <- 1 to 3) {
+        pos = pos
+          .join(deg, col("cur") === col("node"))
+          .select(col("walk"), col("cur").as("src"),
+            (sha60(concat(col("walk").cast("string"), lit(s":$st")))
+              % col("deg")).as("rnk"))
+          .join(adj, Seq("src", "rnk"))
+          .select(col("walk"), col("dst").as("cur"))
+        steps += pos.select(col("walk"), lit(st).as("step"), col("cur").as("node"))
+      }
+      steps.reduce(_.unionByName(_)).orderBy("walk", "step")
+    },
+    Some {
+      val stepCtes = (1 to 3).map { st =>
+        val p = if (st == 1) "w0" else s"s${st - 1}"
+        s"""s$st AS (SELECT w.walk, a.dst AS cur
+           |  FROM $p w
+           |  JOIN deg d ON d.node = w.cur
+           |  JOIN adj a ON a.src = w.cur AND a.rnk =
+           |    CAST(concat('0x', substr(sha256(CAST(w.walk AS VARCHAR) || ':$st'), 1, 15))
+           |         AS BIGINT) % d.deg)""".stripMargin
+      }.mkString(",\n")
+      val stepSelects = (1 to 3).map { st =>
+        s"UNION ALL SELECT walk, $st AS step, cur AS node FROM s$st"
+      }.mkString("\n")
+      s"""WITH $coEdgesCte,
+         |e2 AS (SELECT p1 AS src, p2 AS dst FROM pe
+         |       UNION ALL SELECT p2, p1 FROM pe),
+         |adj AS (SELECT src, dst,
+         |        row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk
+         |        FROM e2),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e2 GROUP BY 1),
+         |w0 AS (SELECT node AS walk, node AS cur FROM deg),
+         |$stepCtes
+         |SELECT walk, 0 AS step, cur AS node FROM w0
+         |$stepSelects
+         |ORDER BY walk, step""".stripMargin
+    })
+
+  val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66, q69, q70,
+    q72, q73)
 }

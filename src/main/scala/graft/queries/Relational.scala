@@ -2137,6 +2137,72 @@ object Relational {
             |GROUP BY s_name, n_name
             |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin))
 
+  // ROLLING Z-SCORE ANOMALIES (q71): the time-series outlier classic —
+  // per user, each day's mean value against the trailing 7-day window
+  // (RANGE over day index, so gaps in the series shrink the window
+  // instead of stretching it); a day is anomalous when it sits more
+  // than 2 standard deviations from the window mean with at least 4
+  // observations. The FLAG is exact cross-engine: instead of comparing
+  // z against 2.0 in IEEE (a coin-flip at the boundary), multiply
+  // through by n² — (n·v − Σv)² > 4·(n·Σv² − (Σv)²) — and evaluate in
+  // explicitly-sized DECIMALs (every width annotated below stays under
+  // 38 so neither engine silently rounds; v is 6dp so the decimals are
+  // exact rationals). The oracle additionally casts each square's
+  // operands up to DECIMAL(19,6)/(26,12): DuckDB multiplies in the
+  // operands' INTERNAL integer width, so a narrow decimal square
+  // overflows int64 even when the declared result width would fit. The reported z then divides two exact decimals
+  // in IEEE and rounds to 4dp (the q51 convention: round above fp
+  // drift). Shapes: one day-grain aggregate (map-side combined), one
+  // user-partitioned window pass — no self-join against shifted
+  // copies, which is the naive O(7×) formulation; at 100 TB the
+  // window carries 7 rows of state per user partition.
+  private val q71 = QueryDef(
+    "q71_rolling_zscore",
+    (s, dir) => {
+      val obs = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(round(dsum(col("value")) / count(lit(1)), 6).as("v"))
+        .withColumn("vd", col("v").cast(DecimalType(12, 6)))
+        .withColumn("dayn", datediff(col("day"), lit("2024-01-01")))
+      val w = Window.partitionBy("user_id").orderBy("dayn").rangeBetween(-6, 0)
+      val stats = obs
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sv", sum(col("vd")).over(w).cast(DecimalType(15, 6)))
+        .withColumn("sq", sum(col("vd") * col("vd")).over(w).cast(DecimalType(20, 12)))
+      val nd = col("n").cast(DecimalType(4, 0))
+      val dev = nd * col("vd") - col("sv")                 // (18,6)
+      val varn2 = nd * col("sq") - col("sv") * col("sv")   // (32,12) = n²·var
+      stats
+        .filter(col("n") >= 4 &&
+          dev * dev > varn2 * lit(4).cast(DecimalType(2, 0)))
+        .select(col("user_id"), col("day"), col("v"), col("n"),
+          round(dev.cast("double") / sqrt(varn2.cast("double")), 4).as("z"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH obs AS (
+            |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+            |         round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS v
+            |  FROM events GROUP BY 1, 2),
+            |d AS (SELECT user_id, day, v, CAST(v AS DECIMAL(12,6)) AS vd,
+            |             date_diff('day', DATE '2024-01-01', day) AS dayn FROM obs),
+            |stats AS (SELECT user_id, day, v, vd,
+            |  count(*) OVER w AS n,
+            |  CAST(SUM(vd) OVER w AS DECIMAL(15,6)) AS sv,
+            |  CAST(SUM(vd * vd) OVER w AS DECIMAL(20,12)) AS sq
+            |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY dayn
+            |                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
+            |calc AS (SELECT user_id, day, v, n,
+            |  CAST(CAST(n AS DECIMAL(4,0)) * vd - sv AS DECIMAL(19,6)) AS dev,
+            |  CAST(CAST(CAST(n AS DECIMAL(4,0)) * sq AS DECIMAL(26,12)) -
+            |       CAST(CAST(sv AS DECIMAL(19,6)) * CAST(sv AS DECIMAL(19,6))
+            |            AS DECIMAL(26,12)) AS DECIMAL(27,12)) AS varn2
+            |  FROM stats WHERE n >= 4)
+            |SELECT user_id, day, v, n,
+            |  round(CAST(dev AS DOUBLE) / sqrt(CAST(varn2 AS DOUBLE)), 4) AS z
+            |FROM calc
+            |WHERE CAST(dev * dev AS DECIMAL(27,12)) > 4 * varn2
+            |ORDER BY user_id, day""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -2144,5 +2210,5 @@ object Relational {
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68)
+    q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68, q71)
 }

@@ -547,4 +547,56 @@ class GraphOpsSpec extends AnyFunSuite {
     // the same star within bounds still evaluates (3 iters -> 1e6 pulls)
     assert(GraphOps.hits(star, iters = 3).count() == 101L)
   }
+
+  test("scc peels a hand-built graph: cycles group, one-way bridges do not") {
+    // 1→2→3→1 (3-cycle), 5⇄6 (2-cycle), one-way bridges 3→5, 3→4,
+    // 7→1. Round 1 assigns only {1,2,3} (5's backward closure still
+    // reaches 1 through the bridge, so fmin=5 ≠ bmin=1); round 2,
+    // with the bridges peeled away, resolves {5,6} and the
+    // singletons — the outer peel is load-bearing, not decoration.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 6L), (6L, 5L),
+      (3L, 5L), (3L, 4L), (7L, 1L)).toDF("src", "dst")
+    val got = GraphOps.scc(edges).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      5L -> (5L, 2L), 6L -> (5L, 2L),
+      4L -> (4L, 1L), 7L -> (7L, 1L)), s"got $got")
+  }
+
+  test("scc fixed schedule sits at the fixture fixpoint; sccConverged matches") {
+    // the directed trade graph (delivered: supplier→customer,
+    // returned: customer→supplier) — the q72 fixture. The Seq(4, 2)
+    // default must be a FIXPOINT (a deeper schedule changes nothing:
+    // the fixed schedule is not hiding an unconverged closure), must
+    // assign every node, and the action-driven variant must land on
+    // the identical assignment.
+    val li = graft.Tables(spark, SparkFixture.sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val o = graft.Tables(spark, SparkFixture.sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val de = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(col("l_returnflag") =!= "R", col("l_suppkey") * 2)
+          .otherwise(col("o_custkey") * 2 + 1).as("src"),
+        when(col("l_returnflag") =!= "R", col("o_custkey") * 2 + 1)
+          .otherwise(col("l_suppkey") * 2).as("dst"))
+      .distinct()
+    val base = GraphOps.scc(de).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val deep = GraphOps.scc(de, schedule = Seq(6, 4, 2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(base == deep, "a deeper schedule must change nothing on the fixture")
+    val nNodes = de.select(col("src").as("n"))
+      .union(de.select(col("dst").as("n"))).distinct().count()
+    assert(base.size == nNodes, s"expected all $nNodes nodes assigned, got ${base.size}")
+    val conv = GraphOps.sccConverged(de).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(conv == base, "converged variant must match the fixed schedule")
+  }
+
+  test("sccConverged returns an empty frame for an empty edge list") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.sccConverged(empty).count() == 0L)
+  }
 }
