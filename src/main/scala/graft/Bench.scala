@@ -42,7 +42,8 @@ object Bench {
     "q56_sssp", "q57_kcore", "q58_upsert", "q59_cdc_apply", "q60_scd2", "q61_resample", "q62_retention",
     "q63_wppr", "q64_lpa", "q65_hits", "q66_adamic_adar",
     "l2_incremental_clusters", "q67_tpch_q18", "q68_tpch_q21", "q69_modularity",
-    "q70_louvain", "q71_rolling_zscore", "q72_scc", "q73_random_walks")
+    "q70_louvain", "q71_rolling_zscore", "q72_scc", "q73_random_walks",
+    "q74_tpch_q19")
 
   /** 1-minute system load average, -1.0 where the platform can't say.
     * Recorded at both ends of the run so the record SELF-ADJUDICATES:

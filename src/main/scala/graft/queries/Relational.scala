@@ -2137,6 +2137,46 @@ object Relational {
             |GROUP BY s_name, n_name
             |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin))
 
+  // TPC-H Q19 (q74) — discounted-revenue from three disjunctive
+  // brand/size/quantity arms: the classic disjunctive-JOIN-predicate
+  // stress (the OR references BOTH sides, so a naive plan can't push
+  // anything and filters post-join). The plan you want — and the one
+  // this spelling forces regardless of whether the optimizer does CNF
+  // extraction — hand-hoists the per-side implications: part
+  // pre-filters to the union of brand/size arms (catalog-sized →
+  // broadcast), lineitem pre-filters to the quantity envelope 1..30
+  // (reaches the parquet scan), and the exact three-arm OR evaluates
+  // as the join residual. Revenue through the dsum DECIMAL contract
+  // (adapted arms: the fixture has brands Brand#1..25, sizes 1..50,
+  // integer-valued quantities 1..50, no container/shipmode columns).
+  private val q74 = QueryDef(
+    "q74_tpch_q19",
+    (s, dir) => {
+      def armP(brand: String, sizeHi: Int) =
+        col("p_brand") === brand && col("p_size").between(1, sizeHi)
+      def armL(qLo: Int, qHi: Int) = col("l_quantity").between(qLo, qHi)
+      val arms =
+        (armP("Brand#12", 5) && armL(1, 11)) ||
+          (armP("Brand#23", 10) && armL(10, 20)) ||
+          (armP("Brand#34", 15) && armL(20, 30))
+      val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+        .filter(armP("Brand#12", 5) || armP("Brand#23", 10) || armP("Brand#34", 15))
+      val l = t(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .filter(armL(1, 30))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey") && arms)
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+    },
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            |FROM lineitem JOIN part ON l_partkey = p_partkey
+            |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+            |       AND l_quantity BETWEEN 1 AND 11)
+            |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+            |       AND l_quantity BETWEEN 10 AND 20)
+            |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+            |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
+
   // ROLLING Z-SCORE ANOMALIES (q71): the time-series outlier classic —
   // per user, each day's mean value against the trailing 7-day window
   // (RANGE over day index, so gaps in the series shrink the window
@@ -2210,5 +2250,6 @@ object Relational {
     q17union, q17intersect, q17except,
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68, q71)
+    q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
+    q71, q74)
 }

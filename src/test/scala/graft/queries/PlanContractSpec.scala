@@ -619,5 +619,18 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p55.contains("EqualTo(l_returnflag,R)"),
       s"returnflag filter not pushed to the lineitem scan:\n$p55")
     assert(p55.contains("TakeOrderedAndProject"), s"q55 top-20 is a global sort:\n$p55")
+    // q74 (Q19): the hand-hoisted per-side implications of the
+    // disjunctive join predicate must reach the scans — the quantity
+    // envelope on lineitem, the brand disjunction on part — and the
+    // catalog-sized part side must broadcast (no shuffle for a
+    // three-brand slice of the part table).
+    val p74 = formatted("q74_tpch_q19")
+    assert(p74.contains("GreaterThanOrEqual(l_quantity,1") &&
+      p74.contains("LessThanOrEqual(l_quantity,30"),
+      s"quantity envelope not pushed to the lineitem scan:\n$p74")
+    assert(p74.contains("EqualTo(p_brand,Brand#12)"),
+      s"brand arms not pushed to the part scan:\n$p74")
+    assert(p74.contains("BroadcastHashJoin"),
+      s"part side not broadcast:\n$p74")
   }
 }
