@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CmsEstimate, GramSha60Pos, MinHashSig, ShingleSha60, SimHashSig, UlidExpression, UlidTimestamp, VecDot, VecL2Sq, VecNorm, WinnowSketch}
+import graft.functions.{CmsEstimate, GramSha60Pos, HilbertKey, MinHashSig, ShingleSha60, SimHashSig, UlidExpression, UlidTimestamp, VecDot, VecL2Sq, VecNorm, WinnowSketch}
 
 /** Session-extension entry point: registers the engine's native
   * Catalyst expressions into the function registry, so SQL text can
@@ -108,6 +108,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
       exprs => { arity("cms_estimate", 2, exprs); CmsEstimate(exprs(0), exprs(1)) }))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_key"),
+      new ExpressionInfo(classOf[HilbertKey].getName, "hilbert_key"),
+      exprs => exprs match {
+        // 2-arg = order 16; optional 3rd arg = constant bit order
+        // (same foldable-integral contract as shingle_sha60)
+        case Seq(x, y) => HilbertKey(x, y, 16)
+        case Seq(x, y, ord) if ord.foldable && (ord.dataType match {
+              case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+              case _ => false
+            }) =>
+          ord.eval() match {
+            case n: Number => HilbertKey(x, y, java.lang.Math.toIntExact(n.longValue()))
+            case _ => throw new IllegalArgumentException(
+              s"hilbert_key order must be a non-null integer constant, got ${ord.sql}")
+          }
+        case _ => throw new IllegalArgumentException(
+          s"hilbert_key expects (bigint, bigint) or (bigint, bigint, <int literal order>), got ${exprs.length} args")
+      }))
   }
 }
 

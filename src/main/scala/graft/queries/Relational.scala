@@ -2137,6 +2137,57 @@ object Relational {
             |GROUP BY s_name, n_name
             |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin))
 
+  // HILBERT CLUSTERING KEY (q75): q52's layout story on the curve
+  // production tables actually prefer — consecutive Hilbert key
+  // ranges are CONNECTED blocks of the (partkey, suppkey) plane
+  // (Morton's Z jumps at quadrant seams), so range scans touch fewer
+  // files. Layout.hilbertKey is the native `hilbert_key` kernel (the
+  // xy2d walk is sequential per bit level — as Column arithmetic it
+  // needs 16 chained projections and ~2 s of Janino compile per
+  // fresh plan; as a kernel it is one codegen'd loop per row); the
+  // oracle replays the IDENTICAL walk as 16 unrolled CTEs — exact
+  // integers, no rounding contract. Same top-50 + rank presentation
+  // as q52.
+  private val q75 = QueryDef(
+    "q75_hilbert",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          graft.ops.Layout.hilbertKey(col("l_partkey"), col("l_suppkey"))
+            .as("hkey"))
+        .orderBy("hkey", "l_orderkey", "l_linenumber").limit(50)
+        .withColumn("rn", row_number().over(
+          Window.orderBy("hkey", "l_orderkey", "l_linenumber")))
+        .select(col("rn"), col("l_partkey"), col("l_suppkey"), col("hkey"))
+        .orderBy("rn")
+    },
+    Some {
+      val levels = (1 to 16).map { k =>
+        val s = 1L << (16 - k)
+        s"""h$k AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           |  d + ${s * s} * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+           |                     (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)) AS d,
+           |  CASE WHEN (y & $s) > 0 THEN x
+           |       WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END AS x,
+           |  CASE WHEN (y & $s) > 0 THEN y
+           |       WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END AS y
+           |  FROM h${k - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h0 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |            CAST(0 AS BIGINT) AS d,
+         |            CAST(l_partkey & 65535 AS BIGINT) AS x,
+         |            CAST(l_suppkey & 65535 AS BIGINT) AS y
+         |            FROM lineitem),
+         |$levels,
+         |top AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |               d AS hkey
+         |        FROM h16 ORDER BY hkey, l_orderkey, l_linenumber LIMIT 50)
+         |SELECT row_number() OVER (ORDER BY hkey, l_orderkey, l_linenumber) AS rn,
+         |       l_partkey, l_suppkey, hkey
+         |FROM top ORDER BY rn""".stripMargin
+    })
+
   // TPC-H Q19 (q74) — discounted-revenue from three disjunctive
   // brand/size/quantity arms: the classic disjunctive-JOIN-predicate
   // stress (the OR references BOTH sides, so a naive plan can't push
@@ -2251,5 +2302,5 @@ object Relational {
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
-    q71, q74)
+    q71, q74, q75)
 }

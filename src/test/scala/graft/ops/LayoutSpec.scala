@@ -58,4 +58,75 @@ class LayoutSpec extends AnyFunSuite {
       s"z-order envelope ($zExt) must be substantially tighter than lexicographic ($lexExt)")
     assert(zExt <= 110, s"16 partitions of a 128-grid should be near-block extents, got $zExt")
   }
+
+  /** Reference Hilbert xy2d, the textbook bit-level walk — the
+    * semantics the projection ladder must reproduce. */
+  private def hilbertRef(x0: Int, y0: Int, order: Int): Long = {
+    var x = x0.toLong; var y = y0.toLong; var d = 0L
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        val (nx, ny) = if (rx == 1) (s - 1 - y, s - 1 - x) else (y, x)
+        x = nx; y = ny
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertKey matches the bit-level xy2d reference on pseudo-random pairs") {
+    val pairs = Iterator.iterate(98765L)(s => (s * 6364136223846793005L + 1442695040888963407L))
+      .take(500)
+      .map(s => (((s >>> 16) & 0xFFFF).toInt, ((s >>> 40) & 0xFFFF).toInt))
+      .toSeq
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.hilbertKey(col("x"), col("y")).as("h"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    pairs.foreach { case (x, y) =>
+      assert(got((x, y)) == hilbertRef(x, y, 16), s"mismatch at ($x, $y)")
+    }
+    // low-order sanity: the first unit-square walk is (0,0)(0,1)(1,1)(1,0)
+    val tiny = Seq((0, 0), (0, 1), (1, 1), (1, 0)).toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertKey(col("x"), col("y"), order = 1).as("h"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(tiny == Map((0, 0) -> 0L, (0, 1) -> 1L, (1, 1) -> 2L, (1, 0) -> 3L))
+    // SQL-text path through the extension registry
+    val viaSql = pairs.toDF("x", "y").createOrReplaceTempView("hilbert_pairs")
+    val sqlGot = spark.sql(
+      "SELECT x, y, hilbert_key(CAST(x AS BIGINT), CAST(y AS BIGINT)) AS h FROM hilbert_pairs")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    pairs.foreach { case (x, y) =>
+      assert(sqlGot((x, y)) == hilbertRef(x, y, 16), s"SQL-path mismatch at ($x, $y)")
+    }
+  }
+
+  test("clusterByHilbert: every partition's key range is one connected block (Morton's is not)") {
+    // the locality claim that justifies Hilbert over Morton: walk the
+    // full 64x64 curve in key order — consecutive Hilbert keys are
+    // always GRID NEIGHBORS (step distance 1), while the Z curve
+    // jumps across quadrant seams (steps up to 2^k). So any
+    // contiguous key range (= any file after a range-partitioned
+    // write) is one connected region under Hilbert.
+    val grid = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("int").as("x"), (col("id") % 64).cast("int").as("y"))
+    val walk = grid
+      .select(col("x"), col("y"),
+        Layout.hilbertKey(col("x"), col("y"), order = 6).as("h"))
+      .orderBy("h").collect().map(r => (r.getInt(0), r.getInt(1)))
+    val steps = walk.sliding(2).map { case Array((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }.toSeq
+    assert(steps.forall(_ == 1), s"Hilbert walk must step to a grid neighbor every time")
+    val zwalk = grid
+      .select(col("x"), col("y"), Layout.mortonKey(col("x"), col("y")).as("z"))
+      .orderBy("z").collect().map(r => (r.getInt(0), r.getInt(1)))
+    val zmax = zwalk.sliding(2).map { case Array((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }.max
+    assert(zmax > 1, s"the Z walk should jump at quadrant seams (got max step $zmax)")
+  }
 }
