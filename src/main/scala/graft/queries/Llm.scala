@@ -626,6 +626,70 @@ object Llm {
          |ORDER BY variant, qid""".stripMargin
     })
 
+  // MATRYOSHKA truncation eval (l3_truncated_recall): recall@10 of
+  // PREFIX-truncated embeddings (dims 8/16/32 of 64) against the
+  // full-dim exact top-10 — the measurement behind every
+  // Matryoshka-representation deployment decision ("how many dims can
+  // storage drop before retrieval quality moves"), and the truncation
+  // side of the quantization trade l3_quantize_int8 covers for
+  // precision. Same eval scaffold as l3_ann_recall (top-k-sized
+  // joins; the candidate pass per dims-variant is the brute-force
+  // kernel on `slice`d arrays, round(·,6) rank contract), so the
+  // oracle replays it dimension-filtered (i <= d) in long format.
+  private lazy val l3trunc = QueryDef(
+    "l3_truncated_recall",
+    (s, dir) => {
+      val ref = l3.run(s, dir).select(col("qid"), col("vid"))
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      Seq(8, 16, 32).map { d =>
+        val sims = c.join(broadcast(q), col("vid") =!= col("qid"))
+          .withColumn("simr",
+            round(cosSim(slice(col("qe"), 1, d), slice(col("ve"), 1, d)), 6))
+        val w = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+        val top = sims.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10).select("qid", "vid")
+        val hits = ref.join(top, Seq("qid", "vid"), "semi")
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        ref.select("qid").distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(lit(d).as("dims"), col("qid"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            round(coalesce(col("n_hit"), lit(0L)) / 10.0, 6).as("recall"))
+      }.reduce(_ union _).orderBy("dims", "qid")
+    },
+    Some {
+      val dimCtes = Seq(8, 16, 32).map { d =>
+        s"""t$d AS (SELECT qid, vid FROM (
+           |  SELECT dd.qid, dd.vid,
+           |         row_number() OVER (PARTITION BY dd.qid
+           |                            ORDER BY dd.simr DESC, dd.vid) AS rn
+           |  FROM (SELECT q.vec_id AS qid, v.vec_id AS vid,
+           |               round(SUM(q.x * v.x) /
+           |                     (sqrt((SELECT SUM(n1.x * n1.x) FROM xx n1
+           |                            WHERE n1.vec_id = q.vec_id AND n1.i <= $d)) *
+           |                      sqrt((SELECT SUM(n2.x * n2.x) FROM xx n2
+           |                            WHERE n2.vec_id = v.vec_id AND n2.i <= $d))), 6) AS simr
+           |        FROM xx q JOIN xx v ON v.i = q.i AND v.vec_id != q.vec_id
+           |        WHERE q.vec_id IN (0, 1, 2) AND q.i <= $d
+           |        GROUP BY q.vec_id, v.vec_id) dd) WHERE rn <= 10),
+           |r$d AS (SELECT $d AS dims, q0.qid, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit
+           |  FROM (SELECT DISTINCT qid FROM knn) q0
+           |  LEFT JOIN (SELECT k.qid, count(*) AS n FROM knn k
+           |             JOIN t$d s0 ON s0.qid = k.qid AND s0.vid = k.vid
+           |             GROUP BY k.qid) h ON h.qid = q0.qid)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH knn AS (SELECT qid, vid FROM (${l3.oracle.get})),
+         |xx AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |              generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |$dimCtes
+         |SELECT dims, qid, n_hit, round(n_hit / 10.0, 6) AS recall
+         |FROM (SELECT * FROM r8 UNION ALL SELECT * FROM r16 UNION ALL SELECT * FROM r32)
+         |ORDER BY dims, qid""".stripMargin
+    })
+
   // IVF with k-means training: 2 Lloyd iterations from the same
   // deterministic init (first 32 vectors), then the l3_ann_ivf
   // assign/probe/re-rank. Everything runs in long format
@@ -3596,5 +3660,5 @@ object Llm {
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
-    l4bpeBatch, l3incr, l8importance, l8heavy, l3pca)
+    l4bpeBatch, l3incr, l8importance, l8heavy, l3pca, l3trunc)
 }
