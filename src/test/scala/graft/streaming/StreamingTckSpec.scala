@@ -842,6 +842,55 @@ class StreamingTckSpec extends AnyFunSuite {
         == Seq("d1", "d5"))
     } finally ShardLog.remove(logName)
   }
+
+  test("T12: streaming rolling anomaly flags — q71's exact-decimal 2-sigma rule in-stream") {
+    // The q71 semantic as its streaming twin: per (user, 10-minute
+    // window) the SAME exact-decimal outlier rule — a window
+    // flags when its farthest-from-mean value sits > 2σ out, and the
+    // farthest value is always the max or the min, so the whole test
+    // rides one windowed aggregate (n, Σv, Σv², max, min in decimals)
+    // with NO per-event second pass. Watermark closes windows for
+    // append mode; batch/streaming parity of the arithmetic is the
+    // point.
+    import org.apache.spark.sql.types.DecimalType
+    val in = MemoryStream[(Timestamp, Long, Double)](spark)
+    val vd = col("v").cast(DecimalType(12, 6))
+    val agg = in.toDF().toDF("ts", "user", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"),
+        sum(vd).cast(DecimalType(15, 6)).as("sv"),
+        sum(vd * vd).cast(DecimalType(20, 12)).as("sq"),
+        max(vd).as("mx"), min(vd).as("mn"))
+    val nd = col("n").cast(DecimalType(4, 0))
+    def dev(c: org.apache.spark.sql.Column) = nd * c - col("sv")
+    val varn4 = (nd * col("sq") - col("sv") * col("sv")) *
+      lit(4).cast(DecimalType(2, 0))
+    val flags = agg.select(col("window.start").as("ws"), col("user"),
+      (col("n") >= 4 &&
+        (dev(col("mx")) * dev(col("mx")) > varn4 ||
+         dev(col("mn")) * dev(col("mn")) > varn4)).as("anomalous"))
+    val q = flags.writeStream.format("memory").queryName("t12_out")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+    // user 1: five steady 10s + one 50 spike -> dev(50)=200, 200²=40000
+    //         > 4·(6·3000−10000)=32000 -> flagged
+    // user 2: six near-10 values -> dev(10.5)=3, 9 < 4·3.48 -> quiet
+    in.addData(
+      (ts(0), 1L, 10.0), (ts(1), 1L, 10.0), (ts(2), 1L, 10.0),
+      (ts(3), 1L, 10.0), (ts(4), 1L, 10.0), (ts(5), 1L, 50.0),
+      (ts(0), 2L, 10.0), (ts(1), 2L, 10.5), (ts(2), 2L, 9.5),
+      (ts(3), 2L, 10.0), (ts(4), 2L, 10.2), (ts(5), 2L, 9.8))
+    q.processAllAvailable()
+    in.addData((ts(30), 9L, 0.0)) // watermark past the window: closes it
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t12_out")
+      .select("user", "anomalous").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(rows(1L) === true, s"the spike window must flag (got $rows)")
+    assert(rows(2L) === false, s"the steady window must stay quiet (got $rows)")
+  }
 }
 
 /** Static sinks so foreachBatch closures survive query restarts. */
