@@ -626,6 +626,79 @@ object Llm {
          |ORDER BY variant, qid""".stripMargin
     })
 
+  // CONTENT-DEFINED CHUNKING dedup (l8_cdc_chunks): the
+  // restic/FastCDC storage-dedup semantic at TOKEN level — chunk
+  // boundaries cut where the content's own rolling signature
+  // (the positional word-8-gram sha60, native kernel) hits
+  // h % 32 == 0, so an insertion early in a document RESHIFTS no
+  // boundary after the next cut (fixed-size chunking would invalidate
+  // every later chunk — the whole point of CDC), and identical runs
+  // land in identical chunks wherever they sit. Expected chunk ~32
+  // words. Each (doc, chunk) hashes its reassembled words; a chunk is
+  // a DUP when any earlier (doc, chunk) carries the same hash
+  // (row_number over the hash). Output: per-doc chunk/dup-chunk/word
+  // counts — the dedup-able-storage accounting a chunk store bills
+  // by. Shapes: gram hashes row-local; the word explode re-aggregates
+  // ~32:1 into chunk rows; dup detection is ONE hash-keyed window at
+  // chunk (not word) granularity — corpus-linear throughout, no
+  // pairwise anything.
+  private lazy val l8cdc = QueryDef(
+    "l8_cdc_chunks",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val cuts = d.select(col("doc_id"),
+          posexplode(graft.functions.ShingleExprs.gram_sha60_pos(col("text"))))
+        .toDF("doc_id", "i", "h")
+        .filter(col("h") % 32 === 0)
+        .select(col("doc_id").as("cdoc"), col("i"))
+      val tok = d.select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "j", "word")
+      val wCum = Window.partitionBy("doc_id").orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunked = tok
+        .join(cuts, col("doc_id") === col("cdoc") && col("j") === col("i"), "left")
+        .withColumn("cut", when(col("i").isNotNull, 1L).otherwise(0L))
+        .withColumn("chunk", coalesce(sum(col("cut")).over(wCum), lit(0L)))
+      val ch = chunked.groupBy(col("doc_id"), col("chunk"))
+        .agg(
+          substring(sha2(array_join(
+            transform(array_sort(collect_list(struct(col("j"), col("word")))),
+              x => x.getField("word")), " "), 256), 1, 16).as("h"),
+          count(lit(1)).as("nw"))
+      val wDup = Window.partitionBy("h").orderBy("doc_id", "chunk")
+      ch.withColumn("dup", row_number().over(wDup) > 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(col("nw")).as("n_words"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            |g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 7),
+            |         i -> {'i': i - 1,
+            |               'h': CAST(concat('0x', substr(sha256(array_to_string(ws[i:i+7], ' ')), 1, 15)) AS BIGINT)})) AS x
+            |       FROM w WHERE len(ws) >= 8),
+            |b AS (SELECT doc_id, x.i AS i FROM g0 WHERE x.h % 32 = 0),
+            |tok AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS j, unnest(ws) AS word FROM w),
+            |f AS (SELECT t.doc_id, t.j, t.word,
+            |             CASE WHEN b.i IS NOT NULL THEN 1 ELSE 0 END AS cut
+            |      FROM tok t LEFT JOIN b ON b.doc_id = t.doc_id AND b.i = t.j),
+            |c AS (SELECT doc_id, j, word,
+            |        coalesce(SUM(cut) OVER (PARTITION BY doc_id ORDER BY j
+            |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+            |      FROM f),
+            |ch AS (SELECT doc_id, chunk,
+            |         substr(sha256(string_agg(word, ' ' ORDER BY j)), 1, 16) AS h,
+            |         count(*) AS nw
+            |       FROM c GROUP BY doc_id, chunk),
+            |r AS (SELECT doc_id, chunk, nw,
+            |        row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk) > 1 AS dup
+            |      FROM ch)
+            |SELECT doc_id, count(*) AS n_chunks,
+            |       count(CASE WHEN dup THEN 1 END) AS n_dup_chunks,
+            |       CAST(SUM(nw) AS BIGINT) AS n_words
+            |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   // MATRYOSHKA truncation eval (l3_truncated_recall): recall@10 of
   // PREFIX-truncated embeddings (dims 8/16/32 of 64) against the
   // full-dim exact top-10 — the measurement behind every
@@ -3660,5 +3733,5 @@ object Llm {
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
-    l4bpeBatch, l3incr, l8importance, l8heavy, l3pca, l3trunc)
+    l4bpeBatch, l3incr, l8importance, l8heavy, l3pca, l3trunc, l8cdc)
 }

@@ -475,7 +475,9 @@ class PlanContractSpec extends AnyFunSuite {
       "q44_pagerank", "q46_ppr", "q47_pagerank_weighted", // GraphOps lineage-cuts
       "q48_components", "q49_bfs", "q56_sssp", "q57_kcore", "q50_triangles",
       "q63_wppr", "q64_lpa", "q65_hits", "q66_adamic_adar", "q69_modularity",
-      "q70_louvain", "q72_scc", // same iterative-graph seam: dupClusters
+      "q70_louvain", "q72_scc",
+      "q73_random_walks", // pair-build lineage cut at construction (q49's seam)
+      // — same iterative-graph seam: dupClusters
       // rounds / hopDistance rounds lineage-cut through localCheckpoint
       // the edge table (lazy localCheckpoint) and derives the round
       // width from its partition count — materializing the edge
