@@ -291,9 +291,10 @@ object Multimodal {
       (bb.getInt(), bb.getInt(), bb.getInt())
     }
 
-    /** (width, height, frames) by declared format — `bmp`, `wav`, and
-      * `jpg`/`jpeg` parse REAL bytes; `grft` is the documented
-      * deterministic stub (MP3/video need codec libraries this
+    /** (width, height, frames) by declared format — `bmp`, `wav`,
+      * `jpg`/`jpeg`, and `mp3` parse REAL bytes; `grft` is the
+      * documented deterministic stub (video frame extraction and
+      * compressed-payload pixel/PCM decode need codec libraries this
       * container does not ship). */
     def decodeDims(fmt: String, payload: Array[Byte]): (Int, Int, Int) = fmt match {
       case "bmp"          => decodeBmp(payload)

@@ -349,9 +349,17 @@ object GraphOps {
     *
     * FIXED `schedule` (one entry per outer round = that round's inner
     * pull count) so a SQL oracle replays the exact rounds — all
-    * labels exact integers, no rounding contract. Anytime semantics:
-    * nodes still unassigned after the schedule are ABSENT from the
-    * result; each inner round is a one-hop PULL followed by a STALE
+    * labels exact integers, no rounding contract. The fixed schedule
+    * is only the TRUE SCC decomposition when each closure reaches its
+    * fixpoint (spec-pinned on the fixture, with a round to spare): an
+    * UNDER-converged closure both leaves nodes unassigned (absent
+    * from the result) and can SPLIT one SCC into several components —
+    * fmin = bmin fires at locally-minimal labels, so every assigned
+    * group is still a SUBSET of a true SCC (distinct SCCs never
+    * merge), but one SCC's nodes may land under different
+    * representative ids. On a graph whose closure depth is unknown,
+    * use [[sccConverged]]. Each inner round is a one-hop PULL
+    * followed by a STALE
     * POINTER JUMP — lab := min(lab, prevRound(lab)): a label is the
     * id of a reachable node, so composing with the PREVIOUS round's
     * label of that node is still a reachability (the dupClusters
@@ -404,24 +412,34 @@ object GraphOps {
       .filter(col("fmin") === col("bmin"))
       .select(col("node"), col("fmin").as("component"))
 
-  def scc(edges: DataFrame, schedule: Seq[Int] = Seq(5, 2),
-          reliable: Boolean = false)
-         (implicit scope: CacheScope): DataFrame = {
-    require(schedule.nonEmpty && schedule.forall(_ >= 1),
-      s"schedule must be non-empty positive inner-round counts (got $schedule)")
-    val (rs, e0) = roundSetup(edges.select(col("src"), col("dst")), reliable)
-    // 'f' rows pull labels along u→w onto u; 'b' rows are the reversal.
-    // NOT checkpointed: the explode is a narrow map over the e0 leaf —
-    // recomputing it per round scan is free, materializing 2E rows is
-    // a job plus blocks
+  /** Shared SCC setup: the direction-tagged two-way edge map over the
+    * checkpointed edge leaf ('f' rows pull labels along u→w onto u,
+    * 'b' rows are the reversal — deliberately NOT checkpointed: the
+    * explode is a narrow map, recomputing it per round scan is free,
+    * materializing 2E rows is a job plus blocks) and the initial live
+    * node set. ONE definition so [[scc]] and [[sccConverged]] cannot
+    * drift — the specs pin them exactly equal on converged inputs. */
+  private def sccSetup(edges: DataFrame, reliable: Boolean)
+                      (implicit scope: CacheScope): (DataFrame, DataFrame) = {
+    val (_, e0) = roundSetup(edges.select(col("src"), col("dst")), reliable)
     val e2 =
       e0.select(explode(array(
         struct(col("src").as("s"), col("dst").as("d"), lit("f").as("dir")),
         struct(col("dst").as("s"), col("src").as("d"), lit("b").as("dir")))).as("x"))
         .select(col("x.s").as("src"), col("x.d").as("dst"), col("x.dir").as("dir"))
-    var live = scope.checkpointed(
+    val live = scope.checkpointed(
       e0.select(col("src").as("node")).union(e0.select(col("dst").as("node")))
         .distinct(), reliable)
+    (e2, live)
+  }
+
+  def scc(edges: DataFrame, schedule: Seq[Int] = Seq(5, 2),
+          reliable: Boolean = false)
+         (implicit scope: CacheScope): DataFrame = {
+    require(schedule.nonEmpty && schedule.forall(_ >= 1),
+      s"schedule must be non-empty positive inner-round counts (got $schedule)")
+    val (e2, live0) = sccSetup(edges, reliable)
+    var live = live0
     var out: Option[DataFrame] = None
     for ((inner, idx) <- schedule.zipWithIndex) {
       val el =
@@ -454,24 +472,19 @@ object GraphOps {
     * iterating its min-label pulls until a fixpoint probe sees no
     * label change; superseded rounds release their checkpoint blocks
     * as the probes materialize them. `maxRounds` bounds BOTH loop
-    * depths as a runaway backstop (a WARN logs if it exhausts —
-    * unlike LPA the peel cannot oscillate, labels are monotone, so
-    * exhaustion means the bound was simply too small for the graph).
-    * Returns (node, component, component_size). */
+    * depths as a runaway backstop; unlike LPA the peel cannot
+    * oscillate (labels are monotone), so exhaustion only ever means
+    * the bound was too small — and it is LOUD on both paths: an
+    * inner-closure exhaustion WARNs that assignments over an
+    * unconverged closure can split true SCCs (see [[scc]]), an outer
+    * exhaustion WARNs about the unassigned remainder. Returns
+    * (node, component, component_size). */
   def sccConverged(edges: DataFrame, maxRounds: Int = 20,
                    reliable: Boolean = false)
                   (implicit scope: CacheScope): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
-    val (rs, e0) = roundSetup(edges.select(col("src"), col("dst")), reliable)
-    // narrow map over the e0 leaf, not checkpointed (see [[scc]])
-    val e2 =
-      e0.select(explode(array(
-        struct(col("src").as("s"), col("dst").as("d"), lit("f").as("dir")),
-        struct(col("dst").as("s"), col("src").as("d"), lit("b").as("dir")))).as("x"))
-        .select(col("x.s").as("src"), col("x.d").as("dst"), col("x.dir").as("dir"))
-    var live = scope.checkpointed(
-      e0.select(col("src").as("node")).union(e0.select(col("dst").as("node")))
-        .distinct(), reliable)
+    val (e2, live0) = sccSetup(edges, reliable)
+    var live = live0
     var out: Option[DataFrame] = None
     var outerRound = 0
     var liveCount = live.count()
@@ -500,6 +513,12 @@ object GraphOps {
         lbl = next
         innerRound += 1
       }
+      if (changed)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"sccConverged inner closure exhausted maxRounds=$maxRounds " +
+            "without a label fixpoint — fmin=bmin assignments over an " +
+            "unconverged closure can SPLIT true SCCs into fragments " +
+            "(memberships stay sound, ids do not); raise maxRounds")
       val found = scope.checkpointed(
         lbl.groupBy("node").agg(
             min(when(col("dir") === "f", col("lab"))).as("fmin"),
@@ -707,9 +726,12 @@ object GraphOps {
     val ed = edges.select(col("src"), col("dst"))
     val cm = scope.cached(communities.select(col("node"), col("community")))
     val m = ed.agg(count(lit(1)).as("m"))
-    val lab = ed
+    // cached: degSum and eIn are separate aggregates over this joined
+    // table — without the cache the edge-sized double label join runs
+    // once per consumer
+    val lab = scope.cached(ed
       .join(cm.select(col("node").as("src"), col("community").as("c1")), "src")
-      .join(cm.select(col("node").as("dst"), col("community").as("c2")), "dst")
+      .join(cm.select(col("node").as("dst"), col("community").as("c2")), "dst"))
     val degSum = lab.select(explode(array(col("c1"), col("c2"))).as("community"))
       .groupBy("community").agg(count(lit(1)).as("deg_sum"))
     val eIn = lab.filter(col("c1") === col("c2"))
@@ -1027,6 +1049,13 @@ object GraphOps {
     * round × a LARGE `rounds` is real storage — deep or unknown-depth
     * peels belong on [[kCoreConverged]], which releases superseded
     * rounds as its convergence actions materialize them. */
+  /** Undirected degree table of a canonical (src < dst) edge list —
+    * the per-round aggregate both k-core forms peel by. ONE definition
+    * so the fixed-round and converged variants cannot drift. */
+  private def peelDegrees(ed: DataFrame): DataFrame =
+    ed.select(col("src").as("node")).union(ed.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
   def kCore(edges: DataFrame, k: Int, rounds: Int = 4,
             reliable: Boolean = false)
            (implicit scope: CacheScope): DataFrame = {
@@ -1034,20 +1063,17 @@ object GraphOps {
     val setup = roundSetup(edges.select(col("src"), col("dst")), reliable)
     val rs = setup._1
     var e = setup._2
-    def degrees(ed: DataFrame): DataFrame =
-      ed.select(col("src").as("node")).union(ed.select(col("dst").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
     for (_ <- 1 to rounds) {
       // the survivor set feeds BOTH semi joins — lineage-cut it so the
       // per-round degree aggregate runs once, not once per join side
       val keep = scope.checkpointed(
-        degrees(e).filter(col("deg") >= k).select("node"), reliable)
+        peelDegrees(e).filter(col("deg") >= k).select("node"), reliable)
       e = scope.checkpointed(
         e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
           .select("src", "dst"), reliable)
     }
-    degrees(e).filter(col("deg") >= k)
+    peelDegrees(e).filter(col("deg") >= k)
   }
 
   /** Action-driven k-core for pipeline use: peel until the SURVIVOR
@@ -1073,16 +1099,13 @@ object GraphOps {
       s"k/maxRounds must be >= 1 (got $k/$maxRounds)")
     val setup = roundSetup(edges.select(col("src"), col("dst")), reliable)
     var e = setup._2
-    def degrees(ed: DataFrame): DataFrame =
-      ed.select(col("src").as("node")).union(ed.select(col("dst").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
     var survivors = -1L
     var stable = false
     var round = 0
     var pending = List.empty[DataFrame]
     while (round < maxRounds && !stable) {
       val keep = scope.checkpointed(
-        degrees(e).filter(col("deg") >= k).select("node"), reliable)
+        peelDegrees(e).filter(col("deg") >= k).select("node"), reliable)
       val n = keep.count() // materializes keep AND the current e leaf
       if (!reliable) { pending.foreach(CacheScope.unpersistPlanRdds) }
       pending = Nil
@@ -1105,7 +1128,7 @@ object GraphOps {
         .warn(s"kCoreConverged exhausted maxRounds=$maxRounds before the " +
           "peel reached its fixpoint — the result is a SUPERSET of the " +
           s"$k-core; raise maxRounds")
-    degrees(e).filter(col("deg") >= k)
+    peelDegrees(e).filter(col("deg") >= k)
   }
 
   /** Exact per-node triangle counts over an UNDIRECTED graph given in

@@ -591,13 +591,17 @@ object Graph {
       val steps = scala.collection.mutable.ArrayBuffer(
         pos.select(col("walk"), lit(0).as("step"), col("cur").as("node")))
       for (st <- 1 to 3) {
-        pos = pos
+        // each step's position table feeds BOTH the next step's chain
+        // and its own output branch of the final union — cache it so
+        // the union does not re-execute every prefix step per branch
+        // (L·2 walk-sized joins total, not ~L²)
+        pos = scope.cached(pos
           .join(deg, col("cur") === col("node"))
           .select(col("walk"), col("cur").as("src"),
             (sha60(concat(col("walk").cast("string"), lit(s":$st")))
               % col("deg")).as("rnk"))
           .join(adj, Seq("src", "rnk"))
-          .select(col("walk"), col("dst").as("cur"))
+          .select(col("walk"), col("dst").as("cur")))
         steps += pos.select(col("walk"), lit(st).as("step"), col("cur").as("node"))
       }
       steps.reduce(_.unionByName(_)).orderBy("walk", "step")

@@ -566,7 +566,7 @@ class GraphOpsSpec extends AnyFunSuite {
 
   test("scc fixed schedule sits at the fixture fixpoint; sccConverged matches") {
     // the directed trade graph (delivered: supplier→customer,
-    // returned: customer→supplier) — the q72 fixture. The Seq(4, 2)
+    // returned: customer→supplier) — the q72 fixture. The Seq(5, 2)
     // default must be a FIXPOINT (a deeper schedule changes nothing:
     // the fixed schedule is not hiding an unconverged closure), must
     // assign every node, and the action-driven variant must land on
@@ -598,5 +598,30 @@ class GraphOpsSpec extends AnyFunSuite {
   test("sccConverged returns an empty frame for an empty edge list") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(GraphOps.sccConverged(empty).count() == 0L)
+  }
+
+  test("scc under-convergence SPLITS an SCC into sound fragments; sccConverged heals it") {
+    // the documented fixed-schedule failure mode, pinned: a 12-node
+    // directed cycle with scrambled ids is ONE SCC, but a Seq(1)
+    // schedule can't close the min-label walk — the result may
+    // fragment the cycle under several representative ids and leave
+    // nodes unassigned. The contract is that every fragment is still
+    // a SUBSET of the true SCC (memberships sound — distinct SCCs
+    // never merge), and the converged variant returns the one true
+    // component.
+    val ids = Seq(7L, 3L, 11L, 1L, 9L, 5L, 12L, 2L, 10L, 4L, 8L, 6L)
+    val edges = ids.zip(ids.tail :+ ids.head).toDF("src", "dst")
+    val frag = GraphOps.scc(edges, schedule = Seq(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // sound: every assigned component id is itself a cycle member
+    // (subset of the true SCC — trivially true here with one SCC),
+    // and the split is real: more than one component or not all nodes
+    assert(frag.forall { case (n, c) => ids.contains(n) && ids.contains(c) })
+    assert(frag.map(_._2).distinct.length > 1 || frag.length < ids.length,
+      s"Seq(1) unexpectedly converged: $frag")
+    val conv = GraphOps.sccConverged(edges).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    assert(conv.length == 12 && conv.forall(_._2 == (1L, 12L)),
+      s"converged variant must return the single true SCC, got ${conv.toSeq}")
   }
 }
