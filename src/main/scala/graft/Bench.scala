@@ -43,7 +43,8 @@ object Bench {
     "q63_wppr", "q64_lpa", "q65_hits", "q66_adamic_adar",
     "l2_incremental_clusters", "q67_tpch_q18", "q68_tpch_q21", "q69_modularity",
     "q70_louvain", "q71_rolling_zscore", "q72_scc", "q73_random_walks",
-    "q74_tpch_q19", "q75_hilbert", "l3_truncated_recall", "l8_cdc_chunks")
+    "q74_tpch_q19", "q75_hilbert", "l3_truncated_recall", "l8_cdc_chunks",
+    "q76_pagerank_incr")
 
   /** 1-minute system load average, -1.0 where the platform can't say.
     * Recorded at both ends of the run so the record SELF-ADJUDICATES:

@@ -257,6 +257,40 @@ object GraphOps {
     prLoop(e, nodes, Some(weightCol), iters, damping, scale, checkpointEvery)
   }
 
+  /** WARM-START PageRank: resume the power iteration from a PRIOR
+    * rank table (node, pr) instead of the uniform vector — the
+    * incremental re-rank after a graph delta (yesterday's ranks warm
+    * today's graph), the graph member of the incremental-ingest
+    * family (exact-dedup verdicts, bloom gates, ANN index adds,
+    * cluster assignment). With teleport > 0 the iteration is a
+    * CONTRACTION toward the same stationary vector from any start, so
+    * a near-fixpoint prior needs far fewer rounds than a cold start;
+    * a fixed `iters` keeps the op oracle-replayable, and warm-starting
+    * from a k-round cold run IS rounds k+1..k+iters of that run
+    * (bit-for-bit — spec-pinned), so the continuation semantics are
+    * exact, not approximate. Nodes ABSENT from the prior (new since
+    * it ran) start at the uniform share 1/N; prior rows for nodes that
+    * left the graph are dropped — mass re-normalizes through the
+    * teleport term over the rounds rather than by an extra global
+    * pass. Same determinism contract, round discipline, and left-join
+    * mass retention as [[pageRank]]. Returns (node, deg, pr). */
+  def pageRankWarm(edges: DataFrame, prior: DataFrame, iters: Int = 2,
+                   damping: Double = 0.85, teleport: Double = 0.15,
+                   scale: Int = 9, checkpointEvery: Int = 0)
+                  (implicit scope: CacheScope): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val (e, nodes0) = prSetup(edges, None, None, teleport)
+    // re-root the caller-session prior next to the rounds (the seed
+    // seam), then override pr0 where a prior rank exists
+    val p = intoSession(e.sparkSession,
+      prior.select(col("node").as("pnode"), col("pr").as("prior_pr")))
+    val nodes = scope.cached(
+      nodes0.join(p, nodes0("node") === col("pnode"), "left")
+        .select(col("node"), col("deg"), col("base"),
+          coalesce(col("prior_pr"), col("pr0")).as("pr0")))
+    prLoop(e, nodes, None, iters, damping, scale, checkpointEvery)
+  }
+
   /** Convergence-driven PageRank for pipeline (library) use: iterate
     * until max|Δpr| <= `tol` (checked every `checkEvery` rounds — each
     * check is one node-sized join + a 1-row aggregate action), up to

@@ -600,6 +600,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.sccConverged(empty).count() == 0L)
   }
 
+  test("pageRankWarm from a cold prefix IS the cold run's continuation, bit-for-bit") {
+    // the exact-continuation contract: warm-starting from cold-3's
+    // ranks and running 2 more rounds must equal cold-5 exactly —
+    // warm start is resumption, not approximation. And a node ABSENT
+    // from the prior starts at the uniform share: warming the 4-node
+    // graph with a 1-node prior still ranks every node.
+    val edges = GraphOps.undirect(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("src", "dst"))
+    val cold3 = GraphOps.pageRank(edges, iters = 3)
+    val warm = GraphOps.pageRankWarm(edges, cold3.select(col("node"), col("pr")),
+        iters = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val cold5 = GraphOps.pageRank(edges, iters = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(warm == cold5, s"warm continuation $warm != cold-5 $cold5")
+    val partial = Seq((1L, 0.9)).toDF("node", "pr")
+    val fromPartial = GraphOps.pageRankWarm(edges, partial, iters = 1)
+    assert(fromPartial.count() == 4L, "new nodes must enter at the uniform share")
+  }
+
   test("scc under-convergence SPLITS an SCC into sound fragments; sccConverged heals it") {
     // the documented fixed-schedule failure mode, pinned: a 12-node
     // directed cycle with scrambled ids is ONE SCC, but a Seq(1)

@@ -472,7 +472,8 @@ class PlanContractSpec extends AnyFunSuite {
       "l6_cluster_keeper", // builds dupClusters (the l2_dup_clusters exemption)
       "l2_incremental_clusters", // builds the stored corpus table AND the
       // delta rounds through dupClusters — twice in the same exemption class
-      "q44_pagerank", "q46_ppr", "q47_pagerank_weighted", // GraphOps lineage-cuts
+      "q44_pagerank", "q46_ppr", "q47_pagerank_weighted",
+      "q76_pagerank_incr", // GraphOps lineage-cuts
       "q48_components", "q49_bfs", "q56_sssp", "q57_kcore", "q50_triangles",
       "q63_wppr", "q64_lpa", "q65_hits", "q66_adamic_adar", "q69_modularity",
       "q70_louvain", "q72_scc",
