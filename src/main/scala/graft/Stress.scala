@@ -33,7 +33,7 @@ object Stress {
     "l3_cluster_sample_kept", "l2_edit_distance", "l4_bpe_merges",
     "l4_bpe_encode", "l4_bpe_merges_batched", "l8_weighted_sample",
     "l3_ann_incremental", "l8_importance", "l8_heavy_hitters",
-    "l2_incremental_clusters")
+    "l2_incremental_clusters", "l8_cdc_chunks", "l3_truncated_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
