@@ -93,7 +93,8 @@ object GraphOps {
     * bit-for-bit.
     */
   private def prSetup(edges: DataFrame, weightCol: Option[String],
-                      seeds: Option[DataFrame], teleport: Double)
+                      seeds: Option[DataFrame], teleport: Double,
+                      cacheNodes: Boolean = true)
                      (implicit scope: CacheScope): (DataFrame, DataFrame) = {
     val cols = Seq(col("src"), col("dst")) ++ weightCol.map(col)
     val eck = scope.checkpointed(edges.select(cols: _*), reliable = false)
@@ -104,7 +105,12 @@ object GraphOps {
     val deg = e.groupBy("src")
       .agg(weightCol.map(w => sum(col(w))).getOrElse(count(lit(1))).as("deg"))
       .select(col("src").as("node"), col("deg"))
-    val nodes = scope.cached(seeds match {
+    // cacheNodes = false for callers that immediately DERIVE the table
+    // they actually iterate on (pageRankWarm) — caching this one too
+    // would pin a node-sized table read exactly once
+    def maybeCache(df: DataFrame): DataFrame =
+      if (cacheNodes) scope.cached(df) else df
+    val nodes = maybeCache(seeds match {
       case None =>
         val n = deg.agg(count(lit(1)).as("n"))
         deg.crossJoin(broadcast(n))
@@ -272,18 +278,24 @@ object GraphOps {
     * it ran) start at the uniform share 1/N; prior rows for nodes that
     * left the graph are dropped — mass re-normalizes through the
     * teleport term over the rounds rather than by an extra global
-    * pass. Same determinism contract, round discipline, and left-join
-    * mass retention as [[pageRank]]. Returns (node, deg, pr). */
+    * pass. A duplicate-keyed prior collapses to max(pr) per node (the
+    * seeds-path distinct discipline — a raw left join would double-
+    * count every duplicated node's out-mass each round). Same
+    * determinism contract, round discipline, and left-join mass
+    * retention as [[pageRank]]. Returns (node, deg, pr). */
   def pageRankWarm(edges: DataFrame, prior: DataFrame, iters: Int = 2,
                    damping: Double = 0.85, teleport: Double = 0.15,
                    scale: Int = 9, checkpointEvery: Int = 0)
                   (implicit scope: CacheScope): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
-    val (e, nodes0) = prSetup(edges, None, None, teleport)
+    // cacheNodes = false: the table the rounds ride is the DERIVED one
+    val (e, nodes0) = prSetup(edges, None, None, teleport, cacheNodes = false)
     // re-root the caller-session prior next to the rounds (the seed
     // seam), then override pr0 where a prior rank exists
     val p = intoSession(e.sparkSession,
-      prior.select(col("node").as("pnode"), col("pr").as("prior_pr")))
+      prior.select(col("node"), col("pr"))
+        .groupBy("node").agg(max("pr").as("prior_pr"))
+        .select(col("node").as("pnode"), col("prior_pr")))
     val nodes = scope.cached(
       nodes0.join(p, nodes0("node") === col("pnode"), "left")
         .select(col("node"), col("deg"), col("base"),
@@ -1062,6 +1074,13 @@ object GraphOps {
     lbl.select(col("node"), col("lbl").as("community"))
   }
 
+  /** Undirected degree table of a canonical (src < dst) edge list —
+    * the per-round aggregate both k-core forms peel by. ONE definition
+    * so the fixed-round and converged variants cannot drift. */
+  private def peelDegrees(ed: DataFrame): DataFrame =
+    ed.select(col("src").as("node")).union(ed.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
   /** K-CORE approximation by fixed-round peeling: repeatedly drop
     * nodes with degree < k (degree over the surviving subgraph) for
     * `rounds` rounds; the fixpoint of this peel IS the k-core, and a
@@ -1083,13 +1102,6 @@ object GraphOps {
     * round × a LARGE `rounds` is real storage — deep or unknown-depth
     * peels belong on [[kCoreConverged]], which releases superseded
     * rounds as its convergence actions materialize them. */
-  /** Undirected degree table of a canonical (src < dst) edge list —
-    * the per-round aggregate both k-core forms peel by. ONE definition
-    * so the fixed-round and converged variants cannot drift. */
-  private def peelDegrees(ed: DataFrame): DataFrame =
-    ed.select(col("src").as("node")).union(ed.select(col("dst").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-
   def kCore(edges: DataFrame, k: Int, rounds: Int = 4,
             reliable: Boolean = false)
            (implicit scope: CacheScope): DataFrame = {

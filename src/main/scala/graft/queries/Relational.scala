@@ -2209,10 +2209,11 @@ object Relational {
       // BOTH phases' edge sets derive from the same lineitem⋈orders
       // join — cache it once so the prior phase and the warm phase
       // don't each re-run the corpus-sized join
-      val joined = graft.ops.CacheScope.sessionOwned.cached(
+      val joined = cached(
         li.join(o, col("l_orderkey") === col("o_orderkey"))
           .select((col("l_suppkey") * 2).as("src"),
-            (col("o_custkey") * 2 + 1).as("dst"), col("o_orderdate")))
+            (col("o_custkey") * 2 + 1).as("dst"), col("o_orderdate")))(
+        graft.ops.CacheScope.sessionOwned)
       def undirected(df: DataFrame): DataFrame = {
         val ed = df.select(col("src"), col("dst")).distinct()
         // parity-disjoint undirection, one distinct (see q44)
