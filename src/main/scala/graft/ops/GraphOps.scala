@@ -697,17 +697,35 @@ object GraphOps {
     * row exists it strictly dominates the zero row — same community,
     * score larger by 2m·k — so the duplicate can never win); label
     * table lineage-cut per round; rounds plan at edge-derived width
-    * (object scaladoc). Returns (node, community). */
-  def louvain(edges: DataFrame, rounds: Int = 4, reliable: Boolean = false)
+    * (object scaladoc). Returns (node, community).
+    *
+    * `weightCol` generalizes every count to a weight sum (k_{i,c},
+    * deg, Σtot, 2m) — REQUIRED INTEGRAL for the exact-integer score
+    * contract; this is what phase 2 runs on the contracted graph
+    * ([[louvainContract]]), where self-loop rows carry the
+    * intra-community weight (doubled by the explode into the degree,
+    * excluded from candidate mass — see the in-body comments). */
+  def louvain(edges: DataFrame, rounds: Int = 4, reliable: Boolean = false,
+              weightCol: Option[String] = None)
              (implicit scope: CacheScope): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
-    val (rs, e) = roundSetup(edges.select(col("src"), col("dst")), reliable)
-    // both directions via ONE explode (the adamicAdar discipline)
+    val inCols = Seq(col("src"), col("dst")) ++ weightCol.map(col)
+    val (rs, e) = roundSetup(edges.select(inCols: _*), reliable)
+    // both directions via ONE explode (the adamicAdar discipline).
+    // A SELF-LOOP input row (src = dst — the intra-community weight of
+    // a contracted graph, see [[louvainContract]]) explodes into two
+    // identical rows, which is exactly the factor-2 its weight needs
+    // inside the degree sum (deg(a) = 2·W(a,a) + Σ_{b≠a} W(a,b)).
+    val wOut = weightCol.map(_ => col("x.w").as("w")).toSeq
     val e2 = scope.checkpointed(e.select(explode(array(
-        struct(col("src").as("s"), col("dst").as("d")),
-        struct(col("dst").as("s"), col("src").as("d")))).as("x"))
-      .select(col("x.s").as("src"), col("x.d").as("dst")), reliable)
-    val deg = e2.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        struct(Seq(col("src").as("s"), col("dst").as("d")) ++
+          weightCol.map(w => col(w).as("w")): _*),
+        struct(Seq(col("dst").as("s"), col("src").as("d")) ++
+          weightCol.map(w => col(w).as("w")): _*))).as("x"))
+      .select(Seq(col("x.s").as("src"), col("x.d").as("dst")) ++ wOut: _*),
+      reliable)
+    val wSum = weightCol.map(_ => sum(col("w"))).getOrElse(count(lit(1)))
+    val deg = e2.groupBy(col("src").as("node")).agg(wSum.as("deg"))
     val m2 = deg.agg(sum(col("deg")).as("m2")) // = 2m, rides as broadcast
     // label table carries (node, deg, c): deg is loop-invariant and
     // node-sized, so carrying it through the per-round lineage cut is
@@ -716,10 +734,15 @@ object GraphOps {
     for (r <- 1 to rounds) {
       val tot = lbl.groupBy("c").agg(sum(col("deg")).as("tot"))
       // neighbor-community edge counts for the MOVABLE half only —
-      // the gate halves the candidate volume, it doesn't just mask
+      // the gate halves the candidate volume, it doesn't just mask.
+      // Self-loops are EXCLUDED from candidate mass: a node's own
+      // intra-weight stays internal wherever it goes, so counting it
+      // would only bias the stay candidate (standard Louvain phase-2
+      // treatment; a no-op on self-loop-free level-1 graphs).
       val kic = e2.filter(col("src") % 2 === lit(r % 2))
+        .filter(col("src") =!= col("dst"))
         .join(lbl.select(col("node").as("dst"), col("c")), "dst")
-        .groupBy(col("src").as("node"), col("c")).agg(count(lit(1)).as("k"))
+        .groupBy(col("src").as("node"), col("c")).agg(wSum.as("k"))
       // staying is ALWAYS a candidate, even with no same-community
       // neighbor: the zero-k row is dominated wherever a real c₀ row
       // exists, so no dedup aggregate is needed before the argmax
@@ -741,6 +764,28 @@ object GraphOps {
         reliable)
     }
     lbl.select(col("node"), col("c").as("community"))
+  }
+
+  /** CONTRACT a canonical (src < dst) edge list by a community
+    * assignment — the Louvain phase-2 coarsening: every community
+    * becomes a super-node; the returned canonical weighted edges are
+    * (a, b, w) = total inter-community edge count for a < b, plus ONE
+    * self-loop row (a, a, W_intra) carrying the intra-community edge
+    * count — [[louvain]]'s both-directions explode doubles the
+    * self-loop's weight into the super-node degree, which is exactly
+    * deg(a) = 2·W(a,a) + Σ_{b≠a} W(a,b), so modularity on the coarse
+    * graph equals modularity of the corresponding fine partition (the
+    * invariant phase 2 rests on). One edge-sized double label join +
+    * one community²-bounded aggregate. */
+  def louvainContract(edges: DataFrame, communities: DataFrame)
+                     (implicit scope: CacheScope): DataFrame = {
+    val cm = scope.cached(communities.select(col("node"), col("community")))
+    edges.select(col("src"), col("dst"))
+      .join(cm.select(col("node").as("src"), col("community").as("ca")), "src")
+      .join(cm.select(col("node").as("dst"), col("community").as("cb")), "dst")
+      .select(least(col("ca"), col("cb")).as("src"),
+        greatest(col("ca"), col("cb")).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
   }
 
   /** MODULARITY of a community assignment (Newman & Girvan): per

@@ -633,6 +633,79 @@ object Graph {
          |ORDER BY walk, step""".stripMargin
     })
 
+  // MULTI-LEVEL LOUVAIN (q77): the full two-phase algorithm — after
+  // q70's local moves, every community CONTRACTS to a super-node
+  // (GraphOps.louvainContract: inter-community weights + ONE
+  // self-loop row per community carrying the intra weight, so coarse
+  // modularity equals fine modularity) and the SAME local-move
+  // machinery reruns WEIGHTED on the coarse graph; the final label of
+  // a part is its level-2 community reached through its level-1
+  // community. All weights are exact integer counts, so the gain
+  // argmax stays integer-exact at both levels and the oracle replays
+  // both levels' rounds as generated CTEs (weighted sums CAST to
+  // BIGINT — DuckDB's SUM(BIGINT) is HUGEINT). Self-loop candidate
+  // mass is excluded at level 2 (src <> dst in the kic build) in BOTH
+  // engines — the standard phase-2 treatment.
+  private val q77 = QueryDef(
+    "q77_louvain_l2",
+    (s, dir) => {
+      val pe = graft.ops.CacheScope.sessionOwned
+        .checkpointed(coEdges(s, dir).toDF("src", "dst"), reliable = false)
+      val l1 = graft.ops.GraphOps.louvain(pe)
+      val coarse = graft.ops.GraphOps.louvainContract(pe, l1)
+      val l2 = graft.ops.GraphOps.louvain(coarse, weightCol = Some("w"))
+      l1.select(col("node").as("part"), col("community").as("c1"))
+        .join(l2.select(col("node").as("c1"), col("community")), "c1")
+        .select(col("part"), col("community"))
+        .withColumn("community_size",
+          count(lit(1)).over(Window.partitionBy(col("community"))))
+        .orderBy("community", "part")
+    },
+    Some {
+      def levelRounds(lp: String, e2: String, deg: String, m2t: String,
+                      kExpr: String, selfFilter: String): String =
+        (1 to 4).map { r =>
+          val p = if (r == 1) s"${lp}0" else s"$lp${r - 1}"
+          s"""tot$lp$r AS (SELECT c, CAST(sum(deg) AS BIGINT) AS tot FROM $p GROUP BY c),
+             |kic$lp$r AS (SELECT e.src AS node, l.c, $kExpr AS k
+             |        FROM $e2 e JOIN $p l ON e.dst = l.node
+             |        WHERE e.src % 2 = ${r % 2}$selfFilter GROUP BY 1, 2),
+             |cand$lp$r AS (SELECT node, c, k FROM kic$lp$r
+             |        UNION ALL SELECT node, c, 0 FROM $p WHERE node % 2 = ${r % 2}),
+             |sc$lp$r AS (SELECT cd.node, cd.c,
+             |        (SELECT m2 FROM $m2t) * cd.k - d.deg *
+             |        (t.tot - CASE WHEN cd.c = l.c THEN d.deg ELSE 0 END) AS score
+             |        FROM cand$lp$r cd JOIN $p l ON l.node = cd.node
+             |        JOIN $deg d ON d.node = cd.node JOIN tot$lp$r t ON t.c = cd.c),
+             |b$lp$r AS (SELECT node, c FROM (SELECT node, c,
+             |        row_number() OVER (PARTITION BY node ORDER BY score DESC, c) AS rn
+             |        FROM sc$lp$r) WHERE rn = 1),
+             |$lp$r AS MATERIALIZED (SELECT l.node, l.deg, coalesce(b.c, l.c) AS c
+             |        FROM $p l LEFT JOIN b$lp$r b ON b.node = l.node)""".stripMargin
+        }.mkString(",\n")
+      s"""WITH $coEdgesCte,
+         |e2 AS (SELECT p1 AS src, p2 AS dst FROM pe
+         |       UNION ALL SELECT p2, p1 FROM pe),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e2 GROUP BY src),
+         |m2t AS (SELECT sum(deg) AS m2 FROM deg),
+         |a0 AS (SELECT node, deg, node AS c FROM deg),
+         |${levelRounds("a", "e2", "deg", "m2t", "count(*)", "")},
+         |ce AS MATERIALIZED (SELECT least(la.c, lb.c) AS src,
+         |        greatest(la.c, lb.c) AS dst, count(*) AS w
+         |      FROM pe JOIN a4 la ON la.node = pe.p1
+         |      JOIN a4 lb ON lb.node = pe.p2 GROUP BY 1, 2),
+         |e2b AS (SELECT src, dst, w FROM ce UNION ALL SELECT dst, src, w FROM ce),
+         |degb AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS deg FROM e2b GROUP BY src),
+         |m2b AS (SELECT CAST(sum(deg) AS BIGINT) AS m2 FROM degb),
+         |b0 AS (SELECT node, deg, node AS c FROM degb),
+         |${levelRounds("b", "e2b", "degb", "m2b",
+              "CAST(sum(e.w) AS BIGINT)", " AND e.src <> e.dst")}
+         |SELECT p.node AS part, l2.c AS community,
+         |       count(*) OVER (PARTITION BY l2.c) AS community_size
+         |FROM a4 p JOIN b4 l2 ON l2.node = p.c
+         |ORDER BY community, part""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66, q69, q70,
-    q72, q73)
+    q72, q73, q77)
 }

@@ -600,6 +600,52 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.sccConverged(empty).count() == 0L)
   }
 
+  test("weighted louvain on a contracted graph: self-loops feed degree, not candidate mass") {
+    // two triangles bridged by one edge, level-1 communities = the
+    // triangles (the louvain hand-trace). Contract: two super-nodes,
+    // self-loop weight 3 each, bridge weight 1. Level-2 hand-trace:
+    // deg(A) = 2·3 + 1 = 7 (the explode doubles the self row), 2m = 14;
+    // moving A into B scores 14·1 − 7·7 < 0 while staying scores 0 —
+    // the communities correctly stay separate (merging two triangles
+    // over one bridge lowers modularity).
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val l1 = GraphOps.louvain(edges)
+    val coarse = GraphOps.louvainContract(edges, l1)
+    val got = coarse.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val selfs = got.collect { case ((a, b), w) if a == b => w }.toSeq
+    val crosses = got.collect { case ((a, b), w) if a != b => w }.toSeq
+    assert(selfs == Seq(3L, 3L) && crosses == Seq(1L),
+      s"contraction must emit two w=3 self-loops + the w=1 bridge, got $got")
+    val l2 = GraphOps.louvain(coarse, weightCol = Some("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(l2.values.toSet.size == 2 && l2.forall { case (n, c) => n == c },
+      s"bridged triangles must stay separate (each super-node keeps itself), got $l2")
+  }
+
+  test("louvain phase 2 never lowers modularity on the fixture co-purchase graph") {
+    val op = graft.Tables(spark, SparkFixture.sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pe = op.as("a").join(op.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("src", "dst")
+      .localCheckpoint(true)
+    val l1 = GraphOps.louvain(pe)
+    val l2 = GraphOps.louvain(GraphOps.louvainContract(pe, l1),
+      weightCol = Some("w"))
+    val mapped = l1.select(col("node"), col("community").as("c1"))
+      .join(l2.select(col("node").as("c1"), col("community")), "c1")
+      .select("node", "community")
+    def q(labels: org.apache.spark.sql.DataFrame): Double =
+      GraphOps.modularity(pe, labels).agg(sum("contribution"))
+        .first().getDouble(0)
+    val (q1, q2) = (q(l1), q(mapped))
+    assert(q2 >= q1 - 1e-9, s"phase 2 lowered modularity: $q1 -> $q2")
+  }
+
   test("pageRankWarm from a cold prefix IS the cold run's continuation, bit-for-bit") {
     // the exact-continuation contract: warm-starting from cold-3's
     // ranks and running 2 more rounds must equal cold-5 exactly —
