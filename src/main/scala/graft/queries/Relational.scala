@@ -2269,6 +2269,63 @@ object Relational {
          |FROM r ORDER BY rnk""".stripMargin
     })
 
+  // EVENT FUNNEL (q78): the product-analytics sequential-conversion
+  // classic — how many users progress view → click → purchase IN
+  // ORDER (each later step strictly after the user's matched earlier
+  // step)? Three type-selective min aggregates chained by user-keyed
+  // joins: t1 = first view, t2 = first click AFTER t1, t3 = first
+  // purchase after t2 — each pass scans only its event type (filter
+  // pushed to the scan), joins a user-sized step table, and
+  // aggregates; no per-user event sort, no self-join over the full
+  // log. Counts are exact; each step's conversion rate vs the
+  // previous step is one IEEE division rounded 6 (lag over the 3-row
+  // summary). All timestamp comparisons are exact microseconds.
+  private val q78 = QueryDef(
+    "q78_funnel",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val t2 = e.filter(col("event_type") === "click").join(t1, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase").join(t2, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val steps = t1.agg(count(lit(1)).as("n"))
+        .select(lit(1).as("step"), lit("view").as("stage"), col("n"))
+        .unionByName(t2.agg(count(lit(1)).as("n"))
+          .select(lit(2).as("step"), lit("click").as("stage"), col("n")))
+        .unionByName(t3.agg(count(lit(1)).as("n"))
+          .select(lit(3).as("step"), lit("purchase").as("stage"), col("n")))
+      val w = Window.orderBy("step")
+      steps
+        .withColumn("rate",
+          round(col("n") / coalesce(lag("n", 1).over(w), col("n")), 6))
+        .orderBy("step")
+    },
+    Some("""WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            |           WHERE event_type = 'view' GROUP BY user_id),
+            |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+            |       JOIN t1 ON t1.user_id = e.user_id
+            |       WHERE e.event_type = 'click' AND e.ts > t1.t1
+            |         AND e.ts <= t1.t1 + INTERVAL 7 DAY
+            |       GROUP BY e.user_id),
+            |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+            |       JOIN t2 ON t2.user_id = e.user_id
+            |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+            |         AND e.ts <= t2.t2 + INTERVAL 7 DAY
+            |       GROUP BY e.user_id),
+            |steps AS (SELECT 1 AS step, 'view' AS stage, count(*) AS n FROM t1
+            |          UNION ALL SELECT 2, 'click', count(*) FROM t2
+            |          UNION ALL SELECT 3, 'purchase', count(*) FROM t3)
+            |SELECT step, stage, n,
+            |       round(n / coalesce(lag(n, 1) OVER (ORDER BY step), n), 6) AS rate
+            |FROM steps ORDER BY step""".stripMargin))
+
   // TPC-H Q19 (q74) — discounted-revenue from three disjunctive
   // brand/size/quantity arms: the classic disjunctive-JOIN-predicate
   // stress (the OR references BOTH sides, so a naive plan can't push
@@ -2383,5 +2440,5 @@ object Relational {
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
-    q71, q74, q75, q76)
+    q71, q74, q75, q76, q78)
 }
