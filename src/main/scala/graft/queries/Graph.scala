@@ -706,6 +706,45 @@ object Graph {
          |ORDER BY community, part""".stripMargin
     })
 
+  // FREQUENT TRIPLES (q79): the market-basket itemset classic one
+  // level above the co-purchase PAIR build — parts bought together in
+  // the same order as an ORDERED triple (p1 < p2 < p3), support >= 2,
+  // top-20 by (support desc, triple). Scale shape: the within-order
+  // triple enumeration is bounded by C(lines-per-order, 3) — a
+  // DATA-MODEL constant (TPC-H ~7 lines/order ⇒ <= 35 triples/order),
+  // so triple volume is corpus-LINEAR like the pair build, and both
+  // self-joins key on l_orderkey so the order's lines co-partition;
+  // the support filter is one partial-aggregatable groupBy. A
+  // NON-constant basket bound would need the a-priori prune
+  // (candidate triples from frequent pairs) — noted, not needed here.
+  private val q79 = QueryDef(
+    "q79_frequent_triples",
+    (s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      op.as("a")
+        .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .join(op.as("c"), col("a.l_orderkey") === col("c.l_orderkey") &&
+          col("b.l_partkey") < col("c.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"),
+          col("c.l_partkey").as("p3"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(desc("support"), asc("p1"), asc("p2"), asc("p3"))
+        .limit(20)
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            |SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+            |       count(*) AS support
+            |FROM op a
+            |JOIN op b ON a.l_orderkey = b.l_orderkey
+            |         AND a.l_partkey < b.l_partkey
+            |JOIN op c ON a.l_orderkey = c.l_orderkey
+            |         AND b.l_partkey < c.l_partkey
+            |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+            |ORDER BY support DESC, p1, p2, p3 LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66, q69, q70,
-    q72, q73, q77)
+    q72, q73, q77, q79)
 }
