@@ -249,6 +249,38 @@ object Stress {
       val sScaled = timeScc(20000 * factor)
       println(f"""{"stress":"graph_scc","base_cycles":20000,"base":$sBase%.3f,"scaled_cycles":${20000 * factor},"scaled":$sScaled%.3f,"ratio":${sScaled / sBase}%.1f}""")
     }
+
+    // TWO-LEVEL LOUVAIN: fixed rounds at both levels, contraction in
+    // between — per-level cost is edge-linear and the level-2 graph is
+    // community-sized, so 10x edges must cost ~10x at worst. Base
+    // graph: 4-cliques chained by single bridges (real community
+    // structure at any scale — level 1 should find the cliques).
+    def timeLouvain(nCliques: Int): Double = {
+      val base = spark.range(nCliques.toLong)
+      val intra = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+        .map { case (i, j) =>
+          base.selectExpr(s"id * 4 + $i as src", s"id * 4 + $j as dst")
+        }.reduce(_.union(_))
+      val chain = base.filter("id > 0")
+        .selectExpr("(id - 1) * 4 as src", "id * 4 as dst")
+      val edges = intra.union(chain)
+      val t0 = System.nanoTime()
+      val scope = graft.ops.CacheScope.sessionOwned
+      val l1 = graft.ops.GraphOps.louvain(edges)(scope)
+      val coarse = graft.ops.GraphOps.louvainContract(edges, l1)(scope)
+      graft.ops.GraphOps.louvain(coarse, weightCol = Some("w"))(scope)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      dt
+    }
+    if (only.isEmpty || only("graph_louvain")) {
+      timeLouvain(15000) // warm-up
+      val lBase = timeLouvain(15000)
+      val lScaled = timeLouvain(15000 * factor)
+      println(f"""{"stress":"graph_louvain","base_cliques":15000,"base":$lBase%.3f,"scaled_cliques":${15000 * factor},"scaled":$lScaled%.3f,"ratio":${lScaled / lBase}%.1f}""")
+    }
     spark.stop()
   }
 

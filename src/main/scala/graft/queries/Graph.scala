@@ -665,7 +665,7 @@ object Graph {
       def levelRounds(lp: String, e2: String, deg: String, m2t: String,
                       kExpr: String, selfFilter: String): String =
         (1 to 4).map { r =>
-          val p = if (r == 1) s"${lp}0" else s"$lp${r - 1}"
+          val p = s"$lp${r - 1}"
           s"""tot$lp$r AS (SELECT c, CAST(sum(deg) AS BIGINT) AS tot FROM $p GROUP BY c),
              |kic$lp$r AS (SELECT e.src AS node, l.c, $kExpr AS k
              |        FROM $e2 e JOIN $p l ON e.dst = l.node
