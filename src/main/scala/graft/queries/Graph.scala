@@ -745,6 +745,62 @@ object Graph {
             |GROUP BY 1, 2, 3 HAVING count(*) >= 2
             |ORDER BY support DESC, p1, p2, p3 LIMIT 20""".stripMargin))
 
+  // ASSOCIATION RULES (q80): the market-basket completion of q79 —
+  // directed rules a → b over the same-order part pairs, scored by
+  // CONFIDENCE = supp(a,b)/supp(a) (how often baskets with a also
+  // hold b) and LIFT = confidence / (supp(b)/N) (how much better than
+  // b's base rate — lift > 1 is real association, not popularity).
+  // Pair support >= 2; top-20 by (round(lift, 6) desc, a, b). All
+  // supports are exact integers from partial-aggregatable counts; the
+  // two divisions happen in ONE spelled order (conf = pair/a, lift =
+  // conf·N/b) and round 6 — engine-stable ordering. Scale: pair
+  // volume is the q79 data-model-constant bound; per-part supports
+  // are one groupBy; N rides as a broadcast 1-row aggregate.
+  private val q80 = QueryDef(
+    "q80_assoc_rules",
+    (s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val supp = op.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("s"))
+      val n = op.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n"))
+      val pairs = op.as("a").join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("sp"))
+        .filter(col("sp") >= 2)
+      // both rule directions from the canonical pair via one explode
+      val rules = pairs.select(explode(array(
+          struct(col("p1").as("x"), col("p2").as("y"), col("sp")),
+          struct(col("p2").as("x"), col("p1").as("y"), col("sp")))).as("r"))
+        .select(col("r.x").as("a"), col("r.y").as("b"), col("r.sp"))
+      rules
+        .join(supp.select(col("p").as("a"), col("s").as("sa")), "a")
+        .join(supp.select(col("p").as("b"), col("s").as("sb")), "b")
+        .crossJoin(broadcast(n))
+        .select(col("a"), col("b"), col("sp").as("support"),
+          round(col("sp") / col("sa"), 6).as("confidence"),
+          round(col("sp") / col("sa") * col("n") / col("sb"), 6).as("lift"))
+        .orderBy(desc("lift"), asc("a"), asc("b")).limit(20)
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            |supp AS (SELECT l_partkey AS p, count(*) AS s FROM op GROUP BY 1),
+            |n AS (SELECT count(DISTINCT l_orderkey) AS n FROM op),
+            |pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS sp
+            |          FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+            |                            AND a.l_partkey < b.l_partkey
+            |          GROUP BY 1, 2 HAVING count(*) >= 2),
+            |rules AS (SELECT p1 AS a, p2 AS b, sp FROM pairs
+            |          UNION ALL SELECT p2, p1, sp FROM pairs)
+            |SELECT r.a, r.b, r.sp AS support,
+            |       round(r.sp / sa.s, 6) AS confidence,
+            |       round(r.sp / sa.s * (SELECT n FROM n) / sb.s, 6) AS lift
+            |FROM rules r
+            |JOIN supp sa ON sa.p = r.a
+            |JOIN supp sb ON sb.p = r.b
+            |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66, q69, q70,
-    q72, q73, q77, q79)
+    q72, q73, q77, q79, q80)
 }
