@@ -662,6 +662,63 @@ object GraphOps {
       .select(col("a"), col("b"), col("score"))
   }
 
+  /** NEIGHBORHOOD link-prediction scores over an UNDIRECTED canonical
+    * edge list (each edge once, src < dst) — the EXACT-INTEGER
+    * companions of [[adamicAdar]] (Liben-Nowell & Kleinberg 2003):
+    * for every non-adjacent pair sharing >= 1 neighbor,
+    *
+    *   cn      = |N(a) ∩ N(b)|            (common neighbors)
+    *   jaccard = cn / (deg a + deg b − cn) (neighborhood overlap)
+    *   pref    = deg a · deg b             (preferential attachment)
+    *
+    * cn and pref are exact longs; jaccard is ONE division of exact
+    * longs (denominator = |N(a) ∪ N(b)| >= cn >= 1, never 0), so a
+    * round(6) by the caller is engine-stable by construction.
+    *
+    * Scale shape is adamicAdar's: wedges generate only through
+    * centers with deg <= cap (same integer-only ~√(2E) derivation, so
+    * a SQL replay lands on the identical cap), bounding pair volume
+    * at (2E)^1.5; endpoint degrees join UNCAPPED (the cap prunes
+    * wedge CENTERS, not the pair's own statistics — jaccard and pref
+    * are computed from true degrees). Existing edges anti-join away.
+    * Returns (a, b, cn, deg_a, deg_b) with a < b — callers derive the
+    * ratio scores so the division count (and rounding contract) stays
+    * in query code. */
+  def linkPredict(edges: DataFrame, hubCap: Int = 0)
+                 (implicit scope: CacheScope): DataFrame = {
+    val ed = scope.checkpointed(edges.select(col("src"), col("dst")),
+      reliable = false)
+    val cap: Long =
+      if (hubCap > 0) hubCap.toLong
+      else {
+        val e = ed.count()
+        var b = 0
+        while (b < 31 && (1L << b) * (1L << b) < 2 * e) b += 1
+        math.max(64L, 1L << b)
+      }
+    // both directions via ONE explode (the adamicAdar discipline —
+    // also dodges the union-constraint-rewrite crash, see above)
+    val e2 = ed.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+    val deg = e2.groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
+    // deg >= 2: a deg-1 center has one neighbor and can't wedge
+    val zn = e2.join(deg.filter(col("deg") >= 2 && col("deg") <= cap),
+        col("src") === col("z"))
+      .select(col("src").as("z2"), col("dst").as("n"))
+    val cn = zn.as("l").join(zn.as("r"),
+        col("l.z2") === col("r.z2") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("a"), col("r.n").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    val nonadj = cn.join(ed, cn("a") === ed("src") && cn("b") === ed("dst"),
+        "left_anti")
+    nonadj
+      .join(deg.select(col("z").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("z").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"))
+  }
+
   /** LOUVAIN local-move community detection (Blondel et al. 2008,
     * phase 1) over an UNDIRECTED canonical edge list (each edge once,
     * src < dst), distributed as SEMI-SYNCHRONOUS rounds: on round r,

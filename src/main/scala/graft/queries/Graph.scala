@@ -801,6 +801,53 @@ object Graph {
             |JOIN supp sb ON sb.p = r.b
             |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin))
 
+  // NEIGHBORHOOD LINK PREDICTION (q81): the exact-integer companions
+  // of q66's Adamic-Adar — common-neighbor count, Jaccard overlap
+  // cn/(deg_a + deg_b − cn), preferential attachment deg_a·deg_b
+  // (Liben-Nowell & Kleinberg 2003) for non-adjacent pairs sharing
+  // >= 2 neighbors (cn >= 2 cuts the one-shared-neighbor noise floor
+  // that dominates a support-thresholded graph). GraphOps.linkPredict
+  // returns the integer ingredients; the ONE division (and its
+  // round(6)) happens here, so the rounding contract lives in query
+  // code. Same scale-derived wedge-center cap as q66, re-derived by
+  // the oracle from count(*); endpoint degrees join uncapped. Top-30
+  // by (jaccard desc, a, b).
+  private val q81 = QueryDef(
+    "q81_link_predict",
+    (s, dir) => {
+      val lp = graft.ops.GraphOps.linkPredict(coEdges(s, dir).toDF("src", "dst"))
+      lp.filter(col("cn") >= 2)
+        .select(col("a"), col("b"), col("cn"),
+          round(col("cn") / (col("deg_a") + col("deg_b") - col("cn")), 6)
+            .as("jaccard"),
+          (col("deg_a") * col("deg_b")).as("pref"))
+        .orderBy(desc("jaccard"), asc("a"), asc("b")).limit(30)
+    },
+    Some(s"""WITH $coEdgesCte,
+            |prm AS (SELECT GREATEST(64, (SELECT MIN(1::BIGINT << b)
+            |        FROM (SELECT unnest(range(0, 31)) AS b)
+            |        WHERE (1::BIGINT << b) * (1::BIGINT << b) >=
+            |              2 * (SELECT count(*) FROM pe))) AS cap),
+            |e2 AS (SELECT p1 AS src, p2 AS dst FROM pe
+            |       UNION ALL SELECT p2, p1 FROM pe),
+            |deg AS (SELECT src AS z, count(*) AS deg FROM e2 GROUP BY src),
+            |zn AS (SELECT e2.src AS z2, e2.dst AS n
+            |       FROM e2 JOIN deg ON e2.src = deg.z
+            |       WHERE deg.deg >= 2 AND deg.deg <= (SELECT cap FROM prm)),
+            |cn AS (SELECT l.n AS a, r.n AS b, count(*) AS cn
+            |       FROM zn l JOIN zn r ON l.z2 = r.z2 AND l.n < r.n
+            |       GROUP BY 1, 2),
+            |nonadj AS (SELECT c.a, c.b, c.cn FROM cn c
+            |           LEFT JOIN pe ON c.a = pe.p1 AND c.b = pe.p2
+            |           WHERE pe.p1 IS NULL AND c.cn >= 2)
+            |SELECT n.a, n.b, n.cn,
+            |       round(n.cn / (da.deg + db.deg - n.cn), 6) AS jaccard,
+            |       da.deg * db.deg AS pref
+            |FROM nonadj n
+            |JOIN deg da ON da.z = n.a
+            |JOIN deg db ON db.z = n.b
+            |ORDER BY jaccard DESC, a, b LIMIT 30""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66, q69, q70,
-    q72, q73, q77, q79, q80)
+    q72, q73, q77, q79, q80, q81)
 }

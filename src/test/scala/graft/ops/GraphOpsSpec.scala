@@ -341,6 +341,32 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.adamicAdar(edges, hubCap = 1).isEmpty)
   }
 
+  test("linkPredict returns exact cn and true (uncapped) endpoint degrees") {
+    // square 1-2-3-4-1 plus a pendant 5 off node 1. Wedges: through
+    // center 1 (deg 3) pairs (2,4),(2,5),(4,5); through 2 and 4 the
+    // diagonal (1,3); through 3 again (2,4). Endpoint degrees must be
+    // the TRUE degrees: deg(1)=3, deg(2)=deg(3)=deg(4)=2, deg(5)=1.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L), (1L, 5L))
+      .toDF("src", "dst")
+    val got = GraphOps.linkPredict(edges).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set((1L, 3L), (2L, 4L), (2L, 5L), (4L, 5L)),
+      s"got ${got.keySet}")
+    assert(got((1L, 3L)) == ((2L, 3L, 2L)), "diagonal 1-3: cn 2, degs 3/2")
+    assert(got((2L, 4L)) == ((2L, 2L, 2L)), "diagonal 2-4: cn 2 via 1 and 3")
+    assert(got((2L, 5L)) == ((1L, 2L, 1L)), "pendant pair: cn 1, true deg 1")
+    assert(got((4L, 5L)) == ((1L, 2L, 1L)))
+    // capping at deg 2 removes center 1: pendant pairs and the 2-4
+    // via-1 wedge disappear, but (2,4) survives via center 3 with its
+    // TRUE degrees intact
+    val capped = GraphOps.linkPredict(edges, hubCap = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(capped.keySet == Set((1L, 3L), (2L, 4L)))
+    assert(capped((2L, 4L)) == ((1L, 2L, 2L)), "cap prunes centers, not stats")
+  }
+
   test("labelPropagation matches a local replay of the synchronous LPA rule") {
     // two triangles joined by one bridge + a pendant — communities
     // should be FINER than the single connected component
