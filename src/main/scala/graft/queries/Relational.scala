@@ -2432,6 +2432,73 @@ object Relational {
             |WHERE CAST(dev * dev AS DECIMAL(27,12)) > 4 * varn2
             |ORDER BY user_id, day""".stripMargin))
 
+  // EWMA PRICE TREND (q82): the exponential-smoothing classic as a
+  // TRUNCATED DYADIC FIR — per part, over its lineitems in the total
+  // order (l_shipdate, l_orderkey, l_linenumber), the smoothed price
+  // at the last observation is Σ_{k=0..7} 2^{-(k+1)} · x_{t-k}
+  // (missing lags contribute 0). The arithmetic is EXACT DECIMAL end
+  // to end (the q51/q71 convention): price → DECIMAL(18,6) (one
+  // correctly-rounded conversion, identical in both engines — the
+  // dsum pattern), dyadic weights are scale-8 decimals (2^-8 =
+  // 0.00390625 exactly), so every product and the 8-term sum are
+  // exact and the single round(6) HALF_UPs the same decimal on both
+  // sides. An all-double formulation dies here: DuckDB rounds doubles
+  // by multiply-shift (x·10⁶ re-rounds at .5 boundaries — observed
+  // 44898.9178124999996 → .917813 vs the decimal-correct .917812).
+  // The oracle declares DECIMAL(19,6) (same values, one digit of
+  // headroom) because DuckDB multiplies in the operands' INTERNAL
+  // integer width — 18,6 is int64 and overflows (the q71 gotcha).
+  // The recursive y_t = αx + (1−α)y_{t−1} form would drag the whole
+  // history into every value; the 8-tap cut bounds the deviation at
+  // 2^-8 of scale while keeping the window a FIXED 8 rows of state
+  // per partition — one key exchange, one ordered window pass, no
+  // self-join against shifted copies: the 100 TB shape. Emitted for
+  // parts with >= 8 observations.
+  private val q82 = QueryDef(
+    "q82_ewma",
+    (s, dir) => {
+      val xd = col("l_extendedprice").cast(DecimalType(18, 6))
+      val w = Window.partitionBy("l_partkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      def wt(k: Int) =
+        lit((BigDecimal(1) / BigDecimal(1L << (k + 1))).setScale(8).bigDecimal)
+      val zero = lit(BigDecimal(0).setScale(6).bigDecimal).cast(DecimalType(18, 6))
+      val terms = (xd * wt(0)) +: (1 until 8).map(k =>
+        coalesce(lag(xd, k).over(w), zero) * wt(k))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_obs", count(lit(1)).over(Window.partitionBy("l_partkey")))
+        .withColumn("ewma", round(terms.reduce(_ + _), 6).cast("double"))
+        .filter(col("rn") === col("n_obs") && col("n_obs") >= 8)
+        .select(col("l_partkey"), col("n_obs"), col("ewma"))
+        .orderBy("l_partkey")
+    },
+    Some("""WITH s AS (SELECT l_partkey,
+            |    CAST(l_extendedprice AS DECIMAL(19,6)) AS x,
+            |    lag(CAST(l_extendedprice AS DECIMAL(19,6)), 1) OVER w AS x1,
+            |    lag(CAST(l_extendedprice AS DECIMAL(19,6)), 2) OVER w AS x2,
+            |    lag(CAST(l_extendedprice AS DECIMAL(19,6)), 3) OVER w AS x3,
+            |    lag(CAST(l_extendedprice AS DECIMAL(19,6)), 4) OVER w AS x4,
+            |    lag(CAST(l_extendedprice AS DECIMAL(19,6)), 5) OVER w AS x5,
+            |    lag(CAST(l_extendedprice AS DECIMAL(19,6)), 6) OVER w AS x6,
+            |    lag(CAST(l_extendedprice AS DECIMAL(19,6)), 7) OVER w AS x7,
+            |    row_number() OVER w AS rn,
+            |    count(*) OVER (PARTITION BY l_partkey) AS n_obs
+            |  FROM lineitem
+            |  WINDOW w AS (PARTITION BY l_partkey
+            |               ORDER BY l_shipdate, l_orderkey, l_linenumber))
+            |SELECT l_partkey, n_obs,
+            |  CAST(round(x * 0.50000000::DECIMAL(9,8)
+            |    + coalesce(x1, 0) * 0.25000000::DECIMAL(9,8)
+            |    + coalesce(x2, 0) * 0.12500000::DECIMAL(9,8)
+            |    + coalesce(x3, 0) * 0.06250000::DECIMAL(9,8)
+            |    + coalesce(x4, 0) * 0.03125000::DECIMAL(9,8)
+            |    + coalesce(x5, 0) * 0.01562500::DECIMAL(9,8)
+            |    + coalesce(x6, 0) * 0.00781250::DECIMAL(9,8)
+            |    + coalesce(x7, 0) * 0.00390625::DECIMAL(9,8), 6) AS DOUBLE) AS ewma
+            |FROM s WHERE rn = n_obs AND n_obs >= 8
+            |ORDER BY l_partkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -2440,5 +2507,5 @@ object Relational {
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
-    q71, q74, q75, q76, q78)
+    q71, q74, q75, q76, q78, q82)
 }
