@@ -1768,6 +1768,72 @@ object Llm {
             |SELECT doc_id, n_bigrams, round(x, 6) AS xent, round(exp(x), 6) AS ppl
             |FROM agg ORDER BY doc_id""".stripMargin))
 
+  // KNESER-NEY bigram LM scoring (l4_kn_lm): l4_lm_score's add-one
+  // smoothing is the textbook baseline; INTERPOLATED KNESER-NEY with
+  // absolute discounting (Kneser & Ney 1995, Chen & Goodman 1998) is
+  // what production perplexity filters actually train:
+  //
+  //   P(w2|w1) = (c(w1w2) − D)/c(w1·)
+  //            + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+  //
+  // with D = 0.75 — the discounted bigram estimate backed off to the
+  // CONTINUATION probability (how many distinct contexts w2 follows,
+  // not how often: the "San Francisco" correction — "Francisco" is
+  // frequent but only ever follows "San", so its continuation mass is
+  // tiny). Only corpus-observed bigrams are scored (the l4_lm_score
+  // convention), so c >= 1 > D and the max(·,0) clamp is vacuous.
+  // Scale shape: the type-count tables (c, N1+ forward/backward) are
+  // vocab-bounded aggregates — cu and N1+(w1·) share ONE w1-keyed
+  // aggregate — N1+(··) rides as a broadcast 1-row scalar, and the
+  // occurrence table shuffles once for the probability lookup, once
+  // for the per-doc avg. Determinism: counts exact, the probability
+  // is a SPELLED left-assoc chain of IEEE ops identical in both
+  // engines, ln's <= 1 ulp dies at round 6 on the per-doc avg.
+  private val l4kn = QueryDef(
+    "l4_kn_lm",
+    (s, dir) => {
+      val bi = t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(0, size(ws)-2), i -> struct(ws[i] as w1, ws[i+1] as w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val ctx = bi.groupBy("w1")
+        .agg(count(lit(1)).as("cu"), countDistinct("w2").as("n1f"))
+      val cont = bi.groupBy("w2").agg(countDistinct("w1").as("n1p"))
+      val nall = broadcast(cb.agg(count(lit(1)).cast("double").as("nall")))
+      val prob = cb.join(ctx, "w1").join(cont, "w2").crossJoin(nall)
+        .select(col("w1"), col("w2"),
+          (-log((col("cb") - lit(0.75)) / col("cu")
+            + lit(0.75) * col("n1f") / col("cu") * col("n1p") / col("nall"))).as("nlp"))
+      bi.join(prob, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), avg(col("nlp")).as("x"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("x"), 6).as("xent"), round(exp(col("x")), 6).as("ppl"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            |bi AS (SELECT doc_id,
+            |         string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+            |       FROM (SELECT doc_id, unnest(list_transform(
+            |               generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])) AS bg
+            |             FROM w WHERE len(ws) >= 2)),
+            |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+            |ctx AS (SELECT w1, count(*) AS cu, count(DISTINCT w2) AS n1f
+            |        FROM bi GROUP BY w1),
+            |cont AS (SELECT w2, count(DISTINCT w1) AS n1p FROM bi GROUP BY w2),
+            |nall AS (SELECT CAST(count(*) AS DOUBLE) AS nall FROM cb),
+            |sc AS (SELECT doc_id,
+            |         -ln((cb - 0.75) / cu + 0.75 * n1f / cu * n1p / nall.nall) AS nlp
+            |       FROM bi JOIN cb USING (w1, w2) JOIN ctx USING (w1)
+            |            JOIN cont USING (w2), nall),
+            |agg AS (SELECT doc_id, count(*) AS n_bigrams, avg(nlp) AS x
+            |        FROM sc GROUP BY doc_id)
+            |SELECT doc_id, n_bigrams, round(x, 6) AS xent, round(exp(x), 6) AS ppl
+            |FROM agg ORDER BY doc_id""".stripMargin))
+
   // Rolling polynomial hash over the raw characters (mod 1e9+7), the
   // classic document fingerprint; plus a sha-prefix content id.
   private val l4fp = QueryDef(
@@ -3725,7 +3791,7 @@ object Llm {
 
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2contain, l2clusters, l2incrClusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3recall, l3ivf, l3ivfKmeans, l3quant,
-    l3semdedup, l3pq, l3pqTrained, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4fp, l4winnow,
+    l3semdedup, l3pq, l3pqTrained, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4kn, l4fp, l4winnow,
     l4entropy, l5, l5media,
     l6clean, l6pack, l6funnel,
     l8decontam, l8sample, l8sampleHash, l8weighted, l8chunk, l8lineDedup, l8repetition, l8scrub, l8mixture,
