@@ -2499,6 +2499,110 @@ object Relational {
             |FROM s WHERE rn = n_obs AND n_obs >= 8
             |ORDER BY l_partkey""".stripMargin))
 
+  // ZONE-MAP DATA SKIPPING (q83): the lakehouse question q52's
+  // clustering exists to answer — how many chunks does a 2-D
+  // predicate PRUNE under a z-order layout vs the natural (orderkey)
+  // layout? Rows bucket into ~256 VALUE-RANGE chunks per layout
+  // (chunk = key div W, W from a broadcast 1-row envelope aggregate —
+  // integer-only, so the oracle re-derives identically); per chunk a
+  // zone map (min/max partkey+suppkey) decides skippability for
+  // partkey ∈ [64,255] ∧ suppkey ∈ [8,39]; the summary reports chunks
+  // scanned, skip fraction, rows scanned, and read amplification vs
+  // the true match count. Value-range tiles rather than row_number
+  // chunks keep the whole plan parallel (NO global sort/window — the
+  // writer's row-balanced files give the same pruning semantics):
+  // two chunk-keyed aggregates, both map-side combined, plus two
+  // broadcast 1-row scalars. Everything is exact-integer except the
+  // two ratio divisions (round 6). Morton keys via the same native
+  // kernel as q52; the natural layout's zone maps go wide (orderkey
+  // correlates with nothing) so its skip_frac ~ 0 — the measured
+  // argument FOR clustering.
+  private val q83 = QueryDef(
+    "q83_zonemap",
+    (s, dir) => {
+      val z = graft.ops.Layout.mortonKey(
+        col("l_partkey") % 65536, col("l_suppkey") % 65536)
+      val k = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          z.as("zkey"))
+      val env = broadcast(k.agg(
+        expr("max(zkey) div 256 + 1").as("wz"),
+        expr("max(l_orderkey) div 256 + 1").as("wo")))
+      val ch = k.crossJoin(env).select(
+        expr("zkey div wz").as("chz"),
+        expr("l_orderkey div wo").as("cho"),
+        col("l_partkey"), col("l_suppkey"))
+      def zones(chunkCol: String, name: String) =
+        ch.groupBy(col(chunkCol).as("chunk"))
+          .agg(min("l_partkey").as("mn_p"), max("l_partkey").as("mx_p"),
+            min("l_suppkey").as("mn_s"), max("l_suppkey").as("mx_s"),
+            count(lit(1)).as("nrows"))
+          .select(lit(name).as("layout"), col("chunk"), col("mn_p"),
+            col("mx_p"), col("mn_s"), col("mx_s"), col("nrows"))
+      val scanned = col("mn_p") <= 255 && col("mx_p") >= 64 &&
+        col("mn_s") <= 39 && col("mx_s") >= 8
+      val mt = broadcast(k.filter(
+          col("l_partkey").between(64, 255) && col("l_suppkey").between(8, 39))
+        .agg(count(lit(1)).as("rows_matching")))
+      zones("chz", "zorder").union(zones("cho", "natural"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(scanned, lit(1))).as("chunks_scanned"),
+          sum("nrows").as("rows_total"),
+          sum(when(scanned, col("nrows")).otherwise(lit(0L))).as("rows_scanned"))
+        .crossJoin(mt)
+        .select(col("layout"), col("n_chunks"), col("chunks_scanned"),
+          round((col("n_chunks") - col("chunks_scanned")) / col("n_chunks"), 6)
+            .as("skip_frac"),
+          col("rows_total"), col("rows_scanned"), col("rows_matching"),
+          round(col("rows_scanned") / col("rows_matching"), 6).as("read_amp"))
+        .orderBy("layout")
+    },
+    Some("""WITH b AS (SELECT l_orderkey, l_partkey, l_suppkey,
+            |                 l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+            |          FROM lineitem),
+            |s1 AS (SELECT *, ((x | (x << 8)) & 16711935) AS xa,
+            |                 ((y | (y << 8)) & 16711935) AS ya FROM b),
+            |s2 AS (SELECT *, ((xa | (xa << 4)) & 252645135) AS xb,
+            |                 ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+            |s3 AS (SELECT *, ((xb | (xb << 2)) & 858993459) AS xc,
+            |                 ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+            |s4 AS (SELECT *, ((xc | (xc << 1)) & 1431655765) AS xs,
+            |                 ((yc | (yc << 1)) & 1431655765) AS ys FROM s3),
+            |k AS (SELECT l_orderkey, l_partkey, l_suppkey,
+            |             (xs | (ys << 1)) AS zkey FROM s4),
+            |env AS (SELECT max(zkey) // 256 + 1 AS wz,
+            |               max(l_orderkey) // 256 + 1 AS wo FROM k),
+            |ch AS (SELECT zkey // (SELECT wz FROM env) AS chz,
+            |              l_orderkey // (SELECT wo FROM env) AS cho,
+            |              l_partkey, l_suppkey FROM k),
+            |zz AS (SELECT 'zorder' AS layout, chz AS chunk,
+            |              min(l_partkey) AS mn_p, max(l_partkey) AS mx_p,
+            |              min(l_suppkey) AS mn_s, max(l_suppkey) AS mx_s,
+            |              count(*) AS nrows FROM ch GROUP BY 1, 2),
+            |zn AS (SELECT 'natural' AS layout, cho AS chunk,
+            |              min(l_partkey), max(l_partkey),
+            |              min(l_suppkey), max(l_suppkey),
+            |              count(*) FROM ch GROUP BY 1, 2),
+            |zm AS (SELECT * FROM zz UNION ALL SELECT * FROM zn),
+            |st AS (SELECT layout, count(*) AS n_chunks,
+            |    count(CASE WHEN mn_p <= 255 AND mx_p >= 64
+            |               AND mn_s <= 39 AND mx_s >= 8 THEN 1 END) AS chunks_scanned,
+            |    CAST(sum(nrows) AS BIGINT) AS rows_total,
+            |    CAST(sum(CASE WHEN mn_p <= 255 AND mx_p >= 64
+            |                  AND mn_s <= 39 AND mx_s >= 8
+            |             THEN nrows ELSE 0 END) AS BIGINT) AS rows_scanned
+            |  FROM zm GROUP BY 1),
+            |mt AS (SELECT count(*) AS rows_matching FROM k
+            |       WHERE l_partkey BETWEEN 64 AND 255
+            |         AND l_suppkey BETWEEN 8 AND 39)
+            |SELECT layout, n_chunks, chunks_scanned,
+            |       round((n_chunks - chunks_scanned) / n_chunks, 6) AS skip_frac,
+            |       rows_total, rows_scanned,
+            |       (SELECT rows_matching FROM mt) AS rows_matching,
+            |       round(rows_scanned / (SELECT rows_matching FROM mt), 6) AS read_amp
+            |FROM st ORDER BY layout""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -2507,5 +2611,5 @@ object Relational {
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
-    q71, q74, q75, q76, q78, q82)
+    q71, q74, q75, q76, q78, q82, q83)
 }
