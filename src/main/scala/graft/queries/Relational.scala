@@ -2603,6 +2603,66 @@ object Relational {
             |       round(rows_scanned / (SELECT rows_matching FROM mt), 6) AS read_amp
             |FROM st ORDER BY layout""".stripMargin))
 
+  // TPC-H Q7 — VOLUME SHIPPING (q84): bilateral trade between two
+  // nations by ship year. The shape the other composites don't have:
+  // TWO independent dimension chains into the SAME fact (supplier →
+  // nation on l_suppkey, orders → customer → nation on l_orderkey)
+  // plus a CROSS-side disjunction ((sn=A ∧ cn=B) ∨ (sn=B ∧ cn=A))
+  // that can only resolve after both chains attach. The scalable
+  // plan: each chain's nation filter is pushed INTO its dim before
+  // the fact is touched (both dims collapse to the two nations' keys
+  // — broadcast-sized at any corpus), the date filter rides the
+  // lineitem scan, and the disjunction then only drops the two
+  // same-nation combos — the q74 hand-hoisted-side-filter
+  // discipline. Revenue through DECIMAL-exact dsum; year as BIGINT
+  // on both engines.
+  private val q84 = QueryDef(
+    "q84_tpch_q7",
+    (s, dir) => {
+      val nat = t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = t(s, dir, "supplier").join(broadcast(nat),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cus = t(s, dir, "customer").join(broadcast(nat),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = t(s, dir, "orders").join(cus,
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp_ntz"),
+          lit("1997-12-31").cast("timestamp_ntz")))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""SELECT supp_nation, cust_nation, l_year,
+            |  CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            |        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+            |        l_extendedprice * (1 - l_discount) AS volume
+            |      FROM lineitem
+            |      JOIN supplier ON s_suppkey = l_suppkey
+            |      JOIN orders ON o_orderkey = l_orderkey
+            |      JOIN customer ON c_custkey = o_custkey
+            |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            |        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+            |                           AND TIMESTAMP '1997-12-31')
+            |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -2611,5 +2671,5 @@ object Relational {
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
-    q71, q74, q75, q76, q78, q82, q83)
+    q71, q74, q75, q76, q78, q82, q83, q84)
 }

@@ -635,5 +635,19 @@ class PlanContractSpec extends AnyFunSuite {
       s"brand arms not pushed to the part scan:\n$p74")
     assert(p74.contains("BroadcastHashJoin"),
       s"part side not broadcast:\n$p74")
+    // q84 (Q7): the ship-date window must reach the lineitem scan,
+    // the two-nation filter must prune BOTH dim chains before the
+    // fact (nation-filtered supplier broadcast — a two-nation slice
+    // is broadcast-sized at any corpus), and the cross-side
+    // disjunction must not degenerate the plan into a loop join.
+    val p84 = formatted("q84_tpch_q7")
+    assert(p84.contains("GreaterThanOrEqual(l_shipdate"),
+      s"ship-date window not pushed to the lineitem scan:\n$p84")
+    assert(p84.contains("In(n_name"),
+      s"two-nation filter not pushed to the nation scans:\n$p84")
+    assert(p84.contains("BroadcastHashJoin"),
+      s"nation-filtered supplier side not broadcast:\n$p84")
+    assert(!p84.contains("CartesianProduct") && !p84.contains("BroadcastNestedLoopJoin"),
+      s"q84 degenerated into a loop join:\n$p84")
   }
 }
