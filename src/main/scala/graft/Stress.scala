@@ -178,6 +178,35 @@ object Stress {
       println(f"""{"stress":"graph_adamic","base_edges":100000,"base":$aBase%.3f,"scaled_edges":${100000 * factor},"scaled":$aScaled%.3f,"ratio":${aScaled / aBase}%.1f}""")
     }
 
+    // LINK-PREDICT under the same hub graph: identical wedge-volume
+    // argument as graph_adamic (shared derived cap), plus the two
+    // UNCAPPED endpoint-degree joins — which are node-sized, so the
+    // ratio should still track the edge ratio.
+    def timeLinkPredict(nEdges: Int): Double = {
+      val nodes = nEdges / 2L
+      val spokes = spark.range(1, nodes / 5)
+        .selectExpr("cast(0 as bigint) as src", "id as dst")
+      val chords = spark.range(nEdges.toLong)
+        .selectExpr(s"1 + (id * 6364136223) % $nodes as a",
+          s"1 + (id * 2654435761) % $nodes as b")
+        .selectExpr("least(a, b) as src", "greatest(a, b) as dst")
+        .filter("src < dst").distinct()
+      val t0 = System.nanoTime()
+      graft.ops.GraphOps.linkPredict(spokes.union(chords).distinct())(
+        graft.ops.CacheScope.sessionOwned)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      dt
+    }
+    if (only.isEmpty || only("graph_linkpredict")) {
+      timeLinkPredict(100000) // warm-up
+      val lpBase = timeLinkPredict(100000)
+      val lpScaled = timeLinkPredict(100000 * factor)
+      println(f"""{"stress":"graph_linkpredict","base_edges":100000,"base":$lpBase%.3f,"scaled_edges":${100000 * factor},"scaled":$lpScaled%.3f,"ratio":${lpScaled / lpBase}%.1f}""")
+    }
+
     // INCREMENTAL CLUSTER ASSIGNMENT: the batch-sized-work claim. The
     // stored cluster table grows factor× (persisted to parquet first —
     // assignment must not re-pay the corpus propagation), the ingest
