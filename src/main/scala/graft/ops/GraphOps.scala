@@ -719,6 +719,91 @@ object GraphOps {
       .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"))
   }
 
+  /** K-SOURCE BETWEENNESS dependency scores (Brandes 2001, bounded
+    * exploration) over a DIRECTED edge list — undirect first for
+    * undirected centrality ([[undirect]]). For each seed s: a forward
+    * BFS accumulates σ_s(v), the NUMBER of shortest s→v paths (level
+    * by level — a node's σ is the sum of its predecessors' σ, exact
+    * longs), then the backward pass folds dependencies down the BFS
+    * DAG: δ_s(v) = Σ_{w ∈ succ(v)} σ_s(v)/σ_s(w) · (1 + δ_s(w)),
+    * succ = neighbors one level deeper. Returned score per node:
+    * bc(v) = Σ_s δ_s(v) over v ≠ s — the Brandes partial sum, which
+    * for seeds = all nodes IS exact betweenness (×½ on undirected
+    * graphs); a fixed seed sample is the standard estimator
+    * (Brandes & Pich 2007), and `maxHops` truncates at the
+    * horizon where dependency mass stops mattering.
+    *
+    * Determinism: σ are exact integers; each backward level rounds
+    * its δ aggregate to `scale` (the q44 per-round discipline — the
+    * per-term doubles are exact-quotient products, only the sum order
+    * drifts, and far below 1e-scale), so a SQL replay of the same
+    * levels matches bit-for-bit. The σ ≤ 2^52 exactness contract is
+    * GUARDED (raise_error, the hits() class): path counts multiply
+    * along dense layered graphs and overflow IEEE-exact range
+    * silently otherwise.
+    *
+    * Shape: forward, per level one frontier-sized edge join + a
+    * (seed,node)-keyed partial-aggregatable σ sum + an anti join
+    * against the visited set; backward, per level one level-sized
+    * edge join + the δ aggregate + a left-join merge. State is
+    * (seeds × reached)-sized; every table is lineage-cut per round
+    * and rounds plan in the AQE-off child session at edge-derived
+    * width (object scaladoc). Returns (node, bc) for nodes reached
+    * by at least one seed. */
+  def betweenness(edges: DataFrame, sources: DataFrame, maxHops: Int = 3,
+                  scale: Int = 9, reliable: Boolean = false)
+                 (implicit scope: CacheScope): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1 (got $maxHops)")
+    val (rs, e) = roundSetup(edges.select(col("src"), col("dst")), reliable)
+    var state = scope.checkpointed(
+      intoSession(rs, sources.select(col("node")).distinct())
+        .select(col("node").as("seed"), col("node"),
+          lit(0L).as("dist"), lit(1L).as("sigma")), reliable)
+    var frontier = state
+    for (h <- 1 to maxHops) {
+      val nxt = e.join(frontier, e("src") === frontier("node"))
+        .select(col("seed"), col("dst"), col("sigma"))
+        .groupBy("seed", "dst").agg(sum("sigma").as("sigma"))
+        .select(col("seed"), col("dst").as("node"),
+          lit(h.toLong).as("dist"), col("sigma"))
+        .join(state, Seq("seed", "node"), "left_anti")
+      frontier = scope.checkpointed(nxt, reliable)
+      state = scope.checkpointed(state.union(frontier), reliable)
+    }
+    val maxExact = math.pow(2, 52)
+    var prev = scope.checkpointed(
+      state.filter(col("dist") === maxHops)
+        .select(col("seed"), col("node"), col("sigma"),
+          lit(0.0).as("delta")), reliable)
+    var acc = prev
+    for (h <- (maxHops - 1) to 0 by -1) {
+      val v = state.filter(col("dist") === h)
+      val term = when(greatest(col("sv"), col("sw")) > maxExact,
+        raise_error(concat(lit("betweenness(): path count "),
+          greatest(col("sv"), col("sw")),
+          lit(" exceeded 2^52 — σ is no longer IEEE-exact on this " +
+            "graph at this depth; reduce maxHops or the seed set")))
+          .cast("double"))
+        .otherwise(col("sv").cast("double") / col("sw").cast("double")
+          * (lit(1.0) + col("dw")))
+      val deltas = e.join(v, e("src") === v("node"))
+        .select(col("seed"), v("node").as("vn"), col("dst"),
+          col("sigma").as("sv"))
+        .join(prev.select(col("seed"), col("node").as("dst"),
+          col("sigma").as("sw"), col("delta").as("dw")), Seq("seed", "dst"))
+        .select(col("seed"), col("vn"), term.as("term"))
+        .groupBy("seed", "vn").agg(round(sum("term"), scale).as("delta"))
+      prev = scope.checkpointed(
+        v.join(deltas.select(col("seed"), col("vn").as("node"), col("delta")),
+            Seq("seed", "node"), "left")
+          .select(col("seed"), col("node"), col("sigma"),
+            coalesce(col("delta"), lit(0.0)).as("delta")), reliable)
+      acc = acc.union(prev)
+    }
+    acc.filter(col("node") =!= col("seed"))
+      .groupBy("node").agg(sum("delta").as("bc"))
+  }
+
   /** LOUVAIN local-move community detection (Blondel et al. 2008,
     * phase 1) over an UNDIRECTED canonical edge list (each edge once,
     * src < dst), distributed as SEMI-SYNCHRONOUS rounds: on round r,

@@ -848,6 +848,86 @@ object Graph {
             |JOIN deg db ON db.z = n.b
             |ORDER BY jaccard DESC, a, b LIMIT 30""".stripMargin))
 
+  // K-SOURCE BETWEENNESS (q85): which parts sit ON the shortest paths
+  // between others? GraphOps.betweenness — Brandes' forward σ
+  // path-count BFS + backward dependency folding from the 10 smallest
+  // part keys, explored 3 hops (the q49 seed/horizon conventions; a
+  // fixed seed sample is the standard estimator, Brandes & Pich
+  // 2007). σ are exact longs (2^52-guarded); each backward level
+  // rounds its δ aggregate to 9 (the q44 per-round discipline), so
+  // the oracle's unrolled forward/backward levels land on identical
+  // doubles and the final per-node sum rounds to 6.
+  private val q85 = QueryDef(
+    "q85_betweenness",
+    (s, dir) => {
+      val pe = graft.ops.CacheScope.sessionOwned
+        .checkpointed(coEdges(s, dir), reliable = false)
+      val edges = pe.union(pe.select(col("p2").as("p1"), col("p1").as("p2")))
+        .toDF("src", "dst")
+      val seeds = edges.select(col("src").as("node"))
+        .distinct().orderBy("node").limit(10)
+      graft.ops.GraphOps.betweenness(edges, seeds, maxHops = 3)
+        .select(col("node").as("part"), round(col("bc"), 6).as("bc"))
+        .orderBy("part")
+    },
+    Some(s"""WITH $coEdgesCte,
+            |e AS (SELECT p1 AS src, p2 AS dst FROM pe
+            |      UNION ALL SELECT p2, p1 FROM pe),
+            |sd AS (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 10),
+            |st0 AS (SELECT node AS seed, node, 0 AS dist, 1::BIGINT AS sigma FROM sd),
+            |c1 AS (SELECT f.seed, e.dst AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+            |       FROM e JOIN st0 f ON e.src = f.node GROUP BY 1, 2),
+            |n1 AS (SELECT seed, node, 1 AS dist, sigma FROM c1
+            |       WHERE NOT EXISTS (SELECT 1 FROM st0 x
+            |                         WHERE x.seed = c1.seed AND x.node = c1.node)),
+            |st1 AS MATERIALIZED (SELECT * FROM st0 UNION ALL SELECT * FROM n1),
+            |c2 AS (SELECT f.seed, e.dst AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+            |       FROM e JOIN st1 f ON e.src = f.node WHERE f.dist = 1 GROUP BY 1, 2),
+            |n2 AS (SELECT seed, node, 2 AS dist, sigma FROM c2
+            |       WHERE NOT EXISTS (SELECT 1 FROM st1 x
+            |                         WHERE x.seed = c2.seed AND x.node = c2.node)),
+            |st2 AS MATERIALIZED (SELECT * FROM st1 UNION ALL SELECT * FROM n2),
+            |c3 AS (SELECT f.seed, e.dst AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+            |       FROM e JOIN st2 f ON e.src = f.node WHERE f.dist = 2 GROUP BY 1, 2),
+            |n3 AS (SELECT seed, node, 3 AS dist, sigma FROM c3
+            |       WHERE NOT EXISTS (SELECT 1 FROM st2 x
+            |                         WHERE x.seed = c3.seed AND x.node = c3.node)),
+            |st3 AS MATERIALIZED (SELECT * FROM st2 UNION ALL SELECT * FROM n3),
+            |d3 AS (SELECT seed, node, sigma, 0.0 AS delta FROM st3 WHERE dist = 3),
+            |t2 AS (SELECT v.seed, v.node,
+            |         round(sum(CAST(v.sigma AS DOUBLE) / CAST(p.sigma AS DOUBLE)
+            |               * (1 + p.delta)), 9) AS delta
+            |       FROM st3 v JOIN e ON e.src = v.node
+            |       JOIN d3 p ON p.seed = v.seed AND p.node = e.dst
+            |       WHERE v.dist = 2 GROUP BY 1, 2),
+            |d2 AS MATERIALIZED (SELECT v.seed, v.node, v.sigma, coalesce(t.delta, 0.0) AS delta
+            |       FROM st3 v LEFT JOIN t2 t ON t.seed = v.seed AND t.node = v.node
+            |       WHERE v.dist = 2),
+            |t1 AS (SELECT v.seed, v.node,
+            |         round(sum(CAST(v.sigma AS DOUBLE) / CAST(p.sigma AS DOUBLE)
+            |               * (1 + p.delta)), 9) AS delta
+            |       FROM st3 v JOIN e ON e.src = v.node
+            |       JOIN d2 p ON p.seed = v.seed AND p.node = e.dst
+            |       WHERE v.dist = 1 GROUP BY 1, 2),
+            |d1 AS MATERIALIZED (SELECT v.seed, v.node, v.sigma, coalesce(t.delta, 0.0) AS delta
+            |       FROM st3 v LEFT JOIN t1 t ON t.seed = v.seed AND t.node = v.node
+            |       WHERE v.dist = 1),
+            |t0 AS (SELECT v.seed, v.node,
+            |         round(sum(CAST(v.sigma AS DOUBLE) / CAST(p.sigma AS DOUBLE)
+            |               * (1 + p.delta)), 9) AS delta
+            |       FROM st3 v JOIN e ON e.src = v.node
+            |       JOIN d1 p ON p.seed = v.seed AND p.node = e.dst
+            |       WHERE v.dist = 0 GROUP BY 1, 2),
+            |d0 AS (SELECT v.seed, v.node, v.sigma, coalesce(t.delta, 0.0) AS delta
+            |       FROM st3 v LEFT JOIN t0 t ON t.seed = v.seed AND t.node = v.node
+            |       WHERE v.dist = 0),
+            |al AS (SELECT seed, node, delta FROM d0
+            |       UNION ALL SELECT seed, node, delta FROM d1
+            |       UNION ALL SELECT seed, node, delta FROM d2
+            |       UNION ALL SELECT seed, node, delta FROM d3)
+            |SELECT node AS part, round(sum(delta), 6) AS bc
+            |FROM al WHERE node != seed GROUP BY node ORDER BY part""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66, q69, q70,
-    q72, q73, q77, q79, q80, q81)
+    q72, q73, q77, q79, q80, q81, q85)
 }

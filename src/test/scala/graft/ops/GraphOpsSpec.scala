@@ -367,6 +367,30 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(capped((2L, 4L)) == ((1L, 2L, 2L)), "cap prunes centers, not stats")
   }
 
+  test("betweenness on a 5-path from both ends matches the hand trace") {
+    // path 1-2-3-4-5, seeds {1, 5}, maxHops 4: from seed 1 the
+    // dependencies are δ(2)=3, δ(3)=2, δ(4)=1, δ(5)=0 (each interior
+    // node carries every deeper node's shortest path); symmetric from
+    // seed 5. bc sums over v != s.
+    val edges = GraphOps.undirect(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst"))
+    val seeds = Seq(1L, 5L).toDF("node")
+    val got = GraphOps.betweenness(edges, seeds, maxHops = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 4.0, 3L -> 4.0, 4L -> 4.0, 5L -> 0.0),
+      s"got $got")
+  }
+
+  test("betweenness splits dependency across equal-count shortest paths") {
+    // diamond 1-2-4, 1-3-4: sigma(4) = 2, so nodes 2 and 3 each carry
+    // half of 4's dependency: δ(2) = δ(3) = (1/2)·(1+0) = 0.5
+    val edges = GraphOps.undirect(
+      Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst"))
+    val got = GraphOps.betweenness(edges, Seq(1L).toDF("node"), maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(2L -> 0.5, 3L -> 0.5, 4L -> 0.0), s"got $got")
+  }
+
   test("labelPropagation matches a local replay of the synchronous LPA rule") {
     // two triangles joined by one bridge + a pendant — communities
     // should be FINER than the single connected component

@@ -477,6 +477,8 @@ class PlanContractSpec extends AnyFunSuite {
       "q48_components", "q49_bfs", "q56_sssp", "q57_kcore", "q50_triangles",
       "q63_wppr", "q64_lpa", "q65_hits", "q66_adamic_adar", "q69_modularity",
       "q70_louvain", "q72_scc", "q77_louvain_l2",
+      "q81_link_predict", // same derived-cap count() as q66_adamic_adar
+      "q85_betweenness",  // GraphOps forward/backward rounds lineage-cut
       "q73_random_walks", // pair-build lineage cut at construction (q49's seam)
       // — same iterative-graph seam: dupClusters
       // rounds / hopDistance rounds lineage-cut through localCheckpoint
