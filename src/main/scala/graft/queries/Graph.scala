@@ -928,6 +928,62 @@ object Graph {
             |SELECT node AS part, round(sum(delta), 6) AS bc
             |FROM al WHERE node != seed GROUP BY node ORDER BY part""".stripMargin))
 
+  // GRAPH PROFILE (q86): the one-row structural summary an analyst
+  // reads before running anything else on a graph — node/edge counts,
+  // density, degree stats, wedge count Σ deg·(deg−1)/2, total
+  // triangles, and the GLOBAL CLUSTERING COEFFICIENT 3·triangles /
+  // wedges (transitivity — what fraction of open wedges close).
+  // Triangles come from GraphOps.triangles' degree-oriented E^1.5
+  // enumeration (per-node counts sum to 3T — exact integer div); the
+  // oracle counts the same set via the canonical a<b<c triple join.
+  // Everything is one edge checkpoint + three 1-row broadcast
+  // aggregates; the only divisions are the three rounded ratios.
+  // Nodes = edge endpoints (the support>=2 graph's isolated parts
+  // don't exist as nodes).
+  private val q86 = QueryDef(
+    "q86_graph_profile",
+    (s, dir) => {
+      val pe = graft.ops.CacheScope.sessionOwned
+        .checkpointed(coEdges(s, dir), reliable = false)
+      val e2 = pe.union(pe.select(col("p2").as("p1"), col("p1").as("p2")))
+      val deg = e2.groupBy(col("p1").as("node")).agg(count(lit(1)).as("deg"))
+      val ds = broadcast(deg.agg(count(lit(1)).as("n"), max("deg").as("max_deg"),
+        expr("cast(sum(deg * (deg - 1) div 2) as bigint)").as("wedges")))
+      val mm = broadcast(pe.agg(count(lit(1)).as("m")))
+      val tr = broadcast(graft.ops.GraphOps.triangles(pe.toDF("src", "dst"))
+        .agg(coalesce(expr("sum(triangles) div 3"), lit(0L)).as("t")))
+      ds.crossJoin(mm).crossJoin(tr)
+        .select(col("n").as("n_nodes"), col("m").as("n_edges"), col("max_deg"),
+          round((lit(2) * col("m")).cast("double")
+            / (col("n") * (col("n") - 1)).cast("double"), 6).as("density"),
+          round((lit(2) * col("m")).cast("double")
+            / col("n").cast("double"), 6).as("avg_deg"),
+          col("wedges"), col("t").as("n_triangles"),
+          when(col("wedges") > 0,
+            round((lit(3) * col("t")).cast("double")
+              / col("wedges").cast("double"), 6))
+            .otherwise(lit(0.0)).as("clustering"))
+    },
+    Some(s"""WITH $coEdgesCte,
+            |e2 AS (SELECT p1 AS src, p2 AS dst FROM pe
+            |       UNION ALL SELECT p2, p1 FROM pe),
+            |deg AS (SELECT src AS node, count(*) AS deg FROM e2 GROUP BY 1),
+            |ds AS (SELECT count(*) AS n, max(deg) AS max_deg,
+            |              CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges
+            |       FROM deg),
+            |mm AS (SELECT count(*) AS m FROM pe),
+            |tri AS (SELECT count(*) AS t FROM pe ab
+            |        JOIN pe bc ON ab.p2 = bc.p1
+            |        JOIN pe ac ON ac.p1 = ab.p1 AND ac.p2 = bc.p2)
+            |SELECT n AS n_nodes, m AS n_edges, max_deg,
+            |  round(CAST(2 * m AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6) AS density,
+            |  round(CAST(2 * m AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_deg,
+            |  wedges, t AS n_triangles,
+            |  CASE WHEN wedges > 0
+            |       THEN round(CAST(3 * t AS DOUBLE) / CAST(wedges AS DOUBLE), 6)
+            |       ELSE 0.0 END AS clustering
+            |FROM ds, mm, tri""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66, q69, q70,
-    q72, q73, q77, q79, q80, q81, q85)
+    q72, q73, q77, q79, q80, q81, q85, q86)
 }

@@ -479,6 +479,7 @@ class PlanContractSpec extends AnyFunSuite {
       "q70_louvain", "q72_scc", "q77_louvain_l2",
       "q81_link_predict", // same derived-cap count() as q66_adamic_adar
       "q85_betweenness",  // GraphOps forward/backward rounds lineage-cut
+      "q86_graph_profile", // triangles' cached orientation (q50 class)
       "q73_random_walks", // pair-build lineage cut at construction (q49's seam)
       // — same iterative-graph seam: dupClusters
       // rounds / hopDistance rounds lineage-cut through localCheckpoint
