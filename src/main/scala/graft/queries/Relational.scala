@@ -2620,7 +2620,7 @@ object Relational {
     "q84_tpch_q7",
     (s, dir) => {
       val nat = t(s, dir, "nation")
-        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .filter(col("n_name").isin("NATION_3", "NATION_8"))
         .select(col("n_nationkey"), col("n_name"))
       val sup = t(s, dir, "supplier").join(broadcast(nat),
           col("s_nationkey") === col("n_nationkey"))
@@ -2657,8 +2657,8 @@ object Relational {
             |      JOIN customer ON c_custkey = o_custkey
             |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
             |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
-            |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-            |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            |      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+            |          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
             |        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
             |                           AND TIMESTAMP '1997-12-31')
             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
