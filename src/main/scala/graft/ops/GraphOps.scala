@@ -755,12 +755,16 @@ object GraphOps {
                  (implicit scope: CacheScope): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1 (got $maxHops)")
     val (rs, e) = roundSetup(edges.select(col("src"), col("dst")), reliable)
-    var state = scope.checkpointed(
+    // state = union of the per-level frontier CHECKPOINTS (all leaves,
+    // so the union is lineage-free) — only the new level itself needs
+    // a cut each round, halving the per-round materializations
+    var frontier = scope.checkpointed(
       intoSession(rs, sources.select(col("node")).distinct())
         .select(col("node").as("seed"), col("node"),
           lit(0L).as("dist"), lit(1L).as("sigma")), reliable)
-    var frontier = state
+    var levels = Vector(frontier)
     for (h <- 1 to maxHops) {
+      val state = levels.reduce(_ union _)
       val nxt = e.join(frontier, e("src") === frontier("node"))
         .select(col("seed"), col("dst"), col("sigma"))
         .groupBy("seed", "dst").agg(sum("sigma").as("sigma"))
@@ -768,16 +772,16 @@ object GraphOps {
           lit(h.toLong).as("dist"), col("sigma"))
         .join(state, Seq("seed", "node"), "left_anti")
       frontier = scope.checkpointed(nxt, reliable)
-      state = scope.checkpointed(state.union(frontier), reliable)
+      levels = levels :+ frontier
     }
     val maxExact = math.pow(2, 52)
     var prev = scope.checkpointed(
-      state.filter(col("dist") === maxHops)
+      levels(maxHops)
         .select(col("seed"), col("node"), col("sigma"),
           lit(0.0).as("delta")), reliable)
     var acc = prev
     for (h <- (maxHops - 1) to 0 by -1) {
-      val v = state.filter(col("dist") === h)
+      val v = levels(h)
       val term = when(greatest(col("sv"), col("sw")) > maxExact,
         raise_error(concat(lit("betweenness(): path count "),
           greatest(col("sv"), col("sw")),
