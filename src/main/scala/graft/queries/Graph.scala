@@ -984,6 +984,90 @@ object Graph {
             |       ELSE 0.0 END AS clustering
             |FROM ds, mm, tri""".stripMargin))
 
+  // NODE2VEC BIASED WALKS (q87): q73's deterministic walks with the
+  // second-order transition bias (Grover & Leskovec 2016) — candidate
+  // x from cur with previous node prev weighs α = 1/p if x = prev
+  // (return), 1 if x is adjacent to prev (triadic), 1/q otherwise
+  // (outward). p = 2, q = 1/2 scaled by 2 gives EXACT INTEGER weights
+  // {1, 2, 4} (DFS-leaning — the "structural equivalence" setting);
+  // the choice is hash-deterministic: r = sha60(walk‖':'‖step) mod
+  // Σw picks the candidate whose cumulative-weight range covers r
+  // (cum over dst order — a total order, since adjacency rows are
+  // distinct per cur). Step 1 has prev = start, every candidate
+  // triadic, so it degenerates to the uniform first step the paper
+  // prescribes. Scale shape: per step one walk-sized adjacency join
+  // (candidate volume Σ deg(cur) ≤ 2E — the PageRank-round class),
+  // one edge-sized prev-adjacency tag join, ONE walk-keyed window
+  // exchange carrying both the running and total weight sums; every
+  // quantity is an exact integer, no rounding contract anywhere.
+  private val q87 = QueryDef(
+    "q87_node2vec_walks",
+    (s, dir) => {
+      import graft.queries.QueryDef.sha60
+      val pe = graft.ops.CacheScope.sessionOwned
+        .checkpointed(coEdges(s, dir), reliable = false)
+      val scope = graft.ops.CacheScope.sessionOwned
+      val adj = scope.cached(
+        pe.select(col("p1").as("src"), col("p2").as("dst"))
+          .union(pe.select(col("p2").as("src"), col("p1").as("dst"))))
+      var pos = adj.select(col("src").as("walk")).distinct()
+        .select(col("walk"), col("walk").as("prev"), col("walk").as("cur"))
+      val steps = scala.collection.mutable.ArrayBuffer(
+        pos.select(col("walk"), lit(0).as("step"), col("cur").as("node")))
+      val w = Window.partitionBy("walk")
+      val wo = w.orderBy("dst")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      for (st <- 1 to 3) {
+        val cand = pos.join(adj, col("cur") === col("src"))
+          .select(col("walk"), col("prev"), col("cur"), col("dst"))
+        val tagged = cand.join(
+            adj.select(col("src").as("ps"), col("dst").as("pd")),
+            col("prev") === col("ps") && col("dst") === col("pd"), "left")
+          .select(col("walk"), col("cur"), col("dst"),
+            when(col("dst") === col("prev"), lit(1))
+              .when(col("ps").isNotNull, lit(2)).otherwise(lit(4)).as("wt"))
+        pos = scope.cached(tagged
+          .withColumn("cum", sum("wt").over(wo))
+          .withColumn("tot", sum("wt").over(w))
+          .withColumn("r",
+            sha60(concat(col("walk").cast("string"), lit(s":$st"))) % col("tot"))
+          .filter(col("cum") - col("wt") <= col("r") && col("r") < col("cum"))
+          .select(col("walk"), col("cur").as("prev"), col("dst").as("cur")))
+        steps += pos.select(col("walk"), lit(st).as("step"), col("cur").as("node"))
+      }
+      steps.reduce(_.unionByName(_)).orderBy("walk", "step")
+    },
+    Some {
+      val stepCtes = (1 to 3).map { st =>
+        val p = if (st == 1) "s0" else s"s${st - 1}"
+        s"""c$st AS (SELECT w.walk, w.cur, a.dst,
+           |    CASE WHEN a.dst = w.prev THEN 1
+           |         WHEN ex.src IS NOT NULL THEN 2 ELSE 4 END AS wt
+           |  FROM $p w JOIN adj a ON a.src = w.cur
+           |  LEFT JOIN adj ex ON ex.src = w.prev AND ex.dst = a.dst),
+           |k$st AS (SELECT walk, cur, dst, wt,
+           |    sum(wt) OVER (PARTITION BY walk ORDER BY dst
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    sum(wt) OVER (PARTITION BY walk) AS tot
+           |  FROM c$st),
+           |s$st AS (SELECT walk, cur AS prev, dst AS cur FROM k$st
+           |  WHERE cum - wt <=
+           |    CAST(concat('0x', substr(sha256(CAST(walk AS VARCHAR) || ':$st'), 1, 15)) AS BIGINT) % tot
+           |   AND CAST(concat('0x', substr(sha256(CAST(walk AS VARCHAR) || ':$st'), 1, 15)) AS BIGINT) % tot < cum)""".stripMargin
+      }.mkString(",\n")
+      val stepSelects = (1 to 3).map { st =>
+        s"UNION ALL SELECT walk, $st AS step, cur AS node FROM s$st"
+      }.mkString("\n")
+      s"""WITH $coEdgesCte,
+         |adj AS (SELECT p1 AS src, p2 AS dst FROM pe
+         |        UNION ALL SELECT p2, p1 FROM pe),
+         |s0 AS (SELECT DISTINCT src AS walk, src AS prev, src AS cur FROM adj),
+         |$stepCtes
+         |SELECT walk, 0 AS step, cur AS node FROM s0
+         |$stepSelects
+         |ORDER BY walk, step""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66, q69, q70,
-    q72, q73, q77, q79, q80, q81, q85, q86)
+    q72, q73, q77, q79, q80, q81, q85, q86, q87)
 }
