@@ -284,6 +284,75 @@ object Multimodal {
       (rate, channels, frames)
     }
 
+    private val PngSignature =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    /** Minimal spec-valid PNG: signature + IHDR (8-bit truecolor,
+      * no interlace) + IEND, with REAL CRC32s over type+data per the
+      * spec — 45 bytes. Pixel data (IDAT) needs zlib framing a
+      * header-level fixture doesn't; the decoder walks chunks, so a
+      * payload with IDATs parses identically. */
+    def encodePng(width: Int, height: Int): Array[Byte] = {
+      require(width >= 1 && height >= 1,
+        s"PNG dims must be >= 1 (got $width x $height)")
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(width).putInt(height)
+        .put(8.toByte).put(2.toByte)            // bit depth 8, truecolor
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, none
+      val bb = java.nio.ByteBuffer.allocate(45) // big-endian
+      bb.put(PngSignature)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        val t = typ.getBytes("US-ASCII")
+        bb.putInt(data.length).put(t).put(data)
+        val crc = new java.util.zip.CRC32
+        crc.update(t); crc.update(data)
+        bb.putInt(crc.getValue.toInt)
+      }
+      chunk("IHDR", ihdr.array())
+      chunk("IEND", Array.emptyByteArray)
+      bb.array()
+    }
+
+    /** Real PNG dimension parse: verify the 8-byte signature, then
+      * walk length-prefixed chunks — VERIFYING each chunk's CRC32
+      * (type+data, the actual spec checksum) — to IHDR, which the
+      * spec requires first; big-endian u32 dims. A flipped bit
+      * anywhere in a walked chunk fails the CRC, not just a wrong
+      * magic. Frames = 1: still image (APNG's acTL would ride a
+      * later chunk through this same walk). */
+    def decodePng(payload: Array[Byte]): (Int, Int, Int) = {
+      require(payload.length >= 8 &&
+        payload.take(8).sameElements(PngSignature),
+        "not a PNG payload (bad signature)")
+      val bb = java.nio.ByteBuffer.wrap(payload) // big-endian
+      bb.position(8)
+      var first = true
+      while (bb.remaining >= 12) {
+        val len = bb.getInt
+        require(len >= 0 && bb.remaining >= len + 8,
+          s"truncated PNG chunk at offset ${bb.position() - 4}")
+        val typ = new Array[Byte](4); bb.get(typ)
+        val typeStr = new String(typ, "US-ASCII")
+        require(!first || typeStr == "IHDR",
+          s"PNG: first chunk must be IHDR (got $typeStr)")
+        val data = new Array[Byte](len); bb.get(data)
+        val stored = bb.getInt
+        val crc = new java.util.zip.CRC32
+        crc.update(typ); crc.update(data)
+        require(crc.getValue.toInt == stored,
+          s"PNG $typeStr chunk CRC mismatch")
+        if (typeStr == "IHDR") {
+          require(len == 13, s"PNG IHDR must be 13 bytes (got $len)")
+          val db = java.nio.ByteBuffer.wrap(data)
+          val w = db.getInt(); val h = db.getInt()
+          require(w > 0 && h > 0, "PNG IHDR carries zero dimensions")
+          return (w, h, 1)
+        }
+        first = false
+      }
+      throw new IllegalArgumentException("PNG: no IHDR chunk found")
+    }
+
     /** Stub header for formats that need a real media library. */
     def decodeGrft(payload: Array[Byte]): (Int, Int, Int) = {
       val bb = java.nio.ByteBuffer.wrap(payload)
@@ -292,7 +361,7 @@ object Multimodal {
     }
 
     /** (width, height, frames) by declared format — `bmp`, `wav`,
-      * `jpg`/`jpeg`, and `mp3` parse REAL bytes; `grft` is the
+      * `jpg`/`jpeg`, `mp3`, and `png` parse REAL bytes; `grft` is the
       * documented deterministic stub (video frame extraction and
       * compressed-payload pixel/PCM decode need codec libraries this
       * container does not ship). */
@@ -301,6 +370,7 @@ object Multimodal {
       case "wav"          => decodeWav(payload)
       case "jpg" | "jpeg" => decodeJpeg(payload)
       case "mp3"          => decodeMp3(payload)
+      case "png"          => decodePng(payload)
       case _              => decodeGrft(payload)
     }
 

@@ -2145,7 +2145,9 @@ object Llm {
   // audio — spec-valid BMP files (BITMAPFILEHEADER+BITMAPINFOHEADER +
   // padded pixel array), baseline JPEG headers (SOI/APP0/COM/SOF0
   // marker stream, big-endian u16 dims — the most common real image
-  // format, parsed by an actual marker WALK, not fixed offsets), and
+  // format, parsed by an actual marker WALK, not fixed offsets),
+  // minimal spec-valid PNGs (signature + IHDR + IEND with REAL CRC32s,
+  // decoded by a chunk walk that VERIFIES every checksum), and
   // canonical PCM WAV files (RIFF chunk layout), and CBR MPEG-1
   // Layer III streams (real frame-header walk with the spec
   // bitrate/rate tables) built row-side, then DECODED from those
@@ -2157,13 +2159,13 @@ object Llm {
   // (stride 2, explode + re-agg). The oracle reproduces the same
   // metadata arithmetically (BMP row stride ((3w+3)//4)*4, JPEG
   // header size 45 + comment bytes, WAV data size frames*channels*2,
-  // MP3 stream size frames * (144*128000 // rate))
+  // MP3 stream size frames * (144*128000 // rate), PNG constant 45)
   // — so a parser bug that misreads actual bytes hash-fails the row.
   private val l5media = QueryDef(
     "l5_media_pipeline",
     (s, dir) => {
       import graft.multimodal.Multimodal
-      val enc = udf((id: Long, text: String) => (id % 5) match {
+      val enc = udf((id: Long, text: String) => (id % 6) match {
         case 0 => Multimodal.MediaCodec.encodeBmp(
           (id % 64 + 16).toInt, (id % 48 + 16).toInt)
         case 1 => Multimodal.MediaCodec.encodeWav(
@@ -2173,19 +2175,23 @@ object Llm {
         case 3 => Multimodal.MediaCodec.encodeMp3(
           Seq(32000, 44100, 48000)((id % 3).toInt), (1 + id % 2).toInt,
           (id % 30 + 5).toInt)
+        case 4 => Multimodal.MediaCodec.encodePng(
+          (id % 300 + 20).toInt, (id % 200 + 20).toInt)
         case _ => Multimodal.MediaCodec.encodeHeader(
           (id % 640 + 16).toInt, (id % 480 + 16).toInt, (id % 10 + 1).toInt,
           text.getBytes("UTF-8"))
       })
       val media = t(s, dir, "documents").select(
         col("doc_id").as("media_id"),
-        when(col("doc_id") % 5 === 0 || col("doc_id") % 5 === 2, "image")
-          .when(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 3, "audio")
+        when(col("doc_id") % 6 === 0 || col("doc_id") % 6 === 2
+          || col("doc_id") % 6 === 4, "image")
+          .when(col("doc_id") % 6 === 1 || col("doc_id") % 6 === 3, "audio")
           .otherwise("video").as("kind"),
-        when(col("doc_id") % 5 === 0, "bmp")
-          .when(col("doc_id") % 5 === 1, "wav")
-          .when(col("doc_id") % 5 === 2, "jpeg")
-          .when(col("doc_id") % 5 === 3, "mp3").otherwise("grft").as("fmt"),
+        when(col("doc_id") % 6 === 0, "bmp")
+          .when(col("doc_id") % 6 === 1, "wav")
+          .when(col("doc_id") % 6 === 2, "jpeg")
+          .when(col("doc_id") % 6 === 3, "mp3")
+          .when(col("doc_id") % 6 === 4, "png").otherwise("grft").as("fmt"),
         enc(col("doc_id"), col("text")).as("payload"))
       val feats = Multimodal.extractFeatures(media)
       val resize = Multimodal.resizePlan(feats, maxSide = 256)
@@ -2197,10 +2203,11 @@ object Llm {
         .orderBy("media_id")
     },
     Some("""WITH m AS (SELECT doc_id AS media_id,
-                   CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'image'
+                   CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'image'
                         WHEN 1 THEN 'audio' WHEN 2 THEN 'image'
-                        WHEN 3 THEN 'audio' ELSE 'video' END AS kind,
-                   CASE CAST(doc_id % 5 AS INTEGER)
+                        WHEN 3 THEN 'audio' WHEN 4 THEN 'image'
+                        ELSE 'video' END AS kind,
+                   CASE CAST(doc_id % 6 AS INTEGER)
                         WHEN 0 THEN CAST(54 + ((3 * (doc_id % 64 + 16) + 3) // 4) * 4
                                               * (doc_id % 48 + 16) AS INTEGER)
                         WHEN 1 THEN CAST(44 + (doc_id % 100 + 10) * (1 + doc_id % 2) * 2 AS INTEGER)
@@ -2208,25 +2215,29 @@ object Llm {
                         WHEN 3 THEN CAST((doc_id % 30 + 5) *
                              (144 * 128000 // (CASE CAST(doc_id % 3 AS INTEGER)
                               WHEN 0 THEN 32000 WHEN 1 THEN 44100 ELSE 48000 END)) AS INTEGER)
+                        WHEN 4 THEN 45
                         ELSE CAST(16 + octet_length(encode(text)) AS INTEGER) END AS n_bytes,
-                   CASE CAST(doc_id % 5 AS INTEGER)
+                   CASE CAST(doc_id % 6 AS INTEGER)
                         WHEN 0 THEN CAST(doc_id % 64 + 16 AS INTEGER)
                         WHEN 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS INTEGER)
                         WHEN 2 THEN CAST(doc_id % 512 + 32 AS INTEGER)
                         WHEN 3 THEN CAST(CASE CAST(doc_id % 3 AS INTEGER)
                               WHEN 0 THEN 32000 WHEN 1 THEN 44100 ELSE 48000 END AS INTEGER)
+                        WHEN 4 THEN CAST(doc_id % 300 + 20 AS INTEGER)
                         ELSE CAST(doc_id % 640 + 16 AS INTEGER) END AS width,
-                   CASE CAST(doc_id % 5 AS INTEGER)
+                   CASE CAST(doc_id % 6 AS INTEGER)
                         WHEN 0 THEN CAST(doc_id % 48 + 16 AS INTEGER)
                         WHEN 1 THEN CAST(1 + doc_id % 2 AS INTEGER)
                         WHEN 2 THEN CAST(doc_id % 384 + 32 AS INTEGER)
                         WHEN 3 THEN CAST(1 + doc_id % 2 AS INTEGER)
+                        WHEN 4 THEN CAST(doc_id % 200 + 20 AS INTEGER)
                         ELSE CAST(doc_id % 480 + 16 AS INTEGER) END AS height,
-                   CASE CAST(doc_id % 5 AS INTEGER)
+                   CASE CAST(doc_id % 6 AS INTEGER)
                         WHEN 0 THEN 1
                         WHEN 1 THEN CAST(doc_id % 100 + 10 AS INTEGER)
                         WHEN 2 THEN 1
                         WHEN 3 THEN CAST(doc_id % 30 + 5 AS INTEGER)
+                        WHEN 4 THEN 1
                         ELSE CAST(doc_id % 10 + 1 AS INTEGER) END AS n_frames
                  FROM documents),
             r AS (SELECT media_id,

@@ -91,6 +91,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.decodeJpeg(prog) == ((517, 389, 1)))
   }
 
+  test("PNG codec: chunk walk reads IHDR dims and verifies real CRC32s") {
+    // dims past 255 exercise the big-endian u32 byte split
+    val bytes = MediaCodec.encodePng(317, 211)
+    assert(bytes.length == 45, "signature 8 + IHDR 25 + IEND 12")
+    assert(MediaCodec.decodePng(bytes) == ((317, 211, 1)))
+    // an ancillary chunk inserted before IHDR violates the spec
+    val reord = java.nio.ByteBuffer.allocate(bytes.length + 12)
+    reord.put(bytes, 0, 8)
+    val t = "tEXt".getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32; crc.update(t)
+    reord.putInt(0).put(t).putInt(crc.getValue.toInt)
+    reord.put(bytes, 8, bytes.length - 8)
+    intercept[IllegalArgumentException](MediaCodec.decodePng(reord.array()))
+  }
+
+  test("PNG codec: corrupt payloads fail the CRC, not just the magic") {
+    intercept[IllegalArgumentException](MediaCodec.decodePng(Array[Byte](1, 2, 3)))
+    // flip ONE bit inside the IHDR data (width) — the signature and
+    // layout stay valid, only the checksum can catch it
+    val bad = MediaCodec.encodePng(64, 64)
+    bad(16) = (bad(16) ^ 1).toByte
+    val e = intercept[IllegalArgumentException](MediaCodec.decodePng(bad))
+    assert(e.getMessage.contains("CRC"), s"expected a CRC failure: ${e.getMessage}")
+  }
+
   test("JPEG codec: malformed streams fail loudly") {
     // not a JPEG at all
     intercept[IllegalArgumentException](MediaCodec.decodeJpeg(Array[Byte](1, 2, 3, 4)))
