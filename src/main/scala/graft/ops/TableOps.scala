@@ -91,4 +91,29 @@ object TableOps {
       .select(col(key), col(valueCol), col(tsCol).as("valid_from"),
         col("valid_to"))
   }
+
+  /** INCREMENTAL MAINTENANCE of a SUM/COUNT aggregate materialized
+    * view: `mv` holds the current per-key aggregates, `delta` the
+    * SAME aggregates computed over an insert batch alone; the result
+    * is the view as a full recompute would produce it — a full-outer
+    * key merge adding the two sides with missing-side zeros. Only the
+    * SELF-MAINTAINABLE aggregate class applies (counts and sums —
+    * exact under decimal addition, so maintained == recomputed
+    * bit-for-bit); MIN/MAX and deletes need counted auxiliary views
+    * or a recompute, the standard IVM limitation. Every non-key
+    * column of `mv` must be such an aggregate; `delta` must share the
+    * schema. One aggregate over the batch + one view-sized merge —
+    * the batch is touched once, the fact history never. */
+  def maintainAgg(mv: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "maintainAgg needs at least one key column")
+    val cols = mv.columns.toSeq
+    val aggCols = cols.filterNot(keys.contains)
+    val m = mv.alias("_mb")
+    val d = delta.select(cols.map(col): _*).alias("_md")
+    val cond = keys.map(k => col(s"_mb.$k") === col(s"_md.$k")).reduce(_ && _)
+    m.join(d, cond, "full_outer")
+      .select(keys.map(k => coalesce(col(s"_mb.$k"), col(s"_md.$k")).as(k)) ++
+        aggCols.map(c =>
+          (coalesce(col(s"_mb.$c"), lit(0)) + coalesce(col(s"_md.$c"), lit(0))).as(c)): _*)
+  }
 }

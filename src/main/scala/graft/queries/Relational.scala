@@ -2663,6 +2663,42 @@ object Relational {
             |                           AND TIMESTAMP '1997-12-31')
             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
 
+  // INCREMENTAL MATERIALIZED-VIEW MAINTENANCE (q88): the lakehouse
+  // family's missing member — a per-part SUM/COUNT revenue view is
+  // maintained by MERGING an insert batch's delta aggregates into the
+  // stored view (TableOps.maintainAgg) instead of re-scanning the
+  // fact history. The fixture splits lineitem deterministically
+  // (l_orderkey % 10 == 0 is "the new batch"); the ORACLE COMPUTES
+  // THE VIEW FROM THE FULL TABLE DIRECTLY, so the gate itself pins
+  // maintained == recomputed (the l2_incremental_clusters pattern).
+  // Exactness: counts are longs, sums are DECIMAL(18,6) per row and
+  // exact under any association, so base + delta equals the one-pass
+  // sum bit-for-bit; the final cast to double is one correctly-
+  // rounded conversion on both engines. At 100 TB this is the whole
+  // point of an MV: one aggregate over the batch + one view-sized
+  // merge, fact history untouched.
+  private val q88 = QueryDef(
+    "q88_mv_maintain",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def mv(df: DataFrame) = df.groupBy("l_partkey").agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(DecimalType(18, 6))).as("qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).as("rev"))
+      val stored = mv(li.filter(col("l_orderkey") % 10 =!= 0))
+      val delta = mv(li.filter(col("l_orderkey") % 10 === 0))
+      graft.ops.TableOps.maintainAgg(stored, delta, keys = Seq("l_partkey"))
+        .select(col("l_partkey"), col("cnt"),
+          col("qty").cast("double").as("qty"),
+          col("rev").cast("double").as("rev"))
+        .orderBy("l_partkey")
+    },
+    Some("""SELECT l_partkey, count(*) AS cnt,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+            |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -2671,5 +2707,5 @@ object Relational {
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
-    q71, q74, q75, q76, q78, q82, q83, q84)
+    q71, q74, q75, q76, q78, q82, q83, q84, q88)
 }

@@ -72,4 +72,16 @@ class TableOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, "A", 10L, 30L), (1L, "B", 30L, 40L), (1L, "A", 40L, -1L),
       (2L, "C", 10L, -1L)))
   }
+test("maintainAgg: merged deltas equal a full recompute, new keys included") {
+    val hist = Seq((1L, 5), (1L, 7), (2L, 11)).toDF("k", "n")
+    val batch = Seq((2L, 2), (3L, 100)).toDF("k", "n")
+    def mv(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("cnt"), sum("n").as("s"))
+    val maintained = TableOps.maintainAgg(mv(hist), mv(batch), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val recomputed = mv(hist.union(batch))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(maintained == recomputed, s"$maintained vs $recomputed")
+    assert(maintained.exists(_._1 == 3L), "batch-only key must appear")
+  }
 }
