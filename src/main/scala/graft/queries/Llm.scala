@@ -1018,6 +1018,117 @@ object Llm {
                   FROM sdf)
             SELECT qid, rn, vid, simr FROM r WHERE rn <= 10 ORDER BY qid, rn"""))
 
+  // NPROBE RECALL/COST SWEEP (l3_nprobe_sweep): the index-tuning
+  // table every IVF deployment reads before picking its operating
+  // point — for nprobe ∈ {1, 2, 4, 8}, per query: candidate volume
+  // (the COST — candidates scale ~nprobe/nlist of the corpus) and
+  // recall@10 vs the brute-force cosine reference. The centroid
+  // distance table and the assignment are computed ONCE and cached;
+  // each sweep point is a rank-prefix filter over the same table plus
+  // the probed-list re-rank — so the sweep costs one assignment plus
+  // four candidate-bounded re-ranks, not four index builds. The
+  // np = 4 rows reproduce l3_ann_ivf's recall exactly (same
+  // algorithm, same rounding contract). All counts exact; recall is
+  // one n/10 division rounded 6 (the l3_ann_recall convention).
+  private lazy val l3sweep = QueryDef(
+    "l3_nprobe_sweep",
+    (s, dir) => {
+      val scope = graft.ops.CacheScope.sessionOwned
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("cid"), col("embedding").as("qe"))
+      def cos(df: DataFrame): DataFrame =
+        df.withColumn("sim", cosSim(col("qe"), col("ve")))
+      val wAssign = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
+      val cd = scope.cached(
+        cos(e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+            .crossJoin(broadcast(cents)))
+          .withColumn("simr", round(col("sim"), 6))
+          .select("vid", "cid", "simr"))
+      val assign = scope.cached(cd
+        .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+        .select("vid", "cid"))
+      val qcd = cd.filter(col("vid").isin(0, 1, 2))
+        .withColumn("rn", row_number().over(wAssign))
+      val qvec = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val ref = scope.cached(l3.run(s, dir).select(col("qid"), col("vid")))
+      val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+      Seq(1, 2, 4, 8).map { np =>
+        val probes = qcd.filter(col("rn") <= np)
+          .select(col("vid").as("qid"), col("cid"))
+        val cand = probes.join(assign, "cid")
+          .filter(col("vid") =!= col("qid"))
+          .select("qid", "vid").distinct()
+        val ncand = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+        val top = cos(cand.join(qvec, "qid")
+            .join(e.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid"))
+          .select(col("qid"), col("vid"), round(col("sim"), 6).as("simr"))
+          .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 10)
+        val hits = ref.join(top.select("qid", "vid"), Seq("qid", "vid"), "semi")
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        ref.select("qid").distinct()
+          .join(ncand, Seq("qid"), "left").join(hits, Seq("qid"), "left")
+          .select(lit(np).as("nprobe"), col("qid"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            round(coalesce(col("n_hit"), lit(0L)) / 10.0, 6).as("recall"))
+      }.reduce(_ union _).orderBy("nprobe", "qid")
+    },
+    Some {
+      val perNp = Seq(1, 2, 4, 8).map { np =>
+        s"""p$np AS (SELECT vid AS qid, cid FROM qcd WHERE rn <= $np),
+           |c$np AS (SELECT DISTINCT p.qid, a.vid
+           |         FROM p$np p JOIN assign a ON a.cid = p.cid
+           |         WHERE a.vid != p.qid),
+           |nc$np AS (SELECT qid, count(*) AS n_cand FROM c$np GROUP BY 1),
+           |dp$np AS (SELECT qid, vid, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
+           |          FROM c$np JOIN x xa ON xa.vec_id = qid
+           |          JOIN x xb ON xb.vec_id = vid AND xb.d = xa.d
+           |          GROUP BY qid, vid),
+           |r$np AS (SELECT qid, vid FROM (
+           |    SELECT dp.qid, dp.vid,
+           |           row_number() OVER (PARTITION BY dp.qid
+           |             ORDER BY round(dot / (na.nrm * nb.nrm), 6) DESC, dp.vid) AS rn
+           |    FROM dp$np dp JOIN n na ON na.vec_id = dp.qid
+           |    JOIN n nb ON nb.vec_id = dp.vid) WHERE rn <= 10),
+           |h$np AS (SELECT r0.qid, count(*) AS n FROM knn r0
+           |         JOIN r$np s0 ON s0.qid = r0.qid AND s0.vid = r0.vid
+           |         GROUP BY 1),
+           |o$np AS (SELECT $np AS nprobe, q0.qid,
+           |           CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+           |           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit,
+           |           round(coalesce(h.n, 0) / 10.0, 6) AS recall
+           |         FROM (SELECT DISTINCT qid FROM knn) q0
+           |         LEFT JOIN nc$np nc ON nc.qid = q0.qid
+           |         LEFT JOIN h$np h ON h.qid = q0.qid)""".stripMargin
+      }.mkString(",\n")
+      val unions = Seq(1, 2, 4, 8)
+        .map(np => s"SELECT * FROM o$np").mkString("\nUNION ALL ")
+      s"""WITH knn AS (SELECT qid, vid FROM (${l3.oracle.get})),
+         |x AS (SELECT vec_id, unnest(embedding) AS e,
+         |       generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+         |n AS (SELECT vec_id,
+         |       sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
+         |     FROM x GROUP BY vec_id),
+         |cd AS (SELECT xv.vec_id AS vid, xc.vec_id AS cid,
+         |       round(SUM(CAST(xv.e AS DOUBLE) * CAST(xc.e AS DOUBLE))
+         |             / (nv.nrm * nc.nrm), 6) AS simr
+         |     FROM x xv JOIN x xc ON xc.d = xv.d AND xc.vec_id < 32
+         |     JOIN n nv ON nv.vec_id = xv.vec_id
+         |     JOIN n nc ON nc.vec_id = xc.vec_id
+         |     GROUP BY xv.vec_id, xc.vec_id, nv.nrm, nc.nrm),
+         |assign AS (SELECT vid, cid FROM (
+         |     SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
+         |     FROM cd) WHERE rn = 1),
+         |qcd AS (SELECT vid, cid,
+         |     row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
+         |     FROM cd WHERE vid IN (0, 1, 2)),
+         |$perNp
+         |$unions
+         |ORDER BY nprobe, qid""".stripMargin
+    })
+
   // Symmetric int8 quantization of the embedding column — the storage
   // side of similarity search at scale (a 100 TB vector corpus ships
   // its ANN index quantized; 4x smaller + SIMD-friendly dot products).
@@ -3801,7 +3912,7 @@ object Llm {
             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    l1, l2, l2contain, l2clusters, l2incrClusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3recall, l3ivf, l3ivfKmeans, l3quant,
+    l1, l2, l2contain, l2clusters, l2incrClusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3recall, l3sweep, l3ivf, l3ivfKmeans, l3quant,
     l3semdedup, l3pq, l3pqTrained, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4kn, l4fp, l4winnow,
     l4entropy, l5, l5media,
     l6clean, l6pack, l6funnel,
