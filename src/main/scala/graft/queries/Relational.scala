@@ -2699,6 +2699,41 @@ object Relational {
             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // EVENT TRANSITION MATRIX (q89): the user-journey Markov chain —
+  // per user, events in (ts, event_id) total order yield (current,
+  // next) type pairs via ONE lead window; the matrix aggregates pair
+  // counts and conditions on the current type: P(next|cur) =
+  // cnt/row_total. The matrix is |types|²-sized however long the log
+  // grows; one user-keyed window exchange + one partial-aggregatable
+  // count + a broadcast-sized row-total join. Counts exact; the
+  // probability is one IEEE division rounded 6.
+  private val q89 = QueryDef(
+    "q89_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = pairs.groupBy("cur").agg(sum("cnt").as("tot"))
+      pairs.join(broadcast(totals), "cur")
+        .select(col("cur"), col("nxt"), col("cnt"),
+          round(col("cnt") / col("tot"), 6).as("p"))
+        .orderBy("cur", "nxt")
+    },
+    Some("""WITH s AS (SELECT user_id, event_type,
+            |    lead(event_type) OVER (PARTITION BY user_id
+            |                           ORDER BY ts, event_id) AS nxt
+            |  FROM events),
+            |m AS (SELECT event_type AS cur, nxt, count(*) AS cnt
+            |      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+            |tt AS (SELECT cur, CAST(sum(cnt) AS BIGINT) AS tot FROM m GROUP BY 1)
+            |SELECT m.cur, m.nxt, m.cnt, round(m.cnt / tt.tot, 6) AS p
+            |FROM m JOIN tt ON tt.cur = m.cur
+            |ORDER BY m.cur, nxt""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -2707,5 +2742,5 @@ object Relational {
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
-    q71, q74, q75, q76, q78, q82, q83, q84, q88)
+    q71, q74, q75, q76, q78, q82, q83, q84, q88, q89)
 }
