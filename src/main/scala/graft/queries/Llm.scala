@@ -246,6 +246,77 @@ object Llm {
             |       round(abs(j - n_match / 64.0), 6) AS abs_err
             |FROM m ORDER BY d1, d2""".stripMargin))
 
+  // LSH BAND-WIDTH SWEEP (l2_lsh_sweep): the banding-parameter twin
+  // of l3_nprobe_sweep — for band ROW width r ∈ {2, 4, 8} (so 32/16/8
+  // bands over the 64-perm signature), the candidate volume and the
+  // precision/recall of raw banding against the EXACT Jaccard >= 0.8
+  // pair set. The S-curve in numbers: a pair at Jaccard J collides in
+  // some band with prob 1 − (1 − J^r)^(64/r) — narrow bands (r = 2)
+  // catch everything but drown in merely-similar collisions, wide
+  // bands (r = 8) are precise but leak true pairs. The signature
+  // table is computed ONCE (the native kernels, doc-count-sized,
+  // cached); each sweep point re-bands the same signatures and
+  // self-joins the buckets. No length prefilter here — the sweep
+  // measures the RAW banding tradeoff the production filter then
+  // tightens. Counts exact; two ratio divisions round 6.
+  private lazy val l2sweep = QueryDef(
+    "l2_lsh_sweep",
+    (s, dir) => {
+      val doc = cached(t(s, dir, "documents").select(col("doc_id"),
+          graft.functions.ShingleExprs.shingle_sha60(col("text")).as("arr"))
+        .withColumn("sig", graft.functions.MinHashExprs.minhash_sig(col("arr"))))
+      val truth = cached(jaccardPairs(s, dir).select(col("d1"), col("d2")))
+      Seq(2, 4, 8).map { r =>
+        val bands = (0 until NPERM / r).map(bd => struct(
+          lit(bd).as("band"),
+          concat_ws(",", (0 until r).map(i => col("sig")(bd * r + i)): _*).as("bsig")))
+        val buckets = doc.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+        val cand = buckets.as("x").join(buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+        cand.agg(count(lit(1)).as("n_cand"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+          .crossJoin(cand.join(truth, Seq("d1", "d2"), "semi")
+            .agg(count(lit(1)).as("true_found")))
+          .select(lit(r).as("r"), lit(NPERM / r).as("n_bands"),
+            col("n_cand"), col("n_true"), col("true_found"),
+            when(col("n_cand") > 0,
+              round(col("true_found") / col("n_cand"), 6))
+              .otherwise(lit(0.0)).as("precision"),
+            round(col("true_found") / col("n_true"), 6).as("recall"))
+      }.reduce(_ union _).orderBy("r")
+    },
+    Some {
+      val perR = Seq(2, 4, 8).map { r =>
+        s"""bk$r AS (SELECT doc_id, k // $r AS band,
+           |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS bsig
+           |  FROM sg GROUP BY doc_id, k // $r),
+           |cd$r AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bk$r x JOIN bk$r y
+           |  ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+           |o$r AS (SELECT $r AS r, ${64 / r} AS n_bands,
+           |    (SELECT count(*) FROM cd$r) AS n_cand,
+           |    (SELECT count(*) FROM pairs) AS n_true,
+           |    (SELECT count(*) FROM cd$r c JOIN pairs p
+           |     ON p.d1 = c.d1 AND p.d2 = c.d2) AS true_found)""".stripMargin
+      }.mkString(",\n")
+      val unions = Seq(2, 4, 8).map(r => s"SELECT * FROM o$r").mkString("\nUNION ALL ")
+      s"""WITH $jaccardPairsCte,
+         |perm AS (SELECT k, (1103515245 * k + 12345) % 1000000007 AS a,
+         |                (69069 * k + 1) % 1000000007 AS b
+         |         FROM (SELECT unnest(range(0, 64)) AS k)),
+         |sg AS (SELECT doc_id, k, MIN(((h % 1000000007) * a + b) % 1000000007) AS mh
+         |       FROM sh2, perm GROUP BY doc_id, k),
+         |$perR,
+         |u AS ($unions)
+         |SELECT r, n_bands, n_cand, n_true, true_found,
+         |  CASE WHEN n_cand > 0 THEN round(true_found / n_cand, 6) ELSE 0.0 END AS precision,
+         |  round(true_found / n_true, 6) AS recall
+         |FROM u ORDER BY r""".stripMargin
+    })
+
   // Duplicate-cluster assignment: connected components over the exact
   // near-dup pair graph — the step between pair listing and keeper
   // selection (A~B, B~C must put A, B, C in ONE cluster even though
@@ -3912,7 +3983,7 @@ object Llm {
             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    l1, l2, l2contain, l2clusters, l2incrClusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3recall, l3sweep, l3ivf, l3ivfKmeans, l3quant,
+    l1, l2, l2contain, l2sweep, l2clusters, l2incrClusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3recall, l3sweep, l3ivf, l3ivfKmeans, l3quant,
     l3semdedup, l3pq, l3pqTrained, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4kn, l4fp, l4winnow,
     l4entropy, l5, l5media,
     l6clean, l6pack, l6funnel,
