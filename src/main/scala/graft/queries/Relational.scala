@@ -2734,6 +2734,115 @@ object Relational {
             |FROM m JOIN tt ON tt.cur = m.cur
             |ORDER BY m.cur, nxt""".stripMargin))
 
+  // TPC-H Q8 — NATIONAL MARKET SHARE (q90): of the STANDARD-part
+  // revenue sold to EUROPE-region customers in 1995–1996, what share
+  // came from NATION_3 suppliers, by order year? The conditional-
+  // share aggregate the suite lacks: numerator and denominator are
+  // BOTH DECIMAL-exact sums over the same joined rows (the CASE picks
+  // rows into the numerator), so the share is one division of exact
+  // values, round 6. Plan: p_type filter pushed to the part scan
+  // (broadcast dim), region→nation→customer pre-filters the customer
+  // chain to one region before the fact, supplier nation attaches as
+  // a broadcast, order-date window on the orders scan.
+  private val q90 = QueryDef(
+    "q90_tpch_q8",
+    (s, dir) => {
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val eurNations = nat.join(broadcast(reg),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cus = t(s, dir, "customer").join(broadcast(eurNations),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate").between(
+          lit("1995-01-01").cast("timestamp_ntz"),
+          lit("1996-12-31").cast("timestamp_ntz")))
+        .join(cus, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      val sup = t(s, dir, "supplier").join(
+          broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val prt = t(s, dir, "part").filter(col("p_type") === "STANDARD")
+        .select("p_partkey")
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(dsum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0.0))).as("nation_rev"),
+          dsum(vol).as("total_rev"))
+        .select(col("o_year"),
+          round(col("nation_rev") / col("total_rev"), 6).as("mkt_share"),
+          col("nation_rev"), col("total_rev"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+            |  round(CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+            |        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+            |        AS DECIMAL(18,6))) AS DOUBLE)
+            |      / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            |        AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share,
+            |  CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+            |        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+            |        AS DECIMAL(18,6))) AS DOUBLE) AS nation_rev,
+            |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            |        AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+            |FROM lineitem
+            |JOIN part ON p_partkey = l_partkey AND p_type = 'STANDARD'
+            |JOIN supplier ON s_suppkey = l_suppkey
+            |JOIN nation n2 ON n2.n_nationkey = s_nationkey
+            |JOIN orders ON o_orderkey = l_orderkey
+            |JOIN customer ON c_custkey = o_custkey
+            |JOIN nation n1 ON n1.n_nationkey = c_nationkey
+            |JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'EUROPE'
+            |WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+            |                      AND TIMESTAMP '1996-12-31'
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // TPC-H Q14 — PROMO REVENUE SHARE (q91): the one-row KPI — the
+  // percentage of one month's revenue from PROMO-type parts. Same
+  // conditional-share exactness as q90 (both sums DECIMAL-exact over
+  // identical rows, one division, round 6, scaled ×100 the TPC-H
+  // way); the month window rides the lineitem scan, the part dim
+  // broadcasts.
+  private val q91 = QueryDef(
+    "q91_tpch_q14",
+    (s, dir) => {
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(dsum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0)))
+            .as("promo_rev"),
+          dsum(vol).as("total_rev"))
+        .select(
+          round(lit(100.0) * col("promo_rev") / col("total_rev"), 6)
+            .as("promo_share"),
+          col("promo_rev"), col("total_rev"))
+    },
+    Some("""SELECT
+            |  round(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+            |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+            |      AS DECIMAL(18,6))) AS DOUBLE)
+            |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            |      AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_share,
+            |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+            |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+            |      AS DECIMAL(18,6))) AS DOUBLE) AS promo_rev,
+            |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            |      AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+            |FROM lineitem JOIN part ON p_partkey = l_partkey
+            |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+            |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -2742,5 +2851,5 @@ object Relational {
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
-    q71, q74, q75, q76, q78, q82, q83, q84, q88, q89)
+    q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91)
 }
