@@ -207,6 +207,38 @@ object Stress {
       println(f"""{"stress":"graph_linkpredict","base_edges":100000,"base":$lpBase%.3f,"scaled_edges":${100000 * factor},"scaled":$lpScaled%.3f,"ratio":${lpScaled / lpBase}%.1f}""")
     }
 
+    // BETWEENNESS with a FIXED seed count: state is (seeds × reached)
+    // and each round's work is frontier-/level-sized joins against the
+    // edge table — at fixed seeds the per-round joins scale with the
+    // edge table, so the ratio should track the edge ratio, not the
+    // state product. Same chord-graph generator (no star hub: σ path
+    // counts through a hub multiply, which is the 2^52 guard's job,
+    // not the scale test's).
+    def timeBetweenness(nEdges: Int): Double = {
+      val nodes = nEdges / 2L
+      val chords = spark.range(nEdges.toLong)
+        .selectExpr(s"1 + (id * 6364136223) % $nodes as a",
+          s"1 + (id * 2654435761) % $nodes as b")
+        .selectExpr("least(a, b) as src", "greatest(a, b) as dst")
+        .filter("src < dst").distinct()
+      val edges = graft.ops.GraphOps.undirect(chords)
+      val seeds = spark.range(1, 9).selectExpr("id as node")
+      val t0 = System.nanoTime()
+      graft.ops.GraphOps.betweenness(edges, seeds, maxHops = 3)(
+        graft.ops.CacheScope.sessionOwned)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      dt
+    }
+    if (only.isEmpty || only("graph_betweenness")) {
+      timeBetweenness(100000) // warm-up
+      val bBase = timeBetweenness(100000)
+      val bScaled = timeBetweenness(100000 * factor)
+      println(f"""{"stress":"graph_betweenness","base_edges":100000,"base":$bBase%.3f,"scaled_edges":${100000 * factor},"scaled":$bScaled%.3f,"ratio":${bScaled / bBase}%.1f}""")
+    }
+
     // INCREMENTAL CLUSTER ASSIGNMENT: the batch-sized-work claim. The
     // stored cluster table grows factor× (persisted to parquet first —
     // assignment must not re-pay the corpus propagation), the ingest

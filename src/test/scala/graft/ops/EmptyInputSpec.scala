@@ -26,9 +26,29 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(GraphOps.hits(noEdges).isEmpty)
     assert(GraphOps.labelPropagation(noEdges).isEmpty)
     assert(GraphOps.adamicAdar(noEdges).isEmpty)
+    assert(GraphOps.linkPredict(noEdges).isEmpty)
     assert(GraphOps.hopDistance(noEdges, Seq(Tuple1(1L)).toDF("node")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)),
       "seeds with no edges keep their distance-0 row")
+    // betweenness on edgeless seeds: only the seed rows exist, and
+    // the v != seed filter removes them -> empty score table
+    assert(GraphOps.betweenness(noEdges, Seq(Tuple1(1L)).toDF("node")).isEmpty)
+  }
+
+  test("betweenness with an empty seed set scores nothing") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    assert(GraphOps.betweenness(edges, Seq.empty[Tuple1[Long]].toDF("node")).isEmpty)
+  }
+
+  test("maintainAgg degenerate sides: empty delta keeps the view; empty view adopts the delta") {
+    val mv = Seq((1L, 2L, 10L)).toDF("k", "cnt", "s")
+    val none = Seq.empty[(Long, Long, Long)].toDF("k", "cnt", "s")
+    val kept = TableOps.maintainAgg(mv, none, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kept == Set((1L, 2L, 10L)))
+    val adopted = TableOps.maintainAgg(none, mv, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(adopted == Set((1L, 2L, 10L)))
   }
 
   test("hopDistance with an empty source set explores nothing") {
