@@ -2843,6 +2843,54 @@ object Relational {
             |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
             |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin))
 
+  // JOIN-KEY SKEW PROFILE (q92): the scale-planning companion to
+  // q33's salted aggregation — before shuffling 100 TB on a key, read
+  // its skew. Per candidate join key (partkey / suppkey / orderkey):
+  // row and distinct-key counts, the hottest key's frequency, the
+  // top-1 and top-10 row shares, and the skew ratio max_freq /
+  // (n_rows / n_keys) — the multiple of a perfectly uniform
+  // partition the hottest key receives (>> 1 ⇒ salt or let AQE split
+  // it). Each key costs one partial-aggregatable frequency count,
+  // one 1-row stats aggregate, and a top-10 (TakeOrderedAndProject,
+  // ties broken on the key) re-aggregated to one row — all exact
+  // integers; the three shares are rounded divisions.
+  private val q92 = QueryDef(
+    "q92_skew_profile",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def profile(c: String): DataFrame = {
+        val freq = li.groupBy(col(c).as("k")).agg(count(lit(1)).as("f"))
+        val st = freq.agg(count(lit(1)).as("n_keys"), max("f").as("max_freq"),
+          sum("f").as("n_rows"))
+        val top10 = freq.orderBy(desc("f"), asc("k")).limit(10)
+          .agg(sum("f").as("top10_rows"))
+        st.crossJoin(top10)
+          .select(lit(c).as("key_col"), col("n_rows"), col("n_keys"),
+            col("max_freq"),
+            round(col("max_freq") / col("n_rows"), 6).as("top1_share"),
+            round(col("top10_rows") / col("n_rows"), 6).as("top10_share"),
+            round(col("max_freq") * col("n_keys") / col("n_rows"), 6)
+              .as("skew_ratio"))
+      }
+      Seq("l_partkey", "l_suppkey", "l_orderkey").map(profile)
+        .reduce(_ union _).orderBy("key_col")
+    },
+    Some {
+      val blocks = Seq("l_partkey", "l_suppkey", "l_orderkey").map { c =>
+        s"""(SELECT '$c' AS key_col, n_rows, n_keys, max_freq,
+           |   round(max_freq / n_rows, 6) AS top1_share,
+           |   round(top10_rows / n_rows, 6) AS top10_share,
+           |   round(max_freq * n_keys / n_rows, 6) AS skew_ratio
+           | FROM (SELECT count(*) AS n_keys, max(f) AS max_freq,
+           |              CAST(sum(f) AS BIGINT) AS n_rows
+           |       FROM (SELECT $c AS k, count(*) AS f FROM lineitem GROUP BY 1)),
+           |      (SELECT CAST(sum(f) AS BIGINT) AS top10_rows FROM
+           |       (SELECT f FROM (SELECT $c AS k, count(*) AS f FROM lineitem GROUP BY 1)
+           |        ORDER BY f DESC, k LIMIT 10)))""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""SELECT * FROM ($blocks) ORDER BY key_col""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -2851,5 +2899,5 @@ object Relational {
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
-    q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91)
+    q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92)
 }
