@@ -754,26 +754,7 @@ object GraphOps {
                   scale: Int = 9, reliable: Boolean = false)
                  (implicit scope: CacheScope): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1 (got $maxHops)")
-    val (rs, e) = roundSetup(edges.select(col("src"), col("dst")), reliable)
-    // state = union of the per-level frontier CHECKPOINTS (all leaves,
-    // so the union is lineage-free) — only the new level itself needs
-    // a cut each round, halving the per-round materializations
-    var frontier = scope.checkpointed(
-      intoSession(rs, sources.select(col("node")).distinct())
-        .select(col("node").as("seed"), col("node"),
-          lit(0L).as("dist"), lit(1L).as("sigma")), reliable)
-    var levels = Vector(frontier)
-    for (h <- 1 to maxHops) {
-      val state = levels.reduce(_ union _)
-      val nxt = e.join(frontier, e("src") === frontier("node"))
-        .select(col("seed"), col("dst"), col("sigma"))
-        .groupBy("seed", "dst").agg(sum("sigma").as("sigma"))
-        .select(col("seed"), col("dst").as("node"),
-          lit(h.toLong).as("dist"), col("sigma"))
-        .join(state, Seq("seed", "node"), "left_anti")
-      frontier = scope.checkpointed(nxt, reliable)
-      levels = levels :+ frontier
-    }
+    val (e, levels) = seededBfs(edges, sources, maxHops, reliable)
     val maxExact = math.pow(2, 52)
     var prev = scope.checkpointed(
       levels(maxHops)
@@ -806,6 +787,57 @@ object GraphOps {
     }
     acc.filter(col("node") =!= col("seed"))
       .groupBy("node").agg(sum("delta").as("bc"))
+  }
+
+  /** PER-SEED labeled BFS (the [[betweenness]] forward pass): level
+    * tables of (seed, node, dist, sigma) where σ counts shortest
+    * paths — exact longs. State = union of the per-level frontier
+    * CHECKPOINTS (all leaves, so the union is lineage-free) — only
+    * the new level itself needs a cut each round. Returns the round
+    * session's edge table and levels(0..maxHops). */
+  private def seededBfs(edges: DataFrame, sources: DataFrame, maxHops: Int,
+                        reliable: Boolean)
+                       (implicit scope: CacheScope): (DataFrame, Vector[DataFrame]) = {
+    val (rs, e) = roundSetup(edges.select(col("src"), col("dst")), reliable)
+    var frontier = scope.checkpointed(
+      intoSession(rs, sources.select(col("node")).distinct())
+        .select(col("node").as("seed"), col("node"),
+          lit(0L).as("dist"), lit(1L).as("sigma")), reliable)
+    var levels = Vector(frontier)
+    for (h <- 1 to maxHops) {
+      val state = levels.reduce(_ union _)
+      val nxt = e.join(frontier, e("src") === frontier("node"))
+        .select(col("seed"), col("dst"), col("sigma"))
+        .groupBy("seed", "dst").agg(sum("sigma").as("sigma"))
+        .select(col("seed"), col("dst").as("node"),
+          lit(h.toLong).as("dist"), col("sigma"))
+        .join(state, Seq("seed", "node"), "left_anti")
+      frontier = scope.checkpointed(nxt, reliable)
+      levels = levels :+ frontier
+    }
+    (e, levels)
+  }
+
+  /** HARMONIC centrality from a seed sample (Boldi & Vigna 2014's
+    * preferred closeness variant — sums reciprocals, so disconnected
+    * pairs contribute 0 instead of poisoning the mean): H(v) =
+    * Σ_{s ∈ seeds, d(s,v) >= 1} 1/d(s,v), explored to `maxHops` —
+    * the same bounded k-source estimator discipline as
+    * [[betweenness]], sharing its forward BFS. Distances are exact
+    * longs; each 1/d term is one correctly-rounded IEEE division and
+    * only the ≤|seeds|-term sum order drifts (~1e-16) — a caller
+    * round(6) pins it (the bc convention). Returns (node, n_reached,
+    * harmonic) for nodes reached by >= 1 seed at distance >= 1. */
+  def harmonicCentrality(edges: DataFrame, sources: DataFrame, maxHops: Int = 3,
+                         reliable: Boolean = false)
+                        (implicit scope: CacheScope): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1 (got $maxHops)")
+    val (_, levels) = seededBfs(edges, sources, maxHops, reliable)
+    levels.reduce(_ union _)
+      .filter(col("dist") >= 1)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(lit(1.0) / col("dist").cast("double")).as("harmonic"))
   }
 
   /** LOUVAIN local-move community detection (Blondel et al. 2008,

@@ -1068,6 +1068,56 @@ object Graph {
          |ORDER BY walk, step""".stripMargin
     })
 
+  // HARMONIC CENTRALITY (q93): the centrality family's third member —
+  // H(v) = Σ 1/d(s,v) from the same 10 seeds and 3-hop horizon as
+  // q85's betweenness (Boldi & Vigna's closeness variant: reciprocals
+  // make disconnected pairs contribute 0 instead of poisoning a
+  // mean). GraphOps.harmonicCentrality shares betweenness' per-seed
+  // forward BFS; distances are exact longs, each 1/d one IEEE
+  // division, and the ≤10-term sum's order drift dies at round(6).
+  // The oracle replays the identical forward levels.
+  private val q93 = QueryDef(
+    "q93_harmonic",
+    (s, dir) => {
+      val pe = graft.ops.CacheScope.sessionOwned
+        .checkpointed(coEdges(s, dir), reliable = false)
+      val edges = pe.union(pe.select(col("p2").as("p1"), col("p1").as("p2")))
+        .toDF("src", "dst")
+      val seeds = edges.select(col("src").as("node"))
+        .distinct().orderBy("node").limit(10)
+      graft.ops.GraphOps.harmonicCentrality(edges, seeds, maxHops = 3)
+        .select(col("node").as("part"), col("n_reached"),
+          round(col("harmonic"), 6).as("harmonic"))
+        .orderBy("part")
+    },
+    Some(s"""WITH $coEdgesCte,
+            |e AS (SELECT p1 AS src, p2 AS dst FROM pe
+            |      UNION ALL SELECT p2, p1 FROM pe),
+            |sd AS (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 10),
+            |st0 AS (SELECT node AS seed, node, 0 AS dist, 1::BIGINT AS sigma FROM sd),
+            |c1 AS (SELECT f.seed, e.dst AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+            |       FROM e JOIN st0 f ON e.src = f.node GROUP BY 1, 2),
+            |n1 AS (SELECT seed, node, 1 AS dist, sigma FROM c1
+            |       WHERE NOT EXISTS (SELECT 1 FROM st0 x
+            |                         WHERE x.seed = c1.seed AND x.node = c1.node)),
+            |st1 AS MATERIALIZED (SELECT * FROM st0 UNION ALL SELECT * FROM n1),
+            |c2 AS (SELECT f.seed, e.dst AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+            |       FROM e JOIN st1 f ON e.src = f.node WHERE f.dist = 1 GROUP BY 1, 2),
+            |n2 AS (SELECT seed, node, 2 AS dist, sigma FROM c2
+            |       WHERE NOT EXISTS (SELECT 1 FROM st1 x
+            |                         WHERE x.seed = c2.seed AND x.node = c2.node)),
+            |st2 AS MATERIALIZED (SELECT * FROM st1 UNION ALL SELECT * FROM n2),
+            |c3 AS (SELECT f.seed, e.dst AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+            |       FROM e JOIN st2 f ON e.src = f.node WHERE f.dist = 2 GROUP BY 1, 2),
+            |n3 AS (SELECT seed, node, 3 AS dist, sigma FROM c3
+            |       WHERE NOT EXISTS (SELECT 1 FROM st2 x
+            |                         WHERE x.seed = c3.seed AND x.node = c3.node)),
+            |st3 AS (SELECT * FROM st2 UNION ALL SELECT * FROM n3)
+            |SELECT node AS part, count(*) AS n_reached,
+            |       round(SUM(CAST(1.0 AS DOUBLE) / dist), 6) AS harmonic
+            |FROM st3 WHERE dist >= 1
+            |GROUP BY node ORDER BY part""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66, q69, q70,
-    q72, q73, q77, q79, q80, q81, q85, q86, q87)
+    q72, q73, q77, q79, q80, q81, q85, q86, q87, q93)
 }

@@ -381,6 +381,21 @@ class GraphOpsSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("harmonicCentrality sums reciprocal distances from each seed") {
+    // path 1-2-3-4-5, seeds {1, 5}, maxHops 4: H(2) = 1/1 + 1/3,
+    // H(3) = 1/2 + 1/2, H(4) = 1/3 + 1, endpoints see only the far
+    // seed at distance 4
+    val edges = GraphOps.undirect(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst"))
+    val got = GraphOps.harmonicCentrality(edges, Seq(1L, 5L).toDF("node"),
+        maxHops = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1),
+        math.round(r.getDouble(2) * 1e6) / 1e6))).toMap
+    assert(got == Map(
+      1L -> ((1L, 0.25)), 2L -> ((2L, 1.333333)), 3L -> ((2L, 1.0)),
+      4L -> ((2L, 1.333333)), 5L -> ((1L, 0.25))), s"got $got")
+  }
+
   test("betweenness splits dependency across equal-count shortest paths") {
     // diamond 1-2-4, 1-3-4: sigma(4) = 2, so nodes 2 and 3 each carry
     // half of 4's dependency: δ(2) = δ(3) = (1/2)·(1+0) = 0.5
