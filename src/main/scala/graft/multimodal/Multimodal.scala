@@ -258,6 +258,9 @@ object Multimodal {
         val sz = ((payload(6) & 0x7F) << 21) | ((payload(7) & 0x7F) << 14) |
           ((payload(8) & 0x7F) << 7) | (payload(9) & 0x7F)
         i = 10 + sz
+        // ID3v2.4 footer flag (header byte 5 bit 4): a 10-byte '3DI'
+        // footer trails the tag and is NOT counted in the syncsafe size
+        if ((payload(5) & 0x10) != 0) i += 10
       }
       require(payload.length - i >= 4, "not an MP3 payload (no room for a frame header)")
       var rate = -1; var channels = -1; var frames = 0
@@ -329,7 +332,8 @@ object Multimodal {
       var first = true
       while (bb.remaining >= 12) {
         val len = bb.getInt
-        require(len >= 0 && bb.remaining >= len + 8,
+        // overflow-safe bound: len + 8 wraps negative near Int.MaxValue
+        require(len >= 0 && len <= bb.remaining - 8,
           s"truncated PNG chunk at offset ${bb.position() - 4}")
         val typ = new Array[Byte](4); bb.get(typ)
         val typeStr = new String(typ, "US-ASCII")

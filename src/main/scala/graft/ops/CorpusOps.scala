@@ -662,10 +662,24 @@ object CorpusOps {
     * `dupClusters(allPairs)` exactly. Output: the new full cluster
     * table (cluster_id, doc_id, cluster_size) over corpus ∪ batch.
     * Batch docs in no pair are absent, the [[dupClusters]] contract
-    * (run [[incrementalDedup]] for per-doc keep verdicts as usual). */
+    * (run [[incrementalDedup]] for per-doc keep verdicts as usual).
+    *
+    * CAVEAT on the exactness pin: the delta propagation is
+    * rounds-BOUNDED (default 3 -> diameter cover 2^5 = 32, see
+    * [[dupClusters]]); a dup CHAIN in the delta graph longer than the
+    * cover would silently fragment a merged component. The delta graph
+    * is batch-sized, so pipeline callers should pass
+    * `converged = true`: the delta then propagates with
+    * [[dupClustersConverged]] (fixpoint + WARN-on-exhaustion, cheap at
+    * batch scale — its per-round existence checks run over the delta,
+    * never the corpus). The oracle-gated query keeps fixed rounds
+    * because query construction must stay action-free
+    * (PlanContractSpec); `rounds` is the fixed-round count OR the
+    * converged variant's maxRounds. */
   def incrementalClusters(clusters: DataFrame, batchPairs: DataFrame,
                           crossPairs: DataFrame, rounds: Int = 3,
-                          reliable: Boolean = false)
+                          reliable: Boolean = false,
+                          converged: Boolean = false)
                          (implicit scope: CacheScope): DataFrame = {
     // the stored table feeds three consumers (rep contraction, member
     // remap, touched-size count) — at scale it is a PERSISTED table a
@@ -679,9 +693,10 @@ object CorpusOps {
     // CACHED, not checkpointed: the delta table is read by four
     // downstream consumers (rep split ×2, direct rows, sizes) and is
     // pair-delta-sized; dupClusters already lineage-cut its rounds
+    val deltaPairs = batchPairs.select(col("d1"), col("d2")).union(cx)
     val delta = scope.cached(
-      dupClusters(batchPairs.select(col("d1"), col("d2")).union(cx),
-        rounds, reliable)
+      (if (converged) dupClustersConverged(deltaPairs, math.max(rounds, 10), reliable)
+       else dupClusters(deltaPairs, rounds, reliable))
         .select(col("cluster_id").as("new_id"), col("doc_id").as("node")))
     // delta nodes that are stored representatives expand to their
     // members; every other node (batch doc, corpus singleton rep) IS

@@ -338,7 +338,7 @@ object Graph {
     },
     Some(s"""WITH $coEdgesCte,
             |prm AS (SELECT GREATEST(64, (SELECT MIN(1::BIGINT << b)
-            |        FROM (SELECT unnest(range(0, 31)) AS b)
+            |        FROM (SELECT unnest(range(0, 32)) AS b)
             |        WHERE (1::BIGINT << b) * (1::BIGINT << b) >=
             |              2 * (SELECT count(*) FROM pe))) AS cap),
             |e2 AS (SELECT p1 AS src, p2 AS dst FROM pe
@@ -825,7 +825,7 @@ object Graph {
     },
     Some(s"""WITH $coEdgesCte,
             |prm AS (SELECT GREATEST(64, (SELECT MIN(1::BIGINT << b)
-            |        FROM (SELECT unnest(range(0, 31)) AS b)
+            |        FROM (SELECT unnest(range(0, 32)) AS b)
             |        WHERE (1::BIGINT << b) * (1::BIGINT << b) >=
             |              2 * (SELECT count(*) FROM pe))) AS cap),
             |e2 AS (SELECT p1 AS src, p2 AS dst FROM pe

@@ -2355,8 +2355,11 @@ object Llm {
         case 2 => Multimodal.MediaCodec.encodeJpeg(
           (id % 512 + 32).toInt, (id % 384 + 32).toInt, text.getBytes("UTF-8"))
         case 3 => Multimodal.MediaCodec.encodeMp3(
-          Seq(32000, 44100, 48000)((id % 3).toInt), (1 + id % 2).toInt,
-          (id % 30 + 5).toInt)
+          // rate/channel indexes derive from id/6 — id%3 and id%2 are
+          // collapsed by the %6==3 gate (id%3==0, id odd) and would
+          // leave the 44100/48000 and mono arms dead
+          Seq(32000, 44100, 48000)(((id / 6) % 3).toInt),
+          (1 + (id / 6) % 2).toInt, (id % 30 + 5).toInt)
         case 4 => Multimodal.MediaCodec.encodePng(
           (id % 300 + 20).toInt, (id % 200 + 20).toInt)
         case _ => Multimodal.MediaCodec.encodeHeader(
@@ -2395,7 +2398,7 @@ object Llm {
                         WHEN 1 THEN CAST(44 + (doc_id % 100 + 10) * (1 + doc_id % 2) * 2 AS INTEGER)
                         WHEN 2 THEN CAST(45 + octet_length(encode(text)) AS INTEGER)
                         WHEN 3 THEN CAST((doc_id % 30 + 5) *
-                             (144 * 128000 // (CASE CAST(doc_id % 3 AS INTEGER)
+                             (144 * 128000 // (CASE CAST((doc_id // 6) % 3 AS INTEGER)
                               WHEN 0 THEN 32000 WHEN 1 THEN 44100 ELSE 48000 END)) AS INTEGER)
                         WHEN 4 THEN 45
                         ELSE CAST(16 + octet_length(encode(text)) AS INTEGER) END AS n_bytes,
@@ -2403,7 +2406,7 @@ object Llm {
                         WHEN 0 THEN CAST(doc_id % 64 + 16 AS INTEGER)
                         WHEN 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS INTEGER)
                         WHEN 2 THEN CAST(doc_id % 512 + 32 AS INTEGER)
-                        WHEN 3 THEN CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 3 THEN CAST(CASE CAST((doc_id // 6) % 3 AS INTEGER)
                               WHEN 0 THEN 32000 WHEN 1 THEN 44100 ELSE 48000 END AS INTEGER)
                         WHEN 4 THEN CAST(doc_id % 300 + 20 AS INTEGER)
                         ELSE CAST(doc_id % 640 + 16 AS INTEGER) END AS width,
@@ -2411,7 +2414,7 @@ object Llm {
                         WHEN 0 THEN CAST(doc_id % 48 + 16 AS INTEGER)
                         WHEN 1 THEN CAST(1 + doc_id % 2 AS INTEGER)
                         WHEN 2 THEN CAST(doc_id % 384 + 32 AS INTEGER)
-                        WHEN 3 THEN CAST(1 + doc_id % 2 AS INTEGER)
+                        WHEN 3 THEN CAST(1 + (doc_id // 6) % 2 AS INTEGER)
                         WHEN 4 THEN CAST(doc_id % 200 + 20 AS INTEGER)
                         ELSE CAST(doc_id % 480 + 16 AS INTEGER) END AS height,
                    CASE CAST(doc_id % 6 AS INTEGER)

@@ -2851,29 +2851,42 @@ object Relational {
   // (n_rows / n_keys) — the multiple of a perfectly uniform
   // partition the hottest key receives (>> 1 ⇒ salt or let AQE split
   // it). Each key costs one partial-aggregatable frequency count,
-  // one 1-row stats aggregate, and a top-10 (TakeOrderedAndProject,
-  // ties broken on the key) re-aggregated to one row — all exact
-  // integers; the three shares are rounded divisions.
+  // one stats aggregate per key, and a per-key top-10 (window rank
+  // over the key-count-sized freq table, ties broken on the key)
+  // re-aggregated to one row — all exact integers; the three shares
+  // are rounded divisions. ONE fact scan total: the three candidate
+  // keys EXPLODE to (key_col, k) rows in a single pass (map-side
+  // combine collapses the 3n stream to distinct (key_col, k) pairs
+  // per partition before the one shuffle), and the combined frequency
+  // table — key-count-sized, not fact-sized — is CACHED for its two
+  // consumers. This is the query that runs BEFORE a 100 TB shuffle;
+  // it must not cost 6 fact passes to plan one.
   private val q92 = QueryDef(
     "q92_skew_profile",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-      def profile(c: String): DataFrame = {
-        val freq = li.groupBy(col(c).as("k")).agg(count(lit(1)).as("f"))
-        val st = freq.agg(count(lit(1)).as("n_keys"), max("f").as("max_freq"),
-          sum("f").as("n_rows"))
-        val top10 = freq.orderBy(desc("f"), asc("k")).limit(10)
-          .agg(sum("f").as("top10_rows"))
-        st.crossJoin(top10)
-          .select(lit(c).as("key_col"), col("n_rows"), col("n_keys"),
-            col("max_freq"),
-            round(col("max_freq") / col("n_rows"), 6).as("top1_share"),
-            round(col("top10_rows") / col("n_rows"), 6).as("top10_share"),
-            round(col("max_freq") * col("n_keys") / col("n_rows"), 6)
-              .as("skew_ratio"))
-      }
-      Seq("l_partkey", "l_suppkey", "l_orderkey").map(profile)
-        .reduce(_ union _).orderBy("key_col")
+      val keys = Seq("l_partkey", "l_suppkey", "l_orderkey")
+      val freq = cached(
+        li.select(explode(array(keys.map(c =>
+            struct(lit(c).as("key_col"), col(c).cast("long").as("k"))): _*))
+            .as("e"))
+          .select(col("e.key_col"), col("e.k"))
+          .groupBy("key_col", "k").agg(count(lit(1)).as("f")))
+      val st = freq.groupBy("key_col").agg(count(lit(1)).as("n_keys"),
+        max("f").as("max_freq"), sum("f").as("n_rows"))
+      val top10 = freq
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("key_col").orderBy(desc("f"), asc("k"))))
+        .filter(col("rn") <= 10)
+        .groupBy("key_col").agg(sum("f").as("top10_rows"))
+      st.join(top10, "key_col")
+        .select(col("key_col"), col("n_rows"), col("n_keys"),
+          col("max_freq"),
+          round(col("max_freq") / col("n_rows"), 6).as("top1_share"),
+          round(col("top10_rows") / col("n_rows"), 6).as("top10_share"),
+          round(col("max_freq") * col("n_keys") / col("n_rows"), 6)
+            .as("skew_ratio"))
+        .orderBy("key_col")
     },
     Some {
       val blocks = Seq("l_partkey", "l_suppkey", "l_orderkey").map { c =>

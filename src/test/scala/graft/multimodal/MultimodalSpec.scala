@@ -114,6 +114,13 @@ class MultimodalSpec extends AnyFunSuite {
     bad(16) = (bad(16) ^ 1).toByte
     val e = intercept[IllegalArgumentException](MediaCodec.decodePng(bad))
     assert(e.getMessage.contains("CRC"), s"expected a CRC failure: ${e.getMessage}")
+    // a chunk length near Int.MaxValue must fail the bound check, not
+    // overflow len+8 negative and die allocating a 2 GiB array
+    val huge = MediaCodec.encodePng(8, 8)
+    val hb = java.nio.ByteBuffer.wrap(huge)
+    hb.putInt(8, Int.MaxValue - 4) // IHDR length field -> near-max
+    val e2 = intercept[IllegalArgumentException](MediaCodec.decodePng(huge))
+    assert(e2.getMessage.contains("truncated"), s"expected truncated: ${e2.getMessage}")
   }
 
   test("JPEG codec: malformed streams fail loudly") {
@@ -155,6 +162,15 @@ class MultimodalSpec extends AnyFunSuite {
     id3(8) = 1; id3(9) = 72 // syncsafe 200 = (1 << 7) | 72
     val tagged = id3 ++ MediaCodec.encodeMp3(48000, 2, 4)
     assert(MediaCodec.decodeMp3(tagged) == ((48000, 2, 4)))
+    // ID3v2.4 footer flag (header byte 5 bit 4): the 10-byte '3DI'
+    // footer is NOT in the syncsafe size and must also be skipped
+    val foot = new Array[Byte](10 + 200 + 10)
+    foot(0) = 'I'; foot(1) = 'D'; foot(2) = '3'; foot(3) = 4
+    foot(5) = 0x10; foot(8) = 1; foot(9) = 72
+    foot(220 - 10) = '3'; foot(220 - 9) = 'D'; foot(220 - 8) = 'I'; foot(220 - 7) = 4
+    foot(220 - 5) = 0x10; foot(220 - 2) = 1; foot(220 - 1) = 72
+    val footTagged = foot ++ MediaCodec.encodeMp3(44100, 1, 2)
+    assert(MediaCodec.decodeMp3(footTagged) == ((44100, 1, 2)))
     // truncated final frame and lost sync both fail loudly
     intercept[IllegalArgumentException](
       MediaCodec.decodeMp3(bytes.take(bytes.length - 10)))

@@ -170,6 +170,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == full)
   }
 
+  test("incrementalClusters converged=true resolves a delta chain deeper than the fixed rounds") {
+    // a 40-hop dup chain arrives in ONE batch — past the fixed-round
+    // diameter cover 2^5=32, so converged propagation is required for
+    // the full-recompute pin to hold
+    val stored = CorpusOps.dupClusters(Seq((500L, 501L)).toDF("d1", "d2"))
+    val chain = (100L until 140L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    val out = CorpusOps.incrementalClusters(stored, chain, empty,
+        rounds = 2, converged = true)
+      .orderBy("cluster_id", "doc_id").as[(Long, Long, Long)].collect().toSeq
+    val full = CorpusOps.dupClusters(
+        Seq((500L, 501L)).toDF("d1", "d2").union(chain), rounds = 4)
+      .orderBy("cluster_id", "doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == full)
+    assert(out.count(_._1 == 100L) == 41, "chain must be one component")
+  }
+
   test("incrementalClusters with an empty delta returns the stored table unchanged") {
     val corpusPairs = Seq((1L, 2L), (10L, 11L)).toDF("d1", "d2")
     val stored = CorpusOps.dupClusters(corpusPairs)
