@@ -342,6 +342,35 @@ object Stress {
       val lScaled = timeLouvain(15000 * factor)
       println(f"""{"stress":"graph_louvain","base_cliques":15000,"base":$lBase%.3f,"scaled_cliques":${15000 * factor},"scaled":$lScaled%.3f,"ratio":${lScaled / lBase}%.1f}""")
     }
+    // SKEW-MITIGATED JOIN under a manufactured hot key: half the fact
+    // rows land on ONE key (the shape q92 exists to warn about), the
+    // dim is key-spaced. saltedJoinProfiled spreads the hot key over
+    // the salt buckets, so per-reducer work is bounded by
+    // ~max_freq/buckets and the measured ratio at factor× rows should
+    // track the row ratio — a single-hot-reducer join would pin one
+    // task at factor× the work and the wall clock with it.
+    def timeSkewJoin(nRows: Int): Double = {
+      val nKeys = 10000L
+      val fact = spark.range(nRows.toLong)
+        .selectExpr(s"CASE WHEN id % 2 = 0 THEN 7 ELSE 1 + (id * 2654435761) % $nKeys END as k",
+          "id as v")
+      val dim = spark.range(nKeys + 1)
+        .selectExpr("id as k", "id * 31 as d")
+      val t0 = System.nanoTime()
+      graft.ops.SkewTools.saltedJoinProfiled(fact, dim, "k", buckets = 32)(
+          graft.ops.CacheScope.sessionOwned)
+        .groupBy("k").agg(sum("v").as("sv"), sum("d").as("sd"))
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      dt
+    }
+    if (only.isEmpty || only("skew_join")) {
+      timeSkewJoin(1000000) // warm-up
+      val kBase = timeSkewJoin(1000000)
+      val kScaled = timeSkewJoin(1000000 * factor)
+      println(f"""{"stress":"skew_join","base_rows":1000000,"base":$kBase%.3f,"scaled_rows":${1000000 * factor},"scaled":$kScaled%.3f,"ratio":${kScaled / kBase}%.1f}""")
+    }
     spark.stop()
   }
 

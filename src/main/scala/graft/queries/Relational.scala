@@ -2904,6 +2904,38 @@ object Relational {
       s"""SELECT * FROM ($blocks) ORDER BY key_col""".stripMargin
     })
 
+  // SKEW-MITIGATED JOIN (q94): the remediation q92's profile calls
+  // for. lineitem joins supplier through
+  // SkewTools.saltedJoinProfiled — the top-16 hottest supp keys (by a
+  // q92-style frequency profile) are salted over 8 buckets on the
+  // fact side while their dim rows replicate 8 ways; every cold key
+  // joins once at salt 0, so the dim does NOT blow up 8×. The oracle
+  // is the PLAIN join: the whole point is bit-equality — salting must
+  // be invisible in the result. Revenue is dsum-exact (decimal
+  // accumulate, double at the end) so aggregation order can't leak
+  // the repartitioning. The aggregate AFTER the join keeps the oracle
+  // row count at 25 nations; the join itself is fixture-row-sized.
+  private val q94 = QueryDef(
+    "q94_salted_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+      val su = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.ops.SkewTools.saltedJoinProfiled(li, su, "l_suppkey",
+          buckets = 8, topK = 16)
+        .groupBy("s_nationkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("s_nationkey")
+    },
+    Some("""SELECT s_nationkey,
+           |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+           |      AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           |  count(*) AS n_items
+           |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+           |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -2912,5 +2944,5 @@ object Relational {
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
-    q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92)
+    q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94)
 }

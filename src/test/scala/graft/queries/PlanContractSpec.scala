@@ -440,6 +440,20 @@ class PlanContractSpec extends AnyFunSuite {
     } finally graft.streaming.ShardLog.remove(logName)
   }
 
+  test("q94: hot-key profile joins broadcast; fact scan pruned; profile cached once") {
+    val plan = formatted("q94_salted_join")
+    // the ≤16-row hot-key table must reach both consumers as a broadcast
+    assert(plan.contains("BroadcastHashJoin LeftOuter"),
+      s"hot-key marker join not broadcast:\n$plan")
+    // the fact scan reads exactly the 3 projected columns
+    assert(plan.contains("struct<l_suppkey:bigint,l_extendedprice:double,l_discount:double>"),
+      s"fact scan not pruned:\n$plan")
+    // the profile is CACHED: its frequency pass over the fact must not
+    // appear once per consumer (fact salt + dim expansion)
+    assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+      s"hot-key profile not cached:\n$plan")
+  }
+
   test("query construction is action-free: building every query runs no Spark job") {
     // A count()/collect() at plan-build time is a driver-side job per
     // construction — harmless at fixture scale, a scheduling stall when
