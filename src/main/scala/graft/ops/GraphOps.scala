@@ -887,13 +887,31 @@ object GraphOps {
               weightCol: Option[String] = None)
              (implicit scope: CacheScope): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val (e2, wSum, m2, lbl0) = louvainSetup(edges, reliable, weightCol)
+    var lbl = lbl0
+    for (r <- 1 to rounds)
+      lbl = scope.checkpointed(louvainStep(e2, lbl, r % 2, wSum, m2), reliable)
+    lbl.select(col("node"), col("c").as("community"))
+  }
+
+  /** Shared setup for both Louvain forms: both-direction edge leaf,
+    * weight-sum aggregate, 2m broadcast, and the initial label table
+    * (node, deg, c=node) — ONE definition so the fixed-round and
+    * converged variants cannot drift. Both directions come from ONE
+    * explode (the adamicAdar discipline). A SELF-LOOP input row
+    * (src = dst — the intra-community weight of a contracted graph,
+    * see [[louvainContract]]) explodes into two identical rows, which
+    * is exactly the factor-2 its weight needs inside the degree sum
+    * (deg(a) = 2·W(a,a) + Σ_{b≠a} W(a,b)). The label table carries
+    * (node, deg, c): deg is loop-invariant and node-sized, so carrying
+    * it through the per-round lineage cut is free and saves a deg join
+    * in BOTH the Σtot and scoring paths. */
+  private def louvainSetup(edges: DataFrame, reliable: Boolean,
+                           weightCol: Option[String])
+                          (implicit scope: CacheScope)
+      : (DataFrame, Column, DataFrame, DataFrame) = {
     val inCols = Seq(col("src"), col("dst")) ++ weightCol.map(col)
     val (rs, e) = roundSetup(edges.select(inCols: _*), reliable)
-    // both directions via ONE explode (the adamicAdar discipline).
-    // A SELF-LOOP input row (src = dst — the intra-community weight of
-    // a contracted graph, see [[louvainContract]]) explodes into two
-    // identical rows, which is exactly the factor-2 its weight needs
-    // inside the degree sum (deg(a) = 2·W(a,a) + Σ_{b≠a} W(a,b)).
     val wOut = weightCol.map(_ => col("x.w").as("w")).toSeq
     val e2 = scope.checkpointed(e.select(explode(array(
         struct(Seq(col("src").as("s"), col("dst").as("d")) ++
@@ -905,42 +923,94 @@ object GraphOps {
     val wSum = weightCol.map(_ => sum(col("w"))).getOrElse(count(lit(1)))
     val deg = e2.groupBy(col("src").as("node")).agg(wSum.as("deg"))
     val m2 = deg.agg(sum(col("deg")).as("m2")) // = 2m, rides as broadcast
-    // label table carries (node, deg, c): deg is loop-invariant and
-    // node-sized, so carrying it through the per-round lineage cut is
-    // free and saves a deg join in BOTH the Σtot and scoring paths
-    var lbl = scope.checkpointed(deg.withColumn("c", col("node")), reliable)
-    for (r <- 1 to rounds) {
-      val tot = lbl.groupBy("c").agg(sum(col("deg")).as("tot"))
-      // neighbor-community edge counts for the MOVABLE half only —
-      // the gate halves the candidate volume, it doesn't just mask.
-      // Self-loops are EXCLUDED from candidate mass: a node's own
-      // intra-weight stays internal wherever it goes, so counting it
-      // would only bias the stay candidate (standard Louvain phase-2
-      // treatment; a no-op on self-loop-free level-1 graphs).
-      val kic = e2.filter(col("src") % 2 === lit(r % 2))
-        .filter(col("src") =!= col("dst"))
-        .join(lbl.select(col("node").as("dst"), col("c")), "dst")
-        .groupBy(col("src").as("node"), col("c")).agg(wSum.as("k"))
-      // staying is ALWAYS a candidate, even with no same-community
-      // neighbor: the zero-k row is dominated wherever a real c₀ row
-      // exists, so no dedup aggregate is needed before the argmax
-      val stay = lbl.filter(col("node") % 2 === lit(r % 2))
-        .select(col("node"), col("c"), lit(0L).as("k"))
-      val scored = kic.union(stay)
-        .join(lbl.select(col("node"), col("c").as("c0"), col("deg")), "node")
-        .join(tot, "c")
-        .crossJoin(broadcast(m2))
-        .select(col("node"), col("c"),
-          (col("m2") * col("k") - col("deg") *
-            (col("tot") - when(col("c") === col("c0"), col("deg"))
-              .otherwise(lit(0L)))).as("score"))
-      val best = scored.groupBy("node").agg(
-        max_by(col("c"), struct(col("score"), (-col("c")).as("t"))).as("cn"))
-      lbl = scope.checkpointed(
-        lbl.join(best, Seq("node"), "left")
-          .select(col("node"), col("deg"), coalesce(col("cn"), col("c")).as("c")),
-        reliable)
+    val lbl0 = scope.checkpointed(deg.withColumn("c", col("node")), reliable)
+    (e2, wSum, m2, lbl0)
+  }
+
+  /** One semi-synchronous Louvain move round over the `parity` half —
+    * the per-round body of [[louvain]] and [[louvainConverged]].
+    * One edge-sized neighbor-community count (k_{i,c}) over the
+    * MOVABLE half only (the gate halves the candidate volume, it
+    * doesn't just mask), one node-sized community-weight aggregate
+    * (Σtot), the candidate scoring join, one argmax aggregate — all
+    * partial-aggregatable. Self-loops are EXCLUDED from candidate
+    * mass: a node's own intra-weight stays internal wherever it goes,
+    * so counting it would only bias the stay candidate (standard
+    * phase-2 treatment; a no-op on self-loop-free level-1 graphs).
+    * Staying is ALWAYS a candidate, even with no same-community
+    * neighbor: the zero-k row is dominated wherever a real c₀ row
+    * exists, so no dedup aggregate is needed before the argmax. */
+  private def louvainStep(e2: DataFrame, lbl: DataFrame, parity: Int,
+                          wSum: Column, m2: DataFrame): DataFrame = {
+    val tot = lbl.groupBy("c").agg(sum(col("deg")).as("tot"))
+    val kic = e2.filter(col("src") % 2 === lit(parity))
+      .filter(col("src") =!= col("dst"))
+      .join(lbl.select(col("node").as("dst"), col("c")), "dst")
+      .groupBy(col("src").as("node"), col("c")).agg(wSum.as("k"))
+    val stay = lbl.filter(col("node") % 2 === lit(parity))
+      .select(col("node"), col("c"), lit(0L).as("k"))
+    val scored = kic.union(stay)
+      .join(lbl.select(col("node"), col("c").as("c0"), col("deg")), "node")
+      .join(tot, "c")
+      .crossJoin(broadcast(m2))
+      .select(col("node"), col("c"),
+        (col("m2") * col("k") - col("deg") *
+          (col("tot") - when(col("c") === col("c0"), col("deg"))
+            .otherwise(lit(0L)))).as("score"))
+    val best = scored.groupBy("node").agg(
+      max_by(col("c"), struct(col("score"), (-col("c")).as("t"))).as("cn"))
+    lbl.join(best, Seq("node"), "left")
+      .select(col("node"), col("deg"), coalesce(col("cn"), col("c")).as("c"))
+  }
+
+  /** Action-driven Louvain local moves for pipeline use: run full
+    * even+odd move SWEEPS until one moves zero nodes — the natural
+    * local-move fixpoint ([[louvain]]'s fixed `rounds` keeps the
+    * oracle query replayable; this form is for production depth).
+    * Each candidate move is accepted only when its exact-integer ΔQ
+    * score strictly improves on staying (the max_by tie-break prefers
+    * the stay row on equal score via the −c key ONLY when c₀ ranks
+    * higher; the score of staying is its own candidate row) — so
+    * modularity is non-decreasing sweep to sweep and a zero-move sweep
+    * is a true fixpoint of the semi-synchronous schedule. The change
+    * probe is an inner label join (the node set is derived once from
+    * the degree table and every step preserves it row-for-row, unlike
+    * [[labelPropagationConverged]]'s contract-sensitive full-outer
+    * probe); the probe's action materializes the sweep's checkpoints,
+    * after which the two superseded label tables release their blocks
+    * — a deep run holds one sweep of state, not `maxSweeps` of it.
+    * Exhausting `maxSweeps` logs a WARN and returns the last iterate.
+    * Returns (node, community), bit-identical to [[louvain]] run for
+    * 2·(sweeps to convergence) rounds. */
+  def louvainConverged(edges: DataFrame, maxSweeps: Int = 20,
+                       reliable: Boolean = false,
+                       weightCol: Option[String] = None)
+                      (implicit scope: CacheScope): DataFrame = {
+    require(maxSweeps >= 1, s"maxSweeps must be >= 1 (got $maxSweeps)")
+    val (e2, wSum, m2, lbl0) = louvainSetup(edges, reliable, weightCol)
+    var lbl = lbl0
+    var sweep = 0
+    var moved = true
+    while (sweep < maxSweeps && moved) {
+      // a sweep = [[louvain]]'s rounds 2s+1, 2s+2: odd parity, then even
+      val afterOdd = scope.checkpointed(
+        louvainStep(e2, lbl, 1, wSum, m2), reliable)
+      val next = scope.checkpointed(
+        louvainStep(e2, afterOdd, 0, wSum, m2), reliable)
+      moved = !next.as("n").join(lbl.as("p"), col("n.node") === col("p.node"))
+        .filter(col("n.c") =!= col("p.c")).isEmpty
+      if (!reliable) {
+        CacheScope.unpersistPlanRdds(lbl)
+        CacheScope.unpersistPlanRdds(afterOdd)
+      }
+      lbl = next
+      sweep += 1
     }
+    if (moved)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"louvainConverged exhausted maxSweeps=$maxSweeps with moves " +
+          "still occurring — returning the last iterate (modularity is " +
+          "non-decreasing, so it is a valid, possibly improvable, partition)")
     lbl.select(col("node"), col("c").as("community"))
   }
 

@@ -597,6 +597,53 @@ class GraphOpsSpec extends AnyFunSuite {
       s"round-1 gate drifted: $one")
   }
 
+  test("louvainConverged stops at the zero-move sweep and matches fixed rounds") {
+    // bridged triangles: hand-traced to converge at round 4 (R4 moves
+    // nothing), i.e. sweep 2 of the converged form — and sweep 3 is
+    // the zero-move probe hit. Fixpoint equality: louvain(rounds=4)
+    // == louvain(rounds=6) == louvainConverged.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val conv =
+      try toMap(GraphOps.louvainConverged(edges, maxSweeps = 50))
+      finally { Thread.sleep(500); spark.sparkContext.removeSparkListener(listener) }
+    assert(conv == toMap(GraphOps.louvain(edges, rounds = 4)),
+      s"converged must equal the hand-traced fixpoint: $conv")
+    assert(conv == toMap(GraphOps.louvain(edges, rounds = 6)),
+      "rounds past the fixpoint must change nothing")
+    assert(jobs.get() < 60,
+      s"convergence did not stop early: ${jobs.get()} jobs for a 3-sweep run")
+    // modularity is non-decreasing sweep to sweep (fixed-round API at
+    // the even-round sweep boundaries)
+    val qs = Seq(2, 4, 6).map { r =>
+      GraphOps.modularity(edges,
+          GraphOps.louvain(edges, rounds = r).toDF("node", "community"))
+        .agg(sum("contribution")).first().getDouble(0)
+    }
+    assert(qs == qs.sorted, s"modularity decreased across sweeps: $qs")
+  }
+
+  test("louvainConverged on the weighted contracted graph matches fixed rounds") {
+    // phase-2 input shape: weighted coarse edges incl. a self-loop row
+    val coarse = Seq((2L, 6L, 1L), (2L, 2L, 3L), (6L, 6L, 3L))
+      .toDF("src", "dst", "w")
+    val conv = GraphOps.louvainConverged(coarse, maxSweeps = 20,
+        weightCol = Some("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fixed = GraphOps.louvain(coarse, rounds = 4, weightCol = Some("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(conv == fixed, s"weighted converged $conv vs fixed $fixed")
+  }
+
   test("hits raises loudly when pull magnitudes cross the 2^52 exactness bound") {
     // star 0 -> {1..100}: hub(0) multiplies by 100 per iteration, so 9
     // iterations reach 1e18 > 2^52 — the guard must fail the action
