@@ -2936,6 +2936,90 @@ object Relational {
            |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
            |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
 
+  // TPC-H Q17 SHAPE (q96): the correlated scalar-average — "revenue
+  // lost to small orders": lineitem rows of one brand's parts whose
+  // quantity sits under 0.2× that part's average quantity. The
+  // decorrelation is ONE fact scan: the brand filter broadcasts into
+  // the lineitem join, and the per-part average arrives as two window
+  // aggregates over the part-key partition of the ALREADY-FILTERED
+  // fact — never a per-row re-execution, never a second lineitem
+  // pass. Exactness: l_quantity is integral-valued, so
+  // q < 0.2·avg ⟺ 5·q·cnt < sum with every term an exact double —
+  // the inequality is spelled identically in both engines (0.2·avg
+  // itself would round). The fixture part table has no p_container;
+  // the brand filter alone keeps Q17's selectivity shape.
+  private val q96 = QueryDef(
+    "q96_tpch_q17",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val pt = t(s, dir, "part").filter(col("p_brand") === "Brand#4")
+        .select(col("p_partkey").as("l_partkey"))
+      val w = Window.partitionBy("l_partkey")
+      li.join(broadcast(pt), "l_partkey")
+        .withColumn("qsum", sum("l_quantity").over(w))
+        .withColumn("qcnt", count(lit(1)).over(w))
+        .filter(lit(5.0) * col("l_quantity") * col("qcnt") < col("qsum"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    },
+    Some("""WITH f AS (
+           |  SELECT l_quantity, l_extendedprice,
+           |         sum(l_quantity) OVER (PARTITION BY l_partkey) AS qsum,
+           |         count(*) OVER (PARTITION BY l_partkey) AS qcnt
+           |  FROM lineitem JOIN part ON p_partkey = l_partkey
+           |  WHERE p_brand = 'Brand#4')
+           |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+           |    AS DOUBLE) / CAST(7.0 AS DOUBLE) AS avg_yearly
+           |FROM f WHERE 5 * l_quantity * qcnt < qsum""".stripMargin))
+
+  // TPC-H Q22 SHAPE (q97): NOT EXISTS anti-join + a global scalar
+  // average over a substring-derived dimension — "wealthy dormant
+  // customers by country code". The fixture customer table has no
+  // c_phone, so the code is the last two digits of c_name (fixed
+  // 18-char format), and since every fixture customer has SOME order,
+  // "dormant" is no order since 2001-01-01 (the anti-join keeps Q22's
+  // decorrelation shape; the date pins selectivity). The scalar
+  // average is ONE division of exact terms — decimal-exact sum cast
+  // to double over a bigint count — broadcast to the filter, so both
+  // engines compare against the bit-identical double. One customer
+  // scan for the average (aggregate-pruned), one for the candidates,
+  // one date-pruned orders anti-join: nothing re-executes per row.
+  private val q97 = QueryDef(
+    "q97_tpch_q22",
+    (s, dir) => {
+      val codes = Seq("13", "31", "23", "29", "30", "18", "17")
+      val cu = t(s, dir, "customer")
+        .withColumn("cntrycode", substring(col("c_name"), 17, 2))
+        .filter(col("cntrycode").isin(codes: _*))
+        .select("c_custkey", "cntrycode", "c_acctbal")
+      val bar = cu.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1))).as("bar"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp_ntz"))
+        .select(col("o_custkey").as("c_custkey"))
+      cu.crossJoin(broadcast(bar))
+        .filter(col("c_acctbal") > col("bar"))
+        .join(recent, Seq("c_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("cntrycode")
+    },
+    Some("""WITH bar AS (
+           |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+           |         / count(*) AS bar
+           |  FROM customer
+           |  WHERE c_acctbal > 0
+           |    AND substring(c_name, 17, 2) IN ('13','31','23','29','30','18','17'))
+           |SELECT substring(c_name, 17, 2) AS cntrycode, count(*) AS numcust,
+           |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+           |FROM customer, bar
+           |WHERE substring(c_name, 17, 2) IN ('13','31','23','29','30','18','17')
+           |  AND c_acctbal > bar
+           |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           |                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+           |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -2944,5 +3028,6 @@ object Relational {
     q18, q19, q20, q21, q22, q22b, q23, q24, q25udf, q25udaf, q25gen, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
-    q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94)
+    q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
+    q96, q97)
 }
