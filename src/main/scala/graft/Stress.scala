@@ -365,6 +365,34 @@ object Stress {
       spark.sharedState.cacheManager.clearCache()
       dt
     }
+    // HYPERBALL: the neighborhood function's edge-linear claim — per
+    // hop ONE edge-sized join + ONE node-keyed register-max merge, so
+    // 10x edges must cost ~10x even though the EXACT pair closure it
+    // replaces would grow with sum-of-ball-sizes (superlinear on the
+    // hub-free chord graph, quadratic under a hub). Same chord
+    // generator as graph_betweenness.
+    def timeHyperBall(nEdges: Int): Double = {
+      val nodes = nEdges / 2L
+      val chords = spark.range(nEdges.toLong)
+        .selectExpr(s"1 + (id * 6364136223) % $nodes as a",
+          s"1 + (id * 2654435761) % $nodes as b")
+        .selectExpr("least(a, b) as src", "greatest(a, b) as dst")
+        .filter("src < dst").distinct()
+      val t0 = System.nanoTime()
+      graft.ops.GraphOps.hyperBall(chords, maxH = 3, lgK = 7)(
+        graft.ops.CacheScope.sessionOwned)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      dt
+    }
+    if (only.isEmpty || only("graph_hyperball")) {
+      timeHyperBall(100000) // warm-up
+      val hBase = timeHyperBall(100000)
+      val hScaled = timeHyperBall(100000 * factor)
+      println(f"""{"stress":"graph_hyperball","base_edges":100000,"base":$hBase%.3f,"scaled_edges":${100000 * factor},"scaled":$hScaled%.3f,"ratio":${hScaled / hBase}%.1f}""")
+    }
     if (only.isEmpty || only("skew_join")) {
       timeSkewJoin(1000000) // warm-up
       val kBase = timeSkewJoin(1000000)

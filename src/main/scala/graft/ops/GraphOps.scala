@@ -840,6 +840,98 @@ object GraphOps {
         sum(lit(1.0) / col("dist").cast("double")).as("harmonic"))
   }
 
+  /** HYPERBALL (Boldi & Vigna 2013, "In-Core Computation of Geometric
+    * Centralities with HyperBall"): the neighborhood function N(h) =
+    * Σ_v |ball_h(v)| estimated with per-node HLL sketches — the
+    * SCALABLE complement to exact all-pairs BFS, whose (seed × node)
+    * state explodes where this keeps one 2^lgK-byte register array
+    * per node. Per round ONE edge-sized join pulls every node's
+    * neighbors' sketches and ONE node-keyed `hll_union_agg` merges
+    * them (register-max — commutative/associative, so the result is
+    * independent of partitioning and merge order): cost is
+    * edge-linear per hop at ANY scale, and N(h)'s relative error is
+    * ~1.04/√2^lgK per ball with independent per-node errors mostly
+    * cancelling in the sum. Input: UNDIRECTED canonical edges (each
+    * edge once, src < dst; both directions ride one explode — the
+    * adamicAdar discipline). Returns (h, n_est) for h = 0..maxH,
+    * n_est = Σ_v estimate(ball_h(v)) as a long (h=0 is the exact
+    * node count: a 1-element HLL estimates exactly).
+    *
+    * lgK sizes the per-node registers: 12 (4 KiB/node) holds the sum
+    * comfortably inside a 1% band; a 10⁹-node run wanting HyperBall's
+    * classic memory profile drops to lgK 4-8 and leans on the
+    * cross-node cancellation. Estimates are engine-specific — gate
+    * them against [[neighborhoodExact]] with a tolerance (the
+    * q05/q34 bound-check pattern), never hash-compare them. */
+  def hyperBall(edges: DataFrame, maxH: Int = 3, lgK: Int = 12,
+                reliable: Boolean = false)
+               (implicit scope: CacheScope): DataFrame = {
+    require(maxH >= 1, s"maxH must be >= 1 (got $maxH)")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21] (got $lgK)")
+    val (rs, e) = roundSetup(edges.select(col("src"), col("dst")), reliable)
+    val e2 = scope.checkpointed(e.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("x"))
+      .select(col("x.s").as("src"), col("x.d").as("dst")), reliable)
+    var ball = scope.checkpointed(
+      e2.select(col("src").as("node")).distinct()
+        .groupBy("node").agg(hll_sketch_agg(col("node"), lit(lgK)).as("ball")),
+      reliable)
+    def nAt(h: Int, b: DataFrame): DataFrame =
+      b.agg(sum(hll_sketch_estimate(col("ball"))).as("n_est"))
+        .select(lit(h).as("h"), col("n_est"))
+    var out = nAt(0, ball)
+    for (h <- 1 to maxH) {
+      val pulled = e2.join(ball.select(col("node").as("dst"), col("ball")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(hll_union_agg(col("ball")).as("nb"))
+      // left join + null guard: with both-direction edges every node
+      // pulls >= 1 neighbor, but an isolated node in a future caller's
+      // input must keep its own ball rather than vanish
+      ball = scope.checkpointed(
+        ball.join(pulled, Seq("node"), "left")
+          .select(col("node"),
+            when(col("nb").isNull, col("ball"))
+              .otherwise(hll_union(col("ball"), col("nb"))).as("ball")),
+        reliable)
+      out = out.union(nAt(h, ball))
+    }
+    out
+  }
+
+  /** EXACT neighborhood function — [[hyperBall]]'s correctness gate:
+    * N(h) as the exact count of (a, b) pairs with d(a, b) <= h, by
+    * iterating the distinct pair closure P_{h+1} = P_h ∪ P_h·E. The
+    * state is PAIR-QUADRATIC in the worst case (that is exactly why
+    * hyperBall exists) — fixture/gate use only; a SQL oracle replays
+    * the same closure with h unrolled CTEs. Returns (h, n_exact) for
+    * h = 0..maxH. */
+  def neighborhoodExact(edges: DataFrame, maxH: Int = 3,
+                        reliable: Boolean = false)
+                       (implicit scope: CacheScope): DataFrame = {
+    require(maxH >= 1, s"maxH must be >= 1 (got $maxH)")
+    val (rs, e) = roundSetup(edges.select(col("src"), col("dst")), reliable)
+    val e2 = scope.checkpointed(e.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("x"))
+      .select(col("x.s").as("src"), col("x.d").as("dst")), reliable)
+    var pairs = scope.checkpointed(
+      e2.select(col("src").as("a")).distinct().select(col("a"), col("a").as("b")),
+      reliable)
+    def nAt(h: Int, p: DataFrame): DataFrame =
+      p.agg(count(lit(1)).as("n_exact")).select(lit(h).as("h"), col("n_exact"))
+    var out = nAt(0, pairs)
+    for (h <- 1 to maxH) {
+      pairs = scope.checkpointed(
+        pairs.union(
+            pairs.join(e2.select(col("src").as("b"), col("dst")), "b")
+              .select(col("a"), col("dst").as("b")))
+          .distinct(), reliable)
+      out = out.union(nAt(h, pairs))
+    }
+    out
+  }
+
   /** LOUVAIN local-move community detection (Blondel et al. 2008,
     * phase 1) over an UNDIRECTED canonical edge list (each edge once,
     * src < dst), distributed as SEMI-SYNCHRONOUS rounds: on round r,

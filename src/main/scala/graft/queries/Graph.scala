@@ -1118,6 +1118,66 @@ object Graph {
             |FROM st3 WHERE dist >= 1
             |GROUP BY node ORDER BY part""".stripMargin))
 
+  // HYPERBALL NEIGHBORHOOD FUNCTION (q95): N(h) = how many (node,
+  // node) pairs sit within h hops — the scalable complement to q86's
+  // one-row profile and q49's exact BFS: per-node HLL ball sketches
+  // merge register-wise per hop (GraphOps.hyperBall, Boldi & Vigna
+  // 2013), edge-linear per round where exact all-pairs state
+  // explodes. Sketch estimates are engine-specific, so the gate is
+  // the q05/q34 bound-check pattern: the engine ALSO runs the exact
+  // pair closure (GraphOps.neighborhoodExact — affordable on the
+  // fixture, the thing hyperBall replaces at scale) and emits
+  // deterministic verdicts — per-h estimates within 5%, and the
+  // 90%-effective-diameter read off the estimated curve equal to the
+  // exact one. lgK = 7 (128 registers/node) keeps the sketches in
+  // true dense-HLL estimation mode on the fixture — the 100 TB
+  // memory shape, not the sparse-exact fallback lgK 12 would give
+  // here.
+  private val q95 = QueryDef(
+    "q95_hyperball",
+    (s, dir) => {
+      val scope = graft.ops.CacheScope.sessionOwned
+      val pe = coEdges(s, dir).toDF("src", "dst")
+      val est = scope.cached(graft.ops.GraphOps.hyperBall(pe, maxH = 3, lgK = 7))
+      val exact = scope.cached(graft.ops.GraphOps.neighborhoodExact(pe, maxH = 3))
+      val n3e = est.filter(col("h") === 3).select(col("n_est").as("n3e"))
+      val n3x = exact.filter(col("h") === 3).select(col("n_exact").as("n3x"))
+      val d90e = est.crossJoin(broadcast(n3e))
+        .filter(col("n_est").cast("double") >=
+          lit(0.9) * col("n3e").cast("double"))
+        .agg(min("h").as("d90_est"))
+      val d90x = exact.crossJoin(broadcast(n3x))
+        .filter(col("n_exact").cast("double") >=
+          lit(0.9) * col("n3x").cast("double"))
+        .agg(min("h").as("d90_exact"))
+      est.join(exact, "h")
+        .crossJoin(broadcast(d90e)).crossJoin(broadcast(d90x))
+        .select(col("h"), col("n_exact"),
+          (abs(col("n_est") - col("n_exact")).cast("double") / col("n_exact")
+            <= lit(0.05)).as("within_5pct"),
+          (col("d90_est") === col("d90_exact")).as("d90_match"))
+        .orderBy("h")
+    },
+    Some(s"""WITH $coEdgesCte,
+            |e2 AS (SELECT p1 AS src, p2 AS dst FROM pe
+            |       UNION ALL SELECT p2, p1 FROM pe),
+            |b0 AS MATERIALIZED (SELECT DISTINCT src AS a, src AS b FROM e2),
+            |b1 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+            |  SELECT a, b FROM b0 UNION ALL
+            |  SELECT b0.a, e2.dst AS b FROM b0 JOIN e2 ON b0.b = e2.src)),
+            |b2 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+            |  SELECT a, b FROM b1 UNION ALL
+            |  SELECT b1.a, e2.dst AS b FROM b1 JOIN e2 ON b1.b = e2.src)),
+            |b3 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+            |  SELECT a, b FROM b2 UNION ALL
+            |  SELECT b2.a, e2.dst AS b FROM b2 JOIN e2 ON b2.b = e2.src)),
+            |ns AS (          SELECT 0 AS h, count(*) AS n_exact FROM b0
+            |       UNION ALL SELECT 1 AS h, count(*) AS n_exact FROM b1
+            |       UNION ALL SELECT 2 AS h, count(*) AS n_exact FROM b2
+            |       UNION ALL SELECT 3 AS h, count(*) AS n_exact FROM b3)
+            |SELECT h, n_exact, true AS within_5pct, true AS d90_match
+            |FROM ns ORDER BY h""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66, q69, q70,
-    q72, q73, q77, q79, q80, q81, q85, q86, q87, q93)
+    q72, q73, q77, q79, q80, q81, q85, q86, q87, q93, q95)
 }

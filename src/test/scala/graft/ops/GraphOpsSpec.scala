@@ -644,6 +644,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(conv == fixed, s"weighted converged $conv vs fixed $fixed")
   }
 
+  test("hyperBall matches the exact neighborhood function on a hand path graph") {
+    // path 1-2-3-4-5: |ball_h(v)| by hand ->
+    // N(0)=5, N(1)=2+3+3+3+2=13, N(2)=3+4+5+4+3=19, N(3)=4+5+5+5+4=23
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val exact = GraphOps.neighborhoodExact(edges, maxH = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(exact == Map(0 -> 5L, 1 -> 13L, 2 -> 19L, 3 -> 23L), s"exact: $exact")
+    // at lgK=12 and 5-element balls the HLL sketches are in sparse
+    // (exact) mode, so the estimates must equal the exact counts
+    val est = GraphOps.hyperBall(edges, maxH = 3, lgK = 12)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(est == exact, s"sparse-mode estimates must be exact: $est vs $exact")
+    // dense estimation mode (lgK=4, 16 registers) still lands near
+    // the truth on this tiny graph — and stays monotone in h
+    val dense = GraphOps.hyperBall(edges, maxH = 3, lgK = 4)
+      .orderBy("h").collect().map(_.getLong(1)).toSeq
+    assert(dense == dense.sorted, s"N(h) must be non-decreasing: $dense")
+    assert(math.abs(dense.last - 23L) <= 6, s"lgK=4 estimate too far: $dense")
+  }
+
   test("hits raises loudly when pull magnitudes cross the 2^52 exactness bound") {
     // star 0 -> {1..100}: hub(0) multiplies by 100 per iteration, so 9
     // iterations reach 1e18 > 2^52 — the guard must fail the action

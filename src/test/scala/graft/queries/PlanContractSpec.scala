@@ -495,6 +495,7 @@ class PlanContractSpec extends AnyFunSuite {
       "q85_betweenness",  // GraphOps forward/backward rounds lineage-cut
       "q86_graph_profile", // triangles' cached orientation (q50 class)
       "q93_harmonic",     // shares betweenness' lineage-cut BFS rounds
+      "q95_hyperball",    // hyperBall + neighborhoodExact round checkpoints
       "q87_node2vec_walks", // pair-build lineage cut (q73 class)
       "q73_random_walks", // pair-build lineage cut at construction (q49's seam)
       // — same iterative-graph seam: dupClusters
