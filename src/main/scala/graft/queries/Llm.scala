@@ -3754,6 +3754,252 @@ object Llm {
   // learned merge table is bit-deterministic.
   private val bpeSep = ""
 
+  // --------------------------------------------------- UNIGRAM LM
+  // SentencePiece-style unigram language-model tokenizer (Kudo 2018,
+  // "Subword Regularization"), trained by VITERBI-EM — the production
+  // alternative to BPE (l4_bpe_merges): instead of greedy merges, a
+  // seed vocabulary of substrings is re-scored by EM, where each
+  // E-step 1-best-segments every word type under the current piece
+  // scores and the M-step re-estimates scores from usage counts.
+  // Deterministic replay contract: FIXED 2 EM iterations; scores are
+  // round(−ln(cnt/Σcnt), 6) per iteration (the l4_kn_lm float pin:
+  // division of exact integers, 1-ulp ln, rounded); the Viterbi
+  // tie-break prefers the LONGER piece (spelled identically in both
+  // engines). Scale shape (the l4_kn_lm discipline): every table is
+  // WORD-TYPE- or VOCAB-bounded — the corpus is scanned once for the
+  // type table; the DP itself is ROW-LOCAL (one aggregate HOF over
+  // the word's collected piece scores — no per-position shuffles, no
+  // driver loop), so a 100 TB corpus costs one type aggregate plus
+  // type-bounded joins per iteration. Words longer than ugMaxW are
+  // skipped (the fixture max is 8; production raises the constant).
+  private val ugMaxW = 8
+  private val ugMaxP = 4
+
+  /** Word-type table (w, f) over whitespace tokens of length
+    * 1..[[ugMaxW]]. */
+  private[queries] def ugWords(docs: DataFrame)
+                     (implicit scope: graft.ops.CacheScope): DataFrame =
+    scope.cached(docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")).between(1, ugMaxW))
+      .groupBy("w").agg(count(lit(1)).as("f")))
+
+  /** All (start, len) substrings of length 1..[[ugMaxP]] per word —
+    * the seed-vocabulary enumerator and the DP's piece generator. */
+  private def ugSubs(words: DataFrame): DataFrame =
+    words.select(col("w"), col("f"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), i ->
+           |  transform(sequence(i, least(i + $ugMaxP - 1, length(w))), e ->
+           |    named_struct('i', i, 'j', e - i + 1))))""".stripMargin)).as("x"))
+      .select(col("w"), col("f"), col("x.i").as("i"), col("x.j").as("j"),
+        expr("substring(w, x.i, x.j)").as("p"))
+
+  /** round(−ln(cnt/Σcnt), 6) piece scores — the per-iteration float
+    * determinism pin (lower = better; the DP minimizes the sum). */
+  private[queries] def ugScores(cnts: DataFrame): DataFrame = {
+    val tot = cnts.agg(sum(col("cnt")).cast("double").as("tot"))
+    cnts.crossJoin(broadcast(tot))
+      .select(col("p"), round(-log(col("cnt") / col("tot")), 6).as("sc"))
+  }
+
+  /** 1-best Viterbi segmentation of every word type under `scores`:
+    * (w, f, toks) with toks start-to-end. ONE vocab-bounded join
+    * attaches scores to each word's pieces, ONE type-keyed aggregate
+    * collects them sorted, and the DP + backtrace run row-locally in
+    * aggregate HOFs: best[e] = min over pieces ending at e of
+    * best[e−j] + sc (candidates arrive j-DESCENDING from the (i asc)
+    * sort, and the strict < keeps the first minimum, so ties prefer
+    * the longer piece); the backtrace walks bj pointers from
+    * length(w), consuming >= 1 char per step. Pieces missing from
+    * `scores` simply produce no candidate (the char floor in
+    * [[ugCounts]] keeps every word coverable). */
+  private[queries] def ugViterbi(words: DataFrame, scores: DataFrame): DataFrame = {
+    val ps = ugSubs(words).join(scores, "p")
+      .groupBy("w", "f")
+      .agg(array_sort(collect_list(struct(col("i"), col("j"), col("sc"))))
+        .as("ps"))
+    ps.select(col("w"), col("f"), expr(
+        """aggregate(sequence(1, length(w)),
+          |  array(named_struct('cost', cast(0.0 as double), 'bj', 0)),
+          |  (acc, e) -> array_append(acc,
+          |    aggregate(filter(ps, x -> x.i + x.j - 1 = e),
+          |      named_struct('cost', cast('Infinity' as double), 'bj', 0),
+          |      (m, x) -> if(acc[e - x.j].cost + x.sc < m.cost,
+          |        named_struct('cost', acc[e - x.j].cost + x.sc, 'bj', x.j),
+          |        m))))""".stripMargin).as("best"))
+      .select(col("w"), col("f"), expr(
+        """aggregate(sequence(1, length(w)),
+          |  named_struct('pos', length(w), 'toks', cast(array() as array<string>)),
+          |  (st, z) -> if(st.pos <= 0, st,
+          |    named_struct('pos', st.pos - best[st.pos].bj,
+          |      'toks', array_append(st.toks,
+          |        substring(w, st.pos - best[st.pos].bj + 1, best[st.pos].bj)))),
+          |  st -> reverse(st.toks))""".stripMargin).as("toks"))
+  }
+
+  /** M-step usage counts with the character-coverage floor: piece
+    * count = occurrence-weighted Viterbi usage, single-character
+    * pieces get +1 and never drop out (SentencePiece's
+    * character-coverage guarantee re-expressed additively — without
+    * it a char unused by any 1-best segmentation would vanish and
+    * strand its words in the next E-step). Multi-char pieces with
+    * zero usage DO drop — that is the EM prune. */
+  private[queries] def ugCounts(vit: DataFrame, words: DataFrame): DataFrame = {
+    val used = vit.select(col("f"), explode(col("toks")).as("p"))
+      .groupBy("p").agg(sum("f").as("u"))
+    val chars = words.select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("p"))
+      .distinct().withColumn("one", lit(1L))
+    used.join(chars, Seq("p"), "full")
+      .select(col("p"),
+        (coalesce(col("u"), lit(0L)) + coalesce(col("one"), lit(0L))).as("cnt"))
+  }
+
+  /** The trained tables after `iters` Viterbi-EM rounds: (word types,
+    * counts, scores), the latter two cached (each feeds the next
+    * E-step twice — the score join and the output). */
+  private[queries] def ugTrain(docs: DataFrame, iters: Int = 2)
+                     (implicit scope: graft.ops.CacheScope)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val words = ugWords(docs)
+    var cnts = scope.cached(ugSeedCounts(words))
+    var sc = scope.cached(ugScores(cnts))
+    for (_ <- 1 to iters) {
+      cnts = scope.cached(ugCounts(ugViterbi(words, sc), words))
+      sc = scope.cached(ugScores(cnts))
+    }
+    (words, cnts, sc)
+  }
+
+  /** Occurrence-weighted substring seed counts (length 1..ugMaxP). */
+  private[queries] def ugSeedCounts(words: DataFrame): DataFrame =
+    ugSubs(words).groupBy("p").agg(sum("f").as("cnt"))
+
+  /** DuckDB replay of [[ugTrain]]: the row-local DP unrolls to
+    * position-wise CTEs b{k}_0..b{k}_ugMaxW (candidates UNION ALL per
+    * piece length, row_number ORDER BY cost, bj DESC — the same
+    * ties-prefer-longer rule), the backtrace to pointer-walk CTEs —
+    * all GENERATED by loops (the q70 oracle pattern) and MATERIALIZED
+    * (each b_e is referenced by up to ugMaxP later rounds; without
+    * the pin DuckDB re-expands the prefix exponentially, the q48
+    * lesson). Ends with c{iters}/sc{iters}. */
+  private def ugOracleViterbi(k: Int, scName: String): String = {
+    val dp = (1 to ugMaxW).map { e =>
+      val cands = (1 to math.min(ugMaxP, e)).map { j =>
+        s"""SELECT b.w AS w, b.cost + s.sc AS cost, $j AS bj
+           |FROM b${k}_${e - j} b JOIN $scName s
+           |  ON s.p = substr(b.w, ${e - j + 1}, $j)
+           |WHERE length(b.w) >= $e""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""b${k}_$e AS MATERIALIZED (SELECT w, cost, bj FROM (
+         |  SELECT w, cost, bj,
+         |    row_number() OVER (PARTITION BY w ORDER BY cost ASC, bj DESC) AS rn
+         |  FROM ($cands)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val ball = (1 to ugMaxW)
+      .map(e => s"SELECT w, $e AS pos, bj FROM b${k}_$e")
+      .mkString("\nUNION ALL\n")
+    val bt = (1 to ugMaxW).map { r =>
+      s"""t${k}_$r AS MATERIALIZED (
+         |  SELECT p.w, p.f, p.pos, b.bj FROM p${k}_${r - 1} p
+         |  JOIN ball$k b ON b.w = p.w AND b.pos = p.pos WHERE p.pos > 0),
+         |p${k}_$r AS (SELECT w, f, pos - bj AS pos FROM t${k}_$r)""".stripMargin
+    }.mkString(",\n")
+    val tp = (1 to ugMaxW)
+      .map(r => s"SELECT w, f, pos, bj FROM t${k}_$r")
+      .mkString("\nUNION ALL\n")
+    s"""b${k}_0 AS (SELECT w, CAST(0.0 AS DOUBLE) AS cost, 0 AS bj FROM w),
+       |$dp,
+       |ball$k AS MATERIALIZED ($ball),
+       |p${k}_0 AS (SELECT w, f, length(w) AS pos FROM w),
+       |$bt,
+       |tp$k AS MATERIALIZED ($tp)""".stripMargin
+  }
+
+  private def ugOracleTrain(iters: Int): String = {
+    val head =
+      s"""w AS MATERIALIZED (SELECT w, count(*) AS f FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) BETWEEN 1 AND $ugMaxW GROUP BY w),
+         |c0 AS MATERIALIZED (SELECT substr(w, i, j) AS p, CAST(sum(f) AS BIGINT) AS cnt
+         |  FROM w, generate_series(1, $ugMaxW) AS g(i),
+         |       generate_series(1, $ugMaxP) AS h(j)
+         |  WHERE i + j - 1 <= length(w) GROUP BY 1),
+         |tt0 AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM c0),
+         |sc0 AS MATERIALIZED (SELECT p, round(-ln(cnt / tot), 6) AS sc FROM c0, tt0),
+         |ch AS MATERIALIZED (SELECT DISTINCT substr(w, i, 1) AS p
+         |  FROM w, generate_series(1, $ugMaxW) AS g(i) WHERE i <= length(w))""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""${ugOracleViterbi(k, s"sc${k - 1}")},
+         |u$k AS (SELECT substr(w, pos - bj + 1, bj) AS p, CAST(sum(f) AS BIGINT) AS u
+         |        FROM tp$k GROUP BY 1),
+         |c$k AS MATERIALIZED (SELECT COALESCE(u.p, ch.p) AS p,
+         |    COALESCE(u.u, 0) + (CASE WHEN ch.p IS NULL THEN 0 ELSE 1 END) AS cnt
+         |  FROM u$k u FULL JOIN ch ON u.p = ch.p),
+         |tt$k AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM c$k),
+         |sc$k AS MATERIALIZED (SELECT p, round(-ln(cnt / tot), 6) AS sc FROM c$k, tt$k)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$rounds"
+  }
+
+  // UNIGRAM-LM TRAINING (l4_unigram_lm): the vocabulary after 2
+  // Viterbi-EM rounds — (piece, usage count with the char floor,
+  // round-6 score). The oracle replays seed counts, both EM rounds
+  // (DP + backtrace unrolled to generated CTEs) and the rescoring.
+  private val l4ug = QueryDef(
+    "l4_unigram_lm",
+    (s, dir) => {
+      val (_, cnts, sc) = ugTrain(t(s, dir, "documents"), iters = 2)(
+        graft.ops.CacheScope.sessionOwned)
+      cnts.join(sc, "p")
+        .select(col("p").as("piece"), col("cnt"), col("sc").as("score"))
+        .orderBy("piece")
+    },
+    Some(s"""WITH ${ugOracleTrain(2)}
+            |SELECT c2.p AS piece, c2.cnt AS cnt, sc2.sc AS score
+            |FROM c2 JOIN sc2 ON c2.p = sc2.p ORDER BY piece""".stripMargin))
+
+  // UNIGRAM-LM ENCODE (l4_unigram_encode): the companion — every doc
+  // segmented under the trained scores (a THIRD Viterbi pass over the
+  // word types, then one occurrence join): per doc the word count,
+  // total piece count, and a 60-bit checksum over the in-order
+  // segmentation strings — the checksum pins the actual segmentations,
+  // not just their sizes.
+  private val l4ugEnc = QueryDef(
+    "l4_unigram_encode",
+    (s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
+      val docs = t(s, dir, "documents")
+      val (words, _, sc) = ugTrain(docs, iters = 2)
+      val vit = ugViterbi(words, sc)
+        .select(col("w"), size(col("toks")).as("nt"),
+          array_join(col("toks"), "|").as("seg"))
+      docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "w").withColumnRenamed("pos", "wpos")
+        .filter(length(col("w")).between(1, ugMaxW))
+        .join(vit, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("nt").as("n_tokens"),
+          sha60(array_join(expr(
+            "transform(array_sort(collect_list(struct(wpos, seg))), x -> x.seg)"),
+            ",")).as("seg_csum"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${ugOracleTrain(2)},
+            |${ugOracleViterbi(3, "sc2")},
+            |vit3 AS MATERIALIZED (SELECT w, count(*) AS nt,
+            |    array_to_string(list(substr(w, pos - bj + 1, bj) ORDER BY pos), '|') AS seg
+            |  FROM tp3 GROUP BY w),
+            |wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            |occ AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+            |          i -> {'pos': i, 'w': ws[i]})) AS x FROM wd),
+            |kept AS (SELECT doc_id, x.pos AS wpos, x.w AS w FROM occ
+            |         WHERE length(x.w) BETWEEN 1 AND $ugMaxW)
+            |SELECT doc_id, count(*) AS n_words, CAST(sum(nt) AS BIGINT) AS n_tokens,
+            |  CAST(concat('0x', substr(sha256(
+            |    array_to_string(list(seg ORDER BY wpos), ',')), 1, 15)) AS BIGINT) AS seg_csum
+            |FROM kept JOIN vit3 USING (w)
+            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   private def bpeSymstr(word: Column): Column = {
     val s = concat(lit(bpeSep), regexp_replace(word, "(.)", "$1" + bpeSep + bpeSep))
     s.substr(lit(1), length(s) - 1)
@@ -3995,5 +4241,6 @@ object Llm {
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
-    l4bpeBatch, l3incr, l8importance, l8heavy, l3pca, l3trunc, l8cdc)
+    l4bpeBatch, l3incr, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
+    l4ug, l4ugEnc)
 }
