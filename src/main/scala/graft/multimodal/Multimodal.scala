@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * no full materialization — the only shape that works when the binary
   * column is 100 TB of images).
   *
-  * [[MediaCodec]] carries REAL pure-JVM parsers for two image formats
-  * (BMP — BITMAPFILEHEADER + BITMAPINFOHEADER per the Windows spec —
-  * and JPEG headers: a marker-segment walk to the SOF frame header)
-  * and two audio formats (WAV — RIFF chunk walk, fmt/data chunks —
-  * and MP3: an ID3-aware MPEG-1 Layer III frame-header walk with the
-  * spec bitrate/rate tables), so image and audio metadata is decoded
+  * [[MediaCodec]] carries REAL pure-JVM parsers for five image formats
+  * (BMP — BITMAPFILEHEADER + BITMAPINFOHEADER per the Windows spec;
+  * JPEG: a marker-segment walk to the SOF frame header; PNG: a
+  * CRC32-verified chunk walk; GIF: logical screen descriptor + a
+  * frame-counting block walk; TIFF: an endian-aware IFD walk) and two
+  * audio formats (WAV — RIFF chunk walk, fmt/data chunks — and MP3:
+  * an ID3-aware MPEG-1 Layer III frame-header walk with the spec
+  * bitrate/rate tables), so image and audio metadata is decoded
   * from actual bytes with no native libraries — and a REAL
   * pixel-level nearest-neighbor BMP
   * resize ([[resizeBmp]]/[[resizeMedia]]: the actual pixel array is
@@ -357,6 +359,146 @@ object Multimodal {
       throw new IllegalArgumentException("PNG: no IHDR chunk found")
     }
 
+    /** Minimal spec-valid GIF89a: 6-byte signature + 7-byte logical
+      * screen descriptor (little-endian u16 dims, no global color
+      * table), `frames` image descriptors (full-frame, no local
+      * table, LZW min code 2, zero data sub-blocks — the header
+      * surface a dimension/frame walker reads; real pixel data needs
+      * an LZW coder), trailer 0x3B. Size = 14 + 12·frames bytes —
+      * deterministic for the oracle. */
+    def encodeGif(width: Int, height: Int, frames: Int = 1): Array[Byte] = {
+      require(width >= 1 && width <= 0xFFFF && height >= 1 && height <= 0xFFFF,
+        s"GIF dims must fit u16 (got $width x $height)")
+      require(frames >= 1, s"frames must be >= 1 (got $frames)")
+      val bb = java.nio.ByteBuffer.allocate(14 + 12 * frames)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GIF89a".getBytes("US-ASCII"))
+        .putShort(width.toShort).putShort(height.toShort)
+        .put(0.toByte).put(0.toByte).put(0.toByte) // no GCT, bg, aspect
+      for (_ <- 1 to frames) {
+        bb.put(0x2C.toByte) // image separator
+          .putShort(0).putShort(0) // left, top
+          .putShort(width.toShort).putShort(height.toShort)
+          .put(0.toByte)  // no local color table
+          .put(2.toByte)  // LZW minimum code size
+          .put(0.toByte)  // block terminator (no data sub-blocks)
+      }
+      bb.put(0x3B.toByte) // trailer
+      bb.array()
+    }
+
+    /** Real GIF parse: signature (87a/89a), little-endian u16 dims
+      * from the logical screen descriptor, then a BLOCK WALK — skip
+      * the global color table if flagged, skip extension blocks
+      * (0x21: label + length-prefixed data sub-blocks to the 0
+      * terminator), count image descriptors (0x2C: 9-byte descriptor
+      * + optional local color table + LZW min code + sub-blocks) to
+      * the 0x3B trailer. Frames = image count (animated GIFs > 1).
+      * Lost block sync or a missing trailer FAILS loudly. */
+    def decodeGif(payload: Array[Byte]): (Int, Int, Int) = {
+      require(payload.length >= 14 &&
+        new String(payload.take(6), "US-ASCII").matches("GIF8[79]a"),
+        "not a GIF payload (bad signature)")
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.position(6)
+      val w = bb.getShort() & 0xFFFF; val h = bb.getShort() & 0xFFFF
+      require(w > 0 && h > 0, "GIF screen descriptor carries zero dimensions")
+      val packed = bb.get() & 0xFF; bb.get(); bb.get() // bg color, aspect
+      if ((packed & 0x80) != 0) // global color table: 3·2^(depth+1) bytes
+        bb.position(bb.position() + 3 * (1 << ((packed & 7) + 1)))
+      def skipSubBlocks(): Unit = {
+        var n = bb.get() & 0xFF
+        while (n != 0) { bb.position(bb.position() + n); n = bb.get() & 0xFF }
+      }
+      var frames = 0
+      while (bb.remaining >= 1) {
+        (bb.get() & 0xFF) match {
+          case 0x3B => return (w, h, math.max(frames, 1))
+          case 0x2C =>
+            require(bb.remaining >= 10, "truncated GIF image descriptor")
+            bb.position(bb.position() + 8)
+            val p = bb.get() & 0xFF
+            if ((p & 0x80) != 0)
+              bb.position(bb.position() + 3 * (1 << ((p & 7) + 1)))
+            bb.get() // LZW minimum code size
+            skipSubBlocks()
+            frames += 1
+          case 0x21 => bb.get(); skipSubBlocks() // extension: label + blocks
+          case other =>
+            throw new IllegalArgumentException(
+              f"GIF block sync lost at offset ${bb.position() - 1} (byte 0x$other%02X)")
+        }
+      }
+      throw new IllegalArgumentException("GIF ended without a trailer")
+    }
+
+    /** Minimal single-IFD TIFF in either byte order: 8-byte header
+      * ("II"/"MM" + magic 42 + IFD offset 8), one IFD with the two
+      * entries a dimension reader needs (ImageWidth 256 / ImageLength
+      * 257, both LONG), next-IFD pointer 0. 38 bytes. */
+    def encodeTiff(width: Int, height: Int,
+                   littleEndian: Boolean = true): Array[Byte] = {
+      require(width >= 1 && height >= 1,
+        s"TIFF dims must be >= 1 (got $width x $height)")
+      val bb = java.nio.ByteBuffer.allocate(38).order(
+        if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      bb.put((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+        .putShort(42).putInt(8)
+      bb.putShort(2) // entry count
+      bb.putShort(256).putShort(4).putInt(1).putInt(width)  // ImageWidth, LONG
+      bb.putShort(257).putShort(4).putInt(1).putInt(height) // ImageLength, LONG
+      bb.putInt(0) // no next IFD
+      bb.array()
+    }
+
+    /** Real TIFF parse: ENDIAN-AWARE ("II" little / "MM" big, magic
+      * 42), then an IFD WALK — dims from the first IFD's ImageWidth/
+      * ImageLength entries (SHORT values sit in the value field's
+      * first 2 bytes PER THE DECLARED BYTE ORDER, LONG uses all 4),
+      * frames = IFD count following the next-IFD chain (multi-page
+      * TIFF). Offsets must stay in-bounds and the chain is capped at
+      * 65535 IFDs so a cyclic pointer fails instead of spinning. */
+    def decodeTiff(payload: Array[Byte]): (Int, Int, Int) = {
+      require(payload.length >= 8, "not a TIFF payload (too short)")
+      val order0 = new String(payload.take(2), "US-ASCII")
+      require(order0 == "II" || order0 == "MM",
+        s"not a TIFF payload (byte order '$order0')")
+      val bb = java.nio.ByteBuffer.wrap(payload).order(
+        if (order0 == "II") java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      require((bb.getShort(2) & 0xFFFF) == 42, "TIFF magic is not 42")
+      var w = -1; var h = -1; var ifds = 0
+      var off = bb.getInt(4)
+      while (off != 0) {
+        require(off >= 8 && off + 2 <= payload.length,
+          s"TIFF IFD offset out of bounds: $off")
+        ifds += 1
+        require(ifds <= 0xFFFF, "TIFF next-IFD chain does not terminate")
+        val n = bb.getShort(off) & 0xFFFF
+        require(off + 2 + 12 * n + 4 <= payload.length, "truncated TIFF IFD")
+        if (ifds == 1) {
+          for (e <- 0 until n) {
+            val base = off + 2 + 12 * e
+            val tag = bb.getShort(base) & 0xFFFF
+            val typ = bb.getShort(base + 2) & 0xFFFF
+            if (tag == 256 || tag == 257) {
+              require(typ == 3 || typ == 4,
+                s"TIFF dim tag $tag has unsupported type $typ")
+              val v = if (typ == 3) bb.getShort(base + 8) & 0xFFFF
+                      else bb.getInt(base + 8)
+              if (tag == 256) w = v else h = v
+            }
+          }
+        }
+        off = bb.getInt(off + 2 + 12 * n)
+      }
+      require(ifds >= 1, "TIFF has no IFD")
+      require(w > 0 && h > 0, "TIFF first IFD missing ImageWidth/ImageLength")
+      (w, h, ifds)
+    }
+
     /** Stub header for formats that need a real media library. */
     def decodeGrft(payload: Array[Byte]): (Int, Int, Int) = {
       val bb = java.nio.ByteBuffer.wrap(payload)
@@ -375,6 +517,8 @@ object Multimodal {
       case "jpg" | "jpeg" => decodeJpeg(payload)
       case "mp3"          => decodeMp3(payload)
       case "png"          => decodePng(payload)
+      case "gif"          => decodeGif(payload)
+      case "tif" | "tiff" => decodeTiff(payload)
       case _              => decodeGrft(payload)
     }
 

@@ -2347,36 +2347,44 @@ object Llm {
     "l5_media_pipeline",
     (s, dir) => {
       import graft.multimodal.Multimodal
-      val enc = udf((id: Long, text: String) => (id % 6) match {
+      // parameter derivations must not be collapsed by their own arm
+      // gate: under `id % 8 == k`, id % 8 is CONSTANT and id's parity
+      // is fixed — so rate/channel/endian indexes derive from id / 8
+      // (or id / 6 where the pre-round-10 oracle pinned that spelling)
+      val enc = udf((id: Long, text: String) => (id % 8) match {
         case 0 => Multimodal.MediaCodec.encodeBmp(
           (id % 64 + 16).toInt, (id % 48 + 16).toInt)
         case 1 => Multimodal.MediaCodec.encodeWav(
-          (8000 + (id % 8) * 1000).toInt, (1 + id % 2).toInt, (id % 100 + 10).toInt)
+          (8000 + ((id / 8) % 8) * 1000).toInt, (1 + (id / 8) % 2).toInt,
+          (id % 100 + 10).toInt)
         case 2 => Multimodal.MediaCodec.encodeJpeg(
           (id % 512 + 32).toInt, (id % 384 + 32).toInt, text.getBytes("UTF-8"))
         case 3 => Multimodal.MediaCodec.encodeMp3(
-          // rate/channel indexes derive from id/6 — id%3 and id%2 are
-          // collapsed by the %6==3 gate (id%3==0, id odd) and would
-          // leave the 44100/48000 and mono arms dead
           Seq(32000, 44100, 48000)(((id / 6) % 3).toInt),
           (1 + (id / 6) % 2).toInt, (id % 30 + 5).toInt)
         case 4 => Multimodal.MediaCodec.encodePng(
           (id % 300 + 20).toInt, (id % 200 + 20).toInt)
+        case 5 => Multimodal.MediaCodec.encodeGif(
+          (id % 400 + 20).toInt, (id % 250 + 20).toInt, (id % 5 + 1).toInt)
+        case 6 => Multimodal.MediaCodec.encodeTiff(
+          (id % 600 + 20).toInt, (id % 400 + 20).toInt,
+          littleEndian = (id / 8) % 2 == 0)
         case _ => Multimodal.MediaCodec.encodeHeader(
           (id % 640 + 16).toInt, (id % 480 + 16).toInt, (id % 10 + 1).toInt,
           text.getBytes("UTF-8"))
       })
       val media = t(s, dir, "documents").select(
         col("doc_id").as("media_id"),
-        when(col("doc_id") % 6 === 0 || col("doc_id") % 6 === 2
-          || col("doc_id") % 6 === 4, "image")
-          .when(col("doc_id") % 6 === 1 || col("doc_id") % 6 === 3, "audio")
-          .otherwise("video").as("kind"),
-        when(col("doc_id") % 6 === 0, "bmp")
-          .when(col("doc_id") % 6 === 1, "wav")
-          .when(col("doc_id") % 6 === 2, "jpeg")
-          .when(col("doc_id") % 6 === 3, "mp3")
-          .when(col("doc_id") % 6 === 4, "png").otherwise("grft").as("fmt"),
+        when(col("doc_id") % 8 === 1 || col("doc_id") % 8 === 3, "audio")
+          .when(col("doc_id") % 8 === 7, "video")
+          .otherwise("image").as("kind"),
+        when(col("doc_id") % 8 === 0, "bmp")
+          .when(col("doc_id") % 8 === 1, "wav")
+          .when(col("doc_id") % 8 === 2, "jpeg")
+          .when(col("doc_id") % 8 === 3, "mp3")
+          .when(col("doc_id") % 8 === 4, "png")
+          .when(col("doc_id") % 8 === 5, "gif")
+          .when(col("doc_id") % 8 === 6, "tiff").otherwise("grft").as("fmt"),
         enc(col("doc_id"), col("text")).as("payload"))
       val feats = Multimodal.extractFeatures(media)
       val resize = Multimodal.resizePlan(feats, maxSide = 256)
@@ -2388,41 +2396,48 @@ object Llm {
         .orderBy("media_id")
     },
     Some("""WITH m AS (SELECT doc_id AS media_id,
-                   CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'image'
-                        WHEN 1 THEN 'audio' WHEN 2 THEN 'image'
-                        WHEN 3 THEN 'audio' WHEN 4 THEN 'image'
-                        ELSE 'video' END AS kind,
-                   CASE CAST(doc_id % 6 AS INTEGER)
+                   CASE CAST(doc_id % 8 AS INTEGER)
+                        WHEN 1 THEN 'audio' WHEN 3 THEN 'audio'
+                        WHEN 7 THEN 'video' ELSE 'image' END AS kind,
+                   CASE CAST(doc_id % 8 AS INTEGER)
                         WHEN 0 THEN CAST(54 + ((3 * (doc_id % 64 + 16) + 3) // 4) * 4
                                               * (doc_id % 48 + 16) AS INTEGER)
-                        WHEN 1 THEN CAST(44 + (doc_id % 100 + 10) * (1 + doc_id % 2) * 2 AS INTEGER)
+                        WHEN 1 THEN CAST(44 + (doc_id % 100 + 10) * (1 + (doc_id // 8) % 2) * 2 AS INTEGER)
                         WHEN 2 THEN CAST(45 + octet_length(encode(text)) AS INTEGER)
                         WHEN 3 THEN CAST((doc_id % 30 + 5) *
                              (144 * 128000 // (CASE CAST((doc_id // 6) % 3 AS INTEGER)
                               WHEN 0 THEN 32000 WHEN 1 THEN 44100 ELSE 48000 END)) AS INTEGER)
                         WHEN 4 THEN 45
+                        WHEN 5 THEN CAST(14 + 12 * (doc_id % 5 + 1) AS INTEGER)
+                        WHEN 6 THEN 38
                         ELSE CAST(16 + octet_length(encode(text)) AS INTEGER) END AS n_bytes,
-                   CASE CAST(doc_id % 6 AS INTEGER)
+                   CASE CAST(doc_id % 8 AS INTEGER)
                         WHEN 0 THEN CAST(doc_id % 64 + 16 AS INTEGER)
-                        WHEN 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS INTEGER)
+                        WHEN 1 THEN CAST(8000 + ((doc_id // 8) % 8) * 1000 AS INTEGER)
                         WHEN 2 THEN CAST(doc_id % 512 + 32 AS INTEGER)
                         WHEN 3 THEN CAST(CASE CAST((doc_id // 6) % 3 AS INTEGER)
                               WHEN 0 THEN 32000 WHEN 1 THEN 44100 ELSE 48000 END AS INTEGER)
                         WHEN 4 THEN CAST(doc_id % 300 + 20 AS INTEGER)
+                        WHEN 5 THEN CAST(doc_id % 400 + 20 AS INTEGER)
+                        WHEN 6 THEN CAST(doc_id % 600 + 20 AS INTEGER)
                         ELSE CAST(doc_id % 640 + 16 AS INTEGER) END AS width,
-                   CASE CAST(doc_id % 6 AS INTEGER)
+                   CASE CAST(doc_id % 8 AS INTEGER)
                         WHEN 0 THEN CAST(doc_id % 48 + 16 AS INTEGER)
-                        WHEN 1 THEN CAST(1 + doc_id % 2 AS INTEGER)
+                        WHEN 1 THEN CAST(1 + (doc_id // 8) % 2 AS INTEGER)
                         WHEN 2 THEN CAST(doc_id % 384 + 32 AS INTEGER)
                         WHEN 3 THEN CAST(1 + (doc_id // 6) % 2 AS INTEGER)
                         WHEN 4 THEN CAST(doc_id % 200 + 20 AS INTEGER)
+                        WHEN 5 THEN CAST(doc_id % 250 + 20 AS INTEGER)
+                        WHEN 6 THEN CAST(doc_id % 400 + 20 AS INTEGER)
                         ELSE CAST(doc_id % 480 + 16 AS INTEGER) END AS height,
-                   CASE CAST(doc_id % 6 AS INTEGER)
+                   CASE CAST(doc_id % 8 AS INTEGER)
                         WHEN 0 THEN 1
                         WHEN 1 THEN CAST(doc_id % 100 + 10 AS INTEGER)
                         WHEN 2 THEN 1
                         WHEN 3 THEN CAST(doc_id % 30 + 5 AS INTEGER)
                         WHEN 4 THEN 1
+                        WHEN 5 THEN CAST(doc_id % 5 + 1 AS INTEGER)
+                        WHEN 6 THEN 1
                         ELSE CAST(doc_id % 10 + 1 AS INTEGER) END AS n_frames
                  FROM documents),
             r AS (SELECT media_id,

@@ -201,6 +201,91 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.decodeWav(spliced) == ((16000, 2, 120)))
   }
 
+  test("GIF codec: block walk reads LSD dims and counts image frames") {
+    assert(MediaCodec.decodeGif(MediaCodec.encodeGif(320, 200)) == ((320, 200, 1)))
+    // animated: 4 image descriptors -> 4 frames
+    assert(MediaCodec.decodeGif(MediaCodec.encodeGif(64, 48, frames = 4)) == ((64, 48, 4)))
+    // a graphic-control extension (0x21 0xF9 + sub-blocks) before the
+    // image must be walked past, and a GIF87a signature accepted
+    val base = MediaCodec.encodeGif(10, 10)
+    val withExt = java.nio.ByteBuffer.allocate(base.length + 8)
+    withExt.put(base, 0, 13)
+    withExt.put(0x21.toByte).put(0xF9.toByte)
+      .put(4.toByte).put(new Array[Byte](4)).put(0.toByte) // GCE + terminator
+    withExt.put(base, 13, base.length - 13)
+    val arr = withExt.array(); arr(4) = '7'.toByte // GIF87a
+    assert(MediaCodec.decodeGif(arr) == ((10, 10, 1)))
+    // global color table flagged -> 3 * 2^(depth+1) bytes are skipped
+    val gct = java.nio.ByteBuffer.allocate(base.length + 6)
+    gct.put(base, 0, 10)
+    gct.put((0x80 | 0).toByte) // GCT flag, depth 0 -> 6 bytes
+    gct.put(base(11)).put(base(12)).put(new Array[Byte](6))
+    gct.put(base, 13, base.length - 13)
+    assert(MediaCodec.decodeGif(gct.array()) == ((10, 10, 1)))
+  }
+
+  test("GIF codec: corrupt payloads fail loudly") {
+    intercept[IllegalArgumentException](MediaCodec.decodeGif(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      MediaCodec.decodeGif("GIF88a".getBytes("US-ASCII") ++ new Array[Byte](10)))
+    // truncate the trailer off -> "ended without a trailer"
+    val noTrailer = MediaCodec.encodeGif(10, 10).dropRight(1)
+    val e1 = intercept[IllegalArgumentException](MediaCodec.decodeGif(noTrailer))
+    assert(e1.getMessage.contains("trailer"), e1.getMessage)
+    // corrupt a block separator -> sync lost, offset named
+    val bad = MediaCodec.encodeGif(10, 10)
+    bad(13) = 0x55.toByte
+    val e2 = intercept[IllegalArgumentException](MediaCodec.decodeGif(bad))
+    assert(e2.getMessage.contains("sync lost"), e2.getMessage)
+  }
+
+  test("TIFF codec: endian-aware IFD walk reads dims in both byte orders") {
+    assert(MediaCodec.decodeTiff(MediaCodec.encodeTiff(800, 600,
+      littleEndian = true)) == ((800, 600, 1)))
+    assert(MediaCodec.decodeTiff(MediaCodec.encodeTiff(800, 600,
+      littleEndian = false)) == ((800, 600, 1)))
+    // SHORT-typed (type 3) dims read the value field's first 2 bytes
+    // in the declared order — exercise big-endian where it matters
+    val bb = java.nio.ByteBuffer.allocate(38) // big-endian default
+    bb.put("MM".getBytes("US-ASCII")).putShort(42).putInt(8)
+    bb.putShort(2)
+    bb.putShort(256).putShort(3).putInt(1).putShort(123).putShort(0)
+    bb.putShort(257).putShort(3).putInt(1).putShort(45).putShort(0)
+    bb.putInt(0)
+    assert(MediaCodec.decodeTiff(bb.array()) == ((123, 45, 1)))
+    // multi-page: a second IFD chained -> frames = 2
+    val two = java.nio.ByteBuffer.allocate(68)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    two.put("II".getBytes("US-ASCII")).putShort(42).putInt(8)
+    two.putShort(2)
+    two.putShort(256).putShort(4).putInt(1).putInt(99)
+    two.putShort(257).putShort(4).putInt(1).putInt(77)
+    two.putInt(38) // next IFD
+    two.putShort(2)
+    two.putShort(256).putShort(4).putInt(1).putInt(10)
+    two.putShort(257).putShort(4).putInt(1).putInt(10)
+    two.putInt(0)
+    assert(MediaCodec.decodeTiff(two.array()) == ((99, 77, 2)))
+  }
+
+  test("TIFF codec: corrupt payloads fail loudly, cyclic IFD chains terminate") {
+    intercept[IllegalArgumentException](MediaCodec.decodeTiff(Array[Byte](1, 2, 3)))
+    val wrongMagic = MediaCodec.encodeTiff(8, 8)
+    wrongMagic(2) = 43.toByte
+    intercept[IllegalArgumentException](MediaCodec.decodeTiff(wrongMagic))
+    // out-of-bounds IFD offset
+    val oob = MediaCodec.encodeTiff(8, 8)
+    oob(4) = 0xF0.toByte
+    val e1 = intercept[IllegalArgumentException](MediaCodec.decodeTiff(oob))
+    assert(e1.getMessage.contains("out of bounds"), e1.getMessage)
+    // a SELF-POINTING next-IFD pointer must hit the chain cap, not spin
+    val cyc = java.nio.ByteBuffer.wrap(MediaCodec.encodeTiff(8, 8))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    cyc.putInt(34, 8) // next IFD -> itself
+    val e2 = intercept[IllegalArgumentException](MediaCodec.decodeTiff(cyc.array()))
+    assert(e2.getMessage.contains("terminate"), e2.getMessage)
+  }
+
   test("mixed-format extraction decodes real BMP and WAV bytes per row") {
     val rows = Seq(
       (0L, "image", "bmp", MediaCodec.encodeBmp(64, 48)),
