@@ -1578,11 +1578,21 @@ object GraphOps {
     * instead enumerate with the a<b<c id-order join — same triangle
     * set, same counts — while the engine keeps the skew-bounded
     * orientation. All integers: no rounding contract. */
-  def triangles(edges: DataFrame)(implicit scope: CacheScope): DataFrame = {
-    // the edge table feeds three scans before the cached orientation
-    // exists (both endpoints of the degree union + the orientation
-    // join) — lineage-cut it once so an expensive upstream edge build
-    // runs once, not three times
+  def triangles(edges: DataFrame)(implicit scope: CacheScope): DataFrame =
+    orientedTriangles(edges)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+
+  /** Degree-oriented triangle enumeration — the shared core of
+    * [[triangles]], [[edgeSupport]] and [[kTruss]]: every triangle
+    * exactly once as (a, b, c) in orientation order. The edge table
+    * feeds three scans before the cached orientation exists (both
+    * endpoints of the degree union + the orientation join) —
+    * lineage-cut once so an expensive upstream edge build runs once,
+    * not three times; the orientation is reused three times (two
+    * wedge sides + the closing probe). */
+  private def orientedTriangles(edges: DataFrame)
+                               (implicit scope: CacheScope): DataFrame = {
     val ed = scope.checkpointed(edges.select(col("src"), col("dst")),
       reliable = false)
     val deg = ed.select(col("src").as("node"))
@@ -1596,14 +1606,89 @@ object GraphOps {
           struct(col("src").as("u"), col("dst").as("v")))
           .otherwise(struct(col("dst").as("u"), col("src").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-    // reused three times (two wedge sides + the closing probe)
     val or = scope.cached(lower)
     val wedges = or.as("e1").join(or.as("e2"), col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
-    val tri = wedges.join(or.as("e3"),
+    wedges.join(or.as("e3"),
       col("a") === col("e3.u") && col("c") === col("e3.v"))
       .select(col("a"), col("b"), col("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Per-edge triangle SUPPORT over an UNDIRECTED canonical edge list
+    * (each edge once, src < dst): (src, dst, support) for edges in
+    * >= 1 triangle — each enumerated triangle's three edges, mapped
+    * back to canonical form, feed one partial-aggregatable count.
+    * Same E^1.5 wedge bound as [[triangles]] (shared orientation);
+    * edges in no triangle are ABSENT (support 0). All integers. */
+  def edgeSupport(edges: DataFrame)(implicit scope: CacheScope): DataFrame =
+    orientedTriangles(edges)
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("src"),
+          greatest(col("a"), col("b")).as("dst")),
+        struct(least(col("b"), col("c")).as("src"),
+          greatest(col("b"), col("c")).as("dst")),
+        struct(least(col("a"), col("c")).as("src"),
+          greatest(col("a"), col("c")).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("support"))
+
+  /** K-TRUSS approximation by fixed-round support peeling (Cohen
+    * 2008): repeatedly keep only edges whose triangle support within
+    * the SURVIVING subgraph is >= k−2; the fixpoint of this peel IS
+    * the k-truss — the cohesive-subgraph notion strictly stronger
+    * than ([[kCore]]) degree (every k-truss edge sits in a (k−1)-core)
+    * and the standard community-backbone extractor. Fixed `rounds`
+    * keeps the query replayable (the [[kCore]] trade; a SQL oracle
+    * unrolls the identical rounds — engine and oracle run the SAME
+    * count of peels, so they agree converged or not). Edges in no
+    * triangle drop in round 1 (absent from the support table). Per
+    * round one E^1.5-bounded support enumeration + the filter;
+    * support table lineage-cut per round. Returns the surviving
+    * canonical edges with their final support, all exact integers.
+    * Deep/unknown-depth peels belong on [[kTrussConverged]]. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 3,
+             reliable: Boolean = false)
+            (implicit scope: CacheScope): DataFrame = {
+    require(k >= 3 && rounds >= 1, s"k must be >= 3, rounds >= 1 (got $k/$rounds)")
+    var e = edges.select(col("src"), col("dst"))
+    for (_ <- 1 to rounds)
+      e = scope.checkpointed(
+        edgeSupport(e).filter(col("support") >= k - 2).select("src", "dst"),
+        reliable)
+    edgeSupport(e).filter(col("support") >= k - 2)
+  }
+
+  /** Action-driven k-truss for pipeline use: peel until the surviving
+    * EDGE COUNT stops changing — the set only shrinks, so an unchanged
+    * count is the true k-truss fixpoint (the [[kCoreConverged]]
+    * argument edge-for-edge). Each round's count materializes the
+    * round's checkpoint, after which the superseded edge table
+    * releases its blocks; exhausting `maxRounds` WARNs and returns the
+    * last (possibly under-peeled) iterate. */
+  def kTrussConverged(edges: DataFrame, k: Int, maxRounds: Int = 20,
+                      reliable: Boolean = false)
+                     (implicit scope: CacheScope): DataFrame = {
+    require(k >= 3 && maxRounds >= 1,
+      s"k must be >= 3, maxRounds >= 1 (got $k/$maxRounds)")
+    var e = scope.checkpointed(edges.select(col("src"), col("dst")), reliable)
+    var nEdges = -1L
+    var stable = false
+    var round = 0
+    while (round < maxRounds && !stable) {
+      val next = scope.checkpointed(
+        edgeSupport(e).filter(col("support") >= k - 2).select("src", "dst"),
+        reliable)
+      val n = next.count() // materializes next off the current e leaf
+      stable = n == nEdges
+      nEdges = n
+      round += 1
+      if (!reliable && !stable) CacheScope.unpersistPlanRdds(e)
+      if (!stable) e = next
+    }
+    if (!stable)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"kTrussConverged exhausted maxRounds=$maxRounds before the " +
+          s"peel reached its fixpoint — the result is a SUPERSET of the $k-truss")
+    edgeSupport(e).filter(col("support") >= k - 2)
   }
 }

@@ -1178,6 +1178,43 @@ object Graph {
             |SELECT h, n_exact, true AS within_5pct, true AS d90_match
             |FROM ns ORDER BY h""".stripMargin))
 
+  // K-TRUSS BACKBONE (q98): the community-backbone extractor one
+  // notch stronger than q57's k-core — every surviving edge must sit
+  // in >= k−2 triangles WITHIN the surviving subgraph (Cohen 2008),
+  // by fixed-round support peeling (GraphOps.kTruss; engine and
+  // oracle run the SAME rounds, so they agree converged or not — the
+  // q57 trade; the fixture peel reaches its fixpoint in 2). k = 3:
+  // edges in no triangle drop, i.e. the triangle-supported core of
+  // the co-purchase graph. Per round one E^1.5-bounded support
+  // enumeration (the q50 orientation) + an integer filter; the
+  // oracle enumerates triangles id-ordered (a<b<c) — same triangle
+  // set, same supports. All exact integers.
+  private val q98 = QueryDef(
+    "q98_ktruss",
+    (s, dir) => {
+      graft.ops.GraphOps.kTruss(coEdges(s, dir).toDF("src", "dst"),
+          k = 3, rounds = 3)
+        .select(col("src").as("p1"), col("dst").as("p2"), col("support"))
+        .orderBy("p1", "p2")
+    },
+    Some {
+      val rounds = (1 to 4).map { r =>
+        s"""t$r AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+           |  FROM e${r - 1} e1 JOIN e${r - 1} e2 ON e1.dst = e2.src
+           |  JOIN e${r - 1} e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+           |s$r AS MATERIALIZED (SELECT src, dst, count(*) AS support FROM (
+           |            SELECT a AS src, b AS dst FROM t$r
+           |  UNION ALL SELECT b AS src, c AS dst FROM t$r
+           |  UNION ALL SELECT a AS src, c AS dst FROM t$r) GROUP BY src, dst),
+           |e$r AS MATERIALIZED (SELECT src, dst FROM s$r WHERE support >= 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $coEdgesCte,
+         |e0 AS (SELECT p1 AS src, p2 AS dst FROM pe),
+         |$rounds
+         |SELECT src AS p1, dst AS p2, support FROM s4
+         |WHERE support >= 1 ORDER BY p1, p2""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66, q69, q70,
-    q72, q73, q77, q79, q80, q81, q85, q86, q87, q93, q95)
+    q72, q73, q77, q79, q80, q81, q85, q86, q87, q93, q95, q98)
 }

@@ -644,6 +644,36 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(conv == fixed, s"weighted converged $conv vs fixed $fixed")
   }
 
+  test("edgeSupport and kTruss peel a hand graph to the exact truss") {
+    // 4-clique minus edge (1,2): triangles {1,3,4} and {2,3,4};
+    // supports: (3,4)=2, the other four edges 1; no edge (1,2)
+    val nearClique = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val sup = GraphOps.edgeSupport(nearClique).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(sup == Map((1L, 3L) -> 1L, (1L, 4L) -> 1L, (2L, 3L) -> 1L,
+      (2L, 4L) -> 1L, (3L, 4L) -> 2L), s"supports: $sup")
+    // 3-truss: every edge survives (all in >= 1 triangle)
+    assert(GraphOps.kTruss(nearClique, k = 3).count() == 5)
+    // 4-truss: round 1 keeps only (3,4), round 2 finds it triangle-less
+    // -> EMPTY (the peel is load-bearing: a single-pass support filter
+    // would wrongly keep (3,4))
+    assert(GraphOps.kTruss(nearClique, k = 4).count() == 0)
+    // the full 4-clique IS a 4-truss: all 6 edges at support 2
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val t4 = GraphOps.kTruss(clique, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t4.length == 6 && t4.forall(_._3 == 2L), s"got ${t4.toSeq}")
+    // a pendant edge hanging off the clique drops at k=3
+    val pendant = clique.union(Seq((4L, 9L)).toDF("src", "dst"))
+    assert(GraphOps.kTruss(pendant, k = 3).count() == 6)
+    // converged variant matches fixed rounds past the fixpoint
+    val conv = GraphOps.kTrussConverged(nearClique, k = 4, maxRounds = 10)
+    assert(conv.count() == 0)
+    assert(GraphOps.kTrussConverged(clique, k = 4).count() == 6)
+  }
+
   test("hyperBall matches the exact neighborhood function on a hand path graph") {
     // path 1-2-3-4-5: |ball_h(v)| by hand ->
     // N(0)=5, N(1)=2+3+3+3+2=13, N(2)=3+4+5+4+3=19, N(3)=4+5+5+5+4=23
