@@ -484,79 +484,92 @@ object Graph {
   // exact integers. GraphOpsSpec pins the fixture fully assigned AND
   // at its fixpoint (a deeper schedule changes nothing), so the
   // fixed schedule is not hiding an unconverged closure.
+  /** The directed trade graph (delivered: supplier→customer, returned:
+    * customer→supplier) — shared by q72 and q99. */
+  private def tradeGraph(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(col("l_returnflag") =!= "R", col("l_suppkey") * 2)
+          .otherwise(col("o_custkey") * 2 + 1).as("src"),
+        when(col("l_returnflag") =!= "R", col("o_custkey") * 2 + 1)
+          .otherwise(col("l_suppkey") * 2).as("dst"))
+      .distinct()
+
   private val q72 = QueryDef(
     "q72_scc",
     (s, dir) => {
-      val de = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(
-          when(col("l_returnflag") =!= "R", col("l_suppkey") * 2)
-            .otherwise(col("o_custkey") * 2 + 1).as("src"),
-          when(col("l_returnflag") =!= "R", col("o_custkey") * 2 + 1)
-            .otherwise(col("l_suppkey") * 2).as("dst"))
-        .distinct()
-      graft.ops.GraphOps.scc(de)
+      graft.ops.GraphOps.scc(tradeGraph(s, dir))
         .orderBy("component", "node")
     },
     Some {
-      val schedule = Seq(5, 2)
-      val outerCtes = schedule.zipWithIndex.map { case (inner, idx) =>
-        val o = idx + 1
-        val p = o - 1
-        val pulls = (1 to inner).map { i =>
-          s"""l${o}_$i AS MATERIALIZED (
-             |  SELECT m.node, m.dir, coalesce(least(m.lab1, j.lab), m.lab1) AS lab
-             |  FROM (SELECT l.node, l.dir,
-             |               coalesce(least(l.lab, p.nl), l.lab) AS lab1
-             |        FROM l${o}_${i - 1} l LEFT JOIN (
-             |          SELECT el.src AS node, el.dir, min(l2.lab) AS nl
-             |          FROM el$o el JOIN l${o}_${i - 1} l2
-             |            ON el.dst = l2.node AND el.dir = l2.dir
-             |          GROUP BY 1, 2) p
-             |          ON l.node = p.node AND l.dir = p.dir) m
-             |  LEFT JOIN l${o}_${i - 1} j
-             |    ON m.lab1 = j.node AND m.dir = j.dir)""".stripMargin
-        }.mkString(",\n")
-        val elCte =
-          if (o == 1) s"el$o AS (SELECT src, dst, dir FROM e2)"
-          else
-            s"""el$o AS MATERIALIZED (
-               |  SELECT e2.src, e2.dst, e2.dir FROM e2
-               |  JOIN live$p ls ON e2.src = ls.node
-               |  JOIN live$p ld ON e2.dst = ld.node)""".stripMargin
-        s"""$elCte,
-           |l${o}_0 AS (SELECT node, dir, node AS lab FROM live$p
-           |            CROSS JOIN (SELECT 'f' AS dir UNION ALL SELECT 'b')),
-           |$pulls,
-           |found$o AS MATERIALIZED (
-           |  SELECT node, fmin AS component FROM (
-           |    SELECT node, min(CASE WHEN dir = 'f' THEN lab END) AS fmin,
-           |                 min(CASE WHEN dir = 'b' THEN lab END) AS bmin
-           |    FROM l${o}_$inner GROUP BY node) WHERE fmin = bmin),
-           |live$o AS MATERIALIZED (
-           |  SELECT l.node FROM live$p l LEFT JOIN found$o f ON l.node = f.node
-           |  WHERE f.node IS NULL)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH de AS (
-         |  SELECT DISTINCT
-         |    CASE WHEN l_returnflag <> 'R' THEN l_suppkey * 2
-         |         ELSE o_custkey * 2 + 1 END AS src,
-         |    CASE WHEN l_returnflag <> 'R' THEN o_custkey * 2 + 1
-         |         ELSE l_suppkey * 2 END AS dst
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |e2 AS (SELECT src, dst, 'f' AS dir FROM de
-         |       UNION ALL SELECT dst, src, 'b' FROM de),
-         |live0 AS (SELECT DISTINCT node FROM
-         |          (SELECT src AS node FROM de UNION ALL SELECT dst FROM de)),
-         |$outerCtes,
-         |allf AS (SELECT * FROM found1 UNION ALL SELECT * FROM found2)
+      s"""WITH ${sccOracleCtes(sccOracleRounds(Seq(5, 2)))}
          |SELECT a.node, a.component, s.component_size
          |FROM allf a JOIN (SELECT component, count(*) AS component_size
          |                  FROM allf GROUP BY 1) s USING (component)
          |ORDER BY component, node""".stripMargin
     })
+
+  /** The generated min-label closure rounds of the q72 oracle, one
+    * outer CTE group per schedule entry. Shared by q72 and q99. */
+  private def sccOracleRounds(schedule: Seq[Int]): String =
+    schedule.zipWithIndex.map { case (inner, idx) =>
+      val o = idx + 1
+      val p = o - 1
+      val pulls = (1 to inner).map { i =>
+        s"""l${o}_$i AS MATERIALIZED (
+           |  SELECT m.node, m.dir, coalesce(least(m.lab1, j.lab), m.lab1) AS lab
+           |  FROM (SELECT l.node, l.dir,
+           |               coalesce(least(l.lab, p.nl), l.lab) AS lab1
+           |        FROM l${o}_${i - 1} l LEFT JOIN (
+           |          SELECT el.src AS node, el.dir, min(l2.lab) AS nl
+           |          FROM el$o el JOIN l${o}_${i - 1} l2
+           |            ON el.dst = l2.node AND el.dir = l2.dir
+           |          GROUP BY 1, 2) p
+           |          ON l.node = p.node AND l.dir = p.dir) m
+           |  LEFT JOIN l${o}_${i - 1} j
+           |    ON m.lab1 = j.node AND m.dir = j.dir)""".stripMargin
+      }.mkString(",\n")
+      val elCte =
+        if (o == 1) s"el$o AS (SELECT src, dst, dir FROM e2)"
+        else
+          s"""el$o AS MATERIALIZED (
+             |  SELECT e2.src, e2.dst, e2.dir FROM e2
+             |  JOIN live$p ls ON e2.src = ls.node
+             |  JOIN live$p ld ON e2.dst = ld.node)""".stripMargin
+      s"""$elCte,
+         |l${o}_0 AS (SELECT node, dir, node AS lab FROM live$p
+         |            CROSS JOIN (SELECT 'f' AS dir UNION ALL SELECT 'b')),
+         |$pulls,
+         |found$o AS MATERIALIZED (
+         |  SELECT node, fmin AS component FROM (
+         |    SELECT node, min(CASE WHEN dir = 'f' THEN lab END) AS fmin,
+         |                 min(CASE WHEN dir = 'b' THEN lab END) AS bmin
+         |    FROM l${o}_$inner GROUP BY node) WHERE fmin = bmin),
+         |live$o AS MATERIALIZED (
+         |  SELECT l.node FROM live$p l LEFT JOIN found$o f ON l.node = f.node
+         |  WHERE f.node IS NULL)""".stripMargin
+    }.mkString(",\n")
+
+  /** The q72 oracle's CTE prefix — `de` (trade edges), the tagged
+    * closure rounds (caller passes the generated outer CTEs), ending
+    * in `allf(node, component)`. Shared by q72 and q99. */
+  private def sccOracleCtes(outerCtes: String): String =
+    s"""de AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN l_returnflag <> 'R' THEN l_suppkey * 2
+       |         ELSE o_custkey * 2 + 1 END AS src,
+       |    CASE WHEN l_returnflag <> 'R' THEN o_custkey * 2 + 1
+       |         ELSE l_suppkey * 2 END AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e2 AS (SELECT src, dst, 'f' AS dir FROM de
+       |       UNION ALL SELECT dst, src, 'b' FROM de),
+       |live0 AS (SELECT DISTINCT node FROM
+       |          (SELECT src AS node FROM de UNION ALL SELECT dst FROM de)),
+       |$outerCtes,
+       |allf AS (SELECT * FROM found1 UNION ALL SELECT * FROM found2)""".stripMargin
 
   // DETERMINISTIC RANDOM WALKS (q73): the DeepWalk/node2vec corpus
   // prep — one walk per node, 3 steps, each step choosing the
@@ -1215,6 +1228,41 @@ object Graph {
          |WHERE support >= 1 ORDER BY p1, p2""".stripMargin
     })
 
+  // SCC CONDENSATION DAG (q99): the component-level view of the
+  // directed trade graph — contract q72's SCC assignment onto the
+  // edges, keep inter-component edges with their underlying-edge
+  // counts. The condensation of any digraph is a DAG (the theorem a
+  // topological pipeline stage relies on — e.g. dependency ordering
+  // over trade cycles), so the query also emits the DAG witness: a
+  // component never reaches itself through a distinct component
+  // (checked structurally here by src != dst after contraction; the
+  // acyclicity itself is the scc contract). ONE edge-sized double
+  // label join + a component²-bounded aggregate — the louvainContract
+  // shape on a directed graph. All exact integers; oracle = the q72
+  // closure prefix + the same contraction.
+  private val q99 = QueryDef(
+    "q99_condensation",
+    (s, dir) => {
+      val scope = graft.ops.CacheScope.sessionOwned
+      val de = scope.cached(tradeGraph(s, dir))
+      val cm = scope.cached(graft.ops.GraphOps.scc(de)
+        .select(col("node"), col("component")))
+      de.join(cm.select(col("node").as("src"), col("component").as("c_src")), "src")
+        .join(cm.select(col("node").as("dst"), col("component").as("c_dst")), "dst")
+        .filter(col("c_src") =!= col("c_dst"))
+        .groupBy("c_src", "c_dst").agg(count(lit(1)).as("n_edges"))
+        .orderBy("c_src", "c_dst")
+    },
+    Some {
+      s"""WITH ${sccOracleCtes(sccOracleRounds(Seq(5, 2)))}
+         |SELECT ca.component AS c_src, cb.component AS c_dst,
+         |       count(*) AS n_edges
+         |FROM de JOIN allf ca ON de.src = ca.node
+         |        JOIN allf cb ON de.dst = cb.node
+         |WHERE ca.component <> cb.component
+         |GROUP BY c_src, c_dst ORDER BY c_src, c_dst""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(q48, q49, q50, q56, q57, q64, q66, q69, q70,
-    q72, q73, q77, q79, q80, q81, q85, q86, q87, q93, q95, q98)
+    q72, q73, q77, q79, q80, q81, q85, q86, q87, q93, q95, q98, q99)
 }

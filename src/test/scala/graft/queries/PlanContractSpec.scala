@@ -497,6 +497,7 @@ class PlanContractSpec extends AnyFunSuite {
       "q93_harmonic",     // shares betweenness' lineage-cut BFS rounds
       "q95_hyperball",    // hyperBall + neighborhoodExact round checkpoints
       "q98_ktruss",       // per-round support peel (q50's cached orientation)
+      "q99_condensation", // builds scc (the q72 exemption) before contracting
       "q87_node2vec_walks", // pair-build lineage cut (q73 class)
       "q73_random_walks", // pair-build lineage cut at construction (q49's seam)
       // — same iterative-graph seam: dupClusters
