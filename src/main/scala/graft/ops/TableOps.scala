@@ -116,4 +116,40 @@ object TableOps {
         aggCols.map(c =>
           (coalesce(col(s"_mb.$c"), lit(0)) + coalesce(col(s"_md.$c"), lit(0))).as(c)): _*)
   }
+
+  /** Per-key HLL distinct-count SKETCH table — the materialization
+    * side of [[maintainDistinct]]: (keys..., sketch binary). lgK
+    * sizes the registers (relative std error ~1.04/√2^lgK). */
+  def distinctSketch(df: DataFrame, keys: Seq[String], valueCol: String,
+                     lgK: Int = 12): DataFrame = {
+    require(keys.nonEmpty, "distinctSketch needs at least one key column")
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+  }
+
+  /** Incremental DISTINCT-COUNT view maintenance — the
+    * non-self-maintainable aggregate [[maintainAgg]] cannot carry
+    * (COUNT DISTINCT needs the SET, not a number; re-counting means
+    * re-scanning all history): store a per-key HLL sketch instead and
+    * merge each ingest batch's sketch in with one full-outer key join
+    * + a register-max union. HLL register state is SET-determined
+    * (max per bucket), so the maintained sketch's ESTIMATE equals the
+    * from-scratch rebuild's exactly — batch boundaries, merge order
+    * and partitioning all invisible — and sits within the lgK error
+    * band of the true distinct count. The view stays key-count-sized
+    * (2^lgK bytes per key) while the history it summarizes is
+    * unbounded — the 100 TB trade this op exists for. */
+  def maintainDistinct(mv: DataFrame, delta: DataFrame, keys: Seq[String],
+                       sketchCol: String = "sketch"): DataFrame = {
+    require(keys.nonEmpty, "maintainDistinct needs at least one key column")
+    val m = mv.alias("_mb")
+    val d = delta.select(mv.columns.toSeq.map(col): _*).alias("_md")
+    val cond = keys.map(k => col(s"_mb.$k") === col(s"_md.$k")).reduce(_ && _)
+    m.join(d, cond, "full_outer")
+      .select(keys.map(k => coalesce(col(s"_mb.$k"), col(s"_md.$k")).as(k)) :+
+        when(col(s"_mb.$sketchCol").isNull, col(s"_md.$sketchCol"))
+          .when(col(s"_md.$sketchCol").isNull, col(s"_mb.$sketchCol"))
+          .otherwise(hll_union(col(s"_mb.$sketchCol"), col(s"_md.$sketchCol")))
+          .as(sketchCol): _*)
+  }
 }

@@ -3020,6 +3020,56 @@ object Relational {
            |                  AND o_orderdate >= TIMESTAMP '2001-01-01')
            |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin))
 
+  // INCREMENTAL DISTINCT-COUNT VIEW (q100): q88's missing aggregate —
+  // COUNT DISTINCT is not self-maintainable (the merge needs the SET,
+  // not a number), so the view stores a per-key HLL sketch
+  // (TableOps.distinctSketch) and each ingest batch merges in with
+  // one full-outer key join + a register-max union
+  // (TableOps.maintainDistinct). Two gates, both deterministic
+  // booleans (the q05/q34 pattern): (a) SPLIT INVARIANCE — the view
+  // maintained along the date split estimates EXACTLY what the same
+  // view maintained along an orderkey-parity split does: HLL
+  // register state is set-determined (max per bucket), so batch
+  // decomposition must be invisible. (A direct unsplit aggregate is
+  // deliberately NOT the comparison: Datasketches keeps the
+  // stream-order HIP estimator only until the first union, so
+  // merged sketches read the composite estimate — comparing two
+  // merged views pins the invariance that actually holds for
+  // maintained state.) (b) the estimate sits within 5% of the true
+  // distinct count (lgK=11 ⇒ ~2.3% expected at the fixture's ~11k
+  // distinct orders per flag — genuinely dense-mode estimation, not
+  // the sparse-exact fallback).
+  private val q100 = QueryDef(
+    "q100_mv_distinct",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_returnflag", "l_orderkey", "l_shipdate")
+      def sk(part: DataFrame): DataFrame = graft.ops.TableOps
+        .distinctSketch(part, Seq("l_returnflag"), "l_orderkey", lgK = 11)
+      def view(a: DataFrame, b: DataFrame): DataFrame = graft.ops.TableOps
+        .maintainDistinct(sk(a), sk(b), Seq("l_returnflag"))
+      val cut = lit("2000-01-01").cast("timestamp_ntz")
+      val byDate = view(li.filter(col("l_shipdate") < cut),
+        li.filter(col("l_shipdate") >= cut))
+      val byParity = view(li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct("l_orderkey").as("n_exact"))
+      byDate.select(col("l_returnflag"),
+          hll_sketch_estimate(col("sketch")).as("est_d"))
+        .join(byParity.select(col("l_returnflag"),
+          hll_sketch_estimate(col("sketch")).as("est_p")), "l_returnflag")
+        .join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n_exact"),
+          (col("est_d") === col("est_p")).as("split_invariant"),
+          (abs(col("est_d") - col("n_exact")).cast("double") / col("n_exact")
+            <= lit(0.05)).as("within_5pct"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
+           |  true AS split_invariant, true AS within_5pct
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -3029,5 +3079,5 @@ object Relational {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
-    q96, q97)
+    q96, q97, q100)
 }

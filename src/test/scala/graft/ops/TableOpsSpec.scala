@@ -84,4 +84,36 @@ test("maintainAgg: merged deltas equal a full recompute, new keys included") {
     assert(maintained == recomputed, s"$maintained vs $recomputed")
     assert(maintained.exists(_._1 == 3L), "batch-only key must appear")
   }
+
+  test("maintainDistinct: batch decomposition is invisible; estimates track truth") {
+    // 3000 distinct values per key, arriving as 3 batches vs 2
+    // differently-cut batches vs another 3-way cut: every maintained
+    // chain must estimate identically (register state is
+    // set-determined), and near the truth at lgK=11
+    val rows = spark.range(6000L)
+      .selectExpr("cast(id % 2 as bigint) as k", "cast(id / 2 as bigint) as v")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      TableOps.distinctSketch(df, Seq("k"), "v", lgK = 11)
+    def est(mv: org.apache.spark.sql.DataFrame) =
+      mv.select(col("k"), hll_sketch_estimate(col("sketch")).as("e"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val threeWay = TableOps.maintainDistinct(
+      TableOps.maintainDistinct(sk(rows.filter("v < 1000")),
+        sk(rows.filter("v >= 1000 and v < 2000")), Seq("k")),
+      sk(rows.filter("v >= 2000")), Seq("k"))
+    val twoWay = TableOps.maintainDistinct(sk(rows.filter("v % 2 = 0")),
+      sk(rows.filter("v % 2 = 1")), Seq("k"))
+    val oddCut = TableOps.maintainDistinct(
+      TableOps.maintainDistinct(sk(rows.filter("v % 3 = 0")),
+        sk(rows.filter("v % 3 = 1")), Seq("k")),
+      sk(rows.filter("v % 3 = 2")), Seq("k"))
+    val (e3, e2, eo) = (est(threeWay), est(twoWay), est(oddCut))
+    assert(e3 == e2 && e2 == eo, s"decomposition leaked into the estimate: $e3 / $e2 / $eo")
+    e3.values.foreach(e => assert(math.abs(e - 3000L) <= 150, s"estimate $e too far from 3000"))
+    // a key present only in the delta appears; only in the view survives
+    val viewOnly = sk(rows.filter("k = 0"))
+    val deltaOnly = sk(rows.filter("k = 1"))
+    val merged = est(TableOps.maintainDistinct(viewOnly, deltaOnly, Seq("k")))
+    assert(merged.keySet == Set(0L, 1L), s"got ${merged.keySet}")
+  }
 }
