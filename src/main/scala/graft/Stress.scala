@@ -393,6 +393,34 @@ object Stress {
       val hScaled = timeHyperBall(100000 * factor)
       println(f"""{"stress":"graph_hyperball","base_edges":100000,"base":$hBase%.3f,"scaled_edges":${100000 * factor},"scaled":$hScaled%.3f,"ratio":${hScaled / hBase}%.1f}""")
     }
+    // K-TRUSS: the same E^1.5 degree-orientation bound as
+    // graph_triangles, paid once per peel round — at fixed rounds the
+    // 10x-edge ratio must track the triangle-enumeration ratio, never
+    // edge². Star + chords (the hub emits no wedges under orientation).
+    def timeKTruss(nEdges: Int): Double = {
+      val nodes = nEdges / 2L
+      val spokes = spark.range(1, nodes / 5)
+        .selectExpr("cast(0 as bigint) as src", "id as dst")
+      val chords = spark.range(nEdges.toLong)
+        .selectExpr(s"1 + (id * 6364136223) % $nodes as a",
+          s"1 + (id * 2654435761) % $nodes as b")
+        .selectExpr("least(a, b) as src", "greatest(a, b) as dst")
+        .filter("src < dst").distinct()
+      val t0 = System.nanoTime()
+      graft.ops.GraphOps.kTruss(spokes.union(chords).distinct(), k = 3, rounds = 2)(
+        graft.ops.CacheScope.sessionOwned)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      dt
+    }
+    if (only.isEmpty || only("graph_ktruss")) {
+      timeKTruss(100000) // warm-up
+      val ktBase = timeKTruss(100000)
+      val ktScaled = timeKTruss(100000 * factor)
+      println(f"""{"stress":"graph_ktruss","base_edges":100000,"base":$ktBase%.3f,"scaled_edges":${100000 * factor},"scaled":$ktScaled%.3f,"ratio":${ktScaled / ktBase}%.1f}""")
+    }
     if (only.isEmpty || only("skew_join")) {
       timeSkewJoin(1000000) // warm-up
       val kBase = timeSkewJoin(1000000)

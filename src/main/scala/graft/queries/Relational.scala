@@ -3070,6 +3070,58 @@ object Relational {
            |  true AS split_invariant, true AS within_5pct
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  // DATA-QUALITY CONSTRAINT SUITE (q101): the Deequ-style gate a
+  // 100 TB ingest runs before publishing a partition
+  // (ops.Constraints): five single-table constraints compile to ONE
+  // fused aggregate pass over lineitem (conditional sums + one
+  // distinct aggregate), the referential check is one left_anti
+  // against the distinct orders keys — exact integer verdicts, so the
+  // whole report replays bit-for-bit. bounded(l_discount) <= 0.05 is
+  // deliberately VIOLATED by the fixture (discounts run to 0.1): a
+  // suite whose every row passes would never exercise the fail path.
+  // Output column is `rule` (not "constraint" — reserved in ANSI).
+  private val q101 = QueryDef(
+    "q101_dq_constraints",
+    (s, dir) => {
+      import graft.ops.Constraints._
+      val li = t(s, dir, "lineitem")
+      val single = check(li, Seq(
+        NotNull("l_orderkey"),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        Bounded("l_quantity", 1, 50),
+        Bounded("l_discount", 0, 0.05),
+        Unique(Seq("l_orderkey", "l_linenumber"))))
+      val fk = checkForeignKey(li, Seq("l_orderkey"),
+        t(s, dir, "orders"), Seq("o_orderkey"))
+      single.unionByName(fk)
+        .withColumnRenamed("constraint", "rule")
+        .orderBy("rule")
+    },
+    Some("""WITH v AS (
+           |  SELECT 'not_null(l_orderkey)' AS rule,
+           |    CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT)
+           |      AS n_violations FROM lineitem
+           |  UNION ALL SELECT 'in_set(l_returnflag)',
+           |    CAST(count(CASE WHEN l_returnflag IS NULL
+           |      OR l_returnflag NOT IN ('A','N','R') THEN 1 END) AS BIGINT)
+           |    FROM lineitem
+           |  UNION ALL SELECT 'bounded(l_quantity)',
+           |    CAST(count(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+           |      OR l_quantity > 50 THEN 1 END) AS BIGINT) FROM lineitem
+           |  UNION ALL SELECT 'bounded(l_discount)',
+           |    CAST(count(CASE WHEN l_discount IS NULL OR l_discount < 0
+           |      OR l_discount > 0.05 THEN 1 END) AS BIGINT) FROM lineitem
+           |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
+           |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+           |      AS BIGINT) FROM lineitem
+           |  UNION ALL SELECT 'foreign_key(l_orderkey)',
+           |    CAST((SELECT count(*) FROM lineitem l
+           |          LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+           |            ON l.l_orderkey = o.o_orderkey
+           |          WHERE o.o_orderkey IS NULL) AS BIGINT))
+           |SELECT rule, n_violations, n_violations = 0 AS pass
+           |FROM v ORDER BY rule""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -3079,5 +3131,5 @@ object Relational {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
-    q96, q97, q100)
+    q96, q97, q100, q101)
 }
