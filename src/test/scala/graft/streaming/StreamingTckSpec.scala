@@ -943,6 +943,53 @@ class StreamingTckSpec extends AnyFunSuite {
     assert(rows(1L) === true, s"the spike window must flag (got $rows)")
     assert(rows(2L) === false, s"the steady window must stay quiet (got $rows)")
   }
+
+  test("T14: streaming salted hot-key aggregation — two chained stateful aggs, totals exact") {
+    // q94/SkewTools' skew story in-stream: a windowed count/sum whose
+    // key distribution is hot must not funnel one key's entire state
+    // through one grouping — phase 1 aggregates on (window, key, SALT)
+    // (deterministic salt off the event id), phase 2 collapses the
+    // salted partials to (window, key). Spark's chained time-window
+    // aggregation (multiple stateful operators, 3.4+) carries the
+    // window column's event time into the second agg; DECIMAL partial
+    // sums make the rollup exact under any salt split. The assertion
+    // is two-sided: the totals equal the unsalted truth AND the hot
+    // key genuinely spread over > 1 salt group.
+    import org.apache.spark.sql.types.DecimalType
+    val in = MemoryStream[(Timestamp, Long, Double)](spark)
+    val vd = col("v").cast(DecimalType(12, 6))
+    val p1 = in.toDF().toDF("ts", "k", "v")
+      .withWatermark("ts", "10 minutes")
+      .withColumn("salt", pmod(xxhash64(col("ts"), col("v")), lit(4)))
+      .groupBy(window(col("ts"), "10 minutes"), col("k"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(vd).as("pv"))
+    val p2 = p1
+      .groupBy(col("window"), col("k"))
+      .agg(sum(col("pn")).as("n"), sum(col("pv")).as("tv"),
+        count(lit(1)).as("n_salts"))
+    val q = p2.select(col("k"), col("n"), col("tv").cast("double").as("tv"),
+        col("n_salts"))
+      .writeStream.format("memory").queryName("t14_out").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("g").toString)
+      .start()
+    // hot key 7: 40 events; cold keys 1..5: one event each
+    val hot = (0 until 40).map(i => (ts(i % 9), 7L, 1.5))
+    val cold = (1 to 5).map(i => (ts(i), i.toLong, 2.0))
+    in.addData(hot ++ cold: _*)
+    q.processAllAvailable()
+    in.addData((ts(30), 99L, 0.0)) // advance the watermark: closes the window
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t14_out").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(rows(7L)._1 == 40L && math.abs(rows(7L)._2 - 60.0) < 1e-9,
+      s"hot-key totals must be exact after the salted rollup: $rows")
+    assert(rows(7L)._3 > 1L,
+      s"the hot key must spread over > 1 salt group (got ${rows(7L)._3})")
+    (1 to 5).foreach { i =>
+      assert(rows(i.toLong)._1 == 1L && rows(i.toLong)._2 == 2.0, s"cold key $i: $rows")
+    }
+  }
 }
 
 /** Static sinks so foreachBatch closures survive query restarts. */
