@@ -48,7 +48,8 @@ object Bench {
     "q81_link_predict", "q82_ewma", "l4_kn_lm", "q83_zonemap", "q84_tpch_q7", "q85_betweenness", "q86_graph_profile", "q87_node2vec_walks", "q88_mv_maintain", "l3_nprobe_sweep", "q89_transitions", "l2_lsh_sweep", "q90_tpch_q8", "q91_tpch_q14", "q92_skew_profile", "q93_harmonic",
     "q94_salted_join", "q95_hyperball", "q96_tpch_q17", "q97_tpch_q22",
     "l4_unigram_lm", "l4_unigram_encode",
-    "q98_ktruss", "q99_condensation", "q100_mv_distinct", "q101_dq_constraints")
+    "q98_ktruss", "q99_condensation", "q100_mv_distinct", "q101_dq_constraints",
+    "l3_ann_graph_search")
 
   /** 1-minute system load average, -1.0 where the platform can't say.
     * Recorded at both ends of the run so the record SELF-ADJUDICATES:

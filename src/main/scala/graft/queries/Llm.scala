@@ -3348,67 +3348,162 @@ object Llm {
   // inverted lists are the one skew axis — the semDedup size-capped
   // sub-bucket guard (CorpusOps.semDedup) is the documented remedy
   // when real embeddings collapse onto few lists.
+  /** The IVF-bounded top-5 kNN graph build (unordered) — shared by
+    * l3_knn_graph and the l3_ann_graph_search traversal over it. */
+  private def knnGraphTop5(s: SparkSession, dir: String)
+                          (implicit scope: graft.ops.CacheScope): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val nlist = broadcast(e.agg(
+      greatest(lit(32L), ceil(sqrt(count(lit(1)))).cast("long")).as("nlist")))
+    val cents = e.crossJoin(nlist).filter(col("vec_id") < col("nlist"))
+      .select(col("vec_id").as("cid"), col("embedding").as("qe"))
+    // one centroid-similarity pass shared by assignment and probes;
+    // only the rn<=4 slice materializes (4n rows — LINEAR; assign =
+    // rn=1 is a subset of the probe lists, so caching the full
+    // n x nlist table would store n^1.5 rows for nothing)
+    val w = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
+    val cdTop = cached(e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      .crossJoin(broadcast(cents))
+      .withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .select("vid", "cid", "rn"))
+    val assign = cdTop.filter(col("rn") === 1).select(col("vid"), col("cid"))
+    val probes = cdTop.select(col("vid").as("qid"), col("cid"))
+    val cand = probes.join(assign, "cid")
+      .filter(col("vid") =!= col("qid"))
+      .select("qid", "vid")
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+      .join(e.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
+    val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+    cand.withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
+      .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 5)
+      .select("qid", "rn", "vid", "simr")
+  }
+
+  /** The l3_knn_graph oracle's CTE chain ending in
+    * `r(qid, vid, simr, rn)` — also the prefix of the graph-search
+    * oracle (which additionally reuses `x` and `n` for its per-round
+    * scoring). */
+  private val knnGraphOracleCtes =
+    """x AS (SELECT vec_id, unnest(embedding) AS e,
+      |             generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+      |n AS (SELECT vec_id, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
+      |      FROM x GROUP BY vec_id),
+      |nl AS (SELECT GREATEST(32, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS nlist
+      |       FROM embeddings),
+      |cd AS (SELECT xv.vec_id AS vid, xc.vec_id AS cid,
+      |              round(SUM(CAST(xv.e AS DOUBLE) * CAST(xc.e AS DOUBLE))
+      |                    / (nv.nrm * nc.nrm), 6) AS simr
+      |       FROM x xv JOIN x xc ON xc.d = xv.d AND xc.vec_id < (SELECT nlist FROM nl)
+      |       JOIN n nv ON nv.vec_id = xv.vec_id
+      |       JOIN n nc ON nc.vec_id = xc.vec_id
+      |       GROUP BY xv.vec_id, xc.vec_id, nv.nrm, nc.nrm),
+      |r0 AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
+      |       FROM cd),
+      |assign AS (SELECT vid, cid FROM r0 WHERE rn = 1),
+      |probes AS (SELECT vid AS qid, cid FROM r0 WHERE rn <= 4),
+      |cand AS (SELECT p.qid, a.vid FROM probes p JOIN assign a ON a.cid = p.cid
+      |         WHERE a.vid != p.qid),
+      |dp AS (SELECT qid, vid, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
+      |       FROM cand JOIN x xa ON xa.vec_id = qid
+      |       JOIN x xb ON xb.vec_id = vid AND xb.d = xa.d
+      |       GROUP BY qid, vid),
+      |sdf AS (SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS simr
+      |        FROM dp JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid),
+      |r AS (SELECT qid, vid, simr,
+      |             row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+      |      FROM sdf)""".stripMargin
+
   private val l3knnGraph = QueryDef(
     "l3_knn_graph",
+    (s, dir) => knnGraphTop5(s, dir)(graft.ops.CacheScope.sessionOwned)
+      .orderBy("qid", "rn"),
+    Some(s"""WITH $knnGraphOracleCtes
+            |SELECT qid, rn, vid, simr FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin))
+
+  // GRAPH-BASED ANN SEARCH (l3_ann_graph_search): the NSW/HNSW-family
+  // traversal over the l3_knn_graph index — beam search: start every
+  // query at 4 fixed entry vectors, then 3 rounds of "expand the
+  // beam's neighbors, score only the NEW candidates, keep the top-10
+  // beam" over the SYMMETRIZED top-5 adjacency. The navigable-graph
+  // scale story: per round the work is beam × degree candidate rows
+  // per query — query-linear and graph-degree-bounded, NO corpus scan
+  // after the index build (raw vectors are fetched only for scored
+  // candidates). Deterministic: round(6) similarities, (simr desc,
+  // vid) beam order, fixed rounds/entries — the oracle replays the
+  // identical traversal with generated beam CTEs. The query vector
+  // itself rides the beam (sim 1.0 anchors the search) and is
+  // excluded at output, the l3_knn_bruteforce convention.
+  private val l3graphSearch = QueryDef(
+    "l3_ann_graph_search",
     (s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
       val e = t(s, dir, "embeddings")
-      val nlist = broadcast(e.agg(
-        greatest(lit(32L), ceil(sqrt(count(lit(1)))).cast("long")).as("nlist")))
-      val cents = e.crossJoin(nlist).filter(col("vec_id") < col("nlist"))
-        .select(col("vec_id").as("cid"), col("embedding").as("qe"))
-      // one centroid-similarity pass shared by assignment and probes;
-      // only the rn<=4 slice materializes (4n rows — LINEAR; assign =
-      // rn=1 is a subset of the probe lists, so caching the full
-      // n x nlist table would store n^1.5 rows for nothing)
-      val w = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
-      val cdTop = cached(e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
-        .crossJoin(broadcast(cents))
-        .withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 4)
-        .select("vid", "cid", "rn"))
-      val assign = cdTop.filter(col("rn") === 1).select(col("vid"), col("cid"))
-      val probes = cdTop.select(col("vid").as("qid"), col("cid"))
-      val cand = probes.join(assign, "cid")
-        .filter(col("vid") =!= col("qid"))
-        .select("qid", "vid")
-        .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
-        .join(e.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
-      val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
-      cand.withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
-        .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 5)
+      val g = knnGraphTop5(s, dir).select(col("qid").as("a"), col("vid").as("b"))
+      val adj = cached(
+        g.union(g.select(col("b").as("a"), col("a").as("b"))).distinct())
+      val q = broadcast(e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+      def scored(cands: DataFrame): DataFrame =
+        cands.join(e.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
+          .join(q, "qid")
+          .select(col("qid"), col("vid"),
+            round(cosSim(col("qe"), col("ve")), 6).as("simr"))
+      val wB = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+      var beam = cached(scored(q.select(col("qid"))
+        .crossJoin(broadcast(e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("vid"))))))
+      for (_ <- 1 to 3) {
+        val expand = beam.select(col("qid"), col("vid").as("a"))
+          .join(adj, "a").select(col("qid"), col("b").as("vid"))
+          .distinct()
+          .join(beam.select("qid", "vid"), Seq("qid", "vid"), "left_anti")
+        beam = cached(beam.union(scored(expand))
+          .withColumn("rn", row_number().over(wB)).filter(col("rn") <= 10)
+          .select("qid", "vid", "simr"))
+      }
+      beam.filter(col("vid") =!= col("qid"))
+        .withColumn("rn", row_number().over(wB)).filter(col("rn") <= 10)
         .select("qid", "rn", "vid", "simr")
         .orderBy("qid", "rn")
     },
-    Some("""WITH x AS (SELECT vec_id, unnest(embedding) AS e,
-            |             generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
-            |n AS (SELECT vec_id, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
-            |      FROM x GROUP BY vec_id),
-            |nl AS (SELECT GREATEST(32, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS nlist
-            |       FROM embeddings),
-            |cd AS (SELECT xv.vec_id AS vid, xc.vec_id AS cid,
-            |              round(SUM(CAST(xv.e AS DOUBLE) * CAST(xc.e AS DOUBLE))
-            |                    / (nv.nrm * nc.nrm), 6) AS simr
-            |       FROM x xv JOIN x xc ON xc.d = xv.d AND xc.vec_id < (SELECT nlist FROM nl)
-            |       JOIN n nv ON nv.vec_id = xv.vec_id
-            |       JOIN n nc ON nc.vec_id = xc.vec_id
-            |       GROUP BY xv.vec_id, xc.vec_id, nv.nrm, nc.nrm),
-            |r0 AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
-            |       FROM cd),
-            |assign AS (SELECT vid, cid FROM r0 WHERE rn = 1),
-            |probes AS (SELECT vid AS qid, cid FROM r0 WHERE rn <= 4),
-            |cand AS (SELECT p.qid, a.vid FROM probes p JOIN assign a ON a.cid = p.cid
-            |         WHERE a.vid != p.qid),
-            |dp AS (SELECT qid, vid, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
-            |       FROM cand JOIN x xa ON xa.vec_id = qid
-            |       JOIN x xb ON xb.vec_id = vid AND xb.d = xa.d
-            |       GROUP BY qid, vid),
-            |sdf AS (SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS simr
-            |        FROM dp JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid),
-            |r AS (SELECT qid, vid, simr,
-            |             row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
-            |      FROM sdf)
-            |SELECT qid, rn, vid, simr FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin))
+    Some {
+      val rounds = (1 to 3).map { i =>
+        s"""ex$i AS (SELECT DISTINCT b.qid, adj.b AS vid
+           |  FROM b${i - 1} b JOIN adj ON adj.a = b.vid
+           |  WHERE NOT EXISTS (SELECT 1 FROM b${i - 1} p
+           |                    WHERE p.qid = b.qid AND p.vid = adj.b)),
+           |dpx$i AS (SELECT qid, vid, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
+           |  FROM ex$i JOIN x xa ON xa.vec_id = qid
+           |  JOIN x xb ON xb.vec_id = vid AND xb.d = xa.d GROUP BY qid, vid),
+           |scx$i AS (SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS simr
+           |  FROM dpx$i JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid),
+           |b$i AS MATERIALIZED (SELECT qid, vid, simr FROM (
+           |  SELECT qid, vid, simr,
+           |    row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+           |  FROM (SELECT * FROM b${i - 1} UNION ALL SELECT * FROM scx$i))
+           |  WHERE rn <= 10)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $knnGraphOracleCtes,
+         |g5 AS MATERIALIZED (SELECT qid AS a, vid AS b FROM r WHERE rn <= 5),
+         |adj AS MATERIALIZED (SELECT DISTINCT a, b FROM
+         |  (SELECT a, b FROM g5 UNION ALL SELECT b, a FROM g5)),
+         |qs AS (SELECT 0 AS qid UNION ALL SELECT 1 UNION ALL SELECT 2),
+         |c0 AS (SELECT qs.qid, v.vec_id AS vid FROM qs,
+         |       (SELECT vec_id FROM embeddings WHERE vec_id < 4) v),
+         |dpx0 AS (SELECT qid, vid, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
+         |  FROM c0 JOIN x xa ON xa.vec_id = qid
+         |  JOIN x xb ON xb.vec_id = vid AND xb.d = xa.d GROUP BY qid, vid),
+         |b0 AS MATERIALIZED (SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS simr
+         |  FROM dpx0 JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid),
+         |$rounds
+         |SELECT qid, rn, vid, simr FROM (
+         |  SELECT qid, vid, simr,
+         |    row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+         |  FROM b3 WHERE vid <> qid) WHERE rn <= 10
+         |ORDER BY qid, rn""".stripMargin
+    })
 
   // Exact substring-SPAN dedup (Lee et al. 2022) — any >=8-token run
   // already present in an earlier doc is removed token-exactly from
@@ -4257,5 +4352,5 @@ object Llm {
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
     l4bpeBatch, l3incr, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
-    l4ug, l4ugEnc)
+    l4ug, l4ugEnc, l3graphSearch)
 }
