@@ -1228,18 +1228,18 @@ object Graph {
          |WHERE support >= 1 ORDER BY p1, p2""".stripMargin
     })
 
-  // SCC CONDENSATION DAG (q99): the component-level view of the
-  // directed trade graph — contract q72's SCC assignment onto the
-  // edges, keep inter-component edges with their underlying-edge
-  // counts. The condensation of any digraph is a DAG (the theorem a
-  // topological pipeline stage relies on — e.g. dependency ordering
-  // over trade cycles), so the query also emits the DAG witness: a
-  // component never reaches itself through a distinct component
-  // (checked structurally here by src != dst after contraction; the
-  // acyclicity itself is the scc contract). ONE edge-sized double
-  // label join + a component²-bounded aggregate — the louvainContract
-  // shape on a directed graph. All exact integers; oracle = the q72
-  // closure prefix + the same contraction.
+  // SCC CONDENSATION (q99): the component-level view of the directed
+  // trade graph — contract q72's SCC assignment onto the edges. Rows
+  // with c_src = c_dst carry the INTRA-component edge count (the
+  // louvainContract self-loop convention — also what keeps the query
+  // non-empty when the whole graph collapses into one SCC, as the
+  // sf0.001 fixture does); rows with c_src != c_dst are the
+  // condensation DAG, which is acyclic by the SCC theorem — the
+  // dependency order a topological pipeline stage runs on. ONE
+  // edge-sized double label join + a component²-bounded aggregate —
+  // the louvainContract shape on a directed graph. All exact
+  // integers; oracle = the q72 closure prefix + the same
+  // contraction.
   private val q99 = QueryDef(
     "q99_condensation",
     (s, dir) => {
@@ -1249,7 +1249,6 @@ object Graph {
         .select(col("node"), col("component")))
       de.join(cm.select(col("node").as("src"), col("component").as("c_src")), "src")
         .join(cm.select(col("node").as("dst"), col("component").as("c_dst")), "dst")
-        .filter(col("c_src") =!= col("c_dst"))
         .groupBy("c_src", "c_dst").agg(count(lit(1)).as("n_edges"))
         .orderBy("c_src", "c_dst")
     },
@@ -1259,7 +1258,6 @@ object Graph {
          |       count(*) AS n_edges
          |FROM de JOIN allf ca ON de.src = ca.node
          |        JOIN allf cb ON de.dst = cb.node
-         |WHERE ca.component <> cb.component
          |GROUP BY c_src, c_dst ORDER BY c_src, c_dst""".stripMargin
     })
 
