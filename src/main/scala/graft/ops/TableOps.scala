@@ -127,6 +127,29 @@ object TableOps {
       .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
   }
 
+  /** Insert-only ZONE-MAP / envelope maintenance: per-key min/max/sum
+    * columns merged by one full-outer key join — least/greatest skip
+    * the missing side (Spark semantics), sums zero-fill. min/max are
+    * self-maintainable under INSERTS only (a delete can strand a
+    * stale envelope bound — still CORRECT for data skipping, just
+    * looser; a periodic [[Layout]] rewrite re-tightens). Completes
+    * the incremental-view family: sums/counts ([[maintainAgg]]),
+    * distincts ([[maintainDistinct]]), envelopes here. */
+  def maintainZoneMap(mv: DataFrame, delta: DataFrame, keys: Seq[String],
+                      minCols: Seq[String], maxCols: Seq[String],
+                      sumCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "maintainZoneMap needs at least one key column")
+    val m = mv.alias("_mb")
+    val d = delta.select(mv.columns.toSeq.map(col): _*).alias("_md")
+    val cond = keys.map(k => col(s"_mb.$k") === col(s"_md.$k")).reduce(_ && _)
+    m.join(d, cond, "full_outer").select(
+      keys.map(k => coalesce(col(s"_mb.$k"), col(s"_md.$k")).as(k)) ++
+        minCols.map(c => least(col(s"_mb.$c"), col(s"_md.$c")).as(c)) ++
+        maxCols.map(c => greatest(col(s"_mb.$c"), col(s"_md.$c")).as(c)) ++
+        sumCols.map(c => (coalesce(col(s"_mb.$c"), lit(0L)) +
+          coalesce(col(s"_md.$c"), lit(0L))).as(c)): _*)
+  }
+
   /** Incremental DISTINCT-COUNT view maintenance — the
     * non-self-maintainable aggregate [[maintainAgg]] cannot carry
     * (COUNT DISTINCT needs the SET, not a number; re-counting means

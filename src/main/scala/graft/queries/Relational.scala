@@ -3122,6 +3122,89 @@ object Relational {
            |SELECT rule, n_violations, n_violations = 0 AS pass
            |FROM v ORDER BY rule""".stripMargin))
 
+  // MARKETING ATTRIBUTION (q102): per purchase, the first-touch and
+  // last-touch click in the trailing 7-day window plus the click
+  // count — the multi-touch attribution read every events pipeline
+  // ships (first/last timestamps stand for the campaign touchpoints;
+  // an id lookup is one extra as-of join, the q12 pattern). ONE
+  // user-keyed exchange + one RANGE-frame window pass over the
+  // epoch-seconds order (the q71 trailing-window discipline — never a
+  // purchases×clicks self-join, which explodes on active users);
+  // conditional min/max/count skip non-click peers row-locally. The
+  // frame is value-based, so clicks in the purchase's same second
+  // attribute (documented; both engines share the bound). All exact:
+  // timestamps and integer counts.
+  private val q102 = QueryDef(
+    "q102_attribution",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          // NTZ has no direct long cast; session tz is UTC, so the
+          // LTZ hop reads the same wall clock as DuckDB's epoch(ts)
+          col("ts").cast("timestamp").cast("long").as("tsn"))
+      val w = Window.partitionBy("user_id").orderBy("tsn")
+        .rangeBetween(-7L * 86400, 0)
+      val click = col("event_type") === "click"
+      ev.withColumn("n_clicks_attr", count(when(click, 1)).over(w))
+        .withColumn("first_click_ts", min(when(click, col("ts"))).over(w))
+        .withColumn("last_click_ts", max(when(click, col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "n_clicks_attr",
+          "first_click_ts", "last_click_ts")
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, ts,
+           |            CAST(epoch(ts) AS BIGINT) AS tsn FROM events),
+           |a AS (SELECT event_id, user_id, event_type, ts,
+           |  count(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS n_clicks_attr,
+           |  min(CASE WHEN event_type = 'click' THEN ts END) OVER w AS first_click_ts,
+           |  max(CASE WHEN event_type = 'click' THEN ts END) OVER w AS last_click_ts
+           |  FROM e
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY tsn
+           |               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW))
+           |SELECT event_id, user_id, ts, n_clicks_attr,
+           |       first_click_ts, last_click_ts
+           |FROM a WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin))
+
+  // INCREMENTAL ZONE-MAP MAINTENANCE (q103): q83 measures what zone
+  // maps save; this keeps them CURRENT as batches land —
+  // fixed-width l_orderkey chunks carry (shipdate, price) min/max
+  // envelopes + row counts, the pre-2000 view merges the post-2000
+  // batch's chunk aggregates through TableOps.maintainZoneMap (one
+  // full-outer chunk join; least/greatest skip the missing side,
+  // counts zero-fill). The ORACLE is the full recompute, so the gate
+  // itself pins maintained == rebuilt (the q88/l2_incremental
+  // convention). Chunk width is a CONSTANT (256 keys) — maintenance
+  // needs stable chunk ids across batches, unlike q83's
+  // envelope-derived width. All exact: timestamp/double min-max are
+  // picks, counts integers.
+  private val q103 = QueryDef(
+    "q103_zonemap_maintain",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+      def zm(df: DataFrame): DataFrame =
+        df.groupBy(expr("l_orderkey div 256").as("chunk"))
+          .agg(min("l_shipdate").as("mn_ship"), max("l_shipdate").as("mx_ship"),
+            min("l_extendedprice").as("mn_price"),
+            max("l_extendedprice").as("mx_price"),
+            count(lit(1)).as("n_rows"))
+      val cut = lit("2000-01-01").cast("timestamp_ntz")
+      graft.ops.TableOps.maintainZoneMap(
+          zm(li.filter(col("l_shipdate") < cut)),
+          zm(li.filter(col("l_shipdate") >= cut)),
+          keys = Seq("chunk"),
+          minCols = Seq("mn_ship", "mn_price"),
+          maxCols = Seq("mx_ship", "mx_price"),
+          sumCols = Seq("n_rows"))
+        .orderBy("chunk")
+    },
+    Some("""SELECT l_orderkey // 256 AS chunk,
+           |  min(l_shipdate) AS mn_ship, max(l_shipdate) AS mx_ship,
+           |  min(l_extendedprice) AS mn_price, max(l_extendedprice) AS mx_price,
+           |  count(*) AS n_rows
+           |FROM lineitem GROUP BY chunk ORDER BY chunk""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -3131,5 +3214,5 @@ object Relational {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
-    q96, q97, q100, q101)
+    q96, q97, q100, q101, q102, q103)
 }
