@@ -2851,42 +2851,63 @@ object Relational {
   // (n_rows / n_keys) — the multiple of a perfectly uniform
   // partition the hottest key receives (>> 1 ⇒ salt or let AQE split
   // it). Each key costs one partial-aggregatable frequency count,
-  // one stats aggregate per key, and a per-key top-10 (window rank
-  // over the key-count-sized freq table, ties broken on the key)
-  // re-aggregated to one row — all exact integers; the three shares
-  // are rounded divisions. ONE fact scan total: the three candidate
-  // keys EXPLODE to (key_col, k) rows in a single pass (map-side
-  // combine collapses the 3n stream to distinct (key_col, k) pairs
-  // per partition before the one shuffle), and the combined frequency
-  // table — key-count-sized, not fact-sized — is CACHED for its two
-  // consumers. This is the query that runs BEFORE a 100 TB shuffle;
-  // it must not cost 6 fact passes to plan one.
+  // and ONE fused profile aggregate over it — a typed Aggregator
+  // carrying (n_keys, max_f, n_rows) counters plus a bounded top-10
+  // heap by (f desc, k asc), so stats AND the top-10 mass exit a
+  // SINGLE freq pass: no cache, no second freq read, no window sort.
+  // All exact integers; the three shares are rounded divisions. The
+  // fact is read exactly once per key column — the I/O floor: three
+  // single-column pruned parquet scans read the same bytes as one
+  // three-column scan, and the fused-explode alternative (tried in
+  // round 10) tripled the pre-aggregation row stream for a measured
+  // 2× slowdown while saving zero bytes (Q92Probe, docs/PERF.md).
+  // This is the query that runs BEFORE a 100 TB shuffle; the round-9
+  // shape cost 6 fact passes (freq recomputed per consumer), this
+  // costs 3 with nothing cached.
+  private case class SkewBuf(nKeys: Long, maxF: Long, nRows: Long,
+                             top: Seq[(Long, Long)])
+  private case class SkewOut(nKeys: Long, maxF: Long, nRows: Long, top10: Long)
+  /** q92's fused per-key profile aggregate over (f, k) frequency rows:
+    * exact counters + a bounded top-10 heap by (f desc, k asc) — the
+    * merge is associative/commutative (counter sums, heap union +
+    * re-trim), so the result is partition-order independent and
+    * bit-equal to the sort-then-limit spelling the oracle uses. */
+  private object SkewProfile extends Aggregator[(Long, Long), SkewBuf, SkewOut] {
+    private val K = 10
+    private val ord = Ordering.by[(Long, Long), (Long, Long)] {
+      case (f, k) => (-f, k)
+    }
+    private def trim(xs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      xs.sorted(ord).take(K)
+    def zero: SkewBuf = SkewBuf(0L, 0L, 0L, Nil)
+    def reduce(b: SkewBuf, a: (Long, Long)): SkewBuf =
+      SkewBuf(b.nKeys + 1, math.max(b.maxF, a._1), b.nRows + a._1,
+        trim(b.top :+ a))
+    def merge(x: SkewBuf, y: SkewBuf): SkewBuf =
+      SkewBuf(x.nKeys + y.nKeys, math.max(x.maxF, y.maxF),
+        x.nRows + y.nRows, trim(x.top ++ y.top))
+    def finish(b: SkewBuf): SkewOut =
+      SkewOut(b.nKeys, b.maxF, b.nRows, b.top.map(_._1).sum)
+    def bufferEncoder: Encoder[SkewBuf] = Encoders.product[SkewBuf]
+    def outputEncoder: Encoder[SkewOut] = Encoders.product[SkewOut]
+  }
+
   private val q92 = QueryDef(
     "q92_skew_profile",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-      val keys = Seq("l_partkey", "l_suppkey", "l_orderkey")
-      val freq = cached(
-        li.select(explode(array(keys.map(c =>
-            struct(lit(c).as("key_col"), col(c).cast("long").as("k"))): _*))
-            .as("e"))
-          .select(col("e.key_col"), col("e.k"))
-          .groupBy("key_col", "k").agg(count(lit(1)).as("f")))
-      val st = freq.groupBy("key_col").agg(count(lit(1)).as("n_keys"),
-        max("f").as("max_freq"), sum("f").as("n_rows"))
-      val top10 = freq
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("key_col").orderBy(desc("f"), asc("k"))))
-        .filter(col("rn") <= 10)
-        .groupBy("key_col").agg(sum("f").as("top10_rows"))
-      st.join(top10, "key_col")
-        .select(col("key_col"), col("n_rows"), col("n_keys"),
-          col("max_freq"),
-          round(col("max_freq") / col("n_rows"), 6).as("top1_share"),
-          round(col("top10_rows") / col("n_rows"), 6).as("top10_share"),
-          round(col("max_freq") * col("n_keys") / col("n_rows"), 6)
-            .as("skew_ratio"))
-        .orderBy("key_col")
+      val prof = udaf(SkewProfile)
+      def profile(c: String): DataFrame =
+        li.groupBy(col(c).as("k")).agg(count(lit(1)).as("f"))
+          .agg(prof(col("f"), col("k")).as("p"))
+          .select(lit(c).as("key_col"), col("p.nRows").as("n_rows"),
+            col("p.nKeys").as("n_keys"), col("p.maxF").as("max_freq"),
+            round(col("p.maxF") / col("p.nRows"), 6).as("top1_share"),
+            round(col("p.top10") / col("p.nRows"), 6).as("top10_share"),
+            round(col("p.maxF") * col("p.nKeys") / col("p.nRows"), 6)
+              .as("skew_ratio"))
+      Seq("l_partkey", "l_suppkey", "l_orderkey").map(profile)
+        .reduce(_ union _).orderBy("key_col")
     },
     Some {
       val blocks = Seq("l_partkey", "l_suppkey", "l_orderkey").map { c =>
