@@ -33,7 +33,13 @@ object Stress {
     "l3_cluster_sample_kept", "l2_edit_distance", "l4_bpe_merges",
     "l4_bpe_encode", "l4_bpe_merges_batched", "l8_weighted_sample",
     "l3_ann_incremental", "l8_importance", "l8_heavy_hitters",
-    "l2_incremental_clusters", "l8_cdc_chunks", "l3_truncated_recall")
+    "l2_incremental_clusters", "l8_cdc_chunks", "l3_truncated_recall",
+    // unigram-LM: train cost is WORD-TYPE-bounded after the one corpus
+    // scan (the fixture vocabulary is constant under replication), so
+    // the 10x ratio isolates the scan; encode adds the occurrence join
+    "l4_unigram_lm", "l4_unigram_encode",
+    // graph-search: index build is the IVF n^1.5, traversal beam-sized
+    "l3_ann_graph_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -793,8 +793,16 @@ object GraphOps {
     * tables of (seed, node, dist, sigma) where σ counts shortest
     * paths — exact longs. State = union of the per-level frontier
     * CHECKPOINTS (all leaves, so the union is lineage-free) — only
-    * the new level itself needs a cut each round. Returns the round
-    * session's edge table and levels(0..maxHops). */
+    * the new level itself needs a cut each round.
+    *
+    * DEPTH CAVEAT: round h's anti-join probes the union of ALL h
+    * prior level leaves, so a deep exploration pays a
+    * quadratic-in-depth union ladder — fine at the shipped maxHops
+    * 3-4 (betweenness/harmonic/q95's regime), wrong for diameter-deep
+    * walks: those belong on the carried-visited-table pattern
+    * ([[relaxLoop]]'s single `dist` table, one anti-join target per
+    * round) at the cost of a per-round node-sized checkpoint. Returns
+    * the round session's edge table and levels(0..maxHops). */
   private def seededBfs(edges: DataFrame, sources: DataFrame, maxHops: Int,
                         reliable: Boolean)
                        (implicit scope: CacheScope): (DataFrame, Vector[DataFrame]) = {
