@@ -1244,7 +1244,11 @@ object Graph {
     "q99_condensation",
     (s, dir) => {
       val scope = graft.ops.CacheScope.sessionOwned
-      val de = scope.cached(tradeGraph(s, dir))
+      // de is NOT cached: scc lineage-cuts its input internally, and
+      // the contraction's two join sides read the ~1 s de build more
+      // cheaply than a cache materialization distorts the scc path
+      // (measured: caching de cost ~5 s at sf0.1)
+      val de = tradeGraph(s, dir)
       val cm = scope.cached(graft.ops.GraphOps.scc(de)
         .select(col("node"), col("component")))
       de.join(cm.select(col("node").as("src"), col("component").as("c_src")), "src")
