@@ -14,9 +14,15 @@ class PlanContractSpec extends AnyFunSuite {
 
   private lazy val spark = SparkFixture.spark
 
-  private def formatted(name: String): String =
+  private def formatted(name: String): String = {
+    // plan contracts must not depend on suite ORDER: another suite's
+    // session caches would swap subtrees behind InMemoryRelation and
+    // hide the scans/filters asserted here (queries' OWN caches are
+    // registered during construction below and stay visible)
+    spark.sharedState.cacheManager.clearCache()
     SparkEntry.queries(name)(spark, SparkFixture.sfDir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
 
   test("q01: filters reach the parquet scan and columns are pruned") {
     val plan = formatted("q01_project_filter")
