@@ -472,12 +472,15 @@ object Multimodal {
       var w = -1; var h = -1; var ifds = 0
       var off = bb.getInt(4)
       while (off != 0) {
-        require(off >= 8 && off + 2 <= payload.length,
+        // overflow-safe bounds (the decodePng discipline): `off + k`
+        // wraps negative for off near Int.MaxValue and would let the
+        // check pass, so compare against `payload.length - off`
+        require(off >= 8 && off <= payload.length - 2,
           s"TIFF IFD offset out of bounds: $off")
         ifds += 1
         require(ifds <= 0xFFFF, "TIFF next-IFD chain does not terminate")
         val n = bb.getShort(off) & 0xFFFF
-        require(off + 2 + 12 * n + 4 <= payload.length, "truncated TIFF IFD")
+        require(payload.length - off >= 2 + 12 * n + 4, "truncated TIFF IFD")
         if (ifds == 1) {
           for (e <- 0 until n) {
             val base = off + 2 + 12 * e

@@ -30,7 +30,16 @@ object Constraints {
     def name = s"bounded($c)"
   }
 
-  /** `cs` is a key: violations = n_rows − n_distinct(cs). */
+  /** `cs` is a key: violations = n_rows − n_distinct(cs), where the
+    * distinct count SKIPS NULL-bearing tuples (Spark `countDistinct`
+    * semantics) — so every row with a NULL in any key column counts
+    * as a violation (a NULL can't identify a row; this matches the
+    * NOT NULL half of a PRIMARY KEY). A SQL oracle must spell the
+    * same NULL-skipping distinct explicitly —
+    * `count(DISTINCT CASE WHEN a IS NOT NULL AND b IS NOT NULL
+    * THEN (a, b) END)` — because a bare `count(DISTINCT (a, b))`
+    * counts a struct CONTAINING NULLs as one distinct value and
+    * diverges on NULL-keyed data (see the q101 oracle). */
   final case class Unique(cs: Seq[String]) extends Constraint {
     def name = s"unique(${cs.mkString(",")})"
   }

@@ -1067,12 +1067,17 @@ object GraphOps {
     * even+odd move SWEEPS until one moves zero nodes — the natural
     * local-move fixpoint ([[louvain]]'s fixed `rounds` keeps the
     * oracle query replayable; this form is for production depth).
-    * Each candidate move is accepted only when its exact-integer ΔQ
-    * score strictly improves on staying (the max_by tie-break prefers
-    * the stay row on equal score via the −c key ONLY when c₀ ranks
-    * higher; the score of staying is its own candidate row) — so
-    * modularity is non-decreasing sweep to sweep and a zero-move sweep
-    * is a true fixpoint of the semi-synchronous schedule. The change
+    * A candidate move is accepted when its exact-integer ΔQ score
+    * strictly improves on staying, OR ties it with a smaller
+    * community id (the shared max_by key is (score, −c) and staying
+    * is its own candidate row — so an equal-score tie moves the node
+    * whenever some candidate community has a smaller id than c₀).
+    * Zero-gain tie moves therefore DO occur; modularity is still
+    * non-decreasing sweep to sweep, and the sweeps terminate because
+    * every tie move strictly decreases the node's community id (a
+    * bounded integer can only decrease finitely often), so a
+    * zero-move sweep remains a true fixpoint of the semi-synchronous
+    * schedule. The change
     * probe is an inner label join (the node set is derived once from
     * the degree table and every step preserves it row-for-row, unlike
     * [[labelPropagationConverged]]'s contract-sensitive full-outer

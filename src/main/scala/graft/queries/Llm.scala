@@ -3920,8 +3920,11 @@ object Llm {
     * sort, and the strict < keeps the first minimum, so ties prefer
     * the longer piece); the backtrace walks bj pointers from
     * length(w), consuming >= 1 char per step. Pieces missing from
-    * `scores` simply produce no candidate (the char floor in
-    * [[ugCounts]] keeps every word coverable). */
+    * `scores` simply produce no candidate — a word left UNCOVERABLE
+    * that way (possible only when a caller supplies a vocabulary
+    * lacking some character; the char floor in [[ugCounts]] covers
+    * every word for the shipped trainers) fails loudly via a
+    * raise_error coverage guard instead of backtracking in place. */
   private[queries] def ugViterbi(words: DataFrame, scores: DataFrame): DataFrame = {
     val ps = ugSubs(words).join(scores, "p")
       .groupBy("w", "f")
@@ -3937,13 +3940,25 @@ object Llm {
           |        named_struct('cost', acc[e - x.j].cost + x.sc, 'bj', x.j),
           |        m))))""".stripMargin).as("best"))
       .select(col("w"), col("f"), expr(
-        """aggregate(sequence(1, length(w)),
+        // coverage guard: an uncoverable position leaves best[e] at
+        // (Infinity, bj=0) and the backtrace below would spin in
+        // place emitting empty tokens — the shipped callers are safe
+        // (ugCounts' character floor covers every word) but a direct
+        // caller with a gappy vocabulary must fail LOUDLY, not
+        // segment silently wrong
+        """if(best[length(w)].cost = cast('Infinity' as double),
+          |  cast(raise_error(concat('ugViterbi(): word "', w,
+          |    '" is not coverable by the supplied scores — the ',
+          |    'vocabulary lacks a character; train scores via ugCounts ',
+          |    '(character-coverage floor) or filter such words out'))
+          |    as array<string>),
+          |aggregate(sequence(1, length(w)),
           |  named_struct('pos', length(w), 'toks', cast(array() as array<string>)),
           |  (st, z) -> if(st.pos <= 0, st,
           |    named_struct('pos', st.pos - best[st.pos].bj,
           |      'toks', array_append(st.toks,
           |        substring(w, st.pos - best[st.pos].bj + 1, best[st.pos].bj)))),
-          |  st -> reverse(st.toks))""".stripMargin).as("toks"))
+          |  st -> reverse(st.toks)))""".stripMargin).as("toks"))
   }
 
   /** M-step usage counts with the character-coverage floor: piece

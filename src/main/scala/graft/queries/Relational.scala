@@ -3133,7 +3133,9 @@ object Relational {
            |    CAST(count(CASE WHEN l_discount IS NULL OR l_discount < 0
            |      OR l_discount > 0.05 THEN 1 END) AS BIGINT) FROM lineitem
            |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
-           |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+           |    CAST(count(*) - count(DISTINCT CASE
+           |        WHEN l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+           |        THEN (l_orderkey, l_linenumber) END)
            |      AS BIGINT) FROM lineitem
            |  UNION ALL SELECT 'foreign_key(l_orderkey)',
            |    CAST((SELECT count(*) FROM lineitem l

@@ -38,6 +38,20 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(toks3 == Seq("a", "b"), s"got $toks3")
   }
 
+  test("Viterbi fails loudly on an uncoverable word (vocabulary missing a char)") {
+    // 'c' has no piece: best[length] stays Infinity — the coverage
+    // guard must raise, never silently backtrack empty tokens
+    val scores = Seq(("a", 1.0), ("b", 1.0)).toDF("p", "sc")
+    val words = Seq(("abc", 1L)).toDF("w", "f")
+    val ex = intercept[Exception] {
+      Llm.ugViterbi(words, scores).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("not coverable")),
+      s"expected the coverage raise_error, got: $ex")
+  }
+
   test("EM prunes unused multi-char pieces; the char floor keeps every char") {
     // one word type "abab" x 4: the seed vocab holds a, b, ab, ba,
     // aba, bab, abab; after EM the 1-best segmentation concentrates
