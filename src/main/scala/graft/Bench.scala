@@ -49,7 +49,8 @@ object Bench {
     "q94_salted_join", "q95_hyperball", "q96_tpch_q17", "q97_tpch_q22",
     "l4_unigram_lm", "l4_unigram_encode",
     "q98_ktruss", "q99_condensation", "q100_mv_distinct", "q101_dq_constraints",
-    "l3_ann_graph_search", "q102_attribution", "q103_zonemap_maintain")
+    "l3_ann_graph_search", "q102_attribution", "q103_zonemap_maintain",
+    "q104_mv_join")
 
   /** 1-minute system load average, -1.0 where the platform can't say.
     * Recorded at both ends of the run so the record SELF-ADJUDICATES:

@@ -117,6 +117,50 @@ object TableOps {
           (coalesce(col(s"_mb.$c"), lit(0)) + coalesce(col(s"_md.$c"), lit(0))).as(c)): _*)
   }
 
+  /** The INSERT DELTA of a JOIN view V = A ⋈_keys B — the rows a full
+    * recompute would add after insert batches ΔA / ΔB land on the two
+    * sides: Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, with `a` / `b` the
+    * PRE-batch snapshots (using post-batch snapshots would double-count
+    * ΔA⋈ΔB). Either delta may be empty (one-sided ingest).
+    *
+    * Shape: three joins, each with a BATCH-sized delta on one side —
+    * the base tables are probed, never joined against each other, so
+    * maintenance cost scales with the batch (times join fan-out), not
+    * the view history. Each join shuffles on `keys` (or broadcasts the
+    * delta when it is small enough — size-decided); with both bases
+    * bucketed on the join keys ([[Bucketing]]) the base-side exchanges
+    * disappear and the three probes are exchange-free on the 100 TB
+    * side. Returned columns follow `viewCols`. DELETES are out of
+    * scope, as across this whole family: a general differential needs
+    * counted multisets (row multiplicities that can go negative); the
+    * insert-only form is the nightly-append contract the q88/q100/q103
+    * views share. */
+  def joinDelta(a: DataFrame, deltaA: DataFrame, b: DataFrame,
+                deltaB: DataFrame, keys: Seq[String],
+                viewCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "joinDelta needs at least one key column")
+    require(viewCols.nonEmpty, "joinDelta needs the view's column list")
+    def sel(df: DataFrame): DataFrame = df.select(viewCols.map(col): _*)
+    sel(deltaA.join(b, keys))
+      .unionByName(sel(a.join(deltaB, keys)))
+      .unionByName(sel(deltaA.join(deltaB, keys)))
+  }
+
+  /** INCREMENTAL MAINTENANCE of a JOIN materialized view: `mv` holds
+    * the current rows of V = A ⋈_keys B; the result appends
+    * [[joinDelta]]'s three delta joins — set-equal (multiset-equal,
+    * join multiplicities included) to recomputing the join over the
+    * post-batch snapshots, without ever re-executing base ⋈ base.
+    * The whole update is a pure APPEND of the delta rows, so a stored
+    * view maintains with an append-mode write of `joinDelta` alone.
+    * Completes the incremental-view family: sums/counts
+    * ([[maintainAgg]]), distincts ([[maintainDistinct]]), envelopes
+    * ([[maintainZoneMap]]), joins here. */
+  def maintainJoin(mv: DataFrame, a: DataFrame, deltaA: DataFrame,
+                   b: DataFrame, deltaB: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    mv.unionByName(joinDelta(a, deltaA, b, deltaB, keys, mv.columns.toSeq))
+
   /** Per-key HLL distinct-count SKETCH table — the materialization
     * side of [[maintainDistinct]]: (keys..., sketch binary). lgK
     * sizes the registers (relative std error ~1.04/√2^lgK). */

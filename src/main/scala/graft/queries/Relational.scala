@@ -3228,6 +3228,48 @@ object Relational {
            |  count(*) AS n_rows
            |FROM lineitem GROUP BY chunk ORDER BY chunk""".stripMargin))
 
+  // INCREMENTAL JOIN-VIEW MAINTENANCE (q104): the missing member of
+  // the incremental-view family (sums q88, distincts q100, envelopes
+  // q103) — a real pipeline's silver table is a JOINED view, and
+  // keeping it current under insert batches needs the delta algebra
+  // Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (TableOps.maintainJoin; A/B are
+  // the PRE-batch snapshots). Both sides take a batch here: orders
+  // split on o_orderdate, lineitem on l_shipdate — four disjoint
+  // quadrants whose delta joins reconstruct every cross pair, so the
+  // ORACLE IS THE FULL RECOMPUTE (the q88/q103 convention): the gate
+  // itself pins maintained == rebuilt, multiset semantics included
+  // (1:N join multiplicities ride the unionByName untouched). Scale:
+  // three batch-sided joins, base tables probed but never joined
+  // against each other — the plan contract counts exactly four joins
+  // (initial view build + three delta joins) and pins the split
+  // predicates at the delta scans.
+  private val q104 = QueryDef(
+    "q104_mv_join",
+    (s, dir) => {
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+      val cutO = lit("2000-01-01").cast("timestamp_ntz")
+      val cutL = lit("2000-06-01").cast("timestamp_ntz")
+      val a = ord.filter(col("o_orderdate") < cutO)
+      val da = ord.filter(col("o_orderdate") >= cutO)
+      val b = li.filter(col("l_shipdate") < cutL)
+      val db = li.filter(col("l_shipdate") >= cutL)
+      val viewCols = Seq("l_orderkey", "l_linenumber", "l_extendedprice",
+        "o_totalprice")
+      val mv0 = a.join(b, Seq("l_orderkey")).select(viewCols.map(col): _*)
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture
+      // (~14k duplicate keys at sf0.01) — the price column makes the
+      // output order total (full-tuple duplicates tie harmlessly)
+      graft.ops.TableOps.maintainJoin(mv0, a, da, b, db, Seq("l_orderkey"))
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice
+           |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -3237,5 +3279,5 @@ object Relational {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
-    q96, q97, q100, q101, q102, q103)
+    q96, q97, q100, q101, q102, q103, q104)
 }

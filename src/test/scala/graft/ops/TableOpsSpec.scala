@@ -116,4 +116,31 @@ test("maintainAgg: merged deltas equal a full recompute, new keys included") {
     val merged = est(TableOps.maintainDistinct(viewOnly, deltaOnly, Seq("k")))
     assert(merged.keySet == Set(0L, 1L), s"got ${merged.keySet}")
   }
+
+  test("maintainJoin: maintained view equals a full recompute, multiplicities included") {
+    // A is 1:N against B; deltas land on BOTH sides, including a key
+    // (4) present only via the deltas — the ΔA⋈ΔB term must catch it
+    val a  = Seq((1L, "a1"), (2L, "a2")).toDF("k", "av")
+    val da = Seq((3L, "a3"), (4L, "a4")).toDF("k", "av")
+    val b  = Seq((1L, 10), (1L, 11), (3L, 30)).toDF("k", "bv")
+    val db = Seq((2L, 20), (1L, 12), (4L, 40), (4L, 41)).toDF("k", "bv")
+    val viewCols = Seq("k", "av", "bv")
+    val mv0 = a.join(b, Seq("k")).select(viewCols.map(col): _*)
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val maintained = bag(TableOps.maintainJoin(mv0, a, da, b, db, Seq("k")))
+    val recomputed = bag(a.union(da).join(b.union(db), Seq("k"))
+      .select(viewCols.map(col): _*))
+    // MULTISET equality: duplicate join outputs (1:N fan-out) must
+    // carry the same multiplicity, not just the same distinct set
+    assert(maintained == recomputed, s"$maintained vs $recomputed")
+    assert(maintained.keys.exists(_._1 == 4L), "delta-only key must appear")
+    // one-sided ingest: an empty ΔB degenerates to mv ∪ ΔA⋈B
+    val oneSided = bag(TableOps.maintainJoin(mv0, a, da, b,
+      db.limit(0), Seq("k")))
+    val oneRecomputed = bag(a.union(da).join(b, Seq("k"))
+      .select(viewCols.map(col): _*))
+    assert(oneSided == oneRecomputed, s"$oneSided vs $oneRecomputed")
+  }
 }

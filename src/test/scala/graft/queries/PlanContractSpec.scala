@@ -678,4 +678,25 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p84.contains("CartesianProduct") && !p84.contains("BroadcastNestedLoopJoin"),
       s"q84 degenerated into a loop join:\n$p84")
   }
+
+  test("q104: join-view maintenance is delta-sided — 4 joins total, split filters at the scans") {
+    val plan = formatted("q104_mv_join")
+    // exactly FOUR equi-joins: the initial view build (a⋈b) plus the
+    // three delta joins ΔA⋈B, A⋈ΔB, ΔA⋈ΔB — a fifth join would mean
+    // maintenance re-executed base⋈base somewhere
+    val joins = """(?m)^\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"""
+      .r.findAllIn(plan).size
+    assert(joins == 4, s"expected exactly 4 equi-joins, found $joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"maintenance degenerated into a loop join:\n$plan")
+    // the batch split predicates must reach the parquet scans — at
+    // 100 TB the delta scans read the batch, not the table
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") &&
+      plan.contains("LessThan(o_orderdate"),
+      s"orders split predicate not pushed:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate"),
+      s"lineitem split predicate not pushed:\n$plan")
+  }
 }
