@@ -427,6 +427,35 @@ object Stress {
       val ktScaled = timeKTruss(100000 * factor)
       println(f"""{"stress":"graph_ktruss","base_edges":100000,"base":$ktBase%.3f,"scaled_edges":${100000 * factor},"scaled":$ktScaled%.3f,"ratio":${ktScaled / ktBase}%.1f}""")
     }
+    // BFS DEPTH: seededBfs (the betweenness/harmonic forward pass)
+    // probes a CARRIED visited checkpoint — one leaf per round — so
+    // doubling the exploration depth should ~double the time (the
+    // pre-round-11 shape unioned all h prior level leaves per round,
+    // a quadratic-in-depth ladder that would read ratio ~3.7 here).
+    // Ring graph: the frontier stays seed-bounded at every depth, so
+    // the measurement isolates the per-round machinery rather than
+    // frontier growth.
+    def timeBfsDepth(depth: Int): Double = {
+      val n = 100000L
+      val ring = spark.range(n).selectExpr(
+          s"id as a", s"(id + 1) % $n as b")
+        .selectExpr("stack(2, a, b, b, a) as (src, dst)")
+      val seeds = spark.range(256).selectExpr(s"(id * 390625) % $n as node")
+      val t0 = System.nanoTime()
+      graft.ops.GraphOps.harmonicCentrality(ring, seeds, maxHops = depth)(
+        graft.ops.CacheScope.sessionOwned)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      dt
+    }
+    if (only.isEmpty || only("graph_bfs_depth")) {
+      timeBfsDepth(5) // warm-up
+      val bBase = timeBfsDepth(5)
+      val bDeep = timeBfsDepth(10)
+      println(f"""{"stress":"graph_bfs_depth","base_depth":5,"base":$bBase%.3f,"scaled_depth":10,"scaled":$bDeep%.3f,"ratio":${bDeep / bBase}%.1f}""")
+    }
     if (only.isEmpty || only("skew_join")) {
       timeSkewJoin(1000000) // warm-up
       val kBase = timeSkewJoin(1000000)

@@ -791,18 +791,18 @@ object GraphOps {
 
   /** PER-SEED labeled BFS (the [[betweenness]] forward pass): level
     * tables of (seed, node, dist, sigma) where σ counts shortest
-    * paths — exact longs. State = union of the per-level frontier
-    * CHECKPOINTS (all leaves, so the union is lineage-free) — only
-    * the new level itself needs a cut each round.
+    * paths — exact longs.
     *
-    * DEPTH CAVEAT: round h's anti-join probes the union of ALL h
-    * prior level leaves, so a deep exploration pays a
-    * quadratic-in-depth union ladder — fine at the shipped maxHops
-    * 3-4 (betweenness/harmonic/q95's regime), wrong for diameter-deep
-    * walks: those belong on the carried-visited-table pattern
-    * ([[relaxLoop]]'s single `dist` table, one anti-join target per
-    * round) at the cost of a per-round node-sized checkpoint. Returns
-    * the round session's edge table and levels(0..maxHops). */
+    * Depth discipline: the anti-join target is a CARRIED visited
+    * table ([[relaxLoop]]'s single-`dist`-table pattern) — per round
+    * ONE (seed, node)-projected checkpoint absorbs the new frontier,
+    * so round h probes one leaf regardless of h. (The previous shape
+    * unioned all h prior level leaves per round — a
+    * quadratic-in-depth ladder of leaf scans that capped the shipped
+    * maxHops at 3-4; the carried table makes diameter-deep walks
+    * round-linear, stress entry `graph_bfs_depth`.) The final round
+    * skips the visited checkpoint (nothing probes it). Returns the
+    * round session's edge table and levels(0..maxHops). */
   private def seededBfs(edges: DataFrame, sources: DataFrame, maxHops: Int,
                         reliable: Boolean)
                        (implicit scope: CacheScope): (DataFrame, Vector[DataFrame]) = {
@@ -811,17 +811,20 @@ object GraphOps {
       intoSession(rs, sources.select(col("node")).distinct())
         .select(col("node").as("seed"), col("node"),
           lit(0L).as("dist"), lit(1L).as("sigma")), reliable)
+    var visited = frontier.select(col("seed"), col("node"))
     var levels = Vector(frontier)
     for (h <- 1 to maxHops) {
-      val state = levels.reduce(_ union _)
       val nxt = e.join(frontier, e("src") === frontier("node"))
         .select(col("seed"), col("dst"), col("sigma"))
         .groupBy("seed", "dst").agg(sum("sigma").as("sigma"))
         .select(col("seed"), col("dst").as("node"),
           lit(h.toLong).as("dist"), col("sigma"))
-        .join(state, Seq("seed", "node"), "left_anti")
+        .join(visited, Seq("seed", "node"), "left_anti")
       frontier = scope.checkpointed(nxt, reliable)
       levels = levels :+ frontier
+      if (h < maxHops)
+        visited = scope.checkpointed(
+          visited.union(frontier.select(col("seed"), col("node"))), reliable)
     }
     (e, levels)
   }
