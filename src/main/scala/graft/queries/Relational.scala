@@ -3270,6 +3270,193 @@ object Relational {
            |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
            |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin))
 
+  // The fixture has no partsupp table; the TPC-H Q2/Q11/Q16 shapes
+  // below derive one from lineitem — per (partkey, suppkey) the
+  // minimum observed price stands in for ps_supplycost. min is a
+  // PICK (no arithmetic), so the derived column is engine-exact and
+  // the oracle spells the identical CTE.
+  private def psDerived(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("p_partkey"), col("l_suppkey").as("s_suppkey"))
+      .agg(min("l_extendedprice").as("ps_supplycost"))
+
+  private val psDerivedSql =
+    """ps AS (SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+      |       min(l_extendedprice) AS ps_supplycost
+      |       FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  // TPC-H Q2 SHAPE (q105): minimum-cost supplier — the correlated
+  // MIN across a 4-dim join chain. Decorrelation is ONE pass over the
+  // region-filtered candidate set: part filter and the
+  // region→nation→supplier chain broadcast into the derived-partsupp
+  // join, then the per-part minimum arrives as a window MIN over the
+  // ALREADY-FILTERED candidates (the q96 discipline — Q2's correlated
+  // subquery ranges over the same region-filtered partsupp, so the
+  // window partition IS the correlation). Cost equality is a pick ==
+  // pick — exact doubles, no rounding contract. Top-100 by account
+  // balance; (s_acctbal desc, n_name, s_name, p_partkey) is total
+  // (s_name is unique, partkey distinct within a supplier's rows).
+  private val q105 = QueryDef(
+    "q105_tpch_q2",
+    (s, dir) => {
+      val pt = t(s, dir, "part")
+        .filter(col("p_type") === "STANDARD" && col("p_size") <= 25)
+        .select("p_partkey")
+      val su = t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      val na = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val re = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+        .select("r_regionkey")
+      val cand = psDerived(s, dir)
+        .join(broadcast(pt), "p_partkey")
+        .join(broadcast(su.join(na, col("s_nationkey") === col("n_nationkey"))
+          .join(re, col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name")), "s_suppkey")
+      val w = Window.partitionBy("p_partkey")
+      cand.withColumn("mincost", min("ps_supplycost").over(w))
+        .filter(col("ps_supplycost") === col("mincost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+    Some(s"""WITH $psDerivedSql,
+            |eur AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+            |        FROM supplier JOIN nation ON n_nationkey = s_nationkey
+            |        JOIN region ON r_regionkey = n_regionkey
+            |        WHERE r_name = 'EUROPE')
+            |SELECT s_acctbal, s_name, n_name, p.p_partkey, ps_supplycost
+            |FROM ps JOIN part p ON p.p_partkey = ps.p_partkey
+            |JOIN eur ON eur.s_suppkey = ps.s_suppkey
+            |WHERE p_type = 'STANDARD' AND p_size <= 25
+            |  AND ps_supplycost = (
+            |    SELECT min(ps2.ps_supplycost)
+            |    FROM ps ps2 JOIN eur e2 ON e2.s_suppkey = ps2.s_suppkey
+            |    WHERE ps2.p_partkey = p.p_partkey)
+            |ORDER BY s_acctbal DESC, n_name, s_name, p.p_partkey
+            |LIMIT 100""".stripMargin))
+
+  // TPC-H Q11 SHAPE (q106): important-stock — per-part value with a
+  // HAVING against a GLOBAL scalar aggregate. The fact is read ONCE:
+  // per-part values stay DECIMAL in the view, and the grand total is
+  // the sum of the group sums (decimal addition is exact and
+  // associative, so it equals the all-rows total bit-for-bit) — the
+  // total's aggregate subtree is identical to the value view's, so
+  // Catalyst plans a ReusedExchange instead of a second fact scan
+  // (contract-pinned). The scalar rides a broadcast crossJoin into
+  // the filter; the threshold total × 1e-4 is one IEEE product both
+  // engines compute identically from identical doubles.
+  private val q106 = QueryDef(
+    "q106_tpch_q11",
+    (s, dir) => {
+      val asia = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey").as("l_suppkey"))
+      val li = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(asia), "l_suppkey")
+      val valueDec = li.groupBy("l_partkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).as("vdec"))
+      val value = valueDec
+        .select(col("l_partkey"), col("vdec").cast("double").as("value"))
+      val total = valueDec.agg(sum("vdec").cast("double").as("total"))
+      value.crossJoin(broadcast(total))
+        .filter(col("value") > col("total") * lit(1e-4))
+        .select("l_partkey", "value")
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+    Some(s"""WITH asia AS (SELECT s_suppkey FROM supplier
+            |  JOIN nation ON n_nationkey = s_nationkey
+            |  JOIN region ON r_regionkey = n_regionkey
+            |  WHERE r_name = 'ASIA'),
+            |f AS (SELECT l_partkey,
+            |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS v
+            |      FROM lineitem JOIN asia ON s_suppkey = l_suppkey),
+            |tot AS (SELECT CAST(SUM(v) AS DOUBLE) AS total FROM f)
+            |SELECT l_partkey, CAST(SUM(v) AS DOUBLE) AS value
+            |FROM f, tot GROUP BY l_partkey, total
+            |HAVING CAST(SUM(v) AS DOUBLE) > total * 1e-4
+            |ORDER BY value DESC, l_partkey""".stripMargin))
+
+  // TPC-H Q15 SHAPE (q107): top supplier — an aggregate VIEW compared
+  // against its own MAX. The revenue view is one date-pruned fact
+  // aggregate; the max is a 1-row aggregate over the view broadcast
+  // back as an equality filter (Q15's correlated `= (SELECT max …)`
+  // decorrelated). Revenue is a decimal-exact sum cast to double, so
+  // the max-equality is bit-exact in both engines — the classic
+  // "floating-point HAVING =" trap never arises.
+  private val q107 = QueryDef(
+    "q107_tpch_q15",
+    (s, dir) => {
+      val lo = lit("1999-01-01").cast("timestamp_ntz")
+      val hi = lit("1999-04-01").cast("timestamp_ntz")
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_suppkey").as("s_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"))
+      val top = rev.agg(max("total_revenue").as("maxrev"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_revenue") === col("maxrev"))
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_name"), "s_suppkey")
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH rev AS (
+           |  SELECT l_suppkey AS s_suppkey,
+           |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+           |        AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+           |  FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+           |    AND l_shipdate < TIMESTAMP '1999-04-01'
+           |  GROUP BY l_suppkey)
+           |SELECT rev.s_suppkey, s_name, total_revenue
+           |FROM rev JOIN supplier ON supplier.s_suppkey = rev.s_suppkey
+           |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+           |ORDER BY rev.s_suppkey""".stripMargin))
+
+  // TPC-H Q16 SHAPE (q108): supplier count by part attributes — a
+  // DISTINCT count over the derived partsupp with a NOT-IN exclusion
+  // (suppliers "with complaints" stand in as negative account
+  // balance; the fixture has no s_comment). The exclusion is a
+  // broadcast left_anti against the handful of flagged suppliers
+  // (Q16's NOT IN decorrelates to exactly this), the part filters
+  // push to the part scan, and the distinct aggregate shuffles once
+  // on the (brand, type, size) group key. All-integer verdicts.
+  private val q108 = QueryDef(
+    "q108_tpch_q16",
+    (s, dir) => {
+      val pt = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#45" &&
+          !col("p_type").startsWith("MEDIUM") &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val flagged = t(s, dir, "supplier").filter(col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+      psDerived(s, dir)
+        .join(broadcast(pt), "p_partkey")
+        .join(broadcast(flagged), Seq("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("s_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+    Some(s"""WITH $psDerivedSql
+            |SELECT p_brand, p_type, p_size,
+            |       count(DISTINCT s_suppkey) AS supplier_cnt
+            |FROM ps JOIN part ON part.p_partkey = ps.p_partkey
+            |WHERE p_brand <> 'Brand#45'
+            |  AND p_type NOT LIKE 'MEDIUM%'
+            |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+            |  AND s_suppkey NOT IN (
+            |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            |GROUP BY p_brand, p_type, p_size
+            |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -3279,5 +3466,5 @@ object Relational {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
-    q96, q97, q100, q101, q102, q103, q104)
+    q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108)
 }

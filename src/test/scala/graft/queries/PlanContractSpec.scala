@@ -679,6 +679,48 @@ class PlanContractSpec extends AnyFunSuite {
       s"q84 degenerated into a loop join:\n$p84")
   }
 
+  test("TPC-H Q2/Q11/Q15/Q16: dim filters at the scans, dims broadcast, top-k partial") {
+    // q105 (Q2): part filter pushed; the dim chain broadcasts; the
+    // top-100 is a distributed partial top-k, not a global sort
+    val p105 = formatted("q105_tpch_q2")
+    assert(p105.contains("EqualTo(p_type,STANDARD)") &&
+      p105.contains("LessThanOrEqual(p_size,25)"),
+      s"part filters not pushed:\n$p105")
+    assert(p105.contains("BroadcastHashJoin"), s"dim chain not broadcast:\n$p105")
+    assert(p105.contains("TakeOrderedAndProject"), s"top-100 is a global sort:\n$p105")
+    // q106 (Q11): region filter pushed; the supplier chain broadcasts
+    // into the fact join (the 1-row total crossJoin is the constant
+    // idiom and exempt from the no-BNLJ rule)
+    val p106 = formatted("q106_tpch_q11")
+    assert(p106.contains("EqualTo(r_name,ASIA)"),
+      s"region filter not pushed:\n$p106")
+    assert(p106.contains("BroadcastHashJoin"), s"supplier chain not broadcast:\n$p106")
+    // the grand total derives from the per-part view, so its aggregate
+    // subtree is canonically identical to the value view's — AQE must
+    // REUSE that shuffle stage at runtime instead of re-scanning the
+    // fact (reuse is a runtime decision under AQE, so the assertion
+    // reads the executed plan, not the static one)
+    spark.sharedState.cacheManager.clearCache()
+    val q106df = SparkEntry.queries("q106_tpch_q11")(spark, SparkFixture.sfDir)
+    q106df.collect() // execute THIS plan: AQE finalizes in place
+    val executed = q106df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedQueryStage") || executed.contains("ReusedExchange"),
+      s"total re-scans the fact instead of reusing the value view's shuffle stage:\n$executed")
+    // q107 (Q15): the quarter window must prune the fact scan
+    val p107 = formatted("q107_tpch_q15")
+    assert(p107.contains("GreaterThanOrEqual(l_shipdate") &&
+      p107.contains("LessThan(l_shipdate"),
+      s"quarter window not pushed to the lineitem scan:\n$p107")
+    // q108 (Q16): brand exclusion and size set pushed to the part
+    // scan; the flagged-supplier NOT IN runs as a broadcast anti-join
+    val p108 = formatted("q108_tpch_q16")
+    assert(p108.contains("Not(EqualTo(p_brand,Brand#45))") &&
+      p108.contains("In(p_size"),
+      s"part filters not pushed:\n$p108")
+    assert(p108.contains("LessThan(s_acctbal,0.0)"),
+      s"flagged-supplier filter not pushed:\n$p108")
+  }
+
   test("q104: join-view maintenance is delta-sided — 4 joins total, split filters at the scans") {
     val plan = formatted("q104_mv_join")
     // exactly FOUR equi-joins: the initial view build (a⋈b) plus the
