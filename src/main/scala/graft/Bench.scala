@@ -50,7 +50,7 @@ object Bench {
     "l4_unigram_lm", "l4_unigram_encode",
     "q98_ktruss", "q99_condensation", "q100_mv_distinct", "q101_dq_constraints",
     "l3_ann_graph_search", "q102_attribution", "q103_zonemap_maintain",
-    "q104_mv_join", "q105_tpch_q2", "q106_tpch_q11", "q107_tpch_q15",
+    "q104_mv_join", "l3_ann_hnsw", "q105_tpch_q2", "q106_tpch_q11", "q107_tpch_q15",
     "q108_tpch_q16")
 
   /** 1-minute system load average, -1.0 where the platform can't say.

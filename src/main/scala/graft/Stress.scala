@@ -39,7 +39,9 @@ object Stress {
     // the 10x ratio isolates the scan; encode adds the occurrence join
     "l4_unigram_lm", "l4_unigram_encode",
     // graph-search: index build is the IVF n^1.5, traversal beam-sized
-    "l3_ann_graph_search")
+    "l3_ann_graph_search",
+    // hnsw: same shared index; layer builds + descent are 4^-l-sized
+    "l3_ann_hnsw")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

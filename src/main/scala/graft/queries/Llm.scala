@@ -3349,9 +3349,14 @@ object Llm {
   // sub-bucket guard (CorpusOps.semDedup) is the documented remedy
   // when real embeddings collapse onto few lists.
   /** The IVF-bounded top-5 kNN graph build (unordered) — shared by
-    * l3_knn_graph and the l3_ann_graph_search traversal over it. */
-  private def knnGraphTop5(s: SparkSession, dir: String)
-                          (implicit scope: graft.ops.CacheScope): DataFrame = {
+    * l3_knn_graph and the l3_ann_graph_search traversal over it.
+    * Split: [[knnCandScored]] is the IVF-bucketed scored-candidate
+    * core (qid, vid, simr — every probe-bucket pair, no rank cut);
+    * [[knnGraphTop5]] ranks it to the top-5 graph, and l3_ann_hnsw
+    * additionally derives its per-LAYER adjacencies from the same
+    * scored set (one shared scoring pass, three consumers). */
+  private def knnCandScored(s: SparkSession, dir: String)
+                           (implicit scope: graft.ops.CacheScope): DataFrame = {
     val e = t(s, dir, "embeddings")
     val nlist = broadcast(e.agg(
       greatest(lit(32L), ceil(sqrt(count(lit(1)))).cast("long")).as("nlist")))
@@ -3375,8 +3380,14 @@ object Llm {
       .select("qid", "vid")
       .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
       .join(e.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
+    cand.select(col("qid"), col("vid"),
+      round(cosSim(col("qe"), col("ve")), 6).as("simr"))
+  }
+
+  private def knnGraphTop5(s: SparkSession, dir: String)
+                          (implicit scope: graft.ops.CacheScope): DataFrame = {
     val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
-    cand.withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
+    knnCandScored(s, dir)
       .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 5)
       .select("qid", "rn", "vid", "simr")
   }
@@ -3504,6 +3515,259 @@ object Llm {
          |  FROM b3 WHERE vid <> qid) WHERE rn <= 10
          |ORDER BY qid, rn""".stripMargin
     })
+
+  // HNSW-LAYERED ANN SEARCH (l3_ann_hnsw): the hierarchy over the
+  // flat NSW traversal (Malkov & Yashunin 2018). Layer membership is
+  // DETERMINISTIC — sha60(vid), p(level >= k) = 4^-k, the
+  // hash-derived analogue of HNSW's exponential level draw — and each
+  // layer's adjacency is a kNN graph AMONG THE LAYER'S MEMBERS:
+  // top-3 by similarity from the SAME IVF-bucketed scored-candidate
+  // pass the base top-5 graph ranks (knnCandScored — one scoring
+  // pass, three consumers; restricting the base graph to layer
+  // members instead would leave upper layers edgeless at 4^-2l
+  // survival). The search starts from {the single top-level entry,
+  // the query node itself} — the self-anchor is SYMMETRIC to the
+  // flat baseline, whose fixed entry set 0..3 contains all three
+  // query nodes — then per layer 3→1 the running best of everything
+  // scored expands its layer neighbors once (beam-1 descent), and
+  // the base layer runs the l3_ann_graph_search beam at width 10 for
+  // TWO rounds (vs flat's three — converging in fewer base rounds is
+  // the hierarchy's payoff) seeded from the descent's top-10 instead
+  // of 4 blind fixed entries. Both methods return RESULT-HEAP
+  // top-10: the best 10 of every candidate the search ever scored
+  // (the ef-candidates → top-k contract real HNSW implementations
+  // ship). The claim this query REPORTS (and the spec pins): the
+  // hierarchy reaches recall >= the flat search while scoring FEWER
+  // candidates (sf0.01: 29/30 hits at 231 scored vs flat's 29/30 at
+  // 399 — 42% fewer). Output: one row per method —
+  // n_scored = distinct (query, candidate) pairs scored, hits_at_10
+  // = overlap with the exact brute-force top-10 summed over the 3
+  // queries — all exact integers; the oracle replays both traversals
+  // CTE-for-CTE. Scale: after the shared index build every step is
+  // beam x degree rows per round, layer tables shrink 4^-l, and the
+  // brute-force pass exists only for the recall report.
+  private val l3hnsw = QueryDef(
+    "l3_ann_hnsw",
+    (s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
+      val e = t(s, dir, "embeddings")
+      val cs = cached(knnCandScored(s, dir))
+      val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+      val g = cs.withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= 5).select(col("qid").as("a"), col("vid").as("b"))
+      val adj = cached(
+        g.union(g.select(col("b").as("a"), col("a").as("b"))).distinct())
+      val lvl = cached(e.select(col("vec_id").as("vid"))
+        .withColumn("h", sha60(col("vid").cast("string")))
+        .withColumn("lvl",
+          when(pmod(col("h"), lit(64L)) === 0, 3)
+            .when(pmod(col("h"), lit(16L)) === 0, 2)
+            .when(pmod(col("h"), lit(4L)) === 0, 1)
+            .otherwise(0))
+        .select("vid", "lvl"))
+      def layerAdj(l: Int): DataFrame = {
+        val edges = cs
+          .join(lvl.select(col("vid").as("qid"), col("lvl").as("lq"))
+            .filter(col("lq") >= l), "qid")
+          .join(lvl.select(col("vid"), col("lvl").as("lv"))
+            .filter(col("lv") >= l), "vid")
+          .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 3)
+          .select(col("qid").as("a"), col("vid").as("b"))
+        edges.union(edges.select(col("b").as("a"), col("a").as("b"))).distinct()
+      }
+      val q = broadcast(e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+      def scored(cands: DataFrame): DataFrame =
+        cands.join(e.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
+          .join(q, "qid")
+          .select(col("qid"), col("vid"),
+            round(cosSim(col("qe"), col("ve")), 6).as("simr"))
+      val wB = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+      // per-round LINEAGE CUTS, not caches: each round references the
+      // previous scored set TWICE (anti-join + union), so cached
+      // lineage doubles the logical plan every round — 10 rounds
+      // would hand Catalyst a 2^10-node tree (measured: minutes of
+      // pure planning). The GraphOps round discipline applies.
+      def cut(df: DataFrame): DataFrame =
+        scope.checkpointed(df, reliable = false)
+      // --- HNSW: beam-1 descent from the single top-level entry ---
+      val entry = broadcast(lvl.orderBy(col("lvl").desc, col("vid").asc)
+        .limit(1).select(col("vid")))
+      var seen = cut(scored(q.select(col("qid")).crossJoin(entry)
+        .union(q.select(col("qid"), col("qid").as("vid")))))
+      for (l <- 3 to 1 by -1) {
+        val top1 = seen.withColumn("rn", row_number().over(wB))
+          .filter(col("rn") <= 1).select(col("qid"), col("vid").as("a"))
+        val neigh = top1.join(layerAdj(l), "a")
+          .select(col("qid"), col("b").as("vid")).distinct()
+          .join(seen.select("qid", "vid"), Seq("qid", "vid"), "left_anti")
+        seen = cut(seen.union(scored(neigh)))
+      }
+      var beam = cut(seen.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= 10).select("qid", "vid", "simr"))
+      for (_ <- 1 to 2) {
+        val expand = beam.select(col("qid"), col("vid").as("a"))
+          .join(adj, "a").select(col("qid"), col("b").as("vid")).distinct()
+          .join(seen.select("qid", "vid"), Seq("qid", "vid"), "left_anti")
+        val ns = cut(scored(expand))
+        seen = cut(seen.union(ns))
+        beam = cut(beam.union(ns)
+          .withColumn("rn", row_number().over(wB)).filter(col("rn") <= 10)
+          .select("qid", "vid", "simr"))
+      }
+      // --- flat: l3_ann_graph_search's exact traversal, scored set kept ---
+      var fseen = cut(scored(q.select(col("qid"))
+        .crossJoin(broadcast(e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("vid"))))))
+      var fbeam = fseen
+      for (_ <- 1 to 3) {
+        val expand = fbeam.select(col("qid"), col("vid").as("a"))
+          .join(adj, "a").select(col("qid"), col("b").as("vid")).distinct()
+          .join(fbeam.select("qid", "vid"), Seq("qid", "vid"), "left_anti")
+        val ns = cut(scored(expand))
+        fseen = cut(fseen.union(ns))
+        fbeam = cut(fbeam.union(ns)
+          .withColumn("rn", row_number().over(wB)).filter(col("rn") <= 10)
+          .select("qid", "vid", "simr"))
+      }
+      // --- exact top-10 ground truth + the two report rows ---
+      val exactTop = cached(
+        scored(q.select(col("qid"))
+          .crossJoin(e.select(col("vec_id").as("vid"))))
+          .filter(col("vid") =!= col("qid"))
+          .withColumn("rn", row_number().over(wB)).filter(col("rn") <= 10)
+          .select("qid", "vid"))
+      def report(method: String, all: DataFrame): DataFrame = {
+        // the flat traversal can re-score a candidate dropped from the
+        // beam (its anti-join sees only the beam) — distinct first, so
+        // ranking and the scored count see each pair once
+        val dist = all.select("qid", "vid", "simr").distinct()
+        val top = dist.filter(col("vid") =!= col("qid"))
+          .withColumn("rn", row_number().over(wB)).filter(col("rn") <= 10)
+          .select("qid", "vid")
+        dist.agg(count(lit(1)).as("n_scored"))
+          .crossJoin(top.join(exactTop, Seq("qid", "vid"))
+            .agg(count(lit(1)).as("hits_at_10")))
+          .select(lit(method).as("method"), col("n_scored"), col("hits_at_10"))
+      }
+      report("flat", fseen).unionByName(report("hnsw", seen)).orderBy("method")
+    },
+    Some {
+      def scoreCtes(tag: String, candCte: String): String =
+        s"""dp$tag AS (SELECT qid, vid, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
+           |  FROM $candCte JOIN x xa ON xa.vec_id = qid
+           |  JOIN x xb ON xb.vec_id = vid AND xb.d = xa.d GROUP BY qid, vid),
+           |sc$tag AS MATERIALIZED (SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS simr
+           |  FROM dp$tag JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid)""".stripMargin
+      // per-layer kNN adjacency: top-3 among layer members from the
+      // shared scored-candidate CTE (sdf), symmetrized
+      val layers = (1 to 3).map { l =>
+        s"""al$l AS (SELECT a, b FROM (
+           |  SELECT s.qid AS a, s.vid AS b,
+           |    row_number() OVER (PARTITION BY s.qid ORDER BY s.simr DESC, s.vid) AS rn
+           |  FROM sdm s JOIN lvl la ON la.vid = s.qid AND la.lvl >= $l
+           |             JOIN lvl lb ON lb.vid = s.vid AND lb.lvl >= $l) WHERE rn <= 3),
+           |adjl$l AS MATERIALIZED (SELECT DISTINCT a, b FROM
+           |  (SELECT a, b FROM al$l UNION ALL SELECT b, a FROM al$l))""".stripMargin
+      }.mkString(",\n")
+      // beam-1 descent: one layer-adjacency expansion per layer 3..1
+      val descent = (1 to 3).map { i =>
+        val l = 4 - i
+        s"""hcur$i AS (SELECT qid, vid FROM (
+           |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+           |  FROM seen${i - 1}) WHERE rn <= 1),
+           |hnb$i AS (SELECT DISTINCT c.qid, adjl$l.b AS vid
+           |  FROM hcur$i c JOIN adjl$l ON adjl$l.a = c.vid
+           |  WHERE NOT EXISTS (SELECT 1 FROM seen${i - 1} p
+           |                    WHERE p.qid = c.qid AND p.vid = adjl$l.b)),
+           |${scoreCtes(s"h$i", s"hnb$i")},
+           |seen$i AS MATERIALIZED (SELECT * FROM seen${i - 1}
+           |  UNION ALL SELECT * FROM sch$i)""".stripMargin
+      }.mkString(",\n")
+      // base-layer beam, seeded from the descent's scored top-10
+      val hnswRounds = (1 to 2).map { j =>
+        val i = j + 3
+        s"""hex$j AS (SELECT DISTINCT b.qid, adj.b AS vid
+           |  FROM hb${j - 1} b JOIN adj ON adj.a = b.vid
+           |  WHERE NOT EXISTS (SELECT 1 FROM seen${i - 1} p
+           |                    WHERE p.qid = b.qid AND p.vid = adj.b)),
+           |${scoreCtes(s"hx$j", s"hex$j")},
+           |seen$i AS MATERIALIZED (SELECT * FROM seen${i - 1}
+           |  UNION ALL SELECT * FROM schx$j),
+           |hb$j AS MATERIALIZED (SELECT qid, vid, simr FROM (
+           |  SELECT qid, vid, simr,
+           |    row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+           |  FROM (SELECT * FROM hb${j - 1} UNION ALL SELECT * FROM schx$j))
+           |  WHERE rn <= 10)""".stripMargin
+      }.mkString(",\n")
+      // flat: the l3_ann_graph_search traversal, verbatim discipline
+      val flatRounds = (1 to 3).map { i =>
+        s"""fex$i AS (SELECT DISTINCT b.qid, adj.b AS vid
+           |  FROM fb${i - 1} b JOIN adj ON adj.a = b.vid
+           |  WHERE NOT EXISTS (SELECT 1 FROM fb${i - 1} p
+           |                    WHERE p.qid = b.qid AND p.vid = adj.b)),
+           |${scoreCtes(s"f$i", s"fex$i")},
+           |fb$i AS MATERIALIZED (SELECT qid, vid, simr FROM (
+           |  SELECT qid, vid, simr,
+           |    row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+           |  FROM (SELECT * FROM fb${i - 1} UNION ALL SELECT * FROM scf$i))
+           |  WHERE rn <= 10)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $knnGraphOracleCtes,
+         |g5 AS MATERIALIZED (SELECT qid AS a, vid AS b FROM r WHERE rn <= 5),
+         |adj AS MATERIALIZED (SELECT DISTINCT a, b FROM
+         |  (SELECT a, b FROM g5 UNION ALL SELECT b, a FROM g5)),
+         |lvl AS MATERIALIZED (SELECT vid, CASE WHEN h % 64 = 0 THEN 3
+         |    WHEN h % 16 = 0 THEN 2 WHEN h % 4 = 0 THEN 1 ELSE 0 END AS lvl
+         |  FROM (SELECT vec_id AS vid,
+         |    CAST('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM embeddings)),
+         |sdm AS MATERIALIZED (SELECT qid, vid, simr FROM sdf),
+         |$layers,
+         |entry AS (SELECT vid FROM lvl ORDER BY lvl DESC, vid LIMIT 1),
+         |qs AS (SELECT 0 AS qid UNION ALL SELECT 1 UNION ALL SELECT 2),
+         |hc0 AS (SELECT qs.qid, entry.vid FROM qs, entry
+         |  UNION ALL SELECT qid, qid AS vid FROM qs),
+         |${scoreCtes("h0", "hc0")},
+         |seen0 AS MATERIALIZED (SELECT * FROM sch0),
+         |$descent,
+         |hb0 AS MATERIALIZED (SELECT qid, vid, simr FROM (
+         |  SELECT qid, vid, simr,
+         |    row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+         |  FROM seen3) WHERE rn <= 10),
+         |$hnswRounds,
+         |fc0 AS (SELECT qs.qid, v.vec_id AS vid FROM qs,
+         |        (SELECT vec_id FROM embeddings WHERE vec_id < 4) v),
+         |${scoreCtes("f0", "fc0")},
+         |fb0 AS MATERIALIZED (SELECT * FROM scf0),
+         |$flatRounds,
+         |fsc AS MATERIALIZED (SELECT DISTINCT qid, vid, simr FROM (
+         |  SELECT * FROM scf0 UNION ALL SELECT * FROM scf1
+         |  UNION ALL SELECT * FROM scf2 UNION ALL SELECT * FROM scf3)),
+         |bfc AS (SELECT qs.qid, e.vec_id AS vid FROM qs, embeddings e
+         |        WHERE e.vec_id <> qs.qid),
+         |${scoreCtes("bf", "bfc")},
+         |exact AS MATERIALIZED (SELECT qid, vid FROM (
+         |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+         |  FROM scbf) WHERE rn <= 10),
+         |ftop AS (SELECT qid, vid FROM (
+         |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+         |  FROM fsc WHERE vid <> qid) WHERE rn <= 10),
+         |htop AS (SELECT qid, vid FROM (
+         |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+         |  FROM seen5 WHERE vid <> qid) WHERE rn <= 10)
+         |SELECT method, n_scored, hits_at_10 FROM (
+         |  SELECT 'flat' AS method,
+         |    (SELECT count(*) FROM fsc) AS n_scored,
+         |    (SELECT count(*) FROM ftop JOIN exact
+         |       ON exact.qid = ftop.qid AND exact.vid = ftop.vid) AS hits_at_10
+         |  UNION ALL SELECT 'hnsw',
+         |    (SELECT count(*) FROM (SELECT DISTINCT qid, vid FROM seen5)),
+         |    (SELECT count(*) FROM htop JOIN exact
+         |       ON exact.qid = htop.qid AND exact.vid = htop.vid))
+         |ORDER BY method""".stripMargin
+    })
+
 
   // Exact substring-SPAN dedup (Lee et al. 2022) — any >=8-token run
   // already present in an earlier doc is removed token-exactly from
@@ -4367,5 +4631,5 @@ object Llm {
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
     l4bpeBatch, l3incr, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
-    l4ug, l4ugEnc, l3graphSearch)
+    l4ug, l4ugEnc, l3graphSearch, l3hnsw)
 }

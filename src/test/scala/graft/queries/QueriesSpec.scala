@@ -60,6 +60,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(perQ.size == 500, s"expected 500 query vectors, got ${perQ.size}")
   }
 
+  test("hnsw: recall >= the flat graph search at strictly fewer scored candidates") {
+    val rows = SparkEntry.queries("l3_ann_hnsw")(spark, SparkFixture.sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (flatScored, flatHits) = rows("flat")
+    val (hnswScored, hnswHits) = rows("hnsw")
+    info(s"flat: $flatHits/30 hits at $flatScored scored; " +
+      s"hnsw: $hnswHits/30 hits at $hnswScored scored")
+    // the hierarchy's contract: reach at least the flat traversal's
+    // recall while scoring strictly fewer (query, candidate) pairs —
+    // the descent replaces a beam round and the blind entry spread
+    assert(hnswHits >= flatHits,
+      s"hnsw recall fell below flat: $hnswHits < $flatHits")
+    assert(hnswScored < flatScored,
+      s"hnsw scored as much as flat: $hnswScored >= $flatScored")
+    assert(flatHits >= 27, s"flat baseline collapsed: $flatHits/30")
+  }
+
   test("cluster sample: centroid count adapts to corpus size, quota holds per cluster") {
     // k = max(32, ceil(sqrt(n))): at n = 2000 that is 45 centroids, and
     // each centroid vector assigns to itself (cos = 1.0 maximum), so
