@@ -601,6 +601,77 @@ class StreamingTckSpec extends AnyFunSuite {
       s"unmatched impression must emit with NULL click after expiry: $rows")
   }
 
+  // ---------------------------------------------------------------- T15
+  test("T15: FULL OUTER stream-stream join expires state on BOTH sides") {
+    // T10b exercises one-sided expiry; full-outer is the only shape
+    // where BOTH state stores must prove-and-release: an impression
+    // with no click emits (imp, NULL click), an orphan click emits
+    // (NULL imp, click) — each only after the opposite watermark
+    // passes its interval, and the matched pair exactly once.
+    val imps = MemoryStream[(Timestamp, Long)](spark)
+    val clks = MemoryStream[(Timestamp, Long)](spark)
+    val joined = imps.toDF().toDF("its", "imp_id").withWatermark("its", "2 minutes")
+      .join(
+        clks.toDF().toDF("cts", "clk_imp").withWatermark("cts", "2 minutes"),
+        expr("imp_id = clk_imp AND cts BETWEEN its AND its + interval 5 minutes"),
+        "fullOuter")
+      .select("imp_id", "its", "clk_imp", "cts")
+    val q = joined.writeStream.format("memory").queryName("t15_out").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+    imps.addData((ts(0), 1L), (ts(0), 2L)) // 1 will match; 2 never
+    clks.addData((ts(3), 1L))              // inside imp 1's interval
+    clks.addData((ts(4), 77L))             // orphan: no impression 77
+    q.processAllAvailable()
+    // watermark far past every interval end (+delay) on BOTH inputs,
+    // then one more trigger to flush the expired state
+    imps.addData((ts(30), 99L)); clks.addData((ts(30), 99L))
+    q.processAllAvailable()
+    imps.addData((ts(31), 98L)); clks.addData((ts(31), 98L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t15_out")
+      .select("imp_id", "clk_imp")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    val matched = rows.filter(r => r._1.contains(1L))
+    assert(matched.length == 1 && matched.head._2.contains(1L),
+      s"impression 1 must match its click exactly once: ${rows.toSeq}")
+    assert(rows.exists(r => r._1.contains(2L) && r._2.isEmpty),
+      s"unmatched impression must emit with NULL click side: ${rows.toSeq}")
+    assert(rows.exists(r => r._1.isEmpty && r._2.contains(77L)),
+      s"orphan click must emit with NULL impression side: ${rows.toSeq}")
+  }
+
+  test("T15b: LEFT SEMI stream-stream join emits match-only, once, across micro-batches") {
+    // the dedup-matching shape: a left row surfaces exactly ONCE when
+    // some right match exists in its interval — a second matching
+    // click in a LATER micro-batch must not re-emit it, and an
+    // unmatched impression never appears even after expiry.
+    val imps = MemoryStream[(Timestamp, Long)](spark)
+    val clks = MemoryStream[(Timestamp, Long)](spark)
+    val joined = imps.toDF().toDF("its", "imp_id").withWatermark("its", "2 minutes")
+      .join(
+        clks.toDF().toDF("cts", "clk_imp").withWatermark("cts", "2 minutes"),
+        expr("imp_id = clk_imp AND cts BETWEEN its AND its + interval 5 minutes"),
+        "leftSemi")
+      .select("imp_id", "its")
+    val q = joined.writeStream.format("memory").queryName("t15b_out").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("g").toString).start()
+    imps.addData((ts(0), 1L), (ts(0), 2L))
+    clks.addData((ts(1), 1L)) // first match -> emit imp 1
+    q.processAllAvailable()
+    clks.addData((ts(3), 1L)) // second match, later batch -> must NOT re-emit
+    q.processAllAvailable()
+    imps.addData((ts(30), 99L)); clks.addData((ts(30), 99L)) // expire imp 2's state
+    q.processAllAvailable()
+    imps.addData((ts(31), 98L)); clks.addData((ts(31), 98L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t15b_out").select("imp_id").as[Long].collect().toSeq
+    assert(got.count(_ == 1L) == 1,
+      s"semi join must emit impression 1 exactly once: $got")
+    assert(!got.contains(2L), s"unmatched impression leaked through semi join: $got")
+  }
+
   // ---------------------------------------------------------------- T2/T3 streaming-mode
   test("T2/T3: sliding and session windows run in streaming mode") {
     val in = MemoryStream[(Timestamp, Long)](spark)
