@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions.arity
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in auto-skew rewrite (OFF unless spark.graft.autoSkew.enabled
+    // AND a hot-key profile is registered — see graft.plans.AutoSkew)
+    ext.injectOptimizerRule(session => graft.plans.AutoSkewRule(session))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
