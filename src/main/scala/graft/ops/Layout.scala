@@ -85,4 +85,44 @@ object Layout {
       .sortWithinPartitions("_hkey")
       .drop("_hkey")
   }
+
+  /** CLUSTERING-HEALTH metric — the measured OPTIMIZE/recluster
+    * trigger: given per-chunk key envelopes (one row per file/chunk,
+    * CLOSED intervals [`mnCol`, `mxCol`]), how deeply do the
+    * envelopes overlap? A perfectly clustered layout has depth 1
+    * everywhere (each key point lives in one file, every predicate
+    * prunes to one chunk); q103-style maintained zone maps LOOSEN
+    * under appends, and once depth drifts a [[clusterByMorton]] /
+    * [[clusterByHilbert]] rewrite re-tightens — this metric is the
+    * number that says when.
+    *
+    * Computed as a boundary SWEEP, never a chunk × chunk interval
+    * self-join (a 100 TB table at 1 GB files has 10⁵ chunks — the
+    * join is 10¹⁰ pairs, the sweep 2·10⁵ events): each envelope
+    * emits (+1 at mn, −1 at mx), events order by (pos, starts-first)
+    * so touching closed intervals count as overlapping, and a running
+    * sum reads the depth. Sampled at each chunk's START event:
+    * depth(c) = number of chunks whose envelope covers c's mn,
+    * c itself included. Returns ONE row of exact integers —
+    * (n_chunks, sum_start_depth, max_depth); avg depth =
+    * sum_start_depth / n_chunks, left undivided so the output is
+    * engine-exact (sum and max are permutation-invariant under tied
+    * positions, so the nondeterministic order among ties is
+    * invisible). The window is a single global cumsum over the
+    * metadata-sized event table — chunk-count-bounded, not
+    * data-bounded. */
+  def clusteringDepth(zones: DataFrame, mnCol: String, mxCol: String): DataFrame = {
+    val ev = zones.select(explode(array(
+        struct(col(mnCol).cast("long").as("pos"), lit(1).as("d")),
+        struct(col(mxCol).cast("long").as("pos"), lit(-1).as("d")))).as("e"))
+      .select(col("e.pos").as("pos"), col("e.d").as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pos").asc, col("d").desc)
+      .rowsBetween(Long.MinValue, 0)
+    ev.withColumn("depth", sum("d").over(w))
+      .filter(col("d") === 1)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("depth").as("sum_start_depth"),
+        max("depth").as("max_depth"))
+  }
 }

@@ -3457,6 +3457,83 @@ object Relational {
             |GROUP BY p_brand, p_type, p_size
             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
 
+  // CLUSTERING-DEPTH HEALTH METRIC (q109): q83 measures what a layout
+  // SAVES on one probe query; this measures how far the layout itself
+  // has drifted — Layout.clusteringDepth runs the boundary sweep over
+  // each layout's per-chunk l_partkey envelopes (+1 at mn, −1 at mx,
+  // starts-first on ties so touching closed intervals overlap; a
+  // running sum reads the depth at every chunk start). The OPTIMIZE
+  // trigger a lakehouse table needs once q103-maintained zone maps
+  // loosen. Same chunking scaffold as q83 (morton-ranked vs natural
+  // order, 257 fixed-width chunks each); the z-order layout's partkey
+  // envelopes overlap shallowly, the natural layout's span the whole
+  // domain so every chunk overlaps every other (depth ≈ n_chunks) —
+  // the contrast IS the metric's point. Output: exact integers only
+  // (sum and max of the sweep are permutation-invariant under tied
+  // positions; avg = sum_start_depth / n_chunks left undivided).
+  private val q109 = QueryDef(
+    "q109_clustering_depth",
+    (s, dir) => {
+      val z = graft.ops.Layout.mortonKey(
+        col("l_partkey") % 65536, col("l_suppkey") % 65536)
+      val k = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), z.as("zkey"))
+      val env = broadcast(k.agg(
+        expr("max(zkey) div 256 + 1").as("wz"),
+        expr("max(l_orderkey) div 256 + 1").as("wo")))
+      val ch = k.crossJoin(env).select(
+        expr("zkey div wz").as("chz"),
+        expr("l_orderkey div wo").as("cho"),
+        col("l_partkey"))
+      def zones(chunkCol: String) =
+        ch.groupBy(col(chunkCol).as("chunk"))
+          .agg(min("l_partkey").as("mn_p"), max("l_partkey").as("mx_p"))
+      def row(name: String, chunkCol: String) =
+        graft.ops.Layout.clusteringDepth(zones(chunkCol), "mn_p", "mx_p")
+          .select(lit(name).as("layout"), col("n_chunks"),
+            col("sum_start_depth"), col("max_depth"))
+      row("natural", "cho").unionByName(row("zorder", "chz"))
+        .orderBy("layout")
+    },
+    Some("""WITH b AS (SELECT l_orderkey, l_partkey,
+           |                 l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+           |          FROM lineitem),
+           |s1 AS (SELECT *, ((x | (x << 8)) & 16711935) AS xa,
+           |                 ((y | (y << 8)) & 16711935) AS ya FROM b),
+           |s2 AS (SELECT *, ((xa | (xa << 4)) & 252645135) AS xb,
+           |                 ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+           |s3 AS (SELECT *, ((xb | (xb << 2)) & 858993459) AS xc,
+           |                 ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+           |s4 AS (SELECT *, ((xc | (xc << 1)) & 1431655765) AS xs,
+           |                 ((yc | (yc << 1)) & 1431655765) AS ys FROM s3),
+           |k AS (SELECT l_orderkey, l_partkey, (xs | (ys << 1)) AS zkey FROM s4),
+           |env AS (SELECT max(zkey) // 256 + 1 AS wz,
+           |               max(l_orderkey) // 256 + 1 AS wo FROM k),
+           |ch AS (SELECT zkey // (SELECT wz FROM env) AS chz,
+           |              l_orderkey // (SELECT wo FROM env) AS cho,
+           |              l_partkey FROM k),
+           |zz AS (SELECT chz AS chunk, min(l_partkey) AS mn_p,
+           |              max(l_partkey) AS mx_p FROM ch GROUP BY 1),
+           |zn AS (SELECT cho AS chunk, min(l_partkey) AS mn_p,
+           |              max(l_partkey) AS mx_p FROM ch GROUP BY 1),
+           |evz AS (SELECT mn_p AS pos, 1 AS d FROM zz
+           |        UNION ALL SELECT mx_p, -1 FROM zz),
+           |evn AS (SELECT mn_p AS pos, 1 AS d FROM zn
+           |        UNION ALL SELECT mx_p, -1 FROM zn),
+           |dz AS (SELECT d, CAST(SUM(d) OVER (ORDER BY pos, d DESC
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |       AS BIGINT) AS depth FROM evz),
+           |dn AS (SELECT d, CAST(SUM(d) OVER (ORDER BY pos, d DESC
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |       AS BIGINT) AS depth FROM evn)
+           |SELECT 'natural' AS layout, count(*) AS n_chunks,
+           |       CAST(sum(depth) AS BIGINT) AS sum_start_depth,
+           |       max(depth) AS max_depth FROM dn WHERE d = 1
+           |UNION ALL
+           |SELECT 'zorder', count(*), CAST(sum(depth) AS BIGINT),
+           |       max(depth) FROM dz WHERE d = 1
+           |ORDER BY layout""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -3466,5 +3543,5 @@ object Relational {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
-    q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108)
+    q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109)
 }

@@ -129,4 +129,25 @@ class LayoutSpec extends AnyFunSuite {
     }.max
     assert(zmax > 1, s"the Z walk should jump at quadrant seams (got max step $zmax)")
   }
+
+  test("clusteringDepth: hand-traceable sweep — overlap, containment, touching, disjoint") {
+    // chunks: [0,10] and [5,15] overlap; [15,20] TOUCHES [5,15] at 15
+    // (closed intervals share the point -> overlap); [30,40] disjoint.
+    // start depths: [0,10]->1, [5,15]->2, [15,20]->2, [30,40]->1
+    val zones = Seq((0L, 10L), (5L, 15L), (15L, 20L), (30L, 40L))
+      .toDF("mn", "mx")
+    val r = Layout.clusteringDepth(zones, "mn", "mx").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 6L, 2L)),
+      s"got (n=${r.getLong(0)}, sum=${r.getLong(1)}, max=${r.getLong(2)})")
+    // containment: [0,100] swallows [10,20] and [30,40] -> start
+    // depths 1, 2, 2; a perfectly clustered layout reads all 1s
+    val nest = Seq((0L, 100L), (10L, 20L), (30L, 40L)).toDF("mn", "mx")
+    val r2 = Layout.clusteringDepth(nest, "mn", "mx").collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((3L, 5L, 2L)),
+      s"got (n=${r2.getLong(0)}, sum=${r2.getLong(1)}, max=${r2.getLong(2)})")
+    val perfect = Seq((0L, 9L), (10L, 19L), (20L, 29L)).toDF("mn", "mx")
+    val r3 = Layout.clusteringDepth(perfect, "mn", "mx").collect().head
+    assert((r3.getLong(0), r3.getLong(1), r3.getLong(2)) == ((3L, 3L, 1L)),
+      s"perfect layout must read depth 1 everywhere: $r3")
+  }
 }
