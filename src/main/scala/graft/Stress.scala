@@ -319,6 +319,62 @@ object Stress {
       println(f"""{"stress":"graph_scc","base_cycles":20000,"base":$sBase%.3f,"scaled_cycles":${20000 * factor},"scaled":$sScaled%.3f,"ratio":${sScaled / sBase}%.1f}""")
     }
 
+    // CONVERGED-FORM SCC: the fixed-schedule entry above prices a
+    // round; the production sccConverged form adds a convergence
+    // PROBE (an action) per outer round — this entry prices that
+    // action-per-round cost at scale. Same guaranteed-SCC corpus.
+    def timeSccConverged(nCycles: Int): Double = {
+      val n = 4L * nCycles
+      val cycles = spark.range(n)
+        .selectExpr("id as src", "(id div 4) * 4 + (id + 1) % 4 as dst")
+      val chords = spark.range(nCycles.toLong)
+        .selectExpr(s"(id * 6364136223) % $n as src",
+          s"(id * 2654435761) % $n as dst")
+        .filter("src <> dst")
+      val t0 = System.nanoTime()
+      graft.ops.GraphOps.sccConverged(cycles.union(chords).distinct())(
+        graft.ops.CacheScope.sessionOwned)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      dt
+    }
+    if (only.isEmpty || only("graph_scc_converged")) {
+      timeSccConverged(20000) // warm-up
+      val sBase = timeSccConverged(20000)
+      val sScaled = timeSccConverged(20000 * factor)
+      println(f"""{"stress":"graph_scc_converged","base_cycles":20000,"base":$sBase%.3f,"scaled_cycles":${20000 * factor},"scaled":$sScaled%.3f,"ratio":${sScaled / sBase}%.1f}""")
+    }
+
+    // CONVERGED-FORM K-TRUSS: peel until no edge drops, with the
+    // per-round convergence action — prices kTrussConverged's
+    // action-per-round against the fixed-round graph_ktruss entry.
+    def timeKTrussConverged(nEdges: Int): Double = {
+      val nodes = nEdges / 2L
+      val spokes = spark.range(1, nodes / 5)
+        .selectExpr("cast(0 as bigint) as src", "id as dst")
+      val chords = spark.range(nEdges.toLong)
+        .selectExpr(s"1 + (id * 6364136223) % $nodes as a",
+          s"1 + (id * 2654435761) % $nodes as b")
+        .selectExpr("least(a, b) as src", "greatest(a, b) as dst")
+        .filter("src < dst").distinct()
+      val t0 = System.nanoTime()
+      graft.ops.GraphOps.kTrussConverged(spokes.union(chords).distinct(), k = 3)(
+        graft.ops.CacheScope.sessionOwned)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      dt
+    }
+    if (only.isEmpty || only("graph_ktruss_converged")) {
+      timeKTrussConverged(100000) // warm-up
+      val kBase = timeKTrussConverged(100000)
+      val kScaled = timeKTrussConverged(100000 * factor)
+      println(f"""{"stress":"graph_ktruss_converged","base_edges":100000,"base":$kBase%.3f,"scaled_edges":${100000 * factor},"scaled":$kScaled%.3f,"ratio":${kScaled / kBase}%.1f}""")
+    }
+
     // TWO-LEVEL LOUVAIN: fixed rounds at both levels, contraction in
     // between — per-level cost is edge-linear and the level-2 graph is
     // community-sized, so 10x edges must cost ~10x at worst. Base
