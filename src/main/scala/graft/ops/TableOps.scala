@@ -161,6 +161,63 @@ object TableOps {
                    keys: Seq[String]): DataFrame =
     mv.unionByName(joinDelta(a, deltaA, b, deltaB, keys, mv.columns.toSeq))
 
+  /** COUNTED-multiset join delta — the general differential the
+    * insert-only [[joinDelta]] documents as out of scope: every input
+    * row carries a signed MULTIPLICITY (`multCol`: +1 insert, −1
+    * delete; a consolidated snapshot may carry any non-zero count),
+    * and the join is BILINEAR in multiplicities —
+    * (A+ΔA)⋈(B+ΔB) = A⋈B + ΔA⋈B + A⋈ΔB + ΔA⋈ΔB with the output
+    * multiplicity the PRODUCT of the sides' (the DBSP / differential
+    * dataflow Z-set algebra). `a`/`b` are the PRE-batch snapshots;
+    * deletes must reference rows present in them (standard changelog
+    * contract). Same three batch-sided joins as [[joinDelta]] — the
+    * bases are probed, never joined against each other. The result is
+    * UNCONSOLIDATED (append it to the stored view; the same view row
+    * may appear with several signed counts) — [[consolidate]] merges,
+    * which is how a DBSP view stays append-only between compactions. */
+  def joinDeltaCounted(a: DataFrame, deltaA: DataFrame, b: DataFrame,
+                       deltaB: DataFrame, keys: Seq[String],
+                       viewCols: Seq[String],
+                       multCol: String = "_mult"): DataFrame = {
+    require(keys.nonEmpty, "joinDeltaCounted needs at least one key column")
+    require(viewCols.nonEmpty, "joinDeltaCounted needs the view's column list")
+    require(!viewCols.contains(multCol), s"$multCol must not be a view column")
+    def side(df: DataFrame, as: String): DataFrame =
+      df.withColumnRenamed(multCol, as)
+    def j(l: DataFrame, r: DataFrame): DataFrame =
+      side(l, "_ml").join(side(r, "_mr"), keys)
+        .select(viewCols.map(col) :+
+          (col("_ml") * col("_mr")).as(multCol): _*)
+    j(deltaA, b).unionByName(j(a, deltaB)).unionByName(j(deltaA, deltaB))
+  }
+
+  /** Merge a counted view's signed rows: one group-by over the view
+    * columns summing multiplicities, zero-count rows vanish (an
+    * insert+delete pair nets out). Run at COMPACTION or read time —
+    * the stored view appends [[joinDeltaCounted]] batches between
+    * consolidations, so maintenance writes stay batch-sized while
+    * only the periodic consolidation pays a view-keyed shuffle. */
+  def consolidate(view: DataFrame, viewCols: Seq[String],
+                  multCol: String = "_mult"): DataFrame =
+    view.groupBy(viewCols.map(col): _*)
+      .agg(sum(multCol).as(multCol))
+      .filter(col(multCol) =!= 0L)
+
+  /** [[maintainJoin]] with DELETES: `mv` is the consolidated counted
+    * view of A ⋈_keys B; the result is the consolidated view after
+    * signed batches ΔA / ΔB land — equal to recomputing the join of
+    * the POST-batch snapshots with per-row join multiplicities. */
+  def maintainJoinCounted(mv: DataFrame, a: DataFrame, deltaA: DataFrame,
+                          b: DataFrame, deltaB: DataFrame,
+                          keys: Seq[String],
+                          multCol: String = "_mult"): DataFrame = {
+    val viewCols = mv.columns.toSeq.filterNot(_ == multCol)
+    consolidate(
+      mv.unionByName(
+        joinDeltaCounted(a, deltaA, b, deltaB, keys, viewCols, multCol)),
+      viewCols, multCol)
+  }
+
   /** Per-key HLL distinct-count SKETCH table — the materialization
     * side of [[maintainDistinct]]: (keys..., sketch binary). lgK
     * sizes the registers (relative std error ~1.04/√2^lgK). */

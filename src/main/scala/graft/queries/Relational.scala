@@ -3534,6 +3534,65 @@ object Relational {
            |       max(depth) FROM dz WHERE d = 1
            |ORDER BY layout""".stripMargin))
 
+  // COUNTED JOIN-VIEW MAINTENANCE WITH DELETES (q110): q104 ships the
+  // insert-only delta algebra and documents deletes as needing
+  // counted multisets — this is that algebra (DBSP / differential
+  // dataflow Z-sets, TableOps.joinDeltaCounted): every row carries a
+  // signed multiplicity, the delta join multiplies them, and
+  // consolidation sums per view row with zero-counts vanishing.
+  // Batches here carry BOTH inserts and deletes on BOTH sides
+  // (orders: post-cut inserts + every 7th pre-cut key deleted;
+  // lineitem: post-cut inserts + every 5th pre-cut suppkey deleted).
+  // The ORACLE is the full recompute over the POST-delete snapshots
+  // with count(*) as the view multiplicity — the gate pins
+  // maintained == rebuilt under deletes, the q104 convention
+  // extended. All exact integers.
+  private val q110 = QueryDef(
+    "q110_mv_join_delete",
+    (s, dir) => {
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_suppkey",
+          "l_extendedprice", "l_shipdate")
+      val cutO = lit("2000-01-01").cast("timestamp_ntz")
+      val cutL = lit("2000-06-01").cast("timestamp_ntz")
+      def m(df: DataFrame, v: Int) = df.withColumn("_mult", lit(v.toLong))
+      val a = m(ord.filter(col("o_orderdate") < cutO), 1)
+      val da = m(ord.filter(col("o_orderdate") >= cutO), 1)
+        .unionByName(m(ord.filter(col("o_orderdate") < cutO &&
+          col("l_orderkey") % 7 === 0), -1))
+      val b = m(li.filter(col("l_shipdate") < cutL), 1)
+      val db = m(li.filter(col("l_shipdate") >= cutL), 1)
+        .unionByName(m(li.filter(col("l_shipdate") < cutL &&
+          col("l_suppkey") % 5 === 0), -1))
+      val viewCols = Seq("l_orderkey", "l_linenumber", "l_extendedprice",
+        "o_totalprice")
+      val mv0 = graft.ops.TableOps.consolidate(
+        a.withColumnRenamed("_mult", "_ml")
+          .join(b.withColumnRenamed("_mult", "_mr"), Seq("l_orderkey"))
+          .select(viewCols.map(col) :+ (col("_ml") * col("_mr")).as("_mult"): _*),
+        viewCols)
+      graft.ops.TableOps.maintainJoinCounted(mv0, a, da, b, db,
+          Seq("l_orderkey"))
+        .withColumnRenamed("_mult", "mult")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    },
+    Some("""WITH af AS (
+           |  SELECT o_orderkey AS l_orderkey, o_totalprice FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+           |     OR o_orderkey % 7 <> 0),
+           |bf AS (
+           |  SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '2000-06-01'
+           |     OR l_suppkey % 5 <> 0)
+           |SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice,
+           |       count(*) AS mult
+           |FROM bf JOIN af USING (l_orderkey)
+           |GROUP BY l_orderkey, l_linenumber, l_extendedprice, o_totalprice
+           |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -3543,5 +3602,5 @@ object Relational {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
-    q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109)
+    q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
 }

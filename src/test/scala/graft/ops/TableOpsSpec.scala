@@ -143,4 +143,31 @@ test("maintainAgg: merged deltas equal a full recompute, new keys included") {
       .select(viewCols.map(col): _*))
     assert(oneSided == oneRecomputed, s"$oneSided vs $oneRecomputed")
   }
+
+  test("maintainJoinCounted: deletes with fan-out, delete+reinsert nets zero") {
+    // A: key 1 (will be DELETED — its 2 view rows must vanish), key 2
+    // (deleted then reinserted with a new value — net one change).
+    // B: 1:N rows; key 2 also gains a B-side delete.
+    val a  = Seq((1L, "a1", 1L), (2L, "a2", 1L)).toDF("k", "av", "_mult")
+    val da = Seq((1L, "a1", -1L),                  // delete a fan-out row
+                 (2L, "a2", -1L), (2L, "a2x", 1L), // delete + reinsert
+                 (3L, "a3", 1L)).toDF("k", "av", "_mult")
+    val b  = Seq((1L, 10, 1L), (1L, 11, 1L), (2L, 20, 1L), (3L, 30, 1L))
+      .toDF("k", "bv", "_mult")
+    val db = Seq((2L, 20, -1L), (2L, 21, 1L)).toDF("k", "bv", "_mult")
+    val viewCols = Seq("k", "av", "bv")
+    val mv0 = TableOps.consolidate(
+      a.withColumnRenamed("_mult", "_ml")
+        .join(b.withColumnRenamed("_mult", "_mr"), Seq("k"))
+        .select(col("k"), col("av"), col("bv"),
+          (col("_ml") * col("_mr")).as("_mult")),
+      viewCols)
+    val got = TableOps.maintainJoinCounted(mv0, a, da, b, db, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    // final snapshots: A = {2->a2x, 3->a3}, B = {1->10, 1->11, 2->21, 3->30}
+    val want = Map((2L, "a2x", 21) -> 1L, (3L, "a3", 30) -> 1L)
+    assert(got == want, s"$got vs $want")
+    // deleted key 1 must not survive anywhere (both its fan-out rows gone)
+    assert(!got.keys.exists(_._1 == 1L), s"deleted key leaked: $got")
+  }
 }
