@@ -3593,6 +3593,245 @@ object Relational {
            |GROUP BY l_orderkey, l_linenumber, l_extendedprice, o_totalprice
            |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin))
 
+  // TPC-H Q4 SHAPE (q111): order-priority checking — the classic
+  // EXISTS decorrelation. The correlated predicate references BOTH
+  // tables (l_shipdate > o_orderdate + 30 days — the fixture's
+  // late-shipment proxy; it has no commit/receipt dates), so the
+  // EXISTS becomes a LEFT SEMI join carrying the cross-table
+  // inequality alongside the orderkey equi-key: each order counts
+  // once no matter how many late lines it has (semi, not inner —
+  // THE Q4 trap). The quarter window prunes the orders scan; the
+  // semi join shuffles once on orderkey. All-integer counts.
+  private val q111 = QueryDef(
+    "q111_tpch_q4",
+    (s, dir) => {
+      val lo = lit("1997-07-01").cast("timestamp_ntz")
+      val hi = lit("1997-10-01").cast("timestamp_ntz")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+           |FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+           |  AND o_orderdate < TIMESTAMP '1997-10-01'
+           |  AND EXISTS (SELECT 1 FROM lineitem
+           |              WHERE l_orderkey = o_orderkey
+           |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
+  // TPC-H Q6 SHAPE (q112): forecast-revenue change — the simplest
+  // query in the suite and the purest pushdown test: every predicate
+  // (date window, discount band, quantity cap) must reach the parquet
+  // scan, and the whole plan is scan → partial agg → 1-row final agg.
+  // No join, no window, ONE exchange of 32 partial rows. Revenue sums
+  // through DECIMAL(18,6) (dsum) so partitioning never moves a bit.
+  private val q112 = QueryDef(
+    "q112_tpch_q6",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    },
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+           |         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           |  AND l_shipdate < TIMESTAMP '1998-01-01'
+           |  AND l_discount BETWEEN 0.05 AND 0.07
+           |  AND l_quantity < 24""".stripMargin))
+
+  // TPC-H Q9 SHAPE (q113): product-type profit by nation and year —
+  // the widest join tree in the suite (fact × derived-partsupp ×
+  // part × supplier×nation × orders). The part filter (name contains
+  // "gear") broadcasts into the derived partsupp BEFORE the fact
+  // probes it, the supplier→nation map broadcasts, and only the
+  // orders join (orderkey, for the year) shuffles fact-sized rows.
+  // amount = price×(1−disc) − supplycost×qty is per-row IEEE
+  // arithmetic over identically-stored doubles (supplycost is the
+  // q105 min-pick — exact), summed through DECIMAL(18,6).
+  private val q113 = QueryDef(
+    "q113_tpch_q9",
+    (s, dir) => {
+      val pt = t(s, dir, "part").filter(col("p_name").contains("gear"))
+        .select("p_partkey")
+      val sn = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("_snk"), col("n_name").as("nation"))
+      val psf = psDerived(s, dir).join(broadcast(pt), "p_partkey")
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+      val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        col("ps_supplycost") * col("l_quantity")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .join(psf, col("l_partkey") === col("p_partkey") &&
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("_snk"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(dsum(amount).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some(s"""WITH $psDerivedSql
+            |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+            |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+            |      - ps_supplycost * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+            |    AS sum_profit
+            |FROM lineitem
+            |JOIN ps ON ps.p_partkey = l_partkey AND ps.s_suppkey = l_suppkey
+            |JOIN part ON part.p_partkey = l_partkey
+            |JOIN supplier ON supplier.s_suppkey = l_suppkey
+            |JOIN nation ON n_nationkey = s_nationkey
+            |JOIN orders ON o_orderkey = l_orderkey
+            |WHERE p_name LIKE '%gear%'
+            |GROUP BY 1, 2
+            |ORDER BY nation, o_year DESC""".stripMargin))
+
+  // TPC-H Q12 SHAPE (q114): shipping-mode priority counts — the
+  // CASE-count aggregate over an orders⋈lineitem join. The fixture
+  // has no l_shipmode/commitdate/receiptdate: l_returnflag stands in
+  // as the mode column and "shipped ≥30 days after ordering" as the
+  // late predicate (cross-table inequality in the WHERE, like Q12's
+  // commit<receipt chain). Both CASE arms are integer counts off ONE
+  // pass — the high/low split never rescans. The ship-year window
+  // and mode IN-list push to the lineitem scan.
+  private val q114 = QueryDef(
+    "q114_tpch_q12",
+    (s, dir) => {
+      val pri = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+      t(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("l_returnflag").as("shipmode"))
+        .agg(sum(when(pri, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(pri, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("shipmode")
+    },
+    Some("""SELECT l_returnflag AS shipmode,
+           |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+           |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE l_returnflag IN ('A','R')
+           |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+           |  AND l_shipdate < TIMESTAMP '1998-01-01'
+           |  AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+           |GROUP BY 1
+           |ORDER BY shipmode""".stripMargin))
+
+  // TPC-H Q13 SHAPE (q115): customer order-count distribution — the
+  // LEFT OUTER whose filter lives in the JOIN CONDITION, not the
+  // WHERE (the Q13 trap: a WHERE filter would erase the zero-order
+  // customers the query exists to count; the fixture's priority
+  // exclusion stands in for the o_comment NOT LIKE). Two aggregates:
+  // per-customer order counts (custkey shuffle), then the
+  // count-of-counts (a few-hundred-group shuffle of already-tiny
+  // rows). COUNT(o_orderkey) skips the outer-join nulls in both
+  // engines. All-integer verdicts.
+  private val q115 = QueryDef(
+    "q115_tpch_q13",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey",
+        "o_orderpriority")
+      t(s, dir, "customer").select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "5-LOW", "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, count(*) AS custdist
+           |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+           |      FROM customer LEFT OUTER JOIN orders
+           |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+           |      GROUP BY c_custkey)
+           |GROUP BY c_count
+           |ORDER BY custdist DESC, c_count DESC""".stripMargin))
+
+  // TPC-H Q20 SHAPE (q116): potential part promotion — the nested
+  // IN/EXISTS chain, decorrelated into a semi-join pyramid. The
+  // fixture derives Q20's partsupp quantities from lineitem itself:
+  // availqty = pre-1997 shipped quantity (stock proxy), demand = 1997
+  // shipped quantity — DISJOINT windows, so the threshold test
+  // (avail > ½·demand) is non-vacuous. Both sums stay DECIMAL(18,6)
+  // and the ½ comparison is spelled 2·avail > demand — exact integer
+  // scaling, no float boundary. The part-name filter broadcasts into
+  // the stock aggregate; the qualifying (part,supp) pairs collapse to
+  // supplier keys through a LEFT SEMI (Q20's outer IN), and the
+  // two-nation filter prunes the supplier scan. Empty-demand groups
+  // drop on the inner join — exactly the correlated scalar subquery's
+  // NULL-comparison semantics.
+  private val q116 = QueryDef(
+    "q116_tpch_q20",
+    (s, dir) => {
+      val cut = lit("1997-01-01").cast("timestamp_ntz")
+      val hi = lit("1998-01-01").cast("timestamp_ntz")
+      val pt = t(s, dir, "part").filter(col("p_name").startsWith("small"))
+        .select("p_partkey")
+      val li = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+      val avail = li.filter(col("l_shipdate") < cut)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 6))).as("availqty"))
+      val dem = li.filter(col("l_shipdate") >= cut && col("l_shipdate") < hi)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 6))).as("q97"))
+      val hit = avail.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(dem, Seq("l_partkey", "l_suppkey"))
+        .filter(col("availqty") * 2 > col("q97"))
+        .select(col("l_suppkey").as("s_suppkey"))
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_3", "NATION_7"))
+          .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"))
+        .join(hit, Seq("s_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name", "s_acctbal")
+    },
+    Some("""WITH avail AS (
+           |  SELECT l_partkey, l_suppkey,
+           |         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS availqty
+           |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+           |  GROUP BY 1, 2),
+           |dem AS (
+           |  SELECT l_partkey, l_suppkey,
+           |         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS q97
+           |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           |    AND l_shipdate < TIMESTAMP '1998-01-01'
+           |  GROUP BY 1, 2)
+           |SELECT s_name, s_acctbal
+           |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+           |WHERE n_name IN ('NATION_3', 'NATION_7')
+           |  AND s_suppkey IN (
+           |    SELECT avail.l_suppkey FROM avail
+           |    WHERE avail.l_partkey IN
+           |        (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+           |      AND EXISTS (SELECT 1 FROM dem
+           |                  WHERE dem.l_partkey = avail.l_partkey
+           |                    AND dem.l_suppkey = avail.l_suppkey
+           |                    AND 2 * avail.availqty > dem.q97))
+           |ORDER BY s_name, s_acctbal""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -3602,5 +3841,6 @@ object Relational {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
-    q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
+    q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
+    q111, q112, q113, q114, q115, q116)
 }

@@ -725,6 +725,66 @@ class PlanContractSpec extends AnyFunSuite {
       s"flagged-supplier filter not pushed:\n$p108")
   }
 
+  test("TPC-H Q4/Q6/Q9/Q12/Q13/Q20: pushdowns, semi/outer shapes, broadcast dims") {
+    // q111 (Q4): the quarter window prunes the orders scan and the
+    // EXISTS stays a SEMI join (an inner join would double-count
+    // multi-late-line orders; a loop join would mean the orderkey
+    // equi-conjunct got lost under the cross-table inequality)
+    val p111 = formatted("q111_tpch_q4")
+    assert(p111.contains("GreaterThanOrEqual(o_orderdate") &&
+      p111.contains("LessThan(o_orderdate"),
+      s"quarter window not pushed to the orders scan:\n$p111")
+    assert(p111.toLowerCase.contains("leftsemi"),
+      s"EXISTS not planned as a semi join:\n$p111")
+    assert(!p111.contains("CartesianProduct") &&
+      !p111.contains("BroadcastNestedLoopJoin"),
+      s"q111 degenerated into a loop join:\n$p111")
+    // q112 (Q6): every predicate at the lineitem scan; the whole plan
+    // is scan → partial agg → ONE single-partition exchange → final
+    val p112 = formatted("q112_tpch_q6")
+    assert(p112.contains("GreaterThanOrEqual(l_shipdate") &&
+      p112.contains("GreaterThanOrEqual(l_discount,0.05") &&
+      p112.contains("LessThan(l_quantity,24"),
+      s"Q6 predicates not pushed to the scan:\n$p112")
+    assert(countNodes(p112, "Exchange") == 1,
+      s"Q6 should shuffle exactly once (32 partial rows):\n$p112")
+    // q113 (Q9): part-name filter pushed; dims broadcast; only the
+    // orders join may shuffle fact rows — no loop joins anywhere
+    val p113 = formatted("q113_tpch_q9")
+    assert(p113.contains("StringContains(p_name,gear"),
+      s"part-name filter not pushed:\n$p113")
+    assert(p113.contains("BroadcastHashJoin"),
+      s"dimension sides not broadcast:\n$p113")
+    assert(!p113.contains("CartesianProduct") &&
+      !p113.contains("BroadcastNestedLoopJoin"),
+      s"q113 degenerated into a loop join:\n$p113")
+    // q114 (Q12): mode IN-list and ship-year window at the lineitem scan
+    val p114 = formatted("q114_tpch_q12")
+    assert(p114.contains("In(l_returnflag") &&
+      p114.contains("GreaterThanOrEqual(l_shipdate"),
+      s"Q12 filters not pushed to the lineitem scan:\n$p114")
+    // q115 (Q13): the priority exclusion must reach the ORDERS scan
+    // (right side of the outer join — safe to pre-filter) while the
+    // join stays LEFT OUTER (zero-order customers must survive)
+    val p115 = formatted("q115_tpch_q13")
+    assert(p115.contains("Not(EqualTo(o_orderpriority,5-LOW))"),
+      s"priority exclusion not pushed to the orders scan:\n$p115")
+    assert(p115.toLowerCase.contains("leftouter"),
+      s"Q13 lost its outer join (zero-order customers dropped):\n$p115")
+    // q116 (Q20): part prefix + both date windows pushed; the outer IN
+    // is a semi join; the part filter broadcasts into the stock agg
+    val p116 = formatted("q116_tpch_q20")
+    assert(p116.contains("StringStartsWith(p_name,small)"),
+      s"part prefix not pushed:\n$p116")
+    assert(p116.contains("LessThan(l_shipdate") &&
+      p116.contains("GreaterThanOrEqual(l_shipdate"),
+      s"stock/demand windows not pushed to the lineitem scans:\n$p116")
+    assert(p116.toLowerCase.contains("leftsemi"),
+      s"outer IN not planned as a semi join:\n$p116")
+    assert(p116.contains("BroadcastHashJoin"),
+      s"part filter not broadcast into the stock aggregate:\n$p116")
+  }
+
   test("q104: join-view maintenance is delta-sided — 4 joins total, split filters at the scans") {
     val plan = formatted("q104_mv_join")
     // exactly FOUR equi-joins: the initial view build (a⋈b) plus the
