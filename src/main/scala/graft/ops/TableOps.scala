@@ -218,6 +218,57 @@ object TableOps {
       viewCols, multCol)
   }
 
+  /** Signed per-key AGGREGATE delta of a batch carrying multiplicities
+    * (`multCol`: +1 insert, −1 delete) — the Z-set image of the batch
+    * under the LINEAR aggregates: each of `sumCols` becomes
+    * Σ mult·value, the count column Σ mult. One batch-sized aggregate;
+    * the view and the fact history are never touched. `sumCols` name
+    * BOTH the batch's per-row value columns and the view's aggregate
+    * columns (the [[maintainAgg]] schema convention); keep them
+    * DECIMAL for bit-exact maintenance. */
+  def aggDeltaCounted(batch: DataFrame, keys: Seq[String], sumCols: Seq[String],
+                      countCol: String = "cnt",
+                      multCol: String = "_mult"): DataFrame = {
+    require(keys.nonEmpty, "aggDeltaCounted needs at least one key column")
+    require(!sumCols.contains(countCol) && !keys.contains(countCol),
+      s"$countCol collides with a key/sum column")
+    val aggs = sumCols.map(c => sum(col(multCol) * col(c)).as(c)) :+
+      sum(col(multCol)).as(countCol)
+    batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[maintainAgg]] with DELETES — the counted-aggregate form of the
+    * q110 Z-set algebra: `mv` holds per-key SUM/COUNT aggregates
+    * (`sumCols` + `countCol`), `batch` carries signed rows, and the
+    * result equals recomputing the aggregates over the post-batch
+    * snapshot — SUM and COUNT are LINEAR (they factor through
+    * Σ mult·value), so one full-outer key merge adds the
+    * [[aggDeltaCounted]] image in and groups whose count reaches zero
+    * VANISH (a fully-deleted group leaves no residue; deletes must
+    * reference rows present in the maintained history — the standard
+    * changelog contract, under which a zero count forces zero sums).
+    * MIN/MAX are NOT linear — a delete of the current extremum needs
+    * the value multiset (auxiliary-structure variant) or a recompute;
+    * that remains this family's documented limitation, as does
+    * COUNT DISTINCT (sketch path, [[maintainDistinct]] — HLL registers
+    * cannot unmerge either). Cost: one batch aggregate + one
+    * view-sized merge, same shape as [[maintainAgg]]. */
+  def maintainAggCounted(mv: DataFrame, batch: DataFrame, keys: Seq[String],
+                         sumCols: Seq[String], countCol: String = "cnt",
+                         multCol: String = "_mult"): DataFrame = {
+    require(keys.nonEmpty, "maintainAggCounted needs at least one key column")
+    val d = aggDeltaCounted(batch, keys, sumCols, countCol, multCol)
+    val m = mv.alias("_mb")
+    val dd = d.alias("_md")
+    val cond = keys.map(k => col(s"_mb.$k") === col(s"_md.$k")).reduce(_ && _)
+    m.join(dd, cond, "full_outer")
+      .select(keys.map(k => coalesce(col(s"_mb.$k"), col(s"_md.$k")).as(k)) ++
+        (sumCols :+ countCol).map(c =>
+          (coalesce(col(s"_mb.$c"), lit(0)) +
+            coalesce(col(s"_md.$c"), lit(0))).as(c)): _*)
+      .filter(col(countCol) =!= 0L)
+  }
+
   /** Per-key HLL distinct-count SKETCH table — the materialization
     * side of [[maintainDistinct]]: (keys..., sketch binary). lgK
     * sizes the registers (relative std error ~1.04/√2^lgK). */

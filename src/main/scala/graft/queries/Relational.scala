@@ -3832,6 +3832,44 @@ object Relational {
            |                    AND 2 * avail.availqty > dem.q97))
            |ORDER BY s_name, s_acctbal""".stripMargin))
 
+  // COUNTED AGGREGATE-VIEW MAINTENANCE WITH DELETES (q117): q88/q103
+  // maintain SUM/COUNT views insert-only; q110 closed deletes for
+  // JOIN views — this closes them for the AGGREGATE family
+  // (TableOps.maintainAggCounted). SUM and COUNT are LINEAR, so a
+  // signed batch (post-cut inserts +1, every-7th-orderkey pre-cut
+  // deletes −1) updates the view as Σ mult·value / Σ mult through one
+  // batch aggregate + one view-sized full-outer merge; a group whose
+  // count reaches zero VANISHES. The ORACLE is the full recompute
+  // over the post-delete snapshot (the q110 convention). Quantities
+  // sum in DECIMAL(18,6) end-to-end — maintained == rebuilt
+  // bit-for-bit — and only the final column casts to double.
+  private val q117 = QueryDef(
+    "q117_mv_agg_delete",
+    (s, dir) => {
+      val cut = lit("2000-06-01").cast("timestamp_ntz")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_quantity").cast(DecimalType(18, 6)).as("sum_qty"))
+      val pre = li.filter(col("l_shipdate") < cut)
+      def m(df: DataFrame, v: Int) = df.withColumn("_mult", lit(v.toLong))
+      val batch = m(li.filter(col("l_shipdate") >= cut), 1)
+        .unionByName(m(pre.filter(col("l_orderkey") % 7 === 0), -1))
+      val mv0 = pre.groupBy("l_suppkey")
+        .agg(sum("sum_qty").as("sum_qty"), count(lit(1)).as("cnt"))
+      graft.ops.TableOps.maintainAggCounted(mv0, batch, Seq("l_suppkey"),
+          Seq("sum_qty"), "cnt")
+        .select(col("l_suppkey"), col("sum_qty").cast("double").as("sum_qty"),
+          col("cnt"))
+        .orderBy("l_suppkey")
+    },
+    Some("""SELECT l_suppkey,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           |  count(*) AS cnt
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '2000-06-01' OR l_orderkey % 7 <> 0
+           |GROUP BY l_suppkey
+           |ORDER BY l_suppkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -3842,5 +3880,5 @@ object Relational {
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116)
+    q111, q112, q113, q114, q115, q116, q117)
 }

@@ -170,4 +170,35 @@ test("maintainAgg: merged deltas equal a full recompute, new keys included") {
     // deleted key 1 must not survive anywhere (both its fan-out rows gone)
     assert(!got.keys.exists(_._1 == 1L), s"deleted key leaked: $got")
   }
+
+  test("maintainAggCounted: deletes update sums/counts; an emptied group vanishes") {
+    // view: per-key SUM(v)/COUNT over the base snapshot
+    val base = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L))
+      .toDF("k", "sum_v")
+    val mv0 = base.groupBy("k")
+      .agg(sum("sum_v").as("sum_v"), count(lit(1)).as("cnt"))
+    // batch: key 1 loses one row, key 2 is EMPTIED, key 3 gains a row,
+    // key 4 is brand new
+    val batch = Seq(
+      (1L, 10L, -1L),
+      (2L, 5L, -1L),
+      (3L, 3L, 1L),
+      (4L, 100L, 1L)).toDF("k", "sum_v", "_mult")
+    val got = TableOps.maintainAggCounted(mv0, batch, Seq("k"), Seq("sum_v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = Map(1L -> (20L, 1L), 3L -> (10L, 2L), 4L -> (100L, 1L))
+    assert(got == want, s"$got vs $want")
+    assert(!got.contains(2L), s"emptied group survived: $got")
+  }
+
+  test("maintainAggCounted: delete+reinsert of the same row nets to no change") {
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "sum_v")
+    val mv0 = base.groupBy("k")
+      .agg(sum("sum_v").as("sum_v"), count(lit(1)).as("cnt"))
+    val batch = Seq((1L, 10L, -1L), (1L, 10L, 1L)).toDF("k", "sum_v", "_mult")
+    val got = TableOps.maintainAggCounted(mv0, batch, Seq("k"), Seq("sum_v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // identical to the untouched view — the net-zero batch is invisible
+    assert(got == Map(1L -> (10L, 1L), 2L -> (20L, 1L)), got.toString)
+  }
 }
