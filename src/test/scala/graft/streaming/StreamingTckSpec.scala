@@ -798,6 +798,100 @@ class StreamingTckSpec extends AnyFunSuite {
     assert(replay == v1, s"replayed merge diverged: $replay vs $v1")
   }
 
+  // ---------------------------------------------------------------- T16
+  test("T16: streaming DIFFERENTIAL join-view maintenance — signed batches with deletes, idempotent across restart") {
+    // T13 proves insert-only streaming MERGE; this runs the q110
+    // Z-set algebra IN-STREAM: change batches carry inserts AND
+    // deletes for BOTH join sides (side tag + signed _mult), and
+    // foreachBatch applies TableOps.maintainJoinCounted against the
+    // latest versioned snapshot triple (a, b, view), writing version
+    // id+1 — the T13 commit scheme. Exactly-once falls out of
+    // idempotence: a replayed signed batch re-derives the same
+    // version from the same predecessor, deletes included (the case
+    // insert-only MERGE never exercises — a double-APPLIED delete
+    // would underflow the multiplicity, a replayed one must not).
+    val root = Files.createTempDirectory("diffview").toString
+    val ck = Files.createTempDirectory("diffview-ck").toString
+    // v=0 seed: A = {1->a1, 2->a2}, B = {1->[10,11], 2->[20]},
+    // view = consolidated A⋈B with multiplicities
+    Seq((1L, "a1", 1L), (2L, "a2", 1L)).toDF("k", "av", "_mult")
+      .write.parquet(s"$root/v=0/a")
+    Seq((1L, 10, 1L), (1L, 11, 1L), (2L, 20, 1L)).toDF("k", "bv", "_mult")
+      .write.parquet(s"$root/v=0/b")
+    locally {
+      val sp = spark
+      val a0 = sp.read.parquet(s"$root/v=0/a").withColumnRenamed("_mult", "_ml")
+      val b0 = sp.read.parquet(s"$root/v=0/b").withColumnRenamed("_mult", "_mr")
+      graft.ops.TableOps.consolidate(
+        a0.join(b0, Seq("k")).select(col("k"), col("av"), col("bv"),
+          (col("_ml") * col("_mr")).as("_mult")),
+        Seq("k", "av", "bv"))
+        .write.parquet(s"$root/v=0/view")
+    }
+    val in = MemoryStream[(String, Long, String, Int, Long)](spark)
+    def latestVersion(): Long =
+      new java.io.File(root).listFiles().filter(_.getName.startsWith("v="))
+        .map(_.getName.stripPrefix("v=").toLong).max
+    def start() = in.toDF().toDF("side", "k", "av", "bv", "_mult")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        val prior = (id to 0L by -1L).map(v => s"$root/v=$v")
+          .find(d => new java.io.File(d).exists())
+          .getOrElse(s"$root/v=0")
+        val a = sp.read.parquet(s"$prior/a")
+        val b = sp.read.parquet(s"$prior/b")
+        val view = sp.read.parquet(s"$prior/view")
+        val da = batch.filter(col("side") === "a").select("k", "av", "_mult")
+        val db = batch.filter(col("side") === "b").select("k", "bv", "_mult")
+        val out = s"$root/v=${id + 1}"
+        graft.ops.TableOps.maintainJoinCounted(view, a, da, b, db, Seq("k"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/view")
+        graft.ops.TableOps.consolidate(a.unionByName(da), Seq("k", "av"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/a")
+        graft.ops.TableOps.consolidate(b.unionByName(db), Seq("k", "bv"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/b")
+      }.start()
+    val q1 = start()
+    // batch 0: insert A key 3, insert B key 3, DELETE one of key 1's B rows
+    in.addData(("a", 3L, "a3", 0, 1L), ("b", 3L, "", 30, 1L),
+      ("b", 1L, "", 11, -1L))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start() // restart from the same checkpoint
+    // batch 1: DELETE A key 1 entirely (kills its remaining view row),
+    // insert a second B row for key 2 (fan-out grows)
+    in.addData(("a", 1L, "a1", 0, -1L), ("b", 2L, "", 21, 1L))
+    q2.processAllAvailable(); q2.stop()
+    val vN = latestVersion()
+    def viewSet(dir: String): Set[(Long, String, Int, Long)] =
+      spark.read.parquet(dir).as[(Long, String, Int, Long)].collect().toSet
+    val got = viewSet(s"$root/v=$vN/view")
+    // final snapshots: A = {2->a2, 3->a3}; B = {1->10, 2->[20,21], 3->30}
+    val want = Set((2L, "a2", 20, 1L), (2L, "a2", 21, 1L), (3L, "a3", 30, 1L))
+    assert(got == want, s"maintained view after streamed deltas: $got vs $want")
+    // maintained == recomputed from the final snapshots (the q110 gate)
+    val aF = spark.read.parquet(s"$root/v=$vN/a").withColumnRenamed("_mult", "_ml")
+    val bF = spark.read.parquet(s"$root/v=$vN/b").withColumnRenamed("_mult", "_mr")
+    val recomputed = graft.ops.TableOps.consolidate(
+      aF.join(bF, Seq("k")).select(col("k"), col("av"), col("bv"),
+        (col("_ml") * col("_mr")).as("_mult")),
+      Seq("k", "av", "bv")).as[(Long, String, Int, Long)].collect().toSet
+    assert(got == recomputed, s"maintained diverged from recompute: $got vs $recomputed")
+    // replay safety WITH a delete: re-applying batch 1's signed rows
+    // against v=1 reproduces v=2 exactly — the delete does not
+    // double-apply
+    val a1 = spark.read.parquet(s"$root/v=1/a")
+    val b1 = spark.read.parquet(s"$root/v=1/b")
+    val view1 = spark.read.parquet(s"$root/v=1/view")
+    val da1 = Seq((1L, "a1", -1L)).toDF("k", "av", "_mult")
+    val db1 = Seq((2L, 21, 1L)).toDF("k", "bv", "_mult")
+    val replayed = graft.ops.TableOps
+      .maintainJoinCounted(view1, a1, da1, b1, db1, Seq("k"))
+      .as[(Long, String, Int, Long)].collect().toSet
+    val v2 = viewSet(s"$root/v=2/view")
+    assert(replayed == v2, s"replayed delete batch diverged: $replayed vs $v2")
+  }
+
   // ------------------------------------------- L-ops over the stream
   test("corpus ingest: quality gate + in-stream exact dedup over the message source") {
     // The L-battery's cleanup stages composed onto the streaming layer:
