@@ -11,14 +11,14 @@ import org.apache.spark.sql.types.IntegerType
 /** OPT-IN automatic skew-join rewriting — the q92 → q94 loop closed
   * inside the optimizer: a session that has measured its hot keys
   * (q92's skew profile, persisted) registers them here, flips
-  * `spark.graft.autoSkew.enabled`, and every INNER equi-join on the
-  * registered column is rewritten into the
-  * [[graft.ops.SkewTools.saltedJoinProfiled]] shape — hot fact rows
+  * `spark.graft.autoSkew.enabled`, and every INNER equi-join whose
+  * FACT-side key column carries a registered profile is rewritten into
+  * the [[graft.ops.SkewTools.saltedJoinProfiled]] shape — hot fact rows
   * salted round-robin over `buckets`, dim rows replicated once per
   * salt FOR THE HOT KEYS ONLY, cold keys joining exactly once at
   * salt 0 — without the query author touching the query.
   *
-  * OFF BY DEFAULT. Two deliberate design points:
+  * OFF BY DEFAULT. Design points:
   *  - The profile arrives as REGISTERED VALUES, not a plan: q94's
   *    hand-built shape joins a broadcast profile table because it
   *    computes the profile in-query; here the profile is already a
@@ -26,8 +26,23 @@ import org.apache.spark.sql.types.IntegerType
   *    literal — the rewritten plan carries NO extra join at all.
   *  - The LEFT side is the fact (gets the salt column), the RIGHT
   *    the dimension (gets the replication explode) — the
-  *    `fact.join(dim, key)` orientation every query in this engine
-  *    writes. Registration is per (session, column name).
+  *    `fact.join(dim, ...)` orientation every query in this engine
+  *    writes. The profile is registered against the FACT-side column
+  *    name; the dim attribute is whatever the matched equi-conjunct
+  *    binds it to (`l_suppkey = s_suppkey` matches — names need not
+  *    agree), and multi-conjunct AND'd conditions match on their
+  *    first profiled equi-conjunct with the remaining conjuncts
+  *    carried into the rewritten join untouched. Only the profiled
+  *    key is salted.
+  *  - Registration is per (session, fact column name), keyed WEAKLY
+  *    by the session object itself: reference identity (no hash
+  *    collisions, no id reuse after GC) and a session's profiles
+  *    evaporate when it is collected — no growth across session
+  *    churn.
+  *  - A profile whose values cannot be coerced to the join column's
+  *    type (e.g. string hot keys against a bigint column) must not
+  *    take the QUERY down: the rewrite falls back to the plain join
+  *    (the rule is an optimization, never a correctness gate).
   *
   * Correctness: identical to the plain join for 1:N fact:dim joins —
   * each hot fact row matches its dim row at exactly one salt value,
@@ -46,61 +61,89 @@ object AutoSkew {
 
   final case class Profile(hot: Seq[Any], buckets: Int)
 
-  // keyed by (sessionUUID, column name): profiles are session state,
-  // and two concurrent sessions must not see each other's hot keys
+  // weak keys: a SparkSession's profile map lives exactly as long as
+  // the session object; lookups are reference-identity (SparkSession
+  // does not override equals), so two sessions can never alias
   private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, Profile]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Profile]]()
 
-  private def rkey(spark: SparkSession, col: String): String =
-    System.identityHashCode(spark) + "/" + col
-
-  /** Register a hot-key profile for `key` in this session — typically
-    * q92's persisted skew-profile output, collected (≤ topK rows by
-    * construction). Joins on `key` rewrite while the flag is on. */
+  /** Register a hot-key profile for the FACT-side column `key` in this
+    * session — typically q92's persisted skew-profile output, collected
+    * (≤ topK rows by construction). Joins whose fact side exposes `key`
+    * rewrite while the flag is on, whatever the dim column is named. */
   def register(spark: SparkSession, key: String, hotKeys: Seq[Any],
-               buckets: Int = 8): Unit = {
+               buckets: Int = 8): Unit = registry.synchronized {
     require(buckets > 0, s"buckets must be > 0 (got $buckets)")
     require(hotKeys.nonEmpty, "empty hot-key profile — don't register one")
-    registry.put(rkey(spark, key), Profile(hotKeys, buckets)); ()
+    var m = registry.get(spark)
+    if (m == null) {
+      m = scala.collection.mutable.Map.empty[String, Profile]
+      registry.put(spark, m)
+    }
+    m.put(key, Profile(hotKeys, buckets)); ()
   }
 
   /** Remove `key`'s profile for this session. */
-  def unregister(spark: SparkSession, key: String): Unit = {
-    registry.remove(rkey(spark, key)); ()
-  }
+  def unregister(spark: SparkSession, key: String): Unit =
+    registry.synchronized {
+      Option(registry.get(spark)).foreach(_.remove(key)); ()
+    }
 
   private[plans] def lookup(spark: SparkSession, col: String): Option[Profile] =
-    Option(registry.get(rkey(spark, col)))
+    registry.synchronized {
+      Option(registry.get(spark)).flatMap(_.get(col))
+    }
 
   /** Marks joins this rule already produced (the rewritten join's
-    * two-conjunct condition also falls outside the match pattern —
-    * the tag is belt and braces against re-entry). */
+    * extra salt conjunct also falls outside the match pattern — the
+    * tag is belt and braces against re-entry). */
   private[plans] val rewrittenTag =
     new TreeNodeTag[Boolean]("graft.autoSkew.rewritten")
 }
 
 /** The optimizer rule ([[graft.GraftExtensions]] injects it into every
-  * session; it no-ops unless [[AutoSkew.EnabledKey]] is true AND the
-  * join key has a registered profile). */
-case class AutoSkewRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  * session; it no-ops unless [[AutoSkew.EnabledKey]] is true AND some
+  * fact-side join key has a registered profile). */
+case class AutoSkewRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
   import AutoSkew._
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!spark.conf.get(EnabledKey, "false").toBoolean) return plan
     plan.transformUp {
-      case j @ Join(left, right, Inner,
-          Some(EqualTo(la: AttributeReference, ra: AttributeReference)), _)
-          if j.getTagValue(rewrittenTag).isEmpty &&
-            la.name == ra.name &&
-            left.outputSet.contains(la) && right.outputSet.contains(ra) &&
-            lookup(spark, la.name).isDefined =>
-        rewrite(j, left, right, la, ra, lookup(spark, la.name).get)
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if j.getTagValue(rewrittenTag).isEmpty =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        // first equi-conjunct whose LEFT(fact)-side attribute has a
+        // profile, either spelling orientation (fact=dim or dim=fact)
+        val hit = conjuncts.zipWithIndex.iterator.flatMap {
+          case (EqualTo(x: AttributeReference, y: AttributeReference), i) =>
+            if (left.outputSet.contains(x) && right.outputSet.contains(y) &&
+              lookup(spark, x.name).isDefined) Iterator((x, y, i))
+            else if (left.outputSet.contains(y) && right.outputSet.contains(x) &&
+              lookup(spark, y.name).isDefined) Iterator((y, x, i))
+            else Iterator.empty
+          case _ => Iterator.empty
+        }.nextOption()
+        hit match {
+          case Some((la, ra, idx)) =>
+            val rest = conjuncts.zipWithIndex.collect {
+              case (c, i) if i != idx => c
+            }
+            // a mis-typed profile (Literal.create coercion failure)
+            // must not fail the query: fall back to the plain join
+            try rewrite(j, left, right, la, ra, rest,
+              lookup(spark, la.name).get)
+            catch { case scala.util.control.NonFatal(_) => j }
+          case None => j
+        }
     }
   }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
                       la: AttributeReference, ra: AttributeReference,
-                      p: Profile): LogicalPlan = {
+                      rest: Seq[Expression], p: Profile): LogicalPlan = {
     def hotLits(dt: org.apache.spark.sql.types.DataType): Seq[Expression] =
       p.hot.map(v => Literal.create(v, dt))
     // fact side: hot rows get a round-robin salt in [0, buckets),
@@ -113,7 +156,9 @@ case class AutoSkewRule(spark: SparkSession) extends Rule[LogicalPlan] {
       "__graft_salt")()
     val leftP = Project(left.output :+ saltL, left)
     // dim side: hot keys replicate once per salt value, cold keys
-    // exist only at salt 0
+    // exist only at salt 0 — the dim attribute takes the FACT
+    // column's hot literals (coerced to ITS type; the equi-conjunct
+    // guarantees comparability)
     val arr = If(In(ra, hotLits(ra.dataType)),
       CreateArray((0 until p.buckets).map(i => Literal(i))),
       CreateArray(Seq(Literal(0))))
@@ -122,7 +167,10 @@ case class AutoSkewRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val gen = Generate(Explode(arr), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(saltR),
       child = right)
-    val cond = And(EqualTo(la, ra), EqualTo(saltL.toAttribute, saltR))
+    // the profiled key + the salt equality + every remaining conjunct
+    // of the original condition, untouched
+    val cond = (Seq(EqualTo(la, ra), EqualTo(saltL.toAttribute, saltR)) ++
+      rest).reduce(And)
     val nj = Join(leftP, gen, Inner, Some(cond), j.hint)
     nj.setTagValue(rewrittenTag, true)
     // restore the original join output: the salt columns never escape

@@ -14,11 +14,14 @@ class AutoSkewSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
 
   private def factDim() = {
+    // the engine's own q54 spelling: differently-NAMED key attributes
+    // (l_suppkey = s_suppkey), query text untouched — the profile is
+    // registered against the fact column only
     val li = Tables(spark, SparkFixture.sfDir, "lineitem")
       .select("l_suppkey", "l_extendedprice")
     val su = Tables(spark, SparkFixture.sfDir, "supplier")
-      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
-    li.join(su, Seq("l_suppkey"))
+      .select("s_suppkey", "s_nationkey")
+    li.join(su, col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_nationkey")
       // decimal-exact revenue: a double sum would reassociate under
       // the salted partitioning and break bit-equality spuriously
@@ -76,6 +79,66 @@ class AutoSkewSpec extends AnyFunSuite {
       val salted = factDim().collect()
         .map(r => (r.getInt(0), r.getDecimal(1), r.getLong(2))).toSet
       assert(salted == plain, s"salted result diverged:\n$salted\nvs\n$plain")
+    } finally {
+      spark.conf.unset(AutoSkew.EnabledKey)
+      AutoSkew.unregister(spark, "l_suppkey")
+    }
+  }
+
+  test("multi-conjunct join: only the registered key is salted, the second equi-conjunct rides along") {
+    // two AND'd equi-conjuncts; the profile covers l_suppkey only —
+    // the rewrite must salt THAT key and carry the nationkey equality
+    // into the rewritten join untouched
+    def twoKey() = {
+      val li = Tables(spark, SparkFixture.sfDir, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice"),
+          (col("l_suppkey") % 25).as("l_nk"))
+      val su = Tables(spark, SparkFixture.sfDir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      li.join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("l_nk") === col("s_nationkey"))
+        .groupBy("s_nationkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).as("rev"),
+          count(lit(1)).as("n"))
+    }
+    val plain = twoKey().collect()
+      .map(r => (r.getInt(0), r.getDecimal(1), r.getLong(2))).toSet
+    spark.conf.set(AutoSkew.EnabledKey, "true")
+    AutoSkew.register(spark, "l_suppkey", Seq(1L, 2L, 3L), buckets = 4)
+    try {
+      val plan = twoKey().queryExecution.optimizedPlan.toString
+      assert(plan.contains("__graft_salt"), s"rule did not fire:\n$plan")
+      // the salt gate tests l_suppkey, never the second key
+      assert("""if \(l_suppkey#\d+L? IN""".r.findFirstIn(plan).isDefined,
+        s"salt not gated on the registered fact key:\n$plan")
+      assert("""l_nk#\d+L? IN""".r.findFirstIn(plan).isEmpty,
+        s"unregistered key got salted:\n$plan")
+      // one dim replication, not one per conjunct
+      assert("explode\\(if".r.findAllIn(plan).size == 1,
+        s"expected exactly one dim replication:\n$plan")
+      val salted = twoKey().collect()
+        .map(r => (r.getInt(0), r.getDecimal(1), r.getLong(2))).toSet
+      assert(salted == plain, s"two-key salted result diverged")
+    } finally {
+      spark.conf.unset(AutoSkew.EnabledKey)
+      AutoSkew.unregister(spark, "l_suppkey")
+    }
+  }
+
+  test("mis-typed profile: rewrite falls back to the plain join instead of failing the query") {
+    val plain = factDim().collect()
+      .map(r => (r.getInt(0), r.getDecimal(1), r.getLong(2))).toSet
+    spark.conf.set(AutoSkew.EnabledKey, "true")
+    // string hot keys against a BIGINT join column: Literal.create
+    // cannot coerce — the rule must keep the plain join, not throw
+    AutoSkew.register(spark, "l_suppkey", Seq("not-a-key"), buckets = 4)
+    try {
+      val plan = optimized()
+      assert(!plan.contains("__graft_salt"),
+        s"mis-typed profile should fall back, not salt:\n$plan")
+      val got = factDim().collect()
+        .map(r => (r.getInt(0), r.getDecimal(1), r.getLong(2))).toSet
+      assert(got == plain, "fallback result diverged from the plain join")
     } finally {
       spark.conf.unset(AutoSkew.EnabledKey)
       AutoSkew.unregister(spark, "l_suppkey")
