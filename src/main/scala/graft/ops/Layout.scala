@@ -111,18 +111,82 @@ object Layout {
     * invisible). The window is a single global cumsum over the
     * metadata-sized event table — chunk-count-bounded, not
     * data-bounded. */
-  def clusteringDepth(zones: DataFrame, mnCol: String, mxCol: String): DataFrame = {
-    val ev = zones.select(explode(array(
-        struct(col(mnCol).cast("long").as("pos"), lit(1).as("d")),
-        struct(col(mxCol).cast("long").as("pos"), lit(-1).as("d")))).as("e"))
+  def clusteringDepth(zones: DataFrame, mnCol: String, mxCol: String,
+                      numRanges: Int = 64): DataFrame = {
+    require(numRanges >= 1, s"numRanges must be >= 1 (got $numRanges)")
+    // envelope contract, enforced loudly: a NULL (or non-castable)
+    // bound would become a NULL event that sorts first and silently
+    // corrupts the running depth; an inverted mn > mx would skew the
+    // sweep. Malformed zone metadata is a bug upstream — fail the job.
+    val mn = col(mnCol).cast("long")
+    val mx = col(mxCol).cast("long")
+    val checked = zones.select(
+      when(mn.isNull || mx.isNull,
+        raise_error(lit(s"clusteringDepth: NULL or non-integral envelope " +
+          s"bound in ($mnCol, $mxCol) — fix the zone metadata")).cast("long"))
+        .when(mn > mx,
+          raise_error(concat(lit(s"clusteringDepth: inverted envelope "),
+            mn.cast("string"), lit(" > "), mx.cast("string"))).cast("long"))
+        .otherwise(mn).as("mn"),
+      mx.as("mx"))
+    val ev = checked.select(explode(array(
+        struct(col("mn").as("pos"), lit(1).as("d")),
+        struct(col("mx").as("pos"), lit(-1).as("d")))).as("e"))
       .select(col("e.pos").as("pos"), col("e.d").as("d"))
+    // PARALLEL prefix sum — no global single-task window (a 100 TB
+    // table has ~10⁶ chunks; one task would still survive 2M tiny
+    // rows, but the ceiling is needless): events bucket by VALUE
+    // RANGE (a deterministic, monotone function of pos — no sampled
+    // partitioner, so the two subtrees below stay consistent without
+    // a cache), each bucket cumsums under its own window partition,
+    // and bucket prefix offsets (≤ numRanges tiny rows) broadcast
+    // back in. Ties share a pos and therefore a bucket, so the
+    // permutation-invariance argument is untouched.
+    val env = broadcast(ev.agg(min("pos").as("_lo"), max("pos").as("_hi")))
+    val bucketed = ev.crossJoin(env).select(col("pos"), col("d"),
+      least(lit(numRanges - 1), greatest(lit(0),
+        floor((col("pos") - col("_lo")).cast("double") /
+          (col("_hi") - col("_lo") + 1).cast("double") * numRanges)))
+        .cast("int").as("_bkt"))
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_bkt")
       .orderBy(col("pos").asc, col("d").desc)
       .rowsBetween(Long.MinValue, 0)
-    ev.withColumn("depth", sum("d").over(w))
+    // prior-bucket offsets: one numRanges-row aggregate + a window
+    // over those ≤ numRanges rows (single task over tiny data — the
+    // per-event work above is what parallelized)
+    val wo = org.apache.spark.sql.expressions.Window
+      .orderBy("_bkt").rowsBetween(Long.MinValue, -1)
+    val offsets = bucketed.groupBy("_bkt").agg(sum("d").as("_bsum"))
+      .select(col("_bkt"), coalesce(sum("_bsum").over(wo), lit(0L)).as("_off"))
+    bucketed.withColumn("_run", sum("d").over(w))
+      .join(broadcast(offsets), "_bkt")
+      .select(col("d"), (col("_run") + col("_off")).as("depth"))
       .filter(col("d") === 1)
       .agg(count(lit(1)).as("n_chunks"),
         sum("depth").as("sum_start_depth"),
         max("depth").as("max_depth"))
+  }
+
+  /** The q109 → OPTIMIZE loop closed: measure the layout's clustering
+    * depth from its chunk envelopes and REWRITE when it has drifted
+    * past `maxDepthThreshold` — the maintenance action a lakehouse
+    * table schedules once [[graft.ops.TableOps.maintainZoneMap]]-style
+    * appends loosen the envelopes. Returns (table, triggered): when
+    * the measured max_depth exceeds the threshold, the table comes
+    * back [[clusterByMorton]]-rewritten (one skew-aware range exchange
+    * + in-partition sorts — the only cost shape); otherwise `df`
+    * passes through untouched. The depth probe is ONE driver-side
+    * action over the chunk-count-bounded metric (the convergence-probe
+    * class, never data-sized). An empty `zones` never triggers. */
+  def reclusterIfDeep(df: DataFrame, zones: DataFrame,
+                      mnCol: String, mxCol: String, maxDepthThreshold: Long,
+                      xCol: String, yCol: String, numFiles: Int): (DataFrame, Boolean) = {
+    require(maxDepthThreshold >= 1,
+      s"maxDepthThreshold must be >= 1 (got $maxDepthThreshold)")
+    val row = clusteringDepth(zones, mnCol, mxCol).select("max_depth").head()
+    val deep = !row.isNullAt(0) && row.getLong(0) > maxDepthThreshold
+    if (deep) (clusterByMorton(df, xCol, yCol, numFiles), true)
+    else (df, false)
   }
 }

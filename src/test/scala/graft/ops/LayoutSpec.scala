@@ -150,4 +150,87 @@ class LayoutSpec extends AnyFunSuite {
     assert((r3.getLong(0), r3.getLong(1), r3.getLong(2)) == ((3L, 3L, 1L)),
       s"perfect layout must read depth 1 everywhere: $r3")
   }
+
+  test("clusteringDepth: the sweep is range-bucketed (no single-task global window) and matches a serial reference") {
+    // 500 pseudo-random envelopes spanning a wide domain — enough to
+    // populate many value buckets
+    val zs = Iterator.iterate(98765L)(s => s * 6364136223846793005L + 1442695040888963407L)
+      .take(500)
+      .map { s =>
+        val mn = (s >>> 20) & 0xFFFFF
+        (mn, mn + ((s >>> 8) & 0xFFF))
+      }.toSeq
+    val depthDf = Layout.clusteringDepth(zs.toDF("mn", "mx"), "mn", "mx")
+    // the per-event cumsum must run under a HASH(_bkt) partitioning,
+    // not the single-partition exchange a global ORDER BY window plans
+    val plan = depthDf.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(_bkt"),
+      s"sweep cumsum lost its bucketed partitioning:\n$plan")
+    // serial reference: sort events (pos, starts-first), running sum,
+    // read at starts
+    val events = zs.flatMap { case (mn, mx) => Seq((mn, 1), (mx, -1)) }
+      .sortBy { case (p, d) => (p, -d) }
+    var run = 0L
+    val startDepths = events.map { case (_, d) => run += d; (d, run) }
+      .collect { case (1, dep) => dep }
+    val r = depthDf.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((startDepths.size.toLong, startDepths.sum, startDepths.max)),
+      s"bucketed sweep diverged from the serial reference: $r")
+  }
+
+  test("clusteringDepth: NULL or inverted envelopes fail loudly") {
+    val withNull = Seq((Some(1L), Some(5L)), (None, Some(9L)))
+      .toDF("mn", "mx")
+    val e1 = intercept[Exception] {
+      Layout.clusteringDepth(withNull, "mn", "mx").collect()
+    }
+    assert(e1.getMessage.contains("NULL or non-integral envelope"),
+      s"unexpected failure: ${e1.getMessage}")
+    val inverted = Seq((1L, 5L), (9L, 3L)).toDF("mn", "mx")
+    val e2 = intercept[Exception] {
+      Layout.clusteringDepth(inverted, "mn", "mx").collect()
+    }
+    assert(e2.getMessage.contains("inverted envelope"),
+      s"unexpected failure: ${e2.getMessage}")
+  }
+
+  test("reclusterIfDeep: drifted layout triggers a morton rewrite that restores depth; healthy layout passes through") {
+    // deterministic (x, y) points
+    val pts = Iterator.iterate(424242L)(s => s * 6364136223846793005L + 1442695040888963407L)
+      .take(4000)
+      .map(s => (((s >>> 16) & 0xFFFF).toInt, ((s >>> 40) & 0xFFFF).toInt))
+      .toSeq
+    val df = pts.toDF("x", "y")
+    val zk = Layout.mortonKey(col("x"), col("y"))
+    // chunk envelopes of a layout = per output-partition min/max of
+    // the morton key (exactly what parquet footers would carry)
+    def zonesOf(t: org.apache.spark.sql.DataFrame) =
+      t.select(spark_partition_id().as("chunk"), zk.as("zkey"))
+        .groupBy("chunk").agg(min("zkey").as("mn"), max("zkey").as("mx"))
+    def maxDepth(t: org.apache.spark.sql.DataFrame): Long =
+      Layout.clusteringDepth(zonesOf(t), "mn", "mx")
+        .select("max_depth").head().getLong(0)
+    // "appends degraded the layout": round-robin placement gives every
+    // chunk a near-full-domain envelope — depth ≈ n_chunks
+    val degraded = df.repartition(16)
+    val before = maxDepth(degraded)
+    assert(before > 8, s"degraded layout should read deep (got $before)")
+    // clustered baseline: the depth a fresh OPTIMIZE would produce
+    val baseline = maxDepth(Layout.clusterByMorton(df, "x", "y", 16))
+    val (rewritten, fired) =
+      Layout.reclusterIfDeep(degraded, zonesOf(degraded), "mn", "mx",
+        maxDepthThreshold = 8, "x", "y", numFiles = 16)
+    assert(fired, "drifted layout must trigger the rewrite")
+    val after = maxDepth(rewritten)
+    assert(after <= baseline + 1,
+      s"rewrite did not restore clustering: depth $before -> $after (baseline $baseline)")
+    // healthy layout: no rewrite, the very same frame passes through
+    val healthy = Layout.clusterByMorton(df, "x", "y", 16)
+    val (same, fired2) =
+      Layout.reclusterIfDeep(healthy, zonesOf(healthy), "mn", "mx",
+        maxDepthThreshold = before, "x", "y", numFiles = 16)
+    assert(!fired2 && (same eq healthy),
+      "healthy layout must pass through untouched")
+  }
 }
