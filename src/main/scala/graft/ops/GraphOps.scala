@@ -812,6 +812,10 @@ object GraphOps {
         .select(col("node").as("seed"), col("node"),
           lit(0L).as("dist"), lit(1L).as("sigma")), reliable)
     var visited = frontier.select(col("seed"), col("node"))
+    // the carried checkpoint THIS loop owns (h=1's `visited` is a
+    // projection over frontier-0's leaf, which levels(0) still needs —
+    // never unpersist that)
+    var visitedOwn: Option[DataFrame] = None
     var levels = Vector(frontier)
     for (h <- 1 to maxHops) {
       val nxt = e.join(frontier, e("src") === frontier("node"))
@@ -822,9 +826,21 @@ object GraphOps {
         .join(visited, Seq("seed", "node"), "left_anti")
       frontier = scope.checkpointed(nxt, reliable)
       levels = levels :+ frontier
-      if (h < maxHops)
-        visited = scope.checkpointed(
+      if (h < maxHops) {
+        val nv = scope.checkpointed(
           visited.union(frontier.select(col("seed"), col("node"))), reliable)
+        // materialize the new carried table, then RELEASE the
+        // superseded one (the louvainConverged discipline) — without
+        // this a deep walk holds O(depth) node-sized visited copies
+        // until scope teardown. The count also materializes this
+        // round's frontier leaf, so later rounds read blocks, and the
+        // released copy is never referenced again (every live plan —
+        // levels, next rounds — reads only frontier leaves and `nv`).
+        nv.count()
+        visitedOwn.foreach(v => if (!reliable) CacheScope.unpersistPlanRdds(v))
+        visitedOwn = Some(nv)
+        visited = nv
+      }
     }
     (e, levels)
   }
@@ -1075,12 +1091,14 @@ object GraphOps {
     * community id (the shared max_by key is (score, −c) and staying
     * is its own candidate row — so an equal-score tie moves the node
     * whenever some candidate community has a smaller id than c₀).
-    * Zero-gain tie moves therefore DO occur; modularity is still
-    * non-decreasing sweep to sweep, and the sweeps terminate because
-    * every tie move strictly decreases the node's community id (a
-    * bounded integer can only decrease finitely often), so a
-    * zero-move sweep remains a true fixpoint of the semi-synchronous
-    * schedule. The change
+    * Zero-gain tie moves therefore DO occur. Termination heuristics:
+    * every tie move strictly decreases the node's community id, and
+    * for INDEPENDENT (non-adjacent) same-parity moves the frozen-label
+    * scores match the sequential ΔQ, keeping modularity non-decreasing
+    * — but adjacent same-parity nodes move simultaneously, so moves
+    * scored against frozen labels need not preserve modularity and
+    * oscillation is possible in principle; `maxSweeps` (WARN + return
+    * last iterate) is the real termination guarantee. The change
     * probe is an inner label join (the node set is derived once from
     * the degree table and every step preserves it row-for-row, unlike
     * [[labelPropagationConverged]]'s contract-sensitive full-outer
