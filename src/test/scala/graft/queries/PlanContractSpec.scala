@@ -505,6 +505,7 @@ class PlanContractSpec extends AnyFunSuite {
       "q98_ktruss",       // per-round support peel (q50's cached orientation)
       "q99_condensation", // builds scc (the q72 exemption) before contracting
       "q87_node2vec_walks", // pair-build lineage cut (q73 class)
+      "l3_ann_hnsw_incremental", // runs the hnsw search twice — same cuts
       "l3_ann_hnsw",      // descent/beam rounds lineage-cut per round (the
       // q44 class: each round references the prior scored set twice, so
       // cached lineage would double the plan per round — measured
