@@ -520,6 +520,78 @@ object Stress {
       val kScaled = timeSkewJoin(1000000 * factor)
       println(f"""{"stress":"skew_join","base_rows":1000000,"base":$kBase%.3f,"scaled_rows":${1000000 * factor},"scaled":$kScaled%.3f,"ratio":${kScaled / kBase}%.1f}""")
     }
+    // AUTO-SKEW RULE: the same 50%-hot workload as skew_join, but the
+    // query text is the PLAIN cross-name join (l_suppkey = s_suppkey
+    // spelling) and the optimizer rule does the salting — the ratio
+    // must track skew_join's (same rewritten physical shape; the rule
+    // adds only optimization-time work, never a per-row cost).
+    def timeAutoSkewRule(nRows: Int): Double = {
+      val nKeys = 10000L
+      val fact = spark.range(nRows.toLong)
+        .selectExpr(s"CASE WHEN id % 2 = 0 THEN 7 ELSE 1 + (id * 2654435761) % $nKeys END as k",
+          "id as v")
+      val dim = spark.range(nKeys + 1)
+        .selectExpr("id as k2", "id * 31 as d")
+      spark.conf.set(graft.plans.AutoSkew.EnabledKey, "true")
+      graft.plans.AutoSkew.register(spark, "k", Seq(7L), buckets = 32)
+      val t0 = System.nanoTime()
+      try fact.join(dim, col("k") === col("k2"))
+        .groupBy("k").agg(sum("v").as("sv"), sum("d").as("sd"))
+        .write.format("noop").mode("overwrite").save()
+      finally {
+        spark.conf.unset(graft.plans.AutoSkew.EnabledKey)
+        graft.plans.AutoSkew.unregister(spark, "k")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      dt
+    }
+    if (only.isEmpty || only("auto_skew_rule")) {
+      timeAutoSkewRule(1000000) // warm-up
+      val aBase = timeAutoSkewRule(1000000)
+      val aScaled = timeAutoSkewRule(1000000 * factor)
+      println(f"""{"stress":"auto_skew_rule","base_rows":1000000,"base":$aBase%.3f,"scaled_rows":${1000000 * factor},"scaled":$aScaled%.3f,"ratio":${aScaled / aBase}%.1f}""")
+    }
+    // MV CONSOLIDATION: the q110 compaction — a counted view that
+    // accumulated N signed delta rows between compactions consolidates
+    // with ONE view-keyed shuffle, so 10x accumulated rows must cost
+    // ~linear (the amortization claim: maintenance writes stay
+    // batch-sized because this periodic pass is cheap and linear).
+    def timeConsolidate(nRows: Int): Double = {
+      val keys = math.max(1L, nRows / 20L)
+      val v = spark.range(nRows.toLong).selectExpr(
+        s"id % $keys as k", "id % 7 as a",
+        "CASE WHEN id % 3 = 0 THEN CAST(-1 AS BIGINT) ELSE CAST(1 AS BIGINT) END as _mult")
+      val t0 = System.nanoTime()
+      graft.ops.TableOps.consolidate(v, Seq("k", "a"))
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      dt
+    }
+    if (only.isEmpty || only("mv_consolidate")) {
+      timeConsolidate(1000000) // warm-up
+      val cBase = timeConsolidate(1000000)
+      val cScaled = timeConsolidate(1000000 * factor)
+      println(f"""{"stress":"mv_consolidate","base_rows":1000000,"base":$cBase%.3f,"scaled_rows":${1000000 * factor},"scaled":$cScaled%.3f,"ratio":${cScaled / cBase}%.1f}""")
+    }
+    // ANN INDEX vs TRAVERSAL split: l3_knn_graph is the n^1.5 IVF
+    // index build alone; l3_ann_graph_search adds symmetrization +
+    // the fixed-beam traversal. At 10x vectors the index ratio is the
+    // n^1.5 story; the BEYOND-INDEX delta (search minus build) must
+    // grow far slower — the traversal is beam x degree rows per query,
+    // query-count-bounded, plus a graph-linear symmetrize.
+    if (only.isEmpty || only("ann_index_vs_traverse")) {
+      def tq(name: String, dir: String) = BenchSession.timeQuery(spark, name, dir)
+      tq("l3_knn_graph", sfDir); tq("l3_ann_graph_search", sfDir) // warm-up
+      val ib = tq("l3_knn_graph", sfDir)
+      val is = tq("l3_knn_graph", scaledDir)
+      val gb = tq("l3_ann_graph_search", sfDir)
+      val gs = tq("l3_ann_graph_search", scaledDir)
+      val tb = math.max(0.001, gb - ib)
+      val ts = math.max(0.001, gs - is)
+      println(f"""{"stress":"ann_index_vs_traverse","index_base":$ib%.3f,"index_scaled":$is%.3f,"index_ratio":${is / ib}%.1f,"beyond_index_base":$tb%.3f,"beyond_index_scaled":$ts%.3f,"beyond_index_ratio":${ts / tb}%.1f}""")
+    }
     spark.stop()
   }
 
