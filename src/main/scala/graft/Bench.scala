@@ -51,7 +51,10 @@ object Bench {
     "q98_ktruss", "q99_condensation", "q100_mv_distinct", "q101_dq_constraints",
     "l3_ann_graph_search", "q102_attribution", "q103_zonemap_maintain",
     "q104_mv_join", "l3_ann_hnsw", "q105_tpch_q2", "q106_tpch_q11", "q107_tpch_q15",
-    "q108_tpch_q16", "q109_clustering_depth", "q110_mv_join_delete")
+    "q108_tpch_q16", "q109_clustering_depth", "q110_mv_join_delete",
+    "q111_tpch_q4", "q112_tpch_q6", "q113_tpch_q9", "q114_tpch_q12",
+    "q115_tpch_q13", "q116_tpch_q20", "q117_mv_agg_delete", "q118_mv_minmax_delete",
+    "l3_ann_hnsw_incremental")
 
   /** 1-minute system load average, -1.0 where the platform can't say.
     * Recorded at both ends of the run so the record SELF-ADJUDICATES:

@@ -269,6 +269,35 @@ object TableOps {
       .filter(col(countCol) =!= 0L)
   }
 
+  /** MIN/MAX with DELETES — the auxiliary-structure variant
+    * [[maintainAggCounted]] documents as its limitation: min/max are
+    * NOT linear (deleting the current extremum needs the runner-up),
+    * so the maintained object is the counted VALUE MULTISET — one row
+    * per (key, value) with a positive count, which is exactly
+    * [[maintainAggCounted]] with the value lifted into the group key
+    * and COUNT as the only aggregate. Deletes decrement; a value
+    * whose count reaches zero vanishes, so [[readMinMax]] recovers
+    * the runner-up EXACTLY — none of the stale-envelope looseness
+    * insert-only [[maintainZoneMap]] tolerates. Aux size = distinct
+    * (key, value) pairs — the standard space trade; quantize the
+    * value first when it is continuous and the consumer accepts
+    * bucketed extrema. */
+  def maintainValueCounts(aux: DataFrame, batch: DataFrame, keys: Seq[String],
+                          valueCol: String, countCol: String = "cnt",
+                          multCol: String = "_mult"): DataFrame =
+    maintainAggCounted(aux, batch, keys :+ valueCol, Nil, countCol, multCol)
+
+  /** Per-key min/max (+ exact row count) read off the
+    * [[maintainValueCounts]] auxiliary view — aux-sized work, the
+    * history is never rescanned. Output: keys, `mn_<value>`,
+    * `mx_<value>`, `countCol`. */
+  def readMinMax(aux: DataFrame, keys: Seq[String], valueCol: String,
+                 countCol: String = "cnt"): DataFrame =
+    aux.groupBy(keys.map(col): _*)
+      .agg(min(valueCol).as(s"mn_$valueCol"),
+        max(valueCol).as(s"mx_$valueCol"),
+        sum(countCol).as(countCol))
+
   /** Per-key HLL distinct-count SKETCH table — the materialization
     * side of [[maintainDistinct]]: (keys..., sketch binary). lgK
     * sizes the registers (relative std error ~1.04/√2^lgK). */

@@ -3870,6 +3870,44 @@ object Relational {
            |GROUP BY l_suppkey
            |ORDER BY l_suppkey""".stripMargin))
 
+  // MIN/MAX-VIEW MAINTENANCE WITH DELETES (q118): the auxiliary-
+  // structure variant q117 documents — min/max are not linear, so the
+  // maintained object is the counted VALUE MULTISET per key
+  // (TableOps.maintainValueCounts: the Z-set algebra with the value
+  // lifted into the group key), and readMinMax recovers the exact
+  // extrema after ANY delete pattern, runner-up promotion included —
+  // unlike insert-only maintainZoneMap, whose envelopes go stale
+  // under deletes. Same signed batch as q117 (post-cut inserts,
+  // every-7th-orderkey pre-cut deletes); ORACLE = the full recompute
+  // over the post-delete snapshot. min/max are PICKS of stored
+  // doubles (exact), cnt an integer — all engine-exact.
+  private val q118 = QueryDef(
+    "q118_mv_minmax_delete",
+    (s, dir) => {
+      val cut = lit("2000-06-01").cast("timestamp_ntz")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice")
+      val pre = li.filter(col("l_shipdate") < cut)
+      def m(df: DataFrame, v: Int) = df.withColumn("_mult", lit(v.toLong))
+      val batch = m(li.filter(col("l_shipdate") >= cut), 1)
+        .unionByName(m(pre.filter(col("l_orderkey") % 7 === 0), -1))
+      val aux0 = pre.groupBy("l_suppkey", "l_extendedprice")
+        .agg(count(lit(1)).as("cnt"))
+      val aux = graft.ops.TableOps.maintainValueCounts(aux0, batch,
+        Seq("l_suppkey"), "l_extendedprice")
+      graft.ops.TableOps.readMinMax(aux, Seq("l_suppkey"), "l_extendedprice")
+        .select(col("l_suppkey"),
+          col("mn_l_extendedprice").as("mn_price"),
+          col("mx_l_extendedprice").as("mx_price"), col("cnt"))
+        .orderBy("l_suppkey")
+    },
+    Some("""SELECT l_suppkey, min(l_extendedprice) AS mn_price,
+           |       max(l_extendedprice) AS mx_price, count(*) AS cnt
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '2000-06-01' OR l_orderkey % 7 <> 0
+           |GROUP BY l_suppkey
+           |ORDER BY l_suppkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -3880,5 +3918,5 @@ object Relational {
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117)
+    q111, q112, q113, q114, q115, q116, q117, q118)
 }

@@ -191,6 +191,30 @@ test("maintainAgg: merged deltas equal a full recompute, new keys included") {
     assert(!got.contains(2L), s"emptied group survived: $got")
   }
 
+  test("maintainValueCounts/readMinMax: deleting the extremum promotes the runner-up exactly") {
+    val base = Seq((1L, 10L), (1L, 20L), (1L, 20L), (2L, 5L)).toDF("k", "v")
+    val aux0 = base.groupBy("k", "v").agg(count(lit(1)).as("cnt"))
+    // delete ONE of key 1's two 20s: max must stay 20 (count 2 -> 1)
+    val b1 = Seq((1L, 20L, -1L)).toDF("k", "v", "_mult")
+    val aux1 = TableOps.maintainValueCounts(aux0, b1, Seq("k"), "v")
+    val r1 = TableOps.readMinMax(aux1, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(r1 == Map(1L -> (10L, 20L, 2L), 2L -> (5L, 5L, 1L)), r1.toString)
+    // delete the LAST 20: the runner-up (10) must become the max —
+    // the case insert-only zone maps cannot recover from
+    val b2 = Seq((1L, 20L, -1L)).toDF("k", "v", "_mult")
+    val aux2 = TableOps.maintainValueCounts(aux1, b2, Seq("k"), "v")
+    val r2 = TableOps.readMinMax(aux2, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(r2 == Map(1L -> (10L, 10L, 1L), 2L -> (5L, 5L, 1L)), r2.toString)
+    // empty key 2 entirely: it must vanish from the read
+    val b3 = Seq((2L, 5L, -1L)).toDF("k", "v", "_mult")
+    val aux3 = TableOps.maintainValueCounts(aux2, b3, Seq("k"), "v")
+    val r3 = TableOps.readMinMax(aux3, Seq("k"), "v")
+      .collect().map(_.getLong(0)).toSet
+    assert(r3 == Set(1L), s"emptied key survived: $r3")
+  }
+
   test("maintainAggCounted: delete+reinsert of the same row nets to no change") {
     val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "sum_v")
     val mv0 = base.groupBy("k")

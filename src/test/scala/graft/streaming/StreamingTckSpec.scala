@@ -892,6 +892,53 @@ class StreamingTckSpec extends AnyFunSuite {
     assert(replayed == v2, s"replayed delete batch diverged: $replayed vs $v2")
   }
 
+  // ---------------------------------------------------------------- T17
+  test("T17: streaming counted AGGREGATE-view maintenance — deletes update sums, emptied groups vanish, restart-safe") {
+    // T16's discipline for the AGGREGATE family: signed batches feed
+    // TableOps.maintainAggCounted against versioned view snapshots —
+    // per key the view carries (sum_v, cnt) and a group whose count
+    // reaches zero disappears from its version.
+    val root = Files.createTempDirectory("aggview").toString
+    val ck = Files.createTempDirectory("aggview-ck").toString
+    Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "sum_v")
+      .groupBy("k").agg(sum("sum_v").as("sum_v"), count(lit(1)).as("cnt"))
+      .write.parquet(s"$root/v=0")
+    val in = MemoryStream[(Long, Long, Long)](spark)
+    def latestVersion(): Long =
+      new java.io.File(root).listFiles().filter(_.getName.startsWith("v="))
+        .map(_.getName.stripPrefix("v=").toLong).max
+    def start() = in.toDF().toDF("k", "sum_v", "_mult")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        val prior = (id to 0L by -1L).map(v => s"$root/v=$v")
+          .find(d => new java.io.File(d).exists())
+          .getOrElse(s"$root/v=0")
+        graft.ops.TableOps.maintainAggCounted(
+            sp.read.parquet(prior), batch, Seq("k"), Seq("sum_v"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/v=${id + 1}")
+      }.start()
+    val q1 = start()
+    in.addData((1L, 10L, -1L), (3L, 7L, 1L)) // shrink key 1, insert key 3
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start() // restart from the same checkpoint
+    in.addData((2L, 5L, -1L), (3L, 3L, 1L)) // EMPTY key 2, grow key 3
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(s"$root/v=${latestVersion()}")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 20L, 1L), (3L, 10L, 2L)),
+      s"maintained aggregate view after streamed deltas: $got")
+    // replaying batch 1 (with its delete) against v=1 reproduces v=2
+    val replayed = graft.ops.TableOps.maintainAggCounted(
+        spark.read.parquet(s"$root/v=1"),
+        Seq((2L, 5L, -1L), (3L, 3L, 1L)).toDF("k", "sum_v", "_mult"),
+        Seq("k"), Seq("sum_v"))
+      .as[(Long, Long, Long)].collect().toSet
+    val v2 = spark.read.parquet(s"$root/v=2")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(replayed == v2, s"replayed delete batch diverged: $replayed vs $v2")
+  }
+
   // ------------------------------------------- L-ops over the stream
   test("corpus ingest: quality gate + in-stream exact dedup over the message source") {
     // The L-battery's cleanup stages composed onto the streaming layer:
