@@ -84,6 +84,27 @@ object AutoSkew {
     m.put(key, Profile(hotKeys, buckets)); ()
   }
 
+  /** Register straight from a persisted [[graft.ops.SkewTools.hotKeyProfile]]
+    * output (or any 1-column hot-key table): collects at most `topK`
+    * rows driver-side — the profile is ≤ topK by construction, this
+    * cap just refuses to collect an arbitrary table someone passes by
+    * mistake — and registers them under the profile column's NAME
+    * (the fact-side join column q92 measured). The one-call bridge
+    * from the measured q92 loop into the optimizer: persist the
+    * profile nightly, call this at session start, flip the flag. */
+  def registerFromProfile(spark: SparkSession, profile: org.apache.spark.sql.DataFrame,
+                          buckets: Int = 8, topK: Int = 64): Unit = {
+    require(profile.columns.length == 1,
+      s"expected a 1-column hot-key profile, got ${profile.columns.mkString(",")}")
+    val key = profile.columns.head
+    val hot = profile.limit(topK + 1).collect().map(_.get(0)).toSeq
+    require(hot.size <= topK,
+      s"profile has more than $topK rows — not a hotKeyProfile output")
+    // an EMPTY profile means q92 measured no skew — a no-op, not an
+    // error (the session-start call must be safe to make every day)
+    if (hot.nonEmpty) register(spark, key, hot, buckets)
+  }
+
   /** Remove `key`'s profile for this session. */
   def unregister(spark: SparkSession, key: String): Unit =
     registry.synchronized {

@@ -125,6 +125,29 @@ class AutoSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("registerFromProfile: wires a persisted q92 profile in one call; empty profile is a no-op") {
+    val li = Tables(spark, SparkFixture.sfDir, "lineitem")
+    val profile = graft.ops.SkewTools.hotKeyProfile(li, "l_suppkey",
+      topK = 4, minSkew = 1.0)
+    spark.conf.set(AutoSkew.EnabledKey, "true")
+    try {
+      AutoSkew.registerFromProfile(spark, profile, buckets = 4)
+      val plan = optimized()
+      assert(plan.contains("__graft_salt"),
+        s"profile-wired rule did not fire:\n$plan")
+      AutoSkew.unregister(spark, "l_suppkey")
+      // an empty profile (no measured skew) must register nothing
+      AutoSkew.registerFromProfile(spark,
+        profile.filter(col("l_suppkey") < 0), buckets = 4)
+      val plan2 = optimized()
+      assert(!plan2.contains("__graft_salt"),
+        s"empty profile must be a no-op:\n$plan2")
+    } finally {
+      spark.conf.unset(AutoSkew.EnabledKey)
+      AutoSkew.unregister(spark, "l_suppkey")
+    }
+  }
+
   test("mis-typed profile: rewrite falls back to the plain join instead of failing the query") {
     val plain = factDim().collect()
       .map(r => (r.getInt(0), r.getDecimal(1), r.getLong(2))).toSet
