@@ -786,6 +786,25 @@ class PlanContractSpec extends AnyFunSuite {
       s"part filter not broadcast into the stock aggregate:\n$p116")
   }
 
+  test("q117/q118: counted-aggregate maintenance is ONE view-sized merge, split filters at the scans") {
+    // the Z-set aggregate family's cost shape: one batch aggregate +
+    // ONE full-outer key merge — a second join anywhere would mean
+    // the fact history got re-joined; the date split must prune the
+    // batch scans
+    for (name <- Seq("q117_mv_agg_delete", "q118_mv_minmax_delete")) {
+      val plan = formatted(name)
+      val joins = """(?m)^\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"""
+        .r.findAllIn(plan).size
+      assert(joins == 1, s"$name: expected exactly 1 merge join, found $joins:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated into a loop join:\n$plan")
+      assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+        plan.contains("LessThan(l_shipdate"),
+        s"$name: batch split predicates not pushed to the scans:\n$plan")
+    }
+  }
+
   test("q104: join-view maintenance is delta-sided — 4 joins total, split filters at the scans") {
     val plan = formatted("q104_mv_join")
     // exactly FOUR equi-joins: the initial view build (a⋈b) plus the
