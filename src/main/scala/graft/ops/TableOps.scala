@@ -298,6 +298,36 @@ object TableOps {
         max(valueCol).as(s"mx_$valueCol"),
         sum(countCol).as(countCol))
 
+  /** EXACT per-key order statistic read off the [[maintainValueCounts]]
+    * auxiliary view — the full payoff of storing the counted value
+    * multiset: not just min/max but ANY discrete quantile, exact
+    * under arbitrary deletes (where sketch quantiles drift and
+    * insert-only digests cannot unmerge). The rank-`p` value is the
+    * element at 1-based sorted position ceil(p·total); per key one
+    * value-ordered cumulative window finds the row whose cumulative
+    * count covers that position — aux-sized work (distinct values per
+    * key), the history never rescanned. `p` must have an exact
+    * decimal form (0.5, 0.25, 0.99 — the ceil is computed in DECIMAL
+    * so the position is engine-exact, never an IEEE boundary).
+    * Returns keys + `q_<value>` + `total`. */
+  def readQuantile(aux: DataFrame, keys: Seq[String], valueCol: String,
+                   p: java.math.BigDecimal,
+                   countCol: String = "cnt"): DataFrame = {
+    require(p.signum > 0 && p.compareTo(java.math.BigDecimal.ONE) <= 0,
+      s"p must be in (0, 1] (got $p)")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(keys.map(col): _*)
+    val pos = ceil(lit(p) * col("_tot")) // decimal * long -> exact decimal
+    aux
+      .withColumn("_cum", sum(countCol).over(w))
+      .withColumn("_tot", sum(countCol).over(wt))
+      .filter(col("_cum") - col(countCol) < pos && pos <= col("_cum"))
+      .select(keys.map(col) :+ col(valueCol).as(s"q_$valueCol") :+
+        col("_tot").as("total"): _*)
+  }
+
   /** Per-key HLL distinct-count SKETCH table — the materialization
     * side of [[maintainDistinct]]: (keys..., sketch binary). lgK
     * sizes the registers (relative std error ~1.04/√2^lgK). */

@@ -3908,6 +3908,50 @@ object Relational {
            |GROUP BY l_suppkey
            |ORDER BY l_suppkey""".stripMargin))
 
+  // EXACT ORDER-STATISTIC VIEW UNDER DELETES (q119): the full payoff
+  // of q118's counted value multiset — ANY discrete quantile read
+  // exactly off the maintained aux (TableOps.readQuantile), where
+  // sketch quantiles (t-digest/KLL) drift and insert-only digests
+  // cannot unmerge a delete. Same signed batch as q117/q118; the read
+  // finds each key's MEDIAN (1-based position ceil(0.5·n) of the
+  // sorted multiset — a PICK of a stored double, engine-exact; the
+  // position arithmetic is DECIMAL) with one value-ordered cumulative
+  // window over the aux. ORACLE = positional median over the
+  // post-delete snapshot via row_number. Aux-sized work per read;
+  // the history is never rescanned.
+  private val q119 = QueryDef(
+    "q119_mv_quantile_delete",
+    (s, dir) => {
+      val cut = lit("2000-06-01").cast("timestamp_ntz")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice")
+      val pre = li.filter(col("l_shipdate") < cut)
+      def m(df: DataFrame, v: Int) = df.withColumn("_mult", lit(v.toLong))
+      val batch = m(li.filter(col("l_shipdate") >= cut), 1)
+        .unionByName(m(pre.filter(col("l_orderkey") % 7 === 0), -1))
+      val aux0 = pre.groupBy("l_suppkey", "l_extendedprice")
+        .agg(count(lit(1)).as("cnt"))
+      val aux = graft.ops.TableOps.maintainValueCounts(aux0, batch,
+        Seq("l_suppkey"), "l_extendedprice")
+      graft.ops.TableOps.readQuantile(aux, Seq("l_suppkey"),
+          "l_extendedprice", new java.math.BigDecimal("0.5"))
+        .select(col("l_suppkey"), col("q_l_extendedprice").as("median"),
+          col("total"))
+        .orderBy("l_suppkey")
+    },
+    Some("""WITH f AS (
+           |  SELECT l_suppkey, l_extendedprice FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '2000-06-01' OR l_orderkey % 7 <> 0),
+           |r AS (
+           |  SELECT l_suppkey, l_extendedprice,
+           |    row_number() OVER (PARTITION BY l_suppkey
+           |                       ORDER BY l_extendedprice) AS rn,
+           |    count(*) OVER (PARTITION BY l_suppkey) AS total
+           |  FROM f)
+           |SELECT l_suppkey, l_extendedprice AS median, total
+           |FROM r WHERE rn = CAST(ceil(0.5 * total) AS BIGINT)
+           |ORDER BY l_suppkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -3918,5 +3962,5 @@ object Relational {
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119)
 }

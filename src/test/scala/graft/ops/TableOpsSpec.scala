@@ -215,6 +215,24 @@ test("maintainAgg: merged deltas equal a full recompute, new keys included") {
     assert(r3 == Set(1L), s"emptied key survived: $r3")
   }
 
+  test("readQuantile: exact median off the counted multiset, shifts under deletes; p=1 is max") {
+    val base = Seq((1L, 10L), (1L, 20L), (1L, 30L), (1L, 30L)).toDF("k", "v")
+    val aux0 = base.groupBy("k", "v").agg(count(lit(1)).as("cnt"))
+    def med(aux: org.apache.spark.sql.DataFrame, p: String) =
+      TableOps.readQuantile(aux, Seq("k"), "v", new java.math.BigDecimal(p))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // n=4: position ceil(0.5*4)=2 -> 20
+    assert(med(aux0, "0.5") == Seq((1L, 20L, 4L)))
+    // delete 10 and 20: n=2, position 1 -> 30 (the duplicate pair
+    // collapses to ONE aux row with count 2 — positions still exact)
+    val b = Seq((1L, 10L, -1L), (1L, 20L, -1L)).toDF("k", "v", "_mult")
+    val aux1 = TableOps.maintainValueCounts(aux0, b, Seq("k"), "v")
+    assert(med(aux1, "0.5") == Seq((1L, 30L, 2L)))
+    // p = 1 reads the max; p = 0.25 of the original reads the 1st
+    assert(med(aux1, "1") == Seq((1L, 30L, 2L)))
+    assert(med(aux0, "0.25") == Seq((1L, 10L, 4L)))
+  }
+
   test("maintainAggCounted: delete+reinsert of the same row nets to no change") {
     val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "sum_v")
     val mv0 = base.groupBy("k")

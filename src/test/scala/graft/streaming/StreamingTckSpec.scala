@@ -939,6 +939,72 @@ class StreamingTckSpec extends AnyFunSuite {
     assert(replayed == v2, s"replayed delete batch diverged: $replayed vs $v2")
   }
 
+  // ---------------------------------------------------------------- T18
+  test("T18: streaming zone-map maintenance — envelopes track appends across restart; drift trips the recluster trigger") {
+    // the envelope member of the incremental-view family in-stream
+    // (T13 upsert, T16 join, T17 aggregate, zone maps here): each
+    // batch's per-chunk min/max merges into the maintained envelopes
+    // via TableOps.maintainZoneMap (insert-only, its contract), and
+    // once the streamed appends have widened the envelopes the
+    // MEASURED clustering depth crosses the threshold — the
+    // Layout.reclusterIfDeep trigger fires off the maintained view,
+    // closing the q103 -> q109 -> OPTIMIZE loop end to end.
+    val root = Files.createTempDirectory("zmview").toString
+    val ck = Files.createTempDirectory("zmview-ck").toString
+    // v=0: three tight disjoint chunk envelopes (depth 1 everywhere)
+    Seq((0L, 0L, 9L), (1L, 10L, 19L), (2L, 20L, 29L))
+      .toDF("chunk", "mn", "mx").write.parquet(s"$root/v=0")
+    val in = MemoryStream[(Long, Long)](spark) // appended (chunk, value) rows
+    def latestVersion(): Long =
+      new java.io.File(root).listFiles().filter(_.getName.startsWith("v="))
+        .map(_.getName.stripPrefix("v=").toLong).max
+    def start() = in.toDF().toDF("chunk", "v")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        val prior = (id to 0L by -1L).map(v => s"$root/v=$v")
+          .find(d => new java.io.File(d).exists())
+          .getOrElse(s"$root/v=0")
+        val delta = batch.groupBy("chunk")
+          .agg(min("v").as("mn"), max("v").as("mx"))
+        graft.ops.TableOps.maintainZoneMap(sp.read.parquet(prior), delta,
+            Seq("chunk"), Seq("mn"), Seq("mx"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/v=${id + 1}")
+      }.start()
+    val q1 = start()
+    in.addData((0L, 25L)) // chunk 0 stretches into chunk 2's key range
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start() // restart from the same checkpoint
+    in.addData((1L, 28L), (3L, 5L)) // chunk 1 stretches; NEW chunk 3
+    q2.processAllAvailable(); q2.stop()
+    val vN = latestVersion()
+    def envs(dir: String): Set[(Long, Long, Long)] =
+      spark.read.parquet(dir).as[(Long, Long, Long)].collect().toSet
+    val got = envs(s"$root/v=$vN")
+    val want = Set((0L, 0L, 25L), (1L, 10L, 28L), (2L, 20L, 29L), (3L, 5L, 5L))
+    assert(got == want, s"maintained envelopes after streamed appends: $got")
+    // replaying batch 1 against v=1 reproduces v=2 (idempotence)
+    val replayed = graft.ops.TableOps.maintainZoneMap(
+        spark.read.parquet(s"$root/v=1"),
+        Seq((1L, 28L, 28L), (3L, 5L, 5L)).toDF("chunk", "mn", "mx"),
+        Seq("chunk"), Seq("mn"), Seq("mx"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(replayed == envs(s"$root/v=2"),
+      s"replayed envelope batch diverged: $replayed")
+    // the drifted envelopes now overlap 3-deep ([0,25]⊃[10,28]⊃[20,29]
+    // starts) — the maintained view itself trips the recluster trigger
+    val zones = spark.read.parquet(s"$root/v=$vN")
+    val tbl = Seq((0, 0)).toDF("x", "y") // stand-in table for the rewrite arm
+    val (_, fired) = graft.ops.Layout.reclusterIfDeep(tbl, zones,
+      "mn", "mx", maxDepthThreshold = 2, "x", "y", numFiles = 2)
+    assert(fired, "drifted maintained envelopes must trip the recluster trigger")
+    // and the v=0 envelopes (depth 1) must NOT
+    val (_, fired0) = graft.ops.Layout.reclusterIfDeep(tbl,
+      spark.read.parquet(s"$root/v=0"), "mn", "mx",
+      maxDepthThreshold = 2, "x", "y", numFiles = 2)
+    assert(!fired0, "tight envelopes must not trigger")
+  }
+
   // ------------------------------------------- L-ops over the stream
   test("corpus ingest: quality gate + in-stream exact dedup over the message source") {
     // The L-battery's cleanup stages composed onto the streaming layer:
