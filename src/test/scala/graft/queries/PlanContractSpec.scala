@@ -786,12 +786,13 @@ class PlanContractSpec extends AnyFunSuite {
       s"part filter not broadcast into the stock aggregate:\n$p116")
   }
 
-  test("q117/q118: counted-aggregate maintenance is ONE view-sized merge, split filters at the scans") {
+  test("q117/q118/q119: counted-aggregate maintenance is ONE view-sized merge, split filters at the scans") {
     // the Z-set aggregate family's cost shape: one batch aggregate +
     // ONE full-outer key merge — a second join anywhere would mean
     // the fact history got re-joined; the date split must prune the
-    // batch scans
-    for (name <- Seq("q117_mv_agg_delete", "q118_mv_minmax_delete")) {
+    // batch scans (q119 adds only aux-sized windows on top)
+    for (name <- Seq("q117_mv_agg_delete", "q118_mv_minmax_delete",
+        "q119_mv_quantile_delete")) {
       val plan = formatted(name)
       val joins = """(?m)^\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"""
         .r.findAllIn(plan).size
