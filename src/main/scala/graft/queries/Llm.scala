@@ -3836,10 +3836,14 @@ object Llm {
           .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 3)
           .select(col("qid").as("a"), col("vid").as("b"))
       // frozen stored-corpus index + one batch-vs-stored scoring pass
+      // (batch side BROADCAST so the corpus side streams — the
+      // l3_knn_bruteforce idiom; at real scale swap the brute pass
+      // for IVF probe lists, docs/SCALING.md)
       val csStored = cached(knnCandScoredOver(stored))
-      val bs = cached(batch
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        .crossJoin(stored.select(col("vec_id").as("vid"), col("embedding").as("ve")))
+      val bs = cached(stored
+        .select(col("vec_id").as("vid"), col("embedding").as("ve"))
+        .crossJoin(broadcast(batch
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))))
         .select(col("qid"), col("vid"),
           round(cosSim(col("qe"), col("ve")), 6).as("simr")))
       val adjM = cached(sym(top(csStored, 5).unionByName(top(bs, 5))))
