@@ -290,13 +290,21 @@ object TableOps {
   /** Per-key min/max (+ exact row count) read off the
     * [[maintainValueCounts]] auxiliary view — aux-sized work, the
     * history is never rescanned. Output: keys, `mn_<value>`,
-    * `mx_<value>`, `countCol`. */
+    * `mx_<value>`, `countCol`. Pass `distinctCol` to ALSO emit the
+    * EXACT per-key distinct-value count — it is just the aux's row
+    * count per key, so the same view answers the one aggregate
+    * [[maintainDistinct]]'s HLL sketches can only approximate and
+    * can never unmerge a delete from. */
   def readMinMax(aux: DataFrame, keys: Seq[String], valueCol: String,
-                 countCol: String = "cnt"): DataFrame =
-    aux.groupBy(keys.map(col): _*)
-      .agg(min(valueCol).as(s"mn_$valueCol"),
-        max(valueCol).as(s"mx_$valueCol"),
-        sum(countCol).as(countCol))
+                 countCol: String = "cnt",
+                 distinctCol: Option[String] = None): DataFrame = {
+    val base = Seq(
+      min(valueCol).as(s"mn_$valueCol"),
+      max(valueCol).as(s"mx_$valueCol"),
+      sum(countCol).as(countCol)) ++
+      distinctCol.map(c => count(lit(1)).as(c))
+    aux.groupBy(keys.map(col): _*).agg(base.head, base.tail: _*)
+  }
 
   /** EXACT per-key order statistic read off the [[maintainValueCounts]]
     * auxiliary view — the full payoff of storing the counted value

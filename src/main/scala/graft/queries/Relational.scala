@@ -3879,8 +3879,11 @@ object Relational {
   // unlike insert-only maintainZoneMap, whose envelopes go stale
   // under deletes. Same signed batch as q117 (post-cut inserts,
   // every-7th-orderkey pre-cut deletes); ORACLE = the full recompute
-  // over the post-delete snapshot. min/max are PICKS of stored
-  // doubles (exact), cnt an integer — all engine-exact.
+  // over the post-delete snapshot. The same aux also answers EXACT
+  // per-key COUNT DISTINCT (its row count — the aggregate q100's HLL
+  // sketches can only approximate and can never unmerge a delete
+  // from). min/max are PICKS of stored doubles (exact), cnt and
+  // n_distinct integers — all engine-exact.
   private val q118 = QueryDef(
     "q118_mv_minmax_delete",
     (s, dir) => {
@@ -3895,14 +3898,17 @@ object Relational {
         .agg(count(lit(1)).as("cnt"))
       val aux = graft.ops.TableOps.maintainValueCounts(aux0, batch,
         Seq("l_suppkey"), "l_extendedprice")
-      graft.ops.TableOps.readMinMax(aux, Seq("l_suppkey"), "l_extendedprice")
+      graft.ops.TableOps.readMinMax(aux, Seq("l_suppkey"), "l_extendedprice",
+          distinctCol = Some("n_distinct"))
         .select(col("l_suppkey"),
           col("mn_l_extendedprice").as("mn_price"),
-          col("mx_l_extendedprice").as("mx_price"), col("cnt"))
+          col("mx_l_extendedprice").as("mx_price"), col("cnt"),
+          col("n_distinct"))
         .orderBy("l_suppkey")
     },
     Some("""SELECT l_suppkey, min(l_extendedprice) AS mn_price,
-           |       max(l_extendedprice) AS mx_price, count(*) AS cnt
+           |       max(l_extendedprice) AS mx_price, count(*) AS cnt,
+           |       count(DISTINCT l_extendedprice) AS n_distinct
            |FROM lineitem
            |WHERE l_shipdate >= TIMESTAMP '2000-06-01' OR l_orderkey % 7 <> 0
            |GROUP BY l_suppkey
