@@ -54,7 +54,7 @@ object Bench {
     "q108_tpch_q16", "q109_clustering_depth", "q110_mv_join_delete",
     "q111_tpch_q4", "q112_tpch_q6", "q113_tpch_q9", "q114_tpch_q12",
     "q115_tpch_q13", "q116_tpch_q20", "q117_mv_agg_delete", "q118_mv_minmax_delete",
-    "q119_mv_quantile_delete",
+    "q119_mv_quantile_delete", "q120_mv_tpch_q1_delete",
     "l3_ann_hnsw_incremental")
 
   /** 1-minute system load average, -1.0 where the platform can't say.

@@ -3958,6 +3958,73 @@ object Relational {
            |FROM r WHERE rn = CAST(ceil(0.5 * total) AS BIGINT)
            |ORDER BY l_suppkey""".stripMargin))
 
+  // MAINTAINED TPC-H Q1 (q120): the capstone of the counted family —
+  // the engine's flagship pricing summary (q03) kept current under
+  // inserts AND deletes by maintainAggCounted. Every stored column is
+  // LINEAR (four decimal sums + the count); the non-linear outputs
+  // (the three AVGs) DERIVE at read time as sum/count — the classic
+  // IVM lesson: maintain linear state, derive the rest. The division
+  // is one IEEE op on doubles both engines produce from identical
+  // exact decimals, so maintained == recomputed bit-for-bit, avg
+  // columns included. Same signed batch convention as q117.
+  private val q120 = QueryDef(
+    "q120_mv_tpch_q1_delete",
+    (s, dir) => {
+      val cut = lit("2000-06-01").cast("timestamp_ntz")
+      val d6 = DecimalType(18, 6)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"),
+        col("l_quantity").cast(d6).as("sum_qty"),
+        col("l_extendedprice").cast(d6).as("sum_base_price"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(d6).as("sum_disc_price"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).cast(d6).as("sum_charge"),
+        col("l_discount").cast(d6).as("sum_disc"))
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val sums = Seq("sum_qty", "sum_base_price", "sum_disc_price",
+        "sum_charge", "sum_disc")
+      val pre = li.filter(col("l_shipdate") < cut)
+      def m(df: DataFrame, v: Int) = df.withColumn("_mult", lit(v.toLong))
+      val batch = m(li.filter(col("l_shipdate") >= cut), 1)
+        .unionByName(m(pre.filter(col("l_orderkey") % 7 === 0), -1))
+      val mv0 = pre.groupBy(keys.map(col): _*)
+        .agg(sum(sums.head).as(sums.head),
+          sums.tail.map(c => sum(c).as(c)) :+ count(lit(1)).as("cnt"): _*)
+      val mv = graft.ops.TableOps.maintainAggCounted(mv0, batch, keys, sums)
+      def dbl(c: String) = col(c).cast("double")
+      mv.select(col("l_returnflag"), col("l_linestatus"),
+          dbl("sum_qty").as("sum_qty"),
+          dbl("sum_base_price").as("sum_base_price"),
+          dbl("sum_disc_price").as("sum_disc_price"),
+          dbl("sum_charge").as("sum_charge"),
+          (dbl("sum_qty") / dbl("cnt")).as("avg_qty"),
+          (dbl("sum_base_price") / dbl("cnt")).as("avg_price"),
+          (dbl("sum_disc") / dbl("cnt")).as("avg_disc"),
+          col("cnt").as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           |    AS sum_base_price,
+           |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           |      AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+           |      AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS avg_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS avg_price,
+           |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS avg_disc,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '2000-06-01' OR l_orderkey % 7 <> 0
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -3968,5 +4035,5 @@ object Relational {
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
 }
