@@ -56,6 +56,38 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(GraphOps.hopDistance(edges, Seq.empty[Tuple1[Long]].toDF("node")).isEmpty)
   }
 
+  test("counted maintenance degenerate sides: empty batch keeps the view; empty view adopts the batch") {
+    val mv = Seq((1L, 10L, 2L)).toDF("k", "sum_v", "cnt")
+    val noBatch = Seq.empty[(Long, Long, Long)].toDF("k", "sum_v", "_mult")
+    val kept = TableOps.maintainAggCounted(mv, noBatch, Seq("k"), Seq("sum_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kept == Set((1L, 10L, 2L)), s"empty batch changed the view: $kept")
+    val noView = Seq.empty[(Long, Long, Long)].toDF("k", "sum_v", "cnt")
+    val batch = Seq((2L, 7L, 1L)).toDF("k", "sum_v", "_mult")
+    val adopted = TableOps.maintainAggCounted(noView, batch, Seq("k"), Seq("sum_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(adopted == Set((2L, 7L, 1L)), s"empty view lost the batch: $adopted")
+    // value-counts aux + reads: empty aux reads empty, never throws
+    val noAux = Seq.empty[(Long, Long, Long)].toDF("k", "v", "cnt")
+    assert(TableOps.readMinMax(noAux, Seq("k"), "v").isEmpty)
+    assert(TableOps.readQuantile(noAux, Seq("k"), "v",
+      new java.math.BigDecimal("0.5")).isEmpty)
+    // consolidate of nothing is nothing
+    assert(TableOps.consolidate(
+      Seq.empty[(Long, Long)].toDF("k", "_mult"), Seq("k")).isEmpty)
+  }
+
+  test("clusteringDepth on an empty zone table returns the empty aggregate, not a crash") {
+    val noZones = Seq.empty[(Long, Long)].toDF("mn", "mx")
+    val r = Layout.clusteringDepth(noZones, "mn", "mx").collect().head
+    assert(r.getLong(0) == 0L, s"expected n_chunks 0: $r")
+    // and the trigger never fires on it
+    val tbl = Seq((0, 0)).toDF("x", "y")
+    val (same, fired) = Layout.reclusterIfDeep(tbl, noZones, "mn", "mx",
+      maxDepthThreshold = 1, "x", "y", numFiles = 2)
+    assert(!fired && (same eq tbl), "empty zones must not trigger a rewrite")
+  }
+
   test("TableOps degenerate sides: empty updates pass the base; empty changelog applies to nothing") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
     val got = TableOps.upsert(base, Seq.empty[(Long, String)].toDF("k", "s"), Seq("k"))

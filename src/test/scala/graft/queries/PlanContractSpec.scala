@@ -792,7 +792,7 @@ class PlanContractSpec extends AnyFunSuite {
     // the fact history got re-joined; the date split must prune the
     // batch scans (q119 adds only aux-sized windows on top)
     for (name <- Seq("q117_mv_agg_delete", "q118_mv_minmax_delete",
-        "q119_mv_quantile_delete")) {
+        "q119_mv_quantile_delete", "q120_mv_tpch_q1_delete")) {
       val plan = formatted(name)
       val joins = """(?m)^\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"""
         .r.findAllIn(plan).size
