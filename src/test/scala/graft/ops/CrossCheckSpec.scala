@@ -120,6 +120,52 @@ class CrossCheckSpec extends AnyFunSuite {
     assert(out.count(_._4 > 0) >= 8, "most copier docs should lose their planted run")
   }
 
+  test("insert-only batches: the counted Z-set algebra agrees with the insert-only maintainers") {
+    // maintainAggCounted with all-+1 multiplicities must produce
+    // exactly what maintainAgg produces from the pre-aggregated delta
+    // — the counted algebra RESTRICTED to inserts IS the insert-only
+    // op (both equal the recompute); same for the join family vs
+    // maintainJoin (modulo the multiplicity column).
+    val rnd = new scala.util.Random(31)
+    val base = Seq.tabulate(300)(i => (rnd.nextInt(20).toLong, (i % 7 + 1).toLong))
+      .toDF("k", "sum_v")
+    val batchRows = Seq.tabulate(120)(i => (rnd.nextInt(25).toLong, (i % 5 + 1).toLong))
+      .toDF("k", "sum_v")
+    val mv0 = base.groupBy("k")
+      .agg(sum("sum_v").as("sum_v"), count(lit(1)).as("cnt"))
+    val viaCounted = TableOps.maintainAggCounted(mv0,
+        batchRows.withColumn("_mult", lit(1L)), Seq("k"), Seq("sum_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaInsertOnly = TableOps.maintainAgg(mv0,
+        batchRows.groupBy("k")
+          .agg(sum("sum_v").as("sum_v"), count(lit(1)).as("cnt")), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val recompute = base.unionByName(batchRows).groupBy("k")
+      .agg(sum("sum_v").as("sum_v"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaCounted == recompute, "counted algebra diverged from the recompute")
+    assert(viaInsertOnly == recompute, "insert-only op diverged from the recompute")
+    // join family: maintainJoinCounted with all-+1 mults == maintainJoin + count
+    val a = Seq((1L, "a1"), (2L, "a2")).toDF("k", "av")
+    val da = Seq((3L, "a3")).toDF("k", "av")
+    val b = Seq((1L, 10), (1L, 11), (2L, 20)).toDF("k", "bv")
+    val db = Seq((3L, 30), (1L, 12)).toDF("k", "bv")
+    def m1(df: org.apache.spark.sql.DataFrame) = df.withColumn("_mult", lit(1L))
+    val mv0j = TableOps.consolidate(
+      m1(a).withColumnRenamed("_mult", "_ml")
+        .join(m1(b).withColumnRenamed("_mult", "_mr"), Seq("k"))
+        .select(col("k"), col("av"), col("bv"),
+          (col("_ml") * col("_mr")).as("_mult")), Seq("k", "av", "bv"))
+    val counted = TableOps.maintainJoinCounted(mv0j, m1(a), m1(da), m1(b), m1(db), Seq("k"))
+      .collect().map(r => ((r.getLong(0), r.getString(1), r.getInt(2)), r.getLong(3))).toMap
+    val plain = TableOps.maintainJoin(
+        a.join(b, Seq("k")).select("k", "av", "bv"), a, da, b, db, Seq("k"))
+      .groupBy("k", "av", "bv").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getLong(0), r.getString(1), r.getInt(2)), r.getLong(3))).toMap
+    assert(counted == plain,
+      s"counted join algebra diverged from insert-only + count: $counted vs $plain")
+  }
+
   test("bucketed range join equals the naive theta join on random intervals") {
     // q37's decomposition contract: equi-join on width-W buckets +
     // BETWEEN residual must equal the plain non-equi join for ANY
