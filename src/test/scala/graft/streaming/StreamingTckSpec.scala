@@ -1005,6 +1005,80 @@ class StreamingTckSpec extends AnyFunSuite {
     assert(!fired0, "tight envelopes must not trigger")
   }
 
+  // ---------------------------------------------------------------- T19
+  test("T19: streaming ANN index maintenance — arriving vectors link into the frozen adjacency, restart-safe") {
+    // the l3_ann_hnsw_incremental semantics in-stream: each batch of
+    // arriving vectors scores ONLY batch-vs-stored (batch broadcast,
+    // corpus streams), links top-1 into the frozen adjacency
+    // (symmetrized — HNSW bidirectional insertion), and commits a
+    // versioned (vectors, adj) snapshot pair keyed by batchId — the
+    // T13 scheme, so a replayed batch re-derives its version
+    // identically across a checkpoint restart.
+    val root = Files.createTempDirectory("annview").toString
+    val ck = Files.createTempDirectory("annview-ck").toString
+    Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)),
+        (2L, Seq(0.0, 1.0)), (3L, Seq(0.1, 0.9)))
+      .toDF("vid", "emb").write.parquet(s"$root/v=0/vectors")
+    Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L)).toDF("a", "b")
+      .write.parquet(s"$root/v=0/adj")
+    val in = MemoryStream[(Long, Seq[Double])](spark)
+    def latestVersion(): Long =
+      new java.io.File(root).listFiles().filter(_.getName.startsWith("v="))
+        .map(_.getName.stripPrefix("v=").toLong).max
+    def start() = in.toDF().toDF("vid", "emb")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        val prior = (id to 0L by -1L).map(v => s"$root/v=$v")
+          .find(d => new java.io.File(d).exists())
+          .getOrElse(s"$root/v=0")
+        val stored = sp.read.parquet(s"$prior/vectors")
+        val adj = sp.read.parquet(s"$prior/adj")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("sim").desc, col("vid").asc)
+        val links = stored.select(col("vid"), col("emb").as("ve"))
+          .crossJoin(broadcast(batch
+            .select(col("vid").as("qid"), col("emb").as("qe"))))
+          .select(col("qid"), col("vid"),
+            expr("aggregate(zip_with(qe, ve, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+              .as("sim"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+          .select(col("qid").as("a"), col("vid").as("b"))
+        val out = s"$root/v=${id + 1}"
+        adj.unionByName(links)
+          .unionByName(links.select(col("b").as("a"), col("a").as("b")))
+          .distinct()
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/adj")
+        stored.unionByName(batch.toDF("vid", "emb"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/vectors")
+      }.start()
+    val q1 = start()
+    in.addData((10L, Seq(0.95, 0.05))) // nearest stored: 0
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start() // restart from the same checkpoint
+    // nearest stored to 11 is 2 — NOT the earlier-arrived 10 (its dot
+    // is 0.095): the frozen index grows with each committed batch
+    in.addData((11L, Seq(0.05, 0.95)))
+    q2.processAllAvailable(); q2.stop()
+    val vN = latestVersion()
+    def adjSet(dir: String): Set[(Long, Long)] =
+      spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+    val got = adjSet(s"$root/v=$vN/adj")
+    val want = Set((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L),
+      (10L, 0L), (0L, 10L), (11L, 2L), (2L, 11L))
+    assert(got == want, s"maintained adjacency after streamed adds: $got")
+    assert(spark.read.parquet(s"$root/v=$vN/vectors").count() == 6)
+    // replaying batch 1 against v=1 reproduces v=2's adjacency
+    val stored1 = spark.read.parquet(s"$root/v=1/vectors")
+    val links1 = Seq((11L, 2L)).toDF("a", "b") // 11's top-1 among v=1's stored
+    val replayed = adjSet(s"$root/v=1/adj") ++
+      links1.as[(Long, Long)].collect().toSet ++
+      links1.select(col("b"), col("a")).as[(Long, Long)].collect().toSet
+    assert(replayed == adjSet(s"$root/v=2/adj"),
+      s"replayed add batch diverged: $replayed")
+    assert(stored1.count() == 5)
+  }
+
   // ------------------------------------------- L-ops over the stream
   test("corpus ingest: quality gate + in-stream exact dedup over the message source") {
     // The L-battery's cleanup stages composed onto the streaming layer:
