@@ -143,10 +143,17 @@ object Layout {
     // back in. Ties share a pos and therefore a bucket, so the
     // permutation-invariance argument is untouched.
     val env = broadcast(ev.agg(min("pos").as("_lo"), max("pos").as("_hi")))
+    // span arithmetic in DECIMAL(38,0): a mixed-sign envelope wider
+    // than half the long range would overflow (hi - lo + 1) in long
+    // math and make the bucket assignment non-monotone in pos —
+    // silently wrong depths. Decimal subtraction is exact here; the
+    // double cast after it is monotone non-decreasing, which is all
+    // bucketing needs (ties still share a pos and therefore a bucket).
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
     val bucketed = ev.crossJoin(env).select(col("pos"), col("d"),
       least(lit(numRanges - 1), greatest(lit(0),
-        floor((col("pos") - col("_lo")).cast("double") /
-          (col("_hi") - col("_lo") + 1).cast("double") * numRanges)))
+        floor((d38(col("pos")) - d38(col("_lo"))).cast("double") /
+          (d38(col("_hi")) - d38(col("_lo")) + 1).cast("double") * numRanges)))
         .cast("int").as("_bkt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_bkt")

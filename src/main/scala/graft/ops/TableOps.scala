@@ -110,11 +110,18 @@ object TableOps {
     val aggCols = cols.filterNot(keys.contains)
     val m = mv.alias("_mb")
     val d = delta.select(cols.map(col): _*).alias("_md")
-    val cond = keys.map(k => col(s"_mb.$k") === col(s"_md.$k")).reduce(_ && _)
+    // null-SAFE key equality: a NULL group key is legal under groupBy
+    // semantics (one NULL group), and a plain === would strand it as a
+    // duplicate NULL row on every maintenance round
+    val cond = keys.map(k => col(s"_mb.$k") <=> col(s"_md.$k")).reduce(_ && _)
     m.join(d, cond, "full_outer")
       .select(keys.map(k => coalesce(col(s"_mb.$k"), col(s"_md.$k")).as(k)) ++
         aggCols.map(c =>
-          (coalesce(col(s"_mb.$c"), lit(0)) + coalesce(col(s"_md.$c"), lit(0))).as(c)): _*)
+          // cast back to the view's column type: decimal addition widens
+          // (18,6)+(18,6) → (19,6), and an uncast merge would drift the
+          // stored view's schema a digit per maintenance round
+          (coalesce(col(s"_mb.$c"), lit(0)) + coalesce(col(s"_md.$c"), lit(0)))
+            .cast(mv.schema(c).dataType).as(c)): _*)
   }
 
   /** The INSERT DELTA of a JOIN view V = A ⋈_keys B — the rows a full
@@ -232,7 +239,12 @@ object TableOps {
     require(keys.nonEmpty, "aggDeltaCounted needs at least one key column")
     require(!sumCols.contains(countCol) && !keys.contains(countCol),
       s"$countCol collides with a key/sum column")
-    val aggs = sumCols.map(c => sum(col(multCol) * col(c)).as(c)) :+
+    // each Σ mult·value casts back to the batch column's own type:
+    // sum over decimal widens to (38,s), and an uncast delta would
+    // drift a stored view's schema away from the freshly built mv0
+    // (values stay exact — the cast only undoes the precision widening)
+    val aggs = sumCols.map(c => sum(col(multCol) * col(c))
+        .cast(batch.schema(c).dataType).as(c)) :+
       sum(col(multCol)).as(countCol)
     batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -260,12 +272,16 @@ object TableOps {
     val d = aggDeltaCounted(batch, keys, sumCols, countCol, multCol)
     val m = mv.alias("_mb")
     val dd = d.alias("_md")
-    val cond = keys.map(k => col(s"_mb.$k") === col(s"_md.$k")).reduce(_ && _)
+    // null-safe: a NULL group key must merge with the view's NULL row,
+    // not append a duplicate (see maintainAgg)
+    val cond = keys.map(k => col(s"_mb.$k") <=> col(s"_md.$k")).reduce(_ && _)
     m.join(dd, cond, "full_outer")
       .select(keys.map(k => coalesce(col(s"_mb.$k"), col(s"_md.$k")).as(k)) ++
         (sumCols :+ countCol).map(c =>
+          // pinned to the view's type — see maintainAgg's drift note
           (coalesce(col(s"_mb.$c"), lit(0)) +
-            coalesce(col(s"_md.$c"), lit(0))).as(c)): _*)
+            coalesce(col(s"_md.$c"), lit(0)))
+            .cast(mv.schema(c).dataType).as(c)): _*)
       .filter(col(countCol) =!= 0L)
   }
 
@@ -360,7 +376,8 @@ object TableOps {
     require(keys.nonEmpty, "maintainZoneMap needs at least one key column")
     val m = mv.alias("_mb")
     val d = delta.select(mv.columns.toSeq.map(col): _*).alias("_md")
-    val cond = keys.map(k => col(s"_mb.$k") === col(s"_md.$k")).reduce(_ && _)
+    // null-safe keys — see maintainAgg's NULL-group note
+    val cond = keys.map(k => col(s"_mb.$k") <=> col(s"_md.$k")).reduce(_ && _)
     m.join(d, cond, "full_outer").select(
       keys.map(k => coalesce(col(s"_mb.$k"), col(s"_md.$k")).as(k)) ++
         minCols.map(c => least(col(s"_mb.$c"), col(s"_md.$c")).as(c)) ++
@@ -386,7 +403,8 @@ object TableOps {
     require(keys.nonEmpty, "maintainDistinct needs at least one key column")
     val m = mv.alias("_mb")
     val d = delta.select(mv.columns.toSeq.map(col): _*).alias("_md")
-    val cond = keys.map(k => col(s"_mb.$k") === col(s"_md.$k")).reduce(_ && _)
+    // null-safe keys — see maintainAgg's NULL-group note
+    val cond = keys.map(k => col(s"_mb.$k") <=> col(s"_md.$k")).reduce(_ && _)
     m.join(d, cond, "full_outer")
       .select(keys.map(k => coalesce(col(s"_mb.$k"), col(s"_md.$k")).as(k)) :+
         when(col(s"_mb.$sketchCol").isNull, col(s"_md.$sketchCol"))

@@ -152,25 +152,47 @@ case class AutoSkewRule(spark: SparkSession) extends Rule[LogicalPlan]
             val rest = conjuncts.zipWithIndex.collect {
               case (c, i) if i != idx => c
             }
-            // a mis-typed profile (Literal.create coercion failure)
-            // must not fail the query: fall back to the plain join
-            try rewrite(j, left, right, la, ra, rest,
-              lookup(spark, la.name).get)
-            catch { case scala.util.control.NonFatal(_) => j }
+            val p = lookup(spark, la.name).get
+            // a mis-typed profile must not fail the query — but the
+            // fallback try is NARROW (only the Literal.create coercion
+            // of the hot values), so a genuine rewrite bug still
+            // surfaces instead of silently degrading to the plain join
+            coerceHotLits(p, la, ra) match {
+              case Some((hotL, hotR)) =>
+                rewrite(j, left, right, la, ra, rest, p, hotL, hotR)
+              case None => j
+            }
           case None => j
         }
     }
   }
 
+  /** Coerce the profile's hot values to both join attributes' types up
+    * front — the ONLY failure the rule tolerates by design. Returns
+    * None (with a warning) on a mis-typed profile. */
+  private def coerceHotLits(p: Profile, la: AttributeReference,
+                            ra: AttributeReference)
+      : Option[(Seq[Expression], Seq[Expression])] =
+    try Some((p.hot.map(v => Literal.create(v, la.dataType)),
+              p.hot.map(v => Literal.create(v, ra.dataType))))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"graft.autoSkew: profile for '${la.name}' is not " +
+          s"coercible to ${la.dataType}/${ra.dataType} " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+          "falling back to the plain join")
+        None
+    }
+
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
                       la: AttributeReference, ra: AttributeReference,
-                      rest: Seq[Expression], p: Profile): LogicalPlan = {
-    def hotLits(dt: org.apache.spark.sql.types.DataType): Seq[Expression] =
-      p.hot.map(v => Literal.create(v, dt))
+                      rest: Seq[Expression], p: Profile,
+                      hotL: Seq[Expression],
+                      hotR: Seq[Expression]): LogicalPlan = {
     // fact side: hot rows get a round-robin salt in [0, buckets),
     // cold rows salt 0 — saltFact's exact semantics as expressions
     val saltL = Alias(
-      If(In(la, hotLits(la.dataType)),
+      If(In(la, hotL),
         Cast(Pmod(MonotonicallyIncreasingID(), Literal(p.buckets.toLong)),
           IntegerType),
         Literal(0)),
@@ -180,7 +202,7 @@ case class AutoSkewRule(spark: SparkSession) extends Rule[LogicalPlan]
     // exist only at salt 0 — the dim attribute takes the FACT
     // column's hot literals (coerced to ITS type; the equi-conjunct
     // guarantees comparability)
-    val arr = If(In(ra, hotLits(ra.dataType)),
+    val arr = If(In(ra, hotR),
       CreateArray((0 until p.buckets).map(i => Literal(i))),
       CreateArray(Seq(Literal(0))))
     val saltR = AttributeReference("__graft_salt_r", IntegerType,
