@@ -175,6 +175,49 @@ object Layout {
         max("depth").as("max_depth"))
   }
 
+  /** Write `df` as a CHUNK-PARTITIONED table: one directory per value
+    * of `chunkCol` (hive-style partitioning), so a chunk predicate at
+    * read time prunes whole directories from the file listing — the
+    * physical substrate [[prunedRead]] consumes. `chunkCol` should be
+    * STRING-typed (format numeric chunk ids up front): partition-value
+    * type inference round-trips strings exactly, so the zone table's
+    * chunk ids match the scan's partition column without a cast that
+    * could defeat partition-filter pushdown. The range exchange packs
+    * each task's rows into few chunks, so the table lands as ~one file
+    * per chunk instead of `writeTasks × chunks` shards. */
+  def writeClustered(df: DataFrame, path: String, chunkCol: String,
+                     writeTasks: Int = 16): Unit =
+    df.repartitionByRange(math.max(1, writeTasks), col(chunkCol))
+      .write.mode("overwrite").partitionBy(chunkCol).parquet(path)
+
+  /** ZONE-MAP-PRUNED READ — the maintained envelopes finally SKIPPING
+    * I/O, not just measuring it: resolve `zonePred` against the
+    * chunk-level zone table (the q83/q103 min/max envelopes), read
+    * ONLY the matching chunks of a [[writeClustered]] table, and apply
+    * the exact `residual` predicate to the surviving rows. The zone
+    * resolution is a PLANNING-TIME action over the chunk-count-bounded
+    * metadata table — the same manifest-pruning step every lakehouse
+    * reader (Delta/Iceberg data skipping) runs before touching data;
+    * at 10⁶ chunks the collected id list is still metadata-sized. The
+    * surviving ids become a PartitionFilter on the scan, so pruned
+    * directories never reach the parquet reader (PlanContractSpec pins
+    * scanned file count < total). Correctness does not depend on the
+    * envelopes being TIGHT — stale (q103-loosened) bounds only scan
+    * extra chunks; the residual keeps the row set exact either way. A
+    * zone table that MISSES a chunk, however, silently drops its rows:
+    * completeness of the zone table is the maintenance contract
+    * ([[TableOps.maintainZoneMap]] merges every batch's chunks in). */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                 zones: DataFrame, chunkCol: String,
+                 zonePred: Column, residual: Column): DataFrame = {
+    val keep = zones.filter(zonePred)
+      .select(col(chunkCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val scan = spark.read.parquet(path)
+    if (keep.isEmpty) scan.where(lit(false))
+    else scan.filter(col(chunkCol).isInCollection(keep) && residual)
+  }
+
   /** The q109 → OPTIMIZE loop closed: measure the layout's clustering
     * depth from its chunk envelopes and REWRITE when it has drifted
     * past `maxDepthThreshold` — the maintenance action a lakehouse

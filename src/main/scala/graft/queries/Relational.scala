@@ -4025,6 +4025,73 @@ object Relational {
            |GROUP BY l_returnflag, l_linestatus
            |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
+  // ZONE-MAP-PRUNED READ (q121): the zone-map family's I/O payoff —
+  // q83 measures skip fractions, q103 maintains envelopes, q109
+  // triggers re-clustering, and this one finally SKIPS THE READ:
+  // lineitem is written chunk-partitioned (Layout.writeClustered, one
+  // directory per chunk) under both the z-order and the natural
+  // chunking, the per-chunk (partkey, suppkey) envelopes become the
+  // zone table, and Layout.prunedRead resolves the q83 probe predicate
+  // against the envelopes to read ONLY matching chunk directories
+  // (a PartitionFilter on the scan — PlanContractSpec pins scanned
+  // files < total on the z-order layout), applying the exact predicate
+  // as the residual. The ORACLE is the plain full-scan filter, so the
+  // gate pins pruned == full-scan-filtered row-for-row on BOTH
+  // layouts — the z-order layout skips ~90% of chunks (q83's measured
+  // fraction turned into real I/O), the natural layout prunes ~none,
+  // and both return the identical row set. Chunk ids are formatted
+  // strings so partition-value inference round-trips them exactly
+  // (no cast to defeat pushdown).
+  private val q121 = QueryDef(
+    "q121_zonemap_pruned_read",
+    (s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
+      val z = graft.ops.Layout.mortonKey(
+        col("l_partkey") % 65536, col("l_suppkey") % 65536)
+      val k = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), z.as("zkey"))
+      val env = broadcast(k.agg(
+        expr("max(zkey) div 64 + 1").as("wz"),
+        expr("max(l_orderkey) div 64 + 1").as("wo")))
+      val ch = cached(k.crossJoin(env).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        format_string("c%05d", expr("zkey div wz")).as("chz"),
+        format_string("c%05d", expr("l_orderkey div wo")).as("cho")))
+      val base = java.nio.file.Files.createTempDirectory("graft-q121").toString
+      def prunedLayout(chunkCol: String, name: String): DataFrame = {
+        val data = ch.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col(chunkCol).as("chunk"))
+        val path = s"$base/$name"
+        graft.ops.Layout.writeClustered(data, path, "chunk")
+        val zones = data.groupBy("chunk")
+          .agg(min("l_partkey").as("mn_p"), max("l_partkey").as("mx_p"),
+            min("l_suppkey").as("mn_s"), max("l_suppkey").as("mx_s"))
+        graft.ops.Layout.prunedRead(s, path, zones, "chunk",
+            zonePred = col("mn_p") <= 255 && col("mx_p") >= 64 &&
+              col("mn_s") <= 39 && col("mx_s") >= 8,
+            residual = col("l_partkey").between(64, 255) &&
+              col("l_suppkey").between(8, 39))
+          .select(lit(name).as("layout"), col("l_orderkey"),
+            col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      }
+      prunedLayout("cho", "natural").unionByName(prunedLayout("chz", "zorder"))
+        .orderBy("layout", "l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey")
+    },
+    Some("""WITH m AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+           |           FROM lineitem
+           |           WHERE l_partkey BETWEEN 64 AND 255
+           |             AND l_suppkey BETWEEN 8 AND 39)
+           |SELECT 'natural' AS layout, l_orderkey, l_linenumber, l_partkey,
+           |       l_suppkey FROM m
+           |UNION ALL
+           |SELECT 'zorder', l_orderkey, l_linenumber, l_partkey, l_suppkey
+           |FROM m
+           |ORDER BY layout, l_orderkey, l_linenumber, l_partkey,
+           |         l_suppkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -4035,5 +4102,5 @@ object Relational {
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
 }

@@ -505,6 +505,11 @@ class PlanContractSpec extends AnyFunSuite {
       "q98_ktruss",       // per-round support peel (q50's cached orientation)
       "q99_condensation", // builds scc (the q72 exemption) before contracting
       "q87_node2vec_walks", // pair-build lineage cut (q73 class)
+      "q121_zonemap_pruned_read", // writes the two chunk-partitioned
+      // layouts and resolves the zone table at construction — the
+      // write IS the operator under test (manifest pruning needs a
+      // manifest), and the zone resolution is the planning-time
+      // metadata action every lakehouse reader runs
       "l3_ann_hnsw_incremental", // runs the hnsw search twice — same cuts
       "l3_ann_hnsw",      // descent/beam rounds lineage-cut per round (the
       // q44 class: each round references the prior scored set twice, so
@@ -825,5 +830,52 @@ class PlanContractSpec extends AnyFunSuite {
     assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
       plan.contains("LessThan(l_shipdate"),
       s"lineitem split predicate not pushed:\n$plan")
+  }
+
+  test("q121/prunedRead: the zone-resolved chunk list SKIPS files — scanned < total") {
+    // The zone-map family's I/O contract: resolving the predicate
+    // against the maintained envelopes must reach the scan as a
+    // PARTITION filter, so pruned chunk directories never hit the
+    // parquet reader. Identity layout (chunk c covers ids
+    // [256c, 256c+255]) so the envelope resolution is exact: the probe
+    // [100, 300] touches chunks c000/c001 only — 14 of 16 skipped.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val dir = java.nio.file.Files.createTempDirectory("graft-pruned").toString
+    val df = spark.range(0, 4096).select(col("id"),
+      format_string("c%03d", expr("id div 256")).as("chunk"))
+    graft.ops.Layout.writeClustered(df, dir, "chunk")
+    val zones = df.groupBy("chunk")
+      .agg(min("id").as("mn"), max("id").as("mx"))
+    val pruned = graft.ops.Layout.prunedRead(spark, dir, zones, "chunk",
+      zonePred = col("mn") <= 300 && col("mx") >= 100,
+      residual = col("id").between(100, 300))
+    // row-for-row identical to the full-scan filter
+    val full = spark.read.parquet(dir).filter(col("id").between(100, 300))
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      full.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(pruned.count() == 201)
+    // and the scan's runtime file count is BELOW the table's total —
+    // the skip fraction as real I/O, not a report column
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    pruned.collect()
+    val scans = fileScans(pruned.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan found in the pruned plan")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    val total = spark.read.parquet(dir).inputFiles.length.toLong
+    assert(scanned < total,
+      s"pruned read scanned $scanned of $total files — partition filter lost")
+    assert(scanned <= total / 4,
+      s"pruned read scanned $scanned of $total files — pruning far looser than the envelopes allow")
+    // a predicate no envelope covers reads NOTHING
+    val none = graft.ops.Layout.prunedRead(spark, dir, zones, "chunk",
+      zonePred = col("mn") > 100000, residual = col("id") > 100000)
+    assert(none.count() == 0)
   }
 }
