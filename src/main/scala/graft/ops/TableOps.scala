@@ -285,6 +285,37 @@ object TableOps {
       .filter(col(countCol) =!= 0L)
   }
 
+  /** Z-set PIPELINE maintenance — the DBSP chain rule through an
+    * agg-over-join view: V = γ_aggKeys(A ⋈_joinKeys B) with SUM/COUNT
+    * aggregates. Because differentiation composes (Δ(g∘f) = Δg ∘ Δf
+    * for Z-set operators), a signed batch on either base side
+    * propagates as ONE delta pass per operator: [[joinDeltaCounted]]
+    * produces the join view's signed delta rows, and those rows feed
+    * DIRECTLY into [[maintainAggCounted]] as its signed batch — the
+    * intermediate join view is never materialized, stored, or
+    * recomputed. `aggMv` holds the current (aggKeys, sumCols, countCol)
+    * aggregates; `a`/`b` are PRE-batch snapshots carrying `multCol`
+    * (+1 rows for a plain table); `sumCols` name both the join
+    * output's value columns and the view's aggregate columns (the
+    * [[maintainAgg]] schema convention — alias in the inputs). The
+    * view's `countCol` is Σ join multiplicities, i.e. COUNT(*) of the
+    * joined rows; groups whose count reaches zero vanish.
+    *
+    * Cost: three batch-sided joins + one batch-sized aggregate + one
+    * view-sized merge. The bases are probed, never joined against each
+    * other, and the fact history is never rescanned — the silver→gold
+    * nightly shape at any scale. */
+  def maintainPipelineCounted(aggMv: DataFrame, a: DataFrame, deltaA: DataFrame,
+                              b: DataFrame, deltaB: DataFrame,
+                              joinKeys: Seq[String], aggKeys: Seq[String],
+                              sumCols: Seq[String], countCol: String = "cnt",
+                              multCol: String = "_mult"): DataFrame = {
+    require(aggKeys.nonEmpty, "maintainPipelineCounted needs agg key columns")
+    val viewCols = (aggKeys ++ sumCols).distinct
+    val dv = joinDeltaCounted(a, deltaA, b, deltaB, joinKeys, viewCols, multCol)
+    maintainAggCounted(aggMv, dv, aggKeys, sumCols, countCol, multCol)
+  }
+
   /** MIN/MAX with DELETES — the auxiliary-structure variant
     * [[maintainAggCounted]] documents as its limitation: min/max are
     * NOT linear (deleting the current extremum needs the runner-up),

@@ -4092,6 +4092,66 @@ object Relational {
            |ORDER BY layout, l_orderkey, l_linenumber, l_partkey,
            |         l_suppkey""".stripMargin))
 
+  // Z-SET PIPELINE MAINTENANCE (q122): q110 maintains a JOIN view
+  // under deletes, q117 an AGGREGATE view — this composes them through
+  // the DBSP chain rule (TableOps.maintainPipelineCounted): a real
+  // silver→gold pipeline's view is an AGG-OVER-JOIN, and a signed
+  // batch on either base side propagates as one delta pass per
+  // operator — joinDeltaCounted's signed rows feed DIRECTLY into
+  // maintainAggCounted, the intermediate join view never materialized
+  // or recomputed. Batches carry inserts AND deletes on BOTH sides
+  // (the q110 convention: orders post-cut inserts + every-7th-key
+  // deletes; lineitem post-cut inserts + every-5th-suppkey deletes).
+  // ORACLE = the full agg-over-join recompute over the POST-delete
+  // snapshots. Prices sum in DECIMAL(18,6) end-to-end (maintained ==
+  // rebuilt bit-for-bit); only the output casts to double.
+  private val q122 = QueryDef(
+    "q122_mv_pipeline_delete",
+    (s, dir) => {
+      val d6 = DecimalType(18, 6)
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice").cast(d6).as("sum_price"))
+      val cutO = lit("2000-01-01").cast("timestamp_ntz")
+      val cutL = lit("2000-06-01").cast("timestamp_ntz")
+      def m(df: DataFrame, v: Int) = df.withColumn("_mult", lit(v.toLong))
+      val a = m(ord.filter(col("o_orderdate") < cutO), 1)
+      val da = m(ord.filter(col("o_orderdate") >= cutO), 1)
+        .unionByName(m(ord.filter(col("o_orderdate") < cutO &&
+          col("l_orderkey") % 7 === 0), -1))
+      val b = m(li.filter(col("l_shipdate") < cutL), 1)
+      val db = m(li.filter(col("l_shipdate") >= cutL), 1)
+        .unionByName(m(li.filter(col("l_shipdate") < cutL &&
+          col("l_suppkey") % 5 === 0), -1))
+      val mv0 = a.drop("_mult").join(b.drop("_mult"), Seq("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum("sum_price").as("sum_price"), count(lit(1)).as("cnt"))
+      graft.ops.TableOps.maintainPipelineCounted(mv0, a, da, b, db,
+          joinKeys = Seq("l_orderkey"), aggKeys = Seq("o_orderpriority"),
+          sumCols = Seq("sum_price"))
+        .select(col("o_orderpriority"),
+          col("sum_price").cast("double").as("sum_price"), col("cnt"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH af AS (
+           |  SELECT o_orderkey AS l_orderkey, o_orderpriority FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+           |     OR o_orderkey % 7 <> 0),
+           |bf AS (
+           |  SELECT l_orderkey, l_extendedprice FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '2000-06-01'
+           |     OR l_suppkey % 5 <> 0)
+           |SELECT o_orderpriority,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           |    AS sum_price,
+           |  count(*) AS cnt
+           |FROM bf JOIN af USING (l_orderkey)
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -4102,5 +4162,6 @@ object Relational {
     q51, q52, q53, q54, q55, q58, q59, q60, q61, q62, q63, q65, q67, q68,
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
+    q122)
 }

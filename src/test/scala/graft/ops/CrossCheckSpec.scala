@@ -166,6 +166,61 @@ class CrossCheckSpec extends AnyFunSuite {
       s"counted join algebra diverged from insert-only + count: $counted vs $plain")
   }
 
+  test("pipeline chain rule: composing the join and agg maintainers equals maintaining the composed query") {
+    // Δ(γ∘⋈) = Δγ ∘ Δ⋈ — maintainPipelineCounted (join delta fed
+    // straight into the aggregate maintainer, no intermediate view)
+    // must equal BOTH (a) maintaining the counted join view and
+    // aggregating it, and (b) the full agg-over-join recompute over
+    // the post-batch snapshots — under deletes on both sides,
+    // including a group emptied entirely.
+    val a = Seq((1L, "p1"), (2L, "p2"), (3L, "p3")).toDF("k", "g")
+    val b = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 5L)).toDF("k", "sum_v")
+    def m(df: org.apache.spark.sql.DataFrame, v: Long) =
+      df.withColumn("_mult", lit(v))
+    // deletes: order 1 vanishes from A (emptying group p1 of its only
+    // key), line (3,5) vanishes from B (emptying group p3); inserts
+    // land on both sides including a brand-new key 4
+    val da = m(Seq((4L, "p2")).toDF("k", "g"), 1L)
+      .unionByName(m(Seq((1L, "p1")).toDF("k", "g"), -1L))
+    val db = m(Seq((4L, 7L), (2L, 9L)).toDF("k", "sum_v"), 1L)
+      .unionByName(m(Seq((3L, 5L)).toDF("k", "sum_v"), -1L))
+    def agg3(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // path 1: the chain rule
+    val mv0 = a.join(b, Seq("k")).groupBy("g")
+      .agg(sum("sum_v").as("sum_v"), count(lit(1)).as("cnt"))
+    val viaPipeline = agg3(TableOps.maintainPipelineCounted(
+      mv0, m(a, 1L), da, m(b, 1L), db, Seq("k"), Seq("g"), Seq("sum_v"))
+      .select("g", "sum_v", "cnt"))
+    // path 2: maintain the counted JOIN view, then aggregate it
+    val mvJ = TableOps.consolidate(
+      m(a, 1L).withColumnRenamed("_mult", "_ml")
+        .join(m(b, 1L).withColumnRenamed("_mult", "_mr"), Seq("k"))
+        .select(col("g"), col("sum_v"), (col("_ml") * col("_mr")).as("_mult")),
+      Seq("g", "sum_v"))
+    val viaJoinView = agg3(TableOps.maintainJoinCounted(
+        mvJ, m(a, 1L), da, m(b, 1L), db, Seq("k"))
+      .groupBy("g")
+      .agg(sum(col("_mult") * col("sum_v")).as("sum_v"),
+        sum("_mult").as("cnt"))
+      .filter(col("cnt") =!= 0L)
+      .select("g", "sum_v", "cnt"))
+    // path 3: the recompute over the post-batch snapshots
+    val postA = Seq((2L, "p2"), (3L, "p3"), (4L, "p2")).toDF("k", "g")
+    val postB = Seq((1L, 10L), (1L, 11L), (2L, 20L), (4L, 7L), (2L, 9L))
+      .toDF("k", "sum_v")
+    val recompute = agg3(postA.join(postB, Seq("k")).groupBy("g")
+      .agg(sum("sum_v").as("sum_v"), count(lit(1)).as("cnt")))
+    assert(viaPipeline == recompute,
+      s"chain rule diverged from the recompute: $viaPipeline vs $recompute")
+    assert(viaJoinView == recompute,
+      s"join-view path diverged from the recompute: $viaJoinView vs $recompute")
+    // the emptied groups (p1 lost its only A key; p3 its only B line)
+    // must have VANISHED, not linger at zero
+    assert(!viaPipeline.exists(r => r._1 == "p1" || r._1 == "p3"),
+      s"emptied group left residue: $viaPipeline")
+  }
+
   test("bucketed range join equals the naive theta join on random intervals") {
     // q37's decomposition contract: equi-join on width-W buckets +
     // BETWEEN residual must equal the plain non-equi join for ANY

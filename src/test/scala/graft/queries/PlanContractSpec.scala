@@ -832,6 +832,23 @@ class PlanContractSpec extends AnyFunSuite {
       s"lineitem split predicate not pushed:\n$plan")
   }
 
+  test("q122: pipeline maintenance is delta-sided — 4 joins, ONE view-sized merge, no intermediate-view recompute") {
+    val plan = formatted("q122_mv_pipeline_delete")
+    // exactly FOUR inner equi-joins (mv0's build join + the three
+    // delta joins) plus the view merge's full-outer — a fifth inner
+    // join would mean the chain rule re-executed base⋈base or
+    // materialized the intermediate join view
+    val joins = """(?m)^\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"""
+      .r.findAllIn(plan).size
+    assert(joins == 5, s"expected 4 equi-joins + 1 view merge, found $joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pipeline maintenance degenerated into a loop join:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"batch split predicates not pushed to the scans:\n$plan")
+  }
+
   test("q121/prunedRead: the zone-resolved chunk list SKIPS files — scanned < total") {
     // The zone-map family's I/O contract: resolving the predicate
     // against the maintained envelopes must reach the scan as a
