@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -56,8 +57,13 @@ import org.apache.spark.sql.types.IntegerType
   */
 object AutoSkew {
 
-  /** Session config flag gating the rule (default false). */
+  /** Session config flag gating the join rewrite (default false). */
   val EnabledKey = "spark.graft.autoSkew.enabled"
+
+  /** Separate opt-in for the two-phase salted AGGREGATE rewrite
+    * (default false) — a group-by rewrite changes more plans than a
+    * join salt, so it gets its own switch. */
+  val AggEnabledKey = "spark.graft.autoSkew.agg.enabled"
 
   final case class Profile(hot: Seq[Any], buckets: Int)
 
@@ -131,10 +137,21 @@ case class AutoSkewRule(spark: SparkSession) extends Rule[LogicalPlan]
   import AutoSkew._
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!spark.conf.get(EnabledKey, "false").toBoolean) return plan
+    val joinOn = spark.conf.get(EnabledKey, "false").toBoolean
+    val aggOn = spark.conf.get(AggEnabledKey, "false").toBoolean
+    if (!joinOn && !aggOn) return plan
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), _)
-          if j.getTagValue(rewrittenTag).isEmpty =>
+      // INNER and LEFT OUTER equi-joins: for LEFT OUTER the fact is
+      // the PRESERVED left side (the orientation every query here
+      // writes), and the rewrite preserves null-extension exactly —
+      // an unmatched hot fact row carries ONE salt value and the dim
+      // has no replica of its key at ANY salt, so it null-extends
+      // exactly once; matched rows meet their dim row at exactly one
+      // salt, as in the inner case. RIGHT/FULL outer are skipped: the
+      // dim-side replication would multiply preserved right rows.
+      case j @ Join(left, right, jt, Some(cond), _)
+          if joinOn && (jt == Inner || jt == LeftOuter) &&
+            j.getTagValue(rewrittenTag).isEmpty =>
         val conjuncts = splitConjunctivePredicates(cond)
         // first equi-conjunct whose LEFT(fact)-side attribute has a
         // profile, either spelling orientation (fact=dim or dim=fact)
@@ -164,6 +181,12 @@ case class AutoSkewRule(spark: SparkSession) extends Rule[LogicalPlan]
             }
           case None => j
         }
+      // hot GROUP BY keys: the two-phase salted aggregate (the q33
+      // shape) — see rewriteAgg for when this pays
+      case a: Aggregate
+          if aggOn && a.getTagValue(rewrittenTag).isEmpty =>
+        matchAgg(a).map { case (key, p, hot) => rewriteAgg(a, key, p, hot) }
+          .getOrElse(a)
     }
   }
 
@@ -211,12 +234,103 @@ case class AutoSkewRule(spark: SparkSession) extends Rule[LogicalPlan]
       outer = false, qualifier = None, generatorOutput = Seq(saltR),
       child = right)
     // the profiled key + the salt equality + every remaining conjunct
-    // of the original condition, untouched
+    // of the original condition, untouched; the JOIN TYPE is preserved
+    // (Inner stays Inner, LeftOuter stays LeftOuter — null-extension
+    // semantics ride the original type)
     val cond = (Seq(EqualTo(la, ra), EqualTo(saltL.toAttribute, saltR)) ++
       rest).reduce(And)
-    val nj = Join(leftP, gen, Inner, Some(cond), j.hint)
+    val nj = Join(leftP, gen, j.joinType, Some(cond), j.hint)
     nj.setTagValue(rewrittenTag, true)
     // restore the original join output: the salt columns never escape
     Project(j.output, nj)
+  }
+
+  /** Match an Aggregate the salted two-phase rewrite can handle:
+    * every grouping expression a plain attribute, one of them carrying
+    * a registered profile, and every aggregate either a grouping
+    * passthrough or an undistinct, unfiltered SUM/COUNT/MIN/MAX —
+    * the decomposable class (partial-then-merge loses nothing). AVG
+    * and friends are deliberately out: the caller spells sum/count
+    * when it wants maintainable/decomposable aggregates (the
+    * engine-wide convention). */
+  private def matchAgg(a: Aggregate)
+      : Option[(AttributeReference, Profile, Seq[Expression])] = {
+    val groupAttrs = a.groupingExpressions.collect {
+      case ar: AttributeReference => ar
+    }
+    if (groupAttrs.size != a.groupingExpressions.size) return None
+    val shapeOk = a.aggregateExpressions.forall {
+      case ar: AttributeReference => groupAttrs.exists(_.exprId == ar.exprId)
+      case Alias(AggregateExpression(f, _, false, None, _), _) => f match {
+        case _: Sum | _: Count | _: Min | _: Max => true
+        case _ => false
+      }
+      case _ => false
+    }
+    if (!shapeOk) return None
+    groupAttrs.iterator.flatMap { k =>
+      lookup(spark, k.name).flatMap { p =>
+        coerceHotLits(p, k, k).map { case (hot, _) => (k, p, hot) }
+      }
+    }.nextOption()
+  }
+
+  /** Two-phase SALTED AGGREGATE — the q33 shape as an optimizer
+    * rewrite: group by (keys..., salt) first (hot keys spread
+    * round-robin over `buckets`, cold keys salt 0), then merge the
+    * partials by the original keys. Where it pays: when the child's
+    * partitioning already satisfies the group-by (e.g. the aggregate
+    * rides a join's hash exchange), ALL of a hot key's rows sit in one
+    * partition and the single partial-aggregation task becomes the
+    * straggler — the salt splits that task's work `buckets` ways at
+    * the cost of one extra (key-count-sized) merge pass. SUM stays
+    * exact for decimal/integral types (addition is associative); the
+    * salted regrouping can reassociate FLOAT sums, which Spark's own
+    * partial aggregation already does. Output attributes keep their
+    * exprIds and types, so parent plans resolve unchanged. */
+  private def rewriteAgg(a: Aggregate, key: AttributeReference, p: Profile,
+                         hot: Seq[Expression]): LogicalPlan = {
+    val groupAttrs = a.groupingExpressions.map(_.asInstanceOf[AttributeReference])
+    val salt = Alias(
+      If(In(key, hot),
+        Cast(Pmod(MonotonicallyIncreasingID(), Literal(p.buckets.toLong)),
+          IntegerType),
+        Literal(0)),
+      "__graft_salt")()
+    val proj = Project(a.child.output :+ salt, a.child)
+    def complete(f: AggregateFunction): AggregateExpression =
+      AggregateExpression(f, Complete, isDistinct = false)
+    // (partial alias for phase 1, final named expression for phase 2)
+    // — grouping passthroughs carry no partial
+    val phases: Seq[(Option[NamedExpression], NamedExpression)] =
+      a.aggregateExpressions.map {
+        case ar: AttributeReference => (None, ar)
+        case al @ Alias(ae @ AggregateExpression(f, _, false, None, _), _) =>
+          val partial = Alias(ae, s"__graft_p${al.exprId.id}")()
+          val pr = partial.toAttribute
+          val finalChild: Expression = f match {
+            case _: Sum =>
+              // re-summing widens decimal precision — cast back so the
+              // output type (and the parent's resolution) is unchanged
+              val s = complete(Sum(pr))
+              if (s.dataType == al.dataType) s else Cast(s, al.dataType)
+            case _: Count =>
+              // COUNT is non-nullable; Sum-of-counts is nullable by
+              // type though never null here (every final group has a
+              // partial row) — Coalesce restores the static contract
+              Coalesce(Seq(complete(Sum(pr)), Literal(0L)))
+            case _: Min => complete(Min(pr))
+            case _: Max => complete(Max(pr))
+            case other =>
+              throw new IllegalStateException(s"unreachable: $other")
+          }
+          (Some(partial), Alias(finalChild, al.name)(al.exprId, al.qualifier))
+      }
+    val partialAgg = Aggregate(groupAttrs :+ salt.toAttribute,
+      groupAttrs ++ phases.flatMap(_._1), proj)
+    partialAgg.setTagValue(rewrittenTag, true)
+    val finalAgg = Aggregate(groupAttrs, phases.map(_._2), partialAgg)
+    finalAgg.setTagValue(rewrittenTag, true)
+    finalAgg
   }
 }

@@ -148,6 +148,121 @@ class AutoSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("left-outer join: hot fact keys salt, unmatched fact rows null-extend exactly once") {
+    // fact LEFT OUTER dim with a dim that MISSES half the keys (even
+    // s_suppkey only): null-extension must survive the dim replication
+    // — an unmatched hot fact row carries one salt and no dim replica
+    // exists at any salt, so it emits exactly once with nulls
+    def lo() = {
+      val li = Tables(spark, SparkFixture.sfDir, "lineitem")
+        .select("l_suppkey", "l_extendedprice")
+      val su = Tables(spark, SparkFixture.sfDir, "supplier")
+        .filter(col("s_suppkey") % 2 === 0)
+        .select("s_suppkey", "s_nationkey")
+      li.join(su, col("l_suppkey") === col("s_suppkey"), "left_outer")
+        .groupBy("s_nationkey") // null group = the unmatched fact rows
+        .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).as("rev"),
+          count(lit(1)).as("n"))
+    }
+    def rows() = lo().collect()
+      .map(r => (if (r.isNullAt(0)) Int.MinValue else r.getInt(0),
+        r.getDecimal(1), r.getLong(2))).toSet
+    val plain = rows()
+    assert(plain.exists(_._1 == Int.MinValue),
+      "fixture must produce unmatched fact rows — test is vacuous")
+    val hot = graft.ops.SkewTools.hotKeyProfile(
+        Tables(spark, SparkFixture.sfDir, "lineitem"), "l_suppkey",
+        topK = 4, minSkew = 1.0)
+      .collect().map(_.getLong(0)).toSeq
+    spark.conf.set(AutoSkew.EnabledKey, "true")
+    AutoSkew.register(spark, "l_suppkey", hot, buckets = 4)
+    try {
+      val plan = lo().queryExecution.optimizedPlan.toString
+      assert(plan.contains("__graft_salt"), s"left-outer did not salt:\n$plan")
+      assert(plan.contains("LeftOuter"),
+        s"rewrite lost the outer join type:\n$plan")
+      assert(rows() == plain,
+        "left-outer salted result diverged from the plain join")
+    } finally {
+      spark.conf.unset(AutoSkew.EnabledKey)
+      AutoSkew.unregister(spark, "l_suppkey")
+    }
+  }
+
+  test("right/full outer joins: never rewritten (dim replication would multiply preserved rows)") {
+    def ro() = {
+      val li = Tables(spark, SparkFixture.sfDir, "lineitem")
+        .select("l_suppkey", "l_extendedprice")
+      val su = Tables(spark, SparkFixture.sfDir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      li.join(su, col("l_suppkey") === col("s_suppkey"), "right_outer")
+    }
+    spark.conf.set(AutoSkew.EnabledKey, "true")
+    AutoSkew.register(spark, "l_suppkey", Seq(1L, 2L), buckets = 4)
+    try {
+      val plan = ro().queryExecution.optimizedPlan.toString
+      assert(!plan.contains("__graft_salt"),
+        s"right-outer must not rewrite:\n$plan")
+    } finally {
+      spark.conf.unset(AutoSkew.EnabledKey)
+      AutoSkew.unregister(spark, "l_suppkey")
+    }
+  }
+
+  test("salted aggregate: hot GROUP BY key splits into two phases, results bit-equal") {
+    def agg() = Tables(spark, SparkFixture.sfDir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).as("rev"),
+        count(lit(1)).as("n"),
+        min("l_quantity").as("mn"),
+        max("l_quantity").as("mx"))
+    def rows() = agg().collect()
+      .map(r => (r.getLong(0), r.getDecimal(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val plain = rows()
+    spark.conf.set(AutoSkew.AggEnabledKey, "true")
+    AutoSkew.register(spark, "l_suppkey", Seq(1L, 2L, 3L), buckets = 4)
+    try {
+      val plan = agg().queryExecution.optimizedPlan.toString
+      assert(plan.contains("__graft_salt"),
+        s"aggregate did not salt:\n$plan")
+      // two logical Aggregates: the salted partial + the key merge
+      assert("Aggregate \\[".r.findAllIn(plan).size == 2,
+        s"expected a two-phase aggregate:\n$plan")
+      assert(plan.contains("monotonically_increasing_id"),
+        s"round-robin salt missing:\n$plan")
+      assert(rows() == plain,
+        "salted aggregate diverged from the plain aggregate")
+    } finally {
+      spark.conf.unset(AutoSkew.AggEnabledKey)
+      AutoSkew.unregister(spark, "l_suppkey")
+    }
+  }
+
+  test("salted aggregate gate: join flag alone leaves aggregates untouched; AVG-shaped aggs never rewrite") {
+    spark.conf.set(AutoSkew.EnabledKey, "true") // JOIN flag, not the agg one
+    AutoSkew.register(spark, "l_suppkey", Seq(1L, 2L), buckets = 4)
+    try {
+      val p1 = Tables(spark, SparkFixture.sfDir, "lineitem")
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString
+      assert("Aggregate \\[".r.findAllIn(p1).size == 1 && !p1.contains("__graft_salt"),
+        s"aggregate rewritten without the agg flag:\n$p1")
+      spark.conf.set(AutoSkew.AggEnabledKey, "true")
+      // AVG is not in the decomposable set — the whole aggregate must
+      // pass through untouched (partial-avg-of-avgs would be wrong)
+      val p2 = Tables(spark, SparkFixture.sfDir, "lineitem")
+        .groupBy("l_suppkey").agg(avg("l_quantity").as("a"))
+        .queryExecution.optimizedPlan.toString
+      assert(!p2.contains("__graft_salt"),
+        s"non-decomposable aggregate was salted:\n$p2")
+    } finally {
+      spark.conf.unset(AutoSkew.EnabledKey)
+      spark.conf.unset(AutoSkew.AggEnabledKey)
+      AutoSkew.unregister(spark, "l_suppkey")
+    }
+  }
+
   test("mis-typed profile: rewrite falls back to the plain join instead of failing the query") {
     val plain = factDim().collect()
       .map(r => (r.getInt(0), r.getDecimal(1), r.getLong(2))).toSet
