@@ -1015,6 +1015,36 @@ object CorpusOps {
     * stays bit-for-bit at ANY skew.
     * Output: (vec_id, cid, keep, dup_of) — dup_of = the smallest
     * qualifying smaller id, null for kept vectors. */
+  /** ANN-index COMPACTION — the other half of incremental HNSW/kNN
+    * maintenance: insertion symmetrizes fresh links into the frozen
+    * adjacency WITHOUT re-ranking the stored nodes' lists (the
+    * batch-sized-cost contract), so maintained degree grows by the
+    * batch fan-in every round and beam expansion slowly inflates.
+    * This pass re-ranks each node's ACCUMULATED neighbor list back to
+    * its top-`k` by cosine: one adjacency-sized re-scoring join (edges
+    * × 2 vector fetches) + one per-node window — never a corpus×corpus
+    * rebuild; cost is O(edges), and edges ≤ nodes × (build cap +
+    * accumulated fan-in). The result is a DIRECTED top-k adjacency
+    * (max out-degree exactly k; re-symmetrizing would re-inflate —
+    * HNSW's neighbor-list pruning is per-node too), which the layered
+    * search consumes as-is. Schedule it off the drift-ratio gate
+    * (l3_ann_incremental) or a degree probe, the reclusterIfDeep
+    * discipline. */
+  def compactAdjacency(adj: DataFrame, vecs: DataFrame, k: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    import graft.functions.VectorExprs.{vec_dot, vec_norm}
+    def cos(a: Column, b: Column) = vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+    val w = Window.partitionBy("a").orderBy(col("_simr").desc, col("b").asc)
+    adj.join(vecs.select(col(idCol).as("a"), col(vecCol).as("_ea")), "a")
+      .join(vecs.select(col(idCol).as("b"), col(vecCol).as("_eb")), "b")
+      .select(col("a"), col("b"),
+        round(cos(col("_ea"), col("_eb")), 6).as("_simr"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select("a", "b")
+  }
+
   def semDedup(vecs: DataFrame, k: Int = 0, tau: Double = 0.35,
                maxCluster: Int = 256)
               (implicit scope: CacheScope): DataFrame = {

@@ -3807,236 +3807,343 @@ object Llm {
   // maintenance cost is batch-sized (b·n scoring + batch-sized link
   // ranking); only the rebuilt arm — present here as the comparison
   // target — pays the n^1.5 build.
+  /** Shared scaffolding for the incremental-HNSW family
+    * (l3_ann_hnsw_incremental and l3_ann_compact): the sha60-layered
+    * hierarchy, the frozen stored-corpus candidate scores, the one
+    * batch-vs-stored scoring pass, the insertion-maintained adjacency
+    * builders, and the l3_ann_hnsw layered search — all verbatim from
+    * the round-12 query, factored so compaction composes on top
+    * instead of duplicating the build. */
+  private final case class HnswIncrKit(
+      e: DataFrame, lvl: DataFrame, csStored: DataFrame, bs: DataFrame,
+      top: (DataFrame, Int) => DataFrame,
+      sym: DataFrame => DataFrame,
+      layerTop3: (DataFrame, Int) => DataFrame,
+      adjM: DataFrame, layerAdjM: Int => DataFrame,
+      search: (DataFrame, Int => DataFrame, String) => DataFrame)
+
+  private def hnswIncrKit(s: SparkSession, dir: String)
+                         (implicit scope: graft.ops.CacheScope): HnswIncrKit = {
+    val e = t(s, dir, "embeddings")
+    val stored = e.filter(col("vec_id") % 8 =!= 5)
+    val batch = e.filter(col("vec_id") % 8 === 5)
+    val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+    def top(cs: DataFrame, k: Int): DataFrame =
+      cs.withColumn("rn", row_number().over(wRank)).filter(col("rn") <= k)
+        .select(col("qid").as("a"), col("vid").as("b"))
+    def sym(g: DataFrame): DataFrame =
+      g.union(g.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val lvl = cached(e.select(col("vec_id").as("vid"))
+      .withColumn("h", sha60(col("vid").cast("string")))
+      .withColumn("lvl",
+        when(pmod(col("h"), lit(64L)) === 0, 3)
+          .when(pmod(col("h"), lit(16L)) === 0, 2)
+          .when(pmod(col("h"), lit(4L)) === 0, 1)
+          .otherwise(0))
+      .select("vid", "lvl"))
+    def layerTop3(cs: DataFrame, l: Int): DataFrame =
+      cs.join(lvl.select(col("vid").as("qid"), col("lvl").as("lq"))
+          .filter(col("lq") >= l), "qid")
+        .join(lvl.select(col("vid"), col("lvl").as("lv"))
+          .filter(col("lv") >= l), "vid")
+        .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 3)
+        .select(col("qid").as("a"), col("vid").as("b"))
+    // frozen stored-corpus index + one batch-vs-stored scoring pass
+    // (batch side BROADCAST so the corpus side streams — the
+    // l3_knn_bruteforce idiom; at real scale swap the brute pass
+    // for IVF probe lists, docs/SCALING.md)
+    val csStored = cached(knnCandScoredOver(stored))
+    val bs = cached(stored
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      .crossJoin(broadcast(batch
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))))
+      .select(col("qid"), col("vid"),
+        round(cosSim(col("qe"), col("ve")), 6).as("simr")))
+    val adjM = cached(sym(top(csStored, 5).unionByName(top(bs, 5))))
+    def layerAdjM(l: Int): DataFrame =
+      sym(layerTop3(csStored, l).unionByName(layerTop3(bs, l)))
+    // the l3_ann_hnsw search, verbatim, parameterized by index
+    val q = broadcast(e.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    def scored(cands: DataFrame): DataFrame =
+      cands.join(e.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
+        .join(q, "qid")
+        .select(col("qid"), col("vid"),
+          round(cosSim(col("qe"), col("ve")), 6).as("simr"))
+    val wB = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+    def cut(df: DataFrame): DataFrame =
+      scope.checkpointed(df, reliable = false)
+    val entry = broadcast(lvl.orderBy(col("lvl").desc, col("vid").asc)
+      .limit(1).select(col("vid")))
+    def search(adjBase: DataFrame, layerAdj: Int => DataFrame,
+               method: String): DataFrame = {
+      var seen = cut(scored(q.select(col("qid")).crossJoin(entry)
+        .union(q.select(col("qid"), col("qid").as("vid")))))
+      for (l <- 3 to 1 by -1) {
+        val top1 = seen.withColumn("rn", row_number().over(wB))
+          .filter(col("rn") <= 1).select(col("qid"), col("vid").as("a"))
+        val neigh = top1.join(layerAdj(l), "a")
+          .select(col("qid"), col("b").as("vid")).distinct()
+          .join(seen.select("qid", "vid"), Seq("qid", "vid"), "left_anti")
+        seen = cut(seen.union(scored(neigh)))
+      }
+      var beam = cut(seen.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= 10).select("qid", "vid", "simr"))
+      for (_ <- 1 to 2) {
+        val expand = beam.select(col("qid"), col("vid").as("a"))
+          .join(adjBase, "a").select(col("qid"), col("b").as("vid")).distinct()
+          .join(seen.select("qid", "vid"), Seq("qid", "vid"), "left_anti")
+        val ns = cut(scored(expand))
+        seen = cut(seen.union(ns))
+        beam = cut(beam.union(ns)
+          .withColumn("rn", row_number().over(wB)).filter(col("rn") <= 10)
+          .select("qid", "vid", "simr"))
+      }
+      seen.select("qid", "vid", "simr").distinct()
+        .filter(col("vid") =!= col("qid"))
+        .withColumn("rn", row_number().over(wB)).filter(col("rn") <= 10)
+        .select(lit(method).as("method"), col("qid"), col("rn"),
+          col("vid"), col("simr"))
+    }
+    HnswIncrKit(e, lvl, csStored, bs, top, sym, layerTop3, adjM, layerAdjM,
+      search)
+  }
+
+  // ---- shared oracle CTE builders for the incremental-HNSW family
+  // (l3_ann_hnsw_incremental + l3_ann_compact) — SQL mirrors of
+  // hnswIncrKit, factored so the compaction oracle composes on the
+  // identical maintained-index chain instead of duplicating it ----
+  private val hivStoredPred = "vec_id % 8 <> 5"
+
+  /** A second IVF chain over the STORED corpus only — the frozen
+    * index build (mirrors knnCandScoredOver(stored) CTE-for-CTE). */
+  private val hivStoredIvf =
+    s"""nls AS (SELECT GREATEST(32, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS nlist
+       |        FROM embeddings WHERE $hivStoredPred),
+       |cds AS (SELECT xv.vec_id AS vid, xc.vec_id AS cid,
+       |              round(SUM(CAST(xv.e AS DOUBLE) * CAST(xc.e AS DOUBLE))
+       |                    / (nv.nrm * nc.nrm), 6) AS simr
+       |       FROM x xv JOIN x xc ON xc.d = xv.d
+       |         AND xc.vec_id < (SELECT nlist FROM nls) AND xc.$hivStoredPred
+       |       JOIN n nv ON nv.vec_id = xv.vec_id
+       |       JOIN n nc ON nc.vec_id = xc.vec_id
+       |       WHERE xv.$hivStoredPred
+       |       GROUP BY xv.vec_id, xc.vec_id, nv.nrm, nc.nrm),
+       |r0s AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
+       |        FROM cds),
+       |assigns AS (SELECT vid, cid FROM r0s WHERE rn = 1),
+       |probess AS (SELECT vid AS qid, cid FROM r0s WHERE rn <= 4),
+       |candss AS (SELECT p.qid, a.vid FROM probess p JOIN assigns a ON a.cid = p.cid
+       |           WHERE a.vid != p.qid),
+       |dpss AS (SELECT qid, vid, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
+       |         FROM candss JOIN x xa ON xa.vec_id = qid
+       |         JOIN x xb ON xb.vec_id = vid AND xb.d = xa.d
+       |         GROUP BY qid, vid),
+       |sdms AS MATERIALIZED (SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS simr
+       |        FROM dpss JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid)""".stripMargin
+
+  /** One batch-vs-stored scoring pass (the insertion cost). */
+  private val hivBatchScore =
+    s"""bsc AS MATERIALIZED (
+       |  SELECT d.qid, d.vid, round(d.dot / (na.nrm * nb.nrm), 6) AS simr FROM (
+       |    SELECT xa.vec_id AS qid, xb.vec_id AS vid,
+       |           SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
+       |    FROM x xa JOIN x xb ON xb.d = xa.d AND xb.$hivStoredPred
+       |    WHERE xa.vec_id % 8 = 5 GROUP BY 1, 2) d
+       |  JOIN n na ON na.vec_id = d.qid JOIN n nb ON nb.vec_id = d.vid)""".stripMargin
+
+  private def hivTop5(tag: String, src: String): String =
+    s"""g5$tag AS (SELECT qid AS a, vid AS b FROM (
+       |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+       |  FROM $src) WHERE rn <= 5)""".stripMargin
+
+  /** Per-layer top-3 adjacency arms (both sides layer members). */
+  private def hivLayer3(tag: String, src: String, l: Int): String =
+    s"""al$tag$l AS (SELECT a, b FROM (
+       |  SELECT s.qid AS a, s.vid AS b,
+       |    row_number() OVER (PARTITION BY s.qid ORDER BY s.simr DESC, s.vid) AS rn
+       |  FROM $src s JOIN lvl la ON la.vid = s.qid AND la.lvl >= $l
+       |             JOIN lvl lb ON lb.vid = s.vid AND lb.lvl >= $l) WHERE rn <= 3)""".stripMargin
+
+  /** The MAINTAINED adjacency: frozen top-5 ∪ batch top-5, symmetrized,
+    * plus the three layer arms. */
+  private val hivMaintainedAdjacency =
+    s"""${hivTop5("s", "sdms")},
+       |${hivTop5("b", "bsc")},
+       |adjm AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+       |  SELECT a, b FROM g5s UNION ALL SELECT b, a FROM g5s
+       |  UNION ALL SELECT a, b FROM g5b UNION ALL SELECT b, a FROM g5b)),
+       |${(1 to 3).map { l =>
+          s"""${hivLayer3("s", "sdms", l)},
+             |${hivLayer3("b", "bsc", l)},
+             |adjml$l AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+             |  SELECT a, b FROM als$l UNION ALL SELECT b, a FROM als$l
+             |  UNION ALL SELECT a, b FROM alb$l UNION ALL SELECT b, a FROM alb$l))""".stripMargin
+        }.mkString(",\n")}""".stripMargin
+
+  private def hivScoreCtes(tag: String, candCte: String): String =
+    s"""dp$tag AS (SELECT qid, vid, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
+       |  FROM $candCte JOIN x xa ON xa.vec_id = qid
+       |  JOIN x xb ON xb.vec_id = vid AND xb.d = xa.d GROUP BY qid, vid),
+       |sc$tag AS MATERIALIZED (SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS simr
+       |  FROM dp$tag JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid)""".stripMargin
+
+  private val hivLvl =
+    """lvl AS MATERIALIZED (SELECT vid, CASE WHEN h % 64 = 0 THEN 3
+      |    WHEN h % 16 = 0 THEN 2 WHEN h % 4 = 0 THEN 1 ELSE 0 END AS lvl
+      |  FROM (SELECT vec_id AS vid,
+      |    CAST('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM embeddings))""".stripMargin
+
+  private val hivEntryQs =
+    """entry AS (SELECT vid FROM lvl ORDER BY lvl DESC, vid LIMIT 1),
+      |qs AS (SELECT 0 AS qid UNION ALL SELECT 1 UNION ALL SELECT 2)""".stripMargin
+
+  /** The l3_ann_hnsw search chain, parameterized by index tag. */
+  private def hivSearchCtes(m: String, adjBase: String,
+                            adjL: Int => String): String = {
+    val descent = (1 to 3).map { i =>
+      val l = 4 - i
+      s"""hcur$m$i AS (SELECT qid, vid FROM (
+         |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+         |  FROM seen$m${i - 1}) WHERE rn <= 1),
+         |hnb$m$i AS (SELECT DISTINCT c.qid, ja.b AS vid
+         |  FROM hcur$m$i c JOIN ${adjL(l)} ja ON ja.a = c.vid
+         |  WHERE NOT EXISTS (SELECT 1 FROM seen$m${i - 1} p
+         |                    WHERE p.qid = c.qid AND p.vid = ja.b)),
+         |${hivScoreCtes(s"h$m$i", s"hnb$m$i")},
+         |seen$m$i AS MATERIALIZED (SELECT * FROM seen$m${i - 1}
+         |  UNION ALL SELECT * FROM sch$m$i)""".stripMargin
+    }.mkString(",\n")
+    val baseRounds = (1 to 2).map { j =>
+      val i = j + 3
+      s"""hex$m$j AS (SELECT DISTINCT b.qid, ja.b AS vid
+         |  FROM hb$m${j - 1} b JOIN $adjBase ja ON ja.a = b.vid
+         |  WHERE NOT EXISTS (SELECT 1 FROM seen$m${i - 1} p
+         |                    WHERE p.qid = b.qid AND p.vid = ja.b)),
+         |${hivScoreCtes(s"hx$m$j", s"hex$m$j")},
+         |seen$m$i AS MATERIALIZED (SELECT * FROM seen$m${i - 1}
+         |  UNION ALL SELECT * FROM schx$m$j),
+         |hb$m$j AS MATERIALIZED (SELECT qid, vid, simr FROM (
+         |  SELECT qid, vid, simr,
+         |    row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+         |  FROM (SELECT * FROM hb$m${j - 1} UNION ALL SELECT * FROM schx$m$j))
+         |  WHERE rn <= 10)""".stripMargin
+    }.mkString(",\n")
+    s"""hc0$m AS (SELECT qs.qid, entry.vid FROM qs, entry
+       |  UNION ALL SELECT qid, qid AS vid FROM qs),
+       |${hivScoreCtes(s"h${m}0", s"hc0$m")},
+       |seen${m}0 AS MATERIALIZED (SELECT * FROM sch${m}0),
+       |$descent,
+       |hb${m}0 AS MATERIALIZED (SELECT qid, vid, simr FROM (
+       |  SELECT qid, vid, simr,
+       |    row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+       |  FROM seen${m}3) WHERE rn <= 10),
+       |$baseRounds,
+       |ftop$m AS (SELECT qid, rn, vid, simr FROM (
+       |  SELECT qid, vid, simr,
+       |    row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+       |  FROM (SELECT DISTINCT qid, vid, simr FROM seen${m}5 WHERE vid <> qid))
+       |  WHERE rn <= 10)""".stripMargin
+  }
+
   private val l3hnswIncr = QueryDef(
     "l3_ann_hnsw_incremental",
     (s, dir) => {
       implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
-      val e = t(s, dir, "embeddings")
-      val stored = e.filter(col("vec_id") % 8 =!= 5)
-      val batch = e.filter(col("vec_id") % 8 === 5)
-      val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
-      def top(cs: DataFrame, k: Int): DataFrame =
-        cs.withColumn("rn", row_number().over(wRank)).filter(col("rn") <= k)
-          .select(col("qid").as("a"), col("vid").as("b"))
-      def sym(g: DataFrame): DataFrame =
-        g.union(g.select(col("b").as("a"), col("a").as("b"))).distinct()
-      val lvl = cached(e.select(col("vec_id").as("vid"))
-        .withColumn("h", sha60(col("vid").cast("string")))
-        .withColumn("lvl",
-          when(pmod(col("h"), lit(64L)) === 0, 3)
-            .when(pmod(col("h"), lit(16L)) === 0, 2)
-            .when(pmod(col("h"), lit(4L)) === 0, 1)
-            .otherwise(0))
-        .select("vid", "lvl"))
-      def layerTop3(cs: DataFrame, l: Int): DataFrame =
-        cs.join(lvl.select(col("vid").as("qid"), col("lvl").as("lq"))
-            .filter(col("lq") >= l), "qid")
-          .join(lvl.select(col("vid"), col("lvl").as("lv"))
-            .filter(col("lv") >= l), "vid")
-          .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 3)
-          .select(col("qid").as("a"), col("vid").as("b"))
-      // frozen stored-corpus index + one batch-vs-stored scoring pass
-      // (batch side BROADCAST so the corpus side streams — the
-      // l3_knn_bruteforce idiom; at real scale swap the brute pass
-      // for IVF probe lists, docs/SCALING.md)
-      val csStored = cached(knnCandScoredOver(stored))
-      val bs = cached(stored
-        .select(col("vec_id").as("vid"), col("embedding").as("ve"))
-        .crossJoin(broadcast(batch
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))))
-        .select(col("qid"), col("vid"),
-          round(cosSim(col("qe"), col("ve")), 6).as("simr")))
-      val adjM = cached(sym(top(csStored, 5).unionByName(top(bs, 5))))
-      def layerAdjM(l: Int): DataFrame =
-        sym(layerTop3(csStored, l).unionByName(layerTop3(bs, l)))
+      val kit = hnswIncrKit(s, dir)
       // rebuilt full-corpus index (the comparison target)
-      val csAll = cached(knnCandScoredOver(e))
-      val adjR = cached(sym(top(csAll, 5)))
-      def layerAdjR(l: Int): DataFrame = sym(layerTop3(csAll, l))
-      // the l3_ann_hnsw search, verbatim, parameterized by index
-      val q = broadcast(e.filter(col("vec_id").isin(0, 1, 2))
-        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
-      def scored(cands: DataFrame): DataFrame =
-        cands.join(e.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
-          .join(q, "qid")
-          .select(col("qid"), col("vid"),
-            round(cosSim(col("qe"), col("ve")), 6).as("simr"))
-      val wB = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
-      def cut(df: DataFrame): DataFrame =
-        scope.checkpointed(df, reliable = false)
-      val entry = broadcast(lvl.orderBy(col("lvl").desc, col("vid").asc)
-        .limit(1).select(col("vid")))
-      def search(adjBase: DataFrame, layerAdj: Int => DataFrame,
-                 method: String): DataFrame = {
-        var seen = cut(scored(q.select(col("qid")).crossJoin(entry)
-          .union(q.select(col("qid"), col("qid").as("vid")))))
-        for (l <- 3 to 1 by -1) {
-          val top1 = seen.withColumn("rn", row_number().over(wB))
-            .filter(col("rn") <= 1).select(col("qid"), col("vid").as("a"))
-          val neigh = top1.join(layerAdj(l), "a")
-            .select(col("qid"), col("b").as("vid")).distinct()
-            .join(seen.select("qid", "vid"), Seq("qid", "vid"), "left_anti")
-          seen = cut(seen.union(scored(neigh)))
-        }
-        var beam = cut(seen.withColumn("rn", row_number().over(wB))
-          .filter(col("rn") <= 10).select("qid", "vid", "simr"))
-        for (_ <- 1 to 2) {
-          val expand = beam.select(col("qid"), col("vid").as("a"))
-            .join(adjBase, "a").select(col("qid"), col("b").as("vid")).distinct()
-            .join(seen.select("qid", "vid"), Seq("qid", "vid"), "left_anti")
-          val ns = cut(scored(expand))
-          seen = cut(seen.union(ns))
-          beam = cut(beam.union(ns)
-            .withColumn("rn", row_number().over(wB)).filter(col("rn") <= 10)
-            .select("qid", "vid", "simr"))
-        }
-        seen.select("qid", "vid", "simr").distinct()
-          .filter(col("vid") =!= col("qid"))
-          .withColumn("rn", row_number().over(wB)).filter(col("rn") <= 10)
-          .select(lit(method).as("method"), col("qid"), col("rn"),
-            col("vid"), col("simr"))
-      }
-      search(adjM, layerAdjM, "maintained")
-        .unionByName(search(adjR, layerAdjR, "rebuilt"))
+      val csAll = cached(knnCandScoredOver(kit.e))
+      val adjR = cached(kit.sym(kit.top(csAll, 5)))
+      def layerAdjR(l: Int): DataFrame = kit.sym(kit.layerTop3(csAll, l))
+      kit.search(kit.adjM, kit.layerAdjM, "maintained")
+        .unionByName(kit.search(adjR, layerAdjR, "rebuilt"))
         .orderBy("method", "qid", "rn")
     },
     Some {
-      val storedPred = "vec_id % 8 <> 5"
-      // a second IVF chain over the STORED corpus only — the frozen
-      // index build (mirrors knnCandScoredOver(stored) CTE-for-CTE)
-      val storedIvf =
-        s"""nls AS (SELECT GREATEST(32, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS nlist
-           |        FROM embeddings WHERE $storedPred),
-           |cds AS (SELECT xv.vec_id AS vid, xc.vec_id AS cid,
-           |              round(SUM(CAST(xv.e AS DOUBLE) * CAST(xc.e AS DOUBLE))
-           |                    / (nv.nrm * nc.nrm), 6) AS simr
-           |       FROM x xv JOIN x xc ON xc.d = xv.d
-           |         AND xc.vec_id < (SELECT nlist FROM nls) AND xc.$storedPred
-           |       JOIN n nv ON nv.vec_id = xv.vec_id
-           |       JOIN n nc ON nc.vec_id = xc.vec_id
-           |       WHERE xv.$storedPred
-           |       GROUP BY xv.vec_id, xc.vec_id, nv.nrm, nc.nrm),
-           |r0s AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
-           |        FROM cds),
-           |assigns AS (SELECT vid, cid FROM r0s WHERE rn = 1),
-           |probess AS (SELECT vid AS qid, cid FROM r0s WHERE rn <= 4),
-           |candss AS (SELECT p.qid, a.vid FROM probess p JOIN assigns a ON a.cid = p.cid
-           |           WHERE a.vid != p.qid),
-           |dpss AS (SELECT qid, vid, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
-           |         FROM candss JOIN x xa ON xa.vec_id = qid
-           |         JOIN x xb ON xb.vec_id = vid AND xb.d = xa.d
-           |         GROUP BY qid, vid),
-           |sdms AS MATERIALIZED (SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS simr
-           |        FROM dpss JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid)""".stripMargin
-      // one batch-vs-stored scoring pass (the insertion cost)
-      val batchScore =
-        s"""bsc AS MATERIALIZED (
-           |  SELECT d.qid, d.vid, round(d.dot / (na.nrm * nb.nrm), 6) AS simr FROM (
-           |    SELECT xa.vec_id AS qid, xb.vec_id AS vid,
-           |           SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
-           |    FROM x xa JOIN x xb ON xb.d = xa.d AND xb.$storedPred
-           |    WHERE xa.vec_id % 8 = 5 GROUP BY 1, 2) d
-           |  JOIN n na ON na.vec_id = d.qid JOIN n nb ON nb.vec_id = d.vid)""".stripMargin
-      def top5(tag: String, src: String): String =
-        s"""g5$tag AS (SELECT qid AS a, vid AS b FROM (
-           |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
-           |  FROM $src) WHERE rn <= 5)""".stripMargin
-      // per-layer top-3 adjacency arms (both sides layer members)
-      def layer3(tag: String, src: String, l: Int): String =
-        s"""al$tag$l AS (SELECT a, b FROM (
-           |  SELECT s.qid AS a, s.vid AS b,
-           |    row_number() OVER (PARTITION BY s.qid ORDER BY s.simr DESC, s.vid) AS rn
-           |  FROM $src s JOIN lvl la ON la.vid = s.qid AND la.lvl >= $l
-           |             JOIN lvl lb ON lb.vid = s.vid AND lb.lvl >= $l) WHERE rn <= 3)""".stripMargin
-      val adjacency =
-        s"""${top5("s", "sdms")},
-           |${top5("b", "bsc")},
-           |adjm AS MATERIALIZED (SELECT DISTINCT a, b FROM (
-           |  SELECT a, b FROM g5s UNION ALL SELECT b, a FROM g5s
-           |  UNION ALL SELECT a, b FROM g5b UNION ALL SELECT b, a FROM g5b)),
-           |${top5("r", "sdm")},
+      // the REBUILT arm's adjacency (full-corpus top-5 + layer arms)
+      val rebuiltAdjacency =
+        s"""${hivTop5("r", "sdm")},
            |adjr AS MATERIALIZED (SELECT DISTINCT a, b FROM (
            |  SELECT a, b FROM g5r UNION ALL SELECT b, a FROM g5r)),
            |${(1 to 3).map { l =>
-              s"""${layer3("s", "sdms", l)},
-                 |${layer3("b", "bsc", l)},
-                 |adjml$l AS MATERIALIZED (SELECT DISTINCT a, b FROM (
-                 |  SELECT a, b FROM als$l UNION ALL SELECT b, a FROM als$l
-                 |  UNION ALL SELECT a, b FROM alb$l UNION ALL SELECT b, a FROM alb$l)),
-                 |${layer3("r", "sdm", l)},
+              s"""${hivLayer3("r", "sdm", l)},
                  |adjrl$l AS MATERIALIZED (SELECT DISTINCT a, b FROM (
                  |  SELECT a, b FROM alr$l UNION ALL SELECT b, a FROM alr$l))""".stripMargin
             }.mkString(",\n")}""".stripMargin
-      def scoreCtes(tag: String, candCte: String): String =
-        s"""dp$tag AS (SELECT qid, vid, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
-           |  FROM $candCte JOIN x xa ON xa.vec_id = qid
-           |  JOIN x xb ON xb.vec_id = vid AND xb.d = xa.d GROUP BY qid, vid),
-           |sc$tag AS MATERIALIZED (SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS simr
-           |  FROM dp$tag JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid)""".stripMargin
-      // the l3_ann_hnsw search chain, parameterized by index (m/r)
-      def searchCtes(m: String, adjBase: String, adjL: Int => String): String = {
-        val descent = (1 to 3).map { i =>
-          val l = 4 - i
-          s"""hcur$m$i AS (SELECT qid, vid FROM (
-             |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
-             |  FROM seen$m${i - 1}) WHERE rn <= 1),
-             |hnb$m$i AS (SELECT DISTINCT c.qid, ja.b AS vid
-             |  FROM hcur$m$i c JOIN ${adjL(l)} ja ON ja.a = c.vid
-             |  WHERE NOT EXISTS (SELECT 1 FROM seen$m${i - 1} p
-             |                    WHERE p.qid = c.qid AND p.vid = ja.b)),
-             |${scoreCtes(s"h$m$i", s"hnb$m$i")},
-             |seen$m$i AS MATERIALIZED (SELECT * FROM seen$m${i - 1}
-             |  UNION ALL SELECT * FROM sch$m$i)""".stripMargin
-        }.mkString(",\n")
-        val baseRounds = (1 to 2).map { j =>
-          val i = j + 3
-          s"""hex$m$j AS (SELECT DISTINCT b.qid, ja.b AS vid
-             |  FROM hb$m${j - 1} b JOIN $adjBase ja ON ja.a = b.vid
-             |  WHERE NOT EXISTS (SELECT 1 FROM seen$m${i - 1} p
-             |                    WHERE p.qid = b.qid AND p.vid = ja.b)),
-             |${scoreCtes(s"hx$m$j", s"hex$m$j")},
-             |seen$m$i AS MATERIALIZED (SELECT * FROM seen$m${i - 1}
-             |  UNION ALL SELECT * FROM schx$m$j),
-             |hb$m$j AS MATERIALIZED (SELECT qid, vid, simr FROM (
-             |  SELECT qid, vid, simr,
-             |    row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
-             |  FROM (SELECT * FROM hb$m${j - 1} UNION ALL SELECT * FROM schx$m$j))
-             |  WHERE rn <= 10)""".stripMargin
-        }.mkString(",\n")
-        s"""hc0$m AS (SELECT qs.qid, entry.vid FROM qs, entry
-           |  UNION ALL SELECT qid, qid AS vid FROM qs),
-           |${scoreCtes(s"h${m}0", s"hc0$m")},
-           |seen${m}0 AS MATERIALIZED (SELECT * FROM sch${m}0),
-           |$descent,
-           |hb${m}0 AS MATERIALIZED (SELECT qid, vid, simr FROM (
-           |  SELECT qid, vid, simr,
-           |    row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
-           |  FROM seen${m}3) WHERE rn <= 10),
-           |$baseRounds,
-           |ftop$m AS (SELECT qid, rn, vid, simr FROM (
-           |  SELECT qid, vid, simr,
-           |    row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
-           |  FROM (SELECT DISTINCT qid, vid, simr FROM seen${m}5 WHERE vid <> qid))
-           |  WHERE rn <= 10)""".stripMargin
-      }
       s"""WITH $knnGraphOracleCtes,
          |sdm AS MATERIALIZED (SELECT qid, vid, simr FROM sdf),
-         |$storedIvf,
-         |$batchScore,
-         |lvl AS MATERIALIZED (SELECT vid, CASE WHEN h % 64 = 0 THEN 3
-         |    WHEN h % 16 = 0 THEN 2 WHEN h % 4 = 0 THEN 1 ELSE 0 END AS lvl
-         |  FROM (SELECT vec_id AS vid,
-         |    CAST('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-         |  FROM embeddings)),
-         |$adjacency,
-         |entry AS (SELECT vid FROM lvl ORDER BY lvl DESC, vid LIMIT 1),
-         |qs AS (SELECT 0 AS qid UNION ALL SELECT 1 UNION ALL SELECT 2),
-         |${searchCtes("m", "adjm", l => s"adjml$l")},
-         |${searchCtes("r", "adjr", l => s"adjrl$l")}
+         |$hivStoredIvf,
+         |$hivBatchScore,
+         |$hivLvl,
+         |$hivMaintainedAdjacency,
+         |$rebuiltAdjacency,
+         |$hivEntryQs,
+         |${hivSearchCtes("m", "adjm", l => s"adjml$l")},
+         |${hivSearchCtes("r", "adjr", l => s"adjrl$l")}
          |SELECT method, qid, rn, vid, simr FROM (
          |  SELECT 'maintained' AS method, qid, rn, vid, simr FROM ftopm
          |  UNION ALL SELECT 'rebuilt', qid, rn, vid, simr FROM ftopr)
          |ORDER BY method, qid, rn""".stripMargin
+    })
+
+  // ANN INDEX COMPACTION (l3_ann_compact): the documented other half
+  // of incremental maintenance — insertion symmetrizes fresh links
+  // into the frozen adjacency WITHOUT re-ranking stored nodes' lists,
+  // so maintained degree grows by the batch fan-in per round;
+  // CorpusOps.compactAdjacency re-ranks each node's accumulated list
+  // back to the search graph's capacity cap (HNSW's Mmax rule:
+  // 2M = 10 at the base layer, 2·3 per upper layer — the symmetrized
+  // top-M lists' healthy degree envelope) in ONE adjacency-sized
+  // re-scoring pass — never a rebuild. The query runs
+  // the identical layered search over the COMPACTED maintained index;
+  // the ORACLE replays maintained-build → compaction → search CTE-for-
+  // CTE, and QueriesSpec pins (a) search quality within the
+  // hnsw_incremental one-hit margin of the rebuilt index and (b) max
+  // out-degree back at the cap (the degree audit compaction exists
+  // for). Scale: compaction cost is O(edges) = O(n·(cap + rounds·
+  // fan-in)) — schedule it off a degree probe, the reclusterIfDeep
+  // discipline.
+  private val l3annCompact = QueryDef(
+    "l3_ann_compact",
+    (s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
+      val kit = hnswIncrKit(s, dir)
+      // caps follow HNSW's Mmax rule: the SEARCH graph is the
+      // symmetrized top-M lists, so its healthy degree envelope is 2M
+      // (out-links + reverse links) — compaction prunes back to
+      // Mmax0 = 2·5 at the base layer and 2·3 per upper layer, NOT to
+      // M itself (that would halve the search graph's degree vs the
+      // rebuilt index and gut recall — measured 20/30 vs 30/30 at
+      // sf0.001 with cap 5)
+      val adjC = cached(graft.ops.CorpusOps.compactAdjacency(kit.adjM, kit.e, 10))
+      def layerAdjC(l: Int): DataFrame =
+        graft.ops.CorpusOps.compactAdjacency(kit.layerAdjM(l), kit.e, 6)
+      kit.search(adjC, layerAdjC, "compacted").orderBy("qid", "rn")
+    },
+    Some {
+      // compaction in SQL: re-score the maintained adjacency's edges
+      // (adjacency-sized candidate set through the shared score CTEs)
+      // and keep each node's top-5 (top-3 per layer) — DIRECTED, no
+      // re-symmetrization (that would re-inflate)
+      def compact(outCte: String, edges: String, tag: String, k: Int): String =
+        s"""c$tag AS (SELECT a AS qid, b AS vid FROM $edges),
+           |${hivScoreCtes(tag, s"c$tag")},
+           |$outCte AS MATERIALIZED (SELECT qid AS a, vid AS b FROM (
+           |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+           |  FROM sc$tag) WHERE rn <= $k)""".stripMargin
+      s"""WITH $knnGraphOracleCtes,
+         |$hivStoredIvf,
+         |$hivBatchScore,
+         |$hivLvl,
+         |$hivMaintainedAdjacency,
+         |${compact("adjc", "adjm", "cb", 10)},
+         |${(1 to 3).map(l => compact(s"adjcl$l", s"adjml$l", s"cl$l", 6))
+            .mkString(",\n")},
+         |$hivEntryQs,
+         |${hivSearchCtes("c", "adjc", l => s"adjcl$l")}
+         |SELECT 'compacted' AS method, qid, rn, vid, simr FROM ftopc
+         |ORDER BY qid, rn""".stripMargin
     })
 
   // Exact substring-SPAN dedup (Lee et al. 2022) — any >=8-token run
@@ -4901,5 +5008,5 @@ object Llm {
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
     l4bpeBatch, l3incr, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
-    l4ug, l4ugEnc, l3graphSearch, l3hnsw, l3hnswIncr)
+    l4ug, l4ugEnc, l3graphSearch, l3hnsw, l3hnswIncr, l3annCompact)
 }

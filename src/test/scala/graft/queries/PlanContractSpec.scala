@@ -511,6 +511,7 @@ class PlanContractSpec extends AnyFunSuite {
       // manifest), and the zone resolution is the planning-time
       // metadata action every lakehouse reader runs
       "l3_ann_hnsw_incremental", // runs the hnsw search twice — same cuts
+      "l3_ann_compact", // the same maintained-index build + search cuts
       "l3_ann_hnsw",      // descent/beam rounds lineage-cut per round (the
       // q44 class: each round references the prior scored set twice, so
       // cached lineage would double the plan per round — measured

@@ -104,6 +104,52 @@ class QueriesSpec extends AnyFunSuite {
     assert(hr >= 27, s"rebuilt baseline collapsed: $hr/30")
   }
 
+  test("ann compaction: degree returns to the build cap, search quality holds the one-hit margin") {
+    // (a) the degree audit compaction exists for: the maintained
+    // adjacency's max out-degree EXCEEDS the build cap (symmetrized
+    // insertion adds reverse links past top-5), and compaction brings
+    // it back to exactly the cap
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables(spark, SparkFixture.sfDir, "embeddings")
+    // a deliberately inflated adjacency: union of top-5 lists and
+    // their reversals (the insertion shape) — degree > 5 for hub nodes
+    val res = SparkEntry.queries("l3_knn_graph")(spark, SparkFixture.sfDir)
+      .select(col("qid").as("a"), col("vid").as("b"))
+    val inflated = res.union(res.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val maxBefore = inflated.groupBy("a").count().agg(max("count")).head().getLong(0)
+    assert(maxBefore > 5,
+      s"symmetrized adjacency should exceed the cap somewhere (got $maxBefore) — audit is vacuous")
+    val compacted = graft.ops.CorpusOps.compactAdjacency(inflated, e, 5)
+    val maxAfter = compacted.groupBy("a").count().agg(max("count")).head().getLong(0)
+    assert(maxAfter == 5,
+      s"compaction must restore the build-time cap: max degree $maxAfter")
+    // kept edges are each node's TOP-5 by cosine: spot-audit one hub
+    // node — its kept list must be a subset of its inflated list
+    val hub = inflated.groupBy("a").count().orderBy(col("count").desc)
+      .head().getLong(0)
+    val keptOfHub = compacted.filter(col("a") === hub)
+      .collect().map(_.getLong(1)).toSet
+    val inflatedOfHub = inflated.filter(col("a") === hub)
+      .collect().map(_.getLong(1)).toSet
+    assert(keptOfHub.size == 5 && keptOfHub.subsetOf(inflatedOfHub))
+    // (b) search quality: the compacted maintained index stays within
+    // the hnsw_incremental one-hit margin of the REBUILT index
+    val exact = SparkEntry.queries("l3_knn_bruteforce")(spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val comp = SparkEntry.queries("l3_ann_compact")(spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(comp.length == 30, "compacted search must return full top-10 lists")
+    val hc = comp.count(exact)
+    val hr = SparkEntry.queries("l3_ann_hnsw_incremental")(spark, SparkFixture.sfDir)
+      .collect().filter(_.getString(0) == "rebuilt")
+      .map(r => (r.getLong(1), r.getLong(3))).count(exact)
+    info(s"compacted: $hc/30 hits; rebuilt: $hr/30 hits")
+    assert(hc >= hr - 1,
+      s"compacted-index search degraded beyond the margin: $hc vs rebuilt $hr")
+    assert(hc >= 27, s"compacted baseline collapsed: $hc/30")
+  }
+
   test("cluster sample: centroid count adapts to corpus size, quota holds per cluster") {
     // k = max(32, ceil(sqrt(n))): at n = 2000 that is 45 centroids, and
     // each centroid vector assigns to itself (cos = 1.0 maximum), so
