@@ -732,6 +732,54 @@ object CorpusOps {
         coalesce(col("new_size"), col("old_size")).as("cluster_size"))
   }
 
+  /** DOCUMENT REMOVAL from a maintained duplicate-cluster table — the
+    * delete half [[incrementalClusters]] leaves open (its batches only
+    * ADD docs). Removing a doc can SPLIT its cluster (it may have been
+    * the only bridge between two near-dup groups) and can DEPOSE a
+    * min-id representative, so the stored (cluster_id, doc_id,
+    * cluster_size) rows of TOUCHED clusters cannot be patched in
+    * place; but components are local — deleting nodes never merges or
+    * creates cross-component edges — so only the touched clusters
+    * recompute, over the PERSISTED pair graph (`pairs` is the
+    * auxiliary structure this op needs, the q118 value-multiset
+    * lesson: deletion requires the runner-up information a summary
+    * discards; a dedup pipeline has the pair graph on disk from the
+    * build). Untouched clusters pass through a batch-sized anti-join
+    * unchanged. The result equals [[dupClusters]] rebuilt over the
+    * post-delete pair graph EXACTLY (min-id cluster ids included):
+    * components of the surviving graph = untouched components ∪
+    * components of (touched members ∖ removed), and the propagation
+    * here runs on exactly that second, touched-cluster-sized subgraph.
+    * Docs that lose their last pair drop out of the table (the
+    * singleton convention of the build). */
+  def removeFromClusters(clusters: DataFrame, pairs: DataFrame,
+                         removed: DataFrame, rounds: Int = 3,
+                         reliable: Boolean = false,
+                         converged: Boolean = false)
+                        (implicit scope: CacheScope): DataFrame = {
+    val rm = removed.select(col(removed.columns.head).as("doc_id"))
+    val cl = scope.cachedIfShared(
+      clusters.select(col("cluster_id"), col("doc_id"), col("cluster_size")))
+    // clusters containing any removed doc — the touched set
+    val touched = cl.join(rm, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct()
+    val untouched = cl.join(touched, Seq("cluster_id"), "left_anti")
+    // surviving members of touched clusters
+    val m = scope.cached(cl.join(touched, Seq("cluster_id"), "left_semi")
+      .join(rm, Seq("doc_id"), "left_anti")
+      .select("doc_id"))
+    // the touched subgraph: pairs with BOTH endpoints surviving
+    // touched members — two semi joins of the pair graph against the
+    // touched-member set (batch-sized build sides)
+    val sub = pairs.select(col("d1"), col("d2"))
+      .join(m.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+      .join(m.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+    val recl =
+      if (converged) dupClustersConverged(sub, math.max(rounds, 10), reliable)
+      else dupClusters(sub, rounds, reliable)
+    untouched.unionByName(recl)
+  }
+
   /** Per-document n-gram NOVELTY (the dedup-aware sampling signal):
     * for each doc, the fraction of its distinct word-`n`-grams whose
     * corpus-wide FIRST occurrence (min doc_id) is this doc. High

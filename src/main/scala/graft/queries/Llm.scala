@@ -375,6 +375,40 @@ object Llm {
             |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
             |FROM comp ORDER BY cluster_id, doc_id""".stripMargin))
 
+  // CLUSTER MAINTENANCE UNDER DELETES (l2_incremental_delete): the
+  // removal half l2_incremental_clusters leaves open. Every 7th doc is
+  // removed from the stored corpus; a removed doc can SPLIT its
+  // cluster (it may be the only bridge) or depose a min-id
+  // representative, so CorpusOps.removeFromClusters recomputes ONLY
+  // the touched clusters over the persisted pair graph (the auxiliary
+  // structure deletion needs — the q118 value-multiset lesson) while
+  // untouched clusters pass through one anti-join unchanged. The
+  // ORACLE is the full recompute: DuckDB's transitive closure over the
+  // pair graph restricted to surviving endpoints (a pair's existence
+  // depends only on its two docs, so endpoint filtering == rebuilding
+  // over the surviving corpus) — the gate itself pins maintained ==
+  // rebuilt-from-post-delete, ids and sizes both.
+  private val l2incrDelete = QueryDef(
+    "l2_incremental_delete",
+    (s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
+      val docs = t(s, dir, "documents")
+      val removed = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+      val pairs = scope.cached(jaccardPairs(s, dir))
+      val stored = graft.ops.CorpusOps.dupClusters(pairs)
+      graft.ops.CorpusOps.removeFromClusters(stored, pairs, removed)
+        .orderBy("cluster_id", "doc_id")
+    },
+    Some(s"""WITH RECURSIVE $jaccardPairsCte,
+            |pf AS (SELECT d1, d2 FROM pairs WHERE d1 % 7 <> 0 AND d2 % 7 <> 0),
+            |e AS (SELECT d1 AS a, d2 AS b FROM pf UNION SELECT d2 AS a, d1 AS b FROM pf),
+            |reach AS (SELECT a, b FROM e
+            |  UNION SELECT r.a AS a, e.b AS b FROM reach r JOIN e ON e.a = r.b),
+            |comp AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
+            |SELECT cluster_id, doc_id,
+            |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            |FROM comp ORDER BY cluster_id, doc_id""".stripMargin))
+
   // SimHash: 60-bit signature from sha-60 shingle hashes; banding into
   // k chunks of w bits guarantees (pigeonhole) every pair with
   // hamming <= k-1 shares a chunk. The chunk width is SCALE-
@@ -4146,6 +4180,113 @@ object Llm {
          |ORDER BY qid, rn""".stripMargin
     })
 
+  // ANN INDEX DELETION (l3_ann_delete): drop vectors from the stored
+  // IVF-bounded kNN-graph index and repair it EXACTLY, the FAISS-IVF
+  // deletion semantic — the QUANTIZER IS FROZEN (nlist and centroid
+  // vectors never retrain on delete; re-training is a rebuild), only
+  // the postings/lists change. Maintenance is batch-shaped:
+  //  - deleted nodes' own lists drop (a filter);
+  //  - AFFECTED nodes — those whose stored top-5 contains a deleted
+  //    vector — re-rank over the frozen probe lists joined to the
+  //    SURVIVING assignments (the q118 runner-up lesson: the stored
+  //    (vid, cid, rn<=4) probe/assign table is the persisted auxiliary
+  //    that makes exact promotion possible without a corpus rescan);
+  //  - every other node's list passes through UNTOUCHED (its top-5
+  //    lost no member, and removing non-members cannot reorder it).
+  // Maintained == rebuilt-over-survivors-with-the-frozen-quantizer
+  // EXACTLY, and the ORACLE is that independent rebuild: the
+  // l3_knn_graph chain with survivors on both candidate sides but
+  // nlist/centroids from the ORIGINAL corpus. Cost: one aux-sized
+  // affected scan + affected×posting rescoring — never n^1.5.
+  private val l3annDelete = QueryDef(
+    "l3_ann_delete",
+    (s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
+      val e = t(s, dir, "embeddings")
+      // frozen quantizer: nlist from the ORIGINAL count, centroids by
+      // original id (their vectors persist with the index)
+      val nlist = broadcast(e.agg(
+        greatest(lit(32L), ceil(sqrt(count(lit(1)))).cast("long")).as("nlist")))
+      val cents = e.crossJoin(nlist).filter(col("vec_id") < col("nlist"))
+        .select(col("vec_id").as("cid"), col("embedding").as("qe"))
+      val wA = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
+      // the persisted probe/assign auxiliary (computed at build)
+      val cdTop = cached(e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+        .crossJoin(broadcast(cents))
+        .withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= 4)
+        .select("vid", "cid", "rn"))
+      val assign = cdTop.filter(col("rn") === 1).select("vid", "cid")
+      val probes = cdTop.select(col("vid").as("qid"), col("cid"))
+      val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+      def score(c: DataFrame): DataFrame =
+        c.join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+          .join(e.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
+          .select(col("qid"), col("vid"),
+            round(cosSim(col("qe"), col("ve")), 6).as("simr"))
+      def top5(sc: DataFrame): DataFrame =
+        sc.withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 5)
+          .select("qid", "rn", "vid", "simr")
+      // the STORED index: per-node top-5 lists over the build corpus
+      val g = cached(top5(score(
+        probes.join(assign, "cid").filter(col("vid") =!= col("qid"))
+          .select("qid", "vid"))))
+      // ---- the deletion batch: every 9th vector ----
+      val delQ = e.filter(col("vec_id") % 9 === 3)
+        .select(col("vec_id").as("qid"))
+      val delV = delQ.select(col("qid").as("vid"))
+      // affected = surviving nodes whose stored list holds a deleted id
+      val affected = g.join(delV, Seq("vid"), "left_semi")
+        .select("qid").distinct()
+        .join(delQ, Seq("qid"), "left_anti")
+      val kept = g.join(delQ, Seq("qid"), "left_anti")
+        .join(affected, Seq("qid"), "left_anti")
+      // re-rank affected nodes: frozen probes × SURVIVING assignments
+      val survAssign = assign.join(delV, Seq("vid"), "left_anti")
+      val rer = top5(score(
+        probes.join(affected, Seq("qid"), "left_semi")
+          .join(survAssign, "cid").filter(col("vid") =!= col("qid"))
+          .select("qid", "vid")))
+      kept.unionByName(rer).orderBy("qid", "rn")
+    },
+    Some {
+      val surv = "vec_id % 9 <> 3"
+      // the l3_knn_graph chain rebuilt over survivors with the FROZEN
+      // quantizer: nl counts the ORIGINAL corpus, centroid ids are
+      // original, both candidate sides filter to survivors
+      s"""WITH x AS (SELECT vec_id, unnest(embedding) AS e,
+         |             generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+         |n AS (SELECT vec_id, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
+         |      FROM x GROUP BY vec_id),
+         |nl AS (SELECT GREATEST(32, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS nlist
+         |       FROM embeddings),
+         |cd AS (SELECT xv.vec_id AS vid, xc.vec_id AS cid,
+         |              round(SUM(CAST(xv.e AS DOUBLE) * CAST(xc.e AS DOUBLE))
+         |                    / (nv.nrm * nc.nrm), 6) AS simr
+         |       FROM x xv JOIN x xc ON xc.d = xv.d AND xc.vec_id < (SELECT nlist FROM nl)
+         |       JOIN n nv ON nv.vec_id = xv.vec_id
+         |       JOIN n nc ON nc.vec_id = xc.vec_id
+         |       WHERE xv.$surv
+         |       GROUP BY xv.vec_id, xc.vec_id, nv.nrm, nc.nrm),
+         |r0 AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
+         |       FROM cd),
+         |assign AS (SELECT vid, cid FROM r0 WHERE rn = 1),
+         |probes AS (SELECT vid AS qid, cid FROM r0 WHERE rn <= 4),
+         |cand AS (SELECT p.qid, a.vid FROM probes p JOIN assign a ON a.cid = p.cid
+         |         WHERE a.vid != p.qid),
+         |dp AS (SELECT qid, vid, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
+         |       FROM cand JOIN x xa ON xa.vec_id = qid
+         |       JOIN x xb ON xb.vec_id = vid AND xb.d = xa.d
+         |       GROUP BY qid, vid),
+         |sdf AS (SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS simr
+         |        FROM dp JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid),
+         |r AS (SELECT qid, vid, simr,
+         |             row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+         |      FROM sdf)
+         |SELECT qid, rn, vid, simr FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    })
+
   // Exact substring-SPAN dedup (Lee et al. 2022) — any >=8-token run
   // already present in an earlier doc is removed token-exactly from
   // the later one. The duplication class LINE dedup misses (runs that
@@ -5008,5 +5149,6 @@ object Llm {
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
     l4bpeBatch, l3incr, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
-    l4ug, l4ugEnc, l3graphSearch, l3hnsw, l3hnswIncr, l3annCompact)
+    l4ug, l4ugEnc, l3graphSearch, l3hnsw, l3hnswIncr, l3annCompact,
+    l2incrDelete, l3annDelete)
 }

@@ -221,6 +221,41 @@ class CrossCheckSpec extends AnyFunSuite {
       s"emptied group left residue: $viaPipeline")
   }
 
+  test("removeFromClusters: a removed bridge SPLITS its cluster exactly as a rebuild would") {
+    // the hard deletion case: B bridges {A,B,C,D} (A-B, B-C, C-D);
+    // removing B must split into the singleton {A} (drops out — the
+    // build's singleton convention) and {C,D} re-labeled by its new
+    // min id — while the untouched cluster {X,Y} passes through
+    // byte-identical. Also covers representative deposition: removing
+    // the min-id doc 1 of {1,2,3} re-elects 2.
+    implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), // chain A=10 B=11 C=12 D=13
+      (20L, 21L),                         // untouched {20,21}
+      (1L, 2L), (1L, 3L), (2L, 3L)        // triangle with min-id rep 1
+    ).toDF("d1", "d2")
+    val removed = Seq(11L, 1L).toDF("doc_id")
+    val stored = CorpusOps.dupClusters(pairs)
+    val maintained = CorpusOps.removeFromClusters(stored, pairs, removed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val survPairs = pairs
+      .join(removed.select(col("doc_id").as("d1")), Seq("d1"), "left_anti")
+      .join(removed.select(col("doc_id").as("d2")), Seq("d2"), "left_anti")
+    val rebuilt = CorpusOps.dupClusters(survPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(maintained == rebuilt,
+      s"maintained diverged from rebuild: $maintained vs $rebuilt")
+    // the split/deposition shape itself, pinned explicitly: bridge 11
+    // splits the chain ({10} drops out as a singleton, {12,13} takes
+    // new min id 12); deposed rep 1 re-elects 2 over the surviving
+    // 2-3 edge; {20,21} untouched
+    assert(maintained == Set(
+      (12L, 12L, 2L), (12L, 13L, 2L),
+      (20L, 20L, 2L), (20L, 21L, 2L),
+      (2L, 2L, 2L), (2L, 3L, 2L)),
+      s"unexpected cluster shape: $maintained")
+  }
+
   test("bucketed range join equals the naive theta join on random intervals") {
     // q37's decomposition contract: equi-join on width-W buckets +
     // BETWEEN residual must equal the plain non-equi join for ANY

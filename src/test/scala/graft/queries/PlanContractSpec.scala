@@ -492,6 +492,8 @@ class PlanContractSpec extends AnyFunSuite {
       "l6_cluster_keeper", // builds dupClusters (the l2_dup_clusters exemption)
       "l2_incremental_clusters", // builds the stored corpus table AND the
       // delta rounds through dupClusters — twice in the same exemption class
+      "l2_incremental_delete", // stored build + touched-cluster
+      // recompute, both through dupClusters (same class)
       "q44_pagerank", "q46_ppr", "q47_pagerank_weighted",
       "q76_pagerank_incr", // GraphOps lineage-cuts
       "q48_components", "q49_bfs", "q56_sssp", "q57_kcore", "q50_triangles",
