@@ -613,7 +613,7 @@ object Stress {
     (seeds ++ rest).toDF("vec_id", "embedding")
   }
 
-  private def buildScaled(spark: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {
+  private[graft] def buildScaled(spark: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {
     val docs = Tables(spark, sfDir, "documents")
     val maxDoc = 10000000L
     // 40 pad words: a copy of an n-word doc shares n-2 shingles and

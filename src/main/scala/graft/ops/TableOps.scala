@@ -316,6 +316,23 @@ object TableOps {
     maintainAggCounted(aggMv, dv, aggKeys, sumCols, countCol, multCol)
   }
 
+  /** KEY-driven deletion for the counted family — deletes usually
+    * ARRIVE as keys (an order cancellation, a retention purge), not as
+    * signed full rows. Probes the stored PRE-batch snapshot with a
+    * LEFT SEMI join on the key list (key-partitioned; the output is
+    * delete-bounded and the snapshot is never rescanned downstream)
+    * and stamps multiplicity −1 — exactly the signed batch the Z-set
+    * maintainers consume. CASCADES fall out of the algebra, not out of
+    * extra machinery: a deleted DIMENSION key removes every joined
+    * fact contribution through joinDeltaCounted's ΔA⋈B term, so the
+    * fact side needs no tombstones of its own. */
+  def deleteBatchByKey(stored: DataFrame, delKeys: DataFrame,
+                       keys: Seq[String], multCol: String = "_mult"): DataFrame = {
+    require(keys.nonEmpty, "deleteBatchByKey needs key columns")
+    stored.join(delKeys.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .withColumn(multCol, lit(-1L))
+  }
+
   /** MIN/MAX with DELETES — the auxiliary-structure variant
     * [[maintainAggCounted]] documents as its limitation: min/max are
     * NOT linear (deleting the current extremum needs the runner-up),

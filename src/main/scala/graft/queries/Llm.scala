@@ -3363,6 +3363,191 @@ object Llm {
                    round(1.0 / (1.0 + exp(-(snum / (1000.0 * n_feat)))), 6) AS score
             FROM a ORDER BY doc_id"""))
 
+  // BM25 RETRIEVAL (Okapi, Lucene form — the (k1+1) numerator dropped
+  // as rank-equivalent; k1 = 1.2, b = 0.75): score every document
+  // against a fixed 4-term query and return the top-20 — the lexical
+  // retrieval primitive behind dataset search / dedup-by-query /
+  // RAG-corpus curation that l4_tfidf (per-doc weights) doesn't
+  // provide. Scale shape: the explode filters to the QUERY'S term set
+  // at the scan (candidate-bounded — rows leaving the scan are
+  // (doc, query-term) hits, not the corpus token stream), tf/df are
+  // partial-aggregatable, df/idf is a term-catalog-sized broadcast,
+  // N/avgdl ride as ONE action-free broadcast aggregate, and the
+  // top-20 compiles to TakeOrderedAndProject (per-partition top-k,
+  // never a global sort). Determinism: idf and each per-(doc,term)
+  // contribution round to 9 then sum EXACTLY as DECIMAL(18,9) (libm
+  // ln ulps die at the round; no float reassociation in the per-doc
+  // sum), the limit-20 cut orders by the exact decimal score with a
+  // doc_id tiebreak.
+  private val l4bm25 = QueryDef(
+    "l4_bm25",
+    (s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
+      val terms = Seq("table", "scan", "join", "merge")
+      val termsArr = terms.map(w => s"'$w'").mkString("array(", ",", ")")
+      val docs = t(s, dir, "documents").withColumn("ws", split(col("text"), " "))
+      val dl = cached(docs.select(col("doc_id"), size(col("ws")).as("dl")))
+      val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
+      val tf = docs.select(col("doc_id"), explode(col("ws")).as("term"))
+        .filter(expr(s"array_contains($termsArr, term)"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dft = broadcast(tf.groupBy("term").agg(count(lit(1)).as("df")))
+      val scored = tf.join(dft, "term").join(dl, "doc_id").crossJoin(stats)
+        .select(col("doc_id"),
+          round(
+            round(log(lit(1.0) +
+              ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+                (col("df").cast("double") + lit(0.5))), 9) *
+            (col("tf").cast("double") /
+              (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+                lit(0.75) * (col("dl").cast("double") / col("avgdl"))))), 9)
+            .cast("decimal(18,9)").as("c"))
+      val perDoc = scored.groupBy("doc_id").agg(sum(col("c")).as("sc"))
+      val top = perDoc.orderBy(col("sc").desc, col("doc_id").asc).limit(20)
+        .select(col("doc_id"), round(col("sc").cast("double"), 6).as("score"))
+      top.withColumn("rnk",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select("rnk", "doc_id", "score").orderBy("rnk")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+           |st AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+           |tf AS (SELECT doc_id, term, count(*) AS tf
+           |       FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+           |       WHERE term IN ('table','scan','join','merge')
+           |       GROUP BY doc_id, term),
+           |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |sc AS (SELECT tf.doc_id,
+           |         CAST(round(
+           |           round(ln(1.0 + (CAST(st.n_docs - idf.df AS DOUBLE) + 0.5)
+           |                          / (CAST(idf.df AS DOUBLE) + 0.5)), 9)
+           |           * (CAST(tf.tf AS DOUBLE)
+           |              / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+           |                 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))), 9) AS DECIMAL(18,9)) AS c
+           |       FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), st),
+           |agg AS (SELECT doc_id, SUM(c) AS sc FROM sc GROUP BY doc_id),
+           |top AS (SELECT doc_id, round(CAST(sc AS DOUBLE), 6) AS score
+           |        FROM agg ORDER BY sc DESC, doc_id LIMIT 20)
+           |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id, score
+           |FROM top ORDER BY rnk""".stripMargin))
+
+  // TRAINED classifier — the other half of l4_classifier (which
+  // SCORES under fixed weights): a real logistic regression fit by
+  // K=8 FULL-BATCH gradient-descent iterations on a fixture-derived
+  // label (lang = 'en'), over three engineered text features
+  // (stopword fraction, capped length, vowel ratio) + bias. The
+  // mechanics are the production shape at any scale: each iteration
+  // is ONE partial-aggregatable conditional-sum shuffle over the
+  // scope-cached feature table, collapsing to a single (d+1)-column
+  // gradient row at the driver — the MLlib treeAggregate loop. The
+  // model is O(d) driver state re-broadcast as literals each round;
+  // the corpus never moves, and the feature pass runs once.
+  // Determinism is the l3_pca_top contract: features are round-6
+  // DECIMAL(10,6) (exact on both engines — integer counts through one
+  // correctly-rounded IEEE division), the per-row sigmoid rounds to 6
+  // BEFORE the residual (libm exp ulps die at the round), gradient
+  // partials are exact decimal products summed exactly (no float
+  // reassociation anywhere), and weights round to 9 per iteration —
+  // the q44 discipline; the driver-side update replicates Spark's
+  // Round (BigDecimal HALF_UP) bit-for-bit. The oracle unrolls the
+  // IDENTICAL 8 iterations as generated CTEs. Output: trained weights
+  // (kind 'w') + held-out scores (kind 's'; doc_id % 5 = 0 split).
+  private val GdIters = 8
+  private val GdLr = 4.0 // full-batch rate; features/labels are O(1)-bounded
+  private val GdStop = Seq("the", "and", "of", "to", "a", "in", "is", "that")
+
+  /** Spark Round semantics for a driver-side double: BigDecimal.valueOf
+    * + HALF_UP — the exact function the engine applies in round(x, 9),
+    * so driver-updated weights match the oracle's CTE-computed ones. */
+  private def rndHalfUp(d: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(d).setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private val l4classifierTrain = QueryDef(
+    "l4_classifier_train",
+    (s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
+      val stopArr = GdStop.map(w => s"'$w'").mkString("array(", ",", ")")
+      val f = cached(t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          expr(s"cast(round(cast(size(filter(ws, w -> array_contains($stopArr, w))) as double) / size(ws), 6) as decimal(10,6))").as("x1"),
+          expr("cast(round(cast(least(n_chars, 500) as double) / 500, 6) as decimal(10,6))").as("x2"),
+          expr("cast(round(cast(length(text) - length(regexp_replace(text, '[aeiou]', '')) as double) / greatest(length(text), 1), 6) as decimal(10,6))").as("x3"),
+          when(col("lang") === "en", 1).otherwise(0).as("y"),
+          (col("doc_id") % 5 =!= 0).as("is_train")))
+      val train = f.filter(col("is_train"))
+      // z in FIXED left-assoc order — the oracle spells the identical
+      // expression, so both engines run the same IEEE op sequence
+      def z(w: Array[Double]): Column =
+        lit(w(0)) + lit(w(1)) * col("x1").cast("double") +
+          lit(w(2)) * col("x2").cast("double") + lit(w(3)) * col("x3").cast("double")
+      def sig(w: Array[Double]): Column = lit(1.0) / (lit(1.0) + exp(-z(w)))
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      for (_ <- 1 to GdIters) {
+        // ONE aggregate per iteration; the driver sees d+2 scalars (the
+        // convergence-probe / MLlib-loop precedent, never corpus rows)
+        val g = train
+          .select((round(sig(w), 6).cast("decimal(10,6)") - col("y")).as("r"),
+            col("x1"), col("x2"), col("x3"))
+          .agg(count(lit(1)).as("n"), sum(col("r")).as("g0"),
+            sum(col("r") * col("x1")).as("g1"),
+            sum(col("r") * col("x2")).as("g2"),
+            sum(col("r") * col("x3")).as("g3"))
+          .collect()(0)
+        val n = g.getLong(0).toDouble
+        w = Array.tabulate(4)(j =>
+          rndHalfUp(w(j) - GdLr * (g.getDecimal(j + 1).doubleValue() / n), 9))
+      }
+      import s.implicits._
+      val wdf = w.toSeq.zipWithIndex
+        .map { case (wj, j) => ("w", j.toLong, wj) }
+        .toDF("kind", "id", "value")
+        .select(col("kind"), col("id"), round(col("value"), 6).as("value"))
+      val scores = f.filter(!col("is_train"))
+        .select(lit("s").as("kind"), col("doc_id").as("id"),
+          round(sig(w), 6).as("value"))
+      wdf.unionByName(scores).orderBy("kind", "id")
+    },
+    Some {
+      val stopList = GdStop.map(w => s"'$w'").mkString("[", ",", "]")
+      val zSql = "w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE) + w3 * CAST(x3 AS DOUBLE)"
+      val iters = (1 to GdIters).map { k =>
+        s"""g$k AS (SELECT count(*) AS n, SUM(r) AS g0, SUM(r * x1) AS g1,
+           |              SUM(r * x2) AS g2, SUM(r * x3) AS g3
+           |       FROM (SELECT CAST(round(1.0 / (1.0 + exp(-($zSql))), 6) AS DECIMAL(10,6)) - y AS r,
+           |                    x1, x2, x3
+           |             FROM f, w${k - 1} WHERE is_train)),
+           |w$k AS (SELECT round(w0 - $GdLr * (CAST(g0 AS DOUBLE) / n), 9) AS w0,
+           |              round(w1 - $GdLr * (CAST(g1 AS DOUBLE) / n), 9) AS w1,
+           |              round(w2 - $GdLr * (CAST(g2 AS DOUBLE) / n), 9) AS w2,
+           |              round(w3 - $GdLr * (CAST(g3 AS DOUBLE) / n), 9) AS w3
+           |       FROM g$k, w${k - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH f AS (SELECT doc_id,
+         |        CAST(round(CAST(len(list_filter(string_split(text, ' '),
+         |               w -> list_contains($stopList, w))) AS DOUBLE)
+         |             / len(string_split(text, ' ')), 6) AS DECIMAL(10,6)) AS x1,
+         |        CAST(round(CAST(LEAST(n_chars, 500) AS DOUBLE) / 500, 6) AS DECIMAL(10,6)) AS x2,
+         |        CAST(round(CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+         |             / GREATEST(length(text), 1), 6) AS DECIMAL(10,6)) AS x3,
+         |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |        doc_id % 5 <> 0 AS is_train
+         |      FROM documents),
+         |w0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+         |              CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3),
+         |$iters
+         |SELECT 'w' AS kind, CAST(0 AS BIGINT) AS id, round(w0, 6) AS value FROM w$GdIters
+         |UNION ALL SELECT 'w', 1, round(w1, 6) FROM w$GdIters
+         |UNION ALL SELECT 'w', 2, round(w2, 6) FROM w$GdIters
+         |UNION ALL SELECT 'w', 3, round(w3, 6) FROM w$GdIters
+         |UNION ALL
+         |SELECT 's' AS kind, doc_id AS id, round(1.0 / (1.0 + exp(-($zSql))), 6) AS value
+         |FROM f, w$GdIters WHERE NOT is_train
+         |ORDER BY kind, id""".stripMargin
+    })
+
   // k-NN GRAPH over the whole embedding corpus — every vector's top-5
   // neighbors, the input shape for graph-based curation (semantic
   // clustering, connected-component dedup, diversity sampling). Brute
@@ -5150,5 +5335,5 @@ object Llm {
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
     l4bpeBatch, l3incr, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
     l4ug, l4ugEnc, l3graphSearch, l3hnsw, l3hnswIncr, l3annCompact,
-    l2incrDelete, l3annDelete)
+    l2incrDelete, l3annDelete, l4classifierTrain, l4bm25)
 }

@@ -4152,6 +4152,65 @@ object Relational {
            |GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin))
 
+  // KEY-CASCADE deletion through the maintained pipeline (q123): q122
+  // takes signed full-row batches; real deletes ARRIVE AS KEYS (an
+  // order cancellation, a retention purge). TableOps.deleteBatchByKey
+  // derives the signed batch with one LEFT SEMI probe of the stored
+  // snapshot (delete-bounded output), and the CASCADE is pure algebra:
+  // the cancelled orders' ΔA⋈B term removes every joined lineitem
+  // contribution with no fact-side tombstones, while an independent
+  // composite-key purge on the fact side rides ΔB — doubly-deleted
+  // pairs net to −1 through the bilinear ΔA⋈ΔB correction. The
+  // fixture's (l_orderkey, l_linenumber) is NOT unique (~14k dup keys
+  // at sf0.01 — the q104 lesson), which is exactly what KEY-delete
+  // semantics must honor: every physical sharer of a deleted key goes
+  // (the oracle models key MEMBERSHIP via an anti join, not the
+  // suppkey predicate that generated the key list). ORACLE = the
+  // agg-over-join recompute over both post-delete snapshots.
+  private val q123 = QueryDef(
+    "q123_mv_cascade_delete",
+    (s, dir) => {
+      val d6 = DecimalType(18, 6)
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_extendedprice").cast(d6).as("sum_price"))
+      val a = ord.withColumn("_mult", lit(1L))
+      val b = li.withColumn("_mult", lit(1L))
+      // the delete feeds: key lists, not rows
+      val ordDel = ord.filter(col("l_orderkey") % 13 === 5).select("l_orderkey")
+      val liDel = li.filter(col("l_suppkey") % 4 === 2)
+        .select("l_orderkey", "l_linenumber")
+      val da = graft.ops.TableOps.deleteBatchByKey(a, ordDel, Seq("l_orderkey"))
+      val db = graft.ops.TableOps.deleteBatchByKey(b, liDel,
+        Seq("l_orderkey", "l_linenumber"))
+      val mv0 = ord.join(li, Seq("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum("sum_price").as("sum_price"), count(lit(1)).as("cnt"))
+      graft.ops.TableOps.maintainPipelineCounted(mv0, a, da, b, db,
+          joinKeys = Seq("l_orderkey"), aggKeys = Seq("o_orderpriority"),
+          sumCols = Seq("sum_price"))
+        .select(col("o_orderpriority"),
+          col("sum_price").cast("double").as("sum_price"), col("cnt"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH af AS (
+           |  SELECT o_orderkey AS l_orderkey, o_orderpriority FROM orders
+           |  WHERE o_orderkey % 13 <> 5),
+           |bf AS (
+           |  SELECT li.l_orderkey, li.l_extendedprice FROM lineitem li
+           |  ANTI JOIN (SELECT DISTINCT l_orderkey, l_linenumber
+           |             FROM lineitem WHERE l_suppkey % 4 = 2) d
+           |    USING (l_orderkey, l_linenumber))
+           |SELECT o_orderpriority,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           |    AS sum_price,
+           |  count(*) AS cnt
+           |FROM bf JOIN af USING (l_orderkey)
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -4163,5 +4222,5 @@ object Relational {
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122)
+    q122, q123)
 }

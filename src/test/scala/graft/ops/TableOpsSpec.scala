@@ -233,6 +233,33 @@ test("maintainAgg: merged deltas equal a full recompute, new keys included") {
     assert(med(aux0, "0.25") == Seq((1L, 10L, 4L)))
   }
 
+  test("deleteBatchByKey: a dimension-key delete cascades through the pipeline with no fact tombstones") {
+    // dim a: (k, grp); fact b: (k, v) with fan-out. View = per-grp SUM(v)/COUNT.
+    val a = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("k", "grp")
+      .withColumn("_mult", lit(1L))
+    val b = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L)).toDF("k", "sum_v")
+      .withColumn("_mult", lit(1L))
+    val mv0 = a.drop("_mult").join(b.drop("_mult"), Seq("k"))
+      .groupBy("grp").agg(sum("sum_v").as("sum_v"), count(lit(1)).as("cnt"))
+    // the delete arrives as a KEY list (dim key 1) — fact side untouched
+    val da = TableOps.deleteBatchByKey(a, Seq(Tuple1(1L)).toDF("k"), Seq("k"))
+    assert(da.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq == Seq((1L, -1L)))
+    val db = b.limit(0)
+    val got = TableOps.maintainPipelineCounted(mv0, a, da, b, db,
+        joinKeys = Seq("k"), aggKeys = Seq("grp"), sumCols = Seq("sum_v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // both of key 1's fact rows vanish from grp x via the ΔA⋈B term alone
+    assert(got == Map("x" -> (5L, 1L), "y" -> (7L, 1L)), got.toString)
+    // double delete (dim key AND one of its fact rows): ΔA⋈ΔB nets to −1
+    val db2 = TableOps.deleteBatchByKey(b, Seq((1L, 10L)).toDF("k", "sum_v"),
+      Seq("k", "sum_v"))
+    val got2 = TableOps.maintainPipelineCounted(mv0, a, da, b, db2,
+        joinKeys = Seq("k"), aggKeys = Seq("grp"), sumCols = Seq("sum_v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got2 == Map("x" -> (5L, 1L), "y" -> (7L, 1L)),
+      s"doubly-deleted pair double-applied: $got2")
+  }
+
   test("maintainAggCounted: delete+reinsert of the same row nets to no change") {
     val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "sum_v")
     val mv0 = base.groupBy("k")

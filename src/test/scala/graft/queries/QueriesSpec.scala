@@ -258,6 +258,38 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad.count() == 0, "feature count drifted from 2w-1")
   }
 
+  test("trained classifier: gradient descent actually reduces train log-loss vs the zero model") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("l4_classifier_train")(spark, SparkFixture.sfDir).collect()
+    val w = out.filter(_.getString(0) == "w").sortBy(_.getLong(1)).map(_.getDouble(2))
+    assert(w.length == 4, "expected 4 trained weights")
+    assert(w.exists(_ != 0.0), "training never moved off the zero init")
+    val scores = out.filter(_.getString(0) == "s")
+    assert(scores.nonEmpty)
+    assert(scores.forall(r => r.getDouble(2) > 0 && r.getDouble(2) < 1),
+      "held-out score escaped (0,1)")
+    // independent check of REAL learning: recompute the two log-losses
+    // on the train split from raw docs (plain Scala, no query code)
+    val docs = graft.Tables(spark, SparkFixture.sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .collect().filter(_.getLong(0) % 5 != 0)
+    val stop = Set("the", "and", "of", "to", "a", "in", "is", "that")
+    def ll(wv: Array[Double]): Double = docs.map { r =>
+      val ws = r.getString(1).split(" ", -1)
+      val x1 = ws.count(stop) / ws.length.toDouble
+      val x2 = math.min(r.getLong(3), 500L) / 500.0
+      val txt = r.getString(1)
+      val x3 = txt.count("aeiou".contains(_)) / math.max(txt.length, 1).toDouble
+      val y = if (r.getString(2) == "en") 1.0 else 0.0
+      val p = 1.0 / (1.0 + math.exp(-(wv(0) + wv(1) * x1 + wv(2) * x2 + wv(3) * x3)))
+      -(y * math.log(p) + (1 - y) * math.log(1 - p))
+    }.sum / docs.length
+    val lossTrained = ll(w)
+    val lossZero = ll(Array(0.0, 0.0, 0.0, 0.0)) // = ln 2
+    info(f"train log-loss: zero=$lossZero%.4f trained=$lossTrained%.4f")
+    assert(lossTrained < lossZero, "8 GD steps failed to beat the zero model")
+  }
+
   test("cluster keeper: exactly one keeper per cluster, and it has the top quality") {
     import org.apache.spark.sql.functions._
     val k = SparkEntry.queries("l6_cluster_keeper")(spark, SparkFixture.sfDir)

@@ -1079,6 +1079,98 @@ class StreamingTckSpec extends AnyFunSuite {
     assert(stored1.count() == 5)
   }
 
+  // ---------------------------------------------------------------- T20
+  /** Deterministic beam search over a committed (vectors, adj)
+    * snapshot: entry = min vid, 3 expansion rounds at beam 2, ties by
+    * vid asc — the l3_ann_graph_search shape, query-count-bounded
+    * (beam × degree rows per round; the corpus moves only as the
+    * adjacency join). */
+  private def annSearch(queries: org.apache.spark.sql.DataFrame,
+                        vecs: org.apache.spark.sql.DataFrame,
+                        adj: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dot = expr("aggregate(zip_with(qe, ve, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    val q = queries.select(col("qid"), col("emb").as("qe"))
+    val entry = vecs.agg(min(col("vid")).as("vid"))
+    var seen = q.select(col("qid")).crossJoin(broadcast(entry))
+    var frontier = seen
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("vid").asc)
+    def scored(cand: org.apache.spark.sql.DataFrame) =
+      cand.join(vecs.select(col("vid"), col("emb").as("ve")), "vid")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("vid"), dot.as("sim"))
+    for (_ <- 1 to 3) {
+      val expand = frontier.join(adj, frontier("vid") === adj("a"))
+        .select(col("qid"), col("b").as("vid"))
+      seen = seen.unionByName(expand).distinct()
+      frontier = scored(seen)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .select("qid", "vid")
+    }
+    scored(seen).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
+  }
+
+  test("T20: streaming ANN query path — arriving queries search the latest committed snapshot; restart replays bit-identically") {
+    // T19 maintains the index IN-stream; this is the other half: query
+    // vectors ARRIVE as a stream and each batch runs the layered
+    // search against the latest committed (vectors, adj) snapshot.
+    // The snapshot choice is a FUNCTION OF batchId (first existing
+    // version <= id — the T13/T16/T19 versioned-snapshot convention),
+    // so a replayed batch re-reads the same frozen snapshot and the
+    // deterministic search (min-vid entry, vid-asc ties) reproduces
+    // its answers bit-for-bit across a checkpoint restart.
+    val root = Files.createTempDirectory("annq").toString
+    val ck = Files.createTempDirectory("annq-ck").toString
+    Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)),
+        (2L, Seq(0.0, 1.0)), (3L, Seq(0.1, 0.9)))
+      .toDF("vid", "emb").write.parquet(s"$root/v=0/vectors")
+    Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("a", "b").write.parquet(s"$root/v=0/adj")
+    val in = MemoryStream[(Long, Seq[Double])](spark)
+    def snapDir(id: Long): String =
+      (id to 0L by -1L).map(v => s"$root/v=$v")
+        .find(d => new java.io.File(d).exists()).getOrElse(s"$root/v=0")
+    def start() = in.toDF().toDF("qid", "emb")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        val ver = snapDir(id)
+        annSearch(batch, sp.read.parquet(s"$ver/vectors"), sp.read.parquet(s"$ver/adj"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/ans/b=$id")
+      }.start()
+    val q1 = start()
+    in.addData((100L, Seq(0.95, 0.05)), (101L, Seq(0.05, 0.95)))
+    q1.processAllAvailable(); q1.stop()
+    // a maintenance commit lands BETWEEN query batches: vector 4 joins
+    // near the 2/3 clique (the T19 growth path)
+    spark.read.parquet(s"$root/v=0/vectors")
+      .unionByName(Seq((4L, Seq(0.7, 0.7))).toDF("vid", "emb"))
+      .coalesce(1).write.parquet(s"$root/v=1/vectors")
+    spark.read.parquet(s"$root/v=0/adj")
+      .unionByName(Seq((2L, 4L), (4L, 2L), (3L, 4L), (4L, 3L)).toDF("a", "b"))
+      .coalesce(1).write.parquet(s"$root/v=1/adj")
+    val q2 = start() // restart from the same checkpoint
+    in.addData((102L, Seq(0.68, 0.72)))
+    q2.processAllAvailable(); q2.stop()
+    def ans(b: Long): Set[(Long, Long, Double)] =
+      spark.read.parquet(s"$root/ans/b=$b").as[(Long, Long, Double)].collect().toSet
+    // batch 0 searched v=0: 100 -> 0 (dot .95), 101 -> 2 (dot .95)
+    assert(ans(0) == Set((100L, 0L, 0.95), (101L, 2L, 0.95)), s"batch-0 answers: ${ans(0)}")
+    // batch 1 searched v=1: 102 -> the NEW vector 4 (dot .98) — under
+    // v=0 its best reachable is 2 at .72, so this pins version advance
+    assert(ans(1) == Set((102L, 4L, 0.98)), s"batch-1 answers: ${ans(1)}")
+    // streamed results == the batch search over the same snapshots
+    def batchSearch(qs: Seq[(Long, Seq[Double])], ver: String): Set[(Long, Long, Double)] =
+      annSearch(qs.toDF("qid", "emb"),
+        spark.read.parquet(s"$ver/vectors"), spark.read.parquet(s"$ver/adj"))
+        .as[(Long, Long, Double)].collect().toSet
+    assert(batchSearch(Seq((100L, Seq(0.95, 0.05)), (101L, Seq(0.05, 0.95))), snapDir(0)) == ans(0))
+    // a REPLAYED batch 1 (same id -> same snapshot fn -> same search)
+    // reproduces its committed answers bit-identically
+    assert(batchSearch(Seq((102L, Seq(0.68, 0.72))), snapDir(1)) == ans(1))
+  }
+
   // ------------------------------------------- L-ops over the stream
   test("corpus ingest: quality gate + in-stream exact dedup over the message source") {
     // The L-battery's cleanup stages composed onto the streaming layer:
