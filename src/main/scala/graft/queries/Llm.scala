@@ -3372,9 +3372,11 @@ object Llm {
   // at the scan (candidate-bounded — rows leaving the scan are
   // (doc, query-term) hits, not the corpus token stream), tf/df are
   // partial-aggregatable, df/idf is a term-catalog-sized broadcast,
-  // N/avgdl ride as ONE action-free broadcast aggregate, and the
-  // top-20 compiles to TakeOrderedAndProject (per-partition top-k,
-  // never a global sort). Determinism: idf and each per-(doc,term)
+  // N/avgdl ride as ONE action-free broadcast aggregate, doc length
+  // rides the exploded hits (no corpus-keyed join back to a length
+  // table), and the top-20 compiles to TakeOrderedAndProject
+  // (per-partition top-k, never a global sort). Determinism: idf and
+  // each per-(doc,term)
   // contribution round to 9 then sum EXACTLY as DECIMAL(18,9) (libm
   // ln ulps die at the round; no float reassociation in the per-doc
   // sum), the limit-20 cut orders by the exact decimal score with a
@@ -3386,14 +3388,17 @@ object Llm {
       val terms = Seq("table", "scan", "join", "merge")
       val termsArr = terms.map(w => s"'$w'").mkString("array(", ",", ")")
       val docs = t(s, dir, "documents").withColumn("ws", split(col("text"), " "))
-      val dl = cached(docs.select(col("doc_id"), size(col("ws")).as("dl")))
-      val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
-      val tf = docs.select(col("doc_id"), explode(col("ws")).as("term"))
+      val stats = broadcast(docs.agg(count(lit(1)).as("n_docs"),
+        (sum(size(col("ws"))).cast("double") / count(lit(1))).as("avgdl")))
+      // dl rides the exploded hits (constant per doc), so tf needs no
+      // corpus-keyed join back to a doc-length table — one scan, one
+      // candidate-bounded shuffle
+      val tf = cached(docs
+        .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("term"))
         .filter(expr(s"array_contains($termsArr, term)"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")))
       val dft = broadcast(tf.groupBy("term").agg(count(lit(1)).as("df")))
-      val scored = tf.join(dft, "term").join(dl, "doc_id").crossJoin(stats)
+      val scored = tf.join(dft, "term").crossJoin(stats)
         .select(col("doc_id"),
           round(
             round(log(lit(1.0) +

@@ -898,4 +898,38 @@ class PlanContractSpec extends AnyFunSuite {
       zonePred = col("mn") > 100000, residual = col("id") > 100000)
     assert(none.count() == 0)
   }
+
+  test("q123: key-cascade maintenance adds ONLY the two semi probes to q122's delta shape") {
+    val plan = formatted("q123_mv_cascade_delete")
+    // q122's 5 (mv0 build + 3 delta joins + view merge) + the key
+    // probes: each signed delete batch feeds TWO delta-join branches
+    // (ΔA⋈B and ΔA⋈ΔB; symmetrically for ΔB), so its delete-bounded
+    // LeftSemi probe inlines twice — 4 semi joins, 9 total. A tenth
+    // join would mean the cascade grew extra machinery beyond the
+    // ΔA⋈B algebra
+    val joins = """(?m)^\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"""
+      .r.findAllIn(plan).size
+    assert(joins == 9, s"expected 5 q122 joins + 2×2 inlined semi probes, found $joins:\n$plan")
+    assert("LeftSemi".r.findAllIn(plan).size >= 4,
+      s"key-delete probes are not semi joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cascade maintenance degenerated into a loop join:\n$plan")
+  }
+
+  test("l4_bm25: candidate-bounded single-scan scoring — broadcast model joins, top-k never a global sort") {
+    val plan = formatted("l4_bm25")
+    // the term/df join is a broadcast (the model is catalog-sized);
+    // the ONLY allowed 1-row cross is the stats broadcast
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"df/stats did not broadcast:\n$plan")
+    // doc length rides the exploded hits: NO corpus-keyed shuffle join
+    // back to a doc-length table
+    val shuffleJoins = """(?m)^\(\d+\) (SortMergeJoin|ShuffledHashJoin)"""
+      .r.findAllIn(plan).size
+    assert(shuffleJoins == 0,
+      s"bm25 scoring shuffled a corpus-keyed join ($shuffleJoins):\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 compiled to a global sort instead of TakeOrderedAndProject:\n$plan")
+  }
 }
