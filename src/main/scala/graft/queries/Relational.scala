@@ -4211,6 +4211,64 @@ object Relational {
            |GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin))
 
+  // TWO-HOP Z-SET CIRCUIT (q124): q122 chains ONE join into the
+  // aggregate; a real DBSP circuit stores every operator's output view
+  // and differentiates RECURSIVELY — here V1 = customer ⋈ orders is
+  // itself a maintained counted view, and the gold view
+  // V2 = γ_mktsegment(V1 ⋈ lineitem) consumes V1's DELTA as a base-side
+  // batch: ΔV1 = joinDeltaCounted(C, ΔC, O, ΔO) feeds
+  // joinDeltaCounted(V1_pre, ΔV1, L, ΔL) feeds maintainAggCounted —
+  // three delta passes, no intermediate recompute, the fact history
+  // never rescanned. Deletes land on ALL THREE bases (every-9th
+  // customer, every-11th order, every-6th-suppkey lineitem); a deleted
+  // customer cascades through BOTH hops. ORACLE = the full three-table
+  // agg recompute over the post-delete snapshots, DECIMAL bit-exact.
+  private val q124 = QueryDef(
+    "q124_mv_two_hop_delete",
+    (s, dir) => {
+      val d6 = DecimalType(18, 6)
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey").as("l_orderkey"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice").cast(d6).as("sum_price"))
+      def m(df: DataFrame, v: Int) = df.withColumn("_mult", lit(v.toLong))
+      val c = m(cust, 1); val o = m(ord, 1); val l = m(li, 1)
+      val dc = m(cust.filter(col("c_custkey") % 9 === 4), -1)
+      val dO = m(ord.filter(col("l_orderkey") % 11 === 3), -1)
+      val dl = m(li.filter(col("l_suppkey") % 6 === 1), -1)
+      // the STORED intermediate: V1 = C ⋈ O (counted; custkey ⋈ is 1:1
+      // on the customer side so counts are 1, the algebra doesn't care)
+      val v1Cols = Seq("l_orderkey", "c_mktsegment")
+      val v1 = m(cust.join(ord, Seq("c_custkey")).select(v1Cols.map(col): _*), 1)
+      val dv1 = graft.ops.TableOps.joinDeltaCounted(c, dc, o, dO,
+        keys = Seq("c_custkey"), viewCols = v1Cols)
+      // gold: V2 = γ(V1 ⋈ L), maintained from V1's OWN delta
+      val mv0 = v1.drop("_mult").join(li, Seq("l_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum("sum_price").as("sum_price"), count(lit(1)).as("cnt"))
+      val dv2 = graft.ops.TableOps.joinDeltaCounted(v1, dv1, l, dl,
+        keys = Seq("l_orderkey"), viewCols = Seq("c_mktsegment", "sum_price"))
+      graft.ops.TableOps.maintainAggCounted(mv0, dv2,
+          keys = Seq("c_mktsegment"), sumCols = Seq("sum_price"))
+        .select(col("c_mktsegment"),
+          col("sum_price").cast("double").as("sum_price"), col("cnt"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           |    AS sum_price,
+           |  count(*) AS cnt
+           |FROM customer
+           |JOIN orders ON o_custkey = c_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |WHERE c_custkey % 9 <> 4
+           |  AND o_orderkey % 11 <> 3
+           |  AND l_suppkey % 6 <> 1
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -4222,5 +4280,5 @@ object Relational {
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123)
+    q122, q123, q124)
 }

@@ -526,6 +526,10 @@ class PlanContractSpec extends AnyFunSuite {
       // build's stages at construction, the same iterative-graph
       // seam dupClusters pays (and the round-7 verdict asked for:
       // data-derived round width over fixture-tuned literals)
+      "l4_classifier_train", // full-batch GD: each of the 8 iterations
+      // is ONE gradient aggregate collapsing to a (d+2)-scalar row at
+      // the driver (the MLlib treeAggregate loop) — the collect IS the
+      // weight update, same driver-loop class as the BPE greedy argmax
       "l4_bpe_merges", "l4_bpe_encode", // greedy vocab learner: each of the 3 merge
       "l4_bpe_merges_batched") // same class: ONE ranked lookahead collect per ROUND
       // iterations collects exactly ONE row (the weighted pair-count

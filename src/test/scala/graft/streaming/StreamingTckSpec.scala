@@ -1079,6 +1079,71 @@ class StreamingTckSpec extends AnyFunSuite {
     assert(stored1.count() == 5)
   }
 
+  // ---------------------------------------------------------------- T21
+  test("T21: streamed appends maintain the zone table AND the pruned read consumes it — fewer files, exact rows") {
+    // the full streaming lakehouse loop in one TCK: arriving rows land
+    // in the chunk-partitioned store, their envelopes merge into the
+    // maintained zone table (T18), and a reader prunes its scan with
+    // the LATEST maintained version (q121's Layout.prunedRead) —
+    // including rows in a chunk that did not exist at base-build time
+    // (zone-table COMPLETENESS is what makes pruning safe).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val dataDir = Files.createTempDirectory("zprune-data").toString
+    val zroot = Files.createTempDirectory("zprune-zones").toString
+    val ck = Files.createTempDirectory("zprune-ck").toString
+    val base = spark.range(0, 800).select(col("id"),
+      format_string("c%03d", expr("id div 100")).as("chunk"))
+    graft.ops.Layout.writeClustered(base, dataDir, "chunk")
+    base.groupBy("chunk").agg(min("id").as("mn"), max("id").as("mx"))
+      .coalesce(1).write.parquet(s"$zroot/v=0")
+    val in = MemoryStream[(Long, String)](spark)
+    def start() = in.toDF().toDF("id", "chunk")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        val prior = (id to 0L by -1L).map(v => s"$zroot/v=$v")
+          .find(d => new java.io.File(d).exists()).getOrElse(s"$zroot/v=0")
+        batch.write.mode("append").partitionBy("chunk").parquet(dataDir)
+        val delta = batch.groupBy("chunk").agg(min("id").as("mn"), max("id").as("mx"))
+        graft.ops.TableOps.maintainZoneMap(sp.read.parquet(prior), delta,
+            Seq("chunk"), Seq("mn"), Seq("mx"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$zroot/v=${id + 1}")
+      }.start()
+    val q1 = start()
+    in.addData((250L, "c009")) // a MID-RANGE id lands in a NEW chunk
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start() // restart from the same checkpoint
+    in.addData((901L, "c009"))
+    q2.processAllAvailable(); q2.stop()
+    val vN = new java.io.File(zroot).listFiles()
+      .map(_.getName.stripPrefix("v=").toLong).max
+    val zones = spark.read.parquet(s"$zroot/v=$vN")
+    // probe [200, 320]: base chunks c002/c003 PLUS the streamed c009
+    // (its maintained envelope [250, 901] intersects) — a reader using
+    // the STALE v=0 zones would silently drop row 250
+    val pruned = graft.ops.Layout.prunedRead(spark, dataDir, zones, "chunk",
+      zonePred = col("mn") <= 320 && col("mx") >= 200,
+      residual = col("id").between(200, 320))
+    val full = spark.read.parquet(dataDir).filter(col("id").between(200, 320))
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      full.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(pruned.filter(col("id") === 250L).count() == 2,
+      "the streamed append in the new chunk must be visible to the pruned read")
+    // and the scan really skipped files
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    pruned.collect()
+    val scanned = fileScans(pruned.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    val total = spark.read.parquet(dataDir).inputFiles.length.toLong
+    assert(scanned < total, s"pruned read scanned $scanned of $total files")
+  }
+
   // ---------------------------------------------------------------- T20
   /** Deterministic beam search over a committed (vectors, adj)
     * snapshot: entry = min vid, 3 expansion rounds at beam 2, ties by
