@@ -55,7 +55,11 @@ object Bench {
     "q111_tpch_q4", "q112_tpch_q6", "q113_tpch_q9", "q114_tpch_q12",
     "q115_tpch_q13", "q116_tpch_q20", "q117_mv_agg_delete", "q118_mv_minmax_delete",
     "q119_mv_quantile_delete", "q120_mv_tpch_q1_delete",
-    "l3_ann_hnsw_incremental")
+    "l3_ann_hnsw_incremental",
+    "q121_zonemap_pruned_read", "q122_mv_pipeline_delete",
+    "q123_mv_cascade_delete", "q124_mv_two_hop_delete",
+    "l3_ann_compact", "l2_incremental_delete", "l3_ann_delete",
+    "l4_classifier_train", "l4_bm25", "l4_bm25_maintain")
 
   /** 1-minute system load average, -1.0 where the platform can't say.
     * Recorded at both ends of the run so the record SELF-ADJUDICATES:

@@ -3437,6 +3437,62 @@ object Llm {
            |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id, score
            |FROM top ORDER BY rnk""".stripMargin))
 
+  // INCREMENTAL BM25 STATISTICS (l4_bm25_maintain): the retrieval
+  // index's statistics ARE linear aggregates — df per term is a count
+  // of containing docs, N a count, avgdl a derived sum/count — so the
+  // counted Z-set maintainer (q117's maintainAggCounted) keeps them
+  // current under document INSERTS AND DELETES with one batch-sized
+  // pass: each batch doc contributes one ('len','*') row and one
+  // ('df', term) row per distinct query term it contains, signed by
+  // the batch multiplicity; the stats view merges them per (stat, key)
+  // and avgdl derives at read (the q120 maintain-linear/derive-AVG
+  // lesson applied to retrieval). ORACLE = the stats recomputed from
+  // scratch over the post-batch corpus (stored minus every-7th-doc
+  // deletes, plus the doc_id % 10 insert batch).
+  private val l4bm25Maintain = QueryDef(
+    "l4_bm25_maintain",
+    (s, dir) => {
+      val terms = Seq("table", "scan", "join", "merge")
+      val termsArr = terms.map(w => s"'$w'").mkString("array(", ",", ")")
+      val docs = t(s, dir, "documents").withColumn("ws", split(col("text"), " "))
+      val stored = docs.filter(col("doc_id") % 10 =!= 0)
+      val ins = docs.filter(col("doc_id") % 10 === 0)
+      val del = stored.filter(col("doc_id") % 7 === 0)
+      def statRows(d: DataFrame, mult: Int): DataFrame = {
+        val dl = d.select(lit("len").as("stat"), lit("*").as("k"),
+          size(col("ws")).cast("long").as("v"), lit(mult.toLong).as("_mult"))
+        val tf = d.select(explode(
+            expr(s"array_distinct(filter(ws, w -> array_contains($termsArr, w)))")).as("k"))
+          .select(lit("df").as("stat"), col("k"), lit(1L).as("v"),
+            lit(mult.toLong).as("_mult"))
+        dl.unionByName(tf)
+      }
+      val mv0 = statRows(stored, 1).groupBy("stat", "k")
+        .agg(sum("v").as("v"), count(lit(1)).as("cnt"))
+      val batch = statRows(ins, 1).unionByName(statRows(del, -1))
+      val m = graft.ops.TableOps.maintainAggCounted(mv0, batch,
+        keys = Seq("stat", "k"), sumCols = Seq("v"))
+      val dfRows = m.filter(col("stat") === "df")
+        .select(col("stat"), col("k"), col("v").cast("double").as("value"))
+      val lenRow = m.filter(col("stat") === "len")
+      val derived = lenRow.select(lit("n_docs").as("stat"), lit("*").as("k"),
+          col("cnt").cast("double").as("value"))
+        .unionByName(lenRow.select(lit("avgdl").as("stat"), lit("*").as("k"),
+          round(col("v").cast("double") / col("cnt"), 6).as("value")))
+      dfRows.unionByName(derived).orderBy("stat", "k")
+    },
+    Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           |           WHERE doc_id % 10 = 0 OR doc_id % 7 <> 0),
+           |df AS (SELECT term AS k, count(*) AS v FROM (
+           |         SELECT doc_id, unnest(list_distinct(list_filter(ws,
+           |           w -> list_contains(['table','scan','join','merge'], w)))) AS term
+           |         FROM s) GROUP BY term),
+           |ln AS (SELECT count(*) AS n, SUM(len(ws)) AS sdl FROM s)
+           |SELECT 'avgdl' AS stat, '*' AS k, round(CAST(sdl AS DOUBLE) / n, 6) AS value FROM ln
+           |UNION ALL SELECT 'df', k, CAST(v AS DOUBLE) FROM df
+           |UNION ALL SELECT 'n_docs', '*', CAST(n AS DOUBLE) FROM ln
+           |ORDER BY stat, k""".stripMargin))
+
   // TRAINED classifier — the other half of l4_classifier (which
   // SCORES under fixed weights): a real logistic regression fit by
   // K=8 FULL-BATCH gradient-descent iterations on a fixture-derived
@@ -5340,5 +5396,5 @@ object Llm {
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
     l4bpeBatch, l3incr, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
     l4ug, l4ugEnc, l3graphSearch, l3hnsw, l3hnswIncr, l3annCompact,
-    l2incrDelete, l3annDelete, l4classifierTrain, l4bm25)
+    l2incrDelete, l3annDelete, l4classifierTrain, l4bm25, l4bm25Maintain)
 }
