@@ -1079,6 +1079,96 @@ class StreamingTckSpec extends AnyFunSuite {
     assert(stored1.count() == 5)
   }
 
+  // ---------------------------------------------------------------- T22
+  test("T22: streaming two-hop Z-set circuit — one change stream maintains the intermediate AND the gold view, restart-safe") {
+    // q124's stored-intermediate circuit in-stream: signed change rows
+    // for ALL THREE bases (side tag c/o/l) arrive in one stream, and
+    // each micro-batch runs one delta pass per operator hop against
+    // the latest versioned snapshot FIVE-tuple (c, o, l, v1, view) —
+    // ΔV1 = joinDelta(C, ΔC, O, ΔO) consolidates into the stored V1
+    // AND feeds hop 2 as a base-side batch. A batch inserting a
+    // customer, its order, AND its lineitem together exercises the
+    // ΔA⋈ΔB terms across BOTH hops in a single trigger.
+    val root = Files.createTempDirectory("circuit").toString
+    val ck = Files.createTempDirectory("circuit-ck").toString
+    import graft.ops.TableOps
+    def w(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.coalesce(1).write.mode("overwrite").parquet(p)
+    val c0 = Seq((1L, 10L, 1L), (2L, 10L, 1L), (3L, 20L, 1L)).toDF("cust", "grp", "_mult")
+    val o0 = Seq((1L, 100L, 1L), (2L, 200L, 1L), (3L, 300L, 1L)).toDF("cust", "ord", "_mult")
+    val l0 = Seq((100L, 5L, 1L), (100L, 7L, 1L), (200L, 11L, 1L), (300L, 13L, 1L))
+      .toDF("ord", "sum_v", "_mult")
+    val v10 = c0.drop("_mult").join(o0.drop("_mult"), "cust")
+      .select(col("ord"), col("grp")).withColumn("_mult", lit(1L))
+    val view0 = v10.drop("_mult").join(l0.drop("_mult"), "ord")
+      .groupBy("grp").agg(sum("sum_v").as("sum_v"), count(lit(1)).as("cnt"))
+    w(c0, s"$root/v=0/c"); w(o0, s"$root/v=0/o"); w(l0, s"$root/v=0/l")
+    w(v10, s"$root/v=0/v1"); w(view0, s"$root/v=0/view")
+    val in = MemoryStream[(String, Long, Long, Long)](spark) // (side, x, y, mult)
+    def start() = in.toDF().toDF("side", "x", "y", "m")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        val prior = (id to 0L by -1L).map(v => s"$root/v=$v")
+          .find(d => new java.io.File(d).exists()).getOrElse(s"$root/v=0")
+        val c = sp.read.parquet(s"$prior/c"); val o = sp.read.parquet(s"$prior/o")
+        val l = sp.read.parquet(s"$prior/l"); val v1 = sp.read.parquet(s"$prior/v1")
+        val view = sp.read.parquet(s"$prior/view")
+        val dc = batch.filter(col("side") === "c")
+          .select(col("x").as("cust"), col("y").as("grp"), col("m").as("_mult"))
+        val dO = batch.filter(col("side") === "o")
+          .select(col("x").as("cust"), col("y").as("ord"), col("m").as("_mult"))
+        val dl = batch.filter(col("side") === "l")
+          .select(col("x").as("ord"), col("y").as("sum_v"), col("m").as("_mult"))
+        val dv1 = TableOps.joinDeltaCounted(c, dc, o, dO,
+          keys = Seq("cust"), viewCols = Seq("ord", "grp"))
+        val dv2 = TableOps.joinDeltaCounted(v1, dv1, l, dl,
+          keys = Seq("ord"), viewCols = Seq("grp", "sum_v"))
+        val out = s"$root/v=${id + 1}"
+        w(TableOps.consolidate(c.unionByName(dc), Seq("cust", "grp")), s"$out/c")
+        w(TableOps.consolidate(o.unionByName(dO), Seq("cust", "ord")), s"$out/o")
+        w(TableOps.consolidate(l.unionByName(dl), Seq("ord", "sum_v")), s"$out/l")
+        w(TableOps.consolidate(v1.unionByName(dv1), Seq("ord", "grp")), s"$out/v1")
+        w(TableOps.maintainAggCounted(view, dv2, keys = Seq("grp"),
+          sumCols = Seq("sum_v")), s"$out/view")
+      }.start()
+    val q1 = start()
+    // batch 0: cust 1 cancelled (cascades through BOTH hops) + a new
+    // lineitem on order 200
+    in.addData(("c", 1L, 10L, -1L), ("l", 200L, 4L, 1L))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start() // restart from the same checkpoint
+    // batch 1: order 300 cancelled (EMPTIES grp 20) + a brand-new
+    // customer with her order AND its lineitem in one trigger —
+    // the ΔA⋈ΔB path on both hops
+    in.addData(("o", 3L, 300L, -1L),
+      ("c", 4L, 30L, 1L), ("o", 4L, 400L, 1L), ("l", 400L, 9L, 1L))
+    q2.processAllAvailable(); q2.stop()
+    val vN = new java.io.File(root).listFiles()
+      .map(_.getName.stripPrefix("v=").toLong).max
+    assert(vN == 2)
+    def viewOf(v: Long): Map[Long, (Long, Long)] =
+      spark.read.parquet(s"$root/v=$v/view")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // grp 10: lost cust 1's rows (5, 7), gained 4 -> (11+4, 2);
+    // grp 20: emptied by the order-300 cancel; grp 30: the new chain
+    assert(viewOf(2) == Map(10L -> (15L, 2L), 30L -> (9L, 1L)), viewOf(2).toString)
+    // the maintained view equals the recompute from the FINAL bases
+    val rec = spark.read.parquet(s"$root/v=2/c").drop("_mult")
+      .join(spark.read.parquet(s"$root/v=2/o").drop("_mult"), "cust")
+      .join(spark.read.parquet(s"$root/v=2/l").drop("_mult"), "ord")
+      .groupBy("grp").agg(sum("sum_v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rec == viewOf(2), s"maintained diverged from recompute: $rec vs ${viewOf(2)}")
+    // and the stored intermediate matches ITS recompute
+    val v1rec = spark.read.parquet(s"$root/v=2/c").drop("_mult")
+      .join(spark.read.parquet(s"$root/v=2/o").drop("_mult"), "cust")
+      .select("ord", "grp").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v1got = spark.read.parquet(s"$root/v=2/v1").filter(col("_mult") =!= 0L)
+      .select("ord", "grp").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v1got == v1rec, s"stored intermediate diverged: $v1got vs $v1rec")
+  }
+
   // ---------------------------------------------------------------- T21
   test("T21: streamed appends maintain the zone table AND the pruned read consumes it — fewer files, exact rows") {
     // the full streaming lakehouse loop in one TCK: arriving rows land
