@@ -59,7 +59,7 @@ object Bench {
     "q121_zonemap_pruned_read", "q122_mv_pipeline_delete",
     "q123_mv_cascade_delete", "q124_mv_two_hop_delete",
     "l3_ann_compact", "l2_incremental_delete", "l3_ann_delete",
-    "l4_classifier_train", "l4_bm25", "l4_bm25_maintain")
+    "l4_classifier_train", "l4_bm25", "l4_bm25_maintain", "l5_video_header")
 
   /** 1-minute system load average, -1.0 where the platform can't say.
     * Recorded at both ends of the run so the record SELF-ADJUDICATES:

@@ -509,11 +509,75 @@ object Multimodal {
       (bb.getInt(), bb.getInt(), bb.getInt())
     }
 
+    /** Minimal spec-valid AVI container: RIFF/'AVI ' with a LIST/hdrl
+      * holding the 56-byte `avih` MainAVIHeader (dwMicroSecPerFrame,
+      * dwTotalFrames, dwWidth, dwHeight the live fields) and an empty
+      * LIST/movi. 100 bytes total — the header surface a video
+      * METADATA reader walks; frame pixel data stays out (compressed
+      * video decode needs codec libraries this container doesn't
+      * ship). `fps` must divide 1,000,000 (10/20/25/50 all do) so the
+      * stored dwMicroSecPerFrame round-trips exactly. */
+    def encodeAvi(width: Int, height: Int, frames: Int, fps: Int): Array[Byte] = {
+      require(width >= 1 && height >= 1 && frames >= 1, s"bad AVI dims $width x $height x $frames")
+      require(fps >= 1 && 1000000 % fps == 0, s"fps must divide 1e6 (got $fps)")
+      val bb = java.nio.ByteBuffer.allocate(100)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(92).put("AVI ".getBytes("US-ASCII"))
+      bb.put("LIST".getBytes("US-ASCII")).putInt(68).put("hdrl".getBytes("US-ASCII"))
+      bb.put("avih".getBytes("US-ASCII")).putInt(56)
+        .putInt(1000000 / fps) // dwMicroSecPerFrame
+        .putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+        .putInt(frames) // dwTotalFrames
+        .putInt(0).putInt(1).putInt(0) // initialFrames, streams, suggestedBuf
+        .putInt(width).putInt(height)
+        .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4).put("movi".getBytes("US-ASCII"))
+      bb.array()
+    }
+
+    /** RIFF/AVI header WALK (the decodeWav discipline — never fixed
+      * offsets: real AVIs carry JUNK/INFO chunks before hdrl): verify
+      * 'RIFF'+'AVI ', iterate top-level chunks, descend into the
+      * LIST/hdrl, read `avih` → (width, height, totalFrames,
+      * microSecPerFrame). Malformed input FAILS loudly — the negative-
+      * chunk-size guard prevents the backwards-cursor spin. */
+    def decodeAvi(payload: Array[Byte]): (Int, Int, Int, Int) = {
+      val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+      require(payload.length >= 100 && tag() == "RIFF", "not a RIFF payload")
+      bb.getInt() // riff size
+      require(tag() == "AVI ", "not an AVI payload")
+      var w = -1; var h = -1; var frames = -1; var usPerFrame = -1
+      while (bb.remaining() >= 8 && usPerFrame < 0) {
+        val id = tag(); val size = bb.getInt()
+        val next = bb.position() + size + (size & 1)
+        require(size >= 0, s"corrupt RIFF chunk '$id' with negative size $size")
+        if (id == "LIST" && size >= 4 && tag() == "hdrl") {
+          while (bb.position() < next - 8 && usPerFrame < 0 && bb.remaining() >= 8) {
+            val cid = tag(); val csize = bb.getInt()
+            require(csize >= 0, s"corrupt hdrl chunk '$cid' with negative size $csize")
+            val cnext = bb.position() + csize + (csize & 1)
+            if (cid == "avih") {
+              usPerFrame = bb.getInt()
+              bb.getInt(); bb.getInt(); bb.getInt()
+              frames = bb.getInt()
+              bb.getInt(); bb.getInt(); bb.getInt()
+              w = bb.getInt(); h = bb.getInt()
+            }
+            bb.position(math.min(cnext, payload.length))
+          }
+        }
+        bb.position(math.min(next, payload.length))
+      }
+      require(usPerFrame > 0 && w > 0 && h > 0 && frames > 0, "AVI missing avih header")
+      (w, h, frames, usPerFrame)
+    }
+
     /** (width, height, frames) by declared format — `bmp`, `wav`,
-      * `jpg`/`jpeg`, `mp3`, and `png` parse REAL bytes; `grft` is the
-      * documented deterministic stub (video frame extraction and
-      * compressed-payload pixel/PCM decode need codec libraries this
-      * container does not ship). */
+      * `jpg`/`jpeg`, `mp3`, `png`, `gif`, `tiff`, and `avi` (container
+      * metadata) parse REAL bytes; `grft` is the documented
+      * deterministic stub (compressed-payload pixel/PCM decode needs
+      * codec libraries this container does not ship). */
     def decodeDims(fmt: String, payload: Array[Byte]): (Int, Int, Int) = fmt match {
       case "bmp"          => decodeBmp(payload)
       case "wav"          => decodeWav(payload)
@@ -522,6 +586,7 @@ object Multimodal {
       case "png"          => decodePng(payload)
       case "gif"          => decodeGif(payload)
       case "tif" | "tiff" => decodeTiff(payload)
+      case "avi"          => { val (w, h, f, _) = decodeAvi(payload); (w, h, f) }
       case _              => decodeGrft(payload)
     }
 

@@ -3363,6 +3363,48 @@ object Llm {
                    round(1.0 / (1.0 + exp(-(snum / (1000.0 * n_feat)))), 6) AS score
             FROM a ORDER BY doc_id"""))
 
+  // VIDEO CONTAINER METADATA (l5_video_header): the video half of the
+  // media pipeline steps out from behind the grft stub — every doc
+  // becomes a minimal spec-valid RIFF/AVI container (LIST/hdrl + the
+  // 56-byte avih MainAVIHeader), and the pure-JVM RIFF walk
+  // (MediaCodec.decodeAvi — the decodeWav discipline, never fixed
+  // offsets) reads dims / total frames / frame interval from the
+  // ACTUAL bytes; fps and duration derive from dwMicroSecPerFrame in
+  // exact integer arithmetic (fps divides 1e6 by construction).
+  // Compressed frame PIXEL decode remains the one documented stub.
+  // Decode runs per-partition (one codec instance per partition, the
+  // mapPartitions shape); the oracle reproduces the metadata
+  // arithmetically, so a parser misreading real bytes hash-fails.
+  private val l5video = QueryDef(
+    "l5_video_header",
+    (s, dir) => {
+      import graft.multimodal.Multimodal
+      import s.implicits._
+      val enc = udf((id: Long) => Multimodal.MediaCodec.encodeAvi(
+        (id % 640 + 16).toInt, (id % 480 + 16).toInt, (id % 25 + 1).toInt,
+        Seq(10, 20, 25, 50)(((id / 4) % 4).toInt)))
+      t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), enc(col("doc_id")).as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, payload) =>
+            val (w, h, f, us) = Multimodal.MediaCodec.decodeAvi(payload)
+            (id, payload.length, w, h, f, 1000000 / us, f.toLong * us / 1000)
+          }
+        }
+        .toDF("media_id", "n_bytes", "width", "height", "n_frames", "fps", "duration_ms")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id, 100 AS n_bytes,
+           |       CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+           |       CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+           |       CAST(doc_id % 25 + 1 AS INTEGER) AS n_frames,
+           |       CAST(CASE CAST((doc_id // 4) % 4 AS INTEGER)
+           |            WHEN 0 THEN 10 WHEN 1 THEN 20 WHEN 2 THEN 25 ELSE 50 END AS INTEGER) AS fps,
+           |       CAST((doc_id % 25 + 1) * (1000000 // (CASE CAST((doc_id // 4) % 4 AS INTEGER)
+           |            WHEN 0 THEN 10 WHEN 1 THEN 20 WHEN 2 THEN 25 ELSE 50 END)) // 1000 AS BIGINT) AS duration_ms
+           |FROM documents ORDER BY media_id""".stripMargin))
+
   // BM25 RETRIEVAL (Okapi, Lucene form — the (k1+1) numerator dropped
   // as rank-equivalent; k1 = 1.2, b = 0.75): score every document
   // against a fixed 4-term query and return the top-20 — the lexical
@@ -5396,5 +5438,6 @@ object Llm {
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
     l4bpeBatch, l3incr, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
     l4ug, l4ugEnc, l3graphSearch, l3hnsw, l3hnswIncr, l3annCompact,
-    l2incrDelete, l3annDelete, l4classifierTrain, l4bm25, l4bm25Maintain)
+    l2incrDelete, l3annDelete, l4classifierTrain, l4bm25, l4bm25Maintain,
+    l5video)
 }

@@ -361,6 +361,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("negative size"))
   }
 
+  test("AVI codec: avih fields round-trip through the RIFF walk; JUNK chunks skipped; corruption fails fast") {
+    val avi = MediaCodec.encodeAvi(320, 240, 17, 25)
+    assert(avi.length == 100)
+    assert(MediaCodec.decodeAvi(avi) == ((320, 240, 17, 40000)))
+    assert(MediaCodec.decodeDims("avi", avi) == ((320, 240, 17)))
+    // a real-world AVI carries chunks BEFORE hdrl — the walk must skip
+    // them, not read fixed offsets: splice a JUNK chunk after 'AVI '
+    val junk = java.nio.ByteBuffer.allocate(avi.length + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put(avi, 0, 12)
+    junk.put("JUNK".getBytes("US-ASCII")).putInt(8).putLong(0L)
+    junk.put(avi, 12, avi.length - 12)
+    assert(MediaCodec.decodeAvi(junk.array()) == ((320, 240, 17, 40000)))
+    // corrupt negative chunk size fails loudly (the decodeWav guard)
+    val bad = avi.clone()
+    java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, -8) // corrupt the LIST size
+    val e = intercept[IllegalArgumentException](MediaCodec.decodeAvi(bad))
+    assert(e.getMessage.contains("negative size"))
+    // a payload with no avih must fail, not return garbage
+    val noHdrl = MediaCodec.encodeWav(8000, 1, 4)
+    intercept[IllegalArgumentException](MediaCodec.decodeAvi(noHdrl))
+  }
+
   test("resizeMedia caps the longest side, preserves aspect, passes non-BMP through") {
     val rows = Seq(
       (0L, "image", "bmp", MediaCodec.encodeBmp(100, 40)), // downscale 100 -> 10
