@@ -32,7 +32,10 @@ object Sf1Ledger {
     "l3_ann_graph_search", "q72_scc", "q95_hyperball", "q70_louvain",
     "q69_modularity", "q85_betweenness", "q64_lpa", "q48_components",
     "q44_pagerank", "q65_hits", "q46_ppr", "q47_pagerank_weighted",
-    "q73_random_walks", "q63_wppr")
+    "q73_random_walks", "q63_wppr",
+    // round-13's own expensive cells — audited the round they ship
+    "q121_zonemap_pruned_read", "l3_ann_compact",
+    "l2_incremental_delete", "l3_ann_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

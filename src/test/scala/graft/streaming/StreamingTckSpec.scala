@@ -1079,6 +1079,70 @@ class StreamingTckSpec extends AnyFunSuite {
     assert(stored1.count() == 5)
   }
 
+  // ---------------------------------------------------------------- T23
+  test("T23: streaming KEY-cascade deletes — arriving key lists probe the snapshots, cascade through the pipeline, absent keys are no-ops") {
+    // q123's deleteBatchByKey in-stream: deletes arrive as (side, key)
+    // requests, each micro-batch derives the signed batches by probing
+    // the LATEST snapshots (delete-bounded LEFT SEMI), and the
+    // maintained agg-over-join view updates through the pipeline
+    // maintainer — a dim-key delete removes every joined fact
+    // contribution with no fact tombstones, and re-deleting an
+    // already-gone key derives an EMPTY batch (idempotent by algebra,
+    // not by bookkeeping).
+    val root = Files.createTempDirectory("keydel").toString
+    val ck = Files.createTempDirectory("keydel-ck").toString
+    import graft.ops.TableOps
+    def w(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.coalesce(1).write.mode("overwrite").parquet(p)
+    val a0 = Seq((1L, "x", 1L), (2L, "x", 1L), (3L, "y", 1L)).toDF("cust", "grp", "_mult")
+    val b0 = Seq((10L, 1L, 5L, 1L), (11L, 1L, 7L, 1L), (12L, 2L, 11L, 1L), (13L, 3L, 13L, 1L))
+      .toDF("fid", "cust", "sum_v", "_mult")
+    val view0 = a0.drop("_mult").join(b0.drop("_mult"), "cust")
+      .groupBy("grp").agg(sum("sum_v").as("sum_v"), count(lit(1)).as("cnt"))
+    w(a0, s"$root/v=0/a"); w(b0, s"$root/v=0/b"); w(view0, s"$root/v=0/view")
+    val in = MemoryStream[(String, Long)](spark) // (side, key) delete requests
+    def start() = in.toDF().toDF("side", "k")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        val prior = (id to 0L by -1L).map(v => s"$root/v=$v")
+          .find(d => new java.io.File(d).exists()).getOrElse(s"$root/v=0")
+        val a = sp.read.parquet(s"$prior/a"); val b = sp.read.parquet(s"$prior/b")
+        val view = sp.read.parquet(s"$prior/view")
+        val da = TableOps.deleteBatchByKey(a,
+          batch.filter(col("side") === "a").select(col("k").as("cust")), Seq("cust"))
+        val db = TableOps.deleteBatchByKey(b,
+          batch.filter(col("side") === "b").select(col("k").as("fid")), Seq("fid"))
+        val out = s"$root/v=${id + 1}"
+        w(TableOps.consolidate(a.unionByName(da), Seq("cust", "grp")), s"$out/a")
+        w(TableOps.consolidate(b.unionByName(db), Seq("fid", "cust", "sum_v")), s"$out/b")
+        w(TableOps.maintainPipelineCounted(view, a, da, b, db,
+          joinKeys = Seq("cust"), aggKeys = Seq("grp"),
+          sumCols = Seq("sum_v")), s"$out/view")
+      }.start()
+    val q1 = start()
+    in.addData(("a", 1L)) // cancel dim key 1: BOTH its fact rows cascade out
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start() // restart from the same checkpoint
+    // fact fid 13 purged (EMPTIES grp y) + dim key 1 re-deleted (gone
+    // since v=1 — the probe must derive an empty batch, not -1 again)
+    in.addData(("b", 13L), ("a", 1L))
+    q2.processAllAvailable(); q2.stop()
+    def viewOf(v: Long): Map[String, (Long, Long)] =
+      spark.read.parquet(s"$root/v=$v/view")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viewOf(1) == Map("x" -> (11L, 1L), "y" -> (13L, 1L)), viewOf(1).toString)
+    assert(viewOf(2) == Map("x" -> (11L, 1L)), s"grp y must vanish: ${viewOf(2)}")
+    // maintained == recompute from the final snapshots
+    val rec = spark.read.parquet(s"$root/v=2/a").drop("_mult")
+      .join(spark.read.parquet(s"$root/v=2/b").drop("_mult"), "cust")
+      .groupBy("grp").agg(sum("sum_v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rec == viewOf(2), s"maintained diverged from recompute: $rec")
+    // the re-deleted absent key really was a no-op on the dim snapshot
+    assert(spark.read.parquet(s"$root/v=2/a").count() == 2)
+  }
+
   // ---------------------------------------------------------------- T22
   test("T22: streaming two-hop Z-set circuit — one change stream maintains the intermediate AND the gold view, restart-safe") {
     // q124's stored-intermediate circuit in-stream: signed change rows
