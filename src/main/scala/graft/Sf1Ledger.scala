@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   */
 object Sf1Ledger {
 
-  /** BENCH_r12's 20 most expensive cells, most expensive first. */
-  private val top20 = Seq(
+  /** The audited cells: BENCH_r12's 20 most expensive, most expensive
+    * first, plus each later round's own expensive additions. */
+  private val auditedCells = Seq(
     "l3_ann_hnsw_incremental", "q77_louvain_l2", "l3_ann_hnsw",
     "l2_incremental_clusters", "q99_condensation", "q76_pagerank_incr",
     "l3_ann_graph_search", "q72_scc", "q95_hyperball", "q70_louvain",
@@ -47,7 +48,9 @@ object Sf1Ledger {
     Stress.buildScaled(spark, sfDir, outDir, factor) // documents + embeddings
     buildScaledRelational(spark, sfDir, outDir, factor)
 
-    val names = top20.filter(n => only.isEmpty || only(n))
+    val names = auditedCells.filter(n => only.isEmpty || only(n))
+    require(names.nonEmpty,
+      s"no audited cell matches ${only.mkString(", ")} — valid names: ${auditedCells.mkString(", ")}")
     // one warm-up per corpus (JIT, codegen, parquet footers) so the
     // first timed cell doesn't absorb one-time costs
     BenchSession.timeQuery(spark, names.last, sfDir)
@@ -55,12 +58,19 @@ object Sf1Ledger {
     val rows = names.map { n =>
       val b = BenchSession.timeQuery(spark, n, sfDir)
       val s0 = BenchSession.timeQuery(spark, n, outDir)
-      println(f"""{"sf1":"$n","base":$b%.3f,"scaled":$s0%.3f,"ratio":${s0 / b}%.2f}""")
+      // timeQuery returns -1.0 on failure; never divide the sentinel —
+      // a both-sides failure must NOT print ratio 1.00 and pass silently
+      if (b <= 0 || s0 <= 0)
+        println(f"""{"sf1":"$n","base":$b%.3f,"scaled":$s0%.3f,"ratio":null,"failed":true}""")
+      else
+        println(f"""{"sf1":"$n","base":$b%.3f,"scaled":$s0%.3f,"ratio":${s0 / b}%.2f}""")
       (n, b, s0)
     }
-    val body = rows.map { case (n, b, s0) => f""""$n":[$b%.3f,$s0%.3f,${s0 / b}%.2f]""" }
+    val (ok, failed) = rows.partition { case (_, b, s0) => b > 0 && s0 > 0 }
+    val body = ok.map { case (n, b, s0) => f""""$n":[$b%.3f,$s0%.3f,${s0 / b}%.2f]""" }
       .mkString(",")
-    println(s"""{"ledger":"sf1","factor":$factor,"cells":{$body}}""")
+    val failedList = failed.map { case (n, _, _) => s""""$n"""" }.mkString(",")
+    println(s"""{"ledger":"sf1","factor":$factor,"cells":{$body},"failed_cells":[$failedList]}""")
     spark.stop()
   }
 

@@ -553,7 +553,7 @@ object Multimodal {
         val next = bb.position() + size + (size & 1)
         require(size >= 0, s"corrupt RIFF chunk '$id' with negative size $size")
         if (id == "LIST" && size >= 4 && tag() == "hdrl") {
-          while (bb.position() < next - 8 && usPerFrame < 0 && bb.remaining() >= 8) {
+          while (bb.position() + 8 <= next && usPerFrame < 0 && bb.remaining() >= 8) {
             val cid = tag(); val csize = bb.getInt()
             require(csize >= 0, s"corrupt hdrl chunk '$cid' with negative size $csize")
             val cnext = bb.position() + csize + (csize & 1)

@@ -325,12 +325,20 @@ object TableOps {
     * maintainers consume. CASCADES fall out of the algebra, not out of
     * extra machinery: a deleted DIMENSION key removes every joined
     * fact contribution through joinDeltaCounted's ΔA⋈B term, so the
-    * fact side needs no tombstones of its own. */
+    * fact side needs no tombstones of its own. The derived batch
+    * NEGATES the stored multiplicity (not a flat −1): a consolidated
+    * snapshot may legally carry |mult| > 1 per row (the
+    * [[joinDeltaCounted]] contract), and cancelling the key means
+    * cancelling its FULL count. A snapshot without the mult column is
+    * treated as +1-per-row and stamped −1. */
   def deleteBatchByKey(stored: DataFrame, delKeys: DataFrame,
                        keys: Seq[String], multCol: String = "_mult"): DataFrame = {
     require(keys.nonEmpty, "deleteBatchByKey needs key columns")
-    stored.join(delKeys.select(keys.map(col): _*).distinct(), keys, "left_semi")
-      .withColumn(multCol, lit(-1L))
+    val probed =
+      stored.join(delKeys.select(keys.map(col): _*).distinct(), keys, "left_semi")
+    if (stored.columns.contains(multCol))
+      probed.withColumn(multCol, -col(multCol))
+    else probed.withColumn(multCol, lit(-1L))
   }
 
   /** MIN/MAX with DELETES — the auxiliary-structure variant

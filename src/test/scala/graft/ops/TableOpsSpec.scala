@@ -260,6 +260,26 @@ test("maintainAgg: merged deltas equal a full recompute, new keys included") {
       s"doubly-deleted pair double-applied: $got2")
   }
 
+  test("deleteBatchByKey: a consolidated snapshot with |_mult| > 1 is fully cancelled") {
+    // consolidate() output legally carries count 2 for a duplicated row;
+    // a flat -1 stamp would remove only ONE copy and the key would
+    // silently survive the delete — the batch must NEGATE the count.
+    val stored = Seq((1L, 10L, 2L), (2L, 20L, 1L)).toDF("k", "sum_v", "_mult")
+    val mv0 = Seq(("g", 40L, 3L)).toDF("grp", "sum_v", "cnt") // 2*10 + 20
+    val db = TableOps.deleteBatchByKey(stored, Seq(Tuple1(1L)).toDF("k"), Seq("k"))
+    assert(db.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq == Seq((1L, -2L)),
+      "delete batch must carry the NEGATED stored count, not -1")
+    val got = TableOps.maintainAggCounted(mv0,
+        db.withColumn("grp", lit("g")).select("grp", "sum_v", "_mult"),
+        Seq("grp"), Seq("sum_v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("g" -> (20L, 1L)), s"key-1 residue left behind: $got")
+    // a snapshot WITHOUT the mult column is +1-per-row: stamped -1
+    val plain = Seq((1L, 10L), (2L, 20L)).toDF("k", "sum_v")
+    val dp = TableOps.deleteBatchByKey(plain, Seq(Tuple1(2L)).toDF("k"), Seq("k"))
+    assert(dp.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq == Seq((2L, -1L)))
+  }
+
   test("maintainAggCounted: delete+reinsert of the same row nets to no change") {
     val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "sum_v")
     val mv0 = base.groupBy("k")
