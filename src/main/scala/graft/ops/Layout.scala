@@ -190,32 +190,91 @@ object Layout {
     df.repartitionByRange(math.max(1, writeTasks), col(chunkCol))
       .write.mode("overwrite").partitionBy(chunkCol).parquet(path)
 
+  /** ONE range predicate per dimension of a [[prunedRead]] — a closed
+    * interval `[lo, hi]` on `column`, either side open-ended via
+    * `None`. The read derives BOTH the zone-envelope resolution and
+    * the exact row residual from this single spec, so the two can
+    * never disagree: an independently-authored zone predicate tighter
+    * than the residual (the class that silently DROPS rows) is
+    * unrepresentable by construction. */
+  final case class RangeSpec(column: String, lo: Option[Any],
+                             hi: Option[Any]) {
+    require(lo.isDefined || hi.isDefined,
+      s"RangeSpec($column): at least one bound required")
+    /** Exact row predicate over the data column. */
+    def residual: Column =
+      (lo.map(v => col(column) >= lit(v)) ++
+        hi.map(v => col(column) <= lit(v))).reduce(_ && _)
+    /** Envelope-intersection predicate over the zone table's
+      * `mn_<column>` / `mx_<column>` pair (the [[TableOps.readMinMax]]
+      * naming convention): a chunk survives iff its envelope
+      * intersects `[lo, hi]`. */
+    def zonePred: Column =
+      (lo.map(v => col(s"mx_$column") >= lit(v)) ++
+        hi.map(v => col(s"mn_$column") <= lit(v))).reduce(_ && _)
+  }
+  object RangeSpec {
+    def between(column: String, lo: Any, hi: Any): RangeSpec =
+      RangeSpec(column, Some(lo), Some(hi))
+    def atLeast(column: String, lo: Any): RangeSpec =
+      RangeSpec(column, Some(lo), None)
+    def atMost(column: String, hi: Any): RangeSpec =
+      RangeSpec(column, None, Some(hi))
+  }
+
   /** ZONE-MAP-PRUNED READ — the maintained envelopes finally SKIPPING
-    * I/O, not just measuring it: resolve `zonePred` against the
-    * chunk-level zone table (the q83/q103 min/max envelopes), read
-    * ONLY the matching chunks of a [[writeClustered]] table, and apply
-    * the exact `residual` predicate to the surviving rows. The zone
-    * resolution is a PLANNING-TIME action over the chunk-count-bounded
-    * metadata table — the same manifest-pruning step every lakehouse
-    * reader (Delta/Iceberg data skipping) runs before touching data;
-    * at 10⁶ chunks the collected id list is still metadata-sized. The
-    * surviving ids become a PartitionFilter on the scan, so pruned
-    * directories never reach the parquet reader (PlanContractSpec pins
-    * scanned file count < total). Correctness does not depend on the
-    * envelopes being TIGHT — stale (q103-loosened) bounds only scan
-    * extra chunks; the residual keeps the row set exact either way. A
+    * I/O, not just measuring it: resolve the range predicates against
+    * the chunk-level zone table (the q83/q103 min/max envelopes,
+    * `mn_<col>`/`mx_<col>` columns keyed by `chunkCol`), read ONLY the
+    * matching chunks of a [[writeClustered]] table, and apply the
+    * exact row predicate to the survivors. BOTH predicates derive from
+    * the SAME [[RangeSpec]]s — the envelope test `mx >= lo AND
+    * mn <= hi` is emitted mechanically per dimension, so a zone
+    * predicate inconsistent with the residual cannot be written (the
+    * silent-row-drop footgun the dual-predicate form carried).
+    *
+    * The zone resolution is a PLANNING-TIME action over the
+    * chunk-count-bounded metadata table — the manifest-pruning step
+    * every lakehouse reader (Delta/Iceberg data skipping) runs before
+    * touching data. The surviving set feeds a
+    * [[graft.plans.ZoneMapFileIndex]], Spark's own planning seam for
+    * file listing: pruned chunk directories never reach the parquet
+    * reader (PlanContractSpec pins the EXECUTED scan's `numFiles` <
+    * total), and the query plan carries NO chunk-id literal list — at
+    * 10⁶ chunks the survivors are driver-side planning metadata (where
+    * Delta keeps its manifest), not a 10⁶-element IN-expression.
+    *
+    * Correctness does not depend on the envelopes being TIGHT — stale
+    * (q103-loosened) bounds only scan extra chunks; the residual keeps
+    * the row set exact either way. An all-NULL chunk envelope is
+    * skipped, consistently: its rows fail the range residual too. A
     * zone table that MISSES a chunk, however, silently drops its rows:
     * completeness of the zone table is the maintenance contract
     * ([[TableOps.maintainZoneMap]] merges every batch's chunks in). */
   def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
                  zones: DataFrame, chunkCol: String,
-                 zonePred: Column, residual: Column): DataFrame = {
-    val keep = zones.filter(zonePred)
+                 preds: Seq[RangeSpec]): DataFrame = {
+    require(preds.nonEmpty, "prunedRead needs at least one RangeSpec")
+    preds.foreach { p =>
+      require(zones.columns.contains(s"mn_${p.column}") &&
+        zones.columns.contains(s"mx_${p.column}"),
+        s"zone table has no (mn_${p.column}, mx_${p.column}) envelope " +
+          s"— zone columns: ${zones.columns.mkString(", ")}")
+    }
+    val keep = zones.filter(preds.map(_.zonePred).reduce(_ && _))
       .select(col(chunkCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val scan = spark.read.parquet(path)
-    if (keep.isEmpty) scan.where(lit(false))
-    else scan.filter(col(chunkCol).isInCollection(keep) && residual)
+      .collect().map(_.getString(0)).toSet
+    val inner = graft.plans.ZoneMapFileIndex.listing(spark, path)
+    val zidx = new graft.plans.ZoneMapFileIndex(inner, chunkCol, keep)
+    val fullSchema = spark.read.parquet(path).schema
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      fullSchema.filterNot(f => zidx.partitionSchema.fieldNames.contains(f.name)))
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      zidx, zidx.partitionSchema, dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(spark)
+    spark.baseRelationToDataFrame(rel)
+      .filter(preds.map(_.residual).reduce(_ && _))
   }
 
   /** The q109 → OPTIMIZE loop closed: measure the layout's clustering

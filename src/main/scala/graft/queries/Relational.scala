@@ -4066,13 +4066,16 @@ object Relational {
         val path = s"$base/$name"
         graft.ops.Layout.writeClustered(data, path, "chunk")
         val zones = data.groupBy("chunk")
-          .agg(min("l_partkey").as("mn_p"), max("l_partkey").as("mx_p"),
-            min("l_suppkey").as("mn_s"), max("l_suppkey").as("mx_s"))
-        graft.ops.Layout.prunedRead(s, path, zones, "chunk",
-            zonePred = col("mn_p") <= 255 && col("mx_p") >= 64 &&
-              col("mn_s") <= 39 && col("mx_s") >= 8,
-            residual = col("l_partkey").between(64, 255) &&
-              col("l_suppkey").between(8, 39))
+          .agg(min("l_partkey").as("mn_l_partkey"),
+            max("l_partkey").as("mx_l_partkey"),
+            min("l_suppkey").as("mn_l_suppkey"),
+            max("l_suppkey").as("mx_l_suppkey"))
+        // ONE RangeSpec per dimension — the envelope resolution and
+        // the row residual both derive from it (an inconsistent
+        // hand-written zone predicate is unrepresentable)
+        graft.ops.Layout.prunedRead(s, path, zones, "chunk", Seq(
+            graft.ops.Layout.RangeSpec.between("l_partkey", 64, 255),
+            graft.ops.Layout.RangeSpec.between("l_suppkey", 8, 39)))
           .select(lit(name).as("layout"), col("l_orderkey"),
             col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
       }

@@ -871,10 +871,9 @@ class PlanContractSpec extends AnyFunSuite {
       format_string("c%03d", expr("id div 256")).as("chunk"))
     graft.ops.Layout.writeClustered(df, dir, "chunk")
     val zones = df.groupBy("chunk")
-      .agg(min("id").as("mn"), max("id").as("mx"))
+      .agg(min("id").as("mn_id"), max("id").as("mx_id"))
     val pruned = graft.ops.Layout.prunedRead(spark, dir, zones, "chunk",
-      zonePred = col("mn") <= 300 && col("mx") >= 100,
-      residual = col("id").between(100, 300))
+      Seq(graft.ops.Layout.RangeSpec.between("id", 100L, 300L)))
     // row-for-row identical to the full-scan filter
     val full = spark.read.parquet(dir).filter(col("id").between(100, 300))
     assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
@@ -899,8 +898,51 @@ class PlanContractSpec extends AnyFunSuite {
       s"pruned read scanned $scanned of $total files — pruning far looser than the envelopes allow")
     // a predicate no envelope covers reads NOTHING
     val none = graft.ops.Layout.prunedRead(spark, dir, zones, "chunk",
-      zonePred = col("mn") > 100000, residual = col("id") > 100000)
+      Seq(graft.ops.Layout.RangeSpec.atLeast("id", 100001L)))
     assert(none.count() == 0)
+    // and the plan carries NO chunk-id literal list: pruning lives in
+    // the FileIndex (planning metadata), not an IN-expression that
+    // would bloat the plan at 10^6 chunks
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(!planStr.contains("INSET") && !planStr.contains("IN (c0"),
+      s"chunk-id IN-list leaked into the plan:\n$planStr")
+  }
+
+  test("prunedRead: the zone predicate DERIVES from the range spec — the over-tight-zone row-drop class is unrepresentable") {
+    // The dual-predicate form let a caller hand a zonePred tighter
+    // than the residual and silently drop rows. The RangeSpec form
+    // derives mx >= lo AND mn <= hi mechanically, so the adversarial
+    // boundary cases all stay exact:
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-derive").toString
+    val df = spark.range(0, 1024).select(col("id"),
+      format_string("c%03d", expr("id div 128")).as("chunk"))
+    graft.ops.Layout.writeClustered(df, dir, "chunk")
+    val zones = df.groupBy("chunk")
+      .agg(min("id").as("mn_id"), max("id").as("mx_id"))
+    def prunedIds(lo: Long, hi: Long): Seq[Long] =
+      graft.ops.Layout.prunedRead(spark, dir, zones, "chunk",
+          Seq(graft.ops.Layout.RangeSpec.between("id", lo, hi)))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    def fullIds(lo: Long, hi: Long): Seq[Long] =
+      spark.read.parquet(dir).filter(col("id").between(lo, hi))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // probe endpoints sitting EXACTLY on chunk envelope edges (the
+    // boundary an over-tight hand-written zonePred would lose), a
+    // single-point probe, and a chunk-spanning probe
+    for ((lo, hi) <- Seq((127L, 128L), (128L, 255L), (500L, 500L),
+        (0L, 1023L), (255L, 256L))) {
+      assert(prunedIds(lo, hi) == fullIds(lo, hi),
+        s"pruned read diverged from the full scan on [$lo, $hi]")
+    }
+    // a missing envelope pair fails LOUDLY, never silently over-prunes
+    val bad = intercept[IllegalArgumentException] {
+      graft.ops.Layout.prunedRead(spark, dir, zones, "chunk",
+        Seq(graft.ops.Layout.RangeSpec.between("nope", 0L, 1L)))
+    }
+    assert(bad.getMessage.contains("mn_nope"))
+    // a one-sided spec still derives a consistent envelope test
+    assert(prunedIds(900L, Long.MaxValue) == fullIds(900L, Long.MaxValue))
   }
 
   test("q123: key-cascade maintenance adds ONLY the two semi probes to q122's delta shape") {

@@ -1249,7 +1249,7 @@ class StreamingTckSpec extends AnyFunSuite {
     val base = spark.range(0, 800).select(col("id"),
       format_string("c%03d", expr("id div 100")).as("chunk"))
     graft.ops.Layout.writeClustered(base, dataDir, "chunk")
-    base.groupBy("chunk").agg(min("id").as("mn"), max("id").as("mx"))
+    base.groupBy("chunk").agg(min("id").as("mn_id"), max("id").as("mx_id"))
       .coalesce(1).write.parquet(s"$zroot/v=0")
     val in = MemoryStream[(Long, String)](spark)
     def start() = in.toDF().toDF("id", "chunk")
@@ -1259,9 +1259,10 @@ class StreamingTckSpec extends AnyFunSuite {
         val prior = (id to 0L by -1L).map(v => s"$zroot/v=$v")
           .find(d => new java.io.File(d).exists()).getOrElse(s"$zroot/v=0")
         batch.write.mode("append").partitionBy("chunk").parquet(dataDir)
-        val delta = batch.groupBy("chunk").agg(min("id").as("mn"), max("id").as("mx"))
+        val delta = batch.groupBy("chunk")
+          .agg(min("id").as("mn_id"), max("id").as("mx_id"))
         graft.ops.TableOps.maintainZoneMap(sp.read.parquet(prior), delta,
-            Seq("chunk"), Seq("mn"), Seq("mx"))
+            Seq("chunk"), Seq("mn_id"), Seq("mx_id"))
           .coalesce(1).write.mode("overwrite").parquet(s"$zroot/v=${id + 1}")
       }.start()
     val q1 = start()
@@ -1277,8 +1278,7 @@ class StreamingTckSpec extends AnyFunSuite {
     // (its maintained envelope [250, 901] intersects) — a reader using
     // the STALE v=0 zones would silently drop row 250
     val pruned = graft.ops.Layout.prunedRead(spark, dataDir, zones, "chunk",
-      zonePred = col("mn") <= 320 && col("mx") >= 200,
-      residual = col("id").between(200, 320))
+      Seq(graft.ops.Layout.RangeSpec.between("id", 200L, 320L)))
     val full = spark.read.parquet(dataDir).filter(col("id").between(200, 320))
     assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       full.select("id").collect().map(_.getLong(0)).sorted.toSeq)
