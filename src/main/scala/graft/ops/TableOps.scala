@@ -408,6 +408,52 @@ object TableOps {
         col("_tot").as("total"): _*)
   }
 
+  /** Maintained TOP-K (leaderboard) read off the
+    * [[maintainValueCounts]] auxiliary view — the third non-linear
+    * family member after min/max ([[readMinMax]]) and quantiles
+    * ([[readQuantile]]): the per-key top-`k` leaderboard kept exact
+    * under arbitrary deletes, runner-up promotion included (deleting
+    * the current #1 just removes its aux row; the next value slides
+    * into rank 1 — no recompute, no tombstone scan). Emits one row
+    * per leaderboard SLOT: (keys..., rank 1..k, value), a value with
+    * multiplicity m filling m consecutive slots — exactly the
+    * row_number-over-the-post-delete-snapshot semantics, but computed
+    * in aux-sized work (distinct values per key) with the history
+    * never rescanned.
+    *
+    * Plan shape: a row_number rank ≤ k filter FIRST — Spark's
+    * WindowGroupLimit pushes the per-key top-k selection below the
+    * sort, so only ≤ k aux rows per key reach the cumulative window
+    * that assigns slots. A non-positive stored count violates the
+    * [[maintainValueCounts]] contract (deletes must reference present
+    * rows) and fails LOUDLY — a silent descending `sequence` would
+    * emit phantom ranks. */
+  def readTopK(aux: DataFrame, keys: Seq[String], valueCol: String, k: Int,
+               countCol: String = "cnt", ascending: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "readTopK needs at least one key column")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val ord = if (ascending) col(valueCol).asc else col(valueCol).desc
+    val wr = Window.partitionBy(keys.map(col): _*).orderBy(ord)
+    val wc = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aux
+      .withColumn("_cnt",
+        when(col(countCol) <= 0L,
+          raise_error(concat(lit("readTopK: non-positive count "),
+            col(countCol).cast("string"), lit(" for value "),
+            col(valueCol).cast("string"),
+            lit(" — aux violates the counted-multiset contract")))
+            .cast("long"))
+          .otherwise(col(countCol).cast("long")))
+      .withColumn("_rn", row_number().over(wr))
+      .filter(col("_rn") <= k)
+      .withColumn("_cum", sum("_cnt").over(wc))
+      .filter(col("_cum") - col("_cnt") < k)
+      .select(keys.map(col) :+ col(valueCol) :+
+        explode(sequence(col("_cum") - col("_cnt") + 1,
+          least(col("_cum"), lit(k.toLong)))).as("rank"): _*)
+      .select(keys.map(col) :+ col("rank") :+ col(valueCol): _*)
+  }
+
   /** Per-key HLL distinct-count SKETCH table — the materialization
     * side of [[maintainDistinct]]: (keys..., sketch binary). lgK
     * sizes the registers (relative std error ~1.04/√2^lgK). */

@@ -4272,6 +4272,68 @@ object Relational {
            |GROUP BY c_mktsegment
            |ORDER BY c_mktsegment""".stripMargin))
 
+  // MAINTAINED TOP-K VIEW UNDER DELETES (q125): the leaderboard shape
+  // — the non-linear family's third member after min/max (q118) and
+  // quantiles (q119): the per-key top-K kept current off the SAME
+  // counted value multiset (TableOps.maintainValueCounts), read by
+  // TableOps.readTopK as one row per slot (key, rank 1..K, value),
+  // multiplicity filling consecutive slots. The delete batch
+  // EXPLICITLY includes every row tied at each flag's pre-cut MAX
+  // price (plus the every-7th-orderkey purge), so the maintained read
+  // must promote runner-ups into rank 1 — the dashboard case a naive
+  // top-K cache gets wrong. ORACLE = row_number over the post-delete
+  // recompute; rank→value is unique under ties (equal values), so the
+  // oracle's arbitrary tie order is invisible. Aux-sized read,
+  // WindowGroupLimit prunes to ≤K aux rows per key before the slot
+  // cumsum; the history is never rescanned.
+  private val q125 = QueryDef(
+    "q125_mv_topk_delete",
+    (s, dir) => {
+      val cut = lit("2000-06-01").cast("timestamp_ntz")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_shipdate", "l_extendedprice")
+      val pre = li.filter(col("l_shipdate") < cut)
+      val wmax = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+      def m(df: DataFrame, v: Int) = df.withColumn("_mult", lit(v.toLong))
+      val batch = m(li.filter(col("l_shipdate") >= cut), 1)
+        .unionByName(m(
+          pre.withColumn("_mx", max("l_extendedprice").over(wmax))
+            .filter(col("l_orderkey") % 7 === 0 ||
+              col("l_extendedprice") === col("_mx"))
+            .drop("_mx"), -1))
+      val aux0 = pre.groupBy("l_returnflag", "l_extendedprice")
+        .agg(count(lit(1)).as("cnt"))
+      val aux = graft.ops.TableOps.maintainValueCounts(aux0, batch,
+        Seq("l_returnflag"), "l_extendedprice")
+      graft.ops.TableOps.readTopK(aux, Seq("l_returnflag"),
+          "l_extendedprice", 5)
+        .select(col("l_returnflag"), col("rank"),
+          col("l_extendedprice").as("price"))
+        .orderBy("l_returnflag", "rank")
+    },
+    Some("""WITH pre AS (
+           |  SELECT l_orderkey, l_returnflag, l_extendedprice FROM lineitem
+           |  WHERE l_shipdate < TIMESTAMP '2000-06-01'),
+           |pm AS (
+           |  SELECT l_returnflag, max(l_extendedprice) AS mxp
+           |  FROM pre GROUP BY l_returnflag),
+           |post AS (
+           |  SELECT l_returnflag, l_extendedprice FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '2000-06-01'
+           |  UNION ALL
+           |  SELECT p.l_returnflag, p.l_extendedprice
+           |  FROM pre p JOIN pm ON p.l_returnflag = pm.l_returnflag
+           |  WHERE p.l_orderkey % 7 <> 0 AND p.l_extendedprice < pm.mxp),
+           |r AS (
+           |  SELECT l_returnflag, l_extendedprice,
+           |    row_number() OVER (PARTITION BY l_returnflag
+           |                       ORDER BY l_extendedprice DESC) AS rank
+           |  FROM post)
+           |SELECT l_returnflag, rank, l_extendedprice AS price
+           |FROM r WHERE rank <= 5
+           |ORDER BY l_returnflag, rank""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -4283,5 +4345,5 @@ object Relational {
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124)
+    q122, q123, q124, q125)
 }

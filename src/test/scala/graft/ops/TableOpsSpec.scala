@@ -260,6 +260,38 @@ test("maintainAgg: merged deltas equal a full recompute, new keys included") {
       s"doubly-deleted pair double-applied: $got2")
   }
 
+  test("readTopK: leaderboard slots off the counted multiset — runner-up promotion on a deleted #1") {
+    // key g: 10 (x1), 9 (x2), 7 (x1) — top-3 slots are 10, 9, 9
+    val aux0 = Seq(("g", 10L, 1L), ("g", 9L, 2L), ("g", 7L, 1L))
+      .toDF("k", "v", "cnt")
+    def slots(aux: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      TableOps.readTopK(aux, Seq("k"), "v", 3)
+        .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(slots(aux0) == Seq((1L, 10L), (2L, 9L), (3L, 9L)))
+    // delete the current #1: its aux row vanishes, 9 promotes to rank
+    // 1 and the 7 enters the board — no recompute, no tombstones
+    val aux1 = TableOps.maintainValueCounts(aux0,
+      Seq(("g", 10L, -1L)).toDF("k", "v", "_mult"), Seq("k"), "v")
+    assert(slots(aux1) == Seq((1L, 9L), (2L, 9L), (3L, 7L)),
+      "runner-up must slide into rank 1 after the #1 is deleted")
+    // fewer values than k: the board just ends early
+    val aux2 = TableOps.maintainValueCounts(aux1,
+      Seq(("g", 9L, -2L)).toDF("k", "v", "_mult"), Seq("k"), "v")
+    assert(slots(aux2) == Seq((1L, 7L)))
+    // ascending flips the board to a bottom-k
+    val asc = TableOps.readTopK(aux0, Seq("k"), "v", 2, ascending = true)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(asc == Seq((1L, 7L), (2L, 9L)))
+    // a corrupt aux (non-positive count) fails loudly, never emits
+    // phantom ranks
+    val bad = Seq(("g", 5L, 0L)).toDF("k", "v", "cnt")
+    val e = intercept[Exception] {
+      TableOps.readTopK(bad, Seq("k"), "v", 2).collect()
+    }
+    assert(e.getMessage.contains("non-positive count") ||
+      e.getCause != null && e.getCause.getMessage.contains("non-positive count"))
+  }
+
   test("deleteBatchByKey: a consolidated snapshot with |_mult| > 1 is fully cancelled") {
     // consolidate() output legally carries count 2 for a duplicated row;
     // a flat -1 stamp would remove only ONE copy and the key would

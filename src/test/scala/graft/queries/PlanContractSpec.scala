@@ -945,6 +945,17 @@ class PlanContractSpec extends AnyFunSuite {
     assert(prunedIds(900L, Long.MaxValue) == fullIds(900L, Long.MaxValue))
   }
 
+  test("q125/readTopK: WindowGroupLimit prunes the aux to k rows per key before the slot cumsum") {
+    val plan = formatted("q125_mv_topk_delete")
+    // the rank <= k filter must push a per-key group limit below the
+    // sort — without it every aux row per key rides into the window
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter did not become a WindowGroupLimit:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"top-k read degenerated into a loop join:\n$plan")
+  }
+
   test("q123: key-cascade maintenance adds ONLY the two semi probes to q122's delta shape") {
     val plan = formatted("q123_mv_cascade_delete")
     // q122's 5 (mv0 build + 3 delta joins + view merge) + the key
