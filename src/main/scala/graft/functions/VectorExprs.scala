@@ -126,29 +126,35 @@ case class VecL2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `vec_norm(a)` — L2 norm, same sequential float→double fold. */
+/** `vec_norm(a)` — L2 norm, same sequential float/double→double fold
+  * (element type float OR double, like [[VecDot]]). */
 case class VecNorm(child: Expression)
     extends UnaryExpression {
 
+  private def elemType: Option[DataType] = child.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"vec_norm expects array<float>, got ${other.sql}")
-    }
+    if (elemType.isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_norm expects array<float> or array<double>, got ${child.dataType.sql}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_norm"
 
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any): Any = {
+    val t = elemType.get
     val x = a.asInstanceOf[ArrayData]
     var acc = 0.0
     var i = 0
     val n = x.numElements()
     while (i < n) {
       if (x.isNullAt(i)) return null
-      val v = x.getFloat(i).toDouble
+      val v = if (t == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
       acc += v * v
       i += 1
     }
@@ -161,12 +167,14 @@ case class VecNorm(child: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val v = ctx.freshName("v")
+      val get = if (elemType.get == FloatType) s"(double) $a.getFloat($i)"
+        else s"$a.getDouble($i)"
       s"""
          |final int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  final double $v = (double) $a.getFloat($i);
+         |  final double $v = $get;
          |  $acc += $v * $v;
          |}
          |${ev.value} = java.lang.Math.sqrt($acc);

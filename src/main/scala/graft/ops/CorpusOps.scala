@@ -1093,6 +1093,38 @@ object CorpusOps {
       .select("a", "b")
   }
 
+  /** The [[compactAdjacency]] TRIGGER — the ANN side of
+    * [[Layout.reclusterIfDeep]]'s discipline, closing the index
+    * lifecycle loop: incremental insertion (the l3_ann_hnsw_incremental
+    * semantics) inflates maintained out-degree by the batch fan-in
+    * every round; this probes the CURRENT max out-degree (one
+    * edge-count-sized aggregate — adjacency metadata, never the
+    * corpus) and re-ranks each node's list back to `cap` only once
+    * drift passes `maxDegreeThreshold`. Returns (adjacency,
+    * triggered): below threshold the adjacency passes through
+    * UNTOUCHED (no re-scoring join is even planned); above it the
+    * result is the [[compactAdjacency]] rewrite. The probe is ONE
+    * driver-side action of the convergence-probe class. An empty
+    * adjacency never triggers. Schedule it per maintenance commit —
+    * the streaming TCK wires it after each insert batch, so
+    * compaction commits land exactly when drift crosses the gate and
+    * a replayed batch re-derives the same decision from the same
+    * stored snapshot. */
+  def compactIfDegreeHigh(adj: DataFrame, vecs: DataFrame, cap: Int,
+                          maxDegreeThreshold: Long,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): (DataFrame, Boolean) = {
+    require(cap >= 1, s"cap must be >= 1 (got $cap)")
+    require(maxDegreeThreshold >= cap,
+      s"maxDegreeThreshold ($maxDegreeThreshold) below cap ($cap) would " +
+        "re-compact every probe — the gate must sit above the rewrite target")
+    val row = adj.groupBy("a").agg(count(lit(1)).as("_d"))
+      .agg(max("_d")).head()
+    val high = !row.isNullAt(0) && row.getLong(0) > maxDegreeThreshold
+    if (high) (compactAdjacency(adj, vecs, cap, idCol, vecCol), true)
+    else (adj, false)
+  }
+
   def semDedup(vecs: DataFrame, k: Int = 0, tau: Double = 0.35,
                maxCluster: Int = 256)
               (implicit scope: CacheScope): DataFrame = {

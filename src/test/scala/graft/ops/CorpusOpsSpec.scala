@@ -15,6 +15,37 @@ class CorpusOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   import spark.implicits._
 
+  test("compactIfDegreeHigh: the degree probe gates the re-rank — pass-through below, capped re-rank above") {
+    val vecs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)),
+      (2L, Seq(0.8, 0.2)), (3L, Seq(0.0, 1.0)), (4L, Seq(0.95, 0.05)))
+      .toDF("vid", "emb")
+    val low = Seq((0L, 1L), (0L, 2L), (1L, 0L), (2L, 0L)).toDF("a", "b")
+    // max out-degree 2 <= threshold 3: the SAME DataFrame passes
+    // through — no re-scoring join is planned at all
+    val (same, trig) = CorpusOps.compactIfDegreeHigh(low, vecs,
+      cap = 2, maxDegreeThreshold = 3, idCol = "vid", vecCol = "emb")
+    assert(!trig && (same eq low))
+    // node 0 drifts to out-degree 4 > 3: triggered, every node's list
+    // re-ranked back to its top-cap by cosine (0 keeps 4 then 1)
+    val high = low.unionByName(Seq((0L, 3L), (0L, 4L)).toDF("a", "b"))
+    val (compacted, trig2) = CorpusOps.compactIfDegreeHigh(high, vecs,
+      cap = 2, maxDegreeThreshold = 3, idCol = "vid", vecCol = "emb")
+    assert(trig2)
+    val got = compacted.as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 4L), (0L, 1L), (1L, 0L), (2L, 0L)), got.toString)
+    val maxDeg = compacted.groupBy("a").count().agg(max("count")).head().getLong(0)
+    assert(maxDeg <= 2L)
+    // an empty adjacency never triggers; a gate below the cap is a
+    // config error (it would re-compact every probe) and fails loudly
+    val (_, et) = CorpusOps.compactIfDegreeHigh(low.limit(0), vecs,
+      cap = 2, maxDegreeThreshold = 3, idCol = "vid", vecCol = "emb")
+    assert(!et)
+    intercept[IllegalArgumentException] {
+      CorpusOps.compactIfDegreeHigh(low, vecs, cap = 4,
+        maxDegreeThreshold = 3, idCol = "vid", vecCol = "emb")
+    }
+  }
+
   test("packSequences splits a long doc across 3+ sequences with full middle pieces") {
     // fixture docs are ~100 tokens, so multi-sequence spans (the
     // greatest/least middle-piece arithmetic) never fire through the

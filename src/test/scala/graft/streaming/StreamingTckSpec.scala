@@ -1390,6 +1390,103 @@ class StreamingTckSpec extends AnyFunSuite {
     assert(batchSearch(Seq((102L, Seq(0.68, 0.72))), snapDir(1)) == ans(1))
   }
 
+  // ---------------------------------------------------------------- T24
+  test("T24: streaming ANN lifecycle — degree drift past the gate triggers a compaction commit; below it, none; replay re-derives the decision") {
+    // T19 grows the index in-stream; this closes the lifecycle loop
+    // with CorpusOps.compactIfDegreeHigh wired after every insert
+    // batch (the reclusterIfDeep discipline on the ANN side): the
+    // commit is the compacted adjacency exactly when the maintained
+    // max out-degree drifts past the gate, the un-compacted one
+    // otherwise, and the decision is a FUNCTION of the stored snapshot
+    // + batch — a replayed batch re-derives the same commit.
+    val root = Files.createTempDirectory("annlife").toString
+    val ck = Files.createTempDirectory("annlife-ck").toString
+    Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)),
+        (2L, Seq(0.8, 0.2)), (3L, Seq(0.0, 1.0)))
+      .toDF("vid", "emb").write.parquet(s"$root/v=0/vectors")
+    // out-degrees: 0 -> 2, 1 -> 1, 2 -> 2, 3 -> 1 (gate is 3, cap 2)
+    Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L), (2L, 3L), (3L, 2L))
+      .toDF("a", "b").write.parquet(s"$root/v=0/adj")
+    val in = MemoryStream[(Long, Seq[Double])](spark)
+    def grow(stored: org.apache.spark.sql.DataFrame,
+             adj: org.apache.spark.sql.DataFrame,
+             batch: org.apache.spark.sql.DataFrame) = {
+      // T19's insert: top-1 batch-vs-stored, symmetrized
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("vid").asc)
+      val links = stored.select(col("vid"), col("emb").as("ve"))
+        .crossJoin(broadcast(batch
+          .select(col("vid").as("qid"), col("emb").as("qe"))))
+        .select(col("qid"), col("vid"),
+          expr("aggregate(zip_with(qe, ve, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+            .as("sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+        .select(col("qid").as("a"), col("vid").as("b"))
+      (adj.unionByName(links)
+        .unionByName(links.select(col("b").as("a"), col("a").as("b")))
+        .distinct(),
+        stored.unionByName(batch.toDF("vid", "emb")))
+    }
+    def start() = in.toDF().toDF("vid", "emb")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        val prior = (id to 0L by -1L).map(v => s"$root/v=$v")
+          .find(d => new java.io.File(d).exists()).getOrElse(s"$root/v=0")
+        val (grown, vecsNew) =
+          grow(sp.read.parquet(s"$prior/vectors"), sp.read.parquet(s"$prior/adj"), batch)
+        val (committed, _) = graft.ops.CorpusOps.compactIfDegreeHigh(
+          grown.localCheckpoint(), vecsNew, cap = 2, maxDegreeThreshold = 3,
+          idCol = "vid", vecCol = "emb")
+        val out = s"$root/v=${id + 1}"
+        committed.coalesce(1).write.mode("overwrite").parquet(s"$out/adj")
+        vecsNew.coalesce(1).write.mode("overwrite").parquet(s"$out/vectors")
+      }.start()
+    def adjSet(v: Long): Set[(Long, Long)] =
+      spark.read.parquet(s"$root/v=$v/adj").as[(Long, Long)].collect().toSet
+    val q1 = start()
+    in.addData((10L, Seq(0.95, 0.05))) // links to 0: degree 3 == gate
+    q1.processAllAvailable(); q1.stop()
+    // NO-TRIGGER commit: v=1 is exactly the grown adjacency
+    val base = Set((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L), (2L, 3L), (3L, 2L))
+    assert(adjSet(1) == base ++ Set((10L, 0L), (0L, 10L)),
+      s"below-gate batch must commit un-compacted: ${adjSet(1)}")
+    val q2 = start() // restart from the same checkpoint
+    in.addData((11L, Seq(0.97, 0.03))) // links to 0: degree 4 > gate
+    q2.processAllAvailable(); q2.stop()
+    // TRIGGERED commit: every node re-ranked to its top-2 by cosine —
+    // 0 keeps {11, 10} (its closest) and sheds 1 and 2
+    val got = adjSet(2)
+    val zeroRows = got.filter(_._1 == 0L)
+    assert(zeroRows == Set((0L, 11L), (0L, 10L)),
+      s"node 0 must keep its two closest after compaction: $zeroRows")
+    val maxDeg = spark.read.parquet(s"$root/v=2/adj")
+      .groupBy("a").count().agg(max("count")).head().getLong(0)
+    assert(maxDeg <= 2L, s"compacted max out-degree $maxDeg exceeds the cap")
+    // search quality holds across the compaction: the same query
+    // resolves identically on the pre- and post-compaction snapshots
+    def searchOn(v: Long): Set[(Long, Long, Double)] =
+      annSearch(Seq((200L, Seq(0.9, 0.1))).toDF("qid", "emb"),
+        spark.read.parquet(s"$root/v=$v/vectors"),
+        spark.read.parquet(s"$root/v=$v/adj"))
+        .as[(Long, Long, Double)].collect().toSet
+    assert(searchOn(1).map(t => (t._1, t._2)) == Set((200L, 0L)))
+    assert(searchOn(2).map(t => (t._1, t._2)) == Set((200L, 0L)),
+      s"compaction changed the search answer: ${searchOn(2)}")
+    // REPLAY: re-deriving batch 1's commit from the stored v=1
+    // snapshot reproduces v=2 bit-for-bit (same grow, same gate
+    // decision, same re-rank)
+    val (grown1, vecs1) = grow(spark.read.parquet(s"$root/v=1/vectors"),
+      spark.read.parquet(s"$root/v=1/adj"),
+      Seq((11L, Seq(0.97, 0.03))).toDF("vid", "emb"))
+    val (replayed, rtrig) = graft.ops.CorpusOps.compactIfDegreeHigh(
+      grown1, vecs1, cap = 2, maxDegreeThreshold = 3,
+      idCol = "vid", vecCol = "emb")
+    assert(rtrig, "replayed batch must re-derive the SAME trigger decision")
+    assert(replayed.as[(Long, Long)].collect().toSet == got,
+      "replayed compaction diverged from the committed adjacency")
+  }
+
   // ------------------------------------------- L-ops over the stream
   test("corpus ingest: quality gate + in-stream exact dedup over the message source") {
     // The L-battery's cleanup stages composed onto the streaming layer:
