@@ -3535,6 +3535,106 @@ object Llm {
            |UNION ALL SELECT 'n_docs', '*', CAST(n AS DOUBLE) FROM ln
            |ORDER BY stat, k""".stripMargin))
 
+  // BM25 RETRIEVAL OVER MAINTAINED STATE (l4_bm25_incremental): the
+  // q120 maintain-linear/derive-at-read lesson COMPLETING for
+  // retrieval — l4_bm25_maintain keeps df/N/avgdl current but l4_bm25
+  // still scores from the fresh corpus; here the per-(doc, term) tf
+  // rows for the query-term catalog (tf and dl are LINEAR too — a
+  // doc's signed rows add or cancel exactly) are maintained alongside
+  // the stats by the SAME maintainAggCounted, and the top-20 is served
+  // from MAINTAINED state ONLY: the read touches the tf view
+  // (candidate-bounded — docs containing a catalog term), a broadcast
+  // df/len stats view, and never the corpus text. Same batch
+  // convention as l4_bm25_maintain (doc_id % 10 inserts, every-7th-doc
+  // deletes); same determinism discipline as l4_bm25 (idf and each
+  // contribution round to 9, DECIMAL(18,9) exact sums, doc_id
+  // tiebreak). ORACLE = the fresh BM25 recompute over the post-batch
+  // corpus — maintained retrieval == rebuilt retrieval, rank for rank.
+  private val l4bm25Incremental = QueryDef(
+    "l4_bm25_incremental",
+    (s, dir) => {
+      val terms = Seq("table", "scan", "join", "merge")
+      val termsArr = terms.map(w => s"'$w'").mkString("array(", ",", ")")
+      val docs = t(s, dir, "documents").withColumn("ws", split(col("text"), " "))
+      val stored = docs.filter(col("doc_id") % 10 =!= 0)
+      val ins = docs.filter(col("doc_id") % 10 === 0)
+      val del = stored.filter(col("doc_id") % 7 === 0)
+      // stats family — identical rows to l4_bm25_maintain
+      def statRows(d: DataFrame, mult: Int): DataFrame = {
+        val dl = d.select(lit("len").as("stat"), lit("*").as("k"),
+          size(col("ws")).cast("long").as("v"), lit(mult.toLong).as("_mult"))
+        val tfr = d.select(explode(
+            expr(s"array_distinct(filter(ws, w -> array_contains($termsArr, w)))")).as("k"))
+          .select(lit("df").as("stat"), col("k"), lit(1L).as("v"),
+            lit(mult.toLong).as("_mult"))
+        dl.unionByName(tfr)
+      }
+      val statsMv0 = statRows(stored, 1).groupBy("stat", "k")
+        .agg(sum("v").as("v"), count(lit(1)).as("cnt"))
+      val statsM = graft.ops.TableOps.maintainAggCounted(statsMv0,
+        statRows(ins, 1).unionByName(statRows(del, -1)),
+        keys = Seq("stat", "k"), sumCols = Seq("v"))
+      // per-(doc, term) tf + dl for the catalog — linear, so the same
+      // counted maintainer keeps them current
+      def tfRows(d: DataFrame, mult: Int): DataFrame = d
+        .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+          explode(col("ws")).as("term"))
+        .filter(expr(s"array_contains($termsArr, term)"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+        .withColumn("_mult", lit(mult.toLong))
+      val tfMv0 = tfRows(stored, 1)
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+          lit(1L).as("cnt"))
+      val tfM = graft.ops.TableOps.maintainAggCounted(tfMv0,
+        tfRows(ins, 1).unionByName(tfRows(del, -1)),
+        keys = Seq("doc_id", "term"), sumCols = Seq("tf", "dl"))
+      // the READ: maintained state only — no corpus text anywhere
+      val lenRow = broadcast(statsM.filter(col("stat") === "len")
+        .select((col("v").cast("double") / col("cnt").cast("double")).as("avgdl"),
+          col("cnt").as("n_docs")))
+      val dft = broadcast(statsM.filter(col("stat") === "df")
+        .select(col("k").as("term"), col("v").as("df")))
+      val scored = tfM.join(dft, "term").crossJoin(lenRow)
+        .select(col("doc_id"),
+          round(
+            round(log(lit(1.0) +
+              ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+                (col("df").cast("double") + lit(0.5))), 9) *
+            (col("tf").cast("double") /
+              (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+                lit(0.75) * (col("dl").cast("double") / col("avgdl"))))), 9)
+            .cast("decimal(18,9)").as("c"))
+      val perDoc = scored.groupBy("doc_id").agg(sum(col("c")).as("sc"))
+      val top = perDoc.orderBy(col("sc").desc, col("doc_id").asc).limit(20)
+        .select(col("doc_id"), round(col("sc").cast("double"), 6).as("score"))
+      top.withColumn("rnk",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select("rnk", "doc_id", "score").orderBy("rnk")
+    },
+    Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           |           WHERE doc_id % 10 = 0 OR doc_id % 7 <> 0),
+           |dl AS (SELECT doc_id, len(ws) AS dl FROM s),
+           |st AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+           |tf AS (SELECT doc_id, term, count(*) AS tf
+           |       FROM (SELECT doc_id, unnest(ws) AS term FROM s)
+           |       WHERE term IN ('table','scan','join','merge')
+           |       GROUP BY doc_id, term),
+           |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |sc AS (SELECT tf.doc_id,
+           |         CAST(round(
+           |           round(ln(1.0 + (CAST(st.n_docs - idf.df AS DOUBLE) + 0.5)
+           |                          / (CAST(idf.df AS DOUBLE) + 0.5)), 9)
+           |           * (CAST(tf.tf AS DOUBLE)
+           |              / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+           |                 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))), 9) AS DECIMAL(18,9)) AS c
+           |       FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), st),
+           |agg AS (SELECT doc_id, SUM(c) AS sc FROM sc GROUP BY doc_id),
+           |top AS (SELECT doc_id, round(CAST(sc AS DOUBLE), 6) AS score
+           |        FROM agg ORDER BY sc DESC, doc_id LIMIT 20)
+           |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id, score
+           |FROM top ORDER BY rnk""".stripMargin))
+
   // TRAINED classifier — the other half of l4_classifier (which
   // SCORES under fixed weights): a real logistic regression fit by
   // K=8 FULL-BATCH gradient-descent iterations on a fixture-derived
@@ -5439,5 +5539,5 @@ object Llm {
     l4bpeBatch, l3incr, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
     l4ug, l4ugEnc, l3graphSearch, l3hnsw, l3hnswIncr, l3annCompact,
     l2incrDelete, l3annDelete, l4classifierTrain, l4bm25, l4bm25Maintain,
-    l5video)
+    l4bm25Incremental, l5video)
 }
