@@ -1742,4 +1742,127 @@ object CorpusOps {
     }
     cur.select(col("vec_id"), col("xs").as("corrected"))
   }
+
+  /** One corpus-wide cascade delete's repaired artifacts + funnel —
+    * the [[deleteDocuments]] result. Each member is the post-delete
+    * maintained state, equal to that artifact rebuilt from the
+    * post-delete corpus (the per-family gates: q118 runner-ups for
+    * exact keepers, l2_incremental_delete for clusters, l3_ann_delete
+    * for the index, l4_bm25_maintain for the stats). `funnel` carries
+    * one accounting row per artifact: (k = artifact, x = rows after,
+    * y = delete-list size applied). */
+  final case class CascadeDeleteResult(exactKeepers: DataFrame,
+                                       clusters: DataFrame,
+                                       annIndex: DataFrame,
+                                       bm25Stats: DataFrame,
+                                       funnel: DataFrame)
+
+  /** Signed BM25 statistics rows for `docs` — the l4_bm25_maintain
+    * row convention: one ('len', '*', doc length) row per doc plus
+    * one ('df', term, 1) row per DISTINCT catalog term the doc
+    * contains, all stamped with multiplicity `mult`. Feeding the −1
+    * image of a delete-bounded doc set into
+    * [[TableOps.maintainAggCounted]] cancels exactly those docs'
+    * contributions from the maintained df/N/Σdl view. */
+  def bm25StatRows(docs: DataFrame, terms: Seq[String], mult: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25StatRows needs a term catalog")
+    val termsArr = terms.map(w => s"'$w'").mkString("array(", ",", ")")
+    val ws = docs.withColumn("_ws", split(col("text"), " "))
+    val dl = ws.select(lit("len").as("stat"), lit("*").as("k"),
+      size(col("_ws")).cast("long").as("v"), lit(mult.toLong).as("_mult"))
+    val df = ws.select(explode(
+        expr(s"array_distinct(filter(_ws, w -> array_contains($termsArr, w)))")).as("k"))
+      .select(lit("df").as("stat"), col("k"), lit(1L).as("v"),
+        lit(mult.toLong).as("_mult"))
+    dl.unionByName(df)
+  }
+
+  /** CORPUS-WIDE CASCADE DELETE — the operational "purge these
+    * doc_ids" request applied to EVERY maintained artifact at once,
+    * each through its own incremental repair path (never a rebuild):
+    *
+    *  - exact-dup keepers: groups touched by a deleted doc recompute
+    *    keeper/count from the surviving members of the persisted
+    *    (h, doc_id) membership aux (the q118 runner-up discipline —
+    *    a deposed min-id keeper promotes its successor); untouched
+    *    groups pass through one anti-join; emptied groups vanish.
+    *  - near-dup clusters: [[removeFromClusters]] — touched-cluster-
+    *    bounded recompute over the persisted pair graph.
+    *  - ANN index: the l3_ann_delete path — deleted nodes' lists
+    *    drop, AFFECTED survivors (stored top-k holds a deleted id)
+    *    re-rank over the frozen probe/assign aux joined to surviving
+    *    assignments, everyone else passes through untouched.
+    *  - BM25 stats: ONE delete-bounded semi probe of the corpus
+    *    derives the signed −1 stat rows ([[bm25StatRows]]) and
+    *    [[TableOps.maintainAggCounted]] cancels them from the view.
+    *
+    * Everything is delete-/touched-/affected-bounded; the corpus is
+    * probed (semi joins), never rescanned, and no artifact is rebuilt.
+    * The funnel is assembled LAZILY (per-artifact count aggregates —
+    * no driver action at construction). Inputs: `annIndex` =
+    * (qid, rn, vid, simr) stored top-`annK` lists; `annProbes` =
+    * (qid, cid) frozen probe aux; `annAssign` = (vid, cid);
+    * `vectors` = (vec_id, embedding); `bm25Stats` = the
+    * (stat, k, v, cnt) maintained view; `exactAux` = (h, doc_id). */
+  def deleteDocuments(delIds: DataFrame, docs: DataFrame,
+                      exactAux: DataFrame, exactKeepers: DataFrame,
+                      clusters: DataFrame, pairs: DataFrame,
+                      annIndex: DataFrame, annProbes: DataFrame,
+                      annAssign: DataFrame, vectors: DataFrame,
+                      bm25Stats: DataFrame, terms: Seq[String],
+                      annK: Int = 5)
+                     (implicit scope: CacheScope): CascadeDeleteResult = {
+    import graft.functions.VectorExprs.{vec_dot, vec_norm}
+    val del = scope.cached(
+      delIds.select(col(delIds.columns.head).cast("long").as("doc_id")))
+    // 1. exact-dup keepers — touched-group-bounded
+    val touchedH = exactAux.join(del, Seq("doc_id"), "left_semi")
+      .select("h").distinct()
+    val recomputed = exactAux.join(touchedH, Seq("h"), "left_semi")
+      .join(del, Seq("doc_id"), "left_anti")
+      .groupBy("h").agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+    val exactAfter = scope.cached(
+      exactKeepers.join(touchedH, Seq("h"), "left_anti")
+        .unionByName(recomputed))
+    // 2. near-dup clusters — touched-cluster-bounded
+    val clustersAfter = scope.cached(removeFromClusters(clusters, pairs, del))
+    // 3. ANN index — affected-survivor-bounded re-rank
+    val delQ = del.select(col("doc_id").as("qid"))
+    val delV = del.select(col("doc_id").as("vid"))
+    val affected = annIndex.join(delV, Seq("vid"), "left_semi")
+      .select("qid").distinct()
+      .join(delQ, Seq("qid"), "left_anti")
+    val kept = annIndex.join(delQ, Seq("qid"), "left_anti")
+      .join(affected, Seq("qid"), "left_anti")
+    val survAssign = annAssign.join(delV, Seq("vid"), "left_anti")
+    def cos(a: Column, b: Column) = vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+    val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+    val rer = annProbes.join(affected, Seq("qid"), "left_semi")
+      .join(survAssign, "cid").filter(col("vid") =!= col("qid"))
+      .select("qid", "vid")
+      .join(vectors.select(col(vectors.columns.head).as("qid"),
+        col(vectors.columns(1)).as("_qe")), "qid")
+      .join(vectors.select(col(vectors.columns.head).as("vid"),
+        col(vectors.columns(1)).as("_ve")), "vid")
+      .select(col("qid"), col("vid"),
+        round(cos(col("_qe"), col("_ve")), 6).as("simr"))
+      .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= annK)
+      .select("qid", "rn", "vid", "simr")
+    val annAfter = scope.cached(kept.unionByName(rer))
+    // 4. BM25 stats — one delete-bounded probe derives the signed batch
+    val bm25After = scope.cached(TableOps.maintainAggCounted(bm25Stats,
+      bm25StatRows(docs.join(del, Seq("doc_id"), "left_semi"), terms, -1),
+      keys = Seq("stat", "k"), sumCols = Seq("v")))
+    // funnel — lazy per-artifact accounting (l6_filter_funnel
+    // discipline): rows after + the delete-list size applied
+    val nDel = del.agg(count(lit(1)).as("y"))
+    def frow(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("x")).crossJoin(broadcast(nDel))
+        .select(lit(name).as("k"), col("x"), col("y"))
+    val funnel = frow("ann", annAfter)
+      .unionByName(frow("bm25", bm25After))
+      .unionByName(frow("cluster", clustersAfter))
+      .unionByName(frow("exact", exactAfter))
+    CascadeDeleteResult(exactAfter, clustersAfter, annAfter, bm25After, funnel)
+  }
 }

@@ -494,6 +494,9 @@ class PlanContractSpec extends AnyFunSuite {
       // delta rounds through dupClusters — twice in the same exemption class
       "l2_incremental_delete", // stored build + touched-cluster
       // recompute, both through dupClusters (same class)
+      "l6_cascade_delete", // builds jaccard pairs + dupClusters and
+      // repairs clusters through removeFromClusters — the
+      // l2_incremental_delete exemption class composed
       "q44_pagerank", "q46_ppr", "q47_pagerank_weighted",
       "q76_pagerank_incr", // GraphOps lineage-cuts
       "q48_components", "q49_bfs", "q56_sssp", "q57_kcore", "q50_triangles",
