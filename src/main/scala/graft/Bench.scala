@@ -59,7 +59,8 @@ object Bench {
     "q121_zonemap_pruned_read", "q122_mv_pipeline_delete",
     "q123_mv_cascade_delete", "q124_mv_two_hop_delete",
     "l3_ann_compact", "l2_incremental_delete", "l3_ann_delete",
-    "l4_classifier_train", "l4_bm25", "l4_bm25_maintain", "l5_video_header")
+    "l4_classifier_train", "l4_bm25", "l4_bm25_maintain", "l5_video_header",
+    "q125_mv_topk_delete", "l4_bm25_incremental", "l6_cascade_delete")
 
   /** 1-minute system load average, -1.0 where the platform can't say.
     * Recorded at both ends of the run so the record SELF-ADJUDICATES:
@@ -127,10 +128,26 @@ object Bench {
     // rounds generated false regression signals this way). See Cell
     // for the load-defense retry layer on top.
     var retryBudget = 12 // total EXTRA runs across the whole record
+    // loadavg-GATED cell start: the co-tenant waves on this host recur
+    // on a ~20-minute cadence, shorter than a full bench pass, so a
+    // record started quiet still runs half its cells through a wave.
+    // Waiting the wave out BEFORE a cell (bounded by a global budget —
+    // the bench must terminate even on a permanently-busy host) dodges
+    // what the retry loop could only dilute. 1-min loadavg lags the
+    // wave's edge by design: a 30 s poll is well inside its decay.
+    var waitBudgetMs = 20L * 60 * 1000 // total across the whole record
+    def awaitQuietHost(): Unit =
+      while (loadAvg() >= loadSuspect && waitBudgetMs > 0) {
+        val step = math.min(30000L, waitBudgetMs)
+        Thread.sleep(step)
+        waitBudgetMs -= step
+      }
     def measure(run: () => Double): Cell = {
+      awaitQuietHost()
       var cell = Cell((1 to 3).map(_ => run()).filter(_ >= 0), loadAvg(), 0)
       while (overEnvelope(cell) && cell.load >= loadSuspect && retryBudget > 0) {
         retryBudget -= 1
+        awaitQuietHost()
         val extra = run()
         cell = Cell(cell.runs ++ Some(extra).filter(_ >= 0),
           loadAvg(), cell.retried + 1)

@@ -36,7 +36,9 @@ object Sf1Ledger {
     "q73_random_walks", "q63_wppr",
     // round-13's own expensive cells — audited the round they ship
     "q121_zonemap_pruned_read", "l3_ann_compact",
-    "l2_incremental_delete", "l3_ann_delete")
+    "l2_incremental_delete", "l3_ann_delete",
+    // round-14's own cells
+    "l6_cascade_delete", "l4_bm25_incremental", "q125_mv_topk_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
