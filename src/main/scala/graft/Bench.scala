@@ -128,20 +128,39 @@ object Bench {
     // rounds generated false regression signals this way). See Cell
     // for the load-defense retry layer on top.
     var retryBudget = 12 // total EXTRA runs across the whole record
-    // loadavg-GATED cell start: the co-tenant waves on this host recur
-    // on a ~20-minute cadence, shorter than a full bench pass, so a
-    // record started quiet still runs half its cells through a wave.
-    // Waiting the wave out BEFORE a cell (bounded by a global budget —
-    // the bench must terminate even on a permanently-busy host) dodges
-    // what the retry loop could only dilute. 1-min loadavg lags the
-    // wave's edge by design: a 30 s poll is well inside its decay.
+    // FOREIGN-CPU-gated cell starts: the co-tenant waves on this host
+    // recur on a ~20-minute cadence, shorter than a full bench pass,
+    // so a record started quiet still runs half its cells through a
+    // wave. The 1-min loadavg CANNOT gate this — the bench's own
+    // local[32] bursts dominate it, so a bare loadavg gate deadlocks
+    // against the bench's own load (measured: the first attempt slept
+    // through its entire budget at cell 1). What identifies a wave is
+    // CPU the host is spending that is NOT this process: sample
+    // system-vs-process CPU over a short interval and wait only while
+    // the FOREIGN share is high, bounded by a global budget so the
+    // bench terminates on a permanently-busy host.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def foreignCpu(intervalMs: Long): Double = {
+      osBean.getCpuLoad; osBean.getProcessCpuLoad // prime the counters
+      Thread.sleep(intervalMs)
+      val sys = osBean.getCpuLoad
+      val self = osBean.getProcessCpuLoad
+      if (sys < 0 || self < 0) 0.0 else math.max(0.0, sys - self)
+    }
+    val foreignSuspect = 0.25 // >8 of 32 cores busy with someone else's work
     var waitBudgetMs = 20L * 60 * 1000 // total across the whole record
-    def awaitQuietHost(): Unit =
-      while (loadAvg() >= loadSuspect && waitBudgetMs > 0) {
-        val step = math.min(30000L, waitBudgetMs)
+    def awaitQuietHost(): Unit = {
+      // loadavg below suspicion ⇒ certainly no wave: skip the sample.
+      // Above it the average is usually the bench's OWN wake, so the
+      // 500 ms foreign-share sample adjudicates before any wait.
+      if (loadAvg() < loadSuspect) return
+      while (waitBudgetMs > 0 && foreignCpu(500) >= foreignSuspect) {
+        val step = math.min(15000L, waitBudgetMs)
         Thread.sleep(step)
         waitBudgetMs -= step
       }
+    }
     def measure(run: () => Double): Cell = {
       awaitQuietHost()
       var cell = Cell((1 to 3).map(_ => run()).filter(_ >= 0), loadAvg(), 0)
