@@ -266,15 +266,75 @@ object Layout {
       .collect().map(_.getString(0)).toSet
     val inner = graft.plans.ZoneMapFileIndex.listing(spark, path)
     val zidx = new graft.plans.ZoneMapFileIndex(inner, chunkCol, keep)
+    relationOver(spark, path, zidx)
+      .filter(preds.map(_.residual).reduce(_ && _))
+  }
+
+  /** Parquet relation over a custom [[FileIndex]] — the seam both
+    * pruned-read forms share. */
+  private def relationOver(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           idx: org.apache.spark.sql.execution.datasources.FileIndex): DataFrame = {
     val fullSchema = spark.read.parquet(path).schema
     val dataSchema = org.apache.spark.sql.types.StructType(
-      fullSchema.filterNot(f => zidx.partitionSchema.fieldNames.contains(f.name)))
+      fullSchema.filterNot(f => idx.partitionSchema.fieldNames.contains(f.name)))
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      zidx, zidx.partitionSchema, dataSchema, None,
+      idx, idx.partitionSchema, dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map.empty[String, String])(spark)
     spark.baseRelationToDataFrame(rel)
-      .filter(preds.map(_.residual).reduce(_ && _))
+  }
+
+  /** TRANSPARENT zone-map-pruned table — the step past [[prunedRead]]:
+    * no predicate is passed at all. The returned DataFrame reads the
+    * whole [[writeClustered]] table, but its scan is backed by a
+    * [[graft.plans.TransparentZoneMapFileIndex]] holding the collected
+    * chunk envelopes (`mn_<col>`/`mx_<col>` per `cols` entry, the
+    * [[TableOps.readMinMax]] convention, chunk-count-bounded driver
+    * metadata — the Delta-manifest position). Whatever range
+    * predicates the QUERY later applies — `.filter(...)`, a SQL WHERE
+    * over a temp view, a join's pushed bound — reach the scan as
+    * Spark's own `dataFilters` and prune chunk directories at listing
+    * time. Pruning is conservative: unrecognized predicate shapes,
+    * lossy casts, and chunks MISSING from the zone table are all kept
+    * (an incomplete zone table loosens skipping here instead of
+    * dropping rows — strictly safer than the explicit
+    * [[prunedRead]] contract), and the pushed predicates still
+    * re-filter every surviving row, so the row set is exact under any
+    * envelope state. Non-numeric envelope columns are ignored. */
+  def zoneMapRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                  zones: DataFrame, chunkCol: String,
+                  cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "zoneMapRead needs at least one envelope column")
+    cols.foreach { c =>
+      require(zones.columns.contains(s"mn_$c") && zones.columns.contains(s"mx_$c"),
+        s"zone table has no (mn_$c, mx_$c) envelope — zone columns: " +
+          zones.columns.mkString(", "))
+    }
+    val rows = zones.select(
+      col(chunkCol).cast("string").as("_ck") +:
+        cols.flatMap(c => Seq(col(s"mn_$c"), col(s"mx_$c"))): _*).collect()
+    // a NULL envelope value means the column is all-NULL in that chunk
+    // (None bound → the index may DROP under a range conjunct); a
+    // non-null value we cannot compare numerically (string, NaN) must
+    // instead OMIT the column — "no envelope known" — or a wrong drop
+    // could follow from a type, not from data
+    def bound(v: Any): Either[Unit, Option[java.math.BigDecimal]] =
+      if (v == null) Right(None)
+      else graft.plans.ZoneMapFileIndex.toBigDecimal(v)
+        .map(b => Right(Some(b))).getOrElse(Left(()))
+    val env = rows.map { r =>
+      val perCol = cols.zipWithIndex.flatMap { case (c, i) =>
+        (bound(r.get(1 + 2 * i)), bound(r.get(2 + 2 * i))) match {
+          case (Right(mn), Right(mx)) => Some(c -> (mn, mx))
+          case _ => None
+        }
+      }.toMap
+      r.getString(0) -> perCol
+    }.toMap
+    val inner = graft.plans.ZoneMapFileIndex.listing(spark, path)
+    relationOver(spark, path,
+      new graft.plans.TransparentZoneMapFileIndex(inner, chunkCol, env))
   }
 
   /** The q109 → OPTIMIZE loop closed: measure the layout's clustering

@@ -948,6 +948,71 @@ class PlanContractSpec extends AnyFunSuite {
     assert(prunedIds(900L, Long.MaxValue) == fullIds(900L, Long.MaxValue))
   }
 
+  test("zoneMapRead: query predicates prune transparently — DataFrame filters, SQL WHERE, conservative keeps") {
+    // The full lakehouse seam: no predicate is passed to the reader at
+    // all — whatever the QUERY applies reaches the scan as Spark's own
+    // dataFilters and the TransparentZoneMapFileIndex intersects them
+    // with the collected envelopes at listing time.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      fileScans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-transp").toString
+    val df = spark.range(0, 4096).select(col("id"), (col("id") * 3).as("v"),
+      format_string("c%03d", expr("id div 256")).as("chunk"))
+    graft.ops.Layout.writeClustered(df, dir, "chunk")
+    val zones = df.groupBy("chunk").agg(
+      min("id").as("mn_id"), max("id").as("mx_id"),
+      min("v").as("mn_v"), max("v").as("mx_v"))
+    val total = spark.read.parquet(dir).inputFiles.length.toLong
+    def table() = graft.ops.Layout.zoneMapRead(spark, dir, zones, "chunk",
+      Seq("id", "v"))
+    // 1. a plain DataFrame range filter prunes (probe covers 2 of 16 chunks)
+    val f1 = table().filter(col("id").between(100, 300))
+    assert(f1.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      spark.read.parquet(dir).filter(col("id").between(100, 300))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    val s1 = scannedFiles(f1)
+    assert(s1 < total && s1 <= total / 4,
+      s"DataFrame filter scanned $s1 of $total files — transparent pruning lost")
+    // 2. SQL over a temp view prunes the same way — zero zone-aware
+    // code anywhere near the query
+    table().createOrReplaceTempView("graft_zt")
+    val f2 = spark.sql(
+      "SELECT id FROM graft_zt WHERE v >= 3000 AND v <= 3600 AND id % 2 = 0")
+    assert(f2.collect().map(_.getLong(0)).sorted.toSeq ==
+      spark.read.parquet(dir)
+        .filter(col("v") >= 3000 && col("v") <= 3600 && col("id") % 2 === 0)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    val s2 = scannedFiles(f2)
+    assert(s2 < total, s"SQL WHERE scanned $s2 of $total files")
+    // 3. equality prunes to the single covering chunk
+    assert(scannedFiles(table().filter(col("id") === 1000)) == 1L)
+    // 4. an unrecognized predicate shape keeps everything — and stays exact
+    val f4 = table().filter(col("id") % 7 === 3)
+    assert(f4.count() ==
+      spark.read.parquet(dir).filter(col("id") % 7 === 3).count())
+    // 5. an INCOMPLETE zone table only loosens skipping here — a chunk
+    // with no envelope row is kept, its rows never dropped (contrast
+    // prunedRead's completeness contract)
+    val partial = zones.filter(col("chunk") =!= "c000")
+    val f5 = graft.ops.Layout.zoneMapRead(spark, dir, partial, "chunk", Seq("id"))
+      .filter(col("id") <= 300)
+    assert(f5.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L to 300L).toSeq,
+      "a chunk missing from the zone table must be KEPT, not dropped")
+    assert(scannedFiles(f5) == 2L) // c000 (no envelope) + c001
+  }
+
   test("q125/readTopK: WindowGroupLimit prunes the aux to k rows per key before the slot cumsum") {
     val plan = formatted("q125_mv_topk_delete")
     // the rank <= k filter must push a per-key group limit below the
