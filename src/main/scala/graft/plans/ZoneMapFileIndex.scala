@@ -169,7 +169,33 @@ final class TransparentZoneMapFileIndex(
         attrOf(a).zip(toBig(v)).map { case (c, b) => (c, Some(b), None) }.toSeq
       case EqualTo(Literal(v, _), a) =>
         attrOf(a).zip(toBig(v)).map { case (c, b) => (c, Some(b), Some(b)) }.toSeq
+      case EqualNullSafe(a, Literal(v, _)) if v != null =>
+        attrOf(a).zip(toBig(v)).map { case (c, b) => (c, Some(b), Some(b)) }.toSeq
+      case EqualNullSafe(Literal(v, _), a) if v != null =>
+        attrOf(a).zip(toBig(v)).map { case (c, b) => (c, Some(b), Some(b)) }.toSeq
+      // IN-lists bound by their value hull: a chunk intersecting
+      // [min(vs), max(vs)] may hold a member (conservative — the hull
+      // can cover non-members, so this only ever keeps extra chunks)
+      case In(a, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        hullOf(a, list.map(_.asInstanceOf[Literal].value))
+      case InSet(a, hset) if hset.nonEmpty =>
+        hullOf(a, hset.toSeq)
       case _ => Seq.empty
+    }
+
+  /** (column, min, max) of an IN-list's values; empty (no constraint)
+    * unless EVERY value converts — a single unconvertible member
+    * voids the hull, never tightens it. */
+  private def hullOf(a: Expression, vs: Seq[Any]): Seq[(String, Option[java.math.BigDecimal], Option[java.math.BigDecimal])] =
+    attrOf(a).toSeq.flatMap { c =>
+      val bs = vs.map(toBig)
+      if (bs.exists(_.isEmpty)) Seq.empty
+      else {
+        val all = bs.flatten
+        val lo = all.reduce((x, y) => if (x.compareTo(y) <= 0) x else y)
+        val hi = all.reduce((x, y) => if (x.compareTo(y) >= 0) x else y)
+        Seq((c, Some(lo), Some(hi)))
+      }
     }
 
   private def chunkSurvives(chunk: String,

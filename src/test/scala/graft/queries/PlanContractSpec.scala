@@ -1001,6 +1001,13 @@ class PlanContractSpec extends AnyFunSuite {
     val f4 = table().filter(col("id") % 7 === 3)
     assert(f4.count() ==
       spark.read.parquet(dir).filter(col("id") % 7 === 3).count())
+    // 4b. an IN-list prunes by its value hull (ids 10/700/715 span
+    // chunks c000 and c002 — 2 of 16 survive the hull even though
+    // c001 sits inside it: the hull is conservative, never wrong)
+    val fin = table().filter(col("id").isin(10L, 700L, 715L))
+    assert(fin.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 700L, 715L))
+    assert(scannedFiles(fin) <= 3L, "IN-list hull did not prune")
     // 5. an INCOMPLETE zone table only loosens skipping here — a chunk
     // with no envelope row is kept, its rows never dropped (contrast
     // prunedRead's completeness contract)
