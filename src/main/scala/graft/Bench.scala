@@ -83,7 +83,8 @@ object Bench {
     * FASTEST runs (the best clean measurement achieved); a cell whose
     * spread still exceeds the envelope lands in `contaminated[]` so a
     * reader knows exactly which numbers not to trust. */
-  private final case class Cell(runs: Seq[Double], load: Double, retried: Int) {
+  private final case class Cell(runs: Seq[Double], load: Double,
+                                foreign: Double, retried: Int) {
     def min: Double = if (runs.isEmpty) -1.0 else runs.min
     /** spread of the 3 fastest successful runs — the best clean
       * re-measurement (a recovered stall stops polluting the record,
@@ -127,7 +128,7 @@ object Bench {
     // outliers on single queries between identical runs — two driver
     // rounds generated false regression signals this way). See Cell
     // for the load-defense retry layer on top.
-    var retryBudget = 12 // total EXTRA runs across the whole record
+    var retryBudget = 16 // total EXTRA runs across the whole record
     // FOREIGN-CPU-gated cell starts: the co-tenant waves on this host
     // recur on a ~20-minute cadence, shorter than a full bench pass,
     // so a record started quiet still runs half its cells through a
@@ -149,7 +150,7 @@ object Bench {
       if (sys < 0 || self < 0) 0.0 else math.max(0.0, sys - self)
     }
     val foreignSuspect = 0.25 // >8 of 32 cores busy with someone else's work
-    var waitBudgetMs = 20L * 60 * 1000 // total across the whole record
+    var waitBudgetMs = 30L * 60 * 1000 // total across the whole record
     def awaitQuietHost(): Unit = {
       // loadavg below suspicion ⇒ certainly no wave: skip the sample.
       // Above it the average is usually the bench's OWN wake, so the
@@ -161,15 +162,23 @@ object Bench {
         waitBudgetMs -= step
       }
     }
+    // a cell is suspect when its spread blew AND a foreigner was on
+    // the cores right after it ran — waves last minutes, so the 200 ms
+    // post-cell sample still sees the wave that inflated the cell.
+    // The 1-min loadavg is recorded for the reader but no longer
+    // drives retries or flags: the bench's own bursts dominate it.
+    val foreignFlag = 0.10
     def measure(run: () => Double): Cell = {
       awaitQuietHost()
-      var cell = Cell((1 to 3).map(_ => run()).filter(_ >= 0), loadAvg(), 0)
-      while (overEnvelope(cell) && cell.load >= loadSuspect && retryBudget > 0) {
+      def sample() = foreignCpu(200)
+      var cell = Cell((1 to 3).map(_ => run()).filter(_ >= 0),
+        loadAvg(), sample(), 0)
+      while (overEnvelope(cell) && cell.foreign >= foreignFlag && retryBudget > 0) {
         retryBudget -= 1
         awaitQuietHost()
         val extra = run()
         cell = Cell(cell.runs ++ Some(extra).filter(_ >= 0),
-          loadAvg(), cell.retried + 1)
+          loadAvg(), sample(), cell.retried + 1)
       }
       cell
     }
@@ -183,14 +192,15 @@ object Bench {
     val qs = field(_.min)
     val spread = field(_.spread)
     val loads = field(_.load)
+    val foreigns = field(_.foreign)
     val contaminated = all.collect {
-      case (k, c) if overEnvelope(c) && c.load >= loadSuspect => "\"" + k + "\""
+      case (k, c) if overEnvelope(c) && c.foreign >= foreignFlag => "\"" + k + "\""
     }.mkString("[", ",", "]")
     val nRetries = all.map(_._2.retried).sum
     val total = all.collect { case (_, c) if c.runs.nonEmpty => c.min }.sum
     val loadEnd = loadAvg()
     val nproc = Runtime.getRuntime.availableProcessors
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"load":$loads,"contaminated":$contaminated,"n_retries":$nRetries,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"nproc":$nproc,"n_entries":${all.size},"sf":"$sfDir"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"load":$loads,"foreign":$foreigns,"contaminated":$contaminated,"n_retries":$nRetries,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"nproc":$nproc,"n_entries":${all.size},"sf":"$sfDir"}"""
     println(json)
     writeRecord(json)
     spark.stop()
