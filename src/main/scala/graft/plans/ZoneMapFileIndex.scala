@@ -57,11 +57,18 @@ object ZoneMapFileIndex {
   def listing(spark: SparkSession, path: String): InMemoryFileIndex =
     new InMemoryFileIndex(spark, Seq(new Path(path)), Map.empty[String, String], None)
 
-  /** Exact-decimal image of a numeric JVM value; None for NULL, NaN,
-    * infinities, and non-numeric types (→ "no bound known", which
-    * every consumer treats conservatively). BigDecimal comparison
-    * means a long beyond 2^53 can never be mis-rounded into a wrong
-    * pruning decision. */
+  /** Exact-decimal image of a numeric or temporal JVM value; None for
+    * NULL, NaN, infinities, and unsupported types (→ "no bound known",
+    * which every consumer treats conservatively). BigDecimal
+    * comparison means a long beyond 2^53 can never be mis-rounded
+    * into a wrong pruning decision.
+    *
+    * Temporal values land on SPARK'S OWN internal scales, so a zone
+    * envelope collected as external objects compares correctly
+    * against the Int/Long a Catalyst `Literal` carries: DateType is
+    * days since epoch (Literal = Int), TimestampType /
+    * TIMESTAMP_NTZ are microseconds (Literal = Long; NTZ fields read
+    * as if UTC, exactly Spark's `localDateTimeToMicros`). */
   private[graft] def toBigDecimal(v: Any): Option[java.math.BigDecimal] = v match {
     case null => None
     case b: Byte => Some(java.math.BigDecimal.valueOf(b.toLong))
@@ -74,6 +81,24 @@ object ZoneMapFileIndex {
       Some(java.math.BigDecimal.valueOf(d))
     case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
     case d: java.math.BigDecimal => Some(d)
+    case d: java.sql.Date =>
+      Some(java.math.BigDecimal.valueOf(d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate =>
+      Some(java.math.BigDecimal.valueOf(d.toEpochDay))
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant
+      Some(java.math.BigDecimal.valueOf(
+        math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L),
+          i.getNano / 1000L)))
+    case i: java.time.Instant =>
+      Some(java.math.BigDecimal.valueOf(
+        math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L),
+          i.getNano / 1000L)))
+    case t: java.time.LocalDateTime =>
+      val i = t.toInstant(java.time.ZoneOffset.UTC)
+      Some(java.math.BigDecimal.valueOf(
+        math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L),
+          i.getNano / 1000L)))
     case _ => None
   }
 }

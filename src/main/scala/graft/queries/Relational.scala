@@ -4334,6 +4334,48 @@ object Relational {
            |FROM r WHERE rank <= 5
            |ORDER BY l_returnflag, rank""".stripMargin))
 
+  // TRANSPARENT zone-map-pruned read (q126): q121 passes the reader an
+  // explicit RangeSpec; this one passes NOTHING — lineitem is written
+  // chunk-partitioned by ship MONTH, the per-chunk (l_shipdate,
+  // l_quantity) envelopes become the zone table, and
+  // Layout.zoneMapRead returns a plain DataFrame whose scan consumes
+  // the QUERY'S OWN pushed filters (Spark's dataFilters — the
+  // Delta/Iceberg data-skipping seam) through a
+  // TransparentZoneMapFileIndex. The ordinary .filter(...) below — a
+  // TIMESTAMP_NTZ range (envelope compared in Spark's own micros
+  // scale) plus a double bound — prunes ~76 of ~83 month chunks at
+  // listing time with zero zone-aware code at the call site
+  // (PlanContractSpec pins executed numFiles < total / 4). ORACLE =
+  // the plain full-scan filter; pruning must be invisible to the row
+  // set.
+  private val q126 = QueryDef(
+    "q126_zonemap_transparent_read",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      val ch = li.withColumn("chunk", format_string("c%05d",
+        (year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1))
+      val path = java.nio.file.Files.createTempDirectory("graft-q126").toString
+      graft.ops.Layout.writeClustered(ch, path, "chunk")
+      val zones = ch.groupBy("chunk").agg(
+        min("l_shipdate").as("mn_l_shipdate"),
+        max("l_shipdate").as("mx_l_shipdate"),
+        min("l_quantity").as("mn_l_quantity"),
+        max("l_quantity").as("mx_l_quantity"))
+      graft.ops.Layout.zoneMapRead(s, path, zones, "chunk",
+          Seq("l_shipdate", "l_quantity"))
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp_ntz") &&
+          col("l_shipdate") <= lit("1997-09-30").cast("timestamp_ntz") &&
+          col("l_quantity") <= 10.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+           |  AND l_shipdate <= TIMESTAMP '1997-09-30'
+           |  AND l_quantity <= 10.0
+           |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -4345,5 +4387,5 @@ object Relational {
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125)
+    q122, q123, q124, q125, q126)
 }

@@ -515,6 +515,9 @@ class PlanContractSpec extends AnyFunSuite {
       // write IS the operator under test (manifest pruning needs a
       // manifest), and the zone resolution is the planning-time
       // metadata action every lakehouse reader runs
+      "q126_zonemap_transparent_read", // the q121 class: writes the
+      // month-clustered layout and collects the envelope manifest at
+      // construction
       "l3_ann_hnsw_incremental", // runs the hnsw search twice — same cuts
       "l3_ann_compact", // the same maintained-index build + search cuts
       "l3_ann_hnsw",      // descent/beam rounds lineage-cut per round (the
@@ -1018,6 +1021,27 @@ class PlanContractSpec extends AnyFunSuite {
       (0L to 300L).toSeq,
       "a chunk missing from the zone table must be KEPT, not dropped")
     assert(scannedFiles(f5) == 2L) // c000 (no envelope) + c001
+  }
+
+  test("q126: the transparent read's executed scan skips month chunks the query's own filters exclude") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    spark.sharedState.cacheManager.clearCache()
+    val df = SparkEntry.queries("q126_zonemap_transparent_read")(spark, SparkFixture.sfDir)
+    df.collect()
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan in the q126 plan")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    // ~83 month chunks total, the probe window covers 7 — the pushed
+    // timestamp range must reach the listing and skip the rest
+    assert(scanned >= 1 && scanned <= 12,
+      s"transparent pruning scanned $scanned files — the pushed TIMESTAMP_NTZ range was not consumed")
   }
 
   test("q125/readTopK: WindowGroupLimit prunes the aux to k rows per key before the slot cumsum") {
