@@ -1298,6 +1298,73 @@ class StreamingTckSpec extends AnyFunSuite {
     assert(scanned < total, s"pruned read scanned $scanned of $total files")
   }
 
+  // ---------------------------------------------------------------- T25
+  test("T25: transparent zone reads in-stream — a STALE zone table only loosens skipping, never drops streamed rows") {
+    // T21 pins the explicit prunedRead's completeness CONTRACT (a
+    // reader on stale zones would silently drop a new chunk's rows);
+    // the transparent index inverts the failure mode: a chunk MISSING
+    // from the zone table is kept unconditionally, so reading through
+    // yesterday's zone snapshot after today's appends is safe — the
+    // scan just prunes less until the zones catch up.
+    val dataDir = Files.createTempDirectory("tzprune-data").toString
+    val zroot = Files.createTempDirectory("tzprune-zones").toString
+    val ck = Files.createTempDirectory("tzprune-ck").toString
+    val base = spark.range(0, 800).select(col("id"),
+      format_string("c%03d", expr("id div 100")).as("chunk"))
+    graft.ops.Layout.writeClustered(base, dataDir, "chunk")
+    base.groupBy("chunk").agg(min("id").as("mn_id"), max("id").as("mx_id"))
+      .coalesce(1).write.parquet(s"$zroot/v=0")
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("id", "chunk")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("chunk").parquet(dataDir)
+      }.start()
+    in.addData((250L, "c009")) // a mid-range id lands in a NEW chunk
+    q.processAllAvailable(); q.stop()
+    // read through the STALE v=0 zones — c009 has no envelope row
+    val stale = spark.read.parquet(s"$zroot/v=0")
+    val r = graft.ops.Layout.zoneMapRead(spark, dataDir, stale, "chunk", Seq("id"))
+      .filter(col("id").between(200, 320))
+    val got = r.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = spark.read.parquet(dataDir).filter(col("id").between(200, 320))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, "stale zones must not drop the streamed row")
+    assert(got.count(_ == 250L) == 2, "the new chunk's row must be visible")
+    // and the stale zones still pruned the chunks they DO know:
+    // c002, c003 survive their envelopes; c009 is kept by absence —
+    // 3 scanned of 9 listed dirs
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case qe: QueryStageExec => fileScans(qe.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    r.collect()
+    val scanned = fileScans(r.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    val total = spark.read.parquet(dataDir).inputFiles.length.toLong
+    assert(scanned < total,
+      s"stale zones should still prune known chunks: $scanned of $total")
+    // once the zones catch up (one maintainZoneMap merge), the new
+    // chunk prunes like any other — fresh zones, tighter scan
+    val fresh = graft.ops.TableOps.maintainZoneMap(stale,
+      Seq((250L, "c009")).toDF("id", "chunk").groupBy("chunk")
+        .agg(min("id").as("mn_id"), max("id").as("mx_id")),
+      Seq("chunk"), Seq("mn_id"), Seq("mx_id"))
+    val r2 = graft.ops.Layout.zoneMapRead(spark, dataDir, fresh, "chunk", Seq("id"))
+      .filter(col("id").between(400, 450))
+    assert(r2.count() ==
+      spark.read.parquet(dataDir).filter(col("id").between(400, 450)).count())
+    r2.collect()
+    val scanned2 = fileScans(r2.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned2 <= 1L,
+      s"fresh zones must prune the caught-up chunk too: scanned $scanned2")
+  }
+
   // ---------------------------------------------------------------- T20
   /** Deterministic beam search over a committed (vectors, adj)
     * snapshot: entry = min vid, 3 expansion rounds at beam 2, ties by
