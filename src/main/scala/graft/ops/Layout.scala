@@ -201,17 +201,14 @@ object Layout {
                              hi: Option[Any]) {
     require(lo.isDefined || hi.isDefined,
       s"RangeSpec($column): at least one bound required")
-    /** Exact row predicate over the data column. */
+    /** Exact row predicate over the data column. The envelope test is
+      * NOT derived here anymore — [[prunedRead]] routes this residual
+      * through the [[graft.plans.TransparentZoneMapFileIndex]], which
+      * re-derives the chunk-intersection test from the PUSHED form of
+      * this very predicate, so the two can never diverge. */
     def residual: Column =
       (lo.map(v => col(column) >= lit(v)) ++
         hi.map(v => col(column) <= lit(v))).reduce(_ && _)
-    /** Envelope-intersection predicate over the zone table's
-      * `mn_<column>` / `mx_<column>` pair (the [[TableOps.readMinMax]]
-      * naming convention): a chunk survives iff its envelope
-      * intersects `[lo, hi]`. */
-    def zonePred: Column =
-      (lo.map(v => col(s"mx_$column") >= lit(v)) ++
-        hi.map(v => col(s"mn_$column") <= lit(v))).reduce(_ && _)
   }
   object RangeSpec {
     def between(column: String, lo: Any, hi: Any): RangeSpec =
@@ -233,40 +230,34 @@ object Layout {
     * predicate inconsistent with the residual cannot be written (the
     * silent-row-drop footgun the dual-predicate form carried).
     *
-    * The zone resolution is a PLANNING-TIME action over the
+    * The zone resolution is a PLANNING-TIME step over the
     * chunk-count-bounded metadata table — the manifest-pruning step
     * every lakehouse reader (Delta/Iceberg data skipping) runs before
-    * touching data. The surviving set feeds a
-    * [[graft.plans.ZoneMapFileIndex]], Spark's own planning seam for
-    * file listing: pruned chunk directories never reach the parquet
-    * reader (PlanContractSpec pins the EXECUTED scan's `numFiles` <
-    * total), and the query plan carries NO chunk-id literal list — at
-    * 10⁶ chunks the survivors are driver-side planning metadata (where
-    * Delta keeps its manifest), not a 10⁶-element IN-expression.
+    * touching data. The envelopes feed a
+    * [[graft.plans.TransparentZoneMapFileIndex]], Spark's own planning
+    * seam for file listing: the residual's PUSHED conjuncts intersect
+    * the envelopes there, pruned chunk directories never reach the
+    * parquet reader (PlanContractSpec pins the EXECUTED scan's
+    * `numFiles` < total), and the query plan carries NO chunk-id
+    * literal list — at 10⁶ chunks the envelopes are driver-side
+    * planning metadata (where Delta keeps its manifest), not a
+    * 10⁶-element IN-expression.
     *
     * Correctness does not depend on the envelopes being TIGHT — stale
     * (q103-loosened) bounds only scan extra chunks; the residual keeps
     * the row set exact either way. An all-NULL chunk envelope is
-    * skipped, consistently: its rows fail the range residual too. A
-    * zone table that MISSES a chunk, however, silently drops its rows:
-    * completeness of the zone table is the maintenance contract
-    * ([[TableOps.maintainZoneMap]] merges every batch's chunks in). */
+    * skipped, consistently: its rows fail the range residual too. And
+    * since round 14 this form IS the transparent reader in explicit
+    * clothing — [[zoneMapRead]] under the residual filters — so a zone
+    * table that misses a chunk KEEPS it (rows survive, skipping
+    * loosens) instead of silently dropping its rows; the completeness
+    * contract became a tightness optimization. Non-numeric/temporal
+    * bound types prune nothing (conservative) but stay exact. */
   def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
                  zones: DataFrame, chunkCol: String,
                  preds: Seq[RangeSpec]): DataFrame = {
     require(preds.nonEmpty, "prunedRead needs at least one RangeSpec")
-    preds.foreach { p =>
-      require(zones.columns.contains(s"mn_${p.column}") &&
-        zones.columns.contains(s"mx_${p.column}"),
-        s"zone table has no (mn_${p.column}, mx_${p.column}) envelope " +
-          s"— zone columns: ${zones.columns.mkString(", ")}")
-    }
-    val keep = zones.filter(preds.map(_.zonePred).reduce(_ && _))
-      .select(col(chunkCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val inner = graft.plans.ZoneMapFileIndex.listing(spark, path)
-    val zidx = new graft.plans.ZoneMapFileIndex(inner, chunkCol, keep)
-    relationOver(spark, path, zidx)
+    zoneMapRead(spark, path, zones, chunkCol, preds.map(_.column).distinct)
       .filter(preds.map(_.residual).reduce(_ && _))
   }
 

@@ -1275,8 +1275,10 @@ class StreamingTckSpec extends AnyFunSuite {
       .map(_.getName.stripPrefix("v=").toLong).max
     val zones = spark.read.parquet(s"$zroot/v=$vN")
     // probe [200, 320]: base chunks c002/c003 PLUS the streamed c009
-    // (its maintained envelope [250, 901] intersects) — a reader using
-    // the STALE v=0 zones would silently drop row 250
+    // (its maintained envelope [250, 901] intersects). Since round 14
+    // stale zones only LOOSEN skipping (T25 pins that); what the
+    // MAINTAINED zones buy here is the new chunk pruning correctly
+    // once its envelope is known — completeness became tightness
     val pruned = graft.ops.Layout.prunedRead(spark, dataDir, zones, "chunk",
       Seq(graft.ops.Layout.RangeSpec.between("id", 200L, 320L)))
     val full = spark.read.parquet(dataDir).filter(col("id").between(200, 320))
