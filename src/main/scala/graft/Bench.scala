@@ -61,7 +61,7 @@ object Bench {
     "l3_ann_compact", "l2_incremental_delete", "l3_ann_delete",
     "l4_classifier_train", "l4_bm25", "l4_bm25_maintain", "l5_video_header",
     "q125_mv_topk_delete", "l4_bm25_incremental", "l6_cascade_delete",
-    "q126_zonemap_transparent_read")
+    "q126_zonemap_transparent_read", "l6_cascade_insert")
 
   /** 1-minute system load average, -1.0 where the platform can't say.
     * Recorded at both ends of the run so the record SELF-ADJUDICATES:

@@ -38,7 +38,8 @@ object Sf1Ledger {
     "q121_zonemap_pruned_read", "l3_ann_compact",
     "l2_incremental_delete", "l3_ann_delete",
     // round-14's own cells
-    "l6_cascade_delete", "l4_bm25_incremental", "q125_mv_topk_delete")
+    "l6_cascade_delete", "l4_bm25_incremental", "q125_mv_topk_delete",
+    "l6_cascade_insert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -1743,19 +1743,20 @@ object CorpusOps {
     cur.select(col("vec_id"), col("xs").as("corrected"))
   }
 
-  /** One corpus-wide cascade delete's repaired artifacts + funnel —
-    * the [[deleteDocuments]] result. Each member is the post-delete
-    * maintained state, equal to that artifact rebuilt from the
-    * post-delete corpus (the per-family gates: q118 runner-ups for
-    * exact keepers, l2_incremental_delete for clusters, l3_ann_delete
-    * for the index, l4_bm25_maintain for the stats). `funnel` carries
-    * one accounting row per artifact: (k = artifact, x = rows after,
-    * y = delete-list size applied). */
-  final case class CascadeDeleteResult(exactKeepers: DataFrame,
-                                       clusters: DataFrame,
-                                       annIndex: DataFrame,
-                                       bm25Stats: DataFrame,
-                                       funnel: DataFrame)
+  /** One corpus-wide cascade's repaired artifacts + funnel — the
+    * [[deleteDocuments]] / [[ingestDocuments]] result. Each member is
+    * the post-batch maintained state, equal to that artifact rebuilt
+    * from the post-batch corpus (the per-family gates: q118
+    * runner-ups for exact keepers, l2_incremental_clusters/_delete
+    * for clusters, the l3_ann family for the index, l4_bm25_maintain
+    * for the stats). `funnel` carries one accounting row per
+    * artifact: (k = artifact, x = rows after, y = batch size
+    * applied). */
+  final case class CascadeResult(exactKeepers: DataFrame,
+                                 clusters: DataFrame,
+                                 annIndex: DataFrame,
+                                 bm25Stats: DataFrame,
+                                 funnel: DataFrame)
 
   /** Signed BM25 statistics rows for `docs` — the l4_bm25_maintain
     * row convention: one ('len', '*', doc length) row per doc plus
@@ -1811,7 +1812,7 @@ object CorpusOps {
                       annAssign: DataFrame, vectors: DataFrame,
                       bm25Stats: DataFrame, terms: Seq[String],
                       annK: Int = 5)
-                     (implicit scope: CacheScope): CascadeDeleteResult = {
+                     (implicit scope: CacheScope): CascadeResult = {
     import graft.functions.VectorExprs.{vec_dot, vec_norm}
     val del = scope.cached(
       delIds.select(col(delIds.columns.head).cast("long").as("doc_id")))
@@ -1863,6 +1864,101 @@ object CorpusOps {
       .unionByName(frow("bm25", bm25After))
       .unionByName(frow("cluster", clustersAfter))
       .unionByName(frow("exact", exactAfter))
-    CascadeDeleteResult(exactAfter, clustersAfter, annAfter, bm25After, funnel)
+    CascadeResult(exactAfter, clustersAfter, annAfter, bm25After, funnel)
+  }
+
+  /** CORPUS-WIDE CASCADE INGEST — [[deleteDocuments]]'s mirror, the
+    * other half of the operational lifecycle: ONE new-document batch
+    * updates every maintained artifact through its incremental path,
+    * never a rebuild:
+    *
+    *  - exact-dup keepers: only the content-hash groups the batch
+    *    touches recompute (stored members of touched groups + the
+    *    batch rows — one semi probe of the membership aux); a batch
+    *    hash never seen before just opens a new group.
+    *  - near-dup clusters: [[incrementalClusters]] over the
+    *    batch-internal and batch-vs-corpus pair sets (both
+    *    candidate-bounded; corpus-vs-corpus never recomputed).
+    *  - ANN index: the FROZEN quantizer assigns the batch (batch ×
+    *    centroids, batch-sized); new nodes get lists from their probe
+    *    cells; the only STORED nodes re-ranked are those whose probe
+    *    list contains a cell a new vector landed in — a stored node's
+    *    candidate set changes in no other way, so everyone else
+    *    passes through untouched and maintained == rebuilt exactly.
+    *  - BM25 stats: the batch's +1 stat rows through
+    *    [[TableOps.maintainAggCounted]].
+    *
+    * `cents` is the frozen quantizer's (cid, embedding) table — a
+    * real index persists its centroids; re-deriving them from the
+    * grown corpus would be a retrain, i.e. a rebuild. Batch doc/vec
+    * ids must be disjoint from the stored ids (the
+    * [[nearDupPairsAgainst]] contract). */
+  def ingestDocuments(batch: DataFrame, docs: DataFrame,
+                      exactAux: DataFrame, exactKeepers: DataFrame,
+                      clusters: DataFrame,
+                      annIndex: DataFrame, annProbes: DataFrame,
+                      annAssign: DataFrame, vectors: DataFrame,
+                      batchVectors: DataFrame, cents: DataFrame,
+                      bm25Stats: DataFrame, terms: Seq[String],
+                      annK: Int = 5, probeK: Int = 4)
+                     (implicit scope: CacheScope): CascadeResult = {
+    import graft.functions.VectorExprs.{vec_dot, vec_norm}
+    val bdocs = scope.cached(batch.select(col("doc_id"), col("text")))
+    // 1. exact-dup keepers — touched-group-bounded
+    val batchAux = bdocs.select(sha2(col("text"), 256).as("h"), col("doc_id"))
+    val touchedH = batchAux.select("h").distinct()
+    val recomputed = exactAux.join(touchedH, Seq("h"), "left_semi")
+      .unionByName(batchAux)
+      .groupBy("h").agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+    val exactAfter = scope.cached(
+      exactKeepers.join(touchedH, Seq("h"), "left_anti")
+        .unionByName(recomputed))
+    // 2. near-dup clusters — candidate-bounded pair deltas
+    val clustersAfter = scope.cached(incrementalClusters(clusters,
+      nearDupPairs(bdocs), nearDupPairsAgainst(docs, bdocs)))
+    // 3. ANN index — frozen-quantizer assignment + affected re-rank
+    def cos(a: Column, b: Column) = vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+    def vid2(df: DataFrame, as: String, vas: String): DataFrame =
+      df.select(col(df.columns.head).as(as), col(df.columns(1)).as(vas))
+    val wA = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
+    val batchCd = scope.cached(vid2(batchVectors, "vid", "ve")
+      .crossJoin(broadcast(vid2(cents, "cid", "qe")))
+      .withColumn("simr", round(cos(col("qe"), col("ve")), 6))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") <= probeK)
+      .select("vid", "cid", "rn"))
+    val batchAssign = batchCd.filter(col("rn") === 1).select("vid", "cid")
+    val assignAll = annAssign.unionByName(batchAssign)
+    val vecsAll = vid2(vectors, "vec_id", "embedding")
+      .unionByName(vid2(batchVectors, "vec_id", "embedding"))
+    val affected = annProbes
+      .join(batchAssign.select("cid").distinct(), Seq("cid"), "left_semi")
+      .select("qid").distinct()
+    val kept = annIndex.join(affected, Seq("qid"), "left_anti")
+    val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+    def lists(probes: DataFrame): DataFrame = probes
+      .join(assignAll, "cid").filter(col("vid") =!= col("qid"))
+      .select("qid", "vid")
+      .join(vecsAll.select(col("vec_id").as("qid"), col("embedding").as("_qe")), "qid")
+      .join(vecsAll.select(col("vec_id").as("vid"), col("embedding").as("_ve")), "vid")
+      .select(col("qid"), col("vid"),
+        round(cos(col("_qe"), col("_ve")), 6).as("simr"))
+      .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= annK)
+      .select("qid", "rn", "vid", "simr")
+    val rer = lists(annProbes.join(affected, Seq("qid"), "left_semi"))
+    val fresh = lists(batchCd.select(col("vid").as("qid"), col("cid")))
+    val annAfter = scope.cached(kept.unionByName(rer).unionByName(fresh))
+    // 4. BM25 stats — the batch's +1 rows
+    val bm25After = scope.cached(TableOps.maintainAggCounted(bm25Stats,
+      bm25StatRows(bdocs, terms, 1), keys = Seq("stat", "k"), sumCols = Seq("v")))
+    // funnel — lazy per-artifact accounting
+    val nIns = bdocs.agg(count(lit(1)).as("y"))
+    def frow(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("x")).crossJoin(broadcast(nIns))
+        .select(lit(name).as("k"), col("x"), col("y"))
+    val funnel = frow("ann", annAfter)
+      .unionByName(frow("bm25", bm25After))
+      .unionByName(frow("cluster", clustersAfter))
+      .unionByName(frow("exact", exactAfter))
+    CascadeResult(exactAfter, clustersAfter, annAfter, bm25After, funnel)
   }
 }

@@ -5668,6 +5668,146 @@ object Llm {
             |  (SELECT y FROM ndel), CAST(NULL AS BIGINT)
             |) ORDER BY artifact, k, x, y, z""".stripMargin))
 
+  // CORPUS-WIDE CASCADE INGEST (l6_cascade_insert): the lifecycle
+  // mirror of l6_cascade_delete — ONE new-document batch (doc_id %
+  // 10 = 0, the l2_incremental_clusters split) updates every
+  // maintained artifact through its incremental path
+  // (CorpusOps.ingestDocuments): touched-hash-group keeper recompute,
+  // incrementalClusters over the candidate-bounded pair deltas, the
+  // frozen-quantizer ANN assignment with the affected-stored-node
+  // re-rank (a stored node's candidate set changes ONLY when a new
+  // vector lands in one of its probe cells), and the batch's +1 BM25
+  // stat rows. ORACLE = every artifact rebuilt over the FULL corpus —
+  // the jaccard closure over all pairs, the kNN chain with nlist and
+  // centroids FROZEN on the stored subset, sha groups and df/N/Σdl
+  // over everything. Output shape shared with l6_cascade_delete.
+  private val l6cascadeInsert = QueryDef(
+    "l6_cascade_insert",
+    (s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
+      val docsAll = t(s, dir, "documents")
+      val stored = docsAll.filter(col("doc_id") % 10 =!= 0)
+      val batch = docsAll.filter(col("doc_id") % 10 === 0)
+      val exactAux = stored.select(sha2(col("text"), 256).as("h"), col("doc_id"))
+      val exactKeepers = exactAux.groupBy("h")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+      val clusters = graft.ops.CorpusOps.dupClusters(
+        cached(jaccardPairsOf(stored)))
+      // the stored ANN index + frozen quantizer (centroids persist)
+      val eAll = t(s, dir, "embeddings")
+      val e = eAll.filter(col("vec_id") % 10 =!= 0)
+        .select("vec_id", "embedding")
+      val be = eAll.filter(col("vec_id") % 10 === 0)
+        .select("vec_id", "embedding")
+      val nlist = broadcast(e.agg(
+        greatest(lit(32L), ceil(sqrt(count(lit(1)))).cast("long")).as("nlist")))
+      val cents = e.crossJoin(nlist).filter(col("vec_id") < col("nlist"))
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val wA = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
+      val cdTop = cached(e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+        .crossJoin(broadcast(cents.select(col("cid"), col("embedding").as("qe"))))
+        .withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= 4)
+        .select("vid", "cid", "rn"))
+      val assign = cdTop.filter(col("rn") === 1).select("vid", "cid")
+      val probes = cdTop.select(col("vid").as("qid"), col("cid"))
+      val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+      val g = cached(
+        probes.join(assign, "cid").filter(col("vid") =!= col("qid"))
+          .select("qid", "vid")
+          .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe2")), "qid")
+          .join(e.select(col("vec_id").as("vid"), col("embedding").as("ve2")), "vid")
+          .select(col("qid"), col("vid"),
+            round(cosSim(col("qe2"), col("ve2")), 6).as("simr"))
+          .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 5)
+          .select("qid", "rn", "vid", "simr"))
+      val terms = Seq("table", "scan", "join", "merge")
+      val statsMv = graft.ops.CorpusOps.bm25StatRows(stored, terms, 1)
+        .groupBy("stat", "k").agg(sum("v").as("v"), count(lit(1)).as("cnt"))
+      // ---- ONE call ingests the batch into every artifact ----
+      val res = graft.ops.CorpusOps.ingestDocuments(batch, stored,
+        exactAux, exactKeepers, clusters,
+        g, probes, assign, e, be, cents, statsMv, terms)
+      val nullS = lit(null).cast("string")
+      val nullL = lit(null).cast("long")
+      res.exactKeepers.select(lit("exact").as("artifact"), col("h").as("k"),
+          col("keeper").as("x"), col("n_dups").as("y"), nullL.as("z"))
+        .unionByName(res.clusters.select(lit("cluster").as("artifact"),
+          nullS.as("k"), col("cluster_id").as("x"), col("doc_id").as("y"),
+          col("cluster_size").as("z")))
+        .unionByName(res.annIndex.select(lit("ann").as("artifact"),
+          nullS.as("k"), col("qid").as("x"), col("rn").cast("long").as("y"),
+          col("vid").as("z")))
+        .unionByName(res.bm25Stats.select(lit("bm25").as("artifact"),
+          when(col("stat") === "len", lit("len")).otherwise(col("k")).as("k"),
+          col("v").as("x"), col("cnt").as("y"), nullL.as("z")))
+        .unionByName(res.funnel.select(lit("funnel").as("artifact"),
+          col("k"), col("x"), col("y"), nullL.as("z")))
+        .orderBy("artifact", "k", "x", "y", "z")
+    },
+    Some(s"""WITH RECURSIVE $jaccardPairsCte,
+            |eg AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2 AS a, d1 AS b FROM pairs),
+            |reach AS (SELECT a, b FROM eg
+            |  UNION SELECT r.a AS a, eg.b AS b FROM reach r JOIN eg ON eg.a = r.b),
+            |comp AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+            |clus AS (SELECT cluster_id, doc_id,
+            |         count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM comp),
+            |ex AS (SELECT sha256(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n
+            |       FROM documents GROUP BY sha256(text)),
+            |sv AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            |bdf AS (SELECT term AS k, count(*) AS v, count(*) AS cnt FROM (
+            |    SELECT doc_id, unnest(list_distinct(list_filter(ws,
+            |      w -> list_contains(['table','scan','join','merge'], w)))) AS term
+            |    FROM sv) GROUP BY term),
+            |blen AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS v, count(*) AS cnt FROM sv),
+            |vx AS (SELECT vec_id, unnest(embedding) AS e,
+            |         generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+            |vn AS (SELECT vec_id, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
+            |       FROM vx GROUP BY vec_id),
+            |nl AS (SELECT GREATEST(32, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS nlist
+            |       FROM embeddings WHERE vec_id % 10 <> 0),
+            |cd AS (SELECT xv.vec_id AS vid, xc.vec_id AS cid,
+            |              round(SUM(CAST(xv.e AS DOUBLE) * CAST(xc.e AS DOUBLE))
+            |                    / (nv.nrm * nc.nrm), 6) AS simr
+            |       FROM vx xv JOIN vx xc ON xc.d = xv.d
+            |         AND xc.vec_id % 10 <> 0
+            |         AND xc.vec_id < (SELECT nlist FROM nl)
+            |       JOIN vn nv ON nv.vec_id = xv.vec_id
+            |       JOIN vn nc ON nc.vec_id = xc.vec_id
+            |       GROUP BY xv.vec_id, xc.vec_id, nv.nrm, nc.nrm),
+            |r0 AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY simr DESC, cid) AS rn
+            |       FROM cd),
+            |vassign AS (SELECT vid, cid FROM r0 WHERE rn = 1),
+            |vprobes AS (SELECT vid AS qid, cid FROM r0 WHERE rn <= 4),
+            |acand AS (SELECT p.qid, a.vid FROM vprobes p JOIN vassign a ON a.cid = p.cid
+            |          WHERE a.vid != p.qid),
+            |dp AS (SELECT qid, vid, SUM(CAST(xa.e AS DOUBLE) * CAST(xb.e AS DOUBLE)) AS dot
+            |       FROM acand JOIN vx xa ON xa.vec_id = qid
+            |       JOIN vx xb ON xb.vec_id = vid AND xb.d = xa.d
+            |       GROUP BY qid, vid),
+            |sdf AS (SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS simr
+            |        FROM dp JOIN vn na ON na.vec_id = qid JOIN vn nb ON nb.vec_id = vid),
+            |rr AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+            |       FROM sdf),
+            |ann AS (SELECT qid, rn, vid FROM rr WHERE rn <= 5),
+            |nins AS (SELECT count(*) AS y FROM documents WHERE doc_id % 10 = 0)
+            |SELECT * FROM (
+            |SELECT 'ann' AS artifact, CAST(NULL AS VARCHAR) AS k, qid AS x, rn AS y, vid AS z FROM ann
+            |UNION ALL SELECT 'bm25', k, v, cnt, CAST(NULL AS BIGINT) FROM bdf
+            |UNION ALL SELECT 'bm25', 'len', v, cnt, CAST(NULL AS BIGINT) FROM blen
+            |UNION ALL SELECT 'cluster', CAST(NULL AS VARCHAR), cluster_id, doc_id, cluster_size FROM clus
+            |UNION ALL SELECT 'exact', h, keeper, n, CAST(NULL AS BIGINT) FROM ex
+            |UNION ALL SELECT 'funnel', 'ann', (SELECT count(*) FROM ann),
+            |  (SELECT y FROM nins), CAST(NULL AS BIGINT)
+            |UNION ALL SELECT 'funnel', 'bm25', (SELECT count(*) FROM bdf) + 1,
+            |  (SELECT y FROM nins), CAST(NULL AS BIGINT)
+            |UNION ALL SELECT 'funnel', 'cluster', (SELECT count(*) FROM clus),
+            |  (SELECT y FROM nins), CAST(NULL AS BIGINT)
+            |UNION ALL SELECT 'funnel', 'exact', (SELECT count(*) FROM ex),
+            |  (SELECT y FROM nins), CAST(NULL AS BIGINT)
+            |) ORDER BY artifact, k, x, y, z""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2contain, l2sweep, l2clusters, l2incrClusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3recall, l3sweep, l3ivf, l3ivfKmeans, l3quant,
     l3semdedup, l3pq, l3pqTrained, l3ivfpq, l4lang, l4quality, l4tokens, l4tfidf, l4lm, l4kn, l4fp, l4winnow,
@@ -5681,5 +5821,5 @@ object Llm {
     l4bpeBatch, l3incr, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
     l4ug, l4ugEnc, l3graphSearch, l3hnsw, l3hnswIncr, l3annCompact,
     l2incrDelete, l3annDelete, l4classifierTrain, l4bm25, l4bm25Maintain,
-    l4bm25Incremental, l6cascadeDelete, l5video)
+    l4bm25Incremental, l6cascadeDelete, l6cascadeInsert, l5video)
 }

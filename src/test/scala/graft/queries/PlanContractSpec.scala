@@ -497,6 +497,9 @@ class PlanContractSpec extends AnyFunSuite {
       "l6_cascade_delete", // builds jaccard pairs + dupClusters and
       // repairs clusters through removeFromClusters — the
       // l2_incremental_delete exemption class composed
+      "l6_cascade_insert", // the mirror: stored dupClusters build +
+      // incrementalClusters delta rounds (the l2_incremental_clusters
+      // class composed)
       "q44_pagerank", "q46_ppr", "q47_pagerank_weighted",
       "q76_pagerank_incr", // GraphOps lineage-cuts
       "q48_components", "q49_bfs", "q56_sssp", "q57_kcore", "q50_triangles",
