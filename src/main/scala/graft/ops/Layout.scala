@@ -292,29 +292,45 @@ object Layout {
     * dropping rows — strictly safer than the explicit
     * [[prunedRead]] contract), and the pushed predicates still
     * re-filter every surviving row, so the row set is exact under any
-    * envelope state. Non-numeric envelope columns are ignored. */
+    * envelope state. Numeric, temporal, AND string envelope columns
+    * prune (strings in UTF8 binary order — Spark's own default
+    * string comparison); anything else is ignored. */
   def zoneMapRead(spark: org.apache.spark.sql.SparkSession, path: String,
                   zones: DataFrame, chunkCol: String,
                   cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "zoneMapRead needs at least one envelope column")
+    val env = collectEnvelopes(zones, chunkCol, cols, "zoneMapRead")
+    val inner = graft.plans.ZoneMapFileIndex.listing(spark, path)
+    relationOver(spark, path,
+      new graft.plans.TransparentZoneMapFileIndex(inner, Some(chunkCol), env))
+  }
+
+  /** Collect a zone table into the index's driver-side envelope map
+    * (key → column → (mn, mx)) — chunk-count- or file-count-bounded
+    * metadata, the one deliberate driver action of the reader family.
+    * A NULL envelope value means the column is all-NULL in that unit
+    * (None bound → the index may DROP under a range conjunct); a
+    * non-null value outside the comparable domain (NaN, binary, …)
+    * must instead OMIT the column — "no envelope known" — or a wrong
+    * drop could follow from a type, not from data. A NULL unit key is
+    * unaddressable and its row is skipped (the index keeps unaddressed
+    * units anyway). */
+  private def collectEnvelopes(zones: DataFrame, keyCol: String,
+                               cols: Seq[String], what: String)
+    : Map[String, graft.plans.ZoneMapFileIndex.ColEnv] = {
+    require(cols.nonEmpty, s"$what needs at least one envelope column")
     cols.foreach { c =>
       require(zones.columns.contains(s"mn_$c") && zones.columns.contains(s"mx_$c"),
         s"zone table has no (mn_$c, mx_$c) envelope — zone columns: " +
           zones.columns.mkString(", "))
     }
     val rows = zones.select(
-      col(chunkCol).cast("string").as("_ck") +:
+      col(keyCol).cast("string").as("_ck") +:
         cols.flatMap(c => Seq(col(s"mn_$c"), col(s"mx_$c"))): _*).collect()
-    // a NULL envelope value means the column is all-NULL in that chunk
-    // (None bound → the index may DROP under a range conjunct); a
-    // non-null value we cannot compare numerically (string, NaN) must
-    // instead OMIT the column — "no envelope known" — or a wrong drop
-    // could follow from a type, not from data
-    def bound(v: Any): Either[Unit, Option[java.math.BigDecimal]] =
+    def bound(v: Any): Either[Unit, Option[graft.plans.ZBound]] =
       if (v == null) Right(None)
-      else graft.plans.ZoneMapFileIndex.toBigDecimal(v)
+      else graft.plans.ZBound.of(v)
         .map(b => Right(Some(b))).getOrElse(Left(()))
-    val env = rows.map { r =>
+    rows.filter(!_.isNullAt(0)).map { r =>
       val perCol = cols.zipWithIndex.flatMap { case (c, i) =>
         (bound(r.get(1 + 2 * i)), bound(r.get(2 + 2 * i))) match {
           case (Right(mn), Right(mx)) => Some(c -> (mn, mx))
@@ -323,9 +339,40 @@ object Layout {
       }.toMap
       r.getString(0) -> perCol
     }.toMap
+  }
+
+  /** Per-FILE zone table of a parquet table — min/max envelopes keyed
+    * by file NAME (the `_metadata.file_name` hidden column, unique
+    * within a table), the footer-stats image real lakehouse skipping
+    * works from. One scan builds it; [[zoneMapReadFiles]] consumes it.
+    * File-count-bounded output (a 100 TB table at 1 GB files is 10⁵
+    * rows — metadata-sized). */
+  def fileZones(spark: org.apache.spark.sql.SparkSession, path: String,
+                cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fileZones needs at least one envelope column")
+    val aggs = cols.flatMap(c => Seq(min(c).as(s"mn_$c"), max(c).as(s"mx_$c")))
+    spark.read.parquet(path)
+      .groupBy(col("_metadata.file_name").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[zoneMapRead]] at FILE granularity over a PLAIN (unpartitioned)
+    * parquet table — no layout contract needed: `zones` carries one
+    * row per FILE (`fileCol` = file name, the [[fileZones]]
+    * convention), and the returned DataFrame's scan drops
+    * non-intersecting FILES from the listing when the query's own
+    * pushed predicates exclude their envelopes. This is exactly how
+    * Delta/Iceberg skip over footer stats — per file, no partitioning
+    * required. The same conservative contract as [[zoneMapRead]]:
+    * files missing from the zone table are kept, unrecognized
+    * predicate shapes keep everything, survivors re-filter row-exact. */
+  def zoneMapReadFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                       zones: DataFrame, fileCol: String,
+                       cols: Seq[String]): DataFrame = {
+    val env = collectEnvelopes(zones, fileCol, cols, "zoneMapReadFiles")
     val inner = graft.plans.ZoneMapFileIndex.listing(spark, path)
     relationOver(spark, path,
-      new graft.plans.TransparentZoneMapFileIndex(inner, chunkCol, env))
+      new graft.plans.TransparentZoneMapFileIndex(inner, None, Map.empty, env))
   }
 
   /** The q109 → OPTIMIZE loop closed: measure the layout's clustering

@@ -5,6 +5,50 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** An ORDERED zone-envelope value — the common image domain in which a
+  * chunk's (min, max) compares against a pushed literal. Two kinds:
+  *
+  *  - [[ZBound.Num]]: exact decimal, covering every numeric and
+  *    temporal type ([[ZoneMapFileIndex.toBigDecimal]] — longs beyond
+  *    2^53 never mis-round, temporal values land on Spark's own
+  *    internal scales);
+  *  - [[ZBound.Str]]: UTF8 binary order — exactly the ordering
+  *    Spark's default-collation string comparisons use, so string
+  *    min/max envelopes (the most common real zone dimension:
+  *    categories, date-formatted keys, id prefixes) prune too.
+  *
+  * Cross-kind comparison is UNDEFINED (`cmp` = None) and every
+  * consumer treats an undefined comparison as "keep the chunk" — a
+  * type confusion can only loosen skipping, never drop a row. */
+sealed trait ZBound {
+  /** Total order within a kind; None across kinds. */
+  def cmp(o: ZBound): Option[Int]
+}
+object ZBound {
+  final case class Num(b: java.math.BigDecimal) extends ZBound {
+    def cmp(o: ZBound): Option[Int] = o match {
+      case Num(b2) => Some(b.compareTo(b2))
+      case _ => None
+    }
+  }
+  final case class Str(s: UTF8String) extends ZBound {
+    def cmp(o: ZBound): Option[Int] = o match {
+      case Str(s2) => Some(Integer.signum(s.compareTo(s2)))
+      case _ => None
+    }
+  }
+  /** Image a JVM or Catalyst-internal value; None for NULL, NaN,
+    * infinities, and unsupported types (→ "no bound known", treated
+    * conservatively everywhere). */
+  def of(v: Any): Option[ZBound] = v match {
+    case null => None
+    case s: String => Some(Str(UTF8String.fromString(s)))
+    case u: UTF8String => Some(Str(u))
+    case other => ZoneMapFileIndex.toBigDecimal(other).map(Num.apply)
+  }
+}
 
 /** Companion utilities for the zone-map [[FileIndex]] family. The
   * round-13 keep-set index (an eagerly-resolved surviving-chunk set)
@@ -23,6 +67,13 @@ object ZoneMapFileIndex {
     * comparison means a long beyond 2^53 can never be mis-rounded
     * into a wrong pruning decision.
     *
+    * A Float images as its EXACT double value (`f.toDouble` is exact;
+    * both float-vs-float and cast-to-double comparisons then share
+    * one monotone image) — imaging via the float's own shortest
+    * decimal would sit BELOW the exact double for values like 0.1f,
+    * and a pushed double literal between the two would wrongly DROP
+    * a chunk holding matching rows.
+    *
     * Temporal values land on SPARK'S OWN internal scales, so a zone
     * envelope collected as external objects compares correctly
     * against the Int/Long a Catalyst `Literal` carries: DateType is
@@ -36,7 +87,7 @@ object ZoneMapFileIndex {
     case i: Int => Some(java.math.BigDecimal.valueOf(i.toLong))
     case l: Long => Some(java.math.BigDecimal.valueOf(l))
     case f: Float if !f.isNaN && !f.isInfinite =>
-      Some(new java.math.BigDecimal(f.toString))
+      Some(java.math.BigDecimal.valueOf(f.toDouble))
     case d: Double if !d.isNaN && !d.isInfinite =>
       Some(java.math.BigDecimal.valueOf(d))
     case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
@@ -61,6 +112,12 @@ object ZoneMapFileIndex {
           i.getNano / 1000L)))
     case _ => None
   }
+
+  /** column → (mn, mx) envelope of one chunk or file. A `None` bound
+    * records that the column is ALL-NULL there (a range conjunct
+    * rejects NULL rows, so the unit may drop); a column absent from
+    * the map constrains nothing. */
+  type ColEnv = Map[String, (Option[ZBound], Option[ZBound])]
 }
 
 /** TRANSPARENT zone-map pruning — the full lakehouse reader seam:
@@ -70,55 +127,90 @@ object ZoneMapFileIndex {
   * non-partition-column conjuncts of the query's WHERE clause) when it
   * lists files; Delta's and Iceberg's data skipping live exactly here.
   * This index intersects each recognized range conjunct with the
-  * chunk envelopes and drops non-intersecting chunk directories at
-  * listing time — so `df.filter(...)`, `spark.sql("... WHERE ...")`
-  * over a temp view, ANY downstream predicate on an envelope-covered
-  * column prunes I/O with no zone-aware code at the call site.
+  * envelopes and drops non-intersecting units at listing time — whole
+  * chunk DIRECTORIES of a [[graft.ops.Layout.writeClustered]] table
+  * (when `chunkCol` is set and `envelopes` non-empty), and individual
+  * FILES within surviving directories (when `fileEnvelopes` is
+  * non-empty — footer-stat-granularity skipping over a PLAIN,
+  * unpartitioned table needs no layout contract at all). So
+  * `df.filter(...)`, `spark.sql("... WHERE ...")` over a temp view,
+  * ANY downstream predicate on an envelope-covered column prunes I/O
+  * with no zone-aware code at the call site.
   *
   * Pruning is CONSERVATIVE by construction — it only ever drops a
-  * chunk that provably cannot satisfy a conjunct, and keeps
+  * unit that provably cannot satisfy a conjunct, and keeps
   * everything it does not understand:
   *  - recognized shapes: `a < v`, `a <= v`, `a > v`, `a >= v`,
-  *    `a = v`, the literal-first flips, `And` recursion, and a
+  *    `a = v`, the literal-first flips, `And` recursion, `In`/`InSet`
+  *    by value hull, `Or` by per-column UNION hull (only columns
+  *    bounded in BOTH arms constrain — still conservative), and a
   *    monotone numeric `Cast` around the attribute (Catalyst inserts
   *    those for literal-type promotion);
-  *  - `Or`, `Not`, `In`, UDFs, column-column comparisons → ignored
-  *    (chunk kept);
-  *  - comparisons evaluate in BigDecimal, so a long beyond 2^53 can
-  *    never be mis-rounded into a wrong DROP;
-  *  - a chunk whose envelope is NULL for a constrained column is
+  *  - `Not`, UDFs, column-column comparisons, non-binary-collated
+  *    string columns → ignored (unit kept);
+  *  - numeric comparisons evaluate in BigDecimal and strings in UTF8
+  *    binary order ([[ZBound]]); a cross-kind comparison is undefined
+  *    and KEEPS;
+  *  - a unit whose envelope is NULL for a constrained column is
   *    dropped: a NULL envelope means every row is NULL there, and a
   *    range conjunct rejects NULL rows anyway;
-  *  - columns without an envelope constrain nothing.
+  *  - a chunk directory whose PARTITION VALUE is NULL (hive's
+  *    `__HIVE_DEFAULT_PARTITION__`) is KEPT unconditionally — it is
+  *    a chunk the zone table cannot address, exactly the
+  *    missing-zone-row case;
+  *  - columns without an envelope, and chunks/files missing from the
+  *    zone tables, constrain nothing.
   *
-  * `envelopes`: chunk id → (column → (mn, mx)), the collected
+  * The index is SNAPSHOT-BOUND (the Delta convention): the envelopes
+  * were collected against the file set at construction, so
+  * [[refresh]] THROWS — re-listing under frozen envelopes could let
+  * an append widen a chunk's true range past its stale-tight bound
+  * and silently drop the new rows. Construct a fresh reader from the
+  * latest zone snapshot instead.
+  *
+  * `envelopes`: chunk id → [[ZoneMapFileIndex.ColEnv]], the collected
   * chunk-count-bounded zone table ([[graft.ops.Layout.zoneMapRead]]
-  * builds it from the maintained zone-map view). Metadata-sized
-  * driver state — the same position Delta's manifest occupies. */
+  * builds it from the maintained zone-map view); `fileEnvelopes`:
+  * file NAME → ColEnv ([[graft.ops.Layout.zoneMapReadFiles]]). Both
+  * are metadata-sized driver state — the same position Delta's
+  * manifest occupies. */
 final class TransparentZoneMapFileIndex(
-    inner: FileIndex, chunkCol: String,
-    envelopes: Map[String, Map[String, (Option[java.math.BigDecimal], Option[java.math.BigDecimal])]])
+    inner: FileIndex, chunkCol: Option[String],
+    envelopes: Map[String, ZoneMapFileIndex.ColEnv],
+    fileEnvelopes: Map[String, ZoneMapFileIndex.ColEnv] = Map.empty)
   extends FileIndex {
 
   import org.apache.spark.sql.catalyst.expressions._
 
-  private val chunkIdx: Int = {
-    val i = inner.partitionSchema.fieldNames.indexOf(chunkCol)
-    require(i >= 0, s"TransparentZoneMapFileIndex: '$chunkCol' is not a partition " +
+  private val chunkIdx: Option[Int] = chunkCol.map { cc =>
+    val i = inner.partitionSchema.fieldNames.indexOf(cc)
+    require(i >= 0, s"TransparentZoneMapFileIndex: '$cc' is not a partition " +
       s"column (partition schema: ${inner.partitionSchema.fieldNames.mkString(", ")})")
+    require(inner.partitionSchema(i).dataType == org.apache.spark.sql.types.StringType,
+      s"TransparentZoneMapFileIndex: chunk partition column '$cc' must be " +
+        s"STRING-typed so zone-table keys match partition values exactly " +
+        s"(discovered type: ${inner.partitionSchema(i).dataType.simpleString}; " +
+        s"format chunk ids as strings at write time — Layout.writeClustered's contract)")
     i
   }
 
-  private def toBig(v: Any): Option[java.math.BigDecimal] =
-    ZoneMapFileIndex.toBigDecimal(v)
+  /** Binary-collated strings and every non-string type compare in the
+    * [[ZBound]] domain; a non-default string collation orders
+    * differently from UTF8 binary, so its predicates must not prune. */
+  private def comparableType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case st: org.apache.spark.sql.types.StringType =>
+        st == org.apache.spark.sql.types.StringType
+      case _ => true
+    }
 
   /** The attribute under an optional LOSSLESS numeric up-cast
     * (Catalyst inserts those for literal-type promotion). A lossy
     * cast — double→int truncation, say — is NOT monotone-invertible
     * against the raw-column envelope, so anything `Cast.canUpCast`
-    * rejects is left unrecognized (chunk kept). */
+    * rejects is left unrecognized (unit kept). */
   private def attrOf(e: Expression): Option[String] = e match {
-    case a: AttributeReference => Some(a.name)
+    case a: AttributeReference if comparableType(a.dataType) => Some(a.name)
     case Cast(a: AttributeReference, t, _, _)
         if t.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
           a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
@@ -126,74 +218,114 @@ final class TransparentZoneMapFileIndex(
     case _ => None
   }
 
-  /** Recognized conjuncts as (column, requiredLo, requiredHi) —
-    * CLOSED bounds, widened by design (an open bound is treated as
-    * closed; pruning may keep an extra chunk, never drop a valid
-    * one). */
-  private def rangeConjuncts(e: Expression): Seq[(String, Option[java.math.BigDecimal], Option[java.math.BigDecimal])] =
+  private def toB(v: Any): Option[ZBound] = ZBound.of(v)
+
+  /** A recognized constraint: `column` must intersect the CLOSED
+    * interval [lo, hi] (either side open via None). Widened by design
+    * — an open bound is treated as closed; pruning may keep an extra
+    * unit, never drop a valid one. */
+  private type Req = (String, Option[ZBound], Option[ZBound])
+
+  private def minB(a: ZBound, b: ZBound): Option[ZBound] =
+    a.cmp(b).map(c => if (c <= 0) a else b)
+  private def maxB(a: ZBound, b: ZBound): Option[ZBound] =
+    a.cmp(b).map(c => if (c >= 0) a else b)
+
+  /** Per-column interval each arm of a disjunction IMPLIES: conjuncts
+    * on the same column intersect (incomparable bounds fall back to
+    * the first seen — wider, therefore safe). */
+  private def armIntervals(cs: Seq[Req]): Map[String, (Option[ZBound], Option[ZBound])] =
+    cs.groupBy(_._1).map { case (c, rs) =>
+      val lo = rs.flatMap(_._2).reduceOption((a, b) => maxB(a, b).getOrElse(a))
+      val hi = rs.flatMap(_._3).reduceOption((a, b) => minB(a, b).getOrElse(a))
+      c -> (lo, hi)
+    }
+
+  /** Recognized conjuncts as constraints implied by `e`. */
+  private def rangeConjuncts(e: Expression): Seq[Req] =
     e match {
       case And(l, r) => rangeConjuncts(l) ++ rangeConjuncts(r)
       case GreaterThan(a, Literal(v, _)) =>
-        attrOf(a).zip(toBig(v)).map { case (c, b) => (c, Some(b), None) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => (c, Some(b), None) }.toSeq
       case GreaterThanOrEqual(a, Literal(v, _)) =>
-        attrOf(a).zip(toBig(v)).map { case (c, b) => (c, Some(b), None) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => (c, Some(b), None) }.toSeq
       case LessThan(a, Literal(v, _)) =>
-        attrOf(a).zip(toBig(v)).map { case (c, b) => (c, None, Some(b)) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => (c, None, Some(b)) }.toSeq
       case LessThanOrEqual(a, Literal(v, _)) =>
-        attrOf(a).zip(toBig(v)).map { case (c, b) => (c, None, Some(b)) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => (c, None, Some(b)) }.toSeq
       case EqualTo(a, Literal(v, _)) =>
-        attrOf(a).zip(toBig(v)).map { case (c, b) => (c, Some(b), Some(b)) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => (c, Some(b), Some(b)) }.toSeq
       // literal-first flips
       case GreaterThan(Literal(v, _), a) =>
-        attrOf(a).zip(toBig(v)).map { case (c, b) => (c, None, Some(b)) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => (c, None, Some(b)) }.toSeq
       case GreaterThanOrEqual(Literal(v, _), a) =>
-        attrOf(a).zip(toBig(v)).map { case (c, b) => (c, None, Some(b)) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => (c, None, Some(b)) }.toSeq
       case LessThan(Literal(v, _), a) =>
-        attrOf(a).zip(toBig(v)).map { case (c, b) => (c, Some(b), None) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => (c, Some(b), None) }.toSeq
       case LessThanOrEqual(Literal(v, _), a) =>
-        attrOf(a).zip(toBig(v)).map { case (c, b) => (c, Some(b), None) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => (c, Some(b), None) }.toSeq
       case EqualTo(Literal(v, _), a) =>
-        attrOf(a).zip(toBig(v)).map { case (c, b) => (c, Some(b), Some(b)) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => (c, Some(b), Some(b)) }.toSeq
       case EqualNullSafe(a, Literal(v, _)) if v != null =>
-        attrOf(a).zip(toBig(v)).map { case (c, b) => (c, Some(b), Some(b)) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => (c, Some(b), Some(b)) }.toSeq
       case EqualNullSafe(Literal(v, _), a) if v != null =>
-        attrOf(a).zip(toBig(v)).map { case (c, b) => (c, Some(b), Some(b)) }.toSeq
-      // IN-lists bound by their value hull: a chunk intersecting
+        attrOf(a).zip(toB(v)).map { case (c, b) => (c, Some(b), Some(b)) }.toSeq
+      // IN-lists bound by their value hull: a unit intersecting
       // [min(vs), max(vs)] may hold a member (conservative — the hull
-      // can cover non-members, so this only ever keeps extra chunks)
+      // can cover non-members, so this only ever keeps extra units)
       case In(a, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
         hullOf(a, list.map(_.asInstanceOf[Literal].value))
       case InSet(a, hset) if hset.nonEmpty =>
         hullOf(a, hset.toSeq)
+      // OR by per-column UNION hull: a row satisfying either arm
+      // satisfies, for every column BOTH arms bound, the union of the
+      // two arm intervals — q74/TPC-H Q19's shape. A column bounded in
+      // only one arm constrains nothing (the other arm's rows are
+      // unbounded there); an arm side missing or cross-kind voids that
+      // side. Nested Ors recurse through the same hull.
+      case Or(l, r) =>
+        val lc = armIntervals(rangeConjuncts(l))
+        val rc = armIntervals(rangeConjuncts(r))
+        lc.keySet.intersect(rc.keySet).toSeq.flatMap { c =>
+          val (llo, lhi) = lc(c); val (rlo, rhi) = rc(c)
+          val lo = for { a <- llo; b <- rlo; m <- minB(a, b) } yield m
+          val hi = for { a <- lhi; b <- rhi; m <- maxB(a, b) } yield m
+          if (lo.isEmpty && hi.isEmpty) None else Some((c, lo, hi))
+        }
       case _ => Seq.empty
     }
 
   /** (column, min, max) of an IN-list's values; empty (no constraint)
-    * unless EVERY value converts — a single unconvertible member
-    * voids the hull, never tightens it. */
-  private def hullOf(a: Expression, vs: Seq[Any]): Seq[(String, Option[java.math.BigDecimal], Option[java.math.BigDecimal])] =
+    * unless EVERY value converts to ONE comparable kind — a single
+    * unconvertible or cross-kind member voids the hull, never
+    * tightens it. */
+  private def hullOf(a: Expression, vs: Seq[Any]): Seq[Req] =
     attrOf(a).toSeq.flatMap { c =>
-      val bs = vs.map(toBig)
+      val bs = vs.map(toB)
       if (bs.exists(_.isEmpty)) Seq.empty
       else {
         val all = bs.flatten
-        val lo = all.reduce((x, y) => if (x.compareTo(y) <= 0) x else y)
-        val hi = all.reduce((x, y) => if (x.compareTo(y) >= 0) x else y)
-        Seq((c, Some(lo), Some(hi)))
+        val lo = all.reduceLeft((x, y) => minB(x, y).getOrElse(x))
+        val hi = all.reduceLeft((x, y) => maxB(x, y).getOrElse(x))
+        // cross-kind members make the fold order-dependent — void
+        if (all.exists(v => v.cmp(lo).isEmpty || v.cmp(hi).isEmpty)) Seq.empty
+        else Seq((c, Some(lo), Some(hi)))
       }
     }
 
-  private def chunkSurvives(chunk: String,
-      reqs: Seq[(String, Option[java.math.BigDecimal], Option[java.math.BigDecimal])]): Boolean =
-    envelopes.get(chunk) match {
-      case None => true // no envelope row for this chunk: never prune it
+  /** Does a unit with envelope `env` possibly satisfy every
+    * constraint? Missing envelope (`envOpt` None) → yes. */
+  private def survives(envOpt: Option[ZoneMapFileIndex.ColEnv],
+                       reqs: Seq[Req]): Boolean =
+    envOpt match {
+      case None => true // no zone row for this unit: never prune it
       case Some(env) => reqs.forall { case (c, lo, hi) =>
         env.get(c) match {
           case None => true // column not zone-mapped: constrains nothing
           case Some((mn, mx)) =>
             if (mn.isEmpty || mx.isEmpty) false // all-NULL column: range conjunct rejects every row
-            else lo.forall(l => mx.get.compareTo(l) >= 0) &&
-              hi.forall(h => mn.get.compareTo(h) <= 0)
+            else lo.forall(l => mx.get.cmp(l).forall(_ >= 0)) &&
+              hi.forall(h => mn.get.cmp(h).forall(_ <= 0))
         }
       }
     }
@@ -205,14 +337,30 @@ final class TransparentZoneMapFileIndex(
     val reqs = dataFilters.flatMap(rangeConjuncts)
     val listed = inner.listFiles(partitionFilters, dataFilters)
     if (reqs.isEmpty) listed
-    else listed.filter { pd =>
-      !pd.values.isNullAt(chunkIdx) &&
-        chunkSurvives(pd.values.getUTF8String(chunkIdx).toString, reqs)
+    else {
+      val dirKept = chunkIdx match {
+        case None => listed
+        case Some(ci) => listed.filter { pd =>
+          // a NULL partition value is a chunk the zone table cannot
+          // address — keep it, exactly like a missing zone row
+          pd.values.isNullAt(ci) ||
+            survives(envelopes.get(pd.values.getUTF8String(ci).toString), reqs)
+        }
+      }
+      if (fileEnvelopes.isEmpty) dirKept
+      else dirKept.map { pd =>
+        pd.copy(files = pd.files.filter(f =>
+          survives(fileEnvelopes.get(f.getPath.getName), reqs)))
+      }
     }
   }
 
   override def inputFiles: Array[String] = inner.inputFiles
-  override def refresh(): Unit = inner.refresh()
+  override def refresh(): Unit = throw new UnsupportedOperationException(
+    "TransparentZoneMapFileIndex is snapshot-bound: its envelopes were " +
+      "collected against the file set at construction, and re-listing under " +
+      "frozen envelopes could drop rows an append added past a stale-tight " +
+      "bound. Construct a fresh reader from the latest zone snapshot instead.")
   override def sizeInBytes: Long = inner.sizeInBytes
   override def partitionSchema: StructType = inner.partitionSchema
 }

@@ -4376,6 +4376,76 @@ object Relational {
            |  AND l_quantity <= 10.0
            |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin))
 
+  // STRING-ENVELOPE + OR-HULL transparent read (q127): the two
+  // predicate families q126 left on the table. ship_ym =
+  // date_format(l_shipdate, 'yyyy-MM') is a STRING column whose
+  // per-month-chunk envelope is a single value — the most common real
+  // zone dimension shape (categories, date-formatted keys, id
+  // prefixes) — and the query's WHERE is an OR of two ship_ym ranges
+  // (TPC-H Q19's disjunct shape). The TransparentZoneMapFileIndex
+  // compares string envelopes in UTF8 binary order (Spark's own
+  // default-collation comparison) and bounds the OR by its per-column
+  // UNION hull ('1996-01'..'1997-02' here), so ~69 of ~83 month
+  // chunks drop at listing time from a plain .filter — no zone-aware
+  // call-site code, PlanContractSpec pins executed numFiles. ORACLE =
+  // the full-scan filter via strftime; pruning must be invisible to
+  // the row set (the hull keeps the between-arm months, the pushed
+  // filter re-drops their rows).
+  private val q127 = QueryDef(
+    "q127_zonemap_string_or_read",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .withColumn("ship_ym", date_format(col("l_shipdate"), "yyyy-MM"))
+      val ch = li.withColumn("chunk", format_string("c%05d",
+        (year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1))
+      val path = java.nio.file.Files.createTempDirectory("graft-q127").toString
+      graft.ops.Layout.writeClustered(ch, path, "chunk")
+      val zones = ch.groupBy("chunk").agg(
+        min("ship_ym").as("mn_ship_ym"),
+        max("ship_ym").as("mx_ship_ym"))
+      graft.ops.Layout.zoneMapRead(s, path, zones, "chunk", Seq("ship_ym"))
+        .filter((col("ship_ym") >= "1996-01" && col("ship_ym") <= "1996-03") ||
+          (col("ship_ym") >= "1997-01" && col("ship_ym") <= "1997-02"))
+        .select("l_orderkey", "l_linenumber", "ship_ym")
+        .orderBy("l_orderkey", "l_linenumber", "ship_ym")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m') AS ship_ym
+           |FROM lineitem
+           |WHERE (strftime(l_shipdate, '%Y-%m') >= '1996-01' AND strftime(l_shipdate, '%Y-%m') <= '1996-03')
+           |   OR (strftime(l_shipdate, '%Y-%m') >= '1997-01' AND strftime(l_shipdate, '%Y-%m') <= '1997-02')
+           |ORDER BY l_orderkey, l_linenumber, ship_ym""".stripMargin))
+
+  // FILE-GRANULARITY zone-pruned read (q128): no layout contract at
+  // all — lineitem lands as a PLAIN (unpartitioned) multi-file
+  // parquet table, range-packed by l_orderkey so each file's footer
+  // envelope is tight; Layout.fileZones derives one (file_name,
+  // mn, mx) row per file in one scan (the footer-stats image real
+  // lakehouse skipping reads), and Layout.zoneMapReadFiles drops
+  // non-intersecting FILES from the listing when the query's own
+  // pushed range excludes their envelopes — per-file data skipping
+  // exactly where Delta/Iceberg do it, over a table writeClustered
+  // never touched. ORACLE = the full-scan filter; PlanContractSpec
+  // pins executed numFiles < total.
+  private val q128 = QueryDef(
+    "q128_zonemap_file_read",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val path = java.nio.file.Files.createTempDirectory("graft-q128").toString
+      li.repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(path)
+      val zones = graft.ops.Layout.fileZones(s, path, Seq("l_orderkey"))
+      graft.ops.Layout.zoneMapReadFiles(s, path, zones, "file", Seq("l_orderkey"))
+        .filter(col("l_orderkey") >= 100L && col("l_orderkey") <= 199L)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+           |WHERE l_orderkey >= 100 AND l_orderkey <= 199
+           |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -4387,5 +4457,5 @@ object Relational {
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126)
+    q122, q123, q124, q125, q126, q127, q128)
 }

@@ -1091,4 +1091,158 @@ class PlanContractSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-20 compiled to a global sort instead of TakeOrderedAndProject:\n$plan")
   }
+
+  // ---- TransparentZoneMapFileIndex hardening (round 15) ----
+
+  private def fileScansOf(p: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => fileScansOf(a.executedPlan)
+      case q: QueryStageExec => fileScansOf(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScansOf)
+    }
+  }
+  private def scannedFilesOf(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    fileScansOf(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+  }
+
+  test("zone index: a NULL chunk partition value is KEPT — the unaddressable chunk is a missing zone row, not a drop") {
+    // hive writes rows with a NULL partition value under
+    // __HIVE_DEFAULT_PARTITION__; the zone table cannot address that
+    // chunk, so data-skipping must KEEP it — before round 15 it was
+    // pruned unconditionally and its rows silently vanished.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullchunk").toString
+    val df = spark.range(0, 1024).select(col("id"),
+      when(col("id") < 512, format_string("c%03d", expr("id div 256")))
+        .otherwise(lit(null)).as("chunk"))
+    graft.ops.Layout.writeClustered(df, dir, "chunk")
+    val zones = df.filter(col("chunk").isNotNull).groupBy("chunk")
+      .agg(min("id").as("mn_id"), max("id").as("mx_id"))
+    // probe lands ENTIRELY in the null chunk: both addressed chunks'
+    // envelopes exclude it, so only the null directory can serve it
+    val r = graft.ops.Layout.zoneMapRead(spark, dir, zones, "chunk", Seq("id"))
+      .filter(col("id").between(600, 700))
+    assert(r.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (600L to 700L).toSeq,
+      "rows under the NULL chunk partition were dropped by zone pruning")
+    // and the addressed chunks DID prune — conservatism about the null
+    // directory must not disable skipping elsewhere
+    assert(scannedFilesOf(
+      graft.ops.Layout.zoneMapRead(spark, dir, zones, "chunk", Seq("id"))
+        .filter(col("id").between(600, 700))) <
+      spark.read.parquet(dir).inputFiles.length.toLong,
+      "null-chunk conservatism disabled pruning of addressed chunks")
+  }
+
+  test("zone index: refresh() throws — the snapshot-bound reader can never re-list under frozen envelopes") {
+    // refresh() re-listing files while the envelope map stays frozen is
+    // the one remaining silent-row-drop class: an append that widens a
+    // chunk's true range would hide behind the stale-tight bound. The
+    // Delta convention: a reader binds a snapshot; a new snapshot needs
+    // a new reader.
+    val dir = java.nio.file.Files.createTempDirectory("graft-refresh").toString
+    spark.range(0, 16).toDF("id").write.mode("overwrite").parquet(dir)
+    val idx = new graft.plans.TransparentZoneMapFileIndex(
+      graft.plans.ZoneMapFileIndex.listing(spark, dir), None, Map.empty)
+    val e = intercept[UnsupportedOperationException] { idx.refresh() }
+    assert(e.getMessage.contains("snapshot-bound"))
+  }
+
+  test("zone index: float envelopes image as EXACT doubles — a literal between shortest-decimal and binary value cannot drop a chunk") {
+    // 0.1f's exact double value is 0.10000000149…; imaged as its
+    // shortest float decimal (0.1) a pushed literal like 0.100000001
+    // sits ABOVE the image but BELOW the true value → wrong drop.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-floatenv").toString
+    val df = spark.range(0, 20).select(col("id"),
+      when(col("id") < 10, lit(0.1f)).otherwise(lit(5.5f)).as("v"),
+      when(col("id") < 10, lit("c000")).otherwise(lit("c001")).as("chunk"))
+    graft.ops.Layout.writeClustered(df, dir, "chunk")
+    val zones = df.groupBy("chunk").agg(min("v").as("mn_v"), max("v").as("mx_v"))
+    val r = graft.ops.Layout.zoneMapRead(spark, dir, zones, "chunk", Seq("v"))
+      .filter(col("v") >= lit(0.100000001d))
+    assert(r.count() ==
+      spark.read.parquet(dir).filter(col("v") >= lit(0.100000001d)).count(),
+      "float-envelope chunk wrongly dropped under a cast-to-double literal")
+    assert(r.filter(col("id") < 10).count() == 10,
+      "the 0.1f rows (exact double 0.10000000149… >= 0.100000001) must survive")
+  }
+
+  test("zone index: OR of ranges on ONE attribute prunes by the union hull; a mixed-column OR keeps everything") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orhull").toString
+    val df = spark.range(0, 4096).select(col("id"), (col("id") * 3).as("v"),
+      format_string("c%03d", expr("id div 256")).as("chunk"))
+    graft.ops.Layout.writeClustered(df, dir, "chunk")
+    val zones = df.groupBy("chunk").agg(
+      min("id").as("mn_id"), max("id").as("mx_id"),
+      min("v").as("mn_v"), max("v").as("mx_v"))
+    val total = spark.read.parquet(dir).inputFiles.length.toLong
+    def table() = graft.ops.Layout.zoneMapRead(spark, dir, zones, "chunk",
+      Seq("id", "v"))
+    // same-attribute OR: hull [100, 700] covers chunks c000–c002 only
+    val f1 = table().filter(col("id").between(100, 200) ||
+      col("id").between(600, 700))
+    assert(f1.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      ((100L to 200L) ++ (600L to 700L)).toSeq)
+    assert(scannedFilesOf(table().filter(col("id").between(100, 200) ||
+      col("id").between(600, 700))) <= 3L,
+      "same-attribute OR did not prune by its union hull")
+    // mixed-column OR constrains nothing (each arm's rows are unbounded
+    // in the other's column) — everything kept, row set exact
+    val f2 = table().filter(col("id") <= 100 || col("v") >= 11000)
+    assert(f2.count() ==
+      spark.read.parquet(dir).filter(col("id") <= 100 || col("v") >= 11000).count())
+    assert(scannedFilesOf(table().filter(col("id") <= 100 || col("v") >= 11000))
+      == total, "mixed-column OR must not prune")
+    // OR with an unrecognized arm keeps everything too
+    val f3 = table().filter(col("id") <= 100 || col("id") % 7 === 3)
+    assert(f3.count() ==
+      spark.read.parquet(dir).filter(col("id") <= 100 || col("id") % 7 === 3).count())
+  }
+
+  test("zone index: a non-string chunk partition column fails LOUDLY at construction, not with a cast error at scan time") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-intchunk").toString
+    // bare-number partition values: discovery infers the column as int
+    val df = spark.range(0, 256).select(col("id"),
+      expr("cast(id div 64 as string)").as("chunk"))
+    graft.ops.Layout.writeClustered(df, dir, "chunk")
+    val zones = df.groupBy("chunk").agg(min("id").as("mn_id"), max("id").as("mx_id"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Layout.zoneMapRead(spark, dir, zones, "chunk", Seq("id"))
+    }
+    assert(e.getMessage.contains("STRING-typed"))
+  }
+
+  test("q127: string envelopes + the OR hull prune month chunks from the executed scan") {
+    spark.sharedState.cacheManager.clearCache()
+    val df = SparkEntry.queries("q127_zonemap_string_or_read")(spark, SparkFixture.sfDir)
+    df.collect()
+    val scans = fileScansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan in the q127 plan")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    // ~83 month chunks; the OR hull spans 1996-01..1997-02 (14 months)
+    // — the pushed STRING ranges must reach the listing and skip the rest
+    assert(scanned >= 1 && scanned <= 20,
+      s"string/OR transparent pruning scanned $scanned files — pushed string ranges not consumed")
+  }
+
+  test("q128: file-granularity envelopes prune FILES of a plain unpartitioned table from the executed scan") {
+    spark.sharedState.cacheManager.clearCache()
+    val df = SparkEntry.queries("q128_zonemap_file_read")(spark, SparkFixture.sfDir)
+    df.collect()
+    val scans = fileScansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan in the q128 plan")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    // 16 range-packed files; the orderkey probe covers a thin slice —
+    // per-file skipping must drop most of the listing
+    assert(scanned >= 1 && scanned <= 4,
+      s"file-granularity pruning scanned $scanned of 16 files")
+  }
 }
