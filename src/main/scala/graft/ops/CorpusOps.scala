@@ -1743,19 +1743,45 @@ object CorpusOps {
     cur.select(col("vec_id"), col("xs").as("corrected"))
   }
 
-  /** One corpus-wide cascade's repaired artifacts + funnel — the
-    * [[deleteDocuments]] / [[ingestDocuments]] result. Each member is
-    * the post-batch maintained state, equal to that artifact rebuilt
-    * from the post-batch corpus (the per-family gates: q118
+  /** EVERY maintained corpus artifact, bundled — the stored state the
+    * cascade composites consume AND return. The round-14 positional
+    * form took 12–14 `DataFrame` parameters, several schema-identical
+    * (annProbes/annAssign both two-column id tables), so a swapped
+    * pair compiled and ran wrong; the bundle makes that misuse
+    * unrepresentable (the RangeSpec lesson applied to the API), and
+    * because [[deleteDocuments]]/[[ingestDocuments]] return the FULL
+    * post-batch bundle — auxiliaries included — consecutive batches
+    * compose from stored state alone, no out-of-band re-derivation.
+    *
+    * Schemas (the conventions every consumer shares):
+    *  - `exactAux` (h, doc_id) — content-hash membership;
+    *  - `exactKeepers` (h, keeper, n_dups);
+    *  - `clusters` (cluster_id, doc_id, cluster_size);
+    *  - `pairs` (d1, d2, j) — the near-dup pair graph;
+    *  - `annIndex` (qid, rn, vid, simr) — stored top-k lists;
+    *  - `annProbes` (qid, cid) — frozen probe aux;
+    *  - `annAssign` (vid, cid) — cell assignments;
+    *  - `vectors` (vec_id, embedding);
+    *  - `bm25Stats` (stat, k, v, cnt) — the maintained df/N/Σdl view. */
+  final case class CorpusArtifacts(exactAux: DataFrame,
+                                   exactKeepers: DataFrame,
+                                   clusters: DataFrame,
+                                   pairs: DataFrame,
+                                   annIndex: DataFrame,
+                                   annProbes: DataFrame,
+                                   annAssign: DataFrame,
+                                   vectors: DataFrame,
+                                   bm25Stats: DataFrame)
+
+  /** One corpus-wide cascade's result: the COMPLETE post-batch
+    * [[CorpusArtifacts]] (each member equal to that artifact rebuilt
+    * from the post-batch corpus — the per-family gates: q118
     * runner-ups for exact keepers, l2_incremental_clusters/_delete
     * for clusters, the l3_ann family for the index, l4_bm25_maintain
-    * for the stats). `funnel` carries one accounting row per
-    * artifact: (k = artifact, x = rows after, y = batch size
-    * applied). */
-  final case class CascadeResult(exactKeepers: DataFrame,
-                                 clusters: DataFrame,
-                                 annIndex: DataFrame,
-                                 bm25Stats: DataFrame,
+    * for the stats — and the auxiliaries the NEXT batch needs) plus
+    * `funnel`, one accounting row per artifact: (k = artifact,
+    * x = rows after, y = batch size applied). */
+  final case class CascadeResult(artifacts: CorpusArtifacts,
                                  funnel: DataFrame)
 
   /** Signed BM25 statistics rows for `docs` — the l4_bm25_maintain
@@ -1800,58 +1826,65 @@ object CorpusOps {
     * Everything is delete-/touched-/affected-bounded; the corpus is
     * probed (semi joins), never rescanned, and no artifact is rebuilt.
     * The funnel is assembled LAZILY (per-artifact count aggregates —
-    * no driver action at construction). Inputs: `annIndex` =
-    * (qid, rn, vid, simr) stored top-`annK` lists; `annProbes` =
-    * (qid, cid) frozen probe aux; `annAssign` = (vid, cid);
-    * `vectors` = (vec_id, embedding); `bm25Stats` = the
-    * (stat, k, v, cnt) maintained view; `exactAux` = (h, doc_id). */
+    * no driver action at construction). The returned bundle carries
+    * the post-delete AUXILIARIES too (exactAux membership, pair
+    * graph, probes, assignments, vectors — each one anti-join-
+    * bounded), so the next batch chains off the result alone. */
   def deleteDocuments(delIds: DataFrame, docs: DataFrame,
-                      exactAux: DataFrame, exactKeepers: DataFrame,
-                      clusters: DataFrame, pairs: DataFrame,
-                      annIndex: DataFrame, annProbes: DataFrame,
-                      annAssign: DataFrame, vectors: DataFrame,
-                      bm25Stats: DataFrame, terms: Seq[String],
+                      arts: CorpusArtifacts, terms: Seq[String],
                       annK: Int = 5)
                      (implicit scope: CacheScope): CascadeResult = {
     import graft.functions.VectorExprs.{vec_dot, vec_norm}
     val del = scope.cached(
       delIds.select(col(delIds.columns.head).cast("long").as("doc_id")))
     // 1. exact-dup keepers — touched-group-bounded
-    val touchedH = exactAux.join(del, Seq("doc_id"), "left_semi")
+    val touchedH = arts.exactAux.join(del, Seq("doc_id"), "left_semi")
       .select("h").distinct()
-    val recomputed = exactAux.join(touchedH, Seq("h"), "left_semi")
+    val recomputed = arts.exactAux.join(touchedH, Seq("h"), "left_semi")
       .join(del, Seq("doc_id"), "left_anti")
       .groupBy("h").agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
     val exactAfter = scope.cached(
-      exactKeepers.join(touchedH, Seq("h"), "left_anti")
+      arts.exactKeepers.join(touchedH, Seq("h"), "left_anti")
         .unionByName(recomputed))
-    // 2. near-dup clusters — touched-cluster-bounded
-    val clustersAfter = scope.cached(removeFromClusters(clusters, pairs, del))
+    val exactAuxAfter = arts.exactAux.join(del, Seq("doc_id"), "left_anti")
+      .select(col("h"), col("doc_id"))
+    // 2. near-dup clusters — touched-cluster-bounded; the pair graph
+    // itself repairs by dropping edges with a deleted endpoint
+    val clustersAfter = scope.cached(
+      removeFromClusters(arts.clusters, arts.pairs, del))
+    val pairsAfter = arts.pairs
+      .join(del.select(col("doc_id").as("d1")), Seq("d1"), "left_anti")
+      .join(del.select(col("doc_id").as("d2")), Seq("d2"), "left_anti")
+      .select(arts.pairs.columns.map(col).toIndexedSeq: _*)
     // 3. ANN index — affected-survivor-bounded re-rank
     val delQ = del.select(col("doc_id").as("qid"))
     val delV = del.select(col("doc_id").as("vid"))
-    val affected = annIndex.join(delV, Seq("vid"), "left_semi")
+    val affected = arts.annIndex.join(delV, Seq("vid"), "left_semi")
       .select("qid").distinct()
       .join(delQ, Seq("qid"), "left_anti")
-    val kept = annIndex.join(delQ, Seq("qid"), "left_anti")
+    val kept = arts.annIndex.join(delQ, Seq("qid"), "left_anti")
       .join(affected, Seq("qid"), "left_anti")
-    val survAssign = annAssign.join(delV, Seq("vid"), "left_anti")
+    val survAssign = arts.annAssign.join(delV, Seq("vid"), "left_anti")
     def cos(a: Column, b: Column) = vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
     val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
-    val rer = annProbes.join(affected, Seq("qid"), "left_semi")
+    val rer = arts.annProbes.join(affected, Seq("qid"), "left_semi")
       .join(survAssign, "cid").filter(col("vid") =!= col("qid"))
       .select("qid", "vid")
-      .join(vectors.select(col(vectors.columns.head).as("qid"),
-        col(vectors.columns(1)).as("_qe")), "qid")
-      .join(vectors.select(col(vectors.columns.head).as("vid"),
-        col(vectors.columns(1)).as("_ve")), "vid")
+      .join(arts.vectors.select(col(arts.vectors.columns.head).as("qid"),
+        col(arts.vectors.columns(1)).as("_qe")), "qid")
+      .join(arts.vectors.select(col(arts.vectors.columns.head).as("vid"),
+        col(arts.vectors.columns(1)).as("_ve")), "vid")
       .select(col("qid"), col("vid"),
         round(cos(col("_qe"), col("_ve")), 6).as("simr"))
       .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= annK)
       .select("qid", "rn", "vid", "simr")
     val annAfter = scope.cached(kept.unionByName(rer))
+    val probesAfter = arts.annProbes.join(delQ, Seq("qid"), "left_anti")
+    val vidCol = arts.vectors.columns.head
+    val vectorsAfter = arts.vectors.join(
+      del.select(col("doc_id").as(vidCol)), Seq(vidCol), "left_anti")
     // 4. BM25 stats — one delete-bounded probe derives the signed batch
-    val bm25After = scope.cached(TableOps.maintainAggCounted(bm25Stats,
+    val bm25After = scope.cached(TableOps.maintainAggCounted(arts.bm25Stats,
       bm25StatRows(docs.join(del, Seq("doc_id"), "left_semi"), terms, -1),
       keys = Seq("stat", "k"), sumCols = Seq("v")))
     // funnel — lazy per-artifact accounting (l6_filter_funnel
@@ -1864,7 +1897,9 @@ object CorpusOps {
       .unionByName(frow("bm25", bm25After))
       .unionByName(frow("cluster", clustersAfter))
       .unionByName(frow("exact", exactAfter))
-    CascadeResult(exactAfter, clustersAfter, annAfter, bm25After, funnel)
+    CascadeResult(CorpusArtifacts(exactAuxAfter, exactAfter, clustersAfter,
+      pairsAfter, annAfter, probesAfter, survAssign, vectorsAfter, bm25After),
+      funnel)
   }
 
   /** CORPUS-WIDE CASCADE INGEST — [[deleteDocuments]]'s mirror, the
@@ -1892,14 +1927,14 @@ object CorpusOps {
     * real index persists its centroids; re-deriving them from the
     * grown corpus would be a retrain, i.e. a rebuild. Batch doc/vec
     * ids must be disjoint from the stored ids (the
-    * [[nearDupPairsAgainst]] contract). */
+    * [[nearDupPairsAgainst]] contract). The returned bundle carries
+    * the post-ingest AUXILIARIES too (membership + batch rows, pair
+    * graph + the batch's pair deltas, probes/assignments/vectors +
+    * the batch's), so the next batch chains off the result alone. */
   def ingestDocuments(batch: DataFrame, docs: DataFrame,
-                      exactAux: DataFrame, exactKeepers: DataFrame,
-                      clusters: DataFrame,
-                      annIndex: DataFrame, annProbes: DataFrame,
-                      annAssign: DataFrame, vectors: DataFrame,
+                      arts: CorpusArtifacts,
                       batchVectors: DataFrame, cents: DataFrame,
-                      bm25Stats: DataFrame, terms: Seq[String],
+                      terms: Seq[String],
                       annK: Int = 5, probeK: Int = 4)
                      (implicit scope: CacheScope): CascadeResult = {
     import graft.functions.VectorExprs.{vec_dot, vec_norm}
@@ -1907,15 +1942,20 @@ object CorpusOps {
     // 1. exact-dup keepers — touched-group-bounded
     val batchAux = bdocs.select(sha2(col("text"), 256).as("h"), col("doc_id"))
     val touchedH = batchAux.select("h").distinct()
-    val recomputed = exactAux.join(touchedH, Seq("h"), "left_semi")
+    val recomputed = arts.exactAux.join(touchedH, Seq("h"), "left_semi")
       .unionByName(batchAux)
       .groupBy("h").agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
     val exactAfter = scope.cached(
-      exactKeepers.join(touchedH, Seq("h"), "left_anti")
+      arts.exactKeepers.join(touchedH, Seq("h"), "left_anti")
         .unionByName(recomputed))
-    // 2. near-dup clusters — candidate-bounded pair deltas
-    val clustersAfter = scope.cached(incrementalClusters(clusters,
-      nearDupPairs(bdocs), nearDupPairsAgainst(docs, bdocs)))
+    val exactAuxAfter = arts.exactAux.unionByName(batchAux)
+    // 2. near-dup clusters — candidate-bounded pair deltas; the same
+    // deltas append to the stored pair graph (batch-internal +
+    // batch-vs-corpus = exactly the edges a full rebuild would add)
+    val bp = scope.cached(nearDupPairs(bdocs))
+    val xp = scope.cached(nearDupPairsAgainst(docs, bdocs))
+    val clustersAfter = scope.cached(incrementalClusters(arts.clusters, bp, xp))
+    val pairsAfter = arts.pairs.unionByName(bp).unionByName(xp)
     // 3. ANN index — frozen-quantizer assignment + affected re-rank
     def cos(a: Column, b: Column) = vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
     def vid2(df: DataFrame, as: String, vas: String): DataFrame =
@@ -1927,13 +1967,13 @@ object CorpusOps {
       .withColumn("rn", row_number().over(wA)).filter(col("rn") <= probeK)
       .select("vid", "cid", "rn"))
     val batchAssign = batchCd.filter(col("rn") === 1).select("vid", "cid")
-    val assignAll = annAssign.unionByName(batchAssign)
-    val vecsAll = vid2(vectors, "vec_id", "embedding")
+    val assignAll = arts.annAssign.unionByName(batchAssign)
+    val vecsAll = vid2(arts.vectors, "vec_id", "embedding")
       .unionByName(vid2(batchVectors, "vec_id", "embedding"))
-    val affected = annProbes
+    val affected = arts.annProbes
       .join(batchAssign.select("cid").distinct(), Seq("cid"), "left_semi")
       .select("qid").distinct()
-    val kept = annIndex.join(affected, Seq("qid"), "left_anti")
+    val kept = arts.annIndex.join(affected, Seq("qid"), "left_anti")
     val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
     def lists(probes: DataFrame): DataFrame = probes
       .join(assignAll, "cid").filter(col("vid") =!= col("qid"))
@@ -1944,11 +1984,13 @@ object CorpusOps {
         round(cos(col("_qe"), col("_ve")), 6).as("simr"))
       .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= annK)
       .select("qid", "rn", "vid", "simr")
-    val rer = lists(annProbes.join(affected, Seq("qid"), "left_semi"))
+    val rer = lists(arts.annProbes.join(affected, Seq("qid"), "left_semi"))
     val fresh = lists(batchCd.select(col("vid").as("qid"), col("cid")))
     val annAfter = scope.cached(kept.unionByName(rer).unionByName(fresh))
+    val probesAfter = arts.annProbes.unionByName(
+      batchCd.select(col("vid").as("qid"), col("cid")))
     // 4. BM25 stats — the batch's +1 rows
-    val bm25After = scope.cached(TableOps.maintainAggCounted(bm25Stats,
+    val bm25After = scope.cached(TableOps.maintainAggCounted(arts.bm25Stats,
       bm25StatRows(bdocs, terms, 1), keys = Seq("stat", "k"), sumCols = Seq("v")))
     // funnel — lazy per-artifact accounting
     val nIns = bdocs.agg(count(lit(1)).as("y"))
@@ -1959,6 +2001,8 @@ object CorpusOps {
       .unionByName(frow("bm25", bm25After))
       .unionByName(frow("cluster", clustersAfter))
       .unionByName(frow("exact", exactAfter))
-    CascadeResult(exactAfter, clustersAfter, annAfter, bm25After, funnel)
+    CascadeResult(CorpusArtifacts(exactAuxAfter, exactAfter, clustersAfter,
+      pairsAfter, annAfter, probesAfter, assignAll, vecsAll, bm25After),
+      funnel)
   }
 }

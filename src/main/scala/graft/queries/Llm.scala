@@ -5586,19 +5586,19 @@ object Llm {
         .groupBy("stat", "k").agg(sum("v").as("v"), count(lit(1)).as("cnt"))
       // ---- ONE call applies the delete list to every artifact ----
       val res = graft.ops.CorpusOps.deleteDocuments(del, docs,
-        exactAux, exactKeepers, clusters, pairs,
-        g, probes, assign, e, statsMv, terms)
+        graft.ops.CorpusOps.CorpusArtifacts(exactAux, exactKeepers,
+          clusters, pairs, g, probes, assign, e, statsMv), terms)
       val nullS = lit(null).cast("string")
       val nullL = lit(null).cast("long")
-      res.exactKeepers.select(lit("exact").as("artifact"), col("h").as("k"),
+      res.artifacts.exactKeepers.select(lit("exact").as("artifact"), col("h").as("k"),
           col("keeper").as("x"), col("n_dups").as("y"), nullL.as("z"))
-        .unionByName(res.clusters.select(lit("cluster").as("artifact"),
+        .unionByName(res.artifacts.clusters.select(lit("cluster").as("artifact"),
           nullS.as("k"), col("cluster_id").as("x"), col("doc_id").as("y"),
           col("cluster_size").as("z")))
-        .unionByName(res.annIndex.select(lit("ann").as("artifact"),
+        .unionByName(res.artifacts.annIndex.select(lit("ann").as("artifact"),
           nullS.as("k"), col("qid").as("x"), col("rn").cast("long").as("y"),
           col("vid").as("z")))
-        .unionByName(res.bm25Stats.select(lit("bm25").as("artifact"),
+        .unionByName(res.artifacts.bm25Stats.select(lit("bm25").as("artifact"),
           when(col("stat") === "len", lit("len")).otherwise(col("k")).as("k"),
           col("v").as("x"), col("cnt").as("y"), nullL.as("z")))
         .unionByName(res.funnel.select(lit("funnel").as("artifact"),
@@ -5691,8 +5691,8 @@ object Llm {
       val exactAux = stored.select(sha2(col("text"), 256).as("h"), col("doc_id"))
       val exactKeepers = exactAux.groupBy("h")
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
-      val clusters = graft.ops.CorpusOps.dupClusters(
-        cached(jaccardPairsOf(stored)))
+      val pairsStored = cached(jaccardPairsOf(stored))
+      val clusters = graft.ops.CorpusOps.dupClusters(pairsStored)
       // the stored ANN index + frozen quantizer (centroids persist)
       val eAll = t(s, dir, "embeddings")
       val e = eAll.filter(col("vec_id") % 10 =!= 0)
@@ -5727,19 +5727,20 @@ object Llm {
         .groupBy("stat", "k").agg(sum("v").as("v"), count(lit(1)).as("cnt"))
       // ---- ONE call ingests the batch into every artifact ----
       val res = graft.ops.CorpusOps.ingestDocuments(batch, stored,
-        exactAux, exactKeepers, clusters,
-        g, probes, assign, e, be, cents, statsMv, terms)
+        graft.ops.CorpusOps.CorpusArtifacts(exactAux, exactKeepers,
+          clusters, pairsStored, g, probes, assign, e, statsMv),
+        be, cents, terms)
       val nullS = lit(null).cast("string")
       val nullL = lit(null).cast("long")
-      res.exactKeepers.select(lit("exact").as("artifact"), col("h").as("k"),
+      res.artifacts.exactKeepers.select(lit("exact").as("artifact"), col("h").as("k"),
           col("keeper").as("x"), col("n_dups").as("y"), nullL.as("z"))
-        .unionByName(res.clusters.select(lit("cluster").as("artifact"),
+        .unionByName(res.artifacts.clusters.select(lit("cluster").as("artifact"),
           nullS.as("k"), col("cluster_id").as("x"), col("doc_id").as("y"),
           col("cluster_size").as("z")))
-        .unionByName(res.annIndex.select(lit("ann").as("artifact"),
+        .unionByName(res.artifacts.annIndex.select(lit("ann").as("artifact"),
           nullS.as("k"), col("qid").as("x"), col("rn").cast("long").as("y"),
           col("vid").as("z")))
-        .unionByName(res.bm25Stats.select(lit("bm25").as("artifact"),
+        .unionByName(res.artifacts.bm25Stats.select(lit("bm25").as("artifact"),
           when(col("stat") === "len", lit("len")).otherwise(col("k")).as("k"),
           col("v").as("x"), col("cnt").as("y"), nullL.as("z")))
         .unionByName(res.funnel.select(lit("funnel").as("artifact"),

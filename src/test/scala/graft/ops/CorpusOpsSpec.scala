@@ -494,4 +494,127 @@ class CorpusOpsSpec extends AnyFunSuite {
     // and the corrected corpus still differs row-to-row (not zeroed)
     assert(corrected.values.map(xs => xs.map(x => x * x).sum).max > 1e-4)
   }
+
+  test("cascade batches CHAIN off the returned bundle: ingest then delete == rebuild from the final corpus, auxiliaries included") {
+    // The round-14 CascadeResult returned four repaired artifacts but
+    // not the auxiliaries the NEXT batch needs, so consecutive batches
+    // had to re-derive exactAux/pairs/probes/assign out-of-band. This
+    // pins the chained lifecycle: arts0 --ingest--> res1.artifacts
+    // --delete--> res2.artifacts, every member (auxiliaries too) equal
+    // to that artifact rebuilt from the final corpus with the SAME
+    // frozen quantizer.
+    implicit val scope: CacheScope = CacheScope.sessionOwned
+    import org.apache.spark.sql.DataFrame
+    val base40 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near40 = (1 to 39).map(i => s"w$i").mkString(" ") + " zz"
+    val mid40 = ((1 to 19).map(i => s"w$i") ++ Seq("qq") ++
+      (21 to 40).map(i => s"w$i")).mkString(" ")
+    val v40 = (1 to 40).map(i => s"v$i").mkString(" ")
+    val v40b = (1 to 39).map(i => s"v$i").mkString(" ") + " vz"
+    val stored = Seq(
+      1L -> base40, 2L -> base40, 3L -> near40, 4L -> v40,
+      5L -> ("alpha beta alpha " + (1 to 20).map(i => s"u$i").mkString(" ")),
+      6L -> (1 to 30).map(i => s"x$i").mkString(" "),
+      7L -> (1 to 30).map(i => s"y$i").mkString(" "),
+      8L -> mid40).toDF("doc_id", "text")
+    val batch = Seq(
+      11L -> base40,
+      12L -> ("alpha " + (1 to 30).map(i => s"p$i").mkString(" ")),
+      13L -> v40b).toDF("doc_id", "text")
+    val terms = Seq("alpha", "beta")
+    def vec(a: Double, b: Double, c: Double, d: Double) = Seq(a, b, c, d)
+    val allVecs = Map(
+      1L -> vec(1, 0.1, 0, 0), 2L -> vec(0.9, 0.2, 0, 0),
+      3L -> vec(0.8, 0.1, 0.1, 0), 4L -> vec(0, 1, 0.1, 0),
+      5L -> vec(0, 0.9, 0.2, 0), 6L -> vec(0.1, 0, 1, 0),
+      7L -> vec(0, 0.1, 0.9, 0), 8L -> vec(0.7, 0.3, 0, 0),
+      11L -> vec(0.95, 0.1, 0, 0), 12L -> vec(0.1, 0.95, 0, 0),
+      13L -> vec(0, 0.2, 0.95, 0))
+    def vecsOf(ids: Seq[Long]): DataFrame =
+      ids.map(i => (i, allVecs(i))).toDF("vec_id", "embedding")
+    val cents = Seq((100L, vec(1, 0, 0, 0)), (101L, vec(0, 1, 0, 0)),
+      (102L, vec(0, 0, 1, 0))).toDF("cid", "embedding")
+    val annK = 2; val probeK = 2
+    // the build arms — identical machinery to the l6 query fixtures
+    def cosSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      import graft.functions.VectorExprs.{vec_dot, vec_norm}
+      vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+    }
+    def annOf(vecs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val wA = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
+      val cd = scope.cached(vecs.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+        .crossJoin(broadcast(cents.select(col("cid"), col("embedding").as("qe"))))
+        .withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") <= probeK)
+        .select("vid", "cid", "rn"))
+      val assign = cd.filter(col("rn") === 1).select("vid", "cid")
+      val probes = cd.select(col("vid").as("qid"), col("cid"))
+      val wR = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+      val idx = probes.join(assign, "cid").filter(col("vid") =!= col("qid"))
+        .select("qid", "vid")
+        .join(vecs.select(col("vec_id").as("qid"), col("embedding").as("qe2")), "qid")
+        .join(vecs.select(col("vec_id").as("vid"), col("embedding").as("ve2")), "vid")
+        .select(col("qid"), col("vid"),
+          round(cosSim(col("qe2"), col("ve2")), 6).as("simr"))
+        .withColumn("rn", row_number().over(wR)).filter(col("rn") <= annK)
+        .select("qid", "rn", "vid", "simr")
+      (probes, assign, idx)
+    }
+    def artsOf(docs: DataFrame, vecs: DataFrame): CorpusOps.CorpusArtifacts = {
+      val aux = docs.select(sha2(col("text"), 256).as("h"), col("doc_id"))
+      val keepers = aux.groupBy("h")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+      val pairs = scope.cached(CorpusOps.nearDupPairs(docs))
+      val clusters = CorpusOps.dupClusters(pairs)
+      val (probes, assign, idx) = annOf(vecs)
+      val stats = CorpusOps.bm25StatRows(docs, terms, 1)
+        .groupBy("stat", "k").agg(sum("v").as("v"), count(lit(1)).as("cnt"))
+      CorpusOps.CorpusArtifacts(aux, keepers, clusters, pairs, idx,
+        probes, assign, vecs, stats)
+    }
+    val arts0 = artsOf(stored, vecsOf((1L to 8L).toSeq))
+    val res1 = CorpusOps.ingestDocuments(batch, stored, arts0,
+      vecsOf(Seq(11L, 12L, 13L)), cents, terms, annK, probeK)
+    // delete 1 (the group-A keeper — runner-up promotion) and 12 (a
+    // doc the FIRST batch ingested — only the chained aux knows it)
+    val docsAll = stored.unionByName(batch)
+    val del = Seq(1L, 12L).toDF("doc_id")
+    val res2 = CorpusOps.deleteDocuments(del, docsAll, res1.artifacts, terms, annK)
+    // the gate: rebuild every artifact from the final corpus
+    val finalIds = Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L, 11L, 13L)
+    val finalDocs = docsAll.filter(!col("doc_id").isin(1L, 12L))
+    val rebuilt = artsOf(finalDocs, vecsOf(finalIds))
+    def rows(df: DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(least(col("d1"), col("d2")).as("a"),
+        greatest(col("d1"), col("d2")).as("b"))
+        .as[(Long, Long)].collect().toSet
+    assert(rows(res2.artifacts.exactKeepers) == rows(rebuilt.exactKeepers),
+      "chained exact keepers diverged from the rebuild")
+    assert(rows(res2.artifacts.exactAux) == rows(rebuilt.exactAux),
+      "chained exactAux membership diverged")
+    assert(pairSet(res2.artifacts.pairs) == pairSet(rebuilt.pairs),
+      "chained pair graph diverged")
+    assert(rows(res2.artifacts.clusters) == rows(rebuilt.clusters),
+      "chained clusters diverged")
+    assert(rows(res2.artifacts.annProbes) == rows(rebuilt.annProbes),
+      "chained ANN probes diverged")
+    assert(rows(res2.artifacts.annAssign) == rows(rebuilt.annAssign),
+      "chained ANN assignments diverged")
+    assert(rows(res2.artifacts.annIndex) == rows(rebuilt.annIndex),
+      "chained ANN index diverged from the frozen-quantizer rebuild")
+    assert(rows(res2.artifacts.vectors.select(col("vec_id"), col("embedding"))) ==
+      rows(rebuilt.vectors), "chained vectors diverged")
+    assert(rows(res2.artifacts.bm25Stats) == rows(rebuilt.bm25Stats),
+      "chained BM25 stats diverged")
+    // sanity on the planted structure: group A lost keeper 1 and
+    // gained 11, so the maintained keeper must be the runner-up 2
+    val gA = res2.artifacts.exactKeepers
+      .join(finalDocs.filter(col("doc_id") === 2L)
+        .select(sha2(col("text"), 256).as("h")), "h")
+      .select("keeper", "n_dups").as[(Long, Long)].collect().toSeq
+    assert(gA == Seq((2L, 2L)), s"group A keeper/count: $gA") // {2, 11} survive of {1, 2, 11}
+  }
 }
