@@ -1804,6 +1804,55 @@ object CorpusOps {
     dl.unionByName(df)
   }
 
+  /** Build the complete [[CorpusArtifacts]] bundle FROM SCRATCH over
+    * (docs, vectors) with the frozen quantizer `cents` — the
+    * construction arm every cascade gate compares against, factored
+    * here so the l6 queries, the streaming lifecycle TCK, and bench
+    * preparation share ONE canonical build. Family conventions:
+    * sha-256 hash groups with min-id keepers; [[nearDupPairs]] +
+    * [[dupClusters]]; ANN probe lists = top-`probeK` cells per vector
+    * against `cents` (round-6 cosine, cid-asc ties), assignments =
+    * the top cell, stored lists = top-`annK` re-rank over probe-cell
+    * candidates (vid-asc ties); the (stat, k, v, cnt) BM25 view from
+    * [[bm25StatRows]]. This is a BUILD (corpus-sized by nature) — the
+    * cascades exist so it runs once, not per batch. */
+  def buildArtifacts(docs: DataFrame, vectors: DataFrame, cents: DataFrame,
+                     terms: Seq[String], annK: Int = 5, probeK: Int = 4)
+                    (implicit scope: CacheScope): CorpusArtifacts = {
+    import graft.functions.VectorExprs.{vec_dot, vec_norm}
+    def cos(a: Column, b: Column) = vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+    val exactAux = docs.select(sha2(col("text"), 256).as("h"), col("doc_id"))
+    val exactKeepers = exactAux.groupBy("h")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+    val pairs = scope.cached(nearDupPairs(docs))
+    val clusters = dupClusters(pairs)
+    def vid2(df: DataFrame, as: String, vas: String): DataFrame =
+      df.select(col(df.columns.head).as(as), col(df.columns(1)).as(vas))
+    val wA = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
+    val cd = scope.cached(vid2(vectors, "vid", "ve")
+      .crossJoin(broadcast(vid2(cents, "cid", "qe")))
+      .withColumn("simr", round(cos(col("qe"), col("ve")), 6))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") <= probeK)
+      .select("vid", "cid", "rn"))
+    val assign = cd.filter(col("rn") === 1).select("vid", "cid")
+    val probes = cd.select(col("vid").as("qid"), col("cid"))
+    val wR = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
+    val vecs = vid2(vectors, "vec_id", "embedding")
+    val index = scope.cached(
+      probes.join(assign, "cid").filter(col("vid") =!= col("qid"))
+        .select("qid", "vid")
+        .join(vecs.select(col("vec_id").as("qid"), col("embedding").as("_qe")), "qid")
+        .join(vecs.select(col("vec_id").as("vid"), col("embedding").as("_ve")), "vid")
+        .select(col("qid"), col("vid"),
+          round(cos(col("_qe"), col("_ve")), 6).as("simr"))
+        .withColumn("rn", row_number().over(wR)).filter(col("rn") <= annK)
+        .select("qid", "rn", "vid", "simr"))
+    val stats = bm25StatRows(docs, terms, 1)
+      .groupBy("stat", "k").agg(sum("v").as("v"), count(lit(1)).as("cnt"))
+    CorpusArtifacts(exactAux, exactKeepers, clusters, pairs, index,
+      probes, assign, vecs, stats)
+  }
+
   /** CORPUS-WIDE CASCADE DELETE — the operational "purge these
     * doc_ids" request applied to EVERY maintained artifact at once,
     * each through its own incremental repair path (never a rebuild):

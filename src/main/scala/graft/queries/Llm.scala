@@ -5551,43 +5551,18 @@ object Llm {
       val docs = t(s, dir, "documents")
       val del = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
       // ---- the maintained artifacts, as built before the delete ----
-      val exactAux = docs.select(sha2(col("text"), 256).as("h"), col("doc_id"))
-      val exactKeepers = exactAux.groupBy("h")
-        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
-      val pairs = cached(jaccardPairs(s, dir))
-      val clusters = graft.ops.CorpusOps.dupClusters(pairs)
-      // the stored ANN index + frozen probe/assign aux (l3_ann_delete's build)
+      // (buildArtifacts = the canonical construction arm: sha groups,
+      // jaccard pair graph + clusters, the frozen-quantizer ANN chain
+      // at probeK 4 / annK 5, the (stat, k, v, cnt) BM25 view)
       val e = t(s, dir, "embeddings")
       val nlist = broadcast(e.agg(
         greatest(lit(32L), ceil(sqrt(count(lit(1)))).cast("long")).as("nlist")))
       val cents = e.crossJoin(nlist).filter(col("vec_id") < col("nlist"))
-        .select(col("vec_id").as("cid"), col("embedding").as("qe"))
-      val wA = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
-      val cdTop = cached(e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
-        .crossJoin(broadcast(cents))
-        .withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") <= 4)
-        .select("vid", "cid", "rn"))
-      val assign = cdTop.filter(col("rn") === 1).select("vid", "cid")
-      val probes = cdTop.select(col("vid").as("qid"), col("cid"))
-      val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
-      val g = cached(
-        probes.join(assign, "cid").filter(col("vid") =!= col("qid"))
-          .select("qid", "vid")
-          .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe2")), "qid")
-          .join(e.select(col("vec_id").as("vid"), col("embedding").as("ve2")), "vid")
-          .select(col("qid"), col("vid"),
-            round(cosSim(col("qe2"), col("ve2")), 6).as("simr"))
-          .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 5)
-          .select("qid", "rn", "vid", "simr"))
+        .select(col("vec_id").as("cid"), col("embedding"))
       val terms = Seq("table", "scan", "join", "merge")
-      val statsMv = graft.ops.CorpusOps.bm25StatRows(docs, terms, 1)
-        .groupBy("stat", "k").agg(sum("v").as("v"), count(lit(1)).as("cnt"))
+      val arts = graft.ops.CorpusOps.buildArtifacts(docs, e, cents, terms)
       // ---- ONE call applies the delete list to every artifact ----
-      val res = graft.ops.CorpusOps.deleteDocuments(del, docs,
-        graft.ops.CorpusOps.CorpusArtifacts(exactAux, exactKeepers,
-          clusters, pairs, g, probes, assign, e, statsMv), terms)
+      val res = graft.ops.CorpusOps.deleteDocuments(del, docs, arts, terms)
       val nullS = lit(null).cast("string")
       val nullL = lit(null).cast("long")
       res.artifacts.exactKeepers.select(lit("exact").as("artifact"), col("h").as("k"),
@@ -5688,12 +5663,9 @@ object Llm {
       val docsAll = t(s, dir, "documents")
       val stored = docsAll.filter(col("doc_id") % 10 =!= 0)
       val batch = docsAll.filter(col("doc_id") % 10 === 0)
-      val exactAux = stored.select(sha2(col("text"), 256).as("h"), col("doc_id"))
-      val exactKeepers = exactAux.groupBy("h")
-        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
-      val pairsStored = cached(jaccardPairsOf(stored))
-      val clusters = graft.ops.CorpusOps.dupClusters(pairsStored)
-      // the stored ANN index + frozen quantizer (centroids persist)
+      // the stored bundle + frozen quantizer (centroids persist; nlist
+      // frozen on the STORED count — re-deriving either from the grown
+      // corpus would be a retrain, i.e. a rebuild)
       val eAll = t(s, dir, "embeddings")
       val e = eAll.filter(col("vec_id") % 10 =!= 0)
         .select("vec_id", "embedding")
@@ -5703,32 +5675,10 @@ object Llm {
         greatest(lit(32L), ceil(sqrt(count(lit(1)))).cast("long")).as("nlist")))
       val cents = e.crossJoin(nlist).filter(col("vec_id") < col("nlist"))
         .select(col("vec_id").as("cid"), col("embedding"))
-      val wA = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
-      val cdTop = cached(e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
-        .crossJoin(broadcast(cents.select(col("cid"), col("embedding").as("qe"))))
-        .withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") <= 4)
-        .select("vid", "cid", "rn"))
-      val assign = cdTop.filter(col("rn") === 1).select("vid", "cid")
-      val probes = cdTop.select(col("vid").as("qid"), col("cid"))
-      val wRank = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
-      val g = cached(
-        probes.join(assign, "cid").filter(col("vid") =!= col("qid"))
-          .select("qid", "vid")
-          .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe2")), "qid")
-          .join(e.select(col("vec_id").as("vid"), col("embedding").as("ve2")), "vid")
-          .select(col("qid"), col("vid"),
-            round(cosSim(col("qe2"), col("ve2")), 6).as("simr"))
-          .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 5)
-          .select("qid", "rn", "vid", "simr"))
       val terms = Seq("table", "scan", "join", "merge")
-      val statsMv = graft.ops.CorpusOps.bm25StatRows(stored, terms, 1)
-        .groupBy("stat", "k").agg(sum("v").as("v"), count(lit(1)).as("cnt"))
+      val arts = graft.ops.CorpusOps.buildArtifacts(stored, e, cents, terms)
       // ---- ONE call ingests the batch into every artifact ----
-      val res = graft.ops.CorpusOps.ingestDocuments(batch, stored,
-        graft.ops.CorpusOps.CorpusArtifacts(exactAux, exactKeepers,
-          clusters, pairsStored, g, probes, assign, e, statsMv),
+      val res = graft.ops.CorpusOps.ingestDocuments(batch, stored, arts,
         be, cents, terms)
       val nullS = lit(null).cast("string")
       val nullL = lit(null).cast("long")

@@ -535,44 +535,10 @@ class CorpusOpsSpec extends AnyFunSuite {
     val cents = Seq((100L, vec(1, 0, 0, 0)), (101L, vec(0, 1, 0, 0)),
       (102L, vec(0, 0, 1, 0))).toDF("cid", "embedding")
     val annK = 2; val probeK = 2
-    // the build arms — identical machinery to the l6 query fixtures
-    def cosSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-      import graft.functions.VectorExprs.{vec_dot, vec_norm}
-      vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
-    }
-    def annOf(vecs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-      import org.apache.spark.sql.expressions.Window
-      val wA = Window.partitionBy("vid").orderBy(col("simr").desc, col("cid").asc)
-      val cd = scope.cached(vecs.select(col("vec_id").as("vid"), col("embedding").as("ve"))
-        .crossJoin(broadcast(cents.select(col("cid"), col("embedding").as("qe"))))
-        .withColumn("simr", round(cosSim(col("qe"), col("ve")), 6))
-        .withColumn("rn", row_number().over(wA)).filter(col("rn") <= probeK)
-        .select("vid", "cid", "rn"))
-      val assign = cd.filter(col("rn") === 1).select("vid", "cid")
-      val probes = cd.select(col("vid").as("qid"), col("cid"))
-      val wR = Window.partitionBy("qid").orderBy(col("simr").desc, col("vid").asc)
-      val idx = probes.join(assign, "cid").filter(col("vid") =!= col("qid"))
-        .select("qid", "vid")
-        .join(vecs.select(col("vec_id").as("qid"), col("embedding").as("qe2")), "qid")
-        .join(vecs.select(col("vec_id").as("vid"), col("embedding").as("ve2")), "vid")
-        .select(col("qid"), col("vid"),
-          round(cosSim(col("qe2"), col("ve2")), 6).as("simr"))
-        .withColumn("rn", row_number().over(wR)).filter(col("rn") <= annK)
-        .select("qid", "rn", "vid", "simr")
-      (probes, assign, idx)
-    }
-    def artsOf(docs: DataFrame, vecs: DataFrame): CorpusOps.CorpusArtifacts = {
-      val aux = docs.select(sha2(col("text"), 256).as("h"), col("doc_id"))
-      val keepers = aux.groupBy("h")
-        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
-      val pairs = scope.cached(CorpusOps.nearDupPairs(docs))
-      val clusters = CorpusOps.dupClusters(pairs)
-      val (probes, assign, idx) = annOf(vecs)
-      val stats = CorpusOps.bm25StatRows(docs, terms, 1)
-        .groupBy("stat", "k").agg(sum("v").as("v"), count(lit(1)).as("cnt"))
-      CorpusOps.CorpusArtifacts(aux, keepers, clusters, pairs, idx,
-        probes, assign, vecs, stats)
-    }
+    // ONE canonical build arm — the same buildArtifacts the l6 queries
+    // and T26 construct from
+    def artsOf(docs: DataFrame, vecs: DataFrame): CorpusOps.CorpusArtifacts =
+      CorpusOps.buildArtifacts(docs, vecs, cents, terms, annK, probeK)
     val arts0 = artsOf(stored, vecsOf((1L to 8L).toSeq))
     val res1 = CorpusOps.ingestDocuments(batch, stored, arts0,
       vecsOf(Seq(11L, 12L, 13L)), cents, terms, annK, probeK)
