@@ -1556,6 +1556,171 @@ class StreamingTckSpec extends AnyFunSuite {
       "replayed compaction diverged from the committed adjacency")
   }
 
+  // ---------------------------------------------------------------- T26
+  test("T26: streamed corpus lifecycle — ONE change stream drives the cascade composites against versioned artifact bundles; restart + replay reproduce commits") {
+    // T13/T16 maintain single views per batch; T24 closes the ANN
+    // lifecycle. This drives the WHOLE corpus lifecycle: side-tagged
+    // change batches (ins rows carry text + embedding, del rows an id)
+    // flow through ingestDocuments/deleteDocuments against versioned
+    // snapshot BUNDLES — all nine CorpusArtifacts members + the docs
+    // table committed per batchId, each batch chaining off the PRIOR
+    // version's stored bundle alone (the round-15 chaining contract).
+    // Gates: every committed version equals buildArtifacts over the
+    // corpus as of that version (frozen quantizer), a checkpoint
+    // restart lands mid-stream, and re-deriving a batch's commit from
+    // its stored prior reproduces it member-for-member.
+    import org.apache.spark.sql.DataFrame
+    import graft.ops.{CacheScope, CorpusOps}
+    val root = Files.createTempDirectory("lifecycle").toString
+    val ck = Files.createTempDirectory("lifecycle-ck").toString
+    val terms = Seq("alpha", "beta")
+    val annK = 2; val probeK = 2
+    val base40 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near40 = (1 to 39).map(i => s"w$i").mkString(" ") + " zz"
+    val v40 = (1 to 40).map(i => s"v$i").mkString(" ")
+    val v40b = (1 to 39).map(i => s"v$i").mkString(" ") + " vz"
+    val docs0 = Seq(
+      1L -> base40, 2L -> base40, 3L -> near40, 4L -> v40,
+      5L -> ("alpha beta alpha " + (1 to 20).map(i => s"u$i").mkString(" ")),
+      6L -> (1 to 30).map(i => s"x$i").mkString(" "))
+    val vecOf = Map(
+      1L -> Seq(1.0, 0.1, 0.0), 2L -> Seq(0.9, 0.2, 0.0),
+      3L -> Seq(0.8, 0.1, 0.1), 4L -> Seq(0.0, 1.0, 0.1),
+      5L -> Seq(0.0, 0.9, 0.2), 6L -> Seq(0.1, 0.0, 1.0),
+      11L -> Seq(0.95, 0.1, 0.0), 12L -> Seq(0.1, 0.95, 0.0),
+      13L -> Seq(0.0, 0.2, 0.95))
+    Seq((100L, Seq(1.0, 0.0, 0.0)), (101L, Seq(0.0, 1.0, 0.0)),
+        (102L, Seq(0.0, 0.0, 1.0))).toDF("cid", "embedding")
+      .coalesce(1).write.parquet(s"$root/cents")
+    def saveBundle(dir: String, docs: DataFrame,
+                   a: CorpusOps.CorpusArtifacts): Unit = {
+      def w(df: DataFrame, n: String): Unit =
+        df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$n")
+      w(docs, "docs"); w(a.exactAux, "exactAux")
+      w(a.exactKeepers, "exactKeepers"); w(a.clusters, "clusters")
+      w(a.pairs, "pairs"); w(a.annIndex, "annIndex")
+      w(a.annProbes, "annProbes"); w(a.annAssign, "annAssign")
+      w(a.vectors, "vectors"); w(a.bm25Stats, "bm25Stats")
+    }
+    def loadBundle(sp: org.apache.spark.sql.SparkSession,
+                   dir: String): (DataFrame, CorpusOps.CorpusArtifacts) = {
+      def r(n: String) = sp.read.parquet(s"$dir/$n")
+      (r("docs"), CorpusOps.CorpusArtifacts(r("exactAux"), r("exactKeepers"),
+        r("clusters"), r("pairs"), r("annIndex"), r("annProbes"),
+        r("annAssign"), r("vectors"), r("bm25Stats")))
+    }
+    // apply one side-tagged change batch to a (docs, artifacts) state —
+    // the SAME function the stream and the replay gate call
+    def applyChanges(sp: org.apache.spark.sql.SparkSession, b: DataFrame,
+                     docsPrior: DataFrame, arts0: CorpusOps.CorpusArtifacts)
+                    (implicit sc: CacheScope): (DataFrame, CorpusOps.CorpusArtifacts) = {
+      val cents = sp.read.parquet(s"$root/cents")
+      val ins = sc.cached(b.filter(col("op") === "ins"))
+      val insDocs = ins.select("doc_id", "text")
+      val insVecs = ins.select(col("doc_id").as("vec_id"),
+        col("emb").as("embedding"))
+      val delIds = sc.cached(b.filter(col("op") === "del").select("doc_id"))
+      val (docs1, arts1) =
+        if (ins.limit(1).count() > 0)
+          (docsPrior.unionByName(insDocs),
+            CorpusOps.ingestDocuments(insDocs, docsPrior, arts0,
+              insVecs, cents, terms, annK, probeK).artifacts)
+        else (docsPrior, arts0)
+      if (delIds.limit(1).count() > 0)
+        (docs1.join(delIds, Seq("doc_id"), "left_anti"),
+          CorpusOps.deleteDocuments(delIds, docs1, arts1, terms, annK).artifacts)
+      else (docs1, arts1)
+    }
+    locally { // v=0: the initial corpus's bundle
+      implicit val sc: CacheScope = CacheScope.owned()
+      try {
+        val d0 = docs0.toDF("doc_id", "text")
+        val v0 = docs0.map(_._1).map(i => (i, vecOf(i))).toDF("vec_id", "embedding")
+        saveBundle(s"$root/v=0", d0, CorpusOps.buildArtifacts(
+          d0, v0, spark.read.parquet(s"$root/cents"), terms, annK, probeK))
+      } finally sc.close()
+    }
+    val in = MemoryStream[(String, Long, String, Seq[Double])](spark)
+    def start() = in.toDF().toDF("op", "doc_id", "text", "emb")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        val prior = (id to 0L by -1L).map(v => s"$root/v=$v")
+          .find(d => new java.io.File(d).exists()).getOrElse(s"$root/v=0")
+        implicit val sc: CacheScope = CacheScope.owned()
+        try {
+          val (docsPrior, arts0) = loadBundle(sp, prior)
+          val (docsNew, artsNew) = applyChanges(sp, batch, docsPrior, arts0)
+          saveBundle(s"$root/v=${id + 1}", docsNew, artsNew)
+        } finally sc.close()
+      }.start()
+    val q1 = start()
+    in.addData(("ins", 11L, base40, vecOf(11L)), // exact dup joins group A
+               ("ins", 12L, "alpha " + (1 to 30).map(i => s"p$i").mkString(" "), vecOf(12L)))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start() // checkpoint restart mid-stream
+    in.addData(("ins", 13L, v40b, vecOf(13L)),   // near dup of stored 4
+               ("del", 1L, "", Seq.empty),        // the group-A keeper
+               ("del", 12L, "", Seq.empty))       // a doc batch 0 ingested
+    q2.processAllAvailable(); q2.stop()
+    // ---- gate 1: every committed version == the rebuild over the
+    // corpus as of that version, frozen quantizer, member for member
+    def rows(df: DataFrame): Set[String] = df.collect().map(_.toString).toSet
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(least(col("d1"), col("d2")).as("a"),
+        greatest(col("d1"), col("d2")).as("b")).as[(Long, Long)].collect().toSet
+    def assertVersion(v: Long, ids: Seq[Long], extra: Map[Long, String]): Unit = {
+      implicit val sc: CacheScope = CacheScope.owned()
+      try {
+        val (docsV, artsV) = loadBundle(spark, s"$root/v=$v")
+        val expDocs = (docs0.toMap ++ extra).filter(kv => ids.contains(kv._1))
+        val reb = CorpusOps.buildArtifacts(
+          expDocs.toSeq.toDF("doc_id", "text"),
+          ids.map(i => (i, vecOf(i))).toDF("vec_id", "embedding"),
+          spark.read.parquet(s"$root/cents"), terms, annK, probeK)
+        assert(rows(docsV) == rows(expDocs.toSeq.toDF("doc_id", "text")),
+          s"v=$v docs diverged")
+        assert(rows(artsV.exactKeepers) == rows(reb.exactKeepers), s"v=$v keepers")
+        assert(rows(artsV.exactAux) == rows(reb.exactAux), s"v=$v exactAux")
+        assert(rows(artsV.clusters) == rows(reb.clusters), s"v=$v clusters")
+        assert(pairSet(artsV.pairs) == pairSet(reb.pairs), s"v=$v pairs")
+        assert(rows(artsV.annIndex) == rows(reb.annIndex), s"v=$v annIndex")
+        assert(rows(artsV.annProbes) == rows(reb.annProbes), s"v=$v annProbes")
+        assert(rows(artsV.annAssign) == rows(reb.annAssign), s"v=$v annAssign")
+        assert(rows(artsV.vectors) == rows(reb.vectors), s"v=$v vectors")
+        assert(rows(artsV.bm25Stats) == rows(reb.bm25Stats), s"v=$v bm25Stats")
+      } finally sc.close()
+    }
+    val ins0 = Map(11L -> base40,
+      12L -> ("alpha " + (1 to 30).map(i => s"p$i").mkString(" ")),
+      13L -> v40b)
+    assertVersion(1L, Seq(1L, 2L, 3L, 4L, 5L, 6L, 11L, 12L), ins0)
+    assertVersion(2L, Seq(2L, 3L, 4L, 5L, 6L, 11L, 13L), ins0)
+    // ---- gate 2: REPLAY — re-deriving batch 1's commit from the
+    // stored v=1 bundle reproduces v=2 member-for-member
+    locally {
+      implicit val sc: CacheScope = CacheScope.owned()
+      try {
+        val (docs1, arts1) = loadBundle(spark, s"$root/v=1")
+        val b1 = Seq(("ins", 13L, v40b, vecOf(13L)),
+          ("del", 1L, "", Seq.empty[Double]),
+          ("del", 12L, "", Seq.empty[Double])).toDF("op", "doc_id", "text", "emb")
+        val (docsR, artsR) = applyChanges(spark, b1, docs1, arts1)
+        val (docs2, arts2) = loadBundle(spark, s"$root/v=2")
+        assert(rows(docsR) == rows(docs2), "replayed docs diverged from v=2")
+        assert(rows(artsR.exactKeepers) == rows(arts2.exactKeepers) &&
+          rows(artsR.clusters) == rows(arts2.clusters) &&
+          rows(artsR.annIndex) == rows(arts2.annIndex) &&
+          rows(artsR.bm25Stats) == rows(arts2.bm25Stats) &&
+          pairSet(artsR.pairs) == pairSet(arts2.pairs) &&
+          rows(artsR.annProbes) == rows(arts2.annProbes) &&
+          rows(artsR.annAssign) == rows(arts2.annAssign) &&
+          rows(artsR.vectors) == rows(arts2.vectors),
+          "replayed batch-1 commit diverged from the stored v=2 bundle")
+      } finally sc.close()
+    }
+  }
+
   // ------------------------------------------- L-ops over the stream
   test("corpus ingest: quality gate + in-stream exact dedup over the message source") {
     // The L-battery's cleanup stages composed onto the streaming layer:
