@@ -61,7 +61,12 @@ object Bench {
     "l3_ann_compact", "l2_incremental_delete", "l3_ann_delete",
     "l4_classifier_train", "l4_bm25", "l4_bm25_maintain", "l5_video_header",
     "q125_mv_topk_delete", "l4_bm25_incremental", "l6_cascade_delete",
-    "q126_zonemap_transparent_read", "l6_cascade_insert")
+    "q126_zonemap_transparent_read", "l6_cascade_insert",
+    "q127_zonemap_string_or_read", "q128_zonemap_file_read",
+    // the repair-path cells: run 1 builds + persists the bundle, runs
+    // 2-3 time read-stored + maintenance only — min() reports the
+    // repair path, which the construction-dominated cells above hide
+    "l6_cascade_delete_apply", "l6_cascade_insert_apply")
 
   /** 1-minute system load average, -1.0 where the platform can't say.
     * Recorded at both ends of the run so the record SELF-ADJUDICATES:
@@ -164,22 +169,27 @@ object Bench {
       }
     }
     // a cell is suspect when its spread blew AND a foreigner was on
-    // the cores right after it ran — waves last minutes, so the 200 ms
-    // post-cell sample still sees the wave that inflated the cell.
-    // The 1-min loadavg is recorded for the reader but no longer
-    // drives retries or flags: the bench's own bursts dominate it.
+    // the cores around it — sampled BEFORE and AFTER the cell's runs,
+    // flagged on the max of the two: a co-tenant wave that ends
+    // mid-cell (cells run tens of seconds; waves need not outlast
+    // them) inflates the runs yet samples quiet afterwards, so the
+    // post-only sample under-flagged. The 1-min loadavg is recorded
+    // for the reader but no longer drives retries or flags: the
+    // bench's own bursts dominate it.
     val foreignFlag = 0.10
     def measure(run: () => Double): Cell = {
       awaitQuietHost()
       def sample() = foreignCpu(200)
+      val pre = sample()
       var cell = Cell((1 to 3).map(_ => run()).filter(_ >= 0),
-        loadAvg(), sample(), 0)
+        loadAvg(), math.max(pre, sample()), 0)
       while (overEnvelope(cell) && cell.foreign >= foreignFlag && retryBudget > 0) {
         retryBudget -= 1
         awaitQuietHost()
+        val pre2 = sample()
         val extra = run()
         cell = Cell(cell.runs ++ Some(extra).filter(_ >= 0),
-          loadAvg(), sample(), cell.retried + 1)
+          loadAvg(), math.max(pre2, sample()), cell.retried + 1)
       }
       cell
     }

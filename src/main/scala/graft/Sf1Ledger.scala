@@ -39,7 +39,12 @@ object Sf1Ledger {
     "l2_incremental_delete", "l3_ann_delete",
     // round-14's own cells
     "l6_cascade_delete", "l4_bm25_incremental", "q125_mv_topk_delete",
-    "l6_cascade_insert")
+    "l6_cascade_insert",
+    // round-15's own cells: the transparent-read family + the
+    // repair-path cells (see the _apply prewarm below)
+    "q126_zonemap_transparent_read", "q127_zonemap_string_or_read",
+    "q128_zonemap_file_read",
+    "l6_cascade_delete_apply", "l6_cascade_insert_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -58,6 +63,14 @@ object Sf1Ledger {
     // first timed cell doesn't absorb one-time costs
     BenchSession.timeQuery(spark, names.last, sfDir)
     BenchSession.timeQuery(spark, names.last, outDir)
+    // the _apply cells time the REPAIR path: their FIRST run per
+    // corpus builds and persists the stored bundle (construction), so
+    // prewarm each once per corpus — the timed run then measures
+    // read-stored + maintenance only, the number the ledger audits
+    names.filter(_.endsWith("_apply")).foreach { n =>
+      BenchSession.timeQuery(spark, n, sfDir)
+      BenchSession.timeQuery(spark, n, outDir)
+    }
     val rows = names.map { n =>
       val b = BenchSession.timeQuery(spark, n, sfDir)
       val s0 = BenchSession.timeQuery(spark, n, outDir)

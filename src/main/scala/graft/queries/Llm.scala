@@ -5526,6 +5526,90 @@ object Llm {
             |FROM d JOIN ns ON ns.w = d.w
             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
 
+  // ---- the cascade family's shared machinery ----
+
+  private val cascadeTerms = Seq("table", "scan", "join", "merge")
+
+  /** The frozen quantizer the cascade fixtures persist: the first
+    * max(32, ceil(sqrt(n))) vectors as centroids — nlist frozen on
+    * the corpus `e` was derived from. */
+  private def centsOf(e: DataFrame): DataFrame = {
+    val nlist = broadcast(e.agg(
+      greatest(lit(32L), ceil(sqrt(count(lit(1)))).cast("long")).as("nlist")))
+    e.crossJoin(nlist).filter(col("vec_id") < col("nlist"))
+      .select(col("vec_id").as("cid"), col("embedding"))
+  }
+
+  /** Shared output assembly: ONE 5-column (artifact, k, x, y, z)
+    * union over the repaired bundle + funnel — exact = (h, keeper,
+    * n); cluster = (cluster_id, doc_id, size); ann = (qid, rn, vid);
+    * bm25 = (term|len, v, cnt); funnel = (name, rows_after, n). */
+  private def cascadeRows(res: graft.ops.CorpusOps.CascadeResult): DataFrame = {
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
+    res.artifacts.exactKeepers.select(lit("exact").as("artifact"), col("h").as("k"),
+        col("keeper").as("x"), col("n_dups").as("y"), nullL.as("z"))
+      .unionByName(res.artifacts.clusters.select(lit("cluster").as("artifact"),
+        nullS.as("k"), col("cluster_id").as("x"), col("doc_id").as("y"),
+        col("cluster_size").as("z")))
+      .unionByName(res.artifacts.annIndex.select(lit("ann").as("artifact"),
+        nullS.as("k"), col("qid").as("x"), col("rn").cast("long").as("y"),
+        col("vid").as("z")))
+      .unionByName(res.artifacts.bm25Stats.select(lit("bm25").as("artifact"),
+        when(col("stat") === "len", lit("len")).otherwise(col("k")).as("k"),
+        col("v").as("x"), col("cnt").as("y"), nullL.as("z")))
+      .unionByName(res.funnel.select(lit("funnel").as("artifact"),
+        col("k"), col("x"), col("y"), nullL.as("z")))
+      .orderBy("artifact", "k", "x", "y", "z")
+  }
+
+  /** Build-ONCE-and-persist the cascade bundle for `dir`'s corpus —
+    * the production posture the `_apply` cells measure against: a
+    * pipeline READS its stored artifacts; only the maintenance call
+    * is hot. Variant "full" = the whole corpus; "stored" = the
+    * doc_id % 10 != 0 subset with the quantizer frozen on it (the
+    * l6_cascade_insert split). Keyed by the testdata fingerprint
+    * (file length + mtime) so a regenerated fixture rebuilds; guarded
+    * by a JVM-wide lock + _DONE marker so concurrent suites don't
+    * race the build. */
+  private def persistedArts(s: SparkSession, dir: String, variant: String)
+      (implicit scope: graft.ops.CacheScope)
+      : (graft.ops.CorpusOps.CorpusArtifacts, DataFrame) = {
+    import graft.ops.CorpusOps
+    def fp(n: String) = {
+      val f = new java.io.File(dir, n + ".parquet")
+      s"${f.length}-${f.lastModified}"
+    }
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-arts-" + variant + "-" + Integer.toHexString(
+        (dir + fp("documents") + fp("embeddings")).hashCode))
+    Llm.synchronized {
+      if (!new java.io.File(root, "_DONE").exists()) {
+        val docsAll = t(s, dir, "documents")
+        val eAll = t(s, dir, "embeddings")
+        val (docs, e) =
+          if (variant == "stored")
+            (docsAll.filter(col("doc_id") % 10 =!= 0),
+              eAll.filter(col("vec_id") % 10 =!= 0).select("vec_id", "embedding"))
+          else (docsAll, eAll.select("vec_id", "embedding"))
+        val cents = centsOf(e)
+        val arts = CorpusOps.buildArtifacts(docs, e, cents, cascadeTerms)
+        def w(df: DataFrame, n: String): Unit = df.write.mode("overwrite")
+          .parquet(new java.io.File(root, n).toString)
+        w(arts.exactAux, "exactAux"); w(arts.exactKeepers, "exactKeepers")
+        w(arts.clusters, "clusters"); w(arts.pairs, "pairs")
+        w(arts.annIndex, "annIndex"); w(arts.annProbes, "annProbes")
+        w(arts.annAssign, "annAssign"); w(arts.vectors, "vectors")
+        w(arts.bm25Stats, "bm25Stats"); w(cents, "cents")
+        new java.io.File(root, "_DONE").createNewFile()
+      }
+    }
+    def r(n: String) = s.read.parquet(new java.io.File(root, n).toString)
+    (CorpusOps.CorpusArtifacts(r("exactAux"), r("exactKeepers"), r("clusters"),
+      r("pairs"), r("annIndex"), r("annProbes"), r("annAssign"),
+      r("vectors"), r("bm25Stats")), r("cents"))
+  }
+
   // CORPUS-WIDE CASCADE DELETE (l6_cascade_delete): the operational
   // "purge these doc_ids" request touching EVERY maintained artifact
   // from ONE delete list (doc_id % 7 = 0), each via its own
@@ -5555,32 +5639,16 @@ object Llm {
       // jaccard pair graph + clusters, the frozen-quantizer ANN chain
       // at probeK 4 / annK 5, the (stat, k, v, cnt) BM25 view)
       val e = t(s, dir, "embeddings")
-      val nlist = broadcast(e.agg(
-        greatest(lit(32L), ceil(sqrt(count(lit(1)))).cast("long")).as("nlist")))
-      val cents = e.crossJoin(nlist).filter(col("vec_id") < col("nlist"))
-        .select(col("vec_id").as("cid"), col("embedding"))
-      val terms = Seq("table", "scan", "join", "merge")
-      val arts = graft.ops.CorpusOps.buildArtifacts(docs, e, cents, terms)
+      val arts = graft.ops.CorpusOps.buildArtifacts(docs, e, centsOf(e),
+        cascadeTerms)
       // ---- ONE call applies the delete list to every artifact ----
-      val res = graft.ops.CorpusOps.deleteDocuments(del, docs, arts, terms)
-      val nullS = lit(null).cast("string")
-      val nullL = lit(null).cast("long")
-      res.artifacts.exactKeepers.select(lit("exact").as("artifact"), col("h").as("k"),
-          col("keeper").as("x"), col("n_dups").as("y"), nullL.as("z"))
-        .unionByName(res.artifacts.clusters.select(lit("cluster").as("artifact"),
-          nullS.as("k"), col("cluster_id").as("x"), col("doc_id").as("y"),
-          col("cluster_size").as("z")))
-        .unionByName(res.artifacts.annIndex.select(lit("ann").as("artifact"),
-          nullS.as("k"), col("qid").as("x"), col("rn").cast("long").as("y"),
-          col("vid").as("z")))
-        .unionByName(res.artifacts.bm25Stats.select(lit("bm25").as("artifact"),
-          when(col("stat") === "len", lit("len")).otherwise(col("k")).as("k"),
-          col("v").as("x"), col("cnt").as("y"), nullL.as("z")))
-        .unionByName(res.funnel.select(lit("funnel").as("artifact"),
-          col("k"), col("x"), col("y"), nullL.as("z")))
-        .orderBy("artifact", "k", "x", "y", "z")
+      cascadeRows(graft.ops.CorpusOps.deleteDocuments(del, docs, arts,
+        cascadeTerms))
     },
-    Some(s"""WITH RECURSIVE $jaccardPairsCte,
+    Some(l6CascadeDeleteSql))
+
+  private lazy val l6CascadeDeleteSql: String =
+    s"""WITH RECURSIVE $jaccardPairsCte,
             |pf AS (SELECT d1, d2 FROM pairs WHERE d1 % 7 <> 0 AND d2 % 7 <> 0),
             |eg AS (SELECT d1 AS a, d2 AS b FROM pf UNION SELECT d2 AS a, d1 AS b FROM pf),
             |reach AS (SELECT a, b FROM eg
@@ -5641,7 +5709,7 @@ object Llm {
             |  (SELECT y FROM ndel), CAST(NULL AS BIGINT)
             |UNION ALL SELECT 'funnel', 'exact', (SELECT count(*) FROM ex),
             |  (SELECT y FROM ndel), CAST(NULL AS BIGINT)
-            |) ORDER BY artifact, k, x, y, z""".stripMargin))
+            |) ORDER BY artifact, k, x, y, z""".stripMargin
 
   // CORPUS-WIDE CASCADE INGEST (l6_cascade_insert): the lifecycle
   // mirror of l6_cascade_delete — ONE new-document batch (doc_id %
@@ -5671,33 +5739,17 @@ object Llm {
         .select("vec_id", "embedding")
       val be = eAll.filter(col("vec_id") % 10 === 0)
         .select("vec_id", "embedding")
-      val nlist = broadcast(e.agg(
-        greatest(lit(32L), ceil(sqrt(count(lit(1)))).cast("long")).as("nlist")))
-      val cents = e.crossJoin(nlist).filter(col("vec_id") < col("nlist"))
-        .select(col("vec_id").as("cid"), col("embedding"))
-      val terms = Seq("table", "scan", "join", "merge")
-      val arts = graft.ops.CorpusOps.buildArtifacts(stored, e, cents, terms)
+      val cents = centsOf(e)
+      val arts = graft.ops.CorpusOps.buildArtifacts(stored, e, cents,
+        cascadeTerms)
       // ---- ONE call ingests the batch into every artifact ----
-      val res = graft.ops.CorpusOps.ingestDocuments(batch, stored, arts,
-        be, cents, terms)
-      val nullS = lit(null).cast("string")
-      val nullL = lit(null).cast("long")
-      res.artifacts.exactKeepers.select(lit("exact").as("artifact"), col("h").as("k"),
-          col("keeper").as("x"), col("n_dups").as("y"), nullL.as("z"))
-        .unionByName(res.artifacts.clusters.select(lit("cluster").as("artifact"),
-          nullS.as("k"), col("cluster_id").as("x"), col("doc_id").as("y"),
-          col("cluster_size").as("z")))
-        .unionByName(res.artifacts.annIndex.select(lit("ann").as("artifact"),
-          nullS.as("k"), col("qid").as("x"), col("rn").cast("long").as("y"),
-          col("vid").as("z")))
-        .unionByName(res.artifacts.bm25Stats.select(lit("bm25").as("artifact"),
-          when(col("stat") === "len", lit("len")).otherwise(col("k")).as("k"),
-          col("v").as("x"), col("cnt").as("y"), nullL.as("z")))
-        .unionByName(res.funnel.select(lit("funnel").as("artifact"),
-          col("k"), col("x"), col("y"), nullL.as("z")))
-        .orderBy("artifact", "k", "x", "y", "z")
+      cascadeRows(graft.ops.CorpusOps.ingestDocuments(batch, stored, arts,
+        be, cents, cascadeTerms))
     },
-    Some(s"""WITH RECURSIVE $jaccardPairsCte,
+    Some(l6CascadeInsertSql))
+
+  private lazy val l6CascadeInsertSql: String =
+    s"""WITH RECURSIVE $jaccardPairsCte,
             |eg AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2 AS a, d1 AS b FROM pairs),
             |reach AS (SELECT a, b FROM eg
             |  UNION SELECT r.a AS a, eg.b AS b FROM reach r JOIN eg ON eg.a = r.b),
@@ -5757,7 +5809,43 @@ object Llm {
             |  (SELECT y FROM nins), CAST(NULL AS BIGINT)
             |UNION ALL SELECT 'funnel', 'exact', (SELECT count(*) FROM ex),
             |  (SELECT y FROM nins), CAST(NULL AS BIGINT)
-            |) ORDER BY artifact, k, x, y, z""".stripMargin))
+            |) ORDER BY artifact, k, x, y, z""".stripMargin
+
+  // REPAIR-PATH cells (l6_cascade_*_apply): the SAME semantics and
+  // ORACLES as l6_cascade_delete/insert, but the stored bundle is
+  // built ONCE per testdata fingerprint and PERSISTED (persistedArts)
+  // — the production posture, where a pipeline reads its maintained
+  // tables and only the cascade call is hot. Benchmarked, these time
+  // read-stored + repair + output (every run after the first), the
+  // number the 21.96 s / 10.65 s construction-dominated cells hide
+  // inside ±5 s of build noise. Correctness rides the same hash gate:
+  // maintained-from-persisted == the oracle's full rebuild.
+  private val l6cascadeDeleteApply = QueryDef(
+    "l6_cascade_delete_apply",
+    (s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
+      val docs = t(s, dir, "documents")
+      val del = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+      val (arts, _) = persistedArts(s, dir, "full")
+      cascadeRows(graft.ops.CorpusOps.deleteDocuments(del, docs, arts,
+        cascadeTerms))
+    },
+    Some(l6CascadeDeleteSql))
+
+  private val l6cascadeInsertApply = QueryDef(
+    "l6_cascade_insert_apply",
+    (s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
+      val docsAll = t(s, dir, "documents")
+      val stored = docsAll.filter(col("doc_id") % 10 =!= 0)
+      val batch = docsAll.filter(col("doc_id") % 10 === 0)
+      val be = t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+        .select("vec_id", "embedding")
+      val (arts, cents) = persistedArts(s, dir, "stored")
+      cascadeRows(graft.ops.CorpusOps.ingestDocuments(batch, stored, arts,
+        be, cents, cascadeTerms))
+    },
+    Some(l6CascadeInsertSql))
 
   val all: Seq[QueryDef] = Seq(
     l1, l2, l2contain, l2sweep, l2clusters, l2incrClusters, l2winnowPairs, l2minhash, l2simhash, l2embed, l3, l3ann, l3recall, l3sweep, l3ivf, l3ivfKmeans, l3quant,
@@ -5772,5 +5860,6 @@ object Llm {
     l4bpeBatch, l3incr, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
     l4ug, l4ugEnc, l3graphSearch, l3hnsw, l3hnswIncr, l3annCompact,
     l2incrDelete, l3annDelete, l4classifierTrain, l4bm25, l4bm25Maintain,
-    l4bm25Incremental, l6cascadeDelete, l6cascadeInsert, l5video)
+    l4bm25Incremental, l6cascadeDelete, l6cascadeInsert,
+    l6cascadeDeleteApply, l6cascadeInsertApply, l5video)
 }

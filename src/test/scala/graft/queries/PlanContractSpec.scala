@@ -521,6 +521,15 @@ class PlanContractSpec extends AnyFunSuite {
       "q126_zonemap_transparent_read", // the q121 class: writes the
       // month-clustered layout and collects the envelope manifest at
       // construction
+      "q127_zonemap_string_or_read", // same q121 class (clustered write
+      // + envelope manifest collect at construction)
+      "q128_zonemap_file_read", // same class at file granularity: the
+      // plain range-packed write + the per-file envelope collect
+      "l6_cascade_delete_apply", // first call per testdata fingerprint
+      // BUILDS and persists the stored bundle (the l6_cascade_delete
+      // exemption class); later calls read it, and the maintained read
+      // still collects the aux-probe metadata actions
+      "l6_cascade_insert_apply", // the mirror (l6_cascade_insert class)
       "l3_ann_hnsw_incremental", // runs the hnsw search twice — same cuts
       "l3_ann_compact", // the same maintained-index build + search cuts
       "l3_ann_hnsw",      // descent/beam rounds lineage-cut per round (the
