@@ -43,7 +43,7 @@ object Sf1Ledger {
     // round-15's own cells: the transparent-read family + the
     // repair-path cells (see the _apply prewarm below)
     "q126_zonemap_transparent_read", "q127_zonemap_string_or_read",
-    "q128_zonemap_file_read",
+    "q128_zonemap_file_read", "q129_zonemap_prefix_read",
     "l6_cascade_delete_apply", "l6_cascade_insert_apply")
 
   def main(args: Array[String]): Unit = {

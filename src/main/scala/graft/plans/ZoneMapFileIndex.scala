@@ -143,7 +143,9 @@ object ZoneMapFileIndex {
   *  - recognized shapes: `a < v`, `a <= v`, `a > v`, `a >= v`,
   *    `a = v`, the literal-first flips, `And` recursion, `In`/`InSet`
   *    by value hull, `Or` by per-column UNION hull (only columns
-  *    bounded in BOTH arms constrain — still conservative), and a
+  *    bounded in BOTH arms constrain — still conservative),
+  *    `StartsWith` (`LIKE 'p%'`) by its UTF8 prefix range, bare
+  *    `IsNotNull` (drops all-NULL-column units), and a
   *    monotone numeric `Cast` around the attribute (Catalyst inserts
   *    those for literal-type promotion);
   *  - `Not`, UDFs, column-column comparisons, non-binary-collated
@@ -226,6 +228,20 @@ final class TransparentZoneMapFileIndex(
     * unit, never drop a valid one. */
   private type Req = (String, Option[ZBound], Option[ZBound])
 
+  /** Smallest string ABOVE every string with prefix `p` in UTF8 binary
+    * order: increment p's last non-0xFF byte, drop the bytes after it.
+    * None when every byte is 0xFF (no finite upper bound exists). */
+  private def prefixUpper(p: UTF8String): Option[UTF8String] = {
+    val b = p.getBytes.clone()
+    var i = b.length - 1
+    while (i >= 0 && b(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      b(i) = (b(i) + 1).toByte
+      Some(UTF8String.fromBytes(java.util.Arrays.copyOf(b, i + 1)))
+    }
+  }
+
   private def minB(a: ZBound, b: ZBound): Option[ZBound] =
     a.cmp(b).map(c => if (c <= 0) a else b)
   private def maxB(a: ZBound, b: ZBound): Option[ZBound] =
@@ -277,6 +293,24 @@ final class TransparentZoneMapFileIndex(
         hullOf(a, list.map(_.asInstanceOf[Literal].value))
       case InSet(a, hset) if hset.nonEmpty =>
         hullOf(a, hset.toSeq)
+      // prefix predicates (col LIKE 'p%' pushes as StartsWith): every
+      // matching string sits in [p, upper(p)) under UTF8 binary order,
+      // where upper(p) increments p's last non-0xFF byte and drops the
+      // tail — the classic footer-stats skip for date-formatted keys
+      // and id prefixes. The closed-interval test only widens the
+      // half-open truth; an all-0xFF prefix keeps just the lower bound.
+      case StartsWith(a, Literal(v, _)) if v != null =>
+        attrOf(a).toSeq.map { c =>
+          val p = v.asInstanceOf[UTF8String]
+          (c, Some(ZBound.Str(p)): Option[ZBound],
+            prefixUpper(p).map(u => ZBound.Str(u): ZBound))
+        }
+      // a bare IsNotNull conjunct (Catalyst emits one for every null-
+      // intolerant filter, and users write them directly) rejects every
+      // row of a chunk whose envelope records the column ALL-NULL —
+      // exactly the (None, None) bound pair chunkSurvives already drops
+      case IsNotNull(a) =>
+        attrOf(a).toSeq.map(c => (c, None: Option[ZBound], None: Option[ZBound]))
       // OR by per-column UNION hull: a row satisfying either arm
       // satisfies, for every column BOTH arms bound, the union of the
       // two arm intervals — q74/TPC-H Q19's shape. A column bounded in

@@ -4446,6 +4446,36 @@ object Relational {
            |WHERE l_orderkey >= 100 AND l_orderkey <= 199
            |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin))
 
+  // PREFIX-pruned transparent read (q129): `LIKE '1996%'` pushes as
+  // StartsWith, and the TransparentZoneMapFileIndex bounds it by the
+  // UTF8 prefix range ['1996', '1997') — the single most common
+  // data-skipping predicate over date-formatted string keys and id
+  // prefixes. Same month-chunked fixture as q127; ~12 of ~83 chunks
+  // survive the prefix hull at listing time. ORACLE = the full-scan
+  // LIKE filter; PlanContractSpec pins executed numFiles.
+  private val q129 = QueryDef(
+    "q129_zonemap_prefix_read",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .withColumn("ship_ym", date_format(col("l_shipdate"), "yyyy-MM"))
+      val ch = li.withColumn("chunk", format_string("c%05d",
+        (year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1))
+      val path = java.nio.file.Files.createTempDirectory("graft-q129").toString
+      graft.ops.Layout.writeClustered(ch, path, "chunk")
+      val zones = ch.groupBy("chunk").agg(
+        min("ship_ym").as("mn_ship_ym"),
+        max("ship_ym").as("mx_ship_ym"))
+      graft.ops.Layout.zoneMapRead(s, path, zones, "chunk", Seq("ship_ym"))
+        .filter(col("ship_ym").startsWith("1996"))
+        .select("l_orderkey", "l_linenumber", "ship_ym")
+        .orderBy("l_orderkey", "l_linenumber", "ship_ym")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m') AS ship_ym
+           |FROM lineitem
+           |WHERE strftime(l_shipdate, '%Y-%m') LIKE '1996%'
+           |ORDER BY l_orderkey, l_linenumber, ship_ym""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -4457,5 +4487,5 @@ object Relational {
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128)
+    q122, q123, q124, q125, q126, q127, q128, q129)
 }

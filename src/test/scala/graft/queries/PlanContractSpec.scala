@@ -523,6 +523,8 @@ class PlanContractSpec extends AnyFunSuite {
       // construction
       "q127_zonemap_string_or_read", // same q121 class (clustered write
       // + envelope manifest collect at construction)
+      "q129_zonemap_prefix_read", // same q121 class (clustered write +
+      // envelope manifest collect at construction)
       "q128_zonemap_file_read", // same class at file granularity: the
       // plain range-packed write + the per-file envelope collect
       "l6_cascade_delete_apply", // first call per testdata fingerprint
@@ -1229,6 +1231,44 @@ class PlanContractSpec extends AnyFunSuite {
     assert(e.getMessage.contains("STRING-typed"))
   }
 
+  test("zone index: StartsWith prunes by the UTF8 prefix range; bare IsNotNull drops all-NULL-column chunks") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-prefix").toString
+    // four chunks keyed by a string dimension; chunk cNULL's v column
+    // is ALL NULL (its envelope records (None, None))
+    val df = spark.range(0, 400).select(col("id"),
+      concat(lit("k"), expr("chr(97 + id div 100)"),
+        format_string("%03d", col("id") % 100)).as("s"),
+      when(expr("id div 100") === 3, lit(null).cast("long"))
+        .otherwise(col("id") * 2).as("v"),
+      format_string("c%03d", expr("id div 100")).as("chunk"))
+    graft.ops.Layout.writeClustered(df, dir, "chunk")
+    val zones = df.groupBy("chunk").agg(
+      min("s").as("mn_s"), max("s").as("mx_s"),
+      min("v").as("mn_v"), max("v").as("mx_v"))
+    val total = spark.read.parquet(dir).inputFiles.length.toLong
+    def table() = graft.ops.Layout.zoneMapRead(spark, dir, zones, "chunk",
+      Seq("s", "v"))
+    // LIKE 'kb%' matches chunk c001 only (s ranges ka000.., kb000..,
+    // kc000.., kd000..): the prefix range ['kb', 'kc') prunes the rest
+    val f1 = table().filter(col("s").startsWith("kb"))
+    assert(f1.count() == 100)
+    val mm = f1.agg(min("id"), max("id")).head()
+    assert((mm.getLong(0), mm.getLong(1)) == ((100L, 199L)))
+    assert(scannedFilesOf(table().filter(col("s").startsWith("kb"))) <
+      total, "StartsWith did not prune by its prefix range")
+    // exactness vs the full scan for a prefix that crosses chunks
+    val f2 = table().filter(col("s").startsWith("k"))
+    assert(f2.count() ==
+      spark.read.parquet(dir).filter(col("s").startsWith("k")).count())
+    // a bare IsNotNull drops the all-NULL chunk from the scan and
+    // keeps the row set exact
+    val f3 = table().filter(col("v").isNotNull)
+    assert(f3.count() == 300)
+    assert(scannedFilesOf(table().filter(col("v").isNotNull)) < total,
+      "IsNotNull did not drop the all-NULL-column chunk")
+  }
+
   test("q127: string envelopes + the OR hull prune month chunks from the executed scan") {
     spark.sharedState.cacheManager.clearCache()
     val df = SparkEntry.queries("q127_zonemap_string_or_read")(spark, SparkFixture.sfDir)
@@ -1240,6 +1280,19 @@ class PlanContractSpec extends AnyFunSuite {
     // — the pushed STRING ranges must reach the listing and skip the rest
     assert(scanned >= 1 && scanned <= 20,
       s"string/OR transparent pruning scanned $scanned files — pushed string ranges not consumed")
+  }
+
+  test("q129: the pushed StartsWith prunes month chunks from the executed scan") {
+    spark.sharedState.cacheManager.clearCache()
+    val df = SparkEntry.queries("q129_zonemap_prefix_read")(spark, SparkFixture.sfDir)
+    df.collect()
+    val scans = fileScansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan in the q129 plan")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    // ~83 month chunks; LIKE '1996%' covers the 12 months of 1996 —
+    // the prefix range ['1996', '1997') must reach the listing
+    assert(scanned >= 1 && scanned <= 14,
+      s"prefix pruning scanned $scanned files — the pushed StartsWith was not consumed")
   }
 
   test("q128: file-granularity envelopes prune FILES of a plain unpartitioned table from the executed scan") {
