@@ -63,7 +63,7 @@ object Bench {
     "q125_mv_topk_delete", "l4_bm25_incremental", "l6_cascade_delete",
     "q126_zonemap_transparent_read", "l6_cascade_insert",
     "q127_zonemap_string_or_read", "q128_zonemap_file_read",
-    "q129_zonemap_prefix_read",
+    "q129_zonemap_prefix_read", "q130_zonemap_zorder_read",
     // the repair-path cells: run 1 builds + persists the bundle, runs
     // 2-3 time read-stored + maintenance only — min() reports the
     // repair path, which the construction-dominated cells above hide

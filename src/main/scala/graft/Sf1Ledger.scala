@@ -44,6 +44,7 @@ object Sf1Ledger {
     // repair-path cells (see the _apply prewarm below)
     "q126_zonemap_transparent_read", "q127_zonemap_string_or_read",
     "q128_zonemap_file_read", "q129_zonemap_prefix_read",
+    "q130_zonemap_zorder_read",
     "l6_cascade_delete_apply", "l6_cascade_insert_apply")
 
   def main(args: Array[String]): Unit = {

@@ -4476,6 +4476,46 @@ object Relational {
            |WHERE strftime(l_shipdate, '%Y-%m') LIKE '1996%'
            |ORDER BY l_orderkey, l_linenumber, ship_ym""".stripMargin))
 
+  // Z-ORDER layout × transparent zone maps (q130): the write-side
+  // multi-dimensional clustering (q52's Morton key) composed with the
+  // read-side transparent index (q126) — the full OPTIMIZE story in
+  // one query. Chunks are fixed ranges of the Morton key of
+  // (l_quantity, l_extendedprice/1000), so every chunk's envelope is
+  // tight in BOTH dimensions (a lexicographic sort would be tight in
+  // one); the query's plain two-dimensional .filter then prunes chunk
+  // directories through the pushed conjuncts on EITHER column — the
+  // property Z-ordering exists to buy. ORACLE = the plain full-scan
+  // filter; PlanContractSpec pins executed numFiles well below total.
+  private val q130 = QueryDef(
+    "q130_zonemap_zorder_read",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      val ch = li.withColumn("_zk", graft.ops.Layout.mortonKey(
+          col("l_quantity").cast("int"),
+          (col("l_extendedprice") / 1000).cast("int")))
+        .withColumn("chunk", format_string("z%05d", expr("_zk div 1024")))
+        .drop("_zk")
+      val path = java.nio.file.Files.createTempDirectory("graft-q130").toString
+      graft.ops.Layout.writeClustered(ch, path, "chunk")
+      val zones = ch.groupBy("chunk").agg(
+        min("l_quantity").as("mn_l_quantity"),
+        max("l_quantity").as("mx_l_quantity"),
+        min("l_extendedprice").as("mn_l_extendedprice"),
+        max("l_extendedprice").as("mx_l_extendedprice"))
+      graft.ops.Layout.zoneMapRead(s, path, zones, "chunk",
+          Seq("l_quantity", "l_extendedprice"))
+        .filter(col("l_quantity") >= 5.0 && col("l_quantity") <= 10.0 &&
+          col("l_extendedprice") >= 20000.0 && col("l_extendedprice") <= 30000.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+           |FROM lineitem
+           |WHERE l_quantity >= 5.0 AND l_quantity <= 10.0
+           |  AND l_extendedprice >= 20000.0 AND l_extendedprice <= 30000.0
+           |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -4487,5 +4527,5 @@ object Relational {
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128, q129)
+    q122, q123, q124, q125, q126, q127, q128, q129, q130)
 }

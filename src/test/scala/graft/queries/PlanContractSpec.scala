@@ -525,6 +525,8 @@ class PlanContractSpec extends AnyFunSuite {
       // + envelope manifest collect at construction)
       "q129_zonemap_prefix_read", // same q121 class (clustered write +
       // envelope manifest collect at construction)
+      "q130_zonemap_zorder_read", // same q121 class (Morton-clustered
+      // write + envelope manifest collect at construction)
       "q128_zonemap_file_read", // same class at file granularity: the
       // plain range-packed write + the per-file envelope collect
       "l6_cascade_delete_apply", // first call per testdata fingerprint
@@ -1269,6 +1271,41 @@ class PlanContractSpec extends AnyFunSuite {
       "IsNotNull did not drop the all-NULL-column chunk")
   }
 
+  test("zone index: a STALE file-zone table only loosens skipping — files appended after the zone build are kept") {
+    // the T25 safety contract at FILE granularity: zoneMapReadFiles
+    // consumes a snapshot of per-file envelopes; files the snapshot
+    // does not know (appended afterwards) are missing from the map and
+    // therefore KEPT — stale metadata can cost I/O, never rows.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stalefz").toString
+    spark.range(0, 1000).toDF("id")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+    val stale = graft.ops.Layout.fileZones(spark, dir, Seq("id")).collect()
+    val staleDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(stale.toIndexedSeq),
+      graft.ops.Layout.fileZones(spark, dir, Seq("id")).schema)
+    // append rows OUTSIDE every existing envelope, in new files
+    spark.range(5000, 5100).toDF("id").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val r = graft.ops.Layout.zoneMapReadFiles(spark, dir, staleDf, "file", Seq("id"))
+      .filter(col("id") >= 5000)
+    assert(r.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (5000L to 5099L).toSeq,
+      "rows in files appended after the zone snapshot were dropped")
+    // and the stale snapshot still prunes the files it DOES know
+    assert(scannedFilesOf(
+      graft.ops.Layout.zoneMapReadFiles(spark, dir, staleDf, "file", Seq("id"))
+        .filter(col("id") >= 5000)) <
+      spark.read.parquet(dir).inputFiles.length.toLong,
+      "stale-zone conservatism disabled pruning of known files")
+    // a FRESH zone build re-tightens: the probe prunes to the new file(s)
+    val fresh = graft.ops.Layout.fileZones(spark, dir, Seq("id"))
+    assert(scannedFilesOf(
+      graft.ops.Layout.zoneMapReadFiles(spark, dir, fresh, "file", Seq("id"))
+        .filter(col("id") >= 5000)) <= 2L)
+  }
+
   test("q127: string envelopes + the OR hull prune month chunks from the executed scan") {
     spark.sharedState.cacheManager.clearCache()
     val df = SparkEntry.queries("q127_zonemap_string_or_read")(spark, SparkFixture.sfDir)
@@ -1293,6 +1330,21 @@ class PlanContractSpec extends AnyFunSuite {
     // the prefix range ['1996', '1997') must reach the listing
     assert(scanned >= 1 && scanned <= 14,
       s"prefix pruning scanned $scanned files — the pushed StartsWith was not consumed")
+  }
+
+  test("q130: the Z-ordered layout's chunk envelopes prune under BOTH filter dimensions") {
+    spark.sharedState.cacheManager.clearCache()
+    val df = SparkEntry.queries("q130_zonemap_zorder_read")(spark, SparkFixture.sfDir)
+    df.collect()
+    val scans = fileScansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan in the q130 plan")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    // the probe covers a narrow (quantity × price) block; the Morton
+    // bucketing yields ~60+ chunks at any sf, and both pushed
+    // dimensions must cut the listing hard for the envelope story of
+    // Z-ordering to hold
+    assert(scanned >= 1 && scanned <= 12,
+      s"z-order + zone-map pruning scanned $scanned chunk files")
   }
 
   test("q128: file-granularity envelopes prune FILES of a plain unpartitioned table from the executed scan") {
