@@ -356,6 +356,46 @@ object Layout {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** INCREMENTAL per-file zone maintenance — the action a lakehouse
+    * schedules per commit instead of rebuilding footer stats: list the
+    * table's CURRENT files, scan ONLY those missing from `zones`
+    * (parquet files are immutable once written, so a known file's
+    * envelope never changes), and append their envelopes. The listing
+    * diff is file-count-bounded driver metadata (the same
+    * manifest-sized class as the reader's envelope collect); the data
+    * scan is NEW-FILES-bounded. Files that vanished (compaction,
+    * vacuum) keep their stale rows — harmless by the reader's
+    * contract (lookups key on files actually listed; unknown names
+    * are kept) — and a `fileZones` rebuild drops them when tightness
+    * matters. Returns the maintained zone table (`zones` unchanged
+    * when nothing is new). */
+  def maintainFileZones(spark: org.apache.spark.sql.SparkSession,
+                        path: String, zones: DataFrame,
+                        cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "maintainFileZones needs at least one envelope column")
+    require(zones.columns.contains("file"),
+      s"zone table has no 'file' key column (the fileZones convention) — " +
+        s"zone columns: ${zones.columns.mkString(", ")}")
+    cols.foreach { c =>
+      require(zones.columns.contains(s"mn_$c") && zones.columns.contains(s"mx_$c"),
+        s"zone table has no (mn_$c, mx_$c) envelope — zone columns: " +
+          zones.columns.mkString(", "))
+    }
+    val currentPaths = spark.read.parquet(path).inputFiles
+    def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val known = zones.select(col("file").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    val freshPaths = currentPaths.filterNot(p => known.contains(nameOf(p)))
+    if (freshPaths.isEmpty) zones
+    else {
+      val aggs = cols.flatMap(c => Seq(min(c).as(s"mn_$c"), max(c).as(s"mx_$c")))
+      val freshZones = spark.read.parquet(freshPaths.toIndexedSeq: _*)
+        .groupBy(col("_metadata.file_name").as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+      zones.unionByName(freshZones)
+    }
+  }
+
   /** [[zoneMapRead]] at FILE granularity over a PLAIN (unpartitioned)
     * parquet table — no layout contract needed: `zones` carries one
     * row per FILE (`fileCol` = file name, the [[fileZones]]

@@ -34,6 +34,42 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("maintainFileZones scans only unknown files and equals the full rebuild; no-op when nothing is new") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mfz").toString
+    spark.range(0, 800).toDF("id")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+    val base = Layout.fileZones(spark, dir, Seq("id"))
+    val baseRows = base.collect()
+    val baseDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(baseRows.toIndexedSeq), base.schema)
+    // nothing new: the SAME DataFrame passes through (no scan planned)
+    assert(Layout.maintainFileZones(spark, dir, baseDf, Seq("id")) eq baseDf)
+    // two appended files: maintained == the full rebuild, set-equal
+    spark.range(2000, 2100).toDF("id").coalesce(1)
+      .write.mode("append").parquet(dir)
+    spark.range(3000, 3100).toDF("id").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val maintained = Layout.maintainFileZones(spark, dir, baseDf, Seq("id"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(maintained) == rows(Layout.fileZones(spark, dir, Seq("id"))),
+      "maintained file zones diverged from the rebuild")
+    // and the maintained table PRUNES: a probe inside one appended
+    // file's range reads that file, not the whole table
+    val r = Layout.zoneMapReadFiles(spark, dir, maintained, "file", Seq("id"))
+      .filter(col("id").between(3000, 3099))
+    assert(r.count() == 100)
+    // an envelope-less zones table fails loudly (the fileZones contract)
+    intercept[IllegalArgumentException] {
+      Layout.maintainFileZones(spark, dir, baseDf.drop("mn_id"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.maintainFileZones(spark, dir,
+        baseDf.withColumnRenamed("file", "f"), Seq("id"))
+    }
+  }
+
   test("clusterByMorton partitions cover near-square blocks; lexicographic sort covers stripes") {
     // a full 128x128 grid into 16 partitions: a lexicographic (x, y)
     // range layout makes thin full-height x-stripes (extent 8 + 128),
