@@ -222,11 +222,21 @@ final class TransparentZoneMapFileIndex(
 
   private def toB(v: Any): Option[ZBound] = ZBound.of(v)
 
-  /** A recognized constraint: `column` must intersect the CLOSED
-    * interval [lo, hi] (either side open via None). Widened by design
-    * — an open bound is treated as closed; pruning may keep an extra
-    * unit, never drop a valid one. */
-  private type Req = (String, Option[ZBound], Option[ZBound])
+  /** A CLOSED interval [lo, hi], either side open-ended via None —
+    * widened by design (an open bound is treated as closed; pruning
+    * may keep an extra unit, never drop a valid one). (None, None) is
+    * the "any non-NULL value" interval: it intersects every envelope
+    * except an all-NULL one. */
+  private type Iv = (Option[ZBound], Option[ZBound])
+
+  /** A recognized constraint: `column` must intersect AT LEAST ONE of
+    * the intervals — a DISJUNCTIVE requirement, so IN-lists prune per
+    * VALUE (a chunk between two sparse members drops) and OR prunes by
+    * the true union of its arm intervals (the gap between arms drops),
+    * not by their hulls. An EMPTY interval set is an unsatisfiable
+    * constraint: no chunk can serve it (sound — no ROW satisfies the
+    * filter either). */
+  private type Req = (String, Seq[Iv])
 
   /** Smallest string ABOVE every string with prefix `p` in UTF8 binary
     * order: increment p's last non-0xFF byte, drop the bytes after it.
@@ -247,119 +257,167 @@ final class TransparentZoneMapFileIndex(
   private def maxB(a: ZBound, b: ZBound): Option[ZBound] =
     a.cmp(b).map(c => if (c >= 0) a else b)
 
-  /** Per-column interval each arm of a disjunction IMPLIES: conjuncts
-    * on the same column intersect (incomparable bounds fall back to
-    * the first seen — wider, therefore safe). */
-  private def armIntervals(cs: Seq[Req]): Map[String, (Option[ZBound], Option[ZBound])] =
-    cs.groupBy(_._1).map { case (c, rs) =>
-      val lo = rs.flatMap(_._2).reduceOption((a, b) => maxB(a, b).getOrElse(a))
-      val hi = rs.flatMap(_._3).reduceOption((a, b) => minB(a, b).getOrElse(a))
-      c -> (lo, hi)
+  /** Intersection of two intervals; None when provably EMPTY. An
+    * incomparable bound pair (cross-kind) widens that side to
+    * unbounded — the intersection must CONTAIN the true one. */
+  private def intersectIv(a: Iv, b: Iv): Option[Iv] = {
+    def pick(x: Option[ZBound], y: Option[ZBound], max: Boolean): Option[ZBound] =
+      (x, y) match {
+        case (Some(p), Some(q)) => p.cmp(q) match {
+          case Some(c0) => Some(if ((c0 >= 0) == max) p else q)
+          case None => None // incomparable: widen to unbounded (safe)
+        }
+        case _ => x.orElse(y)
+      }
+    val lo = pick(a._1, b._1, max = true)
+    val hi = pick(a._2, b._2, max = false)
+    (lo, hi) match {
+      case (Some(l), Some(h)) if l.cmp(h).exists(_ > 0) => None
+      case _ => Some((lo, hi))
     }
+  }
+
+  /** Hull of a non-empty interval set: bounded on a side only when
+    * EVERY member is, and all bounds compare. */
+  private def hullIvs(ivs: Seq[Iv]): Iv = {
+    val lo = ivs.map(_._1).reduceLeft((x, y) =>
+      for { a <- x; b <- y; m <- minB(a, b) } yield m)
+    val hi = ivs.map(_._2).reduceLeft((x, y) =>
+      for { a <- x; b <- y; m <- maxB(a, b) } yield m)
+    (lo, hi)
+  }
+
+  /** Per-column interval SET each arm of a disjunction implies: a
+    * column's reqs within the arm (a conjunction) intersect pairwise;
+    * a blowing product hulls one side first (wider, safe). An empty
+    * result records an arm unsatisfiable on that column. */
+  private def armIntervalSets(cs: Seq[Req]): Map[String, Seq[Iv]] =
+    cs.groupBy(_._1).map { case (c, rs) =>
+      val folded = rs.map(_._2).reduceLeft { (acc, next) =>
+        val (a, b) =
+          if (acc.size.toLong * next.size > 256)
+            (Seq(hullIvs(acc)), Seq(hullIvs(next)))
+          else (acc, next)
+        (for { x <- a; y <- b; iv <- intersectIv(x, y) } yield iv).distinct
+      }
+      c -> folded
+    }
+
+  private def one(c: String, lo: Option[ZBound], hi: Option[ZBound]): Req =
+    (c, Seq((lo, hi)))
 
   /** Recognized conjuncts as constraints implied by `e`. */
   private def rangeConjuncts(e: Expression): Seq[Req] =
     e match {
       case And(l, r) => rangeConjuncts(l) ++ rangeConjuncts(r)
       case GreaterThan(a, Literal(v, _)) =>
-        attrOf(a).zip(toB(v)).map { case (c, b) => (c, Some(b), None) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => one(c, Some(b), None) }.toSeq
       case GreaterThanOrEqual(a, Literal(v, _)) =>
-        attrOf(a).zip(toB(v)).map { case (c, b) => (c, Some(b), None) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => one(c, Some(b), None) }.toSeq
       case LessThan(a, Literal(v, _)) =>
-        attrOf(a).zip(toB(v)).map { case (c, b) => (c, None, Some(b)) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => one(c, None, Some(b)) }.toSeq
       case LessThanOrEqual(a, Literal(v, _)) =>
-        attrOf(a).zip(toB(v)).map { case (c, b) => (c, None, Some(b)) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => one(c, None, Some(b)) }.toSeq
       case EqualTo(a, Literal(v, _)) =>
-        attrOf(a).zip(toB(v)).map { case (c, b) => (c, Some(b), Some(b)) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => one(c, Some(b), Some(b)) }.toSeq
       // literal-first flips
       case GreaterThan(Literal(v, _), a) =>
-        attrOf(a).zip(toB(v)).map { case (c, b) => (c, None, Some(b)) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => one(c, None, Some(b)) }.toSeq
       case GreaterThanOrEqual(Literal(v, _), a) =>
-        attrOf(a).zip(toB(v)).map { case (c, b) => (c, None, Some(b)) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => one(c, None, Some(b)) }.toSeq
       case LessThan(Literal(v, _), a) =>
-        attrOf(a).zip(toB(v)).map { case (c, b) => (c, Some(b), None) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => one(c, Some(b), None) }.toSeq
       case LessThanOrEqual(Literal(v, _), a) =>
-        attrOf(a).zip(toB(v)).map { case (c, b) => (c, Some(b), None) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => one(c, Some(b), None) }.toSeq
       case EqualTo(Literal(v, _), a) =>
-        attrOf(a).zip(toB(v)).map { case (c, b) => (c, Some(b), Some(b)) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => one(c, Some(b), Some(b)) }.toSeq
       case EqualNullSafe(a, Literal(v, _)) if v != null =>
-        attrOf(a).zip(toB(v)).map { case (c, b) => (c, Some(b), Some(b)) }.toSeq
+        attrOf(a).zip(toB(v)).map { case (c, b) => one(c, Some(b), Some(b)) }.toSeq
       case EqualNullSafe(Literal(v, _), a) if v != null =>
-        attrOf(a).zip(toB(v)).map { case (c, b) => (c, Some(b), Some(b)) }.toSeq
-      // IN-lists bound by their value hull: a unit intersecting
-      // [min(vs), max(vs)] may hold a member (conservative — the hull
-      // can cover non-members, so this only ever keeps extra units)
+        attrOf(a).zip(toB(v)).map { case (c, b) => one(c, Some(b), Some(b)) }.toSeq
+      // IN-lists prune per VALUE up to a size cap (one point interval
+      // per member - a chunk lying BETWEEN two sparse members drops);
+      // above the cap the value hull bounds them (wider, still sound)
       case In(a, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
-        hullOf(a, list.map(_.asInstanceOf[Literal].value))
+        inIntervals(a, list.map(_.asInstanceOf[Literal].value))
       case InSet(a, hset) if hset.nonEmpty =>
-        hullOf(a, hset.toSeq)
+        inIntervals(a, hset.toSeq)
       // prefix predicates (col LIKE 'p%' pushes as StartsWith): every
       // matching string sits in [p, upper(p)) under UTF8 binary order,
       // where upper(p) increments p's last non-0xFF byte and drops the
-      // tail — the classic footer-stats skip for date-formatted keys
+      // tail - the classic footer-stats skip for date-formatted keys
       // and id prefixes. The closed-interval test only widens the
       // half-open truth; an all-0xFF prefix keeps just the lower bound.
       case StartsWith(a, Literal(v, _)) if v != null =>
         attrOf(a).toSeq.map { c =>
           val p = v.asInstanceOf[UTF8String]
-          (c, Some(ZBound.Str(p)): Option[ZBound],
+          one(c, Some(ZBound.Str(p)),
             prefixUpper(p).map(u => ZBound.Str(u): ZBound))
         }
       // a bare IsNotNull conjunct (Catalyst emits one for every null-
       // intolerant filter, and users write them directly) rejects every
-      // row of a chunk whose envelope records the column ALL-NULL —
-      // exactly the (None, None) bound pair chunkSurvives already drops
+      // row of a chunk whose envelope records the column ALL-NULL -
+      // exactly what the unbounded interval drops against a
+      // (None, None) envelope
       case IsNotNull(a) =>
-        attrOf(a).toSeq.map(c => (c, None: Option[ZBound], None: Option[ZBound]))
-      // OR by per-column UNION hull: a row satisfying either arm
-      // satisfies, for every column BOTH arms bound, the union of the
-      // two arm intervals — q74/TPC-H Q19's shape. A column bounded in
-      // only one arm constrains nothing (the other arm's rows are
-      // unbounded there); an arm side missing or cross-kind voids that
-      // side. Nested Ors recurse through the same hull.
+        attrOf(a).toSeq.map(c => one(c, None, None))
+      // OR by the per-column UNION of arm interval SETS: a row
+      // satisfying either arm satisfies, for every column BOTH arms
+      // bound, one of the arms' intervals - q74/TPC-H Q19's shape,
+      // and the gap BETWEEN the arms prunes (a hull would keep it).
+      // A column bounded in only one arm constrains nothing (the
+      // other arm's rows are unbounded there); an arm unsatisfiable
+      // on the column contributes nothing to the union; an oversized
+      // union hulls (wider, safe). Nested Ors recurse.
       case Or(l, r) =>
-        val lc = armIntervals(rangeConjuncts(l))
-        val rc = armIntervals(rangeConjuncts(r))
-        lc.keySet.intersect(rc.keySet).toSeq.flatMap { c =>
-          val (llo, lhi) = lc(c); val (rlo, rhi) = rc(c)
-          val lo = for { a <- llo; b <- rlo; m <- minB(a, b) } yield m
-          val hi = for { a <- lhi; b <- rhi; m <- maxB(a, b) } yield m
-          if (lo.isEmpty && hi.isEmpty) None else Some((c, lo, hi))
+        val lc = armIntervalSets(rangeConjuncts(l))
+        val rc = armIntervalSets(rangeConjuncts(r))
+        lc.keySet.intersect(rc.keySet).toSeq.map { c =>
+          val u = (lc(c) ++ rc(c)).distinct
+          (c, if (u.size > 128) Seq(hullIvs(u)) else u)
         }
       case _ => Seq.empty
     }
 
-  /** (column, min, max) of an IN-list's values; empty (no constraint)
-    * unless EVERY value converts to ONE comparable kind — a single
-    * unconvertible or cross-kind member voids the hull, never
-    * tightens it. */
-  private def hullOf(a: Expression, vs: Seq[Any]): Seq[Req] =
+  /** Point intervals of an IN-list's values - empty-handed (no
+    * constraint) unless EVERY value converts to ONE comparable kind (a
+    * single unconvertible or cross-kind member voids the constraint,
+    * never tightens it); hull fallback above the size cap, where the
+    * per-chunk membership walk would start to cost more than the scan
+    * it saves. */
+  private val inListCap = 64
+  private def inIntervals(a: Expression, vs: Seq[Any]): Seq[Req] =
     attrOf(a).toSeq.flatMap { c =>
       val bs = vs.map(toB)
       if (bs.exists(_.isEmpty)) Seq.empty
       else {
-        val all = bs.flatten
+        val all = bs.flatten.distinct
         val lo = all.reduceLeft((x, y) => minB(x, y).getOrElse(x))
         val hi = all.reduceLeft((x, y) => maxB(x, y).getOrElse(x))
-        // cross-kind members make the fold order-dependent — void
+        // cross-kind members make the folds order-dependent - void
         if (all.exists(v => v.cmp(lo).isEmpty || v.cmp(hi).isEmpty)) Seq.empty
-        else Seq((c, Some(lo), Some(hi)))
+        else if (all.size <= inListCap)
+          Seq((c, all.map(v => (Some(v): Option[ZBound], Some(v): Option[ZBound]))))
+        else Seq(one(c, Some(lo), Some(hi)))
       }
     }
 
   /** Does a unit with envelope `env` possibly satisfy every
-    * constraint? Missing envelope (`envOpt` None) → yes. */
+    * constraint? Missing envelope (`envOpt` None) -> yes. */
   private def survives(envOpt: Option[ZoneMapFileIndex.ColEnv],
                        reqs: Seq[Req]): Boolean =
     envOpt match {
       case None => true // no zone row for this unit: never prune it
-      case Some(env) => reqs.forall { case (c, lo, hi) =>
+      case Some(env) => reqs.forall { case (c, ivs) =>
         env.get(c) match {
           case None => true // column not zone-mapped: constrains nothing
           case Some((mn, mx)) =>
-            if (mn.isEmpty || mx.isEmpty) false // all-NULL column: range conjunct rejects every row
-            else lo.forall(l => mx.get.cmp(l).forall(_ >= 0)) &&
-              hi.forall(h => mn.get.cmp(h).forall(_ <= 0))
+            // all-NULL column: every interval admits only non-NULL rows
+            if (mn.isEmpty || mx.isEmpty) false
+            else ivs.exists { case (lo, hi) =>
+              lo.forall(l => mx.get.cmp(l).forall(_ >= 0)) &&
+                hi.forall(h => mn.get.cmp(h).forall(_ <= 0))
+            }
         }
       }
     }

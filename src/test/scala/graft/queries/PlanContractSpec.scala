@@ -1020,13 +1020,15 @@ class PlanContractSpec extends AnyFunSuite {
     val f4 = table().filter(col("id") % 7 === 3)
     assert(f4.count() ==
       spark.read.parquet(dir).filter(col("id") % 7 === 3).count())
-    // 4b. an IN-list prunes by its value hull (ids 10/700/715 span
-    // chunks c000 and c002 — 2 of 16 survive the hull even though
-    // c001 sits inside it: the hull is conservative, never wrong)
+    // 4b. an IN-list prunes PER VALUE (round-15: point intervals, not
+    // the hull): ids 10/700/715 live in chunks c000 and c002 — the
+    // in-between chunk c001 sits inside the hull but holds no member,
+    // so exactly 2 of 16 files scan
     val fin = table().filter(col("id").isin(10L, 700L, 715L))
     assert(fin.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(10L, 700L, 715L))
-    assert(scannedFiles(fin) <= 3L, "IN-list hull did not prune")
+    assert(scannedFiles(fin) == 2L,
+      "IN-list did not prune per value (the between-members chunk must drop)")
     // 5. an INCOMPLETE zone table only loosens skipping here — a chunk
     // with no envelope row is kept, its rows never dropped (contrast
     // prunedRead's completeness contract)
@@ -1198,14 +1200,23 @@ class PlanContractSpec extends AnyFunSuite {
     val total = spark.read.parquet(dir).inputFiles.length.toLong
     def table() = graft.ops.Layout.zoneMapRead(spark, dir, zones, "chunk",
       Seq("id", "v"))
-    // same-attribute OR: hull [100, 700] covers chunks c000–c002 only
+    // same-attribute OR prunes by the UNION of the arm intervals
+    // (round-15: interval sets, not the hull): [100,200] lives in
+    // c000, [600,700] in c002 — the GAP chunk c001 drops too
     val f1 = table().filter(col("id").between(100, 200) ||
       col("id").between(600, 700))
     assert(f1.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       ((100L to 200L) ++ (600L to 700L)).toSeq)
     assert(scannedFilesOf(table().filter(col("id").between(100, 200) ||
-      col("id").between(600, 700))) <= 3L,
-      "same-attribute OR did not prune by its union hull")
+      col("id").between(600, 700))) == 2L,
+      "same-attribute OR did not prune by its arm-interval union (the gap chunk must drop)")
+    // an arm UNSATISFIABLE on the column contributes nothing to the
+    // union — the OR collapses to the live arm's interval
+    val fu = table().filter((col("id") > 900 && col("id") < 100) ||
+      col("id") === 10)
+    assert(fu.select("id").collect().map(_.getLong(0)).toSeq == Seq(10L))
+    assert(scannedFilesOf(table().filter((col("id") > 900 && col("id") < 100) ||
+      col("id") === 10)) == 1L, "unsatisfiable OR arm widened the live arm")
     // mixed-column OR constrains nothing (each arm's rows are unbounded
     // in the other's column) — everything kept, row set exact
     val f2 = table().filter(col("id") <= 100 || col("v") >= 11000)
@@ -1313,9 +1324,10 @@ class PlanContractSpec extends AnyFunSuite {
     val scans = fileScansOf(df.queryExecution.executedPlan)
     assert(scans.nonEmpty, "no file scan in the q127 plan")
     val scanned = scans.map(_.metrics("numFiles").value).sum
-    // ~83 month chunks; the OR hull spans 1996-01..1997-02 (14 months)
-    // — the pushed STRING ranges must reach the listing and skip the rest
-    assert(scanned >= 1 && scanned <= 20,
+    // ~83 month chunks; the OR's arm-interval union covers 1996-01..03
+    // and 1997-01..02 — FIVE months (round-15: the between-arm months
+    // drop too; the hull had kept 14)
+    assert(scanned >= 1 && scanned <= 8,
       s"string/OR transparent pruning scanned $scanned files — pushed string ranges not consumed")
   }
 
