@@ -341,19 +341,29 @@ object Layout {
     }.toMap
   }
 
+  /** The per-file envelope aggregation [[fileZones]] and
+    * [[maintainFileZones]] share — ONE spelling, so the maintained
+    * table can never drift from the rebuild. Keyed by the
+    * `_metadata.file_path` hidden column: parquet immutability holds
+    * per PATH, and a bare file NAME can collide across partition
+    * directories (non-UUID writers reuse part names), which under a
+    * name key would silently prune the wrong file's rows. The reader
+    * normalizes scheme variants ([[graft.plans.ZoneMapFileIndex.pathKey]]). */
+  private def fileZoneAgg(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(min(c).as(s"mn_$c"), max(c).as(s"mx_$c")))
+    df.groupBy(col("_metadata.file_path").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-FILE zone table of a parquet table — min/max envelopes keyed
-    * by file NAME (the `_metadata.file_name` hidden column, unique
-    * within a table), the footer-stats image real lakehouse skipping
-    * works from. One scan builds it; [[zoneMapReadFiles]] consumes it.
-    * File-count-bounded output (a 100 TB table at 1 GB files is 10⁵
-    * rows — metadata-sized). */
+    * by file PATH ([[fileZoneAgg]]), the footer-stats image real
+    * lakehouse skipping works from. One scan builds it;
+    * [[zoneMapReadFiles]] consumes it. File-count-bounded output (a
+    * 100 TB table at 1 GB files is 10⁵ rows — metadata-sized). */
   def fileZones(spark: org.apache.spark.sql.SparkSession, path: String,
                 cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "fileZones needs at least one envelope column")
-    val aggs = cols.flatMap(c => Seq(min(c).as(s"mn_$c"), max(c).as(s"mx_$c")))
-    spark.read.parquet(path)
-      .groupBy(col("_metadata.file_name").as("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    fileZoneAgg(spark.read.parquet(path), cols)
   }
 
   /** INCREMENTAL per-file zone maintenance — the action a lakehouse
@@ -382,23 +392,18 @@ object Layout {
           zones.columns.mkString(", "))
     }
     val currentPaths = spark.read.parquet(path).inputFiles
-    def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    def key(p: String) = graft.plans.ZoneMapFileIndex.pathKey(p)
     val known = zones.select(col("file").cast("string"))
-      .collect().map(_.getString(0)).toSet
-    val freshPaths = currentPaths.filterNot(p => known.contains(nameOf(p)))
+      .collect().map(r => key(r.getString(0))).toSet
+    val freshPaths = currentPaths.filterNot(p => known.contains(key(p)))
     if (freshPaths.isEmpty) zones
-    else {
-      val aggs = cols.flatMap(c => Seq(min(c).as(s"mn_$c"), max(c).as(s"mx_$c")))
-      val freshZones = spark.read.parquet(freshPaths.toIndexedSeq: _*)
-        .groupBy(col("_metadata.file_name").as("file"))
-        .agg(aggs.head, aggs.tail: _*)
-      zones.unionByName(freshZones)
-    }
+    else zones.unionByName(
+      fileZoneAgg(spark.read.parquet(freshPaths.toIndexedSeq: _*), cols))
   }
 
   /** [[zoneMapRead]] at FILE granularity over a PLAIN (unpartitioned)
     * parquet table — no layout contract needed: `zones` carries one
-    * row per FILE (`fileCol` = file name, the [[fileZones]]
+    * row per FILE (`fileCol` = file path, the [[fileZones]]
     * convention), and the returned DataFrame's scan drops
     * non-intersecting FILES from the listing when the query's own
     * pushed predicates exclude their envelopes. This is exactly how
@@ -409,7 +414,10 @@ object Layout {
   def zoneMapReadFiles(spark: org.apache.spark.sql.SparkSession, path: String,
                        zones: DataFrame, fileCol: String,
                        cols: Seq[String]): DataFrame = {
+    // keys normalize to scheme-independent paths so the zone table's
+    // URI spelling ("file:///x") matches the listing's ("file:/x")
     val env = collectEnvelopes(zones, fileCol, cols, "zoneMapReadFiles")
+      .map { case (k, v) => graft.plans.ZoneMapFileIndex.pathKey(k) -> v }
     val inner = graft.plans.ZoneMapFileIndex.listing(spark, path)
     relationOver(spark, path,
       new graft.plans.TransparentZoneMapFileIndex(inner, None, Map.empty, env))

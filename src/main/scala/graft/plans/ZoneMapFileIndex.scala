@@ -118,6 +118,20 @@ object ZoneMapFileIndex {
     * rejects NULL rows, so the unit may drop); a column absent from
     * the map constrains nothing. */
   type ColEnv = Map[String, (Option[ZBound], Option[ZBound])]
+
+  /** Scheme-independent filesystem path of a file URI string —
+    * "file:/x", "file:///x", "hdfs://nn/x", and bare "/x" all key
+    * identically. File-zone tables key by PATH, not bare file name:
+    * parquet immutability holds per path, and a name collision across
+    * partition directories (non-UUID writers reuse part names) under
+    * a name key would silently prune the wrong file's rows. Returns
+    * the raw string when unparseable — an unmatched key only loosens
+    * skipping. */
+  private[graft] def pathKey(s: String): String =
+    try {
+      val p = new java.net.URI(s).getPath
+      if (p == null || p.isEmpty) s else p
+    } catch { case _: java.net.URISyntaxException => s }
 }
 
 /** TRANSPARENT zone-map pruning — the full lakehouse reader seam:
@@ -173,7 +187,9 @@ object ZoneMapFileIndex {
   * `envelopes`: chunk id → [[ZoneMapFileIndex.ColEnv]], the collected
   * chunk-count-bounded zone table ([[graft.ops.Layout.zoneMapRead]]
   * builds it from the maintained zone-map view); `fileEnvelopes`:
-  * file NAME → ColEnv ([[graft.ops.Layout.zoneMapReadFiles]]). Both
+  * scheme-normalized file PATH → ColEnv
+  * ([[ZoneMapFileIndex.pathKey]]; [[graft.ops.Layout.zoneMapReadFiles]]
+  * builds it). Both
   * are metadata-sized driver state — the same position Delta's
   * manifest occupies. */
 final class TransparentZoneMapFileIndex(
@@ -442,7 +458,8 @@ final class TransparentZoneMapFileIndex(
       if (fileEnvelopes.isEmpty) dirKept
       else dirKept.map { pd =>
         pd.copy(files = pd.files.filter(f =>
-          survives(fileEnvelopes.get(f.getPath.getName), reqs)))
+          survives(fileEnvelopes.get(
+            ZoneMapFileIndex.pathKey(f.getPath.toString)), reqs)))
       }
     }
   }

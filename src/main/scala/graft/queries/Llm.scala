@@ -5583,25 +5583,42 @@ object Llm {
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft-arts-" + variant + "-" + Integer.toHexString(
         (dir + fp("documents") + fp("embeddings")).hashCode))
+    // the JVM lock serializes threads (two suites driving the same
+    // query); the FILE lock serializes PROCESSES (a background bench
+    // beside a foreground verify) — without it both would race the
+    // _DONE marker and interleave mode("overwrite") writes into the
+    // same artifact directories, caching a torn bundle forever
     Llm.synchronized {
       if (!new java.io.File(root, "_DONE").exists()) {
-        val docsAll = t(s, dir, "documents")
-        val eAll = t(s, dir, "embeddings")
-        val (docs, e) =
-          if (variant == "stored")
-            (docsAll.filter(col("doc_id") % 10 =!= 0),
-              eAll.filter(col("vec_id") % 10 =!= 0).select("vec_id", "embedding"))
-          else (docsAll, eAll.select("vec_id", "embedding"))
-        val cents = centsOf(e)
-        val arts = CorpusOps.buildArtifacts(docs, e, cents, cascadeTerms)
-        def w(df: DataFrame, n: String): Unit = df.write.mode("overwrite")
-          .parquet(new java.io.File(root, n).toString)
-        w(arts.exactAux, "exactAux"); w(arts.exactKeepers, "exactKeepers")
-        w(arts.clusters, "clusters"); w(arts.pairs, "pairs")
-        w(arts.annIndex, "annIndex"); w(arts.annProbes, "annProbes")
-        w(arts.annAssign, "annAssign"); w(arts.vectors, "vectors")
-        w(arts.bm25Stats, "bm25Stats"); w(cents, "cents")
-        new java.io.File(root, "_DONE").createNewFile()
+        root.mkdirs()
+        val lockCh = java.nio.channels.FileChannel.open(
+          new java.io.File(root, "_LOCK").toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = lockCh.lock()
+          try {
+            if (!new java.io.File(root, "_DONE").exists()) {
+              val docsAll = t(s, dir, "documents")
+              val eAll = t(s, dir, "embeddings")
+              val (docs, e) =
+                if (variant == "stored")
+                  (docsAll.filter(col("doc_id") % 10 =!= 0),
+                    eAll.filter(col("vec_id") % 10 =!= 0).select("vec_id", "embedding"))
+                else (docsAll, eAll.select("vec_id", "embedding"))
+              val cents = centsOf(e)
+              val arts = CorpusOps.buildArtifacts(docs, e, cents, cascadeTerms)
+              def w(df: DataFrame, n: String): Unit = df.write.mode("overwrite")
+                .parquet(new java.io.File(root, n).toString)
+              w(arts.exactAux, "exactAux"); w(arts.exactKeepers, "exactKeepers")
+              w(arts.clusters, "clusters"); w(arts.pairs, "pairs")
+              w(arts.annIndex, "annIndex"); w(arts.annProbes, "annProbes")
+              w(arts.annAssign, "annAssign"); w(arts.vectors, "vectors")
+              w(arts.bm25Stats, "bm25Stats"); w(cents, "cents")
+              new java.io.File(root, "_DONE").createNewFile()
+            }
+          } finally lock.release()
+        } finally lockCh.close()
       }
     }
     def r(n: String) = s.read.parquet(new java.io.File(root, n).toString)

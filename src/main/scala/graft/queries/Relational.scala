@@ -4348,6 +4348,29 @@ object Relational {
   // (PlanContractSpec pins executed numFiles < total / 4). ORACLE =
   // the plain full-scan filter; pruning must be invisible to the row
   // set.
+  /** Fresh scratch table dir for a zone-read query, best-effort
+    * reaping same-tag dirs older than an hour: every invocation
+    * writes a lineitem-derived clustered copy (the construction IS
+    * the operator under test — manifest pruning needs a manifest),
+    * and bench/verify reruns would otherwise leak one copy per call.
+    * A unique dir per call keeps concurrent suites race-free; the age
+    * threshold keeps the reaper away from a run still in flight. */
+  private def scratchDir(tag: String): String = {
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(del)
+      f.delete(); ()
+    }
+    try {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith(s"graft-$tag-") &&
+          f.lastModified < cutoff)
+        .foreach(del)
+    } catch { case _: Exception => () } // reaping is best-effort only
+    java.nio.file.Files.createTempDirectory(s"graft-$tag-").toString
+  }
+
   private val q126 = QueryDef(
     "q126_zonemap_transparent_read",
     (s, dir) => {
@@ -4355,7 +4378,7 @@ object Relational {
         .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
       val ch = li.withColumn("chunk", format_string("c%05d",
         (year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1))
-      val path = java.nio.file.Files.createTempDirectory("graft-q126").toString
+      val path = scratchDir("q126")
       graft.ops.Layout.writeClustered(ch, path, "chunk")
       val zones = ch.groupBy("chunk").agg(
         min("l_shipdate").as("mn_l_shipdate"),
@@ -4399,7 +4422,7 @@ object Relational {
         .withColumn("ship_ym", date_format(col("l_shipdate"), "yyyy-MM"))
       val ch = li.withColumn("chunk", format_string("c%05d",
         (year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1))
-      val path = java.nio.file.Files.createTempDirectory("graft-q127").toString
+      val path = scratchDir("q127")
       graft.ops.Layout.writeClustered(ch, path, "chunk")
       val zones = ch.groupBy("chunk").agg(
         min("ship_ym").as("mn_ship_ym"),
@@ -4432,7 +4455,7 @@ object Relational {
     (s, dir) => {
       val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity")
-      val path = java.nio.file.Files.createTempDirectory("graft-q128").toString
+      val path = scratchDir("q128")
       li.repartitionByRange(16, col("l_orderkey"))
         .sortWithinPartitions("l_orderkey")
         .write.mode("overwrite").parquet(path)
@@ -4461,7 +4484,7 @@ object Relational {
         .withColumn("ship_ym", date_format(col("l_shipdate"), "yyyy-MM"))
       val ch = li.withColumn("chunk", format_string("c%05d",
         (year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1))
-      val path = java.nio.file.Files.createTempDirectory("graft-q129").toString
+      val path = scratchDir("q129")
       graft.ops.Layout.writeClustered(ch, path, "chunk")
       val zones = ch.groupBy("chunk").agg(
         min("ship_ym").as("mn_ship_ym"),
@@ -4496,7 +4519,7 @@ object Relational {
           (col("l_extendedprice") / 1000).cast("int")))
         .withColumn("chunk", format_string("z%05d", expr("_zk div 1024")))
         .drop("_zk")
-      val path = java.nio.file.Files.createTempDirectory("graft-q130").toString
+      val path = scratchDir("q130")
       graft.ops.Layout.writeClustered(ch, path, "chunk")
       val zones = ch.groupBy("chunk").agg(
         min("l_quantity").as("mn_l_quantity"),

@@ -903,12 +903,8 @@ class PlanContractSpec extends AnyFunSuite {
     assert(pruned.count() == 201)
     // and the scan's runtime file count is BELOW the table's total —
     // the skip fraction as real I/O, not a report column
-    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
-      case q: QueryStageExec => fileScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(fileScans)
-    }
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      graft.TestPlans.fileScans(p)
     pruned.collect()
     val scans = fileScans(pruned.queryExecution.executedPlan)
     assert(scans.nonEmpty, "no file scan found in the pruned plan")
@@ -975,12 +971,8 @@ class PlanContractSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
-      case q: QueryStageExec => fileScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(fileScans)
-    }
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      graft.TestPlans.fileScans(p)
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
       df.collect()
       fileScans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
@@ -1044,12 +1036,8 @@ class PlanContractSpec extends AnyFunSuite {
   test("q126: the transparent read's executed scan skips month chunks the query's own filters exclude") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
-      case q: QueryStageExec => fileScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(fileScans)
-    }
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      graft.TestPlans.fileScans(p)
     spark.sharedState.cacheManager.clearCache()
     val df = SparkEntry.queries("q126_zonemap_transparent_read")(spark, SparkFixture.sfDir)
     df.collect()
@@ -1110,20 +1098,10 @@ class PlanContractSpec extends AnyFunSuite {
   // ---- TransparentZoneMapFileIndex hardening (round 15) ----
 
   private def fileScansOf(p: org.apache.spark.sql.execution.SparkPlan)
-    : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    p match {
-      case a: AdaptiveSparkPlanExec => fileScansOf(a.executedPlan)
-      case q: QueryStageExec => fileScansOf(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(fileScansOf)
-    }
-  }
-  private def scannedFilesOf(df: org.apache.spark.sql.DataFrame): Long = {
-    df.collect()
-    fileScansOf(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
-  }
+    : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    graft.TestPlans.fileScans(p)
+  private def scannedFilesOf(df: org.apache.spark.sql.DataFrame): Long =
+    graft.TestPlans.scannedFiles(df)
 
   test("zone index: a NULL chunk partition value is KEPT — the unaddressable chunk is a missing zone row, not a drop") {
     // hive writes rows with a NULL partition value under

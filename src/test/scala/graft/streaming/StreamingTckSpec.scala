@@ -1287,12 +1287,8 @@ class StreamingTckSpec extends AnyFunSuite {
     assert(pruned.filter(col("id") === 250L).count() == 2,
       "the streamed append in the new chunk must be visible to the pruned read")
     // and the scan really skipped files
-    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
-      case q: QueryStageExec => fileScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(fileScans)
-    }
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      graft.TestPlans.fileScans(p)
     pruned.collect()
     val scanned = fileScans(pruned.queryExecution.executedPlan)
       .map(_.metrics("numFiles").value).sum
@@ -1337,13 +1333,8 @@ class StreamingTckSpec extends AnyFunSuite {
     // c002, c003 survive their envelopes; c009 is kept by absence —
     // 3 scanned of 9 listed dirs
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
-      case qe: QueryStageExec => fileScans(qe.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(fileScans)
-    }
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      graft.TestPlans.fileScans(p)
     r.collect()
     val scanned = fileScans(r.queryExecution.executedPlan)
       .map(_.metrics("numFiles").value).sum
@@ -1782,12 +1773,8 @@ class StreamingTckSpec extends AnyFunSuite {
     // the reader prunes with the latest version and stays row-exact
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
-      case q: QueryStageExec => fileScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(fileScans)
-    }
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      graft.TestPlans.fileScans(p)
     val r = graft.ops.Layout.zoneMapReadFiles(spark, data, v2, "file", Seq("id"))
       .filter(col("id") >= 20000)
     assert(r.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
