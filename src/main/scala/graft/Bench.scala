@@ -64,10 +64,17 @@ object Bench {
     "q126_zonemap_transparent_read", "l6_cascade_insert",
     "q127_zonemap_string_or_read", "q128_zonemap_file_read",
     "q129_zonemap_prefix_read", "q130_zonemap_zorder_read",
-    // the repair-path cells: run 1 builds + persists the bundle, runs
-    // 2-3 time read-stored + maintenance only — min() reports the
-    // repair path, which the construction-dominated cells above hide
-    "l6_cascade_delete_apply", "l6_cascade_insert_apply")
+    "q131_zonemap_nullcount_read", "q132_zonemap_notbetween_read",
+    "l3_ann_retrain",
+    // the _apply cells: a PRE-TIMED prewarm run builds + persists the
+    // stored bundle/fixture once per testdata fingerprint, and all
+    // three timed runs measure read-stored + maintenance (cascades)
+    // or zone-resolve + pruned scan (zone family) only — the numbers
+    // the construction-dominated cells above hide in build noise
+    "l6_cascade_delete_apply", "l6_cascade_insert_apply",
+    "q121_zonemap_pruned_read_apply", "q126_zonemap_transparent_read_apply",
+    "q127_zonemap_string_or_read_apply", "q128_zonemap_file_read_apply",
+    "q129_zonemap_prefix_read_apply", "q130_zonemap_zorder_read_apply")
 
   /** 1-minute system load average, -1.0 where the platform can't say.
     * Recorded at both ends of the run so the record SELF-ADJUDICATES:
@@ -195,6 +202,13 @@ object Bench {
       cell
     }
     val results = headline.filter(queries.contains).map { name =>
+      // _apply cells read a PERSISTED bundle/fixture: the first call
+      // per testdata fingerprint builds it, which would structurally
+      // blow the cell's spread envelope (and burn retry budget on an
+      // outlier no retry can fix) — prewarm once untimed, so all
+      // three measured runs time the read+maintain path (the
+      // Sf1Ledger discipline, round-15 advisory)
+      if (name.endsWith("_apply")) BenchSession.timeQuery(spark, name, sfDir)
       name -> measure(() => BenchSession.timeQuery(spark, name, sfDir))
     }
     val all = results :+ ("stream_100k_msgs" -> measure(() => streamingThroughput(spark)))

@@ -45,7 +45,16 @@ object Sf1Ledger {
     "q126_zonemap_transparent_read", "q127_zonemap_string_or_read",
     "q128_zonemap_file_read", "q129_zonemap_prefix_read",
     "q130_zonemap_zorder_read",
-    "l6_cascade_delete_apply", "l6_cascade_insert_apply")
+    "l6_cascade_delete_apply", "l6_cascade_insert_apply",
+    // round-16's own cells: the read-only zone _apply family (expect
+    // ~flat ratios — only the pruned read scales, not the write), the
+    // null-count/NOT-BETWEEN construction cells, and the quantizer
+    // re-train (n·nlist kernel work per Lloyd round — near-linear)
+    "q131_zonemap_nullcount_read", "q132_zonemap_notbetween_read",
+    "l3_ann_retrain",
+    "q121_zonemap_pruned_read_apply", "q126_zonemap_transparent_read_apply",
+    "q127_zonemap_string_or_read_apply", "q128_zonemap_file_read_apply",
+    "q129_zonemap_prefix_read_apply", "q130_zonemap_zorder_read_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -1528,6 +1528,122 @@ object CorpusOps {
         col("code_sum"), col("drift"))
   }
 
+  /** Lloyd-trained COARSE centroids in L2 — the retrain arm of
+    * [[retrainIfDrifted]], and the coarse-quantizer analogue of
+    * [[pqCodebookTrained]]: init = the first `nlist` vec_ids (the
+    * deterministic seed every IVF build here uses), then `iters`
+    * rounds of assignment by round(L2², 6) with cid tie-break and
+    * per-dimension round-6 AVG centroid updates — the
+    * l3_ann_ivf_kmeans determinism discipline in L2, so an engine
+    * replay (or the DuckDB oracle) reproduces the centroids
+    * bit-for-bit; a centroid that loses every member drops out on
+    * both sides identically.
+    *
+    * Scale shape: per iteration one broadcast crossJoin against the
+    * nlist-sized centroid table (n·nlist native-kernel rows, argmin
+    * partial-aggregated to one row per vector) plus one
+    * nlist·dim-sized update aggregate — centroids stay
+    * broadcast-sized, the corpus never shuffles raw vectors. Output
+    * (cid, ce ARRAY<double>). */
+  def kmeansCentroidsL2(vecs: DataFrame, nlist: Int = 32, iters: Int = 2)
+                       (implicit scope: CacheScope): DataFrame = {
+    require(nlist >= 1, s"nlist must be >= 1 (got $nlist)")
+    import graft.functions.VectorExprs.vec_l2sq
+    val v = scope.cached(vecs.select(col("vec_id"),
+      expr("transform(embedding, e -> cast(e as double))").as("_ve")))
+    val init = v.filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("long").as("cid"), col("_ve").as("ce"))
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      val assign = v.crossJoin(broadcast(cents))
+        .withColumn("_d2c", round(vec_l2sq(col("_ve"), col("ce")), 6))
+        .groupBy("vec_id").agg(min(struct(col("_d2c"), col("cid"))).as("b"))
+        .select(col("vec_id"), col("b.cid").as("cid"))
+      assign.join(v, "vec_id")
+        .select(col("cid"), posexplode(col("_ve")).as(Seq("d", "x")))
+        .groupBy("cid", "d").agg(round(avg(col("x")), 6).as("cv"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("d"), col("cv")))).as("a"))
+        .select(col("cid"), expr("transform(a, p -> p.cv)").as("ce"))
+    }
+  }
+
+  /** The QUANTIZER-lifecycle trigger — [[Layout.reclusterIfDeep]] /
+    * [[compactIfDegreeHigh]]'s discipline applied to the one
+    * maintained artifact whose staleness previously only grew: the
+    * frozen IVF-PQ quantizer. [[ivfpqIncremental]] measures the drift
+    * ratio (batch mean distance-to-centroid over train mean, both
+    * DECIMAL-summed over round-6 distances) but never acts; this
+    * probes that SAME ratio (one driver-side action of the
+    * convergence-probe class) and:
+    *
+    *  - drift <= `driftThreshold`: the FROZEN index passes through
+    *    untouched — the result IS [[ivfpqIncremental]] (batch rows
+    *    assigned into the existing lists, coded with the frozen
+    *    codebook; no re-scoring of stored vectors is planned);
+    *  - drift > `driftThreshold`: full RE-TRAIN on the CURRENT corpus
+    *    (train ∪ batch): [[kmeansCentroidsL2]] re-trains the coarse
+    *    centroids (`iters` Lloyd rounds from the deterministic
+    *    first-`nlist` init), EVERY vector re-assigns, the residual
+    *    codebook re-trains ([[pqCodebookTrained]]) and every vector
+    *    re-encodes — the retrained index equals a from-scratch build
+    *    over the grown corpus (CorpusOpsSpec pins it).
+    *
+    * Output rows carry (vec_id, cid, d2c, code_sum, drift) — batch
+    * rows only on the frozen path (stored rows are unchanged by
+    * definition), ALL rows after a retrain (everything re-encoded);
+    * `drift` is always the measured frozen-quantizer ratio that
+    * gated the decision. An empty batch never triggers. Schedule it
+    * per ingest commit — the streaming TCK derives the same decision
+    * from the same stored snapshot on replay. */
+  def retrainIfDrifted(train: DataFrame, batch: DataFrame,
+                       driftThreshold: Double,
+                       nlist: Int = 32, m: Int = 8, subDim: Int = 8,
+                       k: Int = 16, iters: Int = 2)
+                      (implicit scope: CacheScope): (DataFrame, Boolean) = {
+    require(driftThreshold > 0,
+      s"driftThreshold must be positive (got $driftThreshold)")
+    import graft.functions.VectorExprs.vec_l2sq
+    val cents = train.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    def assignAgainst(v: DataFrame, cs: DataFrame): DataFrame =
+      v.select(col("vec_id").as("vid"), col("embedding").as("_ve"))
+        .crossJoin(broadcast(cs))
+        .withColumn("d2c", round(vec_l2sq(col("_ve"), col("ce")), 6))
+        .groupBy("vid").agg(min(struct(col("d2c"), col("cid"))).as("b"))
+        .select(col("vid"), col("b.cid").as("cid"), col("b.d2c").as("d2c"))
+    def dmean(c: Column): Column =
+      (sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
+        / count(lit(1)))
+    // the gate probe: ONE driver action over two assignment means —
+    // the identical DECIMAL-exact ratio ivfpqIncremental reports
+    val driftRow = assignAgainst(train, cents).agg(dmean(col("d2c")).as("_t"))
+      .crossJoin(assignAgainst(batch, cents).agg(dmean(col("d2c")).as("_b")))
+      .select(round(col("_b") / col("_t"), 6).as("drift")).head()
+    val drifted = !driftRow.isNullAt(0) && driftRow.getDouble(0) > driftThreshold
+    if (!drifted)
+      (ivfpqIncremental(train, batch, nlist, m, subDim, k, iters), false)
+    else {
+      val drift = driftRow.getDouble(0)
+      val all = scope.cached(train.select("vec_id", "embedding")
+        .unionByName(batch.select("vec_id", "embedding")))
+      val newCents = scope.cached(kmeansCentroidsL2(all, nlist, iters))
+      val aAssign = scope.cached(assignAgainst(all, newCents))
+      val res = aAssign
+        .join(all.select(col("vec_id").as("vid"), col("embedding").as("_ve")), "vid")
+        .join(broadcast(newCents), "cid")
+        .select(col("vid").as("vec_id"),
+          expr("zip_with(_ve, ce, (a, b) -> cast(a as double) - cast(b as double))")
+            .as("embedding"))
+      val cb = pqCodebookTrained(res, m, subDim, k, iters)
+      val codes = pqEncode(res, cb, m, subDim)
+        .groupBy("vec_id")
+        .agg(sum(expr("code * cast(pow(16, sub) as bigint)")).as("code_sum"))
+      (aAssign.join(codes, aAssign("vid") === codes("vec_id"))
+        .select(col("vid").as("vec_id"), col("cid"), col("d2c"),
+          col("code_sum"), lit(drift).as("drift")), true)
+    }
+  }
+
   /** Exact re-rank refine — the recall-restoring final hop every
     * production ANN serves (FAISS IndexRefine): take the top-R
     * candidate set from ANY index (R·|queries| rows — candidate-

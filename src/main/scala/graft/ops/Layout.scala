@@ -304,16 +304,20 @@ object Layout {
       new graft.plans.TransparentZoneMapFileIndex(inner, Some(chunkCol), env))
   }
 
-  /** Collect a zone table into the index's driver-side envelope map
-    * (key → column → (mn, mx)) — chunk-count- or file-count-bounded
-    * metadata, the one deliberate driver action of the reader family.
+  /** Collect a zone table into the index's driver-side stats map
+    * (key → column → [[graft.plans.ZoneMapFileIndex.ColStats]]) —
+    * chunk-count- or file-count-bounded metadata, the one deliberate
+    * driver action of the reader family.
     * A NULL envelope value means the column is all-NULL in that unit
     * (None bound → the index may DROP under a range conjunct); a
     * non-null value outside the comparable domain (NaN, binary, …)
     * must instead OMIT the column — "no envelope known" — or a wrong
-    * drop could follow from a type, not from data. A NULL unit key is
-    * unaddressable and its row is skipped (the index keeps unaddressed
-    * units anyway). */
+    * drop could follow from a type, not from data. OPTIONAL
+    * `nc_<col>` / `rc_<col>` columns (exact null count / row count —
+    * the Delta/Iceberg stats parity) ride along when present and let
+    * `IS NULL` prune; absent or NULL counts constrain nothing. A NULL
+    * unit key is unaddressable and its row is skipped (the index
+    * keeps unaddressed units anyway). */
   private def collectEnvelopes(zones: DataFrame, keyCol: String,
                                cols: Seq[String], what: String)
     : Map[String, graft.plans.ZoneMapFileIndex.ColEnv] = {
@@ -323,17 +327,33 @@ object Layout {
         s"zone table has no (mn_$c, mx_$c) envelope — zone columns: " +
           zones.columns.mkString(", "))
     }
-    val rows = zones.select(
-      col(keyCol).cast("string").as("_ck") +:
-        cols.flatMap(c => Seq(col(s"mn_$c"), col(s"mx_$c"))): _*).collect()
+    val haveCounts = cols.map(c => c ->
+      (zones.columns.contains(s"nc_$c") && zones.columns.contains(s"rc_$c"))).toMap
+    val sel = col(keyCol).cast("string").as("_ck") +:
+      cols.flatMap { c =>
+        Seq(col(s"mn_$c"), col(s"mx_$c")) ++
+          (if (haveCounts(c))
+            Seq(col(s"nc_$c").cast("long"), col(s"rc_$c").cast("long"))
+          else Seq.empty)
+      }
+    val rows = zones.select(sel: _*).collect()
+    // per-column field offsets within the projection above
+    val offsets = cols.scanLeft(1) { case (o, c) =>
+      o + (if (haveCounts(c)) 4 else 2) }
     def bound(v: Any): Either[Unit, Option[graft.plans.ZBound]] =
       if (v == null) Right(None)
       else graft.plans.ZBound.of(v)
         .map(b => Right(Some(b))).getOrElse(Left(()))
     rows.filter(!_.isNullAt(0)).map { r =>
-      val perCol = cols.zipWithIndex.flatMap { case (c, i) =>
-        (bound(r.get(1 + 2 * i)), bound(r.get(2 + 2 * i))) match {
-          case (Right(mn), Right(mx)) => Some(c -> (mn, mx))
+      val perCol = cols.zip(offsets).flatMap { case (c, o) =>
+        (bound(r.get(o)), bound(r.get(o + 1))) match {
+          case (Right(mn), Right(mx)) =>
+            val (nc, rc) =
+              if (haveCounts(c))
+                (if (r.isNullAt(o + 2)) None else Some(r.getLong(o + 2)),
+                  if (r.isNullAt(o + 3)) None else Some(r.getLong(o + 3)))
+              else (None, None)
+            Some(c -> graft.plans.ZoneMapFileIndex.ColStats(mn, mx, nc, rc))
           case _ => None
         }
       }.toMap
@@ -350,7 +370,12 @@ object Layout {
     * name key would silently prune the wrong file's rows. The reader
     * normalizes scheme variants ([[graft.plans.ZoneMapFileIndex.pathKey]]). */
   private def fileZoneAgg(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap(c => Seq(min(c).as(s"mn_$c"), max(c).as(s"mx_$c")))
+    // nc_/rc_ (exact null/row counts — count(c) skips nulls) ride
+    // along so IS NULL prunes files too, the Delta stats parity
+    val aggs = cols.flatMap(c => Seq(
+      min(c).as(s"mn_$c"), max(c).as(s"mx_$c"),
+      (count(lit(1)) - count(col(c))).as(s"nc_$c"),
+      count(lit(1)).as(s"rc_$c")))
     df.groupBy(col("_metadata.file_path").as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -397,8 +422,41 @@ object Layout {
       .collect().map(r => key(r.getString(0))).toSet
     val freshPaths = currentPaths.filterNot(p => known.contains(key(p)))
     if (freshPaths.isEmpty) zones
+    // allowMissingColumns: a zone table from an earlier generation may
+    // lack the nc_/rc_ count columns — the null fill is conservative
+    // (absent counts constrain nothing at the reader)
     else zones.unionByName(
-      fileZoneAgg(spark.read.parquet(freshPaths.toIndexedSeq: _*), cols))
+      fileZoneAgg(spark.read.parquet(freshPaths.toIndexedSeq: _*), cols),
+      allowMissingColumns = true)
+  }
+
+  /** RETENTION for a maintained file-zone table — the rebuild-
+    * equivalent drop of rows whose file no longer exists:
+    * [[maintainFileZones]] deliberately keeps stale rows for vanished
+    * files (harmless — the reader keys on files actually listed), so
+    * at production cadence the table grows by every compacted-away
+    * generation. This compacts it back: list the table's CURRENT
+    * files once (driver metadata, the same manifest-sized class as
+    * the reader's collect) and keep exactly the zone rows whose
+    * scheme-normalized path is still listed. Because parquet files
+    * are immutable per path, a kept row's envelope is identical to
+    * what a fresh [[fileZones]] scan would recompute — compacted ==
+    * rebuild, with zero data scanned (LayoutSpec pins it). Run it on
+    * the vacuum cadence, after compactions rewrite files. */
+  def compactFileZones(spark: org.apache.spark.sql.SparkSession,
+                       path: String, zones: DataFrame): DataFrame = {
+    require(zones.columns.contains("file"),
+      s"zone table has no 'file' key column (the fileZones convention) — " +
+        s"zone columns: ${zones.columns.mkString(", ")}")
+    def key(p: String) = graft.plans.ZoneMapFileIndex.pathKey(p)
+    val current = spark.read.parquet(path).inputFiles.map(key).toSet
+    // both sides of the membership test are file-count-bounded driver
+    // metadata (the maintainFileZones `known` collect, reversed);
+    // isInCollection compiles to a hashed InSet — no join, no UDF
+    val keptRaw = zones.select(col("file").cast("string")).collect()
+      .map(_.getString(0)).filter(f => f != null && current.contains(key(f)))
+    if (keptRaw.isEmpty) zones.limit(0)
+    else zones.filter(col("file").cast("string").isInCollection(keptRaw.toIndexedSeq))
   }
 
   /** [[zoneMapRead]] at FILE granularity over a PLAIN (unpartitioned)

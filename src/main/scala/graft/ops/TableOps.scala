@@ -488,6 +488,122 @@ object TableOps {
           coalesce(col(s"_md.$c"), lit(0L))).as(c)): _*)
   }
 
+  // ---- versioned snapshot store (the streaming commit convention) ----
+  //
+  // Every streaming maintenance loop in this engine commits its state
+  // as `$root/v=<version>` snapshot directories keyed off the
+  // micro-batch id (the poor-man's Delta commit: exactly-once falls
+  // out of idempotent overwrite, and a restarted batch re-derives its
+  // version from the FIRST EXISTING version <= batchId). These
+  // helpers make that resolution rule one spelling — and give the
+  // store the retention story an unbounded commit log needs.
+
+  /** The snapshot directory of version `v` under `root`. */
+  def versionPath(root: String, v: Long): String = s"$root/v=$v"
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, root: String)
+    : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** All snapshot versions currently present under `root`, ascending.
+    * One filesystem listing — version-count-bounded driver metadata
+    * (the reason [[vacuumVersions]] exists: at a commit per
+    * micro-batch this grows without retention). */
+  def listVersions(spark: org.apache.spark.sql.SparkSession,
+                   root: String): Seq[Long] = {
+    val (fs, p) = fsOf(spark, root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v=").toLong).toOption)
+      .sorted
+  }
+
+  private val vacuumMarker = "_VACUUM_HORIZON"
+
+  /** The store's vacuum horizon — the oldest version whose resolution
+    * behavior is still guaranteed ([[vacuumVersions]] wrote it); None
+    * for a never-vacuumed store. */
+  def vacuumHorizon(spark: org.apache.spark.sql.SparkSession,
+                    root: String): Option[Long] = {
+    val (fs, p) = fsOf(spark, root)
+    val m = new org.apache.hadoop.fs.Path(p, vacuumMarker)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try {
+        val s = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+        Some(s.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** THE resolution rule of the versioned store: the first existing
+    * version <= `batchId` — what every replayed micro-batch reads its
+    * predecessor state from. Fails LOUDLY (never silently serves a
+    * NEWER snapshot, which would break replay determinism) when
+    * `batchId` precedes the vacuum horizon or no version qualifies. */
+  def resolveVersion(spark: org.apache.spark.sql.SparkSession,
+                     root: String, batchId: Long): Long = {
+    vacuumHorizon(spark, root).foreach { h =>
+      if (batchId < h) throw new IllegalStateException(
+        s"resolveVersion($root, $batchId): the store was vacuumed to " +
+          s"horizon $h — versions serving batch ids below it were deleted, " +
+          s"and serving a newer snapshot instead would silently change a " +
+          s"replayed batch's input. Re-seed the store or replay from >= $h.")
+    }
+    val cand = listVersions(spark, root).filter(_ <= batchId)
+    if (cand.isEmpty) throw new IllegalStateException(
+      s"resolveVersion($root, $batchId): no snapshot version <= $batchId " +
+        s"exists (present: ${listVersions(spark, root).mkString(", ")})")
+    cand.max
+  }
+
+  /** RETENTION for the versioned snapshot store — the operator the
+    * per-micro-batch commit cadence needs (a lifecycle stream
+    * otherwise keeps O(batches × state) forever). Deletes every
+    * version strictly below the FLOOR of `keepFrom` — the largest
+    * existing version <= `keepFrom` — and records the floor in a
+    * `_VACUUM_HORIZON` marker. Keeping the floor (not just versions
+    * >= `keepFrom`) is what preserves the resolution contract: for
+    * EVERY `batchId >= floor`, [[resolveVersion]] returns the SAME
+    * version after the vacuum as before (no version existed in
+    * (floor, keepFrom), so ids in that gap still resolve to the
+    * floor), and replay of any retained batch is bit-identical.
+    * Resolving below the floor fails loudly ([[resolveVersion]]).
+    * The marker is written BEFORE any delete, so a crash mid-vacuum
+    * can only leave extra versions behind — stale-but-loud, never a
+    * silently re-routed replay. Returns the versions deleted. */
+  def vacuumVersions(spark: org.apache.spark.sql.SparkSession,
+                     root: String, keepFrom: Long): Seq[Long] = {
+    val versions = listVersions(spark, root)
+    val floorOpt = versions.filter(_ <= keepFrom).lastOption
+    floorOpt match {
+      case None => Seq.empty // nothing at or below keepFrom: no-op
+      case Some(floor) =>
+        val doomed = versions.filter(_ < floor)
+        if (doomed.isEmpty && vacuumHorizon(spark, root).exists(_ >= floor))
+          return Seq.empty
+        val (fs, p) = fsOf(spark, root)
+        val horizon = math.max(floor, vacuumHorizon(spark, root).getOrElse(Long.MinValue))
+        // marker first (atomic rename), deletes after — see scaladoc
+        val tmp = new org.apache.hadoop.fs.Path(p, s".$vacuumMarker.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(s"$horizon\n".getBytes("UTF-8")) finally out.close()
+        val marker = new org.apache.hadoop.fs.Path(p, vacuumMarker)
+        if (fs.exists(marker)) fs.delete(marker, false)
+        require(fs.rename(tmp, marker),
+          s"vacuumVersions: could not commit the $vacuumMarker marker under $root")
+        doomed.foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(versionPath(root, v)), true)
+        }
+        doomed
+    }
+  }
+
   /** Incremental DISTINCT-COUNT view maintenance — the
     * non-self-maintainable aggregate [[maintainAgg]] cannot carry
     * (COUNT DISTINCT needs the SET, not a number; re-counting means

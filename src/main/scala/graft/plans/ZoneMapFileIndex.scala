@@ -113,25 +113,70 @@ object ZoneMapFileIndex {
     case _ => None
   }
 
-  /** column → (mn, mx) envelope of one chunk or file. A `None` bound
-    * records that the column is ALL-NULL there (a range conjunct
-    * rejects NULL rows, so the unit may drop); a column absent from
-    * the map constrains nothing. */
-  type ColEnv = Map[String, (Option[ZBound], Option[ZBound])]
+  /** One column's statistics in one unit (chunk or file): the (mn, mx)
+    * envelope plus OPTIONAL exact counts — the Delta/Iceberg
+    * `nullCount`/`recordCount` parity that lets `IS NULL` prune. A
+    * `None` bound with a non-empty unit records the column ALL-NULL
+    * there (a range conjunct rejects NULL rows, so the unit may
+    * drop); absent counts constrain nothing (`IS NULL` keeps). */
+  final case class ColStats(mn: Option[ZBound], mx: Option[ZBound],
+                            nullCount: Option[Long] = None,
+                            rowCount: Option[Long] = None)
 
-  /** Scheme-independent filesystem path of a file URI string —
-    * "file:/x", "file:///x", "hdfs://nn/x", and bare "/x" all key
-    * identically. File-zone tables key by PATH, not bare file name:
-    * parquet immutability holds per path, and a name collision across
+  /** column → [[ColStats]] of one chunk or file. A column absent from
+    * the map constrains nothing. */
+  type ColEnv = Map[String, ColStats]
+
+  /** Canonical key of a file URI string: `scheme://authority/path`,
+    * with a missing scheme defaulting to `file` and a missing
+    * authority to empty — "file:/x", "file:///x", and bare "/x" all
+    * key identically, while "hdfs://nn1/x" and "s3://b/x" stay
+    * DISTINCT (a path-only key would let a zone table built against
+    * one filesystem wrongly prune a coincident path on another).
+    * File-zone tables key by this, not bare file name: parquet
+    * immutability holds per path, and a name collision across
     * partition directories (non-UUID writers reuse part names) under
     * a name key would silently prune the wrong file's rows. Returns
     * the raw string when unparseable — an unmatched key only loosens
     * skipping. */
   private[graft] def pathKey(s: String): String =
     try {
-      val p = new java.net.URI(s).getPath
-      if (p == null || p.isEmpty) s else p
+      val u = new java.net.URI(s)
+      val p = u.getPath
+      if (p == null || p.isEmpty) s
+      else {
+        val scheme = Option(u.getScheme).map(_.toLowerCase(java.util.Locale.ROOT))
+          .getOrElse("file")
+        val auth = Option(u.getAuthority).getOrElse("")
+        s"$scheme://$auth$p"
+      }
     } catch { case _: java.net.URISyntaxException => s }
+
+  /** An interval [lo, hi] with per-endpoint OPENNESS, either side
+    * open-ended via None. Positive conjuncts emit CLOSED endpoints
+    * (`a < v` is widened to `[…, v]` — pruning may keep an extra
+    * unit, never drop a valid one); NEGATIONS need exact open
+    * endpoints to prune at all (the complement of a point under
+    * closed widening is the whole line). (None, _, None, _) is the
+    * "any non-NULL value" interval: it intersects every envelope
+    * except an all-NULL one. */
+  private[plans] final case class Iv(lo: Option[ZBound], loOpen: Boolean,
+                                     hi: Option[ZBound], hiOpen: Boolean)
+
+  /** A recognized constraint on one column. [[Ranges]]: the column
+    * must intersect AT LEAST ONE of the intervals — a DISJUNCTIVE
+    * requirement, so IN-lists prune per VALUE (a chunk between two
+    * sparse members drops) and OR prunes by the true union of its arm
+    * intervals (the gap between arms drops), not by their hulls; an
+    * EMPTY interval set is an unsatisfiable constraint (no chunk can
+    * serve it — sound, no ROW satisfies the filter either). Every
+    * Ranges constraint admits only NON-NULL rows (range comparisons
+    * reject NULL), so an all-NULL unit drops under it. [[NeedsNull]]
+    * (`IS NULL`): the unit must CONTAIN a null — droppable exactly
+    * when its `nullCount` stat records zero. */
+  private[plans] sealed trait Req
+  private[plans] final case class Ranges(col: String, ivs: Seq[Iv]) extends Req
+  private[plans] final case class NeedsNull(col: String) extends Req
 }
 
 /** TRANSPARENT zone-map pruning — the full lakehouse reader seam:
@@ -156,14 +201,21 @@ object ZoneMapFileIndex {
   * everything it does not understand:
   *  - recognized shapes: `a < v`, `a <= v`, `a > v`, `a >= v`,
   *    `a = v`, the literal-first flips, `And` recursion, `In`/`InSet`
-  *    by value hull, `Or` by per-column UNION hull (only columns
-  *    bounded in BOTH arms constrain — still conservative),
-  *    `StartsWith` (`LIKE 'p%'`) by its UTF8 prefix range, bare
-  *    `IsNotNull` (drops all-NULL-column units), and a
-  *    monotone numeric `Cast` around the attribute (Catalyst inserts
-  *    those for literal-type promotion);
-  *  - `Not`, UDFs, column-column comparisons, non-binary-collated
-  *    string columns → ignored (unit kept);
+  *    per value (cap-bounded), `Or` by the per-column UNION of its
+  *    arm interval sets (only columns bounded in BOTH arms
+  *    constrain — still conservative), `StartsWith` (`LIKE 'p%'`) by
+  *    its UTF8 prefix range, bare `IsNotNull` (drops all-NULL-column
+  *    units), `IsNull` (drops units whose `nc_<col>` count records
+  *    ZERO nulls — count-less zone tables keep), `Not` of any
+  *    recognized child by its EXACT complement (open-endpoint
+  *    intervals: `NOT BETWEEN` drops the inside chunks, `NOT IN`
+  *    prunes by the gaps between its points, De Morgan recursion
+  *    through `NOT (… AND/OR …)`), and a monotone numeric `Cast`
+  *    around the attribute (Catalyst inserts those for literal-type
+  *    promotion);
+  *  - `Not` of an UNRECOGNIZED child, UDFs, column-column
+  *    comparisons, non-binary-collated string columns → ignored
+  *    (unit kept);
   *  - numeric comparisons evaluate in BigDecimal and strings in UTF8
   *    binary order ([[ZBound]]); a cross-kind comparison is undefined
   *    and KEEPS;
@@ -238,21 +290,9 @@ final class TransparentZoneMapFileIndex(
 
   private def toB(v: Any): Option[ZBound] = ZBound.of(v)
 
-  /** A CLOSED interval [lo, hi], either side open-ended via None —
-    * widened by design (an open bound is treated as closed; pruning
-    * may keep an extra unit, never drop a valid one). (None, None) is
-    * the "any non-NULL value" interval: it intersects every envelope
-    * except an all-NULL one. */
-  private type Iv = (Option[ZBound], Option[ZBound])
-
-  /** A recognized constraint: `column` must intersect AT LEAST ONE of
-    * the intervals — a DISJUNCTIVE requirement, so IN-lists prune per
-    * VALUE (a chunk between two sparse members drops) and OR prunes by
-    * the true union of its arm intervals (the gap between arms drops),
-    * not by their hulls. An EMPTY interval set is an unsatisfiable
-    * constraint: no chunk can serve it (sound — no ROW satisfies the
-    * filter either). */
-  private type Req = (String, Seq[Iv])
+  import ZoneMapFileIndex.{Iv, NeedsNull, Ranges, Req}
+  private def closedIv(lo: Option[ZBound], hi: Option[ZBound]): Iv =
+    Iv(lo, loOpen = false, hi, hiOpen = false)
 
   /** Smallest string ABOVE every string with prefix `p` in UTF8 binary
     * order: increment p's last non-0xFF byte, drop the bytes after it.
@@ -275,52 +315,84 @@ final class TransparentZoneMapFileIndex(
 
   /** Intersection of two intervals; None when provably EMPTY. An
     * incomparable bound pair (cross-kind) widens that side to
-    * unbounded — the intersection must CONTAIN the true one. */
+    * unbounded — the intersection must CONTAIN the true one. On a
+    * tied endpoint, OPEN wins (the more restrictive side — exact for
+    * an intersection, never wider than the truth). */
   private def intersectIv(a: Iv, b: Iv): Option[Iv] = {
-    def pick(x: Option[ZBound], y: Option[ZBound], max: Boolean): Option[ZBound] =
+    def pick(x: Option[ZBound], xo: Boolean, y: Option[ZBound], yo: Boolean,
+             max: Boolean): (Option[ZBound], Boolean) =
       (x, y) match {
         case (Some(p), Some(q)) => p.cmp(q) match {
-          case Some(c0) => Some(if ((c0 >= 0) == max) p else q)
-          case None => None // incomparable: widen to unbounded (safe)
+          case Some(0) => (Some(p), xo || yo)
+          case Some(c0) => if ((c0 >= 0) == max) (Some(p), xo) else (Some(q), yo)
+          case None => (None, false) // incomparable: widen to unbounded (safe)
         }
-        case _ => x.orElse(y)
+        case (Some(p), None) => (Some(p), xo)
+        case (None, Some(q)) => (Some(q), yo)
+        case (None, None) => (None, false)
       }
-    val lo = pick(a._1, b._1, max = true)
-    val hi = pick(a._2, b._2, max = false)
+    val (lo, loO) = pick(a.lo, a.loOpen, b.lo, b.loOpen, max = true)
+    val (hi, hiO) = pick(a.hi, a.hiOpen, b.hi, b.hiOpen, max = false)
     (lo, hi) match {
-      case (Some(l), Some(h)) if l.cmp(h).exists(_ > 0) => None
-      case _ => Some((lo, hi))
+      case (Some(l), Some(h)) => l.cmp(h) match {
+        case Some(c) if c > 0 => None
+        case Some(0) if loO || hiO => None // (v, v] / [v, v) / (v, v): empty
+        case _ => Some(Iv(lo, loO, hi, hiO))
+      }
+      case _ => Some(Iv(lo, loO, hi, hiO))
     }
   }
 
   /** Hull of a non-empty interval set: bounded on a side only when
-    * EVERY member is, and all bounds compare. */
+    * EVERY member is, and all bounds compare. Endpoints come back
+    * CLOSED — wider than the members, which is all a fallback hull
+    * may be. */
   private def hullIvs(ivs: Seq[Iv]): Iv = {
-    val lo = ivs.map(_._1).reduceLeft((x, y) =>
+    val lo = ivs.map(_.lo).reduceLeft((x, y) =>
       for { a <- x; b <- y; m <- minB(a, b) } yield m)
-    val hi = ivs.map(_._2).reduceLeft((x, y) =>
+    val hi = ivs.map(_.hi).reduceLeft((x, y) =>
       for { a <- x; b <- y; m <- maxB(a, b) } yield m)
-    (lo, hi)
+    closedIv(lo, hi)
   }
 
   /** Per-column interval SET each arm of a disjunction implies: a
-    * column's reqs within the arm (a conjunction) intersect pairwise;
-    * a blowing product hulls one side first (wider, safe). An empty
-    * result records an arm unsatisfiable on that column. */
+    * column's range reqs within the arm (a conjunction) intersect
+    * pairwise; a blowing product hulls one side first (wider, safe).
+    * An empty result records an arm unsatisfiable on that column. */
   private def armIntervalSets(cs: Seq[Req]): Map[String, Seq[Iv]] =
-    cs.groupBy(_._1).map { case (c, rs) =>
-      val folded = rs.map(_._2).reduceLeft { (acc, next) =>
-        val (a, b) =
-          if (acc.size.toLong * next.size > 256)
-            (Seq(hullIvs(acc)), Seq(hullIvs(next)))
-          else (acc, next)
-        (for { x <- a; y <- b; iv <- intersectIv(x, y) } yield iv).distinct
-      }
-      c -> folded
+    cs.collect { case Ranges(c, ivs) => (c, ivs) }.groupBy(_._1).map {
+      case (c, rs) =>
+        val folded = rs.map(_._2).reduceLeft { (acc, next) =>
+          val (a, b) =
+            if (acc.size.toLong * next.size > 256)
+              (Seq(hullIvs(acc)), Seq(hullIvs(next)))
+            else (acc, next)
+          (for { x <- a; y <- b; iv <- intersectIv(x, y) } yield iv).distinct
+        }
+        c -> folded
     }
 
+  /** The per-column UNION of two disjunction arms' interval sets: a
+    * row satisfying either arm satisfies, for every column BOTH arms
+    * range-bound, one of the arms' intervals — q74/TPC-H Q19's shape,
+    * and the gap BETWEEN the arms prunes (a hull would keep it). A
+    * column bounded in only one arm constrains nothing (the other
+    * arm's rows are unbounded there); a column carrying a
+    * [[NeedsNull]] in an arm contributes no range there and is
+    * therefore excluded the same way; an arm unsatisfiable on the
+    * column contributes nothing to the union; an oversized union
+    * hulls (wider, safe). */
+  private def orCombine(l: Seq[Req], r: Seq[Req]): Seq[Req] = {
+    val lc = armIntervalSets(l)
+    val rc = armIntervalSets(r)
+    lc.keySet.intersect(rc.keySet).toSeq.map { c =>
+      val u = (lc(c) ++ rc(c)).distinct
+      Ranges(c, if (u.size > 128) Seq(hullIvs(u)) else u)
+    }
+  }
+
   private def one(c: String, lo: Option[ZBound], hi: Option[ZBound]): Req =
-    (c, Seq((lo, hi)))
+    Ranges(c, Seq(closedIv(lo, hi)))
 
   /** Recognized conjuncts as constraints implied by `e`. */
   private def rangeConjuncts(e: Expression): Seq[Req] =
@@ -377,23 +449,99 @@ final class TransparentZoneMapFileIndex(
       // (None, None) envelope
       case IsNotNull(a) =>
         attrOf(a).toSeq.map(c => one(c, None, None))
-      // OR by the per-column UNION of arm interval SETS: a row
-      // satisfying either arm satisfies, for every column BOTH arms
-      // bound, one of the arms' intervals - q74/TPC-H Q19's shape,
-      // and the gap BETWEEN the arms prunes (a hull would keep it).
-      // A column bounded in only one arm constrains nothing (the
-      // other arm's rows are unbounded there); an arm unsatisfiable
-      // on the column contributes nothing to the union; an oversized
-      // union hulls (wider, safe). Nested Ors recurse.
-      case Or(l, r) =>
-        val lc = armIntervalSets(rangeConjuncts(l))
-        val rc = armIntervalSets(rangeConjuncts(r))
-        lc.keySet.intersect(rc.keySet).toSeq.map { c =>
-          val u = (lc(c) ++ rc(c)).distinct
-          (c, if (u.size > 128) Seq(hullIvs(u)) else u)
+      // IS NULL admits only rows that ARE null: a unit whose null
+      // count records ZERO nulls cannot serve it. Count-less zone
+      // tables keep everything (the missing-stat rule).
+      case IsNull(a) =>
+        attrOf(a).toSeq.map(c => NeedsNull(c): Req)
+      // NOT of a recognized child prunes by the EXACT complement —
+      // open-endpoint intervals, so NOT BETWEEN drops the inside
+      // chunks and NOT IN prunes by the gaps between its points.
+      // NOT is null-rejecting exactly like the ranges it complements
+      // (NOT(NULL cmp v) = NULL -> row rejected), so emitting Ranges
+      // is sound for all-NULL units too. An unrecognized child
+      // contributes nothing (unit kept).
+      case Not(child) => negConjuncts(child)
+      // OR by the per-column UNION of arm interval SETS - orCombine.
+      // Nested Ors recurse.
+      case Or(l, r) => orCombine(rangeConjuncts(l), rangeConjuncts(r))
+      case _ => Seq.empty
+    }
+
+  /** Constraints implied by `NOT e` — the exact complement of each
+    * recognized leaf (complementing the WIDENED form would be
+    * unsound, so every case here derives from the leaf's true
+    * semantics), De Morgan through And/Or, double negation back to
+    * [[rangeConjuncts]]. Anything unrecognized contributes nothing. */
+  private def negConjuncts(e: Expression): Seq[Req] =
+    e match {
+      case Not(x) => rangeConjuncts(x)
+      // ¬(l ∨ r) = ¬l ∧ ¬r; ¬(l ∧ r) = ¬l ∨ ¬r (an arm whose negation
+      // is unrecognized yields no ranges, and orCombine's both-arms
+      // rule then keeps everything — conservative)
+      case Or(l, r) => negConjuncts(l) ++ negConjuncts(r)
+      case And(l, r) => orCombine(negConjuncts(l), negConjuncts(r))
+      case IsNull(a) => // ¬(a IS NULL) = a IS NOT NULL
+        attrOf(a).toSeq.map(c => one(c, None, None))
+      case IsNotNull(a) => // ¬(a IS NOT NULL) = a IS NULL
+        attrOf(a).toSeq.map(c => NeedsNull(c): Req)
+      // comparison complements: ¬(a > v) = a <= v, ¬(a >= v) = a < v
+      // (open), etc — attribute-first forms
+      case GreaterThan(a, Literal(v, _)) =>
+        attrOf(a).zip(toB(v)).map { case (c, b) =>
+          Ranges(c, Seq(Iv(None, loOpen = false, Some(b), hiOpen = false))): Req }.toSeq
+      case GreaterThanOrEqual(a, Literal(v, _)) =>
+        attrOf(a).zip(toB(v)).map { case (c, b) =>
+          Ranges(c, Seq(Iv(None, loOpen = false, Some(b), hiOpen = true))): Req }.toSeq
+      case LessThan(a, Literal(v, _)) =>
+        attrOf(a).zip(toB(v)).map { case (c, b) =>
+          Ranges(c, Seq(Iv(Some(b), loOpen = false, None, hiOpen = false))): Req }.toSeq
+      case LessThanOrEqual(a, Literal(v, _)) =>
+        attrOf(a).zip(toB(v)).map { case (c, b) =>
+          Ranges(c, Seq(Iv(Some(b), loOpen = true, None, hiOpen = false))): Req }.toSeq
+      // literal-first flips: ¬(v > a) = ¬(a < v) = a >= v, etc
+      case GreaterThan(Literal(v, _), a) =>
+        attrOf(a).zip(toB(v)).map { case (c, b) =>
+          Ranges(c, Seq(Iv(Some(b), loOpen = false, None, hiOpen = false))): Req }.toSeq
+      case GreaterThanOrEqual(Literal(v, _), a) =>
+        attrOf(a).zip(toB(v)).map { case (c, b) =>
+          Ranges(c, Seq(Iv(Some(b), loOpen = true, None, hiOpen = false))): Req }.toSeq
+      case LessThan(Literal(v, _), a) =>
+        attrOf(a).zip(toB(v)).map { case (c, b) =>
+          Ranges(c, Seq(Iv(None, loOpen = false, Some(b), hiOpen = false))): Req }.toSeq
+      case LessThanOrEqual(Literal(v, _), a) =>
+        attrOf(a).zip(toB(v)).map { case (c, b) =>
+          Ranges(c, Seq(Iv(None, loOpen = false, Some(b), hiOpen = true))): Req }.toSeq
+      // ¬(a = v) = a < v ∨ a > v — two open-ended intervals; the
+      // single-value chunk holding only v drops
+      case EqualTo(a, Literal(v, _)) => neqIntervals(a, v)
+      case EqualTo(Literal(v, _), a) => neqIntervals(a, v)
+      // NOT IN: the gaps between the sorted member points (all open
+      // endpoints). Cap-bounded: above the IN cap the complement's
+      // hull is the whole line - no constraint.
+      case In(a, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        notInIntervals(a, list.map(_.asInstanceOf[Literal].value))
+      case InSet(a, hset) if hset.nonEmpty =>
+        notInIntervals(a, hset.toSeq)
+      // ¬(s LIKE 'p%'): s < p (no string with prefix p sorts below p)
+      // or s >= upper(p); an all-0xFF prefix keeps just the low arm
+      case StartsWith(a, Literal(v, _)) if v != null =>
+        attrOf(a).toSeq.map { c =>
+          val p = v.asInstanceOf[UTF8String]
+          val below = Iv(None, loOpen = false, Some(ZBound.Str(p)), hiOpen = true)
+          val above = prefixUpper(p).map(u =>
+            Iv(Some(ZBound.Str(u)), loOpen = false, None, hiOpen = false))
+          Ranges(c, below +: above.toSeq): Req
         }
       case _ => Seq.empty
     }
+
+  private def neqIntervals(a: Expression, v: Any): Seq[Req] =
+    attrOf(a).zip(toB(v)).map { case (c, b) =>
+      Ranges(c, Seq(
+        Iv(None, loOpen = false, Some(b), hiOpen = true),
+        Iv(Some(b), loOpen = true, None, hiOpen = false))): Req
+    }.toSeq
 
   /** Point intervals of an IN-list's values - empty-handed (no
     * constraint) unless EVERY value converts to ONE comparable kind (a
@@ -402,38 +550,77 @@ final class TransparentZoneMapFileIndex(
     * per-chunk membership walk would start to cost more than the scan
     * it saves. */
   private val inListCap = 64
-  private def inIntervals(a: Expression, vs: Seq[Any]): Seq[Req] =
-    attrOf(a).toSeq.flatMap { c =>
-      val bs = vs.map(toB)
-      if (bs.exists(_.isEmpty)) Seq.empty
+  /** The IN-list's values as ONE comparable sorted kind; None when any
+    * member is unconvertible or cross-kind (the folds would be
+    * order-dependent — void the constraint, never tighten it). */
+  private def comparableSorted(vs: Seq[Any]): Option[Seq[ZBound]] = {
+    val bs = vs.map(toB)
+    if (bs.exists(_.isEmpty)) None
+    else {
+      val all = bs.flatten.distinct
+      if (all.isEmpty) Some(Seq.empty)
       else {
-        val all = bs.flatten.distinct
         val lo = all.reduceLeft((x, y) => minB(x, y).getOrElse(x))
         val hi = all.reduceLeft((x, y) => maxB(x, y).getOrElse(x))
-        // cross-kind members make the folds order-dependent - void
-        if (all.exists(v => v.cmp(lo).isEmpty || v.cmp(hi).isEmpty)) Seq.empty
-        else if (all.size <= inListCap)
-          Seq((c, all.map(v => (Some(v): Option[ZBound], Some(v): Option[ZBound]))))
-        else Seq(one(c, Some(lo), Some(hi)))
+        if (all.exists(v => v.cmp(lo).isEmpty || v.cmp(hi).isEmpty)) None
+        else Some(all.sortWith((x, y) => x.cmp(y).exists(_ < 0)))
+      }
+    }
+  }
+  private def inIntervals(a: Expression, vs: Seq[Any]): Seq[Req] =
+    attrOf(a).toSeq.flatMap { c =>
+      comparableSorted(vs) match {
+        case None => Seq.empty
+        case Some(all) if all.isEmpty => Seq.empty
+        case Some(all) if all.size <= inListCap =>
+          Seq(Ranges(c, all.map(v => closedIv(Some(v), Some(v)))))
+        case Some(all) =>
+          Seq(one(c, Some(all.head), Some(all.last)))
+      }
+    }
+  private def notInIntervals(a: Expression, vs: Seq[Any]): Seq[Req] =
+    attrOf(a).toSeq.flatMap { c =>
+      comparableSorted(vs) match {
+        case Some(all) if all.nonEmpty && all.size <= inListCap =>
+          val below = Iv(None, loOpen = false, Some(all.head), hiOpen = true)
+          val above = Iv(Some(all.last), loOpen = true, None, hiOpen = false)
+          val gaps = all.zip(all.tail).map { case (l, h) =>
+            Iv(Some(l), loOpen = true, Some(h), hiOpen = true) }
+          Seq(Ranges(c, (below +: gaps) :+ above))
+        case _ => Seq.empty // unconvertible, or the complement hull is everything
       }
     }
 
-  /** Does a unit with envelope `env` possibly satisfy every
-    * constraint? Missing envelope (`envOpt` None) -> yes. */
+  /** Does a unit with stats `envOpt` possibly satisfy every
+    * constraint? Missing stats (`envOpt` None) -> yes. */
   private def survives(envOpt: Option[ZoneMapFileIndex.ColEnv],
                        reqs: Seq[Req]): Boolean =
     envOpt match {
       case None => true // no zone row for this unit: never prune it
-      case Some(env) => reqs.forall { case (c, ivs) =>
-        env.get(c) match {
+      case Some(env) => reqs.forall {
+        case Ranges(c, ivs) => env.get(c) match {
           case None => true // column not zone-mapped: constrains nothing
-          case Some((mn, mx)) =>
+          case Some(st) =>
             // all-NULL column: every interval admits only non-NULL rows
-            if (mn.isEmpty || mx.isEmpty) false
-            else ivs.exists { case (lo, hi) =>
-              lo.forall(l => mx.get.cmp(l).forall(_ >= 0)) &&
-                hi.forall(h => mn.get.cmp(h).forall(_ <= 0))
+            if (st.mn.isEmpty || st.mx.isEmpty) false
+            else ivs.exists { iv =>
+              val loOk = iv.lo.forall(l => st.mx.get.cmp(l) match {
+                case Some(cp) => if (iv.loOpen) cp > 0 else cp >= 0
+                case None => true // incomparable: keep
+              })
+              val hiOk = iv.hi.forall(h => st.mn.get.cmp(h) match {
+                case Some(cp) => if (iv.hiOpen) cp < 0 else cp <= 0
+                case None => true
+              })
+              loOk && hiOk
             }
+        }
+        case NeedsNull(c) => env.get(c) match {
+          case None => true
+          // zero recorded nulls: no row of this unit is NULL there.
+          // Any other state (positive count, or no count collected)
+          // keeps — the missing-stat rule.
+          case Some(st) => !st.nullCount.contains(0L)
         }
       }
     }

@@ -1795,6 +1795,114 @@ object Llm {
             FROM ba b JOIN csum c ON c.vec_id = b.vid, dr
             ORDER BY vec_id"""))
 
+  // QUANTIZER RE-TRAIN loop closed (l3_ann_retrain): l3_ann_incremental
+  // measures the drift ratio "gating when re-training is due" but never
+  // acts; CorpusOps.retrainIfDrifted is the reclusterIfDeep /
+  // compactIfDegreeHigh discipline applied to the frozen quantizer —
+  // the gate probe is the SAME decimal-exact ratio, and past the gate
+  // the coarse centroids re-train on the CURRENT corpus (2 L2 Lloyd
+  // rounds from the deterministic first-32 init), EVERY vector
+  // re-assigns, the residual codebook re-trains, and everything
+  // re-encodes. The fixture batch (vec_id >= 400) arrives SCALED ×2 —
+  // cosine-invariant but L2-drifted ~2.9× (measured at every sf), so
+  // the 1.5 gate trips deterministically and the ORACLE is the
+  // retrained pipeline unrolled (the l3_ann_ivf_kmeans chain in L2 +
+  // the l3_ann_incremental codebook chain over the NEW residuals);
+  // below-gate frozen pass-through is spec-pinned in CorpusOpsSpec.
+  private val l3retrain = QueryDef(
+    "l3_ann_retrain",
+    (s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
+      val e = t(s, dir, "embeddings")
+      val train = e.filter(col("vec_id") < 400).select("vec_id", "embedding")
+      val batch = e.filter(col("vec_id") >= 400)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double) * 2)").as("embedding"))
+      val (out, _) = graft.ops.CorpusOps.retrainIfDrifted(train, batch, 1.5)
+      out.orderBy("vec_id")
+    },
+    Some("""WITH x0 AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+            |                   CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+            |x AS (SELECT vec_id, d, CASE WHEN vec_id >= 400 THEN v * 2 ELSE v END AS v FROM x0),
+            |fcd AS (SELECT a.vec_id AS vid, c.vec_id AS cid,
+            |               round(SUM((a.v - c.v) * (a.v - c.v)), 6) AS d2c
+            |        FROM x a JOIN x c ON c.d = a.d AND c.vec_id < 32
+            |        GROUP BY a.vec_id, c.vec_id),
+            |fasg AS (SELECT vid, cid, d2c FROM (
+            |        SELECT vid, cid, d2c,
+            |               row_number() OVER (PARTITION BY vid ORDER BY d2c, cid) AS rn
+            |        FROM fcd) WHERE rn = 1),
+            |dr AS (SELECT round(bm.m / tm.m, 6) AS drift FROM
+            |       (SELECT CAST(SUM(CAST(d2c AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+            |        FROM fasg WHERE vid >= 400) bm,
+            |       (SELECT CAST(SUM(CAST(d2c AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+            |        FROM fasg WHERE vid < 400) tm),
+            |k0 AS (SELECT vec_id AS cid, d, v FROM x WHERE vec_id < 32),
+            |kd1 AS (SELECT a.vec_id AS vid, c.cid,
+            |               round(SUM((a.v - c.v) * (a.v - c.v)), 6) AS d2c
+            |        FROM x a JOIN k0 c ON c.d = a.d GROUP BY a.vec_id, c.cid),
+            |ka1 AS (SELECT vid, cid FROM (
+            |        SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2c, cid) AS rn
+            |        FROM kd1) WHERE rn = 1),
+            |kc1 AS (SELECT a.cid, x.d, round(AVG(x.v), 6) AS v
+            |        FROM ka1 a JOIN x ON x.vec_id = a.vid GROUP BY a.cid, x.d),
+            |kd2 AS (SELECT a.vec_id AS vid, c.cid,
+            |               round(SUM((a.v - c.v) * (a.v - c.v)), 6) AS d2c
+            |        FROM x a JOIN kc1 c ON c.d = a.d GROUP BY a.vec_id, c.cid),
+            |ka2 AS (SELECT vid, cid FROM (
+            |        SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2c, cid) AS rn
+            |        FROM kd2) WHERE rn = 1),
+            |kc2 AS (SELECT a.cid, x.d, round(AVG(x.v), 6) AS v
+            |        FROM ka2 a JOIN x ON x.vec_id = a.vid GROUP BY a.cid, x.d),
+            |acd AS (SELECT a.vec_id AS vid, c.cid,
+            |               round(SUM((a.v - c.v) * (a.v - c.v)), 6) AS d2c
+            |        FROM x a JOIN kc2 c ON c.d = a.d GROUP BY a.vec_id, c.cid),
+            |aasg AS (SELECT vid, cid, d2c FROM (
+            |        SELECT vid, cid, d2c,
+            |               row_number() OVER (PARTITION BY vid ORDER BY d2c, cid) AS rn
+            |        FROM acd) WHERE rn = 1),
+            |res AS (SELECT a.vid AS vec_id, x.d, x.v - c.v AS v
+            |        FROM aasg a JOIN x ON x.vec_id = a.vid
+            |        JOIN kc2 c ON c.cid = a.cid AND c.d = x.d),
+            |sv AS (SELECT vec_id, d // 8 AS sub, d % 8 AS sd, v FROM res),
+            |cb0 AS (SELECT sub, vec_id AS cid, sd, v AS cv FROM sv WHERE vec_id < 16),
+            |d2a AS (SELECT s.vec_id, s.sub, c.cid,
+            |               round(SUM((s.v - c.cv) * (s.v - c.cv)), 6) AS d2r
+            |        FROM sv s JOIN cb0 c ON c.sub = s.sub AND c.sd = s.sd
+            |        GROUP BY s.vec_id, s.sub, c.cid),
+            |as1 AS (SELECT vec_id, sub, cid FROM (
+            |        SELECT vec_id, sub, cid,
+            |               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2r, cid) AS rn
+            |        FROM d2a) WHERE rn = 1),
+            |cb1 AS (SELECT s.sub, a.cid, s.sd, round(AVG(s.v), 6) AS cv
+            |        FROM as1 a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+            |        GROUP BY s.sub, a.cid, s.sd),
+            |d2b AS (SELECT s.vec_id, s.sub, c.cid,
+            |               round(SUM((s.v - c.cv) * (s.v - c.cv)), 6) AS d2r
+            |        FROM sv s JOIN cb1 c ON c.sub = s.sub AND c.sd = s.sd
+            |        GROUP BY s.vec_id, s.sub, c.cid),
+            |as2 AS (SELECT vec_id, sub, cid FROM (
+            |        SELECT vec_id, sub, cid,
+            |               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2r, cid) AS rn
+            |        FROM d2b) WHERE rn = 1),
+            |cb2 AS (SELECT s.sub, a.cid, s.sd, round(AVG(s.v), 6) AS cv
+            |        FROM as2 a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+            |        GROUP BY s.sub, a.cid, s.sd),
+            |ed AS (SELECT s.vec_id, s.sub, c.cid,
+            |              round(SUM((s.v - c.cv) * (s.v - c.cv)), 6) AS d2r
+            |       FROM sv s JOIN cb2 c ON c.sub = s.sub AND c.sd = s.sd
+            |       GROUP BY s.vec_id, s.sub, c.cid),
+            |codes AS (SELECT vec_id, sub, cid AS code FROM (
+            |        SELECT vec_id, sub, cid,
+            |               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2r, cid) AS rn
+            |        FROM ed) WHERE rn = 1),
+            |csum AS (SELECT vec_id,
+            |                CAST(SUM(code * CAST(power(16, sub) AS BIGINT)) AS BIGINT) AS code_sum
+            |         FROM codes GROUP BY vec_id)
+            |SELECT a.vid AS vec_id, a.cid, a.d2c, c.code_sum, dr.drift
+            |FROM aasg a JOIN csum c ON c.vec_id = a.vid, dr
+            |ORDER BY vec_id""".stripMargin))
+
   // ---------------------------------------------------------------- L4
   private def stopCount(langWords: Seq[String]): String =
     s"size(filter(ws, x -> x in (${langWords.map(w => s"'$w'").mkString(", ")})))"
@@ -5580,46 +5688,29 @@ object Llm {
       val f = new java.io.File(dir, n + ".parquet")
       s"${f.length}-${f.lastModified}"
     }
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-arts-" + variant + "-" + Integer.toHexString(
-        (dir + fp("documents") + fp("embeddings")).hashCode))
-    // the JVM lock serializes threads (two suites driving the same
-    // query); the FILE lock serializes PROCESSES (a background bench
-    // beside a foreground verify) — without it both would race the
-    // _DONE marker and interleave mode("overwrite") writes into the
-    // same artifact directories, caching a torn bundle forever
-    Llm.synchronized {
-      if (!new java.io.File(root, "_DONE").exists()) {
-        root.mkdirs()
-        val lockCh = java.nio.channels.FileChannel.open(
-          new java.io.File(root, "_LOCK").toPath,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val lock = lockCh.lock()
-          try {
-            if (!new java.io.File(root, "_DONE").exists()) {
-              val docsAll = t(s, dir, "documents")
-              val eAll = t(s, dir, "embeddings")
-              val (docs, e) =
-                if (variant == "stored")
-                  (docsAll.filter(col("doc_id") % 10 =!= 0),
-                    eAll.filter(col("vec_id") % 10 =!= 0).select("vec_id", "embedding"))
-                else (docsAll, eAll.select("vec_id", "embedding"))
-              val cents = centsOf(e)
-              val arts = CorpusOps.buildArtifacts(docs, e, cents, cascadeTerms)
-              def w(df: DataFrame, n: String): Unit = df.write.mode("overwrite")
-                .parquet(new java.io.File(root, n).toString)
-              w(arts.exactAux, "exactAux"); w(arts.exactKeepers, "exactKeepers")
-              w(arts.clusters, "clusters"); w(arts.pairs, "pairs")
-              w(arts.annIndex, "annIndex"); w(arts.annProbes, "annProbes")
-              w(arts.annAssign, "annAssign"); w(arts.vectors, "vectors")
-              w(arts.bm25Stats, "bm25Stats"); w(cents, "cents")
-              new java.io.File(root, "_DONE").createNewFile()
-            }
-          } finally lock.release()
-        } finally lockCh.close()
-      }
+    // key = FULL fingerprint + build parameters + recipe version
+    // (never a 32-bit hash): a regenerated fixture, a changed term
+    // catalog, or a new buildArtifacts recipe can never silently
+    // reuse a stale persisted bundle — the round-15 advisory class.
+    // Lock/_DONE/reap protocol lives in ArtifactCache.
+    val root = graft.ops.ArtifactCache.getOrBuild("arts", s"$variant-$dir",
+      s"${fp("documents")}-${fp("embeddings")}-t${cascadeTerms.mkString("_")}-a5p4-r1") { rootDir =>
+      val docsAll = t(s, dir, "documents")
+      val eAll = t(s, dir, "embeddings")
+      val (docs, e) =
+        if (variant == "stored")
+          (docsAll.filter(col("doc_id") % 10 =!= 0),
+            eAll.filter(col("vec_id") % 10 =!= 0).select("vec_id", "embedding"))
+        else (docsAll, eAll.select("vec_id", "embedding"))
+      val cents = centsOf(e)
+      val arts = CorpusOps.buildArtifacts(docs, e, cents, cascadeTerms)
+      def w(df: DataFrame, n: String): Unit = df.write.mode("overwrite")
+        .parquet(new java.io.File(rootDir, n).toString)
+      w(arts.exactAux, "exactAux"); w(arts.exactKeepers, "exactKeepers")
+      w(arts.clusters, "clusters"); w(arts.pairs, "pairs")
+      w(arts.annIndex, "annIndex"); w(arts.annProbes, "annProbes")
+      w(arts.annAssign, "annAssign"); w(arts.vectors, "vectors")
+      w(arts.bm25Stats, "bm25Stats"); w(cents, "cents")
     }
     def r(n: String) = s.read.parquet(new java.io.File(root, n).toString)
     (CorpusOps.CorpusArtifacts(r("exactAux"), r("exactKeepers"), r("clusters"),
@@ -5874,7 +5965,7 @@ object Llm {
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
-    l4bpeBatch, l3incr, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
+    l4bpeBatch, l3incr, l3retrain, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
     l4ug, l4ugEnc, l3graphSearch, l3hnsw, l3hnswIncr, l3annCompact,
     l2incrDelete, l3annDelete, l4classifierTrain, l4bm25, l4bm25Maintain,
     l4bm25Incremental, l6cascadeDelete, l6cascadeInsert,

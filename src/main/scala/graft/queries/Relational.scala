@@ -4042,58 +4042,74 @@ object Relational {
   // and both return the identical row set. Chunk ids are formatted
   // strings so partition-value inference round-trips them exactly
   // (no cast to defeat pushdown).
+  /** q121's two-layout fixture recipe, shared by the construction
+    * cell and the read-only `_apply` cell: lineitem with BOTH chunk
+    * ids (natural by orderkey range, zorder by Morton-key range). */
+  private def q121Chunked(s: SparkSession, dir: String)
+                         (implicit scope: graft.ops.CacheScope): DataFrame = {
+    val z = graft.ops.Layout.mortonKey(
+      col("l_partkey") % 65536, col("l_suppkey") % 65536)
+    val k = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), z.as("zkey"))
+    val env = broadcast(k.agg(
+      expr("max(zkey) div 64 + 1").as("wz"),
+      expr("max(l_orderkey) div 64 + 1").as("wo")))
+    cached(k.crossJoin(env).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_suppkey"),
+      format_string("c%05d", expr("zkey div wz")).as("chz"),
+      format_string("c%05d", expr("l_orderkey div wo")).as("cho")))
+  }
+  private def q121LayoutData(ch: DataFrame, chunkCol: String): DataFrame =
+    ch.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"), col(chunkCol).as("chunk"))
+  private def q121Zones(data: DataFrame): DataFrame =
+    data.groupBy("chunk")
+      .agg(min("l_partkey").as("mn_l_partkey"),
+        max("l_partkey").as("mx_l_partkey"),
+        min("l_suppkey").as("mn_l_suppkey"),
+        max("l_suppkey").as("mx_l_suppkey"))
+  // ONE RangeSpec per dimension — the envelope resolution and the row
+  // residual both derive from it (an inconsistent hand-written zone
+  // predicate is unrepresentable)
+  private def q121ReadLayout(s: SparkSession, path: String, zones: DataFrame,
+                             name: String): DataFrame =
+    graft.ops.Layout.prunedRead(s, path, zones, "chunk", Seq(
+        graft.ops.Layout.RangeSpec.between("l_partkey", 64, 255),
+        graft.ops.Layout.RangeSpec.between("l_suppkey", 8, 39)))
+      .select(lit(name).as("layout"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+  private val q121Sql =
+    """WITH m AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+      |           FROM lineitem
+      |           WHERE l_partkey BETWEEN 64 AND 255
+      |             AND l_suppkey BETWEEN 8 AND 39)
+      |SELECT 'natural' AS layout, l_orderkey, l_linenumber, l_partkey,
+      |       l_suppkey FROM m
+      |UNION ALL
+      |SELECT 'zorder', l_orderkey, l_linenumber, l_partkey, l_suppkey
+      |FROM m
+      |ORDER BY layout, l_orderkey, l_linenumber, l_partkey,
+      |         l_suppkey""".stripMargin
+
   private val q121 = QueryDef(
     "q121_zonemap_pruned_read",
     (s, dir) => {
       implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
-      val z = graft.ops.Layout.mortonKey(
-        col("l_partkey") % 65536, col("l_suppkey") % 65536)
-      val k = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_suppkey"), z.as("zkey"))
-      val env = broadcast(k.agg(
-        expr("max(zkey) div 64 + 1").as("wz"),
-        expr("max(l_orderkey) div 64 + 1").as("wo")))
-      val ch = cached(k.crossJoin(env).select(
-        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"),
-        format_string("c%05d", expr("zkey div wz")).as("chz"),
-        format_string("c%05d", expr("l_orderkey div wo")).as("cho")))
+      val ch = q121Chunked(s, dir)
       val base = java.nio.file.Files.createTempDirectory("graft-q121").toString
       def prunedLayout(chunkCol: String, name: String): DataFrame = {
-        val data = ch.select(col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"), col(chunkCol).as("chunk"))
+        val data = q121LayoutData(ch, chunkCol)
         val path = s"$base/$name"
         graft.ops.Layout.writeClustered(data, path, "chunk")
-        val zones = data.groupBy("chunk")
-          .agg(min("l_partkey").as("mn_l_partkey"),
-            max("l_partkey").as("mx_l_partkey"),
-            min("l_suppkey").as("mn_l_suppkey"),
-            max("l_suppkey").as("mx_l_suppkey"))
-        // ONE RangeSpec per dimension — the envelope resolution and
-        // the row residual both derive from it (an inconsistent
-        // hand-written zone predicate is unrepresentable)
-        graft.ops.Layout.prunedRead(s, path, zones, "chunk", Seq(
-            graft.ops.Layout.RangeSpec.between("l_partkey", 64, 255),
-            graft.ops.Layout.RangeSpec.between("l_suppkey", 8, 39)))
-          .select(lit(name).as("layout"), col("l_orderkey"),
-            col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        q121ReadLayout(s, path, q121Zones(data), name)
       }
       prunedLayout("cho", "natural").unionByName(prunedLayout("chz", "zorder"))
         .orderBy("layout", "l_orderkey", "l_linenumber", "l_partkey",
           "l_suppkey")
     },
-    Some("""WITH m AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
-           |           FROM lineitem
-           |           WHERE l_partkey BETWEEN 64 AND 255
-           |             AND l_suppkey BETWEEN 8 AND 39)
-           |SELECT 'natural' AS layout, l_orderkey, l_linenumber, l_partkey,
-           |       l_suppkey FROM m
-           |UNION ALL
-           |SELECT 'zorder', l_orderkey, l_linenumber, l_partkey, l_suppkey
-           |FROM m
-           |ORDER BY layout, l_orderkey, l_linenumber, l_partkey,
-           |         l_suppkey""".stripMargin))
+    Some(q121Sql))
 
   // Z-SET PIPELINE MAINTENANCE (q122): q110 maintains a JOIN view
   // under deletes, q117 an AGGREGATE view — this composes them through
@@ -4353,8 +4369,11 @@ object Relational {
     * writes a lineitem-derived clustered copy (the construction IS
     * the operator under test — manifest pruning needs a manifest),
     * and bench/verify reruns would otherwise leak one copy per call.
-    * A unique dir per call keeps concurrent suites race-free; the age
-    * threshold keeps the reaper away from a run still in flight. */
+    * A unique dir per call keeps concurrent suites race-free; each
+    * dir records its owner pid, and the reaper additionally requires
+    * the OWNER DEAD — a paused suite whose write-to-read window
+    * outlives the age threshold can no longer have its table deleted
+    * mid-read by another suite's invocation (the round-15 advisory). */
   private def scratchDir(tag: String): String = {
     def del(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(del)
@@ -4365,79 +4384,117 @@ object Relational {
       val cutoff = System.currentTimeMillis() - 3600L * 1000
       Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.getName.startsWith(s"graft-$tag-") &&
-          f.lastModified < cutoff)
+          f.lastModified < cutoff && !graft.ops.ArtifactCache.ownerAlive(f))
         .foreach(del)
     } catch { case _: Exception => () } // reaping is best-effort only
-    java.nio.file.Files.createTempDirectory(s"graft-$tag-").toString
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+    graft.ops.ArtifactCache.writeOwnerPid(d.toFile)
+    d.toString
   }
+
+  /** Build-once persisted zone fixture for the read-only `_apply`
+    * cells (the `persistedArts` lesson applied to the zone family):
+    * the clustered table + zone table land under a tmpdir root keyed
+    * by the lineitem fingerprint + recipe tag
+    * ([[graft.ops.ArtifactCache]] — full-string key, lock + _DONE +
+    * reap), so bench run 1 constructs once per testdata generation
+    * and every later run times ONLY the pruned read. */
+  private def persistedZoneFixture(s: SparkSession, dir: String, tag: String,
+                                   recipe: String)
+                                  (build: String => Unit): String = {
+    val f = new java.io.File(dir, "lineitem.parquet")
+    graft.ops.ArtifactCache.getOrBuild(s"zfix-$tag", dir,
+      s"${f.length}-${f.lastModified}-$recipe")(r => build(r.toString)).toString
+  }
+
+  // q126's shared fixture recipe — ONE spelling for the construction
+  // cell and the read-only _apply cell, so the two can never drift
+  private def q126Data(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .withColumn("chunk", format_string("c%05d",
+        (year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1))
+  private def q126Zones(ch: DataFrame): DataFrame =
+    ch.groupBy("chunk").agg(
+      min("l_shipdate").as("mn_l_shipdate"),
+      max("l_shipdate").as("mx_l_shipdate"),
+      min("l_quantity").as("mn_l_quantity"),
+      max("l_quantity").as("mx_l_quantity"))
+  private def q126Read(s: SparkSession, path: String, zones: DataFrame): DataFrame =
+    graft.ops.Layout.zoneMapRead(s, path, zones, "chunk",
+        Seq("l_shipdate", "l_quantity"))
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp_ntz") &&
+        col("l_shipdate") <= lit("1997-09-30").cast("timestamp_ntz") &&
+        col("l_quantity") <= 10.0)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+  private val q126Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      |  AND l_shipdate <= TIMESTAMP '1997-09-30'
+      |  AND l_quantity <= 10.0
+      |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin
 
   private val q126 = QueryDef(
     "q126_zonemap_transparent_read",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
-      val ch = li.withColumn("chunk", format_string("c%05d",
-        (year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1))
+      val ch = q126Data(s, dir)
       val path = scratchDir("q126")
       graft.ops.Layout.writeClustered(ch, path, "chunk")
-      val zones = ch.groupBy("chunk").agg(
-        min("l_shipdate").as("mn_l_shipdate"),
-        max("l_shipdate").as("mx_l_shipdate"),
-        min("l_quantity").as("mn_l_quantity"),
-        max("l_quantity").as("mx_l_quantity"))
-      graft.ops.Layout.zoneMapRead(s, path, zones, "chunk",
-          Seq("l_shipdate", "l_quantity"))
-        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp_ntz") &&
-          col("l_shipdate") <= lit("1997-09-30").cast("timestamp_ntz") &&
-          col("l_quantity") <= 10.0)
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+      q126Read(s, path, q126Zones(ch))
     },
-    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-           |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
-           |  AND l_shipdate <= TIMESTAMP '1997-09-30'
-           |  AND l_quantity <= 10.0
-           |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin))
+    Some(q126Sql))
 
-  // STRING-ENVELOPE + OR-HULL transparent read (q127): the two
-  // predicate families q126 left on the table. ship_ym =
+  // STRING-ENVELOPE + OR transparent read (q127): the two predicate
+  // families q126 left on the table. ship_ym =
   // date_format(l_shipdate, 'yyyy-MM') is a STRING column whose
   // per-month-chunk envelope is a single value — the most common real
   // zone dimension shape (categories, date-formatted keys, id
   // prefixes) — and the query's WHERE is an OR of two ship_ym ranges
   // (TPC-H Q19's disjunct shape). The TransparentZoneMapFileIndex
   // compares string envelopes in UTF8 binary order (Spark's own
-  // default-collation comparison) and bounds the OR by its per-column
-  // UNION hull ('1996-01'..'1997-02' here), so ~69 of ~83 month
-  // chunks drop at listing time from a plain .filter — no zone-aware
-  // call-site code, PlanContractSpec pins executed numFiles. ORACLE =
-  // the full-scan filter via strftime; pruning must be invisible to
-  // the row set (the hull keeps the between-arm months, the pushed
-  // filter re-drops their rows).
+  // default-collation comparison) and prunes the OR by the per-column
+  // UNION of its arm interval SETS — '1996-01'..'1996-03' plus
+  // '1997-01'..'1997-02', so the gap months BETWEEN the arms drop
+  // too (a hull would have kept them: round-15's interval-set engine
+  // tightened the survivors 14 → 5) — ~78 of ~83 month chunks drop
+  // at listing time from a plain .filter with no zone-aware call-site
+  // code; PlanContractSpec pins executed numFiles <= 8. ORACLE = the
+  // full-scan filter via strftime; pruning must be invisible to the
+  // row set.
+  private val monthYmChunk: org.apache.spark.sql.Column = format_string("c%05d",
+    (year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1)
+  private def q127Data(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .withColumn("ship_ym", date_format(col("l_shipdate"), "yyyy-MM"))
+      .withColumn("chunk", monthYmChunk)
+  private def q127Zones(ch: DataFrame): DataFrame =
+    ch.groupBy("chunk").agg(
+      min("ship_ym").as("mn_ship_ym"),
+      max("ship_ym").as("mx_ship_ym"))
+  private def q127Read(s: SparkSession, path: String, zones: DataFrame): DataFrame =
+    graft.ops.Layout.zoneMapRead(s, path, zones, "chunk", Seq("ship_ym"))
+      .filter((col("ship_ym") >= "1996-01" && col("ship_ym") <= "1996-03") ||
+        (col("ship_ym") >= "1997-01" && col("ship_ym") <= "1997-02"))
+      .select("l_orderkey", "l_linenumber", "ship_ym")
+      .orderBy("l_orderkey", "l_linenumber", "ship_ym")
+  private val q127Sql =
+    """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m') AS ship_ym
+      |FROM lineitem
+      |WHERE (strftime(l_shipdate, '%Y-%m') >= '1996-01' AND strftime(l_shipdate, '%Y-%m') <= '1996-03')
+      |   OR (strftime(l_shipdate, '%Y-%m') >= '1997-01' AND strftime(l_shipdate, '%Y-%m') <= '1997-02')
+      |ORDER BY l_orderkey, l_linenumber, ship_ym""".stripMargin
+
   private val q127 = QueryDef(
     "q127_zonemap_string_or_read",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_shipdate")
-        .withColumn("ship_ym", date_format(col("l_shipdate"), "yyyy-MM"))
-      val ch = li.withColumn("chunk", format_string("c%05d",
-        (year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1))
+      val ch = q127Data(s, dir)
       val path = scratchDir("q127")
       graft.ops.Layout.writeClustered(ch, path, "chunk")
-      val zones = ch.groupBy("chunk").agg(
-        min("ship_ym").as("mn_ship_ym"),
-        max("ship_ym").as("mx_ship_ym"))
-      graft.ops.Layout.zoneMapRead(s, path, zones, "chunk", Seq("ship_ym"))
-        .filter((col("ship_ym") >= "1996-01" && col("ship_ym") <= "1996-03") ||
-          (col("ship_ym") >= "1997-01" && col("ship_ym") <= "1997-02"))
-        .select("l_orderkey", "l_linenumber", "ship_ym")
-        .orderBy("l_orderkey", "l_linenumber", "ship_ym")
+      q127Read(s, path, q127Zones(ch))
     },
-    Some("""SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m') AS ship_ym
-           |FROM lineitem
-           |WHERE (strftime(l_shipdate, '%Y-%m') >= '1996-01' AND strftime(l_shipdate, '%Y-%m') <= '1996-03')
-           |   OR (strftime(l_shipdate, '%Y-%m') >= '1997-01' AND strftime(l_shipdate, '%Y-%m') <= '1997-02')
-           |ORDER BY l_orderkey, l_linenumber, ship_ym""".stripMargin))
+    Some(q127Sql))
 
   // FILE-GRANULARITY zone-pruned read (q128): no layout contract at
   // all — lineitem lands as a PLAIN (unpartitioned) multi-file
@@ -4450,54 +4507,59 @@ object Relational {
   // exactly where Delta/Iceberg do it, over a table writeClustered
   // never touched. ORACLE = the full-scan filter; PlanContractSpec
   // pins executed numFiles < total.
+  private def q128Write(s: SparkSession, dir: String, path: String): Unit =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(path)
+  private def q128Read(s: SparkSession, path: String, zones: DataFrame): DataFrame =
+    graft.ops.Layout.zoneMapReadFiles(s, path, zones, "file", Seq("l_orderkey"))
+      .filter(col("l_orderkey") >= 100L && col("l_orderkey") <= 199L)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+  private val q128Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_orderkey >= 100 AND l_orderkey <= 199
+      |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin
+
   private val q128 = QueryDef(
     "q128_zonemap_file_read",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity")
       val path = scratchDir("q128")
-      li.repartitionByRange(16, col("l_orderkey"))
-        .sortWithinPartitions("l_orderkey")
-        .write.mode("overwrite").parquet(path)
-      val zones = graft.ops.Layout.fileZones(s, path, Seq("l_orderkey"))
-      graft.ops.Layout.zoneMapReadFiles(s, path, zones, "file", Seq("l_orderkey"))
-        .filter(col("l_orderkey") >= 100L && col("l_orderkey") <= 199L)
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+      q128Write(s, dir, path)
+      q128Read(s, path, graft.ops.Layout.fileZones(s, path, Seq("l_orderkey")))
     },
-    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-           |WHERE l_orderkey >= 100 AND l_orderkey <= 199
-           |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin))
+    Some(q128Sql))
 
   // PREFIX-pruned transparent read (q129): `LIKE '1996%'` pushes as
   // StartsWith, and the TransparentZoneMapFileIndex bounds it by the
   // UTF8 prefix range ['1996', '1997') — the single most common
   // data-skipping predicate over date-formatted string keys and id
-  // prefixes. Same month-chunked fixture as q127; ~12 of ~83 chunks
-  // survive the prefix hull at listing time. ORACLE = the full-scan
-  // LIKE filter; PlanContractSpec pins executed numFiles.
+  // prefixes. Same month-chunked fixture as q127; exactly the 12
+  // months of 1996 survive the prefix range at listing time
+  // (PlanContractSpec pins executed numFiles <= 14). ORACLE = the
+  // full-scan LIKE filter.
+  private def q129Read(s: SparkSession, path: String, zones: DataFrame): DataFrame =
+    graft.ops.Layout.zoneMapRead(s, path, zones, "chunk", Seq("ship_ym"))
+      .filter(col("ship_ym").startsWith("1996"))
+      .select("l_orderkey", "l_linenumber", "ship_ym")
+      .orderBy("l_orderkey", "l_linenumber", "ship_ym")
+  private val q129Sql =
+    """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m') AS ship_ym
+      |FROM lineitem
+      |WHERE strftime(l_shipdate, '%Y-%m') LIKE '1996%'
+      |ORDER BY l_orderkey, l_linenumber, ship_ym""".stripMargin
+
   private val q129 = QueryDef(
     "q129_zonemap_prefix_read",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_shipdate")
-        .withColumn("ship_ym", date_format(col("l_shipdate"), "yyyy-MM"))
-      val ch = li.withColumn("chunk", format_string("c%05d",
-        (year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1))
+      val ch = q127Data(s, dir) // same month-chunked ship_ym fixture
       val path = scratchDir("q129")
       graft.ops.Layout.writeClustered(ch, path, "chunk")
-      val zones = ch.groupBy("chunk").agg(
-        min("ship_ym").as("mn_ship_ym"),
-        max("ship_ym").as("mx_ship_ym"))
-      graft.ops.Layout.zoneMapRead(s, path, zones, "chunk", Seq("ship_ym"))
-        .filter(col("ship_ym").startsWith("1996"))
-        .select("l_orderkey", "l_linenumber", "ship_ym")
-        .orderBy("l_orderkey", "l_linenumber", "ship_ym")
+      q129Read(s, path, q127Zones(ch))
     },
-    Some("""SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m') AS ship_ym
-           |FROM lineitem
-           |WHERE strftime(l_shipdate, '%Y-%m') LIKE '1996%'
-           |ORDER BY l_orderkey, l_linenumber, ship_ym""".stripMargin))
+    Some(q129Sql))
 
   // Z-ORDER layout × transparent zone maps (q130): the write-side
   // multi-dimensional clustering (q52's Morton key) composed with the
@@ -4509,35 +4571,209 @@ object Relational {
   // directories through the pushed conjuncts on EITHER column — the
   // property Z-ordering exists to buy. ORACLE = the plain full-scan
   // filter; PlanContractSpec pins executed numFiles well below total.
+  private def q130Data(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .withColumn("_zk", graft.ops.Layout.mortonKey(
+        col("l_quantity").cast("int"),
+        (col("l_extendedprice") / 1000).cast("int")))
+      .withColumn("chunk", format_string("z%05d", expr("_zk div 1024")))
+      .drop("_zk")
+  private def q130Zones(ch: DataFrame): DataFrame =
+    ch.groupBy("chunk").agg(
+      min("l_quantity").as("mn_l_quantity"),
+      max("l_quantity").as("mx_l_quantity"),
+      min("l_extendedprice").as("mn_l_extendedprice"),
+      max("l_extendedprice").as("mx_l_extendedprice"))
+  private def q130Read(s: SparkSession, path: String, zones: DataFrame): DataFrame =
+    graft.ops.Layout.zoneMapRead(s, path, zones, "chunk",
+        Seq("l_quantity", "l_extendedprice"))
+      .filter(col("l_quantity") >= 5.0 && col("l_quantity") <= 10.0 &&
+        col("l_extendedprice") >= 20000.0 && col("l_extendedprice") <= 30000.0)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+  private val q130Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_quantity >= 5.0 AND l_quantity <= 10.0
+      |  AND l_extendedprice >= 20000.0 AND l_extendedprice <= 30000.0
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
+
   private val q130 = QueryDef(
     "q130_zonemap_zorder_read",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      val ch = li.withColumn("_zk", graft.ops.Layout.mortonKey(
-          col("l_quantity").cast("int"),
-          (col("l_extendedprice") / 1000).cast("int")))
-        .withColumn("chunk", format_string("z%05d", expr("_zk div 1024")))
-        .drop("_zk")
+      val ch = q130Data(s, dir)
       val path = scratchDir("q130")
       graft.ops.Layout.writeClustered(ch, path, "chunk")
-      val zones = ch.groupBy("chunk").agg(
-        min("l_quantity").as("mn_l_quantity"),
-        max("l_quantity").as("mx_l_quantity"),
-        min("l_extendedprice").as("mn_l_extendedprice"),
-        max("l_extendedprice").as("mx_l_extendedprice"))
-      graft.ops.Layout.zoneMapRead(s, path, zones, "chunk",
-          Seq("l_quantity", "l_extendedprice"))
-        .filter(col("l_quantity") >= 5.0 && col("l_quantity") <= 10.0 &&
-          col("l_extendedprice") >= 20000.0 && col("l_extendedprice") <= 30000.0)
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      q130Read(s, path, q130Zones(ch))
     },
-    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-           |FROM lineitem
-           |WHERE l_quantity >= 5.0 AND l_quantity <= 10.0
-           |  AND l_extendedprice >= 20000.0 AND l_extendedprice <= 30000.0
-           |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin))
+    Some(q130Sql))
+
+  // READ-ONLY zone cells (q12x_*_apply): the SAME semantics and
+  // ORACLES as q121/q126–q130, but the clustered fixture + zone table
+  // are built ONCE per testdata fingerprint and PERSISTED
+  // (persistedZoneFixture — the l6_cascade_*_apply discipline applied
+  // to the zone family). Benchmarked, these time ONLY the
+  // zone-resolve + pruned scan + action (every run after the first) —
+  // the number the construction-dominated cells hide inside ±5 s of
+  // clustered-write noise; the numFiles plan contracts pin the file
+  // counts, these cells pin the TIME. Correctness rides the same
+  // hash gate: read-from-persisted == the oracle's full scan.
+  private val q121apply = QueryDef(
+    "q121_zonemap_pruned_read_apply",
+    (s, dir) => {
+      val root = persistedZoneFixture(s, dir, "q121", "r1") { r =>
+        implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
+        val ch = q121Chunked(s, dir)
+        Seq("cho" -> "natural", "chz" -> "zorder").foreach { case (cc, name) =>
+          val data = q121LayoutData(ch, cc)
+          graft.ops.Layout.writeClustered(data, s"$r/$name", "chunk")
+          q121Zones(data).write.mode("overwrite").parquet(s"$r/zones_$name")
+        }
+      }
+      def rd(name: String): DataFrame =
+        q121ReadLayout(s, s"$root/$name",
+          s.read.parquet(s"$root/zones_$name"), name)
+      rd("natural").unionByName(rd("zorder"))
+        .orderBy("layout", "l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey")
+    },
+    Some(q121Sql))
+
+  private val q126apply = QueryDef(
+    "q126_zonemap_transparent_read_apply",
+    (s, dir) => {
+      val root = persistedZoneFixture(s, dir, "q126", "r1") { r =>
+        val ch = q126Data(s, dir)
+        graft.ops.Layout.writeClustered(ch, s"$r/table", "chunk")
+        q126Zones(ch).write.mode("overwrite").parquet(s"$r/zones")
+      }
+      q126Read(s, s"$root/table", s.read.parquet(s"$root/zones"))
+    },
+    Some(q126Sql))
+
+  private val q127apply = QueryDef(
+    "q127_zonemap_string_or_read_apply",
+    (s, dir) => {
+      val root = persistedZoneFixture(s, dir, "q127", "r1") { r =>
+        val ch = q127Data(s, dir)
+        graft.ops.Layout.writeClustered(ch, s"$r/table", "chunk")
+        q127Zones(ch).write.mode("overwrite").parquet(s"$r/zones")
+      }
+      q127Read(s, s"$root/table", s.read.parquet(s"$root/zones"))
+    },
+    Some(q127Sql))
+
+  private val q128apply = QueryDef(
+    "q128_zonemap_file_read_apply",
+    (s, dir) => {
+      val root = persistedZoneFixture(s, dir, "q128", "r1") { r =>
+        q128Write(s, dir, s"$r/table")
+        graft.ops.Layout.fileZones(s, s"$r/table", Seq("l_orderkey"))
+          .write.mode("overwrite").parquet(s"$r/zones")
+      }
+      q128Read(s, s"$root/table", s.read.parquet(s"$root/zones"))
+    },
+    Some(q128Sql))
+
+  private val q129apply = QueryDef(
+    "q129_zonemap_prefix_read_apply",
+    (s, dir) => {
+      // shares q127's persisted fixture — same table, same zone
+      // table, different pushed predicate family
+      val root = persistedZoneFixture(s, dir, "q127", "r1") { r =>
+        val ch = q127Data(s, dir)
+        graft.ops.Layout.writeClustered(ch, s"$r/table", "chunk")
+        q127Zones(ch).write.mode("overwrite").parquet(s"$r/zones")
+      }
+      q129Read(s, s"$root/table", s.read.parquet(s"$root/zones"))
+    },
+    Some(q129Sql))
+
+  private val q130apply = QueryDef(
+    "q130_zonemap_zorder_read_apply",
+    (s, dir) => {
+      val root = persistedZoneFixture(s, dir, "q130", "r1") { r =>
+        val ch = q130Data(s, dir)
+        graft.ops.Layout.writeClustered(ch, s"$r/table", "chunk")
+        q130Zones(ch).write.mode("overwrite").parquet(s"$r/zones")
+      }
+      q130Read(s, s"$root/table", s.read.parquet(s"$root/zones"))
+    },
+    Some(q130Sql))
+
+  // NULL-COUNT envelope pruning (q131): the Delta/Iceberg stats
+  // parity landed this round — zone tables may carry nc_<col>/rc_<col>
+  // (exact null/row counts) beside the min/max envelope, and a pushed
+  // `IS NULL` then DROPS every unit whose count records zero nulls
+  // (count-less tables keep everything — the missing-stat rule). The
+  // fixture plants nulls ONLY in the June chunks of the month-
+  // clustered layout (maybe_qty = NULL iff ship month = 6), so the
+  // plain .filter(isNull) prunes ~79 of ~83 chunks at listing time;
+  // PlanContractSpec pins executed numFiles. ORACLE = the full-scan
+  // CASE filter; pruning must be invisible to the row set.
+  private def q131Data(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .withColumn("maybe_qty",
+        when(month(col("l_shipdate")) === 6, lit(null).cast("double"))
+          .otherwise(col("l_quantity")))
+      .withColumn("chunk", monthYmChunk)
+  private def q131Zones(ch: DataFrame): DataFrame =
+    ch.groupBy("chunk").agg(
+      min("maybe_qty").as("mn_maybe_qty"),
+      max("maybe_qty").as("mx_maybe_qty"),
+      sum(when(col("maybe_qty").isNull, 1L).otherwise(0L)).as("nc_maybe_qty"),
+      count(lit(1)).as("rc_maybe_qty"))
+  private def q131Read(s: SparkSession, path: String, zones: DataFrame): DataFrame =
+    graft.ops.Layout.zoneMapRead(s, path, zones, "chunk", Seq("maybe_qty"))
+      .filter(col("maybe_qty").isNull)
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+  private val q131Sql =
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+      |WHERE (CASE WHEN month(l_shipdate) = 6 THEN NULL ELSE l_quantity END) IS NULL
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  private val q131 = QueryDef(
+    "q131_zonemap_nullcount_read",
+    (s, dir) => {
+      val ch = q131Data(s, dir)
+      val path = scratchDir("q131")
+      graft.ops.Layout.writeClustered(ch, path, "chunk")
+      q131Read(s, path, q131Zones(ch))
+    },
+    Some(q131Sql))
+
+  // NOT-BETWEEN pruning (q132): `Not` of a recognized range now
+  // prunes by its EXACT complement — the interval-set engine gained
+  // OPEN endpoints this round, so ¬(ym BETWEEN a AND b) becomes
+  // (…, a) ∪ (b, …) and every INSIDE month chunk of the q127 layout
+  // drops at listing time (closed widening would have kept only the
+  // boundary months out; the complement of a closed range under
+  // closed-only intervals is the whole line). Same month-clustered
+  // ship_ym fixture as q127; PlanContractSpec pins executed numFiles.
+  // ORACLE = the full-scan NOT BETWEEN; pruning invisible to rows.
+  private def q132Read(s: SparkSession, path: String, zones: DataFrame): DataFrame =
+    graft.ops.Layout.zoneMapRead(s, path, zones, "chunk", Seq("ship_ym"))
+      .filter(!col("ship_ym").between("1995-06", "2001-03"))
+      .select("l_orderkey", "l_linenumber", "ship_ym")
+      .orderBy("l_orderkey", "l_linenumber", "ship_ym")
+  private val q132Sql =
+    """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m') AS ship_ym
+      |FROM lineitem
+      |WHERE strftime(l_shipdate, '%Y-%m') NOT BETWEEN '1995-06' AND '2001-03'
+      |ORDER BY l_orderkey, l_linenumber, ship_ym""".stripMargin
+
+  private val q132 = QueryDef(
+    "q132_zonemap_notbetween_read",
+    (s, dir) => {
+      val ch = q127Data(s, dir) // the q127 month-chunked ship_ym fixture
+      val path = scratchDir("q132")
+      graft.ops.Layout.writeClustered(ch, path, "chunk")
+      q132Read(s, path, q127Zones(ch))
+    },
+    Some(q132Sql))
 
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
@@ -4550,5 +4786,6 @@ object Relational {
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128, q129, q130)
+    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
+    q121apply, q126apply, q127apply, q128apply, q129apply, q130apply)
 }

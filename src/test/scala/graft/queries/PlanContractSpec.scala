@@ -529,6 +529,20 @@ class PlanContractSpec extends AnyFunSuite {
       // write + envelope manifest collect at construction)
       "q128_zonemap_file_read", // same class at file granularity: the
       // plain range-packed write + the per-file envelope collect
+      "q131_zonemap_nullcount_read", // the q126 class + the nc_/rc_
+      // count columns in the envelope manifest collect
+      "q132_zonemap_notbetween_read", // the q127 class (same fixture)
+      "q121_zonemap_pruned_read_apply", // first call per testdata
+      "q126_zonemap_transparent_read_apply", // fingerprint BUILDS and
+      "q127_zonemap_string_or_read_apply", // persists the clustered
+      "q128_zonemap_file_read_apply", // fixture + zone table (the
+      "q129_zonemap_prefix_read_apply", // parent cells' exemption
+      "q130_zonemap_zorder_read_apply", // class); later calls read it,
+      // and the read still collects the envelope-manifest metadata
+      "l3_ann_retrain", // the gate probe IS a driver action (the
+      // reclusterIfDeep/compactIfDegreeHigh convergence-probe class),
+      // and past the gate the retrain arm re-trains via the cached
+      // kmeans/codebook chains
       "l6_cascade_delete_apply", // first call per testdata fingerprint
       // BUILDS and persists the stored bundle (the l6_cascade_delete
       // exemption class); later calls read it, and the maintained read
@@ -1295,6 +1309,85 @@ class PlanContractSpec extends AnyFunSuite {
         .filter(col("id") >= 5000)) <= 2L)
   }
 
+  test("zone index: NOT IN prunes single-value chunks at its points; NOT LIKE by the prefix complement") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-notin").toString
+    // four CATEGORICAL chunks, each a single constant dimension value
+    // — the shape NOT IN can prune (a chunk whose whole envelope is
+    // one excluded point has no surviving rows)
+    val df = spark.range(0, 400).select(col("id"),
+      expr("chr(97 + id div 100)").as("s"),
+      format_string("c%03d", expr("id div 100")).as("chunk"))
+    graft.ops.Layout.writeClustered(df, dir, "chunk")
+    val zones = df.groupBy("chunk").agg(min("s").as("mn_s"), max("s").as("mx_s"))
+    val total = spark.read.parquet(dir).inputFiles.length.toLong
+    def table() = graft.ops.Layout.zoneMapRead(spark, dir, zones, "chunk", Seq("s"))
+    // NOT IN ('b', 'd'): chunks c001/c003 hold only excluded points —
+    // the complement's open gaps drop them, the rest survive
+    val f1 = table().filter(!col("s").isin("b", "d"))
+    assert(f1.count() == 200 &&
+      f1.select("s").distinct().collect().map(_.getString(0)).sorted.toSeq == Seq("a", "c"))
+    assert(scannedFilesOf(table().filter(!col("s").isin("b", "d"))) <= total - 2,
+      "NOT IN did not prune the single-value chunks at its excluded points")
+    // NOT LIKE 'b%': the complement of the prefix range ['b','c')
+    val f2 = table().filter(!col("s").startsWith("b"))
+    assert(f2.count() == 300)
+    assert(scannedFilesOf(table().filter(!col("s").startsWith("b"))) < total,
+      "negated StartsWith did not prune by its prefix complement")
+    // != v: the two open-ended arms drop the single-value chunk at v
+    val f3 = table().filter(col("s") =!= "c")
+    assert(f3.count() == 300)
+    assert(scannedFilesOf(table().filter(col("s") =!= "c")) < total,
+      "a != literal did not drop the single-value chunk at the literal")
+  }
+
+  test("zone index: IS NULL prunes by nc_ counts and KEEPS everything on a count-less zone table") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-isnull").toString
+    // nulls live ONLY in chunk c001
+    val df = spark.range(0, 400).select(col("id"),
+      when(expr("id div 100") === 1, lit(null).cast("long"))
+        .otherwise(col("id")).as("v"),
+      format_string("c%03d", expr("id div 100")).as("chunk"))
+    graft.ops.Layout.writeClustered(df, dir, "chunk")
+    val total = spark.read.parquet(dir).inputFiles.length.toLong
+    val counted = df.groupBy("chunk").agg(
+      min("v").as("mn_v"), max("v").as("mx_v"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("nc_v"),
+      count(lit(1)).as("rc_v"))
+    val withCounts = graft.ops.Layout.zoneMapRead(spark, dir, counted, "chunk", Seq("v"))
+      .filter(col("v").isNull)
+    assert(withCounts.count() == 100, "IS NULL row set changed under count pruning")
+    assert(scannedFilesOf(
+      graft.ops.Layout.zoneMapRead(spark, dir, counted, "chunk", Seq("v"))
+        .filter(col("v").isNull)) < total,
+      "IS NULL did not drop zero-null chunks despite nc_ stats")
+    // count-less table: the missing-stat rule keeps every chunk, rows exact
+    val bare = df.groupBy("chunk").agg(min("v").as("mn_v"), max("v").as("mx_v"))
+    val withoutCounts = graft.ops.Layout.zoneMapRead(spark, dir, bare, "chunk", Seq("v"))
+      .filter(col("v").isNull)
+    assert(withoutCounts.count() == 100)
+    assert(scannedFilesOf(
+      graft.ops.Layout.zoneMapRead(spark, dir, bare, "chunk", Seq("v"))
+        .filter(col("v").isNull)) == total,
+      "a count-less zone table must not prune under IS NULL")
+  }
+
+  test("zone index: pathKey keeps filesystems DISTINCT while normalizing local-scheme spellings") {
+    import graft.plans.ZoneMapFileIndex.pathKey
+    // local spellings collapse — the round-15 file-zone contract
+    assert(pathKey("file:/a/b.parquet") == pathKey("file:///a/b.parquet"))
+    assert(pathKey("/a/b.parquet") == pathKey("file:/a/b.parquet"))
+    // but a coincident PATH on another filesystem must NOT collide —
+    // a zone table built against one FS could otherwise wrongly prune
+    // the other's rows (the round-15 advisory)
+    assert(pathKey("hdfs://nn1/a/b.parquet") != pathKey("file:/a/b.parquet"))
+    assert(pathKey("s3://bucket/a/b.parquet") != pathKey("hdfs://nn1/a/b.parquet"))
+    assert(pathKey("hdfs://nn1/a/b.parquet") != pathKey("hdfs://nn2/a/b.parquet"))
+    // unparseable input falls back to the raw string (keep-only)
+    assert(pathKey("::not a uri::") == "::not a uri::")
+  }
+
   test("q127: string envelopes + the OR hull prune month chunks from the executed scan") {
     spark.sharedState.cacheManager.clearCache()
     val df = SparkEntry.queries("q127_zonemap_string_or_read")(spark, SparkFixture.sfDir)
@@ -1348,5 +1441,49 @@ class PlanContractSpec extends AnyFunSuite {
     // per-file skipping must drop most of the listing
     assert(scanned >= 1 && scanned <= 4,
       s"file-granularity pruning scanned $scanned of 16 files")
+  }
+
+  test("q131: zero-null envelopes drop chunks from the executed scan under a pushed IS NULL") {
+    spark.sharedState.cacheManager.clearCache()
+    val df = SparkEntry.queries("q131_zonemap_nullcount_read")(spark, SparkFixture.sfDir)
+    df.collect()
+    val scans = fileScansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan in the q131 plan")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    // nulls exist only in the June chunks (~7 of ~83 months,
+    // 1995–2001) — every zero-null chunk must drop at listing time
+    assert(scanned >= 1 && scanned <= 9,
+      s"null-count pruning scanned $scanned files — IS NULL did not consume nc_ stats")
+  }
+
+  test("q132: NOT BETWEEN prunes the INSIDE month chunks from the executed scan") {
+    spark.sharedState.cacheManager.clearCache()
+    val df = SparkEntry.queries("q132_zonemap_notbetween_read")(spark, SparkFixture.sfDir)
+    df.collect()
+    val scans = fileScansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan in the q132 plan")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    // ~83 month chunks; the complement keeps 1995-01..05 and
+    // 2001-04..11 — 13 months; the inside chunks must drop
+    assert(scanned >= 1 && scanned <= 15,
+      s"NOT-BETWEEN complement pruning scanned $scanned files")
+  }
+
+  test("q126_apply: the read-only cell prunes exactly like the construction cell") {
+    spark.sharedState.cacheManager.clearCache()
+    val df = SparkEntry.queries("q126_zonemap_transparent_read_apply")(spark, SparkFixture.sfDir)
+    df.collect()
+    val scans = fileScansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan in the q126_apply plan")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    // same layout, same zone table, same pushed range as q126 — the
+    // persisted fixture must not loosen the skip (< total / 4 is the
+    // q126 contract)
+    val total = spark.read.parquet(
+      java.nio.file.Paths.get(
+        scans.head.relation.location.rootPaths.head.toUri).toString)
+      .inputFiles.length.toLong
+    assert(scanned >= 1 && scanned < total / 4,
+      s"q126_apply scanned $scanned of $total files — persisted fixture lost pruning")
   }
 }
