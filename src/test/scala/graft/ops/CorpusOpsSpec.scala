@@ -419,6 +419,54 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"in-distribution batch should not signal re-train (drift $drift)")
   }
 
+  test("retrainIfDrifted: below the gate the FROZEN index passes through; above it the retrained index equals a from-scratch build") {
+    import org.apache.spark.sql.functions._
+    implicit val scope: CacheScope = CacheScope.sessionOwned
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val train = e.filter(col("vec_id") < 400).select("vec_id", "embedding")
+    // BELOW: an in-distribution batch (drift ~1) must return exactly
+    // ivfpqIncremental's frozen result, untriggered
+    val plain = e.filter(col("vec_id") >= 400).select("vec_id", "embedding")
+    val (frozen, trig0) = CorpusOps.retrainIfDrifted(train, plain, 1.5)
+    assert(!trig0, "in-distribution batch must not trip the re-train gate")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(frozen) == rows(CorpusOps.ivfpqIncremental(train, plain)),
+      "below-gate result diverged from the frozen incremental path")
+    // ABOVE: a scaled batch (L2-drifted ~2.9x) trips the gate, and the
+    // retrained output equals the SAME pipeline built from scratch on
+    // the grown corpus with the new codebook
+    val scaled = e.filter(col("vec_id") >= 400).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double) * 2)").as("embedding"))
+    val (retrained, trig1) = CorpusOps.retrainIfDrifted(train, scaled, 1.5)
+    assert(trig1, "the scaled batch must trip the re-train gate")
+    val all = train.unionByName(scaled)
+    val cents = CorpusOps.kmeansCentroidsL2(all)
+    import graft.functions.VectorExprs.vec_l2sq
+    val assign = all.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2c", round(vec_l2sq(col("ve"), col("ce")), 6))
+      .groupBy("vid").agg(min(struct(col("d2c"), col("cid"))).as("b"))
+      .select(col("vid"), col("b.cid").as("cid"), col("b.d2c").as("d2c"))
+    val res = assign
+      .join(all.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
+      .join(broadcast(cents), "cid")
+      .select(col("vid").as("vec_id"),
+        expr("zip_with(ve, ce, (a, b) -> cast(a as double) - cast(b as double))")
+          .as("embedding"))
+    val cb = CorpusOps.pqCodebookTrained(res)
+    val scratch = CorpusOps.pqEncode(res, cb)
+      .groupBy("vec_id")
+      .agg(sum(expr("code * cast(pow(16, sub) as bigint)")).as("code_sum"))
+      .join(assign.withColumnRenamed("vid", "vec_id"), "vec_id")
+      .select("vec_id", "cid", "d2c", "code_sum")
+    assert(rows(retrained.drop("drift")) == rows(scratch),
+      "retrained index diverged from the from-scratch build")
+    // the reported drift is the frozen-quantizer trigger value
+    val drift = retrained.select("drift").head().getDouble(0)
+    assert(drift > 1.5, s"reported drift $drift should exceed the gate")
+  }
+
   test("nearDupPairs finds planted near-dups and nothing else on a clean corpus") {
     val base = (0 until 40).map(i => s"w${i}a w${i}b w${i}c w${i}d w${i}e").toSeq
     val near = base.head.split(" ").dropRight(0).mkString(" ") // identical text

@@ -322,4 +322,56 @@ test("maintainAgg: merged deltas equal a full recompute, new keys included") {
     // identical to the untouched view — the net-zero batch is invisible
     assert(got == Map(1L -> (10L, 1L), 2L -> (20L, 1L)), got.toString)
   }
+
+  test("vacuumVersions: retained batch ids resolve IDENTICALLY post-vacuum; below the horizon resolution fails loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vac").toString
+    // sparse commit history: versions 0, 2, 5, 7 (micro-batches 1, 3,
+    // 4, 6 re-read their predecessor — the first-existing-<= rule)
+    Seq(0L, 2L, 5L, 7L).foreach { v =>
+      Seq((v, s"v$v")).toDF("k", "s").write.parquet(TableOps.versionPath(root, v))
+    }
+    assert(TableOps.listVersions(spark, root) == Seq(0L, 2L, 5L, 7L))
+    // pre-vacuum resolution snapshot over every id the store serves
+    val pre = (0L to 9L).map(id => id -> TableOps.resolveVersion(spark, root, id)).toMap
+    assert(pre(1L) == 0L && pre(4L) == 2L && pre(6L) == 5L && pre(9L) == 7L)
+    // vacuum to keepFrom = 4: the FLOOR is version 2 (largest <= 4) —
+    // it must be KEPT (ids 3/4 still resolve to it); only v=0 deletes
+    val deleted = TableOps.vacuumVersions(spark, root, keepFrom = 4L)
+    assert(deleted == Seq(0L), s"deleted: $deleted")
+    assert(TableOps.listVersions(spark, root) == Seq(2L, 5L, 7L))
+    assert(TableOps.vacuumHorizon(spark, root).contains(2L))
+    // EVERY id >= the floor resolves exactly as before the vacuum
+    (2L to 9L).foreach { id =>
+      assert(TableOps.resolveVersion(spark, root, id) == pre(id),
+        s"resolution of batch $id changed across the vacuum")
+    }
+    // a retained version's content is untouched (replay bit-identity)
+    assert(spark.read.parquet(TableOps.versionPath(root, 2L))
+      .as[(Long, String)].collect().toSeq == Seq((2L, "v2")))
+    // below the horizon: LOUD failure, never a silently newer snapshot
+    val e = intercept[IllegalStateException] {
+      TableOps.resolveVersion(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    // idempotent re-vacuum: nothing left to delete, horizon stable
+    assert(TableOps.vacuumVersions(spark, root, 4L).isEmpty)
+    assert(TableOps.vacuumHorizon(spark, root).contains(2L))
+    // a later vacuum advances monotonically: keepFrom 7 keeps only 7
+    assert(TableOps.vacuumVersions(spark, root, 7L) == Seq(2L, 5L))
+    assert(TableOps.listVersions(spark, root) == Seq(7L))
+    assert(TableOps.vacuumHorizon(spark, root).contains(7L))
+  }
+
+  test("vacuumVersions: keepFrom below every version is a no-op; an empty store resolves loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vac2").toString
+    Seq((1L, "a")).toDF("k", "s").write.parquet(TableOps.versionPath(root, 5L))
+    // no version <= 3 exists: nothing deletable, no horizon written
+    assert(TableOps.vacuumVersions(spark, root, 3L).isEmpty)
+    assert(TableOps.vacuumHorizon(spark, root).isEmpty)
+    assert(TableOps.resolveVersion(spark, root, 6L) == 5L)
+    val e = intercept[IllegalStateException] {
+      TableOps.resolveVersion(spark, root, 3L)
+    }
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
+  }
 }

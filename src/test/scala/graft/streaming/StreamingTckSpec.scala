@@ -1792,6 +1792,150 @@ class StreamingTckSpec extends AnyFunSuite {
       "a stale file-zone version dropped rows from files it does not know")
   }
 
+  // ---------------------------------------------------------------- T28
+  test("T28: snapshot RETENTION mid-stream — vacuumVersions keeps the floor, retained batches replay bit-identically, vacuumed ids fail loudly") {
+    // Every versioned-store loop (T13, T16–T27) commits a snapshot per
+    // batchId forever; this closes the retention gap: the T13 silver
+    // MERGE loop reads its predecessor through TableOps.resolveVersion
+    // (the first-existing-version <= batchId rule, now ONE spelling),
+    // a vacuum runs MID-STREAM, and the restarted stream must behave
+    // as if the vacuum never happened — every retained batch resolves
+    // to the SAME predecessor (the floor version is kept exactly so
+    // ids in the (floor, keepFrom) gap still resolve), replay of a
+    // retained batch reproduces its commit bit-for-bit, and resolving
+    // below the horizon throws instead of silently serving a newer
+    // snapshot (which would change a replayed batch's input).
+    import org.apache.spark.sql.DataFrame
+    val root = Files.createTempDirectory("vacstream").toString
+    val ck = Files.createTempDirectory("vacstream-ck").toString
+    Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "v", "ts")
+      .write.parquet(graft.ops.TableOps.versionPath(root, 0L))
+    val in = MemoryStream[(Long, String, Long)](spark)
+    def start() = in.toDF().toDF("k", "v", "ts")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        val prior = graft.ops.TableOps.versionPath(root,
+          graft.ops.TableOps.resolveVersion(sp, root, id))
+        graft.ops.TableOps.upsert(sp.read.parquet(prior), batch, Seq("k"))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .parquet(graft.ops.TableOps.versionPath(root, id + 1))
+      }.start()
+    val q1 = start()
+    in.addData((2L, "b2", 1L), (3L, "c", 1L)) // batch 0 -> v=1
+    q1.processAllAvailable()
+    in.addData((1L, "a2", 2L)) // batch 1 -> v=2
+    q1.processAllAvailable(); q1.stop()
+    // resolution snapshot BEFORE the vacuum, over the ids it retains
+    val pre = (2L to 5L).map(id =>
+      id -> graft.ops.TableOps.resolveVersion(spark, root, id)).toMap
+    // VACUUM MID-STREAM: keep from batch 2 on — floor is v=2
+    val deleted = graft.ops.TableOps.vacuumVersions(spark, root, keepFrom = 2L)
+    assert(deleted == Seq(0L, 1L), s"deleted: $deleted")
+    assert(graft.ops.TableOps.listVersions(spark, root) == Seq(2L))
+    (2L to 5L).foreach { id =>
+      assert(graft.ops.TableOps.resolveVersion(spark, root, id) == pre(id),
+        s"vacuum changed batch $id's resolution")
+    }
+    // the restarted stream continues over the vacuumed store
+    val q2 = start()
+    in.addData((4L, "d", 3L)) // batch 2 -> v=3, predecessor v=2 (kept floor)
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(graft.ops.TableOps.versionPath(root, 3L))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a2", 2L), (2L, "b2", 1L), (3L, "c", 1L), (4L, "d", 3L)),
+      s"silver table after vacuum + restart: $got")
+    // replay of the retained batch 2 from the stored floor is
+    // bit-identical to its commit
+    val replayed = graft.ops.TableOps.upsert(
+      spark.read.parquet(graft.ops.TableOps.versionPath(root, 2L)),
+      Seq((4L, "d", 3L)).toDF("k", "v", "ts"), Seq("k"))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(replayed == got, s"replayed batch diverged post-vacuum: $replayed")
+    // a vacuumed batch id fails LOUDLY — no silent newer snapshot
+    val e = intercept[IllegalStateException] {
+      graft.ops.TableOps.resolveVersion(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+  }
+
+  // ---------------------------------------------------------------- T29
+  test("T29: streaming quantizer lifecycle — drift past the gate commits the RETRAINED index; below it the frozen one; replay re-derives the decision") {
+    // T24 closes the adjacency lifecycle (compactIfDegreeHigh); this
+    // closes the QUANTIZER's with CorpusOps.retrainIfDrifted wired
+    // after each vector-ingest batch: an in-distribution batch commits
+    // the frozen incremental index (batch rows only, no re-scoring of
+    // stored vectors), a drifted batch commits the full re-train
+    // (every vector re-assigned + re-encoded against the new
+    // centroids/codebook), and the decision is a FUNCTION of the
+    // stored snapshot + batch — a replayed batch re-derives the same
+    // commit bit-for-bit.
+    import org.apache.spark.sql.DataFrame
+    import graft.ops.{CacheScope, CorpusOps}
+    val root = Files.createTempDirectory("retrain").toString
+    val ck = Files.createTempDirectory("retrain-ck").toString
+    def vec(i: Long, scale: Double): Seq[Double] =
+      Seq.tabulate(8)(d => scale * (((i + 1) * (d + 1)) % 5 + 1).toDouble)
+    // stored corpus: 8 vectors, ids 0..7 (nlist=2 -> cents = ids 0,1)
+    (0L until 8L).map(i => (i, vec(i, 1.0))).toDF("vec_id", "embedding")
+      .write.parquet(s"$root/v=0/vectors")
+    val params = (2, 2, 4, 2, 1) // (nlist, m, subDim, k, iters)
+    def step(sp: org.apache.spark.sql.SparkSession, stored: DataFrame,
+             batch: DataFrame): (DataFrame, Boolean) = {
+      val (nlist, m, subDim, k, iters) = params
+      CorpusOps.retrainIfDrifted(stored, batch, driftThreshold = 3.0,
+        nlist, m, subDim, k, iters)(CacheScope.sessionOwned)
+    }
+    val in = MemoryStream[(Long, Seq[Double])](spark)
+    def start() = in.toDF().toDF("vec_id", "embedding")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        val prior = graft.ops.TableOps.versionPath(root,
+          graft.ops.TableOps.resolveVersion(sp, root, id))
+        val stored = sp.read.parquet(s"$prior/vectors")
+        val (index, retrained) = step(sp, stored, batch)
+        val out = graft.ops.TableOps.versionPath(root, id + 1)
+        index.coalesce(1).write.mode("overwrite").parquet(s"$out/index")
+        stored.unionByName(batch).coalesce(1)
+          .write.mode("overwrite").parquet(s"$out/vectors")
+        Seq(Tuple1(retrained)).toDF("retrained")
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/flag")
+      }.start()
+    val q1 = start()
+    // batch 0: in-distribution vectors -> below gate, frozen commit
+    in.addData((10L, vec(10L, 1.0)), (11L, vec(11L, 1.0)))
+    q1.processAllAvailable(); q1.stop()
+    def flag(v: Long): Boolean =
+      spark.read.parquet(s"$root/v=$v/flag").head().getBoolean(0)
+    def indexRows(v: Long): Set[String] =
+      spark.read.parquet(s"$root/v=$v/index").collect().map(_.toString).toSet
+    def indexIds(v: Long): Set[Long] =
+      spark.read.parquet(s"$root/v=$v/index")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!flag(1L), "in-distribution batch must commit the FROZEN index")
+    assert(indexIds(1L) == Set(10L, 11L),
+      s"frozen commit must carry batch rows only: ${indexIds(1L)}")
+    // batch 1 (after checkpoint restart): vectors scaled x5 -> the
+    // L2 drift ratio blows the 3.0 gate, the commit is the re-train
+    val q2 = start()
+    in.addData((20L, vec(20L, 5.0)), (21L, vec(21L, 5.0)))
+    q2.processAllAvailable(); q2.stop()
+    assert(flag(2L), "the drifted batch must trip the re-train gate")
+    assert(indexIds(2L) == ((0L until 8L).toSet ++ Set(10L, 11L, 20L, 21L)),
+      s"a re-train must re-encode EVERY vector: ${indexIds(2L)}")
+    // replay: re-deriving batch 1's commit from the stored v=1
+    // snapshot reproduces v=2 exactly — same gate decision, same rows
+    val stored1 = spark.read.parquet(s"$root/v=1/vectors")
+    val batch1 = Seq((20L, vec(20L, 5.0)), (21L, vec(21L, 5.0)))
+      .toDF("vec_id", "embedding")
+    val (reIndex, reTrig) = step(spark, stored1, batch1)
+    assert(reTrig, "replayed batch must re-derive the SAME trigger decision")
+    assert(reIndex.collect().map(_.toString).toSet == indexRows(2L),
+      "replayed re-train diverged from the committed index")
+  }
+
   // ------------------------------------------- L-ops over the stream
   test("corpus ingest: quality gate + in-stream exact dedup over the message source") {
     // The L-battery's cleanup stages composed onto the streaming layer:
