@@ -1480,8 +1480,7 @@ class PlanContractSpec extends AnyFunSuite {
     // persisted fixture must not loosen the skip (< total / 4 is the
     // q126 contract)
     val total = spark.read.parquet(
-      java.nio.file.Paths.get(
-        scans.head.relation.location.rootPaths.head.toUri).toString)
+      scans.head.relation.location.rootPaths.head.toString)
       .inputFiles.length.toLong
     assert(scanned >= 1 && scanned < total / 4,
       s"q126_apply scanned $scanned of $total files — persisted fixture lost pruning")
