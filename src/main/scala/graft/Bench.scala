@@ -65,7 +65,7 @@ object Bench {
     "q127_zonemap_string_or_read", "q128_zonemap_file_read",
     "q129_zonemap_prefix_read", "q130_zonemap_zorder_read",
     "q131_zonemap_nullcount_read", "q132_zonemap_notbetween_read",
-    "l3_ann_retrain",
+    "q133_zonemap_notin_read", "l3_ann_retrain",
     // the _apply cells: a PRE-TIMED prewarm run builds + persists the
     // stored bundle/fixture once per testdata fingerprint, and all
     // three timed runs measure read-stored + maintenance (cascades)

@@ -51,7 +51,7 @@ object Sf1Ledger {
     // null-count/NOT-BETWEEN construction cells, and the quantizer
     // re-train (n·nlist kernel work per Lloyd round — near-linear)
     "q131_zonemap_nullcount_read", "q132_zonemap_notbetween_read",
-    "l3_ann_retrain",
+    "q133_zonemap_notin_read", "l3_ann_retrain",
     "q121_zonemap_pruned_read_apply", "q126_zonemap_transparent_read_apply",
     "q127_zonemap_string_or_read_apply", "q128_zonemap_file_read_apply",
     "q129_zonemap_prefix_read_apply", "q130_zonemap_zorder_read_apply")

@@ -4775,6 +4775,41 @@ object Relational {
     },
     Some(q132Sql))
 
+  // NOT-IN pruning (q133): the other complement family q132 leaves —
+  // NOT IN prunes by the OPEN gaps between its sorted points, which
+  // bites exactly when a chunk's envelope is a SINGLE value sitting
+  // on an excluded point (categorical / date-formatted dimensions —
+  // the month-chunked ship_ym layout is precisely that shape: every
+  // chunk's (mn, mx) is one month). 48 excluded months (1996-01 ..
+  // 1999-12, under the 64-member cap) drop 48 of ~83 chunks at
+  // listing time; a range-enveloped chunk would conservatively keep
+  // (the complement's gaps surround every multi-value envelope).
+  // ORACLE = the full-scan NOT IN; PlanContractSpec pins numFiles.
+  private val q133Months: Seq[String] =
+    for (y <- 1996 to 1999; m <- 1 to 12) yield f"$y%04d-$m%02d"
+  private def q133Read(s: SparkSession, path: String, zones: DataFrame): DataFrame =
+    graft.ops.Layout.zoneMapRead(s, path, zones, "chunk", Seq("ship_ym"))
+      .filter(!col("ship_ym").isin(q133Months: _*))
+      .select("l_orderkey", "l_linenumber", "ship_ym")
+      .orderBy("l_orderkey", "l_linenumber", "ship_ym")
+  private val q133Sql = {
+    val list = q133Months.map(m => s"'$m'").mkString(", ")
+    s"""SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m') AS ship_ym
+       |FROM lineitem
+       |WHERE strftime(l_shipdate, '%Y-%m') NOT IN ($list)
+       |ORDER BY l_orderkey, l_linenumber, ship_ym""".stripMargin
+  }
+
+  private val q133 = QueryDef(
+    "q133_zonemap_notin_read",
+    (s, dir) => {
+      val ch = q127Data(s, dir) // the q127 month-chunked ship_ym fixture
+      val path = scratchDir("q133")
+      graft.ops.Layout.writeClustered(ch, path, "chunk")
+      q133Read(s, path, q127Zones(ch))
+    },
+    Some(q133Sql))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -4786,6 +4821,6 @@ object Relational {
     q71, q74, q75, q76, q78, q82, q83, q84, q88, q89, q90, q91, q92, q94,
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
+    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133,
     q121apply, q126apply, q127apply, q128apply, q129apply, q130apply)
 }

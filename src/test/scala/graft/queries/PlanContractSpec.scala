@@ -532,6 +532,7 @@ class PlanContractSpec extends AnyFunSuite {
       "q131_zonemap_nullcount_read", // the q126 class + the nc_/rc_
       // count columns in the envelope manifest collect
       "q132_zonemap_notbetween_read", // the q127 class (same fixture)
+      "q133_zonemap_notin_read", // the q127 class (same fixture)
       "q121_zonemap_pruned_read_apply", // first call per testdata
       "q126_zonemap_transparent_read_apply", // fingerprint BUILDS and
       "q127_zonemap_string_or_read_apply", // persists the clustered
@@ -1467,6 +1468,19 @@ class PlanContractSpec extends AnyFunSuite {
     // 2001-04..11 — 13 months; the inside chunks must drop
     assert(scanned >= 1 && scanned <= 15,
       s"NOT-BETWEEN complement pruning scanned $scanned files")
+  }
+
+  test("q133: NOT IN drops the single-value month chunks at its excluded points") {
+    spark.sharedState.cacheManager.clearCache()
+    val df = SparkEntry.queries("q133_zonemap_notin_read")(spark, SparkFixture.sfDir)
+    df.collect()
+    val scans = fileScansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan in the q133 plan")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    // 48 excluded months (1996-01..1999-12) are each a whole
+    // single-value chunk; ~35 of ~83 months survive the point gaps
+    assert(scanned >= 1 && scanned <= 37,
+      s"NOT-IN gap pruning scanned $scanned files")
   }
 
   test("q126_apply: the read-only cell prunes exactly like the construction cell") {
