@@ -62,7 +62,12 @@ object Sf1Ledger {
     val only = args.drop(2).toSet
     val spark = BenchSession.build()
 
-    val outDir = java.nio.file.Files.createTempDirectory("graft-sf1").toString
+    // pid-stamped scratch: old scaled corpora (and the zone fixtures
+    // the _apply prewarms persist against them — keyed to this
+    // never-repeating dir, so unreachable after the run) reap once
+    // their owning ledger process is gone instead of accumulating a
+    // multi-table copy per invocation
+    val outDir = graft.ops.ArtifactCache.scratchDir("sf1")
     Stress.buildScaled(spark, sfDir, outDir, factor) // documents + embeddings
     buildScaledRelational(spark, sfDir, outDir, factor)
 

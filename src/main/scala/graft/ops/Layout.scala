@@ -422,12 +422,24 @@ object Layout {
       .collect().map(r => key(r.getString(0))).toSet
     val freshPaths = currentPaths.filterNot(p => known.contains(key(p)))
     if (freshPaths.isEmpty) zones
-    // allowMissingColumns: a zone table from an earlier generation may
-    // lack the nc_/rc_ count columns — the null fill is conservative
-    // (absent counts constrain nothing at the reader)
-    else zones.unionByName(
-      fileZoneAgg(spark.read.parquet(freshPaths.toIndexedSeq: _*), cols),
-      allowMissingColumns = true)
+    else {
+      val fresh = fileZoneAgg(spark.read.parquet(freshPaths.toIndexedSeq: _*), cols)
+      // the missing-column fill is only safe in ONE direction: a
+      // stored table from an earlier generation may lack the nc_/rc_
+      // COUNT columns (a NULL count constrains nothing at the
+      // reader), but a stored ENVELOPE column `cols` does not cover
+      // would null-fill on the FRESH rows — and a NULL envelope reads
+      // as ALL-NULL (droppable), silently pruning the appended files'
+      // rows under any filter on that column. Fail loudly instead.
+      val uncovered = zones.columns.filter(c =>
+        (c.startsWith("mn_") || c.startsWith("mx_")) && !fresh.columns.contains(c))
+      require(uncovered.isEmpty,
+        s"maintainFileZones: cols (${cols.mkString(", ")}) does not cover the " +
+          s"stored envelope columns ${uncovered.mkString(", ")} — fresh files " +
+          s"would get NULL envelopes there, which the reader treats as " +
+          s"ALL-NULL (droppable); pass every stored envelope column")
+      zones.unionByName(fresh, allowMissingColumns = true)
+    }
   }
 
   /** RETENTION for a maintained file-zone table — the rebuild-

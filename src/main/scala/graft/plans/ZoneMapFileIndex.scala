@@ -210,9 +210,11 @@ object ZoneMapFileIndex {
   *    recognized child by its EXACT complement (open-endpoint
   *    intervals: `NOT BETWEEN` drops the inside chunks, `NOT IN`
   *    prunes by the gaps between its points, De Morgan recursion
-  *    through `NOT (… AND/OR …)`), and a monotone numeric `Cast`
-  *    around the attribute (Catalyst inserts those for literal-type
-  *    promotion);
+  *    through `NOT (… AND/OR …)`), and a VALUE-EXACT numeric `Cast`
+  *    around the attribute (Catalyst inserts casts for literal-type
+  *    promotion; rounding casts like long→double are REJECTED — the
+  *    rounded image can land ON a bound the original value sits
+  *    past, and the exact envelope test would wrongly drop);
   *  - `Not` of an UNRECOGNIZED child, UDFs, column-column
   *    comparisons, non-binary-collated string columns → ignored
   *    (unit kept);
@@ -274,17 +276,48 @@ final class TransparentZoneMapFileIndex(
       case _ => true
     }
 
-  /** The attribute under an optional LOSSLESS numeric up-cast
-    * (Catalyst inserts those for literal-type promotion). A lossy
-    * cast — double→int truncation, say — is NOT monotone-invertible
-    * against the raw-column envelope, so anything `Cast.canUpCast`
-    * rejects is left unrecognized (unit kept). */
+  /** Is `from` → `to` VALUE-EXACT for every representable value?
+    * Strictly tighter than Spark's `Cast.canUpCast`, whose numeric
+    * precedence chain admits int→float, long→float, and long→double —
+    * "up-casts" that lose value precision (a long above 2^53 rounds
+    * under long→double), and a rounding cast composed with the exact
+    * BigDecimal envelope test is NOT invertible: a pushed
+    * `cast(longCol as double) <= 2^53` is satisfied by the row
+    * 2^53+1 (its double image rounds DOWN onto the bound) while the
+    * exact envelope comparison sees 2^53+1 > 2^53 and would wrongly
+    * DROP the chunk. Only casts where image and original always
+    * compare identically in the ZBound domain qualify; everything
+    * else leaves the conjunct unrecognized (unit kept). */
+  private def losslessCast(from: org.apache.spark.sql.types.DataType,
+                           to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (f, t) if f == t => true
+      case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true // int→float is lossy past 2^24
+      case (FloatType, DoubleType) => true
+      // integral→decimal is exact when the decimal's integral digits
+      // cover the source range (the DecimalType.forType widths)
+      case (ByteType, d: DecimalType) => d.precision - d.scale >= 3
+      case (ShortType, d: DecimalType) => d.precision - d.scale >= 5
+      case (IntegerType, d: DecimalType) => d.precision - d.scale >= 10
+      case (LongType, d: DecimalType) => d.precision - d.scale >= 20
+      case (f: DecimalType, t: DecimalType) =>
+        t.precision - t.scale >= f.precision - f.scale && t.scale >= f.scale
+      case _ => false
+    }
+  }
+
+  /** The attribute under an optional VALUE-EXACT numeric cast
+    * (Catalyst inserts casts for literal-type promotion). A lossy
+    * cast — double→int truncation, long→double rounding — is NOT
+    * monotone-invertible against the raw-column envelope, so anything
+    * [[losslessCast]] rejects is left unrecognized (unit kept). */
   private def attrOf(e: Expression): Option[String] = e match {
     case a: AttributeReference if comparableType(a.dataType) => Some(a.name)
     case Cast(a: AttributeReference, t, _, _)
-        if t.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
-          a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
-          Cast.canUpCast(a.dataType, t) => Some(a.name)
+        if losslessCast(a.dataType, t) => Some(a.name)
     case _ => None
   }
 

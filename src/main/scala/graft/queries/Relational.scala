@@ -4374,23 +4374,8 @@ object Relational {
     * the OWNER DEAD — a paused suite whose write-to-read window
     * outlives the age threshold can no longer have its table deleted
     * mid-read by another suite's invocation (the round-15 advisory). */
-  private def scratchDir(tag: String): String = {
-    def del(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(del)
-      f.delete(); ()
-    }
-    try {
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-      val cutoff = System.currentTimeMillis() - 3600L * 1000
-      Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.getName.startsWith(s"graft-$tag-") &&
-          f.lastModified < cutoff && !graft.ops.ArtifactCache.ownerAlive(f))
-        .foreach(del)
-    } catch { case _: Exception => () } // reaping is best-effort only
-    val d = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
-    graft.ops.ArtifactCache.writeOwnerPid(d.toFile)
-    d.toString
-  }
+  private def scratchDir(tag: String): String =
+    graft.ops.ArtifactCache.scratchDir(tag)
 
   /** Build-once persisted zone fixture for the read-only `_apply`
     * cells (the `persistedArts` lesson applied to the zone family):
@@ -4652,14 +4637,20 @@ object Relational {
     },
     Some(q126Sql))
 
+  /** q127's persisted fixture — ONE builder shared by q127_apply and
+    * q129_apply (they differ only in the pushed predicate family), so
+    * the two cells can never read differently-built fixtures. */
+  private def q127Fixture(s: SparkSession, dir: String): String =
+    persistedZoneFixture(s, dir, "q127", "r1") { r =>
+      val ch = q127Data(s, dir)
+      graft.ops.Layout.writeClustered(ch, s"$r/table", "chunk")
+      q127Zones(ch).write.mode("overwrite").parquet(s"$r/zones")
+    }
+
   private val q127apply = QueryDef(
     "q127_zonemap_string_or_read_apply",
     (s, dir) => {
-      val root = persistedZoneFixture(s, dir, "q127", "r1") { r =>
-        val ch = q127Data(s, dir)
-        graft.ops.Layout.writeClustered(ch, s"$r/table", "chunk")
-        q127Zones(ch).write.mode("overwrite").parquet(s"$r/zones")
-      }
+      val root = q127Fixture(s, dir)
       q127Read(s, s"$root/table", s.read.parquet(s"$root/zones"))
     },
     Some(q127Sql))
@@ -4679,13 +4670,7 @@ object Relational {
   private val q129apply = QueryDef(
     "q129_zonemap_prefix_read_apply",
     (s, dir) => {
-      // shares q127's persisted fixture — same table, same zone
-      // table, different pushed predicate family
-      val root = persistedZoneFixture(s, dir, "q127", "r1") { r =>
-        val ch = q127Data(s, dir)
-        graft.ops.Layout.writeClustered(ch, s"$r/table", "chunk")
-        q127Zones(ch).write.mode("overwrite").parquet(s"$r/zones")
-      }
+      val root = q127Fixture(s, dir) // shared builder — see q127Fixture
       q129Read(s, s"$root/table", s.read.parquet(s"$root/zones"))
     },
     Some(q129Sql))

@@ -1374,6 +1374,40 @@ class PlanContractSpec extends AnyFunSuite {
       "a count-less zone table must not prune under IS NULL")
   }
 
+  test("zone index: a ROUNDING cast (long->double) never prunes — its image can land ON a bound the exact value sits past") {
+    // Spark's Cast.canUpCast admits long->double (and int/long->float),
+    // which round: double(2^53+1) == 2^53, so the row SATISFIES
+    // `cast(v as double) <= 2^53` while the exact BigDecimal envelope
+    // sees 2^53+1 > 2^53 — an index trusting canUpCast would drop the
+    // chunk and lose the row. Only value-exact casts may prune.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lossycast").toString
+    val big = 9007199254740993L // 2^53 + 1
+    val df = spark.range(0, 2).select(
+      when(col("id") === 0, lit(big)).otherwise(lit(5L)).as("v"),
+      when(col("id") === 0, lit("c001")).otherwise(lit("c000")).as("chunk"))
+    graft.ops.Layout.writeClustered(df, dir, "chunk")
+    val zones = df.groupBy("chunk").agg(min("v").as("mn_v"), max("v").as("mx_v"))
+    val r = graft.ops.Layout.zoneMapRead(spark, dir, zones, "chunk", Seq("v"))
+      .filter(col("v").cast("double") <= lit(9007199254740992.0))
+    // BOTH rows qualify under double comparison (2^53+1 rounds onto
+    // the bound); the chunk holding it must NOT be pruned
+    assert(r.count() == 2,
+      "a rounding long->double cast pruned a chunk whose row satisfies the filter")
+    // and a genuinely value-exact cast still prunes: int column,
+    // cast to long by literal promotion
+    val df2 = spark.range(0, 200).select(col("id").cast("int").as("w"),
+      format_string("c%03d", expr("id div 100")).as("chunk"))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-exactcast").toString
+    graft.ops.Layout.writeClustered(df2, dir2, "chunk")
+    val zones2 = df2.groupBy("chunk").agg(min("w").as("mn_w"), max("w").as("mx_w"))
+    assert(scannedFilesOf(
+      graft.ops.Layout.zoneMapRead(spark, dir2, zones2, "chunk", Seq("w"))
+        .filter(col("w").cast("long") <= 50L)) <
+      spark.read.parquet(dir2).inputFiles.length.toLong,
+      "a value-exact int->long cast should still prune")
+  }
+
   test("zone index: pathKey keeps filesystems DISTINCT while normalizing local-scheme spellings") {
     import graft.plans.ZoneMapFileIndex.pathKey
     // local spellings collapse — the round-15 file-zone contract
