@@ -65,7 +65,8 @@ object Bench {
     "q127_zonemap_string_or_read", "q128_zonemap_file_read",
     "q129_zonemap_prefix_read", "q130_zonemap_zorder_read",
     "q131_zonemap_nullcount_read", "q132_zonemap_notbetween_read",
-    "q133_zonemap_notin_read", "l3_ann_retrain",
+    "q133_zonemap_notin_read", "q134_zonemap_zorder_files_read",
+    "l3_ann_retrain",
     // the _apply cells: a PRE-TIMED prewarm run builds + persists the
     // stored bundle/fixture once per testdata fingerprint, and all
     // three timed runs measure read-stored + maintenance (cascades)
@@ -74,7 +75,9 @@ object Bench {
     "l6_cascade_delete_apply", "l6_cascade_insert_apply",
     "q121_zonemap_pruned_read_apply", "q126_zonemap_transparent_read_apply",
     "q127_zonemap_string_or_read_apply", "q128_zonemap_file_read_apply",
-    "q129_zonemap_prefix_read_apply", "q130_zonemap_zorder_read_apply")
+    "q129_zonemap_prefix_read_apply", "q130_zonemap_zorder_read_apply",
+    "q131_zonemap_nullcount_read_apply", "q132_zonemap_notbetween_read_apply",
+    "q133_zonemap_notin_read_apply", "q134_zonemap_zorder_files_read_apply")
 
   /** 1-minute system load average, -1.0 where the platform can't say.
     * Recorded at both ends of the run so the record SELF-ADJUDICATES:

@@ -51,10 +51,13 @@ object Sf1Ledger {
     // null-count/NOT-BETWEEN construction cells, and the quantizer
     // re-train (n·nlist kernel work per Lloyd round — near-linear)
     "q131_zonemap_nullcount_read", "q132_zonemap_notbetween_read",
-    "q133_zonemap_notin_read", "l3_ann_retrain",
+    "q133_zonemap_notin_read", "q134_zonemap_zorder_files_read",
+    "l3_ann_retrain",
     "q121_zonemap_pruned_read_apply", "q126_zonemap_transparent_read_apply",
     "q127_zonemap_string_or_read_apply", "q128_zonemap_file_read_apply",
-    "q129_zonemap_prefix_read_apply", "q130_zonemap_zorder_read_apply")
+    "q129_zonemap_prefix_read_apply", "q130_zonemap_zorder_read_apply",
+    "q131_zonemap_nullcount_read_apply", "q132_zonemap_notbetween_read_apply",
+    "q133_zonemap_notin_read_apply", "q134_zonemap_zorder_files_read_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -4795,6 +4795,87 @@ object Relational {
     },
     Some(q133Sql))
 
+  // Z-ORDER over a PLAIN table × FILE-level zones (q134): the most
+  // production-shaped composition in the zone family — real lakehouse
+  // tables are not hive-partitioned by chunk id; Delta's OPTIMIZE
+  // ZORDER rewrites a PLAIN table so each FILE's footer envelope is
+  // tight in both dimensions, and data skipping reads those stats.
+  // Here: clusterByMorton range-packs lineitem into 16 plain parquet
+  // files on the Morton key of (quantity, price/1000), fileZones
+  // derives the per-file 2D envelopes (+ null/row counts) in one
+  // scan, and zoneMapReadFiles drops FILES under the query's own
+  // pushed 2D filter — q130's semantics with zero layout contract.
+  // ORACLE = q130's (identical filter and output columns).
+  private def q134Write(s: SparkSession, dir: String, path: String): Unit =
+    graft.ops.Layout.clusterByMorton(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .withColumn("_qx", col("l_quantity").cast("int"))
+          .withColumn("_py", (col("l_extendedprice") / 1000).cast("int")),
+        "_qx", "_py", numFiles = 16)
+      .drop("_qx", "_py")
+      .write.mode("overwrite").parquet(path)
+  private def q134Read(s: SparkSession, path: String, zones: DataFrame): DataFrame =
+    graft.ops.Layout.zoneMapReadFiles(s, path, zones, "file",
+        Seq("l_quantity", "l_extendedprice"))
+      .filter(col("l_quantity") >= 5.0 && col("l_quantity") <= 10.0 &&
+        col("l_extendedprice") >= 20000.0 && col("l_extendedprice") <= 30000.0)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  private val q134 = QueryDef(
+    "q134_zonemap_zorder_files_read",
+    (s, dir) => {
+      val path = scratchDir("q134")
+      q134Write(s, dir, path)
+      q134Read(s, path, graft.ops.Layout.fileZones(s, path,
+        Seq("l_quantity", "l_extendedprice")))
+    },
+    Some(q130Sql))
+
+  // the read-only _apply cells of the round-16 construction queries —
+  // same fixtures, same oracles, persisted once per fingerprint
+  private val q131apply = QueryDef(
+    "q131_zonemap_nullcount_read_apply",
+    (s, dir) => {
+      val root = persistedZoneFixture(s, dir, "q131", "r1") { r =>
+        val ch = q131Data(s, dir)
+        graft.ops.Layout.writeClustered(ch, s"$r/table", "chunk")
+        q131Zones(ch).write.mode("overwrite").parquet(s"$r/zones")
+      }
+      q131Read(s, s"$root/table", s.read.parquet(s"$root/zones"))
+    },
+    Some(q131Sql))
+
+  private val q132apply = QueryDef(
+    "q132_zonemap_notbetween_read_apply",
+    (s, dir) => {
+      val root = q127Fixture(s, dir) // shared month-chunked fixture
+      q132Read(s, s"$root/table", s.read.parquet(s"$root/zones"))
+    },
+    Some(q132Sql))
+
+  private val q133apply = QueryDef(
+    "q133_zonemap_notin_read_apply",
+    (s, dir) => {
+      val root = q127Fixture(s, dir) // shared month-chunked fixture
+      q133Read(s, s"$root/table", s.read.parquet(s"$root/zones"))
+    },
+    Some(q133Sql))
+
+  private val q134apply = QueryDef(
+    "q134_zonemap_zorder_files_read_apply",
+    (s, dir) => {
+      val root = persistedZoneFixture(s, dir, "q134", "r1") { r =>
+        q134Write(s, dir, s"$r/table")
+        graft.ops.Layout.fileZones(s, s"$r/table",
+            Seq("l_quantity", "l_extendedprice"))
+          .write.mode("overwrite").parquet(s"$r/zones")
+      }
+      q134Read(s, s"$root/table", s.read.parquet(s"$root/zones"))
+    },
+    Some(q130Sql))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -4807,5 +4888,6 @@ object Relational {
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133,
-    q121apply, q126apply, q127apply, q128apply, q129apply, q130apply)
+    q134, q121apply, q126apply, q127apply, q128apply, q129apply, q130apply,
+    q131apply, q132apply, q133apply, q134apply)
 }

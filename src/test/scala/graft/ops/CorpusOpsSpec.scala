@@ -467,6 +467,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(drift > 1.5, s"reported drift $drift should exceed the gate")
   }
 
+  test("retrainIfDrifted: an EMPTY batch never triggers (NULL drift ratio takes the frozen path)") {
+    import org.apache.spark.sql.functions._
+    implicit val scope: CacheScope = CacheScope.sessionOwned
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val train = e.filter(col("vec_id") < 100).select("vec_id", "embedding")
+    val empty = train.limit(0)
+    val (out, trig) = CorpusOps.retrainIfDrifted(train, empty, 1.5)
+    assert(!trig, "an empty batch must not trip the re-train gate")
+    assert(out.count() == 0, "frozen path over an empty batch must emit no rows")
+  }
+
   test("nearDupPairs finds planted near-dups and nothing else on a clean corpus") {
     val base = (0 until 40).map(i => s"w${i}a w${i}b w${i}c w${i}d w${i}e").toSeq
     val near = base.head.split(" ").dropRight(0).mkString(" ") // identical text

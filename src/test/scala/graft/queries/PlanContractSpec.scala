@@ -533,6 +533,12 @@ class PlanContractSpec extends AnyFunSuite {
       // count columns in the envelope manifest collect
       "q132_zonemap_notbetween_read", // the q127 class (same fixture)
       "q133_zonemap_notin_read", // the q127 class (same fixture)
+      "q134_zonemap_zorder_files_read", // the q128 class with a
+      // Morton-range-packed plain write + per-file envelope collect
+      "q131_zonemap_nullcount_read_apply", // the _apply class: first
+      "q132_zonemap_notbetween_read_apply", // call per fingerprint
+      "q133_zonemap_notin_read_apply", // builds + persists; later
+      "q134_zonemap_zorder_files_read_apply", // calls read it
       "q121_zonemap_pruned_read_apply", // first call per testdata
       "q126_zonemap_transparent_read_apply", // fingerprint BUILDS and
       "q127_zonemap_string_or_read_apply", // persists the clustered
@@ -1515,6 +1521,51 @@ class PlanContractSpec extends AnyFunSuite {
     // single-value chunk; ~35 of ~83 months survive the point gaps
     assert(scanned >= 1 && scanned <= 37,
       s"NOT-IN gap pruning scanned $scanned files")
+  }
+
+  test("q134: per-FILE envelopes of a Z-ordered PLAIN table prune under BOTH pushed dimensions") {
+    spark.sharedState.cacheManager.clearCache()
+    val df = SparkEntry.queries("q134_zonemap_zorder_files_read")(spark, SparkFixture.sfDir)
+    df.collect()
+    val scans = fileScansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan in the q134 plan")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    // 16 Morton-range-packed plain files; the narrow 2D probe must
+    // skip most of them off the footer-image envelopes alone — no
+    // partitioning anywhere
+    assert(scanned >= 1 && scanned <= 6,
+      s"z-order file skipping scanned $scanned of 16 files")
+  }
+
+  test("zone index: file-level IS NULL prunes off fileZones' emitted counts; oversized NOT IN keeps everything") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fnull").toString
+    // nulls only in the LAST range-packed file (ids 700..799)
+    spark.range(0, 800)
+      .select(col("id"),
+        when(col("id") >= 700, lit(null).cast("long")).otherwise(col("id")).as("v"))
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+    val zones = graft.ops.Layout.fileZones(spark, dir, Seq("v"))
+    val total = spark.read.parquet(dir).inputFiles.length.toLong
+    val r = graft.ops.Layout.zoneMapReadFiles(spark, dir, zones, "file", Seq("v"))
+      .filter(col("v").isNull)
+    assert(r.count() == 100)
+    assert(scannedFilesOf(
+      graft.ops.Layout.zoneMapReadFiles(spark, dir, zones, "file", Seq("v"))
+        .filter(col("v").isNull)) < total,
+      "file-level IS NULL did not prune off the emitted nc_ counts")
+    // a NOT IN past the 64-member cap contributes NO constraint: the
+    // complement's hull is the whole line — everything kept, rows exact
+    val excl = (0L until 100L).map(java.lang.Long.valueOf)
+    val r2 = graft.ops.Layout.zoneMapReadFiles(spark, dir, zones, "file", Seq("v"))
+      .filter(!col("v").isin(excl: _*))
+    assert(r2.count() ==
+      spark.read.parquet(dir).filter(!col("v").isin(excl: _*)).count())
+    assert(scannedFilesOf(
+      graft.ops.Layout.zoneMapReadFiles(spark, dir, zones, "file", Seq("v"))
+        .filter(!col("v").isin(excl: _*))) == total,
+      "an oversized NOT IN must not prune (its complement hulls to everything)")
   }
 
   test("q126_apply: the read-only cell prunes exactly like the construction cell") {
