@@ -592,6 +592,55 @@ object Stress {
       val ts = math.max(0.001, gs - is)
       println(f"""{"stress":"ann_index_vs_traverse","index_base":$ib%.3f,"index_scaled":$is%.3f,"index_ratio":${is / ib}%.1f,"beyond_index_base":$tb%.3f,"beyond_index_scaled":$ts%.3f,"beyond_index_ratio":${ts / tb}%.1f}""")
     }
+    // FROZEN-QUANTIZER ingest (round 17): the below-gate arm of
+    // retrainIfDriftedStored against PERSISTED state + index, with a
+    // FIXED-size batch on both corpora. The train/state build is paid
+    // once (untimed, like the lifecycle's v0); the timed step is what
+    // every steady-state ingest commit costs — batch·nlist assignment,
+    // batch·m·k encoding, and one narrow d2c-column aggregate over the
+    // stored index. Expected ~flat at 10× corpus (the aggregate is the
+    // only corpus-row-sized term, and it reads one stored column);
+    // contrast with l3_ann_incremental above, whose self-contained
+    // spelling re-trains the codebook over the full corpus per call.
+    if (only.isEmpty || only("ann_retrain_frozen")) {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
+      val batch = Tables(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < 200).select("vec_id", "embedding")
+        .withColumn("vec_id", col("vec_id") + 900000000L)
+      def prep(dir: String, tag: String): String = {
+        val corpus = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-frozen-$tag").toString
+        val st = graft.ops.CorpusOps.trainQuantizer(corpus)
+        st.cents.write.parquet(s"$root/quant_cents")
+        st.codebook.write.parquet(s"$root/quant_cb")
+        graft.ops.CorpusOps.ivfpqEncodeAll(st, corpus)
+          .write.parquet(s"$root/index")
+        spark.sharedState.cacheManager.clearCache()
+        root
+      }
+      def timeFrozen(root: String, dir: String): Double = {
+        val t0 = System.nanoTime()
+        val st = graft.ops.CorpusOps.QuantizerState(
+          spark.read.parquet(s"$root/quant_cents"),
+          spark.read.parquet(s"$root/quant_cb"))
+        val (idx, trig, _) = graft.ops.CorpusOps.retrainIfDriftedStored(
+          st, spark.read.parquet(s"$root/index"),
+          Tables(spark, dir, "embeddings").select("vec_id", "embedding"),
+          batch, driftThreshold = 100.0)
+        require(!trig, "stress batch must take the frozen path")
+        idx.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        dt
+      }
+      val rBase = prep(sfDir, "base")
+      val rScaled = prep(scaledDir, "scaled")
+      timeFrozen(rBase, sfDir) // warm-up
+      val fb = timeFrozen(rBase, sfDir)
+      val fs = timeFrozen(rScaled, scaledDir)
+      println(f"""{"stress":"ann_retrain_frozen","base":$fb%.3f,"scaled":$fs%.3f,"ratio":${fs / fb}%.1f}""")
+    }
     spark.stop()
   }
 

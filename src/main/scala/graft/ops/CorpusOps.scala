@@ -1644,6 +1644,174 @@ object CorpusOps {
     }
   }
 
+  /** The frozen IVF-PQ quantizer as a FIRST-CLASS STORED ARTIFACT —
+    * the FAISS train/add split made explicit: `cents` (cid,
+    * ce ARRAY<double>; nlist rows) and `codebook` (sub, cid,
+    * cv ARRAY<double>; m·k rows), both broadcast-sized, both
+    * persistable as plain parquet members of a versioned snapshot
+    * (the [[CorpusArtifacts]] bundle lesson applied to the quantizer).
+    * [[ivfpqIncremental]]/[[retrainIfDrifted]] re-derive this state
+    * from the raw train corpus on EVERY call — self-contained by
+    * convention for the oracle query, but corpus-sized per invocation;
+    * the `*Stored` overloads below consume it frozen instead, so a
+    * below-gate ingest batch costs batch·nlist assignment + batch·m·k
+    * encoding and NOTHING corpus-sized. */
+  final case class QuantizerState(cents: DataFrame, codebook: DataFrame)
+
+  /** The deterministic coarse seed every IVF build in this family
+    * uses: the raw vectors of the first `nlist` vec_ids. */
+  private def seedCents(train: DataFrame, nlist: Int): DataFrame =
+    train.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"),
+        expr("transform(embedding, e -> cast(e as double))").as("ce"))
+
+  private def assignCents(v: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.VectorExprs.vec_l2sq
+    v.select(col("vec_id").as("vid"), col("embedding").as("_ve"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2c", round(vec_l2sq(col("_ve"), col("ce")), 6))
+      .groupBy("vid").agg(min(struct(col("d2c"), col("cid"))).as("b"))
+      .select(col("vid"), col("b.cid").as("cid"), col("b.d2c").as("d2c"))
+  }
+
+  private def residualsAgainst(v: DataFrame, assign: DataFrame,
+                               cents: DataFrame): DataFrame =
+    assign
+      .join(v.select(col("vec_id").as("vid"), col("embedding").as("_ve")), "vid")
+      .join(broadcast(cents), "cid")
+      .select(col("vid").as("vec_id"),
+        expr("zip_with(_ve, ce, (a, b) -> cast(a as double) - cast(b as double))")
+          .as("embedding"))
+
+  /** DECIMAL(18,6) mean over round-6 distances — bit-stable under any
+    * summation order, so replay / stored-aggregate re-derivation lands
+    * the same double. */
+  private def d2cMean(c: Column): Column =
+    (sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
+      / count(lit(1)))
+
+  /** Train a [[QuantizerState]] around EXPLICIT coarse centroids:
+    * one full assignment pass + one Lloyd codebook train over the
+    * residuals — the retrain arm's state derivation, also reused with
+    * the deterministic seed by [[trainQuantizer]]. Paid ONCE, at train
+    * or re-train time; every ingest batch after consumes the result
+    * frozen. */
+  def trainQuantizerWith(cents: DataFrame, corpus: DataFrame,
+                         m: Int = 8, subDim: Int = 8,
+                         k: Int = 16, iters: Int = 2)
+                        (implicit scope: CacheScope): QuantizerState = {
+    val cs = scope.cached(cents)
+    val asg = scope.cached(assignCents(corpus, cs))
+    QuantizerState(cs, scope.cached(
+      pqCodebookTrained(residualsAgainst(corpus, asg, cs), m, subDim, k, iters)))
+  }
+
+  /** Train a [[QuantizerState]] from the deterministic first-`nlist`
+    * seed — bit-identical to the frozen state [[ivfpqIncremental]]
+    * re-derives internally (CorpusOpsSpec pins it), but built once and
+    * handed back for persistence. */
+  def trainQuantizer(train: DataFrame, nlist: Int = 32,
+                     m: Int = 8, subDim: Int = 8,
+                     k: Int = 16, iters: Int = 2)
+                    (implicit scope: CacheScope): QuantizerState =
+    trainQuantizerWith(seedCents(train, nlist), train, m, subDim, k, iters)
+
+  /** Full index build against a frozen state: assign + residual-encode
+    * EVERY vector of `vecs` — the one corpus-sized pass, paid at
+    * train/re-train time. Output (vec_id, cid, d2c, code_sum); the
+    * persisted `d2c` column is what makes every later drift probe a
+    * stored-column aggregate instead of a re-scoring pass. */
+  def ivfpqEncodeAll(state: QuantizerState, vecs: DataFrame,
+                     m: Int = 8, subDim: Int = 8)
+                    (implicit scope: CacheScope): DataFrame = {
+    val asg = scope.cached(assignCents(vecs, state.cents))
+    val codes = pqEncode(residualsAgainst(vecs, asg, state.cents),
+        state.codebook, m, subDim)
+      .groupBy("vec_id")
+      .agg(sum(expr("code * cast(pow(16, sub) as bigint)")).as("code_sum"))
+    asg.join(codes, asg("vid") === codes("vec_id"))
+      .select(col("vid").as("vec_id"), col("cid"), col("d2c"), col("code_sum"))
+  }
+
+  /** The below-gate ingest path with the per-batch corpus rebuild
+    * KILLED: assign `batch` against the stored `state.cents`, encode
+    * against the stored `state.codebook`, and read the train-side
+    * drift denominator from `storedIndex`'s PERSISTED `d2c` column —
+    * one narrow-column aggregate over already-stored index rows, never
+    * a re-scoring of stored vectors (which this method cannot even
+    * reference: they are not a parameter). Given a state trained on
+    * `train` and a stored index covering it, the output is
+    * bit-identical to `ivfpqIncremental(train, batch)` (CorpusOpsSpec
+    * pins it); the cost is batch-bounded where that path was
+    * corpus-bounded. Output (vec_id, cid, d2c, code_sum, drift),
+    * batch rows only. */
+  def ivfpqEncodeStored(state: QuantizerState, storedIndex: DataFrame,
+                        batch: DataFrame, m: Int = 8, subDim: Int = 8)
+                       (implicit scope: CacheScope): DataFrame =
+    encodeFrozen(state, storedIndex, batch,
+      scope.cached(assignCents(batch, state.cents)), m, subDim)
+
+  private def encodeFrozen(state: QuantizerState, storedIndex: DataFrame,
+                           batch: DataFrame, bAssign: DataFrame,
+                           m: Int, subDim: Int)
+                          (implicit scope: CacheScope): DataFrame = {
+    val bCodes = pqEncode(residualsAgainst(batch, bAssign, state.cents),
+        state.codebook, m, subDim)
+      .groupBy("vec_id")
+      .agg(sum(expr("code * cast(pow(16, sub) as bigint)")).as("code_sum"))
+    val drift = storedIndex.agg(d2cMean(col("d2c")).as("t_mean"))
+      .crossJoin(bAssign.agg(d2cMean(col("d2c")).as("b_mean")))
+      .select(round(col("b_mean") / col("t_mean"), 6).as("drift"))
+    bAssign
+      .join(bCodes, bAssign("vid") === bCodes("vec_id"))
+      .crossJoin(broadcast(drift))
+      .select(col("vid").as("vec_id"), col("cid"), col("d2c"),
+        col("code_sum"), col("drift"))
+  }
+
+  /** [[retrainIfDrifted]] over STORED quantizer state — the lifecycle
+    * loop with the right cost shape at last. The gate probe is
+    * batch·nlist scoring plus a stored-column aggregate (the same
+    * DECIMAL-exact ratio as before — `storedIndex.d2c` IS the train
+    * assignment, persisted); below the gate the commit touches ONLY
+    * the batch ([[ivfpqEncodeStored]] — `storedVecs` is lazily unread,
+    * spec-pinned with a poisoned stored-vector table); above it the
+    * full re-train runs over `storedVecs` ∪ `batch` exactly as
+    * [[retrainIfDrifted]]'s retrain arm (corpus-sized by necessity —
+    * that is what a re-train IS) and the NEW state comes back for the
+    * caller to persist alongside the index. Returns (index rows,
+    * retrained?, state-to-persist): batch rows + the unchanged input
+    * state on the frozen path, all rows + the retrained state past the
+    * gate. An empty batch (NULL drift ratio) never triggers. */
+  def retrainIfDriftedStored(state: QuantizerState, storedIndex: DataFrame,
+                             storedVecs: DataFrame, batch: DataFrame,
+                             driftThreshold: Double,
+                             nlist: Int = 32, m: Int = 8, subDim: Int = 8,
+                             k: Int = 16, iters: Int = 2)
+                            (implicit scope: CacheScope)
+                            : (DataFrame, Boolean, QuantizerState) = {
+    require(driftThreshold > 0,
+      s"driftThreshold must be positive (got $driftThreshold)")
+    val bAssign = scope.cached(assignCents(batch, state.cents))
+    val driftRow = storedIndex.agg(d2cMean(col("d2c")).as("_t"))
+      .crossJoin(bAssign.agg(d2cMean(col("d2c")).as("_b")))
+      .select(round(col("_b") / col("_t"), 6).as("drift")).head()
+    val drifted = !driftRow.isNullAt(0) && driftRow.getDouble(0) > driftThreshold
+    if (!drifted)
+      (encodeFrozen(state, storedIndex, batch, bAssign, m, subDim), false, state)
+    else {
+      val drift = driftRow.getDouble(0)
+      val all = scope.cached(storedVecs.select("vec_id", "embedding")
+        .unionByName(batch.select("vec_id", "embedding")))
+      val newState =
+        trainQuantizerWith(kmeansCentroidsL2(all, nlist, iters), all,
+          m, subDim, k, iters)
+      val full = ivfpqEncodeAll(newState, all, m, subDim)
+        .withColumn("drift", lit(drift))
+      (full, true, newState)
+    }
+  }
+
   /** Exact re-rank refine — the recall-restoring final hop every
     * production ANN serves (FAISS IndexRefine): take the top-R
     * candidate set from ANY index (R·|queries| rows — candidate-

@@ -412,8 +412,17 @@ object Layout {
       s"zone table has no 'file' key column (the fileZones convention) — " +
         s"zone columns: ${zones.columns.mkString(", ")}")
     cols.foreach { c =>
+      // the OTHER unsound fill direction (the guard below covers
+      // stored-not-in-fresh): a `cols` entry the stored table has no
+      // envelope for would null-fill mn_/mx_ on the STORED rows, and
+      // a NULL envelope reads as ALL-NULL (droppable) — old files
+      // would silently vanish under any later filter on that column.
+      // Adding an envelope column is a REBUILD (fileZones), never a
+      // maintain; LayoutSpec pins the loud failure.
       require(zones.columns.contains(s"mn_$c") && zones.columns.contains(s"mx_$c"),
-        s"zone table has no (mn_$c, mx_$c) envelope — zone columns: " +
+        s"zone table has no (mn_$c, mx_$c) envelope — stored rows would get " +
+          s"NULL (= ALL-NULL, droppable) envelopes there; to start tracking " +
+          s"a new column, rebuild with fileZones. Zone columns: " +
           zones.columns.mkString(", "))
     }
     val currentPaths = spark.read.parquet(path).inputFiles

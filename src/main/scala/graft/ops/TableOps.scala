@@ -594,9 +594,16 @@ object TableOps {
         val out = fs.create(tmp, true)
         try out.write(s"$horizon\n".getBytes("UTF-8")) finally out.close()
         val marker = new org.apache.hadoop.fs.Path(p, vacuumMarker)
-        if (fs.exists(marker)) fs.delete(marker, false)
-        require(fs.rename(tmp, marker),
-          s"vacuumVersions: could not commit the $vacuumMarker marker under $root")
+        // OVERWRITE-rename, not delete-then-rename: the latter has a
+        // crash window with NO marker on disk while earlier vacuums'
+        // deletions persist — a later below-horizon resolve could then
+        // silently serve a leftover version instead of failing loudly.
+        // FileContext.rename(OVERWRITE) is atomic where the FS supports
+        // it (HDFS, local) and throws loudly where it does not.
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.getUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(fs.makeQualified(tmp), fs.makeQualified(marker),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         doomed.foreach { v =>
           fs.delete(new org.apache.hadoop.fs.Path(versionPath(root, v)), true)
         }

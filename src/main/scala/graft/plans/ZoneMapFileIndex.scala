@@ -316,8 +316,15 @@ final class TransparentZoneMapFileIndex(
     * [[losslessCast]] rejects is left unrecognized (unit kept). */
   private def attrOf(e: Expression): Option[String] = e match {
     case a: AttributeReference if comparableType(a.dataType) => Some(a.name)
+    // comparableType guards the Cast branch too: losslessCast's
+    // identity case would otherwise admit an identity cast over a
+    // non-binary-collated string column (SimplifyCasts normally
+    // removes those, but this index must not depend on an optimizer
+    // rule for soundness) and prune it with UTF8-binary envelope
+    // ordering.
     case Cast(a: AttributeReference, t, _, _)
-        if losslessCast(a.dataType, t) => Some(a.name)
+        if comparableType(a.dataType) && losslessCast(a.dataType, t) =>
+      Some(a.name)
     case _ => None
   }
 
@@ -456,6 +463,12 @@ final class TransparentZoneMapFileIndex(
         attrOf(a).zip(toB(v)).map { case (c, b) => one(c, Some(b), Some(b)) }.toSeq
       case EqualNullSafe(Literal(v, _), a) if v != null =>
         attrOf(a).zip(toB(v)).map { case (c, b) => one(c, Some(b), Some(b)) }.toSeq
+      // a <=> NULL is EXACTLY a IS NULL — zero-null units cannot
+      // serve it (same NeedsNull rule; count-less tables keep)
+      case EqualNullSafe(a, Literal(null, _)) =>
+        attrOf(a).toSeq.map(c => NeedsNull(c): Req)
+      case EqualNullSafe(Literal(null, _), a) =>
+        attrOf(a).toSeq.map(c => NeedsNull(c): Req)
       // IN-lists prune per VALUE up to a size cap (one point interval
       // per member - a chunk lying BETWEEN two sparse members drops);
       // above the cap the value hull bounds them (wider, still sound)
@@ -518,6 +531,15 @@ final class TransparentZoneMapFileIndex(
         attrOf(a).toSeq.map(c => one(c, None, None))
       case IsNotNull(a) => // ¬(a IS NOT NULL) = a IS NULL
         attrOf(a).toSeq.map(c => NeedsNull(c): Req)
+      // ¬(a <=> NULL) is EXACTLY a IS NOT NULL (false for null rows,
+      // true otherwise) — the unbounded range drops all-NULL chunks.
+      // ¬(a <=> v) for non-null v stays UNRECOGNIZED: its truth
+      // includes NULL rows, which Ranges' null-rejecting contract
+      // cannot represent.
+      case EqualNullSafe(a, Literal(null, _)) =>
+        attrOf(a).toSeq.map(c => one(c, None, None))
+      case EqualNullSafe(Literal(null, _), a) =>
+        attrOf(a).toSeq.map(c => one(c, None, None))
       // comparison complements: ¬(a > v) = a <= v, ¬(a >= v) = a < v
       // (open), etc — attribute-first forms
       case GreaterThan(a, Literal(v, _)) =>

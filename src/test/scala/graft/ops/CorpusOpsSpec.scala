@@ -467,6 +467,66 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(drift > 1.5, s"reported drift $drift should exceed the gate")
   }
 
+  test("stored quantizer state: the frozen path equals ivfpqIncremental bit-for-bit and NEVER reads stored vectors") {
+    // The round-17 cost-shape fix: trainQuantizer persists the frozen
+    // state once; ivfpqEncodeStored / retrainIfDriftedStored consume
+    // it with batch-bounded work. Two pins here: (1) given a state
+    // trained on the same train corpus and a stored index covering it,
+    // the batch output — cid, d2c, code_sum AND the drift ratio (whose
+    // denominator now comes from the stored index's persisted d2c
+    // column) — is bit-identical to the self-contained
+    // ivfpqIncremental; (2) the below-gate arm provably never touches
+    // stored VECTORS: we hand it a poisoned stored-vector table whose
+    // scan raise_errors, and the frozen commit still collects.
+    import org.apache.spark.sql.functions._
+    implicit val scope: CacheScope = CacheScope.sessionOwned
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val train = e.filter(col("vec_id") < 400).select("vec_id", "embedding")
+    val batch = e.filter(col("vec_id") >= 400).select("vec_id", "embedding")
+    val state = CorpusOps.trainQuantizer(train)
+    val storedIndex = CorpusOps.ivfpqEncodeAll(state, train)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(CorpusOps.ivfpqEncodeStored(state, storedIndex, batch))
+        == rows(CorpusOps.ivfpqIncremental(train, batch)),
+      "stored-state frozen path diverged from the self-contained incremental path")
+    val poisoned = train.withColumn("embedding",
+      expr("transform(embedding, e -> " +
+        "cast(raise_error('frozen path scanned stored vectors') as double))"))
+      .select("vec_id", "embedding")
+    val (frozen, trig, stateOut) = CorpusOps.retrainIfDriftedStored(
+      state, storedIndex, poisoned, batch, driftThreshold = 1.5)
+    assert(!trig, "in-distribution batch must not trip the stored-state gate")
+    assert(rows(frozen) == rows(CorpusOps.ivfpqIncremental(train, batch)),
+      "below-gate stored-state commit diverged (or the poison proves nothing)")
+    assert(stateOut eq state, "the frozen path must hand back the UNCHANGED state")
+  }
+
+  test("retrainIfDriftedStored: past the gate the commit AND the returned state equal the self-contained re-train") {
+    import org.apache.spark.sql.functions._
+    implicit val scope: CacheScope = CacheScope.sessionOwned
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val train = e.filter(col("vec_id") < 400).select("vec_id", "embedding")
+    val scaled = e.filter(col("vec_id") >= 400).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double) * 2)").as("embedding"))
+    val state = CorpusOps.trainQuantizer(train)
+    val storedIndex = CorpusOps.ivfpqEncodeAll(state, train)
+    val (stored, trig, newState) = CorpusOps.retrainIfDriftedStored(
+      state, storedIndex, train, scaled, driftThreshold = 1.5)
+    assert(trig, "the scaled batch must trip the stored-state gate")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val (legacy, trigL) = CorpusOps.retrainIfDrifted(train, scaled, 1.5)
+    assert(trigL)
+    assert(rows(stored) == rows(legacy),
+      "stored-state re-train commit diverged from retrainIfDrifted (incl. drift)")
+    // the returned state re-derives the committed index: a consumer
+    // persisting (index, state) can serve later frozen batches from it
+    assert(rows(CorpusOps.ivfpqEncodeAll(newState, train.unionByName(scaled)))
+        == rows(stored.drop("drift")),
+      "re-encoding the grown corpus with the RETURNED state diverged from the commit")
+  }
+
   test("retrainIfDrifted: an EMPTY batch never triggers (NULL drift ratio takes the frozen path)") {
     import org.apache.spark.sql.functions._
     implicit val scope: CacheScope = CacheScope.sessionOwned

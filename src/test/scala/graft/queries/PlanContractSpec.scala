@@ -1380,6 +1380,36 @@ class PlanContractSpec extends AnyFunSuite {
       "a count-less zone table must not prune under IS NULL")
   }
 
+  test("zone index: a <=> NULL prunes like IS NULL, and NOT(a <=> NULL) drops all-NULL chunks") {
+    // The round-16 advisory closed: `a <=> NULL` is EXACTLY IS NULL
+    // (NeedsNull — zero-null units drop under nc_ counts) and its
+    // negation is EXACTLY IS NOT NULL (the unbounded range — all-NULL
+    // chunks drop). `¬(a <=> v)` for non-null v stays unrecognized:
+    // its truth includes NULL rows.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullsafe").toString
+    // chunk c001 is ALL null; the rest have zero nulls
+    val df = spark.range(0, 400).select(col("id"),
+      when(expr("id div 100") === 1, lit(null).cast("long"))
+        .otherwise(col("id")).as("v"),
+      format_string("c%03d", expr("id div 100")).as("chunk"))
+    graft.ops.Layout.writeClustered(df, dir, "chunk")
+    val total = spark.read.parquet(dir).inputFiles.length.toLong
+    val counted = df.groupBy("chunk").agg(
+      min("v").as("mn_v"), max("v").as("mx_v"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("nc_v"),
+      count(lit(1)).as("rc_v"))
+    def table() = graft.ops.Layout.zoneMapRead(spark, dir, counted, "chunk", Seq("v"))
+    val eqNull = table().filter(col("v") <=> lit(null))
+    assert(eqNull.count() == 100, "a <=> NULL row set changed under count pruning")
+    assert(scannedFilesOf(table().filter(col("v") <=> lit(null))) < total,
+      "a <=> NULL did not drop zero-null chunks despite nc_ stats")
+    val neNull = table().filter(!(col("v") <=> lit(null)))
+    assert(neNull.count() == 300, "NOT(a <=> NULL) row set changed under pruning")
+    assert(scannedFilesOf(table().filter(!(col("v") <=> lit(null)))) < total,
+      "NOT(a <=> NULL) did not drop the all-NULL chunk")
+  }
+
   test("zone index: a ROUNDING cast (long->double) never prunes — its image can land ON a bound the exact value sits past") {
     // Spark's Cast.canUpCast admits long->double (and int/long->float),
     // which round: double(2^53+1) == 2^53, so the row SATISFIES

@@ -1936,6 +1936,119 @@ class StreamingTckSpec extends AnyFunSuite {
       "replayed re-train diverged from the committed index")
   }
 
+  // --------------------------------------------------------------- T29b
+  test("T29b: STORED quantizer lifecycle — frozen state is a committed snapshot member, below-gate batches cost batch-only work, replay re-derives state and index") {
+    // T29 with the round-16 cost-shape weakness fixed: the frozen
+    // IVF-PQ quantizer (coarse centroids + residual codebook) is a
+    // versioned snapshot MEMBER, trained once, consumed frozen by
+    // every ingest batch via CorpusOps.retrainIfDriftedStored. A
+    // below-gate commit computes batch-bounded work only (the drift
+    // denominator is an aggregate over the stored index's persisted
+    // d2c column — no stored vector is re-scored; CorpusOpsSpec pins
+    // that with a poisoned table) and re-commits the UNCHANGED state;
+    // a drifted commit re-trains and commits the NEW state. Replay
+    // from any retained snapshot re-derives decision, index, and
+    // state bit-for-bit.
+    import org.apache.spark.sql.DataFrame
+    import graft.ops.{CacheScope, CorpusOps}
+    import graft.ops.CorpusOps.QuantizerState
+    val root = Files.createTempDirectory("retrain-st").toString
+    val ck = Files.createTempDirectory("retrain-st-ck").toString
+    def vec(i: Long, scale: Double): Seq[Double] =
+      Seq.tabulate(8)(d => scale * (((i + 1) * (d + 1)) % 5 + 1).toDouble)
+    val (nlist, m, subDim, k, iters) = (2, 2, 4, 2, 1)
+    implicit val scope: CacheScope = CacheScope.sessionOwned
+    // v0: corpus + ONE paid-up-front quantizer train + full index
+    val v0 = (0L until 8L).map(i => (i, vec(i, 1.0))).toDF("vec_id", "embedding")
+    val out0 = graft.ops.TableOps.versionPath(root, 0L)
+    v0.coalesce(1).write.parquet(s"$out0/vectors")
+    val st0 = CorpusOps.trainQuantizer(v0, nlist, m, subDim, k, iters)
+    CorpusOps.ivfpqEncodeAll(st0, v0, m, subDim)
+      .coalesce(1).write.parquet(s"$out0/index")
+    st0.cents.coalesce(1).write.parquet(s"$out0/quant_cents")
+    st0.codebook.coalesce(1).write.parquet(s"$out0/quant_cb")
+    def step(sp: org.apache.spark.sql.SparkSession, prior: String,
+             batch: DataFrame): (DataFrame, Boolean, QuantizerState) = {
+      val state = QuantizerState(sp.read.parquet(s"$prior/quant_cents"),
+        sp.read.parquet(s"$prior/quant_cb"))
+      CorpusOps.retrainIfDriftedStored(state,
+        sp.read.parquet(s"$prior/index"),
+        sp.read.parquet(s"$prior/vectors"), batch,
+        driftThreshold = 3.0, nlist, m, subDim, k, iters)(CacheScope.sessionOwned)
+    }
+    val in = MemoryStream[(Long, Seq[Double])](spark)
+    def start() = in.toDF().toDF("vec_id", "embedding")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        val prior = graft.ops.TableOps.versionPath(root,
+          graft.ops.TableOps.resolveVersion(sp, root, id))
+        val priorIndex = sp.read.parquet(s"$prior/index")
+        val (delta, retrained, stateOut) = step(sp, prior, batch)
+        val out = graft.ops.TableOps.versionPath(root, id + 1)
+        // frozen commit = stored index rows + the batch delta (an
+        // APPEND on a real table — the rewrite here is fixture-sized
+        // test plumbing); retrain commit = the full re-encoded index
+        val index =
+          if (retrained) delta
+          else priorIndex.withColumn("drift", lit(null).cast("double"))
+            .unionByName(delta)
+        index.coalesce(1).write.mode("overwrite").parquet(s"$out/index")
+        sp.read.parquet(s"$prior/vectors").unionByName(batch)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/vectors")
+        stateOut.cents.coalesce(1).write.mode("overwrite")
+          .parquet(s"$out/quant_cents")
+        stateOut.codebook.coalesce(1).write.mode("overwrite")
+          .parquet(s"$out/quant_cb")
+        Seq(Tuple1(retrained)).toDF("retrained")
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/flag")
+      }.start()
+    def flag(v: Long): Boolean =
+      spark.read.parquet(s"$root/v=$v/flag").head().getBoolean(0)
+    def rowsOf(path: String): Set[String] =
+      spark.read.parquet(path).collect().map(_.toString).toSet
+    val q1 = start()
+    // batch 0: in-distribution -> frozen commit, state re-committed unchanged
+    in.addData((10L, vec(10L, 1.0)), (11L, vec(11L, 1.0)))
+    q1.processAllAvailable(); q1.stop()
+    assert(!flag(1L), "in-distribution batch must commit the FROZEN index")
+    val idx1 = spark.read.parquet(s"$root/v=1/index")
+    assert(idx1.filter(col("drift").isNotNull)
+        .select("vec_id").collect().map(_.getLong(0)).toSet == Set(10L, 11L),
+      "frozen commit's DELTA must be the batch rows only")
+    assert(idx1.select("vec_id").collect().map(_.getLong(0)).toSet
+        == ((0L until 8L).toSet ++ Set(10L, 11L)),
+      "frozen commit must carry stored + batch index rows")
+    assert(rowsOf(s"$root/v=1/quant_cents") == rowsOf(s"$root/v=0/quant_cents")
+        && rowsOf(s"$root/v=1/quant_cb") == rowsOf(s"$root/v=0/quant_cb"),
+      "a frozen commit must re-commit the quantizer state UNCHANGED")
+    // batch 1 (restart): x5 scale blows the 3.0 gate -> re-train commit
+    val q2 = start()
+    in.addData((20L, vec(20L, 5.0)), (21L, vec(21L, 5.0)))
+    q2.processAllAvailable(); q2.stop()
+    assert(flag(2L), "the drifted batch must trip the re-train gate")
+    assert(spark.read.parquet(s"$root/v=2/index")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+        == ((0L until 8L).toSet ++ Set(10L, 11L, 20L, 21L)),
+      "a re-train must re-encode EVERY vector")
+    assert(rowsOf(s"$root/v=2/quant_cents") != rowsOf(s"$root/v=1/quant_cents"),
+      "a re-train must commit NEW coarse centroids")
+    // replay: batch 1 re-derived from the v=1 snapshot reproduces the
+    // v=2 commit — decision, index rows, AND state members
+    val batch1 = Seq((20L, vec(20L, 5.0)), (21L, vec(21L, 5.0)))
+      .toDF("vec_id", "embedding")
+    val (reIdx, reTrig, reState) =
+      step(spark, graft.ops.TableOps.versionPath(root, 1L), batch1)
+    assert(reTrig, "replayed batch must re-derive the SAME trigger decision")
+    assert(reIdx.collect().map(_.toString).toSet == rowsOf(s"$root/v=2/index"),
+      "replayed re-train index diverged from the committed one")
+    assert(reState.cents.collect().map(_.toString).toSet
+        == rowsOf(s"$root/v=2/quant_cents")
+      && reState.codebook.collect().map(_.toString).toSet
+        == rowsOf(s"$root/v=2/quant_cb"),
+      "replayed re-train STATE diverged from the committed members")
+  }
+
   // ------------------------------------------- L-ops over the stream
   test("corpus ingest: quality gate + in-stream exact dedup over the message source") {
     // The L-battery's cleanup stages composed onto the streaming layer:
