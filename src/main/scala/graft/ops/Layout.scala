@@ -329,11 +329,15 @@ object Layout {
     }
     val haveCounts = cols.map(c => c ->
       (zones.columns.contains(s"nc_$c") && zones.columns.contains(s"rc_$c"))).toMap
+    // envelope columns of NESTED stats carry the dotted path in their
+    // NAME (mn_provider.published_ts) — backtick so col() never
+    // re-parses the dot as struct access on the zone table itself
+    def zc(n: String) = col(s"`$n`")
     val sel = col(keyCol).cast("string").as("_ck") +:
       cols.flatMap { c =>
-        Seq(col(s"mn_$c"), col(s"mx_$c")) ++
+        Seq(zc(s"mn_$c"), zc(s"mx_$c")) ++
           (if (haveCounts(c))
-            Seq(col(s"nc_$c").cast("long"), col(s"rc_$c").cast("long"))
+            Seq(zc(s"nc_$c").cast("long"), zc(s"rc_$c").cast("long"))
           else Seq.empty)
       }
     val rows = zones.select(sel: _*).collect()

@@ -314,18 +314,36 @@ final class TransparentZoneMapFileIndex(
     * cast — double→int truncation, long→double rounding — is NOT
     * monotone-invertible against the raw-column envelope, so anything
     * [[losslessCast]] rejects is left unrecognized (unit kept). */
+  /** The column a predicate binds: a bare attribute, or a
+    * [[GetStructField]] chain over one — keyed by DOTTED path
+    * (`provider.published_ts`), the Delta/Iceberg nested-stats
+    * convention. Envelope columns are named `mn_<dotted path>`
+    * ([[graft.ops.Layout.fileZones]] emits them for dotted `cols`
+    * entries), and NULL semantics compose exactly: a NULL struct
+    * makes every field NULL, which is what `min`/`count` over the
+    * nested value see when the envelope is built. A flat column whose
+    * NAME contains a literal dot is outside this convention. */
+  private def baseOf(e: Expression)
+    : Option[(String, org.apache.spark.sql.types.DataType)] = e match {
+    case a: AttributeReference => Some((a.name, a.dataType))
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      baseOf(g.child).map { case (p, _) =>
+        (p + "." + g.extractFieldName, g.dataType) }
+    case _ => None
+  }
+
   private def attrOf(e: Expression): Option[String] = e match {
-    case a: AttributeReference if comparableType(a.dataType) => Some(a.name)
     // comparableType guards the Cast branch too: losslessCast's
     // identity case would otherwise admit an identity cast over a
     // non-binary-collated string column (SimplifyCasts normally
     // removes those, but this index must not depend on an optimizer
     // rule for soundness) and prune it with UTF8-binary envelope
     // ordering.
-    case Cast(a: AttributeReference, t, _, _)
-        if comparableType(a.dataType) && losslessCast(a.dataType, t) =>
-      Some(a.name)
-    case _ => None
+    case Cast(c, t, _, _) =>
+      baseOf(c).collect {
+        case (p, dt) if comparableType(dt) && losslessCast(dt, t) => p }
+    case other =>
+      baseOf(other).collect { case (p, dt) if comparableType(dt) => p }
   }
 
   private def toB(v: Any): Option[ZBound] = ZBound.of(v)

@@ -4876,6 +4876,69 @@ object Relational {
     },
     Some(q130Sql))
 
+  // NESTED-field zone envelopes (q135): a message-shaped table's
+  // natural filter is a STRUCT leaf (provider.published_ts — the
+  // enriched message schema of SURVEY §1.2), and Delta/Iceberg both
+  // collect footer stats for nested leaves. The transparent index
+  // recognizes GetStructField chains keyed by DOTTED path, the zone
+  // table carries mn_/mx_/nc_/rc_ under the dotted name, and a pushed
+  // range on the nested timestamp drops month chunks at listing time
+  // with zero zone-aware call-site code (the q126 contract at a
+  // nested leaf). NULL composition is exact: a NULL struct nulls
+  // every leaf, which is precisely what min/count over the nested
+  // value saw at envelope-build time. ORACLE = the flat-scan
+  // equivalent off lineitem; PlanContractSpec pins numFiles.
+  private val q135Col = "provider.published_ts"
+  private def q135Data(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("chunk", monthYmChunk)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        struct(col("l_shipdate").as("published_ts"),
+          col("l_suppkey").as("source")).as("provider"),
+        col("chunk"))
+  private def q135Zones(ch: DataFrame): DataFrame =
+    ch.groupBy("chunk").agg(
+      min(col(q135Col)).as(s"mn_$q135Col"),
+      max(col(q135Col)).as(s"mx_$q135Col"),
+      sum(when(col(q135Col).isNull, 1L).otherwise(0L)).as(s"nc_$q135Col"),
+      count(lit(1)).as(s"rc_$q135Col"))
+  private def q135Read(s: SparkSession, path: String, zones: DataFrame): DataFrame =
+    graft.ops.Layout.zoneMapRead(s, path, zones, "chunk", Seq(q135Col))
+      .filter(col(q135Col).between(
+        to_date(lit("1996-03-01")), to_date(lit("1996-08-31"))))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col(q135Col).as("published_ts"),
+        col("provider.source").as("source"))
+      .orderBy("l_orderkey", "l_linenumber", "published_ts", "source")
+  private val q135Sql =
+    """SELECT l_orderkey, l_linenumber, l_shipdate AS published_ts,
+      |       l_suppkey AS source
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN DATE '1996-03-01' AND DATE '1996-08-31'
+      |ORDER BY l_orderkey, l_linenumber, published_ts, source""".stripMargin
+
+  private val q135 = QueryDef(
+    "q135_zonemap_nested_read",
+    (s, dir) => {
+      val ch = q135Data(s, dir)
+      val path = scratchDir("q135")
+      graft.ops.Layout.writeClustered(ch, path, "chunk")
+      q135Read(s, path, q135Zones(ch))
+    },
+    Some(q135Sql))
+
+  private val q135apply = QueryDef(
+    "q135_zonemap_nested_read_apply",
+    (s, dir) => {
+      val root = persistedZoneFixture(s, dir, "q135", "r1") { r =>
+        val ch = q135Data(s, dir)
+        graft.ops.Layout.writeClustered(ch, s"$r/table", "chunk")
+        q135Zones(ch).write.mode("overwrite").parquet(s"$r/zones")
+      }
+      q135Read(s, s"$root/table", s.read.parquet(s"$root/zones"))
+    },
+    Some(q135Sql))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -4888,6 +4951,6 @@ object Relational {
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133,
-    q134, q121apply, q126apply, q127apply, q128apply, q129apply, q130apply,
-    q131apply, q132apply, q133apply, q134apply)
+    q134, q135, q121apply, q126apply, q127apply, q128apply, q129apply, q130apply,
+    q131apply, q132apply, q133apply, q134apply, q135apply)
 }

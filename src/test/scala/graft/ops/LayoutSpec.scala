@@ -70,6 +70,42 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("fileZones over a NESTED struct leaf: dotted-path envelopes prune files, IS NULL prunes off nc_ counts") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fznest").toString
+    // 8 range-packed plain files; nested leaf m.v mirrors id, and the
+    // leaf is NULL only in the last file's range
+    spark.range(0, 800)
+      .select(col("id"), struct(
+        when(col("id") >= 700, lit(null).cast("long"))
+          .otherwise(col("id")).as("v"),
+        lit("s").as("tag")).as("m"))
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+    val zones = Layout.fileZones(spark, dir, Seq("m.v"))
+    assert(Seq("mn_m.v", "mx_m.v", "nc_m.v", "rc_m.v")
+        .forall(zones.columns.contains),
+      s"fileZones did not emit dotted-path stats: ${zones.columns.mkString(", ")}")
+    def table() = Layout.zoneMapReadFiles(spark, dir, zones, "file", Seq("m.v"))
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value }.sum
+    }
+    val total = spark.read.parquet(dir).inputFiles.length.toLong
+    // a pushed range on the nested leaf keeps only intersecting files
+    val r = table().filter(col("m.v").between(200L, 299L))
+    assert(r.count() == 100)
+    assert(scanned(table().filter(col("m.v").between(200L, 299L))) < total,
+      "nested-leaf range did not prune files")
+    // IS NULL on the leaf prunes zero-null files off the emitted counts
+    val n = table().filter(col("m.v").isNull)
+    assert(n.count() == 100)
+    assert(scanned(table().filter(col("m.v").isNull)) < total,
+      "nested-leaf IS NULL did not consume nc_ counts")
+  }
+
   test("compactFileZones drops exactly the vanished-file rows — compacted == fileZones rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cfz").toString
     spark.range(0, 800).toDF("id")

@@ -535,6 +535,9 @@ class PlanContractSpec extends AnyFunSuite {
       "q133_zonemap_notin_read", // the q127 class (same fixture)
       "q134_zonemap_zorder_files_read", // the q128 class with a
       // Morton-range-packed plain write + per-file envelope collect
+      "q135_zonemap_nested_read", // the q126 class at a nested struct
+      // leaf (clustered write + dotted-path envelope collect)
+      "q135_zonemap_nested_read_apply", // the _apply class of q135
       "q131_zonemap_nullcount_read_apply", // the _apply class: first
       "q132_zonemap_notbetween_read_apply", // call per fingerprint
       "q133_zonemap_notin_read_apply", // builds + persists; later
@@ -1565,6 +1568,19 @@ class PlanContractSpec extends AnyFunSuite {
     // partitioning anywhere
     assert(scanned >= 1 && scanned <= 6,
       s"z-order file skipping scanned $scanned of 16 files")
+  }
+
+  test("q135: a pushed range on a NESTED struct leaf prunes month chunks off dotted-path envelopes") {
+    spark.sharedState.cacheManager.clearCache()
+    val df = SparkEntry.queries("q135_zonemap_nested_read")(spark, SparkFixture.sfDir)
+    df.collect()
+    val scans = fileScansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan in the q135 plan")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    // provider.published_ts spans ~83 month chunks; the 6-month BETWEEN
+    // must keep only the intersecting chunks at listing time
+    assert(scanned >= 1 && scanned <= 8,
+      s"nested-leaf pruning scanned $scanned files — GetStructField did not prune")
   }
 
   test("zone index: file-level IS NULL prunes off fileZones' emitted counts; oversized NOT IN keeps everything") {
