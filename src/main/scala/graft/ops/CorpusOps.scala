@@ -1812,6 +1812,37 @@ object CorpusOps {
     }
   }
 
+  /** FILTERED ANN search — "top-k among vectors WHERE <metadata
+    * predicate>", the retrieval shape every production vector store
+    * serves (FAISS `IDSelector`, pgvector's WHERE, Milvus scalar
+    * filtering): the predicate's survivor KEYS semi-join the IVF probe
+    * candidates BEFORE any scoring, so the exact cosine re-rank
+    * touches only allowed candidates. The composition order is the
+    * point — score-then-post-filter returns FEWER than k rows
+    * whenever the filter bites inside the top-k, and filtering the
+    * corpus before indexing would need an index per predicate.
+    *
+    * Recall caveat (documented, AnnSpec pins the floor): with a
+    * selective filter the nprobe probed lists may hold fewer than k
+    * survivors — recall is measured against the FILTERED brute force,
+    * and a production deployment raises nprobe as selectivity grows
+    * (the FAISS guidance for selector searches).
+    *
+    * Scale shape: `allowed` is a (vec_id) key set — it moves as a
+    * semi-join build side, never the vectors; candidates stay
+    * ~nprobe/nlist of the corpus and only shrink under the filter;
+    * the re-rank is candidate-bounded exact cosine ([[refine]]).
+    * Output (qid, rn, vid, simr) ranked on round(cos, 6), vid
+    * tie-break. */
+  def ivfFilteredTopK(vecs: DataFrame, queries: DataFrame,
+                      allowed: DataFrame,
+                      nlist: Int = 32, nprobe: Int = 4,
+                      topK: Int = 10): DataFrame =
+    refine(
+      ivfCandidates(vecs, queries, nlist, nprobe)
+        .join(allowed.select(col("vec_id").as("vid")), Seq("vid"), "left_semi"),
+      vecs, queries, topK)
+
   /** Exact re-rank refine — the recall-restoring final hop every
     * production ANN serves (FAISS IndexRefine): take the top-R
     * candidate set from ANY index (R·|queries| rows — candidate-

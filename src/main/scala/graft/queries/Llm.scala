@@ -1586,6 +1586,55 @@ object Llm {
                   FROM adc)
             SELECT qid, rn, vid, adr FROM r WHERE rn <= 10 ORDER BY qid, rn"""))
 
+  // FILTERED ANN (l3_ann_filtered): "top-k among vectors WHERE
+  // <metadata predicate>" — the FAISS-IDSelector / pgvector-WHERE
+  // retrieval shape. The label predicate's survivor keys semi-join
+  // the IVF probe candidates BEFORE the exact cosine re-rank
+  // (CorpusOps.ivfFilteredTopK): candidate-bounded, and never the
+  // score-then-post-filter spelling that returns < k rows when the
+  // filter bites inside the top-k. The oracle replays the identical
+  // two-stage algorithm with the filter in the candidate join; recall
+  // vs the FILTERED brute force is floored in QueriesSpec (the
+  // documented caveat: selective filters thin the probed lists — a
+  // production deployment raises nprobe with selectivity).
+  private val l3filtered = QueryDef(
+    "l3_ann_filtered",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val allowed = e.filter(col("label").isin(2, 5, 7)).select("vec_id")
+      graft.ops.CorpusOps.ivfFilteredTopK(e, q, allowed).orderBy("qid", "rn")
+    },
+    Some("""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                              CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+            cd AS (SELECT a.vec_id AS vid, c.vec_id AS cid,
+                          round(SUM((a.v - c.v) * (a.v - c.v)), 6) AS d2c
+                   FROM x a JOIN x c ON c.d = a.d AND c.vec_id < 32
+                   GROUP BY a.vec_id, c.vec_id),
+            assign AS (SELECT vid, cid FROM (
+                   SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2c, cid) AS rn
+                   FROM cd) WHERE rn = 1),
+            probes AS (SELECT vid AS qid, cid FROM (
+                   SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d2c, cid) AS rn
+                   FROM cd WHERE vid IN (0, 1, 2)) WHERE rn <= 4),
+            al AS (SELECT vec_id FROM embeddings WHERE label IN (2, 5, 7)),
+            cand AS (SELECT DISTINCT p.qid, a.vid FROM probes p
+                     JOIN assign a ON a.cid = p.cid
+                     JOIN al ON al.vec_id = a.vid
+                     WHERE a.vid != p.qid),
+            n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+            dp AS (SELECT c.qid, c.vid, SUM(xa.v * xb.v) AS dot
+                   FROM cand c JOIN x xa ON xa.vec_id = c.qid
+                   JOIN x xb ON xb.vec_id = c.vid AND xb.d = xa.d
+                   GROUP BY c.qid, c.vid),
+            sdf AS (SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS simr
+                    FROM dp JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid),
+            rr AS (SELECT qid, vid, simr,
+                          row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vid) AS rn
+                   FROM sdf)
+            SELECT qid, rn, vid, simr FROM rr WHERE rn <= 10 ORDER BY qid, rn"""))
+
   // Residual-encoding IVF-PQ (the full FAISS IVFADC, Jégou et al.
   // TPAMI'11 §IV): vectors PQ-coded as residuals against their coarse
   // centroid, codebook Lloyd-trained ON the residuals, and the query
@@ -5965,7 +6014,7 @@ object Llm {
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
-    l4bpeBatch, l3incr, l3retrain, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
+    l4bpeBatch, l3incr, l3retrain, l3filtered, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
     l4ug, l4ugEnc, l3graphSearch, l3hnsw, l3hnswIncr, l3annCompact,
     l2incrDelete, l3annDelete, l4classifierTrain, l4bm25, l4bm25Maintain,
     l4bm25Incremental, l6cascadeDelete, l6cascadeInsert,

@@ -45,6 +45,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(km >= 0.1, s"ivf_kmeans recall collapsed: $km")
   }
 
+  test("filtered ann: every hit satisfies the predicate, and recall vs the FILTERED brute force holds the floor") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables(spark, SparkFixture.sfDir, "embeddings")
+    val allowedIds = e.filter(col("label").isin(2, 5, 7))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ann = SparkEntry.queries("l3_ann_filtered")(spark, SparkFixture.sfDir)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ann.nonEmpty, "filtered ann returned nothing")
+    assert(ann.forall { case (_, v) => allowedIds.contains(v) },
+      "a filtered-ann hit violates the metadata predicate")
+    // FILTERED brute force: exact cosine top-10 among allowed vectors
+    // only — the correct recall reference for a selector search
+    val q = e.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val cand = e.filter(col("label").isin(2, 5, 7))
+      .select(col("vec_id").as("vid"))
+      .crossJoin(q.select("qid"))
+      .filter(col("vid") =!= col("qid"))
+    val bf = graft.ops.CorpusOps.refine(cand, e, q, topK = 10)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = ann.toSet
+    val rec = (bf & hit).size.toDouble / bf.size
+    info(s"filtered recall@10: $rec (allowed ${allowedIds.size} vectors)")
+    // the fixture's near-random embeddings bound probed ANN recall
+    // (the l3_ann_ivf floor class); the filter thins the probed lists
+    // further — the floor is deliberately data-limited, not 1.0
+    assert(rec >= 0.1, s"filtered-ann recall collapsed: $rec")
+  }
+
   test("knn graph: every vector gets exactly 5 ranked neighbors, none itself") {
     val g = SparkEntry.queries("l3_knn_graph")(spark, SparkFixture.sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
