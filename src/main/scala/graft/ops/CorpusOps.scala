@@ -1843,6 +1843,36 @@ object CorpusOps {
         .join(allowed.select(col("vec_id").as("vid")), Seq("vid"), "left_semi"),
       vecs, queries, topK)
 
+  /** Reciprocal-rank FUSION (RRF — Cormack, Clarke & Buettcher,
+    * SIGIR'09): the standard hybrid-retrieval composition (BM25 +
+    * vector, the RAG default) that needs no score calibration — each
+    * ranking contributes 1/(k + rank) per item and the sums re-rank.
+    * Contributions here are EXACT INTEGERS, floor(10^12 / (k + rank))
+    * summed as BIGINT, so the fused ordering is bit-stable across
+    * engines and partitionings (a double 1/(60+r) sum would invite
+    * reassociation ulps into tie territory); ties break on id.
+    *
+    * Scale shape: inputs are top-N lists — already retrieval-bounded
+    * (N·|rankings| rows), so the fusion is a metadata-sized union +
+    * one tiny aggregate; the heavy lifting stays in the per-modality
+    * retrievers. Input: each DataFrame (id, rank) with rank >= 1.
+    * Output (rnk, id, rrf, n_lists) — rrf in the 10^12 integer scale,
+    * n_lists = how many rankings surfaced the id (the agreement
+    * signal RRF rewards). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 0, s"RRF constant must be non-negative (got $k)")
+    val contribs = rankings.map(_.select(col("id"),
+      expr(s"1000000000000 div ($k + `rank`)").as("c")))
+    val w = Window.orderBy(col("rrf").desc, col("id").asc)
+    contribs.reduce(_.unionByName(_))
+      .groupBy("id").agg(sum(col("c")).as("rrf"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col("id").asc).limit(topK)
+      .withColumn("rnk", row_number().over(w))
+      .select("rnk", "id", "rrf", "n_lists").orderBy("rnk")
+  }
+
   /** Exact re-rank refine — the recall-restoring final hop every
     * production ANN serves (FAISS IndexRefine): take the top-R
     * candidate set from ANY index (R·|queries| rows — candidate-

@@ -3636,6 +3636,38 @@ object Llm {
            |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id, score
            |FROM top ORDER BY rnk""".stripMargin))
 
+  // HYBRID RETRIEVAL FUSION (l3_hybrid_rrf): reciprocal-rank fusion
+  // of the lexical (l4_bm25 top-20) and vector (l3_knn_bruteforce,
+  // query 0, top-10) rankings — the standard RAG retrieval
+  // composition, score-calibration-free by construction. Contributions
+  // are EXACT integers (floor(10^12 / (60 + rank)), summed as BIGINT)
+  // so the fused order is bit-stable across engines; ties break on id.
+  // The ORACLE is the hand-unrolled two-ranking join over the SAME two
+  // oracle pipelines (embedded as nested CTE scopes), and QueriesSpec
+  // additionally pins the engine fusion == a driver-side unroll of the
+  // two engine rankings.
+  private val l3hybrid = QueryDef(
+    "l3_hybrid_rrf",
+    (s, dir) => {
+      val lex = l4bm25.run(s, dir)
+        .select(col("doc_id").as("id"), col("rnk").as("rank"))
+      val vec = l3.run(s, dir).filter(col("qid") === 0)
+        .select(col("vid").as("id"), col("rn").as("rank"))
+      graft.ops.CorpusOps.rrfFuse(Seq(lex, vec))
+    },
+    Some(s"""WITH bm AS (${l4bm25.oracle.get}),
+            |vq AS (SELECT vid, rn FROM (${l3.oracle.get}) WHERE qid = 0),
+            |contrib AS (
+            |  SELECT doc_id AS id, 1000000000000 // (60 + rnk) AS c FROM bm
+            |  UNION ALL
+            |  SELECT vid AS id, 1000000000000 // (60 + rn) AS c FROM vq),
+            |f AS (SELECT id, CAST(SUM(c) AS BIGINT) AS rrf,
+            |             CAST(count(*) AS BIGINT) AS n_lists
+            |      FROM contrib GROUP BY id),
+            |topf AS (SELECT id, rrf, n_lists FROM f ORDER BY rrf DESC, id LIMIT 10)
+            |SELECT row_number() OVER (ORDER BY rrf DESC, id) AS rnk, id, rrf, n_lists
+            |FROM topf ORDER BY rnk""".stripMargin))
+
   // INCREMENTAL BM25 STATISTICS (l4_bm25_maintain): the retrieval
   // index's statistics ARE linear aggregates — df per term is a count
   // of containing docs, N a count, avgdl a derived sum/count — so the
@@ -6014,7 +6046,7 @@ object Llm {
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
-    l4bpeBatch, l3incr, l3retrain, l3filtered, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
+    l4bpeBatch, l3incr, l3retrain, l3filtered, l3hybrid, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
     l4ug, l4ugEnc, l3graphSearch, l3hnsw, l3hnswIncr, l3annCompact,
     l2incrDelete, l3annDelete, l4classifierTrain, l4bm25, l4bm25Maintain,
     l4bm25Incremental, l6cascadeDelete, l6cascadeInsert,

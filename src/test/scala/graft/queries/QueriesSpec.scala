@@ -74,6 +74,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(rec >= 0.1, s"filtered-ann recall collapsed: $rec")
   }
 
+  test("hybrid rrf: the fused ranking equals the hand-unrolled two-ranking join, exactly") {
+    import org.apache.spark.sql.functions._
+    val lex = SparkEntry.queries("l4_bm25")(spark, SparkFixture.sfDir)
+      .select("doc_id", "rnk").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val vec = SparkEntry.queries("l3_knn_bruteforce")(spark, SparkFixture.sfDir)
+      .filter(col("qid") === 0)
+      .select("vid", "rn").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(lex.nonEmpty && vec.nonEmpty)
+    // hand-unrolled RRF: exact integer contributions, id tie-break
+    val expected = (lex ++ vec)
+      .map { case (id, r) => id -> (1000000000000L / (60L + r)) }
+      .groupBy(_._1).toSeq
+      .map { case (id, cs) => (id, cs.map(_._2).sum, cs.size.toLong) }
+      .sortBy { case (id, s, _) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s, n), i) => (i + 1, id, s, n) }
+    val got = SparkEntry.queries("l3_hybrid_rrf")(spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected,
+      s"fusion diverged from the hand-unrolled join:\n$got\nvs\n$expected")
+    // the agreement signal: at least one id must appear in both lists
+    // on this fixture, or the fusion degenerates to concatenation
+    assert(got.exists(_._4 == 2L) == (lex.map(_._1).toSet & vec.map(_._1).toSet).nonEmpty)
+  }
+
   test("knn graph: every vector gets exactly 5 ranked neighbors, none itself") {
     val g = SparkEntry.queries("l3_knn_graph")(spark, SparkFixture.sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
