@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -149,8 +149,22 @@ case class AutoSkewRule(spark: SparkSession) extends Rule[LogicalPlan]
       // exactly once; matched rows meet their dim row at exactly one
       // salt, as in the inner case. RIGHT/FULL outer are skipped: the
       // dim-side replication would multiply preserved right rows.
+      // LEFT SEMI/ANTI (r17): the dedup/exclusion shapes the L battery
+      // leans on (decontamination anti-joins under a hot gram key) —
+      // exactly the fact-preserved joins AQE's skew split misses
+      // (OptimizeSkewedJoin handles SMJ inner/outer; a broadcast-able
+      // exclusion list keeps the join a BHJ where one hot hash
+      // partition UPSTREAM still straggles, and a non-broadcast one
+      // shuffles on the hot key). Soundness is the same one-salt
+      // argument: a fact row carries ONE salt, the dim's key exists at
+      // that salt iff it exists at all (hot keys at every salt, cold
+      // at 0), and semi/anti emit each fact row at most once whatever
+      // the match count — so EXISTS/NOT-EXISTS per row is unchanged. A
+      // NULL fact key salts 0 and still never equals any dim key —
+      // anti keeps it, semi drops it, as the plain join does.
       case j @ Join(left, right, jt, Some(cond), _)
-          if joinOn && (jt == Inner || jt == LeftOuter) &&
+          if joinOn &&
+            (jt == Inner || jt == LeftOuter || jt == LeftSemi || jt == LeftAnti) &&
             j.getTagValue(rewrittenTag).isEmpty =>
         val conjuncts = splitConjunctivePredicates(cond)
         // first equi-conjunct whose LEFT(fact)-side attribute has a

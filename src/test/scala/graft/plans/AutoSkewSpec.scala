@@ -189,6 +189,53 @@ class AutoSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("left-semi/anti joins: hot fact keys salt, results bit-equal (the decontamination shape)") {
+    // the L-battery exclusion shape: fact semi/anti-joined against a
+    // key list under a hot key — fact-preserved, so the one-salt
+    // argument holds (a fact row meets the dim replica at its salt iff
+    // the key exists at all; semi/anti emit each fact row <= once)
+    def q(tpe: String) = {
+      val li = Tables(spark, SparkFixture.sfDir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice")
+      val su = Tables(spark, SparkFixture.sfDir, "supplier")
+        .filter(col("s_suppkey") % 2 === 0)
+        .select("s_suppkey")
+      li.join(su, col("l_suppkey") === col("s_suppkey"), tpe)
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).as("rev"),
+          count(lit(1)).as("n"))
+    }
+    def rows(tpe: String) = q(tpe).collect()
+      .map(r => (r.getLong(0), r.getDecimal(1), r.getLong(2))).toSet
+    val plainSemi = rows("left_semi")
+    val plainAnti = rows("left_anti")
+    assert(plainSemi.nonEmpty && plainAnti.nonEmpty,
+      "fixture must exercise both match and no-match keys")
+    val hot = graft.ops.SkewTools.hotKeyProfile(
+        Tables(spark, SparkFixture.sfDir, "lineitem"), "l_suppkey",
+        topK = 4, minSkew = 1.0)
+      .collect().map(_.getLong(0)).toSeq
+    spark.conf.set(AutoSkew.EnabledKey, "true")
+    AutoSkew.register(spark, "l_suppkey", hot, buckets = 4)
+    try {
+      val semiPlan = q("left_semi").queryExecution.optimizedPlan.toString
+      assert(semiPlan.contains("__graft_salt"), s"semi did not salt:\n$semiPlan")
+      assert(semiPlan.contains("LeftSemi"),
+        s"rewrite lost the semi join type:\n$semiPlan")
+      val antiPlan = q("left_anti").queryExecution.optimizedPlan.toString
+      assert(antiPlan.contains("__graft_salt"), s"anti did not salt:\n$antiPlan")
+      assert(antiPlan.contains("LeftAnti"),
+        s"rewrite lost the anti join type:\n$antiPlan")
+      assert(rows("left_semi") == plainSemi,
+        "salted semi result diverged from the plain join")
+      assert(rows("left_anti") == plainAnti,
+        "salted anti result diverged from the plain join")
+    } finally {
+      spark.conf.unset(AutoSkew.EnabledKey)
+      AutoSkew.unregister(spark, "l_suppkey")
+    }
+  }
+
   test("right/full outer joins: never rewritten (dim replication would multiply preserved rows)") {
     def ro() = {
       val li = Tables(spark, SparkFixture.sfDir, "lineitem")
