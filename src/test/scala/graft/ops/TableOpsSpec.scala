@@ -362,6 +362,43 @@ test("maintainAgg: merged deltas equal a full recompute, new keys included") {
     assert(TableOps.vacuumHorizon(spark, root).contains(7L))
   }
 
+  test("vacuum vs OPEN reader: losing a resolved version's files mid-scan fails LOUDLY, never as a silent empty result") {
+    // The operational contract (SCALING.md: single writer, vacuum
+    // keepFrom trails every reader's resolved version by the replay
+    // window): this spec pins what happens when the contract is
+    // VIOLATED — a reader that resolved version v and then loses v's
+    // files to a concurrent vacuum must surface an error, not an
+    // empty/partial result. Two reader shapes: a DataFrame whose file
+    // listing predates the vacuum (scan hits deleted files), and a
+    // fresh read of the vacuumed path (listing fails). Either way the
+    // failure is loud; a silent 0-count would fail this test.
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-vacrd").toString
+    Seq(0L, 1L, 2L).foreach { v =>
+      spark.range(100L * v, 100L * v + 100).toDF("k")
+        .coalesce(1).write.parquet(TableOps.versionPath(root, v))
+    }
+    val resolved = TableOps.resolveVersion(spark, root, 0L)
+    val openReader = spark.read.parquet(TableOps.versionPath(root, resolved))
+    assert(openReader.count() == 100) // the listing is bound pre-vacuum
+    assert(TableOps.vacuumVersions(spark, root, keepFrom = 2L) == Seq(0L, 1L))
+    // shape 1: the pre-vacuum listing scans deleted files -> loud
+    val e1 = intercept[Exception] { openReader.select(sum("k")).collect() }
+    val msg1 = (Iterator.iterate(e1: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.toString)).mkString(" | ")
+    assert(msg1.toLowerCase.contains("exist") ||
+        msg1.contains("FileNotFound"),
+      s"expected a missing-file failure, got: $msg1")
+    // shape 2: a fresh read of the vacuumed version's path -> loud
+    intercept[Exception] {
+      spark.read.parquet(TableOps.versionPath(root, 0L)).collect()
+    }
+    // and the RESOLUTION layer already refuses below the horizon
+    intercept[IllegalStateException] {
+      TableOps.resolveVersion(spark, root, 0L)
+    }
+  }
+
   test("vacuumVersions: keepFrom below every version is a no-op; an empty store resolves loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft-vac2").toString
     Seq((1L, "a")).toDF("k", "s").write.parquet(TableOps.versionPath(root, 5L))
