@@ -67,6 +67,9 @@ object Bench {
     "q131_zonemap_nullcount_read", "q132_zonemap_notbetween_read",
     "q133_zonemap_notin_read", "q134_zonemap_zorder_files_read",
     "l3_ann_retrain",
+    "q135_zonemap_nested_read", "q136_zonemap_bloom_read",
+    "l3_ann_filtered", "l3_hybrid_rrf",
+    "l3_ann_incremental_stored",
     // the _apply cells: a PRE-TIMED prewarm run builds + persists the
     // stored bundle/fixture once per testdata fingerprint, and all
     // three timed runs measure read-stored + maintenance (cascades)
@@ -77,7 +80,8 @@ object Bench {
     "q127_zonemap_string_or_read_apply", "q128_zonemap_file_read_apply",
     "q129_zonemap_prefix_read_apply", "q130_zonemap_zorder_read_apply",
     "q131_zonemap_nullcount_read_apply", "q132_zonemap_notbetween_read_apply",
-    "q133_zonemap_notin_read_apply", "q134_zonemap_zorder_files_read_apply")
+    "q133_zonemap_notin_read_apply", "q134_zonemap_zorder_files_read_apply",
+    "q135_zonemap_nested_read_apply", "q136_zonemap_bloom_read_apply")
 
   /** 1-minute system load average, -1.0 where the platform can't say.
     * Recorded at both ends of the run so the record SELF-ADJUDICATES:

@@ -329,6 +329,11 @@ object Layout {
     }
     val haveCounts = cols.map(c => c ->
       (zones.columns.contains(s"nc_$c") && zones.columns.contains(s"rc_$c"))).toMap
+    // OPTIONAL per-unit bloom sketch over xxhash64(col) — bf_<col>
+    // BINARY ([[fileZones]] emits it for `bloomCols` entries); a NULL
+    // or unreadable sketch simply constrains nothing
+    val haveBloom = cols.map(c => c ->
+      zones.columns.contains(s"bf_$c")).toMap
     // envelope columns of NESTED stats carry the dotted path in their
     // NAME (mn_provider.published_ts) — backtick so col() never
     // re-parses the dot as struct access on the zone table itself
@@ -338,12 +343,14 @@ object Layout {
         Seq(zc(s"mn_$c"), zc(s"mx_$c")) ++
           (if (haveCounts(c))
             Seq(zc(s"nc_$c").cast("long"), zc(s"rc_$c").cast("long"))
-          else Seq.empty)
+          else Seq.empty) ++
+          (if (haveBloom(c)) Seq(zc(s"bf_$c")) else Seq.empty)
       }
     val rows = zones.select(sel: _*).collect()
     // per-column field offsets within the projection above
-    val offsets = cols.scanLeft(1) { case (o, c) =>
-      o + (if (haveCounts(c)) 4 else 2) }
+    val width = (c: String) =>
+      2 + (if (haveCounts(c)) 2 else 0) + (if (haveBloom(c)) 1 else 0)
+    val offsets = cols.scanLeft(1) { case (o, c) => o + width(c) }
     def bound(v: Any): Either[Unit, Option[graft.plans.ZBound]] =
       if (v == null) Right(None)
       else graft.plans.ZBound.of(v)
@@ -357,7 +364,14 @@ object Layout {
                 (if (r.isNullAt(o + 2)) None else Some(r.getLong(o + 2)),
                   if (r.isNullAt(o + 3)) None else Some(r.getLong(o + 3)))
               else (None, None)
-            Some(c -> graft.plans.ZoneMapFileIndex.ColStats(mn, mx, nc, rc))
+            val bOff = o + 2 + (if (haveCounts(c)) 2 else 0)
+            val bf =
+              if (haveBloom(c) && !r.isNullAt(bOff))
+                scala.util.Try(org.apache.spark.util.sketch.BloomFilter.readFrom(
+                  new java.io.ByteArrayInputStream(
+                    r.get(bOff).asInstanceOf[Array[Byte]]))).toOption
+              else None
+            Some(c -> graft.plans.ZoneMapFileIndex.ColStats(mn, mx, nc, rc, bf))
           case _ => None
         }
       }.toMap
@@ -373,13 +387,31 @@ object Layout {
     * directories (non-UUID writers reuse part names), which under a
     * name key would silently prune the wrong file's rows. The reader
     * normalizes scheme variants ([[graft.plans.ZoneMapFileIndex.pathKey]]). */
-  private def fileZoneAgg(df: DataFrame, cols: Seq[String]): DataFrame = {
+  private def fileZoneAgg(df: DataFrame, cols: Seq[String],
+                          bloomCols: Seq[String] = Nil,
+                          bloomExpectedItems: Long = 100000L): DataFrame = {
+    require(bloomCols.forall(cols.contains),
+      s"bloomCols (${bloomCols.mkString(", ")}) must be a subset of the " +
+        s"envelope cols (${cols.mkString(", ")})")
     // nc_/rc_ (exact null/row counts — count(c) skips nulls) ride
-    // along so IS NULL prunes files too, the Delta stats parity
+    // along so IS NULL prunes files too, the Delta stats parity.
+    // bf_<col> (per-file bloom over xxhash64(col) — Spark's own
+    // partial-combinable BloomFilterAggregate) rides along for
+    // `bloomCols`: the Delta bloom-filter-index parity, pruning point
+    // lookups on high-cardinality unordered keys whose per-file
+    // envelopes span ~the whole domain. ~expectedItems bytes per
+    // (file, col) — size it to rows-per-file; oversizing only wastes
+    // manifest bytes, undersizing only raises the false-positive rate
+    // (keeps extra files) — never a wrong drop.
+    val bloomSet = bloomCols.toSet
     val aggs = cols.flatMap(c => Seq(
       min(c).as(s"mn_$c"), max(c).as(s"mx_$c"),
       (count(lit(1)) - count(col(c))).as(s"nc_$c"),
-      count(lit(1)).as(s"rc_$c")))
+      count(lit(1)).as(s"rc_$c")) ++
+      (if (bloomSet(c))
+        Seq(graft.functions.BloomExprs.bloom_filter_agg(
+          xxhash64(col(c)), bloomExpectedItems).as(s"bf_$c"))
+      else Seq.empty))
     df.groupBy(col("_metadata.file_path").as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -390,9 +422,10 @@ object Layout {
     * [[zoneMapReadFiles]] consumes it. File-count-bounded output (a
     * 100 TB table at 1 GB files is 10⁵ rows — metadata-sized). */
   def fileZones(spark: org.apache.spark.sql.SparkSession, path: String,
-                cols: Seq[String]): DataFrame = {
+                cols: Seq[String], bloomCols: Seq[String] = Nil,
+                bloomExpectedItems: Long = 100000L): DataFrame = {
     require(cols.nonEmpty, "fileZones needs at least one envelope column")
-    fileZoneAgg(spark.read.parquet(path), cols)
+    fileZoneAgg(spark.read.parquet(path), cols, bloomCols, bloomExpectedItems)
   }
 
   /** INCREMENTAL per-file zone maintenance — the action a lakehouse
@@ -436,7 +469,17 @@ object Layout {
     val freshPaths = currentPaths.filterNot(p => known.contains(key(p)))
     if (freshPaths.isEmpty) zones
     else {
-      val fresh = fileZoneAgg(spark.read.parquet(freshPaths.toIndexedSeq: _*), cols)
+      // bloom columns carry over from the STORED table's bf_ set, so a
+      // maintained table keeps the same stats family as the rebuild.
+      // (Unlike envelopes, a bloom NULL-fill is safe in BOTH
+      // directions — a missing bloom only loosens skipping — but
+      // matching the stored set keeps maintain == rebuild.)
+      val storedBloomCols = zones.columns.toSeq.collect {
+        case b if b.startsWith("bf_") && cols.contains(b.stripPrefix("bf_")) =>
+          b.stripPrefix("bf_")
+      }
+      val fresh = fileZoneAgg(spark.read.parquet(freshPaths.toIndexedSeq: _*),
+        cols, storedBloomCols)
       // the missing-column fill is only safe in ONE direction: a
       // stored table from an earlier generation may lack the nc_/rc_
       // COUNT columns (a NULL count constrains nothing at the

@@ -115,13 +115,20 @@ object ZoneMapFileIndex {
 
   /** One column's statistics in one unit (chunk or file): the (mn, mx)
     * envelope plus OPTIONAL exact counts — the Delta/Iceberg
-    * `nullCount`/`recordCount` parity that lets `IS NULL` prune. A
-    * `None` bound with a non-empty unit records the column ALL-NULL
-    * there (a range conjunct rejects NULL rows, so the unit may
-    * drop); absent counts constrain nothing (`IS NULL` keeps). */
+    * `nullCount`/`recordCount` parity that lets `IS NULL` prune — plus
+    * an OPTIONAL per-unit BLOOM FILTER over `xxhash64(col)` (the Delta
+    * bloom-filter-index parity: point lookups on HIGH-CARDINALITY
+    * unordered keys, where every unit's (mn, mx) spans ~the whole
+    * domain and envelopes prune nothing, drop on a definitive
+    * bloom "absent"). A `None` bound with a non-empty unit records
+    * the column ALL-NULL there (a range conjunct rejects NULL rows,
+    * so the unit may drop); absent counts constrain nothing (`IS
+    * NULL` keeps); an absent bloom constrains nothing (point lookups
+    * fall back to the envelope test). */
   final case class ColStats(mn: Option[ZBound], mx: Option[ZBound],
                             nullCount: Option[Long] = None,
-                            rowCount: Option[Long] = None)
+                            rowCount: Option[Long] = None,
+                            bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
 
   /** column → [[ColStats]] of one chunk or file. A column absent from
     * the map constrains nothing. */
@@ -177,6 +184,18 @@ object ZoneMapFileIndex {
   private[plans] sealed trait Req
   private[plans] final case class Ranges(col: String, ivs: Seq[Iv]) extends Req
   private[plans] final case class NeedsNull(col: String) extends Req
+
+  /** Point-membership constraint for the per-unit BLOOM filters: the
+    * unit must possibly contain AT LEAST ONE of `hashes` (xxhash64
+    * images of the probed literals, computed by evaluating the SAME
+    * Catalyst expression the bloom build side runs — hash identity by
+    * construction, never by re-implementation). Bloom filters have no
+    * false negatives, so "every probe definitively absent" is a sound
+    * drop; units without a bloom keep. Emitted ONLY for top-level
+    * equality/IN conjuncts on a BARE (cast-free) column — a cast
+    * changes the literal's type and therefore its hash, and
+    * negations/disjunctions cannot use membership evidence. */
+  private[plans] final case class MustContain(col: String, hashes: Seq[Long]) extends Req
 }
 
 /** TRANSPARENT zone-map pruning — the full lakehouse reader seam:
@@ -348,7 +367,7 @@ final class TransparentZoneMapFileIndex(
 
   private def toB(v: Any): Option[ZBound] = ZBound.of(v)
 
-  import ZoneMapFileIndex.{Iv, NeedsNull, Ranges, Req}
+  import ZoneMapFileIndex.{Iv, MustContain, NeedsNull, Ranges, Req}
   private def closedIv(lo: Option[ZBound], hi: Option[ZBound]): Iv =
     Iv(lo, loOpen = false, hi, hiOpen = false)
 
@@ -664,6 +683,54 @@ final class TransparentZoneMapFileIndex(
       }
     }
 
+  /** BLOOM-probe constraints implied by `e` — a SEPARATE, stricter
+    * walk than [[rangeConjuncts]]: only top-level And-conjuncts, only
+    * positive equality/IN leaves, only BARE (cast-free) attributes or
+    * struct-leaf chains. The literal's hash is computed by EVALUATING
+    * the same `XxHash64` Catalyst expression the bloom build side runs
+    * (`xxhash64(col)` — seed 42), so hash identity holds by
+    * construction; after type coercion the literal's type equals the
+    * column's, which is exactly why casts are excluded (a cast means
+    * the literal's hash input differs from the stored values').
+    * Negations and Or-arms contribute nothing: membership evidence
+    * cannot complement, and a disjunct would need per-arm tracking the
+    * interval machinery already covers for ranges. */
+  private def bloomConjuncts(e: Expression): Seq[Req] = {
+    def bare(x: Expression): Option[String] = x match {
+      case _: Cast => None
+      case other => attrOf(other)
+    }
+    def hashOf(l: Literal): Option[Long] =
+      if (l.value == null) None
+      else scala.util.Try(
+        XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]).toOption
+    def point(x: Expression, l: Literal): Seq[Req] =
+      bare(x).toSeq.flatMap(c => hashOf(l).map(h => MustContain(c, Seq(h)): Req))
+    e match {
+      case And(l, r) => bloomConjuncts(l) ++ bloomConjuncts(r)
+      case EqualTo(x, l: Literal) => point(x, l)
+      case EqualTo(l: Literal, x) => point(x, l)
+      case EqualNullSafe(x, l: Literal) if l.value != null => point(x, l)
+      case EqualNullSafe(l: Literal, x) if l.value != null => point(x, l)
+      case In(x, list) if list.nonEmpty && list.size <= inListCap &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        bare(x).toSeq.flatMap { c =>
+          val hs = list.collect { case l: Literal => hashOf(l) }.flatten
+          if (hs.isEmpty) Seq.empty else Seq(MustContain(c, hs): Req)
+        }
+      case InSet(x, hset) if hset.nonEmpty && hset.size <= inListCap =>
+        bare(x).toSeq.flatMap { c =>
+          val dt = x.dataType
+          val hs = hset.toSeq.filter(_ != null)
+            .flatMap(v => scala.util.Try(
+              XxHash64(Seq(Literal.create(v, dt)), 42L).eval(null)
+                .asInstanceOf[Long]).toOption)
+          if (hs.isEmpty) Seq.empty else Seq(MustContain(c, hs): Req)
+        }
+      case _ => Seq.empty
+    }
+  }
+
   /** Does a unit with stats `envOpt` possibly satisfy every
     * constraint? Missing stats (`envOpt` None) -> yes. */
   private def survives(envOpt: Option[ZoneMapFileIndex.ColEnv],
@@ -695,6 +762,14 @@ final class TransparentZoneMapFileIndex(
           // keeps — the missing-stat rule.
           case Some(st) => !st.nullCount.contains(0L)
         }
+        case MustContain(c, hs) => env.get(c) match {
+          case None => true // column not zone-mapped: constrains nothing
+          // no bloom collected: keep (the range/envelope Reqs for the
+          // same conjunct still apply independently). With a bloom:
+          // "every probed hash definitively absent" is a sound drop —
+          // blooms have no false negatives.
+          case Some(st) => st.bloom.forall(bf => hs.exists(bf.mightContainLong))
+        }
       }
     }
 
@@ -702,7 +777,8 @@ final class TransparentZoneMapFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val reqs = dataFilters.flatMap(rangeConjuncts)
+    val reqs = dataFilters.flatMap(rangeConjuncts) ++
+      dataFilters.flatMap(bloomConjuncts)
     val listed = inner.listFiles(partitionFilters, dataFilters)
     if (reqs.isEmpty) listed
     else {

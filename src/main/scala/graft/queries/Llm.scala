@@ -1844,6 +1844,29 @@ object Llm {
             FROM ba b JOIN csum c ON c.vec_id = b.vid, dr
             ORDER BY vec_id"""))
 
+  // STORED-STATE frozen ingest (l3_ann_incremental_stored): the same
+  // semantics as l3_ann_incremental served from a PERSISTABLE
+  // QuantizerState + stored index — trainQuantizer/ivfpqEncodeAll pay
+  // the train-time build once, ivfpqEncodeStored encodes the batch
+  // with BATCH-BOUNDED work and reads the drift denominator from the
+  // stored index's persisted d2c column (no corpus re-scoring — the
+  // FAISS add/train split as storage layout; CorpusOpsSpec pins the
+  // poisoned-stored-vectors proof, T29b streams the lifecycle).
+  // Shares l3_ann_incremental's oracle VERBATIM: the gate itself pins
+  // stored-state == self-contained, bit for bit.
+  private val l3incrStored = QueryDef(
+    "l3_ann_incremental_stored",
+    (s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.sessionOwned
+      val e = t(s, dir, "embeddings")
+      val train = e.filter(col("vec_id") < 400).select("vec_id", "embedding")
+      val batch = e.filter(col("vec_id") >= 400).select("vec_id", "embedding")
+      val st = graft.ops.CorpusOps.trainQuantizer(train)
+      val idx = graft.ops.CorpusOps.ivfpqEncodeAll(st, train)
+      graft.ops.CorpusOps.ivfpqEncodeStored(st, idx, batch).orderBy("vec_id")
+    },
+    l3incr.oracle)
+
   // QUANTIZER RE-TRAIN loop closed (l3_ann_retrain): l3_ann_incremental
   // measures the drift ratio "gating when re-training is due" but never
   // acts; CorpusOps.retrainIfDrifted is the reclusterIfDeep /
@@ -6046,7 +6069,7 @@ object Llm {
     l8packSeq, l8pplBucket, l4classifier, l5neardup, l6keeper, l2minhashEst,
     l4vocab, l3knnGraph, l8spanDedup, l3clusterSample, l3clusterSampleKept, l8profile,
     l3ivfpqRes, l3refined, l8profileApprox, l1bloom, l2edit, l4bpe, l4bpeEnc,
-    l4bpeBatch, l3incr, l3retrain, l3filtered, l3hybrid, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
+    l4bpeBatch, l3incr, l3incrStored, l3retrain, l3filtered, l3hybrid, l8importance, l8heavy, l3pca, l3trunc, l8cdc,
     l4ug, l4ugEnc, l3graphSearch, l3hnsw, l3hnswIncr, l3annCompact,
     l2incrDelete, l3annDelete, l4classifierTrain, l4bm25, l4bm25Maintain,
     l4bm25Incremental, l6cascadeDelete, l6cascadeInsert,

@@ -4939,6 +4939,69 @@ object Relational {
     },
     Some(q135Sql))
 
+  // BLOOM-index file pruning (q136): the stats family's other half —
+  // envelopes prune RANGES on clustered dimensions; a point lookup on
+  // a HIGH-CARDINALITY UNORDERED key (surrogate ids, content hashes)
+  // finds every file's (mn, mx) spanning ~the whole domain and prunes
+  // nothing. Delta's bloom filter index exists for exactly this shape:
+  // fileZones emits an optional per-file bf_<col> sketch (Spark's own
+  // partial-combinable BloomFilterAggregate over xxhash64(col)), and
+  // the transparent index probes it for pushed equality/IN conjuncts
+  // on BARE columns — the driver evaluates the SAME XxHash64
+  // expression the build side ran, so hash identity holds by
+  // construction; a definitive bloom "absent" drops the file, a false
+  // positive only keeps one (row-exact after the re-filter, fpp is a
+  // cost knob not a correctness one). The probed key here is the sk
+  // of the FIRST (l_orderkey, l_linenumber) row — mid-domain by the
+  // hash scramble, so envelopes keep all 16 files and the bloom does
+  // all the work (PlanContractSpec pins numFiles; LayoutSpec pins the
+  // no-bloom contrast and the absent-probe empty scan).
+  private def q136Data(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("(l_orderkey * 2654435761 + l_linenumber) % 1000000007").as("sk"))
+  private def q136Write(s: SparkSession, dir: String, path: String): Unit =
+    q136Data(s, dir).repartitionByRange(16, col("l_orderkey"))
+      .write.mode("overwrite").parquet(path)
+  private def q136Read(s: SparkSession, path: String, zones: DataFrame): DataFrame = {
+    val probe = s.read.parquet(path)
+      .orderBy("l_orderkey", "l_linenumber").select("sk").head().getLong(0)
+    graft.ops.Layout.zoneMapReadFiles(s, path, zones, "file", Seq("sk"))
+      .filter(col("sk") === lit(probe))
+      .select("l_orderkey", "l_linenumber", "sk")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+  private val q136Sql =
+    """WITH b AS (SELECT l_orderkey, l_linenumber,
+      |                  (l_orderkey * 2654435761 + l_linenumber) % 1000000007 AS sk
+      |           FROM lineitem),
+      |p AS (SELECT sk FROM b ORDER BY l_orderkey, l_linenumber LIMIT 1)
+      |SELECT l_orderkey, l_linenumber, sk FROM b WHERE sk = (SELECT sk FROM p)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  private val q136 = QueryDef(
+    "q136_zonemap_bloom_read",
+    (s, dir) => {
+      val path = scratchDir("q136")
+      q136Write(s, dir, path)
+      q136Read(s, path,
+        graft.ops.Layout.fileZones(s, path, Seq("sk"), bloomCols = Seq("sk")))
+    },
+    Some(q136Sql))
+
+  private val q136apply = QueryDef(
+    "q136_zonemap_bloom_read_apply",
+    (s, dir) => {
+      val root = persistedZoneFixture(s, dir, "q136", "r1") { r =>
+        q136Write(s, dir, s"$r/table")
+        graft.ops.Layout.fileZones(s, s"$r/table", Seq("sk"),
+            bloomCols = Seq("sk"))
+          .write.mode("overwrite").parquet(s"$r/zones")
+      }
+      q136Read(s, s"$root/table", s.read.parquet(s"$root/zones"))
+    },
+    Some(q136Sql))
+
   val all: Seq[QueryDef] = Seq(
     q27, q28, q29,
     q01, q02, q03, q04, q05, q06, q06cube, q07, q08, q09, q09full,
@@ -4951,6 +5014,6 @@ object Relational {
     q96, q97, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133,
-    q134, q135, q121apply, q126apply, q127apply, q128apply, q129apply, q130apply,
-    q131apply, q132apply, q133apply, q134apply, q135apply)
+    q134, q135, q136, q121apply, q126apply, q127apply, q128apply, q129apply, q130apply,
+    q131apply, q132apply, q133apply, q134apply, q135apply, q136apply)
 }

@@ -106,6 +106,75 @@ class LayoutSpec extends AnyFunSuite {
       "nested-leaf IS NULL did not consume nc_ counts")
   }
 
+  test("per-file BLOOM stats: point lookups prune where envelopes cannot; absent probes scan ZERO files; no-bloom tables keep all") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fzbloom").toString
+    // 8 files range-packed on id, but the PROBED key is a hash
+    // scramble of id — every file's (mn_k, mx_k) spans ~the whole
+    // domain, so envelope pruning is structurally useless here
+    spark.range(0, 4000)
+      .select(col("id"), expr("(id * 2654435761) % 1000000007").as("k"))
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+    val total = spark.read.parquet(dir).inputFiles.length.toLong
+    val probe = 2654435761L % 1000000007L // k of id=1 — present
+    val absent = probe + 1L               // no id maps here (checked below)
+    assert(spark.read.parquet(dir).filter(col("k") === absent).count() == 0)
+    def scanned(zones: org.apache.spark.sql.DataFrame, v: Long): Long = {
+      val df = Layout.zoneMapReadFiles(spark, dir, zones, "file", Seq("k"))
+        .filter(col("k") === v)
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value }.sum
+    }
+    // contrast: envelope-only zones keep EVERY file for the point probe
+    val noBloom = Layout.fileZones(spark, dir, Seq("k"))
+    assert(scanned(noBloom, probe) == total,
+      "scrambled-key envelopes unexpectedly pruned — the contrast is broken")
+    val withBloom = Layout.fileZones(spark, dir, Seq("k"),
+      bloomCols = Seq("k"), bloomExpectedItems = 1000L)
+    assert(withBloom.columns.contains("bf_k"), withBloom.columns.mkString(","))
+    // present probe: only the holding file (+ rare false positives)
+    val sPresent = scanned(withBloom, probe)
+    assert(sPresent >= 1 && sPresent <= 2,
+      s"bloom kept $sPresent of $total files for a present key")
+    // the row set is exact either way (survivors re-filter row-level)
+    assert(Layout.zoneMapReadFiles(spark, dir, withBloom, "file", Seq("k"))
+      .filter(col("k") === probe).count() == 1)
+    // absent probe: a definitive bloom 'absent' on every file — the
+    // scan plans ZERO files and the result is exactly empty
+    val r = Layout.zoneMapReadFiles(spark, dir, withBloom, "file", Seq("k"))
+      .filter(col("k") === absent)
+    assert(r.count() == 0)
+    assert(scanned(withBloom, absent) <= 1,
+      "an absent key should prune ~every file off the blooms")
+    // a CAST around the probed column must NOT consult the bloom (the
+    // literal's hash input differs from the stored values') — conservative
+    // keep, still row-exact
+    assert(Layout.zoneMapReadFiles(spark, dir, withBloom, "file", Seq("k"))
+      .filter(col("k").cast("decimal(20,0)") === lit(new java.math.BigDecimal(probe)))
+      .count() == 1)
+    // maintain: the stored bf_ set carries — an appended file gets its
+    // OWN bloom from the new-files-only scan, and a probe for a key
+    // living only there still prunes to ~that one file
+    val stored = spark.createDataFrame(
+      spark.sparkContext.parallelize(withBloom.collect().toIndexedSeq),
+      withBloom.schema)
+    spark.range(90000, 90100)
+      .select(col("id"), expr("(id * 2654435761) % 1000000007").as("k"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val maintained = Layout.maintainFileZones(spark, dir, stored, Seq("k"))
+    assert(maintained.filter(col("bf_k").isNull).count() == 0,
+      "the appended file's zone row is missing its bloom")
+    val newProbe = (90001L * 2654435761L) % 1000000007L
+    val sNew = scanned(maintained, newProbe)
+    assert(sNew >= 1 && sNew <= 2,
+      s"maintained bloom kept $sNew files for the appended file's key")
+    assert(Layout.zoneMapReadFiles(spark, dir, maintained, "file", Seq("k"))
+      .filter(col("k") === newProbe).count() == 1)
+  }
+
   test("compactFileZones drops exactly the vanished-file rows — compacted == fileZones rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cfz").toString
     spark.range(0, 800).toDF("id")

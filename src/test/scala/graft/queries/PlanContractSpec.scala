@@ -538,6 +538,9 @@ class PlanContractSpec extends AnyFunSuite {
       "q135_zonemap_nested_read", // the q126 class at a nested struct
       // leaf (clustered write + dotted-path envelope collect)
       "q135_zonemap_nested_read_apply", // the _apply class of q135
+      "q136_zonemap_bloom_read", // the q128 class + the probe-key
+      // head() (driver metadata) and the bloom-manifest collect
+      "q136_zonemap_bloom_read_apply", // the _apply class of q136
       "q131_zonemap_nullcount_read_apply", // the _apply class: first
       "q132_zonemap_notbetween_read_apply", // call per fingerprint
       "q133_zonemap_notin_read_apply", // builds + persists; later
@@ -1581,6 +1584,21 @@ class PlanContractSpec extends AnyFunSuite {
     // must keep only the intersecting chunks at listing time
     assert(scanned >= 1 && scanned <= 8,
       s"nested-leaf pruning scanned $scanned files — GetStructField did not prune")
+  }
+
+  test("q136: per-file BLOOM stats prune a point lookup that envelopes cannot touch") {
+    spark.sharedState.cacheManager.clearCache()
+    val df = SparkEntry.queries("q136_zonemap_bloom_read")(spark, SparkFixture.sfDir)
+    df.collect()
+    val scans = fileScansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan in the q136 plan")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    // the hash-scrambled key's per-file envelopes span ~the whole
+    // domain (envelope pruning alone keeps all 16 files — LayoutSpec
+    // pins that contrast); the bloom must cut the point lookup to the
+    // one holding file plus at most a couple of false positives
+    assert(scanned >= 1 && scanned <= 3,
+      s"bloom pruning scanned $scanned of 16 files")
   }
 
   test("zone index: file-level IS NULL prunes off fileZones' emitted counts; oversized NOT IN keeps everything") {
