@@ -474,10 +474,17 @@ object TableOps {
     * distincts ([[maintainDistinct]]), envelopes here. */
   def maintainZoneMap(mv: DataFrame, delta: DataFrame, keys: Seq[String],
                       minCols: Seq[String], maxCols: Seq[String],
-                      sumCols: Seq[String] = Nil): DataFrame = {
+                      sumCols: Seq[String] = Nil,
+                      bloomCols: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty, "maintainZoneMap needs at least one key column")
-    val m = mv.alias("_mb")
-    val d = delta.select(mv.columns.toSeq.map(col): _*).alias("_md")
+    // presence markers: after the full-outer join, a MISSING side and a
+    // present row whose bloom is NULL both read as NULL columns — but
+    // they merge differently (new key: the other side's bloom covers
+    // alone; present-but-uncovered: the merge must stay NULL, a bloom
+    // that misses rows would wrongly prune)
+    val m = mv.withColumn("_mbp", lit(true)).alias("_mb")
+    val d = delta.select(mv.columns.toSeq.map(col): _*)
+      .withColumn("_mdp", lit(true)).alias("_md")
     // null-safe keys — see maintainAgg's NULL-group note
     val cond = keys.map(k => col(s"_mb.$k") <=> col(s"_md.$k")).reduce(_ && _)
     m.join(d, cond, "full_outer").select(
@@ -485,7 +492,19 @@ object TableOps {
         minCols.map(c => least(col(s"_mb.$c"), col(s"_md.$c")).as(c)) ++
         maxCols.map(c => greatest(col(s"_mb.$c"), col(s"_md.$c")).as(c)) ++
         sumCols.map(c => (coalesce(col(s"_mb.$c"), lit(0L)) +
-          coalesce(col(s"_md.$c"), lit(0L))).as(c)): _*)
+          coalesce(col(s"_md.$c"), lit(0L))).as(c)) ++
+        // bloom merge: one-sided keys pass the present side's sketch
+        // through; two-sided keys union (bit-identical to a rebuild at
+        // equal build params), unless EITHER present side is
+        // uncovered (NULL) — then the merge is NULL (conservative:
+        // the reader treats a missing bloom as "constrains nothing")
+        bloomCols.map(c =>
+          when(col("_mb._mbp").isNull, col(s"_md.$c"))
+            .when(col("_md._mdp").isNull, col(s"_mb.$c"))
+            .when(col(s"_mb.$c").isNull || col(s"_md.$c").isNull,
+              lit(null).cast("binary"))
+            .otherwise(graft.functions.BloomExprs.bloom_union(
+              col(s"_mb.$c"), col(s"_md.$c"))).as(c)): _*)
   }
 
   // ---- versioned snapshot store (the streaming commit convention) ----

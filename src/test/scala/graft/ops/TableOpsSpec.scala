@@ -323,6 +323,47 @@ test("maintainAgg: merged deltas equal a full recompute, new keys included") {
     assert(got == Map(1L -> (10L, 1L), 2L -> (20L, 1L)), got.toString)
   }
 
+  test("maintainZoneMap bloom merge: maintained == rebuilt BIT-FOR-BIT; new keys pass through; an uncovered side nulls the merge") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.BloomExprs
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(
+        min("v").as("mn_v"), max("v").as("mx_v"),
+        BloomExprs.bloom_filter_agg(xxhash64(col("v")), 100L).as("bf_v"))
+    val base = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("k", "v")
+    val delta = Seq((2L, 21L), (3L, 30L)).toDF("k", "v")
+    val maintained = TableOps.maintainZoneMap(stats(base), stats(delta),
+        Seq("k"), Seq("mn_v"), Seq("mx_v"), bloomCols = Seq("bf_v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Array[Byte]](3).toSeq)).toMap
+    val rebuilt = stats(base.unionByName(delta))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Array[Byte]](3).toSeq)).toMap
+    // same build params both sides -> the merged bloom's BITS equal the
+    // from-scratch build over the union (OR of set bits); key 1 is
+    // mv-only, key 3 delta-only, key 2 the genuine merge
+    assert(maintained == rebuilt,
+      s"maintained zone stats (incl. blooms) diverged from the rebuild")
+    // probe semantics survive the merge: key 2's bloom knows both rows
+    val m2 = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(maintained(2L)._3.toArray))
+    def h(v: Long): Long =
+      org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(v)), 42L)
+        .eval(null).asInstanceOf[Long]
+    assert(m2.mightContainLong(h(20L)) && m2.mightContainLong(h(21L)))
+    // a present-but-uncovered side (NULL bloom) nulls the merge — a
+    // sketch missing rows would wrongly prune; the reader treats NULL
+    // as "constrains nothing"
+    val uncovered = stats(base).withColumn("bf_v",
+      when(col("k") === 2L, lit(null).cast("binary")).otherwise(col("bf_v")))
+    val merged = TableOps.maintainZoneMap(uncovered, stats(delta),
+        Seq("k"), Seq("mn_v"), Seq("mx_v"), bloomCols = Seq("bf_v"))
+      .filter(col("k") === 2L).select("bf_v").head()
+    assert(merged.isNullAt(0),
+      "merging an uncovered bloom must stay NULL, not fabricate coverage")
+  }
+
   test("vacuumVersions: retained batch ids resolve IDENTICALLY post-vacuum; below the horizon resolution fails loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft-vac").toString
     // sparse commit history: versions 0, 2, 5, 7 (micro-batches 1, 3,
