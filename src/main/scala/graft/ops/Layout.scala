@@ -443,7 +443,8 @@ object Layout {
     * when nothing is new). */
   def maintainFileZones(spark: org.apache.spark.sql.SparkSession,
                         path: String, zones: DataFrame,
-                        cols: Seq[String]): DataFrame = {
+                        cols: Seq[String],
+                        bloomExpectedItems: Long = 100000L): DataFrame = {
     require(cols.nonEmpty, "maintainFileZones needs at least one envelope column")
     require(zones.columns.contains("file"),
       s"zone table has no 'file' key column (the fileZones convention) — " +
@@ -473,13 +474,17 @@ object Layout {
       // maintained table keeps the same stats family as the rebuild.
       // (Unlike envelopes, a bloom NULL-fill is safe in BOTH
       // directions — a missing bloom only loosens skipping — but
-      // matching the stored set keeps maintain == rebuild.)
+      // matching the stored set keeps maintain == rebuild.) Pass the
+      // SAME `bloomExpectedItems` the original build used, or the
+      // appended files' sketches get a different sizing — still
+      // correct (per-file probes never merge), just not
+      // rebuild-identical.
       val storedBloomCols = zones.columns.toSeq.collect {
         case b if b.startsWith("bf_") && cols.contains(b.stripPrefix("bf_")) =>
           b.stripPrefix("bf_")
       }
       val fresh = fileZoneAgg(spark.read.parquet(freshPaths.toIndexedSeq: _*),
-        cols, storedBloomCols)
+        cols, storedBloomCols, bloomExpectedItems)
       // the missing-column fill is only safe in ONE direction: a
       // stored table from an earlier generation may lack the nc_/rc_
       // COUNT columns (a NULL count constrains nothing at the

@@ -2049,6 +2049,82 @@ class StreamingTckSpec extends AnyFunSuite {
       "replayed re-train STATE diverged from the committed members")
   }
 
+  // ---------------------------------------------------------------- T30
+  test("T30: streamed appends maintain per-file BLOOM stats — point lookups prune with the latest version, stale versions only loosen") {
+    // T27 with the round-17 bloom stats in the loop: the maintained
+    // zone table carries bf_<col> sketches over a HASH-SCRAMBLED key
+    // (every file's envelope spans ~the whole domain — envelopes
+    // structurally cannot prune the point lookup), maintainFileZones
+    // derives the stored bf_ set and builds each appended file's
+    // sketch from the new-files-only scan, and the reader's pushed
+    // equality probes the blooms at listing time. Gates: the
+    // maintained table == the rebuild (incl. sketch bytes), a point
+    // key living ONLY in batch 2's file scans ≤ 2 files under the
+    // latest version, and the STALE prior version still returns the
+    // row (an unknown file is kept — skipping loosens, rows survive).
+    import org.apache.spark.sql.DataFrame
+    val root = Files.createTempDirectory("bloomzones").toString
+    val data = s"$root/data"
+    val ck = Files.createTempDirectory("bloomzones-ck").toString
+    def keyed(df: DataFrame): DataFrame =
+      df.selectExpr("id", "(id * 2654435761) % 1000000007 as k")
+    keyed(spark.range(0, 400).toDF("id"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.parquet(s"$data/b=base")
+    locally {
+      graft.ops.Layout.fileZones(spark, data, Seq("k"), bloomCols = Seq("k"))
+        .coalesce(1).write.parquet(s"$root/z/v=0")
+    }
+    val in = MemoryStream[(Long, Long)](spark)
+    def start() = in.toDF().toDF("lo", "hi")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        val prior = (id to 0L by -1L).map(v => s"$root/z/v=$v")
+          .find(d => new java.io.File(d).exists()).getOrElse(s"$root/z/v=0")
+        val bounds = batch.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val rows = bounds.map { case (lo, hi) => keyed(sp.range(lo, hi).toDF("id")) }
+          .reduceOption(_ unionByName _)
+          .getOrElse(keyed(sp.range(0, 0).toDF("id")))
+        rows.coalesce(1).write.mode("overwrite").parquet(s"$data/b=$id")
+        graft.ops.Layout.maintainFileZones(
+            sp, data, sp.read.parquet(prior), Seq("k"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/z/v=${id + 1}")
+      }.start()
+    val q1 = start()
+    in.addData((10000L, 10100L))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start() // checkpoint restart mid-stream
+    in.addData((20000L, 20100L))
+    q2.processAllAvailable(); q2.stop()
+    def rows(df: DataFrame): Set[String] =
+      df.collect().map(r => (r.getString(0),
+        java.util.Arrays.toString(r.getAs[Array[Byte]]("bf_k"))) -> r.getLong(
+          r.fieldIndex("rc_k"))).map(_.toString).toSet
+    val v2 = spark.read.parquet(s"$root/z/v=2")
+      .select(col("file").cast("string"), col("bf_k"), col("rc_k"))
+    val rebuilt = graft.ops.Layout.fileZones(spark, data, Seq("k"), bloomCols = Seq("k"))
+      .select(col("file").cast("string"), col("bf_k"), col("rc_k"))
+    assert(rows(v2) == rows(rebuilt),
+      "maintained bloom-zone version diverged from the rebuild (incl. sketch bytes)")
+    // point lookup for a key living ONLY in batch 1's file (id 20001)
+    val probe = (20001L * 2654435761L) % 1000000007L
+    val zv2 = spark.read.parquet(s"$root/z/v=2")
+    val r = graft.ops.Layout.zoneMapReadFiles(spark, data, zv2, "file", Seq("k"))
+      .filter(col("k") === probe)
+    assert(r.count() == 1, "the maintained bloom read lost the probed row")
+    r.collect()
+    val scanned = graft.TestPlans.fileScans(r.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned <= 2,
+      s"maintained blooms kept $scanned of 6 files for a point key")
+    // stale version: batch 1's file is unknown to v=1 — kept, row survives
+    val zv1 = spark.read.parquet(s"$root/z/v=1")
+    assert(graft.ops.Layout.zoneMapReadFiles(spark, data, zv1, "file", Seq("k"))
+      .filter(col("k") === probe).count() == 1,
+      "a stale bloom-zone version dropped a row from a file it does not know")
+  }
+
   // ------------------------------------------- L-ops over the stream
   test("corpus ingest: quality gate + in-stream exact dedup over the message source") {
     // The L-battery's cleanup stages composed onto the streaming layer:
