@@ -1487,42 +1487,23 @@ object CorpusOps {
                        nlist: Int = 32, m: Int = 8, subDim: Int = 8,
                        k: Int = 16, iters: Int = 2)
                       (implicit scope: CacheScope): DataFrame = {
-    import graft.functions.VectorExprs.vec_l2sq
-    val cents = train.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    def assignOf(v: DataFrame): DataFrame =
-      v.select(col("vec_id").as("vid"), col("embedding").as("ve"))
-        .crossJoin(broadcast(cents))
-        .withColumn("d2c", round(vec_l2sq(col("ve"), col("ce")), 6))
-        .groupBy("vid").agg(min(struct(col("d2c"), col("cid"))).as("b"))
-        .select(col("vid"), col("b.cid").as("cid"), col("b.d2c").as("d2c"))
-    def residualsOf(v: DataFrame, assign: DataFrame): DataFrame =
-      assign
-        .join(v.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid")
-        .join(broadcast(cents), "cid")
-        .select(col("vid").as("vec_id"),
-          expr("zip_with(ve, ce, (a, b) -> cast(a as double) - cast(b as double))")
-            .as("embedding"))
+    // ONE spelling of the assignment / residual / decimal-mean logic
+    // lives in assignCents/residualsAgainst/d2cMean — the stored-state
+    // overloads below are spec-pinned bit-identical to this path, an
+    // identity that must be structural, not hand-synchronized.
+    val cents = seedCents(train, nlist)
     // frozen state: train assignment (cached — codebook build + drift
     // mean both read it) and the residual-trained codebook
-    val tAssign = scope.cached(assignOf(train))
-    val cb = scope.cached(
-      pqCodebookTrained(residualsOf(train, tAssign), m, subDim, k, iters))
-    // the per-batch path: assign, residual-encode, checksum
-    val bAssign = scope.cached(assignOf(batch))
-    val bCodes = pqEncode(residualsOf(batch, bAssign), cb, m, subDim)
-      .groupBy("vec_id")
-      .agg(sum(expr("code * cast(pow(16, sub) as bigint)")).as("code_sum"))
-    // DECIMAL(18,6) sums over the rounded distances: bit-stable under
-    // any summation order, so an engine replay lands the same mean
-    def dmean(c: Column): Column =
-      (sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
-        / count(lit(1)))
-    val drift = tAssign.agg(dmean(col("d2c")).as("t_mean"))
-      .crossJoin(bAssign.agg(dmean(col("d2c")).as("b_mean")))
+    val tAssign = scope.cached(assignCents(train, cents))
+    val cb = scope.cached(pqCodebookTrained(
+      residualsAgainst(train, tAssign, cents), m, subDim, k, iters))
+    // the per-batch path: assign, residual-encode, checksum; the
+    // DECIMAL(18,6) drift mean is bit-stable under any summation order
+    val bAssign = scope.cached(assignCents(batch, cents))
+    val drift = tAssign.agg(d2cMean(col("d2c")).as("t_mean"))
+      .crossJoin(bAssign.agg(d2cMean(col("d2c")).as("b_mean")))
       .select(round(col("b_mean") / col("t_mean"), 6).as("drift"))
-    bAssign
-      .join(bCodes, bAssign("vid") === bCodes("vec_id"))
+    codesJoin(QuantizerState(cents, cb), batch, bAssign, m, subDim)
       .crossJoin(broadcast(drift))
       .select(col("vid").as("vec_id"), col("cid"), col("d2c"),
         col("code_sum"), col("drift"))
@@ -1602,22 +1583,11 @@ object CorpusOps {
                       (implicit scope: CacheScope): (DataFrame, Boolean) = {
     require(driftThreshold > 0,
       s"driftThreshold must be positive (got $driftThreshold)")
-    import graft.functions.VectorExprs.vec_l2sq
-    val cents = train.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    def assignAgainst(v: DataFrame, cs: DataFrame): DataFrame =
-      v.select(col("vec_id").as("vid"), col("embedding").as("_ve"))
-        .crossJoin(broadcast(cs))
-        .withColumn("d2c", round(vec_l2sq(col("_ve"), col("ce")), 6))
-        .groupBy("vid").agg(min(struct(col("d2c"), col("cid"))).as("b"))
-        .select(col("vid"), col("b.cid").as("cid"), col("b.d2c").as("d2c"))
-    def dmean(c: Column): Column =
-      (sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
-        / count(lit(1)))
+    val cents = seedCents(train, nlist)
     // the gate probe: ONE driver action over two assignment means —
     // the identical DECIMAL-exact ratio ivfpqIncremental reports
-    val driftRow = assignAgainst(train, cents).agg(dmean(col("d2c")).as("_t"))
-      .crossJoin(assignAgainst(batch, cents).agg(dmean(col("d2c")).as("_b")))
+    val driftRow = assignCents(train, cents).agg(d2cMean(col("d2c")).as("_t"))
+      .crossJoin(assignCents(batch, cents).agg(d2cMean(col("d2c")).as("_b")))
       .select(round(col("_b") / col("_t"), 6).as("drift")).head()
     val drifted = !driftRow.isNullAt(0) && driftRow.getDouble(0) > driftThreshold
     if (!drifted)
@@ -1626,22 +1596,30 @@ object CorpusOps {
       val drift = driftRow.getDouble(0)
       val all = scope.cached(train.select("vec_id", "embedding")
         .unionByName(batch.select("vec_id", "embedding")))
-      val newCents = scope.cached(kmeansCentroidsL2(all, nlist, iters))
-      val aAssign = scope.cached(assignAgainst(all, newCents))
-      val res = aAssign
-        .join(all.select(col("vec_id").as("vid"), col("embedding").as("_ve")), "vid")
-        .join(broadcast(newCents), "cid")
-        .select(col("vid").as("vec_id"),
-          expr("zip_with(_ve, ce, (a, b) -> cast(a as double) - cast(b as double))")
-            .as("embedding"))
-      val cb = pqCodebookTrained(res, m, subDim, k, iters)
-      val codes = pqEncode(res, cb, m, subDim)
-        .groupBy("vec_id")
-        .agg(sum(expr("code * cast(pow(16, sub) as bigint)")).as("code_sum"))
-      (aAssign.join(codes, aAssign("vid") === codes("vec_id"))
-        .select(col("vid").as("vec_id"), col("cid"), col("d2c"),
-          col("code_sum"), lit(drift).as("drift")), true)
+      val (full, _) = retrainOver(all, drift, nlist, m, subDim, k, iters)
+      (full, true)
     }
+  }
+
+  /** The shared RETRAIN arm: Lloyd coarse re-train over `all`, ONE
+    * cached full assignment feeding BOTH the residual-codebook train
+    * and the re-encode (the assignment is the corpus-sized term —
+    * computing it twice doubled the retrain's dominant cost), full
+    * index rows with the measured `drift` stamped on. Returns
+    * (index, new state). */
+  private def retrainOver(all: DataFrame, drift: Double,
+                          nlist: Int, m: Int, subDim: Int,
+                          k: Int, iters: Int)
+                         (implicit scope: CacheScope)
+                         : (DataFrame, QuantizerState) = {
+    val newCents = scope.cached(kmeansCentroidsL2(all, nlist, iters))
+    val aAssign = scope.cached(assignCents(all, newCents))
+    val cb = scope.cached(pqCodebookTrained(
+      residualsAgainst(all, aAssign, newCents), m, subDim, k, iters))
+    val newState = QuantizerState(newCents, cb)
+    (codesJoin(newState, all, aAssign, m, subDim)
+      .select(col("vid").as("vec_id"), col("cid"), col("d2c"),
+        col("code_sum"), lit(drift).as("drift")), newState)
   }
 
   /** The frozen IVF-PQ quantizer as a FIRST-CLASS STORED ARTIFACT —
@@ -1690,6 +1668,20 @@ object CorpusOps {
     (sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
       / count(lit(1)))
 
+  /** Residual-encode `vecs` (already assigned as `asg`) against the
+    * frozen state and join the positional code checksums back on —
+    * (vid, cid, d2c, code_sum), the shared tail of every encode
+    * path. */
+  private def codesJoin(state: QuantizerState, vecs: DataFrame,
+                        asg: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val codes = pqEncode(residualsAgainst(vecs, asg, state.cents),
+        state.codebook, m, subDim)
+      .groupBy("vec_id")
+      .agg(sum(expr("code * cast(pow(16, sub) as bigint)")).as("code_sum"))
+    asg.join(codes, asg("vid") === codes("vec_id"))
+      .select(col("vid"), col("cid"), col("d2c"), col("code_sum"))
+  }
+
   /** Train a [[QuantizerState]] around EXPLICIT coarse centroids:
     * one full assignment pass + one Lloyd codebook train over the
     * residuals — the retrain arm's state derivation, also reused with
@@ -1723,15 +1715,10 @@ object CorpusOps {
     * stored-column aggregate instead of a re-scoring pass. */
   def ivfpqEncodeAll(state: QuantizerState, vecs: DataFrame,
                      m: Int = 8, subDim: Int = 8)
-                    (implicit scope: CacheScope): DataFrame = {
-    val asg = scope.cached(assignCents(vecs, state.cents))
-    val codes = pqEncode(residualsAgainst(vecs, asg, state.cents),
-        state.codebook, m, subDim)
-      .groupBy("vec_id")
-      .agg(sum(expr("code * cast(pow(16, sub) as bigint)")).as("code_sum"))
-    asg.join(codes, asg("vid") === codes("vec_id"))
+                    (implicit scope: CacheScope): DataFrame =
+    codesJoin(state, vecs, scope.cached(assignCents(vecs, state.cents)),
+        m, subDim)
       .select(col("vid").as("vec_id"), col("cid"), col("d2c"), col("code_sum"))
-  }
 
   /** The below-gate ingest path with the per-batch corpus rebuild
     * KILLED: assign `batch` against the stored `state.cents`, encode
@@ -1747,23 +1734,12 @@ object CorpusOps {
     * batch rows only. */
   def ivfpqEncodeStored(state: QuantizerState, storedIndex: DataFrame,
                         batch: DataFrame, m: Int = 8, subDim: Int = 8)
-                       (implicit scope: CacheScope): DataFrame =
-    encodeFrozen(state, storedIndex, batch,
-      scope.cached(assignCents(batch, state.cents)), m, subDim)
-
-  private def encodeFrozen(state: QuantizerState, storedIndex: DataFrame,
-                           batch: DataFrame, bAssign: DataFrame,
-                           m: Int, subDim: Int)
-                          (implicit scope: CacheScope): DataFrame = {
-    val bCodes = pqEncode(residualsAgainst(batch, bAssign, state.cents),
-        state.codebook, m, subDim)
-      .groupBy("vec_id")
-      .agg(sum(expr("code * cast(pow(16, sub) as bigint)")).as("code_sum"))
+                       (implicit scope: CacheScope): DataFrame = {
+    val bAssign = scope.cached(assignCents(batch, state.cents))
     val drift = storedIndex.agg(d2cMean(col("d2c")).as("t_mean"))
       .crossJoin(bAssign.agg(d2cMean(col("d2c")).as("b_mean")))
       .select(round(col("b_mean") / col("t_mean"), 6).as("drift"))
-    bAssign
-      .join(bCodes, bAssign("vid") === bCodes("vec_id"))
+    codesJoin(state, batch, bAssign, m, subDim)
       .crossJoin(broadcast(drift))
       .select(col("vid").as("vec_id"), col("cid"), col("d2c"),
         col("code_sum"), col("drift"))
@@ -1797,17 +1773,24 @@ object CorpusOps {
       .crossJoin(bAssign.agg(d2cMean(col("d2c")).as("_b")))
       .select(round(col("_b") / col("_t"), 6).as("drift")).head()
     val drifted = !driftRow.isNullAt(0) && driftRow.getDouble(0) > driftThreshold
-    if (!drifted)
-      (encodeFrozen(state, storedIndex, batch, bAssign, m, subDim), false, state)
-    else {
-      val drift = driftRow.getDouble(0)
+    if (!drifted) {
+      // the gate ALREADY paid the stored-index d2c aggregate — inject
+      // its measured value instead of re-planning the identical
+      // aggregate inside the commit (it is the one corpus-row-sized
+      // term of the frozen path; paying it twice per batch is exactly
+      // the cost shape this overload exists to kill). NULL ratio
+      // (empty batch) stamps NULL, as the in-plan spelling would.
+      val driftLit =
+        if (driftRow.isNullAt(0)) lit(null).cast("double")
+        else lit(driftRow.getDouble(0))
+      (codesJoin(state, batch, bAssign, m, subDim)
+        .select(col("vid").as("vec_id"), col("cid"), col("d2c"),
+          col("code_sum"), driftLit.as("drift")), false, state)
+    } else {
       val all = scope.cached(storedVecs.select("vec_id", "embedding")
         .unionByName(batch.select("vec_id", "embedding")))
-      val newState =
-        trainQuantizerWith(kmeansCentroidsL2(all, nlist, iters), all,
-          m, subDim, k, iters)
-      val full = ivfpqEncodeAll(newState, all, m, subDim)
-        .withColumn("drift", lit(drift))
+      val (full, newState) = retrainOver(all, driftRow.getDouble(0),
+        nlist, m, subDim, k, iters)
       (full, true, newState)
     }
   }

@@ -475,7 +475,7 @@ object TableOps {
   def maintainZoneMap(mv: DataFrame, delta: DataFrame, keys: Seq[String],
                       minCols: Seq[String], maxCols: Seq[String],
                       sumCols: Seq[String] = Nil,
-                      bloomCols: Seq[String] = Nil): DataFrame = {
+                      bloomStatCols: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty, "maintainZoneMap needs at least one key column")
     // presence markers: after the full-outer join, a MISSING side and a
     // present row whose bloom is NULL both read as NULL columns — but
@@ -498,7 +498,7 @@ object TableOps {
         // equal build params), unless EITHER present side is
         // uncovered (NULL) — then the merge is NULL (conservative:
         // the reader treats a missing bloom as "constrains nothing")
-        bloomCols.map(c =>
+        bloomStatCols.map(c =>
           when(col("_mb._mbp").isNull, col(s"_md.$c"))
             .when(col("_md._mdp").isNull, col(s"_mb.$c"))
             .when(col(s"_mb.$c").isNull || col(s"_md.$c").isNull,
@@ -619,10 +619,23 @@ object TableOps {
         // silently serve a leftover version instead of failing loudly.
         // FileContext.rename(OVERWRITE) is atomic where the FS supports
         // it (HDFS, local) and throws loudly where it does not.
+        // CHECKSUM-FS hygiene: fc renames at the RAW layer, so a
+        // `.marker.crc` sidecar a checksummed fs (LocalFileSystem) left
+        // behind — ours via fs.create(tmp), or a pre-rename-era
+        // delete+rename build's marker sidecar — would describe STALE
+        // content and brick every later fs.open(marker) with
+        // ChecksumException. Drop the marker's sidecar BEFORE the
+        // rename (a crash after the drop leaves the old marker
+        // crc-less — readable, missing checksums just skip
+        // verification) and the tmp's after (orphan cleanup).
+        def crcOf(x: org.apache.hadoop.fs.Path) =
+          new org.apache.hadoop.fs.Path(x.getParent, s".${x.getName}.crc")
+        fs.delete(crcOf(marker), false)
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(
           fs.getUri, spark.sparkContext.hadoopConfiguration)
         fc.rename(fs.makeQualified(tmp), fs.makeQualified(marker),
           org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        fs.delete(crcOf(tmp), false)
         doomed.foreach { v =>
           fs.delete(new org.apache.hadoop.fs.Path(versionPath(root, v)), true)
         }

@@ -333,7 +333,7 @@ test("maintainAgg: merged deltas equal a full recompute, new keys included") {
     val base = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("k", "v")
     val delta = Seq((2L, 21L), (3L, 30L)).toDF("k", "v")
     val maintained = TableOps.maintainZoneMap(stats(base), stats(delta),
-        Seq("k"), Seq("mn_v"), Seq("mx_v"), bloomCols = Seq("bf_v"))
+        Seq("k"), Seq("mn_v"), Seq("mx_v"), bloomStatCols = Seq("bf_v"))
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getAs[Array[Byte]](3).toSeq)).toMap
     val rebuilt = stats(base.unionByName(delta))
@@ -358,7 +358,7 @@ test("maintainAgg: merged deltas equal a full recompute, new keys included") {
     val uncovered = stats(base).withColumn("bf_v",
       when(col("k") === 2L, lit(null).cast("binary")).otherwise(col("bf_v")))
     val merged = TableOps.maintainZoneMap(uncovered, stats(delta),
-        Seq("k"), Seq("mn_v"), Seq("mx_v"), bloomCols = Seq("bf_v"))
+        Seq("k"), Seq("mn_v"), Seq("mx_v"), bloomStatCols = Seq("bf_v"))
       .filter(col("k") === 2L).select("bf_v").head()
     assert(merged.isNullAt(0),
       "merging an uncovered bloom must stay NULL, not fabricate coverage")
@@ -438,6 +438,37 @@ test("maintainAgg: merged deltas equal a full recompute, new keys included") {
     intercept[IllegalStateException] {
       TableOps.resolveVersion(spark, root, 0L)
     }
+  }
+
+  test("vacuum marker: overwriting a LEGACY checksummed marker never leaves a stale .crc sidecar") {
+    // Cross-version hazard: the pre-round-17 delete-then-rename commit
+    // went through the checksum layer (LocalFileSystem), leaving the
+    // marker a `.{name}.crc` sidecar; the OVERWRITE-rename commits at
+    // the RAW layer, which would strand that sidecar describing stale
+    // content — and every later fs.open(marker) would die with
+    // ChecksumException. The fix drops the sidecar before renaming;
+    // this pins a legacy-shaped marker surviving a new-code vacuum.
+    val root = java.nio.file.Files.createTempDirectory("graft-vaccrc").toString
+    Seq(0L, 2L).foreach { v =>
+      Seq((v, s"v$v")).toDF("k", "s").write.parquet(TableOps.versionPath(root, v))
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(conf)
+    // legacy-shaped marker: written THROUGH the checksum layer, so the
+    // sidecar exists and matches this content
+    val marker = new org.apache.hadoop.fs.Path(p, "_VACUUM_HORIZON")
+    val out = fs.create(marker, true)
+    try out.write("0\n".getBytes("UTF-8")) finally out.close()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p, "._VACUUM_HORIZON.crc")),
+      "fixture assumption broken: the local fs did not write a crc sidecar")
+    assert(TableOps.vacuumHorizon(spark, root).contains(0L))
+    // new-code vacuum overwrites the marker with a different horizon
+    assert(TableOps.vacuumVersions(spark, root, keepFrom = 2L) == Seq(0L))
+    // the horizon reads CLEANLY — a stale sidecar would throw
+    // ChecksumException here (and on every later resolveVersion)
+    assert(TableOps.vacuumHorizon(spark, root).contains(2L))
+    assert(TableOps.resolveVersion(spark, root, 5L) == 2L)
   }
 
   test("vacuumVersions: keepFrom below every version is a no-op; an empty store resolves loudly") {
