@@ -7,17 +7,21 @@ package graft
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val name = args(1)
+    // comma-separated names share one JVM/session — the A/B conf loop
+    // would otherwise pay a ~20 s JVM+session spin-up per query
+    val names = args(1).split(',').toSeq
     val runs = if (args.length > 2) args(2).toInt else 3
     val spark = BenchSession.build()
-    val times = (1 to runs).map { i =>
-      val t = BenchSession.timeQuery(spark, name, dir)
-      println(f"[timeone] $name run $i: $t%.3f s")
-      t
+    names.foreach { name =>
+      val times = (1 to runs).map { i =>
+        val t = BenchSession.timeQuery(spark, name, dir)
+        println(f"[timeone] $name run $i: $t%.3f s")
+        t
+      }
+      val ok = times.filter(_ >= 0)
+      if (ok.isEmpty) println(s"[timeone] $name: every run failed (unknown query name?)")
+      else println(f"[timeone] $name min: ${ok.min}%.3f s")
     }
-    val ok = times.filter(_ >= 0)
-    if (ok.isEmpty) println(s"[timeone] $name: every run failed (unknown query name?)")
-    else println(f"[timeone] $name min: ${ok.min}%.3f s")
     spark.stop()
   }
 }
