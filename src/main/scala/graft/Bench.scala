@@ -233,7 +233,13 @@ object Bench {
     val total = all.collect { case (_, c) if c.runs.nonEmpty => c.min }.sum
     val loadEnd = loadAvg()
     val nproc = Runtime.getRuntime.availableProcessors
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"load":$loads,"foreign":$foreigns,"contaminated":$contaminated,"n_retries":$nRetries,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"nproc":$nproc,"n_entries":${all.size},"sf":"$sfDir"}"""
+    // self-certifying record: the resolved SPARK_GRAFT_CONF override
+    // map (normally {}) rides in the JSON, so a record produced under
+    // a stale exported override is distinguishable after the fact
+    val confStamp = BenchSession.confOverrides
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"load":$loads,"foreign":$foreigns,"contaminated":$contaminated,"n_retries":$nRetries,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"nproc":$nproc,"n_entries":${all.size},"conf_overrides":$confStamp,"sf":"$sfDir"}"""
     println(json)
     writeRecord(json)
     spark.stop()

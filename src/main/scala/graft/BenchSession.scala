@@ -5,6 +5,22 @@ import org.apache.spark.sql.SparkSession
 /** One SparkSession recipe for the measurement mains (Bench, Stress) —
   * keeps their methodology from drifting apart. */
 object BenchSession {
+
+  /** Parse "k=v;k2=v2" conf-override syntax — ONE definition shared by
+    * the session builder, ConfAb's arm parser, and Bench's record
+    * stamp, so the three spellings cannot drift. (A value cannot
+    * contain ';' — acceptable for SQL conf values, documented here.) */
+  def parseConfPairs(s: String): Seq[(String, String)] =
+    s.split(';').filter(_.contains('=')).toSeq.map { kv =>
+      val Array(k, v) = kv.split("=", 2); (k.trim, v.trim)
+    }
+
+  /** The SPARK_GRAFT_CONF overrides active in this process (empty when
+    * unset) — Bench stamps these into its record JSON so a committed
+    * record self-certifies that it ran override-free. */
+  def confOverrides: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_CONF").map(parseConfPairs).getOrElse(Nil)
+
   def build(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -16,11 +32,9 @@ object BenchSession {
       .config("spark.ui.enabled", "false")
     // ad-hoc conf overrides for measurement experiments (TimeOne A/B
     // loops): SPARK_GRAFT_CONF="k=v;k2=v2". Unset = the exact session
-    // every committed record ran under.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); builder.config(k.trim, v.trim)
-      })
+    // every committed record ran under; Bench stamps the active map
+    // into its record JSON either way (audit trail).
+    confOverrides.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -13,9 +13,7 @@ object ConfAb {
     val dir = args(0)
     val names = args(1).split(',').toSeq
     val runs = args(2).toInt
-    val overrides = args(3).split(';').filter(_.contains('=')).map { kv =>
-      val Array(k, v) = kv.split("=", 2); (k.trim, v.trim)
-    }.toSeq
+    val overrides = BenchSession.parseConfPairs(args(3))
     val spark = BenchSession.build()
     val saved = overrides.map { case (k, _) =>
       k -> spark.conf.getOption(k)
@@ -28,9 +26,13 @@ object ConfAb {
     names.foreach { name =>
       val a = collection.mutable.ArrayBuffer.empty[Double]
       val b = collection.mutable.ArrayBuffer.empty[Double]
-      (1 to runs).foreach { _ =>
-        setA(); a += BenchSession.timeQuery(spark, name, dir)
-        setB(); b += BenchSession.timeQuery(spark, name, dir)
+      // ABBA counterbalancing: alternate which arm leads each
+      // iteration so warm-cache and within-iteration drift hit the
+      // arms symmetrically instead of always favoring the follower
+      (1 to runs).foreach { i =>
+        def runA(): Unit = { setA(); a += BenchSession.timeQuery(spark, name, dir) }
+        def runB(): Unit = { setB(); b += BenchSession.timeQuery(spark, name, dir) }
+        if (i % 2 == 1) { runA(); runB() } else { runB(); runA() }
       }
       setA()
       val am = a.filter(_ >= 0); val bm = b.filter(_ >= 0)

@@ -45,12 +45,29 @@ object ProfileOne {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // poll until the recorded stage set is stable across two samples —
+    // a fixed sleep can drop late completion events on a loaded host
+    // (and lets run N-1 stragglers land after the clear)
+    def drainListenerBus(): Unit = {
+      var prev = -1
+      var cur = stages.synchronized(stages.size)
+      var tries = 0
+      while (prev != cur && tries < 20) {
+        Thread.sleep(250)
+        prev = cur
+        cur = stages.synchronized(stages.size)
+        tries += 1
+      }
+    }
     (1 to runs).foreach { i =>
-      if (i == runs) { stages.synchronized(stages.clear()) } // profile the LAST run
+      if (i == runs) { // profile the LAST run: drain stragglers, then clear
+        drainListenerBus()
+        stages.synchronized(stages.clear())
+      }
       val t = BenchSession.timeQuery(spark, name, dir)
       println(f"[profile] $name run $i: $t%.3f s")
     }
-    Thread.sleep(1000) // let the listener bus drain the last stage events
+    drainListenerBus()
 
     def mb(b: Long) = f"${b / 1e6}%8.1f"
     val all = stages.synchronized(stages.values.toSeq)

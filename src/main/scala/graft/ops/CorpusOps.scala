@@ -512,6 +512,11 @@ object CorpusOps {
     // and a plan LEAF, so round plans never grow — and it avoids the
     // cache-manager's per-round plan normalization/locking that a
     // cache() here costs on the construction path.
+    // (Round 18 A/B'd a split relax — edge join and pointer self-join
+    // separately, union of RESULTS — bit-identical labels, ratio
+    // 1.00–1.05 on l2_dup_clusters/q48/l2_incremental_clusters:
+    // neutral without a pre-hashed edge leaf, so the simpler union
+    // form stays.)
     val relaxed = scope.checkpointed(
       adj.as("adj").join(l.as("lt"), col("adj.b") === col("lt.node"))
         .select(col("adj.a").as("node"), col("lt.lbl").as("lbl"))
@@ -2361,9 +2366,22 @@ object CorpusOps {
         round(cos(col("_qe"), col("_ve")), 6).as("simr"))
       .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= annK)
       .select("qid", "rn", "vid", "simr")
-    val rer = lists(arts.annProbes.join(affected, Seq("qid"), "left_semi"))
-    val fresh = lists(batchCd.select(col("vid").as("qid"), col("cid")))
-    val annAfter = scope.cached(kept.unionByName(rer).unionByName(fresh))
+    // ONE candidate-scoring pass for both the re-ranked stored nodes
+    // and the fresh batch nodes (A/B flag annFuse): their qid sets are
+    // DISJOINT (batch ids are new by the nearDupPairsAgainst
+    // contract), so lists(affected ∪ batch) ≡ lists(affected) ∪
+    // lists(batch) row-for-row while sharing one join+window pipeline
+    // instead of two (guide §2.4).
+    val annAfter =
+      if (GraphOps.optFlag(batch.sparkSession, "annFuse"))
+        scope.cached(kept.unionByName(lists(
+          arts.annProbes.join(affected, Seq("qid"), "left_semi")
+            .unionByName(batchCd.select(col("vid").as("qid"), col("cid"))))))
+      else {
+        val rer = lists(arts.annProbes.join(affected, Seq("qid"), "left_semi"))
+        val fresh = lists(batchCd.select(col("vid").as("qid"), col("cid")))
+        scope.cached(kept.unionByName(rer).unionByName(fresh))
+      }
     val probesAfter = arts.annProbes.unionByName(
       batchCd.select(col("vid").as("qid"), col("cid")))
     // 4. BM25 stats — the batch's +1 rows

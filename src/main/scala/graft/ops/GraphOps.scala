@@ -50,6 +50,14 @@ object GraphOps {
 
   private val viewSeq = new java.util.concurrent.atomic.AtomicLong
 
+  /** TEMPORARY round-18 measurement flags — read from the CALLER's
+    * session at plan-construction time so ConfAb can A/B a code shape
+    * inside one JVM (paired arms, host noise hits both arms equally).
+    * Winners get hard-coded and the flag reads deleted before the
+    * round closes. */
+  private[ops] def optFlag(s: SparkSession, key: String): Boolean =
+    s.conf.get(s"spark.graft.opt.$key", "false").toBoolean
+
   /** Lineage-cut `df` in the caller's session and re-root it in `rs`
     * as an RDD leaf. The crossing is a GLOBAL temp view (shared
     * catalog): `rs.table` resolves it to the checkpoint's InternalRow
@@ -76,7 +84,13 @@ object GraphOps {
   /** The round preamble every iterative op shares: lineage-cut the
     * edge projection, open the AQE-off child session at edge-derived
     * width, re-root the leaf there. ONE definition so the round-width
-    * / lineage-cut discipline cannot drift between operators. */
+    * / lineage-cut discipline cannot drift between operators.
+    * (Round 18 measured and REJECTED a second hash-partitioned cut of
+    * the leaf by the rounds' join key — localCheckpoint preserves
+    * outputPartitioning, so it does remove the per-round edge-side
+    * Exchange, but the extra materialization pass cost more than the
+    * removed exchanges at every SF measured: 1.11–1.33× slower on
+    * q44/q46/q64/q65/q70. See OPTIMIZATION_r18.md.) */
   private def roundSetup(edges: DataFrame, reliable: Boolean)
                         (implicit scope: CacheScope): (SparkSession, DataFrame) = {
     val eck = scope.checkpointed(edges, reliable)
@@ -105,11 +119,16 @@ object GraphOps {
     val deg = e.groupBy("src")
       .agg(weightCol.map(w => sum(col(w))).getOrElse(count(lit(1))).as("deg"))
       .select(col("src").as("node"), col("deg"))
-    // cacheNodes = false for callers that immediately DERIVE the table
-    // they actually iterate on (pageRankWarm) — caching this one too
-    // would pin a node-sized table read exactly once
+    // CHECKPOINTED (RDD leaf), not cache(): the constants table is
+    // referenced by EVERY round's plan, and cache substitution is
+    // plan-identity matching that missed the inner occurrences here
+    // (q44 formatted plan: only the outermost reference resolved to
+    // InMemoryTableScan; every earlier round re-derived deg + the n
+    // broadcast inline). A leaf cannot be missed — every round reads
+    // the same blocks (paired A/B: 0.95/0.95/0.93 min-ratio on
+    // q44/q47/q63, ~1.0 on q65; round-18 ledger).
     def maybeCache(df: DataFrame): DataFrame =
-      if (cacheNodes) scope.cached(df) else df
+      if (cacheNodes) scope.checkpointed(df, reliable = false) else df
     val nodes = maybeCache(seeds match {
       case None =>
         val n = deg.agg(count(lit(1)).as("n"))
@@ -296,10 +315,10 @@ object GraphOps {
       prior.select(col("node"), col("pr"))
         .groupBy("node").agg(max("pr").as("prior_pr"))
         .select(col("node").as("pnode"), col("prior_pr")))
-    val nodes = scope.cached(
+    val nodes = scope.checkpointed(
       nodes0.join(p, nodes0("node") === col("pnode"), "left")
         .select(col("node"), col("deg"), col("base"),
-          coalesce(col("prior_pr"), col("pr0")).as("pr0")))
+          coalesce(col("prior_pr"), col("pr0")).as("pr0")), reliable = false)
     prLoop(e, nodes, None, iters, damping, scale, checkpointEvery)
   }
 
@@ -1068,9 +1087,15 @@ object GraphOps {
       .groupBy(col("src").as("node"), col("c")).agg(wSum.as("k"))
     val stay = lbl.filter(col("node") % 2 === lit(parity))
       .select(col("node"), col("c"), lit(0L).as("k"))
+    // join ORDER is an exchange-count lever (guide §2.4): tot (by c)
+    // joins BEFORE lbl (by node), so the argmax groupBy("node") reuses
+    // the lbl join's node partitioning instead of paying a third
+    // candidate-sized exchange (was node → c → node; now c → node →
+    // argmax-for-free). Same inner joins, same rows; paired A/B:
+    // 0.93/0.90 min-ratio on q70/q77 (round-18 ledger).
     val scored = kic.union(stay)
-      .join(lbl.select(col("node"), col("c").as("c0"), col("deg")), "node")
       .join(tot, "c")
+      .join(lbl.select(col("node"), col("c").as("c0"), col("deg")), "node")
       .crossJoin(broadcast(m2))
       .select(col("node"), col("c"),
         (col("m2") * col("k") - col("deg") *
@@ -1333,8 +1358,13 @@ object GraphOps {
           (implicit scope: CacheScope): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     val (rs, e) = roundSetup(edges.select(col("src"), col("dst")), reliable = false)
-    val nodes = scope.cached(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    // checkpointed leaf, not cache(): referenced by every round's
+    // merge — the prSetup constants-table finding (cache substitution
+    // missed inner occurrences, re-running the union+distinct per
+    // round)
+    val nodes = scope.checkpointed(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct(),
+      reliable = false)
     // UNNORMALIZED pulls: normalization is a per-round scalar factor,
     // so deferring it to ONE final division leaves the direction
     // identical while every intermediate stays an INTEGER-valued
