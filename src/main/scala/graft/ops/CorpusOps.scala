@@ -2367,21 +2367,16 @@ object CorpusOps {
       .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= annK)
       .select("qid", "rn", "vid", "simr")
     // ONE candidate-scoring pass for both the re-ranked stored nodes
-    // and the fresh batch nodes (A/B flag annFuse): their qid sets are
-    // DISJOINT (batch ids are new by the nearDupPairsAgainst
-    // contract), so lists(affected ∪ batch) ≡ lists(affected) ∪
-    // lists(batch) row-for-row while sharing one join+window pipeline
-    // instead of two (guide §2.4).
-    val annAfter =
-      if (GraphOps.optFlag(batch.sparkSession, "annFuse"))
-        scope.cached(kept.unionByName(lists(
-          arts.annProbes.join(affected, Seq("qid"), "left_semi")
-            .unionByName(batchCd.select(col("vid").as("qid"), col("cid"))))))
-      else {
-        val rer = lists(arts.annProbes.join(affected, Seq("qid"), "left_semi"))
-        val fresh = lists(batchCd.select(col("vid").as("qid"), col("cid")))
-        scope.cached(kept.unionByName(rer).unionByName(fresh))
-      }
+    // and the fresh batch nodes: their qid sets are DISJOINT (batch
+    // ids are new by the nearDupPairsAgainst contract), so
+    // lists(affected ∪ batch) ≡ lists(affected) ∪ lists(batch)
+    // row-for-row while sharing one join+window pipeline instead of
+    // two (guide §2.4; paired A/B: 0.83 min-ratio on
+    // l6_cascade_insert_apply, neutral on the build-dominated
+    // l6_cascade_insert — round-18 ledger).
+    val annAfter = scope.cached(kept.unionByName(lists(
+      arts.annProbes.join(affected, Seq("qid"), "left_semi")
+        .unionByName(batchCd.select(col("vid").as("qid"), col("cid"))))))
     val probesAfter = arts.annProbes.unionByName(
       batchCd.select(col("vid").as("qid"), col("cid")))
     // 4. BM25 stats — the batch's +1 rows

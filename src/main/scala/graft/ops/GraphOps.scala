@@ -55,7 +55,7 @@ object GraphOps {
     * inside one JVM (paired arms, host noise hits both arms equally).
     * Winners get hard-coded and the flag reads deleted before the
     * round closes. */
-  private[ops] def optFlag(s: SparkSession, key: String): Boolean =
+  private[graft] def optFlag(s: SparkSession, key: String): Boolean =
     s.conf.get(s"spark.graft.opt.$key", "false").toBoolean
 
   /** Lineage-cut `df` in the caller's session and re-root it in `rs`

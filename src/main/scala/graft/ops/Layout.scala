@@ -186,19 +186,20 @@ object Layout {
     * each task's rows into few chunks, so the table lands as ~one file
     * per chunk instead of `writeTasks × chunks` shards. */
   def writeClustered(df: DataFrame, path: String, chunkCol: String,
-                     writeTasks: Int = 16): Unit = {
-    // A/B flag zoneHashWrite: HASH exchange instead of range — a range
-    // exchange runs RangePartitioner's sampling pass (an extra scan of
-    // the input per write) only to make each task's chunks ADJACENT,
-    // which nothing downstream needs: chunk-wholeness (all rows of a
-    // chunk in one task ⇒ ~one file per chunk) holds under hash too,
-    // and the hive-style partitionBy directories carry the layout.
-    val parted =
-      if (GraphOps.optFlag(df.sparkSession, "zoneHashWrite"))
-        df.repartition(math.max(1, writeTasks), col(chunkCol))
-      else df.repartitionByRange(math.max(1, writeTasks), col(chunkCol))
-    parted.write.mode("overwrite").partitionBy(chunkCol).parquet(path)
-  }
+                     writeTasks: Int = 16): Unit =
+    // HASH exchange, not range: a range exchange runs RangePartitioner's
+    // SAMPLING pass (an extra scan of the input per write) only to make
+    // each task's chunks ADJACENT, which nothing downstream needs —
+    // chunk-wholeness (all rows of a chunk in one task ⇒ ~one file per
+    // chunk) holds under hash too, and the hive-style partitionBy
+    // directories carry the layout; the chunk-dir row sets (and so the
+    // zone envelopes and every read result) are identical. Paired A/B:
+    // 0.75–0.87 min-ratio on q126/q127/q129/q131/q132/q133/q135, ~1.0
+    // on q121/q136 (round-18 ledger). clusterByMorton/clusterByHilbert
+    // keep their range exchange — there key ADJACENCY per file is the
+    // semantic (tight per-file envelopes).
+    df.repartition(math.max(1, writeTasks), col(chunkCol))
+      .write.mode("overwrite").partitionBy(chunkCol).parquet(path)
 
   /** ONE range predicate per dimension of a [[prunedRead]] — a closed
     * interval `[lo, hi]` on `column`, either side open-ended via
